@@ -1,0 +1,76 @@
+"""Query registry — the single source of truth behind __spark_entry__.py.
+
+Every operator from SURVEY.md §2 registers a named query here, optionally with
+an ANSI-SQL oracle twin that DuckDB runs over the same parquet tables. The
+driver hash-compares Spark vs oracle per name (BASELINE.md), so column names
+and row sets must match exactly; queries without an oracle get a weaker
+rows-only check (reserved for genuinely non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    headline: bool = False  # included in bench.py's timed set
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    headline: bool = False,
+    tags: tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn`` as queries()[name] (+ oracle_sql()[name])."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, headline=headline, tags=tags)
+        return fn
+
+    return deco
+
+
+def specs() -> dict[str, QuerySpec]:
+    _ensure_loaded()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in specs().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in specs().items() if spec.oracle is not None}
+
+
+def headline_names() -> list[str]:
+    return [name for name, spec in specs().items() if spec.headline]
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every module that contains @register calls (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from beeper_matric_etl_tool_spark.plans import catalog  # noqa: F401
+
+    _LOADED = True

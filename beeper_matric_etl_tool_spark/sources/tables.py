@@ -1,0 +1,64 @@
+"""Batch table sources (SURVEY §2.1 S6–S9).
+
+The reference scans fixed-schema Postgres tables (`src/server/db/schema.ts:1-89`,
+scanned at `src/server/api/routes.ts:92,154,239,251`). Here the relational plane
+is columnar Parquet read straight into DataFrames — Catalyst pushes predicates
+and prunes columns into the scan, so a point lookup (S7) or projection (P1)
+never reads more than it needs, at any scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: every table the driver testdata ships (TESTDATA.md)
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Parquet is self-describing; schemas are catalogued in
+    FIXTURES.md. At 100 TB this is a multi-file partitioned scan — the API is
+    identical, Catalyst handles partition pruning.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which the Spark reader rejects
+    outright; we read it through the ``nanosAsLong`` escape hatch and truncate
+    to microseconds (``ts div 1000`` — floor division on positive epochs),
+    exactly matching how µs-native engines (DuckDB, the oracle) read the same
+    file. Set at runtime so it works inside any caller-provided session.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load all tables as a dict — the engine's 'catalog' for one scale factor."""
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view so ``spark.sql`` queries work too."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,20 @@
+from __future__ import annotations
+
+import pytest
+
+from beeper_matric_etl_tool_spark import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_MID = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(app_name="beeper-matric-etl-tests", master="local[4]", shuffle_partitions=4)
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR

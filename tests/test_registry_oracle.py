@@ -1,0 +1,35 @@
+"""The workhorse correctness gate: every registered query with an oracle is
+hash-compared against DuckDB at sf0.001 (fast tier; the driver re-runs the
+same comparison at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from beeper_matric_etl_tool_spark import plans
+from tests.oracle import assert_matches_oracle
+
+_SPECS = plans.specs()
+_WITH_ORACLE = [name for name, s in _SPECS.items() if s.oracle is not None]
+_ROWS_ONLY = [name for name, s in _SPECS.items() if s.oracle is None]
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_query_matches_oracle(spark, sf_dir, name):
+    spec = _SPECS[name]
+    assert_matches_oracle(spec.fn(spark, sf_dir), spec.oracle, sf_dir)
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_query_runs(spark, sf_dir, name):
+    df = _SPECS[name].fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
