@@ -1,0 +1,37 @@
+"""Latest-by-key dedup — the K1 upsert kernel (SURVEY §2.2 K1, §2.5 A3).
+
+Reference: ``INSERT … ON CONFLICT (event_id) DO UPDATE SET <all cols>``
+(/root/reference/src/server/utils/db.utils.ts:35-47) collapses the
+at-least-once event stream to exactly-once-by-key, last-write-wins. The same
+kernel serves A3's "latest checkpoint token" argmax
+(/root/reference/src/server/utils/db.utils.ts:274-277).
+
+Spark-first: a window ``row_number() = 1`` per key over a total order. The
+order must be *total* (tie columns included) or the result is
+partition-nondeterministic — same requirement Postgres hides by arrival
+order. At scale this is one hash-shuffle on the key columns; AQE handles
+skewed keys (a hot room) via skew-join/partition splitting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    rank_col: str = "__rn",
+) -> DataFrame:
+    """Keep exactly one row per key — the first under ``order_by`` (pass
+    descending columns for last-write-wins)."""
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) == 1)
+        .drop(rank_col)
+    )

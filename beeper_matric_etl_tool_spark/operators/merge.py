@@ -1,0 +1,85 @@
+"""Change-detecting upsert merge — the K2/K3 kernel (SURVEY §2.2).
+
+Reference: ``ON CONFLICT (user_id, room_id) DO UPDATE SET … WHERE
+participants.display_name IS DISTINCT FROM EXCLUDED.display_name OR …``
+(/root/reference/src/server/utils/db.utils.ts:77-104,118-152) — update only
+when a tracked column actually changed, so unchanged redeliveries produce no
+dead writes (Postgres MVCC churn there; shuffle-write churn here).
+
+Spark-first: one full-outer equi-join on the key, then per-column
+``CASE``s select the surviving value. ``IS DISTINCT FROM`` maps to the
+negated null-safe equality ``~(a <=> b)`` — nulls compare equal, exactly the
+Postgres semantics. The ``action`` column ('insert'/'update'/'keep') makes
+the dead-write-elimination observable (and lets a writer skip 'keep' rows
+entirely — the actual optimization).
+
+Scale note: both sides shuffle once on the key; with the dimension side small
+it broadcasts. Incremental streaming use wraps this in foreachBatch
+(streaming/ingest.py) so only the delta joins the dimension.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def changed_predicate(tracked: Sequence[str], left: str = "e", right: str = "i"):
+    """OR of per-column `IS DISTINCT FROM` over tracked columns."""
+    pred = F.lit(False)
+    for c in tracked:
+        pred = pred | ~(F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}")))
+    return pred
+
+
+def merge_upsert(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str] | None = None,
+    action_col: str | None = "action",
+) -> DataFrame:
+    """Upsert ``incoming`` into ``existing`` by ``keys`` with change detection.
+
+    - key only in incoming  → insert (take incoming row)
+    - key in both, any tracked column distinct → update (take incoming row)
+    - key in both, no tracked change → keep (take existing row — dead write
+      skipped)
+    - key only in existing → keep
+
+    ``tracked`` defaults to every non-key column. Output schema = existing's
+    columns (+ optional ``action_col``).
+    """
+    cols = existing.columns
+    if incoming.columns != cols:
+        incoming = incoming.select(*cols)
+    non_keys = [c for c in cols if c not in keys]
+    tracked = list(tracked) if tracked is not None else non_keys
+
+    # presence flags must come from a never-null marker per side, not a data
+    # column (data columns may legitimately be null) — use a literal tag.
+    e = existing.withColumn("__e", F.lit(1))
+    i = incoming.withColumn("__i", F.lit(1))
+    joined = e.alias("e").join(i.alias("i"), on=list(keys), how="full_outer")
+
+    is_insert = F.col("__e").isNull()
+    is_update = F.col("__e").isNotNull() & F.col("__i").isNotNull() & changed_predicate(tracked)
+
+    take_incoming = is_insert | is_update
+    out_cols = [
+        *(F.col(k).alias(k) for k in keys),
+        *(
+            F.when(take_incoming, F.col(f"i.{c}")).otherwise(F.col(f"e.{c}")).alias(c)
+            for c in non_keys
+        ),
+    ]
+    if action_col:
+        out_cols.append(
+            F.when(is_insert, F.lit("insert"))
+            .when(is_update, F.lit("update"))
+            .otherwise(F.lit("keep"))
+            .alias(action_col)
+        )
+    return joined.select(*out_cols).select(*(cols + ([action_col] if action_col else [])))

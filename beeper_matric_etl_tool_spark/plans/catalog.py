@@ -11,6 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from beeper_matric_etl_tool_spark.functions import scalar as fx
+from beeper_matric_etl_tool_spark.operators import integrity, stats
+from beeper_matric_etl_tool_spark.operators.dedup import latest_by_key
+from beeper_matric_etl_tool_spark.operators.merge import merge_upsert
+from beeper_matric_etl_tool_spark.operators.nesting import nest_children
 from beeper_matric_etl_tool_spark.operators.pagination import keyset_page
 from beeper_matric_etl_tool_spark.plans.registry import register
 from beeper_matric_etl_tool_spark.sources.tables import table
@@ -44,4 +49,384 @@ def messages_topk_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         limit=50,
         before=F.lit(PAGE_CURSOR).cast("timestamp"),
         predicate=F.col("user_id") == F.lit(12),
+    )
+
+
+# --------------------------------------------------------------------------
+# Phase 1 — relational read surface (SURVEY §2.1, §2.3, §2.5, §2.6)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rooms_listing",
+    tags=("S6", "O1", "P2"),
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def rooms_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/O1 — full dimension scan (routes.ts:92 `SELECT * FROM rooms ORDER BY
+    …`; recency ordering per intent, see SURVEY §8 B3). Ordering is
+    presentation-only — the driver compares order-insensitively."""
+    return table(spark, sf_dir, "nation").orderBy(F.col("n_name"))
+
+
+@register(
+    "point_lookup",
+    tags=("S7", "P3"),
+    oracle="SELECT * FROM customer WHERE c_custkey = 42",
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — point lookup by PK (routes.ts:106-112). The equality predicate is
+    pushed into the parquet scan; with min/max row-group stats this touches a
+    single row group at any scale."""
+    return table(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
+
+
+@register(
+    "credentials_projection",
+    tags=("S9", "P1", "P3"),
+    oracle="SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_suppkey <= 5",
+)
+def credentials_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/P1 — projection + filter (db.utils.ts:13-28 `SELECT device_id,
+    access_token … WHERE user_id = $1`). ReadSchema prunes to 3 columns."""
+    return (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 5)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@register(
+    "checkpoint_latest",
+    tags=("S8", "A3"),
+    oracle="""
+        SELECT event_id, ts, user_id, event_type
+        FROM events ORDER BY ts DESC, event_id DESC LIMIT 1
+    """,
+)
+def checkpoint_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — latest checkpoint token (db.utils.ts:271-280 `ORDER BY created_at
+    DESC LIMIT 1`). TakeOrderedAndProject with k=1 — a distributed argmax."""
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(1)
+    )
+
+
+@register(
+    "config_head",
+    tags=("O4",),
+    oracle="SELECT * FROM region ORDER BY r_regionkey LIMIT 1",
+)
+def config_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — LIMIT 1 read (routes.ts:251). The reference's bare LIMIT 1 is
+    row-order nondeterministic; we pin a total order — determinism is part of
+    the engine contract."""
+    return table(spark, sf_dir, "region").orderBy("r_regionkey").limit(1)
+
+
+@register(
+    "logs_tail",
+    headline=True,
+    tags=("O2",),
+    oracle="""
+        SELECT event_id, ts, event_type FROM events
+        ORDER BY ts DESC, event_id DESC LIMIT 100
+    """,
+)
+def logs_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — top-k tail of the log (routes.ts:238-241, LIMIT 100)."""
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins & nesting (SURVEY §2.4 J1/J2/J3, §2.5 A2)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rooms_with_participants",
+    headline=True,
+    tags=("J1", "A2"),
+    oracle="""
+        SELECT n_nationkey, n_name,
+               coalesce(to_json(list_sort(list(c_name) FILTER (c_name IS NOT NULL))), '[]')
+                 AS members_json,
+               count(c_name) AS n_members
+        FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        GROUP BY n_nationkey, n_name
+    """,
+)
+def rooms_with_participants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/A2 — room→participants nesting (routes.ts:107-110 correlated
+    `json_agg`), decorrelated to aggregate-then-broadcast-join. nation plays
+    rooms, customer plays participants (FIXTURES.md role map)."""
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    members = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey"), "c_name"
+    )
+    nested = nest_children(
+        nation, members, on="n_nationkey", child_col=F.col("c_name"),
+        nested_name="member_names", count_name="n_members",
+    )
+    return nested.select(
+        "n_nationkey", "n_name",
+        F.to_json(F.col("member_names")).alias("members_json"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+@register(
+    "region_nations",
+    tags=("J2", "A2"),
+    oracle="""
+        SELECT r_regionkey, r_name,
+               to_json(list_sort(list(n_name))) AS nations_json
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+        GROUP BY r_regionkey, r_name
+    """,
+)
+def region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/A2 — user→rooms nesting (routes.ts:169-174 inner-join variant)."""
+    region = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nations = table(spark, sf_dir, "nation").select(
+        F.col("n_regionkey").alias("r_regionkey"), "n_name"
+    )
+    nested = nest_children(
+        region, nations, on="r_regionkey", child_col=F.col("n_name"),
+        nested_name="nation_names", how="inner",
+    )
+    return nested.select(
+        "r_regionkey", "r_name", F.to_json(F.col("nation_names")).alias("nations_json")
+    )
+
+
+@register(
+    "fk_orphans",
+    tags=("J3",),
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — integrity audit: anti-join finds dimension rows with no facts
+    (inverse of the FK direction, guaranteed non-trivial on this data)."""
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = table(spark, sf_dir, "orders")
+    return integrity.orphans(customer, orders, ["c_custkey"], ["o_custkey"])
+
+
+@register(
+    "fk_enforced",
+    tags=("J3",),
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def fk_enforced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — semi-join applies the constraint (cascade-delete survivors)."""
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = table(spark, sf_dir, "orders")
+    return integrity.enforce_fk(customer, orders, ["c_custkey"], ["o_custkey"])
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY §2.5 A1/A3/A4) + load kernels (§2.2 K1–K3)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stats_summary",
+    headline=True,
+    tags=("A1", "A4"),
+    oracle="""
+        SELECT (SELECT count(*) FROM events) AS total_events,
+               (SELECT count(DISTINCT user_id) FROM events) AS total_users,
+               (SELECT count(*) FROM events WHERE event_type = 'purchase') AS purchase_events,
+               (SELECT epoch_ms(max(ts)) FROM events) AS last_sync_ms,
+               (SELECT count(*) FROM customer) AS total_customers
+    """,
+)
+def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A4 — the /api/stats summary row (routes.ts:216-224) + dashboard
+    conditional counters (dashboard.tsx:8-14). Unlike the reference's one
+    subquery per counter, all event-side scalars come from ONE scan via
+    sum(when(...)); the single-row frames then cross-join for free."""
+    events = table(spark, sf_dir, "events")
+    customer = table(spark, sf_dir, "customer")
+    ev = events.agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.countDistinct("user_id").alias("total_users"),
+        stats.conditional_count(F.col("event_type") == "purchase", "purchase_events"),
+        F.unix_millis(F.max("ts")).alias("last_sync_ms"),
+    )
+    cu = customer.agg(F.count(F.lit(1)).alias("total_customers"))
+    return stats.scalar_summary(events=ev, customers=cu)
+
+
+@register(
+    "latest_event_per_user",
+    headline=True,
+    tags=("K1", "A3"),
+    oracle="""
+        SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+               event_type AS last_type
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/A3 — the last-write-wins upsert kernel (db.utils.ts:35-47 `ON
+    CONFLICT DO UPDATE`): one row per key, latest under a total order."""
+    events = table(spark, sf_dir, "events")
+    deduped = latest_by_key(
+        events, keys=["user_id"], order_by=[F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return deduped.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+    )
+
+
+@register(
+    "merge_changed_dim",
+    headline=True,
+    tags=("K2", "K3", "P8"),
+    oracle="""
+        WITH incoming AS (
+            SELECT c_custkey, c_name, c_nationkey,
+                   c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 100.0 ELSE 0.0 END
+                     AS c_acctbal,
+                   c_mktsegment
+            FROM customer WHERE c_custkey % 2 = 0
+            UNION ALL
+            SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM customer WHERE c_custkey % 7 = 0
+        ),
+        flagged AS (
+            SELECT coalesce(e.c_custkey, i.c_custkey) AS c_custkey,
+                   e.c_name AS e_name, e.c_nationkey AS e_nationkey,
+                   e.c_acctbal AS e_acctbal, e.c_mktsegment AS e_mktsegment,
+                   i.c_name AS i_name, i.c_nationkey AS i_nationkey,
+                   i.c_acctbal AS i_acctbal, i.c_mktsegment AS i_mktsegment,
+                   (e.c_custkey IS NULL) AS is_insert,
+                   (e.c_custkey IS NOT NULL AND i.c_custkey IS NOT NULL AND (
+                        e.c_name       IS DISTINCT FROM i.c_name OR
+                        e.c_nationkey  IS DISTINCT FROM i.c_nationkey OR
+                        e.c_acctbal    IS DISTINCT FROM i.c_acctbal OR
+                        e.c_mktsegment IS DISTINCT FROM i.c_mktsegment)) AS is_update
+            FROM customer e FULL OUTER JOIN incoming i ON e.c_custkey = i.c_custkey
+        )
+        SELECT c_custkey,
+               CASE WHEN is_insert OR is_update THEN i_name       ELSE e_name       END AS c_name,
+               CASE WHEN is_insert OR is_update THEN i_nationkey  ELSE e_nationkey  END AS c_nationkey,
+               CASE WHEN is_insert OR is_update THEN i_acctbal    ELSE e_acctbal    END AS c_acctbal,
+               CASE WHEN is_insert OR is_update THEN i_mktsegment ELSE e_mktsegment END AS c_mktsegment,
+               CASE WHEN is_insert THEN 'insert' WHEN is_update THEN 'update'
+                    ELSE 'keep' END AS action
+        FROM flagged
+    """,
+)
+def merge_changed_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/K3 — change-detecting upsert merge (db.utils.ts:68-152). The
+    incoming batch is derived deterministically from customer: even keys
+    redelivered (every 5th with a changed balance → 'update', rest →
+    'keep' = dead write skipped), every-7th key shifted +1e6 → 'insert'."""
+    customer = table(spark, sf_dir, "customer")
+    redelivered = customer.filter(F.col("c_custkey") % 2 == 0).withColumn(
+        "c_acctbal",
+        F.col("c_acctbal")
+        + F.when(F.col("c_custkey") % 5 == 0, F.lit(100.0)).otherwise(F.lit(0.0)),
+    )
+    inserts = customer.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(1000000)
+    )
+    incoming = redelivered.unionByName(inserts)
+    return merge_upsert(customer, incoming, keys=["c_custkey"])
+
+
+# --------------------------------------------------------------------------
+# Scalar-function surface (SURVEY §2.8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "message_projection",
+    tags=("F1", "F3", "F9", "F12"),
+    oracle="""
+        SELECT event_id,
+               concat('@user', CAST(user_id AS VARCHAR), ':matrix.example.org') AS sender,
+               concat('!', event_type) AS room_id,
+               props AS content,
+               epoch_ms(ts) AS ts_millis,
+               (event_type = 'error') AS is_error
+        FROM events
+    """,
+)
+def message_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F9 — the event→row projection of persistMessage
+    (db.utils.ts:49-59): id/sender/type/ts/flags extracted to a flat row,
+    JSON payload carried through as a string column (F1)."""
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.lit("@user"), F.col("user_id").cast("string"), F.lit(":matrix.example.org")
+        ).alias("sender"),
+        F.concat(F.lit("!"), F.col("event_type")).alias("room_id"),
+        F.col("props").alias("content"),
+        fx.ts_to_millis("ts").alias("ts_millis"),
+        (F.col("event_type") == "error").alias("is_error"),
+    )
+
+
+@register(
+    "scalar_functions_showcase",
+    tags=("F2", "F5", "F6", "F11", "F12", "F14"),
+    oracle=r"""
+        SELECT event_id, sender_norm,
+               str_split(sender_norm, ':')[2] AS domain,
+               concat(upper(substr(event_type, 1, 1)), substr(event_type, 2)) AS event_type_cap,
+               k_str, CAST(k_str AS BIGINT) AS k_num,
+               coalesce(value, 0.0) AS value_filled
+        FROM (
+            SELECT *,
+                   regexp_replace(
+                       concat('@user', CAST(user_id AS VARCHAR), ':https://matrix.example.org'),
+                       '^(.+?):https://matrix\.(.+)$', '\1:\2') AS sender_norm,
+                   json_extract_string(props, '$.k') AS k_str
+            FROM events
+        )
+    """,
+)
+def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F5/F6/F11/F12/F14 — the per-row transform battery: homeserver
+    normalization regex (client.ts:151), mxid domain split (db.utils.ts:233),
+    first-char capitalize (sync-status.tsx:121), JSON field extraction +
+    int parse (routes.ts:227-228), null-coalescing defaults."""
+    events = table(spark, sf_dir, "events")
+    sender = F.concat(
+        F.lit("@user"), F.col("user_id").cast("string"), F.lit(":https://matrix.example.org")
+    )
+    sender_norm = fx.normalize_matrix_user(sender)
+    k_str = fx.json_field("props", "k")
+    return events.select(
+        "event_id",
+        sender_norm.alias("sender_norm"),
+        fx.mxid_domain(sender_norm).alias("domain"),
+        fx.capitalize("event_type").alias("event_type_cap"),
+        k_str.alias("k_str"),
+        k_str.cast("long").alias("k_num"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value_filled"),
     )
