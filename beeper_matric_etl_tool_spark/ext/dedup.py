@@ -1,0 +1,162 @@
+"""Document deduplication family (SURVEY §2.12).
+
+Tiers, cheapest first — a real pipeline runs them as a funnel:
+
+1. **Exact** (`exact_dedup`): group by content fingerprint, keep the lowest
+   id. One shuffle on the md5 key; at 100 TB the fingerprint (16 B) shuffles
+   instead of the document (KBs) — group on the hash, not the text.
+2. **N-gram Jaccard** (`jaccard_pairs`): exact set-overlap similarity on
+   token shingles. Quadratic in candidates — only ever run *within blocks*
+   (here: same `lang`; generally: LSH buckets from tier 3).
+3. **MinHash + LSH** (`minhash_signatures` / `lsh_candidate_pairs`): linear-
+   time near-dup at corpus scale. Shingle → k independent min-hashes →
+   band the signature → exact-match join on (band, band-hash). Only
+   documents sharing a band collide, so the join is an equi-join a hash
+   shuffle handles; candidates are then verified with the exact Jaccard of
+   tier 2. Implemented with built-in hash/array functions — no UDF, no
+   driver-side loop, no spark.ml vector dependency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from beeper_matric_etl_tool_spark.ext.text import exact_fingerprint, tokens
+from beeper_matric_etl_tool_spark.operators.dedup import latest_by_key
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One surviving row per distinct content fingerprint (lowest id wins)."""
+    with_fp = df.withColumn("__fp", exact_fingerprint(text_col))
+    return latest_by_key(with_fp, keys=["__fp"], order_by=[F.col(id_col).asc()]).drop("__fp")
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles of a token array."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|a∩b| / |a∪b| over array-encoded sets."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter.cast("double") / F.size(F.array_union(a, b)).cast("double")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    block_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """All (id_a < id_b) pairs with shingle-Jaccard ≥ threshold, optionally
+    blocked on ``block_col`` (quadratic within a block only)."""
+    base = df.select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [] ),
+        shingles(tokens(text_col), shingle_k).alias("__sh"),
+    )
+    a = base.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"),
+    )
+    b = base.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"),
+    )
+    joined = a.join(b, on=block_col, how="inner") if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard_sim", jaccard(F.col("__sha"), F.col("__shb")))
+        .filter(F.col("jaccard_sim") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, signature array<long>) — signature[i] = min over shingles of a
+    seeded xxhash64. Seeding via salt concat keeps it one JVM hash call per
+    (shingle, i); the whole signature is one nested array expression."""
+    toks = tokens(text_col)
+    sh = shingles(toks, shingle_k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(s, i))
+        ),
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    sig_col: str = "signature",
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 LSH band.
+
+    Explode each signature into ``bands`` (band_id, band_hash) keys and
+    self-equi-join on them — the only shuffle is on the band key, so the
+    operator scales with corpus size, not corpus². Rows per doc = bands,
+    a constant fan-out.
+    """
+    rows = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.slice(
+                        F.col(sig_col),
+                        b * (F.size(F.col(sig_col)) / bands).cast("int") + 1,
+                        (F.size(F.col(sig_col)) / bands).cast("int"),
+                    ))
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = rows.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = rows.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    return (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full near-dup funnel: LSH candidates → exact-Jaccard verify → keep
+    pairs ≥ threshold. Returns verified duplicate pairs (id_a < id_b)."""
+    sigs = minhash_signatures(df, num_hashes, shingle_k, text_col, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, id_col)
+    sh = df.select(F.col(id_col), shingles(tokens(text_col), shingle_k).alias("__sh"))
+    verified = (
+        cands.join(sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb")), "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("__sha"), F.col("__shb")))
+        .filter(F.col("jaccard_sim") >= F.lit(threshold))
+    )
+    return verified.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))

@@ -1,0 +1,74 @@
+"""Text-analysis operators for LLM training-data pipelines (SURVEY §2.12).
+
+Everything here is pure `pyspark.sql.functions` column algebra — tokenize,
+count, ratio, fingerprint — running inside whole-stage codegen over the
+`documents` table. No Python touches the hot path: at 100 TB these are
+embarrassingly parallel per-row transforms plus one partial-aggregated
+groupBy for corpus statistics.
+
+Portability note: fingerprints use md5 (hex string) rather than
+`xxhash64`/`hash` so the same logic is expressible in any engine (the
+DuckDB oracle included) — engine-specific hashes would be faster but
+unverifiable and non-reproducible across the pipeline boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny function-word inventories for the language-ID heuristic.
+#: Real pipelines use fastText/CLD3; the *operator* (per-row scoring +
+#: argmax over language scores) is what matters at the engine level.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por"),
+    "fr": ("le", "la", "de", "et", "un", "en", "que", "pour"),
+    "de": ("der", "die", "und", "das", "von", "zu", "ein", "mit"),
+}
+
+
+def tokens(text: Column | str, sep: str = " ") -> Column:
+    """Whitespace tokenization (documents are single-space separated)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, sep)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def wordpiece_count(text: Column | str, pattern: str = "[a-z]+") -> Column:
+    """BPE-ish token counting: number of regex word-piece matches."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(pattern))
+
+
+def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """How many tokens are in the given function-word inventory."""
+    arr = ", ".join(f"'{w}'" for w in words)
+    return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+
+def exact_fingerprint(text: Column | str) -> Column:
+    """Whole-document content fingerprint (exact-dedup key)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c)
+
+
+def min_shingle_fingerprint(toks: Column, k: int = 4) -> Column:
+    """Rolling-hash document fingerprint: the minimum md5 over all k-token
+    shingles (a 1-hash MinHash — two documents sharing their rarest shingle
+    collide). Built entirely from array lambdas; O(tokens) per row."""
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    return F.array_min(shingles)
+
+
+def quality_score(n_tokens: Column, ttr: Column, stop_ratio: Column) -> Column:
+    """Composite quality heuristic: length saturation + lexical diversity +
+    function-word plausibility, each in [0,1]."""
+    length_part = F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+    return F.round(F.lit(0.4) * length_part + F.lit(0.3) * ttr + F.lit(0.3) * stop_ratio, 6)

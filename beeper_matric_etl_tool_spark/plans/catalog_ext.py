@@ -1,0 +1,403 @@
+"""Registered queries — extension tier (SURVEY §2.12) + event-time windows.
+
+The LLM-data-pipeline operators over `documents`/`embeddings`, and the
+window family over `events`. Oracle parity rules used throughout:
+
+- doubles that aggregate across rows are rounded (4–6 dp) because partial
+  aggregation order differs between engines;
+- per-row float math (cosine, ratios) is sequential in both engines on the
+  same inputs, so ranking uses rounded values + id tie-breaks to make
+  top-k selection engine-independent;
+- fingerprints are md5 (portable) — never engine-private hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beeper_matric_etl_tool_spark.ext import dedup as xdedup
+from beeper_matric_etl_tool_spark.ext import similarity as xsim
+from beeper_matric_etl_tool_spark.ext import text as xtext
+from beeper_matric_etl_tool_spark.operators import windows as xwin
+from beeper_matric_etl_tool_spark.plans.registry import register
+from beeper_matric_etl_tool_spark.sources.tables import table
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    headline=True,
+    tags=("ext-text",),
+    oracle="""
+        SELECT doc_id, n_tokens, n_uniq,
+               round(n_uniq / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+               wordpieces, stop_hits,
+               round(stop_hits / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+               round(0.4 * least(n_tokens / 100.0, 1.0)
+                     + 0.3 * round(n_uniq / CAST(n_tokens AS DOUBLE), 6)
+                     + 0.3 * round(stop_hits / CAST(n_tokens AS DOUBLE), 6), 6)
+                 AS quality
+        FROM (
+            SELECT doc_id,
+                   len(str_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(str_split(text, ' '))) AS n_uniq,
+                   len(regexp_extract_all(text, '[a-z]+')) AS wordpieces,
+                   len(list_filter(str_split(text, ' '),
+                       x -> x IN ('the','and','of','to','a','in','is','that')))
+                     AS stop_hits
+            FROM documents
+        )
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts, lexical diversity, BPE-ish wordpiece count,
+    stopword ratio, and a composite quality score — the standard quality-
+    filtering feature set for a pretraining corpus."""
+    docs = table(spark, sf_dir, "documents")
+    toks = xtext.tokens("text")
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    ttr = F.round(n_uniq.cast("double") / n_tokens.cast("double"), 6)
+    stop_hits = xtext.stopword_hits(toks, xtext.STOPWORDS["en"])
+    stop_ratio = F.round(stop_hits.cast("double") / n_tokens.cast("double"), 6)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_uniq.alias("n_uniq"),
+        ttr.alias("ttr"),
+        xtext.wordpiece_count("text").alias("wordpieces"),
+        stop_hits.alias("stop_hits"),
+        stop_ratio.alias("stop_ratio"),
+        xtext.quality_score(n_tokens, ttr, stop_ratio).alias("quality"),
+    )
+
+
+@register(
+    "lang_histogram",
+    tags=("ext-text",),
+    oracle="""
+        SELECT lang, count(*) AS n_docs,
+               round(avg(n_chars), 4) AS avg_chars,
+               sum(len(str_split(text, ' '))) AS total_tokens
+        FROM documents GROUP BY lang
+    """,
+)
+def lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition per language — one partial-aggregated groupBy."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(xtext.token_count("text")).alias("total_tokens"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    tags=("ext-text",),
+    oracle="""
+        SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
+               CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+                    WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+                    WHEN fr_hits >= de_hits THEN 'fr'
+                    ELSE 'de' END AS predicted_lang
+        FROM (
+            SELECT doc_id,
+                   len(list_filter(str_split(text,' '), x -> x IN ('the','and','of','to','a','in','is','that'))) AS en_hits,
+                   len(list_filter(str_split(text,' '), x -> x IN ('el','la','de','que','y','en','un','por'))) AS es_hits,
+                   len(list_filter(str_split(text,' '), x -> x IN ('le','la','de','et','un','en','que','pour'))) AS fr_hits,
+                   len(list_filter(str_split(text,' '), x -> x IN ('der','die','und','das','von','zu','ein','mit'))) AS de_hits
+            FROM documents
+        )
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word-inventory language ID: score each language's stopword
+    hits per document, argmax with a fixed preference order. The operator
+    shape (per-row scoring + deterministic argmax) is what a real fastText
+    scorer slots into — as a pandas_udf producing the same columns."""
+    docs = table(spark, sf_dir, "documents")
+    toks = xtext.tokens("text")
+    hits = {
+        lang: xtext.stopword_hits(toks, words).alias(f"{lang}_hits")
+        for lang, words in xtext.STOPWORDS.items()
+    }
+    scored = docs.select("doc_id", *hits.values())
+    en, es, fr, de = (F.col(f"{lang}_hits") for lang in ("en", "es", "fr", "de"))
+    predicted = (
+        F.when((en >= es) & (en >= fr) & (en >= de), "en")
+        .when((es >= fr) & (es >= de), "es")
+        .when(fr >= de, "fr")
+        .otherwise("de")
+    )
+    return scored.withColumn("predicted_lang", predicted)
+
+
+@register(
+    "doc_fingerprints",
+    tags=("ext-text",),
+    oracle="""
+        SELECT doc_id, md5(text) AS fp,
+               list_aggregate(
+                   list_transform(
+                       generate_series(1, greatest(len(str_split(text,' ')) - 3, 1)),
+                       i -> md5(array_to_string(list_slice(str_split(text,' '), i, i + 3), ' '))
+                   ), 'min') AS min_shingle_fp
+        FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: whole-document md5 + rolling-hash (min over
+    4-token shingles) — the keys exact and near dedup group on."""
+    docs = table(spark, sf_dir, "documents")
+    toks = xtext.tokens("text")
+    return docs.select(
+        "doc_id",
+        xtext.exact_fingerprint("text").alias("fp"),
+        xtext.min_shingle_fingerprint(toks, k=4).alias("min_shingle_fp"),
+    )
+
+
+@register(
+    "token_frequencies",
+    tags=("ext-text",),
+    oracle="""
+        SELECT token, count(*) AS n FROM (
+            SELECT unnest(str_split(text, ' ')) AS token FROM documents
+        ) GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics: explode → count → top-20. The explode happens
+    before the shuffle but after column pruning (only `text` is read)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(xtext.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    headline=True,
+    tags=("ext-dedup",),
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text, lang, source, n_chars
+            FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT doc_id, lang, source, n_chars FROM corpus
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint, lowest id wins. Every 10th doc is
+    redelivered under a shifted id — the collapse must keep the original.
+    The shuffle key is the 16-byte md5, never the document body."""
+    docs = table(spark, sf_dir, "documents")
+    redelivered = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = docs.unionByName(redelivered)
+    return xdedup.exact_dedup(corpus).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "jaccard_pairs",
+    tags=("ext-dedup",),
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(str_split(text,' ')) - 2, 1)),
+                       i -> array_to_string(list_slice(str_split(text,' '), i, i + 2), ' ')
+                   )) AS shingle_set
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.shingle_set, b.shingle_set))
+                     / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE),
+                     6) AS jaccard_sim
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingle_set, b.shingle_set))
+              / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE) >= 0.15
+    """,
+)
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs, blocked by language — the
+    quadratic verifier that LSH candidates feed at scale (here run on whole
+    blocks to stay oracle-checkable)."""
+    docs = table(spark, sf_dir, "documents")
+    return xdedup.jaccard_pairs(docs, threshold=0.15, block_col="lang", shingle_k=3)
+
+
+@register(
+    "minhash_near_dup",
+    tags=("ext-dedup",),
+    oracle=None,  # engine-private hash (xxhash64) — verified by pytest with planted dupes
+)
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup funnel (shingle → 32 minhashes → 8 bands →
+    band-equi-join → exact-Jaccard verify ≥0.5). Linear-scale candidate
+    generation; rows-only driver check, behavior pinned in pytest."""
+    docs = table(spark, sf_dir, "documents")
+    return xdedup.near_dedup_minhash(docs, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_COSINE_ORACLE = """
+    WITH q AS (
+        SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.qv, c.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(q.qv, q.qv))
+                        * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                     6) AS cosine_sim
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id {extra_join}
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rnk AS rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {k}
+"""
+
+
+@register(
+    "knn_bruteforce",
+    headline=True,
+    tags=("ext-sim",),
+    oracle=_COSINE_ORACLE.format(extra_join="", k=10),
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for 8 probe vectors: broadcast probes ×
+    one corpus scan, JVM-side zip_with/aggregate dot products, windowed
+    top-k. The exact baseline every ANN variant is measured against."""
+    emb = table(spark, sf_dir, "embeddings")
+    return xsim.cosine_topk(emb.filter(F.col("vec_id") < 8), emb, k=10)
+
+
+@register(
+    "knn_ivf",
+    tags=("ext-sim",),
+    oracle=_COSINE_ORACLE.format(extra_join="AND c.label = q.label", k=5),
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style pruned kNN: probe only the query's coarse partition (the
+    `label` column = centroid assignment; nprobe=1). The candidate join is
+    an equi-join on the partition key — at scale, partition-pruned parquet
+    reads replace the full scan."""
+    emb = table(spark, sf_dir, "embeddings")
+    return xsim.cosine_topk(
+        emb.filter(F.col("vec_id") < 8), emb, k=5, partition_col="label"
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-time windows
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling_hourly",
+    headline=True,
+    tags=("ext-window",),
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY 1
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows — the batch twin of the streaming
+    windowed aggregation (same F.window operator, same plan shape)."""
+    events = table(spark, sf_dir, "events")
+    out = xwin.tumbling(
+        events, "ts", "1 hour",
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return out.select("window_start", "n_events", "total_value")
+
+
+@register(
+    "events_sliding_halfhour",
+    tags=("ext-window",),
+    oracle="""
+        WITH e AS (
+            SELECT value, (epoch_ms(ts) // 1800000) * 1800000000 AS s0us FROM events
+        ),
+        x AS (
+            SELECT make_timestamp(s0us) AS window_start, value FROM e
+            UNION ALL
+            SELECT make_timestamp(s0us - 1800000000) AS window_start, value FROM e
+        )
+        SELECT window_start, count(*) AS n_events, round(sum(value), 4) AS total_value
+        FROM x GROUP BY window_start
+    """,
+)
+def events_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): each event lands in two
+    windows; the expansion happens before the partial agg, so it is still a
+    single shuffle."""
+    events = table(spark, sf_dir, "events")
+    out = xwin.sliding(
+        events, "ts", "1 hour", "30 minutes",
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return out.select("window_start", "n_events", "total_value")
+
+
+@register(
+    "events_sessions",
+    tags=("ext-window",),
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ),
+        numbered AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM numbered GROUP BY user_id, sess_id
+    """,
+)
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (F.session_window: start = first event, end = last event + gap)."""
+    events = table(spark, sf_dir, "events")
+    out = xwin.sessionized(
+        events, "ts", "30 minutes", ["user_id"], F.count(F.lit(1)).alias("n_events")
+    )
+    return out.select("user_id", "session_start", "session_end", "n_events")

@@ -71,6 +71,6 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from beeper_matric_etl_tool_spark.plans import catalog  # noqa: F401
+    from beeper_matric_etl_tool_spark.plans import catalog, catalog_ext  # noqa: F401
 
     _LOADED = True

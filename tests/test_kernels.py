@@ -1,0 +1,98 @@
+"""Behavioral tests for operator kernels on hand-built micro-DataFrames —
+the edge cases FIXTURES.md §B calls out (idempotency, null-safe change
+detection, boundary semantics, planted near-duplicates)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from beeper_matric_etl_tool_spark.ext import dedup as xdedup
+from beeper_matric_etl_tool_spark.ext import similarity as xsim
+from beeper_matric_etl_tool_spark.operators import windows as xwin
+from beeper_matric_etl_tool_spark.operators.dedup import latest_by_key
+from beeper_matric_etl_tool_spark.operators.merge import merge_upsert
+
+
+def test_latest_by_key_last_write_wins(spark):
+    df = spark.createDataFrame(
+        [("e1", 1, "old"), ("e1", 2, "new"), ("e2", 1, "only")],
+        "event_id string, seq int, body string",
+    )
+    out = latest_by_key(df, ["event_id"], [F.col("seq").desc()])
+    got = {r.event_id: r.body for r in out.collect()}
+    assert got == {"e1": "new", "e2": "only"}
+
+
+def test_merge_upsert_change_detection_and_idempotency(spark):
+    existing = spark.createDataFrame(
+        [("u1", "alice", None), ("u2", "bob", "x"), ("u3", "carol", "y")],
+        "user_id string, display_name string, avatar string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            ("u1", "alice", None),   # identical incl. null -> keep (dead write skipped)
+            ("u2", "bobby", "x"),   # changed -> update
+            ("u4", "dave", None),   # new -> insert
+        ],
+        "user_id string, display_name string, avatar string",
+    )
+    out = merge_upsert(existing, incoming, keys=["user_id"])
+    actions = {r.user_id: r.action for r in out.collect()}
+    assert actions == {"u1": "keep", "u2": "update", "u3": "keep", "u4": "insert"}
+    # null-safe: u1's null avatar vs null avatar must NOT count as a change
+    # idempotency: re-merging the merged state with the same batch -> all keep
+    merged = merge_upsert(existing, incoming, keys=["user_id"], action_col=None)
+    again = merge_upsert(merged, incoming, keys=["user_id"])
+    assert {r.action for r in again.collect()} == {"keep"}
+
+
+def test_minhash_finds_planted_near_duplicates(spark):
+    base = "spark shuffle partition broadcast join window aggregate filter scan parquet " * 5
+    near = base.replace("broadcast", "bcast", 1)  # one token differs
+    other = "completely different tokens entirely unrelated content words here now then " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = xdedup.near_dedup_minhash(df, threshold=0.5).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+    assert pairs[0].jaccard_sim > 0.5
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(10, "same text"), (3, "same text"), (5, "unique")], "doc_id long, text string"
+    )
+    got = sorted(r.doc_id for r in xdedup.exact_dedup(df).collect())
+    assert got == [3, 5]
+
+
+def test_cosine_identical_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0]), (2, [2.0, 0.0, 4.0]), (3, [-1.0, 5.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = xsim.cosine_topk(df.filter("vec_id = 1"), df, k=2)
+    rows = {r.neighbor_id: r.cosine_sim for r in out.collect()}
+    assert rows[2] == 1.0  # colinear
+    assert rows[3] < 0.1
+
+
+def test_session_window_boundary(spark):
+    """F.session_window semantics: an event at exactly prev+gap MERGES;
+    only a strictly larger gap opens a new session. The DuckDB oracle for
+    events_sessions mirrors this with `> INTERVAL` (not >=)."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            ("u", t0),
+            ("u", t0 + dt.timedelta(minutes=30)),                  # exactly gap -> merges
+            ("u", t0 + dt.timedelta(minutes=60, seconds=1)),       # > gap -> new session
+        ],
+        "user_id string, ts timestamp",
+    )
+    out = xwin.sessionized(df, "ts", "30 minutes", ["user_id"], F.count(F.lit(1)).alias("n"))
+    sessions = sorted((r.session_start, r.n) for r in out.collect())
+    assert len(sessions) == 2
+    assert sessions[0][1] == 2 and sessions[1][1] == 1
