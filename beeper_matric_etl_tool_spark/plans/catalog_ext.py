@@ -401,3 +401,48 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, "ts", "30 minutes", ["user_id"], F.count(F.lit(1)).alias("n_events")
     )
     return out.select("user_id", "session_start", "session_end", "n_events")
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_manifest",
+    tags=("ext-multimodal",),
+    oracle="""
+        SELECT doc_id, 'application/octet-stream' AS mime,
+               octet_length(encode(text)) AS byte_len,
+               sha256(text) AS payload_sha256
+        FROM documents
+    """,
+)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata plane of the multimodal columns: every payload is describable
+    (mime, size, content hash) without ever decoding bytes — the queries a
+    100 TB media lake answers from parquet footers + metadata columns only."""
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+
+    docs = table(spark, sf_dir, "documents")
+    with_payload = xmm.attach_payload(docs)
+    return with_payload.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.col("media_meta.sha256").alias("payload_sha256"),
+    )
+
+
+@register(
+    "multimodal_features",
+    tags=("ext-multimodal",),
+    oracle=None,  # decode stage is engine-side (mapInPandas); pinned by pytest
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract stage: Arrow-batched mapInPandas over binary
+    payloads (stub codec — deterministic; see ext/multimodal._decode)."""
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+
+    docs = table(spark, sf_dir, "documents")
+    return xmm.extract_features(xmm.attach_payload(docs))

@@ -1,0 +1,187 @@
+"""Structured-Streaming ingestion — the reference's sync loop re-expressed
+(SURVEY §2.9 T1–T8, §3 E1/E2).
+
+Reference pipeline: Matrix `/sync` long-poll → per-event handlers →
+per-row Postgres upserts, checkpointed by a `next_batch` token
+(/root/reference/src/app/matrix/client.ts:90,254-284,
+/root/reference/src/server/utils/db.utils.ts:271-290). One INSERT per
+event — an N+1 pattern that cannot scale.
+
+Spark-first mapping:
+
+| reference                      | here                                     |
+|--------------------------------|------------------------------------------|
+| sync long-poll + next_batch    | file-source readStream + checkpointLocation (T1) |
+| initialSyncLimit: 50           | maxFilesPerTrigger (T2)                  |
+| back-pagination skip           | watermark: late rows dropped (T3)        |
+| ON CONFLICT(event_id) upsert   | watermarked dropDuplicates + foreachBatch latest-by-key merge (T4/K1) |
+| per-event membership upsert    | same foreachBatch, change-detecting merge (T5/K2) |
+| 30 s dashboard poll            | trigger(processingTime='30 seconds') (T6) |
+| WebSocket status push          | StreamingQuery.lastProgress (T7)         |
+| `error TEXT` column            | dead-letter parse-error column (T8)      |
+
+The file source here stands in for Kafka in production — the pipeline from
+`load_stream` onward is source-agnostic (swap `readStream.text` for
+`readStream.format("kafka")` and the JSON value column is the same).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from beeper_matric_etl_tool_spark.operators.dedup import latest_by_key
+
+#: wire schema of one Matrix-like event (FIXTURES.md streaming fixture)
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.StringType(), False),
+        T.StructField("room_id", T.StringType(), False),
+        T.StructField("sender", T.StringType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("timestamp", T.LongType(), False),  # epoch millis (event time)
+        T.StructField("is_encrypted", T.BooleanType(), True),
+        T.StructField("content", T.StringType(), True),  # kept as JSON string (JSONB plane)
+        T.StructField("relates_to", T.StringType(), True),
+    ]
+)
+
+#: nested JSON fields that arrive as objects but are stored as JSON strings
+_JSON_OBJECT_FIELDS = ("content", "relates_to")
+
+
+def load_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """T1/T2 — raw line stream of event JSON. Reading as text (not
+    spark.readStream.json) keeps unparseable lines visible for the
+    dead-letter path instead of silently nulling them."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.text(source_dir)
+
+
+def parse_events(raw: DataFrame) -> DataFrame:
+    """E2 projection + T8 dead-letter.
+
+    `from_json` yields null on malformed input; those rows are NOT dropped —
+    they surface with `error` set and null payload (the reference's
+    `error TEXT` column, db.utils.ts:58). Event time is converted from epoch
+    millis to a timestamp column `ts` for watermarking.
+    """
+    schema_with_json_strings = T.StructType(
+        [
+            T.StructField(f.name, T.StringType() if f.name in _JSON_OBJECT_FIELDS else f.dataType, True)
+            for f in EVENT_SCHEMA.fields
+        ]
+    )
+    parsed = raw.withColumn("__parsed", F.from_json(F.col("value"), schema_with_json_strings))
+    ok = F.col("__parsed").isNotNull() & F.col("__parsed.event_id").isNotNull()
+    return parsed.select(
+        F.col("__parsed.event_id").alias("event_id"),
+        F.col("__parsed.room_id").alias("room_id"),
+        F.col("__parsed.sender").alias("sender"),
+        F.col("__parsed.event_type").alias("event_type"),
+        F.col("__parsed.timestamp").alias("timestamp"),
+        F.timestamp_millis(F.col("__parsed.timestamp")).alias("ts"),
+        F.coalesce(F.col("__parsed.is_encrypted"), F.lit(False)).alias("is_encrypted"),
+        F.col("__parsed.content").alias("content"),
+        F.col("__parsed.relates_to").alias("relates_to"),
+        F.when(ok, F.lit(None).cast("string")).otherwise(
+            F.concat(F.lit("parse_error: "), F.col("value"))
+        ).alias("error"),
+    )
+
+
+def deduplicate(events: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
+    """T3/T4 — at-least-once → effectively-once: watermarked dropDuplicates
+    on the natural key. Rows older than the watermark (back-paginated
+    history, client.ts:272-274) are dropped; redeliveries within it collapse.
+    Dead-letter rows bypass dedup state (they have no trustworthy key)."""
+    good = events.filter(F.col("error").isNull())
+    dead = events.filter(F.col("error").isNotNull())
+    deduped = good.withWatermark("ts", watermark_delay).dropDuplicates(["event_id"])
+    return deduped.unionByName(dead)
+
+
+def merge_batch_writer(target_dir: str, keys: list[str], order_col: str = "timestamp"):
+    """K1-semantics idempotent sink for foreachBatch.
+
+    Each micro-batch is merged into the parquet target with last-write-wins
+    by key, so redelivered events collapse even ACROSS restarts (the
+    in-stream dropDuplicates state only covers the watermark horizon).
+    Test-scale implementation rewrites the target; at production scale the
+    same function body becomes a Delta/Iceberg MERGE INTO or a
+    partition-overwrite limited to the touched partitions — the pipeline
+    around it is unchanged.
+    """
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.withColumn("__batch_id", F.lit(batch_id).cast("long"))
+        if os.path.isdir(target_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(target_dir)
+        ):
+            existing = spark.read.parquet(target_dir)
+            merged = latest_by_key(
+                existing.unionByName(batch),
+                keys=keys,
+                order_by=[F.col(order_col).desc(), F.col("__batch_id").desc()],
+            )
+        else:
+            merged = latest_by_key(
+                batch, keys=keys, order_by=[F.col(order_col).desc(), F.col("__batch_id").desc()]
+            )
+        # localCheckpoint materializes the merge before the overwrite below
+        # deletes the files it reads from.
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_dir)
+
+    return write
+
+
+def start_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    watermark_delay: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+    processing_interval: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Wire the full ingestion: source → parse → dedup → idempotent merge
+    sink, checkpointed. `available_now=True` drains what exists and stops
+    (the test/backfill mode); `processing_interval` is the steady-state
+    trigger (T6)."""
+    events = deduplicate(parse_events(load_stream(spark, source_dir, max_files_per_trigger)),
+                         watermark_delay)
+    writer = (
+        events.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(merge_batch_writer(target_dir, keys=["event_id"]))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_interval:
+        writer = writer.trigger(processingTime=processing_interval)
+    return writer.start()
+
+
+def progress_summary(query: StreamingQuery) -> dict:
+    """T7 — the sync-status surface: what the reference pushes over its
+    WebSocket ({status, progress, currentOperation}), sourced from the
+    engine's own progress events."""
+    p = query.lastProgress or {}
+    return {
+        "id": str(query.id),
+        "is_active": query.isActive,
+        "batch_id": p.get("batchId"),
+        "num_input_rows": p.get("numInputRows"),
+        "sources": [s.get("description") for s in p.get("sources", [])],
+        "status": query.status.get("message") if query.status else None,
+    }

@@ -1,0 +1,89 @@
+"""Streaming behavior tests (SURVEY §2.9 T1–T8): checkpointed resume,
+redelivery collapse, watermark late-drop, dead-letter rows. These are
+stateful and deliberately outside the DuckDB oracle tier (SURVEY §7)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from beeper_matric_etl_tool_spark.streaming import ingest
+
+T0_MS = 1718000000000  # fixed event-time origin (epoch millis)
+
+
+def _event(eid: str, ts_offset_min: int = 0, body: str = "hi", etype: str = "m.room.message"):
+    return json.dumps(
+        {
+            "event_id": eid,
+            "room_id": "!r1",
+            "sender": "@alice:example.org",
+            "event_type": etype,
+            "timestamp": T0_MS + ts_offset_min * 60_000,
+            "is_encrypted": False,
+            "content": {"body": body, "msgtype": "m.text"},
+            "relates_to": None,
+        }
+    )
+
+
+def _write_file(src, name: str, lines: list[str]) -> None:
+    (src / name).write_text("\n".join(lines) + "\n")
+
+
+def _run_drain(spark, src, tgt, ckpt, **kw):
+    q = ingest.start_ingest(
+        spark, str(src), str(tgt), str(ckpt), available_now=True, **kw
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    return q
+
+
+def test_ingest_dedup_redelivery_and_resume(spark, tmp_path):
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "tgt", tmp_path / "ckpt"
+    src.mkdir()
+
+    # batch 1: three events, e1 duplicated in the same sync page (T4)
+    _write_file(src, "page1.json", [_event("e1"), _event("e2", 1), _event("e1"), _event("e3", 2)])
+    q = _run_drain(spark, src, tgt, ckpt)
+    out = spark.read.parquet(str(tgt))
+    assert sorted(r.event_id for r in out.collect()) == ["e1", "e2", "e3"]
+
+    # batch 2 after restart: same page redelivered as a new file + one new
+    # event — only e4 lands (T1 resume from checkpoint + K1 idempotence)
+    _write_file(src, "page2.json", [_event("e1"), _event("e2", 1), _event("e4", 3)])
+    _run_drain(spark, src, tgt, ckpt)
+    out = spark.read.parquet(str(tgt))
+    assert sorted(r.event_id for r in out.collect()) == ["e1", "e2", "e3", "e4"]
+    # progress surface (T7)
+    assert "batch_id" in ingest.progress_summary(q)
+
+
+def test_dead_letter_rows_survive_with_error(spark, tmp_path):
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "tgt", tmp_path / "ckpt"
+    src.mkdir()
+    _write_file(src, "page1.json", [_event("e1"), "{this is not json", _event("e2", 1)])
+    _run_drain(spark, src, tgt, ckpt)
+    out = spark.read.parquet(str(tgt)).collect()
+    errors = [r for r in out if r.error is not None]
+    assert len(errors) == 1 and errors[0].error.startswith("parse_error: ")
+    assert sorted(r.event_id for r in out if r.error is None) == ["e1", "e2"]
+
+
+def test_watermark_drops_backfilled_history(spark, tmp_path):
+    """T3 — the back-pagination skip: after the watermark advanced past t,
+    a restart delivering an event far older than the watermark drops it."""
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "tgt", tmp_path / "ckpt"
+    src.mkdir()
+    _write_file(src, "page1.json", [_event("e1", ts_offset_min=600)])  # watermark -> t0+600m-60m
+    _run_drain(spark, src, tgt, ckpt, watermark_delay="1 hour")
+
+    _write_file(src, "page2.json", [_event("old", ts_offset_min=0), _event("e2", 601)])
+    _run_drain(spark, src, tgt, ckpt, watermark_delay="1 hour")
+    out = spark.read.parquet(str(tgt))
+    ids = sorted(r.event_id for r in out.collect())
+    assert "old" not in ids
+    assert ids == ["e1", "e2"]
