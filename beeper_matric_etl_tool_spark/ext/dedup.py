@@ -160,3 +160,80 @@ def near_dedup_minhash(
         .filter(F.col("jaccard_sim") >= F.lit(threshold))
     )
     return verified.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4
+
+
+def simhash_bits(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(id, bits array<int>[n_bits]) — classic SimHash: per-token xxhash64,
+    each bit position votes ±1, the sign of the vote sum is the signature
+    bit. One explode + one groupBy (single shuffle on the id); the 64
+    per-bit sums are columnar aggregates the codegen fuses into one pass."""
+    toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+    hashed = toked.withColumn("__h", F.xxhash64("__tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__v{j}")
+        for j in range(n_bits)
+    ]
+    summed = hashed.groupBy(id_col).agg(*votes)
+    bits = F.array(*[
+        F.when(F.col(f"__v{j}") > 0, F.lit(1)).otherwise(F.lit(0)) for j in range(n_bits)
+    ])
+    return summed.select(F.col(id_col), bits.alias("bits"))
+
+
+def simhash_candidate_pairs(
+    sigs: DataFrame,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """(id_a < id_b, hamming) pairs with hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: with `bands` equal slices, any pair within
+    hamming ≤ bands-1 must agree exactly on ≥1 slice — so candidates come
+    from an equi-join on (band_id, band_value), linear in corpus size, and
+    the full hamming distance is verified only on candidates.
+    """
+    width = SIMHASH_BITS // bands
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("bits"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws("", F.slice(F.col("bits"), b * width + 1, width)),
+            )
+        ).alias("band_id", "band_value"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("bits").alias("__ba"), "band_id", "band_value")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("bits").alias("__bb"), "band_id", "band_value")
+    cands = (
+        a.join(b, on=["band_id", "band_value"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ba", "__bb")
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(F.col("__ba"), F.col("__bb"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

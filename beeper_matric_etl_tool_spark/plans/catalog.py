@@ -430,3 +430,171 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_str.cast("long").alias("k_num"),
         F.coalesce(F.col("value"), F.lit(0.0)).alias("value_filled"),
     )
+
+
+# --------------------------------------------------------------------------
+# Analytics at fact-table scale — bench workhorses. These are the queries
+# whose plans must survive 100 TB: single-shuffle partial aggs, broadcast
+# dimension joins, rollup grouping sets.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    headline=True,
+    tags=("A-scale",),
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary over the full fact table: predicate
+    pushed to the scan, all aggregates partial-combined map-side, one
+    shuffle of (flag,status) partials — the canonical scan-heavy plan."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_revenue_customers",
+    headline=True,
+    tags=("A-scale", "J-scale"),
+    oracle="""
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(DISTINCT o.o_orderkey) AS n_orders
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 10
+    """,
+)
+def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way star join + top-k: lineitem×orders co-shuffle on the order key,
+    then the (small) customer dim joins broadcast; ranking is rounded-
+    revenue with key tie-break so top-10 selection is engine-independent."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    revenue = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+    return (
+        revenue.join(F.broadcast(c), revenue["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "c_name", "revenue", "n_orders")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "orders_rollup",
+    tags=("A-ext",),
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (status → priority → grand total) — grouping sets
+    computed in one pass (SURVEY §2.5 note: free via df.rollup)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "events_enriched",
+    headline=True,
+    tags=("J4",),
+    oracle="""
+        SELECT e.event_id, e.ts, e.event_type, e.value,
+               c.c_name AS user_name, c.c_mktsegment AS user_segment
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — stream-to-state correlation as a batch twin: fact stream ×
+    broadcast user dimension (the enrichment join every micro-batch runs;
+    identical plan under readStream)."""
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return e.join(F.broadcast(c), e["user_id"] == c["c_custkey"]).select(
+        "event_id", "ts", "event_type", "value",
+        F.col("c_name").alias("user_name"),
+        F.col("c_mktsegment").alias("user_segment"),
+    )
+
+
+@register(
+    "union_distinct_types",
+    tags=("U1",),
+    oracle="""
+        SELECT event_type AS kind FROM events
+        UNION
+        SELECT o_orderstatus AS kind FROM orders
+    """,
+)
+def union_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — set semantics: UNION (distinct) across heterogeneous sources,
+    the new-batch ∪ existing shape the upsert family reduces to."""
+    e = table(spark, sf_dir, "events").select(F.col("event_type").alias("kind"))
+    o = table(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("kind"))
+    return e.unionByName(o).distinct()
+
+
+@register(
+    "aes_roundtrip",
+    tags=("F-crypto",),
+    oracle="SELECT event_id, props AS decrypted FROM events",
+)
+def aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.8 crypto plane — the E2E-encryption capability mapped to
+    column-level aes_encrypt/aes_decrypt (ECB for determinism here; GCM in
+    production where the random IV is a feature, not a test hazard). The
+    oracle checks the roundtrip law decrypt(encrypt(x)) = x."""
+    key = F.lit("0123456789abcdef")  # 16-byte demo key
+    enc = F.aes_encrypt(F.col("props"), key, F.lit("ECB"))
+    dec = F.aes_decrypt(F.unbase64(F.base64(enc)), key, F.lit("ECB"))
+    return table(spark, sf_dir, "events").select(
+        "event_id", dec.cast("string").alias("decrypted")
+    )

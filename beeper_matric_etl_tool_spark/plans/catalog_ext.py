@@ -446,3 +446,72 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return xmm.extract_features(xmm.attach_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# SimHash + embedding near-dup + sketches
+# --------------------------------------------------------------------------
+
+
+@register(
+    "simhash_near_dup",
+    tags=("ext-dedup",),
+    oracle=None,  # engine-private hash (xxhash64) — behavior pinned by pytest
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit sign-of-votes signature, pigeonhole banding
+    (4×16 bits), hamming ≤ 3 verification on candidates only."""
+    docs = table(spark, sf_dir, "documents")
+    sigs = xdedup.simhash_bits(docs)
+    return xdedup.simhash_candidate_pairs(sigs, max_hamming=3)
+
+
+@register(
+    "embedding_near_dup",
+    tags=("ext-dedup", "ext-sim"),
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                     6) AS cosine_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by the coarse partition
+    (label) — the semantic-dedup stage of a training pipeline. Quadratic
+    only within a block; blocks come from clustering at scale."""
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("__va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("__vb"))
+    return (
+        a.join(b, on="label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", xsim.cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine_sim") >= 0.3)
+        .select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+    )
+
+
+@register(
+    "approx_sketches",
+    tags=("ext-approx",),
+    oracle=None,  # sketch estimates are engine-specific by construction;
+    # accuracy bounds vs exact values are pinned by pytest
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB hygiene operators: HyperLogLog++ distinct counts and quantile
+    sketches — the profile pass that runs where exact distinct/percentile
+    would need an unbounded shuffle."""
+    events = table(spark, sf_dir, "events")
+    return events.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_id").alias("approx_events"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+    )

@@ -152,3 +152,29 @@ def test_batched_append_bounds_file_rows(spark, tmp_path):
     files = glob.glob(f"{path}/*.parquet")
     assert len(files) == 3  # ceil(250/100)
     assert spark.read.parquet(path).count() == 250
+
+
+def test_simhash_finds_planted_near_duplicates(spark):
+    base = "spark shuffle partition broadcast join window aggregate filter scan parquet " * 5
+    near = base.replace("broadcast", "bcast", 1)
+    other = "completely different tokens entirely unrelated content words here now then " * 5
+    df = spark.createDataFrame([(1, base), (2, near), (3, other)], "doc_id long, text string")
+    sigs = xdedup.simhash_bits(df)
+    pairs = xdedup.simhash_candidate_pairs(sigs, max_hamming=16).collect()
+    assert (1, 2) in [(r.id_a, r.id_b) for r in pairs]
+    assert all({r.id_a, r.id_b} != {1, 3} and {r.id_a, r.id_b} != {2, 3} for r in pairs)
+
+
+def test_approx_sketches_within_bounds(spark, sf_dir):
+    from beeper_matric_etl_tool_spark.plans import specs
+
+    out = specs()["approx_sketches"].fn(spark, sf_dir).collect()[0]
+    from beeper_matric_etl_tool_spark.sources.tables import table as load
+
+    events = load(spark, sf_dir, "events")
+    exact_users = events.select("user_id").distinct().count()
+    exact_events = events.count()
+    assert abs(out.approx_users - exact_users) / exact_users < 0.05
+    assert abs(out.approx_events - exact_events) / exact_events < 0.05
+    q50, q95, q99 = out.value_quantiles
+    assert q50 < q95 <= q99
