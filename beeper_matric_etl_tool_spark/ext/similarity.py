@@ -59,19 +59,24 @@ def cosine_topk(
     pairs are additionally required to share that column — the IVF pruning.
     """
     part_q = [F.col(partition_col).alias("__part")] if partition_col else []
+    # precompute each side's norm ONCE — naive cosine-per-pair would redo the
+    # |corpus| norm folds |queries| times (and vice versa)
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv"), *part_q
-    )
+    ).withColumn("__qn", norm(F.col("__qv")))
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv"), *part_q
-    )
+    ).withColumn("__cn", norm(F.col("__cv")))
     if partition_col is not None:
         pairs = F.broadcast(q).join(c, on="__part").drop("__part")
     else:
         pairs = F.broadcast(q).crossJoin(c)
     scored = (
         pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

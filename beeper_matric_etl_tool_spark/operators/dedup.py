@@ -35,3 +35,26 @@ def latest_by_key(
         .filter(F.col(rank_col) == 1)
         .drop(rank_col)
     )
+
+
+def latest_by_key_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    max_order_cols: Sequence[str],
+) -> DataFrame:
+    """Same contract as :func:`latest_by_key` but as ``max_by`` over a
+    struct order — keeps the row whose ``(max_order_cols…)`` tuple is
+    LARGEST per key.
+
+    Prefer this at scale: an aggregate partial-combines map-side, so each
+    input partition ships one candidate row per key instead of every row —
+    the window variant must shuffle and sort the full table. (The window
+    form remains for callers that need ranks, not just the argmax.)
+    """
+    payload = [c for c in df.columns if c not in keys]
+    out = df.groupBy(*keys).agg(
+        F.expr(
+            f"max_by(struct({', '.join(payload)}), struct({', '.join(max_order_cols)}))"
+        ).alias("__top")
+    )
+    return out.select(*keys, "__top.*")

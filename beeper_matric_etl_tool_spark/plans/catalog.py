@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from beeper_matric_etl_tool_spark.functions import scalar as fx
 from beeper_matric_etl_tool_spark.operators import integrity, stats
-from beeper_matric_etl_tool_spark.operators.dedup import latest_by_key
+from beeper_matric_etl_tool_spark.operators.dedup import latest_by_key_agg
 from beeper_matric_etl_tool_spark.operators.merge import merge_upsert
 from beeper_matric_etl_tool_spark.operators.nesting import nest_children
 from beeper_matric_etl_tool_spark.operators.pagination import keyset_page
@@ -287,11 +287,11 @@ def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1/A3 — the last-write-wins upsert kernel (db.utils.ts:35-47 `ON
-    CONFLICT DO UPDATE`): one row per key, latest under a total order."""
+    CONFLICT DO UPDATE`): one row per key, latest under a total order.
+    Uses the max_by aggregate form — partial-combined map-side, so the
+    shuffle carries one candidate per (partition, key), not every event."""
     events = table(spark, sf_dir, "events")
-    deduped = latest_by_key(
-        events, keys=["user_id"], order_by=[F.col("ts").desc(), F.col("event_id").desc()]
-    )
+    deduped = latest_by_key_agg(events, keys=["user_id"], max_order_cols=["ts", "event_id"])
     return deduped.select(
         "user_id",
         F.col("event_id").alias("last_event_id"),
@@ -494,20 +494,25 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way star join + top-k: lineitem×orders co-shuffle on the order key,
-    then the (small) customer dim joins broadcast; ranking is rounded-
-    revenue with key tie-break so top-10 selection is engine-independent."""
+    """3-way star join + top-k. Plan shape chosen for scale: lineitem first
+    partial-aggregates to one row per order key (map-side combine shrinks
+    the shuffle to |orders| rows), that pre-agg co-shuffles with orders on
+    the same key, and the per-customer rollup then needs count(*) instead
+    of an expensive count(DISTINCT) expansion. The (small) customer dim
+    joins broadcast; ranking is rounded-revenue with key tie-break so
+    top-10 selection is engine-independent."""
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__order_rev")
+    )
     revenue = (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        per_order.join(o, per_order["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_custkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("__order_rev"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
     )
     return (

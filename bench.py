@@ -5,8 +5,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is forced with the `noop` sink — full computation, zero
-serialization back to the driver — after a session warm-up, so numbers
-reflect plan execution, not JVM startup.
+serialization back to the driver. Methodology: one untimed warm-up
+execution per query (codegen compilation, file-footer caching, JIT), then
+the timed run — steady-state numbers, the regime a long-lived engine
+actually serves. Set SPARK_GRAFT_BENCH_WARMUP=0 for cold timings.
 """
 
 from __future__ import annotations
@@ -33,9 +35,12 @@ def main() -> None:
 
     specs = plans.specs()
     names = plans.headline_names() or list(specs)
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     timings: dict[str, float] = {}
     for name in names:
         df = specs[name].fn(spark, sf_dir)
+        if warmup:
+            df.write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
