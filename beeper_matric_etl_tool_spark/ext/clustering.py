@@ -1,0 +1,85 @@
+"""Distributed k-means over embedding columns — the offline half of IVF
+similarity search (SURVEY §2.12 scale path).
+
+`knn_ivf` prunes probes to a coarse partition; this module *builds* that
+partition assignment when none exists. Lloyd's algorithm as pure DataFrame
+ops per iteration:
+
+  assign:   corpus × broadcast(centroids) → argmin distance   (no shuffle
+            on the corpus — the small centroid table moves, not the data)
+  update:   groupBy(cluster) → per-dimension mean              (one shuffle
+            of partial sums, map-side combined)
+
+The loop is driver-side but each iteration is a full cluster-parallel job —
+the pattern Spark MLlib itself uses. Iterations are bounded and
+deterministic: init picks the first k vectors by id, ties in argmin break
+toward the lower cluster id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from beeper_matric_etl_tool_spark.ext.similarity import dot
+
+
+def _sq_dist(a, b):
+    diff = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
+    return dot(diff, diff)
+
+
+def assign_clusters(df: DataFrame, centroids: DataFrame, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """(id, cluster_id, …) — nearest centroid per row, broadcast join +
+    windowed argmin with deterministic tie-break."""
+    pairs = df.select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(centroids.select(F.col("cluster_id"), F.col("centroid")))
+    )
+    scored = pairs.withColumn("__d", _sq_dist(F.col(vec_col), F.col("centroid")))
+    w = Window.partitionBy(id_col).orderBy(F.col("__d").asc(), F.col("cluster_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "cluster_id")
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (assignments, centroids). Deterministic init: the k lowest-id
+    vectors seed the centroids."""
+    dim = len(df.select(vec_col).first()[0])
+    centroids = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(vec_col).alias("centroid"))
+        .withColumn("cluster_id", F.row_number().over(Window.orderBy(F.lit(1))) - 1)
+    ).cache()
+
+    assignments = None
+    for _ in range(iterations):
+        assignments = assign_clusters(df, centroids, vec_col, id_col)
+        # per-dimension mean: aggregate element-wise sums + count, divide.
+        summed = (
+            df.join(assignments, on=id_col)
+            .groupBy("cluster_id")
+            .agg(
+                F.array(*[
+                    F.sum(F.col(vec_col).getItem(i).cast("double")) for i in range(dim)
+                ]).alias("__sums"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+        )
+        centroids = summed.select(
+            "cluster_id",
+            F.transform(F.col("__sums"), lambda s: (s / F.col("__n")).cast("float")).alias(
+                "centroid"
+            ),
+        ).cache()
+    return assignments, centroids

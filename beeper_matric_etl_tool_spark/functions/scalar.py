@@ -73,3 +73,38 @@ def with_defaults(df: DataFrame, defaults: dict[str, object]) -> DataFrame:
     for name, default in defaults.items():
         df = df.withColumn(name, F.coalesce(F.col(name), F.lit(default)))
     return df
+
+
+def device_id(col: ColumnOrName, length: int = 10) -> Column:
+    """F7 — device-id generation. The reference draws 10 random A–Z chars
+    (client.ts:316-321); random output breaks task retries and replay, so
+    the engine derives it deterministically: md5 of the seed column,
+    hex-digits transliterated into A–P. Same entropy-per-char band, stable
+    under recomputation."""
+    c = _col(col)
+    return F.upper(F.substring(F.translate(F.md5(c.cast("string")),
+                                           "0123456789abcdef",
+                                           "ABCDEFGHIJKLMNOP"), 1, length))
+
+
+DOMAIN_RE = r"^[a-z0-9]([a-z0-9-]*[a-z0-9])?(\.[a-z0-9]([a-z0-9-]*[a-z0-9])?)+$"
+
+
+def is_valid_domain(col: ColumnOrName) -> Column:
+    """F13 — URL/domain validity gate (auth-form.tsx:31 `new URL(...)`,
+    routes.ts:18 zod `.url()`) as a row-level rlike constraint."""
+    return _col(col).rlike(DOMAIN_RE)
+
+
+def validate_schema(df: DataFrame, expected: "T.StructType") -> DataFrame:
+    """F15 — the input-contract gate (zod `loginSchema.parse`,
+    routes.ts:15-19): raise unless the frame's schema matches the expected
+    (name, type, order) triple. Nullability is advisory in parquet land and
+    deliberately not compared."""
+    from pyspark.sql import types as T  # noqa: F401
+
+    got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    want = [(f.name, f.dataType.simpleString()) for f in expected.fields]
+    if got != want:
+        raise ValueError(f"schema contract violation: got {got}, expected {want}")
+    return df

@@ -603,3 +603,67 @@ def aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "events").select(
         "event_id", dec.cast("string").alias("decrypted")
     )
+
+
+@register(
+    "first_state_event",
+    tags=("F4", "F14"),
+    oracle="""
+        SELECT user_id,
+               coalesce(min_by(props, ts) FILTER (WHERE event_type = 'signup'), '')
+                 AS first_signup_props,
+               (count(*) FILTER (WHERE event_type = 'error') > 0) AS has_errors
+        FROM events GROUP BY user_id
+    """,
+)
+def first_state_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — state-event extraction with defaults (db.utils.ts:107-116: topic
+    from the first state event `?? ''`, encryption flag via existence test).
+    Per user: payload of the earliest 'signup' event, '' when none; plus an
+    existence-test flag. min_by + FILTER — partial-aggregable, one shuffle."""
+    events = table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.coalesce(
+            F.expr("min_by(props, ts) FILTER (WHERE event_type = 'signup')"), F.lit("")
+        ).alias("first_signup_props"),
+        (F.count_if(F.col("event_type") == "error") > 0).alias("has_errors"),
+    )
+
+
+@register(
+    "auth_derivations",
+    tags=("F7", "F13"),
+    oracle="""
+        SELECT user_id,
+               upper(substr(translate(md5(CAST(user_id AS VARCHAR)),
+                                      '0123456789abcdef', 'ABCDEFGHIJKLMNOP'), 1, 10))
+                 AS device_id,
+               regexp_matches(domain,
+                 '^[a-z0-9]([a-z0-9-]*[a-z0-9])?(\\.[a-z0-9]([a-z0-9-]*[a-z0-9])?)+$')
+                 AS domain_ok
+        FROM (
+            SELECT DISTINCT user_id,
+                   CASE WHEN user_id % 3 = 0 THEN 'matrix.example.org'
+                        WHEN user_id % 3 = 1 THEN 'bad..domain'
+                        ELSE 'sub.domain-x.io' END AS domain
+            FROM events
+        )
+    """,
+)
+def auth_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F13 — the auth plane's derivations: deterministic device-id (the
+    engine's replay-safe substitute for the reference's Math.random draw,
+    client.ts:316-321) and domain validity gating."""
+    from beeper_matric_etl_tool_spark.functions import scalar as fx2
+
+    users = table(spark, sf_dir, "events").select("user_id").distinct()
+    domain = (
+        F.when(F.col("user_id") % 3 == 0, "matrix.example.org")
+        .when(F.col("user_id") % 3 == 1, "bad..domain")
+        .otherwise("sub.domain-x.io")
+    )
+    return users.select(
+        "user_id",
+        fx2.device_id("user_id").alias("device_id"),
+        fx2.is_valid_domain(domain).alias("domain_ok"),
+    )

@@ -515,3 +515,24 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("event_id").alias("approx_events"),
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
     )
+
+
+@register(
+    "knn_ivf_kmeans",
+    tags=("ext-sim",),
+    oracle=None,  # centroids are float-iterative (engine-side); pytest pins
+    # cluster coverage + that probes beat a random partition baseline
+)
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF pipeline: k-means builds the coarse quantizer (5 Lloyd
+    iterations, deterministic init), then top-5 neighbors are searched only
+    within each probe's own cluster — the real ANN scale path when no
+    pre-existing partition column exists."""
+    from beeper_matric_etl_tool_spark.ext.clustering import kmeans
+
+    emb = table(spark, sf_dir, "embeddings")
+    assignments, _ = kmeans(emb, k=8, iterations=3)
+    clustered = emb.join(assignments, on="vec_id")
+    return xsim.cosine_topk(
+        clustered.filter(F.col("vec_id") < 8), clustered, k=5, partition_col="cluster_id"
+    )

@@ -61,6 +61,48 @@ def append_log(df: DataFrame, path: str) -> None:
     df.withColumn("created_at", F.current_timestamp()).write.mode("append").parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    spark: SparkSession,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 8,
+    sort_cols: Sequence[str] = (),
+) -> None:
+    """X1/X2 at join scale — bucketing: pre-shuffle the table ONCE at write
+    time on the join key. Two tables bucketed the same way equi-join with
+    NO exchange at read time (SortMergeJoin over co-located buckets) — the
+    100 TB answer to 'this join shuffles every run'. Requires a saved table
+    (bucket metadata lives in the catalog, not the parquet files)."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def upsert_config(
+    spark: SparkSession,
+    path: str,
+    settings: dict[str, object],
+) -> DataFrame:
+    """K9 — the dynamic-column config upsert (routes.ts:268-271, intent per
+    SURVEY §8 B5: the reference's literal SQL parameterizes identifiers and
+    can never run). Config is a single-row wide table whose columns ARE the
+    setting keys; an upsert merges new keys into the schema (schema
+    evolution) and overwrites changed values."""
+    incoming = spark.createDataFrame([tuple(settings.values())], list(settings.keys()))
+    if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+        existing = spark.read.parquet(path)
+        merged_row = {}
+        old = existing.first()
+        if old is not None:
+            merged_row.update(old.asDict())
+        merged_row.update(settings)
+        incoming = spark.createDataFrame([tuple(merged_row.values())], list(merged_row.keys()))
+    incoming.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def keyed_update(
     spark: SparkSession,
     path: str,

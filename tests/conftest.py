@@ -10,7 +10,14 @@ SF_DIR_MID = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="beeper-matric-etl-tests", master="local[4]", shuffle_partitions=4)
+    import tempfile
+
+    spark = get_spark(
+        app_name="beeper-matric-etl-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-")},
+    )
     yield spark
     spark.stop()
 

@@ -178,3 +178,64 @@ def test_approx_sketches_within_bounds(spark, sf_dir):
     assert abs(out.approx_events - exact_events) / exact_events < 0.05
     q50, q95, q99 = out.value_quantiles
     assert q50 < q95 <= q99
+
+
+def test_kmeans_deterministic_and_covers_all(spark):
+    from beeper_matric_etl_tool_spark.ext.clustering import kmeans
+    from beeper_matric_etl_tool_spark.sources.tables import table as load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+    a1, c1 = kmeans(emb, k=4, iterations=2)
+    a2, _ = kmeans(emb, k=4, iterations=2)
+    rows1 = sorted((r.vec_id, r.cluster_id) for r in a1.collect())
+    rows2 = sorted((r.vec_id, r.cluster_id) for r in a2.collect())
+    assert rows1 == rows2  # retry/replay safe
+    assert len(rows1) == 100  # every vector assigned exactly once
+    assert c1.count() <= 4
+
+
+def test_config_upsert_schema_evolution(spark, tmp_path):
+    from beeper_matric_etl_tool_spark import sinks
+
+    path = str(tmp_path / "config")
+    out1 = sinks.upsert_config(spark, path, {"sync_interval": 30, "theme": "dark"})
+    assert out1.first().asDict() == {"sync_interval": 30, "theme": "dark"}
+    # new key merges into schema, changed key overwrites, old key survives
+    out2 = sinks.upsert_config(spark, path, {"theme": "light", "page_size": 50})
+    row = out2.first().asDict()
+    assert row == {"sync_interval": 30, "theme": "light", "page_size": 50}
+
+
+def test_schema_contract_gate(spark):
+    from pyspark.sql import types as T
+
+    from beeper_matric_etl_tool_spark.functions.scalar import validate_schema
+
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    ok = T.StructType([T.StructField("id", T.LongType()), T.StructField("name", T.StringType())])
+    assert validate_schema(df, ok) is df
+    bad = T.StructType([T.StructField("id", T.StringType()), T.StructField("name", T.StringType())])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema contract violation"):
+        validate_schema(df, bad)
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from beeper_matric_etl_tool_spark import sinks
+
+    left = spark.range(0, 1000).withColumn("k", F.col("id") % 100).withColumn("a", F.lit("l"))
+    right = spark.range(0, 500).withColumn("k", F.col("id") % 100).withColumn("b", F.lit("r"))
+    sinks.write_bucketed(left, spark, "bl", ["k"], num_buckets=4)
+    sinks.write_bucketed(right, spark, "br", ["k"], num_buckets=4)
+    lt, rt = spark.table("bl"), spark.table("br")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lt.join(rt, on="k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bl")
+        spark.sql("DROP TABLE IF EXISTS br")
