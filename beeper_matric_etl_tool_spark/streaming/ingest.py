@@ -185,3 +185,58 @@ def progress_summary(query: StreamingQuery) -> dict:
         "sources": [s.get("description") for s in p.get("sources", [])],
         "status": query.status.get("message") if query.status else None,
     }
+
+
+def dim_merge_writer(target_dir: str, keys: list[str], tracked: list[str] | None = None):
+    """T5/K2 — stateful dimension maintenance: each micro-batch of state
+    deltas (membership changes, room updates) change-detect-merges into the
+    dimension table. Unchanged redeliveries are 'keep' rows — no write
+    churn; the same skip the reference's `WHERE … IS DISTINCT FROM` clause
+    buys (db.utils.ts:82-86)."""
+    from beeper_matric_etl_tool_spark.operators.dedup import latest_by_key_agg
+    from beeper_matric_etl_tool_spark.operators.merge import merge_upsert
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        # reduce the delta to the LATEST state per key (a bare dropDuplicates
+        # would keep an arbitrary row — nondeterministic under retries)
+        batch = latest_by_key_agg(batch, keys=keys, max_order_cols=["last_updated"])
+        if os.path.isdir(target_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(target_dir)
+        ):
+            existing = spark.read.parquet(target_dir)
+            merged = merge_upsert(existing, batch.select(*existing.columns),
+                                  keys=keys, tracked=tracked, action_col=None)
+        else:
+            merged = batch
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_dir)
+
+    return write
+
+
+def start_dim_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    key_field: str = "sender",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """S3/S4/T5 — the membership-listener plane: consume the same event
+    stream, reduce each micro-batch to per-key latest state, merge into the
+    participants-style dimension."""
+    events = parse_events(load_stream(spark, source_dir)).filter(F.col("error").isNull())
+    dim = events.select(
+        F.col(key_field).alias("user_id"),
+        F.col("room_id"),
+        F.col("event_type").alias("membership"),
+        F.col("timestamp").alias("last_updated"),
+    )
+    writer = (
+        dim.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(dim_merge_writer(target_dir, keys=["user_id", "room_id"]))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

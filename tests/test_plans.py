@@ -1,0 +1,103 @@
+"""Physical-plan shape assertions — the scale contract, pinned.
+
+Correctness says the rows are right; these tests say the PLAN is right:
+filters reach the scan, dimensions broadcast, aggregations partial-combine,
+top-k never global-sorts, and nothing falls back to a cartesian product or
+a row-at-a-time Python eval. A regression here is a 100× problem at 100 TB
+long before it is a wrong answer.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from beeper_matric_etl_tool_spark.plans import specs
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = specs()[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(spark, name: str) -> str:
+    df = specs()[name].fn(spark, SF)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_topk_page_pushes_filter_and_avoids_global_sort(spark):
+    plan = plan_of(spark, "messages_topk_page")
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k, k-row merge
+    assert "PushedFilters: [IsNotNull(user_id), IsNotNull(ts), EqualTo(user_id,12)]" in plan
+    assert "Sort " not in plan  # no full sort stage
+
+
+def test_projection_prunes_scan_columns(spark):
+    plan = plan_of(spark, "credentials_projection")
+    assert "ReadSchema: struct<s_suppkey:bigint,s_name:string,s_acctbal:double>" in plan
+    assert "PushedFilters: [IsNotNull(s_suppkey), LessThanOrEqual(s_suppkey,5)]" in plan
+
+
+def test_enrichment_join_broadcasts_dimension(spark):
+    plan = plan_of(spark, "events_enriched")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_nesting_join_broadcasts(spark):
+    plan = plan_of(spark, "rooms_with_participants")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pricing_summary_partial_aggregates(spark):
+    plan = plan_of(spark, "pricing_summary")
+    # partial_ functions before the exchange = map-side combine
+    assert "partial_sum" in plan or "partial_avg" in plan
+    assert plan.count("Exchange") <= 2  # one agg shuffle (+AQE read)
+
+
+def test_latest_by_key_agg_is_combinable_not_windowed(spark):
+    plan = plan_of(spark, "latest_event_per_user")
+    assert "partial_max_by" in plan  # map-side combine of the argmax
+    assert "Window" not in plan
+
+
+def test_semi_anti_joins_broadcast(spark):
+    for name in ("fk_enforced", "fk_orphans"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_no_cartesian_outside_bruteforce_knn(spark):
+    """Only brute-force kNN may cross-join (by definition); every other
+    query must have found an equi-join key or a broadcast."""
+    for name, spec in specs().items():
+        if name in ("knn_bruteforce",):
+            continue
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_no_python_udf_in_registered_plans(spark):
+    """UDF policy (SURVEY §2.10): nothing in the registry may row-at-a-time
+    into Python. The single sanctioned Python stage is the Arrow-batched
+    multimodal decode (mapInPandas)."""
+    for name, spec in specs().items():
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+        if name != "multimodal_features":
+            assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
+                f"{name} unexpectedly crosses into Python"
+            )
+
+
+def test_knn_ivf_joins_on_partition_key(spark):
+    plan = plan_of(spark, "knn_ivf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # probe set broadcast, keyed on __part
+
+
+def test_point_lookup_pushes_pk_predicate(spark):
+    plan = plan_of(spark, "point_lookup")
+    assert "EqualTo(c_custkey,42)" in plan

@@ -87,3 +87,25 @@ def test_watermark_drops_backfilled_history(spark, tmp_path):
     ids = sorted(r.event_id for r in out.collect())
     assert "old" not in ids
     assert ids == ["e1", "e2"]
+
+
+def test_dimension_maintenance_merges_state_deltas(spark, tmp_path):
+    """T5 — membership deltas continuously upserted: latest state per
+    (user, room) wins; a second run with an unchanged redelivery leaves the
+    dimension identical (change detection skips dead writes)."""
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "dim", tmp_path / "ckpt"
+    src.mkdir()
+    _write_file(src, "p1.json", [
+        _event("m1", 0, etype="join"),
+        _event("m2", 1, etype="leave"),   # same (sender, room): later state
+    ])
+    q = ingest.start_dim_maintenance(spark, str(src), str(tgt), str(ckpt))
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tgt)).collect()
+    assert len(rows) == 1  # one row per (user_id, room_id)
+
+    _write_file(src, "p2.json", [_event("m3", 2, etype="ban")])
+    q = ingest.start_dim_maintenance(spark, str(src), str(tgt), str(ckpt))
+    q.awaitTermination(120)
+    rows = {(r.user_id, r.room_id): r.membership for r in spark.read.parquet(str(tgt)).collect()}
+    assert rows == {("@alice:example.org", "!r1"): "ban"}
