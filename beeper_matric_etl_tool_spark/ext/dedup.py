@@ -72,11 +72,17 @@ def jaccard_pairs(
         F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"),
     )
     joined = a.join(b, on=block_col, how="inner") if block_col else a.crossJoin(b)
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    union = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
         .withColumn("jaccard_sim", jaccard(F.col("__sha"), F.col("__shb")))
         .filter(F.col("jaccard_sim") >= F.lit(threshold))
-        .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+        # exact integer ppm output — reproducible across engines, unlike round()
+        .select(
+            "id_a", "id_b",
+            F.floor((F.lit(1_000_000) * inter.cast("long")) / union).cast("long").alias("jaccard_ppm"),
+        )
     )
 
 

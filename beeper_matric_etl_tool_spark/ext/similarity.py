@@ -78,16 +78,17 @@ def cosine_topk(
             dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
         )
     )
+    # ppm fixed-point: floor(1e6·x) of bit-identical doubles is reproducible
+    # across engines; round() is not (decimal-boundary ulp flips). Ranking
+    # happens on the SAME integer so top-k selection is engine-independent.
+    scored = scored.withColumn(
+        "cosine_ppm", F.floor(F.lit(1_000_000) * F.col("cosine_sim")).cast("long")
+    )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+        F.col("cosine_ppm").desc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("cosine_sim"), 6).alias("cosine_sim"),
-            F.col("__rank").alias("rank"),
-        )
+        .select("query_id", "neighbor_id", "cosine_ppm", F.col("__rank").alias("rank"))
     )

@@ -67,8 +67,35 @@ def min_shingle_fingerprint(toks: Column, k: int = 4) -> Column:
     return F.array_min(shingles)
 
 
-def quality_score(n_tokens: Column, ttr: Column, stop_ratio: Column) -> Column:
-    """Composite quality heuristic: length saturation + lexical diversity +
-    function-word plausibility, each in [0,1]."""
-    length_part = F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
-    return F.round(F.lit(0.4) * length_part + F.lit(0.3) * ttr + F.lit(0.3) * stop_ratio, 6)
+def scaled_ratio(numer: Column, denom: Column, scale: int = 1_000_000) -> Column:
+    """Exact integer `scale·numer/denom` (floor) — the reproducible
+    substitute for rounded float ratios.
+
+    Cross-engine float `round()` is NOT deterministic at decimal boundaries
+    (DuckDB rounds `x*10^n` after an inexact multiply; Spark rounds the
+    exact binary expansion — they can disagree by one final digit), so
+    every ratio the engine emits is an integer. Floor of the double
+    quotient equals true integer division while denom < ~4e9 (quotient ulp
+    < 1/denom), which all token/count denominators satisfy.
+    """
+    return F.floor((F.lit(scale) * numer.cast("long")) / denom).cast("long")
+
+
+def quality_ppm(n_tokens: Column, n_uniq: Column, stop_hits: Column) -> Column:
+    """Composite quality heuristic in parts-per-million: 0.4·length
+    saturation + 0.3·type-token ratio + 0.3·stopword ratio, all in exact
+    integer arithmetic."""
+    length_part = F.lit(4000) * F.least(n_tokens, F.lit(100)).cast("long")
+    return (
+        length_part
+        + scaled_ratio(n_uniq, n_tokens, 300_000)
+        + scaled_ratio(stop_hits, n_tokens, 300_000)
+    )
+
+
+def cents(col: Column | str) -> Column:
+    """Exact integer cents from a 2-decimal-place double column. The
+    `floor(x*100 + 0.5)` form runs the same IEEE ops in any engine —
+    identical inputs give identical integers, unlike `round`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 100 + F.lit(0.5)).cast("long")

@@ -445,11 +445,14 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A-scale",),
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(avg(l_quantity), 6) AS avg_qty,
-               round(avg(l_discount), 6) AS avg_disc,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_price_cents,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                 AS sum_disc_price_c4,
+               (1000000 * sum(CAST(l_quantity AS BIGINT))) // count(*) AS avg_qty_ppm,
+               (10000 * sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) // count(*)
+                 AS avg_disc_ppm,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -459,20 +462,28 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped pricing summary over the full fact table: predicate
     pushed to the scan, all aggregates partial-combined map-side, one
-    shuffle of (flag,status) partials — the canonical scan-heavy plan."""
+    shuffle of (flag,status) partials — the canonical scan-heavy plan.
+
+    Money/ratio outputs are exact integers (cents, 10⁻⁴-dollar units, ppm):
+    the source columns are exact 2-dp decimals stored as doubles, so integer
+    fixed-point makes every aggregate bit-reproducible across engines AND
+    across partition orders — float sums commute only approximately.
+    """
     li = table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    price_cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_cents = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price_cents).alias("sum_base_price_cents"),
+            F.sum(price_cents * (F.lit(100) - disc_cents)).alias("sum_disc_price_c4"),
+            F.floor(F.lit(1_000_000) * F.sum(qty) / n).cast("long").alias("avg_qty_ppm"),
+            F.floor(F.lit(10_000) * F.sum(disc_cents) / n).cast("long").alias("avg_disc_ppm"),
+            n.alias("count_order"),
         )
     )
 
@@ -483,13 +494,15 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A-scale", "J-scale"),
     oracle="""
         SELECT c_custkey, c_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                 AS revenue_c4,
                count(DISTINCT o.o_orderkey) AS n_orders
         FROM customer c
         JOIN orders o ON o.o_custkey = c.c_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         GROUP BY c_custkey, c_name
-        ORDER BY revenue DESC, c_custkey
+        ORDER BY revenue_c4 DESC, c_custkey
         LIMIT 10
     """,
 )
@@ -504,21 +517,23 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    price_cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_cents = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
     per_order = l.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__order_rev")
+        F.sum(price_cents * (F.lit(100) - disc_cents)).alias("__order_rev_c4")
     )
     revenue = (
         per_order.join(o, per_order["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_custkey")
         .agg(
-            F.round(F.sum("__order_rev"), 2).alias("revenue"),
+            F.sum("__order_rev_c4").alias("revenue_c4"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
     return (
         revenue.join(F.broadcast(c), revenue["o_custkey"] == c["c_custkey"])
-        .select("c_custkey", "c_name", "revenue", "n_orders")
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .select("c_custkey", "c_name", "revenue_c4", "n_orders")
+        .orderBy(F.col("revenue_c4").desc(), F.col("c_custkey").asc())
         .limit(10)
     )
 
@@ -529,7 +544,7 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_price
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_price_cents
         FROM orders
         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
@@ -542,7 +557,9 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+                "total_price_cents"
+            ),
         )
     )
 

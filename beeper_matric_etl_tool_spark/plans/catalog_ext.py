@@ -34,13 +34,12 @@ from beeper_matric_etl_tool_spark.sources.tables import table
     tags=("ext-text",),
     oracle="""
         SELECT doc_id, n_tokens, n_uniq,
-               round(n_uniq / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+               (1000000 * n_uniq) // n_tokens AS ttr_ppm,
                wordpieces, stop_hits,
-               round(stop_hits / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
-               round(0.4 * least(n_tokens / 100.0, 1.0)
-                     + 0.3 * round(n_uniq / CAST(n_tokens AS DOUBLE), 6)
-                     + 0.3 * round(stop_hits / CAST(n_tokens AS DOUBLE), 6), 6)
-                 AS quality
+               (1000000 * stop_hits) // n_tokens AS stop_ratio_ppm,
+               4000 * least(n_tokens, 100)
+                 + (300000 * n_uniq) // n_tokens
+                 + (300000 * stop_hits) // n_tokens AS quality_ppm
         FROM (
             SELECT doc_id,
                    len(str_split(text, ' ')) AS n_tokens,
@@ -56,23 +55,24 @@ from beeper_matric_etl_tool_spark.sources.tables import table
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts, lexical diversity, BPE-ish wordpiece count,
     stopword ratio, and a composite quality score — the standard quality-
-    filtering feature set for a pretraining corpus."""
+    filtering feature set for a pretraining corpus. All ratios are exact
+    integer ppm: float round() is not reproducible across engines at
+    decimal boundaries (found the hard way at sf0.1 — see ext/text.py
+    scaled_ratio)."""
     docs = table(spark, sf_dir, "documents")
     toks = xtext.tokens("text")
     n_tokens = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
-    ttr = F.round(n_uniq.cast("double") / n_tokens.cast("double"), 6)
     stop_hits = xtext.stopword_hits(toks, xtext.STOPWORDS["en"])
-    stop_ratio = F.round(stop_hits.cast("double") / n_tokens.cast("double"), 6)
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_uniq.alias("n_uniq"),
-        ttr.alias("ttr"),
+        xtext.scaled_ratio(n_uniq, n_tokens).alias("ttr_ppm"),
         xtext.wordpiece_count("text").alias("wordpieces"),
         stop_hits.alias("stop_hits"),
-        stop_ratio.alias("stop_ratio"),
-        xtext.quality_score(n_tokens, ttr, stop_ratio).alias("quality"),
+        xtext.scaled_ratio(stop_hits, n_tokens).alias("stop_ratio_ppm"),
+        xtext.quality_ppm(n_tokens, n_uniq, stop_hits).alias("quality_ppm"),
     )
 
 
@@ -81,17 +81,19 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext-text",),
     oracle="""
         SELECT lang, count(*) AS n_docs,
-               round(avg(n_chars), 4) AS avg_chars,
+               sum(n_chars) AS total_chars,
                sum(len(str_split(text, ' '))) AS total_tokens
         FROM documents GROUP BY lang
     """,
 )
 def lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus composition per language — one partial-aggregated groupBy."""
+    """Corpus composition per language — one partial-aggregated groupBy.
+    Emits exact integer totals (means are a client-side division away);
+    cross-engine float avg cannot hash-match reliably."""
     docs = table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
         F.sum(xtext.token_count("text")).alias("total_tokens"),
     )
 
@@ -229,9 +231,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(len(list_intersect(a.shingle_set, b.shingle_set))
-                     / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE),
-                     6) AS jaccard_sim
+               (1000000 * len(list_intersect(a.shingle_set, b.shingle_set)))
+                 // len(list_distinct(list_concat(a.shingle_set, b.shingle_set)))
+                 AS jaccard_ppm
         FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE len(list_intersect(a.shingle_set, b.shingle_set))
               / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE) >= 0.15
@@ -269,15 +271,15 @@ _COSINE_ORACLE = """
     ),
     scored AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
-               round(list_dot_product(q.qv, c.embedding::DOUBLE[])
+               CAST(floor(1000000 * list_dot_product(q.qv, c.embedding::DOUBLE[])
                      / (sqrt(list_dot_product(q.qv, q.qv))
-                        * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
-                     6) AS cosine_sim
+                        * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))))
+                    AS BIGINT) AS cosine_ppm
         FROM q JOIN embeddings c ON c.vec_id <> q.query_id {extra_join}
     )
-    SELECT query_id, neighbor_id, cosine_sim, rnk AS rank FROM (
+    SELECT query_id, neighbor_id, cosine_ppm, rnk AS rank FROM (
         SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+            PARTITION BY query_id ORDER BY cosine_ppm DESC, neighbor_id) AS rnk
         FROM scored
     ) WHERE rnk <= {k}
 """
@@ -325,20 +327,22 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT date_trunc('hour', ts) AS window_start,
                count(*) AS n_events,
-               round(sum(value), 4) AS total_value
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_value_cents
         FROM events GROUP BY 1
     """,
 )
 def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows — the batch twin of the streaming
-    windowed aggregation (same F.window operator, same plan shape)."""
+    windowed aggregation (same F.window operator, same plan shape). Money
+    sums in exact integer cents (2-dp source column) — float sums differ
+    across engines by aggregation order."""
     events = table(spark, sf_dir, "events")
     out = xwin.tumbling(
         events, "ts", "1 hour",
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        F.sum(xtext.cents("value")).alias("total_value_cents"),
     )
-    return out.select("window_start", "n_events", "total_value")
+    return out.select("window_start", "n_events", "total_value_cents")
 
 
 @register(
@@ -346,14 +350,15 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext-window",),
     oracle="""
         WITH e AS (
-            SELECT value, (epoch_ms(ts) // 1800000) * 1800000000 AS s0us FROM events
+            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+                   (epoch_ms(ts) // 1800000) * 1800000000 AS s0us FROM events
         ),
         x AS (
-            SELECT make_timestamp(s0us) AS window_start, value FROM e
+            SELECT make_timestamp(s0us) AS window_start, cents FROM e
             UNION ALL
-            SELECT make_timestamp(s0us - 1800000000) AS window_start, value FROM e
+            SELECT make_timestamp(s0us - 1800000000) AS window_start, cents FROM e
         )
-        SELECT window_start, count(*) AS n_events, round(sum(value), 4) AS total_value
+        SELECT window_start, count(*) AS n_events, sum(cents) AS total_value_cents
         FROM x GROUP BY window_start
     """,
 )
@@ -365,9 +370,9 @@ def events_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = xwin.sliding(
         events, "ts", "1 hour", "30 minutes",
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        F.sum(xtext.cents("value")).alias("total_value_cents"),
     )
-    return out.select("window_start", "n_events", "total_value")
+    return out.select("window_start", "n_events", "total_value_cents")
 
 
 @register(
@@ -475,9 +480,9 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings
         )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_dot_product(a.v, b.v)
-                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                     6) AS cosine_sim
+               CAST(floor(1000000 * list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+                    AS BIGINT) AS cosine_ppm
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v)
               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
@@ -495,7 +500,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine_sim", xsim.cosine(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine_sim") >= 0.3)
-        .select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+        .select(
+            "id_a", "id_b",
+            F.floor(F.lit(1_000_000) * F.col("cosine_sim")).cast("long").alias("cosine_ppm"),
+        )
     )
 
 

@@ -74,9 +74,9 @@ def test_cosine_identical_vectors(spark):
         "vec_id long, embedding array<float>",
     )
     out = xsim.cosine_topk(df.filter("vec_id = 1"), df, k=2)
-    rows = {r.neighbor_id: r.cosine_sim for r in out.collect()}
-    assert rows[2] == 1.0  # colinear
-    assert rows[3] < 0.1
+    rows = {r.neighbor_id: r.cosine_ppm for r in out.collect()}
+    assert rows[2] >= 999_999  # colinear (ppm fixed-point, floor)
+    assert rows[3] < 100_000
 
 
 def test_session_window_boundary(spark):

@@ -22,8 +22,12 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
+skip = set((sys.argv[2] if len(sys.argv) > 2 else "").split(",")) - {""}
 qs, oracles = e.queries(), e.oracle_sql()
 for name, fn in qs.items():
+    if name in skip:
+        print(f"{name}: SKIPPED")
+        continue
     sdf = fn(spark, sf)
     srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
     if name in oracles:
