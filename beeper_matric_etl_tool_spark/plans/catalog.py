@@ -684,3 +684,56 @@ def auth_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
         fx2.device_id("user_id").alias("device_id"),
         fx2.is_valid_domain(domain).alias("domain_ok"),
     )
+
+
+@register(
+    "events_asof_state",
+    tags=("J4", "asof"),
+    oracle="""
+        SELECT e.user_id, e.event_id, e.ts, e.value, s.signup_value
+        FROM (SELECT user_id, event_id, ts, value FROM events
+              WHERE event_type = 'purchase') e
+        ASOF LEFT JOIN (SELECT user_id, ts AS sts, value AS signup_value
+                        FROM events WHERE event_type = 'signup') s
+          ON e.user_id = s.user_id AND e.ts >= s.sts
+    """,
+)
+def events_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of temporal enrichment: each purchase event carries the latest
+    signup-state value known at its event time (stream-state correlation
+    with retained history — the explicit form of client.ts:271-283).
+    Implemented as the union-sort as-of join (operators/asof.py): one
+    shuffle + one sort, no range explosion."""
+    from beeper_matric_etl_tool_spark.operators.asof import asof_join
+
+    events = table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("signup_value")
+    )
+    return asof_join(
+        purchases, signups, on=["user_id"], events_ts="ts", state_ts="ts",
+        payload=["signup_value"],
+    )
+
+
+@register(
+    "value_percentiles_exact",
+    tags=("A-ext",),
+    oracle="""
+        SELECT quantile_cont(cents, [0.25, 0.5, 0.75]) AS value_cents_quartiles
+        FROM (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+    """,
+)
+def value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quartiles over integer cents — the exact
+    twin of the approx_sketches quantile pass (both engines use the same
+    p·(n-1) interpolation over exact integers, so even the float outputs
+    agree bit-for-bit)."""
+    events = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return events.select(cents.alias("cents")).agg(
+        F.expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").alias("value_cents_quartiles")
+    )

@@ -99,22 +99,46 @@ def parse_events(raw: DataFrame) -> DataFrame:
 
 
 def deduplicate(events: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
-    """T3/T4 — at-least-once → effectively-once: watermarked dropDuplicates
-    on the natural key. Rows older than the watermark (back-paginated
-    history, client.ts:272-274) are dropped; redeliveries within it collapse.
-    Dead-letter rows bypass dedup state (they have no trustworthy key)."""
+    """T3/T4 via the engine's *state-store* path: watermarked dropDuplicates
+    on the natural key.
+
+    NOT used by `start_ingest`: profiling showed the per-key state store
+    costs more than it buys when the sink is already idempotent-by-key —
+    the merge sink dedups across ALL time (state bounded by the target
+    table, maintained anyway), while dropDuplicates adds per-batch state
+    files and only covers the watermark horizon. Kept for pipelines whose
+    sink is append-only (e.g. Kafka-out), where in-stream dedup is the only
+    option. Note it also requires splitting off dead-letter rows first
+    (null keys would collapse), which forces a second pass over the source.
+    """
     good = events.filter(F.col("error").isNull())
     dead = events.filter(F.col("error").isNotNull())
     deduped = good.withWatermark("ts", watermark_delay).dropDuplicates(["event_id"])
     return deduped.unionByName(dead)
 
 
-def merge_batch_writer(target_dir: str, keys: list[str], order_col: str = "timestamp"):
-    """K1-semantics idempotent sink for foreachBatch.
+def merge_batch_writer(
+    target_dir: str,
+    keys: list[str],
+    order_col: str = "timestamp",
+    watermark_delay_ms: int | None = None,
+    event_time_col: str = "timestamp",
+):
+    """K1-semantics idempotent sink for foreachBatch — dedup, late-drop and
+    merge in ONE pass over the micro-batch.
 
-    Each micro-batch is merged into the parquet target with last-write-wins
-    by key, so redelivered events collapse even ACROSS restarts (the
-    in-stream dropDuplicates state only covers the watermark horizon).
+    - **Effectively-once (T4)**: last-write-wins by key against the whole
+      target, so redeliveries collapse across batches AND restarts. This
+      makes an in-stream dropDuplicates state store redundant — its state
+      only covers the watermark horizon, costs per-batch state files, and
+      (measured) doubled batch latency; the merge's "state" is the target
+      table, maintained anyway.
+    - **Late-drop (T3)**: rows whose event time is older than
+      (target max event time − delay) are back-paginated history
+      (client.ts:272-274) and are dropped before the merge. The watermark
+      advances between batches, exactly like the built-in one.
+    - Empty batches (availableNow's final commit) are a no-op.
+
     Test-scale implementation rewrites the target; at production scale the
     same function body becomes a Delta/Iceberg MERGE INTO or a
     partition-overwrite limited to the touched partitions — the pipeline
@@ -122,26 +146,43 @@ def merge_batch_writer(target_dir: str, keys: list[str], order_col: str = "times
     """
 
     def write(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
         spark = batch.sparkSession
         batch = batch.withColumn("__batch_id", F.lit(batch_id).cast("long"))
+        existing = None
         if os.path.isdir(target_dir) and any(
             f.endswith(".parquet") for f in os.listdir(target_dir)
         ):
             existing = spark.read.parquet(target_dir)
-            merged = latest_by_key(
-                existing.unionByName(batch),
-                keys=keys,
-                order_by=[F.col(order_col).desc(), F.col("__batch_id").desc()],
-            )
-        else:
-            merged = latest_by_key(
-                batch, keys=keys, order_by=[F.col(order_col).desc(), F.col("__batch_id").desc()]
-            )
+        if existing is not None and watermark_delay_ms is not None:
+            high = existing.agg(F.max(event_time_col)).first()[0]
+            if high is not None:
+                cutoff = high - watermark_delay_ms
+                batch = batch.filter(
+                    F.col(event_time_col).isNull() | (F.col(event_time_col) >= cutoff)
+                )
+        merged = latest_by_key(
+            batch if existing is None else existing.unionByName(batch),
+            keys=keys,
+            order_by=[F.col(order_col).desc_nulls_last(), F.col("__batch_id").desc()],
+        )
         # localCheckpoint materializes the merge before the overwrite below
         # deletes the files it reads from.
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_dir)
 
     return write
+
+
+_INTERVAL_UNITS_MS = {
+    "millisecond": 1, "second": 1000, "minute": 60_000, "hour": 3_600_000, "day": 86_400_000
+}
+
+
+def _interval_ms(interval: str) -> int:
+    """'1 hour' / '30 minutes' → milliseconds."""
+    qty, unit = interval.strip().split()
+    return int(qty) * _INTERVAL_UNITS_MS[unit.rstrip("s")]
 
 
 def start_ingest(
@@ -154,16 +195,29 @@ def start_ingest(
     processing_interval: str | None = None,
     available_now: bool = False,
 ) -> StreamingQuery:
-    """Wire the full ingestion: source → parse → dedup → idempotent merge
-    sink, checkpointed. `available_now=True` drains what exists and stops
-    (the test/backfill mode); `processing_interval` is the steady-state
-    trigger (T6)."""
-    events = deduplicate(parse_events(load_stream(spark, source_dir, max_files_per_trigger)),
-                         watermark_delay)
+    """Wire the full ingestion: ONE pass — source → parse (with dead-letter
+    column) → idempotent late-dropping merge sink, checkpointed.
+    `available_now=True` drains what exists and stops (the test/backfill
+    mode); `processing_interval` is the steady-state trigger (T6).
+
+    Dead-letter rows carry no trustworthy natural key; they get a synthetic
+    content-derived one so distinct bad lines are each kept while exact
+    redeliveries of the same bad line still collapse (deterministic under
+    retries — no uuid/rand)."""
+    events = parse_events(load_stream(spark, source_dir, max_files_per_trigger))
+    events = events.withColumn(
+        "__merge_key",
+        F.coalesce(F.col("event_id"), F.concat(F.lit("dead:"), F.md5(F.col("error")))),
+    )
+    delay_ms = _interval_ms(watermark_delay)
     writer = (
-        events.writeStream.outputMode("update")
+        events.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(merge_batch_writer(target_dir, keys=["event_id"]))
+        .foreachBatch(
+            merge_batch_writer(
+                target_dir, keys=["__merge_key"], watermark_delay_ms=delay_ms
+            )
+        )
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -24,6 +24,51 @@ sys.path.insert(0, REPO)
 from beeper_matric_etl_tool_spark import get_spark, plans  # noqa: E402
 
 
+def _bench_streaming_ingest(spark, sf_dir: str) -> float:
+    """Time the full streaming ETL path: NDJSON event pages → readStream →
+    parse/dead-letter → watermarked dedup → idempotent merge sink (drain
+    with availableNow). Measures the ingestion half of the engine, which
+    the per-query timings above never touch."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from beeper_matric_etl_tool_spark.sources.tables import table
+    from beeper_matric_etl_tool_spark.streaming import ingest
+
+    work = tempfile.mkdtemp(prefix="bench-stream-")
+    src = os.path.join(work, "src")
+    try:
+        # materialize the events table as the NDJSON wire format (16 pages)
+        events = table(spark, sf_dir, "events")
+        wire = events.select(
+            F.to_json(
+                F.struct(
+                    F.col("event_id").cast("string").alias("event_id"),
+                    F.concat(F.lit("!r"), (F.col("user_id") % 64).cast("string")).alias("room_id"),
+                    F.concat(F.lit("@u"), F.col("user_id").cast("string")).alias("sender"),
+                    F.col("event_type").alias("event_type"),
+                    F.unix_millis(F.col("ts")).alias("timestamp"),
+                    F.lit(False).alias("is_encrypted"),
+                    F.col("props").alias("content"),
+                    F.lit(None).cast("string").alias("relates_to"),
+                )
+            ).alias("value")
+        )
+        wire.repartition(16).write.mode("overwrite").text(src)
+
+        t0 = time.perf_counter()
+        q = ingest.start_ingest(
+            spark, src, os.path.join(work, "tgt"), os.path.join(work, "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(600)
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -44,6 +89,9 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        timings["streaming_ingest"] = round(_bench_streaming_ingest(spark, sf_dir), 4)
 
     out = {
         "metric": "headline_queries_total_runtime",

@@ -239,3 +239,21 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS bl")
         spark.sql("DROP TABLE IF EXISTS br")
+
+
+def test_asof_join_semantics(spark):
+    from beeper_matric_etl_tool_spark.operators.asof import asof_join
+
+    events = spark.createDataFrame(
+        [("u", 0, "e0"), ("u", 20, "e20"), ("u", 30, "e30"), ("u", 45, "e45")],
+        "user_id string, ts long, event_id string",
+    )
+    state = spark.createDataFrame(
+        [("u", 10, "s10"), ("u", 30, "s30")], "user_id string, ts long, sval string"
+    )
+    out = asof_join(events, state, on=["user_id"], events_ts="ts", state_ts="ts",
+                    payload=["sval"])
+    got = {r.event_id: r.sval for r in out.collect()}
+    # e0 precedes all state -> null; e20 sees s10; e30 sees s30 (ties are
+    # inclusive, state visible at its own timestamp); e45 sees s30
+    assert got == {"e0": None, "e20": "s10", "e30": "s30", "e45": "s30"}
