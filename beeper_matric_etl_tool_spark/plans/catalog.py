@@ -737,3 +737,62 @@ def value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(cents.alias("cents")).agg(
         F.expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").alias("value_cents_quartiles")
     )
+
+
+@register(
+    "orders_cube",
+    tags=("A-ext",),
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_price_cents
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube (all 2^k grouping sets in one pass) — the rollup's sibling;
+    Catalyst expands the grouping sets before the single partial-agg
+    shuffle, so cost grows with sets, not with extra scans."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+                "total_price_cents"
+            ),
+        )
+    )
+
+
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+@register(
+    "nation_segment_pivot",
+    tags=("A-ext",),
+    oracle=f"""
+        SELECT c_nationkey,
+               {", ".join(
+                   f"count(*) FILTER (WHERE c_mktsegment = '{s}') AS {s.lower()}"
+                   for s in _SEGMENTS
+               )}
+        FROM customer GROUP BY c_nationkey
+    """,
+)
+def nation_segment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-nation customer counts by market segment.
+    The pivot value list is FIXED — an inferred list would be a separate
+    distinct-scan job and nondeterministic column order."""
+    out = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .pivot("c_mktsegment", list(_SEGMENTS))
+        .count()
+    )
+    renamed = out.select(
+        "c_nationkey",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in _SEGMENTS],
+    )
+    return renamed
