@@ -25,3 +25,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Alias for property tests (hypothesis + function-scoped fixtures
+    don't mix; the session-scoped SparkSession is safe to share)."""
+    return spark

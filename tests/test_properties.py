@@ -1,0 +1,56 @@
+"""Property-based kernel laws (hypothesis over micro-DataFrames).
+
+Few examples, deliberately: each example pays a Spark job. The laws cover
+what example-based tests structurally cannot — arbitrary key/value shapes,
+null placement, and duplicate distributions.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from beeper_matric_etl_tool_spark.operators.dedup import latest_by_key, latest_by_key_agg
+from beeper_matric_etl_tool_spark.operators.merge import merge_upsert
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),              # key
+        st.integers(min_value=0, max_value=100),            # version
+        st.one_of(st.none(), st.text(alphabet="abc", max_size=3)),  # payload
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows_strategy)
+def test_latest_by_key_forms_agree_and_are_idempotent(spark_prop, rows):
+    """Window-rank and max_by-aggregate forms implement the SAME operator,
+    and applying the kernel twice equals applying it once."""
+    # make the order total: version alone may tie, so break by payload repr
+    df = spark_prop.createDataFrame(rows, "k int, v int, p string").withColumn(
+        "tie", F.coalesce(F.col("p"), F.lit(""))
+    )
+    w = latest_by_key(df, ["k"], [F.col("v").desc(), F.col("tie").desc()])
+    a = latest_by_key_agg(df, ["k"], ["v", "tie"])
+    canon = lambda d: sorted((r.k, r.v, r.p) for r in d.select("k", "v", "p").collect())
+    assert canon(w) == canon(a)
+    assert canon(latest_by_key(w, ["k"], [F.col("v").desc(), F.col("tie").desc()])) == canon(w)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows_strategy)
+def test_merge_upsert_laws(spark_prop, rows):
+    """(1) Self-merge is all-keep (change detection finds no diffs);
+    (2) merge result contains every key from both sides exactly once."""
+    df = spark_prop.createDataFrame(rows, "k int, v int, p string").dropDuplicates(["k"])
+    self_merged = merge_upsert(df, df, keys=["k"])
+    assert {r.action for r in self_merged.collect()} <= {"keep"}
+
+    incoming = df.withColumn("v", F.col("v") + 1).limit(3)
+    merged = merge_upsert(df, incoming, keys=["k"], action_col=None)
+    all_keys = {r.k for r in df.collect()} | {r.k for r in incoming.collect()}
+    got_keys = [r.k for r in merged.collect()]
+    assert sorted(got_keys) == sorted(all_keys)
