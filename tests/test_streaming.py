@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 import time
+import time
 
 import pytest
 
@@ -109,3 +110,51 @@ def test_dimension_maintenance_merges_state_deltas(spark, tmp_path):
     q.awaitTermination(120)
     rows = {(r.user_id, r.room_id): r.membership for r in spark.read.parquet(str(tgt)).collect()}
     assert rows == {("@alice:example.org", "!r1"): "ban"}
+
+
+def test_processing_time_trigger_steady_state(spark, tmp_path):
+    """T6 — the steady-state trigger (the reference's 30 s poll, scaled to
+    1 s for the test): files dropped while the query runs are picked up by
+    subsequent triggered micro-batches."""
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "tgt", tmp_path / "ckpt"
+    src.mkdir()
+    _write_file(src, "p1.json", [_event("e1")])
+    q = ingest.start_ingest(
+        spark, str(src), str(tgt), str(ckpt), processing_interval="1 second"
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(str(tgt)).count() >= 1:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        _write_file(src, "p2.json", [_event("e2", 1)])
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(str(tgt)).count() >= 2:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        ids = sorted(r.event_id for r in spark.read.parquet(str(tgt)).collect())
+        assert ids == ["e1", "e2"]
+        assert q.isActive  # steady-state query keeps running until stopped
+    finally:
+        q.stop()
+
+
+def test_append_log_sink(spark, tmp_path):
+    """K5/K6/K7 — append-only logs accumulate and are stamped."""
+    from beeper_matric_etl_tool_spark import sinks
+
+    path = str(tmp_path / "log")
+    df1 = spark.createDataFrame([("ok",)], "status string")
+    df2 = spark.createDataFrame([("degraded",)], "status string")
+    sinks.append_log(df1, path)
+    sinks.append_log(df2, path)
+    rows = spark.read.parquet(path).collect()
+    assert sorted(r.status for r in rows) == ["degraded", "ok"]
+    assert all(r.created_at is not None for r in rows)
