@@ -294,3 +294,59 @@ def start_dim_maintenance(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def rollup_merge_writer(target_dir: str):
+    """Upsert per-window aggregate rows into the rollup table (keyed by
+    window start): arriving batches revise only the windows they touch."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        if os.path.isdir(target_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(target_dir)
+        ):
+            existing = spark.read.parquet(target_dir)
+            # update-mode batches carry the REVISED totals for touched
+            # windows — replace, don't add
+            merged = existing.join(
+                batch.select("window_start"), on="window_start", how="left_anti"
+            ).unionByName(batch)
+        else:
+            merged = batch
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_dir)
+
+    return write
+
+
+def start_windowed_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "1 hour",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """T6 + windows — the continuous aggregate (hypertable-rollup shape):
+    event stream → watermarked tumbling-window counts/sums, incrementally
+    maintained. `update` output mode emits only windows revised by each
+    micro-batch; the sink upserts them by window key. Late events beyond
+    the watermark stop revising closed windows — the streaming twin of the
+    batch `events_tumbling_hourly` query, same F.window operator."""
+    events = parse_events(load_stream(spark, source_dir)).filter(F.col("error").isNull())
+    agg = (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window(F.col("ts"), window_duration))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    writer = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(rollup_merge_writer(target_dir))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -257,3 +257,26 @@ def test_asof_join_semantics(spark):
     # e0 precedes all state -> null; e20 sees s10; e30 sees s30 (ties are
     # inclusive, state visible at its own timestamp); e45 sees s30
     assert got == {"e0": None, "e20": "s10", "e30": "s30", "e45": "s30"}
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    """The ANN quality gate: IVF(k-means, nprobe=1) neighbors must overlap
+    substantially with exact brute-force neighbors. Pins that the pruning
+    is a real approximation, not a broken join."""
+    from beeper_matric_etl_tool_spark.plans import specs
+
+    exact = specs()["knn_bruteforce"].fn(spark, sf_dir).collect()
+    approx = specs()["knn_ivf_kmeans"].fn(spark, sf_dir).collect()
+    exact_sets = {}
+    for r in exact:
+        if r.rank <= 5:
+            exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.2  # nprobe=1 floor on random data
+    assert all(len(s) <= 5 for s in approx_sets.values())

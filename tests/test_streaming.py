@@ -158,3 +158,31 @@ def test_append_log_sink(spark, tmp_path):
     rows = spark.read.parquet(path).collect()
     assert sorted(r.status for r in rows) == ["degraded", "ok"]
     assert all(r.created_at is not None for r in rows)
+
+
+def test_windowed_rollup_incremental_maintenance(spark, tmp_path):
+    """Continuous aggregate: second batch revises only the windows it
+    touches; late data beyond the watermark cannot reopen closed windows."""
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "roll", tmp_path / "ckpt"
+    src.mkdir()
+    # hour 0: two events; hour 1: one event
+    _write_file(src, "p1.json", [_event("e1", 0), _event("e2", 30), _event("e3", 70)])
+    q = ingest.start_windowed_rollup(spark, str(src), str(tgt), str(ckpt))
+    q.awaitTermination(120)
+    rolled = {r.window_start: r.n_events for r in spark.read.parquet(str(tgt)).collect()}
+    assert sorted(rolled.values()) == [1, 2]
+
+    # batch 2: one more event in hour 1 (revises that window only) plus one
+    # far-future event advancing the watermark
+    _write_file(src, "p2.json", [_event("e4", 80), _event("e5", 600)])
+    q = ingest.start_windowed_rollup(spark, str(src), str(tgt), str(ckpt))
+    q.awaitTermination(120)
+    rolled = {r.window_start: r.n_events for r in spark.read.parquet(str(tgt)).collect()}
+    assert sorted(rolled.values()) == [1, 2, 2]  # hour0=2, hour1=2, hour10=1
+
+    # batch 3: a very late event for hour 0 — beyond watermark, dropped
+    _write_file(src, "p3.json", [_event("late", 5)])
+    q = ingest.start_windowed_rollup(spark, str(src), str(tgt), str(ckpt))
+    q.awaitTermination(120)
+    rolled2 = {r.window_start: r.n_events for r in spark.read.parquet(str(tgt)).collect()}
+    assert rolled2 == rolled
