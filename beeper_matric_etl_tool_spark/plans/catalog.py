@@ -796,3 +796,42 @@ def nation_segment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in _SEGMENTS],
     )
     return renamed
+
+
+@register(
+    "message_type_filter",
+    tags=("P5", "P7"),
+    oracle="""
+        SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+    """,
+)
+def message_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P7 — the enum stream filters (`m.room.message` gate client.ts:276,
+    invite-only gate client.ts:260) as a pushed-down equality predicate."""
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+
+
+@register(
+    "timestamp_render",
+    tags=("F1", "F10"),
+    oracle="""
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%d %H:%M') AS ts_rendered,
+               to_json(struct_pack(event_type := event_type, event_id := event_id))
+                 AS event_json
+        FROM events
+    """,
+)
+def timestamp_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 — timestamp presentation (`toLocaleString`, dashboard.tsx:110)
+    via date_format; F1 — row→JSON serialization (`JSON.stringify`,
+    db.utils.ts:53) via to_json(struct)."""
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm").alias("ts_rendered"),
+        F.to_json(F.struct(F.col("event_type"), F.col("event_id"))).alias("event_json"),
+    )

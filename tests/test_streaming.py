@@ -186,3 +186,25 @@ def test_windowed_rollup_incremental_maintenance(spark, tmp_path):
     q.awaitTermination(120)
     rolled2 = {r.window_start: r.n_events for r in spark.read.parquet(str(tgt)).collect()}
     assert rolled2 == rolled
+
+
+def test_stateful_user_profiles_accumulate_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-sender counters maintained by the state
+    store — a second run (restart) keeps accumulating from checkpointed
+    state rather than restarting from zero."""
+    from beeper_matric_etl_tool_spark.streaming import stateful
+
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "prof", tmp_path / "ckpt"
+    src.mkdir()
+    _write_file(src, "p1.json", [_event("e1", 0), _event("e2", 5), _event("e3", 9)])
+    q = stateful.start_user_profiles(spark, str(src), str(tgt), str(ckpt))
+    q.awaitTermination(120)
+    rows = {r.sender: r for r in spark.read.parquet(str(tgt)).collect()}
+    assert rows["@alice:example.org"].n_events == 3
+
+    _write_file(src, "p2.json", [_event("e4", 12)])
+    q = stateful.start_user_profiles(spark, str(src), str(tgt), str(ckpt))
+    q.awaitTermination(120)
+    r = {r.sender: r for r in spark.read.parquet(str(tgt)).collect()}["@alice:example.org"]
+    assert r.n_events == 4
+    assert r.first_ts == T0_MS and r.last_ts == T0_MS + 12 * 60_000
