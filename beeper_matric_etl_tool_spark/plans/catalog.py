@@ -835,3 +835,92 @@ def timestamp_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm").alias("ts_rendered"),
         F.to_json(F.struct(F.col("event_type"), F.col("event_id"))).alias("event_json"),
     )
+
+
+@register(
+    "shipping_priority",
+    headline=True,
+    tags=("A-scale", "J-scale"),
+    oracle="""
+        SELECT l.l_orderkey,
+               sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+                 AS revenue_c4,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue_c4 DESC, l.l_orderkey
+        LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: selective dimension filter broadcast-semi-reduces
+    orders BEFORE the fact join; both date predicates push into the scans.
+    The grouped key is the join key, so the aggregation reuses the join
+    partitioning (no extra shuffle)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_c = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    return (
+        l.join(
+            o.join(F.broadcast(c.select("c_custkey")), o["o_custkey"] == F.col("c_custkey"))
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            l["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price_c * (F.lit(100) - disc_c)).alias("revenue_c4"))
+        .select("l_orderkey", "revenue_c4", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue_c4").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "regional_nation_volume",
+    tags=("A-scale", "J-scale"),
+    oracle="""
+        SELECT n.n_name,
+               sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+                 AS revenue_c4
+        FROM region r
+        JOIN nation n   ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+    """,
+)
+def regional_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 5-way star: the region→nation→customer dimension
+    chain collapses to one broadcast before touching facts; only the
+    orders⋈lineitem co-shuffle moves real data. Classic snowflake plan."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    dims = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])),
+               c["c_nationkey"] == F.col("n_nationkey"))
+        .select("c_custkey", "n_name")
+    )
+    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_c = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(dims), o["o_custkey"] == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.sum(price_c * (F.lit(100) - disc_c)).alias("revenue_c4"))
+    )

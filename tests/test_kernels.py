@@ -280,3 +280,16 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     ]
     assert sum(recalls) / len(recalls) >= 0.2  # nprobe=1 floor on random data
     assert all(len(s) <= 5 for s in approx_sets.values())
+
+
+def test_zscore_pandas_matches_native(spark, sf_dir):
+    """Policy gate (SURVEY §2.10): the grouped-map Pandas escape hatch must
+    agree with the native window implementation it would replace."""
+    from beeper_matric_etl_tool_spark.ext import grouped
+    from beeper_matric_etl_tool_spark.sources.tables import table as load
+
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    nat = {r.event_id: r.zscore for r in grouped.zscore_native(events, "user_id", "value").collect()}
+    pdz = {r.event_id: r.zscore for r in grouped.zscore_pandas(events, "user_id", "value").collect()}
+    assert nat.keys() == pdz.keys()
+    assert all(abs(nat[k] - pdz[k]) < 1e-9 for k in nat)
