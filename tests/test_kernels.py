@@ -293,3 +293,24 @@ def test_zscore_pandas_matches_native(spark, sf_dir):
     pdz = {r.event_id: r.zscore for r in grouped.zscore_pandas(events, "user_id", "value").collect()}
     assert nat.keys() == pdz.keys()
     assert all(abs(nat[k] - pdz[k]) < 1e-9 for k in nat)
+
+
+def test_salted_join_and_agg_match_plain(spark):
+    """Skew operators are pure rewrites: results must equal the plain forms
+    row-for-row, with the hot key's rows spread across salt buckets."""
+    from beeper_matric_etl_tool_spark.operators import skew
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(1000)], "row_id long, k string"
+    )
+    small = spark.createDataFrame([("hot", "H"), ("cold", "C")], "k string, tag string")
+
+    plain = big.join(small, on="k").select("row_id", "tag")
+    salted = skew.salted_join(big, small, on="k", salt_source="row_id").select("row_id", "tag")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    plain_agg = big.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    salted_agg = skew.salted_aggregate(
+        big, ["k"], {"n": F.count(F.lit(1))}, salt_source="row_id"
+    )
+    assert sorted(map(tuple, plain_agg.collect())) == sorted(map(tuple, salted_agg.collect()))
