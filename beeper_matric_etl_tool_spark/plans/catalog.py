@@ -924,3 +924,43 @@ def regional_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(price_c * (F.lit(100) - disc_c)).alias("revenue_c4"))
     )
+
+
+@register(
+    "running_user_totals",
+    tags=("O-analytic",),
+    oracle="""
+        SELECT user_id, event_id, ts,
+               row_number() OVER w AS seq,
+               sum(cents) OVER w AS running_cents,
+               epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS ms_since_prev
+        FROM (SELECT user_id, event_id, ts,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window analytics over the event stream: per-user sequence numbers,
+    running spend, inter-event gaps — the per-entity timeline features a
+    behavioral model trains on. One shuffle on the user key, sorted within
+    partitions; all outputs exact integers under a total order."""
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrow = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return events.select(
+        "user_id", "event_id", "ts",
+        F.row_number().over(wrow).alias("seq"),
+        F.sum(cents).over(w).alias("running_cents"),
+        (F.unix_millis(F.col("ts")) - F.lag(F.unix_millis(F.col("ts"))).over(wrow)).alias(
+            "ms_since_prev"
+        ),
+    )
