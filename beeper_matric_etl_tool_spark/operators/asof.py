@@ -17,6 +17,10 @@ form stays linear and AQE-splittable, so it is the only form offered.
 
 Tie rule: a state row at exactly the event's timestamp IS visible to it
 (state sorts before events at equal ts) — matching ASOF JOIN's `<=`.
+
+Caveat: two STATE rows with the same (key, ts) have no defined winner
+(same as SQL ASOF JOIN); give state a total order upstream if that can
+occur (e.g. dedup with latest_by_key on a tie-breaking column first).
 """
 
 from __future__ import annotations

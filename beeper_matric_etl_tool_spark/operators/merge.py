@@ -51,6 +51,10 @@ def merge_upsert(
 
     ``tracked`` defaults to every non-key column. Output schema = existing's
     columns (+ optional ``action_col``).
+
+    Contract: both sides must be UNIQUE BY ``keys`` (reduce a delta batch
+    with latest_by_key/latest_by_key_agg first) — duplicate keys would
+    multiply through the full-outer join.
     """
     cols = existing.columns
     if incoming.columns != cols:

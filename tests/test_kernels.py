@@ -314,3 +314,35 @@ def test_salted_join_and_agg_match_plain(spark):
         big, ["k"], {"n": F.count(F.lit(1))}, salt_source="row_id"
     )
     assert sorted(map(tuple, plain_agg.collect())) == sorted(map(tuple, salted_agg.collect()))
+
+
+def test_ivf_index_build_probe_and_nprobe_recall(spark, tmp_path, sf_dir):
+    """Index lifecycle: build once (centroids + cluster-partitioned
+    vectors), probe with nprobe clusters. More probes must not lower recall
+    vs brute force, and nprobe=k is exhaustive."""
+    from beeper_matric_etl_tool_spark.ext import similarity_index as ivf
+    from beeper_matric_etl_tool_spark.ext.similarity import cosine_topk
+    from beeper_matric_etl_tool_spark.sources.tables import table as load
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    ivf.build_ivf_index(emb, path, k=4, iterations=2)
+    assert spark.read.parquet(path + "/centroids").count() <= 4
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(queries, emb, k=5)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(nprobe):
+        got = {}
+        for r in ivf.search_ivf(spark, path, queries, k=5, nprobe=nprobe).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(exact_sets[q] & got.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+        ) / len(exact_sets)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1          # more probes, no worse recall
+    assert r4 == 1.0         # nprobe == k clusters -> exhaustive == exact
