@@ -350,3 +350,30 @@ def start_windowed_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def bootstrap_then_ingest(
+    spark: SparkSession,
+    snapshot_dir: str | None,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    **ingest_kwargs,
+) -> StreamingQuery:
+    """S5/T2 — the initialFetch pattern (client.ts:304-314): a one-time
+    batch backfill runs ONLY when no checkpoint exists (first start), then
+    the incremental stream takes over from its checkpointed offsets.
+    `snapshot_dir` holds the batch snapshot (parquet, stream-sink schema);
+    restarts skip the backfill exactly like the reference skips
+    initialFetch when a sync token is already persisted."""
+    first_start = not os.path.isdir(checkpoint_dir)
+    if first_start and snapshot_dir and os.path.isdir(snapshot_dir):
+        snapshot = spark.read.parquet(snapshot_dir)
+        if "__merge_key" not in snapshot.columns:
+            snapshot = snapshot.withColumn("__merge_key", F.col("event_id"))
+        if "__batch_id" not in snapshot.columns:
+            snapshot = snapshot.withColumn("__batch_id", F.lit(-1).cast("long"))
+        merge_batch_writer(target_dir, keys=["__merge_key"])(
+            snapshot.drop("__batch_id"), -1
+        )
+    return start_ingest(spark, source_dir, target_dir, checkpoint_dir, **ingest_kwargs)

@@ -6,7 +6,11 @@ from __future__ import annotations
 
 import json
 import time
+
+from pyspark.sql import functions as F
 import time
+
+from pyspark.sql import functions as F
 
 import pytest
 
@@ -208,3 +212,48 @@ def test_stateful_user_profiles_accumulate_across_restarts(spark, tmp_path):
     r = {r.sender: r for r in spark.read.parquet(str(tgt)).collect()}["@alice:example.org"]
     assert r.n_events == 4
     assert r.first_ts == T0_MS and r.last_ts == T0_MS + 12 * 60_000
+
+
+def test_bootstrap_then_stream_runs_backfill_once(spark, tmp_path):
+    """S5 — batch backfill only on first start (no checkpoint), stream
+    resumes without re-running it afterwards."""
+    snap, src, tgt, ckpt = (tmp_path / d for d in ("snap", "src", "tgt", "ckpt"))
+    src.mkdir()
+    # snapshot: two historical events, as parquet in the sink schema
+    hist = spark.createDataFrame(
+        [("h1", "!r1", "@a", "m.room.message", T0_MS - 10_000, False, "{}", None, None),
+         ("h2", "!r1", "@a", "m.room.message", T0_MS - 5_000, False, "{}", None, None)],
+        "event_id string, room_id string, sender string, event_type string, "
+        "timestamp long, is_encrypted boolean, content string, relates_to string, error string",
+    ).withColumn("ts", F.timestamp_millis(F.col("timestamp")))
+    hist.write.parquet(str(snap))
+
+    _write_file(src, "p1.json", [_event("e1")])
+    q = ingest.bootstrap_then_ingest(spark, str(snap), str(src), str(tgt), str(ckpt),
+                                     available_now=True)
+    q.awaitTermination(120)
+    ids = sorted(r.event_id for r in spark.read.parquet(str(tgt)).collect())
+    assert ids == ["e1", "h1", "h2"]
+
+    # restart: checkpoint exists -> backfill skipped, new stream file lands
+    _write_file(src, "p2.json", [_event("e2", 1)])
+    q = ingest.bootstrap_then_ingest(spark, str(snap), str(src), str(tgt), str(ckpt),
+                                     available_now=True)
+    q.awaitTermination(120)
+    ids = sorted(r.event_id for r in spark.read.parquet(str(tgt)).collect())
+    assert ids == ["e1", "e2", "h1", "h2"]
+
+
+def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    """T2 — initialSyncLimit analog: 4 source files with maxFilesPerTrigger=1
+    drain as multiple bounded micro-batches, not one giant one."""
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "tgt", tmp_path / "ckpt"
+    src.mkdir()
+    for i in range(4):
+        _write_file(src, f"p{i}.json", [_event(f"e{i}", i)])
+    q = ingest.start_ingest(spark, str(src), str(tgt), str(ckpt),
+                            available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(180)
+    assert spark.read.parquet(str(tgt)).count() == 4
+    batch_ids = {p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0}
+    assert len(batch_ids) >= 4  # one bounded batch per file
