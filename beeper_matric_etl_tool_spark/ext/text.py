@@ -46,7 +46,6 @@ def wordpiece_count(text: Column | str, pattern: str = "[a-z]+") -> Column:
 
 def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     """How many tokens are in the given function-word inventory."""
-    arr = ", ".join(f"'{w}'" for w in words)
     return F.size(F.filter(toks, lambda x: x.isin(*words)))
 
 

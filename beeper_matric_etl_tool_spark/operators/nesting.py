@@ -41,7 +41,6 @@ def nest_children(
         agg_cols.append(F.count(F.lit(1)).alias(count_name))
     grouped = child.groupBy(*keys).agg(*agg_cols)
     out = parent.join(grouped, on=keys, how=how)
-    fill: dict[str, object] = {}
     out = out.withColumn(
         nested_name, F.coalesce(F.col(nested_name), F.array().cast(out.schema[nested_name].dataType))
     )

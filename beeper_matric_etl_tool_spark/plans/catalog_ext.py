@@ -544,3 +544,59 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xsim.cosine_topk(
         clustered.filter(F.col("vec_id") < 8), clustered, k=5, partition_col="cluster_id"
     )
+
+
+@register(
+    "tfidf_top_terms",
+    tags=("ext-text",),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   CAST(floor(1000000 * tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)))
+                        AS BIGINT) AS tfidf_ppm
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf_ppm, rnk AS rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf_ppm DESC, term) AS rnk
+            FROM scored
+        ) WHERE rnk <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: per-document top-5 terms. The document
+    frequency table is tiny (vocabulary-sized) and broadcasts onto the
+    term-frequency table; at 100 TB the explode→tf aggregation is the only
+    data-sized shuffle. Scores land as floor-ppm integers ranked with a
+    term tie-break so top-5 selection is engine-independent."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.explode(xtext.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar (one tiny job) — becomes a literal in the plan
+    scored = tf.join(F.broadcast(dfreq), on="term").select(
+        "doc_id", "term",
+        F.floor(
+            F.lit(1_000_000)
+            * F.col("tf")
+            * F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+        ).cast("long").alias("tfidf_ppm"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_ppm").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "term", "tfidf_ppm", "rank")
+    )
