@@ -55,11 +55,15 @@ def kmeans(
     """Returns (assignments, centroids). Deterministic init: the k lowest-id
     vectors seed the centroids."""
     dim = len(df.select(vec_col).first()[0])
+    # seed ids must come from a REAL ordering (the vector id), not
+    # row_number over a constant — post-limit row order is a plan artifact
+    # and a seed permutation would flip distance-tie assignments.
     centroids = (
         df.orderBy(F.col(id_col).asc())
         .limit(k)
-        .select(F.col(vec_col).alias("centroid"))
-        .withColumn("cluster_id", F.row_number().over(Window.orderBy(F.lit(1))) - 1)
+        .select(F.col(id_col), F.col(vec_col).alias("centroid"))
+        .withColumn("cluster_id", F.row_number().over(Window.orderBy(F.col(id_col).asc())) - 1)
+        .drop(id_col)
     ).cache()
 
     assignments = None
@@ -76,10 +80,13 @@ def kmeans(
                 F.count(F.lit(1)).alias("__n"),
             )
         )
+        prev = centroids
         centroids = summed.select(
             "cluster_id",
             F.transform(F.col("__sums"), lambda s: (s / F.col("__n")).cast("float")).alias(
                 "centroid"
             ),
         ).cache()
+        centroids.count()  # materialize before releasing the parent cache
+        prev.unpersist()
     return assignments, centroids

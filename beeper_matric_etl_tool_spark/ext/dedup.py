@@ -213,7 +213,18 @@ def simhash_candidate_pairs(
     hamming ≤ bands-1 must agree exactly on ≥1 slice — so candidates come
     from an equi-join on (band_id, band_value), linear in corpus size, and
     the full hamming distance is verified only on candidates.
+
+    The guarantee REQUIRES max_hamming ≤ bands-1 and the bands to cover
+    every bit; both are enforced — a silent partial result would read as
+    "no near-duplicates" exactly when it matters.
     """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding guarantees recall only for max_hamming <= bands-1 "
+            f"(got max_hamming={max_hamming}, bands={bands}); raise `bands`"
+        )
+    if SIMHASH_BITS % bands != 0:
+        raise ValueError(f"bands={bands} must divide SIMHASH_BITS={SIMHASH_BITS}")
     width = SIMHASH_BITS // bands
     banded = sigs.select(
         F.col(id_col),

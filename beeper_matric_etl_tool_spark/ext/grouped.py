@@ -29,7 +29,9 @@ def zscore_native(df: DataFrame, key: str, value: str) -> DataFrame:
     w = Window.partitionBy(key)
     mean = F.avg(F.col(value)).over(w)
     std = F.stddev_pop(F.col(value)).over(w)
-    z = F.when(std == 0, F.lit(0.0)).otherwise((F.col(value) - mean) / std)
+    # std is NULL for an all-null group — treat like zero spread, matching
+    # the pandas twin's isna branch
+    z = F.when(std.isNull() | (std == 0), F.lit(0.0)).otherwise((F.col(value) - mean) / std)
     return df.withColumn("zscore", z)
 
 

@@ -71,18 +71,17 @@ def cosine_topk(
         pairs = F.broadcast(q).join(c, on="__part").drop("__part")
     else:
         pairs = F.broadcast(q).crossJoin(c)
-    scored = (
-        pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine_sim",
-            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
-        )
-    )
-    # ppm fixed-point: floor(1e6·x) of bit-identical doubles is reproducible
-    # across engines; round() is not (decimal-boundary ulp flips). Ranking
-    # happens on the SAME integer so top-k selection is engine-independent.
-    scored = scored.withColumn(
-        "cosine_ppm", F.floor(F.lit(1_000_000) * F.col("cosine_sim")).cast("long")
+    # ppm fixed-point: floor of bit-identical doubles is reproducible across
+    # engines; round() is not (decimal-boundary ulp flips). The association
+    # ORDER matters for bit-identity: (1e6·dot)/(na·nb), matching the SQL
+    # oracle's `1000000 * dot / (...)` parse and search_ivf — 1e6·(dot/norms)
+    # can differ by 1 ulp and flip the floor.
+    scored = pairs.filter(F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cosine_ppm",
+        F.floor(
+            (F.lit(1_000_000.0) * dot(F.col("__qv"), F.col("__cv")))
+            / (F.col("__qn") * F.col("__cn"))
+        ).cast("long"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_ppm").desc(), F.col("neighbor_id").asc()

@@ -93,8 +93,7 @@ def quality_ppm(n_tokens: Column, n_uniq: Column, stop_hits: Column) -> Column:
 
 
 def cents(col: Column | str) -> Column:
-    """Exact integer cents from a 2-decimal-place double column. The
-    `floor(x*100 + 0.5)` form runs the same IEEE ops in any engine —
-    identical inputs give identical integers, unlike `round`."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.floor(c * 100 + F.lit(0.5)).cast("long")
+    """Re-export of functions.scalar.cents (the repo-wide money rule)."""
+    from beeper_matric_etl_tool_spark.functions.scalar import cents as _cents
+
+    return _cents(col)

@@ -108,3 +108,13 @@ def validate_schema(df: DataFrame, expected: "T.StructType") -> DataFrame:
     if got != want:
         raise ValueError(f"schema contract violation: got {got}, expected {want}")
     return df
+
+
+def cents(col: ColumnOrName, scale: int = 100) -> Column:
+    """Exact integer fixed-point from a 2-decimal-place double column (the
+    repo-wide money rule — see ext/text.scaled_ratio for why float round()
+    can never appear in a cross-engine-compared output). The
+    `floor(x*scale + 0.5)` form runs the same IEEE ops in any engine, so
+    identical inputs give identical integers."""
+    c = _col(col)
+    return F.floor(c * scale + F.lit(0.5)).cast("long")

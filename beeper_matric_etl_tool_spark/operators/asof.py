@@ -46,18 +46,26 @@ def asof_join(
     ``how='inner'``, events with no preceding state are dropped.
     """
     keys = list(on)
+    # the payload travels as ONE struct: `last(ignorenulls)` over the struct
+    # is null only when NO state row precedes the event. Per-column
+    # last(ignorenulls) would be wrong twice over: a legitimately-NULL
+    # column in the latest state row would resurrect an older row's value,
+    # and a multi-column payload could stitch together columns from
+    # DIFFERENT state rows — a row that never existed.
     ev = events.select(
         *keys,
         F.col(events_ts).alias("__ts"),
         F.lit(1).alias("__is_event"),
-        *[F.lit(None).cast(state.schema[p].dataType).alias(f"__st_{p}") for p in payload],
+        F.lit(None).cast(
+            state.select(F.struct(*payload).alias("s")).schema["s"].dataType
+        ).alias("__st"),
         F.struct(*[c for c in events.columns if c not in keys]).alias("__ev"),
     )
     st = state.select(
         *keys,
         F.col(state_ts).alias("__ts"),
         F.lit(0).alias("__is_event"),
-        *[F.col(p).alias(f"__st_{p}") for p in payload],
+        F.struct(*payload).alias("__st"),
         F.lit(None).cast(ev.schema["__ev"].dataType).alias("__ev"),
     )
     unioned = ev.unionByName(st)
@@ -72,12 +80,14 @@ def asof_join(
         "__ts",
         "__is_event",
         "__ev",
-        *[
-            F.last(F.col(f"__st_{p}"), ignorenulls=True).over(w).alias(p)
-            for p in payload
-        ],
+        F.last(F.col("__st"), ignorenulls=True).over(w).alias("__latest"),
     ).filter(F.col("__is_event") == 1)
-    out = carried.select(*keys, F.col("__ev.*"), *payload)
+    out = carried.select(
+        *keys,
+        F.col("__ev.*"),
+        *[F.col(f"__latest.{p}").alias(p) for p in payload],
+        F.col("__latest").isNotNull().alias("__matched"),
+    )
     if how == "inner":
-        out = out.dropna(subset=list(payload), how="all")
-    return out
+        out = out.filter(F.col("__matched"))
+    return out.drop("__matched")

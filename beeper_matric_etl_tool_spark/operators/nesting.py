@@ -38,7 +38,9 @@ def nest_children(
     keys = [on] if isinstance(on, str) else list(on)
     agg_cols = [F.sort_array(F.collect_list(child_col)).alias(nested_name)]
     if count_name:
-        agg_cols.append(F.count(F.lit(1)).alias(count_name))
+        # count the SAME expression that is collected: collect_list drops
+        # nulls, so count(lit(1)) would disagree with the array it ships
+        agg_cols.append(F.count(child_col).alias(count_name))
     grouped = child.groupBy(*keys).agg(*agg_cols)
     out = parent.join(grouped, on=keys, how=how)
     out = out.withColumn(

@@ -36,7 +36,16 @@ def salted_join(
     """big ⋈ small on `on`, with the hot-key shuffle spread over `buckets`
     tasks. `salt_source` is any big-side column unique-ish per row (an id);
     the salt is a deterministic hash of it, so task retries reproduce the
-    same placement."""
+    same placement.
+
+    Only inner/left/left_semi/left_anti are pure rewrites: an outer side
+    on `small` would surface each unmatched small row once PER SALT COPY.
+    """
+    if how.replace("outer", "").strip("_ ") in ("right", "full"):
+        raise ValueError(
+            f"salted_join(how={how!r}): outer-on-small joins are not a pure "
+            f"rewrite (the exploded small side multiplies unmatched rows)"
+        )
     salted_big = big.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(buckets)))
     salted_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

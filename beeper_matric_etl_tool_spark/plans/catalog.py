@@ -471,8 +471,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("long")
-    price_cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    disc_cents = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    price_cents = fx.cents(F.col("l_extendedprice"))
+    disc_cents = fx.cents(F.col("l_discount"))
     n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
@@ -517,8 +517,8 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
-    price_cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    disc_cents = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    price_cents = fx.cents(F.col("l_extendedprice"))
+    disc_cents = fx.cents(F.col("l_discount"))
     per_order = l.groupBy("l_orderkey").agg(
         F.sum(price_cents * (F.lit(100) - disc_cents)).alias("__order_rev_c4")
     )
@@ -557,7 +557,7 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+            F.sum(fx.cents(F.col("o_totalprice"))).alias(
                 "total_price_cents"
             ),
         )
@@ -733,7 +733,7 @@ def value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     p·(n-1) interpolation over exact integers, so even the float outputs
     agree bit-for-bit)."""
     events = table(spark, sf_dir, "events")
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cents = fx.cents(F.col("value"))
     return events.select(cents.alias("cents")).agg(
         F.expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").alias("value_cents_quartiles")
     )
@@ -759,7 +759,7 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+            F.sum(fx.cents(F.col("o_totalprice"))).alias(
                 "total_price_cents"
             ),
         )
@@ -869,8 +869,8 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
-    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    disc_c = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    price_c = fx.cents(F.col("l_extendedprice"))
+    disc_c = fx.cents(F.col("l_discount"))
     return (
         l.join(
             o.join(F.broadcast(c.select("c_custkey")), o["o_custkey"] == F.col("c_custkey"))
@@ -916,8 +916,8 @@ def regional_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                c["c_nationkey"] == F.col("n_nationkey"))
         .select("c_custkey", "n_name")
     )
-    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    disc_c = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    price_c = fx.cents(F.col("l_extendedprice"))
+    disc_c = fx.cents(F.col("l_discount"))
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(dims), o["o_custkey"] == F.col("c_custkey"))
@@ -955,7 +955,7 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wrow = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cents = fx.cents(F.col("value"))
     return events.select(
         "user_id", "event_id", "ts",
         F.row_number().over(wrow).alias("seq"),

@@ -498,11 +498,15 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, on="label")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", xsim.cosine(F.col("__va"), F.col("__vb")))
-        .filter(F.col("cosine_sim") >= 0.3)
+        .withColumn("__dot", xsim.dot(F.col("__va"), F.col("__vb")))
+        .withColumn("__norms", xsim.norm(F.col("__va")) * xsim.norm(F.col("__vb")))
+        .filter(F.col("__dot") / F.col("__norms") >= 0.3)
         .select(
             "id_a", "id_b",
-            F.floor(F.lit(1_000_000) * F.col("cosine_sim")).cast("long").alias("cosine_ppm"),
+            # association matches the oracle: (1e6·dot)/norms, not 1e6·cosine
+            F.floor((F.lit(1_000_000.0) * F.col("__dot")) / F.col("__norms"))
+            .cast("long")
+            .alias("cosine_ppm"),
         )
     )
 

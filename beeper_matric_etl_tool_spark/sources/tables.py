@@ -44,6 +44,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # pin the session timezone HERE, not only in get_spark(): the driver
+    # hands us ITS session, and on a non-UTC host every timestamp literal
+    # in the catalog would silently shift against the timezone-naive
+    # DuckDB oracle. Runtime-settable, so safe on any caller's session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

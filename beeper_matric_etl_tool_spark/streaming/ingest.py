@@ -371,9 +371,8 @@ def bootstrap_then_ingest(
         snapshot = spark.read.parquet(snapshot_dir)
         if "__merge_key" not in snapshot.columns:
             snapshot = snapshot.withColumn("__merge_key", F.col("event_id"))
-        if "__batch_id" not in snapshot.columns:
-            snapshot = snapshot.withColumn("__batch_id", F.lit(-1).cast("long"))
-        merge_batch_writer(target_dir, keys=["__merge_key"])(
-            snapshot.drop("__batch_id"), -1
-        )
+        # the writer stamps its own __batch_id; drop a stale one if present
+        if "__batch_id" in snapshot.columns:
+            snapshot = snapshot.drop("__batch_id")
+        merge_batch_writer(target_dir, keys=["__merge_key"])(snapshot, -1)
     return start_ingest(spark, source_dir, target_dir, checkpoint_dir, **ingest_kwargs)

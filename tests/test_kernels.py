@@ -160,9 +160,14 @@ def test_simhash_finds_planted_near_duplicates(spark):
     other = "completely different tokens entirely unrelated content words here now then " * 5
     df = spark.createDataFrame([(1, base), (2, near), (3, other)], "doc_id long, text string")
     sigs = xdedup.simhash_bits(df)
-    pairs = xdedup.simhash_candidate_pairs(sigs, max_hamming=16).collect()
+    pairs = xdedup.simhash_candidate_pairs(sigs, max_hamming=15, bands=16).collect()
     assert (1, 2) in [(r.id_a, r.id_b) for r in pairs]
     assert all({r.id_a, r.id_b} != {1, 3} and {r.id_a, r.id_b} != {2, 3} for r in pairs)
+    # the recall guarantee is enforced, not silently broken
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_hamming"):
+        xdedup.simhash_candidate_pairs(sigs, max_hamming=16, bands=4)
 
 
 def test_approx_sketches_within_bounds(spark, sf_dir):
@@ -346,3 +351,21 @@ def test_ivf_index_build_probe_and_nprobe_recall(spark, tmp_path, sf_dir):
     r1, r4 = recall(1), recall(4)
     assert r4 >= r1          # more probes, no worse recall
     assert r4 == 1.0         # nprobe == k clusters -> exhaustive == exact
+
+
+def test_asof_join_null_payload_semantics(spark):
+    """Review-found defect, pinned: a NULL column in the LATEST state row
+    must surface as NULL (not resurrect an older row's value), and
+    multi-column payloads must never stitch columns from different rows."""
+    from beeper_matric_etl_tool_spark.operators.asof import asof_join
+
+    events = spark.createDataFrame(
+        [("u", 40, "e40")], "user_id string, ts long, event_id string"
+    )
+    state = spark.createDataFrame(
+        [("u", 10, "a1", "b1"), ("u", 30, "a3", None)],
+        "user_id string, ts long, x string, y string",
+    )
+    out = asof_join(events, state, on=["user_id"], events_ts="ts", state_ts="ts",
+                    payload=["x", "y"]).collect()[0]
+    assert out.x == "a3" and out.y is None  # the t=30 row, verbatim — not (a3, b1)
