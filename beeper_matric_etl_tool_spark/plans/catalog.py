@@ -964,3 +964,39 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ms_since_prev"
         ),
     )
+
+
+@register(
+    "segment_unpivot",
+    tags=("A-ext",),
+    oracle="""
+        SELECT c_nationkey, segment, n FROM (
+            SELECT c_nationkey,
+                   count(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS automobile,
+                   count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS building,
+                   count(*) FILTER (WHERE c_mktsegment = 'FURNITURE') AS furniture
+            FROM customer GROUP BY c_nationkey
+        ) UNPIVOT (n FOR segment IN (automobile, building, furniture))
+    """,
+)
+def segment_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, the melt operator): the inverse of
+    nation_segment_pivot, via DataFrame.unpivot — zero-count cells survive
+    as rows (unlike re-deriving from a groupBy, which drops empty groups)."""
+    segs = ("AUTOMOBILE", "BUILDING", "FURNITURE")
+    wide = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .pivot("c_mktsegment", list(segs))
+        .count()
+        .select(
+            "c_nationkey",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in segs],
+        )
+    )
+    return wide.unpivot(
+        ids=["c_nationkey"],
+        values=[s.lower() for s in segs],
+        variableColumnName="segment",
+        valueColumnName="n",
+    )

@@ -369,3 +369,36 @@ def test_asof_join_null_payload_semantics(spark):
     out = asof_join(events, state, on=["user_id"], events_ts="ts", state_ts="ts",
                     payload=["x", "y"]).collect()[0]
     assert out.x == "a3" and out.y is None  # the t=30 row, verbatim — not (a3, b1)
+
+
+def test_kernels_on_empty_inputs(spark):
+    """Operators must degrade to empty/identity on empty frames — at 100 TB
+    an empty partition, an empty delta batch, and an empty probe set are
+    routine inputs, not edge cases."""
+    from beeper_matric_etl_tool_spark.operators.asof import asof_join
+    from beeper_matric_etl_tool_spark.operators.dedup import latest_by_key_agg
+
+    empty_ev = spark.createDataFrame([], "event_id string, seq int, body string")
+    assert latest_by_key(empty_ev, ["event_id"], [F.col("seq").desc()]).count() == 0
+    assert latest_by_key_agg(empty_ev, ["event_id"], ["seq"]).count() == 0
+
+    existing = spark.createDataFrame([("k1", "v")], "k string, v string")
+    empty_inc = spark.createDataFrame([], "k string, v string")
+    merged = merge_upsert(existing, empty_inc, keys=["k"])
+    assert [(r.k, r.v, r.action) for r in merged.collect()] == [("k1", "v", "keep")]
+    # and the mirror: empty existing, all inserts
+    merged2 = merge_upsert(empty_inc, existing, keys=["k"])
+    assert [(r.k, r.action) for r in merged2.collect()] == [("k1", "insert")]
+
+    emb = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    no_queries = emb.filter("vec_id < 0")
+    assert xsim.cosine_topk(no_queries, emb, k=3).count() == 0
+
+    events = spark.createDataFrame([("u", 10, "e")], "user_id string, ts long, event_id string")
+    no_state = spark.createDataFrame([], "user_id string, ts long, sval string")
+    left = asof_join(events, no_state, on=["user_id"], events_ts="ts", state_ts="ts",
+                     payload=["sval"])
+    assert [(r.event_id, r.sval) for r in left.collect()] == [("e", None)]
+    inner = asof_join(events, no_state, on=["user_id"], events_ts="ts", state_ts="ts",
+                      payload=["sval"], how="inner")
+    assert inner.count() == 0
