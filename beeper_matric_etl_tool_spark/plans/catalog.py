@@ -1000,3 +1000,61 @@ def segment_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="segment",
         valueColumnName="n",
     )
+
+
+@register(
+    "status_types_intersect",
+    tags=("U1",),
+    oracle="""
+        SELECT substr(event_type, 1, 1) AS initial FROM events
+        INTERSECT
+        SELECT substr(o_orderpriority, 3, 1) AS initial FROM orders
+    """,
+)
+def status_types_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 completeness — INTERSECT (distinct) across sources."""
+    e = table(spark, sf_dir, "events").select(
+        F.substring(F.col("event_type"), 1, 1).alias("initial")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.substring(F.col("o_orderpriority"), 3, 1).alias("initial")
+    )
+    return e.intersect(o)
+
+
+@register(
+    "status_types_except",
+    tags=("U1",),
+    oracle="""
+        SELECT event_type AS kind FROM events
+        EXCEPT
+        SELECT o_orderstatus AS kind FROM orders
+    """,
+)
+def status_types_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 completeness — EXCEPT (distinct difference)."""
+    e = table(spark, sf_dir, "events").select(F.col("event_type").alias("kind"))
+    o = table(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("kind"))
+    return e.exceptAll(o).distinct()
+
+
+_DUAL_DIALECT_SQL = """
+    SELECT e.user_id,
+           count(*) AS n_purchases,
+           sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS spend_cents
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY e.user_id
+"""
+
+
+@register("sql_surface_purchases", tags=("SQL",), oracle=_DUAL_DIALECT_SQL)
+def sql_surface_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() surface: THE SAME SQL string runs verbatim on Spark
+    (over registered temp views) and on the DuckDB oracle — the dialect
+    subset the engine guarantees portable. Catalyst plans it identically
+    to the DataFrame form (one broadcast join, one partial-agg shuffle)."""
+    from beeper_matric_etl_tool_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_DUAL_DIALECT_SQL)
