@@ -1058,3 +1058,54 @@ def sql_surface_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_DUAL_DIALECT_SQL)
+
+
+@register(
+    "props_keys",
+    tags=("F2", "map"),
+    oracle="""
+        SELECT event_id,
+               array_to_string(list_sort(json_keys(props)), ',') AS keys_csv
+        FROM events
+    """,
+)
+def props_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONB structural introspection: the payload parsed into a proper
+    MapType and its key set extracted — the schema-on-read half of the
+    JSON plane (F2's get_json_object is the point-access half)."""
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat_ws(
+            ",", F.sort_array(F.map_keys(F.from_json(F.col("props"), "map<string,string>")))
+        ).alias("keys_csv"),
+    )
+
+
+@register(
+    "orders_rollup_flagged",
+    tags=("A-ext",),
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS is_total_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS is_total_priority,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with GROUPING() markers — distinguishes 'subtotal row' NULLs
+    from genuinely-NULL group values, which orders_rollup alone cannot."""
+    return (
+        table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("is_total_status"),
+            F.grouping("o_orderpriority").cast("long").alias("is_total_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "is_total_status",
+            "is_total_priority", "n_orders",
+        )
+    )
