@@ -604,3 +604,54 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("doc_id", "term", "tfidf_ppm", "rank")
     )
+
+
+@register(
+    "holdout_split",
+    tags=("ext-sample",),
+    oracle="""
+        SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars FROM (
+            SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('0', '1') THEN 'val' ELSE 'train' END AS split,
+                   n_chars
+            FROM documents
+        ) GROUP BY split
+    """,
+)
+def holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val split (~1/8 val): the ONLY
+    correct way to split at scale — row_number/rand splits reshuffle when
+    data moves or retries; a hash of the stable id never does. Portable
+    md5 so any engine (or a later pipeline stage in another system)
+    reproduces the exact same membership."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = F.when(bucket.isin("0", "1"), "val").otherwise("train")
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
+    "token_positions",
+    tags=("ext-text",),
+    oracle="""
+        SELECT doc_id, u.pos, u.token FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(toks)),
+                       i -> struct_pack(pos := i - 1, token := toks[i]))) AS u
+            FROM (SELECT doc_id, str_split(text, ' ') AS toks
+                  FROM documents WHERE doc_id < 3)
+        )
+    """,
+)
+def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional tokenization (posexplode): (doc, position, token) triples
+    — the layout a sequence labeller or n-gram indexer consumes."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 3)
+    return docs.select(
+        "doc_id", F.posexplode(xtext.tokens("text")).alias("pos", "token")
+    )
