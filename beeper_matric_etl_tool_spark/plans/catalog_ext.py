@@ -655,3 +655,36 @@ def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(xtext.tokens("text")).alias("pos", "token")
     )
+
+
+@register(
+    "doc_packing",
+    tags=("ext-text", "ext-pack"),
+    oracle="""
+        SELECT doc_id, lang, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+                 AS pack_id
+        FROM (SELECT doc_id, lang, len(str_split(text, ' ')) AS n_tokens
+              FROM documents)
+    """,
+)
+def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: greedily assign documents (in
+    stable id order, per language) to fixed 2048-token bins via an
+    exclusive running sum — every row's pack is a pure function of the
+    ordered prefix, so packing is deterministic and resumable. One shuffle
+    on the partition key; exact integer arithmetic throughout."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tokens = F.size(xtext.tokens("text"))
+    base = docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.withColumn("pack_id", F.floor(prior / 2048).cast("long"))
