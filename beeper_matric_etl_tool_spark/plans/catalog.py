@@ -1109,3 +1109,52 @@ def orders_rollup_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_total_priority", "n_orders",
         )
     )
+
+
+@register(
+    "null_handling_showcase",
+    tags=("P8", "F14"),
+    oracle="""
+        SELECT event_id,
+               nullif(event_type, 'error') AS type_or_null,
+               coalesce(nullif(event_type, 'error'), 'quarantined') AS type_defaulted,
+               (value IS NOT DISTINCT FROM NULL) AS value_is_null_safe
+        FROM events
+    """,
+)
+def null_handling_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/F14 depth — the null algebra the upsert kernels rely on: nullif
+    quarantining, coalesce defaults, null-safe comparison (IS NOT DISTINCT
+    FROM ≙ eqNullSafe)."""
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("quarantined")).alias(
+            "type_defaulted"
+        ),
+        F.col("value").eqNullSafe(F.lit(None).cast("double")).alias("value_is_null_safe"),
+    )
+
+
+_PAGE2_SQL = """
+    SELECT event_id, ts, user_id, event_type
+    FROM events
+    WHERE user_id = 12
+      AND ts < (SELECT min(ts) FROM (
+            SELECT ts FROM events WHERE user_id = 12
+            ORDER BY ts DESC, event_id DESC LIMIT 50))
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 50
+"""
+
+
+@register("messages_page_two", tags=("O3", "SQL"), oracle=_PAGE2_SQL)
+def messages_page_two(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 continuation — the SECOND keyset page: the cursor is the previous
+    page's minimum timestamp, expressed as a scalar subquery so the whole
+    two-page flow stays one declarative plan (no driver-side collect
+    between pages). Dual-dialect SQL, verbatim on both engines."""
+    from beeper_matric_etl_tool_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PAGE2_SQL)

@@ -688,3 +688,33 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
     prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return base.withColumn("pack_id", F.floor(prior / 2048).cast("long"))
+
+
+@register(
+    "bigram_frequencies",
+    tags=("ext-text",),
+    oracle="""
+        SELECT bigram, count(*) AS n FROM (
+            SELECT unnest(list_transform(
+                generate_series(1, greatest(len(toks) - 1, 1)),
+                i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bigram
+            FROM (SELECT str_split(text, ' ') AS toks FROM documents)
+        ) GROUP BY bigram ORDER BY n DESC, bigram LIMIT 15
+    """,
+)
+def bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram statistics (n=2): shingle → explode → count → top-15 — the
+    collocation table feeding tokenizer training / contamination checks."""
+    docs = table(spark, sf_dir, "documents")
+    # NOTE: not shingles() — that dedups per doc; frequencies need every occurrence
+    raw = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(xtext.tokens("text")) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(xtext.tokens("text"), i, 2)),
+    )
+    return (
+        docs.select(F.explode(raw).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(15)
+    )
