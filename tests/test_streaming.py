@@ -257,3 +257,19 @@ def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
     assert spark.read.parquet(str(tgt)).count() == 4
     batch_ids = {p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0}
     assert len(batch_ids) >= 4  # one bounded batch per file
+
+
+def test_dead_letter_redelivery_collapses_but_distinct_bad_lines_kept(spark, tmp_path):
+    """The synthetic dead-letter merge key (dead:md5(error)): exact
+    redelivery of the same bad line collapses to one quarantine row, while
+    two DIFFERENT bad lines are both kept."""
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "tgt", tmp_path / "ckpt"
+    src.mkdir()
+    _write_file(src, "p1.json", [_event("e1"), "{broken one", "{broken two"])
+    q = _run_drain(spark, src, tgt, ckpt)
+    _write_file(src, "p2.json", ["{broken one"])  # exact redelivery
+    q = _run_drain(spark, src, tgt, ckpt)
+    rows = spark.read.parquet(str(tgt)).collect()
+    errors = sorted(r.error for r in rows if r.error is not None)
+    assert len(errors) == 2  # two distinct bad lines, redelivery collapsed
+    assert errors == ["parse_error: {broken one", "parse_error: {broken two"]
