@@ -28,10 +28,18 @@ rows_strategy = st.lists(
 @given(rows_strategy)
 def test_latest_by_key_forms_agree_and_are_idempotent(spark_prop, rows):
     """Window-rank and max_by-aggregate forms implement the SAME operator,
-    and applying the kernel twice equals applying it once."""
-    # make the order total: version alone may tie, so break by payload repr
+    and applying the kernel twice equals applying it once.
+
+    Both forms require a TOTAL order (their documented contract). The tie
+    column must therefore distinguish EVERY payload — including NULL vs ''
+    (hypothesis found that a bare coalesce collapses those two, making the
+    order non-total and both forms individually nondeterministic)."""
     df = spark_prop.createDataFrame(rows, "k int, v int, p string").withColumn(
-        "tie", F.coalesce(F.col("p"), F.lit(""))
+        "tie",
+        F.concat(
+            F.when(F.col("p").isNull(), F.lit("0")).otherwise(F.lit("1")),
+            F.coalesce(F.col("p"), F.lit("")),
+        ),
     )
     w = latest_by_key(df, ["k"], [F.col("v").desc(), F.col("tie").desc()])
     a = latest_by_key_agg(df, ["k"], ["v", "tie"])
