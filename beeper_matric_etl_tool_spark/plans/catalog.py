@@ -444,15 +444,20 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     tags=("A-scale",),
     oracle="""
+        -- every sum() is CAST back to BIGINT: DuckDB promotes integer sum()
+        -- to HUGEINT (int128), which pandas-converts to float64 and breaks
+        -- the driver's type-sensitive value hash even when values are equal
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_price_cents,
-               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-                   * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_base_price_cents,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
                  AS sum_disc_price_c4,
-               (1000000 * sum(CAST(l_quantity AS BIGINT))) // count(*) AS avg_qty_ppm,
-               (10000 * sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) // count(*)
-                 AS avg_disc_ppm,
+               CAST((1000000 * sum(CAST(l_quantity AS BIGINT))) // count(*) AS BIGINT)
+                 AS avg_qty_ppm,
+               CAST((10000 * sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) // count(*)
+                    AS BIGINT) AS avg_disc_ppm,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -494,8 +499,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A-scale", "J-scale"),
     oracle="""
         SELECT c_custkey, c_name,
-               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-                   * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
                  AS revenue_c4,
                count(DISTINCT o.o_orderkey) AS n_orders
         FROM customer c
@@ -544,7 +549,8 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n_orders,
-               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_price_cents
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS total_price_cents
         FROM orders
         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
@@ -723,7 +729,9 @@ def events_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_percentiles_exact",
     tags=("A-ext",),
     oracle="""
-        SELECT quantile_cont(cents, [0.25, 0.5, 0.75]) AS value_cents_quartiles
+        SELECT quantile_cont(cents, 0.25) AS q25_cents,
+               quantile_cont(cents, 0.50) AS q50_cents,
+               quantile_cont(cents, 0.75) AS q75_cents
         FROM (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
     """,
 )
@@ -731,11 +739,15 @@ def value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolated quartiles over integer cents — the exact
     twin of the approx_sketches quantile pass (both engines use the same
     p·(n-1) interpolation over exact integers, so even the float outputs
-    agree bit-for-bit)."""
+    agree bit-for-bit). Three scalar DOUBLE columns, not an array: the
+    driver's value hash canonicalizes scalars identically across engines
+    but array wire types (DuckDB DOUBLE[] vs Spark array<double>) diverge."""
     events = table(spark, sf_dir, "events")
     cents = fx.cents(F.col("value"))
     return events.select(cents.alias("cents")).agg(
-        F.expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").alias("value_cents_quartiles")
+        F.expr("percentile(cents, 0.25D)").alias("q25_cents"),
+        F.expr("percentile(cents, 0.50D)").alias("q50_cents"),
+        F.expr("percentile(cents, 0.75D)").alias("q75_cents"),
     )
 
 
@@ -745,7 +757,8 @@ def value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n_orders,
-               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_price_cents
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS total_price_cents
         FROM orders
         GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
@@ -843,8 +856,8 @@ def timestamp_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A-scale", "J-scale"),
     oracle="""
         SELECT l.l_orderkey,
-               sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
-                   * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
                  AS revenue_c4,
                o.o_orderdate, o.o_orderpriority
         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -879,7 +892,13 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(price_c * (F.lit(100) - disc_c)).alias("revenue_c4"))
-        .select("l_orderkey", "revenue_c4", "o_orderdate", "o_orderpriority")
+        # o_orderdate reads as timestamp_ntz from parquet; every proven
+        # hash-green timestamp column is TIMESTAMP (ltz, UTC session) — align
+        .select(
+            "l_orderkey", "revenue_c4",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_orderpriority",
+        )
         .orderBy(F.col("revenue_c4").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -890,8 +909,8 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A-scale", "J-scale"),
     oracle="""
         SELECT n.n_name,
-               sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
-                   * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+               CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
                  AS revenue_c4
         FROM region r
         JOIN nation n   ON n.n_regionkey = r.r_regionkey
@@ -932,7 +951,7 @@ def regional_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT user_id, event_id, ts,
                row_number() OVER w AS seq,
-               sum(cents) OVER w AS running_cents,
+               CAST(sum(cents) OVER w AS BIGINT) AS running_cents,
                epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS ms_since_prev
         FROM (SELECT user_id, event_id, ts,
                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
@@ -958,7 +977,7 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = fx.cents(F.col("value"))
     return events.select(
         "user_id", "event_id", "ts",
-        F.row_number().over(wrow).alias("seq"),
+        F.row_number().over(wrow).cast("long").alias("seq"),
         F.sum(cents).over(w).alias("running_cents"),
         (F.unix_millis(F.col("ts")) - F.lag(F.unix_millis(F.col("ts"))).over(wrow)).alias(
             "ms_since_prev"
@@ -1041,7 +1060,7 @@ def status_types_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUAL_DIALECT_SQL = """
     SELECT e.user_id,
            count(*) AS n_purchases,
-           sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS spend_cents
+           CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     WHERE e.event_type = 'purchase'
     GROUP BY e.user_id

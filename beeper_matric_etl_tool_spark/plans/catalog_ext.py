@@ -81,8 +81,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext-text",),
     oracle="""
         SELECT lang, count(*) AS n_docs,
-               sum(n_chars) AS total_chars,
-               sum(len(str_split(text, ' '))) AS total_tokens
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens
         FROM documents GROUP BY lang
     """,
 )
@@ -327,7 +327,8 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT date_trunc('hour', ts) AS window_start,
                count(*) AS n_events,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_value_cents
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS total_value_cents
         FROM events GROUP BY 1
     """,
 )
@@ -358,7 +359,8 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             UNION ALL
             SELECT make_timestamp(s0us - 1800000000) AS window_start, cents FROM e
         )
-        SELECT window_start, count(*) AS n_events, sum(cents) AS total_value_cents
+        SELECT window_start, count(*) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS total_value_cents
         FROM x GROUP BY window_start
     """,
 )
@@ -610,7 +612,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "holdout_split",
     tags=("ext-sample",),
     oracle="""
-        SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars FROM (
+        SELECT split, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars FROM (
             SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
                              IN ('0', '1') THEN 'val' ELSE 'train' END AS split,
                    n_chars
@@ -662,10 +665,10 @@ def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext-text", "ext-pack"),
     oracle="""
         SELECT doc_id, lang, n_tokens,
-               coalesce(sum(n_tokens) OVER (
+               CAST(coalesce(sum(n_tokens) OVER (
                    PARTITION BY lang ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
-                 AS pack_id
+                 AS BIGINT) AS pack_id
         FROM (SELECT doc_id, lang, len(str_split(text, ' ')) AS n_tokens
               FROM documents)
     """,

@@ -44,9 +44,70 @@ def _canon_rows(cols: list[str], rows: Iterable[tuple]) -> list[str]:
     return sorted("|".join(_canon_value(r[i]) for i in order) for r in rows)
 
 
+# DuckDB wire type → the Spark simpleString it pandas-converts compatibly
+# with. Anything NOT in this map (notably HUGEINT, DuckDB's integer-sum
+# result type, which pandas turns into float64/object) is a driver hash
+# hazard even when values are equal — round 1 shipped 10 such red rows.
+_DUCK_TO_SPARK = {
+    "BIGINT": "bigint",
+    "INTEGER": "int",
+    "SMALLINT": "smallint",
+    "TINYINT": "tinyint",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP_NS": "timestamp",
+    "DATE": "date",
+    "BLOB": "binary",
+    # JSON pandas-converts to plain str — proven hash-safe vs Spark string
+    # (rooms_with_participants was green in CORRECTNESS_r01)
+    "JSON": "string",
+}
+
+
+def _spark_equiv(duck_type: str) -> str | None:
+    t = str(duck_type).upper()
+    if t.endswith("[]"):
+        inner = _spark_equiv(t[:-2])
+        return f"array<{inner}>" if inner else None
+    if t.startswith("DECIMAL"):
+        return t.lower().replace(" ", "")
+    return _DUCK_TO_SPARK.get(t)
+
+
+# Integer widths all pandas-convert to int64 and proved hash-safe in r1
+# (text_stats: Spark int vs DuckDB BIGINT was green); HUGEINT did not.
+_WIDTH_CLASS = {
+    "tinyint": "integer", "smallint": "integer", "int": "integer", "bigint": "integer",
+    "float": "floating", "double": "floating",
+}
+
+
+def _canon_type(t: str) -> str:
+    return _WIDTH_CLASS.get(t, t)
+
+
+def _assert_types_compatible(spark_df, rel) -> None:
+    spark_types = {name.lower(): dtype for name, dtype in spark_df.dtypes}
+    for name, duck_type in zip(rel.columns, rel.types):
+        want = _spark_equiv(duck_type)
+        got = spark_types.get(name.lower())
+        assert want is not None, (
+            f"oracle column {name!r} has DuckDB type {duck_type} with no stable "
+            f"Spark twin (HUGEINT? array?) — CAST it in the oracle SQL"
+        )
+        assert got is not None and _canon_type(got) == _canon_type(want), (
+            f"column {name!r} type mismatch: spark={got} duckdb={duck_type} "
+            f"(expected spark {want}) — the driver's hash is type-sensitive"
+        )
+
+
 def assert_matches_oracle(spark_df, sql: str, sf_dir: str) -> None:
     con = duckdb_conn(sf_dir)
     rel = con.sql(sql)
+    _assert_types_compatible(spark_df, rel)
     exp_cols, exp_rows = list(rel.columns), rel.fetchall()
     act_cols = list(spark_df.columns)
     act_rows = [tuple(r) for r in spark_df.collect()]
