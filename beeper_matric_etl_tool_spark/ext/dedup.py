@@ -55,9 +55,19 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with shingle-Jaccard ≥ threshold, optionally
-    blocked on ``block_col`` (quadratic within a block only)."""
+    blocked on ``block_col`` (quadratic within a block only).
+
+    Without ``block_col`` the pair space is the full O(n²) cross join —
+    never acceptable at corpus scale, so it requires an explicit
+    ``allow_full_scan=True`` opt-in instead of degrading silently."""
+    if block_col is None and not allow_full_scan:
+        raise ValueError(
+            "jaccard_pairs without block_col is a full O(n^2) cross join; "
+            "pass LSH buckets as block_col, or opt in with allow_full_scan=True"
+        )
     base = df.select(
         F.col(id_col),
         *( [F.col(block_col)] if block_col else [] ),
@@ -112,6 +122,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     id_col: str = "doc_id",
     sig_col: str = "signature",
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing ≥1 LSH band.
 
@@ -119,7 +130,19 @@ def lsh_candidate_pairs(
     self-equi-join on them — the only shuffle is on the band key, so the
     operator scales with corpus size, not corpus². Rows per doc = bands,
     a constant fan-out.
+
+    When ``num_hashes`` (the signature length) is known, bands must divide
+    it exactly — floor-divided band widths would silently drop the trailing
+    hashes from every band, weakening recall with no warning (mirrors the
+    simhash_candidate_pairs guard).
     """
+    if num_hashes is not None and num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}: a floored "
+            f"band width would silently exclude the last "
+            f"{num_hashes - bands * (num_hashes // bands)} signature hash(es) "
+            f"from every band"
+        )
     rows = signatures.select(
         F.col(id_col),
         F.posexplode(
@@ -155,17 +178,26 @@ def near_dedup_minhash(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Full near-dup funnel: LSH candidates → exact-Jaccard verify → keep
-    pairs ≥ threshold. Returns verified duplicate pairs (id_a < id_b)."""
+    pairs ≥ threshold. Returns verified duplicate pairs (id_a < id_b) with
+    the similarity as exact integer ppm — floor((1e6·|a∩b|)/|a∪b|), the
+    repo-wide fixed-point rule; float round() is not reproducible across
+    engines at decimal boundaries."""
     sigs = minhash_signatures(df, num_hashes, shingle_k, text_col, id_col)
-    cands = lsh_candidate_pairs(sigs, bands, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, id_col, num_hashes=num_hashes)
     sh = df.select(F.col(id_col), shingles(tokens(text_col), shingle_k).alias("__sh"))
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    union = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
     verified = (
         cands.join(sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb")), "id_b")
         .withColumn("jaccard_sim", jaccard(F.col("__sha"), F.col("__shb")))
         .filter(F.col("jaccard_sim") >= F.lit(threshold))
     )
-    return verified.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+    return verified.select(
+        "id_a", "id_b",
+        F.floor((F.lit(1_000_000) * inter.cast("long")) / union).cast("long")
+        .alias("jaccard_ppm"),
+    )
 
 
 # ---------------------------------------------------------------------------

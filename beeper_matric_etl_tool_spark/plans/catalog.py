@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 
 from beeper_matric_etl_tool_spark.functions import scalar as fx
 from beeper_matric_etl_tool_spark.operators import integrity, stats
-from beeper_matric_etl_tool_spark.operators.dedup import latest_by_key_agg
 from beeper_matric_etl_tool_spark.operators.merge import merge_upsert
 from beeper_matric_etl_tool_spark.operators.nesting import nest_children
 from beeper_matric_etl_tool_spark.operators.pagination import keyset_page
@@ -33,23 +32,54 @@ PAGE_CURSOR = "2024-06-01 00:00:00"
     headline=True,
     tags=("P3", "P4", "O2", "O3"),
     oracle=f"""
-        SELECT event_id, ts, user_id, event_type, value, props
-        FROM events
-        WHERE user_id = 12 AND ts < TIMESTAMP '{PAGE_CURSOR}'
-        ORDER BY ts DESC, event_id DESC
-        LIMIT 50
+        WITH page1 AS (
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            WHERE user_id = 12 AND ts < TIMESTAMP '{PAGE_CURSOR}'
+            ORDER BY ts DESC, event_id DESC
+            LIMIT 50
+        ),
+        page2 AS (
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            WHERE user_id = 12 AND ts < (SELECT min(ts) FROM page1)
+            ORDER BY ts DESC, event_id DESC
+            LIMIT 50
+        )
+        SELECT 1 AS page_no, * FROM page1
+        UNION ALL
+        SELECT 2 AS page_no, * FROM page2
     """,
 )
 def messages_topk_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4/O2/O3 — BOTH keyset pages in one declarative plan: page 2's
+    cursor is page 1's minimum timestamp, carried as a broadcast scalar
+    join (never a driver-side collect between pages). routes.ts:132-143:
+    WHERE room_id=$1 AND timestamp<$3 ORDER BY ts DESC LIMIT $2."""
     events = table(spark, sf_dir, "events")
-    return keyset_page(
-        events.select("event_id", "ts", "user_id", "event_type", "value", "props"),
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    page1 = keyset_page(
+        events.select(*cols),
         order_col="ts",
         tie_col="event_id",
         limit=50,
         before=F.lit(PAGE_CURSOR).cast("timestamp"),
         predicate=F.col("user_id") == F.lit(12),
     )
+    cursor2 = page1.agg(F.min("ts").alias("__cursor"))
+    page2_base = (
+        events.select(*cols)
+        .filter(F.col("user_id") == F.lit(12))
+        .join(F.broadcast(cursor2))
+        .filter(F.col("ts") < F.col("__cursor"))
+        .drop("__cursor")
+    )
+    page2 = (
+        page2_base.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(50)
+    )
+    one = F.lit(1).cast("int").alias("page_no")
+    two = F.lit(2).cast("int").alias("page_no")
+    return page1.select(one, *cols).unionByName(page2.select(two, *cols))
 
 
 # --------------------------------------------------------------------------
@@ -154,89 +184,84 @@ def logs_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rooms_with_participants",
     headline=True,
-    tags=("J1", "A2"),
+    tags=("J1", "J2", "A2"),
     oracle="""
-        SELECT n_nationkey, n_name,
+        SELECT 'nation_members' AS rel, n_nationkey AS parent_key, n_name AS parent_name,
                coalesce(to_json(list_sort(list(c_name) FILTER (c_name IS NOT NULL))), '[]')
-                 AS members_json,
-               count(c_name) AS n_members
+                 AS children_json,
+               count(c_name) AS n_children
         FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
         GROUP BY n_nationkey, n_name
-    """,
-)
-def rooms_with_participants(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1/A2 — room→participants nesting (routes.ts:107-110 correlated
-    `json_agg`), decorrelated to aggregate-then-broadcast-join. nation plays
-    rooms, customer plays participants (FIXTURES.md role map)."""
-    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    members = table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("n_nationkey"), "c_name"
-    )
-    nested = nest_children(
-        nation, members, on="n_nationkey", child_col=F.col("c_name"),
-        nested_name="member_names", count_name="n_members",
-    )
-    return nested.select(
-        "n_nationkey", "n_name",
-        F.to_json(F.col("member_names")).alias("members_json"),
-        F.col("n_members").cast("long").alias("n_members"),
-    )
-
-
-@register(
-    "region_nations",
-    tags=("J2", "A2"),
-    oracle="""
-        SELECT r_regionkey, r_name,
-               to_json(list_sort(list(n_name))) AS nations_json
+        UNION ALL
+        SELECT 'region_nations' AS rel, r_regionkey AS parent_key, r_name AS parent_name,
+               to_json(list_sort(list(n_name))) AS children_json,
+               count(n_name) AS n_children
         FROM region JOIN nation ON n_regionkey = r_regionkey
         GROUP BY r_regionkey, r_name
     """,
 )
-def region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2/A2 — user→rooms nesting (routes.ts:169-174 inner-join variant)."""
+def rooms_with_participants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J2/A2 — both nesting directions in one harmonized relation:
+    room→participants (routes.ts:107-110 correlated `json_agg`, left-join
+    variant with empty-array default) and user→rooms (routes.ts:169-174,
+    inner-join variant). Decorrelated to aggregate-then-broadcast-join;
+    nation plays rooms, customer plays participants (FIXTURES.md role map)."""
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    members = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey"), "c_name"
+    )
+    nested1 = nest_children(
+        nation, members, on="n_nationkey", child_col=F.col("c_name"),
+        nested_name="member_names", count_name="n_children",
+    ).select(
+        F.lit("nation_members").alias("rel"),
+        F.col("n_nationkey").alias("parent_key"),
+        F.col("n_name").alias("parent_name"),
+        F.to_json(F.col("member_names")).alias("children_json"),
+        F.col("n_children").cast("long").alias("n_children"),
+    )
     region = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     nations = table(spark, sf_dir, "nation").select(
         F.col("n_regionkey").alias("r_regionkey"), "n_name"
     )
-    nested = nest_children(
+    nested2 = nest_children(
         region, nations, on="r_regionkey", child_col=F.col("n_name"),
-        nested_name="nation_names", how="inner",
+        nested_name="nation_names", count_name="n_children", how="inner",
+    ).select(
+        F.lit("region_nations").alias("rel"),
+        F.col("r_regionkey").alias("parent_key"),
+        F.col("r_name").alias("parent_name"),
+        F.to_json(F.col("nation_names")).alias("children_json"),
+        F.col("n_children").cast("long").alias("n_children"),
     )
-    return nested.select(
-        "r_regionkey", "r_name", F.to_json(F.col("nation_names")).alias("nations_json")
-    )
+    return nested1.unionByName(nested2)
 
 
 @register(
-    "fk_orphans",
+    "fk_audit",
     tags=("J3",),
     oracle="""
-        SELECT c_custkey, c_name FROM customer c
+        SELECT 'orphan' AS fk_status, c_custkey, c_name FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 — integrity audit: anti-join finds dimension rows with no facts
-    (inverse of the FK direction, guaranteed non-trivial on this data)."""
-    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    orders = table(spark, sf_dir, "orders")
-    return integrity.orphans(customer, orders, ["c_custkey"], ["o_custkey"])
-
-
-@register(
-    "fk_enforced",
-    tags=("J3",),
-    oracle="""
-        SELECT c_custkey, c_name FROM customer c
+        UNION ALL
+        SELECT 'enforced' AS fk_status, c_custkey, c_name FROM customer c
         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
-def fk_enforced(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 — semi-join applies the constraint (cascade-delete survivors)."""
+def fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — both halves of the integrity audit in one relation: the
+    anti-join finds dimension rows with no facts ('orphan'); the semi-join
+    applies the constraint ('enforced' = cascade-delete survivors). Both
+    run the same single shuffle shape on the key column."""
     customer = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     orders = table(spark, sf_dir, "orders")
-    return integrity.enforce_fk(customer, orders, ["c_custkey"], ["o_custkey"])
+    orphans = integrity.orphans(customer, orders, ["c_custkey"], ["o_custkey"]).select(
+        F.lit("orphan").alias("fk_status"), "c_custkey", "c_name"
+    )
+    enforced = integrity.enforce_fk(customer, orders, ["c_custkey"], ["o_custkey"]).select(
+        F.lit("enforced").alias("fk_status"), "c_custkey", "c_name"
+    )
+    return orphans.unionByName(enforced)
 
 
 # --------------------------------------------------------------------------
@@ -247,56 +272,98 @@ def fk_enforced(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stats_summary",
     headline=True,
-    tags=("A1", "A4"),
+    tags=("A1", "A4", "A-ext"),
     oracle="""
         SELECT (SELECT count(*) FROM events) AS total_events,
                (SELECT count(DISTINCT user_id) FROM events) AS total_users,
                (SELECT count(*) FROM events WHERE event_type = 'purchase') AS purchase_events,
                (SELECT epoch_ms(max(ts)) FROM events) AS last_sync_ms,
-               (SELECT count(*) FROM customer) AS total_customers
+               (SELECT count(*) FROM customer) AS total_customers,
+               (SELECT quantile_cont(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.25)
+                FROM events) AS q25_value_cents,
+               (SELECT quantile_cont(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.50)
+                FROM events) AS q50_value_cents,
+               (SELECT quantile_cont(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.75)
+                FROM events) AS q75_value_cents
     """,
 )
 def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A4 — the /api/stats summary row (routes.ts:216-224) + dashboard
-    conditional counters (dashboard.tsx:8-14). Unlike the reference's one
-    subquery per counter, all event-side scalars come from ONE scan via
-    sum(when(...)); the single-row frames then cross-join for free."""
+    conditional counters (dashboard.tsx:8-14) + exact value quartiles
+    (linear interpolation over integer cents — bit-identical across
+    engines, see the approx_sketches twin).
+
+    Scale shape: the exact distinct-user count is a TWO-LEVEL aggregate
+    (groupBy(user_id) partials → tiny global fold) instead of
+    countDistinct alongside other aggregates, which would Expand every
+    input row ×2 before the shuffle. The per-user level carries the other
+    counters as partial sums for free; quartiles are one single-group agg
+    (Spark's percentile buffers values — bounded by |events| only in that
+    one column); single-row frames cross-join at zero cost."""
     events = table(spark, sf_dir, "events")
     customer = table(spark, sf_dir, "customer")
-    ev = events.agg(
-        F.count(F.lit(1)).alias("total_events"),
-        F.countDistinct("user_id").alias("total_users"),
-        stats.conditional_count(F.col("event_type") == "purchase", "purchase_events"),
-        F.unix_millis(F.max("ts")).alias("last_sync_ms"),
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        stats.conditional_count(F.col("event_type") == "purchase", "__np"),
+        F.max("ts").alias("__mx"),
+    )
+    ev = per_user.agg(
+        F.sum("__n").cast("long").alias("total_events"),
+        F.count(F.lit(1)).alias("total_users"),
+        F.sum("__np").cast("long").alias("purchase_events"),
+        F.unix_millis(F.max("__mx")).alias("last_sync_ms"),
+    )
+    cents = fx.cents(F.col("value"))
+    pct = events.select(cents.alias("__cents")).agg(
+        F.expr("percentile(__cents, 0.25D)").alias("q25_value_cents"),
+        F.expr("percentile(__cents, 0.50D)").alias("q50_value_cents"),
+        F.expr("percentile(__cents, 0.75D)").alias("q75_value_cents"),
     )
     cu = customer.agg(F.count(F.lit(1)).alias("total_customers"))
-    return stats.scalar_summary(events=ev, customers=cu)
+    return stats.scalar_summary(events=ev, customers=cu, percentiles=pct)
 
 
 @register(
     "latest_event_per_user",
     headline=True,
-    tags=("K1", "A3"),
+    tags=("K1", "A3", "F4", "F14"),
     oracle="""
-        SELECT user_id, event_id AS last_event_id, ts AS last_ts,
-               event_type AS last_type
-        FROM events
-        QUALIFY row_number() OVER (
-            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        WITH latest AS (
+            SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+                   event_type AS last_type
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        ),
+        state AS (
+            SELECT user_id,
+                   coalesce(min_by(props, ts) FILTER (WHERE event_type = 'signup'), '')
+                     AS first_signup_props,
+                   (count(*) FILTER (WHERE event_type = 'error') > 0) AS has_errors
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, last_event_id, last_ts, last_type,
+               first_signup_props, has_errors
+        FROM latest JOIN state USING (user_id)
     """,
 )
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1/A3 — the last-write-wins upsert kernel (db.utils.ts:35-47 `ON
-    CONFLICT DO UPDATE`): one row per key, latest under a total order.
-    Uses the max_by aggregate form — partial-combined map-side, so the
-    shuffle carries one candidate per (partition, key), not every event."""
+    CONFLICT DO UPDATE`): one row per key, latest under a total order —
+    PLUS the F4 state-extraction columns (db.utils.ts:107-116: payload of
+    the earliest 'signup' event with `?? ''` default, existence-test error
+    flag). All aggregates max_by/min_by/count_if in ONE groupBy: partial-
+    combined map-side, the shuffle carries one candidate per (partition,
+    key), and the state columns ride the same single shuffle for free."""
     events = table(spark, sf_dir, "events")
-    deduped = latest_by_key_agg(events, keys=["user_id"], max_order_cols=["ts", "event_id"])
-    return deduped.select(
-        "user_id",
-        F.col("event_id").alias("last_event_id"),
-        F.col("ts").alias("last_ts"),
-        F.col("event_type").alias("last_type"),
+    return events.groupBy("user_id").agg(
+        F.expr("max_by(event_id, struct(ts, event_id))").alias("last_event_id"),
+        F.max("ts").alias("last_ts"),
+        F.expr("max_by(event_type, struct(ts, event_id))").alias("last_type"),
+        F.coalesce(
+            F.expr("min_by(props, ts) FILTER (WHERE event_type = 'signup')"), F.lit("")
+        ).alias("first_signup_props"),
+        (F.count_if(F.col("event_type") == "error") > 0).alias("has_errors"),
     )
 
 
@@ -364,21 +431,33 @@ def merge_changed_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "message_projection",
-    tags=("F1", "F3", "F9", "F12"),
+    tags=("F1", "F3", "F9", "F10", "F12", "F-crypto"),
     oracle="""
         SELECT event_id,
                concat('@user', CAST(user_id AS VARCHAR), ':matrix.example.org') AS sender,
                concat('!', event_type) AS room_id,
                props AS content,
                epoch_ms(ts) AS ts_millis,
-               (event_type = 'error') AS is_error
+               (event_type = 'error') AS is_error,
+               strftime(ts, '%Y-%m-%d %H:%M') AS ts_rendered,
+               to_json(struct_pack(event_type := event_type, event_id := event_id))
+                 AS event_json,
+               props AS decrypted
         FROM events
     """,
 )
 def message_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3/F9 — the event→row projection of persistMessage
-    (db.utils.ts:49-59): id/sender/type/ts/flags extracted to a flat row,
-    JSON payload carried through as a string column (F1)."""
+    """The full per-message scalar plane in one projection:
+    F3/F9 — the event→row extraction of persistMessage (db.utils.ts:49-59);
+    F1 — row→JSON serialization (`JSON.stringify`, db.utils.ts:53) via
+    to_json(struct); F10 — timestamp presentation (`toLocaleString`,
+    dashboard.tsx:110) via date_format; and the crypto plane — the E2E
+    capability mapped to column-level aes_encrypt/aes_decrypt (ECB for
+    determinism here; GCM in production where the random IV is a feature).
+    The oracle checks the roundtrip law decrypt(encrypt(x)) = x."""
+    key = F.lit("0123456789abcdef")  # 16-byte demo key
+    enc = F.aes_encrypt(F.col("props"), key, F.lit("ECB"))
+    dec = F.aes_decrypt(F.unbase64(F.base64(enc)), key, F.lit("ECB"))
     return table(spark, sf_dir, "events").select(
         "event_id",
         F.concat(
@@ -388,18 +467,22 @@ def message_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props").alias("content"),
         fx.ts_to_millis("ts").alias("ts_millis"),
         (F.col("event_type") == "error").alias("is_error"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm").alias("ts_rendered"),
+        F.to_json(F.struct(F.col("event_type"), F.col("event_id"))).alias("event_json"),
+        dec.cast("string").alias("decrypted"),
     )
 
 
 @register(
     "scalar_functions_showcase",
-    tags=("F2", "F5", "F6", "F11", "F12", "F14"),
+    tags=("F2", "F5", "F6", "F11", "F12", "F14", "map"),
     oracle=r"""
         SELECT event_id, sender_norm,
                str_split(sender_norm, ':')[2] AS domain,
                concat(upper(substr(event_type, 1, 1)), substr(event_type, 2)) AS event_type_cap,
                k_str, CAST(k_str AS BIGINT) AS k_num,
-               coalesce(value, 0.0) AS value_filled
+               coalesce(value, 0.0) AS value_filled,
+               array_to_string(list_sort(json_keys(props)), ',') AS keys_csv
         FROM (
             SELECT *,
                    regexp_replace(
@@ -414,7 +497,10 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2/F5/F6/F11/F12/F14 — the per-row transform battery: homeserver
     normalization regex (client.ts:151), mxid domain split (db.utils.ts:233),
     first-char capitalize (sync-status.tsx:121), JSON field extraction +
-    int parse (routes.ts:227-228), null-coalescing defaults."""
+    int parse (routes.ts:227-228), null-coalescing defaults — plus the
+    structural half of the JSON plane: the payload parsed into a proper
+    MapType and its key set extracted (schema-on-read; get_json_object is
+    the point-access half)."""
     events = table(spark, sf_dir, "events")
     sender = F.concat(
         F.lit("@user"), F.col("user_id").cast("string"), F.lit(":https://matrix.example.org")
@@ -429,6 +515,9 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_str.alias("k_str"),
         k_str.cast("long").alias("k_num"),
         F.coalesce(F.col("value"), F.lit(0.0)).alias("value_filled"),
+        F.concat_ws(
+            ",", F.sort_array(F.map_keys(F.from_json(F.col("props"), "map<string,string>")))
+        ).alias("keys_csv"),
     )
 
 
@@ -544,28 +633,37 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "orders_rollup",
+    "orders_grouping_sets",
     tags=("A-ext",),
     oracle="""
         SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS is_total_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS is_total_priority,
                count(*) AS n_orders,
                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
                  AS total_price_cents
         FROM orders
-        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
 )
-def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical rollup (status → priority → grand total) — grouping sets
-    computed in one pass (SURVEY §2.5 note: free via df.rollup)."""
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets machinery in one query: the full CUBE (all 2^k sets —
+    a strict superset of the status→priority ROLLUP's sets) with GROUPING()
+    markers distinguishing 'subtotal row' NULLs from genuinely-NULL group
+    values. Catalyst expands the grouping sets before the single
+    partial-agg shuffle, so cost grows with sets, not with extra scans."""
     return (
         table(spark, sf_dir, "orders")
-        .rollup("o_orderstatus", "o_orderpriority")
+        .cube("o_orderstatus", "o_orderpriority")
         .agg(
+            F.grouping("o_orderstatus").cast("long").alias("is_total_status"),
+            F.grouping("o_orderpriority").cast("long").alias("is_total_priority"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(fx.cents(F.col("o_totalprice"))).alias(
-                "total_price_cents"
-            ),
+            F.sum(fx.cents(F.col("o_totalprice"))).alias("total_price_cents"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "is_total_status",
+            "is_total_priority", "n_orders", "total_price_cents",
         )
     )
 
@@ -594,63 +692,56 @@ def events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "union_distinct_types",
+    "set_ops_suite",
     tags=("U1",),
     oracle="""
-        SELECT event_type AS kind FROM events
-        UNION
-        SELECT o_orderstatus AS kind FROM orders
+        SELECT 'union' AS op, * FROM (
+            SELECT event_type AS val FROM events
+            UNION
+            SELECT o_orderstatus AS val FROM orders
+        )
+        UNION ALL
+        SELECT 'intersect' AS op, * FROM (
+            SELECT substr(event_type, 1, 1) AS val FROM events
+            INTERSECT
+            SELECT substr(o_orderpriority, 3, 1) AS val FROM orders
+        )
+        UNION ALL
+        SELECT 'except' AS op, * FROM (
+            SELECT event_type AS val FROM events
+            EXCEPT
+            SELECT o_orderstatus AS val FROM orders
+        )
     """,
 )
-def union_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 — set semantics: UNION (distinct) across heterogeneous sources,
-    the new-batch ∪ existing shape the upsert family reduces to."""
-    e = table(spark, sf_dir, "events").select(F.col("event_type").alias("kind"))
-    o = table(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("kind"))
-    return e.unionByName(o).distinct()
-
-
-@register(
-    "aes_roundtrip",
-    tags=("F-crypto",),
-    oracle="SELECT event_id, props AS decrypted FROM events",
-)
-def aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2.8 crypto plane — the E2E-encryption capability mapped to
-    column-level aes_encrypt/aes_decrypt (ECB for determinism here; GCM in
-    production where the random IV is a feature, not a test hazard). The
-    oracle checks the roundtrip law decrypt(encrypt(x)) = x."""
-    key = F.lit("0123456789abcdef")  # 16-byte demo key
-    enc = F.aes_encrypt(F.col("props"), key, F.lit("ECB"))
-    dec = F.aes_decrypt(F.unbase64(F.base64(enc)), key, F.lit("ECB"))
-    return table(spark, sf_dir, "events").select(
-        "event_id", dec.cast("string").alias("decrypted")
-    )
-
-
-@register(
-    "first_state_event",
-    tags=("F4", "F14"),
-    oracle="""
-        SELECT user_id,
-               coalesce(min_by(props, ts) FILTER (WHERE event_type = 'signup'), '')
-                 AS first_signup_props,
-               (count(*) FILTER (WHERE event_type = 'error') > 0) AS has_errors
-        FROM events GROUP BY user_id
-    """,
-)
-def first_state_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4 — state-event extraction with defaults (db.utils.ts:107-116: topic
-    from the first state event `?? ''`, encryption flag via existence test).
-    Per user: payload of the earliest 'signup' event, '' when none; plus an
-    existence-test flag. min_by + FILTER — partial-aggregable, one shuffle."""
+def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — the full set-semantics surface in one relation: UNION
+    (distinct; the new-batch ∪ existing shape the upsert family reduces
+    to), INTERSECT (distinct), and EXCEPT (distinct difference, via
+    DataFrame.subtract — NOT exceptAll().distinct(), which diverges from
+    SQL EXCEPT whenever a value occurs on both sides with a higher left
+    count: the survivors-by-multiplicity then pass .distinct())."""
     events = table(spark, sf_dir, "events")
-    return events.groupBy("user_id").agg(
-        F.coalesce(
-            F.expr("min_by(props, ts) FILTER (WHERE event_type = 'signup')"), F.lit("")
-        ).alias("first_signup_props"),
-        (F.count_if(F.col("event_type") == "error") > 0).alias("has_errors"),
+    orders = table(spark, sf_dir, "orders")
+    e_kind = events.select(F.col("event_type").alias("val"))
+    o_kind = orders.select(F.col("o_orderstatus").alias("val"))
+    union = e_kind.unionByName(o_kind).distinct()
+    intersect = events.select(
+        F.substring(F.col("event_type"), 1, 1).alias("val")
+    ).intersect(orders.select(F.substring(F.col("o_orderpriority"), 3, 1).alias("val")))
+    except_ = e_kind.subtract(o_kind)
+    return (
+        union.select(F.lit("union").alias("op"), "val")
+        .unionByName(intersect.select(F.lit("intersect").alias("op"), "val"))
+        .unionByName(except_.select(F.lit("except").alias("op"), "val"))
     )
+
+
+# (the AES roundtrip column rides `message_projection` — same events scan)
+
+
+# (F4 first-state extraction is folded into `latest_event_per_user` —
+# the same per-user shuffle carries both the argmax and the state columns)
 
 
 @register(
@@ -725,90 +816,53 @@ def events_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "value_percentiles_exact",
-    tags=("A-ext",),
-    oracle="""
-        SELECT quantile_cont(cents, 0.25) AS q25_cents,
-               quantile_cont(cents, 0.50) AS q50_cents,
-               quantile_cont(cents, 0.75) AS q75_cents
-        FROM (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
-    """,
-)
-def value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolated quartiles over integer cents — the exact
-    twin of the approx_sketches quantile pass (both engines use the same
-    p·(n-1) interpolation over exact integers, so even the float outputs
-    agree bit-for-bit). Three scalar DOUBLE columns, not an array: the
-    driver's value hash canonicalizes scalars identically across engines
-    but array wire types (DuckDB DOUBLE[] vs Spark array<double>) diverge."""
-    events = table(spark, sf_dir, "events")
-    cents = fx.cents(F.col("value"))
-    return events.select(cents.alias("cents")).agg(
-        F.expr("percentile(cents, 0.25D)").alias("q25_cents"),
-        F.expr("percentile(cents, 0.50D)").alias("q50_cents"),
-        F.expr("percentile(cents, 0.75D)").alias("q75_cents"),
-    )
+# (exact value quartiles are folded into `stats_summary` as scalar
+# q25/q50/q75_value_cents columns)
 
 
-@register(
-    "orders_cube",
-    tags=("A-ext",),
-    oracle="""
-        SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n_orders,
-               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-                 AS total_price_cents
-        FROM orders
-        GROUP BY CUBE(o_orderstatus, o_orderpriority)
-    """,
-)
-def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full cube (all 2^k grouping sets in one pass) — the rollup's sibling;
-    Catalyst expands the grouping sets before the single partial-agg
-    shuffle, so cost grows with sets, not with extra scans."""
-    return (
-        table(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(fx.cents(F.col("o_totalprice"))).alias(
-                "total_price_cents"
-            ),
-        )
-    )
+# (rollup/cube/GROUPING() are all exercised by `orders_grouping_sets` —
+# one CUBE query whose sets strictly contain the rollup's)
 
 
 _SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
 
 
 @register(
-    "nation_segment_pivot",
+    "segment_pivot_unpivot",
     tags=("A-ext",),
     oracle=f"""
-        SELECT c_nationkey,
-               {", ".join(
-                   f"count(*) FILTER (WHERE c_mktsegment = '{s}') AS {s.lower()}"
-                   for s in _SEGMENTS
-               )}
-        FROM customer GROUP BY c_nationkey
+        SELECT c_nationkey, segment, CAST(n AS BIGINT) AS n FROM (
+            SELECT c_nationkey,
+                   {", ".join(
+                       f"count(*) FILTER (WHERE c_mktsegment = '{s}') AS {s.lower()}"
+                       for s in _SEGMENTS
+                   )}
+            FROM customer GROUP BY c_nationkey
+        ) UNPIVOT (n FOR segment IN ({", ".join(s.lower() for s in _SEGMENTS)}))
     """,
 )
-def nation_segment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (long→wide): per-nation customer counts by market segment.
-    The pivot value list is FIXED — an inferred list would be a separate
-    distinct-scan job and nondeterministic column order."""
-    out = (
+def segment_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) immediately unpivoted back (wide→long, the melt
+    operator) — both reshape directions in one plan. The pivot value list
+    is FIXED (an inferred list would be a separate distinct-scan job and
+    nondeterministic column order); the unpivot preserves zero-count cells
+    as rows, which re-deriving from a groupBy would drop."""
+    wide = (
         table(spark, sf_dir, "customer")
         .groupBy("c_nationkey")
         .pivot("c_mktsegment", list(_SEGMENTS))
         .count()
+        .select(
+            "c_nationkey",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in _SEGMENTS],
+        )
     )
-    renamed = out.select(
-        "c_nationkey",
-        *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in _SEGMENTS],
+    return wide.unpivot(
+        ids=["c_nationkey"],
+        values=[s.lower() for s in _SEGMENTS],
+        variableColumnName="segment",
+        valueColumnName="n",
     )
-    return renamed
 
 
 @register(
@@ -828,26 +882,7 @@ def message_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "timestamp_render",
-    tags=("F1", "F10"),
-    oracle="""
-        SELECT event_id,
-               strftime(ts, '%Y-%m-%d %H:%M') AS ts_rendered,
-               to_json(struct_pack(event_type := event_type, event_id := event_id))
-                 AS event_json
-        FROM events
-    """,
-)
-def timestamp_render(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F10 — timestamp presentation (`toLocaleString`, dashboard.tsx:110)
-    via date_format; F1 — row→JSON serialization (`JSON.stringify`,
-    db.utils.ts:53) via to_json(struct)."""
-    return table(spark, sf_dir, "events").select(
-        "event_id",
-        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm").alias("ts_rendered"),
-        F.to_json(F.struct(F.col("event_type"), F.col("event_id"))).alias("event_json"),
-    )
+# (timestamp rendering + row→JSON serialization ride `message_projection`)
 
 
 @register(
@@ -985,76 +1020,10 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "segment_unpivot",
-    tags=("A-ext",),
-    oracle="""
-        SELECT c_nationkey, segment, n FROM (
-            SELECT c_nationkey,
-                   count(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS automobile,
-                   count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS building,
-                   count(*) FILTER (WHERE c_mktsegment = 'FURNITURE') AS furniture
-            FROM customer GROUP BY c_nationkey
-        ) UNPIVOT (n FOR segment IN (automobile, building, furniture))
-    """,
-)
-def segment_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (wide→long, the melt operator): the inverse of
-    nation_segment_pivot, via DataFrame.unpivot — zero-count cells survive
-    as rows (unlike re-deriving from a groupBy, which drops empty groups)."""
-    segs = ("AUTOMOBILE", "BUILDING", "FURNITURE")
-    wide = (
-        table(spark, sf_dir, "customer")
-        .groupBy("c_nationkey")
-        .pivot("c_mktsegment", list(segs))
-        .count()
-        .select(
-            "c_nationkey",
-            *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in segs],
-        )
-    )
-    return wide.unpivot(
-        ids=["c_nationkey"],
-        values=[s.lower() for s in segs],
-        variableColumnName="segment",
-        valueColumnName="n",
-    )
+# (unpivot is the second half of `segment_pivot_unpivot`)
 
 
-@register(
-    "status_types_intersect",
-    tags=("U1",),
-    oracle="""
-        SELECT substr(event_type, 1, 1) AS initial FROM events
-        INTERSECT
-        SELECT substr(o_orderpriority, 3, 1) AS initial FROM orders
-    """,
-)
-def status_types_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 completeness — INTERSECT (distinct) across sources."""
-    e = table(spark, sf_dir, "events").select(
-        F.substring(F.col("event_type"), 1, 1).alias("initial")
-    )
-    o = table(spark, sf_dir, "orders").select(
-        F.substring(F.col("o_orderpriority"), 3, 1).alias("initial")
-    )
-    return e.intersect(o)
-
-
-@register(
-    "status_types_except",
-    tags=("U1",),
-    oracle="""
-        SELECT event_type AS kind FROM events
-        EXCEPT
-        SELECT o_orderstatus AS kind FROM orders
-    """,
-)
-def status_types_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 completeness — EXCEPT (distinct difference)."""
-    e = table(spark, sf_dir, "events").select(F.col("event_type").alias("kind"))
-    o = table(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("kind"))
-    return e.exceptAll(o).distinct()
+# (INTERSECT and EXCEPT are covered by `set_ops_suite`)
 
 
 _DUAL_DIALECT_SQL = """
@@ -1079,55 +1048,10 @@ def sql_surface_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_DUAL_DIALECT_SQL)
 
 
-@register(
-    "props_keys",
-    tags=("F2", "map"),
-    oracle="""
-        SELECT event_id,
-               array_to_string(list_sort(json_keys(props)), ',') AS keys_csv
-        FROM events
-    """,
-)
-def props_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSONB structural introspection: the payload parsed into a proper
-    MapType and its key set extracted — the schema-on-read half of the
-    JSON plane (F2's get_json_object is the point-access half)."""
-    return table(spark, sf_dir, "events").select(
-        "event_id",
-        F.concat_ws(
-            ",", F.sort_array(F.map_keys(F.from_json(F.col("props"), "map<string,string>")))
-        ).alias("keys_csv"),
-    )
+# (props key introspection rides `scalar_functions_showcase` — same scan)
 
 
-@register(
-    "orders_rollup_flagged",
-    tags=("A-ext",),
-    oracle="""
-        SELECT o_orderstatus, o_orderpriority,
-               CAST(GROUPING(o_orderstatus) AS BIGINT) AS is_total_status,
-               CAST(GROUPING(o_orderpriority) AS BIGINT) AS is_total_priority,
-               count(*) AS n_orders
-        FROM orders
-        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-    """,
-)
-def orders_rollup_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rollup with GROUPING() markers — distinguishes 'subtotal row' NULLs
-    from genuinely-NULL group values, which orders_rollup alone cannot."""
-    return (
-        table(spark, sf_dir, "orders")
-        .rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.grouping("o_orderstatus").cast("long").alias("is_total_status"),
-            F.grouping("o_orderpriority").cast("long").alias("is_total_priority"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-        .select(
-            "o_orderstatus", "o_orderpriority", "is_total_status",
-            "is_total_priority", "n_orders",
-        )
-    )
+# (GROUPING() flags ride `orders_grouping_sets`)
 
 
 @register(
@@ -1155,25 +1079,5 @@ def null_handling_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PAGE2_SQL = """
-    SELECT event_id, ts, user_id, event_type
-    FROM events
-    WHERE user_id = 12
-      AND ts < (SELECT min(ts) FROM (
-            SELECT ts FROM events WHERE user_id = 12
-            ORDER BY ts DESC, event_id DESC LIMIT 50))
-    ORDER BY ts DESC, event_id DESC
-    LIMIT 50
-"""
-
-
-@register("messages_page_two", tags=("O3", "SQL"), oracle=_PAGE2_SQL)
-def messages_page_two(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O3 continuation — the SECOND keyset page: the cursor is the previous
-    page's minimum timestamp, expressed as a scalar subquery so the whole
-    two-page flow stays one declarative plan (no driver-side collect
-    between pages). Dual-dialect SQL, verbatim on both engines."""
-    from beeper_matric_etl_tool_spark.sources.tables import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql(_PAGE2_SQL)
+# (the second keyset page is folded into `messages_topk_page` — one
+# registry slot covers the whole two-page O3 flow)

@@ -77,25 +77,51 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "lang_histogram",
-    tags=("ext-text",),
+    "corpus_composition",
+    tags=("ext-text", "ext-sample"),
     oracle="""
-        SELECT lang, count(*) AS n_docs,
+        WITH d AS (
+            SELECT lang, n_chars, len(str_split(text, ' ')) AS n_toks,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('0', '1') THEN 'val' ELSE 'train' END AS split
+            FROM documents
+        )
+        SELECT 'lang' AS dim, lang AS key, count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS total_chars,
-               CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens
-        FROM documents GROUP BY lang
+               CAST(sum(n_toks) AS BIGINT) AS total_tokens
+        FROM d GROUP BY lang
+        UNION ALL
+        SELECT 'split' AS dim, split AS key, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(n_toks) AS BIGINT) AS total_tokens
+        FROM d GROUP BY split
     """,
 )
-def lang_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus composition per language — one partial-aggregated groupBy.
-    Emits exact integer totals (means are a client-side division away);
-    cross-engine float avg cannot hash-match reliably."""
+def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition along two dimensions in one relation: per
+    language, and per deterministic content-hash train/val holdout
+    (~1/8 val). The hash split is the ONLY correct way to split at scale —
+    row_number/rand splits reshuffle when data moves or retries; a hash of
+    the stable id never does, and portable md5 means any engine reproduces
+    the exact same membership. Exact integer totals only (means are a
+    client-side division away; cross-engine float avg cannot hash-match)."""
     docs = table(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-        F.sum(xtext.token_count("text")).alias("total_tokens"),
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    base = docs.select(
+        "lang",
+        "n_chars",
+        xtext.token_count("text").alias("__n_toks"),
+        F.when(bucket.isin("0", "1"), "val").otherwise("train").alias("split"),
     )
+
+    def _grouped(col: str, dim: str) -> DataFrame:
+        return base.groupBy(F.col(col).alias("key")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("__n_toks").alias("total_tokens"),
+        ).select(F.lit(dim).alias("dim"), "key", "n_docs", "total_chars", "total_tokens")
+
+    return _grouped("lang", "lang").unionByName(_grouped("split", "split"))
 
 
 @register(
@@ -165,25 +191,54 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "token_frequencies",
+    "ngram_frequencies",
     tags=("ext-text",),
     oracle="""
-        SELECT token, count(*) AS n FROM (
-            SELECT unnest(str_split(text, ' ')) AS token FROM documents
-        ) GROUP BY token ORDER BY n DESC, token LIMIT 20
+        SELECT 1 AS n_gram, gram, n FROM (
+            SELECT token AS gram, count(*) AS n FROM (
+                SELECT unnest(str_split(text, ' ')) AS token FROM documents
+            ) GROUP BY token ORDER BY n DESC, gram LIMIT 20
+        )
+        UNION ALL
+        SELECT 2 AS n_gram, gram, n FROM (
+            SELECT bigram AS gram, count(*) AS n FROM (
+                SELECT unnest(list_transform(
+                    generate_series(1, greatest(len(toks) - 1, 1)),
+                    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bigram
+                FROM (SELECT str_split(text, ' ') AS toks FROM documents)
+            ) GROUP BY bigram ORDER BY n DESC, gram LIMIT 20
+        )
     """,
 )
-def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus term statistics: explode → count → top-20. The explode happens
-    before the shuffle but after column pruning (only `text` is read)."""
+def ngram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram corpus statistics for n ∈ {1, 2}: explode → count → top-20
+    per n — the term table and collocation table feeding tokenizer
+    training / contamination checks. The explode happens before the
+    shuffle but after column pruning (only `text` is read).
+    NOTE: bigrams use every occurrence, not shingles() — that dedups per
+    doc; frequencies need multiplicity."""
     docs = table(spark, sf_dir, "documents")
-    return (
-        docs.select(F.explode(xtext.tokens("text")).alias("token"))
-        .groupBy("token")
+    uni = (
+        docs.select(F.explode(xtext.tokens("text")).alias("gram"))
+        .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
         .limit(20)
+        .select(F.lit(1).alias("n_gram"), "gram", "n")
     )
+    raw_bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(xtext.tokens("text")) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(xtext.tokens("text"), i, 2)),
+    )
+    bi = (
+        docs.select(F.explode(raw_bigrams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(20)
+        .select(F.lit(2).alias("n_gram"), "gram", "n")
+    )
+    return uni.unionByName(bi)
 
 
 # --------------------------------------------------------------------------
@@ -248,16 +303,30 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "minhash_near_dup",
+    "near_dup_pairs",
     tags=("ext-dedup",),
-    oracle=None,  # engine-private hash (xxhash64) — verified by pytest with planted dupes
+    oracle=None,  # engine-private hash (xxhash64) on both paths — verified by
+    # pytest with planted near-duplicates (rows-only driver check)
 )
-def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup funnel (shingle → 32 minhashes → 8 bands →
-    band-equi-join → exact-Jaccard verify ≥0.5). Linear-scale candidate
-    generation; rows-only driver check, behavior pinned in pytest."""
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both hash-sketch near-dup funnels in one relation:
+    method='minhash' — shingle → 32 minhashes → 8 bands → band-equi-join →
+    exact-Jaccard verify ≥0.5, score = verified jaccard ppm;
+    method='simhash' — 64-bit sign-of-votes signature, pigeonhole banding
+    (4×16 bits), score = hamming distance ≤ 3 on candidates only.
+    Linear-scale candidate generation in both: the only shuffle is the
+    band-key equi-join, never an all-pairs cross."""
     docs = table(spark, sf_dir, "documents")
-    return xdedup.near_dedup_minhash(docs, threshold=0.5)
+    mh = xdedup.near_dedup_minhash(docs, threshold=0.5).select(
+        F.lit("minhash").alias("method"), "id_a", "id_b",
+        F.col("jaccard_ppm").alias("score"),
+    )
+    sigs = xdedup.simhash_bits(docs)
+    sh = xdedup.simhash_candidate_pairs(sigs, max_hamming=3).select(
+        F.lit("simhash").alias("method"), "id_a", "id_b",
+        F.col("hamming").cast("long").alias("score"),
+    )
+    return mh.unionByName(sh)
 
 
 # --------------------------------------------------------------------------
@@ -460,17 +529,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "simhash_near_dup",
-    tags=("ext-dedup",),
-    oracle=None,  # engine-private hash (xxhash64) — behavior pinned by pytest
-)
-def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit sign-of-votes signature, pigeonhole banding
-    (4×16 bits), hamming ≤ 3 verification on candidates only."""
-    docs = table(spark, sf_dir, "documents")
-    sigs = xdedup.simhash_bits(docs)
-    return xdedup.simhash_candidate_pairs(sigs, max_hamming=3)
+# (simhash is the method='simhash' slice of `near_dup_pairs`)
 
 
 @register(
@@ -516,18 +575,69 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "approx_sketches",
     tags=("ext-approx",),
-    oracle=None,  # sketch estimates are engine-specific by construction;
-    # accuracy bounds vs exact values are pinned by pytest
+    oracle="""
+        WITH ex AS (
+            SELECT count(DISTINCT user_id) AS eu, count(DISTINCT event_id) AS ee,
+                   quantile_cont(value, 0.50) AS p50,
+                   quantile_cont(value, 0.95) AS p95,
+                   quantile_cont(value, 0.99) AS p99
+            FROM events
+        ),
+        ap AS (
+            SELECT approx_count_distinct(user_id) AS au,
+                   approx_count_distinct(event_id) AS ae,
+                   approx_quantile(value, 0.50) AS a50,
+                   approx_quantile(value, 0.95) AS a95,
+                   approx_quantile(value, 0.99) AS a99
+            FROM events
+        )
+        SELECT eu AS exact_users, ee AS exact_events,
+               (abs(au - eu) <= 0.2 * eu) AS users_approx_ok,
+               (abs(ae - ee) <= 0.2 * ee) AS events_approx_ok,
+               (abs(a50 - p50) <= 0.05 * abs(p50) + 5.0) AS q50_approx_ok,
+               (abs(a95 - p95) <= 0.05 * abs(p95) + 5.0) AS q95_approx_ok,
+               (abs(a99 - p99) <= 0.05 * abs(p99) + 5.0) AS q99_approx_ok
+        FROM ex, ap
+    """,
 )
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """100 TB hygiene operators: HyperLogLog++ distinct counts and quantile
     sketches — the profile pass that runs where exact distinct/percentile
-    would need an unbounded shuffle."""
+    would need an unbounded shuffle.
+
+    Sketch *estimates* are engine-specific by construction, so the oracled
+    output is (a) the exact values and (b) booleans asserting each engine's
+    OWN sketch lands within the documented accuracy bound of its own exact
+    value — the cross-engine-checkable statement of sketch correctness.
+    (Spark HLL++ rsd defaults to 5%; bound set at 20% ≈ 4σ. Quantile bound:
+    5% relative + 5.0 absolute.)"""
     events = table(spark, sf_dir, "events")
-    return events.agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.approx_count_distinct("event_id").alias("approx_events"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+    ex_users = events.agg(F.countDistinct("user_id").alias("eu"))
+    ex_events = events.agg(F.countDistinct("event_id").alias("ee"))
+    pct = events.agg(
+        F.expr("percentile(value, 0.50D)").alias("p50"),
+        F.expr("percentile(value, 0.95D)").alias("p95"),
+        F.expr("percentile(value, 0.99D)").alias("p99"),
+    )
+    ap = events.agg(
+        F.approx_count_distinct("user_id").alias("au"),
+        F.approx_count_distinct("event_id").alias("ae"),
+        F.percentile_approx("value", 0.50, 10000).alias("a50"),
+        F.percentile_approx("value", 0.95, 10000).alias("a95"),
+        F.percentile_approx("value", 0.99, 10000).alias("a99"),
+    )
+    joined = ex_users.crossJoin(ex_events).crossJoin(pct).crossJoin(ap)
+    return joined.select(
+        F.col("eu").alias("exact_users"),
+        F.col("ee").alias("exact_events"),
+        (F.abs(F.col("au") - F.col("eu")) <= 0.2 * F.col("eu")).alias("users_approx_ok"),
+        (F.abs(F.col("ae") - F.col("ee")) <= 0.2 * F.col("ee")).alias("events_approx_ok"),
+        (F.abs(F.col("a50") - F.col("p50")) <= 0.05 * F.abs(F.col("p50")) + 5.0)
+        .alias("q50_approx_ok"),
+        (F.abs(F.col("a95") - F.col("p95")) <= 0.05 * F.abs(F.col("p95")) + 5.0)
+        .alias("q95_approx_ok"),
+        (F.abs(F.col("a99") - F.col("p99")) <= 0.05 * F.abs(F.col("p99")) + 5.0)
+        .alias("q99_approx_ok"),
     )
 
 
@@ -608,33 +718,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "holdout_split",
-    tags=("ext-sample",),
-    oracle="""
-        SELECT split, count(*) AS n_docs,
-               CAST(sum(n_chars) AS BIGINT) AS total_chars FROM (
-            SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                             IN ('0', '1') THEN 'val' ELSE 'train' END AS split,
-                   n_chars
-            FROM documents
-        ) GROUP BY split
-    """,
-)
-def holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic content-hash train/val split (~1/8 val): the ONLY
-    correct way to split at scale — row_number/rand splits reshuffle when
-    data moves or retries; a hash of the stable id never does. Portable
-    md5 so any engine (or a later pipeline stage in another system)
-    reproduces the exact same membership."""
-    docs = table(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    split = F.when(bucket.isin("0", "1"), "val").otherwise("train")
-    return (
-        docs.withColumn("split", split)
-        .groupBy("split")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
-    )
+# (the hash-holdout split is the 'split' dimension of `corpus_composition`)
 
 
 @register(
@@ -693,31 +777,4 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.withColumn("pack_id", F.floor(prior / 2048).cast("long"))
 
 
-@register(
-    "bigram_frequencies",
-    tags=("ext-text",),
-    oracle="""
-        SELECT bigram, count(*) AS n FROM (
-            SELECT unnest(list_transform(
-                generate_series(1, greatest(len(toks) - 1, 1)),
-                i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bigram
-            FROM (SELECT str_split(text, ' ') AS toks FROM documents)
-        ) GROUP BY bigram ORDER BY n DESC, bigram LIMIT 15
-    """,
-)
-def bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram statistics (n=2): shingle → explode → count → top-15 — the
-    collocation table feeding tokenizer training / contamination checks."""
-    docs = table(spark, sf_dir, "documents")
-    # NOTE: not shingles() — that dedups per doc; frequencies need every occurrence
-    raw = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(xtext.tokens("text")) - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(xtext.tokens("text"), i, 2)),
-    )
-    return (
-        docs.select(F.explode(raw).alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("bigram").asc())
-        .limit(15)
-    )
+# (bigram statistics ride `ngram_frequencies` as the n=2 slice)

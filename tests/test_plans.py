@@ -64,9 +64,10 @@ def test_latest_by_key_agg_is_combinable_not_windowed(spark):
 
 
 def test_semi_anti_joins_broadcast(spark):
-    for name in ("fk_enforced", "fk_orphans"):
-        plan = plan_of(spark, name)
-        assert "BroadcastHashJoin" in plan, name
+    plan = plan_of(spark, "fk_audit")
+    # both halves of the audit union: semi (enforced) + anti (orphans)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
 
 
 def test_no_cartesian_outside_bruteforce_knn(spark):
