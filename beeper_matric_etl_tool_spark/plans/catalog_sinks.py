@@ -141,11 +141,18 @@ def sink_keyed_update_poststate(spark: SparkSession, sf_dir: str) -> DataFrame:
     new balance."""
     creds = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
     target = os.path.join(_workdir(), "creds_target")
-    sinks.write_indexed(creds, target, sort_within=("s_suppkey",))
+    # X1 layout + hash-bucket partitioning: the later keyed_update reads and
+    # rewrites ONLY the buckets its keys hash into (partition-pruned MERGE)
+    sinks.write_indexed(
+        creds.withColumn(sinks.BUCKET_COL, sinks.key_bucket(["s_suppkey"], 8)),
+        target,
+        partition_by=(sinks.BUCKET_COL,),
+        sort_within=("s_suppkey",),
+    )
     updates = (
         creds.filter(F.col("s_suppkey") % 10 == 0)
         .select("s_suppkey", (F.col("s_acctbal") + F.lit(100.0)).alias("s_acctbal"))
     )
-    changed = sinks.keyed_update(spark, target, updates, keys=["s_suppkey"])
+    changed = sinks.keyed_update(spark, target, updates, keys=["s_suppkey"], n_buckets=8)
     assert changed > 0  # the reference errors on 0-row updates; ours returns count
     return spark.read.parquet(target).select("s_suppkey", "s_name", "s_acctbal")

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
+from beeper_matric_etl_tool_spark import sinks
 from beeper_matric_etl_tool_spark.operators.dedup import latest_by_key
 
 #: wire schema of one Matrix-like event (FIXTURES.md streaming fixture)
@@ -117,6 +118,32 @@ def deduplicate(events: DataFrame, watermark_delay: str = "1 hour") -> DataFrame
     return deduped.unionByName(dead)
 
 
+def _read_watermark(spark: SparkSession, target_dir: str) -> int | None:
+    """Stored high-water event time (epoch millis) of everything committed
+    so far — a tiny JSON side file under ``_watermark`` (underscore-prefixed,
+    so table reads skip it). O(ms) driver-side I/O per batch, replacing the
+    old full-table max() scan. (On an object store this becomes the same
+    one-object GET/PUT the streaming checkpoint files already are.)"""
+    path = os.path.join(target_dir, "_watermark", "high_ms.json")
+    if not os.path.isfile(path):
+        return None
+    import json
+
+    with open(path) as fh:
+        return json.load(fh)["high_ms"]
+
+
+def _write_watermark(spark: SparkSession, target_dir: str, high_ms: int) -> None:
+    import json
+
+    wm_dir = os.path.join(target_dir, "_watermark")
+    os.makedirs(wm_dir, exist_ok=True)
+    tmp = os.path.join(wm_dir, ".high_ms.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"high_ms": int(high_ms)}, fh)
+    os.replace(tmp, os.path.join(wm_dir, "high_ms.json"))  # atomic swap
+
+
 def merge_batch_writer(
     target_dir: str,
     keys: list[str],
@@ -127,49 +154,72 @@ def merge_batch_writer(
     """K1-semantics idempotent sink for foreachBatch — dedup, late-drop and
     merge in ONE pass over the micro-batch.
 
-    - **Effectively-once (T4)**: last-write-wins by key against the whole
-      target, so redeliveries collapse across batches AND restarts. This
-      makes an in-stream dropDuplicates state store redundant — its state
-      only covers the watermark horizon, costs per-batch state files, and
-      (measured) doubled batch latency; the merge's "state" is the target
-      table, maintained anyway.
-    - **Late-drop (T3)**: rows whose event time is older than
-      (target max event time − delay) are back-paginated history
-      (client.ts:272-274) and are dropped before the merge. The watermark
-      advances between batches, exactly like the built-in one.
+    - **Effectively-once (T4)**: last-write-wins by key, so redeliveries
+      collapse across batches AND restarts. This makes an in-stream
+      dropDuplicates state store redundant — its state only covers the
+      watermark horizon, costs per-batch state files, and (measured)
+      doubled batch latency; the merge's "state" is the target table,
+      maintained anyway.
+    - **Touched-partition-only I/O**: the target is partitioned by event-time
+      DAY (sinks.partitioned_upsert with a time bucket_expr) — each batch
+      reads and dynamically overwrites ONLY the days it carries events for.
+      A steady-state stream touches the most recent day or two, so per-batch
+      I/O is O(|recent data|) regardless of how much history the target
+      holds — the reference's in-place ``ON CONFLICT`` (db.utils.ts:30-152)
+      without O(|table|) cost. Time bucketing is merge-key-stable because an
+      event's time is part of its identity (timeline events are immutable;
+      edits arrive as NEW events via relates_to): a redelivery of event_id
+      always lands in the same day partition. Key-hash bucketing (the
+      partitioned_upsert default) would NOT prune here — a large batch of
+      random keys touches every hash bucket.
+    - **Late-drop (T3)**: rows older than (stored high-water event time −
+      delay) are back-paginated history (client.ts:272-274), dropped before
+      the merge. The watermark is a one-row side file maintained
+      monotonically per batch — never derived from a full table scan — and
+      advances exactly like the built-in one: on each batch's input max.
     - Empty batches (availableNow's final commit) are a no-op.
-
-    Test-scale implementation rewrites the target; at production scale the
-    same function body becomes a Delta/Iceberg MERGE INTO or a
-    partition-overwrite limited to the touched partitions — the pipeline
-    around it is unchanged.
     """
 
     def write(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
         spark = batch.sparkSession
-        batch = batch.withColumn("__batch_id", F.lit(batch_id).cast("long"))
-        existing = None
-        if os.path.isdir(target_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(target_dir)
-        ):
-            existing = spark.read.parquet(target_dir)
-        if existing is not None and watermark_delay_ms is not None:
-            high = existing.agg(F.max(event_time_col)).first()[0]
-            if high is not None:
-                cutoff = high - watermark_delay_ms
-                batch = batch.filter(
-                    F.col(event_time_col).isNull() | (F.col(event_time_col) >= cutoff)
+        # one materialization for the whole batch: isEmpty, the watermark
+        # max, the touched-bucket collect and the merge all reuse it —
+        # without this every action re-runs source read + parse
+        batch = batch.withColumn("__batch_id", F.lit(batch_id).cast("long")).persist()
+        try:
+            if batch.isEmpty():
+                return
+            batch_high = None
+            if watermark_delay_ms is not None:
+                batch_high = batch.agg(F.max(event_time_col)).first()[0]
+                stored = _read_watermark(spark, target_dir)
+                if stored is not None:
+                    cutoff = stored - watermark_delay_ms
+                    batch = batch.filter(
+                        F.col(event_time_col).isNull() | (F.col(event_time_col) >= cutoff)
+                    )
+
+            def merge(existing: DataFrame | None, b: DataFrame) -> DataFrame:
+                return latest_by_key(
+                    b if existing is None else existing.unionByName(b),
+                    keys=keys,
+                    order_by=[F.col(order_col).desc_nulls_last(), F.col("__batch_id").desc()],
                 )
-        merged = latest_by_key(
-            batch if existing is None else existing.unionByName(batch),
-            keys=keys,
-            order_by=[F.col(order_col).desc_nulls_last(), F.col("__batch_id").desc()],
-        )
-        # localCheckpoint materializes the merge before the overwrite below
-        # deletes the files it reads from.
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_dir)
+
+            # day-of-event-time bucket; dead-letter rows (null event time)
+            # land in their own -1 partition
+            day_bucket = F.coalesce(
+                F.floor(F.col(event_time_col) / F.lit(86_400_000)), F.lit(-1)
+            ).cast("int")
+            sinks.partitioned_upsert(
+                spark, target_dir, batch, merge, bucket_expr=day_bucket, persist=False
+            )
+            if batch_high is not None:
+                stored = _read_watermark(spark, target_dir)
+                if stored is None or batch_high > stored:
+                    _write_watermark(spark, target_dir, batch_high)
+        finally:
+            batch.unpersist()
 
     return write
 
@@ -246,24 +296,27 @@ def dim_merge_writer(target_dir: str, keys: list[str], tracked: list[str] | None
     deltas (membership changes, room updates) change-detect-merges into the
     dimension table. Unchanged redeliveries are 'keep' rows — no write
     churn; the same skip the reference's `WHERE … IS DISTINCT FROM` clause
-    buys (db.utils.ts:82-86)."""
+    buys (db.utils.ts:82-86). The dimension is hash-bucket partitioned on
+    its key, so a batch touching few members rewrites few buckets — not the
+    whole dimension."""
     from beeper_matric_etl_tool_spark.operators.dedup import latest_by_key_agg
     from beeper_matric_etl_tool_spark.operators.merge import merge_upsert
 
     def write(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
         spark = batch.sparkSession
         # reduce the delta to the LATEST state per key (a bare dropDuplicates
         # would keep an arbitrary row — nondeterministic under retries)
         batch = latest_by_key_agg(batch, keys=keys, max_order_cols=["last_updated"])
-        if os.path.isdir(target_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(target_dir)
-        ):
-            existing = spark.read.parquet(target_dir)
-            merged = merge_upsert(existing, batch.select(*existing.columns),
-                                  keys=keys, tracked=tracked, action_col=None)
-        else:
-            merged = batch
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_dir)
+
+        def merge(existing: DataFrame | None, b: DataFrame) -> DataFrame:
+            if existing is None:
+                return b
+            return merge_upsert(existing, b.select(*existing.columns),
+                                keys=keys, tracked=tracked, action_col=None)
+
+        sinks.partitioned_upsert(spark, target_dir, batch, merge, keys=keys)
 
     return write
 
@@ -298,24 +351,26 @@ def start_dim_maintenance(
 
 def rollup_merge_writer(target_dir: str):
     """Upsert per-window aggregate rows into the rollup table (keyed by
-    window start): arriving batches revise only the windows they touch."""
+    window start): arriving batches revise only the windows they touch —
+    and, the table being bucket-partitioned on the window key, only the
+    buckets holding those windows are read and rewritten (a hypertable
+    chunk rewrite, not a table rewrite)."""
 
     def write(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        if os.path.isdir(target_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(target_dir)
-        ):
-            existing = spark.read.parquet(target_dir)
+
+        def merge(existing: DataFrame | None, b: DataFrame) -> DataFrame:
+            if existing is None:
+                return b
             # update-mode batches carry the REVISED totals for touched
             # windows — replace, don't add
-            merged = existing.join(
-                batch.select("window_start"), on="window_start", how="left_anti"
-            ).unionByName(batch)
-        else:
-            merged = batch
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_dir)
+            return existing.join(
+                b.select("window_start"), on="window_start", how="left_anti"
+            ).unionByName(b.select(*existing.columns))
+
+        sinks.partitioned_upsert(spark, target_dir, batch, merge, keys=["window_start"])
 
     return write
 

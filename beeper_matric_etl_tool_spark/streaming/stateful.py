@@ -81,20 +81,24 @@ def start_user_profiles(
     )
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        import os
+        from beeper_matric_etl_tool_spark import sinks
 
         if batch.isEmpty():
             return
-        if os.path.isdir(target_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(target_dir)
-        ):
-            existing = batch.sparkSession.read.parquet(target_dir)
-            merged = existing.join(
-                batch.select("sender"), on="sender", how="left_anti"
-            ).unionByName(batch)
-        else:
-            merged = batch
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_dir)
+
+        def merge(existing: DataFrame | None, b: DataFrame) -> DataFrame:
+            if existing is None:
+                return b
+            # update-mode batches carry each key's REVISED profile — replace
+            return existing.join(
+                b.select("sender"), on="sender", how="left_anti"
+            ).unionByName(b.select(*existing.columns))
+
+        # hash-bucketed on the profile key: a batch updating few senders
+        # rewrites few buckets, not the whole profile dimension
+        sinks.partitioned_upsert(
+            batch.sparkSession, target_dir, batch, merge, keys=["sender"]
+        )
 
     writer = (
         profiles.writeStream.outputMode("update")
