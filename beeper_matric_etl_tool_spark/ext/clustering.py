@@ -53,8 +53,14 @@ def kmeans(
     id_col: str = "vec_id",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (assignments, centroids). Deterministic init: the k lowest-id
-    vectors seed the centroids."""
-    dim = len(df.select(vec_col).first()[0])
+    vectors seed the centroids.
+
+    The update step is DIMENSION-AGNOSTIC: ``posexplode`` → one partial-
+    combined groupBy on (cluster, position) → sorted re-assembly. No driver
+    dim probe, no per-dimension ``F.sum(vec[i])`` expression list — the old
+    form built `dim` aggregate expressions and blew up analysis/codegen at
+    real embedding widths (768–4096); this one's plan is the same size at
+    dim 8 and dim 4096, and the shuffled aggregate is k·dim rows."""
     # seed ids must come from a REAL ordering (the vector id), not
     # row_number over a constant — post-limit row order is a plan artifact
     # and a seed permutation would flip distance-tie assignments.
@@ -69,23 +75,33 @@ def kmeans(
     assignments = None
     for _ in range(iterations):
         assignments = assign_clusters(df, centroids, vec_col, id_col)
-        # per-dimension mean: aggregate element-wise sums + count, divide.
-        summed = (
+        exploded = (
             df.join(assignments, on=id_col)
-            .groupBy("cluster_id")
+            .select("cluster_id", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        )
+        # per (cluster, dimension): sum + member count in ONE aggregate —
+        # each member contributes exactly one value per position, so
+        # count(val) at any position IS the cluster size
+        means = (
+            exploded.groupBy("cluster_id", "pos")
             .agg(
-                F.array(*[
-                    F.sum(F.col(vec_col).getItem(i).cast("double")) for i in range(dim)
-                ]).alias("__sums"),
+                F.sum(F.col("val").cast("double")).alias("__s"),
                 F.count(F.lit(1)).alias("__n"),
+            )
+            .select(
+                "cluster_id", "pos",
+                (F.col("__s") / F.col("__n")).cast("float").alias("__m"),
             )
         )
         prev = centroids
-        centroids = summed.select(
-            "cluster_id",
-            F.transform(F.col("__sums"), lambda s: (s / F.col("__n")).cast("float")).alias(
-                "centroid"
-            ),
+        centroids = (
+            means.groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "__m"))),
+                    lambda x: x["__m"],
+                ).alias("centroid")
+            )
         ).cache()
         centroids.count()  # materialize before releasing the parent cache
         prev.unpersist()

@@ -7,16 +7,26 @@ stats, hash-dedup of identical payloads) are pure column algebra; the
 only place Python touches bytes, batch-at-a-time, with a stable output
 schema so the surrounding plan (partitioning, pruning) is unaffected.
 
-The actual codec (PIL/librosa/ffmpeg) is not in this container; `_decode`
-is a clearly-marked deterministic stub behind an import-try. The Spark-side
-plumbing — schema, batching, partition behavior — is real and tested; a
-real decoder drops into `_decode` without touching anything else.
+Codecs — REAL decoders, pure NumPy (no PIL/librosa needed):
+
+- **BMP images** (``BM`` magic): header parse (width/height/bpp/offset),
+  uncompressed 24/32-bpp pixel extraction with row padding and bottom-up
+  flip, then channel/luma statistics as the feature vector.
+- **WAV audio** (``RIFF…WAVE`` magic): chunk walk (fmt/data), 16-bit PCM
+  samples, then RMS/zero-crossing/envelope statistics.
+- anything else falls back to a clearly-marked deterministic stub (the
+  synthetic driver payloads are UTF-8 text, exercising exactly this path).
+
+Feature vectors are deterministic functions of the bytes — retried tasks
+produce identical rows, which is the multimodal plane's reproducibility
+contract.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,21 +62,77 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _decode(payload: bytes) -> tuple[int, int, list[float]]:
-    """Stub decoder. A real image path would be:
+def _decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
+    """Uncompressed 24/32-bpp BMP: header fields + padded pixel rows."""
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    data_offset = int.from_bytes(payload[10:14], "little")
+    if bpp not in (24, 32) or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    nch = bpp // 8
+    h = abs(height)
+    row_size = ((width * nch + 3) // 4) * 4  # rows pad to 4-byte boundaries
+    px = np.frombuffer(payload, dtype=np.uint8, count=row_size * h, offset=data_offset)
+    rows = px.reshape(h, row_size)[:, : width * nch].reshape(h, width, nch)
+    if height > 0:  # positive height = bottom-up storage
+        rows = rows[::-1]
+    bgr = rows[:, :, :3].astype(np.float64) / 255.0  # BMP stores BGR
+    luma = 0.114 * bgr[:, :, 0] + 0.587 * bgr[:, :, 1] + 0.299 * bgr[:, :, 2]
+    feats = [
+        float(bgr[:, :, 2].mean()),  # R
+        float(bgr[:, :, 1].mean()),  # G
+        float(bgr[:, :, 0].mean()),  # B
+        float(luma.std()),
+        float(luma.min()),
+        float(luma.max()),
+        # edge proxy: mean absolute horizontal gradient
+        float(np.abs(np.diff(luma, axis=1)).mean()) if width > 1 else 0.0,
+        float(width) / float(max(h, 1)),  # aspect ratio
+    ]
+    return width, h, feats
 
-        from PIL import Image; img = Image.open(io.BytesIO(payload)); ...
 
-    PIL is not available in this container, so we derive a deterministic
-    fake: dimensions from the byte length, features from byte-value moments.
-    Deterministic on purpose — retried tasks must produce identical rows.
-    """
-    try:  # pragma: no cover - the real-codec path
-        import PIL.Image  # noqa: F401
+def _decode_wav(payload: bytes) -> tuple[int, int, list[float]]:
+    """RIFF/WAVE chunk walk; 16-bit PCM features."""
+    if payload[8:12] != b"WAVE":
+        raise NotImplementedError("RIFF but not WAVE")
+    pos, channels, bits, rate, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even sizes
+    if channels is None or data is None or bits != 16:
+        raise NotImplementedError(f"WAV bits={bits}")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    n_frames = len(samples) // channels
+    frames = samples[: n_frames * channels].reshape(n_frames, channels)
+    mono = frames.mean(axis=1)
+    zc = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8))))) if n_frames > 1 else 0.0
+    quarters = np.array_split(mono, 4) if n_frames >= 4 else [mono] * 4
+    feats = [
+        float(np.sqrt(np.mean(mono**2))),  # rms
+        float(np.abs(mono).mean()),
+        float(np.abs(mono).max(initial=0.0)),
+        zc,  # zero-crossing rate
+        *[float(np.sqrt(np.mean(q**2))) if len(q) else 0.0 for q in quarters],
+    ]
+    return n_frames, channels, feats
 
-        raise NotImplementedError("real image decode not wired yet")
-    except ImportError:
-        pass
+
+def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic fallback for non-media payloads (e.g. the synthetic
+    text bytes): dimensions from the byte length, features from byte-value
+    moments. Deterministic on purpose — retried tasks must produce
+    identical rows."""
     n = len(payload)
     width, height = (n % 640) + 1, (n % 480) + 1
     window = max(1, n // FEATURE_DIM)
@@ -75,6 +141,16 @@ def _decode(payload: bytes) -> tuple[int, int, list[float]]:
         for i in range(FEATURE_DIM)
     ]
     return width, height, feats
+
+
+def _decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Dispatch on magic bytes; unsupported sub-formats (compressed BMP,
+    non-16-bit WAV) raise NotImplementedError rather than mis-decoding."""
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        return _decode_bmp(payload)
+    if payload[:4] == b"RIFF" and len(payload) >= 44:
+        return _decode_wav(payload)
+    return _decode_stub(payload)
 
 
 def extract_features(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -97,3 +173,59 @@ def extract_features(with_payload: DataFrame, id_col: str = "doc_id") -> DataFra
             )
 
     return with_payload.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic media generators — used by tests and as wire-format documentation
+# ---------------------------------------------------------------------------
+
+
+def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """A real uncompressed 24-bpp BMP with deterministic pixel content."""
+    nch = 3
+    row_size = ((width * nch + 3) // 4) * 4
+    data_size = row_size * height
+    header = (
+        b"BM"
+        + (54 + data_size).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")  # pixel data offset
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER size
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)  # positive = bottom-up
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB (uncompressed)
+        + data_size.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    rows = bytearray()
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += bytes(
+                [(x * 7 + seed) % 256, (y * 11 + seed) % 256, (x + y + seed) % 256]
+            )
+        row += b"\x00" * (row_size - len(row))
+        rows += row
+    return header + bytes(rows)
+
+
+def make_wav(n_frames: int, channels: int = 1, rate: int = 8000, seed: int = 0) -> bytes:
+    """A real 16-bit PCM WAV with a deterministic sine-ish signal."""
+    t = np.arange(n_frames * channels, dtype=np.float64)
+    signal = (np.sin(t * 0.1 + seed) * 16000).astype("<i2").tobytes()
+    byte_rate = rate * channels * 2
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    data = b"data" + len(signal).to_bytes(4, "little") + signal
+    riff_body = b"WAVE" + fmt + data
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body

@@ -1,30 +1,83 @@
 """Similarity search over embedding columns (SURVEY §2.12).
 
-The dot product / cosine is pure column algebra — ``zip_with`` multiply +
-``aggregate`` sum run inside codegen on the JVM; no Python, no UDF. Two
-search strategies:
+Two search strategies:
 
 - **Brute force** (`cosine_topk`): broadcast the (small) query set against
   the corpus, window top-k per query. Exact; cost O(|queries|·|corpus|·dim).
   The baseline and the oracle-checkable path.
-- **IVF-style partition pruning** (`cosine_topk_partitioned`): restrict each
-  probe to its coarse partition (here the `label` column stands in for a
-  centroid assignment; a real pipeline k-means-assigns offline). Cost drops
-  by the partition fan-out; the partition key also becomes the parquet
-  partition column at scale, so a probe reads ~1/k of the data — classic
-  IVF with nprobe=1.
+- **IVF-style partition pruning** (`cosine_topk` with ``partition_col``):
+  restrict each probe to its coarse partition (a `label` column or a
+  k-means assignment). Cost drops by the partition fan-out; the partition
+  key also becomes the parquet partition column at scale, so a probe reads
+  ~1/k of the data — classic IVF with nprobe=1.
 
-Determinism contract: ranking uses the raw double cosine with vec_id as
-tie-break; float arithmetic is sequential left-fold in both Spark and the
-oracle, so scores agree bit-for-bit on the same float32 inputs.
+Determinism contract — **quantized-integer scoring**: embeddings are
+quantized component-wise to floor(x·2¹⁶) before any arithmetic. Integer
+dot products are order-independent and every partial sum here stays below
+2⁵³ (dim 64, |x| < 1 ⇒ dot < 1e11), so the SAME exact integers come out of
+numpy's BLAS matmul, DuckDB's fold, and Spark's codegen — bit-identical
+regardless of summation order or SIMD. Float dot products cannot make that
+promise (pairwise vs sequential summation differs in the last ulp, which
+flips a floor() at unpredictable scale factors). The ~2⁻¹⁶ relative
+quantization error is orders below any meaningful cosine difference.
+
+The pairwise dot has two implementations, both producing the SAME exact
+integers over quantized vectors:
+
+- ``dot`` — JVM ``zip_with/aggregate`` fold: zero serialization, stays in
+  the join stage. MEASURED faster at this shape (dim 64, ~16k pairs at
+  sf0.1: ~0.4 s vs ~1.0 s) — Arrow transfer of both arrays per pair
+  dominates small-dim workloads.
+- ``dot_rows`` — Arrow-batched ``pandas_udf`` rowwise NumPy product: pays
+  per-pair array serialization once but vectorizes the arithmetic; the
+  right choice once dim × pairs is large (≥ ~256-dim embeddings or ≥ 1e6
+  candidate pairs), where interpreted per-element eval loses to BLAS.
+
+``cosine_topk(use_arrow=...)`` selects; default JVM per the measurement.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+#: component quantization factor — floor(x * QUANT) per component
+QUANT_BITS = 16
+QUANT = float(1 << QUANT_BITS)
 
+
+def quantize(col: Column) -> Column:
+    """array<float> → array<double> holding EXACT integer values
+    floor(x·2¹⁶) — double because DuckDB's list arithmetic and Arrow agree
+    on it, and every value/partial sum stays < 2⁵³ (exact)."""
+    return F.transform(col, lambda x: F.floor(x.cast("double") * F.lit(QUANT)))
+
+
+_DOT_ROWS_UDF = None
+
+
+def dot_rows(a: Column, b: Column) -> Column:
+    """Rowwise dot product of two quantized array columns — Arrow-batched
+    pandas_udf, one einsum per batch. Inputs are integer-valued doubles, so
+    the result is exact (no summation-order sensitivity). UDF construction
+    is lazy: decorating at import time would demand a live SparkSession."""
+    global _DOT_ROWS_UDF
+    if _DOT_ROWS_UDF is None:
+
+        @F.pandas_udf("double")
+        def _udf(x: pd.Series, y: pd.Series) -> pd.Series:
+            A = np.vstack(x.to_numpy())
+            B = np.vstack(y.to_numpy())
+            return pd.Series(np.einsum("ij,ij->i", A, B))
+
+        _DOT_ROWS_UDF = _udf
+    return _DOT_ROWS_UDF(a, b)
+
+
+# JVM-side float fold — kept for callers without cross-engine contracts
+# (k-means distances) where staying inside codegen beats Arrow transfer.
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ as a left-fold — JVM-side, no UDF."""
     return F.aggregate(
@@ -51,36 +104,39 @@ def cosine_topk(
     query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     partition_col: str | None = None,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Top-k cosine neighbors per query row (self-matches excluded).
 
     ``queries`` is broadcast (it is the small side by construction); the scan
     over ``corpus`` is a single pass. With ``partition_col`` set, candidate
     pairs are additionally required to share that column — the IVF pruning.
+
+    Scoring: cosine_ppm = floor(1e6·dotq/(‖q‖·‖c‖)) over QUANTIZED vectors
+    (see module docstring); each side's squared norm is computed once, not
+    per pair. ``use_arrow`` flips the pairwise stage to the NumPy
+    pandas_udf — same exact integers, faster only at large dim × pairs.
     """
+    pair_dot = dot_rows if use_arrow else dot
     part_q = [F.col(partition_col).alias("__part")] if partition_col else []
-    # precompute each side's norm ONCE — naive cosine-per-pair would redo the
-    # |corpus| norm folds |queries| times (and vice versa)
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv"), *part_q
-    ).withColumn("__qn", norm(F.col("__qv")))
+        F.col(query_id).alias("query_id"), quantize(F.col(query_vec)).alias("__qv"), *part_q
+    ).withColumn("__qn2", pair_dot(F.col("__qv"), F.col("__qv")))
     c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv"), *part_q
-    ).withColumn("__cn", norm(F.col("__cv")))
+        F.col(corpus_id).alias("neighbor_id"), quantize(F.col(corpus_vec)).alias("__cv"), *part_q
+    ).withColumn("__cn2", pair_dot(F.col("__cv"), F.col("__cv")))
     if partition_col is not None:
         pairs = F.broadcast(q).join(c, on="__part").drop("__part")
     else:
         pairs = F.broadcast(q).crossJoin(c)
-    # ppm fixed-point: floor of bit-identical doubles is reproducible across
-    # engines; round() is not (decimal-boundary ulp flips). The association
-    # ORDER matters for bit-identity: (1e6·dot)/(na·nb), matching the SQL
-    # oracle's `1000000 * dot / (...)` parse and search_ivf — 1e6·(dot/norms)
-    # can differ by 1 ulp and flip the floor.
+    # 1e6·dot exceeds 2^53, but both engines round the SAME mathematically
+    # exact integer product to double (1e6 and dot are each exact), so the
+    # floor is still engine-independent.
     scored = pairs.filter(F.col("query_id") != F.col("neighbor_id")).withColumn(
         "cosine_ppm",
         F.floor(
-            (F.lit(1_000_000.0) * dot(F.col("__qv"), F.col("__cv")))
-            / (F.col("__qn") * F.col("__cn"))
+            (F.lit(1_000_000.0) * pair_dot(F.col("__qv"), F.col("__cv")))
+            / (F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__cn2")))
         ).cast("long"),
     )
     w = Window.partitionBy("query_id").orderBy(

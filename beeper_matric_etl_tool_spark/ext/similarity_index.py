@@ -74,28 +74,27 @@ def search_ivf(
     # bind candidates to EACH query's own probed clusters: the equi-join on
     # (cluster_id) against the per-query probe map is the pruning step —
     # a query never scores a vector outside its nprobe clusters.
-    from beeper_matric_etl_tool_spark.ext.similarity import dot, norm
+    from beeper_matric_etl_tool_spark.ext.similarity import dot, quantize
 
-    qn = q.withColumn("__qn", norm(F.col(vec_col))).select(
-        F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv"), "__qn"
-    )
+    qn = q.withColumn("__qv", quantize(F.col(vec_col))).withColumn(
+        "__qn2", dot(F.col("__qv"), F.col("__qv"))
+    ).select(F.col(id_col).alias("__qid"), "__qv", "__qn2")
     cand = (
         F.broadcast(probe_map)
         .join(vectors, on="cluster_id")
         .select(
             "__qid",
             F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__cv"),
+            quantize(F.col(vec_col)).alias("__cv"),
         )
         .filter(F.col("__qid") != F.col("neighbor_id"))
-        .withColumn("__cn", norm(F.col("__cv")))
+        .withColumn("__cn2", dot(F.col("__cv"), F.col("__cv")))
     )
     scored = cand.join(F.broadcast(qn), on="__qid").withColumn(
         "cosine_ppm",
         F.floor(
-            F.lit(1_000_000)
-            * dot(F.col("__qv"), F.col("__cv"))
-            / (F.col("__qn") * F.col("__cn"))
+            (F.lit(1_000_000.0) * dot(F.col("__qv"), F.col("__cv")))
+            / (F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__cn2")))
         ).cast("long"),
     )
     w2 = Window.partitionBy("__qid").orderBy(

