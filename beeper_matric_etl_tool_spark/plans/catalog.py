@@ -607,7 +607,13 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same key, and the per-customer rollup then needs count(*) instead
     of an expensive count(DISTINCT) expansion. The (small) customer dim
     joins broadcast; ranking is rounded-revenue with key tie-break so
-    top-10 selection is engine-independent."""
+    top-10 selection is engine-independent.
+
+    The pre-agg⋈orders join is hinted SHUFFLE_HASH (build = the 2-column
+    pre-agg): orders is NOT broadcastable at 100 TB, but static stats rank
+    it under the threshold at bench scale and broadcast it — the hint keeps
+    the scale-correct co-shuffle on the order key, sort-free, and measures
+    ~20% faster here too."""
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
@@ -615,7 +621,7 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_cents = fx.cents(F.col("l_discount"))
     per_order = l.groupBy("l_orderkey").agg(
         F.sum(price_cents * (F.lit(100) - disc_cents)).alias("__order_rev_c4")
-    )
+    ).hint("SHUFFLE_HASH")
     revenue = (
         per_order.join(o, per_order["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_custkey")
@@ -908,8 +914,15 @@ def message_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-shaped: selective dimension filter broadcast-semi-reduces
     orders BEFORE the fact join; both date predicates push into the scans.
-    The grouped key is the join key, so the aggregation reuses the join
-    partitioning (no extra shuffle)."""
+
+    The fact⋈fact join is hinted SHUFFLE_HASH with the reduced-orders side
+    as build: neither side is broadcastable at 100 TB (a hard
+    ``F.broadcast`` here would be an executor-OOM hazard at scale), but
+    static stats can't see the two date filters' selectivity and — measured
+    — pick a broadcast that hash-builds the LINEITEM side, the bigger one.
+    The hint shuffles both sides on the order key and per-partition
+    hash-builds the smaller, sort-free — the standard fact-fact shape, and
+    ~2× faster than the stats-blind plan at bench scale."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
@@ -922,7 +935,8 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(
             o.join(F.broadcast(c.select("c_custkey")), o["o_custkey"] == F.col("c_custkey"))
-            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            .select("o_orderkey", "o_orderdate", "o_orderpriority")
+            .hint("SHUFFLE_HASH"),
             l["l_orderkey"] == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")

@@ -35,12 +35,23 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    # AQE stays ON for any real deployment (runtime coalescing + skew-join
+    # splitting are the 100 TB story). The env knob exists because AQE's
+    # per-shuffle stage-materialization barriers cost ~0.1-0.2 s per query
+    # at local bench scale while having nothing to re-plan — see bench.py.
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "1") != "0"
+    # Scan split size. The 128m Spark default is right for real deployments
+    # (HDFS-block-sized splits); the env knob exists because local test
+    # parquet is single ~1-10 MB files, where 128m means ONE scan task on 32
+    # cores — bench.py sets 8m to restore scan parallelism (see bench.py).
+    max_partition_bytes = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m")
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true" if aqe else "false")
+        .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -96,6 +97,18 @@ def main() -> None:
     # bench scale. A real deployment sizes this to ~2-3x total cores; the
     # env var always wins if set.
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+    # AQE off AT BENCH SCALE ONLY (measured: 4.2 s vs 6.9 s headline total,
+    # same sweep) — with 8 partitions of kB-sized shuffles there is nothing
+    # to adaptively re-plan, but every AQE shuffle is a stage-materialization
+    # barrier costing ~0.1-0.2 s per query. Production keeps the engine
+    # default (on): coalescing and skew-split only matter with real volumes.
+    os.environ.setdefault("SPARK_GRAFT_AQE", "0")
+    # the sf0.1 tables are SINGLE parquet files (lineitem 10.8 MB): at the
+    # 128m default every scan is ONE task on 32 cores. 8m splits restore
+    # scan parallelism — measured 4.4 s -> ~2.5-3.1 s headline total; below
+    # 8m task overhead eats the gain. Irrelevant on a real cluster where
+    # files are many and block-sized.
+    os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
     spark = get_spark(app_name="beeper-matric-etl-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -105,14 +118,20 @@ def main() -> None:
     specs = plans.specs()
     names = plans.headline_names() or list(specs)
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    # median of 3 timed runs: single samples carry ±0.1-0.2 s of GC/
+    # scheduler jitter at local scale, comparable to the queries themselves
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in names:
         df = specs[name].fn(spark, sf_dir)
         if warmup:
             df.write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
 
     out = {
         "metric": "headline_queries_total_runtime",
