@@ -62,8 +62,9 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
-    """Uncompressed 24/32-bpp BMP: header fields + padded pixel rows."""
+def _bmp_pixels(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bpp BMP → (h, w, ch) uint8 pixel array in BGR
+    channel order, top-down row order (bottom-up storage flipped)."""
     width = int.from_bytes(payload[18:22], "little", signed=True)
     height = int.from_bytes(payload[22:26], "little", signed=True)
     bpp = int.from_bytes(payload[28:30], "little")
@@ -78,6 +79,39 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
     rows = px.reshape(h, row_size)[:, : width * nch].reshape(h, width, nch)
     if height > 0:  # positive height = bottom-up storage
         rows = rows[::-1]
+    return rows
+
+
+def _encode_bmp(bgr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 BGR top-down array → real uncompressed 24-bpp BMP
+    bytes (bottom-up storage, 4-byte row padding) — the inverse of
+    :func:`_bmp_pixels`, vectorized."""
+    h, w, _ = bgr.shape
+    row_size = ((w * 3 + 3) // 4) * 4
+    padded = np.zeros((h, row_size), dtype=np.uint8)
+    padded[:, : w * 3] = bgr[::-1].reshape(h, w * 3)  # bottom-up
+    data = padded.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)  # positive = bottom-up
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + data
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
+    """Uncompressed 24/32-bpp BMP: header fields + padded pixel rows."""
+    rows = _bmp_pixels(payload)
+    h, width = rows.shape[0], rows.shape[1]
     bgr = rows[:, :, :3].astype(np.float64) / 255.0  # BMP stores BGR
     luma = 0.114 * bgr[:, :, 0] + 0.587 * bgr[:, :, 1] + 0.299 * bgr[:, :, 2]
     feats = [
@@ -94,8 +128,9 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
     return width, h, feats
 
 
-def _decode_wav(payload: bytes) -> tuple[int, int, list[float]]:
-    """RIFF/WAVE chunk walk; 16-bit PCM features."""
+def _wav_pcm(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """RIFF/WAVE chunk walk → (frames float64 (n, channels) in [-1, 1),
+    sample_rate, channels). 16-bit PCM only."""
     if payload[8:12] != b"WAVE":
         raise NotImplementedError("RIFF but not WAVE")
     pos, channels, bits, rate, data = 12, None, None, None, None
@@ -114,7 +149,13 @@ def _decode_wav(payload: bytes) -> tuple[int, int, list[float]]:
         raise NotImplementedError(f"WAV bits={bits}")
     samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     n_frames = len(samples) // channels
-    frames = samples[: n_frames * channels].reshape(n_frames, channels)
+    return samples[: n_frames * channels].reshape(n_frames, channels), rate, channels
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, list[float]]:
+    """16-bit PCM features over the chunk-walked samples."""
+    frames, _rate, channels = _wav_pcm(payload)
+    n_frames = frames.shape[0]
     mono = frames.mean(axis=1)
     zc = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8))))) if n_frames > 1 else 0.0
     quarters = np.array_split(mono, 4) if n_frames >= 4 else [mono] * 4
@@ -173,6 +214,129 @@ def extract_features(with_payload: DataFrame, id_col: str = "doc_id") -> DataFra
             )
 
     return with_payload.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+#: output schema of the image-resize stage
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    with_payload: DataFrame, width: int, height: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Image-resize stage: decode BMP → nearest-neighbor resample → re-encode
+    as real BMP bytes. Arrow-batched ``mapInPandas`` like the feature stage;
+    output payloads are themselves decodable by this module (round-trip
+    pinned by test). Non-image / unsupported payloads yield a null payload
+    with ``error`` set (the dead-letter pattern — never silently dropped,
+    never mis-decoded). Deterministic: same bytes in, same bytes out,
+    whatever the partitioning or retry history."""
+
+    def _resize_one(p: bytes) -> tuple[bytes | None, str | None]:
+        try:
+            if not (p[:2] == b"BM" and len(p) >= 54):
+                raise NotImplementedError("not a BMP payload")
+            src = _bmp_pixels(p)[:, :, :3]
+            sh, sw = src.shape[0], src.shape[1]
+            # nearest-neighbor: sample at output-pixel centers
+            yi = np.minimum((np.arange(height) + 0.5) * sh / height, sh - 1).astype(np.int64)
+            xi = np.minimum((np.arange(width) + 0.5) * sw / width, sw - 1).astype(np.int64)
+            return _encode_bmp(np.ascontiguousarray(src[yi][:, xi])), None
+        except NotImplementedError as exc:
+            return None, f"resize_error: {exc}"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [_resize_one(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "payload": [o[0] for o in out],
+                    "error": [o[1] for o in out],
+                }
+            )
+
+    return with_payload.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+#: output schema of the audio frame-sampling stage — one row per frame
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+    ]
+)
+
+
+def sample_audio_frames(
+    with_payload: DataFrame,
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audio frame-sampling stage: WAV payload → overlapping analysis frames
+    (``frame_ms`` window, ``hop_ms`` stride — the classic 25/10 speech
+    framing) → one output row per frame with RMS / peak / zero-crossing
+    rate. The row explosion happens INSIDE the Arrow batch (one vectorized
+    strided view per payload, one output pdf per input batch), so the
+    surrounding plan sees an ordinary 1→N mapInPandas stage it can
+    repartition like any other. Non-audio payloads produce no frames —
+    callers filter the manifest by magic/mime first; a mixed corpus is not
+    an error condition."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, starts, rmss, peaks, zcrs = [], [], [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                p = bytes(p)
+                if p[:4] != b"RIFF" or len(p) < 44:
+                    continue
+                try:
+                    frames, rate, _ = _wav_pcm(p)
+                except NotImplementedError:
+                    continue
+                mono = frames.mean(axis=1)
+                flen = max(1, rate * frame_ms // 1000)
+                hop = max(1, rate * hop_ms // 1000)
+                n = 1 + max(0, (len(mono) - flen)) // hop
+                if len(mono) < flen:
+                    n = 0
+                if n == 0:
+                    continue
+                # strided view: (n, flen) windows, zero copy
+                win = np.lib.stride_tricks.sliding_window_view(mono, flen)[::hop][:n]
+                sign_changes = np.abs(np.diff(np.signbit(win).astype(np.int8), axis=1))
+                ids.extend([doc_id] * n)
+                idxs.extend(range(n))
+                starts.extend((np.arange(n) * hop * 1000 // rate).tolist())
+                rmss.extend(np.sqrt((win**2).mean(axis=1)).tolist())
+                peaks.extend(np.abs(win).max(axis=1).tolist())
+                zcrs.extend(sign_changes.mean(axis=1).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "start_ms": pd.Series(starts, dtype="int64"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                    "peak": pd.Series(peaks, dtype="float64"),
+                    "zcr": pd.Series(zcrs, dtype="float64"),
+                }
+            )
+
+    return with_payload.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,7 @@ sys.path.insert(0, REPO)
 from beeper_matric_etl_tool_spark import get_spark, plans  # noqa: E402
 
 
-def _bench_streaming_ingest(spark, sf_dir: str) -> tuple[float, float]:
+def _bench_streaming_ingest(spark, sf_dir: str) -> tuple[float, float, dict]:
     """Time the full streaming ETL path: NDJSON event pages → readStream →
     parse/dead-letter → watermarked dedup → idempotent merge sink (drain
     with availableNow). Measures the ingestion half of the engine, which
@@ -75,6 +75,15 @@ def _bench_streaming_ingest(spark, sf_dir: str) -> tuple[float, float]:
         q = ingest.start_ingest(spark, src, tgt, ckpt, available_now=True)
         q.awaitTermination(600)
         bulk = time.perf_counter() - t0
+        detail = {"bulk_rows_per_sec": None, "bulk_stages_ms": None}
+        progress = [p for p in q.recentProgress if p.get("numInputRows")]
+        if progress:
+            rows = sum(p["numInputRows"] for p in progress)
+            detail["bulk_rows_per_sec"] = round(rows / bulk, 1)
+            # per-stage breakdown of the engine's own accounting for the
+            # largest batch: source read/plan vs sink merge vs offset commits
+            big = max(progress, key=lambda p: p["numInputRows"])
+            detail["bulk_stages_ms"] = big.get("durationMs")
 
         # steady-state page: the 1000 newest events redelivered (same ids →
         # pure upsert into the most recent day partitions)
@@ -84,7 +93,7 @@ def _bench_streaming_ingest(spark, sf_dir: str) -> tuple[float, float]:
         q = ingest.start_ingest(spark, src, tgt, ckpt, available_now=True)
         q.awaitTermination(600)
         incremental = time.perf_counter() - t1
-        return bulk, incremental
+        return bulk, incremental, detail
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -141,9 +150,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
-        bulk, incremental = _bench_streaming_ingest(spark, sf_dir)
+        bulk, incremental, detail = _bench_streaming_ingest(spark, sf_dir)
         out["streaming_ingest_sec"] = round(bulk, 4)
         out["streaming_incremental_sec"] = round(incremental, 4)
+        out["streaming_detail"] = detail
     print(json.dumps(out))
 
 

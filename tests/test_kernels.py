@@ -153,6 +153,58 @@ def test_multimodal_decodes_real_bmp_and_wav(spark):
     assert len(out[3].feature) == xmm.FEATURE_DIM  # stub path still works
 
 
+def test_multimodal_resize_roundtrip_and_dead_letter(spark):
+    """resize: nearest-neighbor over real BMP pixels, re-encoded as real BMP
+    (output decodable by the same codec); non-image payloads dead-letter
+    with error set rather than dropping or mis-decoding."""
+    import numpy as np
+
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+
+    bmp = xmm.make_bmp(16, 12, seed=5)
+    rows = [(1, bytearray(bmp)), (2, bytearray(b"not an image"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").repartition(2)
+    out = {r.doc_id: r for r in xmm.resize_images(df, width=8, height=6).collect()}
+    assert out[1].error is None
+    w, h, _ = xmm._decode(bytes(out[1].payload))
+    assert (w, h) == (8, 6)
+    # nearest-neighbor at exact 2x downscale: output pixel (y,x) == source
+    # pixel (2y+1, 2x+1) (sample-at-center)
+    src = xmm._bmp_pixels(bmp)
+    dst = xmm._bmp_pixels(bytes(out[1].payload))
+    assert np.array_equal(dst, src[1::2][:, 1::2])
+    assert out[2].payload is None and "resize_error" in out[2].error
+    # determinism under recompute
+    again = {r.doc_id: r for r in xmm.resize_images(df, width=8, height=6).collect()}
+    assert bytes(again[1].payload) == bytes(out[1].payload)
+
+
+def test_multimodal_audio_frame_sampling(spark):
+    """frame-sample: 25/10 ms framing of 16-bit PCM; frame count, spacing
+    and energy match a NumPy reference; non-audio rows yield no frames."""
+    import numpy as np
+
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+
+    rate = 8000
+    n = 2 * rate  # 2 s
+    wav = xmm.make_wav(n, channels=1, rate=rate, seed=2)
+    rows = [(1, bytearray(wav)), (2, bytearray(b"text payload"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    frames = xmm.sample_audio_frames(df, frame_ms=25, hop_ms=10).collect()
+    assert {r.doc_id for r in frames} == {1}
+    flen, hop = rate * 25 // 1000, rate * 10 // 1000
+    expected_n = 1 + (n - flen) // hop
+    assert len(frames) == expected_n
+    by_idx = sorted(frames, key=lambda r: r.frame_idx)
+    assert by_idx[1].start_ms - by_idx[0].start_ms == 10
+    # energy: steady full-ish sine -> every frame RMS near global RMS
+    pcm, _, _ = xmm._wav_pcm(wav)
+    global_rms = float(np.sqrt((pcm.mean(axis=1) ** 2).mean()))
+    assert all(abs(r.rms - global_rms) < 0.1 for r in by_idx)
+    assert all(0.0 < r.zcr < 0.5 and r.peak <= 1.0 for r in by_idx)
+
+
 def test_sinks_indexed_layout_and_keyed_update(spark, tmp_path):
     from beeper_matric_etl_tool_spark import sinks
 
