@@ -1,7 +1,7 @@
 """Distributed k-means over embedding columns — the offline half of IVF
 similarity search (SURVEY §2.12 scale path).
 
-`knn_ivf` prunes probes to a coarse partition; this module *builds* that
+`knn_search` (ivf strategy) prunes probes to a coarse partition; this module *builds* that
 partition assignment when none exists. Lloyd's algorithm as pure DataFrame
 ops per iteration:
 

@@ -96,24 +96,49 @@ def jaccard_pairs(
     )
 
 
+def portable_hash60(col: Column) -> Column:
+    """60-bit integer hash any engine reproduces: the first 15 hex chars of
+    md5, parsed base-16. 15 chars keep the value < 2⁶⁰, inside SIGNED
+    BIGINT range everywhere (DuckDB: ``CAST('0x'||substr(md5(x),1,15) AS
+    BIGINT)``). xxhash64 is faster JVM-side but engine-private — use it
+    when nothing downstream crosses engines."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 32,
     shingle_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
-    """(id, signature array<long>) — signature[i] = min over shingles of a
-    seeded xxhash64. Seeding via salt concat keeps it one JVM hash call per
-    (shingle, i); the whole signature is one nested array expression."""
+    """(id, signature) — signature[i] = min over shingles of a seeded hash.
+    Seeding via salt concat keeps it one hash call per (shingle, i); the
+    whole signature is one nested array expression.
+
+    ``portable=False`` (default): seeded xxhash64, array<long> — the fast
+    JVM path. ``portable=True``: md5 of ``"i:shingle"``, array<string>
+    minima under lexicographic order — bit-identical in any engine with
+    md5 (the DuckDB oracle story); ~2-3× the hash cost, same plan shape."""
     toks = tokens(text_col)
     sh = shingles(toks, shingle_k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(s, i))
-        ),
-    )
+    if portable:
+        sig = F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s))
+                )
+            ),
+        )
+    else:
+        sig = F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(sh, lambda s: F.xxhash64(s, i))
+            ),
+        )
     return df.select(F.col(id_col), sig.alias("signature"))
 
 
@@ -123,6 +148,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     sig_col: str = "signature",
     num_hashes: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing ≥1 LSH band.
 
@@ -143,12 +169,13 @@ def lsh_candidate_pairs(
             f"{num_hashes - bands * (num_hashes // bands)} signature hash(es) "
             f"from every band"
         )
+    band_key = F.md5 if portable else F.xxhash64
     rows = signatures.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
+                lambda b: band_key(
                     F.concat_ws(",", F.slice(
                         F.col(sig_col),
                         b * (F.size(F.col(sig_col)) / bands).cast("int") + 1,
@@ -176,14 +203,15 @@ def near_dedup_minhash(
     shingle_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Full near-dup funnel: LSH candidates → exact-Jaccard verify → keep
     pairs ≥ threshold. Returns verified duplicate pairs (id_a < id_b) with
     the similarity as exact integer ppm — floor((1e6·|a∩b|)/|a∪b|), the
     repo-wide fixed-point rule; float round() is not reproducible across
     engines at decimal boundaries."""
-    sigs = minhash_signatures(df, num_hashes, shingle_k, text_col, id_col)
-    cands = lsh_candidate_pairs(sigs, bands, id_col, num_hashes=num_hashes)
+    sigs = minhash_signatures(df, num_hashes, shingle_k, text_col, id_col, portable=portable)
+    cands = lsh_candidate_pairs(sigs, bands, id_col, num_hashes=num_hashes, portable=portable)
     sh = df.select(F.col(id_col), shingles(tokens(text_col), shingle_k).alias("__sh"))
     inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
     union = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
@@ -208,18 +236,32 @@ SIMHASH_BITS = 64
 SIMHASH_BANDS = 4
 
 
+#: signature width of the PORTABLE simhash: 15 md5 hex chars = 60 bits
+#: (the widest hex prefix whose value fits SIGNED BIGINT in every engine)
+SIMHASH_BITS_PORTABLE = 60
+
+
 def simhash_bits(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_bits: int = SIMHASH_BITS,
+    n_bits: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
-    """(id, bits array<int>[n_bits]) — classic SimHash: per-token xxhash64,
+    """(id, bits array<int>[n_bits]) — classic SimHash: per-token hash,
     each bit position votes ±1, the sign of the vote sum is the signature
-    bit. One explode + one groupBy (single shuffle on the id); the 64
-    per-bit sums are columnar aggregates the codegen fuses into one pass."""
+    bit. One explode + one groupBy (single shuffle on the id); the
+    per-bit sums are columnar aggregates the codegen fuses into one pass.
+
+    ``portable=True`` swaps xxhash64 for :func:`portable_hash60` (60-bit
+    md5 prefix) so the WHOLE signature — and therefore candidates and
+    hamming scores — is engine-reproducible; everything downstream of the
+    hash is plain arithmetic in any SQL dialect."""
+    if n_bits is None:
+        n_bits = SIMHASH_BITS_PORTABLE if portable else SIMHASH_BITS
     toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
-    hashed = toked.withColumn("__h", F.xxhash64("__tok"))
+    token_hash = portable_hash60(F.col("__tok")) if portable else F.xxhash64("__tok")
+    hashed = toked.withColumn("__h", token_hash)
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -238,6 +280,7 @@ def simhash_candidate_pairs(
     max_hamming: int,
     id_col: str = "doc_id",
     bands: int = SIMHASH_BANDS,
+    n_bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """(id_a < id_b, hamming) pairs with hamming distance ≤ max_hamming.
 
@@ -248,16 +291,18 @@ def simhash_candidate_pairs(
 
     The guarantee REQUIRES max_hamming ≤ bands-1 and the bands to cover
     every bit; both are enforced — a silent partial result would read as
-    "no near-duplicates" exactly when it matters.
+    "no near-duplicates" exactly when it matters. The signature width is
+    taken from ``n_bits`` (pass :data:`SIMHASH_BITS_PORTABLE` when the
+    signatures came from the portable hash).
     """
     if max_hamming > bands - 1:
         raise ValueError(
             f"banding guarantees recall only for max_hamming <= bands-1 "
             f"(got max_hamming={max_hamming}, bands={bands}); raise `bands`"
         )
-    if SIMHASH_BITS % bands != 0:
-        raise ValueError(f"bands={bands} must divide SIMHASH_BITS={SIMHASH_BITS}")
-    width = SIMHASH_BITS // bands
+    if n_bits % bands != 0:
+        raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
+    width = n_bits // bands
     banded = sigs.select(
         F.col(id_col),
         F.col("bits"),

@@ -305,24 +305,114 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "near_dup_pairs",
     tags=("ext-dedup",),
-    oracle=None,  # engine-private hash (xxhash64) on both paths — verified by
-    # pytest with planted near-duplicates (rows-only driver check)
+    # FULLY oracled: both funnels run on the PORTABLE hash family (md5
+    # minima / 60-bit md5-prefix integers), so signatures, bands, candidates
+    # and scores are bit-identical in DuckDB — no engine-private hash left.
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, str_split(text, ' ') AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(t) - 2, 1)),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' ')
+                   )) AS s
+            FROM toks
+        ),
+        -- minhash: 32 md5-string minima, 8 bands of 4, md5 band keys
+        sig AS (
+            SELECT doc_id,
+                   list_transform(generate_series(0, 31),
+                       i -> list_min(list_transform(
+                                s, x -> md5(CAST(i AS VARCHAR) || ':' || x)))
+                   ) AS sig
+            FROM sh
+        ),
+        mh_bands AS (
+            SELECT doc_id, b AS band_id,
+                   md5(array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ','))
+                       AS band_hash
+            FROM sig CROSS JOIN range(0, 8) r(b)
+        ),
+        mh_cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM mh_bands a JOIN mh_bands b USING (band_id, band_hash)
+            WHERE a.doc_id < b.doc_id
+        ),
+        mh AS (
+            SELECT 'minhash' AS method, c.id_a, c.id_b,
+                   CAST((1000000 * len(list_intersect(sa.s, sb.s)))
+                        // len(list_distinct(list_concat(sa.s, sb.s)))
+                        AS BIGINT) AS score
+            FROM mh_cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b
+            WHERE len(list_intersect(sa.s, sb.s))
+                  / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)
+                  >= 0.5
+        ),
+        -- simhash: 60-bit md5-prefix token hash, sign-of-votes bits,
+        -- pigeonhole banding 4 x 15 bits, hamming verify on candidates
+        tok_h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(unnest(t)), 1, 15)) AS BIGINT) AS h
+            FROM toks
+        ),
+        sim_bit AS (
+            SELECT doc_id, j,
+                   CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                        THEN 1 ELSE 0 END AS bit
+            FROM tok_h CROSS JOIN range(0, 60) r(j)
+            GROUP BY doc_id, j
+        ),
+        sim_sig AS (
+            SELECT doc_id, list(bit ORDER BY j) AS bits FROM sim_bit GROUP BY doc_id
+        ),
+        sim_bands AS (
+            SELECT doc_id, b AS band_id,
+                   array_to_string(list_slice(bits, b*15 + 1, b*15 + 15), '')
+                       AS band_value
+            FROM sim_sig CROSS JOIN range(0, 4) r(b)
+        ),
+        sim_cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sim_bands a JOIN sim_bands b USING (band_id, band_value)
+            WHERE a.doc_id < b.doc_id
+        ),
+        sim AS (
+            SELECT 'simhash' AS method, c.id_a, c.id_b,
+                   CAST(list_sum(list_transform(generate_series(1, 60),
+                            i -> abs(sa.bits[i] - sb.bits[i]))) AS BIGINT) AS score
+            FROM sim_cand c
+            JOIN sim_sig sa ON sa.doc_id = c.id_a
+            JOIN sim_sig sb ON sb.doc_id = c.id_b
+            WHERE list_sum(list_transform(generate_series(1, 60),
+                      i -> abs(sa.bits[i] - sb.bits[i]))) <= 3
+        )
+        SELECT * FROM mh UNION ALL SELECT * FROM sim
+    """,
 )
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both hash-sketch near-dup funnels in one relation:
-    method='minhash' — shingle → 32 minhashes → 8 bands → band-equi-join →
+    method='minhash' — shingle → 32 md5-minima → 8 bands → band-equi-join →
     exact-Jaccard verify ≥0.5, score = verified jaccard ppm;
-    method='simhash' — 64-bit sign-of-votes signature, pigeonhole banding
-    (4×16 bits), score = hamming distance ≤ 3 on candidates only.
+    method='simhash' — 60-bit sign-of-votes signature over the portable
+    md5-prefix token hash, pigeonhole banding (4×15 bits), score = hamming
+    distance ≤ 3 on candidates only.
     Linear-scale candidate generation in both: the only shuffle is the
-    band-key equi-join, never an all-pairs cross."""
+    band-key equi-join, never an all-pairs cross. Portable hash family
+    (ext/dedup.py:portable_hash60) — every intermediate is reproducible by
+    the DuckDB oracle, upgrading this from rows-only to hash-checked."""
     docs = table(spark, sf_dir, "documents")
-    mh = xdedup.near_dedup_minhash(docs, threshold=0.5).select(
+    mh = xdedup.near_dedup_minhash(docs, threshold=0.5, portable=True).select(
         F.lit("minhash").alias("method"), "id_a", "id_b",
         F.col("jaccard_ppm").alias("score"),
     )
-    sigs = xdedup.simhash_bits(docs)
-    sh = xdedup.simhash_candidate_pairs(sigs, max_hamming=3).select(
+    sigs = xdedup.simhash_bits(docs, portable=True)
+    sh = xdedup.simhash_candidate_pairs(
+        sigs, max_hamming=3, n_bits=xdedup.SIMHASH_BITS_PORTABLE
+    ).select(
         F.lit("simhash").alias("method"), "id_a", "id_b",
         F.col("hamming").cast("long").alias("score"),
     )
@@ -364,33 +454,38 @@ _COSINE_ORACLE = """
 
 
 @register(
-    "knn_bruteforce",
+    "knn_search",
     headline=True,
     tags=("ext-sim",),
-    oracle=_COSINE_ORACLE.format(extra_join="", k=10),
+    oracle=(
+        "SELECT 'brute' AS strategy, * FROM ("
+        + _COSINE_ORACLE.format(extra_join="", k=10)
+        + ") UNION ALL SELECT 'ivf' AS strategy, * FROM ("
+        + _COSINE_ORACLE.format(extra_join="AND c.label = q.label", k=5)
+        + ")"
+    ),
 )
-def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-10 cosine neighbors for 8 probe vectors: broadcast probes ×
-    one corpus scan, JVM-side zip_with/aggregate dot products, windowed
-    top-k. The exact baseline every ANN variant is measured against."""
-    emb = table(spark, sf_dir, "embeddings")
-    return xsim.cosine_topk(emb.filter(F.col("vec_id") < 8), emb, k=10)
+def knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both similarity-search strategies in one relation (same funnel, one
+    pruning knob):
 
-
-@register(
-    "knn_ivf",
-    tags=("ext-sim",),
-    oracle=_COSINE_ORACLE.format(extra_join="AND c.label = q.label", k=5),
-)
-def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style pruned kNN: probe only the query's coarse partition (the
+    strategy='brute' — exact top-10 cosine neighbors for 8 probe vectors:
+    broadcast probes × one corpus scan, quantized-integer dot products,
+    windowed top-k. The exact baseline every ANN variant is measured
+    against.
+    strategy='ivf' — top-5 restricted to the query's coarse partition (the
     `label` column = centroid assignment; nprobe=1). The candidate join is
     an equi-join on the partition key — at scale, partition-pruned parquet
     reads replace the full scan."""
     emb = table(spark, sf_dir, "embeddings")
-    return xsim.cosine_topk(
-        emb.filter(F.col("vec_id") < 8), emb, k=5, partition_col="label"
+    probes = emb.filter(F.col("vec_id") < 8)
+    brute = xsim.cosine_topk(probes, emb, k=10).select(
+        F.lit("brute").alias("strategy"), "query_id", "neighbor_id", "cosine_ppm", "rank"
     )
+    ivf = xsim.cosine_topk(probes, emb, k=5, partition_col="label").select(
+        F.lit("ivf").alias("strategy"), "query_id", "neighbor_id", "cosine_ppm", "rank"
+    )
+    return brute.unionByName(ivf)
 
 
 # --------------------------------------------------------------------------
@@ -399,60 +494,61 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_tumbling_hourly",
+    "events_time_windows",
     headline=True,
     tags=("ext-window",),
     oracle="""
-        SELECT date_trunc('hour', ts) AS window_start,
-               count(*) AS n_events,
-               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-                 AS total_value_cents
-        FROM events GROUP BY 1
-    """,
-)
-def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour event-time windows — the batch twin of the streaming
-    windowed aggregation (same F.window operator, same plan shape). Money
-    sums in exact integer cents (2-dp source column) — float sums differ
-    across engines by aggregation order."""
-    events = table(spark, sf_dir, "events")
-    out = xwin.tumbling(
-        events, "ts", "1 hour",
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(xtext.cents("value")).alias("total_value_cents"),
-    )
-    return out.select("window_start", "n_events", "total_value_cents")
-
-
-@register(
-    "events_sliding_halfhour",
-    tags=("ext-window",),
-    oracle="""
         WITH e AS (
-            SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+            SELECT ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
                    (epoch_ms(ts) // 1800000) * 1800000000 AS s0us FROM events
+        ),
+        t AS (
+            SELECT 'tumbling' AS kind, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS total_value_cents
+            FROM e GROUP BY 2
         ),
         x AS (
             SELECT make_timestamp(s0us) AS window_start, cents FROM e
             UNION ALL
             SELECT make_timestamp(s0us - 1800000000) AS window_start, cents FROM e
+        ),
+        s AS (
+            SELECT 'sliding' AS kind, window_start, count(*) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS total_value_cents
+            FROM x GROUP BY window_start
         )
-        SELECT window_start, count(*) AS n_events,
-               CAST(sum(cents) AS BIGINT) AS total_value_cents
-        FROM x GROUP BY window_start
+        SELECT * FROM t UNION ALL SELECT * FROM s
     """,
 )
-def events_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding windows (1 h length, 30 min slide): each event lands in two
-    windows; the expansion happens before the partial agg, so it is still a
-    single shuffle."""
+def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed event-time windowing, both flavors of the same F.window
+    operator in one relation (the batch twin of the streaming windowed
+    aggregation — same operator, same plan shape):
+
+    kind='tumbling' — 1-hour windows, one per event;
+    kind='sliding' — 1-hour length, 30-minute slide: each event lands in
+    two windows; the expansion happens before the partial agg, so it is
+    still a single shuffle.
+
+    Money sums in exact integer cents (2-dp source column) — float sums
+    differ across engines by aggregation order."""
     events = table(spark, sf_dir, "events")
-    out = xwin.sliding(
+    tum = xwin.tumbling(
+        events, "ts", "1 hour",
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(xtext.cents("value")).alias("total_value_cents"),
+    ).select(
+        F.lit("tumbling").alias("kind"), "window_start", "n_events", "total_value_cents"
+    )
+    sli = xwin.sliding(
         events, "ts", "1 hour", "30 minutes",
         F.count(F.lit(1)).alias("n_events"),
         F.sum(xtext.cents("value")).alias("total_value_cents"),
+    ).select(
+        F.lit("sliding").alias("kind"), "window_start", "n_events", "total_value_cents"
     )
-    return out.select("window_start", "n_events", "total_value_cents")
+    return tum.unionByName(sli)
 
 
 @register(
@@ -522,15 +618,31 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_features",
     tags=("ext-multimodal",),
-    oracle=None,  # decode stage is engine-side (mapInPandas); pinned by pytest
+    # The decode stage RUNS for real (Arrow mapInPandas); the driver-checked
+    # projection is its integer outputs, whose contract for non-media
+    # payloads is SQL-expressible (stub dims are a pure function of byte
+    # length). Float feature vectors stay pytest-gated (test_kernels) —
+    # numpy float32 arithmetic is not reproducible in SQL.
+    oracle="""
+        SELECT doc_id, 'application/octet-stream' AS mime,
+               octet_length(encode(text)) AS byte_len,
+               CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+               CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
+        FROM documents
+    """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract stage: Arrow-batched mapInPandas over binary
-    payloads (stub codec — deterministic; see ext/multimodal._decode)."""
+    payloads. Real BMP/WAV codecs dispatch on magic bytes; the synthetic
+    text payloads take the deterministic stub path whose dimension contract
+    (width = len%640+1, height = len%480+1) the oracle re-derives in SQL —
+    so the driver hash-checks that the Python stage actually ran the decode
+    dispatch over every row with deterministic results."""
     from beeper_matric_etl_tool_spark.ext import multimodal as xmm
 
     docs = table(spark, sf_dir, "documents")
-    return xmm.extract_features(xmm.attach_payload(docs))
+    feats = xmm.extract_features(xmm.attach_payload(docs))
+    return feats.select("doc_id", "mime", "byte_len", "width", "height")
 
 
 # --------------------------------------------------------------------------

@@ -38,63 +38,74 @@ def _workdir() -> str:
     tags=("K4", "K5", "K6", "K7", "F8"),
     oracle="""
         WITH sel AS (
-            SELECT event_id, user_id, event_type FROM events
+            SELECT event_id, event_type FROM events
             WHERE event_type IN ('error', 'signup')
+        ),
+        batched AS (
+            SELECT 'batched' AS surface, event_type,
+                   count(*) AS n_rows,
+                   count(DISTINCT event_id) AS n_distinct_ids,
+                   CAST((count(*) + 99) // 100 AS BIGINT) AS n_batches,
+                   (count(*) = count(DISTINCT event_id)) AS append_only
+            FROM sel GROUP BY event_type
+        ),
+        log AS (
+            SELECT 'log' AS surface, 'purchase' AS event_type,
+                   count(*) AS n_rows,
+                   count(DISTINCT event_id) AS n_distinct_ids,
+                   CAST(NULL AS BIGINT) AS n_batches,
+                   (count(*) = count(DISTINCT event_id)) AS append_only
+            FROM events WHERE event_type = 'purchase'
         )
-        SELECT event_type,
-               count(*) AS n_rows,
-               count(DISTINCT event_id) AS n_distinct_ids,
-               CAST((count(*) + 99) // 100 AS BIGINT) AS n_batches
-        FROM sel GROUP BY event_type
+        SELECT * FROM batched UNION ALL SELECT * FROM log
     """,
 )
 def sink_append_poststate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K4 — bounded write batches (db.utils.ts:154-202 chops multi-row
-    inserts at 100 rows/statement; here: ≤100 rows per output task/file).
-    The post-state read proves BOTH the rows landed append-only across two
-    writer calls AND the physical batching contract: files-per-type equals
-    ceil(rows/100), counted from the parquet file names themselves."""
-    events = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
-    target = os.path.join(_workdir(), "append_target")
-    sinks.batched_append(events.filter(F.col("event_type") == "error"), target)
-    sinks.batched_append(events.filter(F.col("event_type") == "signup"), target)
-    back = spark.read.parquet(target).withColumn("__file", F.input_file_name())
-    return back.groupBy("event_type").agg(
+    """The append-family kernels, both surfaces in one post-state relation:
+
+    surface='batched' — K4 bounded write batches (db.utils.ts:154-202 chops
+    multi-row inserts at 100 rows/statement; here: ≤100 rows per output
+    task/file). Proves rows landed append-only across two writer calls AND
+    the physical batching contract: files-per-type = ceil(rows/100),
+    counted from the parquet file names themselves.
+    surface='log' — K5/K6/K7 append-only status/credential/checkpoint logs
+    (db.utils.ts:204-238, 282-290) with F8 current-timestamp stamping; the
+    stamp is nondeterministic by design, so the post-state checks its
+    presence/non-nullness while hashing only deterministic columns
+    (n_batches is NULL — no batching contract on the log surface)."""
+    events = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    append_target = os.path.join(_workdir(), "append_target")
+    sinks.batched_append(
+        events.filter(F.col("event_type") == "error").drop("value"), append_target
+    )
+    sinks.batched_append(
+        events.filter(F.col("event_type") == "signup").drop("value"), append_target
+    )
+    back = spark.read.parquet(append_target).withColumn("__file", F.input_file_name())
+    batched = back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("event_id").alias("n_distinct_ids"),
         F.countDistinct("__file").alias("n_batches"),
-    )
+        (F.count(F.lit(1)) == F.countDistinct("event_id")).alias("append_only"),
+    ).select(F.lit("batched").alias("surface"), "*")
 
-
-@register(
-    "sink_log_poststate",
-    tags=("K5", "K6", "K7", "F8"),
-    oracle="""
-        SELECT count(*) AS n_log_rows,
-               count(DISTINCT event_id) AS n_distinct,
-               (count(*) = count(DISTINCT event_id)) AS append_only_no_merge
-        FROM events WHERE event_type = 'purchase'
-    """,
-)
-def sink_log_poststate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K5/K6/K7 — append-only status/credential/checkpoint logs
-    (db.utils.ts:204-238, 282-290) with F8 current-timestamp stamping.
-    The stamped created_at column is nondeterministic by design, so the
-    post-state checks its PRESENCE and monotone-validity (non-null) while
-    hashing only the deterministic payload columns."""
-    events = table(spark, sf_dir, "events")
-    log_rows = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "value"
+    log_target = os.path.join(_workdir(), "log_target")
+    sinks.append_log(
+        events.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "value"),
+        log_target,
     )
-    target = os.path.join(_workdir(), "log_target")
-    sinks.append_log(log_rows, target)
-    back = spark.read.parquet(target)
-    assert "created_at" in back.columns  # F8 stamp present
-    return back.filter(F.col("created_at").isNotNull()).agg(
-        F.count(F.lit(1)).alias("n_log_rows"),
-        F.countDistinct("event_id").alias("n_distinct"),
-        (F.count(F.lit(1)) == F.countDistinct("event_id")).alias("append_only_no_merge"),
+    log_back = spark.read.parquet(log_target)
+    assert "created_at" in log_back.columns  # F8 stamp present
+    log = log_back.filter(F.col("created_at").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_distinct_ids"),
+        F.lit(None).cast("long").alias("n_batches"),
+        (F.count(F.lit(1)) == F.countDistinct("event_id")).alias("append_only"),
+    ).select(
+        F.lit("log").alias("surface"), F.lit("purchase").alias("event_type"),
+        "n_rows", "n_distinct_ids", "n_batches", "append_only",
     )
+    return batched.unionByName(log)
 
 
 @register(

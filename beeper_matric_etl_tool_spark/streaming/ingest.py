@@ -389,7 +389,7 @@ def start_windowed_rollup(
     maintained. `update` output mode emits only windows revised by each
     micro-batch; the sink upserts them by window key. Late events beyond
     the watermark stop revising closed windows — the streaming twin of the
-    batch `events_tumbling_hourly` query, same F.window operator."""
+    batch `events_time_windows` query (kind=tumbling), same F.window operator."""
     events = parse_events(load_stream(spark, source_dir)).filter(F.col("error").isNull())
     agg = (
         events.withWatermark("ts", watermark_delay)

