@@ -331,3 +331,97 @@ def simhash_candidate_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``, where
+    component = the minimum node id reachable through the undirected pair
+    graph — the step that turns verified near-dup PAIRS into duplicate
+    CLUSTERS (pick one canonical doc per component; drop the rest).
+
+    Min-label propagation, pure DataFrame ops per round: each node adopts
+    the smallest label among itself and its neighbours until a fixpoint.
+    Converges in O(graph diameter) rounds; near-dup graphs are
+    overwhelmingly tiny cliques/chains, so 3-5 rounds in practice. Every
+    round shuffles only the PAIR graph (post-LSH verified duplicates — a
+    sliver of the corpus), never the corpus itself: at 100 TB the corpus
+    touches this computation exactly once, in the caller's final left join
+    of labels back onto documents. Lineage is truncated with
+    ``localCheckpoint`` each round so the plan stays O(1) deep; the loop's
+    per-round driver action is a count on the pair-scale frontier,
+    not a corpus scan.
+
+    Raises ``RuntimeError`` if ``max_iterations`` rounds don't reach the
+    fixpoint — a silently-partial clustering would under-deduplicate
+    exactly when the graph is at its most pathological.
+    """
+    half = pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    edges = (
+        half.unionByName(half.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("d"), F.col("label").alias("__nl")),
+                on="d",
+            )
+            .groupBy("s")
+            .agg(F.min("__nl").alias("__nbr"))
+        )
+        stepped = labels.join(
+            nbr_min.select(F.col("s").alias("node"), "__nbr"), on="node", how="left"
+        ).select(
+            "node",
+            "label",
+            F.least(F.col("label"), F.coalesce(F.col("__nbr"), F.col("label"))).alias(
+                "__new"
+            ),
+        ).localCheckpoint(eager=True)
+        changed = stepped.filter(F.col("__new") < F.col("label")).count()
+        labels = stepped.select("node", F.col("__new").alias("label"))
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds; "
+        f"the pair graph has a path longer than that — raise max_iterations"
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Corpus-wide duplicate-cluster assignment: every document labeled with
+    its cluster id (min doc id of its near-dup component; singletons label
+    themselves) and an ``is_canonical`` survivor flag — deterministic
+    lowest-id-wins, matching `exact_dedup`. `filter(is_canonical)` IS the
+    deduplicated corpus. One corpus-side left join; all iteration happens on
+    the pair graph inside :func:`connected_components`."""
+    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    return (
+        docs.join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )

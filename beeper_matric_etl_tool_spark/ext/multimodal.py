@@ -38,6 +38,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("mime", T.StringType()),
         T.StructField("byte_len", T.LongType()),
+        T.StructField("payload_sha256", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
@@ -207,6 +208,7 @@ def extract_features(with_payload: DataFrame, id_col: str = "doc_id") -> DataFra
                     "doc_id": pdf[id_col],
                     "mime": [m["mime"] for m in pdf["media_meta"]],
                     "byte_len": [m["byte_len"] for m in pdf["media_meta"]],
+                    "payload_sha256": [m["sha256"] for m in pdf["media_meta"]],
                     "width": [d[0] for d in decoded],
                     "height": [d[1] for d in decoded],
                     "feature": [d[2] for d in decoded],

@@ -303,6 +303,58 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    tags=("ext-dedup",),
+    # The oracle re-derives the same clustering with a recursive CTE:
+    # reach(node, r) = every node reachable from `node` through the
+    # undirected pair graph; cluster id = min(r). UNION (distinct) bounds
+    # the recursion; component sizes are tiny so the closure is cheap at
+    # oracle scale.
+    oracle="""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(str_split(text,' ')) - 2, 1)),
+                       i -> array_to_string(list_slice(str_split(text,' '), i, i + 2), ' ')
+                   )) AS shingle_set
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.shingle_set, b.shingle_set))
+                  / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE) >= 0.15
+        ),
+        edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r
+        )
+        SELECT node AS doc_id,
+               min(r) AS cluster_id,
+               (node = min(r)) AS is_canonical
+        FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS — the final step of a real dedup
+    pipeline (pairs alone delete nothing). Verified Jaccard pairs feed
+    min-label-propagation connected components; every document gets a
+    cluster id (min doc id of its component, singletons label themselves)
+    and an `is_canonical` survivor flag. `filter(is_canonical)` is the
+    deduplicated corpus. All iteration runs on the pair graph — the corpus
+    is touched once, in the final left join."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = xdedup.jaccard_pairs(docs, threshold=0.15, block_col="lang", shingle_k=3)
+    return xdedup.dedup_clusters(docs.select("doc_id"), pairs)
+
+
+@register(
     "near_dup_pairs",
     tags=("ext-dedup",),
     # FULLY oracled: both funnels run on the PORTABLE hash family (md5
@@ -590,59 +642,44 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "multimodal_manifest",
-    tags=("ext-multimodal",),
-    oracle="""
-        SELECT doc_id, 'application/octet-stream' AS mime,
-               octet_length(encode(text)) AS byte_len,
-               sha256(text) AS payload_sha256
-        FROM documents
-    """,
-)
-def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata plane of the multimodal columns: every payload is describable
-    (mime, size, content hash) without ever decoding bytes — the queries a
-    100 TB media lake answers from parquet footers + metadata columns only."""
-    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
-
-    docs = table(spark, sf_dir, "documents")
-    with_payload = xmm.attach_payload(docs)
-    return with_payload.select(
-        "doc_id",
-        F.col("media_meta.mime").alias("mime"),
-        F.col("media_meta.byte_len").alias("byte_len"),
-        F.col("media_meta.sha256").alias("payload_sha256"),
-    )
-
-
-@register(
     "multimodal_features",
     tags=("ext-multimodal",),
-    # The decode stage RUNS for real (Arrow mapInPandas); the driver-checked
-    # projection is its integer outputs, whose contract for non-media
-    # payloads is SQL-expressible (stub dims are a pure function of byte
-    # length). Float feature vectors stay pytest-gated (test_kernels) —
-    # numpy float32 arithmetic is not reproducible in SQL.
+    # BOTH multimodal planes in one relation. Metadata plane (mime /
+    # byte_len / payload_sha256): describable without ever decoding bytes —
+    # the queries a 100 TB media lake answers from parquet footers +
+    # metadata columns only. Decode plane (width / height): the stage RUNS
+    # for real (Arrow mapInPandas); the driver-checked projection is its
+    # integer outputs, whose contract for non-media payloads is
+    # SQL-expressible (stub dims are a pure function of byte length).
+    # Float feature vectors stay pytest-gated (test_kernels) — numpy
+    # float32 arithmetic is not reproducible in SQL.
     oracle="""
         SELECT doc_id, 'application/octet-stream' AS mime,
                octet_length(encode(text)) AS byte_len,
+               sha256(text) AS payload_sha256,
                CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
                CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
         FROM documents
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract stage: Arrow-batched mapInPandas over binary
-    payloads. Real BMP/WAV codecs dispatch on magic bytes; the synthetic
-    text payloads take the deterministic stub path whose dimension contract
-    (width = len%640+1, height = len%480+1) the oracle re-derives in SQL —
-    so the driver hash-checks that the Python stage actually ran the decode
-    dispatch over every row with deterministic results."""
+    """Decode/feature-extract stage over the payload+metadata plane:
+    Arrow-batched mapInPandas over binary payloads. Real BMP/WAV codecs
+    dispatch on magic bytes; the synthetic text payloads take the
+    deterministic stub path whose dimension contract (width = len%640+1,
+    height = len%480+1) the oracle re-derives in SQL — so the driver
+    hash-checks that the Python stage actually ran the decode dispatch over
+    every row with deterministic results. The metadata plane
+    (mime/byte_len/sha256 from `attach_payload`) passes through the stage in
+    the same relation — no join, no second scan — proving the manifest
+    surface alongside the decode outputs."""
     from beeper_matric_etl_tool_spark.ext import multimodal as xmm
 
     docs = table(spark, sf_dir, "documents")
     feats = xmm.extract_features(xmm.attach_payload(docs))
-    return feats.select("doc_id", "mime", "byte_len", "width", "height")
+    return feats.select(
+        "doc_id", "mime", "byte_len", "payload_sha256", "width", "height"
+    )
 
 
 # --------------------------------------------------------------------------

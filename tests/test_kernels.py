@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from beeper_matric_etl_tool_spark.ext import dedup as xdedup
@@ -95,6 +97,38 @@ def test_exact_dedup_keeps_lowest_id(spark):
     )
     got = sorted(r.doc_id for r in xdedup.exact_dedup(df).collect())
     assert got == [3, 5]
+
+
+def test_connected_components_chain_and_island(spark):
+    # chain 1-2-3 (via pairs (1,2),(2,3)) + island (8,9): min-label must
+    # propagate across the chain, not just direct neighbours
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9)], "id_a long, id_b long"
+    )
+    comp = {r.node: r.component for r in xdedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
+
+
+def test_dedup_clusters_labels_whole_corpus(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 7, 8, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (8, 9)], "id_a long, id_b long")
+    rows = {r.doc_id: r for r in xdedup.dedup_clusters(docs, pairs).collect()}
+    assert {d: r.cluster_id for d, r in rows.items()} == {
+        1: 1, 2: 1, 3: 1, 7: 7, 8: 8, 9: 8
+    }
+    # survivors: one canonical per cluster + singletons
+    assert sorted(d for d, r in rows.items() if r.is_canonical) == [1, 7, 8]
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    # a 4-chain needs 3 propagation rounds; cap at 1 → must refuse loudly
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        xdedup.connected_components(pairs, max_iterations=1)
 
 
 def test_cosine_identical_vectors(spark):
