@@ -147,3 +147,89 @@ def cosine_topk(
         .filter(F.col("__rank") <= k)
         .select("query_id", "neighbor_id", "cosine_ppm", F.col("__rank").alias("rank"))
     )
+
+
+def knn_suite(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k_brute: int = 10,
+    k_ivf: int = 5,
+    partition_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    use_arrow: bool = False,
+) -> DataFrame:
+    """Both search strategies from ONE pass — one scan, one scored pair
+    relation, one WindowExec.
+
+    The ivf candidate set (pairs sharing the coarse partition) is a subset
+    of the brute-force pair set, so scoring twice — once per strategy — is
+    pure waste. And because ivf's ordering (cosine desc, id asc, restricted
+    to partition-matching pairs) is the GLOBAL ordering restricted to a
+    predicate, its rank is a running conditional count over the same sorted
+    window: both ranks share one partition+order spec, so Catalyst computes
+    them in a single WindowExec — one exchange on query_id, one sort, no
+    second scan, no materialization. Each row then `inline`s into the
+    strategies whose top-k it makes.
+
+    Note the top-ks are NOT derivable from each other (a probe's in-
+    partition top-5 may rank below its global top-10), which is why both
+    need the full scored relation rather than one another's output.
+
+    At 100 TB one would not run brute force at all — this suite exists to
+    measure ivf against its exact baseline on the same scan.
+    """
+    pair_dot = dot_rows if use_arrow else dot
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize(F.col(vec_col)).alias("__qv"),
+        F.col(partition_col).alias("__qp"),
+    ).withColumn("__qn2", pair_dot(F.col("__qv"), F.col("__qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize(F.col(vec_col)).alias("__cv"),
+        F.col(partition_col).alias("__cp"),
+    ).withColumn("__cn2", pair_dot(F.col("__cv"), F.col("__cv")))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_ppm",
+            F.floor(
+                (F.lit(1_000_000.0) * pair_dot(F.col("__qv"), F.col("__cv")))
+                / (F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__cn2")))
+            ).cast("long"),
+        )
+        .select(
+            "query_id", "neighbor_id", "cosine_ppm",
+            (F.col("__qp") == F.col("__cp")).alias("__matched"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_ppm").desc(), F.col("neighbor_id").asc()
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = scored.select(
+        "query_id", "neighbor_id", "cosine_ppm",
+        F.row_number().over(w).alias("__rank_all"),
+        # rank among partition-matching pairs = running count of matches
+        # in the same global order — rides the same WindowExec
+        F.sum(F.when(F.col("__matched"), 1).otherwise(0)).over(running).alias("__rank_ivf"),
+        F.col("__matched"),
+    )
+    entries = F.array_compact(
+        F.array(
+            F.when(
+                F.col("__rank_all") <= k_brute,
+                F.struct(F.lit("brute").alias("strategy"), F.col("__rank_all").alias("rank")),
+            ),
+            F.when(
+                F.col("__matched") & (F.col("__rank_ivf") <= k_ivf),
+                F.struct(F.lit("ivf").alias("strategy"), F.col("__rank_ivf").cast("int").alias("rank")),
+            ),
+        )
+    )
+    return ranked.select(
+        "query_id", "neighbor_id", "cosine_ppm", F.inline(entries)
+    ).select("strategy", "query_id", "neighbor_id", "cosine_ppm", "rank")

@@ -526,18 +526,15 @@ def knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed top-k. The exact baseline every ANN variant is measured
     against.
     strategy='ivf' — top-5 restricted to the query's coarse partition (the
-    `label` column = centroid assignment; nprobe=1). The candidate join is
-    an equi-join on the partition key — at scale, partition-pruned parquet
-    reads replace the full scan."""
+    `label` column = centroid assignment; nprobe=1). At scale,
+    partition-pruned parquet reads replace the full scan.
+
+    Both strategies derive from ONE scored pair relation (`knn_suite`):
+    the ivf candidate set is a subset of the brute pair set, so the
+    quantize + dot-product funnel runs once, not per strategy."""
     emb = table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 8)
-    brute = xsim.cosine_topk(probes, emb, k=10).select(
-        F.lit("brute").alias("strategy"), "query_id", "neighbor_id", "cosine_ppm", "rank"
-    )
-    ivf = xsim.cosine_topk(probes, emb, k=5, partition_col="label").select(
-        F.lit("ivf").alias("strategy"), "query_id", "neighbor_id", "cosine_ppm", "rank"
-    )
-    return brute.unionByName(ivf)
+    return xsim.knn_suite(probes, emb, k_brute=10, k_ivf=5, partition_col="label")
 
 
 # --------------------------------------------------------------------------

@@ -106,8 +106,27 @@ def test_no_python_udf_in_registered_plans(spark):
 
 
 def test_knn_ivf_joins_on_partition_key(spark):
-    plan = plan_of(spark, "knn_search")  # the 'ivf' strategy half
+    """The standalone IVF path (the 100 TB shape: partition-pruned
+    candidates) joins probe→corpus on the partition key, probes broadcast."""
+    from pyspark.sql import functions as F
+
+    from beeper_matric_etl_tool_spark.ext import similarity as xsim
+    from beeper_matric_etl_tool_spark.sources.tables import table
+
+    emb = table(spark, SF, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    ivf = xsim.cosine_topk(probes, emb, k=5, partition_col="label")
+    plan = ivf._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # probe set broadcast, keyed on __part
+
+
+def test_knn_suite_is_single_pass(spark):
+    """The registered brute+ivf suite must NOT run the funnel per strategy:
+    one corpus-side scan (plus the pushed-down probe scan) and ONE
+    WindowExec computing both ranks over the same sorted partition."""
+    plan = plan_of(spark, "knn_search")
+    assert plan.count("Scan parquet") == 2, "suite should scan embeddings twice only (probes + corpus)"
+    assert plan.count("Window") == 1, "both ranks must share one WindowExec"
 
 
 def test_point_lookup_pushes_pk_predicate(spark):
