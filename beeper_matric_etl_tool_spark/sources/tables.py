@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: every table the driver testdata ships (TESTDATA.md)
 TABLES: tuple[str, ...] = (
@@ -36,11 +37,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     FIXTURES.md. At 100 TB this is a multi-file partitioned scan — the API is
     identical, Catalyst handles partition pruning.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which the Spark reader rejects
-    outright; we read it through the ``nanosAsLong`` escape hatch and truncate
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across driver testdata generations. NANOS is rejected by
+    the Spark reader outright, so we always arm the ``nanosAsLong`` escape
+    hatch; if the column then arrives as a long it was nanos and we truncate
     to microseconds (``ts div 1000`` — floor division on positive epochs),
     exactly matching how µs-native engines (DuckDB, the oracle) read the same
-    file. Set at runtime so it works inside any caller-provided session.
+    file. A µs-native column passes through untouched. Set at runtime so it
+    works inside any caller-provided session.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -52,9 +56,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(path)
 
 
