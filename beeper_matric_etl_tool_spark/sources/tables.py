@@ -45,6 +45,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     exactly matching how µs-native engines (DuckDB, the oracle) read the same
     file. A µs-native column passes through untouched. Set at runtime so it
     works inside any caller-provided session.
+
+    MICROS testdata is timezone-naive (isAdjustedToUTC=false), which Spark 4
+    surfaces as TIMESTAMP_NTZ — a type ``unix_millis`` and friends reject.
+    Every NTZ column is cast back to TIMESTAMP here, under the UTC session
+    timezone pinned above, so the wall-clock is preserved and the epoch math
+    agrees with the timezone-naive DuckDB oracle reading the same file.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -59,8 +65,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(path)
+        return _tz_normalize(df)
+    return _tz_normalize(spark.read.parquet(path))
+
+
+def _tz_normalize(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (UTC session tz → same
+    wall-clock, same epoch as the naive oracle). Columns of other types pass
+    through; the cast list is built once from the schema, no data pass."""
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
