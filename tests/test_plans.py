@@ -123,10 +123,12 @@ def test_knn_ivf_joins_on_partition_key(spark):
 
 def test_knn_suite_is_single_pass(spark):
     """The registered brute+ivf suite must NOT run the funnel per strategy:
-    one corpus-side scan (plus the pushed-down probe scan) and ONE
+    ONE corpus scan feeding one Arrow-batched matmul stage (the probe
+    matrix is driver-resident, not a second distributed scan) and ONE
     WindowExec computing both ranks over the same sorted partition."""
     plan = plan_of(spark, "knn_search")
-    assert plan.count("Scan parquet") == 2, "suite should scan embeddings twice only (probes + corpus)"
+    assert plan.count("Scan parquet") == 1, "suite should scan embeddings once (corpus)"
+    assert plan.count("MapInPandas") == 1, "scoring is one vectorized matmul stage"
     assert plan.count("Window") == 1, "both ranks must share one WindowExec"
 
 
