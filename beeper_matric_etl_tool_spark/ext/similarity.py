@@ -155,6 +155,7 @@ def scored_pairs_matmul(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     partition_col: str | None = None,
+    emit_partition: bool = False,
 ) -> DataFrame:
     """All (query, corpus) cosine scores via ONE BLAS matmul per Arrow batch.
 
@@ -174,8 +175,9 @@ def scored_pairs_matmul(
     numpy, the JVM and DuckDB — bit-identical floors (module docstring).
 
     Output: (query_id long, neighbor_id long, cosine_ppm long[, __matched
-    boolean when ``partition_col``]) — self-pairs excluded, partitioning of
-    the corpus preserved (no shuffle in this stage).
+    boolean when ``partition_col``][, __cpart long when ``emit_partition``])
+    — self-pairs excluded, partitioning of the corpus preserved (no shuffle
+    in this stage).
     """
     part = [partition_col] if partition_col else []
     probe_rows = queries.select(id_col, vec_col, *part).collect()
@@ -184,8 +186,10 @@ def scored_pairs_matmul(
     qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
     qparts = np.array([r[partition_col] for r in probe_rows]) if partition_col else None
 
-    out_fields = "query_id long, neighbor_id long, cosine_ppm long" + (
-        ", __matched boolean" if partition_col else ""
+    out_fields = (
+        "query_id long, neighbor_id long, cosine_ppm long"
+        + (", __matched boolean" if partition_col else "")
+        + (", __cpart long" if emit_partition else "")
     )
 
     def score(batches):
@@ -207,10 +211,80 @@ def scored_pairs_matmul(
             if partition_col is not None:
                 cparts = pdf[partition_col].to_numpy()
                 cols["__matched"] = np.repeat(cparts, m) == np.tile(qparts, n)
+                if emit_partition:
+                    cols["__cpart"] = np.repeat(cparts.astype(np.int64), m)
             out = pd.DataFrame(cols)
             yield out[out["query_id"] != out["neighbor_id"]]
 
     return corpus.select(id_col, vec_col, *part).mapInPandas(score, out_fields)
+
+
+def label_centroid_sums(
+    corpus: DataFrame,
+    partition_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-partition centroid as EXACT integers: (Σ quantized components,
+    member count) per label — the rational sums/cnt is the mean, but kept
+    unreduced so downstream distance comparisons stay integer-exact (see
+    `multiprobe_labels`). Dim-agnostic: posexplode → groupBy(label, pos) →
+    re-assemble, never one expression per dimension. One shuffle of
+    |corpus|·dim skinny rows, the scale-safe shape for dim 768+."""
+    exploded = corpus.select(
+        F.col(partition_col).alias("label"),
+        F.posexplode(quantize(F.col(vec_col))).alias("pos", "comp"),
+    )
+    per_dim = exploded.groupBy("label", "pos").agg(
+        F.sum(F.col("comp").cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda e: e["s"]
+        ).alias("sums"),
+        F.max("c").alias("cnt"),
+    )
+
+
+def multiprobe_labels(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The ``nprobe`` nearest label-centroids per probe → (query_id, label)
+    candidate-partition pairs. Ranking is ENGINE-IDENTICAL, not merely
+    close: every input is an exact integer in double (quantized component
+    qᵢ, centroid sum sᵢ, count), and d² = Σ(qᵢ − sᵢ/cnt)² is computed as
+    the same sequence of correctly-rounded IEEE ops in every engine — one
+    divide per component, one subtract, one multiply, then a LEFT FOLD in
+    array-position order (Spark ``F.aggregate``; the oracle mirrors it
+    with DuckDB ``list_reduce``). Identical doubles in, identical doubles
+    out — the comparison can't flip between engines. Ties break label
+    ascending. Centroid set is one row per coarse partition, so the
+    probe×centroid product broadcasts."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("__qv")
+    )
+    pairs = q.crossJoin(F.broadcast(centroids))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__qv"),
+            F.col("sums"),
+            lambda qc, s: (qc - s.cast("double") / F.col("cnt").cast("double"))
+            * (qc - s.cast("double") / F.col("cnt").cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select("query_id", "label", d2.alias("__d2"))
+    w = Window.partitionBy("query_id").orderBy(F.col("__d2").asc(), F.col("label").asc())
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "label")
+    )
 
 
 def knn_suite(
@@ -223,6 +297,8 @@ def knn_suite(
     id_col: str = "vec_id",
     use_arrow: bool = False,
     scoring: str = "matmul",
+    probe_labels: DataFrame | None = None,
+    k_multi: int = 5,
 ) -> DataFrame:
     """Both search strategies from ONE pass — one scan, one scored pair
     relation, one WindowExec.
@@ -253,7 +329,12 @@ def knn_suite(
     """
     if scoring == "matmul":
         scored = scored_pairs_matmul(
-            queries, corpus, vec_col=vec_col, id_col=id_col, partition_col=partition_col
+            queries,
+            corpus,
+            vec_col=vec_col,
+            id_col=id_col,
+            partition_col=partition_col,
+            emit_partition=probe_labels is not None,
         )
     else:
         pair_dot = dot_rows if use_arrow else dot
@@ -283,30 +364,59 @@ def knn_suite(
                 (F.col("__qp") == F.col("__cp")).alias("__matched"),
             )
         )
+    if probe_labels is not None:
+        # multiprobe membership: does the pair's corpus partition sit in the
+        # probe's nprobe-nearest-centroid set? The set is tiny (|probes| ×
+        # nprobe rows) — a broadcast left join adds the flag without
+        # perturbing the scored relation's partitioning.
+        mp = probe_labels.select(
+            F.col("query_id").alias("__mq"), F.col("label").cast("long").alias("__mpl")
+        )
+        scored = scored.join(
+            F.broadcast(mp),
+            (F.col("query_id") == F.col("__mq")) & (F.col("__cpart") == F.col("__mpl")),
+            "left",
+        ).select(
+            "query_id", "neighbor_id", "cosine_ppm", "__matched",
+            F.col("__mpl").isNotNull().alias("__matched2"),
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_ppm").desc(), F.col("neighbor_id").asc()
     )
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = scored.select(
-        "query_id", "neighbor_id", "cosine_ppm",
+    rank_cols = [
         F.row_number().over(w).alias("__rank_all"),
         # rank among partition-matching pairs = running count of matches
         # in the same global order — rides the same WindowExec
         F.sum(F.when(F.col("__matched"), 1).otherwise(0)).over(running).alias("__rank_ivf"),
         F.col("__matched"),
-    )
-    entries = F.array_compact(
-        F.array(
-            F.when(
-                F.col("__rank_all") <= k_brute,
-                F.struct(F.lit("brute").alias("strategy"), F.col("__rank_all").alias("rank")),
-            ),
-            F.when(
-                F.col("__matched") & (F.col("__rank_ivf") <= k_ivf),
-                F.struct(F.lit("ivf").alias("strategy"), F.col("__rank_ivf").cast("int").alias("rank")),
-            ),
+    ]
+    if probe_labels is not None:
+        rank_cols.append(
+            F.sum(F.when(F.col("__matched2"), 1).otherwise(0)).over(running).alias("__rank_multi")
         )
-    )
+        rank_cols.append(F.col("__matched2"))
+    ranked = scored.select("query_id", "neighbor_id", "cosine_ppm", *rank_cols)
+    legs = [
+        F.when(
+            F.col("__rank_all") <= k_brute,
+            F.struct(F.lit("brute").alias("strategy"), F.col("__rank_all").alias("rank")),
+        ),
+        F.when(
+            F.col("__matched") & (F.col("__rank_ivf") <= k_ivf),
+            F.struct(F.lit("ivf").alias("strategy"), F.col("__rank_ivf").cast("int").alias("rank")),
+        ),
+    ]
+    if probe_labels is not None:
+        legs.append(
+            F.when(
+                F.col("__matched2") & (F.col("__rank_multi") <= k_multi),
+                F.struct(
+                    F.lit("ivf2").alias("strategy"), F.col("__rank_multi").cast("int").alias("rank")
+                ),
+            )
+        )
+    entries = F.array_compact(F.array(*legs))
     return ranked.select(
         "query_id", "neighbor_id", "cosine_ppm", F.inline(entries)
     ).select("strategy", "query_id", "neighbor_id", "cosine_ppm", "rank")

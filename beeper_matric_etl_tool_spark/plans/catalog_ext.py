@@ -505,6 +505,63 @@ _COSINE_ORACLE = """
 """
 
 
+# nprobe=2 multiprobe leg: the probe's TWO nearest label-centroids, the
+# centroids themselves DERIVED from the corpus as exact integer sums (see
+# ext/similarity.py `multiprobe_labels` for the engine-identical distance
+# contract: exact-integer inputs, pinned IEEE op order, left-fold sum —
+# DuckDB's list_reduce starts its fold from the first element where Spark's
+# aggregate starts from 0.0, and 0.0 + t0 == t0 exactly).
+_MULTIPROBE_ORACLE = """
+    WITH z AS (
+        SELECT vec_id, label,
+               list_transform(embedding::DOUBLE[], x -> floor(x * 65536.0)) AS v
+        FROM embeddings
+    ),
+    zp AS (SELECT label, v, unnest(generate_series(1, len(v))) AS pos FROM z),
+    dims AS (
+        SELECT label, pos, CAST(sum(CAST(v[pos] AS BIGINT)) AS BIGINT) AS s,
+               count(*) AS c
+        FROM zp GROUP BY label, pos
+    ),
+    cent AS (
+        SELECT label, list(s ORDER BY pos) AS sums, max(c) AS cnt
+        FROM dims GROUP BY label
+    ),
+    q AS (
+        SELECT vec_id AS query_id, label, v AS qv, list_dot_product(v, v) AS qn2
+        FROM z WHERE vec_id < 8
+    ),
+    pc AS (
+        SELECT q.query_id, cent.label,
+               list_reduce(
+                 list_transform(list_zip(q.qv, cent.sums),
+                   p -> (p[1] - CAST(p[2] AS DOUBLE)/cent.cnt)
+                        * (p[1] - CAST(p[2] AS DOUBLE)/cent.cnt)),
+                 (a,b) -> a + b) AS d2
+        FROM q CROSS JOIN cent
+    ),
+    top2 AS (
+        SELECT query_id, label FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY d2 ASC, label ASC) AS r FROM pc
+        ) WHERE r <= {nprobe}
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               CAST(floor(1000000 * list_dot_product(q.qv, c.v)
+                     / (sqrt(q.qn2) * sqrt(list_dot_product(c.v, c.v))))
+                    AS BIGINT) AS cosine_ppm
+        FROM q JOIN z c ON c.vec_id <> q.query_id
+        JOIN top2 t ON t.query_id = q.query_id AND t.label = c.label
+    )
+    SELECT query_id, neighbor_id, cosine_ppm, rnk AS rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_ppm DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {k}
+"""
+
+
 @register(
     "knn_search",
     headline=True,
@@ -514,27 +571,40 @@ _COSINE_ORACLE = """
         + _COSINE_ORACLE.format(extra_join="", k=10)
         + ") UNION ALL SELECT 'ivf' AS strategy, * FROM ("
         + _COSINE_ORACLE.format(extra_join="AND c.label = q.label", k=5)
+        + ") UNION ALL SELECT 'ivf2' AS strategy, * FROM ("
+        + _MULTIPROBE_ORACLE.format(nprobe=2, k=5)
         + ")"
     ),
 )
 def knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both similarity-search strategies in one relation (same funnel, one
-    pruning knob):
+    """All three similarity-search strategies in one relation (same funnel,
+    one pruning knob each):
 
     strategy='brute' — exact top-10 cosine neighbors for 8 probe vectors:
-    broadcast probes × one corpus scan, quantized-integer dot products,
+    resident probe matrix × one corpus scan (BLAS matmul per Arrow batch),
     windowed top-k. The exact baseline every ANN variant is measured
     against.
-    strategy='ivf' — top-5 restricted to the query's coarse partition (the
-    `label` column = centroid assignment; nprobe=1). At scale,
+    strategy='ivf' — top-5 restricted to the query's own coarse partition
+    (the `label` column = centroid assignment; nprobe=1). At scale,
     partition-pruned parquet reads replace the full scan.
+    strategy='ivf2' — top-5 over the probe's TWO nearest label-centroids
+    (nprobe=2 multiprobe), centroids derived from the corpus as exact
+    integer sums. The recall-vs-cost knob every production IVF deploys;
+    candidate partitions are chosen by engine-identical integer/IEEE math
+    so the whole leg stays oracle-checkable.
 
-    Both strategies derive from ONE scored pair relation (`knn_suite`):
-    the ivf candidate set is a subset of the brute pair set, so the
-    quantize + dot-product funnel runs once, not per strategy."""
+    All strategies derive from ONE scored pair relation (`knn_suite`): the
+    pruned candidate sets are subsets of the brute pair set, so the
+    quantize + dot-product funnel runs once and all three ranks ride one
+    WindowExec."""
     emb = table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 8)
-    return xsim.knn_suite(probes, emb, k_brute=10, k_ivf=5, partition_col="label")
+    cent = xsim.label_centroid_sums(emb)
+    mp = xsim.multiprobe_labels(probes, cent, nprobe=2)
+    return xsim.knn_suite(
+        probes, emb, k_brute=10, k_ivf=5, partition_col="label",
+        probe_labels=mp, k_multi=5,
+    )
 
 
 # --------------------------------------------------------------------------

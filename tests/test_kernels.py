@@ -478,6 +478,47 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     assert all(len(s) <= 5 for s in approx_sets.values())
 
 
+def test_multiprobe_dominates_single_probe(spark, sf_dir):
+    """nprobe=2 is the recall knob: WHEN the probe's own partition sits
+    inside its 2-nearest-centroid set, the ivf2 candidate set is a SUPERSET
+    of ivf's, so at equal k its worst kept neighbor can only be better or
+    equal. (On tiny random data a probe's own label can fall outside its
+    top-2 centroids — those probes carry no containment guarantee, so the
+    dominance check is conditional.) Also pins centroid-sum exactness:
+    every component is an integer (a sum of floor-quantized components),
+    counts add up to the corpus, and the ranking is deterministic across
+    re-computation."""
+    from pyspark.sql import functions as F
+
+    from beeper_matric_etl_tool_spark.plans import specs
+    from beeper_matric_etl_tool_spark.sources.tables import table as load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = xsim.label_centroid_sums(emb).collect()
+    assert sum(r.cnt for r in cent) == emb.count()
+    assert all(float(s).is_integer() for r in cent for s in r.sums)
+
+    probes = emb.filter(F.col("vec_id") < 8)
+    mp = xsim.multiprobe_labels(probes, xsim.label_centroid_sums(emb), nprobe=2)
+    pairs = sorted((r.query_id, r.label) for r in mp.collect())
+    assert pairs == sorted((r.query_id, r.label) for r in mp.collect())  # deterministic
+    top2 = {}
+    for q, lbl in pairs:
+        top2.setdefault(q, set()).add(lbl)
+    assert all(len(labels) == 2 for labels in top2.values())
+    own = {r.vec_id: r.label for r in probes.select("vec_id", "label").collect()}
+
+    rows = specs()["knn_search"].fn(spark, sf_dir).collect()
+    worst = {}
+    for r in rows:
+        if r.strategy in ("ivf", "ivf2"):
+            cur = worst.setdefault((r.query_id, r.strategy), r.cosine_ppm)
+            worst[(r.query_id, r.strategy)] = min(cur, r.cosine_ppm)
+    for q, labels in top2.items():
+        if own[q] in labels and (q, "ivf") in worst and (q, "ivf2") in worst:
+            assert worst[(q, "ivf2")] >= worst[(q, "ivf")]
+
+
 def test_zscore_pandas_matches_native(spark, sf_dir):
     """Policy gate (SURVEY §2.10): the grouped-map Pandas escape hatch must
     agree with the native window implementation it would replace."""
