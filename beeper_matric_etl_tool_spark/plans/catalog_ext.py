@@ -571,14 +571,12 @@ _MULTIPROBE_ORACLE = """
         + _COSINE_ORACLE.format(extra_join="", k=10)
         + ") UNION ALL SELECT 'ivf' AS strategy, * FROM ("
         + _COSINE_ORACLE.format(extra_join="AND c.label = q.label", k=5)
-        + ") UNION ALL SELECT 'ivf2' AS strategy, * FROM ("
-        + _MULTIPROBE_ORACLE.format(nprobe=2, k=5)
         + ")"
     ),
 )
 def knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three similarity-search strategies in one relation (same funnel,
-    one pruning knob each):
+    """Both core similarity-search strategies in one relation (same funnel,
+    one pruning knob):
 
     strategy='brute' — exact top-10 cosine neighbors for 8 probe vectors:
     resident probe matrix × one corpus scan (BLAS matmul per Arrow batch),
@@ -587,23 +585,43 @@ def knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy='ivf' — top-5 restricted to the query's own coarse partition
     (the `label` column = centroid assignment; nprobe=1). At scale,
     partition-pruned parquet reads replace the full scan.
-    strategy='ivf2' — top-5 over the probe's TWO nearest label-centroids
-    (nprobe=2 multiprobe), centroids derived from the corpus as exact
-    integer sums. The recall-vs-cost knob every production IVF deploys;
-    candidate partitions are chosen by engine-identical integer/IEEE math
-    so the whole leg stays oracle-checkable.
 
-    All strategies derive from ONE scored pair relation (`knn_suite`): the
-    pruned candidate sets are subsets of the brute pair set, so the
-    quantize + dot-product funnel runs once and all three ranks ride one
-    WindowExec."""
+    Both strategies derive from ONE scored pair relation (`knn_suite`):
+    the ivf candidate set is a subset of the brute pair set, so the
+    quantize + dot-product funnel runs once and both ranks ride one
+    WindowExec. The nprobe=2 multiprobe extension is its own registered
+    query (`knn_multiprobe`)."""
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    return xsim.knn_suite(probes, emb, k_brute=10, k_ivf=5, partition_col="label")
+
+
+@register(
+    "knn_multiprobe",
+    tags=("ext-sim",),
+    oracle=_MULTIPROBE_ORACLE.format(nprobe=2, k=5),
+)
+def knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe IVF — the recall-vs-cost knob every production IVF
+    deploys: each probe searches its TWO nearest coarse partitions
+    (nprobe=2) instead of one. The centroids are DERIVED from the corpus
+    as exact integer sums (`label_centroid_sums`: posexplode → per-dim
+    long sums → reassemble; map-side partial aggregation keeps the shuffle
+    at |labels|·dim rows per map partition, dim-agnostic). Probe-to-
+    centroid ranking is engine-identical (exact-integer inputs, pinned
+    IEEE op order, left-fold sum — see `multiprobe_labels`), which is what
+    makes this leg hash-checkable against the SQL oracle where ordinary
+    float k-means (`knn_ivf_kmeans`) is not."""
     emb = table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 8)
     cent = xsim.label_centroid_sums(emb)
     mp = xsim.multiprobe_labels(probes, cent, nprobe=2)
-    return xsim.knn_suite(
+    suite = xsim.knn_suite(
         probes, emb, k_brute=10, k_ivf=5, partition_col="label",
         probe_labels=mp, k_multi=5,
+    )
+    return suite.filter(F.col("strategy") == "ivf2").select(
+        "query_id", "neighbor_id", "cosine_ppm", "rank"
     )
 
 

@@ -87,6 +87,7 @@ def test_no_cartesian_outside_bruteforce_knn(spark):
 _ARROW_SANCTIONED = {
     "multimodal_features",
     "knn_search",
+    "knn_multiprobe",
     "knn_ivf_kmeans",
     "embedding_near_dup",
 }
@@ -122,19 +123,30 @@ def test_knn_ivf_joins_on_partition_key(spark):
 
 
 def test_knn_suite_is_single_pass(spark):
-    """The registered brute+ivf+ivf2 suite must NOT run the funnel per
-    strategy: ONE corpus scan feeding one Arrow-batched matmul stage (the
-    probe matrix is driver-resident, not a distributed scan per strategy),
-    all three ranks riding ONE WindowExec, plus exactly one more window for
-    the tiny multiprobe centroid ranking. The multiprobe membership flag
-    joins as a BroadcastHashJoin on (query_id, partition) — never a
-    per-pair recompute."""
+    """The registered brute+ivf suite must NOT run the funnel per strategy:
+    ONE corpus scan feeding one Arrow-batched matmul stage (the probe
+    matrix is driver-resident, not a second distributed scan) and ONE
+    WindowExec computing both ranks over the same sorted partition."""
     plan = plan_of(spark, "knn_search")
+    assert plan.count("Scan parquet") == 1, "suite should scan embeddings once (corpus)"
+    assert plan.count("MapInPandas") == 1, "scoring is one vectorized matmul stage"
+    assert plan.count("Window [") == 1, "both ranks must share one WindowExec"
+
+
+def test_knn_multiprobe_plan_shape(spark):
+    """Multiprobe IVF: the centroid build aggregates posexploded skinny
+    rows (partial map-side combine — never one expression per dimension),
+    the strategy rank rides ONE WindowExec over the scored relation (+1
+    for the tiny centroid ranking), and the multiprobe membership flag
+    joins as a BroadcastHashJoin keyed on (query_id, partition) — never a
+    per-pair recompute."""
+    plan = plan_of(spark, "knn_multiprobe")
     # corpus (matmul) + probes (multiprobe) + corpus (centroid sums)
     assert plan.count("Scan parquet") == 3
     assert plan.count("MapInPandas") == 1, "scoring is one vectorized matmul stage"
-    assert plan.count("Window [") == 2, "3 strategy ranks share 1 WindowExec (+1 centroid rank)"
+    assert plan.count("Window [") == 2, "strategy rank + centroid rank only"
     assert "BroadcastHashJoin [query_id" in plan, "multiprobe flag joins hash-keyed"
+    assert "partial_sum" in plan, "centroid sums partial-aggregate map-side"
 
 
 def test_point_lookup_pushes_pk_predicate(spark):
