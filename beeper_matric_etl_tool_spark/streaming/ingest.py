@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from beeper_matric_etl_tool_spark import sinks
-from beeper_matric_etl_tool_spark.operators.dedup import latest_by_key
+from beeper_matric_etl_tool_spark.operators.dedup import latest_by_key_agg
 
 #: wire schema of one Matrix-like event (FIXTURES.md streaming fixture)
 EVENT_SCHEMA = T.StructType(
@@ -200,11 +200,19 @@ def merge_batch_writer(
                     )
 
             def merge(existing: DataFrame | None, b: DataFrame) -> DataFrame:
-                return latest_by_key(
-                    b if existing is None else existing.unionByName(b),
-                    keys=keys,
-                    order_by=[F.col(order_col).desc_nulls_last(), F.col("__batch_id").desc()],
+                # max_by aggregate, not a window: partial-combines map-side,
+                # so each input partition ships one candidate per key. The
+                # order tuple coalesces a null event time to LONG_MIN —
+                # exactly desc_nulls_last — because a null inside max_by's
+                # ordering struct would otherwise decide by engine whim
+                # (dead-letter rows all carry null event time).
+                src = b if existing is None else existing.unionByName(b)
+                src = src.withColumn(
+                    "__ord", F.coalesce(F.col(order_col), F.lit(-(2**63))).cast("long")
                 )
+                return latest_by_key_agg(
+                    src, keys=keys, max_order_cols=["__ord", "__batch_id"]
+                ).drop("__ord")
 
             # day-of-event-time bucket; dead-letter rows (null event time)
             # land in their own -1 partition
