@@ -61,6 +61,10 @@ def kmeans(
     form built `dim` aggregate expressions and blew up analysis/codegen at
     real embedding widths (768–4096); this one's plan is the same size at
     dim 8 and dim 4096, and the shuffled aggregate is k·dim rows."""
+    # the corpus is read 2× per Lloyd iteration (assign + update join);
+    # cache it for the duration of the build — at scale this is the same
+    # persist MLlib's own KMeans performs on its training RDD
+    df = df.select(F.col(id_col), F.col(vec_col)).persist()
     # seed ids must come from a REAL ordering (the vector id), not
     # row_number over a constant — post-limit row order is a plan artifact
     # and a seed permutation would flip distance-tie assignments.
@@ -105,4 +109,10 @@ def kmeans(
         ).cache()
         centroids.count()  # materialize before releasing the parent cache
         prev.unpersist()
+    # cut the lineage: the final assignment is |corpus| skinny rows, but its
+    # lazy plan replays EVERY iteration (2 corpus scans each) for every
+    # downstream reference. Materializing here turns consumers' plans into
+    # 'scan + join a small cached relation' — and lets the corpus cache go.
+    assignments = assignments.localCheckpoint(eager=True)
+    df.unpersist()
     return assignments, centroids
