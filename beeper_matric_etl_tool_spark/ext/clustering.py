@@ -5,19 +5,23 @@ similarity search (SURVEY §2.12 scale path).
 partition assignment when none exists. Lloyd's algorithm as pure DataFrame
 ops per iteration:
 
-  assign:   corpus × broadcast(centroids) → argmin distance   (no shuffle
-            on the corpus — the small centroid table moves, not the data)
-  update:   groupBy(cluster) → per-dimension mean              (one shuffle
-            of partial sums, map-side combined)
+  assign:   mapInPandas over the corpus with the RESIDENT centroid matrix
+            (k×dim, driver-collected — it is k rows by construction): one
+            vectorized ‖c−q‖² argmin per Arrow batch, vector passed
+            through. No shuffle, no per-pair array materialization.
+  update:   posexplode → groupBy(cluster, position) → per-dimension mean
+            (one shuffle of partial sums, map-side combined), re-assembled.
 
 The loop is driver-side but each iteration is a full cluster-parallel job —
 the pattern Spark MLlib itself uses. Iterations are bounded and
 deterministic: init picks the first k vectors by id, ties in argmin break
-toward the lower cluster id.
+toward the lower cluster id (numpy argmin keeps the first minimum).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -30,19 +34,36 @@ def _sq_dist(a, b):
 
 
 def assign_clusters(df: DataFrame, centroids: DataFrame, vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> DataFrame:
-    """(id, cluster_id, …) — nearest centroid per row, broadcast join +
-    windowed argmin with deterministic tie-break."""
-    pairs = df.select(F.col(id_col), F.col(vec_col)).crossJoin(
-        F.broadcast(centroids.select(F.col("cluster_id"), F.col("centroid")))
+                    id_col: str = "vec_id", keep_vec: bool = False) -> DataFrame:
+    """(id, cluster_id[, vec]) — nearest centroid per row via one vectorized
+    distance matrix per Arrow batch against the resident k×dim centroid
+    matrix. Shuffle-free: the corpus partitioning passes straight through,
+    and with ``keep_vec`` the vector rides along so the Lloyd update step
+    needs no re-join. Ties break toward the lower cluster id (np.argmin
+    keeps the first minimum; centroid rows are ordered by cluster_id)."""
+    cent_rows = sorted(
+        centroids.select("cluster_id", "centroid").collect(), key=lambda r: r.cluster_id
     )
-    scored = pairs.withColumn("__d", _sq_dist(F.col(vec_col), F.col("centroid")))
-    w = Window.partitionBy(id_col).orderBy(F.col("__d").asc(), F.col("cluster_id").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "cluster_id")
-    )
+    cids = np.array([r.cluster_id for r in cent_rows], dtype=np.int64)
+    C = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+    cn2 = np.einsum("ij,ij->i", C, C)
+
+    fields = f"{id_col} long, cluster_id long" + (f", {vec_col} array<float>" if keep_vec else "")
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # argmin ‖v−c‖² = argmin (‖c‖² − 2 v·c) per row — ‖v‖² is constant
+            d = cn2[None, :] - 2.0 * (V @ C.T)
+            best = cids[np.argmin(d, axis=1)]
+            out = {id_col: pdf[id_col].to_numpy(dtype=np.int64), "cluster_id": best}
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(assign, fields)
 
 
 def kmeans(
@@ -78,10 +99,10 @@ def kmeans(
 
     assignments = None
     for _ in range(iterations):
-        assignments = assign_clusters(df, centroids, vec_col, id_col)
-        exploded = (
-            df.join(assignments, on=id_col)
-            .select("cluster_id", F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        # vector rides through the assign stage — no corpus re-join
+        assigned = assign_clusters(df, centroids, vec_col, id_col, keep_vec=True)
+        exploded = assigned.select(
+            "cluster_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
         )
         # per (cluster, dimension): sum + member count in ONE aggregate —
         # each member contributes exactly one value per position, so
@@ -109,10 +130,11 @@ def kmeans(
         ).cache()
         centroids.count()  # materialize before releasing the parent cache
         prev.unpersist()
+        assignments = assigned.select(id_col, "cluster_id")
     # cut the lineage: the final assignment is |corpus| skinny rows, but its
-    # lazy plan replays EVERY iteration (2 corpus scans each) for every
-    # downstream reference. Materializing here turns consumers' plans into
-    # 'scan + join a small cached relation' — and lets the corpus cache go.
+    # lazy plan replays the assign stage for every downstream reference.
+    # Materializing here turns consumers' plans into 'scan + join a small
+    # cached relation' — and lets the corpus cache go.
     assignments = assignments.localCheckpoint(eager=True)
     df.unpersist()
     return assignments, centroids
