@@ -1028,3 +1028,97 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # (bigram statistics ride `ngram_frequencies` as the n=2 slice)
+
+
+@register(
+    "quality_filter",
+    tags=("ext-text", "ext-quality"),
+    # yields its driver-window slot to the sink post-state twins (each is
+    # some K-op's ONLY driver evidence; the text tier already holds several
+    # green rows) — still fully oracle-checked by pytest at every SF
+    window_priority=1,
+    oracle="""
+        WITH s AS (
+            SELECT doc_id,
+                   len(str_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(str_split(text, ' '))) AS n_uniq,
+                   greatest(len(str_split(text, ' ')) - 2, 1) AS total_3g,
+                   len(list_distinct(list_transform(
+                       generate_series(1, greatest(len(str_split(text, ' ')) - 2, 1)),
+                       i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' ')
+                   ))) AS uniq_3g,
+                   len(list_filter(str_split(text, ' '),
+                       x -> x IN ('the','and','of','to','a','in','is','that')))
+                     AS stop_hits,
+                   len(text) AS n_chars
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, n_tokens, stop_hits,
+                   (1000000 * n_uniq) // n_tokens AS ttr_ppm,
+                   (1000000 * (total_3g - uniq_3g)) // total_3g AS dup3_ppm,
+                   (100 * (n_chars - (n_tokens - 1))) // n_tokens AS mean_len_x100
+            FROM s
+        )
+        SELECT doc_id, n_tokens, ttr_ppm, dup3_ppm, stop_hits, mean_len_x100,
+               (n_tokens BETWEEN 50 AND 100000) AS len_ok,
+               (ttr_ppm >= 200000) AS ttr_ok,
+               (dup3_ppm <= 600000) AS rep_ok,
+               (stop_hits >= 2) AS stop_ok,
+               (mean_len_x100 BETWEEN 300 AND 1200) AS avglen_ok,
+               ((n_tokens BETWEEN 50 AND 100000) AND ttr_ppm >= 200000
+                 AND dup3_ppm <= 600000 AND stop_hits >= 2
+                 AND mean_len_x100 BETWEEN 300 AND 1200) AS keep
+        FROM m
+    """,
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style document quality gate — the rule battery every
+    pretraining corpus passes through before tokenization, with each
+    signal AND each verdict exposed (audit-friendly: a real pipeline keeps
+    the reasons, not just the survivors):
+
+    - length bounds (C4: drop too-short / truncate-suspicious docs)
+    - type-token ratio floor (degenerate repetition proxy)
+    - duplicate 3-gram ratio ceiling (Gopher's repetition rule: share of
+      n-gram occurrences that are repeats of an earlier n-gram)
+    - stopword floor (C4: ≥2 function words = natural-language evidence)
+    - mean token length band (Gopher: 3–12 chars; outside = code/garbage)
+
+    All signals are exact integer ppm/x100 (scaled_ratio contract — float
+    round() is not engine-reproducible), so the whole filter is
+    hash-checkable. Pure codegen column algebra over one scan; the 3-gram
+    ratio compares TOTAL shingle count (positions) against DISTINCT
+    shingles, both O(tokens) array ops — no explode, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    toks = xtext.tokens("text")
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    total_3g = F.greatest(n_tokens - F.lit(2), F.lit(1))
+    uniq_3g = F.size(xdedup.shingles(toks, k=3))
+    stop_hits = xtext.stopword_hits(toks, xtext.STOPWORDS["en"])
+    mean_len = F.floor(
+        (F.lit(100) * (F.length(F.col("text")) - (n_tokens - F.lit(1)))) / n_tokens
+    ).cast("long")
+    base = docs.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        xtext.scaled_ratio(n_uniq, n_tokens).alias("ttr_ppm"),
+        xtext.scaled_ratio(total_3g - uniq_3g, total_3g).alias("dup3_ppm"),
+        stop_hits.cast("int").alias("stop_hits"),
+        mean_len.alias("mean_len_x100"),
+    )
+    len_ok = F.col("n_tokens").between(50, 100000)
+    ttr_ok = F.col("ttr_ppm") >= 200000
+    rep_ok = F.col("dup3_ppm") <= 600000
+    stop_ok = F.col("stop_hits") >= 2
+    avglen_ok = F.col("mean_len_x100").between(300, 1200)
+    return base.select(
+        "*",
+        len_ok.alias("len_ok"),
+        ttr_ok.alias("ttr_ok"),
+        rep_ok.alias("rep_ok"),
+        stop_ok.alias("stop_ok"),
+        avglen_ok.alias("avglen_ok"),
+        (len_ok & ttr_ok & rep_ok & stop_ok & avglen_ok).alias("keep"),
+    )

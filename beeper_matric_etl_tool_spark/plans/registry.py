@@ -24,6 +24,10 @@ class QuerySpec:
     oracle: str | None = None
     headline: bool = False  # included in bench.py's timed set
     tags: tuple[str, ...] = field(default_factory=tuple)
+    window_priority: int = 0  # higher = later in specs() order; >0 marks
+    # entries that may yield their driver-window slot (the driver checks
+    # only the first 50) to a component whose ONLY driver evidence is that
+    # slot — they keep full pytest-oracle coverage either way
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -34,13 +38,17 @@ def register(
     oracle: str | None = None,
     headline: bool = False,
     tags: tuple[str, ...] = (),
+    window_priority: int = 0,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register ``fn`` as queries()[name] (+ oracle_sql()[name])."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, headline=headline, tags=tags)
+        _REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, headline=headline, tags=tags,
+            window_priority=window_priority,
+        )
         return fn
 
     return deco
@@ -53,7 +61,7 @@ def specs() -> dict[str, QuerySpec]:
     displace an oracle-checked one from the window."""
     _ensure_loaded()
     ordered = sorted(
-        _REGISTRY.items(), key=lambda kv: (kv[1].oracle is None,)
+        _REGISTRY.items(), key=lambda kv: (kv[1].oracle is None, kv[1].window_priority)
     )  # python sort is stable → registration order within each group
     return dict(ordered)
 
