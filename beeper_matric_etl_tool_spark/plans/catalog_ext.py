@@ -1031,6 +1031,55 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pii_scrub",
+    tags=("ext-text", "ext-quality"),
+    window_priority=1,  # same yield rule as quality_filter
+    oracle="""
+        SELECT event_id,
+               regexp_replace(
+                 regexp_replace(props,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]+', '<NUM>', 'g') AS scrubbed,
+               len(regexp_extract_all(props,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_emails,
+               len(regexp_extract_all(props, '[0-9]+')) AS n_digit_runs,
+               (len(regexp_extract_all(props,
+                    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+                 + len(regexp_extract_all(props, '[0-9]+'))) > 0 AS changed
+        FROM events WHERE props IS NOT NULL
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass — the scrub every shared pretraining corpus runs
+    before release: emails first (so their digits don't half-match the
+    number rule), then digit runs, each with an occurrence count so the
+    pipeline can audit redaction volume per source. Patterns stay in the
+    RE2 ∩ Java-regex common subset (character classes + quantifiers, no
+    lookaround) — the portability contract that lets the same rule run on
+    the Spark plane and any SQL oracle. Pure codegen regexp column
+    algebra; at 100 TB this is an embarrassingly parallel map with zero
+    shuffle."""
+    events = table(spark, sf_dir, "events")
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    digits = "[0-9]+"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("props"), email, "<EMAIL>"), digits, "<NUM>"
+    )
+    n_emails = F.regexp_count(F.col("props"), F.lit(email))
+    n_digits = F.regexp_count(F.col("props"), F.lit(digits))
+    return (
+        events.filter(F.col("props").isNotNull())
+        .select(
+            "event_id",
+            scrubbed.alias("scrubbed"),
+            n_emails.cast("long").alias("n_emails"),
+            n_digits.cast("long").alias("n_digit_runs"),
+            ((n_emails + n_digits) > 0).alias("changed"),
+        )
+    )
+
+
+@register(
     "quality_filter",
     tags=("ext-text", "ext-quality"),
     # yields its driver-window slot to the sink post-state twins (each is
