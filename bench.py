@@ -162,6 +162,40 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
+        # same-machine, same-moment DuckDB timings of each headline's own
+        # oracle SQL — the operative baseline (BASELINE.md) measured under
+        # identical load, so the Spark-vs-baseline ratio in this file needs
+        # no out-of-band re-timing. Median of 3, warm, 32 threads.
+        try:
+            import duckdb
+
+            from beeper_matric_etl_tool_spark.sources.tables import TABLES
+
+            con = duckdb.connect()
+            con.sql(f"SET threads={os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+            for t in TABLES:
+                con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            oracle_timings: dict[str, float] = {}
+            for name in names:
+                sql = specs[name].oracle
+                if sql is None:
+                    continue
+                con.sql(sql).fetchall()  # warm
+                samples = []
+                for _ in range(repeats):
+                    t0 = time.perf_counter()
+                    con.sql(sql).fetchall()
+                    samples.append(time.perf_counter() - t0)
+                oracle_timings[name] = round(statistics.median(samples), 4)
+            out["oracle_duckdb"] = oracle_timings
+            out["oracle_duckdb_total"] = round(sum(oracle_timings.values()), 4)
+            if out["oracle_duckdb_total"]:
+                out["vs_oracle_ratio"] = round(
+                    sum(timings[n] for n in oracle_timings) / out["oracle_duckdb_total"], 2
+                )
+        except Exception as exc:  # never fail the bench over the baseline
+            out["oracle_duckdb_error"] = str(exc)[:200]
     if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
         bulk, incremental, detail = _bench_streaming_ingest(spark, sf_dir)
         out["streaming_ingest_sec"] = round(bulk, 4)
