@@ -415,6 +415,84 @@ def start_windowed_rollup(
     return writer.start()
 
 
+def session_merge_writer(target_dir: str, user_col: str = "sender"):
+    """Sessions MERGE as late or bridging events arrive: a revised session
+    can subsume several previously-emitted rows (its start moves earlier,
+    its end later, or two sessions fuse into one). Replacement is therefore
+    keyed on INTERVAL OVERLAP, not equality: each arriving session first
+    anti-joins away every stored session of the same user whose
+    [start, end] intersects its own, then inserts itself. The target is
+    hash-bucket partitioned on the user — a user's sessions always live in
+    one bucket, so the overlap merge reads/rewrites only touched buckets."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+
+        def merge(existing: DataFrame | None, b: DataFrame) -> DataFrame:
+            if existing is None:
+                return b
+            inc = b.select(
+                F.col(user_col).alias("__u"),
+                F.col("session_start").alias("__ss"),
+                F.col("session_end").alias("__se"),
+            )
+            overlap = (
+                (existing[user_col] == F.col("__u"))
+                & (existing["session_start"] <= F.col("__se"))
+                & (F.col("__ss") <= existing["session_end"])
+            )
+            keep = existing.join(inc, overlap, "left_anti")
+            return keep.unionByName(b.select(*existing.columns))
+
+        sinks.partitioned_upsert(spark, target_dir, batch, merge, keys=[user_col])
+
+    return write
+
+
+def start_session_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous per-user session aggregate — the streaming twin of the
+    batch `events_sessions` query, built on `F.session_window` (gap-based
+    dynamic windows that MERGE inside the state store when a bridging
+    event lands). Session aggregation only supports `append` output
+    (Spark emits a session once the watermark closes it — checked: update
+    raises STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION), so rows arriving
+    at the sink are final; the overlap-replacing writer is kept anyway
+    because re-emission after a checkpoint reset may carry REVISED
+    boundaries for the same logical session, and overlap-replace is the
+    idempotent merge under that failure mode where key-equality upsert
+    would duplicate."""
+    events = parse_events(load_stream(spark, source_dir)).filter(F.col("error").isNull())
+    agg = (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window(F.col("ts"), gap), F.col("sender"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "sender",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(session_merge_writer(target_dir))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def bootstrap_then_ingest(
     spark: SparkSession,
     snapshot_dir: str | None,

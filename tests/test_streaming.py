@@ -192,6 +192,56 @@ def test_windowed_rollup_incremental_maintenance(spark, tmp_path):
     assert rolled2 == rolled
 
 
+def _event_from(eid: str, sender: str, ts_offset_min: int) -> str:
+    e = json.loads(_event(eid, ts_offset_min))
+    e["sender"] = sender
+    return json.dumps(e)
+
+
+def test_session_rollup_merges_bridged_sessions(spark, tmp_path):
+    """Continuous session aggregate (append mode — Spark emits a session
+    once the watermark closes it): gap-based per-user sessions, where a
+    bridging event FUSES what would otherwise be two sessions inside the
+    state store. Alice gets a bridge, bob doesn't — same timestamps, so
+    the fused-vs-split outcome isolates the merge behavior."""
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "sess", tmp_path / "ckpt"
+    src.mkdir()
+
+    def drain():
+        q = ingest.start_session_rollup(spark, str(src), str(tgt), str(ckpt))
+        q.awaitTermination(120)
+
+    # 30-min gap. alice: 0, 10 (session ends 40) and 65 (second session);
+    # bob: 0 and 65 — identical shape
+    _write_file(src, "p1.json", [
+        _event_from("a1", "@alice:x", 0),
+        _event_from("a2", "@alice:x", 10),
+        _event_from("b1", "@bob:x", 0),
+    ])
+    drain()
+    _write_file(src, "p2.json", [
+        _event_from("a3", "@alice:x", 65),
+        _event_from("b2", "@bob:x", 65),
+    ])
+    drain()
+    # bridge for alice ONLY: 38 lands inside session1 (ends 40) and its
+    # own gap reaches 68 ≥ 65, so all four alice events fuse into one
+    _write_file(src, "p3.json", [_event_from("a4", "@alice:x", 38)])
+    drain()
+    # watermark advancer (1-hour delay): closes everything before minute
+    # ~1440, so the sessions above all emit
+    _write_file(src, "p4.json", [_event_from("w1", "@carol:x", 1500)])
+    drain()
+
+    rows = [(r.sender, r.n_events) for r in spark.read.parquet(str(tgt)).collect()]
+    alice = sorted(n for s, n in rows if s == "@alice:x")
+    bob = sorted(n for s, n in rows if s == "@bob:x")
+    assert alice == [4], rows      # one fused session
+    assert bob == [1, 1], rows     # two separate sessions
+    # carol's session is still open (no later watermark) — not emitted
+    assert not any(s == "@carol:x" for s, _ in rows)
+
+
 def test_stateful_user_profiles_accumulate_across_restarts(spark, tmp_path):
     """applyInPandasWithState: per-sender counters maintained by the state
     store — a second run (restart) keeps accumulating from checkpointed
