@@ -1031,6 +1031,69 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_sessions",
+    tags=("ext-window", "ext-range"),
+    window_priority=1,  # same yield rule as quality_filter
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events WHERE user_id < 5
+        ),
+        numbered AS (
+            SELECT user_id, ts, event_id,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM flagged
+        ),
+        intervals AS (
+            SELECT user_id AS owner_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end
+            FROM numbered GROUP BY user_id, sess_id
+        )
+        SELECT e.event_id, e.user_id, i.owner_id, i.session_start,
+               count(*) OVER () AS n_pairs
+        FROM events e JOIN intervals i
+          ON e.ts >= i.session_start AND e.ts <= i.session_end
+    """,
+)
+def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range (interval-containment) join — no equi-key exists, the
+    case Spark would otherwise plan as BroadcastNestedLoopJoin/cartesian:
+    which events (any user) occurred during the activity sessions of users
+    0–4? Runs through `operators.rangejoin.interval_join`: intervals
+    explode to the hour bins they cover, each point keys by its single
+    bin, and the containment predicate refines a plain hash equi-join on
+    the bin — linear shuffle, AQE-skew-splittable, broadcastable when the
+    exploded side is small. The window-total n_pairs column doubles as a
+    cardinality check in the hashed comparison."""
+    from pyspark.sql import Window
+
+    from beeper_matric_etl_tool_spark.operators.rangejoin import interval_join
+
+    events = table(spark, sf_dir, "events")
+    intervals = xwin.sessionized(
+        events.filter(F.col("user_id") < 5), "ts", "30 minutes", ["user_id"],
+        F.count(F.lit(1)).alias("__n"),
+    ).select(
+        F.col("user_id").alias("owner_id"), "session_start", "session_end"
+    )
+    pairs = interval_join(
+        events.select("event_id", "ts", "user_id"),
+        intervals,
+        ts_col="ts",
+        start_col="session_start",
+        end_col="session_end",
+    )
+    return pairs.select(
+        "event_id", "user_id", "owner_id", "session_start",
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_pairs"),
+    )
+
+
+@register(
     "pii_scrub",
     tags=("ext-text", "ext-quality"),
     window_priority=1,  # same yield rule as quality_filter

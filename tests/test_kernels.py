@@ -452,6 +452,35 @@ def test_asof_join_semantics(spark):
     assert got == {"e0": None, "e20": "s10", "e30": "s30", "e45": "s30"}
 
 
+def test_interval_join_boundaries_and_multibin(spark):
+    """Containment edges: inclusive at both interval endpoints, intervals
+    spanning many bins match points in every covered bin exactly once (a
+    point's single bin meets an interval's exploded bins at most once —
+    the no-dedup-needed invariant)."""
+    from pyspark.sql import functions as F
+
+    from beeper_matric_etl_tool_spark.operators.rangejoin import interval_join
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 02:30:00"),
+         (3, "2024-01-01 05:00:00"), (4, "2024-01-01 05:00:01")],
+        "pid long, ts string",
+    ).select("pid", F.col("ts").cast("timestamp").alias("ts"))
+    intervals = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", "2024-01-01 05:00:00"),   # 6 bins wide
+         (20, "2024-01-01 02:00:00", "2024-01-01 02:59:59")],  # 1 bin
+        "iid long, start string, end string",
+    ).select(
+        "iid",
+        F.col("start").cast("timestamp").alias("start"),
+        F.col("end").cast("timestamp").alias("end"),
+    )
+    got = sorted((r.pid, r.iid) for r in interval_join(points, intervals).collect())
+    # pid1 at interval-10 start (inclusive), pid3 at its end (inclusive),
+    # pid4 one second past (excluded); pid2 inside both intervals
+    assert got == [(1, 10), (2, 10), (2, 20), (3, 10)]
+
+
 def test_ivf_recall_against_bruteforce(spark, sf_dir):
     """The ANN quality gate: IVF(k-means, nprobe=1) neighbors must overlap
     substantially with exact brute-force neighbors. Pins that the pruning

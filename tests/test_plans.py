@@ -175,6 +175,16 @@ def test_jaccard_pairs_joins_on_block_key(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_range_join_is_bin_bucketed_equi_join(spark):
+    """A pure containment join has no equi-key; without bin bucketing
+    Catalyst can only plan BNLJ/cartesian — the difference between linear
+    and |points|·|intervals| at 100 TB."""
+    plan = plan_of(spark, "range_join_sessions")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__bin" in plan  # the quantized time bin is the join key
+
+
 def test_tfidf_broadcasts_vocabulary_table(spark):
     """The document-frequency side is vocabulary-sized; it must broadcast
     onto the tf table, never co-shuffle the corpus-sized side."""
