@@ -1031,6 +1031,53 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_salted_rollup",
+    tags=("ext-skew",),
+    window_priority=1,  # same yield rule as quality_filter
+    oracle="""
+        WITH j AS (
+            SELECT e.user_id, e.event_type, CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events e JOIN (SELECT DISTINCT event_type FROM events) t
+              ON e.event_type = t.event_type
+        )
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM j GROUP BY event_type
+    """,
+)
+def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew mitigation as a driver-checkable relation: `event_type` is the
+    canonical hot key (a handful of distinct values over every event — the
+    '#general room' shape), so BOTH skew kernels run in their natural
+    roles and the salting must be a pure rewrite: the salted join spreads
+    each hot type across 8 tasks instead of one, and the two-phase
+    aggregate combines (type, salt) partials before the per-type fold.
+    The oracle is the UNSALTED equivalent — identical results is the
+    entire correctness contract of skew mitigation."""
+    from beeper_matric_etl_tool_spark.operators.skew import salted_aggregate, salted_join
+
+    events = table(spark, sf_dir, "events")
+    types = events.select("event_type").distinct()
+    joined = salted_join(
+        events.select("event_id", "user_id", "event_type", "value"),
+        types,
+        on="event_type",
+        salt_source="event_id",
+        buckets=8,
+    )
+    return salted_aggregate(
+        joined.withColumn("cents", xtext.cents("value")),
+        keys=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_cents": F.sum("cents"),
+        },
+        salt_source="event_id",
+        buckets=8,
+    ).select("event_type", F.col("n_events").cast("long"), F.col("total_cents").cast("long"))
+
+
+@register(
     "range_join_sessions",
     tags=("ext-window", "ext-range"),
     window_priority=1,  # same yield rule as quality_filter
