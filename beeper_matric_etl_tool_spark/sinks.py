@@ -119,6 +119,53 @@ def partitioned_upsert(
             batch.unpersist()
 
 
+def compact_target(
+    spark: SparkSession,
+    target_dir: str,
+    files_per_bucket: int = 1,
+    min_files_to_compact: int = 2,
+) -> int:
+    """Small-file compaction for bucket-partitioned upsert targets.
+
+    Every micro-batch's dynamic partition overwrite leaves one file per
+    touched bucket, so a long-lived stream accumulates files linearly in
+    batch count — the classic small-files problem that murders scan
+    parallelism bookkeeping at scale (driver-side listing + per-file open
+    cost). Compaction rewrites ONLY buckets holding more than
+    ``min_files_to_compact`` files down to ``files_per_bucket``, through
+    the same dynamic-overwrite path the merge sink uses, so it is safe to
+    interleave between batches (bucket granularity, deterministic
+    content). Returns the number of buckets rewritten.
+
+    The reference never needs this — Postgres heap pages self-compact via
+    vacuum — but any parquet-target stream does; schedule it like vacuum.
+    """
+    if not has_parquet(target_dir):
+        return 0
+    counts: dict[str, int] = {}
+    for root, dirs, files in os.walk(target_dir):
+        dirs[:] = [d for d in dirs if "=" in d or not d.startswith(("_", "."))]
+        n = sum(f.endswith(".parquet") for f in files)
+        if n and "=" in os.path.basename(root):
+            counts[os.path.basename(root)] = n
+    crowded = [
+        int(d.split("=", 1)[1]) for d, n in counts.items() if n > min_files_to_compact
+    ]
+    if not crowded:
+        return 0
+    existing = spark.read.parquet(target_dir).filter(F.col(BUCKET_COL).isin(crowded))
+    out = existing.repartition(
+        max(len(crowded) * files_per_bucket, 1), F.col(BUCKET_COL)
+    ).localCheckpoint(eager=True)  # materialize before overwriting source files
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET_COL)
+        .parquet(target_dir)
+    )
+    return len(crowded)
+
+
 def write_indexed(
     df: DataFrame,
     path: str,
