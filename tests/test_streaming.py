@@ -7,12 +7,8 @@ from __future__ import annotations
 import json
 import time
 
-from pyspark.sql import functions as F
-import time
-
-from pyspark.sql import functions as F
-
 import pytest
+from pyspark.sql import functions as F
 
 from beeper_matric_etl_tool_spark.streaming import ingest
 
@@ -323,3 +319,28 @@ def test_dead_letter_redelivery_collapses_but_distinct_bad_lines_kept(spark, tmp
     errors = sorted(r.error for r in rows if r.error is not None)
     assert len(errors) == 2  # two distinct bad lines, redelivery collapsed
     assert errors == ["parse_error: {broken one", "parse_error: {broken two"]
+
+
+def test_state_store_deduplicate_path(spark, tmp_path):
+    """The in-stream dropDuplicates variant (kept for append-only sinks
+    where the merge sink's idempotence isn't available): duplicate ids
+    collapse inside the stream, dead-letter rows pass through untouched."""
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "tgt", tmp_path / "ckpt"
+    src.mkdir()
+    _write_file(src, "p1.json", [_event("e1"), _event("e1"), _event("e2", 1), "not json {"])
+    events = ingest.parse_events(ingest.load_stream(spark, str(src)))
+    deduped = ingest.deduplicate(events)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tgt))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tgt)).collect()
+    good = sorted(r.event_id for r in rows if r.error is None)
+    dead = [r for r in rows if r.error is not None]
+    assert good == ["e1", "e2"]          # in-stream collapse of the dup
+    assert len(dead) == 1 and dead[0].error.startswith("parse_error")
