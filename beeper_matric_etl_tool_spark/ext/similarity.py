@@ -219,6 +219,59 @@ def scored_pairs_matmul(
     return corpus.select(id_col, vec_col, *part).mapInPandas(score, out_fields)
 
 
+#: Rademacher (±1) hyperplanes for sign-random-projection LSH, dim 64.
+#: Derived once from numpy RandomState(1234) and FROZEN as a constant:
+#: the planes are configuration (like a tokenizer's vocab), embedded
+#: literally in both the Spark plan and the SQL oracle so every engine
+#: buckets identically. ±1 entries keep every projection an exact integer
+#: over quantized vectors — the sign can never flip between engines.
+#: Other dims pass their own planes to `hyperplane_bands`.
+import numpy as _np
+
+LSH_PLANES: tuple[tuple[int, ...], ...] = tuple(
+    tuple(int(x) for x in row)
+    for row in _np.random.RandomState(1234).choice((-1, 1), size=(16, 64))
+)
+
+
+def hyperplane_bands(
+    vec_col: Column,
+    planes: tuple[tuple[int, ...], ...] = LSH_PLANES,
+    n_bands: int = 4,
+) -> Column:
+    """Banded sign-random-projection signature: bit_j = [v·plane_j ≥ 0]
+    over the QUANTIZED vector (exact integer dots — engine-identical
+    signs), packed into ``n_bands`` equal bands. Returns an array of
+    structs (band_id, band_sig) ready to explode into LSH bucket keys:
+    two vectors are candidates iff they share any band's packed bits —
+    the same banding amplification the MinHash text path uses, tuned here
+    for cosine similarity (collision prob per bit = 1 − θ/π)."""
+    qv = quantize(vec_col)
+    bits_per_band = len(planes) // n_bands
+    bits = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    qv,
+                    F.array(*[F.lit(float(c)) for c in plane]),
+                    lambda x, p: x * p,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0
+        ).cast("long")
+        for plane in planes
+    ]
+    bands = []
+    for b in range(n_bands):
+        sig = F.lit(0).cast("long")
+        for k in range(bits_per_band):
+            sig = sig + bits[b * bits_per_band + k] * F.lit(1 << k)
+        bands.append(F.struct(F.lit(b).alias("band_id"), sig.alias("band_sig")))
+    return F.array(*bands)
+
+
 def label_centroid_sums(
     corpus: DataFrame,
     partition_col: str = "label",

@@ -822,6 +822,101 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_oracle() -> str:
+    """DuckDB twin of the sign-random-projection LSH funnel, with the SAME
+    frozen ±1 plane literals the Spark plan embeds (xsim.LSH_PLANES)."""
+    planes = xsim.LSH_PLANES
+    bit_exprs = ",\n                   ".join(
+        f"CASE WHEN list_dot_product(v, [{', '.join(f'{c}.0' for c in plane)}]) >= 0 "
+        f"THEN 1 ELSE 0 END AS b{j}"
+        for j, plane in enumerate(planes)
+    )
+    band_selects = "\n            UNION ALL ".join(
+        "SELECT vec_id, {b} AS band_id, "
+        "{bits} AS band_sig FROM bits".format(
+            b=b,
+            bits=" + ".join(f"{1 << k} * b{b * 4 + k}" for k in range(4)),
+        )
+        for b in range(4)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 65536.0)) AS v
+            FROM embeddings
+        ),
+        n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+        bits AS (
+            SELECT vec_id,
+                   {bit_exprs}
+            FROM n
+        ),
+        bands AS (
+            {band_selects}
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                 AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b,
+               CAST(floor(1000000 * list_dot_product(na.v, nb.v)
+                     / (sqrt(na.n2) * sqrt(nb.n2))) AS BIGINT) AS cosine_ppm
+        FROM cand JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+        WHERE list_dot_product(na.v, nb.v) / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.3
+    """
+
+
+@register(
+    "embedding_lsh_near_dup",
+    tags=("ext-dedup", "ext-sim"),
+    window_priority=1,  # same yield rule as quality_filter
+    oracle=_lsh_oracle(),
+)
+def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via DATA-INDEPENDENT LSH — no label, no trained
+    quantizer: candidate buckets come from banded sign-random-projections
+    (frozen ±1 hyperplanes, exact integer dots → engine-identical signs),
+    so the pair space is an equi-join on (band_id, band_sig) — linear
+    candidate generation over any corpus, the same banding amplification
+    the MinHash text path uses but for cosine geometry. Candidates then
+    pass the exact quantized-cosine filter. Compare `embedding_near_dup`
+    (blocks on a GIVEN partition) and `knn_ivf_kmeans` (trains one);
+    this is the path when neither exists yet."""
+    emb = table(spark, sf_dir, "embeddings")
+    sigs = emb.select(
+        "vec_id",
+        F.explode(xsim.hyperplane_bands(F.col("embedding"))).alias("__band"),
+    ).select("vec_id", "__band.band_id", "__band.band_sig")
+    cand = (
+        sigs.alias("a")
+        .join(sigs.alias("b"), on=["band_id", "band_sig"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    n = emb.select(
+        "vec_id", xsim.quantize(F.col("embedding")).alias("__v")
+    ).withColumn("__n2", xsim.dot(F.col("__v"), F.col("__v")))
+    scored = (
+        cand.join(n.select(F.col("vec_id").alias("id_a"),
+                           F.col("__v").alias("__va"), F.col("__n2").alias("__na2")), on="id_a")
+        .join(n.select(F.col("vec_id").alias("id_b"),
+                       F.col("__v").alias("__vb"), F.col("__n2").alias("__nb2")), on="id_b")
+        .withColumn("__dot", xsim.dot(F.col("__va"), F.col("__vb")))
+        .withColumn("__norms", F.sqrt(F.col("__na2")) * F.sqrt(F.col("__nb2")))
+    )
+    return (
+        scored.filter(F.col("__dot") / F.col("__norms") >= 0.3)
+        .select(
+            "id_a", "id_b",
+            F.floor((F.lit(1_000_000.0) * F.col("__dot")) / F.col("__norms"))
+            .cast("long")
+            .alias("cosine_ppm"),
+        )
+    )
+
+
 @register(
     "approx_sketches",
     tags=("ext-approx",),
