@@ -822,6 +822,68 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-source keep rates for the mixing sampler, expressed as 6-hex-digit
+#: thresholds over md5(doc_id): keep iff substr(md5,1,6) < threshold.
+#: Lexicographic compare on lowercase hex is exact and engine-portable
+#: (floor(rate · 16⁶) in hex) — no float arithmetic, no engine RNG.
+MIX_RATES: dict[str, tuple[float, str]] = {
+    "en": (1.00, "ffffff"),   # 16^6-1: keeps everything (strict < misses
+    #                           only the 2^-24 sliver at 'ffffff' itself)
+    "es": (0.50, "800000"),
+    "fr": (0.25, "400000"),
+    "de": (0.10, "199999"),
+}
+
+
+@register(
+    "corpus_mix_sampling",
+    tags=("ext-text", "ext-sample"),
+    window_priority=1,  # same yield rule as quality_filter
+    oracle="""
+        WITH marked AS (
+            SELECT lang,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS h,
+                   CASE lang
+                       WHEN 'en' THEN 'ffffff' WHEN 'es' THEN '800000'
+                       WHEN 'fr' THEN '400000' WHEN 'de' THEN '199999'
+                       ELSE '000000' END AS thresh
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_candidates,
+               count(*) FILTER (WHERE h < thresh) AS n_kept,
+               CAST((1000000 * count(*) FILTER (WHERE h < thresh)) // count(*)
+                    AS BIGINT) AS kept_ppm
+        FROM marked GROUP BY lang
+    """,
+)
+def corpus_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixing sampler — the data-mixing step every
+    pretraining corpus runs (upsample scarce sources, downsample dominant
+    ones): each language keeps a fixed fraction of documents, selected by
+    a content-stable hash threshold, NOT an engine RNG — the same doc is
+    kept or dropped on every engine, every retry, every re-run (resumable
+    sampling). The keep test is a lexicographic compare of the first 6
+    md5 hex digits against floor(rate·16⁶) in hex: exact, portable, zero
+    float arithmetic. Emits per-source audit counts; the kept rows
+    themselves are the same relation minus the aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    thresh = F.create_map(
+        *[x for lang, (_, hexthresh) in MIX_RATES.items()
+          for x in (F.lit(lang), F.lit(hexthresh))]
+    )
+    marked = docs.select(
+        "lang",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6).alias("__h"),
+        F.coalesce(thresh[F.col("lang")], F.lit("000000")).alias("__t"),
+    )
+    kept = F.sum(F.when(F.col("__h") < F.col("__t"), 1).otherwise(0))
+    return marked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        kept.cast("long").alias("n_kept"),
+        F.floor((F.lit(1_000_000) * kept) / F.count(F.lit(1))).cast("long").alias("kept_ppm"),
+    )
+
+
 def _lsh_oracle() -> str:
     """DuckDB twin of the sign-random-projection LSH funnel, with the SAME
     frozen ±1 plane literals the Spark plan embeds (xsim.LSH_PLANES)."""
