@@ -822,6 +822,72 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontaminate",
+    tags=("ext-text", "ext-quality"),
+    window_priority=1,  # same yield rule as quality_filter
+    oracle="""
+        WITH split AS (
+            SELECT doc_id, text,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('0', '1') THEN 'val' ELSE 'train' END AS split
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, split, gram FROM (
+                SELECT doc_id, split,
+                       unnest(list_distinct(list_transform(
+                           generate_series(1, greatest(
+                               len(str_split(text, ' ')) - 7, 1)),
+                           i -> array_to_string(
+                               list_slice(str_split(text, ' '), i, i + 7), ' ')
+                       ))) AS gram
+                FROM split
+            )
+        ),
+        val_grams AS (SELECT DISTINCT gram FROM grams WHERE split = 'val'),
+        hits AS (
+            SELECT g.doc_id, count(*) AS n_overlapping_grams
+            FROM grams g JOIN val_grams v ON g.gram = v.gram
+            WHERE g.split = 'train'
+            GROUP BY g.doc_id
+        )
+        SELECT doc_id, n_overlapping_grams FROM hits
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the stage every LLM data pipeline runs
+    before training: any training document sharing an 8-token gram with
+    the held-out split is contaminated (the Gopher/GPT-3 rule; 8-grams
+    are specific enough that a collision means real leakage, and the
+    flagged count grades severity). The held-out set is the same
+    hash-derived split `corpus_composition` reports, so the whole check
+    is deterministic end-to-end. Scale shape: distinct grams explode per
+    side, the overlap is an EQUI-JOIN on the gram (never doc×doc), and
+    the val side aggregates to a distinct-gram set first — at 100 TB
+    that side is benchmark-sized and broadcastable."""
+    docs = table(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id",
+        "text",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1"),
+            "val",
+        ).otherwise("train").alias("split"),
+    )
+    grams = split.select(
+        "doc_id", "split",
+        F.explode(xdedup.shingles(xtext.tokens("text"), k=8)).alias("gram"),
+    )
+    val_grams = grams.filter(F.col("split") == "val").select("gram").distinct()
+    return (
+        grams.filter(F.col("split") == "train")
+        .join(F.broadcast(val_grams), on="gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlapping_grams"))
+    )
+
+
 #: per-source keep rates for the mixing sampler, expressed as 6-hex-digit
 #: thresholds over md5(doc_id): keep iff substr(md5,1,6) < threshold.
 #: Lexicographic compare on lowercase hex is exact and engine-portable
