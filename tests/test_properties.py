@@ -62,3 +62,40 @@ def test_merge_upsert_laws(spark_prop, rows):
     all_keys = {r.k for r in df.collect()} | {r.k for r in incoming.collect()}
     got_keys = [r.k for r in merged.collect()]
     assert sorted(got_keys) == sorted(all_keys)
+
+
+_ts_strategy = st.integers(min_value=0, max_value=50_000)  # seconds, ~14h span
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(_ts_strategy, min_size=1, max_size=20),
+    st.lists(st.tuples(_ts_strategy, st.integers(0, 30_000)), min_size=1, max_size=10),
+)
+def test_interval_join_equals_bruteforce(spark_prop, point_ts, raw_intervals):
+    """The bin-bucketed rewrite must return EXACTLY the containment pairs a
+    brute-force BETWEEN join returns, for arbitrary point/interval layouts
+    (intervals spanning zero, one, or many bins; duplicate timestamps)."""
+    from beeper_matric_etl_tool_spark.operators.rangejoin import interval_join
+
+    points = spark_prop.createDataFrame(
+        [(i, t) for i, t in enumerate(point_ts)], "pid long, sec long"
+    ).select("pid", F.timestamp_seconds(F.col("sec")).alias("ts"))
+    intervals = spark_prop.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(raw_intervals)],
+        "iid long, s long, e long",
+    ).select(
+        "iid",
+        F.timestamp_seconds(F.col("s")).alias("start"),
+        F.timestamp_seconds(F.col("e")).alias("end"),
+    )
+    got = sorted(
+        (r.pid, r.iid) for r in interval_join(points, intervals).collect()
+    )
+    brute = sorted(
+        (r.pid, r.iid)
+        for r in points.crossJoin(intervals)
+        .filter((F.col("ts") >= F.col("start")) & (F.col("ts") <= F.col("end")))
+        .collect()
+    )
+    assert got == brute
