@@ -140,9 +140,11 @@ def main() -> None:
     specs = plans.specs()
     names = plans.headline_names() or list(specs)
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
-    # median of 3 timed runs: single samples carry ±0.1-0.2 s of GC/
+    # median of 5 timed runs: single samples carry ±0.1-0.2 s of GC/
     # scheduler jitter at local scale, comparable to the queries themselves
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # (run-to-run totals varied 2.9-3.6 s at repeats=3; 5 stabilizes the
+    # median for ~30 s extra wall time)
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     timings: dict[str, float] = {}
     for name in names:
         df = specs[name].fn(spark, sf_dir)
