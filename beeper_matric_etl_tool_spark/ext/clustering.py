@@ -40,7 +40,12 @@ def assign_clusters(df: DataFrame, centroids: DataFrame, vec_col: str = "embeddi
     matrix. Shuffle-free: the corpus partitioning passes straight through,
     and with ``keep_vec`` the vector rides along so the Lloyd update step
     needs no re-join. Ties break toward the lower cluster id (np.argmin
-    keeps the first minimum; centroid rows are ordered by cluster_id)."""
+    keeps the first minimum; centroid rows are ordered by cluster_id).
+
+    Type contract (narrower than the old crossJoin form): ids must be
+    integral (emitted as long) and vectors array<float> — the mapInPandas
+    schema is declared statically. String ids or double vectors need a
+    cast upstream or a widened schema here."""
     cent_rows = sorted(
         centroids.select("cluster_id", "centroid").collect(), key=lambda r: r.cluster_id
     )

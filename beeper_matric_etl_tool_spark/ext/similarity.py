@@ -179,18 +179,23 @@ def scored_pairs_matmul(
     — self-pairs excluded, partitioning of the corpus preserved (no shuffle
     in this stage).
     """
+    if emit_partition and partition_col is None:
+        raise ValueError("emit_partition requires partition_col")
     part = [partition_col] if partition_col else []
-    probe_rows = queries.select(id_col, vec_col, *part).collect()
-    qids = np.array([r[id_col] for r in probe_rows], dtype=np.int64)
-    Q = np.floor(np.array([r[vec_col] for r in probe_rows], dtype=np.float64) * QUANT)
-    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
-    qparts = np.array([r[partition_col] for r in probe_rows]) if partition_col else None
-
     out_fields = (
         "query_id long, neighbor_id long, cosine_ppm long"
         + (", __matched boolean" if partition_col else "")
         + (", __cpart long" if emit_partition else "")
     )
+    probe_rows = queries.select(id_col, vec_col, *part).collect()
+    if not probe_rows:
+        # empty probe set → empty relation with the contracted schema (the
+        # lazy pairwise path degrades the same way)
+        return queries.sparkSession.createDataFrame([], out_fields)
+    qids = np.array([r[id_col] for r in probe_rows], dtype=np.int64)
+    Q = np.floor(np.array([r[vec_col] for r in probe_rows], dtype=np.float64) * QUANT)
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    qparts = np.array([r[partition_col] for r in probe_rows]) if partition_col else None
 
     def score(batches):
         for pdf in batches:
@@ -226,11 +231,9 @@ def scored_pairs_matmul(
 #: buckets identically. ±1 entries keep every projection an exact integer
 #: over quantized vectors — the sign can never flip between engines.
 #: Other dims pass their own planes to `hyperplane_bands`.
-import numpy as _np
-
 LSH_PLANES: tuple[tuple[int, ...], ...] = tuple(
     tuple(int(x) for x in row)
-    for row in _np.random.RandomState(1234).choice((-1, 1), size=(16, 64))
+    for row in np.random.RandomState(1234).choice((-1, 1), size=(16, 64))
 )
 
 
@@ -415,6 +418,9 @@ def knn_suite(
             .select(
                 "query_id", "neighbor_id", "cosine_ppm",
                 (F.col("__qp") == F.col("__cp")).alias("__matched"),
+                # multiprobe needs the pair's corpus partition — mirror the
+                # matmul scorer's emit_partition contract
+                *([F.col("__cp").cast("long").alias("__cpart")] if probe_labels is not None else []),
             )
         )
     if probe_labels is not None:

@@ -13,7 +13,7 @@ window family over `events`. Oracle parity rules used throughout:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from beeper_matric_etl_tool_spark.ext import dedup as xdedup
@@ -26,6 +26,22 @@ from beeper_matric_etl_tool_spark.sources.tables import table
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
+
+# The deterministic train/val holdout rule — a CROSS-ENGINE GRADING
+# CONTRACT shared by corpus_composition and decontaminate (membership must
+# agree between both queries and both engines, so it is defined once):
+# ~1/8 of documents are 'val', selected by the first md5 hex digit of the
+# stable id.
+HOLDOUT_SQL = (
+    "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) "
+    "IN ('0', '1') THEN 'val' ELSE 'train' END"
+)
+
+
+def holdout_split() -> Column:
+    """Spark twin of HOLDOUT_SQL."""
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return F.when(bucket.isin("0", "1"), "val").otherwise("train")
 
 
 @register(
@@ -79,11 +95,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_composition",
     tags=("ext-text", "ext-sample"),
-    oracle="""
+    oracle=f"""
         WITH d AS (
             SELECT lang, n_chars, len(str_split(text, ' ')) AS n_toks,
-                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                             IN ('0', '1') THEN 'val' ELSE 'train' END AS split
+                   {HOLDOUT_SQL} AS split
             FROM documents
         )
         SELECT 'lang' AS dim, lang AS key, count(*) AS n_docs,
@@ -106,12 +121,11 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact same membership. Exact integer totals only (means are a
     client-side division away; cross-engine float avg cannot hash-match)."""
     docs = table(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     base = docs.select(
         "lang",
         "n_chars",
         xtext.token_count("text").alias("__n_toks"),
-        F.when(bucket.isin("0", "1"), "val").otherwise("train").alias("split"),
+        holdout_split().alias("split"),
     )
 
     def _grouped(col: str, dim: str) -> DataFrame:
@@ -826,11 +840,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decontaminate",
     tags=("ext-text", "ext-quality"),
     window_priority=1,  # same yield rule as quality_filter
-    oracle="""
+    oracle=f"""
         WITH split AS (
             SELECT doc_id, text,
-                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                             IN ('0', '1') THEN 'val' ELSE 'train' END AS split
+                   {HOLDOUT_SQL} AS split
             FROM documents
         ),
         grams AS (
@@ -867,14 +880,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the val side aggregates to a distinct-gram set first — at 100 TB
     that side is benchmark-sized and broadcastable."""
     docs = table(spark, sf_dir, "documents")
-    split = docs.select(
-        "doc_id",
-        "text",
-        F.when(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1"),
-            "val",
-        ).otherwise("train").alias("split"),
-    )
+    split = docs.select("doc_id", "text", holdout_split().alias("split"))
     grams = split.select(
         "doc_id", "split",
         F.explode(xdedup.shingles(xtext.tokens("text"), k=8)).alias("gram"),
@@ -1368,18 +1374,21 @@ def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext-text", "ext-quality"),
     window_priority=1,  # same yield rule as quality_filter
     oracle="""
+        WITH s AS (
+            SELECT event_id,
+                   regexp_replace(props,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                       '<EMAIL>', 'g') AS no_email,
+                   len(regexp_extract_all(props,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_emails
+            FROM events WHERE props IS NOT NULL
+        )
         SELECT event_id,
-               regexp_replace(
-                 regexp_replace(props,
-                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-                 '[0-9]+', '<NUM>', 'g') AS scrubbed,
-               len(regexp_extract_all(props,
-                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_emails,
-               len(regexp_extract_all(props, '[0-9]+')) AS n_digit_runs,
-               (len(regexp_extract_all(props,
-                    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
-                 + len(regexp_extract_all(props, '[0-9]+'))) > 0 AS changed
-        FROM events WHERE props IS NOT NULL
+               regexp_replace(no_email, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+               n_emails,
+               len(regexp_extract_all(no_email, '[0-9]+')) AS n_digit_runs,
+               (n_emails + len(regexp_extract_all(no_email, '[0-9]+'))) > 0 AS changed
+        FROM s
     """,
 )
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1395,16 +1404,17 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events")
     email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
     digits = "[0-9]+"
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(F.col("props"), email, "<EMAIL>"), digits, "<NUM>"
-    )
+    # digit runs are counted on the EMAIL-SCRUBBED text, so the audit
+    # numbers equal the <NUM> redactions actually performed (an address's
+    # own digits must not double-count)
+    no_email = F.regexp_replace(F.col("props"), email, "<EMAIL>")
     n_emails = F.regexp_count(F.col("props"), F.lit(email))
-    n_digits = F.regexp_count(F.col("props"), F.lit(digits))
+    n_digits = F.regexp_count(no_email, F.lit(digits))
     return (
         events.filter(F.col("props").isNotNull())
         .select(
             "event_id",
-            scrubbed.alias("scrubbed"),
+            F.regexp_replace(no_email, digits, "<NUM>").alias("scrubbed"),
             n_emails.cast("long").alias("n_emails"),
             n_digits.cast("long").alias("n_digit_runs"),
             ((n_emails + n_digits) > 0).alias("changed"),

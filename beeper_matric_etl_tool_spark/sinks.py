@@ -122,48 +122,40 @@ def partitioned_upsert(
 def compact_target(
     spark: SparkSession,
     target_dir: str,
-    files_per_bucket: int = 1,
-    min_files_to_compact: int = 2,
+    target_files: int = 1,
+    min_files_to_compact: int = 8,
 ) -> int:
-    """Small-file compaction for bucket-partitioned upsert targets.
+    """Small-file compaction (vacuum) for APPEND-mode parquet targets.
 
-    Every micro-batch's dynamic partition overwrite leaves one file per
-    touched bucket, so a long-lived stream accumulates files linearly in
-    batch count — the classic small-files problem that murders scan
-    parallelism bookkeeping at scale (driver-side listing + per-file open
-    cost). Compaction rewrites ONLY buckets holding more than
-    ``min_files_to_compact`` files down to ``files_per_bucket``, through
-    the same dynamic-overwrite path the merge sink uses, so it is safe to
-    interleave between batches (bucket granularity, deterministic
-    content). Returns the number of buckets rewritten.
+    The append sinks (`batched_append`, `append_log`, checkpoint/status
+    logs) add files every call and never rewrite, so a long-lived stream
+    accumulates files linearly in batch count — the classic small-files
+    problem that murders scan listing + per-file open cost at scale. When
+    the flat file count exceeds ``min_files_to_compact``, the whole
+    target rewrites to ``target_files`` files (round-robin repartition —
+    the count is honored exactly) and returns the file count removed;
+    otherwise 0 and the target is untouched.
 
-    The reference never needs this — Postgres heap pages self-compact via
-    vacuum — but any parquet-target stream does; schedule it like vacuum.
+    The bucket-partitioned MERGE targets do NOT need this: their dynamic
+    overwrite already replaces each touched bucket with a single file per
+    merge (pinned by the byte-identical-untouched-buckets test). The
+    reference never needs it either — Postgres heap pages self-compact
+    via vacuum; any append-mode parquet stream does. Not concurrency-safe
+    against in-flight appends — schedule between batches, like vacuum.
     """
     if not has_parquet(target_dir):
         return 0
-    counts: dict[str, int] = {}
-    for root, dirs, files in os.walk(target_dir):
-        dirs[:] = [d for d in dirs if "=" in d or not d.startswith(("_", "."))]
-        n = sum(f.endswith(".parquet") for f in files)
-        if n and "=" in os.path.basename(root):
-            counts[os.path.basename(root)] = n
-    crowded = [
-        int(d.split("=", 1)[1]) for d, n in counts.items() if n > min_files_to_compact
+    flat_files = [
+        f for f in os.listdir(target_dir)
+        if f.endswith(".parquet") and os.path.isfile(os.path.join(target_dir, f))
     ]
-    if not crowded:
+    if len(flat_files) <= min_files_to_compact:
         return 0
-    existing = spark.read.parquet(target_dir).filter(F.col(BUCKET_COL).isin(crowded))
-    out = existing.repartition(
-        max(len(crowded) * files_per_bucket, 1), F.col(BUCKET_COL)
-    ).localCheckpoint(eager=True)  # materialize before overwriting source files
-    (
-        out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BUCKET_COL)
-        .parquet(target_dir)
-    )
-    return len(crowded)
+    existing = spark.read.parquet(target_dir)
+    # materialize before overwriting the very files being read
+    out = existing.repartition(max(target_files, 1)).localCheckpoint(eager=True)
+    out.write.mode("overwrite").parquet(target_dir)
+    return len(flat_files)
 
 
 def write_indexed(

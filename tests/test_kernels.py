@@ -537,6 +537,16 @@ def test_multiprobe_dominates_single_probe(spark, sf_dir):
     assert all(len(labels) == 2 for labels in top2.values())
     own = {r.vec_id: r.label for r in probes.select("vec_id", "label").collect()}
 
+    # both scorers must drive the multiprobe leg to the same rows
+    suite_kwargs = dict(
+        k_brute=10, k_ivf=5, partition_col="label", probe_labels=mp, k_multi=5
+    )
+    via_matmul = sorted(map(tuple, xsim.knn_suite(probes, emb, **suite_kwargs).collect()))
+    via_pairwise = sorted(
+        map(tuple, xsim.knn_suite(probes, emb, scoring="pairwise", **suite_kwargs).collect())
+    )
+    assert via_matmul == via_pairwise
+
     worst = {}
     for r in specs()["knn_search"].fn(spark, sf_dir).collect():
         if r.strategy == "ivf":
@@ -656,6 +666,13 @@ def test_kernels_on_empty_inputs(spark):
     emb = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<float>")
     no_queries = emb.filter("vec_id < 0")
     assert xsim.cosine_topk(no_queries, emb, k=3).count() == 0
+    # the matmul scorer degrades identically (empty probe matrix → empty
+    # relation with the contracted schema, no numpy blowup)
+    empty_scored = xsim.scored_pairs_matmul(no_queries, emb)
+    assert empty_scored.count() == 0
+    assert [f.name for f in empty_scored.schema.fields] == [
+        "query_id", "neighbor_id", "cosine_ppm",
+    ]
 
     events = spark.createDataFrame([("u", 10, "e")], "user_id string, ts long, event_id string")
     no_state = spark.createDataFrame([], "user_id string, ts long, sval string")

@@ -111,36 +111,3 @@ def test_keyed_update_raises_on_zero_match(spark, tmp_path):
     missing = spark.createDataFrame([(555, 2.0)], "user_id long, b double")
     with pytest.raises(ValueError, match="no rows matched"):
         sinks.keyed_update(spark, target, missing, keys=["user_id"], n_buckets=4)
-
-
-def test_compact_target_collapses_small_files(spark, tmp_path):
-    """Compaction: repeated merges pile up files per bucket; compact_target
-    rewrites only crowded buckets down to one file each, data identical,
-    sparse buckets untouched byte-for-byte."""
-    target = str(tmp_path / "tgt")
-    seed = spark.range(0, 64).select(
-        F.col("id").alias("k"), F.lit(1).alias("seq"), F.lit("v1").alias("payload")
-    )
-    sinks.partitioned_upsert(spark, target, seed, _lww_merge(["k"]), keys=["k"], n_buckets=4)
-    # several single-key batches against the SAME bucket → file pile-up there
-    hot_bucket = (
-        spark.createDataFrame([(5,)], "k long").select(sinks.key_bucket(["k"], 4)).first()[0]
-    )
-    for seq in (2, 3, 4):
-        batch = spark.createDataFrame([(5, seq, f"v{seq}")], "k long, seq int, payload string")
-        sinks.partitioned_upsert(spark, target, batch, _lww_merge(["k"]), keys=["k"], n_buckets=4)
-    assert hot_bucket in range(4)
-    # the merge rewrites the hot bucket to one file per merge, so pile-up is
-    # modest — force crowding with threshold 0 and check every bucket lands
-    # at exactly one file
-    n = sinks.compact_target(spark, target, min_files_to_compact=0)
-    assert n >= 1
-    after = _file_digests(target)
-    assert all(
-        sum(1 for p in after if p.startswith(f"{sinks.BUCKET_COL}={b}")) == 1
-        for b in range(4)
-    )
-    rows = {r.k: (r.seq, r.payload) for r in spark.read.parquet(target).collect()}
-    assert len(rows) == 64 and rows[5] == (4, "v4")
-    # idempotent: nothing crowded after compaction at the default threshold
-    assert sinks.compact_target(spark, target) == 0

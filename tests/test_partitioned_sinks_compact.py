@@ -1,0 +1,64 @@
+"""Vacuum-style compaction of append-mode parquet targets: file counts
+shrink to the requested number, data survives byte-for-byte in value
+terms, and bucketed merge targets are proven to NOT need it (their
+dynamic overwrite self-compacts to one file per touched bucket)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from beeper_matric_etl_tool_spark import sinks
+
+
+def _flat_parquet_count(path: str) -> int:
+    return sum(
+        1 for f in os.listdir(path)
+        if f.endswith(".parquet") and os.path.isfile(os.path.join(path, f))
+    )
+
+
+def test_compact_append_target(spark, tmp_path):
+    path = str(tmp_path / "log")
+    for i in range(12):
+        sinks.append_log(
+            spark.createDataFrame([(f"s{i}",)], "status string"), path
+        )
+    before = _flat_parquet_count(path)
+    assert before >= 12  # append-mode pile-up is real
+    removed = sinks.compact_target(spark, path, target_files=2)
+    assert removed == before
+    assert _flat_parquet_count(path) == 2  # target file count honored exactly
+    rows = sorted(r.status for r in spark.read.parquet(path).collect())
+    assert rows == sorted(f"s{i}" for i in range(12))
+    # below threshold now → untouched, returns 0
+    assert sinks.compact_target(spark, path) == 0
+
+
+def test_merge_targets_self_compact(spark, tmp_path):
+    """The premise check: bucket-partitioned upsert targets hold ONE file
+    per bucket no matter how many merges ran — compaction has nothing to
+    do there and the flat-dir scan correctly skips hive layouts."""
+    from beeper_matric_etl_tool_spark.operators.dedup import latest_by_key
+
+    def merge(existing, batch):
+        allrows = batch if existing is None else existing.unionByName(batch)
+        return latest_by_key(allrows, keys=["k"], order_by=[F.col("seq").desc()])
+
+    target = str(tmp_path / "tgt")
+    seed = spark.range(0, 64).select(
+        F.col("id").alias("k"), F.lit(1).alias("seq"), F.lit("v1").alias("payload")
+    )
+    sinks.partitioned_upsert(spark, target, seed, merge, keys=["k"], n_buckets=4)
+    for seq in (2, 3, 4):
+        batch = spark.createDataFrame([(5, seq, f"v{seq}")], "k long, seq int, payload string")
+        sinks.partitioned_upsert(spark, target, batch, merge, keys=["k"], n_buckets=4)
+    per_bucket = {}
+    for root, dirs, files in os.walk(target):
+        dirs[:] = [d for d in dirs if "=" in d or not d.startswith(("_", "."))]
+        n = sum(f.endswith(".parquet") for f in files)
+        if n:
+            per_bucket[os.path.basename(root)] = n
+    assert per_bucket and all(n == 1 for n in per_bucket.values())
+    assert sinks.compact_target(spark, target) == 0  # nothing flat to compact
