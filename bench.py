@@ -130,6 +130,10 @@ def main() -> None:
             "spark.shuffle.spill.compress": "false",
             "spark.broadcast.compress": "false",
             "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+            # ParallelGC beats G1 for sub-second single-JVM bursts
+            # (measured ~10% off the headline total and lower jitter);
+            # real clusters with big executor heaps should stay on G1
+            "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
