@@ -42,10 +42,23 @@ def assign_clusters(df: DataFrame, centroids: DataFrame, vec_col: str = "embeddi
     needs no re-join. Ties break toward the lower cluster id (np.argmin
     keeps the first minimum; centroid rows are ordered by cluster_id).
 
-    Type contract (narrower than the old crossJoin form): ids must be
-    integral (emitted as long) and vectors array<float> — the mapInPandas
-    schema is declared statically. String ids or double vectors need a
-    cast upstream or a widened schema here."""
+    The output schema is DERIVED from the input: the id column keeps its
+    own type (any integral or string id works — it passes through the
+    Arrow batch untouched) and ``keep_vec`` re-emits the vector column at
+    its input type. Unsupported id types raise upfront with a clear
+    message instead of corrupting inside the Arrow stage."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint", "string"):
+        raise ValueError(
+            f"assign_clusters: unsupported id column type {id_type!r} for "
+            f"{id_col!r} — use an integral or string id (the id passes "
+            f"through the Arrow stage and must round-trip exactly)"
+        )
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    if not vec_type.startswith("array<"):
+        raise ValueError(
+            f"assign_clusters: {vec_col!r} must be an array column, got {vec_type!r}"
+        )
     cent_rows = sorted(
         centroids.select("cluster_id", "centroid").collect(), key=lambda r: r.cluster_id
     )
@@ -53,7 +66,9 @@ def assign_clusters(df: DataFrame, centroids: DataFrame, vec_col: str = "embeddi
     C = np.array([r.centroid for r in cent_rows], dtype=np.float64)
     cn2 = np.einsum("ij,ij->i", C, C)
 
-    fields = f"{id_col} long, cluster_id long" + (f", {vec_col} array<float>" if keep_vec else "")
+    fields = f"{id_col} {id_type}, cluster_id long" + (
+        f", {vec_col} {vec_type}" if keep_vec else ""
+    )
 
     def assign(batches):
         for pdf in batches:
@@ -63,7 +78,7 @@ def assign_clusters(df: DataFrame, centroids: DataFrame, vec_col: str = "embeddi
             # argmin ‖v−c‖² = argmin (‖c‖² − 2 v·c) per row — ‖v‖² is constant
             d = cn2[None, :] - 2.0 * (V @ C.T)
             best = cids[np.argmin(d, axis=1)]
-            out = {id_col: pdf[id_col].to_numpy(dtype=np.int64), "cluster_id": best}
+            out = {id_col: pdf[id_col], "cluster_id": best}
             if keep_vec:
                 out[vec_col] = pdf[vec_col]
             yield pd.DataFrame(out)

@@ -92,7 +92,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm side degrades to NULL (DuckDB's divide-by-zero
+    # semantics) instead of raising under ANSI mode
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(
@@ -131,12 +133,16 @@ def cosine_topk(
         pairs = F.broadcast(q).crossJoin(c)
     # 1e6·dot exceeds 2^53, but both engines round the SAME mathematically
     # exact integer product to double (1e6 and dot are each exact), so the
-    # floor is still engine-independent.
+    # floor is still engine-independent. try_divide: a zero-norm vector
+    # degrades the pair to NULL (DuckDB divide-by-zero semantics) instead
+    # of raising under ANSI mode.
     scored = pairs.filter(F.col("query_id") != F.col("neighbor_id")).withColumn(
         "cosine_ppm",
         F.floor(
-            (F.lit(1_000_000.0) * pair_dot(F.col("__qv"), F.col("__cv")))
-            / (F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__cn2")))
+            F.try_divide(
+                F.lit(1_000_000.0) * pair_dot(F.col("__qv"), F.col("__cv")),
+                F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__cn2")),
+            )
         ).cast("long"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -149,6 +155,12 @@ def cosine_topk(
     )
 
 
+#: hard cap on the driver-resident probe set of `scored_pairs_matmul`.
+#: 64k probes × dim 4096 × 8 B ≈ 2 GiB — already generous; anything larger
+#: is a mis-call (the probe contract is "small"), not a bigger machine.
+MAX_PROBES = 65_536
+
+
 def scored_pairs_matmul(
     queries: DataFrame,
     corpus: DataFrame,
@@ -156,6 +168,7 @@ def scored_pairs_matmul(
     id_col: str = "vec_id",
     partition_col: str | None = None,
     emit_partition: bool = False,
+    max_probes: int = MAX_PROBES,
 ) -> DataFrame:
     """All (query, corpus) cosine scores via ONE BLAS matmul per Arrow batch.
 
@@ -187,7 +200,16 @@ def scored_pairs_matmul(
         + (", __matched boolean" if partition_col else "")
         + (", __cpart long" if emit_partition else "")
     )
-    probe_rows = queries.select(id_col, vec_col, *part).collect()
+    # bounded collect: take() fetches at most max_probes+1 rows, so an
+    # oversized probe set raises BEFORE the driver materializes it — a
+    # caller passing the corpus as probes must fail loudly, not OOM.
+    probe_rows = queries.select(id_col, vec_col, *part).take(max_probes + 1)
+    if len(probe_rows) > max_probes:
+        raise ValueError(
+            f"scored_pairs_matmul: probe set exceeds max_probes={max_probes} "
+            f"— the probe side must be small (it becomes a driver-resident "
+            f"matrix); swap the sides or use the pairwise path"
+        )
     if not probe_rows:
         # empty probe set → empty relation with the contracted schema (the
         # lazy pairwise path degrades the same way)
@@ -204,14 +226,24 @@ def scored_pairs_matmul(
             C = np.floor(np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * QUANT)
             cn = np.sqrt(np.einsum("ij,ij->i", C, C))
             # exact integer dots; 1e6·dot then the IEEE divide+floor —
-            # the same double rounding every engine performs
-            ppm = np.floor((1e6 * (C @ Q.T)) / np.outer(cn, qn)).astype(np.int64)
+            # the same double rounding every engine performs. A zero-norm
+            # quantized vector makes the pair 0/0 = NaN; the lazy pairwise
+            # path and the SQL oracle both cast that to NULL, so this path
+            # must too — floor(NaN).astype(int64) would emit garbage.
+            with np.errstate(invalid="ignore", divide="ignore"):
+                raw = np.floor((1e6 * (C @ Q.T)) / np.outer(cn, qn))
             nids = pdf[id_col].to_numpy(dtype=np.int64)
-            n, m = ppm.shape
+            n, m = raw.shape
+            flat = raw.ravel()
+            finite = np.isfinite(flat)
+            ppm = pd.array(
+                np.where(finite, flat, 0).astype(np.int64), dtype="Int64"
+            )
+            ppm[~finite] = pd.NA
             cols = {
                 "query_id": np.tile(qids, n),
                 "neighbor_id": np.repeat(nids, m),
-                "cosine_ppm": ppm.ravel(),
+                "cosine_ppm": ppm,
             }
             if partition_col is not None:
                 cparts = pdf[partition_col].to_numpy()
@@ -411,8 +443,10 @@ def knn_suite(
             .withColumn(
                 "cosine_ppm",
                 F.floor(
-                    (F.lit(1_000_000.0) * pair_dot(F.col("__qv"), F.col("__cv")))
-                    / (F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__cn2")))
+                    F.try_divide(
+                        F.lit(1_000_000.0) * pair_dot(F.col("__qv"), F.col("__cv")),
+                        F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__cn2")),
+                    )
                 ).cast("long"),
             )
             .select(

@@ -19,7 +19,7 @@ one reduce task still owns it after splitting (the '#general room with
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -56,18 +56,35 @@ def salted_join(
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[Column, Callable[[str], Column]]],
     salt_source: str,
     buckets: int = 8,
 ) -> DataFrame:
     """Two-phase groupBy for skewed keys: phase 1 aggregates (keys, salt)
-    partials, phase 2 combines per key. `aggs` maps output name → phase-1
-    aggregate; phase 2 re-combines with sum (caller supplies re-combinable
-    partials — counts and sums re-sum; avg must be carried as sum+count)."""
+    partials, phase 2 combines per key.
+
+    `aggs` maps output name → (phase-1 aggregate column, phase-2 combiner)
+    where the combiner is a function of the partial column NAME, e.g.::
+
+        {"n":  (F.count(F.lit(1)), F.sum),   # counts re-combine by SUM
+         "mx": (F.max("x"),        F.max)}   # maxima re-combine by MAX
+
+    The combiner is REQUIRED per aggregate: a bare Column raises — the old
+    implicit always-sum recombine silently corrupted any non-summable
+    partial (`F.max` partials summed across salts is not a max). Partials
+    must be algebraic (count/sum/min/max re-combine with themselves except
+    count→sum; avg must be carried as sum+count and divided afterwards)."""
+    for name, spec in aggs.items():
+        if not (isinstance(spec, tuple) and len(spec) == 2 and callable(spec[1])):
+            raise TypeError(
+                f"salted_aggregate: aggs[{name!r}] must be a (phase1_column, "
+                f"phase2_combiner) tuple — an implicit sum recombine would "
+                f"silently corrupt non-summable partials like F.max"
+            )
     salted = df.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(buckets)))
     phase1 = salted.groupBy(*keys, "__salt").agg(
-        *[c.alias(name) for name, c in aggs.items()]
+        *[c.alias(name) for name, (c, _) in aggs.items()]
     )
     return phase1.groupBy(*keys).agg(
-        *[F.sum(name).alias(name) for name in aggs]
+        *[combine(name).alias(name) for name, (_, combine) in aggs.items()]
     )

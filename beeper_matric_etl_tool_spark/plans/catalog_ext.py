@@ -1298,8 +1298,8 @@ def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.withColumn("cents", xtext.cents("value")),
         keys=["event_type"],
         aggs={
-            "n_events": F.count(F.lit(1)),
-            "total_cents": F.sum("cents"),
+            "n_events": (F.count(F.lit(1)), F.sum),
+            "total_cents": (F.sum("cents"), F.sum),
         },
         salt_source="event_id",
         buckets=8,

@@ -18,6 +18,7 @@ Spark-first equivalents:
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -142,6 +143,16 @@ def compact_target(
     reference never needs it either — Postgres heap pages self-compact
     via vacuum; any append-mode parquet stream does. Not concurrency-safe
     against in-flight appends — schedule between batches, like vacuum.
+
+    Crash safety: the compacted copy is FULLY written to a temp sibling
+    directory before the original is touched, then swapped in by two
+    renames. The original files exist on disk until the swap, so a crash
+    (or executor loss) at any point leaves either the untouched original
+    or a complete replacement — never a half-written target. (An in-place
+    overwrite would delete the only copy before commit; checkpointed
+    blocks live in executor storage and do not survive the JVM.) If a
+    crash lands between the two renames, ``<target>.compact-old`` holds
+    the full original — rename it back to recover.
     """
     if not has_parquet(target_dir):
         return 0
@@ -151,10 +162,15 @@ def compact_target(
     ]
     if len(flat_files) <= min_files_to_compact:
         return 0
+    tmp_dir = target_dir.rstrip("/") + ".compact-tmp"
+    old_dir = target_dir.rstrip("/") + ".compact-old"
+    shutil.rmtree(tmp_dir, ignore_errors=True)  # stale debris from a crash
+    shutil.rmtree(old_dir, ignore_errors=True)
     existing = spark.read.parquet(target_dir)
-    # materialize before overwriting the very files being read
-    out = existing.repartition(max(target_files, 1)).localCheckpoint(eager=True)
-    out.write.mode("overwrite").parquet(target_dir)
+    existing.repartition(max(target_files, 1)).write.mode("overwrite").parquet(tmp_dir)
+    os.rename(target_dir, old_dir)
+    os.rename(tmp_dir, target_dir)
+    shutil.rmtree(old_dir)
     return len(flat_files)
 
 

@@ -207,9 +207,25 @@ def merge_batch_writer(
                 # ordering struct would otherwise decide by engine whim
                 # (dead-letter rows all carry null event time).
                 src = b if existing is None else existing.unionByName(b)
-                src = src.withColumn(
-                    "__ord", F.coalesce(F.col(order_col), F.lit(-(2**63))).cast("long")
-                )
+                # normalize the order column to long by its ACTUAL type:
+                # timestamps keep millisecond precision via unix_millis (a
+                # bare long cast would silently truncate to seconds),
+                # integrals cast losslessly, anything else is not a total
+                # order we can guarantee — raise instead of guessing.
+                order_dt = src.schema[order_col].dataType
+                if isinstance(order_dt, (T.TimestampType, T.TimestampNTZType)):
+                    ord_long = F.unix_millis(F.col(order_col))
+                elif isinstance(order_dt, T.DateType):
+                    ord_long = F.unix_date(F.col(order_col)).cast("long")
+                elif isinstance(order_dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+                    ord_long = F.col(order_col).cast("long")
+                else:
+                    raise TypeError(
+                        f"merge_batch_writer: order_col {order_col!r} has type "
+                        f"{order_dt.simpleString()}; supported orderings are "
+                        f"integral (epoch millis) and timestamp/date columns"
+                    )
+                src = src.withColumn("__ord", F.coalesce(ord_long, F.lit(-(2**63))))
                 return latest_by_key_agg(
                     src, keys=keys, max_order_cols=["__ord", "__batch_id"]
                 ).drop("__ord")

@@ -587,11 +587,22 @@ def test_salted_join_and_agg_match_plain(spark):
     salted = skew.salted_join(big, small, on="k", salt_source="row_id").select("row_id", "tag")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
-    plain_agg = big.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    plain_agg = big.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.max("row_id").alias("mx")
+    )
     salted_agg = skew.salted_aggregate(
-        big, ["k"], {"n": F.count(F.lit(1))}, salt_source="row_id"
+        big, ["k"],
+        # explicit phase-2 combiner per aggregate: counts re-SUM, maxima
+        # re-MAX — the exact case the old implicit always-sum corrupted
+        {"n": (F.count(F.lit(1)), F.sum), "mx": (F.max("row_id"), F.max)},
+        salt_source="row_id",
     )
     assert sorted(map(tuple, plain_agg.collect())) == sorted(map(tuple, salted_agg.collect()))
+
+    # a bare Column (the old API, implicit sum recombine) must raise: a
+    # caller passing F.max would get sum-of-per-salt-maxima silently
+    with pytest.raises(TypeError, match="phase2_combiner"):
+        skew.salted_aggregate(big, ["k"], {"mx": F.max("row_id")}, salt_source="row_id")
 
 
 def test_ivf_index_build_probe_and_nprobe_recall(spark, tmp_path, sf_dir):
@@ -682,3 +693,53 @@ def test_kernels_on_empty_inputs(spark):
     inner = asof_join(events, no_state, on=["user_id"], events_ts="ts", state_ts="ts",
                       payload=["sval"], how="inner")
     assert inner.count() == 0
+
+
+def test_scored_pairs_matmul_probe_cap_and_zero_norm(spark):
+    """API hazards, pinned: (a) an oversized probe set must raise before the
+    driver materializes it — passing the corpus as probes is a mis-call, not
+    an OOM; (b) a zero-norm quantized vector (all components < 2^-16) makes
+    the pair 0/0, which must surface as NULL cosine_ppm — matching the lazy
+    pairwise path and the SQL oracle — never an undefined int64."""
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i)]) for i in range(5)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="max_probes"):
+        xsim.scored_pairs_matmul(emb, emb, max_probes=3).count()
+
+    zero = spark.createDataFrame(
+        # vec 1 quantizes to (0, 0): floor(2^-17 * 2^16) = 0 per component
+        [(0, [1.0, 0.5]), (1, [2.0 ** -17, 2.0 ** -17])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.query_id, r.neighbor_id): r.cosine_ppm
+        for r in xsim.scored_pairs_matmul(zero, zero).collect()
+    }
+    assert got[(0, 1)] is None and got[(1, 0)] is None
+    # the lazy pairwise path agrees: 0/0 → NaN → NULL on the long cast
+    lazy = xsim.cosine_topk(zero, zero, k=1).collect()
+    assert all(r.cosine_ppm is None for r in lazy)
+
+
+def test_assign_clusters_id_type_contract(spark):
+    """The mapInPandas schema derives from the input: string ids round-trip
+    exactly; an unsupported id type raises upfront with a clear message."""
+    from beeper_matric_etl_tool_spark.ext.clustering import assign_clusters
+
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])], "cluster_id long, centroid array<float>"
+    )
+    named = spark.createDataFrame(
+        [("a", [0.1, 0.2]), ("b", [9.0, 11.0])], "doc string, embedding array<float>"
+    )
+    got = {r.doc: r.cluster_id for r in assign_clusters(named, cents, id_col="doc").collect()}
+    assert got == {"a": 0, "b": 1}
+
+    doubled = named.select("doc", F.col("embedding").cast("array<double>").alias("embedding"))
+    got2 = {r.doc: r.cluster_id for r in assign_clusters(doubled, cents, id_col="doc").collect()}
+    assert got2 == got
+
+    bad = spark.createDataFrame([(1.5, [0.0, 0.0])], "doc double, embedding array<float>")
+    with pytest.raises(ValueError, match="unsupported id column type"):
+        assign_clusters(bad, cents, id_col="doc")

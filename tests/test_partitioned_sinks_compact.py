@@ -32,6 +32,9 @@ def test_compact_append_target(spark, tmp_path):
     assert _flat_parquet_count(path) == 2  # target file count honored exactly
     rows = sorted(r.status for r in spark.read.parquet(path).collect())
     assert rows == sorted(f"s{i}" for i in range(12))
+    # crash-safe swap left no temp/old siblings behind
+    parent = os.path.dirname(path)
+    assert [d for d in os.listdir(parent) if ".compact-" in d] == []
     # below threshold now → untouched, returns 0
     assert sinks.compact_target(spark, path) == 0
 

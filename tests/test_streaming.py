@@ -344,3 +344,34 @@ def test_state_store_deduplicate_path(spark, tmp_path):
     dead = [r for r in rows if r.error is not None]
     assert good == ["e1", "e2"]          # in-stream collapse of the dup
     assert len(dead) == 1 and dead[0].error.startswith("parse_error")
+
+
+def test_merge_batch_writer_order_col_type_normalization(spark, tmp_path):
+    """The merge's order column normalizes by its ACTUAL type: a
+    timestamp-typed ordering keeps millisecond precision (a bare long cast
+    truncates to seconds and would tie sub-second writes), and a
+    non-orderable type raises instead of guessing."""
+    import datetime as dt
+
+    target = str(tmp_path / "ts-ordered")
+    write = ingest.merge_batch_writer(target, keys=["k"], order_col="ts")
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    batch = spark.createDataFrame(
+        [
+            ("k1", t0 + dt.timedelta(milliseconds=1), T0_MS, "late"),
+            ("k1", t0, T0_MS, "early"),
+        ],
+        # `timestamp` (epoch ms) feeds the day-bucket layout as usual; the
+        # MERGE ordering runs on the timestamp-typed `ts`
+        "k string, ts timestamp, timestamp long, v string",
+    )
+    write(batch, 0)
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {"k1": "late"}  # ms-precision order decided the merge
+
+    bad = spark.createDataFrame(
+        [("k1", "not-orderable", T0_MS, "x")],
+        "k string, ts string, timestamp long, v string",
+    )
+    with pytest.raises(TypeError, match="order_col"):
+        ingest.merge_batch_writer(str(tmp_path / "bad"), keys=["k"], order_col="ts")(bad, 0)
