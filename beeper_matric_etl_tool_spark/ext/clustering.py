@@ -117,7 +117,6 @@ def kmeans(
         .drop(id_col)
     ).cache()
 
-    assignments = None
     for _ in range(iterations):
         # vector rides through the assign stage — no corpus re-join
         assigned = assign_clusters(df, centroids, vec_col, id_col, keep_vec=True)
@@ -150,7 +149,11 @@ def kmeans(
         ).cache()
         centroids.count()  # materialize before releasing the parent cache
         prev.unpersist()
-        assignments = assigned.select(id_col, "cluster_id")
+    # final re-assignment against the LAST updated centroids — without it
+    # the returned assignments answer to the previous iteration's centroids
+    # and the Lloyd invariant (every vector in its argmin cluster over the
+    # EMITTED centroids) does not hold. This is how Lloyd terminates.
+    assignments = assign_clusters(df, centroids, vec_col, id_col)
     # cut the lineage: the final assignment is |corpus| skinny rows, but its
     # lazy plan replays the assign stage for every downstream reference.
     # Materializing here turns consumers' plans into 'scan + join a small

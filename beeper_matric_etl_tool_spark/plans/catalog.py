@@ -88,42 +88,67 @@ def messages_topk_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rooms_listing",
-    tags=("S6", "O1", "P2"),
-    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "small_reads_suite",
+    tags=("S7", "S9", "O4", "P1", "P3"),
+    oracle="""
+        SELECT 'point_lookup' AS surface, CAST(c_custkey AS BIGINT) AS key,
+               c_name AS name, c_acctbal AS acctbal
+        FROM customer WHERE c_custkey = 42
+        UNION ALL
+        SELECT 'credentials' AS surface, CAST(s_suppkey AS BIGINT) AS key,
+               s_name AS name, s_acctbal AS acctbal
+        FROM supplier WHERE s_suppkey <= 5
+        UNION ALL
+        SELECT 'config_head' AS surface, CAST(r_regionkey AS BIGINT) AS key,
+               r_name AS name, CAST(NULL AS DOUBLE) AS acctbal
+        FROM (SELECT * FROM region ORDER BY r_regionkey LIMIT 1)
+    """,
 )
-def rooms_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6/O1 — full dimension scan (routes.ts:92 `SELECT * FROM rooms ORDER BY
-    …`; recency ordering per intent, see SURVEY §8 B3). Ordering is
-    presentation-only — the driver compares order-insensitively."""
-    return table(spark, sf_dir, "nation").orderBy(F.col("n_name"))
+def small_reads_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three point-read surfaces in one harmonized relation (each leg
+    keeps its own pushed-down plan — the union is presentation):
 
-
-@register(
-    "point_lookup",
-    tags=("S7", "P3"),
-    oracle="SELECT * FROM customer WHERE c_custkey = 42",
-)
-def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S7 — point lookup by PK (routes.ts:106-112). The equality predicate is
-    pushed into the parquet scan; with min/max row-group stats this touches a
-    single row group at any scale."""
-    return table(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
-
-
-@register(
-    "credentials_projection",
-    tags=("S9", "P1", "P3"),
-    oracle="SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE s_suppkey <= 5",
-)
-def credentials_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S9/P1 — projection + filter (db.utils.ts:13-28 `SELECT device_id,
-    access_token … WHERE user_id = $1`). ReadSchema prunes to 3 columns."""
-    return (
+    surface='point_lookup' — S7 PK lookup (routes.ts:106-112); the equality
+    predicate reaches the parquet scan, so min/max row-group stats touch a
+    single row group at any scale.
+    surface='credentials' — S9/P1 projection + filter (db.utils.ts:13-28
+    `SELECT device_id, access_token … WHERE user_id = $1`); ReadSchema
+    prunes the supplier scan to 3 columns.
+    surface='config_head' — O4 LIMIT 1 read (routes.ts:251); the
+    reference's bare LIMIT 1 is row-order nondeterministic, we pin a total
+    order — determinism is part of the engine contract."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") == 42)
+        .select(
+            F.lit("point_lookup").alias("surface"),
+            F.col("c_custkey").cast("long").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+    creds = (
         table(spark, sf_dir, "supplier")
         .filter(F.col("s_suppkey") <= 5)
-        .select("s_suppkey", "s_name", "s_acctbal")
+        .select(
+            F.lit("credentials").alias("surface"),
+            F.col("s_suppkey").cast("long").alias("key"),
+            F.col("s_name").alias("name"),
+            F.col("s_acctbal").alias("acctbal"),
+        )
     )
+    head = (
+        table(spark, sf_dir, "region")
+        .orderBy("r_regionkey")
+        .limit(1)
+        .select(
+            F.lit("config_head").alias("surface"),
+            F.col("r_regionkey").cast("long").alias("key"),
+            F.col("r_name").alias("name"),
+            F.lit(None).cast("double").alias("acctbal"),
+        )
+    )
+    return cust.unionByName(creds).unionByName(head)
 
 
 @register(
@@ -143,18 +168,6 @@ def checkpoint_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts").desc(), F.col("event_id").desc())
         .limit(1)
     )
-
-
-@register(
-    "config_head",
-    tags=("O4",),
-    oracle="SELECT * FROM region ORDER BY r_regionkey LIMIT 1",
-)
-def config_head(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O4 — LIMIT 1 read (routes.ts:251). The reference's bare LIMIT 1 is
-    row-order nondeterministic; we pin a total order — determinism is part of
-    the engine contract."""
-    return table(spark, sf_dir, "region").orderBy("r_regionkey").limit(1)
 
 
 @register(
@@ -198,6 +211,11 @@ def logs_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(n_name) AS n_children
         FROM region JOIN nation ON n_regionkey = r_regionkey
         GROUP BY r_regionkey, r_name
+        UNION ALL
+        SELECT 'nation_rooms' AS rel, n_nationkey AS parent_key, n_name AS parent_name,
+               CAST(n_regionkey AS VARCHAR) AS children_json,
+               CAST(n_regionkey AS BIGINT) AS n_children
+        FROM nation
     """,
 )
 def rooms_with_participants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,7 +223,12 @@ def rooms_with_participants(spark: SparkSession, sf_dir: str) -> DataFrame:
     room→participants (routes.ts:107-110 correlated `json_agg`, left-join
     variant with empty-array default) and user→rooms (routes.ts:169-174,
     inner-join variant). Decorrelated to aggregate-then-broadcast-join;
-    nation plays rooms, customer plays participants (FIXTURES.md role map)."""
+    nation plays rooms, customer plays participants (FIXTURES.md role map).
+
+    The rel='nation_rooms' slice is the S6/O1/P2 full listing scan
+    (routes.ts:92 `SELECT * FROM rooms ORDER BY …`): every nation row with
+    all three columns surfaced. Ordering is presentation-only (recency per
+    intent, SURVEY §8 B3) — the driver compares order-insensitively."""
     nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     members = table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("n_nationkey"), "c_name"
@@ -234,7 +257,14 @@ def rooms_with_participants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.col("nation_names")).alias("children_json"),
         F.col("n_children").cast("long").alias("n_children"),
     )
-    return nested1.unionByName(nested2)
+    nations_all = table(spark, sf_dir, "nation").select(
+        F.lit("nation_rooms").alias("rel"),
+        F.col("n_nationkey").alias("parent_key"),
+        F.col("n_name").alias("parent_name"),
+        F.col("n_regionkey").cast("string").alias("children_json"),
+        F.col("n_regionkey").cast("long").alias("n_children"),
+    )
+    return nested1.unionByName(nested2).unionByName(nations_all)
 
 
 @register(
@@ -430,9 +460,12 @@ def merge_changed_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "message_projection",
-    tags=("F1", "F3", "F9", "F10", "F12", "F-crypto"),
-    oracle="""
+    "events_scalar_battery",
+    tags=(
+        "F1", "F2", "F3", "F5", "F6", "F9", "F10", "F11", "F12", "F14",
+        "F-crypto", "P8", "map",
+    ),
+    oracle=r"""
         SELECT event_id,
                concat('@user', CAST(user_id AS VARCHAR), ':matrix.example.org') AS sender,
                concat('!', event_type) AS room_id,
@@ -442,22 +475,55 @@ def merge_changed_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
                strftime(ts, '%Y-%m-%d %H:%M') AS ts_rendered,
                to_json(struct_pack(event_type := event_type, event_id := event_id))
                  AS event_json,
-               props AS decrypted
-        FROM events
+               props AS decrypted,
+               sender_norm,
+               str_split(sender_norm, ':')[2] AS domain,
+               concat(upper(substr(event_type, 1, 1)), substr(event_type, 2)) AS event_type_cap,
+               k_str, CAST(k_str AS BIGINT) AS k_num,
+               coalesce(value, 0.0) AS value_filled,
+               array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+               nullif(event_type, 'error') AS type_or_null,
+               coalesce(nullif(event_type, 'error'), 'quarantined') AS type_defaulted,
+               (value IS NOT DISTINCT FROM NULL) AS value_is_null_safe
+        FROM (
+            SELECT *,
+                   regexp_replace(
+                       concat('@user', CAST(user_id AS VARCHAR), ':https://matrix.example.org'),
+                       '^(.+?):https://matrix\.(.+)$', '\1:\2') AS sender_norm,
+                   json_extract_string(props, '$.k') AS k_str
+            FROM events
+        )
     """,
 )
-def message_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full per-message scalar plane in one projection:
-    F3/F9 — the event→row extraction of persistMessage (db.utils.ts:49-59);
-    F1 — row→JSON serialization (`JSON.stringify`, db.utils.ts:53) via
-    to_json(struct); F10 — timestamp presentation (`toLocaleString`,
-    dashboard.tsx:110) via date_format; and the crypto plane — the E2E
-    capability mapped to column-level aes_encrypt/aes_decrypt (ECB for
-    determinism here; GCM in production where the random IV is a feature).
-    The oracle checks the roundtrip law decrypt(encrypt(x)) = x."""
+def events_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole per-event scalar plane over ONE events scan (the three
+    former single-scan batteries merged — every tag and column kept):
+
+    - F3/F9 — event→row extraction of persistMessage (db.utils.ts:49-59);
+      F1 — row→JSON serialization (`JSON.stringify`, db.utils.ts:53) via
+      to_json(struct); F10 — timestamp presentation (`toLocaleString`,
+      dashboard.tsx:110) via date_format; and the crypto plane — E2E
+      capability mapped to column-level aes_encrypt/aes_decrypt (ECB for
+      determinism here; GCM in production where the random IV is a
+      feature). The oracle checks the roundtrip law decrypt(encrypt(x))=x.
+    - F2/F5/F6/F11/F12/F14 — homeserver normalization regex
+      (client.ts:151), mxid domain split (db.utils.ts:233), first-char
+      capitalize (sync-status.tsx:121), JSON field extraction + int parse
+      (routes.ts:227-228), null-coalescing defaults, plus the structural
+      JSON plane: the payload parsed into a MapType and its key set
+      extracted (schema-on-read; get_json_object is the point-access
+      half).
+    - P8/F14 depth — the null algebra the upsert kernels rely on: nullif
+      quarantining, coalesce defaults, null-safe comparison (IS NOT
+      DISTINCT FROM ≙ eqNullSafe)."""
     key = F.lit("0123456789abcdef")  # 16-byte demo key
     enc = F.aes_encrypt(F.col("props"), key, F.lit("ECB"))
     dec = F.aes_decrypt(F.unbase64(F.base64(enc)), key, F.lit("ECB"))
+    sender = F.concat(
+        F.lit("@user"), F.col("user_id").cast("string"), F.lit(":https://matrix.example.org")
+    )
+    sender_norm = fx.normalize_matrix_user(sender)
+    k_str = fx.json_field("props", "k")
     return table(spark, sf_dir, "events").select(
         "event_id",
         F.concat(
@@ -470,45 +536,6 @@ def message_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm").alias("ts_rendered"),
         F.to_json(F.struct(F.col("event_type"), F.col("event_id"))).alias("event_json"),
         dec.cast("string").alias("decrypted"),
-    )
-
-
-@register(
-    "scalar_functions_showcase",
-    tags=("F2", "F5", "F6", "F11", "F12", "F14", "map"),
-    oracle=r"""
-        SELECT event_id, sender_norm,
-               str_split(sender_norm, ':')[2] AS domain,
-               concat(upper(substr(event_type, 1, 1)), substr(event_type, 2)) AS event_type_cap,
-               k_str, CAST(k_str AS BIGINT) AS k_num,
-               coalesce(value, 0.0) AS value_filled,
-               array_to_string(list_sort(json_keys(props)), ',') AS keys_csv
-        FROM (
-            SELECT *,
-                   regexp_replace(
-                       concat('@user', CAST(user_id AS VARCHAR), ':https://matrix.example.org'),
-                       '^(.+?):https://matrix\.(.+)$', '\1:\2') AS sender_norm,
-                   json_extract_string(props, '$.k') AS k_str
-            FROM events
-        )
-    """,
-)
-def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2/F5/F6/F11/F12/F14 — the per-row transform battery: homeserver
-    normalization regex (client.ts:151), mxid domain split (db.utils.ts:233),
-    first-char capitalize (sync-status.tsx:121), JSON field extraction +
-    int parse (routes.ts:227-228), null-coalescing defaults — plus the
-    structural half of the JSON plane: the payload parsed into a proper
-    MapType and its key set extracted (schema-on-read; get_json_object is
-    the point-access half)."""
-    events = table(spark, sf_dir, "events")
-    sender = F.concat(
-        F.lit("@user"), F.col("user_id").cast("string"), F.lit(":https://matrix.example.org")
-    )
-    sender_norm = fx.normalize_matrix_user(sender)
-    k_str = fx.json_field("props", "k")
-    return events.select(
-        "event_id",
         sender_norm.alias("sender_norm"),
         fx.mxid_domain(sender_norm).alias("domain"),
         fx.capitalize("event_type").alias("event_type_cap"),
@@ -518,6 +545,11 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             ",", F.sort_array(F.map_keys(F.from_json(F.col("props"), "map<string,string>")))
         ).alias("keys_csv"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("quarantined")).alias(
+            "type_defaulted"
+        ),
+        F.col("value").eqNullSafe(F.lit(None).cast("double")).alias("value_is_null_safe"),
     )
 
 
@@ -743,7 +775,7 @@ def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (the AES roundtrip column rides `message_projection` — same events scan)
+# (the AES roundtrip column rides `events_scalar_battery` — same events scan)
 
 
 # (F4 first-state extraction is folded into `latest_event_per_user` —
@@ -888,7 +920,7 @@ def message_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# (timestamp rendering + row→JSON serialization ride `message_projection`)
+# (timestamp rendering + row→JSON serialization ride `events_scalar_battery`)
 
 
 @register(
@@ -1062,35 +1094,8 @@ def sql_surface_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_DUAL_DIALECT_SQL)
 
 
-# (props key introspection rides `scalar_functions_showcase` — same scan)
-
-
-# (GROUPING() flags ride `orders_grouping_sets`)
-
-
-@register(
-    "null_handling_showcase",
-    tags=("P8", "F14"),
-    oracle="""
-        SELECT event_id,
-               nullif(event_type, 'error') AS type_or_null,
-               coalesce(nullif(event_type, 'error'), 'quarantined') AS type_defaulted,
-               (value IS NOT DISTINCT FROM NULL) AS value_is_null_safe
-        FROM events
-    """,
-)
-def null_handling_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P8/F14 depth — the null algebra the upsert kernels rely on: nullif
-    quarantining, coalesce defaults, null-safe comparison (IS NOT DISTINCT
-    FROM ≙ eqNullSafe)."""
-    return table(spark, sf_dir, "events").select(
-        "event_id",
-        F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
-        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("quarantined")).alias(
-            "type_defaulted"
-        ),
-        F.col("value").eqNullSafe(F.lit(None).cast("double")).alias("value_is_null_safe"),
-    )
+# (props key introspection, null algebra and GROUPING() flags ride
+# `events_scalar_battery` and `orders_grouping_sets`)
 
 
 # (the second keyset page is folded into `messages_topk_page` — one

@@ -92,83 +92,165 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-source keep rates for the mixing sampler, expressed as 6-char
+#: thresholds over md5(doc_id): keep iff substr(md5,1,6) < threshold.
+#: Lexicographic compare on lowercase hex is exact and engine-portable
+#: (floor(rate · 16⁶) in hex) — no float arithmetic, no engine RNG. A
+#: rate ≥ 1.0 uses a sentinel ABOVE the hex alphabet ('z' > 'f'), so the
+#: strict compare keeps every row — a hex threshold of 'ffffff' would
+#: silently drop the ~2⁻²⁴ sliver of docs whose prefix is exactly it.
+MIX_RATES: dict[str, tuple[float, str]] = {
+    "en": (1.00, "zzzzzz"),
+    "es": (0.50, "800000"),
+    "fr": (0.25, "400000"),
+    "de": (0.10, "199999"),
+}
+
+
 @register(
     "corpus_composition",
     tags=("ext-text", "ext-sample"),
     oracle=f"""
         WITH d AS (
             SELECT lang, n_chars, len(str_split(text, ' ')) AS n_toks,
-                   {HOLDOUT_SQL} AS split
+                   {HOLDOUT_SQL} AS split,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS h,
+                   CASE lang
+                       WHEN 'en' THEN 'zzzzzz' WHEN 'es' THEN '800000'
+                       WHEN 'fr' THEN '400000' WHEN 'de' THEN '199999'
+                       ELSE '000000' END AS thresh
             FROM documents
         )
         SELECT 'lang' AS dim, lang AS key, count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS total_chars,
-               CAST(sum(n_toks) AS BIGINT) AS total_tokens
+               CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+               CAST(NULL AS BIGINT) AS n_kept, CAST(NULL AS BIGINT) AS kept_ppm
         FROM d GROUP BY lang
         UNION ALL
         SELECT 'split' AS dim, split AS key, count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS total_chars,
-               CAST(sum(n_toks) AS BIGINT) AS total_tokens
+               CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+               CAST(NULL AS BIGINT) AS n_kept, CAST(NULL AS BIGINT) AS kept_ppm
         FROM d GROUP BY split
+        UNION ALL
+        SELECT 'mix' AS dim, lang AS key, count(*) AS n_docs,
+               CAST(NULL AS BIGINT) AS total_chars,
+               CAST(NULL AS BIGINT) AS total_tokens,
+               count(*) FILTER (WHERE h < thresh) AS n_kept,
+               CAST((1000000 * count(*) FILTER (WHERE h < thresh)) // count(*)
+                    AS BIGINT) AS kept_ppm
+        FROM d GROUP BY lang
     """,
 )
 def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus composition along two dimensions in one relation: per
-    language, and per deterministic content-hash train/val holdout
-    (~1/8 val). The hash split is the ONLY correct way to split at scale —
-    row_number/rand splits reshuffle when data moves or retries; a hash of
-    the stable id never does, and portable md5 means any engine reproduces
-    the exact same membership. Exact integer totals only (means are a
-    client-side division away; cross-engine float avg cannot hash-match)."""
+    """Corpus composition + mixing audit along three dimensions in one
+    relation over one documents scan:
+
+    dim='lang' / dim='split' — composition per language and per
+    deterministic content-hash train/val holdout (~1/8 val). The hash
+    split is the ONLY correct way to split at scale — row_number/rand
+    splits reshuffle when data moves or retries; a hash of the stable id
+    never does, and portable md5 means any engine reproduces the exact
+    same membership. Exact integer totals only (means are a client-side
+    division away; cross-engine float avg cannot hash-match).
+
+    dim='mix' — the deterministic source-mixing sampler every pretraining
+    corpus runs (upsample scarce sources, downsample dominant ones): each
+    language keeps a fixed fraction of documents, selected by a
+    content-stable hash threshold, NOT an engine RNG — the same doc is
+    kept or dropped on every engine, every retry, every re-run (resumable
+    sampling). The keep test is a lexicographic compare of the first 6
+    md5 hex digits against floor(rate·16⁶) in hex (rate ≥ 1.0 → an
+    above-alphabet sentinel that keeps all rows): exact, portable, zero
+    float arithmetic. n_kept/kept_ppm are the per-source audit counts;
+    the kept rows themselves are the same relation minus the aggregate."""
     docs = table(spark, sf_dir, "documents")
+    thresh = F.create_map(
+        *[x for lang, (_, hexthresh) in MIX_RATES.items()
+          for x in (F.lit(lang), F.lit(hexthresh))]
+    )
     base = docs.select(
         "lang",
         "n_chars",
         xtext.token_count("text").alias("__n_toks"),
         holdout_split().alias("split"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6).alias("__h"),
+        F.coalesce(thresh[F.col("lang")], F.lit("000000")).alias("__t"),
     )
+    null_long = F.lit(None).cast("long")
 
     def _grouped(col: str, dim: str) -> DataFrame:
         return base.groupBy(F.col(col).alias("key")).agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
             F.sum("__n_toks").alias("total_tokens"),
-        ).select(F.lit(dim).alias("dim"), "key", "n_docs", "total_chars", "total_tokens")
+        ).select(
+            F.lit(dim).alias("dim"), "key", "n_docs", "total_chars", "total_tokens",
+            null_long.alias("n_kept"), null_long.alias("kept_ppm"),
+        )
 
-    return _grouped("lang", "lang").unionByName(_grouped("split", "split"))
+    kept = F.sum(F.when(F.col("__h") < F.col("__t"), 1).otherwise(0))
+    mix = base.groupBy(F.col("lang").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        kept.cast("long").alias("n_kept"),
+        F.floor((F.lit(1_000_000) * kept) / F.count(F.lit(1))).cast("long").alias("kept_ppm"),
+    ).select(
+        F.lit("mix").alias("dim"), "key", "n_docs",
+        null_long.alias("total_chars"), null_long.alias("total_tokens"),
+        "n_kept", "kept_ppm",
+    )
+    return _grouped("lang", "lang").unionByName(_grouped("split", "split")).unionByName(mix)
 
 
 @register(
-    "lang_id_heuristic",
+    "doc_profile",
     tags=("ext-text",),
     oracle="""
         SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
                CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
                     WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
                     WHEN fr_hits >= de_hits THEN 'fr'
-                    ELSE 'de' END AS predicted_lang
+                    ELSE 'de' END AS predicted_lang,
+               fp, min_shingle_fp
         FROM (
             SELECT doc_id,
                    len(list_filter(str_split(text,' '), x -> x IN ('the','and','of','to','a','in','is','that'))) AS en_hits,
                    len(list_filter(str_split(text,' '), x -> x IN ('el','la','de','que','y','en','un','por'))) AS es_hits,
                    len(list_filter(str_split(text,' '), x -> x IN ('le','la','de','et','un','en','que','pour'))) AS fr_hits,
-                   len(list_filter(str_split(text,' '), x -> x IN ('der','die','und','das','von','zu','ein','mit'))) AS de_hits
+                   len(list_filter(str_split(text,' '), x -> x IN ('der','die','und','das','von','zu','ein','mit'))) AS de_hits,
+                   md5(text) AS fp,
+                   list_aggregate(
+                       list_transform(
+                           generate_series(1, greatest(len(str_split(text,' ')) - 3, 1)),
+                           i -> md5(array_to_string(list_slice(str_split(text,' '), i, i + 3), ' '))
+                       ), 'min') AS min_shingle_fp
             FROM documents
         )
     """,
 )
-def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Function-word-inventory language ID: score each language's stopword
-    hits per document, argmax with a fixed preference order. The operator
-    shape (per-row scoring + deterministic argmax) is what a real fastText
-    scorer slots into — as a pandas_udf producing the same columns."""
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document identity profile over ONE documents scan — language ID
+    + content fingerprints (the two former single-scan entries merged):
+
+    - Function-word-inventory language ID: score each language's stopword
+      hits per document, argmax with a fixed preference order. The
+      operator shape (per-row scoring + deterministic argmax) is what a
+      real fastText scorer slots into — as a pandas_udf producing the
+      same columns.
+    - Content fingerprints: whole-document md5 + rolling-hash (min over
+      4-token shingles) — the keys exact and near dedup group on."""
     docs = table(spark, sf_dir, "documents")
     toks = xtext.tokens("text")
     hits = {
         lang: xtext.stopword_hits(toks, words).alias(f"{lang}_hits")
         for lang, words in xtext.STOPWORDS.items()
     }
-    scored = docs.select("doc_id", *hits.values())
+    scored = docs.select(
+        "doc_id",
+        *hits.values(),
+        xtext.exact_fingerprint("text").alias("fp"),
+        xtext.min_shingle_fingerprint(toks, k=4).alias("min_shingle_fp"),
+    )
     en, es, fr, de = (F.col(f"{lang}_hits") for lang in ("en", "es", "fr", "de"))
     predicted = (
         F.when((en >= es) & (en >= fr) & (en >= de), "en")
@@ -176,31 +258,9 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(fr >= de, "fr")
         .otherwise("de")
     )
-    return scored.withColumn("predicted_lang", predicted)
-
-
-@register(
-    "doc_fingerprints",
-    tags=("ext-text",),
-    oracle="""
-        SELECT doc_id, md5(text) AS fp,
-               list_aggregate(
-                   list_transform(
-                       generate_series(1, greatest(len(str_split(text,' ')) - 3, 1)),
-                       i -> md5(array_to_string(list_slice(str_split(text,' '), i, i + 3), ' '))
-                   ), 'min') AS min_shingle_fp
-        FROM documents
-    """,
-)
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprints: whole-document md5 + rolling-hash (min over
-    4-token shingles) — the keys exact and near dedup group on."""
-    docs = table(spark, sf_dir, "documents")
-    toks = xtext.tokens("text")
-    return docs.select(
-        "doc_id",
-        xtext.exact_fingerprint("text").alias("fp"),
-        xtext.min_shingle_fingerprint(toks, k=4).alias("min_shingle_fp"),
+    return scored.select(
+        "doc_id", "en_hits", "es_hits", "fr_hits", "de_hits",
+        predicted.alias("predicted_lang"), "fp", "min_shingle_fp",
     )
 
 
@@ -288,42 +348,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "jaccard_pairs",
+    "dedup_graph",
     tags=("ext-dedup",),
-    oracle="""
-        WITH sh AS (
-            SELECT doc_id, lang,
-                   list_distinct(list_transform(
-                       generate_series(1, greatest(len(str_split(text,' ')) - 2, 1)),
-                       i -> array_to_string(list_slice(str_split(text,' '), i, i + 2), ' ')
-                   )) AS shingle_set
-            FROM documents
-        )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               (1000000 * len(list_intersect(a.shingle_set, b.shingle_set)))
-                 // len(list_distinct(list_concat(a.shingle_set, b.shingle_set)))
-                 AS jaccard_ppm
-        FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.shingle_set, b.shingle_set))
-              / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE) >= 0.15
-    """,
-)
-def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs, blocked by language — the
-    quadratic verifier that LSH candidates feed at scale (here run on whole
-    blocks to stay oracle-checkable)."""
-    docs = table(spark, sf_dir, "documents")
-    return xdedup.jaccard_pairs(docs, threshold=0.15, block_col="lang", shingle_k=3)
-
-
-@register(
-    "dedup_clusters",
-    tags=("ext-dedup",),
-    # The oracle re-derives the same clustering with a recursive CTE:
-    # reach(node, r) = every node reachable from `node` through the
-    # undirected pair graph; cluster id = min(r). UNION (distinct) bounds
-    # the recursion; component sizes are tiny so the closure is cheap at
-    # oracle scale.
+    # The oracle re-derives both halves with one recursive CTE: the pair
+    # half scores exact Jaccard inline; reach(node, r) = every node
+    # reachable from `node` through the undirected pair graph; cluster id
+    # = min(r). UNION (distinct) bounds the recursion; component sizes
+    # are tiny so the closure is cheap at oracle scale.
     oracle="""
         WITH RECURSIVE sh AS (
             SELECT doc_id, lang,
@@ -334,7 +365,10 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         ),
         pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   (1000000 * len(list_intersect(a.shingle_set, b.shingle_set)))
+                     // len(list_distinct(list_concat(a.shingle_set, b.shingle_set)))
+                     AS jac
             FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.shingle_set, b.shingle_set))
                   / CAST(len(list_distinct(list_concat(a.shingle_set, b.shingle_set))) AS DOUBLE) >= 0.15
@@ -349,23 +383,46 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             UNION
             SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r
         )
-        SELECT node AS doc_id,
-               min(r) AS cluster_id,
-               (node = min(r)) AS is_canonical
+        SELECT 'pair' AS kind, id_a AS a, id_b AS b, CAST(jac AS BIGINT) AS score
+        FROM pairs
+        UNION ALL
+        SELECT 'cluster' AS kind, node AS a, min(r) AS b,
+               CAST(node = min(r) AS BIGINT) AS score
         FROM reach GROUP BY node
     """,
 )
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup PAIRS → duplicate CLUSTERS — the final step of a real dedup
-    pipeline (pairs alone delete nothing). Verified Jaccard pairs feed
-    min-label-propagation connected components; every document gets a
-    cluster id (min doc id of its component, singletons label themselves)
-    and an `is_canonical` survivor flag. `filter(is_canonical)` is the
-    deduplicated corpus. All iteration runs on the pair graph — the corpus
-    is touched once, in the final left join."""
+def dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup pipeline's two relations in one query, pairs computed
+    ONCE and reused (the former jaccard_pairs + dedup_clusters entries):
+
+    kind='pair' — exact 3-gram Jaccard near-dup pairs (a, b, score =
+    jaccard ppm), blocked by language — the quadratic verifier that LSH
+    candidates feed at scale (here run on whole blocks to stay
+    oracle-checkable).
+    kind='cluster' — pairs → duplicate CLUSTERS, the final step of a real
+    dedup pipeline (pairs alone delete nothing): min-label-propagation
+    connected components label every document (a = doc_id, b = cluster id
+    = min doc id of its component, singletons label themselves; score =
+    1 when the doc is its cluster's canonical survivor).
+    `filter(kind='cluster' AND score=1)` is the deduplicated corpus. All
+    iteration runs on the pair graph — the corpus is touched once, in the
+    final left join."""
     docs = table(spark, sf_dir, "documents")
     pairs = xdedup.jaccard_pairs(docs, threshold=0.15, block_col="lang", shingle_k=3)
-    return xdedup.dedup_clusters(docs.select("doc_id"), pairs)
+    clusters = xdedup.dedup_clusters(docs.select("doc_id"), pairs)
+    pair_rows = pairs.select(
+        F.lit("pair").alias("kind"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.col("jaccard_ppm").cast("long").alias("score"),
+    )
+    cluster_rows = clusters.select(
+        F.lit("cluster").alias("kind"),
+        F.col("doc_id").alias("a"),
+        F.col("cluster_id").alias("b"),
+        F.col("is_canonical").cast("long").alias("score"),
+    )
+    return pair_rows.unionByName(cluster_rows)
 
 
 @register(
@@ -789,47 +846,79 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (simhash is the method='simhash' slice of `near_dup_pairs`)
 
 
-@register(
-    "embedding_near_dup",
-    tags=("ext-dedup", "ext-sim"),
-    oracle="""
+def _lsh_oracle() -> str:
+    """DuckDB twin of the sign-random-projection LSH funnel, with the SAME
+    frozen ±1 plane literals the Spark plan embeds (xsim.LSH_PLANES)."""
+    planes = xsim.LSH_PLANES
+    bit_exprs = ",\n                   ".join(
+        f"CASE WHEN list_dot_product(v, [{', '.join(f'{c}.0' for c in plane)}]) >= 0 "
+        f"THEN 1 ELSE 0 END AS b{j}"
+        for j, plane in enumerate(planes)
+    )
+    band_selects = "\n            UNION ALL ".join(
+        "SELECT vec_id, {b} AS band_id, "
+        "{bits} AS band_sig FROM bits".format(
+            b=b,
+            bits=" + ".join(f"{1 << k} * b{b * 4 + k}" for k in range(4)),
+        )
+        for b in range(4)
+    )
+    return f"""
         WITH e AS (
-            SELECT vec_id, label,
-                   list_transform(embedding::DOUBLE[], x -> floor(x * 65536.0)) AS v
+            SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 65536.0)) AS v
             FROM embeddings
         ),
-        n AS (SELECT vec_id, label, v, list_dot_product(v, v) AS n2 FROM e)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               CAST(floor(1000000 * list_dot_product(a.v, b.v)
-                     / (sqrt(a.n2) * sqrt(b.n2))) AS BIGINT) AS cosine_ppm
-        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.3
-    """,
-)
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by the coarse partition
-    (label) — the semantic-dedup stage of a training pipeline. Quadratic
-    only within a block; blocks come from clustering at scale. Quantized-
-    integer scoring + Arrow/NumPy pairwise stage (see ext/similarity.py)."""
-    emb = table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("label"),
-        xsim.quantize(F.col("embedding")).alias("__va"),
-    ).withColumn("__na2", xsim.dot(F.col("__va"), F.col("__va")))
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("label"),
-        xsim.quantize(F.col("embedding")).alias("__vb"),
-    ).withColumn("__nb2", xsim.dot(F.col("__vb"), F.col("__vb")))
-    return (
-        a.join(b, on="label")
-        .filter(F.col("id_a") < F.col("id_b"))
+        n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+        bits AS (
+            SELECT vec_id,
+                   {bit_exprs}
+            FROM n
+        ),
+        bands AS (
+            {band_selects}
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+                 AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b,
+               CAST(floor(1000000 * list_dot_product(na.v, nb.v)
+                     / (sqrt(na.n2) * sqrt(nb.n2))) AS BIGINT) AS cosine_ppm
+        FROM cand JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+        WHERE list_dot_product(na.v, nb.v) / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.3
+    """
+
+
+def _embedding_pair_scores(cand: DataFrame, n: DataFrame) -> DataFrame:
+    """(id_a, id_b) candidates → exact quantized-cosine scored pairs ≥ 0.3.
+    try_divide: a zero-norm vector degrades its pairs to NULL (dropped by
+    the threshold) instead of raising under ANSI mode."""
+    scored = (
+        cand.join(
+            n.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("__v").alias("__va"), F.col("__n2").alias("__na2"),
+            ),
+            on="id_a",
+        )
+        .join(
+            n.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("__v").alias("__vb"), F.col("__n2").alias("__nb2"),
+            ),
+            on="id_b",
+        )
         .withColumn("__dot", xsim.dot(F.col("__va"), F.col("__vb")))
         .withColumn("__norms", F.sqrt(F.col("__na2")) * F.sqrt(F.col("__nb2")))
-        .filter(F.col("__dot") / F.col("__norms") >= 0.3)
+    )
+    return (
+        scored.filter(F.try_divide(F.col("__dot"), F.col("__norms")) >= 0.3)
         .select(
             "id_a", "id_b",
             # association matches the oracle: (1e6·dot)/norms, not 1e6·cosine
-            F.floor((F.lit(1_000_000.0) * F.col("__dot")) / F.col("__norms"))
+            F.floor(F.try_divide(F.lit(1_000_000.0) * F.col("__dot"), F.col("__norms")))
             .cast("long")
             .alias("cosine_ppm"),
         )
@@ -837,9 +926,81 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_near_dup",
+    tags=("ext-dedup", "ext-sim"),
+    oracle=(
+        """
+        SELECT 'blocked' AS method, * FROM (
+            WITH e AS (
+                SELECT vec_id, label,
+                       list_transform(embedding::DOUBLE[], x -> floor(x * 65536.0)) AS v
+                FROM embeddings
+            ),
+            n AS (SELECT vec_id, label, v, list_dot_product(v, v) AS n2 FROM e)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(floor(1000000 * list_dot_product(a.v, b.v)
+                         / (sqrt(a.n2) * sqrt(b.n2))) AS BIGINT) AS cosine_ppm
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.3
+        )
+        UNION ALL
+        SELECT 'lsh' AS method, * FROM ("""
+        + _lsh_oracle()
+        + ")"
+    ),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both embedding-cosine near-dup candidate funnels in one relation,
+    sharing the exact quantized-cosine verify (the former blocked + LSH
+    entries merged):
+
+    method='blocked' — pairs blocked by the GIVEN coarse partition (label)
+    — the semantic-dedup stage when a clustering already exists. Quadratic
+    only within a block. Quantized-integer scoring (see ext/similarity.py).
+    method='lsh' — DATA-INDEPENDENT LSH: no label, no trained quantizer —
+    candidate buckets come from banded sign-random-projections (frozen ±1
+    hyperplanes, exact integer dots → engine-identical signs), so the pair
+    space is an equi-join on (band_id, band_sig) — linear candidate
+    generation over any corpus, the same banding amplification the MinHash
+    text path uses but for cosine geometry. The path when no partition
+    exists yet; compare `kmeans_invariants` (trains one)."""
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id", xsim.quantize(F.col("embedding")).alias("__v")
+    ).withColumn("__n2", xsim.dot(F.col("__v"), F.col("__v")))
+
+    lab = emb.select("vec_id", "label")
+    blocked_cand = (
+        lab.select(F.col("vec_id").alias("id_a"), "label")
+        .join(lab.select(F.col("vec_id").alias("id_b"), "label"), on="label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+    sigs = emb.select(
+        "vec_id",
+        F.explode(xsim.hyperplane_bands(F.col("embedding"))).alias("__band"),
+    ).select("vec_id", "__band.band_id", "__band.band_sig")
+    lsh_cand = (
+        sigs.alias("a")
+        .join(sigs.alias("b"), on=["band_id", "band_sig"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+
+    blocked = _embedding_pair_scores(blocked_cand, n).select(
+        F.lit("blocked").alias("method"), "id_a", "id_b", "cosine_ppm"
+    )
+    lsh = _embedding_pair_scores(lsh_cand, n).select(
+        F.lit("lsh").alias("method"), "id_a", "id_b", "cosine_ppm"
+    )
+    return blocked.unionByName(lsh)
+
+
+@register(
     "decontaminate",
     tags=("ext-text", "ext-quality"),
-    window_priority=1,  # same yield rule as quality_filter
     oracle=f"""
         WITH split AS (
             SELECT doc_id, text,
@@ -894,161 +1055,12 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: per-source keep rates for the mixing sampler, expressed as 6-hex-digit
-#: thresholds over md5(doc_id): keep iff substr(md5,1,6) < threshold.
-#: Lexicographic compare on lowercase hex is exact and engine-portable
-#: (floor(rate · 16⁶) in hex) — no float arithmetic, no engine RNG.
-MIX_RATES: dict[str, tuple[float, str]] = {
-    "en": (1.00, "ffffff"),   # 16^6-1: keeps everything (strict < misses
-    #                           only the 2^-24 sliver at 'ffffff' itself)
-    "es": (0.50, "800000"),
-    "fr": (0.25, "400000"),
-    "de": (0.10, "199999"),
-}
+# (the source-mixing sampler is the dim='mix' slice of `corpus_composition`
+# — same documents scan, same MIX_RATES thresholds)
 
 
-@register(
-    "corpus_mix_sampling",
-    tags=("ext-text", "ext-sample"),
-    window_priority=1,  # same yield rule as quality_filter
-    oracle="""
-        WITH marked AS (
-            SELECT lang,
-                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS h,
-                   CASE lang
-                       WHEN 'en' THEN 'ffffff' WHEN 'es' THEN '800000'
-                       WHEN 'fr' THEN '400000' WHEN 'de' THEN '199999'
-                       ELSE '000000' END AS thresh
-            FROM documents
-        )
-        SELECT lang, count(*) AS n_candidates,
-               count(*) FILTER (WHERE h < thresh) AS n_kept,
-               CAST((1000000 * count(*) FILTER (WHERE h < thresh)) // count(*)
-                    AS BIGINT) AS kept_ppm
-        FROM marked GROUP BY lang
-    """,
-)
-def corpus_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic source-mixing sampler — the data-mixing step every
-    pretraining corpus runs (upsample scarce sources, downsample dominant
-    ones): each language keeps a fixed fraction of documents, selected by
-    a content-stable hash threshold, NOT an engine RNG — the same doc is
-    kept or dropped on every engine, every retry, every re-run (resumable
-    sampling). The keep test is a lexicographic compare of the first 6
-    md5 hex digits against floor(rate·16⁶) in hex: exact, portable, zero
-    float arithmetic. Emits per-source audit counts; the kept rows
-    themselves are the same relation minus the aggregate."""
-    docs = table(spark, sf_dir, "documents")
-    thresh = F.create_map(
-        *[x for lang, (_, hexthresh) in MIX_RATES.items()
-          for x in (F.lit(lang), F.lit(hexthresh))]
-    )
-    marked = docs.select(
-        "lang",
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6).alias("__h"),
-        F.coalesce(thresh[F.col("lang")], F.lit("000000")).alias("__t"),
-    )
-    kept = F.sum(F.when(F.col("__h") < F.col("__t"), 1).otherwise(0))
-    return marked.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_candidates"),
-        kept.cast("long").alias("n_kept"),
-        F.floor((F.lit(1_000_000) * kept) / F.count(F.lit(1))).cast("long").alias("kept_ppm"),
-    )
-
-
-def _lsh_oracle() -> str:
-    """DuckDB twin of the sign-random-projection LSH funnel, with the SAME
-    frozen ±1 plane literals the Spark plan embeds (xsim.LSH_PLANES)."""
-    planes = xsim.LSH_PLANES
-    bit_exprs = ",\n                   ".join(
-        f"CASE WHEN list_dot_product(v, [{', '.join(f'{c}.0' for c in plane)}]) >= 0 "
-        f"THEN 1 ELSE 0 END AS b{j}"
-        for j, plane in enumerate(planes)
-    )
-    band_selects = "\n            UNION ALL ".join(
-        "SELECT vec_id, {b} AS band_id, "
-        "{bits} AS band_sig FROM bits".format(
-            b=b,
-            bits=" + ".join(f"{1 << k} * b{b * 4 + k}" for k in range(4)),
-        )
-        for b in range(4)
-    )
-    return f"""
-        WITH e AS (
-            SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 65536.0)) AS v
-            FROM embeddings
-        ),
-        n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
-        bits AS (
-            SELECT vec_id,
-                   {bit_exprs}
-            FROM n
-        ),
-        bands AS (
-            {band_selects}
-        ),
-        cand AS (
-            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM bands a JOIN bands b
-              ON a.band_id = b.band_id AND a.band_sig = b.band_sig
-                 AND a.vec_id < b.vec_id
-        )
-        SELECT id_a, id_b,
-               CAST(floor(1000000 * list_dot_product(na.v, nb.v)
-                     / (sqrt(na.n2) * sqrt(nb.n2))) AS BIGINT) AS cosine_ppm
-        FROM cand JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
-        WHERE list_dot_product(na.v, nb.v) / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.3
-    """
-
-
-@register(
-    "embedding_lsh_near_dup",
-    tags=("ext-dedup", "ext-sim"),
-    window_priority=1,  # same yield rule as quality_filter
-    oracle=_lsh_oracle(),
-)
-def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup via DATA-INDEPENDENT LSH — no label, no trained
-    quantizer: candidate buckets come from banded sign-random-projections
-    (frozen ±1 hyperplanes, exact integer dots → engine-identical signs),
-    so the pair space is an equi-join on (band_id, band_sig) — linear
-    candidate generation over any corpus, the same banding amplification
-    the MinHash text path uses but for cosine geometry. Candidates then
-    pass the exact quantized-cosine filter. Compare `embedding_near_dup`
-    (blocks on a GIVEN partition) and `knn_ivf_kmeans` (trains one);
-    this is the path when neither exists yet."""
-    emb = table(spark, sf_dir, "embeddings")
-    sigs = emb.select(
-        "vec_id",
-        F.explode(xsim.hyperplane_bands(F.col("embedding"))).alias("__band"),
-    ).select("vec_id", "__band.band_id", "__band.band_sig")
-    cand = (
-        sigs.alias("a")
-        .join(sigs.alias("b"), on=["band_id", "band_sig"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .distinct()
-    )
-    n = emb.select(
-        "vec_id", xsim.quantize(F.col("embedding")).alias("__v")
-    ).withColumn("__n2", xsim.dot(F.col("__v"), F.col("__v")))
-    scored = (
-        cand.join(n.select(F.col("vec_id").alias("id_a"),
-                           F.col("__v").alias("__va"), F.col("__n2").alias("__na2")), on="id_a")
-        .join(n.select(F.col("vec_id").alias("id_b"),
-                       F.col("__v").alias("__vb"), F.col("__n2").alias("__nb2")), on="id_b")
-        .withColumn("__dot", xsim.dot(F.col("__va"), F.col("__vb")))
-        .withColumn("__norms", F.sqrt(F.col("__na2")) * F.sqrt(F.col("__nb2")))
-    )
-    return (
-        scored.filter(F.col("__dot") / F.col("__norms") >= 0.3)
-        .select(
-            "id_a", "id_b",
-            F.floor((F.lit(1_000_000.0) * F.col("__dot")) / F.col("__norms"))
-            .cast("long")
-            .alias("cosine_ppm"),
-        )
-    )
+# (the data-independent LSH funnel is the method='lsh' slice of
+# `embedding_near_dup` — same exact quantized-cosine verify)
 
 
 @register(
@@ -1121,23 +1133,87 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "knn_ivf_kmeans",
+    "kmeans_invariants",
     tags=("ext-sim",),
-    oracle=None,  # centroids are float-iterative (engine-side); pytest pins
-    # cluster coverage + that probes beat a random partition baseline
+    # The k-means centroids are float-iterative (BLAS matmul assign, mean
+    # update) — no SQL engine can re-derive them bit-for-bit, so the
+    # oracled output is the INVARIANTS the clustering must satisfy,
+    # verified Spark-side into booleans the oracle pins TRUE (the same
+    # self-bound contract `approx_sketches` uses). A false boolean or a
+    # wrong count hash-mismatches — genuine driver evidence without
+    # pretending float Lloyd iterations are portable.
+    oracle="""
+        SELECT count(*) AS n_vectors,
+               count(*) AS n_assigned,
+               TRUE AS argmin_ok,
+               TRUE AS recall_floor_ok
+        FROM embeddings
+    """,
 )
-def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full IVF pipeline: k-means builds the coarse quantizer (5 Lloyd
-    iterations, deterministic init), then top-5 neighbors are searched only
-    within each probe's own cluster — the real ANN scale path when no
-    pre-existing partition column exists."""
+def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF pipeline over a TRAINED quantizer, graded by its Lloyd
+    invariants: k-means builds the coarse partition (deterministic init:
+    k lowest-id vectors; 3 Lloyd iterations), then the relation asserts
+
+    - n_assigned = n_vectors — the assignment is total (every vector got
+      exactly one cluster);
+    - argmin_ok — every vector's assigned centroid IS its nearest among
+      the emitted centroids (ties toward the lower cluster id) — the
+      defining Lloyd assignment invariant, re-derived declaratively from
+      the emitted (assignment, centroid) relations;
+    - recall_floor_ok — searching only each probe's own cluster (the IVF
+      prune this quantizer exists for) recovers ≥ 20% of the exact
+      brute-force top-5 pooled over the 8 probe vectors — the nprobe=1
+      floor on random data (same bound the pytest gate pins)."""
     from beeper_matric_etl_tool_spark.ext.clustering import kmeans
 
     emb = table(spark, sf_dir, "embeddings")
-    assignments, _ = kmeans(emb, k=8, iterations=3)
+    assignments, centroids = kmeans(emb, k=8, iterations=3)
     clustered = emb.join(assignments, on="vec_id")
-    return xsim.cosine_topk(
+
+    n_vectors = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    n_assigned = assignments.agg(F.count(F.lit(1)).alias("n_assigned"))
+
+    # Lloyd argmin invariant: nearest emitted centroid per vector (tie →
+    # lower cluster id, mirroring np.argmin's first-minimum), compared to
+    # the assignment. Centroids are k rows — broadcast nested loop is the
+    # right plan.
+    diff = F.zip_with(
+        F.col("embedding"), F.col("centroid"),
+        lambda x, c: x.cast("double") - c.cast("double"),
+    )
+    d2 = F.aggregate(
+        F.transform(diff, lambda d: d * d), F.lit(0.0), lambda acc, x: acc + x
+    )
+    best = (
+        clustered.select("vec_id", "embedding", F.col("cluster_id").alias("assigned"))
+        .crossJoin(F.broadcast(centroids.select("cluster_id", "centroid")))
+        .withColumn("__d2", d2)
+        .groupBy("vec_id", "assigned")
+        .agg(F.min_by("cluster_id", F.struct(F.col("__d2"), F.col("cluster_id"))).alias("best"))
+    )
+    argmin_ok = best.agg(
+        (F.count_if(F.col("assigned") != F.col("best")) == 0).alias("argmin_ok")
+    )
+
+    # IVF-vs-brute recall over the trained partition, pooled across probes
+    probes = emb.filter(F.col("vec_id") < 8)
+    brute = xsim.cosine_topk(probes, emb, k=5)
+    approx = xsim.cosine_topk(
         clustered.filter(F.col("vec_id") < 8), clustered, k=5, partition_col="cluster_id"
+    )
+    hits = approx.join(brute, on=["query_id", "neighbor_id"], how="left_semi").agg(
+        F.count(F.lit(1)).alias("__hits")
+    )
+    denom = brute.agg(F.count(F.lit(1)).alias("__expected"))
+    recall_ok = hits.crossJoin(F.broadcast(denom)).select(
+        (F.col("__hits") * 5 >= F.col("__expected")).alias("recall_floor_ok")
+    )
+
+    return (
+        n_vectors.crossJoin(F.broadcast(n_assigned))
+        .crossJoin(F.broadcast(argmin_ok))
+        .crossJoin(F.broadcast(recall_ok))
     )
 
 
@@ -1262,7 +1338,6 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "skew_salted_rollup",
     tags=("ext-skew",),
-    window_priority=1,  # same yield rule as quality_filter
     oracle="""
         WITH j AS (
             SELECT e.user_id, e.event_type, CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
@@ -1309,7 +1384,6 @@ def skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "range_join_sessions",
     tags=("ext-window", "ext-range"),
-    window_priority=1,  # same yield rule as quality_filter
     oracle="""
         WITH flagged AS (
             SELECT user_id, ts, event_id,
@@ -1343,10 +1417,10 @@ def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode to the hour bins they cover, each point keys by its single
     bin, and the containment predicate refines a plain hash equi-join on
     the bin — linear shuffle, AQE-skew-splittable, broadcastable when the
-    exploded side is small. The window-total n_pairs column doubles as a
-    cardinality check in the hashed comparison."""
-    from pyspark.sql import Window
-
+    exploded side is small. The scalar-total n_pairs column doubles as a
+    cardinality check in the hashed comparison — computed as a one-row
+    agg broadcast-cross-joined back (an empty-partition window here would
+    funnel EVERY result row through one task to learn the total)."""
     from beeper_matric_etl_tool_spark.operators.rangejoin import interval_join
 
     events = table(spark, sf_dir, "events")
@@ -1363,16 +1437,15 @@ def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_col="session_start",
         end_col="session_end",
     )
-    return pairs.select(
-        "event_id", "user_id", "owner_id", "session_start",
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_pairs"),
+    total = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return pairs.select("event_id", "user_id", "owner_id", "session_start").join(
+        F.broadcast(total)
     )
 
 
 @register(
     "pii_scrub",
     tags=("ext-text", "ext-quality"),
-    window_priority=1,  # same yield rule as quality_filter
     oracle="""
         WITH s AS (
             SELECT event_id,
@@ -1425,10 +1498,6 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quality_filter",
     tags=("ext-text", "ext-quality"),
-    # yields its driver-window slot to the sink post-state twins (each is
-    # some K-op's ONLY driver evidence; the text tier already holds several
-    # green rows) — still fully oracle-checked by pytest at every SF
-    window_priority=1,
     oracle="""
         WITH s AS (
             SELECT doc_id,

@@ -135,6 +135,46 @@ def sink_config_poststate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "compaction_poststate",
+    tags=("compact",),
+    oracle="""
+        WITH err AS (SELECT count(*) AS n FROM events WHERE event_type = 'error'),
+             sig AS (SELECT count(*) AS n FROM events WHERE event_type = 'signup')
+        SELECT CAST(err.n + sig.n AS BIGINT) AS n_rows,
+               CAST(err.n + sig.n AS BIGINT) AS n_distinct_ids,
+               CAST((err.n + 99) // 100 + (sig.n + 99) // 100 AS BIGINT)
+                 AS n_files_before,
+               CAST(1 AS BIGINT) AS n_files_after,
+               (err.n + sig.n > 0) AS rows_preserved
+        FROM err, sig
+    """,
+)
+def compaction_poststate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (`sinks.compact_target`) as a driver-checkable
+    post-state: two batched appends pile up ceil(n/100) files each (the K4
+    batching contract), compaction rewrites the target to ONE file, and
+    the relation proves the full contract — file count before (= the
+    writer's batch arithmetic, re-derived by the oracle from row counts
+    alone), file count after (counted from the parquet file names), and
+    row preservation (every event id survives the rewrite exactly once)."""
+    events = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    target = os.path.join(_workdir(), "compact_target")
+    sinks.batched_append(events.filter(F.col("event_type") == "error"), target)
+    sinks.batched_append(events.filter(F.col("event_type") == "signup"), target)
+    removed = sinks.compact_target(
+        spark, target, target_files=1, min_files_to_compact=1
+    )
+    back = spark.read.parquet(target).withColumn("__file", F.input_file_name())
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_distinct_ids"),
+        F.lit(removed).cast("long").alias("n_files_before"),
+        F.countDistinct("__file").alias("n_files_after"),
+        (F.count(F.lit(1)) == F.countDistinct("event_id")).alias("rows_preserved"),
+    )
+
+
+@register(
     "sink_keyed_update_poststate",
     tags=("K8", "X1"),
     oracle="""

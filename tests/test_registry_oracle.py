@@ -33,3 +33,18 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_every_oracle_backed_query_fits_driver_window():
+    """The grading driver hash-checks only the first DRIVER_WINDOW entries
+    of queries(); the catalog is consolidated so EVERY oracle-backed query
+    holds a slot — an entry parked outside the window has no driver
+    correctness evidence no matter how green pytest is."""
+    from beeper_matric_etl_tool_spark.plans.registry import DRIVER_WINDOW
+
+    names = list(_SPECS)
+    for name in _WITH_ORACLE:
+        assert names.index(name) < DRIVER_WINDOW, (
+            f"{name} is oracle-backed but sits outside the driver's "
+            f"first-{DRIVER_WINDOW} window"
+        )
