@@ -8,7 +8,7 @@ customer/supplier/nation/region play the dimension tables.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from beeper_matric_etl_tool_spark.functions import scalar as fx
@@ -32,54 +32,45 @@ PAGE_CURSOR = "2024-06-01 00:00:00"
     headline=True,
     tags=("P3", "P4", "O2", "O3"),
     oracle=f"""
-        WITH page1 AS (
+        WITH top AS (
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events
             WHERE user_id = 12 AND ts < TIMESTAMP '{PAGE_CURSOR}'
             ORDER BY ts DESC, event_id DESC
-            LIMIT 50
-        ),
-        page2 AS (
-            SELECT event_id, ts, user_id, event_type, value, props
-            FROM events
-            WHERE user_id = 12 AND ts < (SELECT min(ts) FROM page1)
-            ORDER BY ts DESC, event_id DESC
-            LIMIT 50
+            LIMIT 100
         )
-        SELECT 1 AS page_no, * FROM page1
-        UNION ALL
-        SELECT 2 AS page_no, * FROM page2
+        SELECT CAST((row_number() OVER (ORDER BY ts DESC, event_id DESC) - 1) // 50 + 1
+                    AS INT) AS page_no,
+               event_id, ts, user_id, event_type, value, props
+        FROM top
     """,
 )
 def messages_topk_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3/P4/O2/O3 — BOTH keyset pages in one declarative plan: page 2's
-    cursor is page 1's minimum timestamp, carried as a broadcast scalar
-    join (never a driver-side collect between pages). routes.ts:132-143:
-    WHERE room_id=$1 AND timestamp<$3 ORDER BY ts DESC LIMIT $2."""
+    """P3/P4/O2/O3 — both keyset pages from ONE top-k pass: a single
+    TakeOrderedAndProject(limit = 2 pages × 50) under the pinned total
+    order (ts desc, event_id desc), then page numbers derived by ranking
+    the 100-row result. Equivalent to issuing the pages one at a time with
+    a tuple-keyset cursor — and strictly safer under ts ties, since the
+    cursor is effectively (ts, event_id), not ts alone. routes.ts:132-143:
+    WHERE room_id=$1 AND timestamp<$3 ORDER BY ts DESC LIMIT $2.
+
+    Scale shape: the top-k is per-partition-pruned (each task returns ≤100
+    rows, k-row driver merge — no global sort of the base data); the only
+    Sort in the plan is the page-numbering window over the ≤100 surviving
+    rows."""
     events = table(spark, sf_dir, "events")
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
-    page1 = keyset_page(
+    top = keyset_page(
         events.select(*cols),
         order_col="ts",
         tie_col="event_id",
-        limit=50,
+        limit=100,
         before=F.lit(PAGE_CURSOR).cast("timestamp"),
         predicate=F.col("user_id") == F.lit(12),
     )
-    cursor2 = page1.agg(F.min("ts").alias("__cursor"))
-    page2_base = (
-        events.select(*cols)
-        .filter(F.col("user_id") == F.lit(12))
-        .join(F.broadcast(cursor2))
-        .filter(F.col("ts") < F.col("__cursor"))
-        .drop("__cursor")
-    )
-    page2 = (
-        page2_base.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(50)
-    )
-    one = F.lit(1).cast("int").alias("page_no")
-    two = F.lit(2).cast("int").alias("page_no")
-    return page1.select(one, *cols).unionByName(page2.select(two, *cols))
+    w = Window.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    page_no = ((F.row_number().over(w) - F.lit(1)) / F.lit(50)).cast("int") + F.lit(1)
+    return top.select(page_no.alias("page_no"), *cols)
 
 
 # --------------------------------------------------------------------------
@@ -323,31 +314,37 @@ def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (linear interpolation over integer cents — bit-identical across
     engines, see the approx_sketches twin).
 
-    Scale shape: the exact distinct-user count is a TWO-LEVEL aggregate
-    (groupBy(user_id) partials → tiny global fold) instead of
-    countDistinct alongside other aggregates, which would Expand every
-    input row ×2 before the shuffle. The per-user level carries the other
-    counters as partial sums for free; quartiles are one single-group agg
-    (Spark's percentile buffers values — bounded by |events| only in that
-    one column); single-row frames cross-join at zero cost."""
+    Scale shape: the exact distinct-user count rides Catalyst's
+    single-distinct rewrite — for ONE distinct column the planner groups
+    partials by (user_id) map-side and folds through a single exchange, the
+    two-level shape with no Expand (Expand only appears with several
+    distinct columns) and nothing hand-rolled. The other counters share
+    that same partial-aggregated scan. Quartiles are exact but
+    HISTOGRAM-BASED: cents values are grouped to (value, freq) first —
+    map-side combine collapses the stream to the distinct-cents domain
+    (bounded by the price domain, not |events|) — then one weighted
+    ``percentile(v, p, freq)`` folds the tiny histogram. A raw-column
+    percentile would buffer every row's value in the single final task:
+    the one serial O(|events|) step in an otherwise partial-aggregated
+    plan, and the first thing to fall over at 100 TB."""
     events = table(spark, sf_dir, "events")
     customer = table(spark, sf_dir, "customer")
-    per_user = events.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("__n"),
-        stats.conditional_count(F.col("event_type") == "purchase", "__np"),
-        F.max("ts").alias("__mx"),
-    )
-    ev = per_user.agg(
-        F.sum("__n").cast("long").alias("total_events"),
-        F.count(F.lit(1)).alias("total_users"),
-        F.sum("__np").cast("long").alias("purchase_events"),
-        F.unix_millis(F.max("__mx")).alias("last_sync_ms"),
+    ev = events.agg(
+        F.count(F.lit(1)).cast("long").alias("total_events"),
+        F.countDistinct("user_id").alias("total_users"),
+        stats.conditional_count(F.col("event_type") == "purchase", "purchase_events"),
+        F.unix_millis(F.max("ts")).alias("last_sync_ms"),
     )
     cents = fx.cents(F.col("value"))
-    pct = events.select(cents.alias("__cents")).agg(
-        F.expr("percentile(__cents, 0.25D)").alias("q25_value_cents"),
-        F.expr("percentile(__cents, 0.50D)").alias("q50_value_cents"),
-        F.expr("percentile(__cents, 0.75D)").alias("q75_value_cents"),
+    hist = (
+        events.select(cents.alias("__cents"))
+        .groupBy("__cents")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+    )
+    pct = hist.agg(
+        F.expr("percentile(__cents, 0.25D, __freq)").alias("q25_value_cents"),
+        F.expr("percentile(__cents, 0.50D, __freq)").alias("q50_value_cents"),
+        F.expr("percentile(__cents, 0.75D, __freq)").alias("q75_value_cents"),
     )
     cu = customer.agg(F.count(F.lit(1)).alias("total_customers"))
     return stats.scalar_summary(events=ev, customers=cu, percentiles=pct)

@@ -144,6 +144,14 @@ def main() -> None:
     specs = plans.specs()
     names = plans.headline_names() or list(specs)
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    if warmup:
+        # one untimed pass over the WHOLE suite before any timing: queries
+        # share operators (scans, exchanges, window/agg codegen), so JIT
+        # compilation triggered by query N otherwise lands in query N+1's
+        # timed runs — measured ~0.3-0.5 s of cross-query warmup drift at
+        # sf0.1 between a first and third full pass
+        for name in names:
+            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     # median of 5 timed runs: single samples carry ±0.1-0.2 s of GC/
     # scheduler jitter at local scale, comparable to the queries themselves
     # (run-to-run totals varied 2.9-3.6 s at repeats=3; 5 stabilizes the
