@@ -262,11 +262,35 @@ def scored_pairs_matmul(
 #: literally in both the Spark plan and the SQL oracle so every engine
 #: buckets identically. ±1 entries keep every projection an exact integer
 #: over quantized vectors — the sign can never flip between engines.
-#: Other dims pass their own planes to `hyperplane_bands`.
+#: Other dims / plane counts come from `lsh_planes`.
 LSH_PLANES: tuple[tuple[int, ...], ...] = tuple(
     tuple(int(x) for x in row)
     for row in np.random.RandomState(1234).choice((-1, 1), size=(16, 64))
 )
+
+
+def lsh_planes(n_planes: int, dim: int = 64, seed: int = 1234) -> tuple[tuple[int, ...], ...]:
+    """``n_planes`` frozen ±1 hyperplanes for ``dim``-component vectors.
+    Same construction as LSH_PLANES (LSH_PLANES == lsh_planes(16)); the
+    seed is part of the banding configuration and must match on every
+    engine that buckets the same corpus.
+
+    SIZING RULE (the part that keeps the bucket join linear at scale):
+    a random non-similar pair collides in one band with probability
+    2^-bits_per_band, so expected noise candidates are
+    ``n_bands · 2^-bits · n(n-1)/2`` — QUADRATIC in corpus size for any
+    fixed width. Size ``bits_per_band ≈ log2(n_docs)`` (+ a few bits of
+    margin) so the noise floor stays O(n · n_bands) and candidate volume
+    tracks the corpus's TRUE near-duplicate structure instead; recall at
+    cosine θ is 1 − (1 − (1 − θ/π)^bits)^bands, so high-similarity pairs
+    survive widening while noise dies exponentially. The MinHash text
+    path gets this for free by hashing band slices to 64-bit keys
+    (`lsh_candidate_pairs`); sign-LSH pays per plane, so the width is an
+    explicit knob. See `tools/scale_probe.py` for the measured curves."""
+    return tuple(
+        tuple(int(x) for x in row)
+        for row in np.random.RandomState(seed).choice((-1, 1), size=(n_planes, dim))
+    )
 
 
 def hyperplane_bands(
@@ -280,7 +304,15 @@ def hyperplane_bands(
     structs (band_id, band_sig) ready to explode into LSH bucket keys:
     two vectors are candidates iff they share any band's packed bits —
     the same banding amplification the MinHash text path uses, tuned here
-    for cosine similarity (collision prob per bit = 1 − θ/π)."""
+    for cosine similarity (collision prob per bit = 1 − θ/π).
+
+    The default 16-plane/4-band config is the ORACLE-TIER width: 4-bit
+    band keys keep the funnel's output non-trivial on tiny test corpora
+    so the SQL twin can hash-check the machinery end-to-end. At corpus
+    scale 4-bit keys mean 16 buckets per band — a quadratic pair
+    generator, not an index. Production widths come from the sizing rule
+    on `lsh_planes` (bits_per_band ≈ log2(n_docs)); the scale probe
+    measures both regimes."""
     qv = quantize(vec_col)
     bits_per_band = len(planes) // n_bands
     bits = [

@@ -960,10 +960,17 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     method='lsh' — DATA-INDEPENDENT LSH: no label, no trained quantizer —
     candidate buckets come from banded sign-random-projections (frozen ±1
     hyperplanes, exact integer dots → engine-identical signs), so the pair
-    space is an equi-join on (band_id, band_sig) — linear candidate
-    generation over any corpus, the same banding amplification the MinHash
-    text path uses but for cosine geometry. The path when no partition
-    exists yet; compare `kmeans_invariants` (trains one)."""
+    space is an equi-join on (band_id, band_sig), the same banding
+    amplification the MinHash text path uses but for cosine geometry. The
+    path when no partition exists yet; compare `kmeans_invariants`.
+
+    This entry runs the ORACLE-TIER banding (16 planes / 4-bit band keys
+    — non-trivial output on tiny corpora, hash-checkable against the SQL
+    twin). Candidate volume is linear only when bits_per_band is sized to
+    the corpus (≈ log2(n_docs), `xsim.lsh_planes` sizing rule): a fixed
+    width has a 2^-bits random-collision floor that is quadratic in n —
+    measured in `tools/scale_probe.py`, which probes both the fixed toy
+    width and the log-sized production width."""
     emb = table(spark, sf_dir, "embeddings")
     n = emb.select(
         "vec_id", xsim.quantize(F.col("embedding")).alias("__v")

@@ -215,6 +215,17 @@ def main() -> None:
         out["streaming_ingest_sec"] = round(bulk, 4)
         out["streaming_incremental_sec"] = round(incremental, 4)
         out["streaming_detail"] = detail
+        # carry-forward targets recorded in BASELINE.md ("Streaming
+        # carry-forward targets") — regressions must be visible, not
+        # re-derived from old BENCH_r files
+        targets = {"bulk_sec": 3.7, "incremental_sec": 1.4, "rows_per_sec": 27_000.0}
+        rps = detail.get("bulk_rows_per_sec") or 0.0
+        out["streaming_within_target"] = {
+            "bulk": bulk <= targets["bulk_sec"],
+            "incremental": incremental <= targets["incremental_sec"],
+            "rows_per_sec": rps >= targets["rows_per_sec"],
+            "targets": targets,
+        }
     print(json.dumps(out))
 
 

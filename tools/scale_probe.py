@@ -11,10 +11,25 @@ three cost regimes that matter for the 100 TB design point:
 - sub-linear  → map-side combine / top-k pruning absorbing the growth
 - super-linear → a real scale hazard (would get worse at 1000×)
 
-Synthesis: the 10× table is the real events table unioned 10 times with
-disjoint event_id ranges and day-shifted timestamps — same key
-cardinality growth, same value distributions, no driver-side row
-generation.
+Synthesis: each 10× table is the real table unioned 10 times with
+disjoint id ranges, no driver-side row generation. Copies are
+DECORRELATED where replication would manufacture duplicates the base
+corpus doesn't have: events day-shift their timestamps, document texts
+are per-copy consonant-rotated (so copy 3 of doc X is NOT a near-dup of
+copy 5 — replicated verbatim text would show the candidate-pair count
+growing quadratically because the corpus genuinely became 90% duplicates,
+measuring the synthesis instead of the operator), and embeddings rotate
+their component order per copy (norm-preserving, decorrelates cosine).
+
+Probed operators (one per cost regime the 100 TB design cares about):
+- keyset_topk / latest_by_key / hourly_rollup — the r1 trio (flat /
+  sub-linear expected: top-k pruning and map-side combine absorb growth)
+- interval_join — bin-bucketed range join; candidate pairs grow ~linearly
+  with events when session structure is preserved
+- decontaminate 8-gram equi-join — train side grows 10×, the val
+  (benchmark) side is held at base size as in a real pipeline
+- embedding LSH near-dup — banded sign-projection bucket join; candidate
+  generation must track corpus size, never corpus²
 
 Usage: python tools/scale_probe.py [sf_dir]     (default /root/testdata/sf0.1)
 Prints one JSON line: {"probe": {...}, "factor": 10, "rows": {...}}
@@ -57,6 +72,61 @@ def grown(events, factor: int):
     return out
 
 
+def grown_documents(docs, factor: int):
+    """documents × factor, texts decorrelated by per-copy consonant
+    rotation (translate is bijective per copy → copy i's shingle space is
+    disjoint from copy j's wherever a rotated consonant appears, so
+    near-dup structure WITHIN each copy is preserved while cross-copy
+    false duplicates are not manufactured)."""
+    span = docs.agg(F.max("doc_id")).first()[0] + 1
+    consonants = "bcdfghjklmnpqrstvwz"
+    copies = []
+    for i in range(factor):
+        rot = consonants[i % len(consonants):] + consonants[: i % len(consonants)]
+        copies.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * span)).alias("doc_id"),
+                F.translate(F.col("text"), consonants, rot).alias("text"),
+                "lang", "source", "n_chars",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def grown_embeddings(emb, factor: int):
+    """embeddings × factor, vectors decorrelated by rotating component
+    order per copy (norm-preserving; rotation changes every hyperplane
+    projection, so copies land in different LSH buckets instead of
+    stacking 10 deep in the same ones)."""
+    span = emb.agg(F.max("vec_id")).first()[0] + 1
+    dim = len(emb.select("embedding").first()[0])
+    copies = []
+    for i in range(factor):
+        k = i % dim
+        rotated = (
+            F.concat(
+                F.slice(F.col("embedding"), k + 1, dim - k),
+                F.slice(F.col("embedding"), 1, k),
+            )
+            if k
+            else F.col("embedding")
+        )
+        copies.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * span)).alias("vec_id"),
+                rotated.alias("embedding"),
+                "label",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def probe_ops(events):
     """The three regimes' representatives, as (name, dataframe) pairs."""
     topk = keyset_page(
@@ -72,6 +142,66 @@ def probe_ops(events):
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"),
     )
     return {"keyset_topk": topk, "latest_by_key": latest, "hourly_rollup": hourly}
+
+
+def probe_interval_join(events):
+    """Sessions of users 0-4 (30-min gap rule) range-joined against ALL
+    events — the `range_join_sessions` shape, reduced to a count so the
+    timing measures the join, not result materialization."""
+    from beeper_matric_etl_tool_spark.operators import windows as xwin
+    from beeper_matric_etl_tool_spark.operators.rangejoin import interval_join
+
+    intervals = xwin.sessionized(
+        events.filter(F.col("user_id") < 5), "ts", "30 minutes", ["user_id"],
+        F.count(F.lit(1)).alias("__n"),
+    ).select(F.col("user_id").alias("owner_id"), "session_start", "session_end")
+    pairs = interval_join(
+        events.select("event_id", "ts", "user_id"), intervals,
+        ts_col="ts", start_col="session_start", end_col="session_end",
+    )
+    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def probe_decontaminate(docs, val_grams):
+    """8-gram overlap of the (grown) train side against a FIXED val-side
+    distinct-gram set — benchmarks don't grow with the corpus."""
+    from beeper_matric_etl_tool_spark.ext import dedup as xdedup
+    from beeper_matric_etl_tool_spark.ext import text as xtext
+
+    grams = docs.select(
+        "doc_id", F.explode(xdedup.shingles(xtext.tokens("text"), k=8)).alias("gram")
+    )
+    return (
+        grams.join(F.broadcast(val_grams), on="gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlapping_grams"))
+        .agg(F.count(F.lit(1)).alias("n_contaminated"), F.sum("n_overlapping_grams").alias("n_hits"))
+    )
+
+
+def probe_lsh_near_dup(emb, n_planes=None):
+    """Banded sign-projection candidate generation + count — the
+    embedding near-dup funnel without the verify stage (which is linear
+    in candidates, i.e. measures the same curve twice).
+
+    ``n_planes=None`` runs the oracle-tier toy width (16 planes, 4-bit
+    band keys); an explicit count runs 4 bands of n_planes/4 bits — the
+    production sizing (`lsh_planes` rule: bits_per_band ≈ log2(n))."""
+    from beeper_matric_etl_tool_spark.ext.similarity import hyperplane_bands, lsh_planes
+
+    planes_kw = {} if n_planes is None else {"planes": lsh_planes(n_planes)}
+    sigs = emb.select(
+        "vec_id", F.explode(hyperplane_bands(F.col("embedding"), **planes_kw)).alias("b")
+    ).select("vec_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig"))
+    a = sigs.select(F.col("vec_id").alias("id_a"), "band_id", "band_sig")
+    b = sigs.select(F.col("vec_id").alias("id_b"), "band_id", "band_sig")
+    pairs = (
+        a.join(b, on=["band_id", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs.agg(F.count(F.lit(1)).alias("n_candidates"))
 
 
 def timed(df) -> float:
@@ -103,7 +233,73 @@ def main() -> None:
             "grown_sec": t10,
             "growth_ratio": round(t10 / t1, 2) if t1 else None,
         }
+
+    # range join: points AND intervals grow together
+    t1 = timed(probe_interval_join(events))
+    t10 = timed(probe_interval_join(big))
+    out["probe"]["interval_join"] = {
+        "base_sec": t1, "grown_sec": t10,
+        "growth_ratio": round(t10 / t1, 2) if t1 else None,
+    }
     big.unpersist()
+
+    from beeper_matric_etl_tool_spark.ext import dedup as xdedup
+    from beeper_matric_etl_tool_spark.ext import text as xtext
+    from beeper_matric_etl_tool_spark.plans.catalog_ext import holdout_split
+
+    docs = table(spark, sf_dir, "documents")
+    big_docs = grown_documents(docs, FACTOR).persist()
+    out["rows"]["documents_base"] = docs.count()
+    out["rows"]["documents_grown"] = big_docs.count()
+    # fixed benchmark side: the BASE corpus's val split
+    val_grams = (
+        docs.select("doc_id", "text", holdout_split().alias("split"))
+        .filter(F.col("split") == "val")
+        .select(F.explode(xdedup.shingles(xtext.tokens("text"), k=8)).alias("gram"))
+        .distinct()
+        .persist()
+    )
+    val_grams.count()
+    t1 = timed(probe_decontaminate(docs, val_grams))
+    t10 = timed(probe_decontaminate(big_docs, val_grams))
+    out["probe"]["decontaminate_8gram"] = {
+        "base_sec": t1, "grown_sec": t10,
+        "growth_ratio": round(t10 / t1, 2) if t1 else None,
+    }
+    val_grams.unpersist()
+    big_docs.unpersist()
+
+    emb = table(spark, sf_dir, "embeddings")
+    big_emb = grown_embeddings(emb, FACTOR).persist()
+    n_base = emb.count()
+    n_grown = big_emb.count()
+    out["rows"]["embeddings_base"] = n_base
+    out["rows"]["embeddings_grown"] = n_grown
+
+    # the candidate-volume claim, stated as measured data. Two regimes:
+    # - toy (oracle-tier 4-bit bands): the random-collision floor is
+    #   bands·2^-bits·C(n,2) — candidate growth tracks factor² and the
+    #   probe EXPECTS that (it is the motivating counter-example)
+    # - log-sized (bits_per_band = log2(n) + 4): the floor stays O(n),
+    #   so candidates grow ~linearly and per-vector fan-out stays flat
+    import math
+
+    out["probe"]["lsh_near_dup"] = {}
+    for regime, planes_of in (
+        ("toy_4bit", lambda n: None),
+        ("log_sized", lambda n: 4 * (int(math.ceil(math.log2(n))) + 4)),
+    ):
+        t1 = timed(probe_lsh_near_dup(emb, planes_of(n_base)))
+        t10 = timed(probe_lsh_near_dup(big_emb, planes_of(n_grown)))
+        c1 = probe_lsh_near_dup(emb, planes_of(n_base)).first()[0]
+        c10 = probe_lsh_near_dup(big_emb, planes_of(n_grown)).first()[0]
+        out["probe"]["lsh_near_dup"][regime] = {
+            "base_sec": t1, "grown_sec": t10,
+            "growth_ratio": round(t10 / t1, 2) if t1 else None,
+            "base_candidates": c1, "grown_candidates": c10,
+            "candidate_growth_ratio": round(c10 / c1, 2) if c1 else None,
+        }
+    big_emb.unpersist()
     print(json.dumps(out))
 
 
