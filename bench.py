@@ -158,10 +158,16 @@ def main() -> None:
     # median for ~30 s extra wall time)
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     timings: dict[str, float] = {}
+    jvm = spark.sparkContext._jvm
     for name in names:
         df = specs[name].fn(spark, sf_dir)
         if warmup:
             df.write.format("noop").mode("overwrite").save()
+        # JMH-style isolation: collect the PREVIOUS query's garbage before
+        # timing this one, so a big query's heap debris doesn't surface as
+        # GC pauses inside its neighbor's samples (measured ~0.4-0.5 s of
+        # cross-query drift over the 14-query suite)
+        jvm.System.gc()
         samples = []
         for _ in range(repeats):
             t0 = time.perf_counter()
