@@ -256,24 +256,14 @@ def scored_pairs_matmul(
     return corpus.select(id_col, vec_col, *part).mapInPandas(score, out_fields)
 
 
-#: Rademacher (±1) hyperplanes for sign-random-projection LSH, dim 64.
-#: Derived once from numpy RandomState(1234) and FROZEN as a constant:
-#: the planes are configuration (like a tokenizer's vocab), embedded
-#: literally in both the Spark plan and the SQL oracle so every engine
-#: buckets identically. ±1 entries keep every projection an exact integer
-#: over quantized vectors — the sign can never flip between engines.
-#: Other dims / plane counts come from `lsh_planes`.
-LSH_PLANES: tuple[tuple[int, ...], ...] = tuple(
-    tuple(int(x) for x in row)
-    for row in np.random.RandomState(1234).choice((-1, 1), size=(16, 64))
-)
-
-
 def lsh_planes(n_planes: int, dim: int = 64, seed: int = 1234) -> tuple[tuple[int, ...], ...]:
-    """``n_planes`` frozen ±1 hyperplanes for ``dim``-component vectors.
-    Same construction as LSH_PLANES (LSH_PLANES == lsh_planes(16)); the
-    seed is part of the banding configuration and must match on every
-    engine that buckets the same corpus.
+    """``n_planes`` frozen Rademacher (±1) hyperplanes for
+    ``dim``-component vectors, derived from a seeded RandomState. The
+    planes are configuration (like a tokenizer's vocab): the seed is part
+    of the banding config and must match on every engine that buckets the
+    same corpus — `_lsh_oracle` embeds the same literals in SQL. ±1
+    entries keep every projection an exact integer over quantized vectors,
+    so the sign can never flip between engines.
 
     SIZING RULE (the part that keeps the bucket join linear at scale):
     a random non-similar pair collides in one band with probability
@@ -291,6 +281,12 @@ def lsh_planes(n_planes: int, dim: int = 64, seed: int = 1234) -> tuple[tuple[in
         tuple(int(x) for x in row)
         for row in np.random.RandomState(seed).choice((-1, 1), size=(n_planes, dim))
     )
+
+
+#: the oracle-tier default banding (16 planes / 4-bit bands over dim 64) —
+#: defined THROUGH lsh_planes so the constant and the sizing-rule path can
+#: never diverge (the DuckDB oracle embeds these literals)
+LSH_PLANES: tuple[tuple[int, ...], ...] = lsh_planes(16)
 
 
 def hyperplane_bands(

@@ -408,7 +408,13 @@ def dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration runs on the pair graph — the corpus is touched once, in the
     final left join."""
     docs = table(spark, sf_dir, "documents")
-    pairs = xdedup.jaccard_pairs(docs, threshold=0.15, block_col="lang", shingle_k=3)
+    # the quadratic-in-block Jaccard join is the expensive stage; checkpoint
+    # it so BOTH consumers (the pair slice and the cluster iteration, which
+    # itself localCheckpoints its edge iterations) read one materialization
+    # instead of re-running the join per slice per action
+    pairs = xdedup.jaccard_pairs(
+        docs, threshold=0.15, block_col="lang", shingle_k=3
+    ).localCheckpoint(eager=True)
     clusters = xdedup.dedup_clusters(docs.select("doc_id"), pairs)
     pair_rows = pairs.select(
         F.lit("pair").alias("kind"),
@@ -1164,10 +1170,18 @@ def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - n_assigned = n_vectors — the assignment is total (every vector got
       exactly one cluster);
-    - argmin_ok — every vector's assigned centroid IS its nearest among
-      the emitted centroids (ties toward the lower cluster id) — the
+    - argmin_ok — every vector's assigned centroid is within a relative
+      epsilon of its TRUE nearest emitted centroid's distance — the
       defining Lloyd assignment invariant, re-derived declaratively from
-      the emitted (assignment, centroid) relations;
+      the emitted (assignment, centroid) relations. Epsilon, not exact:
+      the assigner computes argmin of ‖c‖²−2v·c in NumPy BLAS (summation
+      order unspecified) while this check folds Σ(v−c)² left-to-right in
+      doubles — for a vector near-equidistant between two centroids the
+      two roundings can legitimately disagree, so exact best==assigned
+      would be flaky BY CONSTRUCTION against an oracle that pins TRUE. A
+      genuinely wrong assignment misses by a macroscopic margin, which
+      the epsilon (1e-9 relative + 1e-6 absolute on quantized-integer
+      distances) never absorbs;
     - recall_floor_ok — searching only each probe's own cluster (the IVF
       prune this quantizer exists for) recovers ≥ 20% of the exact
       brute-force top-5 pooled over the 8 probe vectors — the nprobe=1
@@ -1181,10 +1195,8 @@ def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_vectors = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
     n_assigned = assignments.agg(F.count(F.lit(1)).alias("n_assigned"))
 
-    # Lloyd argmin invariant: nearest emitted centroid per vector (tie →
-    # lower cluster id, mirroring np.argmin's first-minimum), compared to
-    # the assignment. Centroids are k rows — broadcast nested loop is the
-    # right plan.
+    # Lloyd argmin invariant, epsilon-tied (see docstring). Centroids are
+    # k rows — broadcast nested loop is the right plan.
     diff = F.zip_with(
         F.col("embedding"), F.col("centroid"),
         lambda x, c: x.cast("double") - c.cast("double"),
@@ -1192,15 +1204,21 @@ def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = F.aggregate(
         F.transform(diff, lambda d: d * d), F.lit(0.0), lambda acc, x: acc + x
     )
-    best = (
+    per_vec = (
         clustered.select("vec_id", "embedding", F.col("cluster_id").alias("assigned"))
         .crossJoin(F.broadcast(centroids.select("cluster_id", "centroid")))
         .withColumn("__d2", d2)
         .groupBy("vec_id", "assigned")
-        .agg(F.min_by("cluster_id", F.struct(F.col("__d2"), F.col("cluster_id"))).alias("best"))
+        .agg(
+            F.min("__d2").alias("__min_d2"),
+            F.max(
+                F.when(F.col("cluster_id") == F.col("assigned"), F.col("__d2"))
+            ).alias("__assigned_d2"),
+        )
     )
-    argmin_ok = best.agg(
-        (F.count_if(F.col("assigned") != F.col("best")) == 0).alias("argmin_ok")
+    tol = F.lit(1e-9) * F.col("__min_d2") + F.lit(1e-6)
+    argmin_ok = per_vec.agg(
+        (F.count_if(F.col("__assigned_d2") > F.col("__min_d2") + tol) == 0).alias("argmin_ok")
     )
 
     # IVF-vs-brute recall over the trained partition, pooled across probes

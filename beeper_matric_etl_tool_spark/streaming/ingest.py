@@ -214,7 +214,10 @@ def merge_batch_writer(
                 # order we can guarantee — raise instead of guessing.
                 order_dt = src.schema[order_col].dataType
                 if isinstance(order_dt, (T.TimestampType, T.TimestampNTZType)):
-                    ord_long = F.unix_millis(F.col(order_col))
+                    # unix_millis rejects TIMESTAMP_NTZ outright; the cast to
+                    # TIMESTAMP (session tz, pinned UTC) is monotonic so the
+                    # merge ordering is preserved
+                    ord_long = F.unix_millis(F.col(order_col).cast("timestamp"))
                 elif isinstance(order_dt, T.DateType):
                     ord_long = F.unix_date(F.col(order_col)).cast("long")
                 elif isinstance(order_dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):

@@ -149,7 +149,10 @@ def main() -> None:
         # share operators (scans, exchanges, window/agg codegen), so JIT
         # compilation triggered by query N otherwise lands in query N+1's
         # timed runs — measured ~0.3-0.5 s of cross-query warmup drift at
-        # sf0.1 between a first and third full pass
+        # sf0.1 between a first and third full pass. This subsumes the old
+        # per-query warmup (codegen + file-footer caches are session-level,
+        # keyed by plan structure, so the fresh DataFrame objects built in
+        # the timing loop hit the same caches).
         for name in names:
             specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     # median of 5 timed runs: single samples carry ±0.1-0.2 s of GC/
@@ -161,8 +164,6 @@ def main() -> None:
     jvm = spark.sparkContext._jvm
     for name in names:
         df = specs[name].fn(spark, sf_dir)
-        if warmup:
-            df.write.format("noop").mode("overwrite").save()
         # JMH-style isolation: collect the PREVIOUS query's garbage before
         # timing this one, so a big query's heap debris doesn't surface as
         # GC pauses inside its neighbor's samples (measured ~0.4-0.5 s of

@@ -187,8 +187,15 @@ def test_range_join_is_bin_bucketed_equi_join(spark):
 
     plan = plan_of(spark, "range_join_sessions")
     assert "CartesianProduct" not in plan
-    assert "__bin" in plan  # the quantized time bin is the join key
     assert not re.search(r"Window \[", plan), "no single-partition window total"
+    # the containment join itself must be a HASH join keyed on the time
+    # bin — '__bin' merely appearing as a projected column would not catch
+    # a regression of interval_join to BNLJ, so pin the join operator
+    assert re.search(r"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[__bin", plan), (
+        "interval containment must be an equi-join on the __bin bucket"
+    )
+    # exactly one BNLJ is sanctioned: the 1-row n_pairs scalar broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
 def test_tfidf_broadcasts_vocabulary_table(spark):

@@ -369,6 +369,23 @@ def test_merge_batch_writer_order_col_type_normalization(spark, tmp_path):
     got = {r.k: r.v for r in spark.read.parquet(target).collect()}
     assert got == {"k1": "late"}  # ms-precision order decided the merge
 
+    # TIMESTAMP_NTZ ordering must work too (unix_millis rejects NTZ
+    # directly — the writer casts through TIMESTAMP first; regression
+    # cover for the branch that claimed NTZ support but raised
+    # DATATYPE_MISMATCH on first use)
+    target_ntz = str(tmp_path / "ntz-ordered")
+    write_ntz = ingest.merge_batch_writer(target_ntz, keys=["k"], order_col="ts")
+    batch_ntz = spark.createDataFrame(
+        [
+            ("k1", t0 + dt.timedelta(milliseconds=1), T0_MS, "late"),
+            ("k1", t0, T0_MS, "early"),
+        ],
+        "k string, ts timestamp_ntz, timestamp long, v string",
+    )
+    write_ntz(batch_ntz, 0)
+    got = {r.k: r.v for r in spark.read.parquet(target_ntz).collect()}
+    assert got == {"k1": "late"}
+
     bad = spark.createDataFrame(
         [("k1", "not-orderable", T0_MS, "x")],
         "k string, ts string, timestamp long, v string",

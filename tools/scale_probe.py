@@ -211,6 +211,15 @@ def timed(df) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def timed_value(df):
+    """(seconds, first row) — for single-row probe results where re-running
+    the plan just to read the value would repeat its most expensive join."""
+    df.first()  # warm
+    t0 = time.perf_counter()
+    row = df.first()
+    return round(time.perf_counter() - t0, 4), row
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
@@ -289,10 +298,9 @@ def main() -> None:
         ("toy_4bit", lambda n: None),
         ("log_sized", lambda n: 4 * (int(math.ceil(math.log2(n))) + 4)),
     ):
-        t1 = timed(probe_lsh_near_dup(emb, planes_of(n_base)))
-        t10 = timed(probe_lsh_near_dup(big_emb, planes_of(n_grown)))
-        c1 = probe_lsh_near_dup(emb, planes_of(n_base)).first()[0]
-        c10 = probe_lsh_near_dup(big_emb, planes_of(n_grown)).first()[0]
+        t1, r1 = timed_value(probe_lsh_near_dup(emb, planes_of(n_base)))
+        t10, r10 = timed_value(probe_lsh_near_dup(big_emb, planes_of(n_grown)))
+        c1, c10 = r1[0], r10[0]
         out["probe"]["lsh_near_dup"][regime] = {
             "base_sec": t1, "grown_sec": t10,
             "growth_ratio": round(t10 / t1, 2) if t1 else None,
