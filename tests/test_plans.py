@@ -172,9 +172,19 @@ def test_lsh_candidate_generation_is_banded_equi_join(spark):
 
 
 def test_jaccard_pairs_joins_on_block_key(spark):
-    plan = plan_of(spark, "dedup_graph")
+    """Inspect the jaccard_pairs OPERATOR plan directly: the registered
+    dedup_graph query localCheckpoints the pair join (so both slices share
+    one materialization), which truncates its plan to an ExistingRDD scan —
+    asserting on the query plan would be vacuous."""
+    from beeper_matric_etl_tool_spark.ext import dedup as xdedup
+    from beeper_matric_etl_tool_spark.sources.tables import table
+
+    docs = table(spark, SF, "documents")
+    pairs = xdedup.jaccard_pairs(docs, threshold=0.15, block_col="lang", shingle_k=3)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "lang" in plan  # blocked on the language key
 
 
 def test_range_join_is_bin_bucketed_equi_join(spark):
