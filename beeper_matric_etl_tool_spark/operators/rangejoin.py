@@ -20,7 +20,7 @@ refine with the exact containment predicate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: default bin width — one hour in seconds

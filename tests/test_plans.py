@@ -9,8 +9,6 @@ long before it is a wrong answer.
 
 from __future__ import annotations
 
-import pytest
-
 from beeper_matric_etl_tool_spark.plans import specs
 
 SF = "/root/testdata/sf0.001"
