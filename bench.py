@@ -106,12 +106,14 @@ def main() -> None:
     # bench scale. A real deployment sizes this to ~2-3x total cores; the
     # env var always wins if set.
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
-    # AQE off AT BENCH SCALE ONLY (measured: 4.2 s vs 6.9 s headline total,
-    # same sweep) — with 8 partitions of kB-sized shuffles there is nothing
-    # to adaptively re-plan, but every AQE shuffle is a stage-materialization
-    # barrier costing ~0.1-0.2 s per query. Production keeps the engine
-    # default (on): coalescing and skew-split only matter with real volumes.
-    os.environ.setdefault("SPARK_GRAFT_AQE", "0")
+    # AQE ON — the engine/production default. Round 3 measured it 0.1-0.2 s
+    # per query slower at bench scale (stage-materialization barriers on
+    # kB-sized shuffles), but after the round-4 plan work (fewer, shallower
+    # stages) a same-session A/B shows AQE slightly AHEAD (2.21-2.41 s vs
+    # 2.29-2.60 s across two interleaved passes): post-shuffle coalescing of
+    # the 8-partition exchanges now pays more than its barriers cost. One
+    # profile for bench and production again.
+    os.environ.setdefault("SPARK_GRAFT_AQE", "1")
     # the sf0.1 tables are SINGLE parquet files (lineitem 10.8 MB): at the
     # 128m default every scan is ONE task on 32 cores. 8m splits restore
     # scan parallelism — measured 4.4 s -> ~2.5-3.1 s headline total; below
