@@ -223,7 +223,7 @@ def timed_value(df):
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
-    os.environ.setdefault("SPARK_GRAFT_AQE", "0")
+    os.environ.setdefault("SPARK_GRAFT_AQE", "1")  # production default; r4 A/B: also faster
     os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
