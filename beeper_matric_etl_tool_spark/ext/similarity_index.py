@@ -92,9 +92,15 @@ def search_ivf(
     )
     scored = cand.join(F.broadcast(qn), on="__qid").withColumn(
         "cosine_ppm",
+        # try_divide, not /: under the session's ANSI mode a zero-norm
+        # vector would otherwise raise DIVIDE_BY_ZERO mid-search; NULL
+        # scores sort last under the desc rank, so degenerate vectors
+        # simply never make a top-k (mirrors every other scoring path)
         F.floor(
-            (F.lit(1_000_000.0) * dot(F.col("__qv"), F.col("__cv")))
-            / (F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__cn2")))
+            F.try_divide(
+                F.lit(1_000_000.0) * dot(F.col("__qv"), F.col("__cv")),
+                F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__cn2")),
+            )
         ).cast("long"),
     )
     w2 = Window.partitionBy("__qid").orderBy(

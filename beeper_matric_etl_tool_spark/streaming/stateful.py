@@ -51,10 +51,16 @@ def _update_profile(
         if pdf.empty:
             continue
         n += len(pdf)
-        batch_min = int(pdf["timestamp"].min())
-        batch_max = int(pdf["timestamp"].max())
-        first_ts = batch_min if first_ts is None else min(first_ts, batch_min)
-        last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+        # a valid event may still carry a null timestamp (parse only
+        # requires event_id) — it counts toward n_events but must not
+        # poison the time bounds: min/max over an ALL-null slice is NaN,
+        # and int(NaN) would kill the whole streaming query
+        ts = pdf["timestamp"].dropna()
+        if len(ts):
+            batch_min = int(ts.min())
+            batch_max = int(ts.max())
+            first_ts = batch_min if first_ts is None else min(first_ts, batch_min)
+            last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
     state.update((n, first_ts, last_ts))
     yield pd.DataFrame(
         {"sender": [key[0]], "n_events": [n], "first_ts": [first_ts], "last_ts": [last_ts]}

@@ -624,6 +624,32 @@ def test_ivf_index_build_probe_and_nprobe_recall(spark, tmp_path, sf_dir):
     assert r4 == 1.0         # nprobe == k clusters -> exhaustive == exact
 
 
+def test_ivf_search_survives_zero_norm_vectors(spark, tmp_path):
+    """Review-found defect, pinned: under the session's ANSI mode a
+    zero-norm corpus or query vector made search_ivf raise DIVIDE_BY_ZERO
+    mid-scoring (every other similarity path already try_divides). The
+    degenerate vector must instead score NULL and never reach a top-k."""
+    from beeper_matric_etl_tool_spark.ext import similarity_index as ivf
+
+    rows = [(i, [float(i + d) for d in range(4)], ) for i in range(1, 9)]
+    rows.append((0, [0.0, 0.0, 0.0, 0.0]))  # zero-norm vector, id 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf0")
+    ivf.build_ivf_index(emb, path, k=2, iterations=2)
+    got = ivf.search_ivf(spark, path, emb, k=3, nprobe=2).collect()
+    assert got  # searched without raising
+    # the zero vector's pairs carry NULL scores -> it never outranks a
+    # finite-scored neighbor into a full top-k
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        finite = [r for r in rs if r.cosine_ppm is not None]
+        nulls = [r for r in rs if r.cosine_ppm is None]
+        for rn in nulls:
+            assert all(rf.rank < rn.rank for rf in finite)
+
+
 def test_asof_join_null_payload_semantics(spark):
     """Review-found defect, pinned: a NULL column in the LATEST state row
     must surface as NULL (not resurrect an older row's value), and

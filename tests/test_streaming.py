@@ -259,6 +259,25 @@ def test_stateful_user_profiles_accumulate_across_restarts(spark, tmp_path):
     assert r.n_events == 4
     assert r.first_ts == T0_MS and r.last_ts == T0_MS + 12 * 60_000
 
+    # review-found defect, pinned: a valid event with a NULL timestamp
+    # (parse only requires event_id) must count toward n_events without
+    # poisoning the time bounds — int(NaN) over an all-null batch slice
+    # used to kill the whole query
+    import json as _json
+
+    nullts = _json.dumps(
+        {
+            "event_id": "e5", "room_id": "!r1", "sender": "@dave:example.org",
+            "event_type": "m.room.message", "timestamp": None,
+            "is_encrypted": False, "content": {"body": "x"}, "relates_to": None,
+        }
+    )
+    _write_file(src, "p3.json", [nullts])
+    q = stateful.start_user_profiles(spark, str(src), str(tgt), str(ckpt))
+    q.awaitTermination(120)
+    d = {r.sender: r for r in spark.read.parquet(str(tgt)).collect()}["@dave:example.org"]
+    assert d.n_events == 1 and d.first_ts is None and d.last_ts is None
+
 
 def test_bootstrap_then_stream_runs_backfill_once(spark, tmp_path):
     """S5 — batch backfill only on first start (no checkpoint), stream
