@@ -138,14 +138,19 @@ def kmeans(
             )
         )
         prev = centroids
-        centroids = (
-            means.groupBy("cluster_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "__m"))),
-                    lambda x: x["__m"],
-                ).alias("centroid")
-            )
+        updated = means.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__m"))),
+                lambda x: x["__m"],
+            ).alias("centroid")
+        )
+        # a cluster that lost every member this iteration has no mean rows;
+        # silently dropping it would return < k centroids and downstream
+        # IVF layouts built on "k coarse partitions" would quietly get
+        # coarser pruning. Standard Lloyd practice: carry the previous
+        # centroid forward (both frames are k-row — the anti-join is free).
+        centroids = updated.unionByName(
+            prev.join(updated.select("cluster_id"), on="cluster_id", how="left_anti")
         ).cache()
         centroids.count()  # materialize before releasing the parent cache
         prev.unpersist()

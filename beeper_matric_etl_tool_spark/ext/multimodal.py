@@ -157,6 +157,12 @@ def _decode_wav(payload: bytes) -> tuple[int, int, list[float]]:
     """16-bit PCM features over the chunk-walked samples."""
     frames, _rate, channels = _wav_pcm(payload)
     n_frames = frames.shape[0]
+    if n_frames == 0:
+        # structurally valid WAV, zero-length data chunk: mean/rms over an
+        # empty array is NaN (and NaN != NaN breaks every downstream
+        # equality/dedup comparison) — all-zero features, like the other
+        # empty guards in this function
+        return 0, channels, [0.0] * 8
     mono = frames.mean(axis=1)
     zc = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8))))) if n_frames > 1 else 0.0
     quarters = np.array_split(mono, 4) if n_frames >= 4 else [mono] * 4
@@ -251,7 +257,11 @@ def resize_images(
             yi = np.minimum((np.arange(height) + 0.5) * sh / height, sh - 1).astype(np.int64)
             xi = np.minimum((np.arange(width) + 0.5) * sw / width, sw - 1).astype(np.int64)
             return _encode_bmp(np.ascontiguousarray(src[yi][:, xi])), None
-        except NotImplementedError as exc:
+        except (NotImplementedError, ValueError, IndexError) as exc:
+            # NotImplementedError = recognized-but-unsupported format;
+            # ValueError/IndexError = BMP magic but corrupt body (truncated
+            # pixel data, absurd header dims → np.frombuffer underflow).
+            # Both are DATA problems → dead-letter row, never a task crash.
             return None, f"resize_error: {exc}"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -308,7 +318,12 @@ def sample_audio_frames(
                     continue
                 try:
                     frames, rate, _ = _wav_pcm(p)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, IndexError):
+                    # unsupported format OR RIFF magic with a corrupt body
+                    # (odd-length data chunk → frombuffer raises) — a data
+                    # problem skips the payload, never kills the task
+                    continue
+                if frames.shape[0] == 0 or rate == 0:
                     continue
                 mono = frames.mean(axis=1)
                 flen = max(1, rate * frame_ms // 1000)

@@ -45,6 +45,10 @@ def asof_join(
     ``payload`` are the state columns carried onto each event. With
     ``how='inner'``, events with no preceding state are dropped.
     """
+    if how not in ("left", "inner"):
+        # an unrecognized mode (full, 'Inner', left_outer, a typo) would
+        # otherwise silently behave as a left join
+        raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
     keys = list(on)
     # the payload travels as ONE struct: `last(ignorenulls)` over the struct
     # is null only when NO state row precedes the event. Per-column

@@ -52,9 +52,14 @@ def latest_by_key_agg(
     form remains for callers that need ranks, not just the argmax.)
     """
     payload = [c for c in df.columns if c not in keys]
+    # backquote every interpolated name: a column like `last-updated`,
+    # `a.b` or a SQL keyword would otherwise break (or silently re-parse
+    # as a field access) inside the expr string
+    bq = lambda c: f"`{c}`"  # noqa: E731
     out = df.groupBy(*keys).agg(
         F.expr(
-            f"max_by(struct({', '.join(payload)}), struct({', '.join(max_order_cols)}))"
+            f"max_by(struct({', '.join(map(bq, payload))}), "
+            f"struct({', '.join(map(bq, max_order_cols))}))"
         ).alias("__top")
     )
     return out.select(*keys, "__top.*")

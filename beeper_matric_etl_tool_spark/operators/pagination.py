@@ -31,6 +31,7 @@ def keyset_page(
     limit: int = 50,
     before: Column | None = None,
     predicate: Column | None = None,
+    before_tie: Column | None = None,
 ) -> DataFrame:
     """One page of a keyset-paginated scan, newest first.
 
@@ -38,10 +39,27 @@ def keyset_page(
     the exclusive cursor on ``order_col``. Both are optional — the dynamic
     predicate splicing mirrors routes.ts:132-143 (filters only added when the
     request carries the parameter).
-    """
+
+    ``before_tie`` upgrades the cursor to the TUPLE form
+    ``(order_col, tie_col) < (before, before_tie)``: when consecutive pages
+    are cut mid-tie (several rows share the boundary ``order_col`` value),
+    the scalar ``order_col < before`` cursor silently skips the boundary's
+    remaining rows — the exact hazard the module docstring pins on
+    non-unique sort keys. Callers paging with the previous page's LAST row
+    should pass both its columns; the scalar form is kept because it is the
+    reference API's literal shape (timestamp-only cursor). Both forms push
+    into the scan as ordinary range predicates."""
     out = df
     if predicate is not None:
         out = out.filter(predicate)
     if before is not None:
-        out = out.filter(F.col(order_col) < before)
+        if before_tie is not None:
+            out = out.filter(
+                (F.col(order_col) < before)
+                | ((F.col(order_col) == before) & (F.col(tie_col) < before_tie))
+            )
+        else:
+            out = out.filter(F.col(order_col) < before)
+    elif before_tie is not None:
+        raise ValueError("keyset_page: before_tie requires before")
     return out.orderBy(F.col(order_col).desc(), F.col(tie_col).desc()).limit(limit)

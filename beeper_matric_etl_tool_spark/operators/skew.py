@@ -40,11 +40,17 @@ def salted_join(
 
     Only inner/left/left_semi/left_anti are pure rewrites: an outer side
     on `small` would surface each unmatched small row once PER SALT COPY.
+    The check is an ALLOWLIST, not a blocklist: Spark accepts many aliases
+    per join type (`outer` == `full` == `fullouter`, `cross`, …) and a
+    miss on any alias means silently duplicated unmatched small rows.
     """
-    if how.replace("outer", "").strip("_ ") in ("right", "full"):
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi",
+               "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower().replace(" ", "") not in allowed:
         raise ValueError(
-            f"salted_join(how={how!r}): outer-on-small joins are not a pure "
-            f"rewrite (the exploded small side multiplies unmatched rows)"
+            f"salted_join(how={how!r}): only inner/left/semi/anti joins are "
+            f"a pure rewrite — any join outer on the exploded small side "
+            f"multiplies its unmatched rows once per salt copy"
         )
     salted_big = big.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(buckets)))
     salted_small = small.withColumn(

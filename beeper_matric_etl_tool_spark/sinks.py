@@ -198,10 +198,16 @@ def batched_append(df: DataFrame, path: str, rows_per_batch: int = 100) -> None:
     """K4 — bounded write batches. The reference chops multi-row inserts at
     100 rows/statement; here the analog is capping rows per output task so
     no single task/file becomes a straggler. Uses a cheap count to size the
-    fan-out (at scale you'd size from input metrics instead)."""
-    n = df.count()
-    partitions = max(1, (n + rows_per_batch - 1) // rows_per_batch)
-    df.repartition(partitions).write.mode("append").parquet(path)
+    fan-out (at scale you'd size from input metrics instead). The input is
+    persisted across the two actions — without it an expensive upstream
+    plan executes twice (once for the sizing count, once for the write)."""
+    df = df.persist()
+    try:
+        n = df.count()
+        partitions = max(1, (n + rows_per_batch - 1) // rows_per_batch)
+        df.repartition(partitions).write.mode("append").parquet(path)
+    finally:
+        df.unpersist()
 
 
 def append_log(df: DataFrame, path: str) -> None:
@@ -275,9 +281,45 @@ def keyed_update(
         touched = [r[0] for r in updates.select(BUCKET_COL).distinct().collect()]
         existing = existing.filter(F.col(BUCKET_COL).isin(touched))
         updates = updates.drop(BUCKET_COL)
+        # layout guard: the caller's n_buckets must match the layout the
+        # table was WRITTEN with — a mismatch hashes update keys into the
+        # wrong partitions and silently leaves the real rows stale. Two
+        # complementary checks, both metadata-cheap:
+        # (1) the hive partition directory names record the actual bucket
+        #     domain — any stored bucket ≥ n_buckets proves the caller's
+        #     modulus is too small (catches 8-vs-16, where a residue check
+        #     is blind: pmod(h,8) == pmod(pmod(h,16),8) for buckets < 8);
+        # (2) recomputing the bucket of the pruned rows catches a too-LARGE
+        #     modulus (some slice row lands at b+16 under pmod 32).
+        stored_buckets = [
+            int(d.split("=", 1)[1])
+            for root, dirs, _ in os.walk(path)
+            for d in dirs
+            if d.startswith(f"{BUCKET_COL}=")
+        ]
+        if stored_buckets and max(stored_buckets) >= n_buckets:
+            raise ValueError(
+                f"keyed_update: n_buckets={n_buckets} does not match the "
+                f"bucket layout {path} was written with (stored bucket "
+                f"{max(stored_buckets)} exists) — update keys would prune "
+                f"to the wrong partitions and miss their rows"
+            )
+        bad = existing.filter(
+            key_bucket(list(keys), n_buckets) != F.col(BUCKET_COL)
+        ).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"keyed_update: n_buckets={n_buckets} does not match the "
+                f"bucket layout {path} was written with — update keys would "
+                f"prune to the wrong partitions and miss their rows"
+            )
     matched = existing.join(updates.select(*keys), on=list(keys), how="left_semi").count()
     if matched == 0:
-        raise ValueError(f"keyed_update: no rows matched keys in {path}")
+        raise ValueError(
+            f"keyed_update: no rows matched keys in {path}"
+            + (" (or n_buckets disagrees with the table's bucket layout)"
+               if bucketed else "")
+        )
     # align incoming to the full schema: unmatched columns keep existing vals
     merged = merge_upsert(
         existing,

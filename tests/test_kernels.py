@@ -241,6 +241,14 @@ def test_multimodal_resize_roundtrip_and_dead_letter(spark):
     again = {r.doc_id: r for r in xmm.resize_images(df, width=8, height=6).collect()}
     assert bytes(again[1].payload) == bytes(out[1].payload)
 
+    # review-found crash, pinned: BMP magic + truncated pixel data is a
+    # DATA problem (dead-letter row), not a task-killing ValueError
+    corrupt = spark.createDataFrame(
+        [(3, bytearray(bmp[:60]))], "doc_id long, payload binary"
+    )
+    bad = xmm.resize_images(corrupt, width=8, height=6).collect()[0]
+    assert bad.payload is None and "resize_error" in bad.error
+
 
 def test_multimodal_audio_frame_sampling(spark):
     """frame-sample: 25/10 ms framing of 16-bit PCM; frame count, spacing
@@ -266,6 +274,15 @@ def test_multimodal_audio_frame_sampling(spark):
     global_rms = float(np.sqrt((pcm.mean(axis=1) ** 2).mean()))
     assert all(abs(r.rms - global_rms) < 0.1 for r in by_idx)
     assert all(0.0 < r.zcr < 0.5 and r.peak <= 1.0 for r in by_idx)
+
+    # review-found crash, pinned: RIFF magic + truncated (odd-length) data
+    # chunk must SKIP the payload, not kill the task with a frombuffer
+    # ValueError — "a mixed corpus is not an error condition"
+    mixed = spark.createDataFrame(
+        [(1, bytearray(wav)), (3, bytearray(wav[:-1]))], "doc_id long, payload binary"
+    )
+    got = xmm.sample_audio_frames(mixed, frame_ms=25, hop_ms=10).collect()
+    assert {r.doc_id for r in got} == {1}
 
 
 def test_sinks_indexed_layout_and_keyed_update(spark, tmp_path):
@@ -591,6 +608,13 @@ def test_salted_join_and_agg_match_plain(spark):
     with pytest.raises(TypeError, match="phase2_combiner"):
         skew.salted_aggregate(big, ["k"], {"mx": F.max("row_id")}, salt_source="row_id")
 
+    # review-found guard bypass, pinned: EVERY outer-ish alias must raise —
+    # Spark's how='outer' IS full-outer, and the old blocklist missed it
+    # (unmatched small rows would surface once per salt copy)
+    for bad_how in ("outer", "full", "fullouter", "full_outer", "right", "rightouter", "cross"):
+        with pytest.raises(ValueError, match="salted_join"):
+            skew.salted_join(big, small, on="k", salt_source="row_id", how=bad_how)
+
 
 def test_ivf_index_build_probe_and_nprobe_recall(spark, tmp_path, sf_dir):
     """Index lifecycle: build once (centroids + cluster-partitioned
@@ -756,3 +780,96 @@ def test_assign_clusters_id_type_contract(spark):
     bad = spark.createDataFrame([(1.5, [0.0, 0.0])], "doc double, embedding array<float>")
     with pytest.raises(ValueError, match="unsupported id column type"):
         assign_clusters(bad, cents, id_col="doc")
+
+
+def test_keyset_tuple_cursor_does_not_skip_ties(spark):
+    """Review-found hazard, pinned: paging with the scalar cursor
+    (order_col < before) drops rows tied at the page boundary's order
+    value; the tuple form (order, tie) < (before, before_tie) pages
+    through ties losslessly."""
+    from beeper_matric_etl_tool_spark.operators.pagination import keyset_page
+
+    # five rows, three tied at ts=100
+    rows = [(1, 100), (2, 100), (3, 100), (4, 90), (5, 80)]
+    df = spark.createDataFrame(rows, "event_id long, ts long")
+    page1 = keyset_page(df, order_col="ts", tie_col="event_id", limit=2)
+    p1 = [(r.ts, r.event_id) for r in page1.collect()]
+    assert p1 == [(100, 3), (100, 2)]  # newest first, tie desc
+    last_ts, last_id = p1[-1]
+    page2 = keyset_page(
+        df, order_col="ts", tie_col="event_id", limit=2,
+        before=F.lit(last_ts), before_tie=F.lit(last_id),
+    )
+    p2 = [(r.ts, r.event_id) for r in page2.collect()]
+    assert p2 == [(100, 1), (90, 4)]  # the remaining tie row is NOT skipped
+    # the scalar cursor (reference API shape) drops the tied row — the
+    # documented reason the tuple form exists
+    scalar2 = keyset_page(df, order_col="ts", tie_col="event_id", limit=2,
+                          before=F.lit(last_ts))
+    assert [(r.ts, r.event_id) for r in scalar2.collect()] == [(90, 4), (80, 5)]
+    with pytest.raises(ValueError, match="before_tie requires before"):
+        keyset_page(df, order_col="ts", tie_col="event_id", before_tie=F.lit(1))
+
+
+def test_kmeans_carries_empty_clusters_forward(spark):
+    """Review-found hazard, pinned: a cluster that loses every member must
+    keep its previous centroid, not vanish — downstream IVF layouts are
+    built on 'k coarse partitions'. Duplicate seed vectors force the empty
+    cluster: both seeds are identical, so one of them captures every
+    point and the other goes empty on the first update."""
+    from beeper_matric_etl_tool_spark.ext.clustering import kmeans
+
+    rows = [(0, [5.0, 5.0]), (1, [5.0, 5.0]), (2, [5.1, 5.0]), (3, [4.9, 5.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assignments, centroids = kmeans(emb, k=2, iterations=2)
+    assert centroids.count() == 2  # the emptied cluster survived
+    assert assignments.count() == 4
+
+
+def test_keyed_update_rejects_bucket_layout_mismatch(spark, tmp_path):
+    """Review-found hazard, pinned: calling keyed_update with an n_buckets
+    that disagrees with the layout the table was written with must raise —
+    the old behavior pruned to the WRONG partitions and silently left the
+    real rows stale (or half-updated when one key happened to match)."""
+    from beeper_matric_etl_tool_spark import sinks
+
+    target = str(tmp_path / "bucketed")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(64)], "k long, v string"
+    )
+    sinks.partitioned_upsert(
+        spark, target, base, lambda ex, b: b if ex is None else ex.unionByName(b),
+        keys=["k"], n_buckets=16,
+    )
+    updates = spark.createDataFrame([(3, "new3"), (17, "new17")], "k long, v string")
+    with pytest.raises(ValueError, match="bucket layout"):
+        sinks.keyed_update(spark, target, updates, keys=["k"], n_buckets=8)
+    # the matching layout still works
+    changed = sinks.keyed_update(spark, target, updates, keys=["k"], n_buckets=16)
+    assert changed == 2
+
+
+def test_asof_join_rejects_unknown_how(spark):
+    """Review-found hazard, pinned: an unsupported how (full / typo'd
+    'Inner') must raise instead of silently behaving as a left join."""
+    from beeper_matric_etl_tool_spark.operators.asof import asof_join
+
+    ev = spark.createDataFrame([("u", 40, "e")], "user_id string, ts long, event_id string")
+    st = spark.createDataFrame([("u", 10, "a")], "user_id string, ts long, x string")
+    for bad in ("full", "Inner", "left_outer"):
+        with pytest.raises(ValueError, match="asof_join"):
+            asof_join(ev, st, on=["user_id"], events_ts="ts", state_ts="ts",
+                      payload=["x"], how=bad)
+
+
+def test_latest_by_key_agg_quotes_awkward_column_names(spark):
+    """Review-found hazard, pinned: interpolated column names are
+    backquoted, so hyphens / keywords / dotted names survive the expr."""
+    from beeper_matric_etl_tool_spark.operators.dedup import latest_by_key_agg
+
+    df = spark.createDataFrame(
+        [("k", 1, "old"), ("k", 2, "new")],
+        ["key", "last-updated", "order"],  # hyphen + SQL keyword
+    )
+    out = latest_by_key_agg(df, keys=["key"], max_order_cols=["last-updated"]).collect()
+    assert len(out) == 1 and out[0]["order"] == "new"
