@@ -20,23 +20,45 @@ def _on(child: DataFrame, parent: DataFrame, child_keys: Sequence[str], parent_k
     return [child[c] == parent[p] for c, p in zip(child_keys, parent_keys)]
 
 
+def _parent_keys(
+    parent: DataFrame, parent_keys: Sequence[str], broadcast: bool
+) -> DataFrame:
+    """The deduped parent key set, optionally broadcast-hinted.
+
+    ``broadcast=True`` (default) is right for DIMENSION parents — the
+    reference's FK targets (rooms, users) are dimension-sized. Pass
+    ``broadcast=False`` for a fact-sized parent: a hard broadcast of an
+    unbounded side is an executor-OOM hazard at scale, and the plain
+    semi/anti join then co-shuffles on the key like any other big join."""
+    keys = parent.select(*parent_keys).distinct()
+    return F.broadcast(keys) if broadcast else keys
+
+
 def enforce_fk(
-    child: DataFrame, parent: DataFrame, child_keys: Sequence[str], parent_keys: Sequence[str]
+    child: DataFrame,
+    parent: DataFrame,
+    child_keys: Sequence[str],
+    parent_keys: Sequence[str],
+    broadcast: bool = True,
 ) -> DataFrame:
     """Rows of ``child`` whose parent exists (ON DELETE CASCADE applied)."""
     return child.join(
-        F.broadcast(parent.select(*parent_keys).distinct()),
+        _parent_keys(parent, parent_keys, broadcast),
         on=_on(child, parent, child_keys, parent_keys),
         how="left_semi",
     )
 
 
 def orphans(
-    child: DataFrame, parent: DataFrame, child_keys: Sequence[str], parent_keys: Sequence[str]
+    child: DataFrame,
+    parent: DataFrame,
+    child_keys: Sequence[str],
+    parent_keys: Sequence[str],
+    broadcast: bool = True,
 ) -> DataFrame:
     """Rows of ``child`` with no parent — the integrity-violation report."""
     return child.join(
-        F.broadcast(parent.select(*parent_keys).distinct()),
+        _parent_keys(parent, parent_keys, broadcast),
         on=_on(child, parent, child_keys, parent_keys),
         how="left_anti",
     )
