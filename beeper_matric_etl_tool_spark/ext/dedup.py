@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from beeper_matric_etl_tool_spark.ext.text import exact_fingerprint, tokens
+from beeper_matric_etl_tool_spark.ext.text import exact_fingerprint, scaled_ratio, tokens
 from beeper_matric_etl_tool_spark.operators.dedup import latest_by_key
 
 
@@ -82,18 +82,22 @@ def jaccard_pairs(
         F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"),
     )
     joined = a.join(b, on=block_col, how="inner") if block_col else a.crossJoin(b)
-    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
-    union = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
         .withColumn("jaccard_sim", jaccard(F.col("__sha"), F.col("__shb")))
         .filter(F.col("jaccard_sim") >= F.lit(threshold))
-        # exact integer ppm output — reproducible across engines, unlike round()
-        .select(
-            "id_a", "id_b",
-            F.floor((F.lit(1_000_000) * inter.cast("long")) / union).cast("long").alias("jaccard_ppm"),
-        )
+        .select("id_a", "id_b", _jaccard_ppm().alias("jaccard_ppm"))
     )
+
+
+def _jaccard_ppm() -> Column:
+    """Exact integer ppm of |__sha ∩ __shb| / |__sha ∪ __shb| — the
+    repo-wide fixed-point rule (`ext.text.scaled_ratio`), shared by the
+    blocked verifier and the LSH funnel's verify stage so the two scorers
+    can never drift."""
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    union = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
+    return scaled_ratio(inter, union)
 
 
 def portable_hash60(col: Column) -> Column:
@@ -157,10 +161,12 @@ def lsh_candidate_pairs(
     operator scales with corpus size, not corpus². Rows per doc = bands,
     a constant fan-out.
 
-    When ``num_hashes`` (the signature length) is known, bands must divide
-    it exactly — floor-divided band widths would silently drop the trailing
-    hashes from every band, weakening recall with no warning (mirrors the
-    simhash_candidate_pairs guard).
+    Bands must divide the signature length exactly — floor-divided band
+    widths would silently drop the trailing hashes from every band,
+    weakening recall with no warning (mirrors the simhash_candidate_pairs
+    guard). When ``num_hashes`` is passed the check fires at plan time;
+    either way an in-expression assert validates the ACTUAL signature
+    length per row, so the default call cannot degrade silently.
     """
     if num_hashes is not None and num_hashes % bands != 0:
         raise ValueError(
@@ -170,17 +176,32 @@ def lsh_candidate_pairs(
             f"from every band"
         )
     band_key = F.md5 if portable else F.xxhash64
+    sig_size = F.size(F.col(sig_col))
+    width_check = F.assert_true(
+        sig_size % F.lit(bands) == 0,
+        F.concat(
+            F.lit(f"lsh_candidate_pairs: bands={bands} must divide the "
+                  f"signature length, got "),
+            sig_size.cast("string"),
+        ),
+    )
     rows = signatures.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: band_key(
-                    F.concat_ws(",", F.slice(
-                        F.col(sig_col),
-                        b * (F.size(F.col(sig_col)) / bands).cast("int") + 1,
-                        (F.size(F.col(sig_col)) / bands).cast("int"),
-                    ))
+                # assert_true yields NULL on pass (raises otherwise), so the
+                # when() keeps the runtime width check inside the expression
+                # tree where column pruning can't drop it
+                lambda b: F.when(
+                    width_check.isNull(),
+                    band_key(
+                        F.concat_ws(",", F.slice(
+                            F.col(sig_col),
+                            b * (F.size(F.col(sig_col)) / bands).cast("int") + 1,
+                            (F.size(F.col(sig_col)) / bands).cast("int"),
+                        ))
+                    ),
                 ),
             )
         ).alias("band_id", "band_hash"),
@@ -213,19 +234,13 @@ def near_dedup_minhash(
     sigs = minhash_signatures(df, num_hashes, shingle_k, text_col, id_col, portable=portable)
     cands = lsh_candidate_pairs(sigs, bands, id_col, num_hashes=num_hashes, portable=portable)
     sh = df.select(F.col(id_col), shingles(tokens(text_col), shingle_k).alias("__sh"))
-    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
-    union = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
     verified = (
         cands.join(sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb")), "id_b")
         .withColumn("jaccard_sim", jaccard(F.col("__sha"), F.col("__shb")))
         .filter(F.col("jaccard_sim") >= F.lit(threshold))
     )
-    return verified.select(
-        "id_a", "id_b",
-        F.floor((F.lit(1_000_000) * inter.cast("long")) / union).cast("long")
-        .alias("jaccard_ppm"),
-    )
+    return verified.select("id_a", "id_b", _jaccard_ppm().alias("jaccard_ppm"))
 
 
 # ---------------------------------------------------------------------------

@@ -309,6 +309,13 @@ def hyperplane_bands(
     generator, not an index. Production widths come from the sizing rule
     on `lsh_planes` (bits_per_band ≈ log2(n_docs)); the scale probe
     measures both regimes."""
+    if len(planes) % n_bands != 0:
+        raise ValueError(
+            f"hyperplane_bands: n_bands={n_bands} must divide len(planes)="
+            f"{len(planes)} — a floored band width would silently exclude "
+            f"the trailing planes from every band (same guard as the "
+            f"MinHash/SimHash banding)"
+        )
     qv = quantize(vec_col)
     bits_per_band = len(planes) // n_bands
     bits = [
@@ -384,13 +391,16 @@ def multiprobe_labels(
         F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("__qv")
     )
     pairs = q.crossJoin(F.broadcast(centroids))
+    # one divide per component (the docstring contract): the means array is
+    # materialized first, then squared-diffs — Catalyst does not CSE inside
+    # higher-order-function lambdas, so inlining s/cnt into the square would
+    # execute every divide twice. Identical doubles either way (same
+    # operands, correctly-rounded ops), so the DuckDB oracle needs no change.
+    means = F.transform(
+        F.col("sums"), lambda s: s.cast("double") / F.col("cnt").cast("double")
+    )
     d2 = F.aggregate(
-        F.zip_with(
-            F.col("__qv"),
-            F.col("sums"),
-            lambda qc, s: (qc - s.cast("double") / F.col("cnt").cast("double"))
-            * (qc - s.cast("double") / F.col("cnt").cast("double")),
-        ),
+        F.zip_with(F.col("__qv"), means, lambda qc, m: (qc - m) * (qc - m)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -444,6 +454,12 @@ def knn_suite(
     per-pair kernel.
     """
     if scoring == "matmul":
+        if use_arrow:
+            raise ValueError(
+                "knn_suite: use_arrow selects the pairwise per-pair kernel — "
+                "pass scoring='pairwise' with it (the default matmul path "
+                "would silently ignore it and collect probes driver-side)"
+            )
         scored = scored_pairs_matmul(
             queries,
             corpus,

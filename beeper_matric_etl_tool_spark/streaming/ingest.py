@@ -114,7 +114,14 @@ def deduplicate(events: DataFrame, watermark_delay: str = "1 hour") -> DataFrame
     """
     good = events.filter(F.col("error").isNull())
     dead = events.filter(F.col("error").isNotNull())
-    deduped = good.withWatermark("ts", watermark_delay).dropDuplicates(["event_id"])
+    # dropDuplicatesWithinWatermark, NOT dropDuplicates(['event_id']): a
+    # plain key-only dedup never evicts state (the watermark only bounds
+    # state when the event-time column is part of the key set), so a
+    # long-running stream would accumulate every key ever seen until OOM —
+    # the opposite of the "only covers the watermark horizon" contract.
+    deduped = good.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
     return deduped.unionByName(dead)
 
 
@@ -318,30 +325,39 @@ def progress_summary(query: StreamingQuery) -> dict:
     }
 
 
-def dim_merge_writer(target_dir: str, keys: list[str], tracked: list[str] | None = None):
+def dim_merge_writer(target_dir: str, keys: list[str], order_col: str = "last_updated"):
     """T5/K2 — stateful dimension maintenance: each micro-batch of state
-    deltas (membership changes, room updates) change-detect-merges into the
-    dimension table. Unchanged redeliveries are 'keep' rows — no write
-    churn; the same skip the reference's `WHERE … IS DISTINCT FROM` clause
-    buys (db.utils.ts:82-86). The dimension is hash-bucket partitioned on
-    its key, so a batch touching few members rewrites few buckets — not the
-    whole dimension."""
+    deltas (membership changes, room updates) merges into the dimension
+    table, LATEST-BY-ORDER both within the batch and against the stored
+    state. The dimension is hash-bucket partitioned on its key, so a batch
+    touching few members rewrites few buckets — not the whole dimension.
+
+    Order-aware on purpose: a change-detecting merge (take incoming when
+    any column differs) silently REGRESSES the dimension when a late
+    backfill batch delivers an older state after a newer one — the same
+    out-of-order hazard the event sink solves with its (__ord, __batch_id)
+    max_by. Here the stored row competes with the incoming row under
+    (order_col, payload…): the payload tail makes the order total, so a
+    same-millisecond join+leave picks the same winner on every replay.
+    Unchanged redeliveries still cause no churn outside the touched
+    buckets (untouched partitions are never read or rewritten)."""
     from beeper_matric_etl_tool_spark.operators.dedup import latest_by_key_agg
-    from beeper_matric_etl_tool_spark.operators.merge import merge_upsert
 
     def write(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        payload = [c for c in batch.columns if c not in keys and c != order_col]
+        order_cols = [order_col, *payload]
         # reduce the delta to the LATEST state per key (a bare dropDuplicates
         # would keep an arbitrary row — nondeterministic under retries)
-        batch = latest_by_key_agg(batch, keys=keys, max_order_cols=["last_updated"])
+        batch = latest_by_key_agg(batch, keys=keys, max_order_cols=order_cols)
 
         def merge(existing: DataFrame | None, b: DataFrame) -> DataFrame:
             if existing is None:
                 return b
-            return merge_upsert(existing, b.select(*existing.columns),
-                                keys=keys, tracked=tracked, action_col=None)
+            src = existing.unionByName(b.select(*existing.columns))
+            return latest_by_key_agg(src, keys=keys, max_order_cols=order_cols)
 
         sinks.partitioned_upsert(spark, target_dir, batch, merge, keys=keys)
 
@@ -439,8 +455,8 @@ def session_merge_writer(target_dir: str, user_col: str = "sender"):
     can subsume several previously-emitted rows (its start moves earlier,
     its end later, or two sessions fuse into one). Replacement is therefore
     keyed on INTERVAL OVERLAP, not equality: each arriving session first
-    anti-joins away every stored session of the same user whose
-    [start, end] intersects its own, then inserts itself. The target is
+    anti-joins away every stored session of the same user whose half-open
+    [start, end) interior intersects its own, then inserts itself. The target is
     hash-bucket partitioned on the user — a user's sessions always live in
     one bucket, so the overlap merge reads/rewrites only touched buckets."""
 
@@ -457,10 +473,16 @@ def session_merge_writer(target_dir: str, user_col: str = "sender"):
                 F.col("session_start").alias("__ss"),
                 F.col("session_end").alias("__se"),
             )
+            # STRICT comparisons: session_window emits half-open
+            # [start, end) intervals, so a stored session whose end equals
+            # a new session's start is adjacent-but-DISJOINT — a closed
+            # overlap test would anti-join it away and silently delete it.
+            # (Truly fused sessions always share interior: the bridging
+            # event extends the revised window across the old boundary.)
             overlap = (
                 (existing[user_col] == F.col("__u"))
-                & (existing["session_start"] <= F.col("__se"))
-                & (F.col("__ss") <= existing["session_end"])
+                & (existing["session_start"] < F.col("__se"))
+                & (F.col("__ss") < existing["session_end"])
             )
             keep = existing.join(inc, overlap, "left_anti")
             return keep.unionByName(b.select(*existing.columns))
@@ -530,7 +552,18 @@ def bootstrap_then_ingest(
     if first_start and snapshot_dir and os.path.isdir(snapshot_dir):
         snapshot = spark.read.parquet(snapshot_dir)
         if "__merge_key" not in snapshot.columns:
-            snapshot = snapshot.withColumn("__merge_key", F.col("event_id"))
+            # SAME key derivation as start_ingest: event_id alone would
+            # collapse every dead-letter snapshot row (null event_id) under
+            # one null key — and the survivor would never merge with the
+            # stream's 'dead:…'-keyed redeliveries afterward
+            key = (
+                F.coalesce(
+                    F.col("event_id"), F.concat(F.lit("dead:"), F.md5(F.col("error")))
+                )
+                if "error" in snapshot.columns
+                else F.col("event_id")
+            )
+            snapshot = snapshot.withColumn("__merge_key", key)
         # the writer stamps its own __batch_id; drop a stale one if present
         if "__batch_id" in snapshot.columns:
             snapshot = snapshot.drop("__batch_id")

@@ -873,3 +873,33 @@ def test_latest_by_key_agg_quotes_awkward_column_names(spark):
     )
     out = latest_by_key_agg(df, keys=["key"], max_order_cols=["last-updated"]).collect()
     assert len(out) == 1 and out[0]["order"] == "new"
+
+
+def test_lsh_banding_guards_fire(spark):
+    """Review-found silent degradations, pinned loudly:
+    - hyperplane_bands raises when n_bands doesn't divide the plane count
+      (a floored width would exclude trailing planes from every band)
+    - lsh_candidate_pairs validates the ACTUAL signature length per row
+      even when num_hashes isn't passed (the guard used to be opt-in)
+    - knn_suite refuses use_arrow under the matmul scorer instead of
+      silently ignoring it."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j " * 4), (2, "a b c d e f g h i j " * 4)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="must divide"):
+        xsim.hyperplane_bands(F.col("embedding"), planes=xsim.lsh_planes(18), n_bands=4)
+
+    sigs = xdedup.minhash_signatures(df, num_hashes=32)
+    bad = xdedup.lsh_candidate_pairs(sigs, bands=7)  # 7 does not divide 32
+    with pytest.raises(Exception, match="must divide"):
+        bad.collect()
+    # the dividing config still works end-to-end
+    ok = xdedup.lsh_candidate_pairs(sigs, bands=8).collect()
+    assert [(r.id_a, r.id_b) for r in ok] == [(1, 2)]
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="use_arrow"):
+        xsim.knn_suite(emb, emb, scoring="matmul", use_arrow=True, partition_col="vec_id")

@@ -411,3 +411,99 @@ def test_merge_batch_writer_order_col_type_normalization(spark, tmp_path):
     )
     with pytest.raises(TypeError, match="order_col"):
         ingest.merge_batch_writer(str(tmp_path / "bad"), keys=["k"], order_col="ts")(bad, 0)
+
+
+def test_session_merge_keeps_adjacent_disjoint_sessions(spark, tmp_path):
+    """Review-found data loss, pinned: session_window intervals are
+    half-open [start, end), so a stored session whose end EQUALS a new
+    session's start is adjacent but disjoint — the old closed-interval
+    overlap test anti-joined it away and permanently deleted it."""
+    from beeper_matric_etl_tool_spark.streaming.ingest import session_merge_writer
+
+    tgt = str(tmp_path / "sessions")
+    write = session_merge_writer(tgt, user_col="sender")
+    s1 = spark.createDataFrame(
+        [("@a:x", 1000, 2000, 3)],
+        "sender string, session_start long, session_end long, n_events long",
+    )
+    write(s1, 0)
+    # adjacent: starts exactly at the stored session's end
+    s2 = spark.createDataFrame(
+        [("@a:x", 2000, 3000, 2)],
+        "sender string, session_start long, session_end long, n_events long",
+    )
+    write(s2, 1)
+    rows = sorted(
+        (r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(tgt).collect()
+    )
+    assert rows == [(1000, 2000, 3), (2000, 3000, 2)]  # BOTH sessions survive
+    # genuine overlap still replaces: a fused revision spanning both
+    s3 = spark.createDataFrame(
+        [("@a:x", 1000, 3000, 5)],
+        "sender string, session_start long, session_end long, n_events long",
+    )
+    write(s3, 2)
+    rows = [(r.session_start, r.session_end, r.n_events)
+            for r in spark.read.parquet(tgt).collect()]
+    assert rows == [(1000, 3000, 5)]
+
+
+def test_dim_merge_is_order_aware_across_batches(spark, tmp_path):
+    """Review-found regression hazard, pinned: a late backfill batch
+    carrying OLDER state for a key must not overwrite the newer stored
+    state (the old change-detecting merge took any differing incoming
+    row, regardless of order)."""
+    from beeper_matric_etl_tool_spark.streaming.ingest import dim_merge_writer
+
+    tgt = str(tmp_path / "dim")
+    write = dim_merge_writer(tgt, keys=["user_id", "room_id"])
+    newer = spark.createDataFrame(
+        [("u1", "r1", "leave", 200)],
+        "user_id string, room_id string, membership string, last_updated long",
+    )
+    write(newer, 0)
+    older = spark.createDataFrame(
+        [("u1", "r1", "join", 100)],
+        "user_id string, room_id string, membership string, last_updated long",
+    )
+    write(older, 1)  # late-arriving backfill
+    row = spark.read.parquet(tgt).collect()[0]
+    assert (row.membership, row.last_updated) == ("leave", 200)  # no regression
+    # a genuinely newer delta still wins
+    newest = spark.createDataFrame(
+        [("u1", "r1", "ban", 300)],
+        "user_id string, room_id string, membership string, last_updated long",
+    )
+    write(newest, 2)
+    row = spark.read.parquet(tgt).collect()[0]
+    assert (row.membership, row.last_updated) == ("ban", 300)
+
+
+def test_bootstrap_preserves_distinct_dead_letter_rows(spark, tmp_path):
+    """Review-found collapse, pinned: snapshot dead-letter rows (null
+    event_id) must each survive the backfill under the same
+    'dead:md5(error)' key derivation the stream sink uses — a bare
+    event_id key grouped them all under NULL and kept one."""
+    from beeper_matric_etl_tool_spark.streaming import ingest
+
+    snap, src, tgt, ckpt = (tmp_path / d for d in ("snap", "src", "tgt", "ckpt"))
+    src.mkdir()
+    hist = spark.createDataFrame(
+        [
+            ("e1", "!r", "@a:x", "m.room.message", T0_MS, False, "{}", None, None),
+            (None, None, None, None, None, None, None, None, "parse_error: {bad one"),
+            (None, None, None, None, None, None, None, None, "parse_error: {bad two"),
+        ],
+        "event_id string, room_id string, sender string, event_type string, "
+        "timestamp long, is_encrypted boolean, content string, relates_to string, "
+        "error string",
+    ).withColumn("ts", F.timestamp_millis(F.col("timestamp")))
+    hist.write.parquet(str(snap))
+    _write_file(src, "p1.json", [_event("e2", 1)])
+    q = ingest.bootstrap_then_ingest(spark, str(snap), str(src), str(tgt), str(ckpt))
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tgt)).collect()
+    dead = sorted(r.error for r in rows if r.error is not None)
+    assert dead == ["parse_error: {bad one", "parse_error: {bad two"]
+    assert sorted(r.event_id for r in rows if r.error is None) == ["e1", "e2"]
