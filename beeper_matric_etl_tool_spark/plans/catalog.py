@@ -362,16 +362,22 @@ def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             QUALIFY row_number() OVER (
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         ),
+        first_signup AS (
+            -- (ts, event_id) tuple-min; DuckDB's min_by can't take a struct
+            -- ordering key, so the tie-broken first row comes from a window
+            SELECT user_id, props FROM events WHERE event_type = 'signup'
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) = 1
+        ),
         state AS (
             SELECT user_id,
-                   coalesce(min_by(props, ts) FILTER (WHERE event_type = 'signup'), '')
-                     AS first_signup_props,
                    (count(*) FILTER (WHERE event_type = 'error') > 0) AS has_errors
             FROM events GROUP BY user_id
         )
-        SELECT user_id, last_event_id, last_ts, last_type,
-               first_signup_props, has_errors
-        FROM latest JOIN state USING (user_id)
+        SELECT l.user_id, last_event_id, last_ts, last_type,
+               coalesce(f.props, '') AS first_signup_props, has_errors
+        FROM latest l JOIN state USING (user_id)
+        LEFT JOIN first_signup f USING (user_id)
     """,
 )
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,8 +393,14 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(event_id, struct(ts, event_id))").alias("last_event_id"),
         F.max("ts").alias("last_ts"),
         F.expr("max_by(event_type, struct(ts, event_id))").alias("last_type"),
+        # tie-break on (ts, event_id) like the max_by twins above — a bare
+        # min_by(props, ts) picks an arbitrary winner when two signups
+        # share a timestamp (scan-order dependent on BOTH engines)
         F.coalesce(
-            F.expr("min_by(props, ts) FILTER (WHERE event_type = 'signup')"), F.lit("")
+            F.expr(
+                "min_by(props, struct(ts, event_id)) FILTER (WHERE event_type = 'signup')"
+            ),
+            F.lit(""),
         ).alias("first_signup_props"),
         (F.count_if(F.col("event_type") == "error") > 0).alias("has_errors"),
     )
@@ -596,18 +608,32 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty = F.col("l_quantity").cast("long")
     price_cents = fx.cents(F.col("l_extendedprice"))
     disc_cents = fx.cents(F.col("l_discount"))
-    n = F.count(F.lit(1))
-    return (
+    agged = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty).alias("sum_qty"),
             F.sum(price_cents).alias("sum_base_price_cents"),
             F.sum(price_cents * (F.lit(100) - disc_cents)).alias("sum_disc_price_c4"),
-            F.floor(F.lit(1_000_000) * F.sum(qty) / n).cast("long").alias("avg_qty_ppm"),
-            F.floor(F.lit(10_000) * F.sum(disc_cents) / n).cast("long").alias("avg_disc_ppm"),
-            n.alias("count_order"),
+            F.sum(disc_cents).alias("__sum_disc"),
+            F.count(F.lit(1)).alias("count_order"),
         )
+    )
+    # averages as DECIMAL integer division, not double floor: the oracle
+    # divides exact HUGEINTs, and floor(double) only agrees while
+    # 1e6·sum(qty) < 2^53 — true at bench SFs but NOT at SF ≳ 60, where
+    # the long→double rounding could flip the floor by 1. `a div b` over
+    # decimal(38,0) is exact at any scale this engine will meet.
+    return agged.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price_cents",
+        "sum_disc_price_c4",
+        F.expr(
+            "CAST((1000000 * CAST(sum_qty AS DECIMAL(38,0))) DIV count_order AS BIGINT)"
+        ).alias("avg_qty_ppm"),
+        F.expr(
+            "CAST((10000 * CAST(__sum_disc AS DECIMAL(38,0))) DIV count_order AS BIGINT)"
+        ).alias("avg_disc_ppm"),
+        "count_order",
     )
 
 
@@ -803,8 +829,6 @@ def auth_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7/F13 — the auth plane's derivations: deterministic device-id (the
     engine's replay-safe substitute for the reference's Math.random draw,
     client.ts:316-321) and domain validity gating."""
-    from beeper_matric_etl_tool_spark.functions import scalar as fx2
-
     users = table(spark, sf_dir, "events").select("user_id").distinct()
     domain = (
         F.when(F.col("user_id") % 3 == 0, "matrix.example.org")
@@ -813,8 +837,8 @@ def auth_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return users.select(
         "user_id",
-        fx2.device_id("user_id").alias("device_id"),
-        fx2.is_valid_domain(domain).alias("domain_ok"),
+        fx.device_id("user_id").alias("device_id"),
+        fx.is_valid_domain(domain).alias("domain_ok"),
     )
 
 
@@ -826,7 +850,10 @@ def auth_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT user_id, event_id, ts, value FROM events
               WHERE event_type = 'purchase') e
         ASOF LEFT JOIN (SELECT user_id, ts AS sts, value AS signup_value
-                        FROM events WHERE event_type = 'signup') s
+                        FROM events WHERE event_type = 'signup'
+                        QUALIFY row_number() OVER (
+                            PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) = 1) s
           ON e.user_id = s.user_id AND e.ts >= s.sts
     """,
 )
@@ -835,16 +862,29 @@ def events_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     signup-state value known at its event time (stream-state correlation
     with retained history — the explicit form of client.ts:271-283).
     Implemented as the union-sort as-of join (operators/asof.py): one
-    shuffle + one sort, no range explosion."""
+    shuffle + one sort, no range explosion.
+
+    The state side is first reduced to ONE row per (user_id, ts) — highest
+    event_id wins — because asof_join's contract (operators/asof.py) says
+    same-(key, ts) state rows have no defined winner, and DuckDB's ASOF
+    JOIN is equally unspecified: without the dedup, two signups in the
+    same millisecond could hash-mismatch between engines (latent on
+    shipped data — no (user_id, ts) duplicates exist — but unguarded by
+    construction)."""
     from beeper_matric_etl_tool_spark.operators.asof import asof_join
+    from beeper_matric_etl_tool_spark.operators.dedup import latest_by_key
 
     events = table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", "ts", "value"
     )
-    signups = events.filter(F.col("event_type") == "signup").select(
-        "user_id", "ts", F.col("value").alias("signup_value")
-    )
+    signups = latest_by_key(
+        events.filter(F.col("event_type") == "signup").select(
+            "user_id", "ts", "event_id", F.col("value").alias("signup_value")
+        ),
+        keys=["user_id", "ts"],
+        order_by=[F.col("event_id").desc()],
+    ).drop("event_id")
     return asof_join(
         purchases, signups, on=["user_id"], events_ts="ts", state_ts="ts",
         payload=["signup_value"],
@@ -970,13 +1010,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(price_c * (F.lit(100) - disc_c)).alias("revenue_c4"))
-        # o_orderdate reads as timestamp_ntz from parquet; every proven
-        # hash-green timestamp column is TIMESTAMP (ltz, UTC session) — align
-        .select(
-            "l_orderkey", "revenue_c4",
-            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
-            "o_orderpriority",
-        )
+        .select("l_orderkey", "revenue_c4", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue_c4").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -1043,7 +1077,6 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     running spend, inter-event gaps — the per-entity timeline features a
     behavioral model trains on. One shuffle on the user key, sorted within
     partitions; all outputs exact integers under a total order."""
-    from pyspark.sql import Window
 
     events = table(spark, sf_dir, "events")
     w = (

@@ -1256,11 +1256,16 @@ def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
         ),
         n AS (SELECT count(*) AS n_docs FROM documents),
+        idf AS (
+            SELECT term,
+                   CAST(floor(1000000 * ln((n.n_docs + 1.0) / (df.df + 1.0)))
+                        AS BIGINT) AS idf_ppm
+            FROM df CROSS JOIN n
+        ),
         scored AS (
             SELECT tf.doc_id, tf.term,
-                   CAST(floor(1000000 * tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)))
-                        AS BIGINT) AS tfidf_ppm
-            FROM tf JOIN df USING (term) CROSS JOIN n
+                   CAST(tf.tf * idf.idf_ppm AS BIGINT) AS tfidf_ppm
+            FROM tf JOIN idf USING (term)
         )
         SELECT doc_id, term, tfidf_ppm, rnk AS rank FROM (
             SELECT *, row_number() OVER (
@@ -1273,8 +1278,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction: per-document top-5 terms. The document
     frequency table is tiny (vocabulary-sized) and broadcasts onto the
     term-frequency table; at 100 TB the explode→tf aggregation is the only
-    data-sized shuffle. Scores land as floor-ppm integers ranked with a
-    term tie-break so top-5 selection is engine-independent."""
+    data-sized shuffle.
+
+    idf is floored to integer ppm PER TERM and only then multiplied by tf:
+    ln() is the one transcendental the catalog uses, and Math.log/libm are
+    not guaranteed correctly rounded — flooring 1e6·tf·ln(x) per (doc,term)
+    row would give every row its own chance of a cross-engine last-ulp
+    floor flip, while per-term flooring caps the exposure at vocabulary
+    size AND makes the in-document ranking (tf·idf_ppm, exact integers)
+    deterministic with the term tie-break."""
     docs = table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -1282,13 +1294,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()  # scalar (one tiny job) — becomes a literal in the plan
-    scored = tf.join(F.broadcast(dfreq), on="term").select(
-        "doc_id", "term",
+    idf = dfreq.select(
+        "term",
         F.floor(
             F.lit(1_000_000)
-            * F.col("tf")
             * F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
-        ).cast("long").alias("tfidf_ppm"),
+        ).cast("long").alias("idf_ppm"),
+    )
+    scored = tf.join(F.broadcast(idf), on="term").select(
+        "doc_id", "term",
+        (F.col("tf") * F.col("idf_ppm")).cast("long").alias("tfidf_ppm"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_ppm").desc(), F.col("term").asc())
     return (

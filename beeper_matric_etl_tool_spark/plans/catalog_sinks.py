@@ -95,7 +95,9 @@ def sink_append_poststate(spark: SparkSession, sf_dir: str) -> DataFrame:
         log_target,
     )
     log_back = spark.read.parquet(log_target)
-    assert "created_at" in log_back.columns  # F8 stamp present
+    if "created_at" not in log_back.columns:  # F8 stamp present — a bare
+        # assert would be stripped under python -O and silently pass
+        raise ValueError("append_log lost its F8 created_at stamp")
     log = log_back.filter(F.col("created_at").isNotNull()).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("event_id").alias("n_distinct_ids"),
@@ -205,5 +207,7 @@ def sink_keyed_update_poststate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", (F.col("s_acctbal") + F.lit(100.0)).alias("s_acctbal"))
     )
     changed = sinks.keyed_update(spark, target, updates, keys=["s_suppkey"], n_buckets=8)
-    assert changed > 0  # the reference errors on 0-row updates; ours returns count
+    if changed <= 0:  # the reference errors on 0-row updates; ours returns
+        # count — raise (not assert: python -O would strip the check)
+        raise ValueError("sink_keyed_update_poststate: update changed 0 rows")
     return spark.read.parquet(target).select("s_suppkey", "s_name", "s_acctbal")
