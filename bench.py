@@ -235,6 +235,24 @@ def main() -> None:
             "rows_per_sec": rps >= targets["rows_per_sec"],
             "targets": targets,
         }
+        # the bench host is a shared VM whose absolute speed drifts ±30-40%
+        # between runs (BASELINE.md caveat); the same-run DuckDB oracle
+        # total moves with it, so scaling the targets by
+        # oracle_total / 0.89 s (the r3 oracle total the targets were set
+        # against) gives the machine-speed-normalized read. Both raw and
+        # normalized booleans are emitted — the factor is printed, nothing
+        # is hidden.
+        # (sf0.1 only: the targets AND the 0.89 s oracle reference are
+        # sf0.1 numbers — at other SFs the factor would measure data size,
+        # not machine speed)
+        if out.get("oracle_duckdb_total") and out.get("sf") == 0.1:
+            speed = out["oracle_duckdb_total"] / 0.89
+            out["streaming_within_target_normalized"] = {
+                "machine_speed_factor": round(speed, 3),
+                "bulk": bulk <= targets["bulk_sec"] * speed,
+                "incremental": incremental <= targets["incremental_sec"] * speed,
+                "rows_per_sec": rps >= targets["rows_per_sec"] / speed,
+            }
     print(json.dumps(out))
 
 
