@@ -99,3 +99,36 @@ def test_interval_join_equals_bruteforce(spark_prop, point_ts, raw_intervals):
         .collect()
     )
     assert got == brute
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 5)),  # (unique-ish id, TIED ts)
+        min_size=1, max_size=25, unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 7),
+)
+def test_tuple_keyset_pagination_is_lossless(spark_prop, rows, limit):
+    """Paging with the TUPLE cursor (order_col, tie_col) must reproduce the
+    full (order desc, tie desc) listing exactly — no skips, no repeats —
+    for arbitrary tie layouts and page sizes. The deliberately tiny ts
+    domain forces pages to be cut mid-tie, the exact case the scalar
+    cursor loses rows on."""
+    from beeper_matric_etl_tool_spark.operators.pagination import keyset_page
+
+    df = spark_prop.createDataFrame(rows, "event_id long, ts long")
+    expected = sorted(((t, i) for i, t in rows), reverse=True)
+
+    paged, cursor = [], None
+    for _ in range(len(rows) + 2):  # bounded: must terminate
+        page = keyset_page(
+            df, order_col="ts", tie_col="event_id", limit=limit,
+            before=None if cursor is None else F.lit(cursor[0]),
+            before_tie=None if cursor is None else F.lit(cursor[1]),
+        ).collect()
+        if not page:
+            break
+        paged.extend((r.ts, r.event_id) for r in page)
+        cursor = (page[-1].ts, page[-1].event_id)
+    assert paged == expected
