@@ -35,10 +35,10 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
-    # AQE stays ON for any real deployment (runtime coalescing + skew-join
-    # splitting are the 100 TB story). The env knob exists because AQE's
-    # per-shuffle stage-materialization barriers cost ~0.1-0.2 s per query
-    # at local bench scale while having nothing to re-plan — see bench.py.
+    # AQE stays ON everywhere (runtime coalescing + skew-join splitting are
+    # the 100 TB story) — and since the round-4 plan work it measures
+    # FASTER at local bench scale too (see bench.py); the env knob remains
+    # for A/B experiments only.
     aqe = os.environ.get("SPARK_GRAFT_AQE", "1") != "0"
     # Scan split size. The 128m Spark default is right for real deployments
     # (HDFS-block-sized splits); the env knob exists because local test
