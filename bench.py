@@ -114,9 +114,12 @@ def main() -> None:
     # the 8-partition exchanges now pays more than its barriers cost. One
     # profile for bench and production again.
     os.environ.setdefault("SPARK_GRAFT_AQE", "1")
-    # the sf0.1 tables are SINGLE parquet files (lineitem 10.8 MB): at the
-    # 128m default every scan is ONE task on 32 cores. 8m splits restore
-    # scan parallelism — measured 4.4 s -> ~2.5-3.1 s headline total; below
+    # the sf0.1 tables are SINGLE parquet files with a SINGLE row group
+    # (BASELINE.md "Per-query floor"): splits are assigned by row-group
+    # midpoint, so the base-table scans stay one-task at ANY split size —
+    # the 8m setting instead parallelizes the MULTI-file reads (streaming
+    # merge targets, compacted sinks) and was measured faster overall
+    # (4.4 s -> ~2.5-3.1 s headline total in the same session); below
     # 8m task overhead eats the gain. Irrelevant on a real cluster where
     # files are many and block-sized.
     os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
@@ -220,7 +223,19 @@ def main() -> None:
         except Exception as exc:  # never fail the bench over the baseline
             out["oracle_duckdb_error"] = str(exc)[:200]
     if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
-        bulk, incremental, detail = _bench_streaming_ingest(spark, sf_dir)
+        # same methodology as the query tier: one untimed warm-up run
+        # (streaming-engine codegen/JIT — measured 2-3x slower than steady
+        # state on its own), then median of N independent runs. A single
+        # cold sample on the shared VM ranged 1.4-8.0 s for IDENTICAL code
+        # within one session; the median of 3 post-warmup runs is the
+        # number a regression gate can actually act on.
+        stream_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_STREAM_REPEATS", "3"))
+        if warmup:
+            _bench_streaming_ingest(spark, sf_dir)
+        stream_runs = [_bench_streaming_ingest(spark, sf_dir) for _ in range(stream_repeats)]
+        stream_runs.sort(key=lambda r: r[0])
+        bulk, incremental, detail = stream_runs[len(stream_runs) // 2]
+        incremental = statistics.median(r[1] for r in stream_runs)
         out["streaming_ingest_sec"] = round(bulk, 4)
         out["streaming_incremental_sec"] = round(incremental, 4)
         out["streaming_detail"] = detail
