@@ -1159,7 +1159,11 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT count(*) AS n_vectors,
                count(*) AS n_assigned,
                TRUE AS argmin_ok,
-               TRUE AS recall_floor_ok
+               TRUE AS recall_floor_ok,
+               count(*) AS n_semdedup_decisions,
+               TRUE AS semdedup_dropped_has_edge_ok,
+               TRUE AS semdedup_no_kept_edge_ok,
+               TRUE AS semdedup_one_keep_per_component_ok
         FROM embeddings
     """,
 )
@@ -1185,8 +1189,24 @@ def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     - recall_floor_ok — searching only each probe's own cluster (the IVF
       prune this quantizer exists for) recovers ≥ 20% of the exact
       brute-force top-5 pooled over the 8 probe vectors — the nprobe=1
-      floor on random data (same bound the pytest gate pins)."""
+      floor on random data (same bound the pytest gate pins);
+    - semdedup_* — SemDeDup (ext/semdedup.py) over the SAME trained
+      clustering, graded by its defining invariants. The keep/drop set
+      itself depends on the float-iterative clustering, so — like the
+      centroids — it cannot be a portable column; what IS portable is that
+      the decisions form a valid dedup: n_semdedup_decisions = |corpus|
+      (the decision is total), every dropped row has edge evidence,
+      no within-cluster duplicate edge survives between two kept rows,
+      and each duplicate component keeps exactly one representative.
+      Threshold 400_000 ppm — far below a production near-dup bar (the
+      testdata's random vectors top out at cosine ≈ 0.48) but exactly the
+      regime that makes the graph non-trivial: edges, chains, and real
+      drops at every SF, so a broken component loop or keep rule cannot
+      pass vacuously. The brute-force-vs-NumPy equivalence is pinned at
+      production-shaped thresholds in tests/test_semdedup.py."""
     from beeper_matric_etl_tool_spark.ext.clustering import kmeans
+    from beeper_matric_etl_tool_spark.ext.dedup import connected_components
+    from beeper_matric_etl_tool_spark.ext.semdedup import semantic_edges
 
     emb = table(spark, sf_dir, "embeddings")
     assignments, centroids = kmeans(emb, k=8, iterations=3)
@@ -1235,10 +1255,74 @@ def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("__hits") * 5 >= F.col("__expected")).alias("recall_floor_ok")
     )
 
+    # SemDeDup over the same trained clustering (no second kmeans build):
+    # threshold graph → components → lowest-id-wins decisions, then the
+    # four defining invariants folded to booleans the oracle pins TRUE.
+    edges = semantic_edges(
+        clustered.select("vec_id", "embedding", "cluster_id"), threshold_ppm=400_000
+    ).localCheckpoint(eager=False)
+    components = connected_components(edges, src_col="id_a", dst_col="id_b")
+    decisions = (
+        clustered.select("vec_id")
+        .join(
+            components.select(F.col("node").alias("vec_id"), "component"),
+            on="vec_id",
+            how="left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+            (F.coalesce(F.col("component"), F.col("vec_id")) == F.col("vec_id")).alias(
+                "keep"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_decisions = decisions.agg(F.count(F.lit(1)).alias("n_semdedup_decisions"))
+    touched = (
+        edges.select(F.col("id_a").alias("vec_id"))
+        .unionByName(edges.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    dropped_has_edge = (
+        decisions.filter(~F.col("keep"))
+        .join(touched, on="vec_id", how="left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("semdedup_dropped_has_edge_ok"))
+    )
+    keep_of = decisions.select("vec_id", "keep")
+    no_kept_edge = (
+        edges.join(
+            keep_of.select(F.col("vec_id").alias("id_a"), F.col("keep").alias("__ka")),
+            on="id_a",
+        )
+        .join(
+            keep_of.select(F.col("vec_id").alias("id_b"), F.col("keep").alias("__kb")),
+            on="id_b",
+        )
+        .agg(
+            (F.count_if(F.col("__ka") & F.col("__kb")) == 0).alias(
+                "semdedup_no_kept_edge_ok"
+            )
+        )
+    )
+    one_keep = (
+        decisions.groupBy("component")
+        .agg(F.count_if(F.col("keep")).alias("__kept"))
+        .agg(
+            ((F.min("__kept") == 1) & (F.max("__kept") == 1)).alias(
+                "semdedup_one_keep_per_component_ok"
+            )
+        )
+    )
+
     return (
         n_vectors.crossJoin(F.broadcast(n_assigned))
         .crossJoin(F.broadcast(argmin_ok))
         .crossJoin(F.broadcast(recall_ok))
+        .crossJoin(F.broadcast(n_decisions))
+        .crossJoin(F.broadcast(dropped_has_edge))
+        .crossJoin(F.broadcast(no_kept_edge))
+        .crossJoin(F.broadcast(one_keep))
     )
 
 
