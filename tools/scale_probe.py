@@ -204,6 +204,28 @@ def probe_lsh_near_dup(emb, n_planes=None):
     return pairs.agg(F.count(F.lit(1)).alias("n_candidates"))
 
 
+def probe_semdedup_pairs(emb, k: int):
+    """SemDeDup's cost driver: the number of WITHIN-CLUSTER pairs the
+    threshold stage must score (the threshold filter is linear in this
+    count, so it IS the curve). k-means with ``k`` clusters, then the
+    cluster-scoped self-join counted. The paper's sizing rule — k grows
+    with the corpus so expected cluster size stays constant — is exactly
+    what the two regimes below measure."""
+    from beeper_matric_etl_tool_spark.ext.clustering import kmeans
+
+    assignments, _ = kmeans(emb, k=k, iterations=2)
+    clustered = emb.select("vec_id").join(
+        assignments.select("vec_id", "cluster_id"), on="vec_id"
+    )
+    a = clustered.select(F.col("vec_id").alias("id_a"), "cluster_id")
+    b = clustered.select(F.col("vec_id").alias("id_b"), "cluster_id")
+    return (
+        a.join(b, on="cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def timed(df) -> float:
     df.write.format("noop").mode("overwrite").save()  # warm
     t0 = time.perf_counter()
@@ -306,6 +328,25 @@ def main() -> None:
             "growth_ratio": round(t10 / t1, 2) if t1 else None,
             "base_candidates": c1, "grown_candidates": c10,
             "candidate_growth_ratio": round(c10 / c1, 2) if c1 else None,
+        }
+    # SemDeDup block volume under the two k-sizing policies. fixed_k is
+    # the counter-example (cluster size grows with the corpus → the
+    # within-cluster self-join tracks factor²); scaled_k (k ∝ n, the
+    # SemDeDup paper's rule and ext/semdedup.py's documented contract)
+    # holds expected cluster size constant → pairs track the factor.
+    out["probe"]["semdedup_pairs"] = {}
+    for regime, k_base, k_grown in (
+        ("fixed_k", 8, 8),
+        ("scaled_k", 8, 8 * FACTOR),
+    ):
+        t1, r1 = timed_value(probe_semdedup_pairs(emb, k_base))
+        t10, r10 = timed_value(probe_semdedup_pairs(big_emb, k_grown))
+        c1, c10 = r1[0], r10[0]
+        out["probe"]["semdedup_pairs"][regime] = {
+            "base_sec": t1, "grown_sec": t10,
+            "growth_ratio": round(t10 / t1, 2) if t1 else None,
+            "base_pairs": c1, "grown_pairs": c10,
+            "pair_growth_ratio": round(c10 / c1, 2) if c1 else None,
         }
     big_emb.unpersist()
     print(json.dumps(out))
