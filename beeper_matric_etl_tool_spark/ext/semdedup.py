@@ -19,9 +19,12 @@ Differences from the paper, chosen for engine determinism:
   centroid-distance heuristic — deterministic under re-runs and re-shards.
 
 Scale shape: the corpus is scanned once for clustering (ext/clustering.kmeans
-is the measured dim-agnostic build), once for the within-cluster self-join,
-and once for the final decision join. Only verified EDGES (a sliver of the
-corpus) feed the component loop. The self-join is quadratic within a block
+is the measured dim-agnostic build), once (column-pruned to the cluster id)
+for the oversized-cluster guard count, once for the within-cluster
+self-join, and once for the final decision join. Only verified EDGES (a
+sliver of the corpus) feed the component loop, and the edge relation is
+checkpointed once so the quadratic self-join never re-executes for the
+component rounds or the returned audit trail. The self-join is quadratic within a block
 by design — ``max_cluster_size`` makes an under-partitioned call fail
 loudly instead of detonating a corpus²-shaped join at 100 TB.
 
@@ -32,7 +35,7 @@ star, sized against the public SemDeDup recipe rather than reference code.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from beeper_matric_etl_tool_spark.ext.clustering import kmeans
@@ -145,13 +148,16 @@ def semantic_dedup(
     clustered = df.select(id_col, vec_col).join(
         assignments.select(id_col, "cluster_id"), on=id_col
     )
+    # checkpoint the edge relation ONCE: it is consumed by the component
+    # loop AND returned as the audit trail — without this, every consumer
+    # action re-executes the quadratic within-cluster self-join.
     edges = semantic_edges(
         clustered,
         threshold_ppm=threshold_ppm,
         vec_col=vec_col,
         id_col=id_col,
         max_cluster_size=max_cluster_size,
-    )
+    ).localCheckpoint(eager=False)
     components = connected_components(edges, src_col="id_a", dst_col="id_b")
     decisions = (
         clustered.select(id_col, "cluster_id")

@@ -229,13 +229,20 @@ def main() -> None:
         # cold sample on the shared VM ranged 1.4-8.0 s for IDENTICAL code
         # within one session; the median of 3 post-warmup runs is the
         # number a regression gate can actually act on.
-        stream_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_STREAM_REPEATS", "3"))
+        # (to skip the streaming tier entirely use
+        # SPARK_GRAFT_BENCH_STREAMING=0; repeats are clamped to >= 1)
+        stream_repeats = max(
+            1, int(os.environ.get("SPARK_GRAFT_BENCH_STREAM_REPEATS", "3"))
+        )
         if warmup:
             _bench_streaming_ingest(spark, sf_dir)
         stream_runs = [_bench_streaming_ingest(spark, sf_dir) for _ in range(stream_repeats)]
+        # one COHERENT run's numbers: the run with the median bulk time —
+        # bulk, incremental and the per-stage detail all describe the same
+        # execution (mixing per-metric medians across runs would make the
+        # detail/ratio fields internally inconsistent)
         stream_runs.sort(key=lambda r: r[0])
-        bulk, incremental, detail = stream_runs[len(stream_runs) // 2]
-        incremental = statistics.median(r[1] for r in stream_runs)
+        bulk, incremental, detail = stream_runs[(len(stream_runs) - 1) // 2]
         out["streaming_ingest_sec"] = round(bulk, 4)
         out["streaming_incremental_sec"] = round(incremental, 4)
         out["streaming_detail"] = detail

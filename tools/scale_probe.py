@@ -214,9 +214,9 @@ def probe_semdedup_pairs(emb, k: int):
     from beeper_matric_etl_tool_spark.ext.clustering import kmeans
 
     assignments, _ = kmeans(emb, k=k, iterations=2)
-    clustered = emb.select("vec_id").join(
-        assignments.select("vec_id", "cluster_id"), on="vec_id"
-    )
+    # assignments are total over emb's ids — joining emb back on would add
+    # a corpus-scale shuffle to the timed plan without changing a row
+    clustered = assignments.select("vec_id", "cluster_id")
     a = clustered.select(F.col("vec_id").alias("id_a"), "cluster_id")
     b = clustered.select(F.col("vec_id").alias("id_b"), "cluster_id")
     return (

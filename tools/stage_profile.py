@@ -8,6 +8,12 @@ between sessions on the shared VM swing ±30-40%, but a plan that runs 5
 stages instead of 8 is better on every machine and at every scale.
 
 Prints one line per headline query: jobs, stages, tasks, wall seconds.
+
+Caveat: the census times and groups ONLY the final action — work a catalog
+entry executes eagerly during plan CONSTRUCTION (e.g. kmeans_invariants'
+Lloyd iterations and component loop) happens before the job group is set
+and is not counted. All current headline queries are construction-lazy; if
+an eager one is ever promoted to headline, wrap its fn() call too.
 """
 
 from __future__ import annotations
@@ -43,7 +49,6 @@ def main() -> None:
     total_stages = 0
     for name in names:
         df = specs[name].fn(spark, sf_dir)
-        before_jobs = set(tracker.getJobIdsForGroup(None) or [])
         sc.setJobGroup(name, name)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
