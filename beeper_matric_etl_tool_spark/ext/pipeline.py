@@ -1,0 +1,218 @@
+"""Composed training-data curation pipeline (SURVEY §2.12, the "a user of
+the reference could switch" surface for LLM-corpus work).
+
+`curate()` chains the individually-oracled stages into the standard
+pretraining-corpus order — each stage is the SAME kernel the driver-checked
+catalog query runs, so the composition adds no new semantics, only wiring:
+
+1. quality gate      — C4/Gopher rule battery (ext/quality.py)
+2. PII scrub         — layered email/digit-run redaction (ext/quality.py)
+3. exact dedup       — content-fingerprint lowest-id-wins (ext/dedup.py)
+4. near-dup dedup    — MinHash+LSH pairs → connected components →
+                       canonical survivors (ext/dedup.py)
+5. semantic dedup    — SemDeDup over embeddings, when provided
+                       (ext/semdedup.py)
+6. source-mix sample — hash-threshold keep rates per source (the
+                       deterministic, resumable, RNG-free sampler)
+7. sequence packing  — deterministic pseudo-random order, fixed
+                       token-budget bins (pack_by_budget below)
+
+Every stage is LAZY — `curate()` returns the per-stage DataFrames without
+running a single job, so a caller can materialize only the final corpus
+(one pass at 100 TB) or audit any intermediate. `stage_report()` forces
+counts when the funnel numbers themselves are the product.
+
+Determinism contract: re-running curate() on the same input yields
+byte-identical decisions — every stage keys off content hashes or ids,
+never RNG or row order. That is what makes a 100 TB curation resumable
+and its ablations reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from beeper_matric_etl_tool_spark.ext.dedup import (
+    dedup_clusters,
+    exact_dedup,
+    near_dedup_minhash,
+)
+from beeper_matric_etl_tool_spark.ext.quality import (
+    pii_columns,
+    quality_signal_columns,
+    quality_verdict_columns,
+)
+from beeper_matric_etl_tool_spark.ext.semdedup import semantic_dedup
+from beeper_matric_etl_tool_spark.ext.text import token_count
+
+
+def mix_keep(
+    id_col: Column | str, source_col: Column | str, rates: dict[str, tuple[float, str]]
+) -> Column:
+    """The hash-threshold source-mix keep decision: keep iff
+    substr(md5(id),1,6) < the source's 6-hex-char threshold. Lexicographic
+    compare on lowercase hex is exact and engine-portable; a rate ≥ 1.0
+    carries a sentinel above the hex alphabet ('zzzzzz') so the strict
+    compare keeps every row. Unknown sources get threshold '000000' — drop
+    everything, loudly visible in the funnel rather than silently kept."""
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    src = F.col(source_col) if isinstance(source_col, str) else source_col
+    thresh = F.create_map(
+        *[x for s, (_, hexthresh) in rates.items() for x in (F.lit(s), F.lit(hexthresh))]
+    )
+    h = F.substring(F.md5(idc.cast("string")), 1, 6)
+    return h < F.coalesce(thresh[src], F.lit("000000"))
+
+
+def pack_by_budget(
+    df: DataFrame,
+    token_col: str,
+    budget: int = 2048,
+    partition_cols: tuple[str, ...] = (),
+    id_col: str = "doc_id",
+    shuffle: bool = True,
+) -> DataFrame:
+    """Assign documents to fixed token-budget bins via an exclusive running
+    sum — every row's ``pack_id`` is a pure function of the ordered prefix,
+    so packing is deterministic and resumable (the `doc_packing` catalog
+    mechanism, generalized).
+
+    ``shuffle=True`` orders by md5(id) instead of id: the deterministic
+    pseudo-random GLOBAL order a pretraining export needs — consecutive
+    ids (which correlate with crawl time / source) land in different
+    packs, with no engine RNG and no reshuffle on resume. The hash is
+    order-key only; ties are impossible (ids are unique) so the total
+    order, and therefore every pack assignment, is exact."""
+    order = (
+        [F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()]
+        if shuffle
+        else [F.col(id_col).asc()]
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in partition_cols])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn("pack_id", F.floor(prior / F.lit(budget)).cast("long"))
+
+
+def curate(
+    docs: DataFrame,
+    embeddings: DataFrame | None = None,
+    mix_rates: dict[str, tuple[float, str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "lang",
+    minhash_threshold: float = 0.7,
+    semdedup_k: int = 8,
+    semdedup_threshold_ppm: int = 950_000,
+    pack_budget: int = 2048,
+    embedding_id_col: str = "vec_id",
+) -> dict[str, DataFrame]:
+    """Run the full curation funnel; returns the per-stage DataFrames:
+
+    - ``quality``:   docs + signal/verdict columns (audit surface)
+    - ``scrubbed``:  quality survivors with ``text`` PII-scrubbed (+ audit
+                     counts ``n_emails``/``n_digit_runs``)
+    - ``exact``:     after exact dedup (lowest id per content fingerprint)
+    - ``near``:      after MinHash near-dup components (canonical only)
+    - ``semantic``:  after SemDeDup (identity when ``embeddings`` is None)
+    - ``sampled``:   after source-mix sampling (identity when ``mix_rates``
+                     is None)
+    - ``packed``:    final corpus with ``pack_id`` (hash-shuffled order,
+                     per-source bins)
+
+    All lazily composed — materialize only what you need. Stage kernels
+    are the driver-oracled ones; see the module docstring."""
+    signals = quality_signal_columns(text_col)
+    quality = docs.select(
+        "*", *[c.alias(name) for name, c in signals.items()]
+    ).select("*", *[c.alias(name) for name, c in quality_verdict_columns().items()])
+
+    pii = pii_columns(text_col)
+    scrubbed = (
+        quality.filter(F.col("keep"))
+        .drop("keep")
+        .withColumns(
+            {
+                text_col: pii["scrubbed"],
+                "n_emails": pii["n_emails"],
+                "n_digit_runs": pii["n_digit_runs"],
+            }
+        )
+    )
+
+    exact = exact_dedup(scrubbed, text_col=text_col, id_col=id_col)
+
+    near_pairs = near_dedup_minhash(
+        exact, threshold=minhash_threshold, text_col=text_col, id_col=id_col
+    )
+    # dedup_clusters returns only (id, cluster_id, is_canonical) — recover
+    # the full rows by semi-joining the canonical ids back onto `exact`
+    canonical = (
+        dedup_clusters(exact.select(id_col), near_pairs, id_col=id_col)
+        .filter(F.col("is_canonical"))
+        .select(id_col)
+    )
+    near = exact.join(canonical, on=id_col, how="left_semi")
+
+    if embeddings is not None:
+        decisions, _edges = semantic_dedup(
+            embeddings.join(
+                near.select(F.col(id_col).alias(embedding_id_col)),
+                on=embedding_id_col,
+                how="left_semi",
+            ),
+            k=semdedup_k,
+            threshold_ppm=semdedup_threshold_ppm,
+            id_col=embedding_id_col,
+        )
+        # anti-join on the DROPPED ids: a doc with no embedding row has no
+        # semantic evidence against it and must survive this stage
+        semantic = near.join(
+            decisions.filter(~F.col("keep")).select(
+                F.col(embedding_id_col).alias(id_col)
+            ),
+            on=id_col,
+            how="left_anti",
+        )
+    else:
+        semantic = near
+
+    if mix_rates is not None:
+        sampled = semantic.filter(mix_keep(id_col, source_col, mix_rates))
+    else:
+        sampled = semantic
+
+    packed = pack_by_budget(
+        sampled.withColumn("n_tokens_packed", token_count(text_col)),
+        token_col="n_tokens_packed",
+        budget=pack_budget,
+        partition_cols=(source_col,),
+        id_col=id_col,
+    )
+
+    return {
+        "quality": quality,
+        "scrubbed": scrubbed,
+        "exact": exact,
+        "near": near,
+        "semantic": semantic,
+        "sampled": sampled,
+        "packed": packed,
+    }
+
+
+def stage_report(stages: dict[str, DataFrame]) -> dict[str, int]:
+    """Force the funnel counts — (stage → surviving rows). The ``quality``
+    entry reports its keep-count so every number means 'rows flowing to
+    the next stage'."""
+    out: dict[str, int] = {}
+    for name, df in stages.items():
+        if name == "quality":
+            out[name] = df.filter(F.col("keep")).count()
+        else:
+            out[name] = df.count()
+    return out

@@ -1,0 +1,102 @@
+"""Document-quality and PII-redaction column kernels (SURVEY §2.12).
+
+The single source of the C4/Gopher rule battery and the PII scrub used by
+BOTH the driver-oracled catalog queries (plans/catalog_ext.py:
+`quality_filter`, `pii_scrub`) and the composed curation pipeline
+(ext/pipeline.py). Everything is exact-integer (ppm / x100) pure column
+algebra inside whole-stage codegen — zero shuffle, embarrassingly parallel
+at any scale, and hash-checkable against a SQL twin.
+
+Regex patterns stay in the RE2 ∩ Java-regex common subset (character
+classes + quantifiers, no lookaround) — the portability contract that lets
+the same rule run on the Spark plane and any SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from beeper_matric_etl_tool_spark.ext import text as xtext
+from beeper_matric_etl_tool_spark.ext.dedup import shingles
+
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+DIGIT_RUN_RE = "[0-9]+"
+
+
+def pii_columns(text_col: Column | str) -> dict[str, Column]:
+    """The layered PII scrub as named columns: emails first (so their
+    digits don't half-match the number rule), then digit runs, each with
+    an occurrence count so the pipeline can audit redaction volume.
+    Digit runs are counted on the EMAIL-SCRUBBED text, so the audit
+    numbers equal the <NUM> redactions actually performed."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    no_email = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    n_emails = F.regexp_count(col, F.lit(EMAIL_RE))
+    n_digits = F.regexp_count(no_email, F.lit(DIGIT_RUN_RE))
+    return {
+        "scrubbed": F.regexp_replace(no_email, DIGIT_RUN_RE, "<NUM>"),
+        "n_emails": n_emails.cast("long"),
+        "n_digit_runs": n_digits.cast("long"),
+        "changed": (n_emails + n_digits) > 0,
+    }
+
+
+#: the C4/Gopher gate thresholds — one place, shared by the catalog query,
+#: its SQL oracle (literals kept in sync by the hash check) and curate()
+QUALITY_BOUNDS = {
+    "min_tokens": 50,
+    "max_tokens": 100_000,
+    "min_ttr_ppm": 200_000,
+    "max_dup3_ppm": 600_000,
+    "min_stop_hits": 2,
+    "min_mean_len_x100": 300,
+    "max_mean_len_x100": 1200,
+}
+
+
+def quality_signal_columns(text_col: Column | str) -> dict[str, Column]:
+    """The five C4/Gopher quality SIGNALS as exact-integer named columns:
+    token count, type-token ratio (ppm), duplicate-3-gram ratio (ppm),
+    stopword hits, mean token length (x100). The 3-gram ratio compares
+    TOTAL shingle count (positions) against DISTINCT shingles, both
+    O(tokens) array ops — no explode, no shuffle."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = xtext.tokens(col)
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    total_3g = F.greatest(n_tokens - F.lit(2), F.lit(1))
+    uniq_3g = F.size(shingles(toks, k=3))
+    stop_hits = xtext.stopword_hits(toks, xtext.STOPWORDS["en"])
+    mean_len = F.floor(
+        (F.lit(100) * (F.length(col) - (n_tokens - F.lit(1)))) / n_tokens
+    ).cast("long")
+    return {
+        "n_tokens": n_tokens.cast("int"),
+        "ttr_ppm": xtext.scaled_ratio(n_uniq, n_tokens),
+        "dup3_ppm": xtext.scaled_ratio(total_3g - uniq_3g, total_3g),
+        "stop_hits": stop_hits.cast("int"),
+        "mean_len_x100": mean_len,
+    }
+
+
+def quality_verdict_columns() -> dict[str, Column]:
+    """Per-rule verdicts + the composite ``keep`` over the signal columns
+    emitted by :func:`quality_signal_columns` (reference them by name —
+    the signals must already be SELECTed)."""
+    b = QUALITY_BOUNDS
+    len_ok = F.col("n_tokens").between(b["min_tokens"], b["max_tokens"])
+    ttr_ok = F.col("ttr_ppm") >= b["min_ttr_ppm"]
+    rep_ok = F.col("dup3_ppm") <= b["max_dup3_ppm"]
+    stop_ok = F.col("stop_hits") >= b["min_stop_hits"]
+    avglen_ok = F.col("mean_len_x100").between(
+        b["min_mean_len_x100"], b["max_mean_len_x100"]
+    )
+    return {
+        "len_ok": len_ok,
+        "ttr_ok": ttr_ok,
+        "rep_ok": rep_ok,
+        "stop_ok": stop_ok,
+        "avglen_ok": avglen_ok,
+        "keep": len_ok & ttr_ok & rep_ok & stop_ok & avglen_ok,
+    }

@@ -1598,24 +1598,12 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Spark plane and any SQL oracle. Pure codegen regexp column
     algebra; at 100 TB this is an embarrassingly parallel map with zero
     shuffle."""
+    from beeper_matric_etl_tool_spark.ext.quality import pii_columns
+
     events = table(spark, sf_dir, "events")
-    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
-    digits = "[0-9]+"
-    # digit runs are counted on the EMAIL-SCRUBBED text, so the audit
-    # numbers equal the <NUM> redactions actually performed (an address's
-    # own digits must not double-count)
-    no_email = F.regexp_replace(F.col("props"), email, "<EMAIL>")
-    n_emails = F.regexp_count(F.col("props"), F.lit(email))
-    n_digits = F.regexp_count(no_email, F.lit(digits))
-    return (
-        events.filter(F.col("props").isNotNull())
-        .select(
-            "event_id",
-            F.regexp_replace(no_email, digits, "<NUM>").alias("scrubbed"),
-            n_emails.cast("long").alias("n_emails"),
-            n_digits.cast("long").alias("n_digit_runs"),
-            ((n_emails + n_digits) > 0).alias("changed"),
-        )
+    pii = pii_columns("props")
+    return events.filter(F.col("props").isNotNull()).select(
+        "event_id", *[c.alias(name) for name, c in pii.items()]
     )
 
 
@@ -1675,35 +1663,13 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checkable. Pure codegen column algebra over one scan; the 3-gram
     ratio compares TOTAL shingle count (positions) against DISTINCT
     shingles, both O(tokens) array ops — no explode, no shuffle."""
+    from beeper_matric_etl_tool_spark.ext.quality import (
+        quality_signal_columns,
+        quality_verdict_columns,
+    )
+
     docs = table(spark, sf_dir, "documents")
-    toks = xtext.tokens("text")
-    n_tokens = F.size(toks)
-    n_uniq = F.size(F.array_distinct(toks))
-    total_3g = F.greatest(n_tokens - F.lit(2), F.lit(1))
-    uniq_3g = F.size(xdedup.shingles(toks, k=3))
-    stop_hits = xtext.stopword_hits(toks, xtext.STOPWORDS["en"])
-    mean_len = F.floor(
-        (F.lit(100) * (F.length(F.col("text")) - (n_tokens - F.lit(1)))) / n_tokens
-    ).cast("long")
-    base = docs.select(
-        "doc_id",
-        n_tokens.cast("int").alias("n_tokens"),
-        xtext.scaled_ratio(n_uniq, n_tokens).alias("ttr_ppm"),
-        xtext.scaled_ratio(total_3g - uniq_3g, total_3g).alias("dup3_ppm"),
-        stop_hits.cast("int").alias("stop_hits"),
-        mean_len.alias("mean_len_x100"),
-    )
-    len_ok = F.col("n_tokens").between(50, 100000)
-    ttr_ok = F.col("ttr_ppm") >= 200000
-    rep_ok = F.col("dup3_ppm") <= 600000
-    stop_ok = F.col("stop_hits") >= 2
-    avglen_ok = F.col("mean_len_x100").between(300, 1200)
-    return base.select(
-        "*",
-        len_ok.alias("len_ok"),
-        ttr_ok.alias("ttr_ok"),
-        rep_ok.alias("rep_ok"),
-        stop_ok.alias("stop_ok"),
-        avglen_ok.alias("avglen_ok"),
-        (len_ok & ttr_ok & rep_ok & stop_ok & avglen_ok).alias("keep"),
-    )
+    signals = quality_signal_columns("text")
+    base = docs.select("doc_id", *[c.alias(name) for name, c in signals.items()])
+    verdicts = quality_verdict_columns()
+    return base.select("*", *[c.alias(name) for name, c in verdicts.items()])

@@ -1,0 +1,216 @@
+"""End-to-end curation pipeline (ext/pipeline.py) over the sf0.001 corpus
+plus planted rows that force every stage to act: a low-quality doc, a PII
+doc, an exact duplicate, a lexical near-duplicate, and embedding-space
+near-duplicates. The funnel must drop exactly the planted offenders and
+nothing it cannot justify, deterministically across runs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beeper_matric_etl_tool_spark.ext.pipeline import (
+    curate,
+    mix_keep,
+    pack_by_budget,
+    stage_report,
+)
+from beeper_matric_etl_tool_spark.sources.tables import table
+
+BASE = 100_000  # planted ids start here — above every real doc_id
+
+
+def _planted_docs(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # a known-good body: long enough, stopword-y, varied (passes the gate)
+    good = (
+        "the quick brown fox jumps over a lazy dog and then runs to the "
+        "river where it drinks some of that cool clear water before "
+        "returning to its den in the forest to rest for the evening hours "
+        "while other animals of the wood begin their own nightly routines "
+        "under a wide sky full of bright and patient little stars"
+    )
+    planted = spark.createDataFrame(
+        [
+            # quality victim: degenerate repetition (TTR floor)
+            (BASE + 0, "en", "spam " * 80),
+            # PII carrier: survives quality, text must come out scrubbed
+            (BASE + 1, "en", good + " contact me at alice@example.com or 5551234"),
+            # exact-duplicate pair (same content, different ids)
+            (BASE + 2, "en", good),
+            (BASE + 3, "en", good),
+            # lexical near-duplicate of the good body (one word changed)
+            (BASE + 4, "en", good.replace("fox", "wolf")),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    return docs.unionByName(planted)
+
+
+def _planted_embeddings(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # two semantic near-dup rows: copies of vec 0's embedding under planted
+    # doc ids that survive the lexical stages (no planted text for them —
+    # they stand in for paraphrases that shingles cannot catch)
+    clones = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("__z"), "embedding"
+    )
+    c1 = clones.select((F.lit(BASE + 10)).alias("vec_id"), "embedding")
+    c2 = clones.select((F.lit(BASE + 11)).alias("vec_id"), "embedding")
+    return emb.unionByName(c1).unionByName(c2)
+
+
+@pytest.fixture(scope="module")
+def run(spark, sf_dir):
+    docs = _planted_docs(spark, sf_dir)
+    stages = curate(docs, text_col="text", id_col="doc_id", source_col="lang")
+    report = stage_report(stages)
+    return docs, stages, report
+
+
+def test_funnel_monotone(run):
+    _, _, report = run
+    order = ["quality", "scrubbed", "exact", "near", "semantic", "sampled", "packed"]
+    counts = [report[s] for s in order]
+    assert all(a >= b for a, b in zip(counts, counts[1:])), report
+    # packing/sampling are identity here (no mix_rates) — same counts
+    assert report["semantic"] == report["near"]  # no embeddings passed
+    assert report["packed"] == report["sampled"] == report["semantic"]
+
+
+def test_quality_stage_drops_planted_spam(run):
+    _, stages, _ = run
+    kept_ids = {r[0] for r in stages["scrubbed"].select("doc_id").collect()}
+    assert BASE + 0 not in kept_ids
+    assert BASE + 1 in kept_ids
+
+
+def test_pii_scrubbed_text(run):
+    _, stages, _ = run
+    row = stages["scrubbed"].filter(F.col("doc_id") == BASE + 1).first()
+    assert "<EMAIL>" in row["text"] and "<NUM>" in row["text"]
+    assert "alice@example.com" not in row["text"]
+    assert row["n_emails"] == 1 and row["n_digit_runs"] == 1
+
+
+def test_exact_dedup_keeps_lowest_id(run):
+    _, stages, _ = run
+    ids = {r[0] for r in stages["exact"].select("doc_id").collect()}
+    assert BASE + 2 in ids
+    assert BASE + 3 not in ids
+
+
+def test_near_dedup_collapses_paraphrase(run):
+    _, stages, _ = run
+    ids = {r[0] for r in stages["near"].select("doc_id").collect()}
+    # the PII carrier (good + one extra sentence), the exact-dup survivor
+    # and the one-word variant all share ≥ 0.8 of their shingles — ONE
+    # near-dup component, lowest id (the PII carrier) survives
+    assert BASE + 1 in ids
+    assert BASE + 2 not in ids
+    assert BASE + 4 not in ids
+
+
+def test_semantic_stage_with_embeddings(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    emb = _planted_embeddings(spark, sf_dir)
+    # stand-in docs for the embedding clones (distinct texts so lexical
+    # stages keep them; semantic stage must collapse them onto vec 0's doc)
+    extra = spark.createDataFrame(
+        [
+            (
+                BASE + 10,
+                "en",
+                "an entirely different account of the same underlying idea told "
+                "with other words so that the shingle sets of these two texts "
+                "do not overlap at all in any of their many small parts today "
+                "because each phrase here was chosen to avoid the earlier "
+                "wording while still reading like a plain natural sentence",
+            ),
+            (
+                BASE + 11,
+                "en",
+                "yet another retelling using a third vocabulary choice for each "
+                "of the concepts so the lexical fingerprints differ once more "
+                "while the meaning and hence the embedding stays put for now "
+                "which is precisely what a semantic pass exists to notice and "
+                "what a purely lexical pass is certain to miss every time",
+            ),
+            (
+                BASE + 12,
+                "en",
+                "this final planted passage carries no embedding row at all so "
+                "the semantic stage has no evidence against it and the funnel "
+                "contract says a document of unknown meaning must pass through "
+                "untouched rather than be discarded on a missing feature today "
+                "or on any other absent signal that the pipeline cannot judge",
+            ),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    stages = curate(docs.unionByName(extra), embeddings=emb)
+    ids = {r[0] for r in stages["semantic"].select("doc_id").collect()}
+    near_ids = {r[0] for r in stages["near"].select("doc_id").collect()}
+    # all three stand-ins reach the semantic stage (lexically distinct)
+    assert {BASE + 10, BASE + 11, BASE + 12} <= near_ids
+    # the two embedding clones form one duplicate component with vec 0's
+    # doc when it also survived the lexical stages; either way the
+    # component keeps exactly its minimum surviving id
+    if 0 in near_ids:
+        assert BASE + 10 not in ids and BASE + 11 not in ids
+    else:
+        assert BASE + 10 in ids and BASE + 11 not in ids
+    # a doc WITHOUT an embedding row survives the stage untouched
+    assert BASE + 12 in ids
+
+
+def test_mix_sampling_rates(run, spark, sf_dir):
+    docs, stages, _ = run
+    sampled = curate(
+        _planted_docs(spark, sf_dir),
+        mix_rates={"en": (1.00, "zzzzzz"), "es": (0.50, "800000")},
+    )["sampled"]
+    langs_kept = {r["lang"] for r in sampled.select("lang").distinct().collect()}
+    # en keeps everything, es keeps ~half, other langs drop to zero
+    assert "en" in langs_kept
+    assert not langs_kept - {"en", "es"}
+    n_es_in = stages["semantic"].filter(F.col("lang") == "es").count()
+    n_es_kept = sampled.filter(F.col("lang") == "es").count()
+    assert 0 < n_es_kept < n_es_in
+
+
+def test_packing_budget_and_determinism(run):
+    _, stages, _ = run
+    packed = stages["packed"]
+    # within every (lang, pack) bin, the token sum stays under budget
+    # except possibly via the single doc that crosses the boundary (the
+    # exclusive-prefix rule: a pack's prior sum is < budget when its last
+    # doc is admitted)
+    agg = (
+        packed.groupBy("lang", "pack_id")
+        .agg(F.sum("n_tokens_packed").alias("tok"), F.max("n_tokens_packed").alias("mx"))
+        .collect()
+    )
+    for row in agg:
+        assert row["tok"] - row["mx"] < 2048, row
+    # byte-identical decisions on re-run (determinism contract)
+    again = stages["packed"].select("doc_id", "pack_id").collect()
+    first = packed.select("doc_id", "pack_id").collect()
+    assert sorted(first) == sorted(again)
+
+
+def test_mix_keep_rate_one_keeps_everything(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    kept = docs.filter(mix_keep("doc_id", "lang", {"en": (1.0, "zzzzzz")}))
+    assert kept.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_pack_by_budget_shuffle_differs_from_id_order(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n")
+    )
+    shuffled = pack_by_budget(docs, "n", partition_cols=("lang",), shuffle=True)
+    plain = pack_by_budget(docs, "n", partition_cols=("lang",), shuffle=False)
+    a = {(r["doc_id"], r["pack_id"]) for r in shuffled.collect()}
+    b = {(r["doc_id"], r["pack_id"]) for r in plain.collect()}
+    assert a != b  # the pseudo-random order actually changes the packing
