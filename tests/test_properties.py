@@ -132,3 +132,79 @@ def test_tuple_keyset_pagination_is_lossless(spark_prop, rows, limit):
         paged.extend((r.ts, r.event_id) for r in page)
         cursor = (page[-1].ts, page[-1].event_id)
     assert paged == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),      # doc id
+            st.sampled_from(["en", "es", "fr", "xx"]),       # source
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([("199999", "400000"), ("400000", "800000"), ("800000", "zzzzzz")]),
+)
+def test_mix_keep_is_monotone_in_rate(spark_prop, rows, thresholds):
+    """Raising a source's keep-rate threshold can only ADD documents, never
+    swap them: the kept set at the lower threshold is a subset of the kept
+    set at the higher one (the property that makes re-mixing an existing
+    corpus incremental instead of a reshuffle — hash-threshold keeps are
+    nested by construction, unlike RNG sampling)."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import mix_keep
+
+    lo, hi = thresholds
+    df = spark_prop.createDataFrame(rows, "doc_id long, lang string")
+    kept_lo = {
+        r.doc_id for r in df.filter(mix_keep("doc_id", "lang", {"en": (0.0, lo)})).collect()
+    }
+    kept_hi = {
+        r.doc_id for r in df.filter(mix_keep("doc_id", "lang", {"en": (0.0, hi)})).collect()
+    }
+    assert kept_lo <= kept_hi
+    # sources without a configured rate are always dropped
+    assert all(
+        r.lang == "en"
+        for r in df.filter(mix_keep("doc_id", "lang", {"en": (0.0, hi)})).collect()
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),      # doc id
+            st.integers(min_value=1, max_value=40),          # token count
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=5, max_value=60),                  # budget
+)
+def test_pack_by_budget_laws(spark_prop, rows, budget):
+    """For ANY token distribution and budget: (1) the first pack is 0 and
+    pack ids are non-decreasing along the pack order (gaps ARE legal — a
+    doc larger than the budget spills past bin boundaries); (2) every
+    pack's token sum minus its largest doc is under budget (the
+    exclusive-prefix admission rule); (3) the assignment is a pure
+    function of content — rerunning yields identical packs."""
+    import hashlib
+
+    from beeper_matric_etl_tool_spark.ext.pipeline import pack_by_budget
+
+    df = spark_prop.createDataFrame(rows, "doc_id long, n long")
+    packed = pack_by_budget(df, "n", budget=budget, shuffle=True)
+    out = packed.collect()
+    ordered = sorted(out, key=lambda r: hashlib.md5(str(r.doc_id).encode()).hexdigest())
+    assert ordered[0].pack_id == 0
+    assert all(a.pack_id <= b.pack_id for a, b in zip(ordered, ordered[1:]))
+    by_pack: dict[int, list] = {}
+    for r in out:
+        by_pack.setdefault(r.pack_id, []).append(r.n)
+    for toks in by_pack.values():
+        assert sum(toks) - max(toks) < budget
+    again = {(r.doc_id, r.pack_id) for r in pack_by_budget(df, "n", budget=budget).collect()}
+    assert {(r.doc_id, r.pack_id) for r in out} == again
