@@ -1,0 +1,112 @@
+"""Ranked full-text retrieval over the documents table (SURVEY §2.12 text
+tier): Okapi BM25 scoring as pure DataFrame algebra.
+
+Why it's here: a training-data platform needs corpus SEARCH, not just
+statistics — "find the documents most about X" drives contamination
+triage, topic audits and eval-set curation. TF-IDF (`tfidf_top_terms`)
+ranks a document's own terms; BM25 ranks DOCUMENTS against a query, with
+the two refinements that made it the lexical-retrieval standard: term
+frequency saturation (k1) and document-length normalization (b).
+
+Determinism contract (the repo-wide fixed-point rule): every per-(doc,
+term) contribution is floored to ppm BEFORE summation, so the final score
+is an integer SUM of integers — commutative and engine-portable. A float
+Σ over terms would depend on the engine's aggregation order in the last
+ulp, exactly where floor() flips. ln() itself is IEEE libm on both planes
+(the same contract `tfidf_top_terms`'s oracle already relies on).
+
+Scale shape: tokenize+explode is one corpus scan; the query-term filter
+prunes the exploded stream to |query| terms before the (doc, term) count;
+document stats (N, avgdl) and per-term df are broadcast scalars/tiny dims.
+No shuffle carries more than |matching docs × query terms| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from beeper_matric_etl_tool_spark.ext.text import tokens
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1_x100: int = 120,
+    b_x100: int = 75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, score_ppm, n_matched) per document matching ≥1 query term,
+    scored with Okapi BM25 (k1 = k1_x100/100, b = b_x100/100 — integer
+    parameters keep the call site engine-portable).
+
+    idf uses the standard +1-smoothed log form (always positive):
+    ln(1 + (N - df + 0.5)/(df + 0.5)). Each term's contribution is
+    floor(1e6 · idf · tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))) — floored to
+    ppm per term, then integer-summed (see module docstring)."""
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    k1 = F.lit(k1_x100 / 100.0)
+    b = F.lit(b_x100 / 100.0)
+
+    base = docs.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
+        id_col, "__toks", F.size("__toks").alias("__dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    hits = (
+        base.select(id_col, "__dl", F.explode("__toks").alias("__term"))
+        .filter(F.col("__term").isin(query_terms))
+        .groupBy(id_col, "__dl", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    term_df = hits.groupBy("__term").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    scored = (
+        hits.join(F.broadcast(term_df), on="__term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "__contrib_ppm",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.col("__idf")
+                * (F.col("__tf") * (k1 + F.lit(1.0)))
+                / (
+                    F.col("__tf")
+                    + k1 * (F.lit(1.0) - b + b * F.col("__dl") / F.col("__avgdl"))
+                )
+            ).cast("long"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("__contrib_ppm").alias("score_ppm"),
+        F.count(F.lit(1)).alias("n_matched"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Top-k BM25 results with deterministic (score desc, id asc) tie-break
+    — a TakeOrderedAndProject, never a global sort."""
+    id_col = kwargs.get("id_col", "doc_id")
+    return (
+        bm25_scores(docs, query_terms, **kwargs)
+        .orderBy(F.col("score_ppm").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

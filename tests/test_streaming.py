@@ -507,3 +507,59 @@ def test_bootstrap_preserves_distinct_dead_letter_rows(spark, tmp_path):
     dead = sorted(r.error for r in rows if r.error is not None)
     assert dead == ["parse_error: {bad one", "parse_error: {bad two"]
     assert sorted(r.event_id for r in rows if r.error is None) == ["e1", "e2"]
+
+
+def test_quality_and_pii_kernels_run_in_stream(spark, tmp_path):
+    """The curation kernels (ext/quality.py) are stateless column algebra,
+    so the SAME expressions the batch pipeline and the driver-oracled
+    queries use apply unchanged to a streaming DataFrame — streaming
+    corpus curation is the batch kernels, not a parallel implementation.
+    One planted PII doc and one degenerate doc flow through a readStream
+    and come out flagged exactly as in batch."""
+    from beeper_matric_etl_tool_spark.ext.quality import (
+        pii_columns,
+        quality_signal_columns,
+        quality_verdict_columns,
+    )
+
+    src, tgt, ckpt = tmp_path / "qsrc", tmp_path / "qtgt", tmp_path / "qckpt"
+    src.mkdir()
+    good = (
+        "the quick brown fox jumps over a lazy dog and then runs to the "
+        "river where it drinks some of that cool clear water before "
+        "returning to its den in the forest to rest for the evening hours "
+        "while other animals of the wood begin their own nightly routines "
+        "under a wide sky full of bright and patient little stars"
+    )
+    docs = [
+        '{"doc_id": 1, "text": "' + good + ' write to bob@example.org today"}',
+        '{"doc_id": 2, "text": "' + ("spam " * 60).strip() + '"}',
+    ]
+    (src / "docs.json").write_text("\n".join(docs))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    signals = quality_signal_columns("text")
+    pii = pii_columns("text")
+    curated = (
+        stream.select("doc_id", "text", *[c.alias(n) for n, c in signals.items()])
+        .select("*", *[c.alias(n) for n, c in quality_verdict_columns().items()])
+        .withColumn("scrubbed", pii["scrubbed"])
+        .withColumn("n_emails", pii["n_emails"])
+    )
+    q = (
+        curated.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tgt))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.doc_id: r for r in spark.read.parquet(str(tgt)).collect()}
+    assert rows[1].keep and rows[1].n_emails == 1
+    assert "<EMAIL>" in rows[1].scrubbed and "bob@example.org" not in rows[1].scrubbed
+    assert not rows[2].keep and not rows[2].ttr_ok
