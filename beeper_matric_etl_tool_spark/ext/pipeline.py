@@ -47,21 +47,54 @@ from beeper_matric_etl_tool_spark.ext.semdedup import semantic_dedup
 from beeper_matric_etl_tool_spark.ext.text import token_count
 
 
+#: the salt that decorrelates the mix-sampling hash from every OTHER
+#: md5(doc_id)-derived decision in the engine (the train/val holdout keys
+#: off the UNSALTED first hex digit, the packing shuffle off the unsalted
+#: full hash): without it, a 10% keep-rate selects exactly the '0'/'1'
+#: prefix range — i.e. 100% of the kept corpus would be holdout-val.
+#: Independent decisions need independent hash functions; a fixed salt is
+#: the deterministic way to get one.
+MIX_SALT = ":mix"
+
+
+def mix_hex_threshold(rate: float) -> str:
+    """A keep rate as the engine's 6-hex-char threshold: floor(rate·16⁶)
+    in lowercase hex. rate ≥ 1.0 → 'zzzzzz', a sentinel ABOVE the hex
+    alphabet so the strict compare keeps every row (a threshold of
+    'ffffff' would silently drop the ~2⁻²⁴ sliver of exact-prefix docs);
+    rate ≤ 0.0 → '000000' (drop everything)."""
+    if rate >= 1.0:
+        return "zzzzzz"
+    if rate <= 0.0:
+        return "000000"
+    import math
+
+    return format(int(math.floor(rate * 16**6)), "06x")
+
+
 def mix_keep(
-    id_col: Column | str, source_col: Column | str, rates: dict[str, tuple[float, str]]
+    id_col: Column | str,
+    source_col: Column | str,
+    rates: dict[str, float],
+    salt: str = MIX_SALT,
 ) -> Column:
     """The hash-threshold source-mix keep decision: keep iff
-    substr(md5(id),1,6) < the source's 6-hex-char threshold. Lexicographic
-    compare on lowercase hex is exact and engine-portable; a rate ≥ 1.0
-    carries a sentinel above the hex alphabet ('zzzzzz') so the strict
-    compare keeps every row. Unknown sources get threshold '000000' — drop
-    everything, loudly visible in the funnel rather than silently kept."""
+    substr(md5(id || salt),1,6) < the source's rate as a 6-hex-char
+    threshold (:func:`mix_hex_threshold`). Lexicographic compare on
+    lowercase hex is exact and engine-portable. Unknown sources get
+    threshold '000000' — drop everything, loudly visible in the funnel
+    rather than silently kept. See :data:`MIX_SALT` for why the hash is
+    salted."""
     idc = F.col(id_col) if isinstance(id_col, str) else id_col
     src = F.col(source_col) if isinstance(source_col, str) else source_col
     thresh = F.create_map(
-        *[x for s, (_, hexthresh) in rates.items() for x in (F.lit(s), F.lit(hexthresh))]
+        *[
+            x
+            for s, rate in rates.items()
+            for x in (F.lit(s), F.lit(mix_hex_threshold(rate)))
+        ]
     )
-    h = F.substring(F.md5(idc.cast("string")), 1, 6)
+    h = F.substring(F.md5(F.concat(idc.cast("string"), F.lit(salt))), 1, 6)
     return h < F.coalesce(thresh[src], F.lit("000000"))
 
 
@@ -72,6 +105,7 @@ def pack_by_budget(
     partition_cols: tuple[str, ...] = (),
     id_col: str = "doc_id",
     shuffle: bool = True,
+    allow_single_partition: bool = False,
 ) -> DataFrame:
     """Assign documents to fixed token-budget bins via an exclusive running
     sum — every row's ``pack_id`` is a pure function of the ordered prefix,
@@ -83,7 +117,20 @@ def pack_by_budget(
     ids (which correlate with crawl time / source) land in different
     packs, with no engine RNG and no reshuffle on resume. The hash is
     order-key only; ties are impossible (ids are unique) so the total
-    order, and therefore every pack assignment, is exact."""
+    order, and therefore every pack assignment, is exact.
+
+    An EMPTY ``partition_cols`` funnels the whole dataset through ONE
+    window task (Spark's single-partition Window path) — fine for a toy
+    corpus, a wall at scale — so it must be opted into explicitly via
+    ``allow_single_partition`` (the same fail-loud contract as
+    ``jaccard_pairs``' ``allow_full_scan``)."""
+    if not partition_cols and not allow_single_partition:
+        raise ValueError(
+            "pack_by_budget: empty partition_cols runs the prefix-sum window "
+            "in a SINGLE task over the whole dataset; pass partition_cols "
+            "(e.g. the source/language column) or allow_single_partition=True "
+            "for corpora small enough to pack serially"
+        )
     order = (
         [F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()]
         if shuffle
@@ -101,7 +148,7 @@ def pack_by_budget(
 def curate(
     docs: DataFrame,
     embeddings: DataFrame | None = None,
-    mix_rates: dict[str, tuple[float, str]] | None = None,
+    mix_rates: dict[str, float] | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "lang",
@@ -132,16 +179,27 @@ def curate(
     ).select("*", *[c.alias(name) for name, c in quality_verdict_columns().items()])
 
     pii = pii_columns(text_col)
+    # persist `scrubbed`, the stage every downstream consumer re-derives
+    # from: it carries the expensive part (one tokenization + regex pass),
+    # and the dedup chain reads it four times (minhash signatures, shingle
+    # verify, component corpus side, canonical semi-join). Downstream
+    # frames recompute only cheap hashes/windows over the cached blocks.
+    # persist() is lazy, so curate() launches no jobs; Spark evicts the
+    # blocks LRU. (Persisting `exact` instead would be marginally tighter
+    # but trips a Catalyst plan-normalization NoSuchElementException on
+    # this quality+PII+window shape — cache the stage below it.)
     scrubbed = (
         quality.filter(F.col("keep"))
         .drop("keep")
-        .withColumns(
-            {
-                text_col: pii["scrubbed"],
-                "n_emails": pii["n_emails"],
-                "n_digit_runs": pii["n_digit_runs"],
-            }
+        .select(
+            "*",
+            pii["scrubbed"].alias("__scrubbed"),
+            pii["n_emails"].alias("n_emails"),
+            pii["n_digit_runs"].alias("n_digit_runs"),
         )
+        .drop(text_col)
+        .withColumnRenamed("__scrubbed", text_col)
+        .persist()
     )
 
     exact = exact_dedup(scrubbed, text_col=text_col, id_col=id_col)

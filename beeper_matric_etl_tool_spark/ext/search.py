@@ -15,10 +15,13 @@ is an integer SUM of integers — commutative and engine-portable. A float
 ulp, exactly where floor() flips. ln() itself is IEEE libm on both planes
 (the same contract `tfidf_top_terms`'s oracle already relies on).
 
-Scale shape: tokenize+explode is one corpus scan; the query-term filter
-prunes the exploded stream to |query| terms before the (doc, term) count;
-document stats (N, avgdl) and per-term df are broadcast scalars/tiny dims.
-No shuffle carries more than |matching docs × query terms| rows.
+Scale shape: TWO corpus passes — a stats pass (N, avgdl: count + length
+average, no explode) and the tokenize+explode pass, whose query-term
+filter prunes the stream to |query| terms before the (doc, term) count.
+A search system serving many queries computes (N, avgdl) once and passes
+them via ``corpus_stats``, making every query a single pruned pass;
+per-term df and the stats are broadcast scalars/tiny dims either way, so
+no shuffle carries more than |matching docs × query terms| rows.
 """
 
 from __future__ import annotations
@@ -36,10 +39,13 @@ def bm25_scores(
     b_x100: int = 75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """(id_col, score_ppm, n_matched) per document matching ≥1 query term,
     scored with Okapi BM25 (k1 = k1_x100/100, b = b_x100/100 — integer
-    parameters keep the call site engine-portable).
+    parameters keep the call site engine-portable). ``corpus_stats`` is an
+    optional precomputed (n_docs, avgdl) — pass it to skip the stats scan
+    when serving many queries over one corpus (see module docstring).
 
     idf uses the standard +1-smoothed log form (always positive):
     ln(1 + (N - df + 0.5)/(df + 0.5)). Each term's contribution is
@@ -53,10 +59,16 @@ def bm25_scores(
     base = docs.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
         id_col, "__toks", F.size("__toks").alias("__dl")
     )
-    stats = base.agg(
-        F.count(F.lit(1)).alias("__n_docs"),
-        F.avg("__dl").alias("__avgdl"),
-    )
+    if corpus_stats is not None:
+        n_docs, avgdl = corpus_stats
+        stats = docs.sparkSession.createDataFrame(
+            [(int(n_docs), float(avgdl))], "__n_docs long, __avgdl double"
+        )
+    else:
+        stats = base.agg(
+            F.count(F.lit(1)).alias("__n_docs"),
+            F.avg("__dl").alias("__avgdl"),
+        )
     hits = (
         base.select(id_col, "__dl", F.explode("__toks").alias("__term"))
         .filter(F.col("__term").isin(query_terms))

@@ -92,18 +92,19 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: per-source keep rates for the mixing sampler, expressed as 6-char
-#: thresholds over md5(doc_id): keep iff substr(md5,1,6) < threshold.
-#: Lexicographic compare on lowercase hex is exact and engine-portable
-#: (floor(rate · 16⁶) in hex) — no float arithmetic, no engine RNG. A
-#: rate ≥ 1.0 uses a sentinel ABOVE the hex alphabet ('z' > 'f'), so the
-#: strict compare keeps every row — a hex threshold of 'ffffff' would
-#: silently drop the ~2⁻²⁴ sliver of docs whose prefix is exactly it.
-MIX_RATES: dict[str, tuple[float, str]] = {
-    "en": (1.00, "zzzzzz"),
-    "es": (0.50, "800000"),
-    "fr": (0.25, "400000"),
-    "de": (0.10, "199999"),
+#: per-source keep rates for the mixing sampler. The keep decision itself
+#: lives in ext/pipeline.py:mix_keep — a lexicographic compare of the
+#: first 6 hex chars of a SALTED md5(doc_id) against floor(rate·16⁶) in
+#: hex (rate ≥ 1.0 → an above-alphabet 'zzzzzz' sentinel so the strict
+#: compare keeps every row). The salt decorrelates sampling from the
+#: UNSALTED-md5 train/val holdout: without it a 10% keep-rate would
+#: select exactly the '0'/'1' prefix range, i.e. 100% of the kept corpus
+#: would be holdout-val (see ext/pipeline.py:MIX_SALT).
+MIX_RATES: dict[str, float] = {
+    "en": 1.00,
+    "es": 0.50,
+    "fr": 0.25,
+    "de": 0.10,
 }
 
 
@@ -114,7 +115,7 @@ MIX_RATES: dict[str, tuple[float, str]] = {
         WITH d AS (
             SELECT lang, n_chars, len(str_split(text, ' ')) AS n_toks,
                    {HOLDOUT_SQL} AS split,
-                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS h,
+                   substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 6) AS h,
                    CASE lang
                        WHEN 'en' THEN 'zzzzzz' WHEN 'es' THEN '800000'
                        WHEN 'fr' THEN '400000' WHEN 'de' THEN '199999'
@@ -162,20 +163,21 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling). The keep test is a lexicographic compare of the first 6
     md5 hex digits against floor(rate·16⁶) in hex (rate ≥ 1.0 → an
     above-alphabet sentinel that keeps all rows): exact, portable, zero
-    float arithmetic. n_kept/kept_ppm are the per-source audit counts;
-    the kept rows themselves are the same relation minus the aggregate."""
+    float arithmetic. The hash is SALTED (':mix') so the sampling decision
+    is independent of the unsalted-hash holdout split — the kernel and
+    rationale live in ext/pipeline.py:mix_keep, which this query calls
+    directly (one implementation, no drift). n_kept/kept_ppm are the
+    per-source audit counts; the kept rows themselves are the same
+    relation minus the aggregate."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import mix_keep
+
     docs = table(spark, sf_dir, "documents")
-    thresh = F.create_map(
-        *[x for lang, (_, hexthresh) in MIX_RATES.items()
-          for x in (F.lit(lang), F.lit(hexthresh))]
-    )
     base = docs.select(
         "lang",
         "n_chars",
         xtext.token_count("text").alias("__n_toks"),
         holdout_split().alias("split"),
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6).alias("__h"),
-        F.coalesce(thresh[F.col("lang")], F.lit("000000")).alias("__t"),
+        mix_keep("doc_id", "lang", MIX_RATES).alias("__keep"),
     )
     null_long = F.lit(None).cast("long")
 
@@ -189,7 +191,7 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             null_long.alias("n_kept"), null_long.alias("kept_ppm"),
         )
 
-    kept = F.sum(F.when(F.col("__h") < F.col("__t"), 1).otherwise(0))
+    kept = F.sum(F.when(F.col("__keep"), 1).otherwise(0))
     mix = base.groupBy(F.col("lang").alias("key")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         kept.cast("long").alias("n_kept"),
@@ -1441,19 +1443,18 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable id order, per language) to fixed 2048-token bins via an
     exclusive running sum — every row's pack is a pure function of the
     ordered prefix, so packing is deterministic and resumable. One shuffle
-    on the partition key; exact integer arithmetic throughout."""
-    from pyspark.sql import Window
+    on the partition key; exact integer arithmetic throughout. The
+    mechanism is ext/pipeline.py:pack_by_budget (shuffle=False keeps the
+    oracle's id ordering; the pipeline's export path uses the md5-shuffled
+    order instead — same kernel, one implementation)."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import pack_by_budget
 
     docs = table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     n_tokens = F.size(xtext.tokens("text"))
     base = docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
-    prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return base.withColumn("pack_id", F.floor(prior / 2048).cast("long"))
+    return pack_by_budget(
+        base, "n_tokens", budget=2048, partition_cols=("lang",), shuffle=False
+    )
 
 
 # (bigram statistics ride `ngram_frequencies` as the n=2 slice)

@@ -168,7 +168,7 @@ def test_mix_sampling_rates(run, spark, sf_dir):
     docs, stages, _ = run
     sampled = curate(
         _planted_docs(spark, sf_dir),
-        mix_rates={"en": (1.00, "zzzzzz"), "es": (0.50, "800000")},
+        mix_rates={"en": 1.00, "es": 0.50},
     )["sampled"]
     langs_kept = {r["lang"] for r in sampled.select("lang").distinct().collect()}
     # en keeps everything, es keeps ~half, other langs drop to zero
@@ -193,16 +193,44 @@ def test_packing_budget_and_determinism(run):
     )
     for row in agg:
         assert row["tok"] - row["mx"] < 2048, row
-    # byte-identical decisions on re-run (determinism contract)
-    again = stages["packed"].select("doc_id", "pack_id").collect()
+    # byte-identical decisions on re-run (determinism contract): a FRESH
+    # curate() over the same input — not a re-collect of the same lazy
+    # plan, which would miss plan-construction nondeterminism
+    rebuilt = curate(
+        _planted_docs(packed.sparkSession, "/root/testdata/sf0.001"),
+        text_col="text",
+        id_col="doc_id",
+        source_col="lang",
+    )["packed"]
+    again = rebuilt.select("doc_id", "pack_id").collect()
     first = packed.select("doc_id", "pack_id").collect()
     assert sorted(first) == sorted(again)
 
 
 def test_mix_keep_rate_one_keeps_everything(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
-    kept = docs.filter(mix_keep("doc_id", "lang", {"en": (1.0, "zzzzzz")}))
+    kept = docs.filter(mix_keep("doc_id", "lang", {"en": 1.0}))
     assert kept.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_mix_keep_is_independent_of_holdout_split(spark, sf_dir):
+    """The round-4 review catch: an UNSALTED mix hash would make a 12.5%
+    keep-rate select exactly the holdout-val prefix range (same md5, same
+    compare). With the salt, the kept set's val share must track the
+    corpus-wide ~1/8, not collapse to 0% or 100%."""
+    from beeper_matric_etl_tool_spark.plans.catalog_ext import holdout_split
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", holdout_split().alias("split")
+    )
+    kept = docs.filter(mix_keep("doc_id", "lang", {"en": 0.125}))
+    n = kept.count()
+    n_val = kept.filter(F.col("split") == "val").count()
+    assert n > 0
+    # unsalted failure mode: n_val == n (all kept docs are val). Salted,
+    # the val share stays in a loose band around 1/8.
+    assert 0 < n_val < n
+    assert n_val / n < 0.5
 
 
 def test_pack_by_budget_shuffle_differs_from_id_order(spark, sf_dir):

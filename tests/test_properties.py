@@ -145,29 +145,29 @@ def test_tuple_keyset_pagination_is_lossless(spark_prop, rows, limit):
         max_size=25,
         unique_by=lambda t: t[0],
     ),
-    st.sampled_from([("199999", "400000"), ("400000", "800000"), ("800000", "zzzzzz")]),
+    st.sampled_from([(0.1, 0.25), (0.25, 0.5), (0.5, 1.0), (0.1, 1.0)]),
 )
-def test_mix_keep_is_monotone_in_rate(spark_prop, rows, thresholds):
-    """Raising a source's keep-rate threshold can only ADD documents, never
-    swap them: the kept set at the lower threshold is a subset of the kept
-    set at the higher one (the property that makes re-mixing an existing
-    corpus incremental instead of a reshuffle — hash-threshold keeps are
-    nested by construction, unlike RNG sampling)."""
+def test_mix_keep_is_monotone_in_rate(spark_prop, rows, rates):
+    """Raising a source's keep rate can only ADD documents, never swap
+    them: the kept set at the lower rate is a subset of the kept set at
+    the higher one (the property that makes re-mixing an existing corpus
+    incremental instead of a reshuffle — hash-threshold keeps are nested
+    by construction, unlike RNG sampling)."""
     from beeper_matric_etl_tool_spark.ext.pipeline import mix_keep
 
-    lo, hi = thresholds
+    lo, hi = rates
     df = spark_prop.createDataFrame(rows, "doc_id long, lang string")
     kept_lo = {
-        r.doc_id for r in df.filter(mix_keep("doc_id", "lang", {"en": (0.0, lo)})).collect()
+        r.doc_id for r in df.filter(mix_keep("doc_id", "lang", {"en": lo})).collect()
     }
     kept_hi = {
-        r.doc_id for r in df.filter(mix_keep("doc_id", "lang", {"en": (0.0, hi)})).collect()
+        r.doc_id for r in df.filter(mix_keep("doc_id", "lang", {"en": hi})).collect()
     }
     assert kept_lo <= kept_hi
     # sources without a configured rate are always dropped
     assert all(
         r.lang == "en"
-        for r in df.filter(mix_keep("doc_id", "lang", {"en": (0.0, hi)})).collect()
+        for r in df.filter(mix_keep("doc_id", "lang", {"en": hi})).collect()
     )
 
 
@@ -196,7 +196,7 @@ def test_pack_by_budget_laws(spark_prop, rows, budget):
     from beeper_matric_etl_tool_spark.ext.pipeline import pack_by_budget
 
     df = spark_prop.createDataFrame(rows, "doc_id long, n long")
-    packed = pack_by_budget(df, "n", budget=budget, shuffle=True)
+    packed = pack_by_budget(df, "n", budget=budget, shuffle=True, allow_single_partition=True)
     out = packed.collect()
     ordered = sorted(out, key=lambda r: hashlib.md5(str(r.doc_id).encode()).hexdigest())
     assert ordered[0].pack_id == 0
@@ -206,5 +206,10 @@ def test_pack_by_budget_laws(spark_prop, rows, budget):
         by_pack.setdefault(r.pack_id, []).append(r.n)
     for toks in by_pack.values():
         assert sum(toks) - max(toks) < budget
-    again = {(r.doc_id, r.pack_id) for r in pack_by_budget(df, "n", budget=budget).collect()}
+    again = {
+        (r.doc_id, r.pack_id)
+        for r in pack_by_budget(
+            df, "n", budget=budget, allow_single_partition=True
+        ).collect()
+    }
     assert {(r.doc_id, r.pack_id) for r in out} == again
