@@ -117,7 +117,10 @@ def pack_by_budget(
     ids (which correlate with crawl time / source) land in different
     packs, with no engine RNG and no reshuffle on resume. The hash is
     order-key only; ties are impossible (ids are unique) so the total
-    order, and therefore every pack assignment, is exact.
+    order, and therefore every pack assignment, is exact. The hash is
+    SALTED (':pack') for the same reason the mix hash is (MIX_SALT): the
+    unsalted md5(id) order would sort every holdout-val document (the
+    '0'/'1' prefix range of the SAME hash) into the first ~1/8 of packs.
 
     An EMPTY ``partition_cols`` funnels the whole dataset through ONE
     window task (Spark's single-partition Window path) — fine for a toy
@@ -132,7 +135,10 @@ def pack_by_budget(
             "for corpora small enough to pack serially"
         )
     order = (
-        [F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()]
+        [
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":pack"))).asc(),
+            F.col(id_col).asc(),
+        ]
         if shuffle
         else [F.col(id_col).asc()]
     )

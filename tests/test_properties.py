@@ -198,7 +198,9 @@ def test_pack_by_budget_laws(spark_prop, rows, budget):
     df = spark_prop.createDataFrame(rows, "doc_id long, n long")
     packed = pack_by_budget(df, "n", budget=budget, shuffle=True, allow_single_partition=True)
     out = packed.collect()
-    ordered = sorted(out, key=lambda r: hashlib.md5(str(r.doc_id).encode()).hexdigest())
+    ordered = sorted(
+        out, key=lambda r: hashlib.md5(f"{r.doc_id}:pack".encode()).hexdigest()
+    )
     assert ordered[0].pack_id == 0
     assert all(a.pack_id <= b.pack_id for a, b in zip(ordered, ordered[1:]))
     by_pack: dict[int, list] = {}
