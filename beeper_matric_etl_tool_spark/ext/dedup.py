@@ -175,17 +175,40 @@ def lsh_candidate_pairs(
             f"{num_hashes - bands * (num_hashes // bands)} signature hash(es) "
             f"from every band"
         )
+    rows = lsh_band_rows(signatures, bands, id_col, sig_col, portable=portable)
+    a = rows.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = rows.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    return (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def lsh_band_rows(
+    signatures: DataFrame,
+    bands: int,
+    id_col: str = "doc_id",
+    sig_col: str = "signature",
+    portable: bool = False,
+) -> DataFrame:
+    """(id, band_id, band_hash) — each signature exploded into its
+    ``bands`` LSH bucket keys; the shared kernel behind the within-corpus
+    self-join (:func:`lsh_candidate_pairs`) and the cross-corpus join
+    (:func:`lsh_cross_candidates`). Carries the same in-expression
+    signature-width assert as the callers' plan-time check."""
     band_key = F.md5 if portable else F.xxhash64
     sig_size = F.size(F.col(sig_col))
     width_check = F.assert_true(
         sig_size % F.lit(bands) == 0,
         F.concat(
-            F.lit(f"lsh_candidate_pairs: bands={bands} must divide the "
+            F.lit(f"lsh_band_rows: bands={bands} must divide the "
                   f"signature length, got "),
             sig_size.cast("string"),
         ),
     )
-    rows = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -206,12 +229,36 @@ def lsh_candidate_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
-    a = rows.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
-    b = rows.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+
+
+def lsh_cross_candidates(
+    new_sigs: DataFrame,
+    ref_sigs: DataFrame,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    sig_col: str = "signature",
+    num_hashes: int | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """Distinct (new_id, ref_id) pairs sharing ≥1 LSH band ACROSS two
+    corpora — the candidate stage of incremental dedup (new batch vs the
+    already-kept corpus). Same banded equi-join scaling as the self-join
+    form: the only shuffle is on the band key, rows per doc = bands."""
+    if num_hashes is not None and num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}: a floored "
+            f"band width would silently exclude trailing signature hashes "
+            f"from every band"
+        )
+    a = lsh_band_rows(new_sigs, bands, id_col, sig_col, portable=portable).select(
+        F.col(id_col).alias("new_id"), "band_id", "band_hash"
+    )
+    b = lsh_band_rows(ref_sigs, bands, id_col, sig_col, portable=portable).select(
+        F.col(id_col).alias("ref_id"), "band_id", "band_hash"
+    )
     return (
         a.join(b, on=["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select("new_id", "ref_id")
         .distinct()
     )
 
@@ -440,3 +487,87 @@ def dedup_clusters(
         )
         .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def dedup_against_reference(
+    new_docs: DataFrame,
+    reference: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental dedup: drop rows of ``new_docs`` that duplicate the
+    ALREADY-KEPT ``reference`` corpus — the operation a live pipeline runs
+    per crawl snapshot instead of re-deduplicating 100 TB from scratch.
+    Within-batch duplicates are the existing kernels' job (`exact_dedup`,
+    `near_dedup_minhash` + components); this one only answers "is it new?".
+
+    Returns ``(survivors, dropped)``:
+
+    - survivors: the ``new_docs`` rows that are neither exact- nor
+      near-duplicates of any reference row (all input columns kept);
+    - dropped: (new id, ``ref_id`` witness, ``reason`` 'exact'|'near',
+      ``jaccard_ppm`` — NULL for exact drops). One row per dropped doc,
+      lowest-id witness, exact-reason wins — deterministic audit trail.
+
+    Scale shape: the reference is touched by three linear passes
+    (fingerprints for the exact anti-join, banded signatures for the LSH
+    candidate join, shingles for candidate rows only via semi-join) —
+    never reference² and never reference × batch. In steady state the
+    fingerprint/signature sides are tiny derived tables a real deployment
+    would persist alongside the corpus and read directly.
+    """
+    new_fp = new_docs.withColumn("__fp", exact_fingerprint(text_col))
+    ref_fp = reference.select(exact_fingerprint(text_col).alias("__fp"),
+                              F.col(id_col).alias("__ref_id"))
+    exact_wit = (
+        new_fp.select(F.col(id_col), "__fp")
+        .join(ref_fp, on="__fp")
+        .groupBy(id_col)
+        .agg(F.min("__ref_id").alias("ref_id"))
+        .select(
+            F.col(id_col),
+            "ref_id",
+            F.lit("exact").alias("reason"),
+            F.lit(None).cast("long").alias("jaccard_ppm"),
+        )
+    )
+    after_exact = new_fp.join(exact_wit.select(id_col), on=id_col, how="left_anti")
+
+    new_sigs = minhash_signatures(after_exact, num_hashes, shingle_k, text_col, id_col)
+    ref_sigs = minhash_signatures(reference, num_hashes, shingle_k, text_col, id_col)
+    cands = lsh_cross_candidates(
+        new_sigs, ref_sigs, bands, id_col, num_hashes=num_hashes
+    )
+    new_sh = after_exact.select(
+        F.col(id_col).alias("new_id"), shingles(tokens(text_col), shingle_k).alias("__sha")
+    )
+    ref_sh = reference.select(
+        F.col(id_col).alias("ref_id"), shingles(tokens(text_col), shingle_k).alias("__shb")
+    ).join(cands.select("ref_id").distinct(), on="ref_id", how="left_semi")
+    near_wit = (
+        cands.join(new_sh, on="new_id")
+        .join(ref_sh, on="ref_id")
+        .withColumn("jaccard_sim", jaccard(F.col("__sha"), F.col("__shb")))
+        .filter(F.col("jaccard_sim") >= F.lit(threshold))
+        .withColumn("__jppm", _jaccard_ppm())
+        .groupBy("new_id")
+        .agg(
+            F.expr("min_by(ref_id, struct(ref_id))").alias("ref_id"),
+            F.expr("min_by(__jppm, struct(ref_id))").alias("jaccard_ppm"),
+        )
+        .select(
+            F.col("new_id").alias(id_col),
+            "ref_id",
+            F.lit("near").alias("reason"),
+            "jaccard_ppm",
+        )
+    )
+    survivors = after_exact.drop("__fp").join(
+        near_wit.select(id_col), on=id_col, how="left_anti"
+    )
+    dropped = exact_wit.unionByName(near_wit)
+    return survivors, dropped

@@ -1,0 +1,95 @@
+"""Incremental dedup (ext/dedup.py:dedup_against_reference): a new batch
+checked against the already-kept corpus — exact drops via fingerprint
+anti-join, near drops via cross-corpus LSH + exact-Jaccard verify."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from beeper_matric_etl_tool_spark.ext.dedup import dedup_against_reference
+from beeper_matric_etl_tool_spark.sources.tables import table
+
+NEW_BASE = 900_000
+
+
+def _batch(spark, reference):
+    ref_rows = {r["doc_id"]: r["text"] for r in reference.select("doc_id", "text").collect()}
+    exact_copy = ref_rows[5]
+    words = ref_rows[7].split(" ")
+    words[len(words) // 2] = "altogethernovelword"
+    near_copy = " ".join(words)
+    fresh = (
+        "a wholly original passage that shares no phrasing with the corpus "
+        "under test because every one of its shingles was invented here for "
+        "the purpose of surviving both duplicate detectors unscathed today"
+    )
+    return spark.createDataFrame(
+        [
+            (NEW_BASE + 0, exact_copy),
+            (NEW_BASE + 1, near_copy),
+            (NEW_BASE + 2, fresh),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_incremental_dedup_against_corpus(spark, sf_dir):
+    reference = table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = _batch(spark, reference)
+    survivors, dropped = dedup_against_reference(batch, reference, threshold=0.7)
+    s_ids = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    d_rows = {r["doc_id"]: r for r in dropped.collect()}
+
+    # partition: every batch row is either survivor or dropped, never both
+    assert s_ids | set(d_rows) == {NEW_BASE + 0, NEW_BASE + 1, NEW_BASE + 2}
+    assert not (s_ids & set(d_rows))
+
+    # the exact copy is dropped with its reference witness, no jaccard
+    assert d_rows[NEW_BASE + 0]["reason"] == "exact"
+    assert d_rows[NEW_BASE + 0]["ref_id"] == 5
+    assert d_rows[NEW_BASE + 0]["jaccard_ppm"] is None
+
+    # the near copy is dropped with a verified similarity >= threshold
+    assert d_rows[NEW_BASE + 1]["reason"] == "near"
+    assert d_rows[NEW_BASE + 1]["ref_id"] == 7
+    assert d_rows[NEW_BASE + 1]["jaccard_ppm"] >= 700_000
+
+    # the fresh doc survives with its columns intact
+    assert NEW_BASE + 2 in s_ids
+    assert survivors.columns == ["doc_id", "text"]
+
+    # precision invariant: no survivor's fingerprint exists in the corpus
+    surv_fp = {
+        hashlib.md5(r["text"].encode()).hexdigest()
+        for r in survivors.collect()
+    }
+    ref_fp = {
+        hashlib.md5(r["text"].encode()).hexdigest()
+        for r in reference.collect()
+    }
+    assert not (surv_fp & ref_fp)
+
+
+def test_incremental_dedup_is_idempotent_on_survivors(spark, sf_dir):
+    """Re-checking the survivors against the same reference drops nothing —
+    the defining property of an incremental pass (running it twice per
+    snapshot is safe)."""
+    reference = table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = _batch(spark, reference)
+    survivors, _ = dedup_against_reference(batch, reference, threshold=0.7)
+    again, dropped2 = dedup_against_reference(survivors, reference, threshold=0.7)
+    assert dropped2.count() == 0
+    assert again.count() == survivors.count()
+
+
+def test_all_new_batch_passes_through(spark, sf_dir):
+    reference = table(spark, sf_dir, "documents").select("doc_id", "text")
+    fresh = spark.createDataFrame(
+        [(NEW_BASE + 9, "completely unrelated miniature text nobody wrote before")],
+        "doc_id long, text string",
+    )
+    survivors, dropped = dedup_against_reference(fresh, reference)
+    assert survivors.count() == 1
+    assert dropped.count() == 0
