@@ -168,14 +168,9 @@ def lsh_candidate_pairs(
     either way an in-expression assert validates the ACTUAL signature
     length per row, so the default call cannot degrade silently.
     """
-    if num_hashes is not None and num_hashes % bands != 0:
-        raise ValueError(
-            f"bands={bands} must divide num_hashes={num_hashes}: a floored "
-            f"band width would silently exclude the last "
-            f"{num_hashes - bands * (num_hashes // bands)} signature hash(es) "
-            f"from every band"
-        )
-    rows = lsh_band_rows(signatures, bands, id_col, sig_col, portable=portable)
+    rows = lsh_band_rows(
+        signatures, bands, id_col, sig_col, num_hashes=num_hashes, portable=portable
+    )
     a = rows.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     b = rows.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
     return (
@@ -191,13 +186,23 @@ def lsh_band_rows(
     bands: int,
     id_col: str = "doc_id",
     sig_col: str = "signature",
+    num_hashes: int | None = None,
     portable: bool = False,
 ) -> DataFrame:
     """(id, band_id, band_hash) — each signature exploded into its
     ``bands`` LSH bucket keys; the shared kernel behind the within-corpus
     self-join (:func:`lsh_candidate_pairs`) and the cross-corpus join
     (:func:`lsh_cross_candidates`). Carries the same in-expression
-    signature-width assert as the callers' plan-time check."""
+    signature-width assert as the callers' plan-time check; pass
+    ``num_hashes`` to also fail at PLAN time when bands does not divide
+    the signature length (shared guard for both callers)."""
+    if num_hashes is not None and num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}: a floored "
+            f"band width would silently exclude the last "
+            f"{num_hashes - bands * (num_hashes // bands)} signature hash(es) "
+            f"from every band"
+        )
     band_key = F.md5 if portable else F.xxhash64
     sig_size = F.size(F.col(sig_col))
     width_check = F.assert_true(
@@ -244,18 +249,12 @@ def lsh_cross_candidates(
     corpora — the candidate stage of incremental dedup (new batch vs the
     already-kept corpus). Same banded equi-join scaling as the self-join
     form: the only shuffle is on the band key, rows per doc = bands."""
-    if num_hashes is not None and num_hashes % bands != 0:
-        raise ValueError(
-            f"bands={bands} must divide num_hashes={num_hashes}: a floored "
-            f"band width would silently exclude trailing signature hashes "
-            f"from every band"
-        )
-    a = lsh_band_rows(new_sigs, bands, id_col, sig_col, portable=portable).select(
-        F.col(id_col).alias("new_id"), "band_id", "band_hash"
-    )
-    b = lsh_band_rows(ref_sigs, bands, id_col, sig_col, portable=portable).select(
-        F.col(id_col).alias("ref_id"), "band_id", "band_hash"
-    )
+    a = lsh_band_rows(
+        new_sigs, bands, id_col, sig_col, num_hashes=num_hashes, portable=portable
+    ).select(F.col(id_col).alias("new_id"), "band_id", "band_hash")
+    b = lsh_band_rows(
+        ref_sigs, bands, id_col, sig_col, num_hashes=num_hashes, portable=portable
+    ).select(F.col(id_col).alias("ref_id"), "band_id", "band_hash")
     return (
         a.join(b, on=["band_id", "band_hash"])
         .select("new_id", "ref_id")
@@ -556,8 +555,10 @@ def dedup_against_reference(
         .withColumn("__jppm", _jaccard_ppm())
         .groupBy("new_id")
         .agg(
-            F.expr("min_by(ref_id, struct(ref_id))").alias("ref_id"),
-            F.expr("min_by(__jppm, struct(ref_id))").alias("jaccard_ppm"),
+            # lowest-id witness and ITS similarity (ties impossible:
+            # candidates are distinct per (new_id, ref_id))
+            F.min("ref_id").alias("ref_id"),
+            F.expr("min_by(__jppm, ref_id)").alias("jaccard_ppm"),
         )
         .select(
             F.col("new_id").alias(id_col),

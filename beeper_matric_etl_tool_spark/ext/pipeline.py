@@ -48,13 +48,20 @@ from beeper_matric_etl_tool_spark.ext.text import token_count
 
 
 #: the salt that decorrelates the mix-sampling hash from every OTHER
-#: md5(doc_id)-derived decision in the engine (the train/val holdout keys
-#: off the UNSALTED first hex digit, the packing shuffle off the unsalted
-#: full hash): without it, a 10% keep-rate selects exactly the '0'/'1'
-#: prefix range — i.e. 100% of the kept corpus would be holdout-val.
-#: Independent decisions need independent hash functions; a fixed salt is
-#: the deterministic way to get one.
+#: md5(doc_id)-derived decision in the engine — the train/val holdout
+#: keys off the UNSALTED first hex digit, the packing shuffle off the
+#: ':pack'-salted hash (PACK_SALT below): without a distinct salt here, a
+#: 10% keep-rate would select exactly the holdout's '0'/'1' prefix range
+#: — i.e. 100% of the kept corpus would be holdout-val. Independent
+#: decisions need independent hash functions; a fixed salt per decision
+#: is the deterministic way to get one.
 MIX_SALT = ":mix"
+
+#: the packing-shuffle salt (see MIX_SALT): distinct from both the
+#: unsalted holdout hash and the mix salt, so export order is independent
+#: of every other hash-derived decision. tests/test_properties.py's
+#: pack-order oracle references this constant.
+PACK_SALT = ":pack"
 
 
 def mix_hex_threshold(rate: float) -> str:
@@ -136,7 +143,7 @@ def pack_by_budget(
         )
     order = (
         [
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":pack"))).asc(),
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(PACK_SALT))).asc(),
             F.col(id_col).asc(),
         ]
         if shuffle
@@ -163,6 +170,7 @@ def curate(
     semdedup_threshold_ppm: int = 950_000,
     pack_budget: int = 2048,
     embedding_id_col: str = "vec_id",
+    persist_intermediates: bool = True,
 ) -> dict[str, DataFrame]:
     """Run the full curation funnel; returns the per-stage DataFrames:
 
@@ -190,10 +198,19 @@ def curate(
     # and the dedup chain reads it four times (minhash signatures, shingle
     # verify, component corpus side, canonical semi-join). Downstream
     # frames recompute only cheap hashes/windows over the cached blocks.
-    # persist() is lazy, so curate() launches no jobs; Spark evicts the
-    # blocks LRU. (Persisting `exact` instead would be marginally tighter
-    # but trips a Catalyst plan-normalization NoSuchElementException on
-    # this quality+PII+window shape — cache the stage below it.)
+    # persist() is lazy, so curate() launches no jobs; the default
+    # MEMORY_AND_DISK level spills to executor disk under pressure and the
+    # cache entry stays pinned until unpersist or session end — a
+    # long-lived driver curating many batches should pass
+    # persist_intermediates=False (or unpersist the stage frames) and
+    # accept the recompute. (Persisting `exact` instead would be
+    # marginally tighter but trips a Catalyst plan-normalization
+    # NoSuchElementException on this quality+PII+window shape — cache the
+    # stage below it.)
+    scrub_order = [c for c in quality.columns if c != "keep"] + [
+        "n_emails",
+        "n_digit_runs",
+    ]
     scrubbed = (
         quality.filter(F.col("keep"))
         .drop("keep")
@@ -205,8 +222,13 @@ def curate(
         )
         .drop(text_col)
         .withColumnRenamed("__scrubbed", text_col)
-        .persist()
+        # restore the input's column order — the drop+rename workaround
+        # would otherwise move text_col to the end, an observable schema
+        # change for positional consumers (union, table writers)
+        .select(*scrub_order)
     )
+    if persist_intermediates:
+        scrubbed = scrubbed.persist()
 
     exact = exact_dedup(scrubbed, text_col=text_col, id_col=id_col)
 

@@ -179,7 +179,7 @@ def test_mix_sampling_rates(run, spark, sf_dir):
     assert 0 < n_es_kept < n_es_in
 
 
-def test_packing_budget_and_determinism(run):
+def test_packing_budget_and_determinism(run, spark, sf_dir):
     _, stages, _ = run
     packed = stages["packed"]
     # within every (lang, pack) bin, the token sum stays under budget
@@ -197,7 +197,7 @@ def test_packing_budget_and_determinism(run):
     # curate() over the same input — not a re-collect of the same lazy
     # plan, which would miss plan-construction nondeterminism
     rebuilt = curate(
-        _planted_docs(packed.sparkSession, "/root/testdata/sf0.001"),
+        _planted_docs(spark, sf_dir),
         text_col="text",
         id_col="doc_id",
         source_col="lang",

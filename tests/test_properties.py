@@ -193,13 +193,13 @@ def test_pack_by_budget_laws(spark_prop, rows, budget):
     function of content — rerunning yields identical packs."""
     import hashlib
 
-    from beeper_matric_etl_tool_spark.ext.pipeline import pack_by_budget
+    from beeper_matric_etl_tool_spark.ext.pipeline import PACK_SALT, pack_by_budget
 
     df = spark_prop.createDataFrame(rows, "doc_id long, n long")
     packed = pack_by_budget(df, "n", budget=budget, shuffle=True, allow_single_partition=True)
     out = packed.collect()
     ordered = sorted(
-        out, key=lambda r: hashlib.md5(f"{r.doc_id}:pack".encode()).hexdigest()
+        out, key=lambda r: hashlib.md5(f"{r.doc_id}{PACK_SALT}".encode()).hexdigest()
     )
     assert ordered[0].pack_id == 0
     assert all(a.pack_id <= b.pack_id for a, b in zip(ordered, ordered[1:]))

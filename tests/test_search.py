@@ -89,6 +89,23 @@ def test_bm25_rewards_rarity_and_saturates_tf(spark):
     assert 0 <= gain_5_vs_4 < scores[2]
 
 
+def test_bm25_precomputed_stats_path_matches(spark, sf_dir):
+    """The corpus_stats fast path must score identically to the
+    self-computed stats path when handed the exact same (n_docs, avgdl)."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(F.size(F.split("text", " ")).alias("dl"))
+    n_docs = base.count()
+    avgdl = base.agg(F.avg("dl")).first()[0]
+    self_computed = sorted(
+        tuple(r) for r in bm25_scores(docs, QUERY).collect()
+    )
+    precomputed = sorted(
+        tuple(r)
+        for r in bm25_scores(docs, QUERY, corpus_stats=(n_docs, avgdl)).collect()
+    )
+    assert self_computed == precomputed
+
+
 def test_bm25_empty_query_raises(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="non-empty"):
