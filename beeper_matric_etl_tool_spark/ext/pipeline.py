@@ -10,11 +10,14 @@ catalog query runs, so the composition adds no new semantics, only wiring:
 3. exact dedup       — content-fingerprint lowest-id-wins (ext/dedup.py)
 4. near-dup dedup    — MinHash+LSH pairs → connected components →
                        canonical survivors (ext/dedup.py)
-5. semantic dedup    — SemDeDup over embeddings, when provided
+5. incremental dedup — drop duplicates of the ALREADY-KEPT corpus, when a
+                       reference is provided (ext/dedup.py:
+                       dedup_against_reference) — the per-snapshot mode
+6. semantic dedup    — SemDeDup over embeddings, when provided
                        (ext/semdedup.py)
-6. source-mix sample — hash-threshold keep rates per source (the
+7. source-mix sample — hash-threshold keep rates per source (the
                        deterministic, resumable, RNG-free sampler)
-7. sequence packing  — deterministic pseudo-random order, fixed
+8. sequence packing  — deterministic pseudo-random order, fixed
                        token-budget bins (pack_by_budget below)
 
 Every stage is LAZY — `curate()` returns the per-stage DataFrames without
@@ -34,6 +37,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from beeper_matric_etl_tool_spark.ext.dedup import (
+    dedup_against_reference,
     dedup_clusters,
     exact_dedup,
     near_dedup_minhash,
@@ -171,19 +175,26 @@ def curate(
     pack_budget: int = 2048,
     embedding_id_col: str = "vec_id",
     persist_intermediates: bool = True,
+    reference_docs: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full curation funnel; returns the per-stage DataFrames:
 
-    - ``quality``:   docs + signal/verdict columns (audit surface)
-    - ``scrubbed``:  quality survivors with ``text`` PII-scrubbed (+ audit
-                     counts ``n_emails``/``n_digit_runs``)
-    - ``exact``:     after exact dedup (lowest id per content fingerprint)
-    - ``near``:      after MinHash near-dup components (canonical only)
-    - ``semantic``:  after SemDeDup (identity when ``embeddings`` is None)
-    - ``sampled``:   after source-mix sampling (identity when ``mix_rates``
-                     is None)
-    - ``packed``:    final corpus with ``pack_id`` (hash-shuffled order,
-                     per-source bins)
+    - ``quality``:     docs + signal/verdict columns (audit surface)
+    - ``scrubbed``:    quality survivors with ``text`` PII-scrubbed (+ audit
+                       counts ``n_emails``/``n_digit_runs``)
+    - ``exact``:       after exact dedup (lowest id per content fingerprint)
+    - ``near``:        after MinHash near-dup components (canonical only)
+    - ``incremental``: after dropping exact/near duplicates of
+                       ``reference_docs``, the ALREADY-KEPT corpus — the
+                       per-snapshot mode of a live pipeline (identity when
+                       ``reference_docs`` is None). Runs after the
+                       within-batch stages so the reference comparison
+                       sees the smallest possible batch.
+    - ``semantic``:    after SemDeDup (identity when ``embeddings`` is None)
+    - ``sampled``:     after source-mix sampling (identity when
+                       ``mix_rates`` is None)
+    - ``packed``:      final corpus with ``pack_id`` (hash-shuffled order,
+                       per-source bins)
 
     All lazily composed — materialize only what you need. Stage kernels
     are the driver-oracled ones; see the module docstring."""
@@ -244,10 +255,21 @@ def curate(
     )
     near = exact.join(canonical, on=id_col, how="left_semi")
 
+    if reference_docs is not None:
+        incremental, _incr_dropped = dedup_against_reference(
+            near,
+            reference_docs,
+            threshold=minhash_threshold,
+            text_col=text_col,
+            id_col=id_col,
+        )
+    else:
+        incremental = near
+
     if embeddings is not None:
         decisions, _edges = semantic_dedup(
             embeddings.join(
-                near.select(F.col(id_col).alias(embedding_id_col)),
+                incremental.select(F.col(id_col).alias(embedding_id_col)),
                 on=embedding_id_col,
                 how="left_semi",
             ),
@@ -257,7 +279,7 @@ def curate(
         )
         # anti-join on the DROPPED ids: a doc with no embedding row has no
         # semantic evidence against it and must survive this stage
-        semantic = near.join(
+        semantic = incremental.join(
             decisions.filter(~F.col("keep")).select(
                 F.col(embedding_id_col).alias(id_col)
             ),
@@ -265,7 +287,7 @@ def curate(
             how="left_anti",
         )
     else:
-        semantic = near
+        semantic = incremental
 
     if mix_rates is not None:
         sampled = semantic.filter(mix_keep(id_col, source_col, mix_rates))
@@ -285,6 +307,7 @@ def curate(
         "scrubbed": scrubbed,
         "exact": exact,
         "near": near,
+        "incremental": incremental,
         "semantic": semantic,
         "sampled": sampled,
         "packed": packed,

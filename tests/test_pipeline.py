@@ -70,12 +70,43 @@ def run(spark, sf_dir):
 
 def test_funnel_monotone(run):
     _, _, report = run
-    order = ["quality", "scrubbed", "exact", "near", "semantic", "sampled", "packed"]
+    order = [
+        "quality", "scrubbed", "exact", "near", "incremental",
+        "semantic", "sampled", "packed",
+    ]
     counts = [report[s] for s in order]
     assert all(a >= b for a, b in zip(counts, counts[1:])), report
-    # packing/sampling are identity here (no mix_rates) — same counts
-    assert report["semantic"] == report["near"]  # no embeddings passed
+    # identity stages (no reference/embeddings/mix_rates) — same counts
+    assert report["incremental"] == report["near"]
+    assert report["semantic"] == report["incremental"]
     assert report["packed"] == report["sampled"] == report["semantic"]
+
+
+def test_incremental_stage_drops_reference_duplicates(spark, sf_dir):
+    """curate(reference_docs=...) drops batch rows duplicating the kept
+    corpus between the within-batch and semantic stages."""
+    reference = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ref_text = reference.filter(F.col("doc_id") == 3).first()["text"]
+    fresh = (
+        "a wholly original passage that shares no phrasing with the corpus "
+        "under test because every one of its shingles was invented here for "
+        "the purpose of surviving both duplicate detectors unscathed today "
+        "and of being long enough to clear the quality gate comfortably too "
+        "with some words to spare before the counter reaches the threshold"
+    )
+    batch = spark.createDataFrame(
+        [(BASE + 20, "en", ref_text), (BASE + 21, "en", fresh)],
+        "doc_id long, lang string, text string",
+    )
+    stages = curate(batch, reference_docs=reference.select("doc_id", "text"))
+    near_ids = {r[0] for r in stages["near"].select("doc_id").collect()}
+    incr_ids = {r[0] for r in stages["incremental"].select("doc_id").collect()}
+    # the reference copy survives the WITHIN-batch stages (it has no
+    # duplicate inside the batch; quality-gate permitting) but not the
+    # incremental one; the fresh doc passes both
+    if BASE + 20 in near_ids:
+        assert BASE + 20 not in incr_ids
+    assert BASE + 21 in incr_ids
 
 
 def test_quality_stage_drops_planted_spam(run):
