@@ -219,3 +219,24 @@ def test_embedding_near_dup_blocks_on_partition(spark):
     plan = plan_of(spark, "embedding_near_dup")
     assert "CartesianProduct" not in plan
     assert "label" in plan
+
+
+def test_incremental_dedup_is_linear_join_shaped(spark):
+    """dedup_against_reference's whole plan tree — exact anti-join, the
+    cross-corpus band join, AND the shingle verify — must stay equi-join
+    shaped: a cartesian or nested-loop fallback anywhere in it is the
+    batch × reference blowup the banded candidates exist to avoid."""
+    from pyspark.sql import functions as F
+
+    from beeper_matric_etl_tool_spark.ext.dedup import dedup_against_reference
+    from beeper_matric_etl_tool_spark.sources.tables import table
+
+    reference = table(spark, SF, "documents").select("doc_id", "text")
+    batch = reference.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 800_000).alias("doc_id"), "text"
+    )
+    survivors, dropped = dedup_against_reference(batch, reference)
+    for frame in (survivors, dropped):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
