@@ -204,6 +204,26 @@ def probe_lsh_near_dup(emb, n_planes=None):
     return pairs.agg(F.count(F.lit(1)).alias("n_candidates"))
 
 
+def probe_incremental_dedup(batch, reference):
+    """Incremental dedup cost vs REFERENCE size (the batch is fixed — a
+    crawl snapshot doesn't grow because the corpus did). The reference is
+    touched by linear passes only (fingerprints, banded signatures,
+    candidate-semi-joined shingles), so runtime should track the reference
+    factor at worst — a super-linear curve here would mean a batch x
+    reference join leaked in.
+
+    Probe tier runs 16 hashes / 4 bands (half the production default) and
+    counts only the dropped relation — the timing target is the curve, and
+    the signature pass is single-task at the bench tier anyway (the
+    single-row-group storage floor, BASELINE.md)."""
+    from beeper_matric_etl_tool_spark.ext.dedup import dedup_against_reference
+
+    _survivors, dropped = dedup_against_reference(
+        batch, reference, num_hashes=16, bands=4
+    )
+    return dropped.agg(F.count(F.lit(1)).alias("n_dropped"))
+
+
 def probe_semdedup_pairs(emb, k: int):
     """SemDeDup's cost driver: the number of WITHIN-CLUSTER pairs the
     threshold stage must score (the threshold filter is linear in this
@@ -298,6 +318,32 @@ def main() -> None:
         "growth_ratio": round(t10 / t1, 2) if t1 else None,
     }
     val_grams.unpersist()
+
+    # incremental dedup: FIXED 50-doc batch (25 copies of corpus docs →
+    # guaranteed exact drops, 25 id-shifted fresh ids) vs the growing
+    # reference. Expect ≤ linear growth in the reference factor.
+    batch = (
+        docs.filter(F.col("doc_id") < 25)
+        .select((F.col("doc_id") + F.lit(7_000_000)).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 50)).select(
+                (F.col("doc_id") + F.lit(8_000_000)).alias("doc_id"),
+                F.concat(F.lit("prefix-decorrelating words "), F.col("text")).alias(
+                    "text"
+                ),
+            )
+        )
+        .persist()
+    )
+    batch.count()
+    t1, r1 = timed_value(probe_incremental_dedup(batch, docs))
+    t10, r10 = timed_value(probe_incremental_dedup(batch, big_docs))
+    out["probe"]["incremental_dedup"] = {
+        "base_sec": t1, "grown_sec": t10,
+        "growth_ratio": round(t10 / t1, 2) if t1 else None,
+        "base_dropped": r1["n_dropped"], "grown_dropped": r10["n_dropped"],
+    }  # both counts must equal |batch| = 50 (25 exact copies + 25 prefixed near-dups)
+    batch.unpersist()
     big_docs.unpersist()
 
     emb = table(spark, sf_dir, "embeddings")
