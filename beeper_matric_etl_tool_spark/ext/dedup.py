@@ -497,6 +497,7 @@ def dedup_against_reference(
     shingle_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental dedup: drop rows of ``new_docs`` that duplicate the
     ALREADY-KEPT ``reference`` corpus — the operation a live pipeline runs
@@ -518,6 +519,17 @@ def dedup_against_reference(
     never reference² and never reference × batch. In steady state the
     fingerprint/signature sides are tiny derived tables a real deployment
     would persist alongside the corpus and read directly.
+
+    ``portable=True`` swaps the minhash/band hashes for the md5 family
+    (see :func:`minhash_signatures`) so the candidate set — and therefore
+    the exact drop/survive decisions — is reproducible by any engine with
+    md5 (the DuckDB-oracle story); ~2-3× the hash cost, same plan shape.
+
+    Cost note: ``survivors`` and ``dropped`` SHARE unpersisted lineage
+    (``exact_wit`` feeds both; the LSH candidate join feeds both) — a
+    caller materializing BOTH frames re-runs the fingerprint join and the
+    signature scans twice. Materialize one, or persist/localCheckpoint
+    the pair first (curate() persists one stage up for the same reason).
     """
     new_fp = new_docs.withColumn("__fp", exact_fingerprint(text_col))
     ref_fp = reference.select(exact_fingerprint(text_col).alias("__fp"),
@@ -536,10 +548,14 @@ def dedup_against_reference(
     )
     after_exact = new_fp.join(exact_wit.select(id_col), on=id_col, how="left_anti")
 
-    new_sigs = minhash_signatures(after_exact, num_hashes, shingle_k, text_col, id_col)
-    ref_sigs = minhash_signatures(reference, num_hashes, shingle_k, text_col, id_col)
+    new_sigs = minhash_signatures(
+        after_exact, num_hashes, shingle_k, text_col, id_col, portable=portable
+    )
+    ref_sigs = minhash_signatures(
+        reference, num_hashes, shingle_k, text_col, id_col, portable=portable
+    )
     cands = lsh_cross_candidates(
-        new_sigs, ref_sigs, bands, id_col, num_hashes=num_hashes
+        new_sigs, ref_sigs, bands, id_col, num_hashes=num_hashes, portable=portable
     )
     new_sh = after_exact.select(
         F.col(id_col).alias("new_id"), shingles(tokens(text_col), shingle_k).alias("__sha")

@@ -162,6 +162,41 @@ def pack_by_budget(
     return df.withColumn("pack_id", F.floor(prior / F.lit(budget)).cast("long"))
 
 
+#: stage-audit columns curate() adds via select('*', ...) — an input frame
+#: already carrying any of these would yield ambiguous-reference
+#: AnalysisExceptions deep in the funnel, so the collision is rejected up
+#: front with a clear error instead.
+CURATE_RESERVED_COLUMNS = (
+    "n_tokens", "ttr_ppm", "dup3_ppm", "stop_hits", "mean_len_x100",
+    "len_ok", "ttr_ok", "rep_ok", "stop_ok", "avglen_ok", "keep",
+    "n_emails", "n_digit_runs", "n_tokens_packed", "pack_id",
+)
+
+
+class CurationStages(dict):
+    """The per-stage DataFrames of one :func:`curate` run — a plain
+    ``dict[str, DataFrame]`` (full backward compatibility) plus the
+    cleanup hook a long-lived driver needs: :meth:`release` unpersists
+    every stage curate() pinned, so batch-after-batch curation doesn't
+    accumulate MEMORY_AND_DISK cache entries until session end."""
+
+    def __init__(self, stages: dict[str, DataFrame], persisted: list[DataFrame]):
+        super().__init__(stages)
+        self._persisted = persisted
+
+    def release(self) -> None:
+        """Unpersist every stage frame curate() persisted (idempotent)."""
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted = []
+
+    def __enter__(self) -> "CurationStages":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
 def curate(
     docs: DataFrame,
     embeddings: DataFrame | None = None,
@@ -176,7 +211,8 @@ def curate(
     embedding_id_col: str = "vec_id",
     persist_intermediates: bool = True,
     reference_docs: DataFrame | None = None,
-) -> dict[str, DataFrame]:
+    portable: bool = False,
+) -> "CurationStages":
     """Run the full curation funnel; returns the per-stage DataFrames:
 
     - ``quality``:     docs + signal/verdict columns (audit surface)
@@ -197,7 +233,26 @@ def curate(
                        per-source bins)
 
     All lazily composed — materialize only what you need. Stage kernels
-    are the driver-oracled ones; see the module docstring."""
+    are the driver-oracled ones; see the module docstring.
+
+    ``portable=True`` runs the near-dup and incremental stages on the md5
+    hash family instead of xxhash64 — every dedup decision then
+    reproducible by any engine with md5 (the oracle story; the
+    `quality_filter` driver row replays this whole funnel in DuckDB SQL).
+    ~2-3× the minhash cost, identical plan shape.
+
+    The returned :class:`CurationStages` is a plain dict of stage frames
+    plus ``release()`` (also a context manager) to unpersist what
+    ``persist_intermediates=True`` pinned — call it when the batch is
+    exported, or curate many batches inside ``with curate(...) as stages:``.
+    """
+    reserved = [c for c in docs.columns if c in CURATE_RESERVED_COLUMNS]
+    if reserved:
+        raise ValueError(
+            f"curate: input columns {reserved} collide with the stage-audit "
+            f"columns the funnel adds ({', '.join(CURATE_RESERVED_COLUMNS)}); "
+            f"rename them before curating"
+        )
     signals = quality_signal_columns(text_col)
     quality = docs.select(
         "*", *[c.alias(name) for name, c in signals.items()]
@@ -238,13 +293,16 @@ def curate(
         # change for positional consumers (union, table writers)
         .select(*scrub_order)
     )
+    persisted: list[DataFrame] = []
     if persist_intermediates:
         scrubbed = scrubbed.persist()
+        persisted.append(scrubbed)
 
     exact = exact_dedup(scrubbed, text_col=text_col, id_col=id_col)
 
     near_pairs = near_dedup_minhash(
-        exact, threshold=minhash_threshold, text_col=text_col, id_col=id_col
+        exact, threshold=minhash_threshold, text_col=text_col, id_col=id_col,
+        portable=portable,
     )
     # dedup_clusters returns only (id, cluster_id, is_canonical) — recover
     # the full rows by semi-joining the canonical ids back onto `exact`
@@ -262,6 +320,7 @@ def curate(
             threshold=minhash_threshold,
             text_col=text_col,
             id_col=id_col,
+            portable=portable,
         )
     else:
         incremental = near
@@ -302,22 +361,56 @@ def curate(
         id_col=id_col,
     )
 
-    return {
-        "quality": quality,
-        "scrubbed": scrubbed,
-        "exact": exact,
-        "near": near,
-        "incremental": incremental,
-        "semantic": semantic,
-        "sampled": sampled,
-        "packed": packed,
-    }
+    return CurationStages(
+        {
+            "quality": quality,
+            "scrubbed": scrubbed,
+            "exact": exact,
+            "near": near,
+            "incremental": incremental,
+            "semantic": semantic,
+            "sampled": sampled,
+            "packed": packed,
+        },
+        persisted,
+    )
 
 
-def stage_report(stages: dict[str, DataFrame]) -> dict[str, int]:
+def stage_report(
+    stages: dict[str, DataFrame], single_pass: bool = False
+) -> dict[str, int]:
     """Force the funnel counts — (stage → surviving rows). The ``quality``
     entry reports its keep-count so every number means 'rows flowing to
-    the next stage'."""
+    the next stage'.
+
+    Cost contract: the default form runs ONE Spark job per stage (N
+    actions); each job re-executes its stage's lineage above curate()'s
+    `scrubbed` cache. ``single_pass=True`` instead unions the stages'
+    id-projections under a stage tag and counts them in ONE groupBy job —
+    the scheduler launches once, and every stage's scan below the cache
+    boundary is a cache read. At 100 TB prefer single_pass, or better:
+    skip the dedicated report entirely and attach
+    ``df.observe(Observation(...), F.count(F.lit(1)))`` to the one frame
+    you are already materializing for export — survivor counts then cost
+    zero extra jobs (the observe route can't audit EVERY stage in one
+    action: mid-funnel stages feed multiple downstream consumers, and a
+    CollectMetrics node above a multiply-scanned subtree double-counts).
+    """
+    if single_pass:
+        parts = []
+        for name, df in stages.items():
+            if name == "quality":
+                df = df.filter(F.col("keep"))
+            parts.append(df.select(F.lit(name).alias("__stage")))
+        unioned = parts[0]
+        for p in parts[1:]:
+            unioned = unioned.unionByName(p)
+        counted = {
+            r["__stage"]: r["n"]
+            for r in unioned.groupBy("__stage").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # empty stages produce no group row — report the zero explicitly
+        return {name: counted.get(name, 0) for name in stages}
     out: dict[str, int] = {}
     for name, df in stages.items():
         if name == "quality":

@@ -19,6 +19,12 @@ from pyspark.sql import functions as F
 from beeper_matric_etl_tool_spark.ext import dedup as xdedup
 from beeper_matric_etl_tool_spark.ext import similarity as xsim
 from beeper_matric_etl_tool_spark.ext import text as xtext
+from beeper_matric_etl_tool_spark.ext.pipeline import (
+    MIX_SALT,
+    PACK_SALT,
+    mix_hex_threshold,
+)
+from beeper_matric_etl_tool_spark.ext.quality import EMAIL_RE
 from beeper_matric_etl_tool_spark.operators import windows as xwin
 from beeper_matric_etl_tool_spark.plans.registry import register
 from beeper_matric_etl_tool_spark.sources.tables import table
@@ -42,6 +48,21 @@ def holdout_split() -> Column:
     """Spark twin of HOLDOUT_SQL."""
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     return F.when(bucket.isin("0", "1"), "val").otherwise("train")
+
+
+def _mix_threshold_case_sql(rates: dict[str, float]) -> str:
+    """The mix sampler's per-source hex threshold as a SQL CASE — derived
+    from the SAME constants the Spark plane uses (ext/pipeline.py:
+    mix_hex_threshold), so editing a rate can never desync the oracle."""
+    whens = " ".join(
+        f"WHEN '{s}' THEN '{mix_hex_threshold(r)}'" for s, r in rates.items()
+    )
+    return f"CASE lang {whens} ELSE '{mix_hex_threshold(0.0)}' END"
+
+
+def _mix_hash_sql() -> str:
+    """SQL twin of ext/pipeline.py:mix_keep's salted hash prefix."""
+    return f"substr(md5(CAST(doc_id AS VARCHAR) || '{MIX_SALT}'), 1, 6)"
 
 
 @register(
@@ -115,11 +136,8 @@ MIX_RATES: dict[str, float] = {
         WITH d AS (
             SELECT lang, n_chars, len(str_split(text, ' ')) AS n_toks,
                    {HOLDOUT_SQL} AS split,
-                   substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 6) AS h,
-                   CASE lang
-                       WHEN 'en' THEN 'zzzzzz' WHEN 'es' THEN '800000'
-                       WHEN 'fr' THEN '400000' WHEN 'de' THEN '199999'
-                       ELSE '000000' END AS thresh
+                   {_mix_hash_sql()} AS h,
+                   {_mix_threshold_case_sql(MIX_RATES)} AS thresh
             FROM documents
         )
         SELECT 'lang' AS dim, lang AS key, count(*) AS n_docs,
@@ -1608,12 +1626,55 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the curation-funnel stages in pipeline order, as (index, stage) — the
+#: `quality_filter` suite emits one survivor row per (stage, doc) so the
+#: driver hash pins BOTH the funnel counts and the exact survivor sets.
+_FUNNEL_STAGES = (
+    (1, "scrubbed"),
+    (2, "exact"),
+    (3, "near"),
+    (4, "incremental"),
+    (5, "semantic"),
+    (6, "sampled"),
+    (7, "packed"),
+)
+
+#: null-padded signal columns for the funnel leg (name → Spark cast type),
+#: matching the signal leg's exact output types
+_FUNNEL_NULL_SIGNALS = (
+    ("n_tokens", "int"),
+    ("ttr_ppm", "long"),
+    ("dup3_ppm", "long"),
+    ("stop_hits", "int"),
+    ("mean_len_x100", "long"),
+    ("len_ok", "boolean"),
+    ("ttr_ok", "boolean"),
+    ("rep_ok", "boolean"),
+    ("stop_ok", "boolean"),
+    ("avglen_ok", "boolean"),
+    ("keep", "boolean"),
+)
+
+
 @register(
     "quality_filter",
-    tags=("ext-text", "ext-quality"),
-    oracle="""
-        WITH s AS (
-            SELECT doc_id,
+    tags=("ext-text", "ext-quality", "ext-pipeline"),
+    # The oracle replays the ENTIRE curate() funnel in one CTE chain —
+    # every stage is the SQL twin of an already-oracled kernel (quality
+    # battery, PII scrub, md5 exact dedup, portable-minhash LSH + exact
+    # Jaccard verify, recursive-CTE connected components, salted mix
+    # threshold, salted-order packing). Constants (EMAIL_RE, MIX_RATES,
+    # MIX_SALT, PACK_SALT) interpolate from the same Python definitions
+    # the Spark plane uses, so the two planes cannot drift silently.
+    oracle=f"""
+        WITH RECURSIVE corpus AS (
+            SELECT doc_id, text, lang FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text, lang
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+        s AS (
+            SELECT doc_id, lang, text,
                    len(str_split(text, ' ')) AS n_tokens,
                    len(list_distinct(str_split(text, ' '))) AS n_uniq,
                    greatest(len(str_split(text, ' ')) - 2, 1) AS total_3g,
@@ -1625,52 +1686,185 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                        x -> x IN ('the','and','of','to','a','in','is','that')))
                      AS stop_hits,
                    len(text) AS n_chars
-            FROM documents
+            FROM corpus
         ),
         m AS (
-            SELECT doc_id, n_tokens, stop_hits,
+            SELECT doc_id, lang, text, n_tokens, stop_hits,
                    (1000000 * n_uniq) // n_tokens AS ttr_ppm,
                    (1000000 * (total_3g - uniq_3g)) // total_3g AS dup3_ppm,
                    (100 * (n_chars - (n_tokens - 1))) // n_tokens AS mean_len_x100
             FROM s
+        ),
+        v AS (
+            SELECT *,
+                   (n_tokens BETWEEN 50 AND 100000) AS len_ok,
+                   (ttr_ppm >= 200000) AS ttr_ok,
+                   (dup3_ppm <= 600000) AS rep_ok,
+                   (stop_hits >= 2) AS stop_ok,
+                   (mean_len_x100 BETWEEN 300 AND 1200) AS avglen_ok,
+                   ((n_tokens BETWEEN 50 AND 100000) AND ttr_ppm >= 200000
+                     AND dup3_ppm <= 600000 AND stop_hits >= 2
+                     AND mean_len_x100 BETWEEN 300 AND 1200) AS keep
+            FROM m
+        ),
+        scrub AS (
+            SELECT doc_id, lang,
+                   regexp_replace(regexp_replace(text,
+                       '{EMAIL_RE}', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS text
+            FROM v WHERE keep
+        ),
+        ex AS (
+            SELECT doc_id, lang, text FROM scrub
+            QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        ),
+        sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(str_split(text,' ')) - 2, 1)),
+                i -> array_to_string(list_slice(str_split(text,' '), i, i + 2), ' ')
+            )) AS s
+            FROM ex
+        ),
+        sig AS (
+            SELECT doc_id, list_transform(generate_series(0, 31),
+                i -> list_min(list_transform(
+                        s, x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS sg
+            FROM sh
+        ),
+        bnd AS (
+            SELECT doc_id, b AS band_id,
+                   md5(array_to_string(list_slice(sg, b*4 + 1, b*4 + 4), ','))
+                       AS band_hash
+            FROM sig CROSS JOIN range(0, 8) r(b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+            FROM bnd a JOIN bnd b USING (band_id, band_hash)
+            WHERE a.doc_id < b.doc_id
+        ),
+        pairs AS (
+            SELECT ia, ib FROM cand
+            JOIN sh sa ON sa.doc_id = cand.ia
+            JOIN sh sb ON sb.doc_id = cand.ib
+            WHERE len(list_intersect(sa.s, sb.s))
+                  / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE)
+                  >= 0.7
+        ),
+        edges AS (SELECT ia AS s, ib AS d FROM pairs
+                  UNION SELECT ib, ia FROM pairs),
+        reach(node, r) AS (
+            SELECT doc_id, doc_id FROM ex
+            UNION
+            SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r
+        ),
+        clus AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+        near AS (
+            SELECT ex.doc_id, ex.lang, ex.text
+            FROM ex JOIN clus ON clus.node = ex.doc_id
+            WHERE clus.cluster_id = ex.doc_id
+        ),
+        sampled AS (
+            SELECT * FROM near
+            WHERE {_mix_hash_sql()} < {_mix_threshold_case_sql(MIX_RATES)}
+        ),
+        packed AS (
+            SELECT doc_id,
+                   CAST(coalesce(sum(n_tok) OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || '{PACK_SALT}') ASC,
+                                doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+                     AS BIGINT) AS pack_id
+            FROM (SELECT doc_id, lang, len(str_split(text, ' ')) AS n_tok
+                  FROM sampled)
+        ),
+        funnel AS (
+            SELECT 1 AS stage_idx, 'scrubbed' AS stage, doc_id,
+                   CAST(NULL AS BIGINT) AS pack_id FROM scrub
+            UNION ALL SELECT 2, 'exact', doc_id, NULL FROM ex
+            UNION ALL SELECT 3, 'near', doc_id, NULL FROM near
+            UNION ALL SELECT 4, 'incremental', doc_id, NULL FROM near
+            UNION ALL SELECT 5, 'semantic', doc_id, NULL FROM near
+            UNION ALL SELECT 6, 'sampled', doc_id, NULL FROM sampled
+            UNION ALL SELECT 7, 'packed', doc_id, pack_id FROM packed
         )
-        SELECT doc_id, n_tokens, ttr_ppm, dup3_ppm, stop_hits, mean_len_x100,
-               (n_tokens BETWEEN 50 AND 100000) AS len_ok,
-               (ttr_ppm >= 200000) AS ttr_ok,
-               (dup3_ppm <= 600000) AS rep_ok,
-               (stop_hits >= 2) AS stop_ok,
-               (mean_len_x100 BETWEEN 300 AND 1200) AS avglen_ok,
-               ((n_tokens BETWEEN 50 AND 100000) AND ttr_ppm >= 200000
-                 AND dup3_ppm <= 600000 AND stop_hits >= 2
-                 AND mean_len_x100 BETWEEN 300 AND 1200) AS keep
-        FROM m
+        SELECT 'signal' AS kind, doc_id, n_tokens, ttr_ppm, dup3_ppm,
+               stop_hits, mean_len_x100,
+               len_ok, ttr_ok, rep_ok, stop_ok, avglen_ok, keep,
+               CAST(NULL AS INTEGER) AS stage_idx, CAST(NULL AS VARCHAR) AS stage,
+               CAST(NULL AS BIGINT) AS pack_id
+        FROM v
+        UNION ALL
+        SELECT 'funnel', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               NULL, NULL, NULL, NULL, NULL, NULL,
+               stage_idx, stage, pack_id
+        FROM funnel
     """,
 )
 def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4/Gopher-style document quality gate — the rule battery every
-    pretraining corpus passes through before tokenization, with each
-    signal AND each verdict exposed (audit-friendly: a real pipeline keeps
-    the reasons, not just the survivors):
+    """The C4/Gopher quality battery AND the composed `curate()` funnel it
+    gates, in one suite relation (the flagship LLM-curation surface —
+    ext/pipeline.py:curate — made driver-visible):
 
-    - length bounds (C4: drop too-short / truncate-suspicious docs)
-    - type-token ratio floor (degenerate repetition proxy)
-    - duplicate 3-gram ratio ceiling (Gopher's repetition rule: share of
-      n-gram occurrences that are repeats of an earlier n-gram)
-    - stopword floor (C4: ≥2 function words = natural-language evidence)
-    - mean token length band (Gopher: 3–12 chars; outside = code/garbage)
+    kind='signal' — one row per input doc with each quality SIGNAL and
+    each per-rule VERDICT (audit-friendly: a real pipeline keeps the
+    reasons, not just the survivors): length bounds, type-token-ratio
+    floor, duplicate-3-gram ceiling (Gopher's repetition rule), stopword
+    floor, mean-token-length band. Exact integer ppm/x100 throughout
+    (scaled_ratio contract), pure codegen column algebra, no shuffle.
 
-    All signals are exact integer ppm/x100 (scaled_ratio contract — float
-    round() is not engine-reproducible), so the whole filter is
-    hash-checkable. Pure codegen column algebra over one scan; the 3-gram
-    ratio compares TOTAL shingle count (positions) against DISTINCT
-    shingles, both O(tokens) array ops — no explode, no shuffle."""
+    kind='funnel' — one row per SURVIVOR per stage of the full curation
+    pipeline run over the same corpus (with every 10th doc redelivered
+    under a shifted id so the exact-dedup stage demonstrably collapses):
+    quality gate → PII scrub → exact dedup → MinHash+LSH near-dup
+    components → (identity incremental/semantic — no reference corpus or
+    embeddings wired here; `dedup_graph` oracles the incremental kernel)
+    → salted source-mix sampling → salted-order token-budget packing
+    (pack_id exposed on the final stage). The hash therefore pins the
+    funnel's per-stage counts AND exact survivor sets end to end.
+    Runs `curate(portable=True)` — the md5 hash family — so every dedup
+    decision is engine-reproducible; stage kernels are the same ones the
+    other driver rows check individually."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import curate
     from beeper_matric_etl_tool_spark.ext.quality import (
         quality_signal_columns,
         quality_verdict_columns,
     )
 
     docs = table(spark, sf_dir, "documents")
+    redelivered = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = docs.unionByName(redelivered).select("doc_id", "text", "lang")
+
     signals = quality_signal_columns("text")
-    base = docs.select("doc_id", *[c.alias(name) for name, c in signals.items()])
+    base = corpus.select("doc_id", *[c.alias(name) for name, c in signals.items()])
     verdicts = quality_verdict_columns()
-    return base.select("*", *[c.alias(name) for name, c in verdicts.items()])
+    signal_leg = base.select(
+        "*", *[c.alias(name) for name, c in verdicts.items()]
+    ).select(
+        F.lit("signal").alias("kind"),
+        "doc_id",
+        *[name for name, _ in _FUNNEL_NULL_SIGNALS],
+        F.lit(None).cast("int").alias("stage_idx"),
+        F.lit(None).cast("string").alias("stage"),
+        F.lit(None).cast("long").alias("pack_id"),
+    )
+
+    stages = curate(corpus, mix_rates=MIX_RATES, portable=True)
+
+    def funnel_leg(idx: int, name: str) -> DataFrame:
+        pack = F.col("pack_id") if name == "packed" else F.lit(None).cast("long")
+        return stages[name].select(
+            F.lit("funnel").alias("kind"),
+            F.col("doc_id"),
+            *[F.lit(None).cast(t).alias(n) for n, t in _FUNNEL_NULL_SIGNALS],
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            pack.alias("pack_id"),
+        )
+
+    out = signal_leg
+    for idx, name in _FUNNEL_STAGES:
+        out = out.unionByName(funnel_leg(idx, name))
+    return out
