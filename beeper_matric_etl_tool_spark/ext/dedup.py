@@ -546,7 +546,20 @@ def dedup_against_reference(
             F.lit(None).cast("long").alias("jaccard_ppm"),
         )
     )
-    after_exact = new_fp.join(exact_wit.select(id_col), on=id_col, how="left_anti")
+    # The explicit repartition pins a TRUE HashPartitioning on the
+    # post-exact batch. Without it, a union-shaped `new_docs` (the normal
+    # multi-source ingest) trips a Spark planner edge: the LeftAnti join
+    # is pushed through the Union, the resulting UnionExec claims its
+    # children's hash partitioning while its actual RDD has the SUMMED
+    # partition count, and the first downstream zip (sort-merge join /
+    # no-exchange aggregate) dies with "Can't zip RDDs with unequal
+    # numbers of partitions". Not an extra shuffle in practice: the
+    # survivors anti-join below needs the batch hash-partitioned by
+    # id_col anyway, so this exchange replaces the one EnsureRequirements
+    # would have inserted there.
+    after_exact = new_fp.join(
+        exact_wit.select(id_col), on=id_col, how="left_anti"
+    ).repartition(F.col(id_col))
 
     new_sigs = minhash_signatures(
         after_exact, num_hashes, shingle_k, text_col, id_col, portable=portable

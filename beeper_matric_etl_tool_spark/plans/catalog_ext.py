@@ -402,6 +402,73 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, doc_id FROM documents
             UNION
             SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r
+        ),
+        iref AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 4 != 0
+        ),
+        ibatch AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+            UNION ALL
+            SELECT doc_id + 100000, text FROM documents
+            WHERE doc_id % 4 != 0 AND doc_id % 10 = 1
+        ),
+        iexact AS (
+            SELECT b.doc_id, min(r.doc_id) AS ref_id
+            FROM ibatch b JOIN iref r ON md5(b.text) = md5(r.text)
+            GROUP BY b.doc_id
+        ),
+        iafter AS (
+            SELECT * FROM ibatch
+            WHERE doc_id NOT IN (SELECT doc_id FROM iexact)
+        ),
+        insh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(str_split(text,' ')) - 2, 1)),
+                i -> array_to_string(list_slice(str_split(text,' '), i, i + 2), ' ')
+            )) AS s FROM iafter
+        ),
+        irsh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(str_split(text,' ')) - 2, 1)),
+                i -> array_to_string(list_slice(str_split(text,' '), i, i + 2), ' ')
+            )) AS s FROM iref
+        ),
+        inbnd AS (
+            SELECT doc_id, b AS band_id,
+                   md5(array_to_string(list_slice(sg, b*4 + 1, b*4 + 4), ','))
+                       AS band_hash
+            FROM (SELECT doc_id, list_transform(generate_series(0, 31),
+                      i -> list_min(list_transform(
+                              s, x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS sg
+                  FROM insh) CROSS JOIN range(0, 8) r(b)
+        ),
+        irbnd AS (
+            SELECT doc_id, b AS band_id,
+                   md5(array_to_string(list_slice(sg, b*4 + 1, b*4 + 4), ','))
+                       AS band_hash
+            FROM (SELECT doc_id, list_transform(generate_series(0, 31),
+                      i -> list_min(list_transform(
+                              s, x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS sg
+                  FROM irsh) CROSS JOIN range(0, 8) r(b)
+        ),
+        ixcand AS (
+            SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+            FROM inbnd n JOIN irbnd r USING (band_id, band_hash)
+        ),
+        inear AS (
+            SELECT new_id AS doc_id, min(ref_id) AS ref_id,
+                   min_by(jppm, ref_id) AS jppm
+            FROM (
+                SELECT c.new_id, c.ref_id,
+                       (1000000 * len(list_intersect(a.s, b.s)))
+                         // len(list_distinct(list_concat(a.s, b.s))) AS jppm
+                FROM ixcand c
+                JOIN insh a ON a.doc_id = c.new_id
+                JOIN irsh b ON b.doc_id = c.ref_id
+                WHERE len(list_intersect(a.s, b.s))
+                      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+                      >= 0.7
+            ) GROUP BY new_id
         )
         SELECT 'pair' AS kind, id_a AS a, id_b AS b, CAST(jac AS BIGINT) AS score
         FROM pairs
@@ -409,6 +476,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'cluster' AS kind, node AS a, min(r) AS b,
                CAST(node = min(r) AS BIGINT) AS score
         FROM reach GROUP BY node
+        UNION ALL
+        SELECT 'incr_keep', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        FROM iafter WHERE doc_id NOT IN (SELECT doc_id FROM inear)
+        UNION ALL
+        SELECT 'incr_drop_exact', doc_id, ref_id, CAST(NULL AS BIGINT)
+        FROM iexact
+        UNION ALL
+        SELECT 'incr_drop_near', doc_id, ref_id, CAST(jppm AS BIGINT)
+        FROM inear
     """,
 )
 def dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,7 +502,20 @@ def dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 when the doc is its cluster's canonical survivor).
     `filter(kind='cluster' AND score=1)` is the deduplicated corpus. All
     iteration runs on the pair graph — the corpus is touched once, in the
-    final left join."""
+    final left join.
+
+    kind='incr_keep' / 'incr_drop_exact' / 'incr_drop_near' — INCREMENTAL
+    dedup (ext/dedup.py:dedup_against_reference), the per-snapshot mode a
+    live pipeline runs instead of re-deduplicating the whole corpus: the
+    documents table is hash-split into an already-kept reference
+    (doc_id % 4 != 0) and a new batch (doc_id % 4 = 0, plus every
+    (% 4 != 0, % 10 = 1) reference doc REDELIVERED under a shifted id so
+    the exact tier demonstrably fires). a = batch doc id; drops carry the
+    lowest-id reference WITNESS in b and the verified jaccard ppm in
+    score (NULL for exact drops) — the deterministic audit trail. Runs
+    portable=True (md5 minhash family) so the LSH candidate set — and
+    therefore every drop/keep decision — is replayed bit-identically by
+    the DuckDB oracle."""
     docs = table(spark, sf_dir, "documents")
     # the quadratic-in-block Jaccard join is the expensive stage; checkpoint
     # it so BOTH consumers (the pair slice and the cluster iteration, which
@@ -448,7 +537,37 @@ def dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("b"),
         F.col("is_canonical").cast("long").alias("score"),
     )
-    return pair_rows.unionByName(cluster_rows)
+
+    ref = docs.filter(F.col("doc_id") % 4 != 0).select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.filter((F.col("doc_id") % 4 != 0) & (F.col("doc_id") % 10 == 1))
+            .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+    )
+    survivors, dropped = xdedup.dedup_against_reference(
+        batch, ref, threshold=0.7, portable=True
+    )
+    null_long = F.lit(None).cast("long")
+    keep_rows = survivors.select(
+        F.lit("incr_keep").alias("kind"),
+        F.col("doc_id").alias("a"),
+        null_long.alias("b"),
+        null_long.alias("score"),
+    )
+    drop_rows = dropped.select(
+        F.concat(F.lit("incr_drop_"), F.col("reason")).alias("kind"),
+        F.col("doc_id").alias("a"),
+        F.col("ref_id").alias("b"),
+        F.col("jaccard_ppm").cast("long").alias("score"),
+    )
+    return (
+        pair_rows.unionByName(cluster_rows)
+        .unionByName(keep_rows)
+        .unionByName(drop_rows)
+    )
 
 
 @register(

@@ -93,3 +93,37 @@ def test_all_new_batch_passes_through(spark, sf_dir):
     survivors, dropped = dedup_against_reference(fresh, reference)
     assert survivors.count() == 1
     assert dropped.count() == 0
+
+
+def test_union_shaped_batch_survives_planner_union_pushdown(spark, sf_dir):
+    """Regression: a batch built as a UNION of sources (the normal
+    multi-source ingest shape) used to die with "Can't zip RDDs with
+    unequal numbers of partitions" — Spark pushes the exact-tier LeftAnti
+    join through the Union, and the resulting UnionExec claims its
+    children's hash partitioning while its actual RDD carries the summed
+    partition count; the first downstream zip then sees N vs 2N. The
+    explicit repartition on the post-exact batch inside
+    dedup_against_reference pins a true partitioning (and is reused by
+    the survivors anti-join, so it costs no extra exchange)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .unionByName(
+            ref.filter(F.col("doc_id") % 10 == 1)
+            .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+    )
+    survivors, dropped = dedup_against_reference(
+        batch, ref, threshold=0.7, portable=True
+    )
+    n_batch = batch.count()
+    n_drop = dropped.count()
+    assert survivors.count() + n_drop == n_batch
+    # every redelivered row is an exact drop whose witness is its original
+    redelivered = {
+        r["doc_id"]
+        for r in dropped.filter(F.col("reason") == "exact").collect()
+        if r["doc_id"] >= 100000 and r["ref_id"] == r["doc_id"] - 100000
+    }
+    assert len(redelivered) == ref.filter(F.col("doc_id") % 10 == 1).count()
