@@ -1465,10 +1465,14 @@ def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the BM25 leg's fixed query — also the query tests/test_search.py oracles
+_BM25_QUERY = ("the", "data", "model")
+
+
 @register(
     "tfidf_top_terms",
-    tags=("ext-text",),
-    oracle="""
+    tags=("ext-text", "ext-search"),
+    oracle=f"""
         WITH toks AS (
             SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
         ),
@@ -1489,29 +1493,77 @@ def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT tf.doc_id, tf.term,
                    CAST(tf.tf * idf.idf_ppm AS BIGINT) AS tfidf_ppm
             FROM tf JOIN idf USING (term)
+        ),
+        base AS (
+            SELECT doc_id, len(str_split(text, ' ')) AS dl FROM documents
+        ),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+        bhits AS (
+            SELECT t.doc_id, b.dl, t.term, count(*) AS tf
+            FROM toks t JOIN base b USING (doc_id)
+            WHERE t.term IN ({", ".join(f"'{t}'" for t in _BM25_QUERY)})
+            GROUP BY t.doc_id, b.dl, t.term
+        ),
+        btdf AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM bhits GROUP BY term
+        ),
+        bscored AS (
+            SELECT h.doc_id,
+                   CAST(floor(
+                       1000000.0
+                       * ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+                       * (h.tf * (1.2 + 1.0))
+                       / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * h.dl / s.avgdl))
+                   ) AS BIGINT) AS contrib_ppm
+            FROM bhits h JOIN btdf t USING (term) CROSS JOIN stats s
+        ),
+        bsum AS (
+            SELECT doc_id, CAST(sum(contrib_ppm) AS BIGINT) AS score_ppm
+            FROM bscored GROUP BY doc_id
         )
-        SELECT doc_id, term, tfidf_ppm, rnk AS rank FROM (
+        SELECT 'tfidf' AS method, doc_id, term, tfidf_ppm AS score_ppm,
+               rnk AS rank
+        FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY doc_id ORDER BY tfidf_ppm DESC, term) AS rnk
             FROM scored
         ) WHERE rnk <= 5
+        UNION ALL
+        SELECT 'bm25', doc_id, CAST(NULL AS VARCHAR), score_ppm, rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY score_ppm DESC, doc_id) AS rnk
+            FROM bsum
+        ) WHERE rnk <= 10
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF keyword extraction: per-document top-5 terms. The document
-    frequency table is tiny (vocabulary-sized) and broadcasts onto the
-    term-frequency table; at 100 TB the explode→tf aggregation is the only
-    data-sized shuffle.
+    """Both lexical-relevance scorers over one corpus, in one relation:
 
-    idf is floored to integer ppm PER TERM and only then multiplied by tf:
-    ln() is the one transcendental the catalog uses, and Math.log/libm are
-    not guaranteed correctly rounded — flooring 1e6·tf·ln(x) per (doc,term)
-    row would give every row its own chance of a cross-engine last-ulp
-    floor flip, while per-term flooring caps the exposure at vocabulary
-    size AND makes the in-document ranking (tf·idf_ppm, exact integers)
-    deterministic with the term tie-break."""
+    method='tfidf' — per-document top-5 keyword extraction (ranks a
+    document's OWN terms). The document-frequency table is tiny
+    (vocabulary-sized) and broadcasts onto the term-frequency table; at
+    100 TB the explode→tf aggregation is the only data-sized shuffle.
+    idf is floored to integer ppm PER TERM and only then multiplied by
+    tf: ln() is the one transcendental the catalog uses, and
+    Math.log/libm are not guaranteed correctly rounded — flooring
+    1e6·tf·ln(x) per (doc,term) row would give every row its own chance
+    of a cross-engine last-ulp floor flip, while per-term flooring caps
+    the exposure at vocabulary size AND makes the in-document ranking
+    (tf·idf_ppm, exact integers) deterministic with the term tie-break.
+
+    method='bm25' — Okapi BM25 ranked retrieval (ranks DOCUMENTS against
+    the fixed query 'the data model'; k1=1.2, b=0.75): the corpus-search
+    surface contamination triage and eval-curation need
+    (ext/search.py:bm25_scores — tf saturation + length normalization,
+    per-(doc,term) contributions floored to ppm then integer-summed so
+    the score is engine-portable). Top-10 by (score desc, id) — the k
+    rows come from a TakeOrderedAndProject, and the rank window runs
+    over those k rows only, so no global sort at any scale."""
     docs = table(spark, sf_dir, "documents")
     from pyspark.sql import Window
+
+    from beeper_matric_etl_tool_spark.ext.search import bm25_topk
 
     toks = docs.select("doc_id", F.explode(xtext.tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -1529,11 +1581,32 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tf") * F.col("idf_ppm")).cast("long").alias("tfidf_ppm"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_ppm").desc(), F.col("term").asc())
-    return (
+    tfidf_leg = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
-        .select("doc_id", "term", "tfidf_ppm", "rank")
+        .select(
+            F.lit("tfidf").alias("method"),
+            "doc_id", "term",
+            F.col("tfidf_ppm").alias("score_ppm"),
+            "rank",
+        )
     )
+
+    # rank over the ALREADY-limited top-k (10 rows) — the global window
+    # runs on a bounded frame, never the corpus
+    wb = Window.orderBy(F.col("score_ppm").desc(), F.col("doc_id").asc())
+    bm25_leg = (
+        bm25_topk(docs, list(_BM25_QUERY), k=10)
+        .withColumn("rank", F.row_number().over(wb))
+        .select(
+            F.lit("bm25").alias("method"),
+            "doc_id",
+            F.lit(None).cast("string").alias("term"),
+            "score_ppm",
+            "rank",
+        )
+    )
+    return tfidf_leg.unionByName(bm25_leg)
 
 
 # (the hash-holdout split is the 'split' dimension of `corpus_composition`)
