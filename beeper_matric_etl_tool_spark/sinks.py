@@ -194,6 +194,37 @@ def write_indexed(
     writer.parquet(path)
 
 
+def write_filtered_view(
+    df: DataFrame,
+    path: str,
+    predicate: Column,
+    partition_by: Sequence[str] = (),
+    sort_within: Sequence[str] = (),
+) -> DataFrame:
+    """X3 — the partial-index analog as a filtered MATERIALIZED VIEW: the
+    reference's ``CREATE INDEX … ON messages(is_encrypted) WHERE
+    is_encrypted = true`` (schema.ts:84) serves the rare-slice lookup
+    without touching the dominant rows; on Spark the same contract is a
+    materialized slice — filter once at write time, lay it out with the
+    usual index layout (:func:`write_indexed`: hive partitions ≈ the
+    indexed column, sorted row groups ≈ the composite key), and point the
+    slice-readers at the view path. At 100 TB the filter runs as one
+    embarrassingly parallel scan with the predicate pushed to parquet;
+    refreshing is a full rewrite of the SLICE only (partial indexes are
+    rebuilt by the DB on write — a table-format deployment would instead
+    keep it fresh with an incremental MERGE).
+
+    Returns the view DataFrame re-read from disk (what slice-readers see).
+    """
+    write_indexed(
+        df.filter(predicate),
+        path,
+        partition_by=partition_by,
+        sort_within=sort_within,
+    )
+    return df.sparkSession.read.parquet(path)
+
+
 def batched_append(df: DataFrame, path: str, rows_per_batch: int = 100) -> None:
     """K4 — bounded write batches. The reference chops multi-row inserts at
     100 rows/statement; here the analog is capping rows per output task so

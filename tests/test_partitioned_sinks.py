@@ -111,3 +111,35 @@ def test_keyed_update_raises_on_zero_match(spark, tmp_path):
     missing = spark.createDataFrame([(555, 2.0)], "user_id long, b double")
     with pytest.raises(ValueError, match="no rows matched"):
         sinks.keyed_update(spark, target, missing, keys=["user_id"], n_buckets=4)
+
+
+def test_write_filtered_view_materializes_slice_with_index_layout(spark, tmp_path):
+    """X3 partial-index analog: the filtered view holds ONLY the predicate
+    slice, laid out with hive partitions + sorted row groups, and a
+    slice-reader's scan never touches the dominant rows."""
+    events = spark.range(1000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7 == 0).alias("is_encrypted"),
+        (F.col("id") % 4).alias("room_id"),
+        (F.lit(1000) - F.col("id")).alias("ts"),
+    )
+    path = str(tmp_path / "encrypted_view")
+    view = sinks.write_filtered_view(
+        events,
+        path,
+        predicate=F.col("is_encrypted"),
+        partition_by=["room_id"],
+        sort_within=["ts"],
+    )
+    # slice only, bit-exact membership
+    assert view.count() == events.filter("is_encrypted").count()
+    assert view.filter(~F.col("is_encrypted")).count() == 0
+    got = sorted(r["event_id"] for r in view.collect())
+    want = sorted(r["event_id"] for r in events.filter("is_encrypted").collect())
+    assert got == want
+    # index layout: hive partition dirs on the equality key
+    assert any(d.startswith("room_id=") for d in os.listdir(path))
+    # a per-partition read prunes to that partition's files only
+    pruned = spark.read.parquet(path).filter(F.col("room_id") == 2)
+    files = pruned.select(F.input_file_name()).distinct().collect()
+    assert all("room_id=2" in r[0] for r in files)

@@ -273,3 +273,87 @@ def test_pack_by_budget_shuffle_differs_from_id_order(spark, sf_dir):
     a = {(r["doc_id"], r["pack_id"]) for r in shuffled.collect()}
     b = {(r["doc_id"], r["pack_id"]) for r in plain.collect()}
     assert a != b  # the pseudo-random order actually changes the packing
+
+
+def test_catalyst_cache_boundary_shapes_hold(spark, sf_dir):
+    """Regression canary for the round-4 Catalyst plan-normalization
+    failure (java.util.NoSuchElementException: 'key not found: text#N'
+    raised from localCheckpoint's eager plan compilation on the
+    quality+PII funnel when the scrub stage was built with a
+    self-referencing withColumns, and from persisting the exact-dedup
+    stage instead of the scrub stage). curate() ships the workaround —
+    select/drop/rename construction + persist() one stage LOWER
+    (ext/pipeline.py, the '(Persisting `exact` instead…' comment).
+
+    Both historically-failing constructions are exercised here directly:
+    on the shipped Spark version they pass; if a Spark upgrade regresses
+    plan normalization again, this test fails first and names the
+    workaround."""
+    from beeper_matric_etl_tool_spark.ext.dedup import exact_dedup
+    from beeper_matric_etl_tool_spark.ext.quality import (
+        pii_columns,
+        quality_signal_columns,
+        quality_verdict_columns,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    signals = quality_signal_columns("text")
+    quality = docs.select(
+        "*", *[c.alias(n) for n, c in signals.items()]
+    ).select("*", *[c.alias(n) for n, c in quality_verdict_columns().items()])
+    pii = pii_columns("text")
+
+    # shape 1: self-referencing withColumns (text := f(text)) + eager
+    # localCheckpoint — the original 'key not found: text#N' trigger
+    with_cols = quality.filter(F.col("keep")).withColumns(
+        {
+            "text": pii["scrubbed"],
+            "n_emails": pii["n_emails"],
+            "n_digit_runs": pii["n_digit_runs"],
+        }
+    )
+    cp = with_cols.localCheckpoint(eager=True)
+    n_kept = cp.count()
+    assert n_kept > 0
+    cp.unpersist()
+
+    # shape 2: cache placed one stage HIGHER than curate() ships it
+    # (persist on exact-dedup instead of on the scrub stage)
+    exact = exact_dedup(with_cols).persist()
+    try:
+        assert exact.count() <= n_kept
+    finally:
+        exact.unpersist()
+
+
+def test_stage_report_single_pass_matches_per_stage(run):
+    """The one-job union/groupBy report returns the same funnel counts as
+    the one-action-per-stage form (including zero-count stages, which
+    produce no group row and must be reported explicitly)."""
+    _, stages, report = run
+    assert stage_report(stages, single_pass=True) == report
+
+
+def test_curate_release_unpersists_and_is_idempotent(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    stages = curate(docs)
+    scrubbed = stages["scrubbed"]
+    scrubbed.count()
+    assert scrubbed.storageLevel.useMemory or scrubbed.storageLevel.useDisk
+    stages.release()
+    assert not (scrubbed.storageLevel.useMemory or scrubbed.storageLevel.useDisk)
+    stages.release()  # idempotent
+
+    # context-manager form
+    with curate(docs) as ctx_stages:
+        frame = ctx_stages["scrubbed"]
+        frame.count()
+    assert not (frame.storageLevel.useMemory or frame.storageLevel.useDisk)
+
+
+def test_curate_rejects_reserved_column_collisions(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", F.lit(1).alias("n_tokens")
+    )
+    with pytest.raises(ValueError, match="n_tokens"):
+        curate(docs)
