@@ -240,3 +240,33 @@ def test_incremental_dedup_is_linear_join_shaped(spark):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_leg_avoids_global_sort(spark):
+    """The bm25 leg's top-10 must come from TakeOrderedAndProject (per-
+    partition top-k, k-row merge); the only Sort permitted in the suite
+    plan is the rank window over the ALREADY-limited 10 rows. A global
+    corpus sort here would be a full-shuffle regression at scale."""
+    plan = plan_of(spark, "tfidf_top_terms")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_funnel_suite_plan_is_join_shaped_and_jvm_only(spark):
+    """The quality_filter funnel (full curate() composition) must contain
+    no cartesian/nested-loop fallback and no Python row-at-a-time eval —
+    every stage is built-in column algebra + equi-joins; the quality
+    battery's signal leg keeps its scan pruned to (doc_id, text)."""
+    plan = plan_of(spark, "quality_filter")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_dedup_graph_incremental_legs_are_equi_join_shaped(spark):
+    """dedup_graph now carries the incremental legs; the WHOLE union plan
+    (blocked pairs + components + cross-corpus incremental) must stay free
+    of cartesian/nested-loop joins."""
+    plan = plan_of(spark, "dedup_graph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
