@@ -376,6 +376,38 @@ def curate(
     )
 
 
+def export_corpus(
+    stages: dict[str, DataFrame],
+    path: str,
+    partition_by: tuple[str, ...] = ("lang",),
+    sort_within: tuple[str, ...] = ("pack_id",),
+) -> dict[str, int]:
+    """Materialize the curated corpus ONCE — the terminal action of the
+    funnel — and collect the export audit as a side effect of that same
+    job via ``df.observe`` (the zero-extra-jobs route the stage_report
+    docstring describes): returns {'rows', 'total_tokens'} measured on
+    exactly the rows written.
+
+    Layout is the engine's index layout (sinks.write_indexed): hive
+    partitions on ``partition_by`` (default the pack partition key, so a
+    trainer reads one source/language without touching the rest) and rows
+    sorted by ``sort_within`` (default pack_id — a pack's documents are
+    contiguous in the row groups, in their salted shuffle order)."""
+    from pyspark.sql import Observation
+
+    from beeper_matric_etl_tool_spark.sinks import write_indexed
+
+    obs = Observation("corpus_export")
+    packed = stages["packed"].observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.coalesce(F.sum("n_tokens_packed"), F.lit(0)).alias("total_tokens"),
+    )
+    write_indexed(packed, path, partition_by=partition_by, sort_within=sort_within)
+    got = obs.get
+    return {"rows": int(got["rows"]), "total_tokens": int(got["total_tokens"])}
+
+
 def stage_report(
     stages: dict[str, DataFrame], single_pass: bool = False
 ) -> dict[str, int]:

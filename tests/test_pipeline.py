@@ -357,3 +357,26 @@ def test_curate_rejects_reserved_column_collisions(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="n_tokens"):
         curate(docs)
+
+
+def test_export_corpus_single_action_audit(spark, sf_dir, tmp_path):
+    """export_corpus writes the packed corpus in the index layout and its
+    observed audit counts the exact rows written — one job, no separate
+    count pass."""
+    import os
+
+    from beeper_matric_etl_tool_spark.ext.pipeline import export_corpus
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    with curate(docs) as stages:
+        path = str(tmp_path / "corpus")
+        audit = export_corpus(stages, path)
+        n_packed = stages["packed"].count()
+    assert audit["rows"] == n_packed
+    assert audit["total_tokens"] > 0
+    back = spark.read.parquet(path)
+    assert back.count() == n_packed
+    # hive partitions on the pack partition key
+    assert any(d.startswith("lang=") for d in os.listdir(path))
+    # audit tokens equal the written tokens
+    assert audit["total_tokens"] == back.agg(F.sum("n_tokens_packed")).first()[0]
