@@ -14,17 +14,28 @@ TASK TIME (the straggler metric, from the Spark REST API):
 
 - aqe_skew     — unsalted join, AQE skew-join splitting ON with
                  probe-scaled thresholds. MEASURED RESULT on the shipped
-                 Spark build: the rule never engages for this shape (the
-                 join-stage task count stays at shuffle_partitions even
-                 with skewedPartitionThresholdInBytes=64k, factor=2 and
-                 forceOptimizeSkewedJoin=true — checked via the REST
-                 stage API), so aqe_skew times ≈ unsalted + AQE overhead.
-                 That shape-dependence is the probe's second finding and
-                 the reason the engine ships a STATIC salt at all: AQE
-                 skew mitigation is best-effort (and structurally cannot
-                 split when a downstream agg requires the join key's
-                 distribution, as in join_rollup); the salt is
-                 deterministic and composes with any consumer.
+                 Spark build: the rule never engages for this probe's
+                 shape — the join-stage task count stays at
+                 shuffle_partitions even with thresholds at 16k,
+                 factor=1.2 and forceOptimizeSkewedJoin=true (REST
+                 stage-API verified). ROOT CAUSE (isolated by swapping
+                 components against a textbook spark.range case, which
+                 DOES split 32→53 tasks): the probe's dim is derived
+                 from the facts and PERSISTED, so its cached plan already
+                 ends hash-partitioned on the join key — the build side
+                 is an InMemoryTableScan, not a shuffle stage, and
+                 OptimizeSkewedJoin needs shuffle stages on BOTH sides
+                 to replicate build partitions against split probe
+                 partitions. Production lesson: caching a key-partitioned
+                 dim PINS the partitioning and disables AQE skew
+                 mitigation for every subsequent join against it — a
+                 common, reasonable-looking pattern. With an uncached
+                 dim, AQE does act on join_only (tasks 32→28 here), but
+                 still cannot act on join_rollup: splitting would break
+                 the downstream agg's required key distribution. The
+                 static salt flattens the straggler in every one of
+                 these variants — deterministic, consumer-agnostic —
+                 which is why the engine ships it as an operator.
 - unsalted     — AQE skew splitting OFF: the hot key's entire row mass
                  lands in ONE reduce task; max task time ≈ wall clock.
                  This is the 100 TB failure mode being mitigated.
