@@ -903,3 +903,26 @@ def test_lsh_banding_guards_fire(spark):
     )
     with pytest.raises(ValueError, match="use_arrow"):
         xsim.knn_suite(emb, emb, scoring="matmul", use_arrow=True, partition_col="vec_id")
+
+
+def test_scaled_planes_sizing_rule(spark, sf_dir):
+    """scaled_planes_for encodes the log2(n)+margin band-width rule (the
+    linear-candidate regime the scale probe measures) and its output is
+    directly consumable by hyperplane_bands with the same n_bands."""
+    from beeper_matric_etl_tool_spark.ext import similarity as xsim
+    from beeper_matric_etl_tool_spark.sources.tables import table
+
+    # 1M docs, 4 bands, 4 margin bits -> (20+4)*4 = 96 planes
+    planes = xsim.scaled_planes_for(1_000_000, n_bands=4, margin_bits=4)
+    assert len(planes) == 96
+    assert all(len(p) == 64 and set(p) <= {-1, 1} for p in planes)
+    # deterministic: config, not RNG state
+    assert planes == xsim.scaled_planes_for(1_000_000, n_bands=4, margin_bits=4)
+    # monotone: a bigger corpus never gets narrower bands
+    assert len(xsim.scaled_planes_for(10_000_000)) >= len(planes)
+    # consumable end-to-end
+    emb = table(spark, sf_dir, "embeddings").limit(20)
+    banded = emb.select(
+        "vec_id", xsim.hyperplane_bands(F.col("embedding"), planes=planes, n_bands=4).alias("b")
+    )
+    assert banded.count() == 20
