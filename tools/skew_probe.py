@@ -9,42 +9,46 @@ dim (shuffle_hash-hinted — a broadcastable dim would sidestep the shuffle
 and prove nothing), either alone (join_only) or feeding a per-key rollup
 (join_rollup).
 
-Three configurations per operation, each timed with WALL CLOCK and MAX
-TASK TIME (the straggler metric, from the Spark REST API):
+Three configurations per operation, each timed with WALL CLOCK and the
+REDUCE-SIDE MAX TASK TIME (the straggler metric: max task across stages
+with shuffle-read bytes > 0, from the Spark REST API — the map/scan
+stage's cost is data-size-intrinsic and identical across configurations,
+so including it would bury the comparison under a constant):
 
 - aqe_skew     — unsalted join, AQE skew-join splitting ON with
-                 probe-scaled thresholds. MEASURED RESULT on the shipped
-                 Spark build: the rule never engages for this probe's
-                 shape — the join-stage task count stays at
-                 shuffle_partitions even with thresholds at 16k,
-                 factor=1.2 and forceOptimizeSkewedJoin=true (REST
-                 stage-API verified). ROOT CAUSE (isolated by swapping
-                 components against a textbook spark.range case, which
-                 DOES split 32→53 tasks): the probe's dim is derived
-                 from the facts and PERSISTED, so its cached plan already
-                 ends hash-partitioned on the join key — the build side
-                 is an InMemoryTableScan, not a shuffle stage, and
-                 OptimizeSkewedJoin needs shuffle stages on BOTH sides
-                 to replicate build partitions against split probe
-                 partitions. Production lesson: caching a key-partitioned
-                 dim PINS the partitioning and disables AQE skew
-                 mitigation for every subsequent join against it — a
-                 common, reasonable-looking pattern. With an uncached
-                 dim, AQE does act on join_only (tasks 32→28 here), but
-                 still cannot act on join_rollup: splitting would break
-                 the downstream agg's required key distribution. The
-                 static salt flattens the straggler in every one of
-                 these variants — deterministic, consumer-agnostic —
-                 which is why the engine ships it as an operator.
+                 probe-scaled thresholds (shuffle stats are COMPRESSED
+                 bytes, and the defaults' 256 MB floor is sized for real
+                 clusters). Measured: AQE matches the salt on join_only
+                 (it splits the hot partition at runtime — that case
+                 needs no code change) but CANNOT act on join_rollup —
+                 splitting would duplicate key partitions and break the
+                 downstream agg's required distribution, so the straggler
+                 survives at unsalted size. That structural limit is the
+                 measured motivation for the static salt.
 - unsalted     — AQE skew splitting OFF: the hot key's entire row mass
-                 lands in ONE reduce task; max task time ≈ wall clock.
-                 This is the 100 TB failure mode being mitigated.
+                 lands in ONE reduce task. This is the 100 TB failure
+                 mode being mitigated.
 - salted       — AQE skew splitting OFF, operators/skew.py salted_join
                  (deterministic hash salt, `buckets` copies of the dim):
-                 the hot key spreads over `buckets` tasks; max task time
-                 must drop toward wall/buckets, in BOTH operations —
-                 the salted rollup's two-phase agg re-combines
-                 explicitly, so no required distribution blocks it.
+                 the hot key spreads over `buckets` tasks, and the
+                 salted rollup's two-phase agg re-combines explicitly,
+                 so no required distribution blocks the spread.
+
+Fairness contracts, each learned the hard way in round 5:
+- broadcast joins are disabled session-wide and BOTH legs carry the same
+  shuffle_hash hint: the dim (even salt-exploded) is tiny, and letting
+  the salted leg broadcast would credit broadcast's no-reduce-join win
+  to the salt.
+- the dim is an INDEPENDENT literal table, not a projection of the
+  facts: a dim derived from the facts and persisted enters joins as an
+  InMemoryTableScan whose cached plan is already hash-partitioned on the
+  key — no build-side shuffle stage exists, and OptimizeSkewedJoin
+  (which needs shuffle stages on BOTH sides) silently never fires, at
+  any threshold, even forceOptimizeSkewedJoin=true. That finding is
+  real — caching a key-partitioned dim disables AQE skew mitigation for
+  every join against it — but it must not contaminate this comparison.
+- the salt comparison asserts bit-identical rollup output before timing
+  (salting is a pure rewrite).
 
 The salt is a pure rewrite: all three configurations must produce the
 IDENTICAL rollup, asserted before timing.
@@ -93,13 +97,24 @@ def grown(events, factor: int):
 
 def zipf_keyed(events):
     """Half the rows on ONE hot key, half uniform over the tail — the
-    '#general room' shape, keyed deterministically off event_id."""
+    '#general room' shape, keyed deterministically off event_id. The
+    events table's props column averages ~9 bytes, which makes the hot
+    partition a few compressed MB and the straggler invisible next to
+    task overhead; a real room's messages are text-sized, so the probe
+    widens the payload to ~128 deterministic bytes per row."""
     key = F.when(F.col("event_id") % 2 == 0, F.lit("#general")).otherwise(
         F.concat(F.lit("k"), (F.col("event_id") % N_TAIL_KEYS).cast("string"))
     )
+    payload = F.concat(
+        F.coalesce(F.col("props"), F.lit("")),
+        *[
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(f":{i}")))
+            for i in range(4)
+        ],
+    )
     return events.select(
         "event_id", key.alias("room_key"), F.col("value"),
-        F.coalesce(F.col("props"), F.lit("")).alias("props"),
+        payload.alias("props"),
     )
 
 
@@ -108,8 +123,14 @@ def join_unsalted(facts, dim):
 
 
 def join_salted(facts, dim):
+    # the same shuffle_hash hint as the unsalted leg: the exploded dim is
+    # still tiny (~keys × buckets rows) and would otherwise BROADCAST,
+    # which sidesteps the reduce-side join entirely and would credit
+    # broadcast's win to the salt — the probed comparison must hold the
+    # join strategy fixed and vary ONLY the key salting
     return salted_join(
-        facts, dim, on="room_key", salt_source="event_id", buckets=BUCKETS
+        facts, dim.hint("shuffle_hash"), on="room_key",
+        salt_source="event_id", buckets=BUCKETS,
     )
 
 
@@ -143,9 +164,13 @@ def _completed_stages(spark):
 
 
 def timed_with_max_task(spark, df):
-    """(wall_sec, max_task_sec) of one noop-forced execution (after one
-    untimed warm-up); max task executorRunTime across the stages the timed
-    run completed."""
+    """(wall_sec, reduce_max_task_sec) of one noop-forced execution (after
+    one untimed warm-up). The straggler metric is the max task
+    executorRunTime across the REDUCE stages only (stages with shuffle
+    READ bytes > 0): key skew manifests in the post-shuffle stage, while
+    the map/scan stage's cost is data-size-intrinsic and identical across
+    configurations — including it would swamp the comparison with a
+    constant."""
     df.write.format("noop").mode("overwrite").save()  # warm
     before = _completed_stages(spark)
     t0 = time.perf_counter()
@@ -154,6 +179,11 @@ def timed_with_max_task(spark, df):
     max_task_ms = 0.0
     for sid, att in _completed_stages(spark) - before:
         try:
+            stage = _rest(spark, f"/stages/{sid}/{att}")
+            if isinstance(stage, list):
+                stage = stage[0]
+            if not stage.get("shuffleReadBytes", 0):
+                continue  # map/scan stage: no shuffle input, no key skew
             summ = _rest(
                 spark, f"/stages/{sid}/{att}/taskSummary?quantiles=1.0"
             )
@@ -171,6 +201,12 @@ def main() -> None:
         extra_conf={
             "spark.ui.enabled": "true",  # REST API = the max-task-time source
             "spark.ui.retainedStages": "2000",
+            # broadcast joins OFF for the whole probe: the dim (and its
+            # salted explosion) is tiny and would broadcast, removing the
+            # reduce-side join the probe exists to measure — every
+            # configuration must pay the same shuffle-join shape
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -181,12 +217,18 @@ def main() -> None:
     n_rows = facts.count()
     hot_rows = facts.filter(F.col("room_key") == "#general").count()
 
-    dim = (
-        facts.select("room_key").distinct()
-        .withColumn("weight", (F.length("room_key") % 7 + 1).cast("long"))
-        .persist()
+    # INDEPENDENT literal dim (a real dimension table, not a projection of
+    # the facts). Deriving it from `facts` looks natural but poisons the
+    # measurement twice: (a) cache-substitution quirks silently recompute
+    # the corpus-sized distinct inside some probed plans, and (b) a
+    # persisted key-partitioned dim enters joins as an InMemoryTableScan
+    # with pinned partitioning, which structurally disables AQE skew
+    # splitting (see module docstring — that finding is real and kept,
+    # but it must not contaminate the salted-vs-unsalted comparison).
+    keys = ["#general"] + [f"k{i}" for i in range(N_TAIL_KEYS)]
+    dim = spark.createDataFrame(
+        [(k, len(k) % 7 + 1) for k in keys], "room_key string, weight long"
     )
-    dim.count()
 
     # the salt is a pure rewrite: identical rollup required before timing
     base_rows = sorted(tuple(r) for r in rollup_unsalted(facts, dim).collect())
@@ -246,7 +288,6 @@ def main() -> None:
                 res["unsalted"]["max_task_sec"] / res["salted"]["max_task_sec"], 2
             )
     facts.unpersist()
-    dim.unpersist()
     print(json.dumps(out))
 
 
