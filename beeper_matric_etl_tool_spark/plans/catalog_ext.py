@@ -65,6 +65,45 @@ def _mix_hash_sql() -> str:
     return f"substr(md5(CAST(doc_id AS VARCHAR) || '{MIX_SALT}'), 1, 6)"
 
 
+#: the engine's minhash defaults (ext/dedup.py minhash_signatures /
+#: lsh_band_rows) — the SQL builder below derives every literal from
+#: these two numbers so an engine-side default change desyncs loudly at
+#: build time, not silently at hash-check time
+MINHASH_NUM_HASHES = 32
+MINHASH_BAND_WIDTH = 4
+
+
+def _minhash_band_cte(src: str, prefix: str) -> str:
+    """Two CTEs — ``<prefix>sh`` (doc_id, s: distinct 3-shingles) and
+    ``<prefix>bnd`` (doc_id, band_id, band_hash) — over ``src``(doc_id,
+    text): the SQL twin of the portable md5 minhash family
+    (ext/dedup.py: minhash_signatures(portable=True) → lsh_band_rows),
+    defined ONCE so the three oracles that replay LSH banding
+    (dedup_graph's two incremental sides and quality_filter's funnel)
+    cannot drift from each other or from the engine defaults.
+    (near_dup_pairs' oracle predates this builder and additionally
+    interleaves the simhash funnel — its literals are pinned by its own
+    hash check.) Candidate joins compose on the caller side:
+    ``a.band_id = b.band_id AND a.band_hash = b.band_hash``."""
+    w = MINHASH_BAND_WIDTH
+    n_bands = MINHASH_NUM_HASHES // w
+    return f"""{prefix}sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, greatest(len(str_split(text,' ')) - 2, 1)),
+                i -> array_to_string(list_slice(str_split(text,' '), i, i + 2), ' ')
+            )) AS s FROM {src}
+        ),
+        {prefix}bnd AS (
+            SELECT doc_id, b AS band_id,
+                   md5(array_to_string(list_slice(sg, b*{w} + 1, b*{w} + {w}), ','))
+                       AS band_hash
+            FROM (SELECT doc_id, list_transform(generate_series(0, {MINHASH_NUM_HASHES - 1}),
+                      i -> list_min(list_transform(
+                              s, x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS sg
+                  FROM {prefix}sh) CROSS JOIN range(0, {n_bands}) r(b)
+        )"""
+
+
 @register(
     "text_stats",
     headline=True,
@@ -375,7 +414,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reachable from `node` through the undirected pair graph; cluster id
     # = min(r). UNION (distinct) bounds the recursion; component sizes
     # are tiny so the closure is cheap at oracle scale.
-    oracle="""
+    oracle=f"""
         WITH RECURSIVE sh AS (
             SELECT doc_id, lang,
                    list_distinct(list_transform(
@@ -421,36 +460,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT * FROM ibatch
             WHERE doc_id NOT IN (SELECT doc_id FROM iexact)
         ),
-        insh AS (
-            SELECT doc_id, list_distinct(list_transform(
-                generate_series(1, greatest(len(str_split(text,' ')) - 2, 1)),
-                i -> array_to_string(list_slice(str_split(text,' '), i, i + 2), ' ')
-            )) AS s FROM iafter
-        ),
-        irsh AS (
-            SELECT doc_id, list_distinct(list_transform(
-                generate_series(1, greatest(len(str_split(text,' ')) - 2, 1)),
-                i -> array_to_string(list_slice(str_split(text,' '), i, i + 2), ' ')
-            )) AS s FROM iref
-        ),
-        inbnd AS (
-            SELECT doc_id, b AS band_id,
-                   md5(array_to_string(list_slice(sg, b*4 + 1, b*4 + 4), ','))
-                       AS band_hash
-            FROM (SELECT doc_id, list_transform(generate_series(0, 31),
-                      i -> list_min(list_transform(
-                              s, x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS sg
-                  FROM insh) CROSS JOIN range(0, 8) r(b)
-        ),
-        irbnd AS (
-            SELECT doc_id, b AS band_id,
-                   md5(array_to_string(list_slice(sg, b*4 + 1, b*4 + 4), ','))
-                       AS band_hash
-            FROM (SELECT doc_id, list_transform(generate_series(0, 31),
-                      i -> list_min(list_transform(
-                              s, x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS sg
-                  FROM irsh) CROSS JOIN range(0, 8) r(b)
-        ),
+        {_minhash_band_cte("iafter", "in")},
+        {_minhash_band_cte("iref", "ir")},
         ixcand AS (
             SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
             FROM inbnd n JOIN irbnd r USING (band_id, band_hash)
@@ -1909,25 +1920,7 @@ _FUNNEL_NULL_SIGNALS = (
             SELECT doc_id, lang, text FROM scrub
             QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
         ),
-        sh AS (
-            SELECT doc_id, list_distinct(list_transform(
-                generate_series(1, greatest(len(str_split(text,' ')) - 2, 1)),
-                i -> array_to_string(list_slice(str_split(text,' '), i, i + 2), ' ')
-            )) AS s
-            FROM ex
-        ),
-        sig AS (
-            SELECT doc_id, list_transform(generate_series(0, 31),
-                i -> list_min(list_transform(
-                        s, x -> md5(CAST(i AS VARCHAR) || ':' || x)))) AS sg
-            FROM sh
-        ),
-        bnd AS (
-            SELECT doc_id, b AS band_id,
-                   md5(array_to_string(list_slice(sg, b*4 + 1, b*4 + 4), ','))
-                       AS band_hash
-            FROM sig CROSS JOIN range(0, 8) r(b)
-        ),
+        {_minhash_band_cte("ex", "")},
         cand AS (
             SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
             FROM bnd a JOIN bnd b USING (band_id, band_hash)
@@ -2043,7 +2036,15 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("pack_id"),
     )
 
-    stages = curate(corpus, mix_rates=MIX_RATES, portable=True)
+    # persist_intermediates=False: a registered query is materialized once
+    # per call, and the returned frame outlives this function, so the
+    # CurationStages.release() hook could never fire — the default persist
+    # would pin a session-lifetime cache entry per invocation. The
+    # recompute cost is the per-leg quality+PII column algebra, bounded by
+    # the signal battery this suite already scans.
+    stages = curate(
+        corpus, mix_rates=MIX_RATES, portable=True, persist_intermediates=False
+    )
 
     def funnel_leg(idx: int, name: str) -> DataFrame:
         pack = F.col("pack_id") if name == "packed" else F.lit(None).cast("long")

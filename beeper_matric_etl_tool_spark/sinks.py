@@ -215,13 +215,15 @@ def write_filtered_view(
     keep it fresh with an incremental MERGE).
 
     Returns the view DataFrame re-read from disk (what slice-readers see).
+    An empty slice is returned as an empty frame with the source schema:
+    a partitioned parquet write of zero rows emits no schema-bearing part
+    files, so the read-back would otherwise die with 'Unable to infer
+    schema' exactly when the rare-slice predicate matches nothing.
     """
-    write_indexed(
-        df.filter(predicate),
-        path,
-        partition_by=partition_by,
-        sort_within=sort_within,
-    )
+    sliced = df.filter(predicate)
+    write_indexed(sliced, path, partition_by=partition_by, sort_within=sort_within)
+    if not has_parquet(path):
+        return sliced.limit(0)
     return df.sparkSession.read.parquet(path)
 
 

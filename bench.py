@@ -116,6 +116,10 @@ def _prepare_bench_layout(spark, sf_dir: str) -> str:
     import tempfile
 
     n_files = int(os.environ.get("SPARK_GRAFT_BENCH_LINEITEM_FILES", "8"))
+    # symlink targets must be absolute: a relative SPARK_GRAFT_SF_DIR would
+    # otherwise produce links that resolve relative to the /tmp layout dir
+    # and dangle (crashing at query time, past this function's try/except)
+    sf_dir = os.path.abspath(sf_dir)
     src = os.path.join(sf_dir, "lineitem.parquet")
     if n_files <= 1 or not os.path.exists(src):
         return sf_dir

@@ -120,10 +120,15 @@ def test_union_shaped_batch_survives_planner_union_pushdown(spark, sf_dir):
     n_batch = batch.count()
     n_drop = dropped.count()
     assert survivors.count() + n_drop == n_batch
-    # every redelivered row is an exact drop whose witness is its original
-    redelivered = {
-        r["doc_id"]
-        for r in dropped.filter(F.col("reason") == "exact").collect()
-        if r["doc_id"] >= 100000 and r["ref_id"] == r["doc_id"] - 100000
+    # every redelivered row is dropped at the EXACT tier. (The witness is
+    # the MIN reference id sharing the text — usually the original, but if
+    # the reference itself contains exact duplicates a lower-id twin wins,
+    # so witness identity is the oracle's business, not this test's.)
+    exact_drops = {
+        r["doc_id"] for r in dropped.filter(F.col("reason") == "exact").collect()
     }
-    assert len(redelivered) == ref.filter(F.col("doc_id") % 10 == 1).count()
+    redelivered_ids = {
+        r["doc_id"] + 100000
+        for r in ref.filter(F.col("doc_id") % 10 == 1).collect()
+    }
+    assert redelivered_ids <= exact_drops

@@ -143,3 +143,22 @@ def test_write_filtered_view_materializes_slice_with_index_layout(spark, tmp_pat
     pruned = spark.read.parquet(path).filter(F.col("room_id") == 2)
     files = pruned.select(F.input_file_name()).distinct().collect()
     assert all("room_id=2" in r[0] for r in files)
+
+
+def test_write_filtered_view_empty_slice_returns_empty_frame(spark, tmp_path):
+    """A predicate matching nothing must yield an empty schema-correct view,
+    not an 'Unable to infer schema' crash from the schema-less partitioned
+    write."""
+    events = spark.range(10).select(
+        F.col("id").alias("event_id"),
+        F.lit(False).alias("is_encrypted"),
+        (F.col("id") % 2).alias("room_id"),
+    )
+    view = sinks.write_filtered_view(
+        events,
+        str(tmp_path / "empty_view"),
+        predicate=F.col("is_encrypted"),
+        partition_by=["room_id"],
+    )
+    assert view.count() == 0
+    assert set(view.columns) == {"event_id", "is_encrypted", "room_id"}
