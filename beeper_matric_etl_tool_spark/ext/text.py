@@ -92,6 +92,62 @@ def quality_ppm(n_tokens: Column, n_uniq: Column, stop_hits: Column) -> Column:
     )
 
 
+def chunk_documents(
+    df,
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Split documents into fixed-size token windows with overlap — the
+    standard pre-embedding step (a chunk, not a whole document, is the
+    retrieval/embedding unit). Returns one row per chunk:
+    (id_col, chunk_id, chunk_start, chunk_text, n_chunk_tokens).
+
+    Chunks start every ``chunk_tokens - overlap_tokens`` tokens, so
+    consecutive chunks share ``overlap_tokens`` of context and no token is
+    lost at a boundary; the final partial chunk is kept. chunk_id is the
+    0-based window index — (id, chunk_id) is a stable, rerun-deterministic
+    key for downstream embedding/indexing.
+
+    Scale shape: pure column algebra (sequence → transform → posexplode)
+    inside whole-stage codegen; zero shuffle — the fan-out is
+    ~n_tokens/stride rows per document, produced where the document row
+    already lives."""
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError(
+            f"chunk_documents: overlap_tokens={overlap_tokens} must be smaller "
+            f"than chunk_tokens={chunk_tokens} — equal-or-larger overlap makes "
+            f"the stride non-positive and the window sequence infinite"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # window starts: 1, 1+stride, ... while start <= max(n - overlap, 1) —
+    # the last window may be partial but never fully-contained in the prior
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(overlap_tokens), F.lit(1)), F.lit(stride)
+    )
+    windows = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.concat_ws(" ", F.slice(toks, s, chunk_tokens)).alias("chunk_text"),
+            F.least(n - s + F.lit(1), F.lit(chunk_tokens)).alias("n_toks"),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(windows).alias("chunk_id", "__w"),
+    ).select(
+        id_col,
+        "chunk_id",
+        (F.col("__w.start") - F.lit(1)).alias("chunk_start"),
+        F.col("__w.chunk_text").alias("chunk_text"),
+        F.col("__w.n_toks").alias("n_chunk_tokens"),
+    )
+
+
 def cents(col: Column | str) -> Column:
     """Re-export of functions.scalar.cents (the repo-wide money rule)."""
     from beeper_matric_etl_tool_spark.functions.scalar import cents as _cents

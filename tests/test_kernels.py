@@ -926,3 +926,38 @@ def test_scaled_planes_sizing_rule(spark, sf_dir):
         "vec_id", xsim.hyperplane_bands(F.col("embedding"), planes=planes, n_bands=4).alias("b")
     )
     assert banded.count() == 20
+
+
+def test_chunk_documents_windows_cover_and_overlap(spark):
+    """Document chunking: windows cover every token, consecutive chunks
+    share exactly overlap_tokens, the tail partial chunk is kept, and the
+    whole op is reconstruction-exact (pure column algebra, no shuffle)."""
+    from beeper_matric_etl_tool_spark.ext.text import chunk_documents
+
+    words = [f"w{i}" for i in range(25)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "only three tokens")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_start"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, chunk_tokens=10, overlap_tokens=3).collect()
+    )
+    doc1 = [r for r in rows if r[0] == 1]
+    # stride 7 over 25 tokens: starts 0,7,14,21 (21 <= 25-3=22)
+    assert [r[2] for r in doc1] == [0, 7, 14, 21]
+    assert [r[1] for r in doc1] == [0, 1, 2, 3]
+    # full coverage, exact overlap, correct tail
+    for _, _, start, text, n in doc1:
+        chunk = text.split(" ")
+        assert chunk == words[start : start + 10]
+        assert n == len(chunk)
+    assert doc1[-1][4] == 4  # tail partial: tokens 21..24
+    # a doc shorter than one chunk yields exactly one whole-doc chunk
+    doc2 = [r for r in rows if r[0] == 2]
+    assert len(doc2) == 1 and doc2[0][3] == "only three tokens" and doc2[0][4] == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=5, overlap_tokens=5)
