@@ -26,6 +26,14 @@ from beeper_matric_etl_tool_spark.ext.text import exact_fingerprint, scaled_rati
 from beeper_matric_etl_tool_spark.operators.dedup import latest_by_key
 
 
+#: the engine's minhash/LSH defaults — THE single source for both the
+#: function defaults below and the SQL oracle builder
+#: (plans/catalog_ext.py:_minhash_band_cte), so a default change here
+#: re-derives the oracle literals instead of silently desyncing them
+MINHASH_NUM_HASHES = 32
+MINHASH_BANDS = 8
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One surviving row per distinct content fingerprint (lowest id wins)."""
     with_fp = df.withColumn("__fp", exact_fingerprint(text_col))
@@ -111,7 +119,7 @@ def portable_hash60(col: Column) -> Column:
 
 def minhash_signatures(
     df: DataFrame,
-    num_hashes: int = 32,
+    num_hashes: int = MINHASH_NUM_HASHES,
     shingle_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -148,7 +156,7 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(
     signatures: DataFrame,
-    bands: int = 8,
+    bands: int = MINHASH_BANDS,
     id_col: str = "doc_id",
     sig_col: str = "signature",
     num_hashes: int | None = None,
@@ -239,7 +247,7 @@ def lsh_band_rows(
 def lsh_cross_candidates(
     new_sigs: DataFrame,
     ref_sigs: DataFrame,
-    bands: int = 8,
+    bands: int = MINHASH_BANDS,
     id_col: str = "doc_id",
     sig_col: str = "signature",
     num_hashes: int | None = None,
@@ -265,8 +273,8 @@ def lsh_cross_candidates(
 def near_dedup_minhash(
     df: DataFrame,
     threshold: float = 0.7,
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
     shingle_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -492,8 +500,8 @@ def dedup_against_reference(
     new_docs: DataFrame,
     reference: DataFrame,
     threshold: float = 0.7,
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
     shingle_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",

@@ -380,7 +380,8 @@ def export_corpus(
     stages: dict[str, DataFrame],
     path: str,
     partition_by: tuple[str, ...] = ("lang",),
-    sort_within: tuple[str, ...] = ("pack_id",),
+    sort_within: tuple | None = None,
+    id_col: str = "doc_id",
 ) -> dict[str, int]:
     """Materialize the curated corpus ONCE — the terminal action of the
     funnel — and collect the export audit as a side effect of that same
@@ -391,12 +392,22 @@ def export_corpus(
     Layout is the engine's index layout (sinks.write_indexed): hive
     partitions on ``partition_by`` (default the pack partition key, so a
     trainer reads one source/language without touching the rest) and rows
-    sorted by ``sort_within`` (default pack_id — a pack's documents are
-    contiguous in the row groups, in their salted shuffle order)."""
+    sorted by ``sort_within``. The default sort is (pack_id, md5(id ||
+    PACK_SALT), id) — the SAME total order pack_by_budget assigned packs
+    with — so a pack's documents are contiguous in the row groups, in
+    their salted shuffle order, and two exports of the same corpus are
+    row-order-identical (sorting by pack_id alone would leave within-pack
+    order to the shuffle, breaking byte-level rerun reproducibility)."""
     from pyspark.sql import Observation
 
     from beeper_matric_etl_tool_spark.sinks import write_indexed
 
+    if sort_within is None:
+        sort_within = (
+            F.col("pack_id"),
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(PACK_SALT))),
+            F.col(id_col),
+        )
     obs = Observation("corpus_export")
     packed = stages["packed"].observe(
         obs,

@@ -110,17 +110,27 @@ def chunk_documents(
     0-based window index — (id, chunk_id) is a stable, rerun-deterministic
     key for downstream embedding/indexing.
 
+    NULL-text documents produce ZERO chunk rows (there is nothing to
+    embed) rather than a phantom chunk — F.size(NULL) would otherwise
+    null-propagate into one empty-string window claiming a full
+    chunk_tokens token count.
+
     Scale shape: pure column algebra (sequence → transform → posexplode)
     inside whole-stage codegen; zero shuffle — the fan-out is
     ~n_tokens/stride rows per document, produced where the document row
     already lives."""
-    if overlap_tokens >= chunk_tokens:
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_documents: chunk_tokens={chunk_tokens} must be positive")
+    if not 0 <= overlap_tokens < chunk_tokens:
         raise ValueError(
-            f"chunk_documents: overlap_tokens={overlap_tokens} must be smaller "
-            f"than chunk_tokens={chunk_tokens} — equal-or-larger overlap makes "
-            f"the stride non-positive and the window sequence infinite"
+            f"chunk_documents: overlap_tokens={overlap_tokens} must be in "
+            f"[0, chunk_tokens={chunk_tokens}) — negative overlap makes the "
+            f"stride exceed the window and silently LOSES the gap tokens "
+            f"from every chunk; overlap >= chunk makes the stride "
+            f"non-positive and the window sequence infinite"
         )
     stride = chunk_tokens - overlap_tokens
+    df = df.filter(F.col(text_col).isNotNull())
     toks = tokens(text_col)
     n = F.size(toks)
     # window starts: 1, 1+stride, ... while start <= max(n - overlap, 1) —

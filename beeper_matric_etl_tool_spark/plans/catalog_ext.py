@@ -65,12 +65,12 @@ def _mix_hash_sql() -> str:
     return f"substr(md5(CAST(doc_id AS VARCHAR) || '{MIX_SALT}'), 1, 6)"
 
 
-#: the engine's minhash defaults (ext/dedup.py minhash_signatures /
-#: lsh_band_rows) — the SQL builder below derives every literal from
-#: these two numbers so an engine-side default change desyncs loudly at
-#: build time, not silently at hash-check time
-MINHASH_NUM_HASHES = 32
-MINHASH_BAND_WIDTH = 4
+# the engine's minhash defaults — imported from THE single source
+# (ext/dedup.py, where they are also the function defaults), so an
+# engine-side default change re-derives every oracle literal the builder
+# below emits instead of silently desyncing the two planes
+MINHASH_NUM_HASHES = xdedup.MINHASH_NUM_HASHES
+MINHASH_BAND_WIDTH = xdedup.MINHASH_NUM_HASHES // xdedup.MINHASH_BANDS
 
 
 def _minhash_band_cte(src: str, prefix: str) -> str:

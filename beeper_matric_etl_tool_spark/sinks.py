@@ -182,12 +182,15 @@ def write_indexed(
     mode: str = "overwrite",
 ) -> None:
     """X1 — persist with index-like layout: hive partitions on the equality
-    key(s), sorted row groups on the range key(s)."""
+    key(s), sorted row groups on the range key(s). ``sort_within`` accepts
+    column names or Column expressions (computed sort keys)."""
     out = df
     if partition_by:
         out = out.repartition(*[F.col(c) for c in partition_by])
     if sort_within:
-        out = out.sortWithinPartitions(*[F.col(c) for c in sort_within])
+        out = out.sortWithinPartitions(
+            *[F.col(c) if isinstance(c, str) else c for c in sort_within]
+        )
     writer = out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -214,17 +217,25 @@ def write_filtered_view(
     rebuilt by the DB on write — a table-format deployment would instead
     keep it fresh with an incremental MERGE).
 
-    Returns the view DataFrame re-read from disk (what slice-readers see).
-    An empty slice is returned as an empty frame with the source schema:
-    a partitioned parquet write of zero rows emits no schema-bearing part
-    files, so the read-back would otherwise die with 'Unable to infer
-    schema' exactly when the rare-slice predicate matches nothing.
+    Returns the view DataFrame re-read from disk (what slice-readers see),
+    NORMALIZED to the source frame's column order and types: a raw hive
+    read-back would reorder partition columns last and re-infer their
+    types (bigint → int), so a refresh could silently flip the view's
+    schema. An empty slice is returned as an empty frame with that same
+    schema — a partitioned parquet write of zero rows emits no
+    schema-bearing part files, so the read-back would otherwise die with
+    'Unable to infer schema' exactly when the rare-slice predicate
+    matches nothing. Both branches therefore agree exactly, across
+    refreshes, whatever the slice size.
     """
     sliced = df.filter(predicate)
     write_indexed(sliced, path, partition_by=partition_by, sort_within=sort_within)
     if not has_parquet(path):
         return sliced.limit(0)
-    return df.sparkSession.read.parquet(path)
+    back = df.sparkSession.read.parquet(path)
+    return back.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in sliced.schema.fields]
+    )
 
 
 def batched_append(df: DataFrame, path: str, rows_per_batch: int = 100) -> None:

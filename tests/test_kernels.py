@@ -961,3 +961,13 @@ def test_chunk_documents_windows_cover_and_overlap(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=5, overlap_tokens=5)
+    # negative overlap would silently LOSE the gap tokens between windows
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=5, overlap_tokens=-1)
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, chunk_tokens=0, overlap_tokens=0)
+    # NULL text -> zero chunk rows, never a phantom full-token-count chunk
+    with_null = spark.createDataFrame(
+        [(3, None)], "doc_id long, text string"
+    )
+    assert chunk_documents(with_null, chunk_tokens=5, overlap_tokens=1).count() == 0

@@ -244,11 +244,14 @@ def test_incremental_dedup_is_linear_join_shaped(spark):
 
 def test_bm25_leg_avoids_global_sort(spark):
     """The bm25 leg's top-10 must come from TakeOrderedAndProject (per-
-    partition top-k, k-row merge); the only Sort permitted in the suite
-    plan is the rank window over the ALREADY-limited 10 rows. A global
-    corpus sort here would be a full-shuffle regression at scale."""
+    partition top-k, k-row merge); the only Sorts permitted in the suite
+    plan are window-local (hash-partitioned). A GLOBAL sort plans as an
+    Exchange rangepartitioning — asserting its absence pins the property
+    directly, so a future orderBy upstream of the limit cannot sneak a
+    full range-shuffle past the TakeOrderedAndProject check."""
     plan = plan_of(spark, "tfidf_top_terms")
     assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
 
 
 def test_funnel_suite_plan_is_join_shaped_and_jvm_only(spark):

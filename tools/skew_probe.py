@@ -157,8 +157,10 @@ def _rest(spark, path):
 
 
 def _completed_stages(spark):
+    """{(stageId, attemptId): shuffleReadBytes} — the stage list already
+    carries the shuffle-read metric, so no per-stage re-fetch is needed."""
     return {
-        (s["stageId"], s["attemptId"])
+        (s["stageId"], s["attemptId"]): s.get("shuffleReadBytes", 0)
         for s in _rest(spark, "/stages?status=COMPLETE")
     }
 
@@ -176,14 +178,14 @@ def timed_with_max_task(spark, df):
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
     wall = time.perf_counter() - t0
+    after = _completed_stages(spark)
     max_task_ms = 0.0
-    for sid, att in _completed_stages(spark) - before:
+    for (sid, att), shuffle_read in after.items():
+        if (sid, att) in before:
+            continue
+        if not shuffle_read:
+            continue  # map/scan stage: no shuffle input, no key skew
         try:
-            stage = _rest(spark, f"/stages/{sid}/{att}")
-            if isinstance(stage, list):
-                stage = stage[0]
-            if not stage.get("shuffleReadBytes", 0):
-                continue  # map/scan stage: no shuffle input, no key skew
             summ = _rest(
                 spark, f"/stages/{sid}/{att}/taskSummary?quantiles=1.0"
             )
