@@ -48,3 +48,19 @@ def test_every_oracle_backed_query_fits_driver_window():
             f"{name} is oracle-backed but sits outside the driver's "
             f"first-{DRIVER_WINDOW} window"
         )
+
+
+def test_minhash_oracle_literals_stay_in_sync():
+    """near_dup_pairs' oracle predates the _minhash_band_cte builder and
+    interleaves the simhash funnel, so it still spells its banding
+    literals out by hand; this pins them to the single-source constants
+    (ext/dedup.py via catalog_ext) so an engine-default change that
+    re-derives the builder-based oracles cannot silently leave this one
+    behind."""
+    from beeper_matric_etl_tool_spark.plans import catalog_ext as ce
+
+    sql = _SPECS["near_dup_pairs"].oracle
+    w = ce.MINHASH_BAND_WIDTH
+    assert f"generate_series(0, {ce.MINHASH_NUM_HASHES - 1})" in sql
+    assert f"b*{w} + 1, b*{w} + {w}" in sql
+    assert f"range(0, {ce.MINHASH_NUM_HASHES // w})" in sql
