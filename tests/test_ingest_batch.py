@@ -1,0 +1,73 @@
+"""Batch file ingest with the dead-letter contract (sources/ingest_batch.py):
+every input line ends up in exactly one of (good, dead) — schema violations
+are loud, never silently dropped or nulled."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from beeper_matric_etl_tool_spark.sources.ingest_batch import (
+    CORRUPT_COL,
+    read_delimited,
+    read_json_lines,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def test_read_delimited_splits_good_and_dead(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,name,score\n"        # header
+        "1,alice,0.5\n"          # good
+        "2,bob,0.75\n"           # good
+        "notanint,carol,0.1\n"   # bad: type mismatch
+        "3,dave\n"               # bad: too few columns
+        "4,erin,0.9,extracol\n"  # bad: too many columns
+    )
+    good, dead = read_delimited(spark, str(p), SCHEMA, skip_header=True)
+    good_rows = {r["id"]: r for r in good.collect()}
+    dead_rows = sorted(r["raw_line"] for r in dead.collect())
+
+    assert good.columns == ["id", "name", "score"]
+    assert set(good_rows) >= {1, 2}
+    assert good_rows[1]["name"] == "alice" and good_rows[1]["score"] == 0.5
+    # type-mismatch and wrong-column-count lines are dead-lettered
+    # verbatim (from_csv treats BOTH too-few and too-many columns as
+    # malformed — no silent null-padding)
+    assert "notanint,carol,0.1" in dead_rows
+    assert "3,dave" in dead_rows
+    assert "4,erin,0.9,extracol" in dead_rows
+    # partition: every non-header line is in exactly one side
+    assert good.count() + dead.count() == 5
+
+
+def test_read_json_lines_splits_good_and_dead(spark, tmp_path):
+    p = tmp_path / "in.ndjson"
+    p.write_text(
+        '{"id": 1, "name": "alice", "score": 0.5}\n'
+        '{"id": 2, "name": "bob"}\n'          # missing field -> null (sparse JSON)
+        'this is not json\n'                  # dead
+        '{"id": "x", "name": 3}\n'            # dead: id type mismatch
+    )
+    good, dead = read_json_lines(spark, str(p), SCHEMA)
+    good_rows = {r["id"]: r for r in good.collect() if r["id"] is not None}
+    dead_rows = sorted(r["raw_line"] for r in dead.collect())
+
+    assert 1 in good_rows and good_rows[1]["score"] == 0.5
+    assert 2 in good_rows and good_rows[2]["score"] is None
+    assert "this is not json" in dead_rows
+    assert good.count() + dead.count() == 4
+
+
+def test_reserved_corrupt_field_rejected(spark, tmp_path):
+    bad_schema = T.StructType([T.StructField(CORRUPT_COL, T.StringType())])
+    with pytest.raises(ValueError, match="reserved"):
+        read_delimited(spark, str(tmp_path), bad_schema)
