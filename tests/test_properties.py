@@ -215,3 +215,39 @@ def test_pack_by_budget_laws(spark_prop, rows, budget):
         ).collect()
     }
     assert {(r.doc_id, r.pack_id) for r in out} == again
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=60),
+    chunk=st.integers(min_value=2, max_value=20),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunk_documents_laws(spark_prop, n_tokens, chunk, overlap_frac):
+    """For ANY (doc length, chunk size, overlap < chunk):
+    - coverage: every token index appears in >= 1 chunk;
+    - exactness: chunk i's text is exactly tokens[start : start+chunk];
+    - overlap: consecutive chunks share exactly min(overlap, len(prev)-stride)
+      token positions (i.e. starts advance by a fixed stride);
+    - determinism: chunk_id is dense 0..k-1 in start order."""
+    from beeper_matric_etl_tool_spark.ext.text import chunk_documents
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    words = [f"t{i}" for i in range(n_tokens)]
+    df = spark_prop.createDataFrame([(7, " ".join(words))], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_id"], r["chunk_start"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(
+            df, chunk_tokens=chunk, overlap_tokens=overlap
+        ).collect()
+    )
+    stride = chunk - overlap
+    covered = set()
+    for cid, start, text, n in rows:
+        toks = text.split(" ")
+        assert toks == words[start : start + chunk]
+        assert n == len(toks)
+        assert start == cid * stride
+        covered.update(range(start, start + n))
+    assert covered == set(range(n_tokens))
+    assert [r[0] for r in rows] == list(range(len(rows)))
