@@ -48,9 +48,15 @@ def bm25_scores(
     when serving many queries over one corpus (see module docstring).
 
     idf uses the standard +1-smoothed log form (always positive):
-    ln(1 + (N - df + 0.5)/(df + 0.5)). Each term's contribution is
-    floor(1e6 · idf · tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))) — floored to
-    ppm per term, then integer-summed (see module docstring)."""
+    ln(1 + (N - df + 0.5)/(df + 0.5)), floored to integer ppm PER TERM
+    (idf_ppm) before it touches any per-row factor — the same convention
+    `tfidf_top_terms` uses, capping the ln() last-ulp cross-engine
+    exposure at vocabulary size instead of one floor-flip chance per
+    (doc, term) row. Each term's contribution is then
+    floor(idf_ppm · tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))) — only the
+    saturation/length-norm factor (plain IEEE arithmetic, identical ops
+    in every engine) remains inside the per-row floor — and the
+    contributions are integer-summed (see module docstring)."""
     if not query_terms:
         raise ValueError("bm25_scores: query_terms must be non-empty")
     k1 = F.lit(k1_x100 / 100.0)
@@ -82,18 +88,20 @@ def bm25_scores(
         hits.join(F.broadcast(term_df), on="__term")
         .join(F.broadcast(stats))
         .withColumn(
-            "__idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
-                / (F.col("__df") + F.lit(0.5))
-            ),
+            "__idf_ppm",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.log(
+                    F.lit(1.0)
+                    + (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+                    / (F.col("__df") + F.lit(0.5))
+                )
+            ).cast("long"),
         )
         .withColumn(
             "__contrib_ppm",
             F.floor(
-                F.lit(1_000_000.0)
-                * F.col("__idf")
+                F.col("__idf_ppm")
                 * (F.col("__tf") * (k1 + F.lit(1.0)))
                 / (
                     F.col("__tf")

@@ -28,13 +28,26 @@ from pyspark.sql import types as T
 CORRUPT_COL = "__corrupt"
 
 
-def _split_parsed(lines: DataFrame, parsed) -> tuple[DataFrame, DataFrame]:
+def _split_parsed(
+    lines: DataFrame, parsed, header_line: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Split parsed lines into (good, dead). ``dead`` carries
+    (raw_line, reason) with reason ∈ ('malformed', 'header') — EVERY input
+    line lands in exactly one side, so good.count() + dead.count() equals
+    the input line count unconditionally (the 'never lose a record
+    silently' invariant, now including header stripping)."""
     with_parse = lines.select(
         F.col("value").alias("__raw"), parsed.alias("__p")
     )
-    bad_pred = F.col(f"__p.{CORRUPT_COL}").isNotNull()
+    is_header = (
+        (F.col("__raw") == header_line) if header_line is not None else F.lit(False)
+    )
+    bad_pred = is_header | F.col(f"__p.{CORRUPT_COL}").isNotNull()
     good = with_parse.filter(~bad_pred).select("__p.*").drop(CORRUPT_COL)
-    dead = with_parse.filter(bad_pred).select(F.col("__raw").alias("raw_line"))
+    dead = with_parse.filter(bad_pred).select(
+        F.col("__raw").alias("raw_line"),
+        F.when(is_header, F.lit("header")).otherwise(F.lit("malformed")).alias("reason"),
+    )
     return good, dead
 
 
@@ -55,26 +68,37 @@ def read_delimited(
 ) -> tuple[DataFrame, DataFrame]:
     """CSV/TSV batch ingest under a schema CONTRACT. Returns
     ``(good, dead)``: ``good`` carries exactly the declared schema;
-    ``dead`` is one ``raw_line`` per unparseable input line (type
-    mismatch, wrong column count, broken quoting) — the batch dead-letter,
-    mirroring streaming/ingest.py's error column.
+    ``dead`` is one ``(raw_line, reason)`` per line not in ``good`` —
+    ``reason='malformed'`` for unparseable input (type mismatch, wrong
+    column count, broken quoting), ``reason='header'`` for stripped
+    header lines — the batch dead-letter, mirroring streaming/ingest.py's
+    error column.
 
-    ``skip_header=True`` drops lines equal to the schema's rendered
-    header (``sep.join(field names)``) — per-line parsing has no file
-    position, so the header is recognized by content; a header naming
-    different columns than the declared schema is itself a malformed line
-    and lands in ``dead``, which is the correct loud outcome for a
-    file/schema mismatch."""
+    ``skip_header=True`` classifies lines equal to the schema's rendered
+    header (``sep.join(field names)``) as ``reason='header'`` rows of
+    ``dead`` — per-line parsing has no file position, so the header is
+    recognized by CONTENT, and the stripped lines stay counted/auditable
+    in the dead side rather than being silently discarded. A header naming
+    different columns than the declared schema parses as a malformed line
+    and lands in ``dead`` with ``reason='malformed'`` — the correct loud
+    outcome for a file/schema mismatch.
+
+    ALL-STRING-SCHEMA HAZARD: with every declared field a string, a
+    legitimate DATA row whose values coincide exactly with the column
+    names is indistinguishable from a header by content and is classified
+    ``reason='header'`` too. It is never lost — it sits in ``dead``,
+    counted — but a caller with an all-string schema whose data domain
+    may contain the header tuple should pass ``skip_header=False`` and
+    drop the header rows itself (with any non-string field the header
+    cannot parse, so such collisions are impossible)."""
     lines = spark.read.text(path)
-    if skip_header:
-        header_line = sep.join(f.name for f in schema.fields)
-        lines = lines.filter(F.col("value") != header_line)
+    header_line = sep.join(f.name for f in schema.fields) if skip_header else None
     parsed = F.from_csv(
         F.col("value"),
         _with_corrupt(schema).simpleString(),
         {"sep": sep, "mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
     )
-    return _split_parsed(lines, parsed)
+    return _split_parsed(lines, parsed, header_line=header_line)
 
 
 def read_json_lines(
@@ -83,7 +107,9 @@ def read_json_lines(
     schema: T.StructType,
 ) -> tuple[DataFrame, DataFrame]:
     """NDJSON batch ingest under a schema contract — same ``(good, dead)``
-    split as :func:`read_delimited`. Unparseable JSON lands in ``dead``;
+    split as :func:`read_delimited` (NDJSON has no header concept, so
+    every ``dead`` row carries ``reason='malformed'``). Unparseable JSON
+    lands in ``dead``;
     parseable JSON MISSING declared fields yields nulls (JSON is sparse by
     design — per-field presence gates belong to the quality tier, e.g.
     functions/scalar.py:validate_schema)."""

@@ -129,7 +129,12 @@ def _prepare_bench_layout(spark, sf_dir: str) -> str:
             "spark-graft-bench-chunks",
             os.path.basename(sf_dir.rstrip("/")),
         )
-        sig = f"{os.path.getmtime(src)}:{os.path.getsize(src)}:{n_files}"
+        # the absolute source path is part of the signature: two different
+        # directories sharing a basename (e.g. a cp -p copy, which preserves
+        # mtime AND size) would otherwise pass the (mtime,size,n) check while
+        # the cached symlinks still point at the OTHER directory's tables —
+        # silently benchmarking the wrong data
+        sig = f"{sf_dir}:{os.path.getmtime(src)}:{os.path.getsize(src)}:{n_files}"
         marker = os.path.join(base, "_PREPARED")
         if not (
             os.path.exists(marker) and open(marker).read() == sig

@@ -34,19 +34,40 @@ def test_read_delimited_splits_good_and_dead(spark, tmp_path):
     )
     good, dead = read_delimited(spark, str(p), SCHEMA, skip_header=True)
     good_rows = {r["id"]: r for r in good.collect()}
-    dead_rows = sorted(r["raw_line"] for r in dead.collect())
+    dead_by_reason: dict[str, list[str]] = {}
+    for r in dead.collect():
+        dead_by_reason.setdefault(r["reason"], []).append(r["raw_line"])
 
     assert good.columns == ["id", "name", "score"]
+    assert dead.columns == ["raw_line", "reason"]
     assert set(good_rows) >= {1, 2}
     assert good_rows[1]["name"] == "alice" and good_rows[1]["score"] == 0.5
     # type-mismatch and wrong-column-count lines are dead-lettered
     # verbatim (from_csv treats BOTH too-few and too-many columns as
     # malformed — no silent null-padding)
-    assert "notanint,carol,0.1" in dead_rows
-    assert "3,dave" in dead_rows
-    assert "4,erin,0.9,extracol" in dead_rows
-    # partition: every non-header line is in exactly one side
-    assert good.count() + dead.count() == 5
+    assert "notanint,carol,0.1" in dead_by_reason["malformed"]
+    assert "3,dave" in dead_by_reason["malformed"]
+    assert "4,erin,0.9,extracol" in dead_by_reason["malformed"]
+    # the stripped header is COUNTED in dead (reason='header'), never
+    # silently discarded — every input line is in exactly one side
+    assert dead_by_reason["header"] == ["id,name,score"]
+    assert good.count() + dead.count() == 6
+
+
+def test_skip_header_all_string_collision_is_audited(spark, tmp_path):
+    """The documented all-string-schema hazard: a DATA row whose values
+    equal the column names is classified reason='header' — auditable in
+    dead, not silently lost (the 'never lose a record' invariant holds)."""
+    schema = T.StructType(
+        [T.StructField("a", T.StringType()), T.StructField("b", T.StringType())]
+    )
+    p = tmp_path / "in.csv"
+    p.write_text("a,b\nx,y\na,b\n")  # line 3 is DATA colliding with the header
+    good, dead = read_delimited(spark, str(p), schema, skip_header=True)
+    assert [tuple(r) for r in good.collect()] == [("x", "y")]
+    headers = [r["raw_line"] for r in dead.collect() if r["reason"] == "header"]
+    assert headers == ["a,b", "a,b"]  # both occurrences counted, none vanished
+    assert good.count() + dead.count() == 3
 
 
 def test_read_json_lines_splits_good_and_dead(spark, tmp_path):
@@ -64,6 +85,8 @@ def test_read_json_lines_splits_good_and_dead(spark, tmp_path):
     assert 1 in good_rows and good_rows[1]["score"] == 0.5
     assert 2 in good_rows and good_rows[2]["score"] is None
     assert "this is not json" in dead_rows
+    # NDJSON has no header concept — every dead row is 'malformed'
+    assert {r["reason"] for r in dead.collect()} == {"malformed"}
     assert good.count() + dead.count() == 4
 
 

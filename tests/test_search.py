@@ -36,8 +36,9 @@ ORACLE = f"""
     scored AS (
         SELECT h.doc_id,
                CAST(floor(
-                   1000000.0
-                   * ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+                   CAST(floor(1000000.0
+                        * ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5)))
+                     AS BIGINT)
                    * (h.tf * (1.2 + 1.0))
                    / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * h.dl / s.avgdl))
                ) AS BIGINT) AS contrib_ppm
