@@ -363,6 +363,183 @@ def hyperplane_bands(
     return F.array(*bands)
 
 
+def quantized_norms(
+    corpus: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, __v quantized vector, __n2 exact squared norm) — the prepared
+    side every cosine verify joins against. Built once per corpus and
+    shared across candidate legs (the `embedding_near_dup` catalog entry
+    reuses one for both its funnels)."""
+    return corpus.select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("__v")
+    ).withColumn("__n2", dot(F.col("__v"), F.col("__v")))
+
+
+def verify_cosine_pairs(
+    cand: DataFrame, n: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """(id_a, id_b) candidates → exact quantized-cosine scored pairs with
+    cosine ≥ ``threshold``; ``n`` is a :func:`quantized_norms` frame.
+    Output (id_a, id_b, cosine_ppm) with cosine_ppm = floor(1e6·dot/norms)
+    — the association the DuckDB oracle mirrors. try_divide: a zero-norm
+    vector degrades its pairs to NULL (dropped by the threshold) instead
+    of raising under ANSI mode. Linear in |candidates|: two hash joins
+    against the norms side, no pair arrays materialized beyond the
+    candidate set itself."""
+    scored = (
+        cand.join(
+            n.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("__v").alias("__va"), F.col("__n2").alias("__na2"),
+            ),
+            on="id_a",
+        )
+        .join(
+            n.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("__v").alias("__vb"), F.col("__n2").alias("__nb2"),
+            ),
+            on="id_b",
+        )
+        .withColumn("__dot", dot(F.col("__va"), F.col("__vb")))
+        .withColumn("__norms", F.sqrt(F.col("__na2")) * F.sqrt(F.col("__nb2")))
+    )
+    return (
+        scored.filter(F.try_divide(F.col("__dot"), F.col("__norms")) >= threshold)
+        .select(
+            "id_a", "id_b",
+            F.floor(F.try_divide(F.lit(1_000_000.0) * F.col("__dot"), F.col("__norms")))
+            .cast("long")
+            .alias("cosine_ppm"),
+        )
+    )
+
+
+def banded_candidate_pairs(
+    corpus: DataFrame,
+    planes: tuple[tuple[int, ...], ...],
+    n_bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 sign-LSH band under the
+    given plane set — the candidate stage of the embedding near-dup
+    funnel, shared by :func:`near_dup_embeddings`, the oracle-tier
+    catalog entry and the scale probe so all three measure the SAME
+    plan. The only shuffle is on the (band_id, band_sig) key."""
+    sigs = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(hyperplane_bands(F.col(vec_col), planes=planes, n_bands=n_bands)).alias(
+            "__band"
+        ),
+    ).select("vec_id", "__band.band_id", "__band.band_sig")
+    return (
+        sigs.alias("a")
+        .join(sigs.alias("b"), on=["band_id", "band_sig"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def corpus_sized_planes(
+    corpus: DataFrame,
+    n_bands: int = 4,
+    margin_bits: int = 4,
+    vec_col: str = "embedding",
+    n_docs: int | None = None,
+    dim: int | None = None,
+    seed: int = 1234,
+) -> tuple[tuple[tuple[int, ...], ...], int, int]:
+    """The production banding config FOR a corpus: measure (n_docs, dim)
+    in one tiny aggregate job (or accept caller-supplied estimates — at
+    100 TB the catalog already knows both) and apply the
+    :func:`scaled_planes_for` sizing rule. Returns (planes, n_docs, dim)
+    so callers can assert/log the chosen width. bits_per_band =
+    ⌈log₂ n_docs⌉ + margin_bits — the measured-linear regime
+    (`tools/scale_probe.py` growth curves in BASELINE.md)."""
+    if n_docs is None or dim is None:
+        row = corpus.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first(F.size(F.col(vec_col))).alias("d"),
+        ).first()
+        n_docs = int(row["n"]) if n_docs is None else n_docs
+        if dim is None:
+            dim = int(row["d"]) if row["d"] is not None else 0
+    if dim <= 0:
+        raise ValueError(
+            "corpus_sized_planes: could not determine embedding dim (empty "
+            "corpus or null vectors) — pass dim= explicitly"
+        )
+    planes = scaled_planes_for(
+        n_docs, n_bands=n_bands, margin_bits=margin_bits, dim=dim, seed=seed
+    )
+    return planes, n_docs, dim
+
+
+def near_dup_embeddings(
+    corpus: DataFrame,
+    n_bands: int = 4,
+    margin_bits: int = 4,
+    threshold: float = 0.85,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_docs: int | None = None,
+    dim: int | None = None,
+    seed: int = 1234,
+    planes: tuple[tuple[int, ...], ...] | None = None,
+    verify: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over a corpus — the
+    PRODUCTION entry point, with the LSH band width sized to the corpus
+    BY DEFAULT. Returns (id_a, id_b, cosine_ppm) with cosine ≥
+    ``threshold`` (verified exactly on the quantized vectors), or the raw
+    candidate pairs when ``verify=False`` (the scale probe's timing leg).
+
+    Why this exists: the band width is the knob that decides whether the
+    candidate join is linear or quadratic in corpus size. A fixed width
+    has a random-collision floor of n_bands · 2^-bits · C(n,2) — the
+    scale probe measures 100×/400× candidate growth at 10×/20× corpus
+    growth for the 4-bit toy width vs 9.4×/21.4× for log-sized bands.
+    This entry counts the corpus once (one aggregate job; pass
+    ``n_docs``/``dim`` estimates to skip it — any catalog knows both)
+    and applies the :func:`scaled_planes_for` rule, so a naive caller
+    gets the measured-linear regime. The fixed-width
+    :data:`LSH_PLANES` config remains ONLY the oracle-tier testing
+    width (tiny corpora need coarse buckets for non-trivial funnels —
+    `plans/catalog_ext.py:embedding_near_dup`); reaching it now requires
+    explicitly passing ``planes=``.
+
+    Recall contract: collision prob per bit for a pair at angle θ is
+    1 − θ/π, so per-band collision decays with width — sized bands trade
+    recall at MODERATE similarity for the linear candidate volume, while
+    near-identical pairs (the actual duplicates; cosine → 1, per-bit
+    prob → 1) survive any width. Hence the default ``threshold=0.85``:
+    the verify tier of this entry targets duplicates, not moderate-
+    similarity search (use `cosine_topk`/`knn_suite` for that).
+
+    100 TB shape: one banding pass over the corpus (n_bands rows per
+    vector), one equi-join shuffle on the band key, then the linear
+    verify join — never corpus²."""
+    if planes is None:
+        planes, n_docs, dim = corpus_sized_planes(
+            corpus,
+            n_bands=n_bands,
+            margin_bits=margin_bits,
+            vec_col=vec_col,
+            n_docs=n_docs,
+            dim=dim,
+            seed=seed,
+        )
+    cand = banded_candidate_pairs(
+        corpus, planes, n_bands=n_bands, vec_col=vec_col, id_col=id_col
+    )
+    if not verify:
+        return cand
+    n = quantized_norms(corpus, vec_col=vec_col, id_col=id_col)
+    return verify_cosine_pairs(cand, n, threshold=threshold)
+
+
 def label_centroid_sums(
     corpus: DataFrame,
     partition_col: str = "label",

@@ -1047,38 +1047,10 @@ def _lsh_oracle() -> str:
     """
 
 
-def _embedding_pair_scores(cand: DataFrame, n: DataFrame) -> DataFrame:
-    """(id_a, id_b) candidates → exact quantized-cosine scored pairs ≥ 0.3.
-    try_divide: a zero-norm vector degrades its pairs to NULL (dropped by
-    the threshold) instead of raising under ANSI mode."""
-    scored = (
-        cand.join(
-            n.select(
-                F.col("vec_id").alias("id_a"),
-                F.col("__v").alias("__va"), F.col("__n2").alias("__na2"),
-            ),
-            on="id_a",
-        )
-        .join(
-            n.select(
-                F.col("vec_id").alias("id_b"),
-                F.col("__v").alias("__vb"), F.col("__n2").alias("__nb2"),
-            ),
-            on="id_b",
-        )
-        .withColumn("__dot", xsim.dot(F.col("__va"), F.col("__vb")))
-        .withColumn("__norms", F.sqrt(F.col("__na2")) * F.sqrt(F.col("__nb2")))
-    )
-    return (
-        scored.filter(F.try_divide(F.col("__dot"), F.col("__norms")) >= 0.3)
-        .select(
-            "id_a", "id_b",
-            # association matches the oracle: (1e6·dot)/norms, not 1e6·cosine
-            F.floor(F.try_divide(F.lit(1_000_000.0) * F.col("__dot"), F.col("__norms")))
-            .cast("long")
-            .alias("cosine_ppm"),
-        )
-    )
+# (the candidate→verify kernels live in ext/similarity.py —
+# verify_cosine_pairs / banded_candidate_pairs / quantized_norms — shared
+# with the production-default entry point `near_dup_embeddings`; this
+# catalog entry pins the SAME kernels at the oracle-tier band width)
 
 
 @register(
@@ -1122,15 +1094,16 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This entry runs the ORACLE-TIER banding (16 planes / 4-bit band keys
     — non-trivial output on tiny corpora, hash-checkable against the SQL
-    twin). Candidate volume is linear only when bits_per_band is sized to
-    the corpus (≈ log2(n_docs), `xsim.lsh_planes` sizing rule): a fixed
-    width has a 2^-bits random-collision floor that is quadratic in n —
-    measured in `tools/scale_probe.py`, which probes both the fixed toy
-    width and the log-sized production width."""
+    twin) by EXPLICITLY passing `xsim.LSH_PLANES` — the only remaining
+    consumer of that fixed width. The production default is
+    `xsim.near_dup_embeddings`, which sizes bits_per_band to
+    ≈ log2(n_docs) (`xsim.scaled_planes_for`): a fixed width has a
+    2^-bits random-collision floor that is quadratic in n — measured in
+    `tools/scale_probe.py`, which probes both the fixed toy width and
+    the log-sized production width through the same shared kernels
+    (`banded_candidate_pairs` → `verify_cosine_pairs`)."""
     emb = table(spark, sf_dir, "embeddings")
-    n = emb.select(
-        "vec_id", xsim.quantize(F.col("embedding")).alias("__v")
-    ).withColumn("__n2", xsim.dot(F.col("__v"), F.col("__v")))
+    n = xsim.quantized_norms(emb)
 
     lab = emb.select("vec_id", "label")
     blocked_cand = (
@@ -1140,22 +1113,12 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
 
-    sigs = emb.select(
-        "vec_id",
-        F.explode(xsim.hyperplane_bands(F.col("embedding"))).alias("__band"),
-    ).select("vec_id", "__band.band_id", "__band.band_sig")
-    lsh_cand = (
-        sigs.alias("a")
-        .join(sigs.alias("b"), on=["band_id", "band_sig"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .distinct()
-    )
+    lsh_cand = xsim.banded_candidate_pairs(emb, planes=xsim.LSH_PLANES, n_bands=4)
 
-    blocked = _embedding_pair_scores(blocked_cand, n).select(
+    blocked = xsim.verify_cosine_pairs(blocked_cand, n, threshold=0.3).select(
         F.lit("blocked").alias("method"), "id_a", "id_b", "cosine_ppm"
     )
-    lsh = _embedding_pair_scores(lsh_cand, n).select(
+    lsh = xsim.verify_cosine_pairs(lsh_cand, n, threshold=0.3).select(
         F.lit("lsh").alias("method"), "id_a", "id_b", "cosine_ppm"
     )
     return blocked.unionByName(lsh)

@@ -179,28 +179,29 @@ def probe_decontaminate(docs, val_grams):
     )
 
 
-def probe_lsh_near_dup(emb, n_planes=None):
+def probe_lsh_near_dup(emb, n_docs=None, dim=None):
     """Banded sign-projection candidate generation + count — the
     embedding near-dup funnel without the verify stage (which is linear
     in candidates, i.e. measures the same curve twice).
 
-    ``n_planes=None`` runs the oracle-tier toy width (16 planes, 4-bit
-    band keys); an explicit count runs 4 bands of n_planes/4 bits — the
-    production sizing (`lsh_planes` rule: bits_per_band ≈ log2(n))."""
-    from beeper_matric_etl_tool_spark.ext.similarity import hyperplane_bands, lsh_planes
-
-    planes_kw = {} if n_planes is None else {"planes": lsh_planes(n_planes)}
-    sigs = emb.select(
-        "vec_id", F.explode(hyperplane_bands(F.col("embedding"), **planes_kw)).alias("b")
-    ).select("vec_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig"))
-    a = sigs.select(F.col("vec_id").alias("id_a"), "band_id", "band_sig")
-    b = sigs.select(F.col("vec_id").alias("id_b"), "band_id", "band_sig")
-    pairs = (
-        a.join(b, on=["band_id", "band_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    ``n_docs=None`` runs the oracle-tier toy width (16 planes, 4-bit
+    band keys — the motivating quadratic counter-example) via the shared
+    candidate kernel; with ``n_docs`` the candidates come THROUGH the
+    production entry point `near_dup_embeddings(verify=False)` — the
+    default path a naive caller gets, which applies the
+    `scaled_planes_for` sizing rule (bits_per_band ≈ log2(n) + 4), so
+    this probe measures the entry point itself, not a re-derivation of
+    its rule."""
+    from beeper_matric_etl_tool_spark.ext.similarity import (
+        LSH_PLANES,
+        banded_candidate_pairs,
+        near_dup_embeddings,
     )
+
+    if n_docs is None:
+        pairs = banded_candidate_pairs(emb, planes=LSH_PLANES, n_bands=4)
+    else:
+        pairs = near_dup_embeddings(emb, n_docs=n_docs, dim=dim, verify=False)
     return pairs.agg(F.count(F.lit(1)).alias("n_candidates"))
 
 
@@ -358,16 +359,18 @@ def main() -> None:
     #   bands·2^-bits·C(n,2) — candidate growth tracks factor² and the
     #   probe EXPECTS that (it is the motivating counter-example)
     # - log-sized (bits_per_band = log2(n) + 4): the floor stays O(n),
-    #   so candidates grow ~linearly and per-vector fan-out stays flat
-    import math
-
+    #   so candidates grow ~linearly and per-vector fan-out stays flat.
+    #   Run THROUGH near_dup_embeddings — the production default path —
+    #   with (n_docs, dim) passed so the timing excludes the sizing job.
+    dim = len(emb.select("embedding").first()[0])
     out["probe"]["lsh_near_dup"] = {}
-    for regime, planes_of in (
-        ("toy_4bit", lambda n: None),
-        ("log_sized", lambda n: 4 * (int(math.ceil(math.log2(n))) + 4)),
-    ):
-        t1, r1 = timed_value(probe_lsh_near_dup(emb, planes_of(n_base)))
-        t10, r10 = timed_value(probe_lsh_near_dup(big_emb, planes_of(n_grown)))
+    for regime in ("toy_4bit", "log_sized"):
+        if regime == "toy_4bit":
+            t1, r1 = timed_value(probe_lsh_near_dup(emb))
+            t10, r10 = timed_value(probe_lsh_near_dup(big_emb))
+        else:
+            t1, r1 = timed_value(probe_lsh_near_dup(emb, n_docs=n_base, dim=dim))
+            t10, r10 = timed_value(probe_lsh_near_dup(big_emb, n_docs=n_grown, dim=dim))
         c1, c10 = r1[0], r10[0]
         out["probe"]["lsh_near_dup"][regime] = {
             "base_sec": t1, "grown_sec": t10,
