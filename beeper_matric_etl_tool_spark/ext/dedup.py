@@ -524,9 +524,7 @@ def dedup_against_reference(
     Scale shape: the reference is touched by three linear passes
     (fingerprints for the exact anti-join, banded signatures for the LSH
     candidate join, shingles for candidate rows only via semi-join) —
-    never reference² and never reference × batch. In steady state the
-    fingerprint/signature sides are tiny derived tables a real deployment
-    would persist alongside the corpus and read directly.
+    never reference² and never reference × batch.
 
     ``portable=True`` swaps the minhash/band hashes for the md5 family
     (see :func:`minhash_signatures`) so the candidate set — and therefore
@@ -538,10 +536,68 @@ def dedup_against_reference(
     caller materializing BOTH frames re-runs the fingerprint join and the
     signature scans twice. Materialize one, or persist/localCheckpoint
     the pair first (curate() persists one stage up for the same reason).
+
+    Steady state: the three reference passes re-derive fingerprints,
+    signatures and shingles from raw text EVERY batch. A live deployment
+    amortizes them with the persisted index
+    (:mod:`~beeper_matric_etl_tool_spark.ext.dedup_index` —
+    ``build_dedup_index`` / ``dedup_against_index`` / ``append_dedup_index``),
+    which feeds the SAME core as this function, so the drop/survive
+    decisions are bit-identical between the two modes.
     """
-    new_fp = new_docs.withColumn("__fp", exact_fingerprint(text_col))
     ref_fp = reference.select(exact_fingerprint(text_col).alias("__fp"),
                               F.col(id_col).alias("__ref_id"))
+    ref_sigs = minhash_signatures(
+        reference, num_hashes, shingle_k, text_col, id_col, portable=portable
+    )
+    ref_sh = reference.select(
+        F.col(id_col).alias("ref_id"), shingles(tokens(text_col), shingle_k).alias("__shb")
+    )
+    return dedup_against_frames(
+        new_docs,
+        ref_fp,
+        ref_sigs,
+        ref_sh,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        text_col=text_col,
+        id_col=id_col,
+        portable=portable,
+    )
+
+
+def dedup_against_frames(
+    new_docs: DataFrame,
+    ref_fp: DataFrame,
+    ref_sigs: DataFrame,
+    ref_sh: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """The incremental-dedup core over PRE-DERIVED reference frames — the
+    shared engine behind :func:`dedup_against_reference` (frames derived
+    lazily from raw reference text) and
+    :func:`~beeper_matric_etl_tool_spark.ext.dedup_index.dedup_against_index`
+    (frames read from the persisted index, no reference text scan).
+
+    Frame contracts (column names are part of the interface):
+
+    - ``ref_fp``:   (``__fp`` md5 hex, ``__ref_id``) — the exact-dup side;
+    - ``ref_sigs``: (``id_col``, ``signature``) minhash signatures built
+      with the SAME (num_hashes, shingle_k, portable) as passed here —
+      mismatched configs change banding keys and therefore decisions,
+      which is why the persisted index stores its config and validates it;
+    - ``ref_sh``:   (``ref_id``, ``__shb`` shingle array) — consumed only
+      for LSH candidates (semi-joined down before the verify join).
+    """
+    new_fp = new_docs.withColumn("__fp", exact_fingerprint(text_col))
     exact_wit = (
         new_fp.select(F.col(id_col), "__fp")
         .join(ref_fp, on="__fp")
@@ -572,21 +628,16 @@ def dedup_against_reference(
     new_sigs = minhash_signatures(
         after_exact, num_hashes, shingle_k, text_col, id_col, portable=portable
     )
-    ref_sigs = minhash_signatures(
-        reference, num_hashes, shingle_k, text_col, id_col, portable=portable
-    )
     cands = lsh_cross_candidates(
         new_sigs, ref_sigs, bands, id_col, num_hashes=num_hashes, portable=portable
     )
     new_sh = after_exact.select(
         F.col(id_col).alias("new_id"), shingles(tokens(text_col), shingle_k).alias("__sha")
     )
-    ref_sh = reference.select(
-        F.col(id_col).alias("ref_id"), shingles(tokens(text_col), shingle_k).alias("__shb")
-    ).join(cands.select("ref_id").distinct(), on="ref_id", how="left_semi")
+    cand_ref_sh = ref_sh.join(cands.select("ref_id").distinct(), on="ref_id", how="left_semi")
     near_wit = (
         cands.join(new_sh, on="new_id")
-        .join(ref_sh, on="ref_id")
+        .join(cand_ref_sh, on="ref_id")
         .withColumn("jaccard_sim", jaccard(F.col("__sha"), F.col("__shb")))
         .filter(F.col("jaccard_sim") >= F.lit(threshold))
         .withColumn("__jppm", _jaccard_ppm())

@@ -1,0 +1,201 @@
+"""Persisted incremental-dedup index — the build/probe/append lifecycle
+of `dedup_against_reference` at steady state (SURVEY §2.12 dedup tier; the
+dedup analog of ext/similarity_index.py's IVF lifecycle).
+
+`dedup_against_reference` re-derives reference fingerprints, minhash
+signatures and shingles FROM RAW TEXT every batch — an O(|corpus| text
+scan) per snapshot. A live pipeline builds the derived tables once and
+amortizes them:
+
+  build:   one pass over the reference corpus → write `fingerprints/`
+           (id, fp — 16 B keys), `signatures/` (id, minhash signature)
+           and `shingles/` (id, shingle set) parquet, plus `_META.json`
+           pinning the EXACT derivation config.
+  probe:   `dedup_against_index` reads the three derived tables and runs
+           the same `dedup_against_frames` core the from-scratch path
+           uses — identical drop/survive decisions, ZERO reference-text
+           scans in the plan (the regression test asserts the reference
+           path never appears in the probe plan).
+  append:  when a batch's survivors are accepted into the corpus, derive
+           their three frames once and append — the next probe sees them
+           without any rebuild.
+
+Config is part of the index, not the call: (num_hashes, bands, shingle_k,
+portable, text/id col) are written to `_META.json` at build time and read
+back at probe/append time. A probe may not override them — minhash
+signatures computed under one config generate DIFFERENT band keys than
+another, so a mismatch would silently change decisions; the only
+probe-time knob is the verify `threshold` (applied to exact Jaccard over
+the stored shingles, config-independent).
+
+Storage shape: fingerprints and signatures are tiny (16 B + num_hashes×8 B
+per doc); `shingles/` is the big one (≈ tokenized text size). That is the
+price of a text-scan-free verify stage — and the verify only READS the
+candidate rows (semi-join pushdown), so at 100 TB the shingle table is
+cold storage touched proportionally to candidate volume, not corpus size.
+
+Filesystem contract: directories and `_META.json` are written with
+plain `os`/`open` — the same POSIX-local assumption as the sinks family
+(see sinks.py "Filesystem contract"). Parquet reads/writes go through
+Spark and work on any Hadoop-FS scheme, but the meta side-file needs a
+local path in this build.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beeper_matric_etl_tool_spark.ext.dedup import (
+    MINHASH_BANDS,
+    MINHASH_NUM_HASHES,
+    dedup_against_frames,
+    minhash_signatures,
+    shingles,
+)
+from beeper_matric_etl_tool_spark.ext.text import exact_fingerprint, tokens
+
+_META_FILE = "_META.json"
+
+
+def _derived_frames(
+    docs: DataFrame,
+    num_hashes: int,
+    shingle_k: int,
+    text_col: str,
+    id_col: str,
+    portable: bool,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(fingerprints, signatures, shingles) for a doc frame — ONE shared
+    derivation for build and append so the two can never drift. Column
+    names follow the `dedup_against_frames` contracts, with fingerprints
+    stored under the readable (id, fp) layout (renamed at probe time)."""
+    fp = docs.select(F.col(id_col), exact_fingerprint(text_col).alias("fp"))
+    sigs = minhash_signatures(
+        docs, num_hashes, shingle_k, text_col, id_col, portable=portable
+    )
+    sh = docs.select(
+        F.col(id_col), shingles(tokens(text_col), shingle_k).alias("shingle_set")
+    )
+    return fp, sigs, sh
+
+
+def _write(df: DataFrame, path: str, mode: str) -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def build_dedup_index(
+    reference: DataFrame,
+    path: str,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> None:
+    """Build and persist the index from the already-kept corpus. The
+    config is written to `_META.json` and becomes immutable for the
+    index's lifetime (probe and append read it back; see module
+    docstring for why overriding it is not offered)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"build_dedup_index: bands={bands} must divide "
+            f"num_hashes={num_hashes} (the lsh_band_rows guard, surfaced "
+            f"at build time so a broken config never becomes an index)"
+        )
+    fp, sigs, sh = _derived_frames(
+        reference, num_hashes, shingle_k, text_col, id_col, portable
+    )
+    _write(fp, os.path.join(path, "fingerprints"), "overwrite")
+    _write(sigs, os.path.join(path, "signatures"), "overwrite")
+    _write(sh, os.path.join(path, "shingles"), "overwrite")
+    meta = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "text_col": text_col,
+        "id_col": id_col,
+        "portable": portable,
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _META_FILE), "w") as fh:
+        json.dump(meta, fh)
+
+
+def read_meta(path: str) -> dict:
+    meta_path = os.path.join(path, _META_FILE)
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"dedup index at {path!r} has no {_META_FILE} — not an index "
+            f"built by build_dedup_index"
+        )
+    with open(meta_path) as fh:
+        return json.load(fh)
+
+
+def append_dedup_index(accepted: DataFrame, path: str) -> None:
+    """Append a batch of ACCEPTED documents (e.g. the survivors of
+    `dedup_against_index` after ingestion) to the index — derive their
+    three frames under the index's own stored config and append.
+
+    Idempotence caveat: parquet append is not transactional — re-running
+    an append after a partial failure duplicates derived rows. Duplicated
+    index rows cannot flip a dedup decision (witness selection is
+    min(ref_id); candidate sets are distinct-ed) but they waste space;
+    an exactly-once deployment should stage the append through the sinks
+    family's partitioned merge instead."""
+    meta = read_meta(path)
+    fp, sigs, sh = _derived_frames(
+        accepted,
+        meta["num_hashes"],
+        meta["shingle_k"],
+        meta["text_col"],
+        meta["id_col"],
+        meta["portable"],
+    )
+    _write(fp, os.path.join(path, "fingerprints"), "append")
+    _write(sigs, os.path.join(path, "signatures"), "append")
+    _write(sh, os.path.join(path, "shingles"), "append")
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    spark: SparkSession,
+    path: str,
+    threshold: float = 0.7,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental dedup of ``new_docs`` against the PERSISTED index —
+    same ``(survivors, dropped)`` contract and bit-identical decisions as
+    `dedup_against_reference(new_docs, reference, ...)` under the index's
+    stored config, but the reference corpus text is never scanned: the
+    exact anti-join reads `fingerprints/`, the LSH candidate join reads
+    `signatures/`, and the Jaccard verify reads only the candidate rows
+    of `shingles/` (semi-join). Steady-state cost per batch is
+    O(|batch| text scan + |index derived tables| column scans) instead of
+    O(|corpus| text scan)."""
+    meta = read_meta(path)
+    id_col = meta["id_col"]
+    ref_fp = spark.read.parquet(os.path.join(path, "fingerprints")).select(
+        F.col("fp").alias("__fp"), F.col(id_col).alias("__ref_id")
+    )
+    ref_sigs = spark.read.parquet(os.path.join(path, "signatures"))
+    ref_sh = spark.read.parquet(os.path.join(path, "shingles")).select(
+        F.col(id_col).alias("ref_id"), F.col("shingle_set").alias("__shb")
+    )
+    return dedup_against_frames(
+        new_docs,
+        ref_fp,
+        ref_sigs,
+        ref_sh,
+        threshold=threshold,
+        num_hashes=meta["num_hashes"],
+        bands=meta["bands"],
+        shingle_k=meta["shingle_k"],
+        text_col=meta["text_col"],
+        id_col=id_col,
+        portable=meta["portable"],
+    )

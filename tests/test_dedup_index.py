@@ -1,0 +1,145 @@
+"""Persisted incremental-dedup index (ext/dedup_index.py): bit-identical
+decisions vs the from-scratch path, NO reference-text scan in the probe
+plan, and append keeps batch N+1 equivalent to a full rebuild — the
+round-5 verdict's "steady state" gap, closed and pinned."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beeper_matric_etl_tool_spark.ext.dedup import dedup_against_reference
+from beeper_matric_etl_tool_spark.ext.dedup_index import (
+    append_dedup_index,
+    build_dedup_index,
+    dedup_against_index,
+    read_meta,
+)
+
+REF_ROWS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2, "one two three four five six seven eight nine ten eleven twelve"),
+    (3, "red orange yellow green blue indigo violet ultraviolet infrared xray"),
+]
+
+BATCH_ROWS = [
+    (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # exact dup of 1
+    (102, "one two three four five six seven eight nine ten eleven twelve thirteen"),  # near dup of 2
+    (103, "totally fresh document with its own unique vocabulary here now"),
+    (104, "another brand new document sharing nothing with the reference corpus"),
+]
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pairs(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def ref_on_disk(spark, tmp_path):
+    """Reference corpus WRITTEN TO PARQUET and read back, so the
+    reference-text scan is identifiable in plans by its path."""
+    ref_path = str(tmp_path / "reference_corpus")
+    _frame(spark, REF_ROWS).write.parquet(ref_path)
+    return spark.read.parquet(ref_path), ref_path
+
+
+def test_probe_matches_from_scratch_and_never_scans_reference_text(
+    spark, tmp_path, ref_on_disk
+):
+    reference, ref_path = ref_on_disk
+    idx = str(tmp_path / "idx")
+    build_dedup_index(reference, idx)
+
+    batch = _frame(spark, BATCH_ROWS)
+    s_scratch, d_scratch = dedup_against_reference(batch, reference)
+    s_index, d_index = dedup_against_index(batch, spark, idx)
+
+    # identical survivors AND identical audit trail (witness, reason, ppm)
+    assert _pairs(s_index) == _pairs(s_scratch)
+    assert _pairs(d_index) == _pairs(d_scratch)
+    # the fixture is meaningful: one exact drop, one near drop, two survivors
+    reasons = {r["doc_id"]: r["reason"] for r in d_index.collect()}
+    assert reasons == {101: "exact", 102: "near"}
+    assert {r["doc_id"] for r in s_index.collect()} == {103, 104}
+
+    # the done-criterion: the probe plan contains NO scan of the
+    # reference corpus TEXT (the only parquet carrying a text column),
+    # while the from-scratch plan does; the probe reads the index's
+    # derived tables instead. Asserted on ReadSchema signatures — file
+    # paths are truncated in plan strings, column schemas are not.
+    plan_scratch = s_scratch._jdf.queryExecution().executedPlan().toString()
+    plan_index = s_index._jdf.queryExecution().executedPlan().toString()
+    plan_index_d = d_index._jdf.queryExecution().executedPlan().toString()
+    assert "text:string" in plan_scratch  # reference text scanned from scratch
+    assert "text:string" not in plan_index  # probe: no text read anywhere
+    assert "text:string" not in plan_index_d
+    # ...because the derived tables are read in its place
+    assert "fp:string" in plan_index
+    assert "shingle_set" in plan_index_d or "shingle_set" in plan_index
+
+
+def test_append_keeps_index_equivalent_to_rebuild(spark, tmp_path, ref_on_disk):
+    reference, _ = ref_on_disk
+    idx = str(tmp_path / "idx")
+    build_dedup_index(reference, idx)
+
+    batch1 = _frame(spark, BATCH_ROWS)
+    survivors1, _ = dedup_against_index(batch1, spark, idx)
+    accepted = survivors1.select("doc_id", "text")
+    append_dedup_index(accepted, idx)
+
+    # batch2: a near-dup of a batch1 SURVIVOR (caught only via the
+    # appended rows), an exact dup of the original reference, one fresh
+    batch2 = _frame(
+        spark,
+        [
+            (201, "totally fresh document with its own unique vocabulary here now again"),
+            (202, "red orange yellow green blue indigo violet ultraviolet infrared xray"),
+            (203, "entirely novel content never before seen in any corpus at all"),
+        ],
+    )
+    s_index, d_index = dedup_against_index(batch2, spark, idx)
+    full_reference = reference.unionByName(accepted)
+    s_scratch, d_scratch = dedup_against_reference(batch2, full_reference)
+
+    assert _pairs(s_index) == _pairs(s_scratch)
+    assert _pairs(d_index) == _pairs(d_scratch)
+    reasons = {r["doc_id"]: (r["reason"], r["ref_id"]) for r in d_index.collect()}
+    assert reasons[201] == ("near", 103)  # witnessed by the APPENDED survivor
+    assert reasons[202] == ("exact", 3)
+    assert 203 not in reasons
+
+
+def test_config_is_stored_and_guarded(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    with pytest.raises(ValueError, match="must divide"):
+        build_dedup_index(_frame(spark, REF_ROWS), idx, num_hashes=32, bands=7)
+
+    build_dedup_index(
+        _frame(spark, REF_ROWS), idx, num_hashes=16, bands=4, portable=True
+    )
+    meta = read_meta(idx)
+    assert meta == {
+        "num_hashes": 16,
+        "bands": 4,
+        "shingle_k": 3,
+        "text_col": "text",
+        "id_col": "doc_id",
+        "portable": True,
+    }
+    # the stored config drives the probe: portable md5 signatures decide
+    # identically to a from-scratch run under the same config
+    batch = _frame(spark, BATCH_ROWS)
+    s_idx, d_idx = dedup_against_index(batch, spark, idx)
+    s_ref, d_ref = dedup_against_reference(
+        batch, _frame(spark, REF_ROWS), num_hashes=16, bands=4, portable=True
+    )
+    assert _pairs(s_idx) == _pairs(s_ref)
+    assert _pairs(d_idx) == _pairs(d_ref)
+
+    with pytest.raises(FileNotFoundError, match="_META"):
+        dedup_against_index(batch, spark, str(tmp_path / "not_an_index"))
