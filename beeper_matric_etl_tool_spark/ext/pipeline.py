@@ -212,6 +212,7 @@ def curate(
     persist_intermediates: bool = True,
     reference_docs: DataFrame | None = None,
     portable: bool = False,
+    lang_col: str | None = "lang",
 ) -> "CurationStages":
     """Run the full curation funnel; returns the per-stage DataFrames:
 
@@ -241,6 +242,12 @@ def curate(
     `quality_filter` driver row replays this whole funnel in DuckDB SQL).
     ~2-3× the minhash cost, identical plan shape.
 
+    ``lang_col`` (default ``"lang"``) keys the quality gate's stopword
+    floor on each document's OWN language inventory (see
+    :func:`quality_signal_columns`) — pass ``None`` for English-only
+    scoring of a corpus without a language column (a named-but-missing
+    column raises instead of silently penalizing non-English docs).
+
     The returned :class:`CurationStages` is a plain dict of stage frames
     plus ``release()`` (also a context manager) to unpersist what
     ``persist_intermediates=True`` pinned — call it when the batch is
@@ -253,7 +260,14 @@ def curate(
             f"columns the funnel adds ({', '.join(CURATE_RESERVED_COLUMNS)}); "
             f"rename them before curating"
         )
-    signals = quality_signal_columns(text_col)
+    if lang_col is not None and lang_col not in docs.columns:
+        raise ValueError(
+            f"curate: lang_col={lang_col!r} is not an input column — the "
+            f"quality gate's stopword floor is scored per-language (see "
+            f"quality_signal_columns); pass lang_col=None for English-only "
+            f"scoring of a lang-less corpus"
+        )
+    signals = quality_signal_columns(text_col, lang_col=lang_col)
     quality = docs.select(
         "*", *[c.alias(name) for name, c in signals.items()]
     ).select("*", *[c.alias(name) for name, c in quality_verdict_columns().items()])

@@ -55,19 +55,50 @@ QUALITY_BOUNDS = {
 }
 
 
-def quality_signal_columns(text_col: Column | str) -> dict[str, Column]:
+def quality_signal_columns(
+    text_col: Column | str, lang_col: Column | str | None = None
+) -> dict[str, Column]:
     """The five C4/Gopher quality SIGNALS as exact-integer named columns:
     token count, type-token ratio (ppm), duplicate-3-gram ratio (ppm),
     stopword hits, mean token length (x100). The 3-gram ratio compares
     TOTAL shingle count (positions) against DISTINCT shingles, both
-    O(tokens) array ops — no explode, no shuffle."""
+    O(tokens) array ops — no explode, no shuffle.
+
+    ``lang_col`` keys the stopword floor on the document's language: each
+    row is scored against ITS language's function-word inventory
+    (``ext.text.STOPWORDS``), falling back to English for unknown/NULL
+    languages — without it every non-English document is scored against
+    the English inventory and systematically penalized by the ``stop_ok``
+    rule (the round-5 verdict's per-language gap). The dispatch is one
+    CASE expression over a handful of inventories — still pure codegen
+    column algebra, zero shuffle."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = xtext.tokens(col)
     n_tokens = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
     total_3g = F.greatest(n_tokens - F.lit(2), F.lit(1))
     uniq_3g = F.size(shingles(toks, k=3))
-    stop_hits = xtext.stopword_hits(toks, xtext.STOPWORDS["en"])
+    if lang_col is None:
+        stop_hits = xtext.stopword_hits(toks, xtext.STOPWORDS["en"])
+    else:
+        lang = F.col(lang_col) if isinstance(lang_col, str) else lang_col
+        # CASE lang WHEN '<l>' THEN hits(<l>) ... ELSE hits(en) — the
+        # branch order is part of the cross-engine contract (the
+        # quality_filter oracle renders the same CASE from the same
+        # STOPWORDS dict)
+        stop_hits = None
+        for code, words in xtext.STOPWORDS.items():
+            if code == "en":
+                continue
+            hit = xtext.stopword_hits(toks, words)
+            stop_hits = (
+                F.when(lang == code, hit)
+                if stop_hits is None
+                else stop_hits.when(lang == code, hit)
+            )
+        stop_hits = stop_hits.otherwise(
+            xtext.stopword_hits(toks, xtext.STOPWORDS["en"])
+        )
     mean_len = F.floor(
         (F.lit(100) * (F.length(col) - (n_tokens - F.lit(1)))) / n_tokens
     ).cast("long")

@@ -65,6 +65,24 @@ def _mix_hash_sql() -> str:
     return f"substr(md5(CAST(doc_id AS VARCHAR) || '{MIX_SALT}'), 1, 6)"
 
 
+def _stopword_case_sql() -> str:
+    """SQL twin of quality_signal_columns' per-language stopword dispatch:
+    CASE lang over the SAME ``ext.text.STOPWORDS`` dict, same branch order
+    (non-en inventories in dict order), English fallback for unknown/NULL
+    — rendered from the Python constants so the two planes cannot drift."""
+
+    def hits(words: tuple[str, ...]) -> str:
+        inv = ",".join(f"'{w}'" for w in words)
+        return f"len(list_filter(str_split(text, ' '), x -> x IN ({inv})))"
+
+    branches = " ".join(
+        f"WHEN '{code}' THEN {hits(words)}"
+        for code, words in xtext.STOPWORDS.items()
+        if code != "en"
+    )
+    return f"CASE lang {branches} ELSE {hits(xtext.STOPWORDS['en'])} END"
+
+
 # the engine's minhash defaults — imported from THE single source
 # (ext/dedup.py, where they are also the function defaults), so an
 # engine-side default change re-derives every oracle literal the builder
@@ -1849,9 +1867,7 @@ _FUNNEL_NULL_SIGNALS = (
                        generate_series(1, greatest(len(str_split(text, ' ')) - 2, 1)),
                        i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' ')
                    ))) AS uniq_3g,
-                   len(list_filter(str_split(text, ' '),
-                       x -> x IN ('the','and','of','to','a','in','is','that')))
-                     AS stop_hits,
+                   {_stopword_case_sql()} AS stop_hits,
                    len(text) AS n_chars
             FROM corpus
         ),
@@ -1958,8 +1974,11 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind='signal' — one row per input doc with each quality SIGNAL and
     each per-rule VERDICT (audit-friendly: a real pipeline keeps the
     reasons, not just the survivors): length bounds, type-token-ratio
-    floor, duplicate-3-gram ceiling (Gopher's repetition rule), stopword
-    floor, mean-token-length band. Exact integer ppm/x100 throughout
+    floor, duplicate-3-gram ceiling (Gopher's repetition rule),
+    PER-LANGUAGE stopword floor (each document scored against its own
+    language's function-word inventory, English fallback — an
+    English-only floor would systematically drop non-English docs),
+    mean-token-length band. Exact integer ppm/x100 throughout
     (scaled_ratio contract), pure codegen column algebra, no shuffle.
 
     kind='funnel' — one row per SURVIVOR per stage of the full curation
@@ -1986,7 +2005,7 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionByName(redelivered).select("doc_id", "text", "lang")
 
-    signals = quality_signal_columns("text")
+    signals = quality_signal_columns("text", lang_col="lang")
     base = corpus.select("doc_id", *[c.alias(name) for name, c in signals.items()])
     verdicts = quality_verdict_columns()
     signal_leg = base.select(

@@ -41,6 +41,27 @@ def _planted_docs(spark, sf_dir):
             (BASE + 3, "en", good),
             # lexical near-duplicate of the good body (one word changed)
             (BASE + 4, "en", good.replace("fox", "wolf")),
+            # Spanish docs that pass the PER-LANGUAGE stopword floor (the
+            # synthetic corpus's es rows are English word-soup with an es
+            # label — under per-language scoring they correctly die at the
+            # gate, so tests needing post-gate es rows rely on these)
+            # word suffixes are LETTERS, not digits — the PII scrub
+            # rewrites digit runs to <NUM>, which would make every doc's
+            # scrubbed text identical and exact-dedup them to one row
+            *[
+                (
+                    BASE + 20 + i,
+                    "es",
+                    " ".join(
+                        [
+                            f"palabra{chr(97 + i)}{chr(97 + j // 26)}{chr(97 + j % 26)}"
+                            for j in range(54)
+                        ]
+                        + ["el", "la", "de", "que", "un", "por"]
+                    ),
+                )
+                for i in range(10)
+            ],
         ],
         "doc_id long, lang string, text string",
     )
@@ -380,3 +401,58 @@ def test_export_corpus_single_action_audit(spark, sf_dir, tmp_path):
     assert any(d.startswith("lang=") for d in os.listdir(path))
     # audit tokens equal the written tokens
     assert audit["total_tokens"] == back.agg(F.sum("n_tokens_packed")).first()[0]
+
+
+def test_quality_gate_scores_stopwords_per_language(spark):
+    """The per-language stopword floor (round-5 verdict gap #5): a
+    Spanish document with zero ENGLISH function words but plenty of
+    Spanish ones flips from dropped (legacy English-only scoring) to
+    kept (per-language scoring); unknown/NULL languages fall back to the
+    English inventory; curate() refuses a named-but-missing lang_col."""
+    from beeper_matric_etl_tool_spark.ext.quality import (
+        quality_signal_columns,
+        quality_verdict_columns,
+    )
+
+    # 54 distinct content words + 6 Spanish stopwords: n_tokens=60,
+    # TTR=100%, distinct shingles, mean token length ~7.3 chars — every
+    # rule passes EXCEPT the stopword floor under the English inventory
+    es_text = " ".join([f"palabra{i}" for i in range(54)] + ["el", "la", "de", "que", "un", "por"])
+    docs = spark.createDataFrame(
+        [(1, "es", es_text), (2, "en", es_text), (3, "it", es_text), (4, None, es_text)],
+        "doc_id long, lang string, text string",
+    )
+
+    def verdicts(lang_col):
+        signals = quality_signal_columns("text", lang_col=lang_col)
+        out = docs.select(
+            "doc_id", *[c.alias(n) for n, c in signals.items()]
+        ).select("doc_id", "stop_hits", *[
+            c.alias(n) for n, c in quality_verdict_columns().items()
+        ])
+        return {r["doc_id"]: r for r in out.collect()}
+
+    by_lang = verdicts("lang")
+    # the Spanish doc is scored against ITS inventory: 6 hits, kept
+    assert by_lang[1]["stop_hits"] == 6 and by_lang[1]["keep"]
+    # the same text labeled en scores 0 English hits: dropped
+    assert by_lang[2]["stop_hits"] == 0 and not by_lang[2]["keep"]
+    # unknown and NULL langs fall back to the English inventory
+    assert by_lang[3]["stop_hits"] == 0 and by_lang[4]["stop_hits"] == 0
+
+    # legacy English-only scoring drops doc 1 — the flip this test plants
+    legacy = verdicts(None)
+    assert legacy[1]["stop_hits"] == 0 and not legacy[1]["keep"]
+
+    # the curate() wiring: per-language by default, loud when lang_col
+    # names a column the input doesn't have
+    kept = {
+        r["doc_id"]
+        for r in curate(docs.fillna({"lang": "xx"}), source_col="lang")["quality"]
+        .filter(F.col("keep"))
+        .select("doc_id")
+        .collect()
+    }
+    assert 1 in kept and 2 not in kept
+    with pytest.raises(ValueError, match="lang_col"):
+        curate(docs.drop("lang").withColumn("src", F.lit("a")), source_col="src")
