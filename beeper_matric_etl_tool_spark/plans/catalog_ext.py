@@ -13,6 +13,9 @@ window family over `events`. Oracle parity rules used throughout:
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1605,11 +1608,108 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the hash-holdout split is the 'split' dimension of `corpus_composition`)
 
 
+#: deterministic batch-ingest fixture — written under /tmp at import time
+#: (atomic replace, content-addressed refresh) so BOTH the Spark query and
+#: the DuckDB oracle (whose SQL embeds the path) see identical bytes in
+#: any process that imported this module. The content exercises every
+#: dead-letter class the ingest contract defines: header stripping, type
+#: mismatch, too-few/too-many columns, invalid JSON, JSON type mismatch,
+#: sparse JSON (missing field -> NULL, still good).
+INGEST_FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "spark-graft-ingest-fixture")
+INGEST_CSV = os.path.join(INGEST_FIXTURE_DIR, "batch.csv")
+INGEST_NDJSON = os.path.join(INGEST_FIXTURE_DIR, "batch.ndjson")
+INGEST_CSV_HEADER = "doc_id,lang,n_tokens"
+INGEST_CSV_CONTENT = (
+    f"{INGEST_CSV_HEADER}\n"
+    "1,en,100\n"       # good
+    "2,es,50\n"        # good
+    "x,fr,10\n"        # dead: doc_id type mismatch
+    "3,de\n"           # dead: too few columns
+    "4,en,25,extra\n"  # dead: too many columns
+    "5,fr,abc\n"       # dead: n_tokens type mismatch
+)
+INGEST_NDJSON_CONTENT = (
+    '{"doc_id": 10, "lang": "en", "n_tokens": 7}\n'   # good
+    '{"doc_id": 11, "lang": "fr"}\n'                  # good: sparse -> NULL
+    "not json\n"                                      # dead: invalid JSON
+    '{"doc_id": "x", "lang": "de", "n_tokens": 3}\n'  # dead: type mismatch
+)
+
+
+def ensure_ingest_fixture() -> None:
+    """Write (or repair) the ingest fixture files. Idempotent and
+    atomic (tmp + os.replace, pid-unique tmp name) so concurrent
+    importers — driver, oracle process, parallel pytest — can race
+    safely."""
+    os.makedirs(INGEST_FIXTURE_DIR, exist_ok=True)
+    for path, content in (
+        (INGEST_CSV, INGEST_CSV_CONTENT),
+        (INGEST_NDJSON, INGEST_NDJSON_CONTENT),
+    ):
+        try:
+            with open(path) as fh:
+                if fh.read() == content:
+                    continue
+        except OSError:
+            pass
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(content)
+        os.replace(tmp, path)
+
+
+ensure_ingest_fixture()
+
+
+def _ingest_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+
+
 @register(
     "token_positions",
-    tags=("ext-text",),
-    oracle="""
-        SELECT doc_id, u.pos, u.token FROM (
+    tags=("ext-text", "ext-ingest"),
+    oracle=f"""
+        WITH craw AS (
+            SELECT value FROM read_csv('{INGEST_CSV}', header=false,
+                delim='|', quote='', columns={{'value': 'VARCHAR'}})
+        ),
+        cpar AS (
+            SELECT value, str_split(value, ',') AS p,
+                   value = '{INGEST_CSV_HEADER}' AS is_header,
+                   (len(str_split(value, ',')) = 3
+                    AND try_cast(str_split(value, ',')[1] AS BIGINT) IS NOT NULL
+                    AND try_cast(str_split(value, ',')[3] AS BIGINT) IS NOT NULL) AS ok
+            FROM craw
+        ),
+        jraw AS (
+            SELECT value FROM read_csv('{INGEST_NDJSON}', header=false,
+                delim='|', quote='', columns={{'value': 'VARCHAR'}})
+        ),
+        jval AS (SELECT value, json_valid(value) AS v FROM jraw),
+        jok AS (
+            SELECT value,
+                   (coalesce(json_type(value, '$.doc_id') IN ('UBIGINT','BIGINT'), TRUE)
+                    AND coalesce(json_type(value, '$.lang') = 'VARCHAR', TRUE)
+                    AND coalesce(json_type(value, '$.n_tokens') IN ('UBIGINT','BIGINT'), TRUE)) AS ok
+            FROM jval WHERE v
+        )
+        SELECT 'token' AS kind, doc_id, u.pos, u.token,
+               CAST(NULL AS INTEGER) AS chunk_start,
+               CAST(NULL AS VARCHAR) AS chunk_text,
+               CAST(NULL AS INTEGER) AS n_chunk_tokens,
+               CAST(NULL AS VARCHAR) AS lang,
+               CAST(NULL AS BIGINT) AS n_tokens,
+               CAST(NULL AS VARCHAR) AS raw_line,
+               CAST(NULL AS VARCHAR) AS reason
+        FROM (
             SELECT doc_id,
                    unnest(list_transform(
                        generate_series(1, len(toks)),
@@ -1617,15 +1717,147 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM (SELECT doc_id, str_split(text, ' ') AS toks
                   FROM documents WHERE doc_id < 3)
         )
+        UNION ALL
+        SELECT 'chunk', doc_id,
+               CAST((s - 1) // 12 AS INTEGER), CAST(NULL AS VARCHAR),
+               CAST(s - 1 AS INTEGER),
+               array_to_string(list_slice(toks, s, s + 15), ' '),
+               CAST(least(n - s + 1, 16) AS INTEGER),
+               CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM (
+            SELECT doc_id, toks, n,
+                   unnest(generate_series(1, greatest(n - 4, 1), 12)) AS s
+            FROM (SELECT doc_id, str_split(text, ' ') AS toks,
+                         len(str_split(text, ' ')) AS n
+                  FROM documents WHERE doc_id < 20 AND text IS NOT NULL)
+        )
+        UNION ALL
+        SELECT 'csv_good', try_cast(p[1] AS BIGINT),
+               CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+               CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+               p[2], try_cast(p[3] AS BIGINT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM cpar WHERE ok AND NOT is_header
+        UNION ALL
+        SELECT 'csv_dead', CAST(NULL AS BIGINT),
+               CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+               CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+               CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+               value, CASE WHEN is_header THEN 'header' ELSE 'malformed' END
+        FROM cpar WHERE is_header OR NOT ok
+        UNION ALL
+        SELECT 'json_good', CAST(value->>'$.doc_id' AS BIGINT),
+               CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+               CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+               value->>'$.lang', CAST(value->>'$.n_tokens' AS BIGINT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM jok WHERE ok
+        UNION ALL
+        SELECT 'json_dead', CAST(NULL AS BIGINT),
+               CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+               CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+               CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+               value, 'malformed'
+        FROM jval WHERE NOT v
+        UNION ALL
+        SELECT 'json_dead', CAST(NULL AS BIGINT),
+               CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+               CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+               CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+               value, 'malformed'
+        FROM jok WHERE NOT ok
     """,
 )
 def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Positional tokenization (posexplode): (doc, position, token) triples
-    — the layout a sequence labeller or n-gram indexer consumes."""
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 3)
-    return docs.select(
-        "doc_id", F.posexplode(xtext.tokens("text")).alias("pos", "token")
+    """Text ingest-and-tokenize suite — four kinds in one relation (the
+    round-5 pytest-only ops `chunk_documents` and batch ingest, made
+    driver-visible by merging into this slot; the window holds exactly 50
+    oracle-backed queries):
+
+    kind='token' — positional tokenization (posexplode): (doc, position,
+    token) triples, the layout a sequence labeller or n-gram indexer
+    consumes.
+
+    kind='chunk' — `ext.text.chunk_documents` (16-token windows, 4-token
+    overlap, stride 12) over docs < 20: one row per chunk with its
+    0-based window index (pos), token offset (chunk_start), text and
+    token count — the oracle replays the window algebra with
+    generate_series/list_slice, pinning coverage, stride and the partial
+    tail chunk exactly.
+
+    kind='csv_good'/'csv_dead'/'json_good'/'json_dead' — the batch
+    ingest dead-letter contract (`sources.ingest_batch`) over a
+    deterministic fixture (every input line in exactly one side): header
+    stripping counted as reason='header', type mismatches / wrong column
+    counts / invalid JSON as reason='malformed', sparse JSON fields as
+    NULLs in good rows. The oracle REPLAYS the parse in DuckDB over the
+    same raw lines (read_csv raw-line mode + str_split/try_cast for CSV,
+    json_valid/json_type for NDJSON) rather than trusting literals."""
+    from beeper_matric_etl_tool_spark.ext.text import chunk_documents
+    from beeper_matric_etl_tool_spark.sources.ingest_batch import (
+        read_delimited,
+        read_json_lines,
     )
+
+    ensure_ingest_fixture()
+    docs = table(spark, sf_dir, "documents")
+
+    def nulls(*specs):
+        return [F.lit(None).cast(t).alias(n) for n, t in specs]
+
+    chunk_cols = (("chunk_start", "int"), ("chunk_text", "string"), ("n_chunk_tokens", "int"))
+    ing_cols = (("lang", "string"), ("n_tokens", "long"))
+    dead_cols = (("raw_line", "string"), ("reason", "string"))
+
+    token_leg = (
+        docs.filter(F.col("doc_id") < 3)
+        .select("doc_id", F.posexplode(xtext.tokens("text")).alias("pos", "token"))
+        .select(
+            F.lit("token").alias("kind"), "doc_id", "pos", "token",
+            *nulls(*chunk_cols, *ing_cols, *dead_cols),
+        )
+    )
+    chunk_leg = chunk_documents(
+        docs.filter(F.col("doc_id") < 20), chunk_tokens=16, overlap_tokens=4
+    ).select(
+        F.lit("chunk").alias("kind"), "doc_id",
+        F.col("chunk_id").alias("pos"),
+        F.lit(None).cast("string").alias("token"),
+        "chunk_start", "chunk_text", "n_chunk_tokens",
+        *nulls(*ing_cols, *dead_cols),
+    )
+
+    csv_good, csv_dead = read_delimited(
+        spark, INGEST_CSV, _ingest_schema(), skip_header=True
+    )
+    json_good, json_dead = read_json_lines(spark, INGEST_NDJSON, _ingest_schema())
+
+    def good_leg(df, kind):
+        return df.select(
+            F.lit(kind).alias("kind"), "doc_id",
+            *nulls(("pos", "int"), ("token", "string"), *chunk_cols),
+            "lang", "n_tokens", *nulls(*dead_cols),
+        )
+
+    def dead_leg(df, kind):
+        return df.select(
+            F.lit(kind).alias("kind"),
+            *nulls(("doc_id", "long"), ("pos", "int"), ("token", "string"),
+                   *chunk_cols, *ing_cols),
+            "raw_line", "reason",
+        )
+
+    out = token_leg
+    for leg in (
+        chunk_leg,
+        good_leg(csv_good, "csv_good"),
+        dead_leg(csv_dead, "csv_dead"),
+        good_leg(json_good, "json_good"),
+        dead_leg(json_dead, "json_dead"),
+    ):
+        out = out.unionByName(leg)
+    return out
 
 
 @register(
