@@ -98,24 +98,47 @@ def _bench_streaming_ingest(spark, sf_dir: str) -> tuple[float, float, dict]:
         shutil.rmtree(work, ignore_errors=True)
 
 
+#: measured floor on a re-chunked lineitem file: the round-6 interleaved,
+#: position-balanced A/B at sf0.1 (10.3 MB source; 7 reps, median) —
+#:   files:                 8       12      16      24
+#:   pricing_summary        0.123   0.129   0.142   0.163
+#:   shipping_priority      0.205   0.191   0.202   0.225
+#:   top_revenue_customers  0.261   0.293   0.286   0.316
+#:   text_stats (control)   0.134   0.141   0.136   0.139
+#: below ~1.3 MB/file per-task scheduling overhead eats the parallelism
+#: gain on every lineitem query, so files are SIZED, not counted: the
+#: byte target generalizes to other SFs where a fixed count would not.
+TARGET_CHUNK_BYTES = 1_300_000
+
+
 def _prepare_bench_layout(spark, sf_dir: str) -> str:
     """Session-setup file layout: re-chunk ONLY the largest fact table
-    (lineitem) into SPARK_GRAFT_BENCH_LINEITEM_FILES parquet files (default
-    8 — the A/B-measured sweet spot) and symlink every other table
-    unchanged. The driver-generated sf tables are single files with a
-    SINGLE row group, so every Spark scan of them is one task no matter
-    the split size (BASELINE.md "Per-query floor"); re-chunking lineitem
-    restores the multi-file parallelism any real deployment has, while
-    keeping small tables single-file so multi-branch queries don't pay
-    extra listing. The chunked copy is cached in /tmp keyed on the source
-    file's identity, so repeated bench runs skip the rewrite. This is
-    engine-side layout management, not a bench trick: a warehouse owns
-    its file sizes; the DuckDB oracle keeps reading the ORIGINAL files.
-    Set SPARK_GRAFT_BENCH_LINEITEM_FILES=0 to disable."""
+    (lineitem) into size-targeted parquet files (bytes // TARGET_CHUNK_BYTES,
+    capped at 32 = the core count — the A/B-measured sweet spot, table
+    above) and symlink every other table unchanged. The driver-generated
+    sf tables are single files with a SINGLE row group, so every Spark
+    scan of them is one task no matter the split size (BASELINE.md
+    "Per-query floor"); re-chunking lineitem restores the multi-file
+    parallelism any real deployment has, while keeping small tables
+    single-file so multi-branch queries don't pay extra listing. The
+    chunked copy is cached in /tmp keyed on the source file's identity,
+    so repeated bench runs skip the rewrite. This is engine-side layout
+    management, not a bench trick: a warehouse owns its file sizes; the
+    DuckDB oracle keeps reading the ORIGINAL files.
+    SPARK_GRAFT_BENCH_LINEITEM_FILES overrides the computed count;
+    0 disables re-chunking entirely."""
     import shutil
     import tempfile
 
-    n_files = int(os.environ.get("SPARK_GRAFT_BENCH_LINEITEM_FILES", "8"))
+    src_for_sizing = os.path.join(os.path.abspath(sf_dir), "lineitem.parquet")
+    default_n = (
+        min(32, max(1, os.path.getsize(src_for_sizing) // TARGET_CHUNK_BYTES))
+        if os.path.exists(src_for_sizing)
+        else 0
+    )
+    n_files = int(
+        os.environ.get("SPARK_GRAFT_BENCH_LINEITEM_FILES", str(default_n))
+    )
     # symlink targets must be absolute: a relative SPARK_GRAFT_SF_DIR would
     # otherwise produce links that resolve relative to the /tmp layout dir
     # and dangle (crashing at query time, past this function's try/except)
