@@ -123,12 +123,33 @@ def test_dedup_clusters_labels_whole_corpus(spark):
 
 
 def test_connected_components_raises_when_not_converged(spark):
-    # a 4-chain needs 3 propagation rounds; cap at 1 → must refuse loudly
+    # a 4-chain needs >1 round under any scheme; cap at 1 → must refuse
+    # loudly rather than return a silently-partial clustering
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         xdedup.connected_components(pairs, max_iterations=1)
+
+
+def test_connected_components_long_chain_converges_log_rounds(spark):
+    """The round-5 verdict's pathological case, closed: a templated-
+    document CHAIN far longer than the round budget. Plain min-label
+    propagation moves the minimum one hop per round (a 300-path needs
+    ~300 rounds and would hit the 50-round raise); the pointer-jumping
+    step halves label chains every round, so the same path converges in
+    O(log 300) ≈ 9 rounds — pinned here by running with a 15-round cap,
+    well under the chain length."""
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    comp = {
+        r.node: r.component
+        for r in xdedup.connected_components(pairs, max_iterations=15).collect()
+    }
+    assert len(comp) == n + 1
+    assert set(comp.values()) == {0}  # one component, labeled by its minimum
 
 
 def test_cosine_identical_vectors(spark):
