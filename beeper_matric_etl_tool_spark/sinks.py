@@ -13,6 +13,21 @@ Spark-first equivalents:
   the composite second column). X1's `(room_id, timestamp)` index maps to
   partition-by-room + sort-by-timestamp — the layout `messages_topk_page`
   wants at 100 TB.
+
+Filesystem contract: the DataFrame reads/writes in this module go through
+Spark and work on any Hadoop-FS scheme, but three pieces of machinery use
+POSIX `os`/`shutil` primitives directly and are LOCAL-FILESYSTEM-ONLY:
+`has_parquet` (os.walk listing), `compact_target` (the two-rename crash-
+safe swap — object stores have no atomic rename), and streaming/ingest's
+`_watermark` JSON side file (os.replace swap). Each of them guards its
+path with `_require_local_path` and REFUSES a scheme-prefixed URI — a
+silent wrong answer here is dangerous (`has_parquet` returning False for
+an existing s3:// target would make the merge path treat it as a first
+write and overwrite it). Porting route: the Hadoop FileSystem API
+(`spark._jvm.org.apache.hadoop.fs` — rename() on HDFS, PUT-overwrite
+semantics on object stores) or a table format with a commit protocol
+(Delta/Iceberg), which replaces the rename swap and the side file
+outright.
 """
 
 from __future__ import annotations
@@ -41,8 +56,26 @@ def key_bucket(keys: Sequence[str], n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
 
 
+def _require_local_path(path: str, op: str) -> None:
+    """Enforce the module's "Filesystem contract" (see module docstring):
+    the rename/walk/side-file machinery is POSIX-local only, and a
+    scheme-prefixed URI must fail loudly instead of silently misbehaving
+    (e.g. `has_parquet` would report an existing s3:// target as absent,
+    turning a merge into a first-write overwrite)."""
+    if "://" in path:
+        raise ValueError(
+            f"{op}: path {path!r} has a URI scheme — this operator's "
+            f"filesystem machinery is POSIX-local only (sinks.py "
+            f"'Filesystem contract'); mount the store locally, or port "
+            f"the call to the Hadoop FileSystem API / a table format "
+            f"with a commit protocol"
+        )
+
+
 def has_parquet(path: str) -> bool:
-    """True when ``path`` holds any parquet data file (flat or hive layout)."""
+    """True when ``path`` holds any parquet data file (flat or hive
+    layout). Local filesystem only (module "Filesystem contract")."""
+    _require_local_path(path, "has_parquet")
     if not os.path.isdir(path):
         return False
     for root, dirs, files in os.walk(path):
@@ -152,8 +185,14 @@ def compact_target(
     overwrite would delete the only copy before commit; checkpointed
     blocks live in executor storage and do not survive the JVM.) If a
     crash lands between the two renames, ``<target>.compact-old`` holds
-    the full original — rename it back to recover.
+    the full original — rename it back to recover (recovery path pinned
+    by test).
+
+    Local filesystem only — the swap NEEDS atomic rename, which object
+    stores don't have (module "Filesystem contract"; scheme-prefixed
+    URIs are refused).
     """
+    _require_local_path(target_dir, "compact_target")
     if not has_parquet(target_dir):
         return 0
     flat_files = [

@@ -129,8 +129,12 @@ def _read_watermark(spark: SparkSession, target_dir: str) -> int | None:
     """Stored high-water event time (epoch millis) of everything committed
     so far — a tiny JSON side file under ``_watermark`` (underscore-prefixed,
     so table reads skip it). O(ms) driver-side I/O per batch, replacing the
-    old full-table max() scan. (On an object store this becomes the same
-    one-object GET/PUT the streaming checkpoint files already are.)"""
+    old full-table max() scan. LOCAL FILESYSTEM ONLY (sinks.py "Filesystem
+    contract"): the read/replace pair uses POSIX open/os.replace; on an
+    object store this would become the same one-object GET/PUT the
+    streaming checkpoint files already are — port via the Hadoop FS API,
+    don't point the POSIX path at a bucket (scheme URIs are refused)."""
+    sinks._require_local_path(target_dir, "_read_watermark")
     path = os.path.join(target_dir, "_watermark", "high_ms.json")
     if not os.path.isfile(path):
         return None
@@ -143,6 +147,7 @@ def _read_watermark(spark: SparkSession, target_dir: str) -> int | None:
 def _write_watermark(spark: SparkSession, target_dir: str, high_ms: int) -> None:
     import json
 
+    sinks._require_local_path(target_dir, "_write_watermark")
     wm_dir = os.path.join(target_dir, "_watermark")
     os.makedirs(wm_dir, exist_ok=True)
     tmp = os.path.join(wm_dir, ".high_ms.json.tmp")

@@ -65,3 +65,51 @@ def test_merge_targets_self_compact(spark, tmp_path):
             per_bucket[os.path.basename(root)] = n
     assert per_bucket and all(n == 1 for n in per_bucket.values())
     assert sinks.compact_target(spark, target) == 0  # nothing flat to compact
+
+
+def test_filesystem_contract_refuses_object_store_paths(spark):
+    """The sink family's POSIX machinery (os.walk listing, two-rename
+    compaction swap, watermark side file) REFUSES scheme-prefixed URIs —
+    sinks.py "Filesystem contract". The dangerous silent alternative:
+    has_parquet returning False for an EXISTING s3:// target would make
+    the merge path treat it as a first write and overwrite it."""
+    import pytest
+
+    from beeper_matric_etl_tool_spark.streaming import ingest
+
+    for fn in (
+        lambda p: sinks.has_parquet(p),
+        lambda p: sinks.compact_target(spark, p),
+        lambda p: ingest._read_watermark(spark, p),
+        lambda p: ingest._write_watermark(spark, p, 123),
+    ):
+        for uri in ("s3://bucket/table", "gs://bucket/t", "hdfs://nn/t"):
+            with pytest.raises(ValueError, match="POSIX-local"):
+                fn(uri)
+    # plain local paths keep working (absent dir is a normal False/None)
+    assert sinks.has_parquet("/tmp/definitely-not-a-table-xyz") is False
+
+
+def test_compact_crash_between_renames_recovers_by_documented_path(spark, tmp_path):
+    """compact_target's crash window: after `rename(target, old)` and
+    before `rename(tmp, target)` the target is missing but
+    <target>.compact-old holds the complete original. The docstring's
+    remediation — rename it back — must fully restore the table; pinned
+    here by constructing that exact on-disk state."""
+    path = str(tmp_path / "log")
+    for i in range(4):
+        sinks.append_log(
+            spark.createDataFrame([(f"s{i}",)], "status string"), path
+        )
+    expect = sorted(r.status for r in spark.read.parquet(path).collect())
+
+    # the between-renames crash state
+    os.rename(path, path + ".compact-old")
+    assert not os.path.exists(path)
+
+    # documented recovery
+    os.rename(path + ".compact-old", path)
+    assert sorted(r.status for r in spark.read.parquet(path).collect()) == expect
+    # and the next compaction attempt runs normally from the recovered state
+    assert sinks.compact_target(spark, path, min_files_to_compact=2, target_files=1) >= 1
+    assert sorted(r.status for r in spark.read.parquet(path).collect()) == expect

@@ -563,3 +563,66 @@ def test_quality_and_pii_kernels_run_in_stream(spark, tmp_path):
     assert rows[1].keep and rows[1].n_emails == 1
     assert "<EMAIL>" in rows[1].scrubbed and "bob@example.org" not in rows[1].scrubbed
     assert not rows[2].keep and not rows[2].ttr_ok
+
+
+def test_pipeline_downstream_of_load_stream_is_source_agnostic(spark, tmp_path):
+    """load_stream claims source-agnosticism: everything downstream of it
+    consumes only a string `value` column. Pinned by driving parse_events
+    → merge_batch_writer from a RATE source (no files anywhere on the
+    source side) with a synthesized JSON value column — if anything below
+    load_stream assumed file semantics (file names, maxFilesPerTrigger,
+    per-file ordering), this wiring could not run at all."""
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()
+        .select(
+            F.to_json(
+                F.struct(
+                    F.concat(F.lit("$ev"), F.col("value").cast("string")).alias("event_id"),
+                    F.concat(F.lit("!r"), (F.col("value") % 4).cast("string")).alias("room_id"),
+                    F.concat(F.lit("@u"), (F.col("value") % 7).cast("string")).alias("sender"),
+                    F.lit("m.room.message").alias("event_type"),
+                    F.unix_millis(F.col("timestamp")).alias("timestamp"),
+                    F.lit(False).alias("is_encrypted"),
+                    F.lit('{"body": "from-rate-source"}').alias("content"),
+                    F.lit(None).cast("string").alias("relates_to"),
+                )
+            ).alias("value")
+        )
+    )
+    events = ingest.parse_events(raw)
+    tgt, ckpt = str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    q = (
+        events.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+            ingest.merge_batch_writer(tgt, keys=["event_id"], watermark_delay_ms=3_600_000)
+        )
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        n = 0
+        while time.time() < deadline:
+            from beeper_matric_etl_tool_spark import sinks
+
+            if sinks.has_parquet(tgt):
+                n = spark.read.parquet(tgt).count()
+                if n > 0:
+                    break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert n > 0  # rows flowed source → parse → merge with zero files read
+    out = spark.read.parquet(tgt)
+    # every synthesized line parsed clean (no dead-letter rows) and the
+    # merge key held (unique event_ids) — the same contracts the file
+    # path's tests pin, now proven independent of the source kind
+    assert out.filter(F.col("error").isNotNull()).count() == 0
+    assert out.select("event_id").distinct().count() == out.count()
+    assert {r.room_id for r in out.select("room_id").distinct().collect()} <= {
+        "!r0", "!r1", "!r2", "!r3"
+    }
