@@ -211,6 +211,7 @@ def curate(
     embedding_id_col: str = "vec_id",
     persist_intermediates: bool = True,
     reference_docs: DataFrame | None = None,
+    reference_index: str | None = None,
     portable: bool = False,
     lang_col: str | None = "lang",
 ) -> "CurationStages":
@@ -221,10 +222,16 @@ def curate(
                        counts ``n_emails``/``n_digit_runs``)
     - ``exact``:       after exact dedup (lowest id per content fingerprint)
     - ``near``:        after MinHash near-dup components (canonical only)
-    - ``incremental``: after dropping exact/near duplicates of
-                       ``reference_docs``, the ALREADY-KEPT corpus — the
-                       per-snapshot mode of a live pipeline (identity when
-                       ``reference_docs`` is None). Runs after the
+    - ``incremental``: after dropping exact/near duplicates of the
+                       ALREADY-KEPT corpus — the per-snapshot mode of a
+                       live pipeline. Reference forms (mutually
+                       exclusive): ``reference_docs`` (raw corpus frame,
+                       derived tables computed in-flight) or
+                       ``reference_index`` (path to a persisted
+                       `ext/dedup_index.py` index — the steady-state
+                       mode: no reference-text scan, derivation config
+                       read from the index's own _META.json). Identity
+                       when neither is given. Runs after the
                        within-batch stages so the reference comparison
                        sees the smallest possible batch.
     - ``semantic``:    after SemDeDup (identity when ``embeddings`` is None)
@@ -327,7 +334,25 @@ def curate(
     )
     near = exact.join(canonical, on=id_col, how="left_semi")
 
-    if reference_docs is not None:
+    if reference_docs is not None and reference_index is not None:
+        raise ValueError(
+            "curate: pass reference_docs OR reference_index, not both — "
+            "the index stores its own derivation config, which would "
+            "silently override this call's (portable, threshold hashes)"
+        )
+    if reference_index is not None:
+        from beeper_matric_etl_tool_spark.ext.dedup_index import dedup_against_index
+
+        # config (num_hashes/bands/shingle_k/portable/columns) comes from
+        # the index's _META.json — the steady-state per-snapshot mode:
+        # reference text is never rescanned (see ext/dedup_index.py)
+        incremental, _incr_dropped = dedup_against_index(
+            near,
+            docs.sparkSession,
+            reference_index,
+            threshold=minhash_threshold,
+        )
+    elif reference_docs is not None:
         incremental, _incr_dropped = dedup_against_reference(
             near,
             reference_docs,

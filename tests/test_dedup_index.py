@@ -143,3 +143,37 @@ def test_config_is_stored_and_guarded(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="_META"):
         dedup_against_index(batch, spark, str(tmp_path / "not_an_index"))
+
+
+def test_curate_rides_the_persisted_index(spark, tmp_path, ref_on_disk):
+    """curate(reference_index=...) runs the incremental stage through the
+    persisted index — same survivors as curate(reference_docs=...) under
+    the matching config, and the two reference forms are mutually
+    exclusive (the index's stored config would silently override the
+    call's)."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import curate
+
+    reference, _ = ref_on_disk
+    idx = str(tmp_path / "idx")
+    build_dedup_index(reference, idx, portable=True)
+
+    # batch framed as a curate() input (needs lang for gate+packing);
+    # texts long enough to pass the quality gate are not needed here —
+    # we compare the two reference forms on identical inputs, so the
+    # pre-incremental funnel is the same either way
+    batch = spark.createDataFrame(
+        [(i, "en", t) for i, t in BATCH_ROWS], "doc_id long, lang string, text string"
+    )
+    via_index = curate(
+        batch, reference_index=idx, persist_intermediates=False, portable=True
+    )["incremental"]
+    via_docs = curate(
+        batch,
+        reference_docs=reference,
+        persist_intermediates=False,
+        portable=True,
+    )["incremental"]
+    assert _pairs(via_index.select("doc_id")) == _pairs(via_docs.select("doc_id"))
+
+    with pytest.raises(ValueError, match="not both"):
+        curate(batch, reference_docs=reference, reference_index=idx)

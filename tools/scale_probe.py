@@ -225,6 +225,20 @@ def probe_incremental_dedup(batch, reference):
     return dropped.agg(F.count(F.lit(1)).alias("n_dropped"))
 
 
+def probe_incremental_dedup_indexed(spark, batch, idx_path):
+    """The steady-state twin of `probe_incremental_dedup`: probe the SAME
+    fixed batch against a PERSISTED dedup index (ext/dedup_index.py)
+    instead of re-deriving reference fingerprints/signatures/shingles
+    from raw text. Decisions are bit-identical (dropped counts must match
+    the from-scratch leg); the timing difference IS the amortization the
+    index buys — the reference text scan and its minhash pass drop out
+    of every batch."""
+    from beeper_matric_etl_tool_spark.ext.dedup_index import dedup_against_index
+
+    _survivors, dropped = dedup_against_index(batch, spark, idx_path)
+    return dropped.agg(F.count(F.lit(1)).alias("n_dropped"))
+
+
 def probe_semdedup_pairs(emb, k: int):
     """SemDeDup's cost driver: the number of WITHIN-CLUSTER pairs the
     threshold stage must score (the threshold filter is linear in this
@@ -344,6 +358,40 @@ def main() -> None:
         "growth_ratio": round(t10 / t1, 2) if t1 else None,
         "base_dropped": r1["n_dropped"], "grown_dropped": r10["n_dropped"],
     }  # both counts must equal |batch| = 50 (25 exact copies + 25 prefixed near-dups)
+
+    # steady-state leg: the same probes against PERSISTED indexes (built
+    # once per reference — the amortized cost a live pipeline pays) with
+    # the probe-tier config matching the from-scratch leg above. Dropped
+    # counts must equal the from-scratch leg's; the per-batch timing no
+    # longer includes the reference text scan + minhash pass.
+    import shutil
+    import tempfile
+
+    from beeper_matric_etl_tool_spark.ext.dedup_index import build_dedup_index
+
+    idx_base = tempfile.mkdtemp(prefix="probe-dedup-idx-base-")
+    idx_grown = tempfile.mkdtemp(prefix="probe-dedup-idx-grown-")
+    try:
+        tb0 = time.perf_counter()
+        build_dedup_index(docs, idx_base, num_hashes=16, bands=4)
+        build_base = round(time.perf_counter() - tb0, 4)
+        tb0 = time.perf_counter()
+        build_dedup_index(big_docs, idx_grown, num_hashes=16, bands=4)
+        build_grown = round(time.perf_counter() - tb0, 4)
+        t1i, r1i = timed_value(probe_incremental_dedup_indexed(spark, batch, idx_base))
+        t10i, r10i = timed_value(probe_incremental_dedup_indexed(spark, batch, idx_grown))
+        out["probe"]["incremental_dedup_indexed"] = {
+            "base_sec": t1i, "grown_sec": t10i,
+            "growth_ratio": round(t10i / t1i, 2) if t1i else None,
+            "base_dropped": r1i["n_dropped"], "grown_dropped": r10i["n_dropped"],
+            "probe_vs_scratch_base": round(t1i / t1, 2) if t1 else None,
+            "probe_vs_scratch_grown": round(t10i / t10, 2) if t10 else None,
+            "index_build_base_sec": build_base,
+            "index_build_grown_sec": build_grown,
+        }
+    finally:
+        shutil.rmtree(idx_base, ignore_errors=True)
+        shutil.rmtree(idx_grown, ignore_errors=True)
     batch.unpersist()
     big_docs.unpersist()
 
