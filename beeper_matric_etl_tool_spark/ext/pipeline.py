@@ -109,6 +109,76 @@ def mix_keep(
     return h < F.coalesce(thresh[src], F.lit("000000"))
 
 
+#: the epoch-upsampling salt — a THIRD independent hash decision (see
+#: MIX_SALT): the fractional-copy coin must be independent of both the
+#: holdout split and the mix keep decision, or "rate 1.25" would hand the
+#: extra epoch to exactly the docs the 25%-mix-rate sources keep.
+EPOCH_SALT = ":epoch"
+
+
+def epoch_copies(
+    id_col: Column | str,
+    source_col: Column | str,
+    rates: dict[str, float],
+    salt: str = EPOCH_SALT,
+) -> Column:
+    """Number of training copies per document under temperature-style
+    source mixing with rates ABOVE 1 allowed (the upsampling half that
+    :func:`mix_keep` cannot express): ``floor(rate)`` guaranteed copies,
+    plus one more iff the salted hash clears the FRACTIONAL part's
+    threshold — so a source at rate 2.25 emits every doc twice and a
+    deterministic, content-stable quarter of them three times, and the
+    expected token mix matches the requested rate exactly. rate ≤ 1
+    degenerates to mix_keep's semantics (0 or 1 copies, same hash rule,
+    different salt). Unknown sources get 0 copies — dropped loudly in
+    the audit, never silently kept."""
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    src = F.col(source_col) if isinstance(source_col, str) else source_col
+    import math
+
+    base = F.create_map(
+        *[
+            x
+            for s, rate in rates.items()
+            for x in (F.lit(s), F.lit(int(math.floor(rate))))
+        ]
+    )
+    frac = F.create_map(
+        *[
+            x
+            for s, rate in rates.items()
+            for x in (F.lit(s), F.lit(mix_hex_threshold(rate - math.floor(rate))))
+        ]
+    )
+    h = F.substring(F.md5(F.concat(idc.cast("string"), F.lit(salt))), 1, 6)
+    extra = F.when(h < F.coalesce(frac[src], F.lit("000000")), 1).otherwise(0)
+    return (F.coalesce(base[src], F.lit(0)) + extra).cast("int")
+
+
+def mix_epochs(
+    df: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = EPOCH_SALT,
+) -> DataFrame:
+    """Materialize :func:`epoch_copies` as training examples: one output
+    row per (document, copy), with ``copy_id`` in 0..n_copies-1 —
+    (id, copy_id) is the stable training-example key a downstream
+    shuffle/packing stage works from. Zero-copy documents disappear (the
+    audit view is :func:`epoch_copies` itself, or the corpus_composition
+    dim='epoch' leg). Scale shape: pure column fan-out (sequence →
+    filter → explode) at the row's location, no shuffle; the data-volume
+    multiplier IS the requested epoch mix."""
+    n = epoch_copies(id_col, source_col, rates, salt=salt)
+    # sequence(0, -1) would produce a DESCENDING [0, -1] in Spark, so
+    # clamp the end at 0 and length-filter instead of branching on types
+    copies = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))), lambda c: c < n
+    )
+    return df.withColumn("copy_id", F.explode(copies))
+
+
 def pack_by_budget(
     df: DataFrame,
     token_col: str,

@@ -52,7 +52,60 @@ QUALITY_BOUNDS = {
     "min_stop_hits": 2,
     "min_mean_len_x100": 300,
     "max_mean_len_x100": 1200,
+    # Gopher repetition ceilings (ppm): fraction of duplicated lines /
+    # paragraphs by segment COUNT and by CHARACTER mass (the paper drops
+    # documents whose duplicate-line fraction exceeds 0.30 or whose
+    # duplicated-line character fraction exceeds 0.20; same shape for
+    # paragraphs). Single-segment documents (no newlines — the synthetic
+    # corpus) score 0 on all four and always pass.
+    "max_dup_line_ppm": 300_000,
+    "max_dup_para_ppm": 300_000,
+    "max_dup_line_char_ppm": 200_000,
+    "max_dup_para_char_ppm": 200_000,
 }
+
+
+def _segments(col: Column, pattern: str) -> Column:
+    """Split on a regex and drop blank segments — the shared line /
+    paragraph segmentation (pattern stays in the RE2 ∩ Java common
+    subset so the SQL twin can replay it with str_split_regex)."""
+    return F.filter(F.split(col, pattern), lambda x: F.trim(x) != "")
+
+
+def _char_mass(segs: Column) -> Column:
+    """Total characters across segments (0 for the empty list — matches
+    the oracle's coalesce(list_sum(...), 0))."""
+    return F.aggregate(
+        segs, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def repetition_signal_columns(text_col: Column | str) -> dict[str, Column]:
+    """Gopher's line/paragraph repetition signals as exact-integer ppm
+    columns: for each granularity (lines = ``\\n``-separated, paragraphs =
+    blank-line-separated ``\\n{2,}``), the fraction of segments that are
+    duplicates of an earlier-seen segment, by segment count and by
+    character mass. 'Excess mass' formulation: duplicated chars =
+    total segment chars − chars of the DISTINCT segment set, so a
+    boilerplate footer repeated 10× contributes 9 copies of its length.
+    All O(segments) array algebra — no explode, no shuffle; the only
+    super-linear piece is array_distinct's per-row hash set, bounded by
+    the document's own segment count."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    out: dict[str, Column] = {}
+    for name, pattern in (("line", r"\n"), ("para", r"\n{2,}")):
+        segs = _segments(col, pattern)
+        uniq = F.array_distinct(segs)
+        n = F.size(segs)
+        chars = _char_mass(segs)
+        uniq_chars = _char_mass(uniq)
+        out[f"dup_{name}_ppm"] = xtext.scaled_ratio(
+            n - F.size(uniq), F.greatest(n, F.lit(1))
+        )
+        out[f"dup_{name}_char_ppm"] = xtext.scaled_ratio(
+            chars - uniq_chars, F.greatest(chars, F.lit(1))
+        )
+    return out
 
 
 def quality_signal_columns(
@@ -108,6 +161,7 @@ def quality_signal_columns(
         "dup3_ppm": xtext.scaled_ratio(total_3g - uniq_3g, total_3g),
         "stop_hits": stop_hits.cast("int"),
         "mean_len_x100": mean_len,
+        **repetition_signal_columns(col),
     }
 
 
@@ -123,11 +177,25 @@ def quality_verdict_columns() -> dict[str, Column]:
     avglen_ok = F.col("mean_len_x100").between(
         b["min_mean_len_x100"], b["max_mean_len_x100"]
     )
+    rep_line_ok = (F.col("dup_line_ppm") <= b["max_dup_line_ppm"]) & (
+        F.col("dup_line_char_ppm") <= b["max_dup_line_char_ppm"]
+    )
+    rep_para_ok = (F.col("dup_para_ppm") <= b["max_dup_para_ppm"]) & (
+        F.col("dup_para_char_ppm") <= b["max_dup_para_char_ppm"]
+    )
     return {
         "len_ok": len_ok,
         "ttr_ok": ttr_ok,
         "rep_ok": rep_ok,
         "stop_ok": stop_ok,
         "avglen_ok": avglen_ok,
-        "keep": len_ok & ttr_ok & rep_ok & stop_ok & avglen_ok,
+        "rep_line_ok": rep_line_ok,
+        "rep_para_ok": rep_para_ok,
+        "keep": len_ok
+        & ttr_ok
+        & rep_ok
+        & stop_ok
+        & avglen_ok
+        & rep_line_ok
+        & rep_para_ok,
     }

@@ -163,3 +163,93 @@ def cents(col: Column | str) -> Column:
     from beeper_matric_etl_tool_spark.functions.scalar import cents as _cents
 
     return _cents(col)
+
+
+#: blank-line paragraph separator — shared with the quality gate's
+#: repetition battery and the boilerplate remover (RE2 ∩ Java-regex
+#: common subset, replayable as str_split_regex in a SQL twin)
+PARAGRAPH_RE = r"\n{2,}"
+
+
+def paragraphs(text_col: Column | str, pattern: str = PARAGRAPH_RE) -> Column:
+    """Blank-line paragraph segmentation with blank segments dropped —
+    the shared unit of the repetition battery (ext/quality.py) and
+    :func:`remove_boilerplate_paragraphs`."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(c, pattern), lambda x: F.trim(x) != "")
+
+
+def remove_boilerplate_paragraphs(
+    df,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+):
+    """Corpus-level boilerplate removal: drop every paragraph whose exact
+    content appears in at least ``min_docs`` DISTINCT documents (site
+    footers, license blocks, navigation chrome — the repeated-across-docs
+    mass that per-document quality rules cannot see), and rebuild each
+    document from its surviving paragraphs in original order.
+
+    Returns one row per input document:
+    (id_col, cleaned_text, n_paras, n_removed) — ``cleaned_text`` is ''
+    when every paragraph was boilerplate (the row is kept so the caller
+    decides whether an emptied doc survives; silently dropping it would
+    hide the removal from the audit).
+
+    Document-frequency (distinct docs), not raw occurrence count, is the
+    threshold: a paragraph repeated 50× inside ONE document is
+    within-document repetition — the quality gate's ``dup_para_ppm`` rule
+    owns that case — while 2 docs sharing a footer is boilerplate even
+    though the total count is lower.
+
+    Scale shape: three linear passes, no corpus×corpus join —
+    (1) posexplode paragraphs and aggregate md5(paragraph) →
+    approx-distinct-free exact distinct-doc counts (shuffles 16-byte
+    fingerprints + ids, never paragraph text); (2) anti-join the exploded
+    paragraphs against the over-threshold fingerprint set (the set is
+    df-filtered and tiny relative to the corpus — AQE broadcasts it when
+    it fits); (3) regroup survivors by document (array_sort over
+    (pos, text) structs restores order without a window). Passes 2–3
+    shuffle the paragraph text mass once each — the unavoidable cost of
+    reconstructing documents; everything else moves fingerprints only.
+    """
+    if min_docs < 2:
+        raise ValueError(
+            f"remove_boilerplate_paragraphs: min_docs={min_docs} must be "
+            f">= 2 — at 1 every paragraph is 'boilerplate' and the corpus "
+            f"empties"
+        )
+    paras = df.select(
+        F.col(id_col), F.posexplode(paragraphs(text_col)).alias("pos", "para")
+    ).withColumn("para_fp", F.md5("para"))
+    boiler = (
+        paras.groupBy("para_fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("para_fp")
+    )
+    kept = paras.join(boiler, "para_fp", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).cast("int").alias("__n_kept"),
+    )
+    return (
+        df.select(id_col, F.size(paragraphs(text_col)).alias("n_paras"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+            "n_paras",
+            (F.col("n_paras") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )

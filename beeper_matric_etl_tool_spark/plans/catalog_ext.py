@@ -23,6 +23,7 @@ from beeper_matric_etl_tool_spark.ext import dedup as xdedup
 from beeper_matric_etl_tool_spark.ext import similarity as xsim
 from beeper_matric_etl_tool_spark.ext import text as xtext
 from beeper_matric_etl_tool_spark.ext.pipeline import (
+    EPOCH_SALT,
     MIX_SALT,
     PACK_SALT,
     mix_hex_threshold,
@@ -86,10 +87,94 @@ def _stopword_case_sql() -> str:
     return f"CASE lang {branches} ELSE {hits(xtext.STOPWORDS['en'])} END"
 
 
+def _quality_signal_cte_sql(source: str) -> str:
+    """SQL twin of ``quality_signal_columns``: the ``seg``/``s``/``m``
+    CTE chain over ``source`` (doc_id, lang, text), ending in ``m`` — one
+    row per doc carrying every quality signal (token battery + Gopher
+    line/paragraph repetition ppm). Shared by the `quality_filter` oracle
+    and the planted-document parity test (tests/test_pipeline.py), so the
+    SQL the driver hashes and the SQL the non-degenerate test exercises
+    are the same text."""
+    lines = r"list_filter(str_split_regex(text, '\n'), x -> trim(x) <> '')"
+    paras = r"list_filter(str_split_regex(text, '\n{2,}'), x -> trim(x) <> '')"
+    return f"""seg AS (
+            SELECT *,
+                   {lines} AS seg_lines,
+                   {paras} AS seg_paras
+            FROM {source}
+        ),
+        s AS (
+            SELECT doc_id, lang, text,
+                   len(str_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(str_split(text, ' '))) AS n_uniq,
+                   greatest(len(str_split(text, ' ')) - 2, 1) AS total_3g,
+                   len(list_distinct(list_transform(
+                       generate_series(1, greatest(len(str_split(text, ' ')) - 2, 1)),
+                       i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' ')
+                   ))) AS uniq_3g,
+                   {_stopword_case_sql()} AS stop_hits,
+                   len(text) AS n_chars,
+                   len(seg_lines) AS n_lines,
+                   len(list_distinct(seg_lines)) AS n_uniq_lines,
+                   CAST(coalesce(list_sum(list_transform(seg_lines, x -> len(x))), 0) AS BIGINT) AS line_chars,
+                   CAST(coalesce(list_sum(list_transform(list_distinct(seg_lines), x -> len(x))), 0) AS BIGINT) AS uniq_line_chars,
+                   len(seg_paras) AS n_paras,
+                   len(list_distinct(seg_paras)) AS n_uniq_paras,
+                   CAST(coalesce(list_sum(list_transform(seg_paras, x -> len(x))), 0) AS BIGINT) AS para_chars,
+                   CAST(coalesce(list_sum(list_transform(list_distinct(seg_paras), x -> len(x))), 0) AS BIGINT) AS uniq_para_chars
+            FROM seg
+        ),
+        m AS (
+            SELECT doc_id, lang, text, n_tokens, stop_hits,
+                   (1000000 * n_uniq) // n_tokens AS ttr_ppm,
+                   (1000000 * (total_3g - uniq_3g)) // total_3g AS dup3_ppm,
+                   (100 * (n_chars - (n_tokens - 1))) // n_tokens AS mean_len_x100,
+                   (1000000 * (n_lines - n_uniq_lines)) // greatest(n_lines, 1) AS dup_line_ppm,
+                   (1000000 * (line_chars - uniq_line_chars)) // greatest(line_chars, 1) AS dup_line_char_ppm,
+                   (1000000 * (n_paras - n_uniq_paras)) // greatest(n_paras, 1) AS dup_para_ppm,
+                   (1000000 * (para_chars - uniq_para_chars)) // greatest(para_chars, 1) AS dup_para_char_ppm
+            FROM s
+        )"""
+
+
+def _quality_verdict_cte_sql() -> str:
+    """SQL twin of ``quality_verdict_columns``: the ``v`` CTE over ``m``
+    (per-rule verdicts + composite keep); literals are QUALITY_BOUNDS'
+    values, kept in lockstep by the driver hash."""
+    return """v AS (
+            SELECT *,
+                   (n_tokens BETWEEN 50 AND 100000) AS len_ok,
+                   (ttr_ppm >= 200000) AS ttr_ok,
+                   (dup3_ppm <= 600000) AS rep_ok,
+                   (stop_hits >= 2) AS stop_ok,
+                   (mean_len_x100 BETWEEN 300 AND 1200) AS avglen_ok,
+                   (dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000) AS rep_line_ok,
+                   (dup_para_ppm <= 300000 AND dup_para_char_ppm <= 200000) AS rep_para_ok,
+                   ((n_tokens BETWEEN 50 AND 100000) AND ttr_ppm >= 200000
+                     AND dup3_ppm <= 600000 AND stop_hits >= 2
+                     AND mean_len_x100 BETWEEN 300 AND 1200
+                     AND dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000
+                     AND dup_para_ppm <= 300000 AND dup_para_char_ppm <= 200000) AS keep
+            FROM m
+        )"""
+
+
 # the engine's minhash defaults — imported from THE single source
 # (ext/dedup.py, where they are also the function defaults), so an
 # engine-side default change re-derives every oracle literal the builder
 # below emits instead of silently desyncing the two planes
+#: doc_profile's boilerplate leg: planted footer paragraphs + the
+#: document-frequency floor — one definition feeding BOTH planes (the
+#: Spark query concatenates with real newlines; the oracle renders the
+#: same literals behind chr(10)||chr(10))
+BOILER_FOOTER_COMMON = (
+    "copyright footer all rights reserved contact the site team for details"
+)
+BOILER_FOOTER_RARE = (
+    "rare footer shared by too few documents to cross the frequency floor"
+)
+BOILER_MIN_DOCS = 10
+
 MINHASH_NUM_HASHES = xdedup.MINHASH_NUM_HASHES
 MINHASH_BAND_WIDTH = xdedup.MINHASH_NUM_HASHES // xdedup.MINHASH_BANDS
 
@@ -188,6 +273,40 @@ MIX_RATES: dict[str, float] = {
     "de": 0.10,
 }
 
+#: per-source EPOCH rates for the upsampling half of source mixing
+#: (ext/pipeline.py:epoch_copies): floor(rate) guaranteed copies + a
+#: hash-fraction extra. Chosen to cover every regime — integer+fraction
+#: (en 2.25), exactly one (es), sub-1 downsample (fr 0.5), pure integer
+#: (de 3.0); zh is deliberately ABSENT so the unknown-source → 0 copies
+#: rule shows up as a zeroed audit row, not a silent keep.
+EPOCH_RATES: dict[str, float] = {
+    "en": 2.25,
+    "es": 1.00,
+    "fr": 0.50,
+    "de": 3.00,
+}
+
+
+def _epoch_copies_sql() -> str:
+    """SQL twin of ext/pipeline.py:epoch_copies over (doc_id, lang):
+    integer base CASE + fractional-threshold hash CASE, every literal
+    interpolated from EPOCH_RATES / mix_hex_threshold / EPOCH_SALT so a
+    rate edit re-derives both planes."""
+    import math
+
+    base = " ".join(
+        f"WHEN '{s}' THEN {int(math.floor(r))}" for s, r in EPOCH_RATES.items()
+    )
+    frac = " ".join(
+        f"WHEN '{s}' THEN '{mix_hex_threshold(r - math.floor(r))}'"
+        for s, r in EPOCH_RATES.items()
+    )
+    h = f"substr(md5(CAST(doc_id AS VARCHAR) || '{EPOCH_SALT}'), 1, 6)"
+    return (
+        f"(CASE lang {base} ELSE 0 END + CASE WHEN {h} < "
+        f"CASE lang {frac} ELSE '000000' END THEN 1 ELSE 0 END)"
+    )
+
 
 @register(
     "corpus_composition",
@@ -197,7 +316,8 @@ MIX_RATES: dict[str, float] = {
             SELECT lang, n_chars, len(str_split(text, ' ')) AS n_toks,
                    {HOLDOUT_SQL} AS split,
                    {_mix_hash_sql()} AS h,
-                   {_mix_threshold_case_sql(MIX_RATES)} AS thresh
+                   {_mix_threshold_case_sql(MIX_RATES)} AS thresh,
+                   {_epoch_copies_sql()} AS n_cop
             FROM documents
         )
         SELECT 'lang' AS dim, lang AS key, count(*) AS n_docs,
@@ -218,6 +338,13 @@ MIX_RATES: dict[str, float] = {
                count(*) FILTER (WHERE h < thresh) AS n_kept,
                CAST((1000000 * count(*) FILTER (WHERE h < thresh)) // count(*)
                     AS BIGINT) AS kept_ppm
+        FROM d GROUP BY lang
+        UNION ALL
+        SELECT 'epoch' AS dim, lang AS key, count(*) AS n_docs,
+               CAST(NULL AS BIGINT) AS total_chars,
+               CAST(sum(n_toks * n_cop) AS BIGINT) AS total_tokens,
+               CAST(sum(n_cop) AS BIGINT) AS n_kept,
+               CAST((1000000 * sum(n_cop)) // count(*) AS BIGINT) AS kept_ppm
         FROM d GROUP BY lang
     """,
 )
@@ -246,8 +373,20 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     rationale live in ext/pipeline.py:mix_keep, which this query calls
     directly (one implementation, no drift). n_kept/kept_ppm are the
     per-source audit counts; the kept rows themselves are the same
-    relation minus the aggregate."""
-    from beeper_matric_etl_tool_spark.ext.pipeline import mix_keep
+    relation minus the aggregate.
+
+    dim='epoch' — the UPSAMPLING half of source mixing
+    (ext/pipeline.py:mix_epochs): rates above 1 replicate documents into
+    training copies — floor(rate) guaranteed plus a deterministic
+    hash-fraction extra under its own salt (EPOCH_SALT: a third
+    independent decision, see the MIX_SALT rationale). The audit is
+    aggregated from the EXPLODED one-row-per-copy relation, so the hash
+    pins the fan-out cardinalities (n_kept = training examples) and the
+    effective post-upsample token mass (total_tokens), per source;
+    kept_ppm is the realized rate in ppm (en 2.25 → ~2_250_000). zh has
+    no rate on purpose: unknown source → 0 copies, visible as a zeroed
+    row."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import mix_epochs, mix_keep
 
     docs = table(spark, sf_dir, "documents")
     base = docs.select(
@@ -279,46 +418,152 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_long.alias("total_chars"), null_long.alias("total_tokens"),
         "n_kept", "kept_ppm",
     )
-    return _grouped("lang", "lang").unionByName(_grouped("split", "split")).unionByName(mix)
+    # dim='epoch': the audit is computed from the EXPLODED relation (one
+    # row per training copy, ext/pipeline.py:mix_epochs) — the hash pins
+    # the fan-out cardinalities and the effective post-upsample token
+    # mass, not just the per-doc copy formula. zh has no EPOCH_RATES
+    # entry: unknown source → 0 copies, surfacing as a zeroed row via the
+    # left join (mix_epochs drops zero-copy docs from its own output).
+    exploded = mix_epochs(
+        docs.select("doc_id", "lang", xtext.token_count("text").alias("__n_toks")),
+        EPOCH_RATES,
+        source_col="lang",
+    )
+    eagg = exploded.groupBy(F.col("lang").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("__e_kept"),
+        F.sum("__n_toks").cast("long").alias("__e_tokens"),
+    )
+    epoch = (
+        base.groupBy(F.col("lang").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(eagg, "key", "left")
+        .select(
+            F.lit("epoch").alias("dim"),
+            "key",
+            "n_docs",
+            null_long.alias("total_chars"),
+            F.coalesce("__e_tokens", F.lit(0)).cast("long").alias("total_tokens"),
+            F.coalesce("__e_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.floor(
+                (F.lit(1_000_000) * F.coalesce(F.col("__e_kept"), F.lit(0)))
+                / F.col("n_docs")
+            )
+            .cast("long")
+            .alias("kept_ppm"),
+        )
+    )
+    return (
+        _grouped("lang", "lang")
+        .unionByName(_grouped("split", "split"))
+        .unionByName(mix)
+        .unionByName(epoch)
+    )
 
 
 @register(
     "doc_profile",
     tags=("ext-text",),
-    oracle="""
-        SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
+    # the boilerplate leg's planted footers + document-frequency floor —
+    # module constants so the Spark plane and the oracle interpolate the
+    # SAME literals (chr(10) in SQL because standard SQL strings do not
+    # process backslash escapes; the Spark side uses real newlines)
+    oracle=f"""
+        WITH prof AS (
+            SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
                CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
                     WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
                     WHEN fr_hits >= de_hits THEN 'fr'
                     ELSE 'de' END AS predicted_lang,
                fp, min_shingle_fp
-        FROM (
+            FROM (
+                SELECT doc_id,
+                       len(list_filter(str_split(text,' '), x -> x IN ('the','and','of','to','a','in','is','that'))) AS en_hits,
+                       len(list_filter(str_split(text,' '), x -> x IN ('el','la','de','que','y','en','un','por'))) AS es_hits,
+                       len(list_filter(str_split(text,' '), x -> x IN ('le','la','de','et','un','en','que','pour'))) AS fr_hits,
+                       len(list_filter(str_split(text,' '), x -> x IN ('der','die','und','das','von','zu','ein','mit'))) AS de_hits,
+                       md5(text) AS fp,
+                       list_aggregate(
+                           list_transform(
+                               generate_series(1, greatest(len(str_split(text,' ')) - 3, 1)),
+                               i -> md5(array_to_string(list_slice(str_split(text,' '), i, i + 3), ' '))
+                           ), 'min') AS min_shingle_fp
+                FROM documents
+            )
+        ),
+        bcorp AS (
             SELECT doc_id,
-                   len(list_filter(str_split(text,' '), x -> x IN ('the','and','of','to','a','in','is','that'))) AS en_hits,
-                   len(list_filter(str_split(text,' '), x -> x IN ('el','la','de','que','y','en','un','por'))) AS es_hits,
-                   len(list_filter(str_split(text,' '), x -> x IN ('le','la','de','et','un','en','que','pour'))) AS fr_hits,
-                   len(list_filter(str_split(text,' '), x -> x IN ('der','die','und','das','von','zu','ein','mit'))) AS de_hits,
-                   md5(text) AS fp,
-                   list_aggregate(
-                       list_transform(
-                           generate_series(1, greatest(len(str_split(text,' ')) - 3, 1)),
-                           i -> md5(array_to_string(list_slice(str_split(text,' '), i, i + 3), ' '))
-                       ), 'min') AS min_shingle_fp
+                   text || CASE
+                       WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) || '{BOILER_FOOTER_COMMON}'
+                       WHEN doc_id % 250 = 1 THEN chr(10) || chr(10) || '{BOILER_FOOTER_RARE}'
+                       ELSE '' END AS text
             FROM documents
+        ),
+        bps AS (
+            SELECT doc_id,
+                   list_filter(str_split_regex(text, '\\n{{2,}}'),
+                               x -> trim(x) <> '') AS ps
+            FROM bcorp
+        ),
+        bpara AS (
+            SELECT doc_id, pos, ps[pos] AS para
+            FROM (SELECT doc_id, unnest(generate_series(1, len(ps))) AS pos, ps
+                  FROM bps)
+        ),
+        bfreq AS (
+            SELECT md5(para) AS para_fp FROM bpara
+            GROUP BY md5(para)
+            HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+        ),
+        breb AS (
+            SELECT doc_id,
+                   string_agg(para, chr(10) || chr(10) ORDER BY pos) AS cleaned_text,
+                   count(*) AS n_kept
+            FROM bpara
+            WHERE md5(para) NOT IN (SELECT para_fp FROM bfreq)
+            GROUP BY doc_id
+        ),
+        bleg AS (
+            SELECT s.doc_id,
+                   md5(coalesce(r.cleaned_text, '')) AS cleaned_fp,
+                   CAST(len(s.ps) AS INTEGER) AS n_paras,
+                   CAST(len(s.ps) - coalesce(r.n_kept, 0) AS INTEGER) AS n_removed
+            FROM bps s LEFT JOIN breb r USING (doc_id)
         )
+        SELECT 'profile' AS kind, doc_id, en_hits, es_hits, fr_hits, de_hits,
+               predicted_lang, fp, min_shingle_fp,
+               CAST(NULL AS VARCHAR) AS cleaned_fp,
+               CAST(NULL AS INTEGER) AS n_paras, CAST(NULL AS INTEGER) AS n_removed
+        FROM prof
+        UNION ALL
+        SELECT 'boilerplate', doc_id, NULL, NULL, NULL, NULL,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               cleaned_fp, n_paras, n_removed
+        FROM bleg
     """,
 )
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document identity profile over ONE documents scan — language ID
-    + content fingerprints (the two former single-scan entries merged):
+    """Per-document identity + hygiene profile, two suite legs:
 
+    kind='profile' — language ID + content fingerprints over ONE
+    documents scan:
     - Function-word-inventory language ID: score each language's stopword
       hits per document, argmax with a fixed preference order. The
       operator shape (per-row scoring + deterministic argmax) is what a
       real fastText scorer slots into — as a pandas_udf producing the
       same columns.
     - Content fingerprints: whole-document md5 + rolling-hash (min over
-      4-token shingles) — the keys exact and near dedup group on."""
+      4-token shingles) — the keys exact and near dedup group on.
+
+    kind='boilerplate' — corpus-level boilerplate-paragraph removal
+    (`ext/text.py:remove_boilerplate_paragraphs`) over a deterministic
+    multi-paragraph corpus synthesized IN-QUERY (the raw documents have
+    no newlines): every 3rd doc gains a shared footer paragraph (~167
+    docs at sf0.01 — far above the document-frequency floor, removed
+    from all of them), every 250th-plus-1 gains a RARE footer (2 docs —
+    below the floor, kept: the negative case the hash pins). cleaned_fp
+    = md5 of the reconstructed text certifies the exact post-removal
+    bytes without shipping them; n_paras/n_removed are the audit
+    columns."""
     docs = table(spark, sf_dir, "documents")
     toks = xtext.tokens("text")
     hits = {
@@ -332,16 +577,46 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         xtext.min_shingle_fingerprint(toks, k=4).alias("min_shingle_fp"),
     )
     en, es, fr, de = (F.col(f"{lang}_hits") for lang in ("en", "es", "fr", "de"))
+    # argmax preference order identical to the oracle CASE
     predicted = (
         F.when((en >= es) & (en >= fr) & (en >= de), "en")
         .when((es >= fr) & (es >= de), "es")
         .when(fr >= de, "fr")
         .otherwise("de")
     )
-    return scored.select(
+    profile_leg = scored.select(
+        F.lit("profile").alias("kind"),
         "doc_id", "en_hits", "es_hits", "fr_hits", "de_hits",
         predicted.alias("predicted_lang"), "fp", "min_shingle_fp",
+        F.lit(None).cast("string").alias("cleaned_fp"),
+        F.lit(None).cast("int").alias("n_paras"),
+        F.lit(None).cast("int").alias("n_removed"),
     )
+
+    bcorp = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\n\n" + BOILER_FOOTER_COMMON)
+            )
+            .when(F.col("doc_id") % 250 == 1, F.lit("\n\n" + BOILER_FOOTER_RARE))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    cleaned = xtext.remove_boilerplate_paragraphs(bcorp, min_docs=BOILER_MIN_DOCS)
+    boiler_leg = cleaned.select(
+        F.lit("boilerplate").alias("kind"),
+        "doc_id",
+        *[F.lit(None).cast("int").alias(c) for c in ("en_hits", "es_hits", "fr_hits", "de_hits")],
+        F.lit(None).cast("string").alias("predicted_lang"),
+        F.lit(None).cast("string").alias("fp"),
+        F.lit(None).cast("string").alias("min_shingle_fp"),
+        F.md5("cleaned_text").alias("cleaned_fp"),
+        F.col("n_paras").cast("int").alias("n_paras"),
+        "n_removed",
+    )
+    return profile_leg.unionByName(boiler_leg)
 
 
 @register(
@@ -2064,11 +2339,17 @@ _FUNNEL_NULL_SIGNALS = (
     ("dup3_ppm", "long"),
     ("stop_hits", "int"),
     ("mean_len_x100", "long"),
+    ("dup_line_ppm", "long"),
+    ("dup_line_char_ppm", "long"),
+    ("dup_para_ppm", "long"),
+    ("dup_para_char_ppm", "long"),
     ("len_ok", "boolean"),
     ("ttr_ok", "boolean"),
     ("rep_ok", "boolean"),
     ("stop_ok", "boolean"),
     ("avglen_ok", "boolean"),
+    ("rep_line_ok", "boolean"),
+    ("rep_para_ok", "boolean"),
     ("keep", "boolean"),
 )
 
@@ -2090,38 +2371,8 @@ _FUNNEL_NULL_SIGNALS = (
             SELECT doc_id + 100000, text, lang
             FROM documents WHERE doc_id % 10 = 0
         ),
-        s AS (
-            SELECT doc_id, lang, text,
-                   len(str_split(text, ' ')) AS n_tokens,
-                   len(list_distinct(str_split(text, ' '))) AS n_uniq,
-                   greatest(len(str_split(text, ' ')) - 2, 1) AS total_3g,
-                   len(list_distinct(list_transform(
-                       generate_series(1, greatest(len(str_split(text, ' ')) - 2, 1)),
-                       i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' ')
-                   ))) AS uniq_3g,
-                   {_stopword_case_sql()} AS stop_hits,
-                   len(text) AS n_chars
-            FROM corpus
-        ),
-        m AS (
-            SELECT doc_id, lang, text, n_tokens, stop_hits,
-                   (1000000 * n_uniq) // n_tokens AS ttr_ppm,
-                   (1000000 * (total_3g - uniq_3g)) // total_3g AS dup3_ppm,
-                   (100 * (n_chars - (n_tokens - 1))) // n_tokens AS mean_len_x100
-            FROM s
-        ),
-        v AS (
-            SELECT *,
-                   (n_tokens BETWEEN 50 AND 100000) AS len_ok,
-                   (ttr_ppm >= 200000) AS ttr_ok,
-                   (dup3_ppm <= 600000) AS rep_ok,
-                   (stop_hits >= 2) AS stop_ok,
-                   (mean_len_x100 BETWEEN 300 AND 1200) AS avglen_ok,
-                   ((n_tokens BETWEEN 50 AND 100000) AND ttr_ppm >= 200000
-                     AND dup3_ppm <= 600000 AND stop_hits >= 2
-                     AND mean_len_x100 BETWEEN 300 AND 1200) AS keep
-            FROM m
-        ),
+        {_quality_signal_cte_sql("corpus")},
+        {_quality_verdict_cte_sql()},
         scrub AS (
             SELECT doc_id, lang,
                    regexp_replace(regexp_replace(text,
@@ -2186,14 +2437,18 @@ _FUNNEL_NULL_SIGNALS = (
         )
         SELECT 'signal' AS kind, doc_id, n_tokens, ttr_ppm, dup3_ppm,
                stop_hits, mean_len_x100,
-               len_ok, ttr_ok, rep_ok, stop_ok, avglen_ok, keep,
+               dup_line_ppm, dup_line_char_ppm, dup_para_ppm, dup_para_char_ppm,
+               len_ok, ttr_ok, rep_ok, stop_ok, avglen_ok,
+               rep_line_ok, rep_para_ok, keep,
                CAST(NULL AS INTEGER) AS stage_idx, CAST(NULL AS VARCHAR) AS stage,
                CAST(NULL AS BIGINT) AS pack_id
         FROM v
         UNION ALL
         SELECT 'funnel', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-               NULL, NULL, NULL, NULL, NULL, NULL,
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
                stage_idx, stage, pack_id
         FROM funnel
     """,
@@ -2210,7 +2465,11 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     PER-LANGUAGE stopword floor (each document scored against its own
     language's function-word inventory, English fallback — an
     English-only floor would systematically drop non-English docs),
-    mean-token-length band. Exact integer ppm/x100 throughout
+    mean-token-length band, and Gopher's line/paragraph repetition
+    battery (duplicate-segment fraction by count AND by character mass,
+    `ext/quality.py:repetition_signal_columns` — degenerate-zero on the
+    newline-free synthetic corpus, exercised on planted multi-line docs
+    in tests/test_pipeline.py). Exact integer ppm/x100 throughout
     (scaled_ratio contract), pure codegen column algebra, no shuffle.
 
     kind='funnel' — one row per SURVIVOR per stage of the full curation

@@ -1056,3 +1056,45 @@ def test_chunk_documents_windows_cover_and_overlap(spark):
         [(3, None)], "doc_id long, text string"
     )
     assert chunk_documents(with_null, chunk_tokens=5, overlap_tokens=1).count() == 0
+
+
+def test_remove_boilerplate_paragraphs(spark):
+    """Corpus-level boilerplate removal (ext/text.py): a footer shared by
+    >= min_docs docs is removed from every carrier with original
+    paragraph ORDER preserved; document frequency (not occurrence count)
+    is the threshold — a paragraph repeated 3x inside ONE doc stays; a
+    doc that is pure boilerplate comes back as '' rather than vanishing;
+    min_docs=1 is refused."""
+    import pytest as _pytest
+
+    from beeper_matric_etl_tool_spark.ext.text import (
+        remove_boilerplate_paragraphs,
+    )
+
+    footer = "all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha body one\n\n{footer}\n\nalpha body two"),
+            (2, f"{footer}\n\nbeta body"),
+            (3, "gamma body\n\ngamma body\n\ngamma body"),  # within-doc only
+            (4, footer),  # pure boilerplate -> emptied, not dropped
+            (5, "delta body stands alone"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_paragraphs(docs, min_docs=2).collect()
+    }
+    assert len(out) == 5
+    # order preserved around the removed middle paragraph
+    assert out[1]["cleaned_text"] == "alpha body one\n\nalpha body two"
+    assert out[1]["n_paras"] == 3 and out[1]["n_removed"] == 1
+    assert out[2]["cleaned_text"] == "beta body"
+    # df-threshold: 3 copies inside one doc are NOT boilerplate
+    assert out[3]["n_removed"] == 0 and out[3]["cleaned_text"].count("gamma") == 3
+    assert out[4]["cleaned_text"] == "" and out[4]["n_removed"] == 1
+    assert out[5]["cleaned_text"] == "delta body stands alone"
+
+    with _pytest.raises(ValueError, match="min_docs"):
+        remove_boilerplate_paragraphs(docs, min_docs=1)

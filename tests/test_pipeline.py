@@ -456,3 +456,151 @@ def test_quality_gate_scores_stopwords_per_language(spark):
     assert 1 in kept and 2 not in kept
     with pytest.raises(ValueError, match="lang_col"):
         curate(docs.drop("lang").withColumn("src", F.lit("a")), source_col="src")
+
+
+def test_quality_gate_repetition_battery(spark):
+    """Gopher's line/paragraph repetition rules on planted multi-line
+    docs (the synthetic corpus has no newlines, so the driver row only
+    pins the degenerate-zero case — THIS test is the non-degenerate
+    evidence): a doc whose duplicate-LINE fraction crosses 0.30 is
+    dropped by rep_line_ok even though every token-level rule passes
+    (short repeated separator lines barely move TTR/dup3); a doc with a
+    boilerplate paragraph repeated until it owns >20% of the character
+    mass is dropped by the char-mass rule; and every signal/verdict
+    matches a DuckDB replay of the ORACLE's own CTE fragments
+    (plans/catalog_ext._quality_signal_cte_sql), so the SQL the driver
+    hashes is exercised on non-degenerate data too."""
+    import duckdb
+
+    from beeper_matric_etl_tool_spark.ext.quality import (
+        quality_signal_columns,
+        quality_verdict_columns,
+    )
+    from beeper_matric_etl_tool_spark.plans.catalog_ext import (
+        _quality_signal_cte_sql,
+        _quality_verdict_cte_sql,
+    )
+
+    # 6 unique 10-word lines (60 distinct tokens, stopwords included)
+    uniq_lines = [
+        " ".join(
+            ["the", "of", f"w{i}a", f"w{i}b", f"w{i}c", f"w{i}d",
+             f"w{i}e", f"w{i}f", f"w{i}g", f"w{i}h"]
+        )
+        for i in range(6)
+    ]
+    # doc 1: clean multi-line (6 distinct lines, 2 distinct paragraphs)
+    clean = "\n".join(uniq_lines[:3]) + "\n\n" + "\n".join(uniq_lines[3:])
+    # doc 2: the same six content lines + six copies of a short separator
+    # line -> 12 lines, 7 distinct: dup_line_ppm = 5/12 = 416_666 (> 300k,
+    # count rule fires) while the separator's chars are a sliver of the
+    # mass (char rule passes) and token rules all still pass
+    sep_heavy = "\n".join(
+        line for pair in zip(uniq_lines, ["sep1x"] * 6) for line in pair
+    )
+    # doc 3: a long boilerplate footer paragraph repeated 3x after one
+    # unique paragraph -> 2 of 4 paragraphs are duplicates (500_000 ppm)
+    # and the footer's repeats own far more than 20% of the char mass
+    footer = " ".join(uniq_lines[:2])
+    boiler = "\n\n".join(["\n".join(uniq_lines[2:]), footer, footer, footer])
+    docs = spark.createDataFrame(
+        [(1, "en", clean), (2, "en", sep_heavy), (3, "en", boiler)],
+        "doc_id long, lang string, text string",
+    )
+
+    signals = quality_signal_columns("text", lang_col="lang")
+    out = docs.select(
+        "doc_id", "lang", "text",
+        *[c.alias(n) for n, c in signals.items()],
+    ).select("*", *[c.alias(n) for n, c in quality_verdict_columns().items()])
+    rows = {r["doc_id"]: r for r in out.collect()}
+
+    assert rows[1]["dup_line_ppm"] == 0 and rows[1]["dup_para_ppm"] == 0
+    assert rows[1]["keep"], rows[1]
+
+    r2 = rows[2]
+    assert r2["dup_line_ppm"] == 416_666  # 5 dup of 12 lines
+    assert r2["dup_line_char_ppm"] <= 200_000  # sliver of the mass
+    assert not r2["rep_line_ok"] and not r2["keep"]
+    # the flip is ISOLATED to the new rule: every legacy rule passes
+    assert all(r2[k] for k in ("len_ok", "ttr_ok", "rep_ok", "stop_ok", "avglen_ok"))
+
+    r3 = rows[3]
+    assert r3["dup_para_ppm"] == 500_000  # 2 dup of 4 paragraphs
+    assert r3["dup_para_char_ppm"] > 200_000  # footer owns the mass
+    assert not r3["rep_para_ok"] and not r3["keep"]
+
+    # cross-engine: replay the ORACLE's own CTE fragments in DuckDB on
+    # the same planted docs and compare every signal + verdict
+    con = duckdb.connect()
+    con.register(
+        "planted",
+        out.select("doc_id", "lang", "text").toPandas(),
+    )
+    sql = f"""
+        WITH {_quality_signal_cte_sql("planted")},
+        {_quality_verdict_cte_sql()}
+        SELECT * FROM v ORDER BY doc_id
+    """
+    rel = con.sql(sql)
+    names = [d[0] for d in rel.description]
+    for orc in rel.fetchall():
+        o = dict(zip(names, orc))
+        s = rows[o["doc_id"]]
+        for col in (
+            "n_tokens", "ttr_ppm", "dup3_ppm", "stop_hits", "mean_len_x100",
+            "dup_line_ppm", "dup_line_char_ppm", "dup_para_ppm",
+            "dup_para_char_ppm", "len_ok", "ttr_ok", "rep_ok", "stop_ok",
+            "avglen_ok", "rep_line_ok", "rep_para_ok", "keep",
+        ):
+            assert s[col] == o[col], (o["doc_id"], col, s[col], o[col])
+
+
+def test_mix_epochs_upsampling(spark):
+    """Temperature-style epoch upsampling (ext/pipeline.py:mix_epochs):
+    integer rates replicate exactly; fractional rates give floor(rate)
+    copies plus a deterministic hash-fraction extra; copy_id is a
+    contiguous 0-based key; unknown sources emit zero copies; and the
+    whole fan-out is rerun-deterministic (no engine RNG)."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import (
+        epoch_copies,
+        mix_epochs,
+    )
+
+    rates = {"a": 3.0, "b": 1.5, "c": 0.5}
+    docs = spark.createDataFrame(
+        [(i, ("a", "b", "c", "zz")[i % 4]) for i in range(400)],
+        "doc_id long, source string",
+    )
+    out = mix_epochs(docs, rates).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy_id"])
+
+    n_copies = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", epoch_copies("doc_id", "source", rates).alias("n")
+        ).collect()
+    }
+    for did, cids in by_doc.items():
+        assert sorted(cids) == list(range(len(cids)))  # contiguous 0-based
+        assert len(cids) == n_copies[did]  # explode matches the formula
+
+    src = {i: ("a", "b", "c", "zz")[i % 4] for i in range(400)}
+    # integer rate: exactly 3 copies, every doc
+    assert all(len(by_doc[i]) == 3 for i in range(400) if src[i] == "a")
+    # fractional 1.5: every doc 1 or 2 copies, and BOTH occur
+    b_counts = {len(by_doc[i]) for i in range(400) if src[i] == "b"}
+    assert b_counts == {1, 2}
+    # 0.5: zero-copy docs vanish from the exploded output, kept docs = 1
+    c_kept = [i for i in range(400) if src[i] == "c" and i in by_doc]
+    assert 0 < len(c_kept) < 100 and all(len(by_doc[i]) == 1 for i in c_kept)
+    # unknown source: dropped entirely
+    assert all(i not in by_doc for i in range(400) if src[i] == "zz")
+
+    # deterministic: a rerun reproduces the exact (doc_id, copy_id) set
+    again = {
+        (r["doc_id"], r["copy_id"]) for r in mix_epochs(docs, rates).collect()
+    }
+    assert again == {(r["doc_id"], r["copy_id"]) for r in out}
