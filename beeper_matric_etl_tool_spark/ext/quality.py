@@ -62,6 +62,14 @@ QUALITY_BOUNDS = {
     "max_dup_para_ppm": 300_000,
     "max_dup_line_char_ppm": 200_000,
     "max_dup_para_char_ppm": 200_000,
+    # Gopher's top-n-gram ceiling: the fraction of 2-gram positions
+    # occupied by the single most frequent 2-gram (count fraction; the
+    # paper's 0.20 char-fraction ceiling for n=2). Catches "phrase spam"
+    # that scatters one bigram through otherwise-unique filler — TTR and
+    # the duplicate-3-gram rule both pass on that shape. Measured max on
+    # the synthetic corpus: 166_666 ppm, so the rule is live but
+    # non-perturbing at the oracle tier.
+    "max_top2gram_ppm": 200_000,
 }
 
 
@@ -77,6 +85,52 @@ def _char_mass(segs: Column) -> Column:
     the oracle's coalesce(list_sum(...), 0))."""
     return F.aggregate(
         segs, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def _max_multiplicity(arr: Column) -> Column:
+    """Maximum number of occurrences of any single element of ``arr``,
+    computed as the longest equal-run of the SORTED array — O(n log n)
+    per row, no explode/groupBy. Identical elements are adjacent under
+    ANY total order, so the result is independent of how two engines'
+    sorts tie-break (only equality matters — the oracle may sort
+    differently and still agree).
+
+    The run scan is a single `F.aggregate` fold with (prev, run, best)
+    struct state — ONE pass over the array. The tempting alternative
+    (boundary positions via filter/sequence + element_at into a derived
+    array) is quadratic-or-worse in Catalyst: every lambda reference to a
+    derived array re-inlines and RE-EVALUATES the whole producing
+    expression per element (no common-subexpression elimination across
+    higher-order-function boundaries) — measured as a multi-minute hang
+    on the 500-doc oracle corpus vs seconds for this fold. The DuckDB
+    twin keeps the boundary formulation staged through CTE columns
+    (materialized once there); the driver hash pins that the two
+    formulations agree. Empty array → 0."""
+    s = F.array_sort(arr)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(s, init, merge, lambda acc: acc["best"])
+
+
+def all_shingles(toks: Column, k: int) -> Column:
+    """EVERY k-token shingle with multiplicity (positions, not the
+    distinct set `ext.dedup.shingles` builds) — the input the top-n-gram
+    frequency rule counts over. Documents shorter than k yield their
+    single truncated window, mirroring the dup-3-gram convention."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
 
 
@@ -162,6 +216,10 @@ def quality_signal_columns(
         "stop_hits": stop_hits.cast("int"),
         "mean_len_x100": mean_len,
         **repetition_signal_columns(col),
+        "top2gram_ppm": xtext.scaled_ratio(
+            _max_multiplicity(all_shingles(toks, k=2)),
+            F.greatest(n_tokens - F.lit(1), F.lit(1)),
+        ),
     }
 
 
@@ -183,6 +241,7 @@ def quality_verdict_columns() -> dict[str, Column]:
     rep_para_ok = (F.col("dup_para_ppm") <= b["max_dup_para_ppm"]) & (
         F.col("dup_para_char_ppm") <= b["max_dup_para_char_ppm"]
     )
+    top2_ok = F.col("top2gram_ppm") <= b["max_top2gram_ppm"]
     return {
         "len_ok": len_ok,
         "ttr_ok": ttr_ok,
@@ -191,11 +250,13 @@ def quality_verdict_columns() -> dict[str, Column]:
         "avglen_ok": avglen_ok,
         "rep_line_ok": rep_line_ok,
         "rep_para_ok": rep_para_ok,
+        "top2_ok": top2_ok,
         "keep": len_ok
         & ttr_ok
         & rep_ok
         & stop_ok
         & avglen_ok
         & rep_line_ok
-        & rep_para_ok,
+        & rep_para_ok
+        & top2_ok,
     }

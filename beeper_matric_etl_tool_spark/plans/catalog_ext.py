@@ -97,10 +97,18 @@ def _quality_signal_cte_sql(source: str) -> str:
     are the same text."""
     lines = r"list_filter(str_split_regex(text, '\n'), x -> trim(x) <> '')"
     paras = r"list_filter(str_split_regex(text, '\n{2,}'), x -> trim(x) <> '')"
+    # every 2-gram WITH multiplicity, sorted — max equal-run length =
+    # max multiplicity (order-independent: only equality matters)
+    g2s = (
+        "list_sort(list_transform("
+        "generate_series(1, greatest(len(str_split(text, ' ')) - 1, 1)), "
+        "i -> array_to_string(list_slice(str_split(text, ' '), i, i + 1), ' ')))"
+    )
     return f"""seg AS (
             SELECT *,
                    {lines} AS seg_lines,
-                   {paras} AS seg_paras
+                   {paras} AS seg_paras,
+                   {g2s} AS g2s
             FROM {source}
         ),
         s AS (
@@ -121,7 +129,10 @@ def _quality_signal_cte_sql(source: str) -> str:
                    len(seg_paras) AS n_paras,
                    len(list_distinct(seg_paras)) AS n_uniq_paras,
                    CAST(coalesce(list_sum(list_transform(seg_paras, x -> len(x))), 0) AS BIGINT) AS para_chars,
-                   CAST(coalesce(list_sum(list_transform(list_distinct(seg_paras), x -> len(x))), 0) AS BIGINT) AS uniq_para_chars
+                   CAST(coalesce(list_sum(list_transform(list_distinct(seg_paras), x -> len(x))), 0) AS BIGINT) AS uniq_para_chars,
+                   len(g2s) AS n_g2,
+                   list_filter(generate_series(1, greatest(len(g2s), 1)),
+                               i -> i = 1 OR g2s[i] <> g2s[i-1]) AS g2bpos
             FROM seg
         ),
         m AS (
@@ -132,7 +143,12 @@ def _quality_signal_cte_sql(source: str) -> str:
                    (1000000 * (n_lines - n_uniq_lines)) // greatest(n_lines, 1) AS dup_line_ppm,
                    (1000000 * (line_chars - uniq_line_chars)) // greatest(line_chars, 1) AS dup_line_char_ppm,
                    (1000000 * (n_paras - n_uniq_paras)) // greatest(n_paras, 1) AS dup_para_ppm,
-                   (1000000 * (para_chars - uniq_para_chars)) // greatest(para_chars, 1) AS dup_para_char_ppm
+                   (1000000 * (para_chars - uniq_para_chars)) // greatest(para_chars, 1) AS dup_para_char_ppm,
+                   (1000000 * list_max(list_transform(
+                        generate_series(1, len(g2bpos)),
+                        j -> (CASE WHEN j < len(g2bpos) THEN g2bpos[j+1]
+                                   ELSE n_g2 + 1 END) - g2bpos[j])))
+                     // greatest(n_tokens - 1, 1) AS top2gram_ppm
             FROM s
         )"""
 
@@ -150,11 +166,13 @@ def _quality_verdict_cte_sql() -> str:
                    (mean_len_x100 BETWEEN 300 AND 1200) AS avglen_ok,
                    (dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000) AS rep_line_ok,
                    (dup_para_ppm <= 300000 AND dup_para_char_ppm <= 200000) AS rep_para_ok,
+                   (top2gram_ppm <= 200000) AS top2_ok,
                    ((n_tokens BETWEEN 50 AND 100000) AND ttr_ppm >= 200000
                      AND dup3_ppm <= 600000 AND stop_hits >= 2
                      AND mean_len_x100 BETWEEN 300 AND 1200
                      AND dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000
-                     AND dup_para_ppm <= 300000 AND dup_para_char_ppm <= 200000) AS keep
+                     AND dup_para_ppm <= 300000 AND dup_para_char_ppm <= 200000
+                     AND top2gram_ppm <= 200000) AS keep
             FROM m
         )"""
 
@@ -2343,6 +2361,7 @@ _FUNNEL_NULL_SIGNALS = (
     ("dup_line_char_ppm", "long"),
     ("dup_para_ppm", "long"),
     ("dup_para_char_ppm", "long"),
+    ("top2gram_ppm", "long"),
     ("len_ok", "boolean"),
     ("ttr_ok", "boolean"),
     ("rep_ok", "boolean"),
@@ -2350,6 +2369,7 @@ _FUNNEL_NULL_SIGNALS = (
     ("avglen_ok", "boolean"),
     ("rep_line_ok", "boolean"),
     ("rep_para_ok", "boolean"),
+    ("top2_ok", "boolean"),
     ("keep", "boolean"),
 )
 
@@ -2438,8 +2458,9 @@ _FUNNEL_NULL_SIGNALS = (
         SELECT 'signal' AS kind, doc_id, n_tokens, ttr_ppm, dup3_ppm,
                stop_hits, mean_len_x100,
                dup_line_ppm, dup_line_char_ppm, dup_para_ppm, dup_para_char_ppm,
+               top2gram_ppm,
                len_ok, ttr_ok, rep_ok, stop_ok, avglen_ok,
-               rep_line_ok, rep_para_ok, keep,
+               rep_line_ok, rep_para_ok, top2_ok, keep,
                CAST(NULL AS INTEGER) AS stage_idx, CAST(NULL AS VARCHAR) AS stage,
                CAST(NULL AS BIGINT) AS pack_id
         FROM v
@@ -2447,8 +2468,8 @@ _FUNNEL_NULL_SIGNALS = (
         SELECT 'funnel', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
                stage_idx, stage, pack_id
         FROM funnel
     """,

@@ -503,8 +503,17 @@ def test_quality_gate_repetition_battery(spark):
     # and the footer's repeats own far more than 20% of the char mass
     footer = " ".join(uniq_lines[:2])
     boiler = "\n\n".join(["\n".join(uniq_lines[2:]), footer, footer, footer])
+    # doc 4: phrase spam — one stopword-led bigram scattered through
+    # otherwise-unique filler: 20 of 60 bigram positions are 'the data'
+    # (333_333 ppm > the 200_000 top-2-gram ceiling) while TTR, the
+    # duplicate-3-gram rule (no two consecutive positions repeat a
+    # 3-gram: each filler word is unique) and every other rule pass
+    phrase_spam = " ".join(
+        w for i in range(20) for w in (f"filler{i:02d}x", "the", "data")
+    ) + " lastword"
     docs = spark.createDataFrame(
-        [(1, "en", clean), (2, "en", sep_heavy), (3, "en", boiler)],
+        [(1, "en", clean), (2, "en", sep_heavy), (3, "en", boiler),
+         (4, "en", phrase_spam)],
         "doc_id long, lang string, text string",
     )
 
@@ -530,6 +539,16 @@ def test_quality_gate_repetition_battery(spark):
     assert r3["dup_para_char_ppm"] > 200_000  # footer owns the mass
     assert not r3["rep_para_ok"] and not r3["keep"]
 
+    r4 = rows[4]
+    assert r4["top2gram_ppm"] == 333_333  # 20 'the data' of 60 positions
+    assert not r4["top2_ok"] and not r4["keep"]
+    # the flip is ISOLATED to the top-2-gram rule
+    assert all(
+        r4[k]
+        for k in ("len_ok", "ttr_ok", "rep_ok", "stop_ok", "avglen_ok",
+                  "rep_line_ok", "rep_para_ok")
+    )
+
     # cross-engine: replay the ORACLE's own CTE fragments in DuckDB on
     # the same planted docs and compare every signal + verdict
     con = duckdb.connect()
@@ -550,8 +569,9 @@ def test_quality_gate_repetition_battery(spark):
         for col in (
             "n_tokens", "ttr_ppm", "dup3_ppm", "stop_hits", "mean_len_x100",
             "dup_line_ppm", "dup_line_char_ppm", "dup_para_ppm",
-            "dup_para_char_ppm", "len_ok", "ttr_ok", "rep_ok", "stop_ok",
-            "avglen_ok", "rep_line_ok", "rep_para_ok", "keep",
+            "dup_para_char_ppm", "top2gram_ppm", "len_ok", "ttr_ok",
+            "rep_ok", "stop_ok", "avglen_ok", "rep_line_ok", "rep_para_ok",
+            "top2_ok", "keep",
         ):
             assert s[col] == o[col], (o["doc_id"], col, s[col], o[col])
 
