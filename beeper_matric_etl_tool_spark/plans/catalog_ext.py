@@ -1809,6 +1809,26 @@ _BM25_QUERY = ("the", "data", "model")
         bsum AS (
             SELECT doc_id, CAST(sum(contrib_ppm) AS BIGINT) AS score_ppm
             FROM bscored GROUP BY doc_id
+        ),
+        lmvocab AS (
+            SELECT term, CAST(sum(tf) AS BIGINT) AS ct FROM tf GROUP BY term
+        ),
+        lmstats AS (
+            SELECT CAST(sum(ct) AS BIGINT) AS n_total,
+                   CAST(count(*) AS BIGINT) AS v FROM lmvocab
+        ),
+        lmnll AS (
+            SELECT term,
+                   CAST(floor(1000000 * ln(
+                       (s.n_total + s.v) * 1.0 / (ct + 1.0))) AS BIGINT)
+                       AS nll_ppm
+            FROM lmvocab CROSS JOIN lmstats s
+        ),
+        lmdoc AS (
+            SELECT tf.doc_id,
+                   CAST(sum(tf.tf * n.nll_ppm) // sum(tf.tf) AS BIGINT)
+                       AS score_ppm
+            FROM tf JOIN lmnll n USING (term) GROUP BY tf.doc_id
         )
         SELECT 'tfidf' AS method, doc_id, term, tfidf_ppm AS score_ppm,
                rnk AS rank
@@ -1824,6 +1844,10 @@ _BM25_QUERY = ("the", "data", "model")
                 ORDER BY score_ppm DESC, doc_id) AS rnk
             FROM bsum
         ) WHERE rnk <= 10
+        UNION ALL
+        SELECT 'lm', doc_id, CAST(NULL AS VARCHAR), score_ppm,
+               CAST(NULL AS INTEGER)
+        FROM lmdoc
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1848,11 +1872,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(doc,term) contributions floored to ppm then integer-summed so
     the score is engine-portable). Top-10 by (score desc, id) — the k
     rows come from a TakeOrderedAndProject, and the rank window runs
-    over those k rows only, so no global sort at any scale."""
+    over those k rows only, so no global sort at any scale.
+
+    method='lm' — unigram-LM mean-NLL scoring of EVERY document
+    (`ext/search.py:unigram_nll_scores` — the CCNet-style perplexity
+    filter): per-term nll_ppm floored once per vocabulary entry, per-doc
+    score an exact integer DIV, so the full per-doc score vector
+    hash-matches the oracle bit-for-bit. rank is NULL — the score is a
+    filter threshold, not a ranking."""
     docs = table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
-    from beeper_matric_etl_tool_spark.ext.search import bm25_topk
+    from beeper_matric_etl_tool_spark.ext.search import bm25_topk, unigram_nll_scores
 
     toks = docs.select("doc_id", F.explode(xtext.tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -1895,7 +1926,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
-    return tfidf_leg.unionByName(bm25_leg)
+    lm_leg = unigram_nll_scores(docs).select(
+        F.lit("lm").alias("method"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        "score_ppm",
+        F.lit(None).cast("int").alias("rank"),
+    )
+    return tfidf_leg.unionByName(bm25_leg).unionByName(lm_leg)
 
 
 # (the hash-holdout split is the 'split' dimension of `corpus_composition`)

@@ -9,7 +9,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from beeper_matric_etl_tool_spark.ext.search import bm25_scores, bm25_topk
+from beeper_matric_etl_tool_spark.ext.search import (
+    bm25_scores,
+    bm25_topk,
+    unigram_nll_scores,
+)
 from beeper_matric_etl_tool_spark.sources.tables import table
 from tests.oracle import assert_matches_oracle
 
@@ -111,3 +115,58 @@ def test_bm25_empty_query_raises(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="non-empty"):
         bm25_scores(docs, [])
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity scoring (ext/search.py:unigram_nll_scores)
+# ---------------------------------------------------------------------------
+
+LM_ORACLE = """
+    WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM (
+            SELECT doc_id, unnest(str_split(text, ' ')) AS term
+            FROM documents
+        ) GROUP BY doc_id, term
+    ),
+    vocab AS (
+        SELECT term, CAST(sum(tf) AS BIGINT) AS ct FROM tf GROUP BY term
+    ),
+    stats AS (
+        SELECT CAST(sum(ct) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS v FROM vocab
+    ),
+    nll AS (
+        SELECT term,
+               CAST(floor(1000000 * ln(
+                   (s.n_total + s.v) * 1.0 / (ct + 1.0))) AS BIGINT)
+                   AS nll_ppm
+        FROM vocab CROSS JOIN stats s
+    )
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf * n.nll_ppm) // sum(tf.tf) AS BIGINT) AS score_ppm
+    FROM tf JOIN nll n USING (term) GROUP BY tf.doc_id
+"""
+
+
+def test_unigram_nll_matches_duckdb_oracle(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    assert_matches_oracle(unigram_nll_scores(docs), LM_ORACLE, sf_dir)
+
+
+def test_unigram_nll_hand_computed(spark):
+    """3-token-vocab corpus with every intermediate checkable by hand:
+    counts a=4 b=1 c=1, N=6, V=3 -> nll(a)=floor(1e6 ln(9/5))=587786,
+    nll(b)=nll(c)=floor(1e6 ln(9/2))=1504077.
+    d1 'a a a b' = (3*587786+1504077) DIV 4 = 816858
+    d2 'a c'     = (587786+1504077)   DIV 2 = 1045931
+    — and the ordering is the operator's point: the doc made of frequent
+    tokens (d1) is LESS surprising than the rare-token doc (d2)."""
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["score_ppm"]
+        for r in unigram_nll_scores(docs).collect()
+    }
+    assert got == {1: 816858, 2: 1045931}
+    assert got[1] < got[2]
