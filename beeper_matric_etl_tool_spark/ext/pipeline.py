@@ -179,6 +179,61 @@ def mix_epochs(
     return df.withColumn("copy_id", F.explode(copies))
 
 
+#: the quota-sampling salt — a FOURTH independent hash decision (see
+#: MIX_SALT): the per-stratum ranking that carves fixed-size eval sets
+#: must be independent of the holdout split, the mix keep and the epoch
+#: coin, or "100 en eval docs" would preferentially pick the docs those
+#: decisions already touched.
+QUOTA_SALT = ":quota"
+
+
+def sample_quota(
+    df: DataFrame,
+    quotas: dict[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = QUOTA_SALT,
+) -> DataFrame:
+    """EXACTLY min(quota, |stratum|) rows per stratum — the fixed-size
+    stratified sample an eval-set carve or a human-review draw needs,
+    where hash-THRESHOLD sampling (:func:`mix_keep`) cannot serve: a
+    rate keeps a binomially-varying count, a quota keeps a guaranteed
+    one. Selection ranks each stratum by the ':quota'-salted md5 of the
+    stable id — deterministic, engine-portable, independent of input
+    order and of every other hash decision (salt convention above).
+    Adding documents to a stratum can displace previously-sampled ones
+    (quota semantics, not reservoir semantics — the sample IS the top-N
+    of the hash order, whatever the corpus); docs whose stratum has no
+    quota entry get quota 0 and are dropped loudly, mirroring mix_keep.
+
+    Scale shape: one window per stratum over a PRUNED projection — the
+    sort carries (stratum, hash, id), never text or embeddings, and the
+    rank filter discards past-quota rows at the exchange that follows.
+    Spark has no rank-pushdown partial top-k for windows, so a dominant
+    stratum means one task sorts that stratum's (hash, id) pairs; at
+    16 B/row that is ~1.6 GB per 100 M docs — acceptable where a
+    text-bearing sort would not be. For quotas ≪ stratum size a
+    two-phase refinement (per-partition local top-quota, then global
+    top-quota over candidates ≤ quota·n_partitions) bounds the final
+    sort; implement against this same signature when a stratum outgrows
+    the window."""
+    from pyspark.sql import Window
+
+    quota_map = F.create_map(
+        *[x for s, q in quotas.items() for x in (F.lit(s), F.lit(int(q)))]
+    )
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__quota_rk", F.row_number().over(w))
+        .filter(
+            F.col("__quota_rk")
+            <= F.coalesce(quota_map[F.col(strata_col)], F.lit(0))
+        )
+        .drop("__quota_rk")
+    )
+
+
 def pack_by_budget(
     df: DataFrame,
     token_col: str,

@@ -26,6 +26,7 @@ from beeper_matric_etl_tool_spark.ext.pipeline import (
     EPOCH_SALT,
     MIX_SALT,
     PACK_SALT,
+    QUOTA_SALT,
     mix_hex_threshold,
 )
 from beeper_matric_etl_tool_spark.ext.quality import EMAIL_RE
@@ -305,6 +306,25 @@ EPOCH_RATES: dict[str, float] = {
 }
 
 
+#: per-language eval-carve quotas for the dim='quota' leg — chosen to
+#: exercise every branch at the oracle tier: en/es/fr below stratum size
+#: (a real carve), de ABOVE it (quota clamps to the whole stratum), zh
+#: absent (no quota entry → 0 kept, a zeroed audit row).
+QUOTA_N: dict[str, int] = {
+    "en": 100,
+    "es": 40,
+    "fr": 25,
+    "de": 10_000,
+}
+
+
+def _quota_case_sql() -> str:
+    """SQL CASE twin of sample_quota's quota map, interpolated from
+    QUOTA_N so a quota edit re-derives both planes."""
+    arms = " ".join(f"WHEN '{s}' THEN {int(q)}" for s, q in QUOTA_N.items())
+    return f"CASE lang {arms} ELSE 0 END"
+
+
 def _epoch_copies_sql() -> str:
     """SQL twin of ext/pipeline.py:epoch_copies over (doc_id, lang):
     integer base CASE + fractional-threshold hash CASE, every literal
@@ -335,8 +355,23 @@ def _epoch_copies_sql() -> str:
                    {HOLDOUT_SQL} AS split,
                    {_mix_hash_sql()} AS h,
                    {_mix_threshold_case_sql(MIX_RATES)} AS thresh,
-                   {_epoch_copies_sql()} AS n_cop
+                   {_epoch_copies_sql()} AS n_cop,
+                   doc_id
             FROM documents
+        ),
+        qranked AS (
+            SELECT lang, n_toks,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || '{QUOTA_SALT}'),
+                                doc_id) AS rk
+            FROM d
+        ),
+        qkept AS (
+            SELECT lang, count(*) AS q_kept,
+                   CAST(sum(n_toks) AS BIGINT) AS q_toks
+            FROM qranked WHERE rk <= {_quota_case_sql()}
+            GROUP BY lang
         )
         SELECT 'lang' AS dim, lang AS key, count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -364,6 +399,14 @@ def _epoch_copies_sql() -> str:
                CAST(sum(n_cop) AS BIGINT) AS n_kept,
                CAST((1000000 * sum(n_cop)) // count(*) AS BIGINT) AS kept_ppm
         FROM d GROUP BY lang
+        UNION ALL
+        SELECT 'quota' AS dim, d.lang AS key, count(*) AS n_docs,
+               CAST(NULL AS BIGINT) AS total_chars,
+               CAST(coalesce(any_value(q.q_toks), 0) AS BIGINT) AS total_tokens,
+               CAST(coalesce(any_value(q.q_kept), 0) AS BIGINT) AS n_kept,
+               CAST((1000000 * coalesce(any_value(q.q_kept), 0)) // count(*)
+                    AS BIGINT) AS kept_ppm
+        FROM d LEFT JOIN qkept q ON d.lang = q.lang GROUP BY d.lang
     """,
 )
 def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,8 +446,21 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     effective post-upsample token mass (total_tokens), per source;
     kept_ppm is the realized rate in ppm (en 2.25 → ~2_250_000). zh has
     no rate on purpose: unknown source → 0 copies, visible as a zeroed
-    row."""
-    from beeper_matric_etl_tool_spark.ext.pipeline import mix_epochs, mix_keep
+    row.
+
+    dim='quota' — the EXACT-count stratified carve
+    (ext/pipeline.py:sample_quota): per-language fixed-size eval draws
+    ranked by the ':quota'-salted hash (fourth independent decision per
+    the salt convention). The audit aggregates the SAMPLED subset back
+    per stratum — n_kept pins the guaranteed count semantics
+    (min(quota, |stratum|): de's over-sized quota clamps, zh's missing
+    entry zeroes) and total_tokens pins the sampled MEMBERSHIP, not just
+    its cardinality — two different 100-doc samples hash-differ."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import (
+        mix_epochs,
+        mix_keep,
+        sample_quota,
+    )
 
     docs = table(spark, sf_dir, "documents")
     base = docs.select(
@@ -470,11 +526,39 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_ppm"),
         )
     )
+    sampled = sample_quota(
+        docs.select("doc_id", "lang", xtext.token_count("text").alias("__n_toks")),
+        QUOTA_N,
+    )
+    qagg = sampled.groupBy(F.col("lang").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("__q_kept"),
+        F.sum("__n_toks").cast("long").alias("__q_toks"),
+    )
+    quota = (
+        base.groupBy(F.col("lang").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(qagg, "key", "left")
+        .select(
+            F.lit("quota").alias("dim"),
+            "key",
+            "n_docs",
+            null_long.alias("total_chars"),
+            F.coalesce("__q_toks", F.lit(0)).cast("long").alias("total_tokens"),
+            F.coalesce("__q_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.floor(
+                (F.lit(1_000_000) * F.coalesce(F.col("__q_kept"), F.lit(0)))
+                / F.col("n_docs")
+            )
+            .cast("long")
+            .alias("kept_ppm"),
+        )
+    )
     return (
         _grouped("lang", "lang")
         .unionByName(_grouped("split", "split"))
         .unionByName(mix)
         .unionByName(epoch)
+        .unionByName(quota)
     )
 
 

@@ -13,6 +13,7 @@ from beeper_matric_etl_tool_spark.ext.pipeline import (
     curate,
     mix_keep,
     pack_by_budget,
+    sample_quota,
     stage_report,
 )
 from beeper_matric_etl_tool_spark.sources.tables import table
@@ -624,3 +625,48 @@ def test_mix_epochs_upsampling(spark):
         (r["doc_id"], r["copy_id"]) for r in mix_epochs(docs, rates).collect()
     }
     assert again == {(r["doc_id"], r["copy_id"]) for r in out}
+
+
+def test_sample_quota_exact_counts_and_determinism(spark):
+    """Quota semantics end to end: exact counts where the stratum is big
+    enough, clamp where it is not, loud zero for unlisted strata,
+    input-order independence, and top-N-of-hash-order displacement."""
+    rows = [(i, "en") for i in range(40)] + [(100 + i, "fr") for i in range(3)] + [
+        (200, "zz")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    quotas = {"en": 10, "fr": 25}
+
+    out = sample_quota(docs, quotas).collect()
+    by_lang: dict[str, set[int]] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    # exact where possible, clamped where not, zero where unlisted
+    assert len(by_lang["en"]) == 10
+    assert by_lang["fr"] == {100, 101, 102}
+    assert "zz" not in by_lang
+
+    # input order cannot change membership (hash rank, not row order)
+    reordered = spark.createDataFrame(
+        list(reversed(rows)), "doc_id long, lang string"
+    )
+    again = {
+        (r["lang"], r["doc_id"]) for r in sample_quota(reordered, quotas).collect()
+    }
+    assert again == {(r["lang"], r["doc_id"]) for r in out}
+
+    # displacement: growing the stratum re-ranks — the sample is the
+    # top-N of the hash order over the NEW corpus, so it is either
+    # unchanged or swaps members one-for-one (never exceeds the quota)
+    grown = spark.createDataFrame(
+        rows + [(1000 + i, "en") for i in range(40)], "doc_id long, lang string"
+    )
+    grown_en = {
+        r["doc_id"]
+        for r in sample_quota(grown, quotas).collect()
+        if r["lang"] == "en"
+    }
+    assert len(grown_en) == 10
+    # the original members that survive keep their identity (hash order
+    # is stable per doc); any displaced ones were displaced BY new docs
+    assert grown_en - by_lang["en"] <= {1000 + i for i in range(40)}
