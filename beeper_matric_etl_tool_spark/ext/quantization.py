@@ -1,0 +1,393 @@
+"""Product quantization (PQ) for memory-bounded similarity search
+(SURVEY §2.12 scale path; Jégou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011 — public method, Spark-first
+implementation).
+
+Why it exists: at 100 TB an embedding corpus does not fit anywhere near
+memory (1e10 vectors × 768 float32 ≈ 30 TB of raw vectors). PQ splits
+each vector into ``m`` contiguous subvectors, k-means-codes each subspace
+with its own ``k``-entry codebook, and stores the corpus as ``m`` small
+integers per vector — m·⌈log₂k⌉ bits (e.g. 8 bytes at m=8, k=256)
+instead of 4·dim bytes, a 100–400× compression that turns the scan side
+of ANN into something a cluster's aggregate RAM actually holds. Scoring
+never decodes: an asymmetric-distance (ADC) lookup table of the query
+against every codebook entry (n_queries × m × k floats, driver-resident
+by construction) turns each corpus row's score into ``m`` table gathers.
+
+Plan shapes (all linear, no corpus×corpus anything):
+
+- ``train_pq``: ONE Lloyd loop over the subvector relation — the corpus
+  exploded to (id, subspace, subvec) rows (m× rows, same total bytes,
+  zero-shuffle fan-out at the row's location). Assign is a shuffle-free
+  ``mapInPandas`` against the resident (m·k)×dsub codebook tensor; update
+  is one map-side-combined groupBy of (subspace, cluster, position)
+  partial sums — m·k·dsub shuffled rows ( = one codebook) per iteration,
+  NOT corpus-sized. Training all m subspaces in one loop instead of m
+  separate kmeans() calls keeps corpus passes at 2/iteration total.
+- ``encode_pq``: one shuffle-free ``mapInPandas`` pass — m vectorized
+  argmins per Arrow batch, emitting the m-code array.
+- ``pq_topk``: one shuffle-free ADC scoring pass over the ENCODED corpus
+  (never the raw vectors), then the same bounded top-k window the exact
+  path uses; optional exact re-rank of the top ``refine`` candidates
+  joins true vectors back for only candidate rows — the IVF-PQ+refine
+  pattern, making ADC's approximation a recall knob instead of a result.
+
+Determinism contract: trained centroids are frozen to EXACT integers
+(floor(c·2¹⁶), the repo-wide quantization convention) before encoding or
+scoring — codes and ADC scores are then integer arithmetic end to end:
+``adc_score(q, x) == dot(quantize(q), reconstruct(codes(x)))`` holds
+EXACTLY (pinned in tests), re-runs are bit-stable, and ties break toward
+the lower code/id everywhere (np.argmin keeps the first minimum).
+
+Reference parity note: the reference system (TypeScript/Postgres CRUD —
+see SURVEY §2) has no vector operators at all; this module is part of
+the mandated LLM-pipeline extension tier, alongside ext/similarity.py
+(brute/IVF/LSH) and ext/clustering.py (k-means) which it composes with.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from beeper_matric_etl_tool_spark.ext.similarity import MAX_PROBES, QUANT
+
+
+def _check_geometry(dim: int, m: int) -> int:
+    if m <= 0 or dim % m != 0:
+        raise ValueError(
+            f"product quantization needs dim divisible by m, got dim={dim}, "
+            f"m={m} — choose m from the divisors of the embedding width"
+        )
+    return dim // m
+
+
+def split_subvectors(vec, m: int, dsub: int):
+    """array<…>[dim] → array of m contiguous dsub-slices (1-based slice
+    per Spark convention). Pure column algebra — the fan-out happens at
+    the row's location, no shuffle."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.slice(vec, j * F.lit(dsub) + 1, dsub),
+    )
+
+
+def _codebook_tensor(codebooks: DataFrame) -> tuple[np.ndarray, int, int, int]:
+    """Driver-resident (m, k, dsub) float64 tensor from the codebook
+    relation — m·k rows by construction (the bounded-collect class the
+    round-5 audit documents: a codebook IS small, that is the point)."""
+    rows = codebooks.select("subspace", "cluster_id", "centroid").collect()
+    if not rows:
+        raise ValueError("empty codebook relation")
+    m = max(r["subspace"] for r in rows) + 1
+    k = max(r["cluster_id"] for r in rows) + 1
+    dsub = len(rows[0]["centroid"])
+    C = np.zeros((m, k, dsub), dtype=np.float64)
+    seen = np.zeros((m, k), dtype=bool)
+    for r in rows:
+        C[r["subspace"], r["cluster_id"]] = r["centroid"]
+        seen[r["subspace"], r["cluster_id"]] = True
+    if not seen.all():
+        missing = int((~seen).sum())
+        raise ValueError(
+            f"codebook is ragged: {missing} (subspace, cluster) entries "
+            f"missing of m·k = {m}·{k} — train_pq always emits a full grid"
+        )
+    return C, m, k, dsub
+
+
+def train_pq(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train the m per-subspace codebooks in ONE joint Lloyd loop.
+    Returns (subspace, cluster_id, centroid: array<double> of EXACT
+    integers floor(c·2¹⁶)) — frozen to the repo's quantized-integer
+    convention at the end of training so every downstream code/score is
+    integer-exact (module docstring).
+
+    Deterministic init mirrors ext/clustering.py:kmeans: the k lowest-id
+    vectors seed every subspace (their j-th subvectors seed subspace j).
+    Empty clusters carry the previous centroid forward, so the emitted
+    grid is always full m×k."""
+    dim = len(df.select(vec_col).first()[0])
+    dsub = _check_geometry(dim, m)
+
+    sub = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(split_subvectors(F.col(vec_col), m, dsub)).alias(
+            "subspace", "subvec"
+        ),
+    ).persist()
+
+    seed_w = Window.orderBy(F.col("__id").asc())
+    centroids = (
+        sub.join(
+            df.select(F.col(id_col).alias("__id"))
+            .orderBy(F.col("__id").asc())
+            .limit(k)
+            .withColumn("cluster_id", F.row_number().over(seed_w) - 1),
+            on="__id",
+        )
+        .select(
+            "subspace",
+            "cluster_id",
+            # double from the start: the Lloyd update emits double means,
+            # and a float/double union would trip type coercion
+            F.col("subvec").cast("array<double>").alias("centroid"),
+        )
+    ).cache()
+
+    def _assign(cent: DataFrame) -> DataFrame:
+        C, cm, ck, _ = _codebook_tensor(cent)
+        cn2 = np.einsum("mkd,mkd->mk", C, C)
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.vstack(pdf["subvec"].to_numpy()).astype(np.float64)
+                S = pdf["subspace"].to_numpy()
+                out = np.empty(len(pdf), dtype=np.int64)
+                for j in np.unique(S):
+                    sel = S == j
+                    d = cn2[j][None, :] - 2.0 * (V[sel] @ C[j].T)
+                    out[sel] = np.argmin(d, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "__id": pdf["__id"],
+                        "subspace": pdf["subspace"],
+                        "cluster_id": out,
+                        "subvec": pdf["subvec"],
+                    }
+                )
+
+        return sub.mapInPandas(
+            gen,
+            f"__id {sub.schema['__id'].dataType.simpleString()}, "
+            f"subspace int, cluster_id long, "
+            f"subvec {sub.schema['subvec'].dataType.simpleString()}",
+        )
+
+    for _ in range(iterations):
+        assigned = _assign(centroids)
+        means = (
+            assigned.select(
+                "subspace",
+                "cluster_id",
+                F.posexplode(F.col("subvec")).alias("pos", "val"),
+            )
+            .groupBy("subspace", "cluster_id", "pos")
+            .agg(
+                F.sum(F.col("val").cast("double")).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .select(
+                "subspace",
+                "cluster_id",
+                "pos",
+                (F.col("__s") / F.col("__n")).alias("__m"),
+            )
+        )
+        prev = centroids
+        updated = means.groupBy("subspace", "cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__m"))),
+                lambda x: x["__m"],
+            ).alias("centroid")
+        )
+        centroids = updated.unionByName(
+            prev.join(
+                updated.select("subspace", "cluster_id"),
+                on=["subspace", "cluster_id"],
+                how="left_anti",
+            )
+        ).cache()
+        centroids.count()
+        prev.unpersist()
+
+    # freeze to exact integers — from here on everything is integer math
+    frozen = centroids.select(
+        "subspace",
+        "cluster_id",
+        F.transform(
+            F.col("centroid"), lambda x: F.floor(x * F.lit(QUANT)).cast("double")
+        ).alias("centroid"),
+    ).localCheckpoint(eager=True)
+    sub.unpersist()
+    centroids.unpersist()
+    return frozen
+
+
+def encode_pq(
+    df: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes: array<int> length m) — one shuffle-free pass; per
+    Arrow batch, m vectorized argmins of ‖quantize(subvec) − centroid‖²
+    against the resident codebook tensor (centroids are already exact
+    integers; the subvector is quantized identically, so the argmin
+    compares integers and re-runs are bit-stable)."""
+    C, m, k, dsub = _codebook_tensor(codebooks)
+    cn2 = np.einsum("mkd,mkd->mk", C, C)
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint", "string"):
+        raise ValueError(
+            f"encode_pq: unsupported id column type {id_type!r} — use an "
+            f"integral or string id"
+        )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.floor(
+                np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * QUANT
+            )
+            n = len(pdf)
+            codes = np.empty((n, m), dtype=np.int64)
+            for j in range(m):
+                Vj = V[:, j * dsub : (j + 1) * dsub]
+                d = cn2[j][None, :] - 2.0 * (Vj @ C[j].T)
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} {id_type}, codes array<bigint>"
+    )
+
+
+def reconstruct_pq(
+    encoded: DataFrame, codebooks: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, vec: array<double>) — decode codes back to the quantized-
+    integer centroid concatenation. Exists for audits and the exactness
+    pin (adc == dot(q, reconstruct(x))); production scoring never calls
+    it."""
+    C, m, k, dsub = _codebook_tensor(codebooks)
+    id_type = encoded.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            out = np.concatenate(
+                [C[j][codes[:, j]] for j in range(m)], axis=1
+            )
+            yield pd.DataFrame({id_col: pdf[id_col], "vec": list(out)})
+
+    return encoded.mapInPandas(gen, f"{id_col} {id_type}, vec array<double>")
+
+
+def pq_topk(
+    probes: DataFrame,
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+    probe_id: str = "query_id",
+    probe_vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, vec_id, score, rank) — top-k by ADC inner product: each
+    query's lookup table L[j, c] = quantize(q_subvec_j) · centroid[j, c]
+    is built driver-side (n_probes × m × k integers — probes are bounded
+    by the MAX_PROBES contract `cosine_topk` already enforces), and every
+    encoded corpus row scores as Σⱼ L[j, codes[j]] — m integer gathers,
+    no decode, no shuffle before the bounded top-k window.
+
+    ``refine > 0`` re-ranks each query's top-``refine`` ADC candidates by
+    EXACT quantized inner product against the true vectors (``corpus``
+    required): a semi-join-shaped candidate join touches only
+    n_probes·refine corpus rows, so recall is a knob that costs candidate
+    rows, not a second corpus scan of the full width."""
+    if refine and corpus is None:
+        raise ValueError("pq_topk: refine > 0 requires the raw corpus")
+    C, m, ck, dsub = _codebook_tensor(codebooks)
+    probe_rows = probes.select(probe_id, probe_vec).take(MAX_PROBES + 1)
+    if len(probe_rows) > MAX_PROBES:
+        raise ValueError(
+            f"pq_topk: more than MAX_PROBES={MAX_PROBES} probe rows — "
+            f"batch the probe set"
+        )
+    qids = [r[0] for r in probe_rows]
+    Q = np.floor(
+        np.vstack([r[1] for r in probe_rows]).astype(np.float64) * QUANT
+    )
+    # L[q, j, c] = q_subvec_j · centroid[j, c] — exact integer values
+    L = np.einsum("qjd,jcd->qjc", Q.reshape(len(qids), m, dsub), C)
+
+    qid_type = probes.schema[probe_id].dataType.simpleString()
+    id_type = encoded.schema[id_col].dataType.simpleString()
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            n = len(pdf)
+            # gather per subspace: S[q, row] = Σ_j L[q, j, codes[row, j]]
+            S = np.zeros((len(qids), n), dtype=np.float64)
+            for j in range(m):
+                S += L[:, j, :][:, codes[:, j]]
+            out = pd.DataFrame(
+                {
+                    probe_id: np.repeat(qids, n),
+                    id_col: np.tile(pdf[id_col].to_numpy(), len(qids)),
+                    "score": S.reshape(-1),
+                }
+            )
+            yield out
+
+    scored = encoded.mapInPandas(
+        score, f"{probe_id} {qid_type}, {id_col} {id_type}, score double"
+    )
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    take = max(k, refine)
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= take)
+    )
+    if not refine:
+        return top.select(probe_id, id_col, "score", "rank")
+
+    # exact re-rank of the bounded candidate set: join true vectors back
+    # for candidate rows only, score by exact quantized inner product
+    from beeper_matric_etl_tool_spark.ext.similarity import dot, quantize
+
+    qdf = probes.select(
+        F.col(probe_id), quantize(F.col(probe_vec)).alias("__q")
+    )
+    cand = (
+        top.select(probe_id, id_col)
+        .join(
+            corpus.select(
+                F.col(id_col), quantize(F.col(probe_vec)).alias("__v")
+            ),
+            on=id_col,
+        )
+        .join(F.broadcast(qdf), on=probe_id)
+    )
+    exact = cand.select(
+        probe_id, id_col, dot(F.col("__q"), F.col("__v")).alias("score")
+    )
+    w2 = Window.partitionBy(probe_id).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(probe_id, id_col, "score", "rank")
+    )
