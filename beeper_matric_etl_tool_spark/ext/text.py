@@ -253,3 +253,157 @@ def remove_boilerplate_paragraphs(
             .alias("n_removed"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df,
+    k: int = 5,
+    min_count: int = 2,
+    keep_one: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Corpus-level duplicate-SPAN removal — the token-granular sibling of
+    :func:`remove_boilerplate_paragraphs` and the Spark-shaped analog of
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — public method): every
+    k-token window whose exact content occurs at least ``min_count``
+    times ACROSS THE CORPUS (total occurrences — within-document repeats
+    count, unlike the boilerplate rule's distinct-doc floor: a crawl
+    artifact pasted 50× into one page is exactly what substring dedup
+    exists to cut) is marked hot; each document is rebuilt with every
+    token covered by any hot window removed. Overlapping hot windows
+    merge into maximal spans, so removal is span-shaped, not
+    window-confetti. ``keep_one=True`` exempts the single canonical
+    occurrence of each hot window — argmin by (doc id, position), the
+    deterministic tie-break — so one copy of the duplicated text
+    survives corpus-wide (the Lee et al. policy; the default removes all
+    copies, the C4/boilerplate policy).
+
+    Returns (id_col, cleaned_text, n_tokens, n_removed) — one row per
+    input document, emptied docs kept with cleaned_text '' (the caller
+    owns the drop decision, as in the boilerplate rule).
+
+    Scale shape — linear passes, fingerprint-only heavy shuffles:
+    (1) slide the k-window and shuffle (md5(window), doc, pos) rows —
+    16-byte fingerprints, never window text — to count corpus
+    occurrences; (2) semi-join positions against the over-floor
+    fingerprint set (df-filtered, small; AQE broadcasts it);
+    (3) per document, reduce hot starts to ±1 coverage EVENTS
+    (start:+1, start+k:−1), aggregate to a sorted boundary array —
+    |events| ≤ 2·hits, usually ≪ n_tokens — and rebuild with ONE
+    `F.aggregate` fold over that small array that concatenates the
+    zero-coverage gaps via `F.slice` on the resident token array.
+    The fold references only bound ATTRIBUTES (the token array crosses
+    a join boundary, the event array an aggregate), never a same-
+    projection derived array — the Catalyst re-inlining detonation
+    `ext/quality.py:_max_multiplicity` documents cannot trigger. No
+    per-token shuffle exists anywhere: token positions stay inside
+    their row; only window fingerprints and integer events move."""
+    if k < 2:
+        raise ValueError(
+            f"remove_duplicate_spans: k={k} must be >= 2 — at 1 every "
+            f"repeated TOKEN is a 'span' and the corpus empties"
+        )
+    if min_count < 2:
+        raise ValueError(
+            f"remove_duplicate_spans: min_count={min_count} must be >= 2 "
+            f"— at 1 every span is hot and the corpus empties"
+        )
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).alias("__n"),
+    )
+    # sequence(1, 0) descends — guard short docs to an empty window set
+    win_starts = F.when(
+        F.col("__n") >= k, F.sequence(F.lit(1), F.col("__n") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    spans = base.select(
+        id_col,
+        F.explode(win_starts).alias("__p"),
+        F.col("__toks"),
+    ).select(
+        id_col,
+        "__p",
+        F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__p"), k))).alias(
+            "__fp"
+        ),
+    )
+    hot_fps = (
+        spans.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+        .filter(F.col("__ct") >= min_count)
+        .select("__fp")
+    )
+    hot = spans.join(hot_fps, "__fp")
+    if keep_one:
+        canonical = hot.groupBy("__fp").agg(
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("__p").alias("p"))).alias(
+                "__c"
+            )
+        )
+        hot = hot.join(F.broadcast(canonical), "__fp").filter(
+            ~(
+                (F.col(id_col) == F.col("__c.i"))
+                & (F.col("__p") == F.col("__c.p"))
+            )
+        )
+    events = (
+        hot.select(F.col(id_col), F.col("__p").alias("idx"), F.lit(1).alias("d"))
+        .unionByName(
+            hot.select(
+                F.col(id_col), (F.col("__p") + k).alias("idx"), F.lit(-1).alias("d")
+            )
+        )
+        .groupBy(id_col, "idx")
+        .agg(F.sum("d").cast("int").alias("d"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "d"))).alias("__ev"))
+    )
+    joined = base.join(events, id_col, "left").select(
+        id_col,
+        "__toks",
+        "__n",
+        F.coalesce(
+            F.col("__ev"), F.array().cast("array<struct<idx:int,d:int>>")
+        ).alias("__ev"),
+    )
+    empty = F.array().cast("array<string>")
+    init = F.struct(
+        F.lit(0).alias("cov"), F.lit(1).alias("seg"), empty.alias("out")
+    )
+
+    def step(acc, e):
+        gap = F.when(
+            acc["cov"] == 0,
+            F.slice(F.col("__toks"), acc["seg"], e["idx"] - acc["seg"]),
+        ).otherwise(empty)
+        cov2 = acc["cov"] + e["d"]
+        return F.struct(
+            cov2.alias("cov"),
+            F.when(cov2 == 0, e["idx"]).otherwise(acc["seg"]).alias("seg"),
+            F.concat(acc["out"], gap).alias("out"),
+        )
+
+    kept = F.aggregate(
+        F.col("__ev"),
+        init,
+        step,
+        lambda acc: F.concat(
+            acc["out"],
+            F.when(
+                acc["cov"] == 0,
+                F.slice(
+                    F.col("__toks"), acc["seg"], F.col("__n") - acc["seg"] + 1
+                ),
+            ).otherwise(empty),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("cleaned_text"),
+        F.col("__n").cast("int").alias("n_tokens"),
+        (F.col("__n") - F.size(kept)).cast("int").alias("n_removed"),
+    )

@@ -194,6 +194,19 @@ BOILER_FOOTER_RARE = (
 )
 BOILER_MIN_DOCS = 10
 
+#: doc_profile's spans leg (kind='spans'): planted duplicate SPANS + the
+#: occurrence-count floor of ext/text.py:remove_duplicate_spans — again
+#: one definition feeding both planes. COMMON rides every 4th doc
+#: (cross-doc hot); WITHIN is pasted twice into ONE doc (hot by
+#: occurrence count — the case a distinct-doc floor cannot see); ONCE
+#: appears in a single doc, once (the in-window negative case).
+SPAN_K = 8
+SPAN_COMMON = "subscribe to our newsletter for weekly updates and offers today"
+SPAN_WITHIN = "click here to accept cookies and continue browsing this site"
+SPAN_ONCE = "this sentence occurs exactly once anywhere in the whole corpus"
+SPAN_WITHIN_DOC = 42
+SPAN_ONCE_DOC = 77
+
 MINHASH_NUM_HASHES = xdedup.MINHASH_NUM_HASHES
 MINHASH_BAND_WIDTH = xdedup.MINHASH_NUM_HASHES // xdedup.MINHASH_BANDS
 
@@ -627,20 +640,82 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         bleg AS (
             SELECT s.doc_id,
                    md5(coalesce(r.cleaned_text, '')) AS cleaned_fp,
-                   CAST(len(s.ps) AS INTEGER) AS n_paras,
+                   CAST(len(s.ps) AS INTEGER) AS n_units,
                    CAST(len(s.ps) - coalesce(r.n_kept, 0) AS INTEGER) AS n_removed
             FROM bps s LEFT JOIN breb r USING (doc_id)
+        ),
+        scorp AS (
+            SELECT doc_id,
+                   text || CASE
+                       WHEN doc_id % 4 = 0 THEN ' ' || '{SPAN_COMMON}'
+                       WHEN doc_id = {SPAN_WITHIN_DOC}
+                           THEN ' ' || '{SPAN_WITHIN}' || ' ' || '{SPAN_WITHIN}'
+                       WHEN doc_id = {SPAN_ONCE_DOC} THEN ' ' || '{SPAN_ONCE}'
+                       ELSE '' END AS text
+            FROM documents
+        ),
+        stoks AS (
+            SELECT doc_id, str_split(text, ' ') AS toks FROM scorp
+        ),
+        sfp AS (
+            SELECT doc_id, p,
+                   md5(array_to_string(
+                       list_slice(toks, p, p + {SPAN_K} - 1), ' ')) AS fp
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - {SPAN_K} + 1)) AS p
+                FROM stoks WHERE len(toks) >= {SPAN_K}
+            )
+        ),
+        shot AS (
+            SELECT fp FROM sfp GROUP BY fp HAVING count(*) >= 2
+        ),
+        scov AS (
+            SELECT DISTINCT doc_id, ti FROM (
+                SELECT s.doc_id,
+                       unnest(generate_series(s.p, s.p + {SPAN_K} - 1)) AS ti
+                FROM sfp s JOIN shot USING (fp)
+            )
+        ),
+        stokrows AS (
+            SELECT doc_id, i, toks[i] AS tok FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks))) AS i
+                FROM stoks
+            )
+        ),
+        sreb AS (
+            SELECT tr.doc_id,
+                   string_agg(tr.tok, ' ' ORDER BY tr.i) AS cleaned,
+                   count(*) AS n_kept
+            FROM stokrows tr LEFT JOIN scov c
+                 ON tr.doc_id = c.doc_id AND tr.i = c.ti
+            WHERE c.doc_id IS NULL
+            GROUP BY tr.doc_id
+        ),
+        sleg AS (
+            SELECT s.doc_id,
+                   md5(coalesce(r.cleaned, '')) AS cleaned_fp,
+                   CAST(len(s.toks) AS INTEGER) AS n_units,
+                   CAST(len(s.toks) - coalesce(r.n_kept, 0) AS INTEGER)
+                       AS n_removed
+            FROM stoks s LEFT JOIN sreb r USING (doc_id)
         )
         SELECT 'profile' AS kind, doc_id, en_hits, es_hits, fr_hits, de_hits,
                predicted_lang, fp, min_shingle_fp,
                CAST(NULL AS VARCHAR) AS cleaned_fp,
-               CAST(NULL AS INTEGER) AS n_paras, CAST(NULL AS INTEGER) AS n_removed
+               CAST(NULL AS INTEGER) AS n_units, CAST(NULL AS INTEGER) AS n_removed
         FROM prof
         UNION ALL
         SELECT 'boilerplate', doc_id, NULL, NULL, NULL, NULL,
                CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-               cleaned_fp, n_paras, n_removed
+               cleaned_fp, n_units, n_removed
         FROM bleg
+        UNION ALL
+        SELECT 'spans', doc_id, NULL, NULL, NULL, NULL,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               cleaned_fp, n_units, n_removed
+        FROM sleg
     """,
 )
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -664,8 +739,18 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from all of them), every 250th-plus-1 gains a RARE footer (2 docs —
     below the floor, kept: the negative case the hash pins). cleaned_fp
     = md5 of the reconstructed text certifies the exact post-removal
-    bytes without shipping them; n_paras/n_removed are the audit
-    columns."""
+    bytes without shipping them; n_units/n_removed are the audit
+    columns (units = paragraphs here, tokens in the spans leg).
+
+    kind='spans' — corpus-level duplicate-SPAN removal
+    (`ext/text.py:remove_duplicate_spans`, the Lee-et-al-style substring
+    dedup) over a second synthesized corpus: every 4th doc gains a
+    shared 10-token sentence (cross-doc hot — all copies removed under
+    the default remove-all policy), doc 42 gains one sentence pasted
+    TWICE (hot by occurrence count inside a single document — the case
+    a distinct-doc floor cannot see), doc 77 gains a once-only sentence
+    (the in-window negative case, kept). cleaned_fp again certifies the
+    exact rebuilt bytes; n_units = token count, n_removed = tokens cut."""
     docs = table(spark, sf_dir, "documents")
     toks = xtext.tokens("text")
     hits = {
@@ -691,7 +776,7 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "en_hits", "es_hits", "fr_hits", "de_hits",
         predicted.alias("predicted_lang"), "fp", "min_shingle_fp",
         F.lit(None).cast("string").alias("cleaned_fp"),
-        F.lit(None).cast("int").alias("n_paras"),
+        F.lit(None).cast("int").alias("n_units"),
         F.lit(None).cast("int").alias("n_removed"),
     )
 
@@ -707,18 +792,48 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     cleaned = xtext.remove_boilerplate_paragraphs(bcorp, min_docs=BOILER_MIN_DOCS)
+    null_dims = [
+        F.lit(None).cast("int").alias(c)
+        for c in ("en_hits", "es_hits", "fr_hits", "de_hits")
+    ]
+    null_fps = [
+        F.lit(None).cast("string").alias(c)
+        for c in ("predicted_lang", "fp", "min_shingle_fp")
+    ]
     boiler_leg = cleaned.select(
         F.lit("boilerplate").alias("kind"),
         "doc_id",
-        *[F.lit(None).cast("int").alias(c) for c in ("en_hits", "es_hits", "fr_hits", "de_hits")],
-        F.lit(None).cast("string").alias("predicted_lang"),
-        F.lit(None).cast("string").alias("fp"),
-        F.lit(None).cast("string").alias("min_shingle_fp"),
+        *null_dims,
+        *null_fps,
         F.md5("cleaned_text").alias("cleaned_fp"),
-        F.col("n_paras").cast("int").alias("n_paras"),
+        F.col("n_paras").cast("int").alias("n_units"),
         "n_removed",
     )
-    return profile_leg.unionByName(boiler_leg)
+
+    scorp = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" " + SPAN_COMMON))
+            .when(
+                F.col("doc_id") == SPAN_WITHIN_DOC,
+                F.lit(" " + SPAN_WITHIN + " " + SPAN_WITHIN),
+            )
+            .when(F.col("doc_id") == SPAN_ONCE_DOC, F.lit(" " + SPAN_ONCE))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    despanned = xtext.remove_duplicate_spans(scorp, k=SPAN_K, min_count=2)
+    spans_leg = despanned.select(
+        F.lit("spans").alias("kind"),
+        "doc_id",
+        *null_dims,
+        *null_fps,
+        F.md5("cleaned_text").alias("cleaned_fp"),
+        F.col("n_tokens").cast("int").alias("n_units"),
+        "n_removed",
+    )
+    return profile_leg.unionByName(boiler_leg).unionByName(spans_leg)
 
 
 @register(

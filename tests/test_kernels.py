@@ -1098,3 +1098,56 @@ def test_remove_boilerplate_paragraphs(spark):
 
     with _pytest.raises(ValueError, match="min_docs"):
         remove_boilerplate_paragraphs(docs, min_docs=1)
+
+
+def test_remove_duplicate_spans(spark):
+    """Corpus-level duplicate-SPAN removal (ext/text.py): any k-token
+    window with >= min_count total occurrences is cut; overlapping hot
+    windows merge into maximal spans; WITHIN-doc repeats count toward
+    the floor (unlike the boilerplate rule's distinct-doc threshold);
+    keep_one=True exempts the lowest-(doc,pos) occurrence; an emptied
+    doc comes back as '' and the k/min_count guards refuse degenerate
+    configs."""
+    import pytest as _pytest
+
+    from beeper_matric_etl_tool_spark.ext.text import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b x1 x2 x3 x4 x5 c d"),
+            (2, "x1 x2 x3 x4 x5 e f g h"),
+            (3, "p q r s t u v w"),
+            (4, "r1 r2 r3 r4 r5 mid r1 r2 r3 r4 r5"),
+            (5, "x1 x2 x3 x4 x5"),  # nothing but the hot span -> ''
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in remove_duplicate_spans(docs, k=5).collect()
+    }
+    assert len(out) == 5
+    assert out[1]["cleaned_text"] == "a b c d"
+    assert out[1]["n_tokens"] == 9 and out[1]["n_removed"] == 5
+    assert out[2]["cleaned_text"] == "e f g h"
+    assert out[3]["cleaned_text"] == "p q r s t u v w"
+    assert out[3]["n_removed"] == 0
+    # within-doc repeat crosses the occurrence floor; the two copies are
+    # DISJOINT hot spans and the bridging windows (unique) survive as
+    # the 'mid' gap between them
+    assert out[4]["cleaned_text"] == "mid" and out[4]["n_removed"] == 10
+    assert out[5]["cleaned_text"] == "" and out[5]["n_removed"] == 5
+
+    kept = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(docs, k=5, keep_one=True).collect()
+    }
+    # canonical occurrence = argmin (doc_id, pos): doc 1's copy survives
+    assert kept[1]["cleaned_text"] == "a b x1 x2 x3 x4 x5 c d"
+    assert kept[2]["cleaned_text"] == "e f g h"
+    assert kept[4]["cleaned_text"] == "r1 r2 r3 r4 r5 mid"
+    assert kept[5]["cleaned_text"] == ""
+
+    with _pytest.raises(ValueError, match="k=1"):
+        remove_duplicate_spans(docs, k=1)
+    with _pytest.raises(ValueError, match="min_count=1"):
+        remove_duplicate_spans(docs, k=5, min_count=1)
