@@ -344,7 +344,11 @@ def remove_duplicate_spans(
                 "__c"
             )
         )
-        hot = hot.join(F.broadcast(canonical), "__fp").filter(
+        # NOT broadcast: canonical is one row per hot fingerprint — at
+        # corpus scale that set can be arbitrarily large, and hot is
+        # already fp-partitioned from the semi-join, so the equi-join
+        # reuses the partitioning (AQE still broadcasts when it fits)
+        hot = hot.join(canonical, "__fp").filter(
             ~(
                 (F.col(id_col) == F.col("__c.i"))
                 & (F.col("__p") == F.col("__c.p"))
