@@ -120,6 +120,7 @@ def unigram_nll_scores(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(id_col, score_ppm): mean per-token negative log-likelihood under a
     +1-smoothed unigram language model trained on the corpus itself —
@@ -128,45 +129,53 @@ def unigram_nll_scores(
     fluent/typical, HIGH = surprising (gibberish, OOV soup, boilerplate
     of rare symbols). A real deployment scores against a model trained on
     a trusted corpus (Wikipedia in CCNet); self-scoring is the same plan
-    with the vocab built from a different DataFrame — the `reference`
-    hook below.
+    with the vocabulary built from a different DataFrame.
 
-    Determinism contract: per-TERM nll_ppm = floor(1e6·ln((N+V)/(ct+1)))
-    is floored once per vocabulary entry (the tfidf/bm25 convention —
-    vocabulary-sized libm exposure, not per-(doc,term)); the per-document
-    score is then sum(tf·nll_ppm) DIV sum(tf) — exact integer arithmetic
-    end to end, so cross-engine agreement is bit-exact given libm-equal
-    ln() on the vocabulary.
+    Determinism contract: nll_ppm = floor(1e6·ln((N+V)/(ct+1))) has a
+    vocabulary-sized set of DISTINCT inputs (it depends only on the
+    term's corpus count ct and two corpus constants — the tfidf/bm25
+    per-term-floor convention's exposure bound, even though the
+    expression is evaluated per (doc,term) row: identical IEEE inputs
+    give identical results); the per-document score is then
+    sum(tf·nll_ppm) DIV sum(tf) — exact integer arithmetic end to end,
+    so cross-engine agreement is bit-exact given libm-equal ln() on the
+    vocabulary.
 
-    Scale shape: one tokenize+explode pass feeds BOTH the (doc,term) tf
-    table and the vocabulary counts; the vocab NLL table is
-    vocabulary-sized and equi-joins back onto tf (broadcast when it
-    fits; at web scale the join is a term-keyed shuffle of (doc,term)
-    rows — the same shuffle tf itself required). No shuffle carries
-    token *positions*, only distinct (doc,term) pairs. The two model
-    scalars (N = total tokens, V = vocab size) are one tiny agg job over
-    the vocabulary-sized relation."""
+    Scale shape (plan-audited): the main job tokenizes the corpus ONCE —
+    per-term corpus counts come from a whole-partition window over the
+    (doc,term) tf relation, not a vocabulary self-join, so there is no
+    second explode pass and no "vocabulary must fit in a broadcast"
+    assumption. Shuffled relations are (doc,term) pairs keyed by
+    (doc,term) → term → doc; no shuffle carries token positions. The two
+    model scalars (N = total tokens, V = vocab size) cost one extra
+    linear stats pass — pass ``corpus_stats=(n_total, v_size)`` to skip
+    it when scoring many batches against one frozen model (the
+    bm25_scores convention)."""
     toks = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__term")
     )
     tf = toks.groupBy(id_col, "__term").agg(F.count(F.lit(1)).alias("__tf"))
-    vocab = tf.groupBy("__term").agg(F.sum("__tf").alias("__ct"))
-    n_total, v_size = vocab.agg(
-        F.sum("__ct"), F.count(F.lit(1))
-    ).first()
-    nll = vocab.select(
-        "__term",
+    if corpus_stats is not None:
+        n_total, v_size = corpus_stats
+    else:
+        n_total, v_size = tf.agg(
+            F.sum("__tf"), F.count_distinct("__term")
+        ).first()
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("__term")
+    scored = tf.withColumn("__ct", F.sum("__tf").over(wt)).withColumn(
+        "__nll_ppm",
         F.floor(
             F.lit(1_000_000.0)
             * F.log(
                 (F.lit(float(n_total)) + F.lit(float(v_size)))
                 / (F.col("__ct") + F.lit(1.0))
             )
-        ).cast("long").alias("__nll_ppm"),
+        ).cast("long"),
     )
     return (
-        tf.join(F.broadcast(nll), on="__term")
-        .groupBy(id_col)
+        scored.groupBy(id_col)
         .agg(
             F.sum(F.col("__tf") * F.col("__nll_ppm")).alias("__tot"),
             F.sum("__tf").alias("__dl"),
