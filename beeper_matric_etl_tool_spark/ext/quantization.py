@@ -391,3 +391,86 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(probe_id, id_col, "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index — build/probe/append lifecycle
+# ---------------------------------------------------------------------------
+
+
+def build_pq_index(
+    emb: DataFrame,
+    path: str,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Train codebooks and persist the index: ``codebooks/`` (m·k rows)
+    + ``codes/`` (one m-code row per vector). The probe side then never
+    touches raw vectors — the codes table is the 100-400×-smaller scan
+    ADC works from (the `build_ivf_index` / `build_dedup_index`
+    lifecycle precedent: amortize the expensive pass, read the compact
+    artifact per query)."""
+    import os
+
+    books = train_pq(
+        emb, m=m, k=k, iterations=iterations, vec_col=vec_col, id_col=id_col
+    )
+    books.write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+    encode_pq(emb, books, vec_col=vec_col, id_col=id_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codes"))
+
+
+def append_pq_index(
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Encode a NEW batch against the FROZEN codebooks and append its
+    codes — the steady-state ingest move: no retraining, no touch of the
+    existing codes, one linear pass over the batch. (Codebook drift is a
+    rebuild decision, not an append decision — monitor reconstruction
+    error and rebuild when the corpus distribution moves.)"""
+    import os
+
+    spark = new_vectors.sparkSession
+    books = spark.read.parquet(os.path.join(path, "codebooks"))
+    encode_pq(new_vectors, books, vec_col=vec_col, id_col=id_col).write.mode(
+        "append"
+    ).parquet(os.path.join(path, "codes"))
+
+
+def search_pq(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+    probe_id: str = "query_id",
+    probe_vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the persisted index: ADC top-k over the ``codes/`` scan
+    (raw vectors are read ONLY when ``refine`` asks for the exact
+    re-rank, and then only for candidate rows). Same contract as
+    :func:`pq_topk` — this is the one-call deployment surface."""
+    import os
+
+    books = spark.read.parquet(os.path.join(path, "codebooks"))
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return pq_topk(
+        queries,
+        codes,
+        books,
+        k=k,
+        refine=refine,
+        corpus=corpus,
+        probe_id=probe_id,
+        probe_vec=probe_vec,
+        id_col=id_col,
+    )

@@ -142,3 +142,54 @@ def test_split_subvectors_concat_identity(spark):
         F.flatten(split_subvectors(F.col("v"), 4, 2)).alias("f")
     ).first()["f"]
     assert got == [float(i) for i in range(8)]
+
+
+def test_persisted_pq_index_lifecycle(built, spark, tmp_path):
+    """build → search matches the in-memory path bit-for-bit; append
+    encodes a new batch against the FROZEN codebooks and the appended
+    vector becomes findable; the no-refine probe plan reads codes/ and
+    codebooks/ only — never the raw-vector table."""
+    from beeper_matric_etl_tool_spark.ext.quantization import (
+        append_pq_index,
+        build_pq_index,
+        search_pq,
+    )
+
+    emb, books, enc = built
+    path = str(tmp_path / "pqidx")
+    build_pq_index(emb, path, m=M, k=K, iterations=3)
+
+    probes = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    persisted = search_pq(spark, path, probes, k=5)
+    # probe plan never scans the raw corpus: the only parquet locations
+    # in the executed plan live under the index path
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    assert "codes:array" in plan  # the codes scan
+    assert "embedding:array<float>" not in plan  # no raw-vector scan
+    got = sorted(tuple(r) for r in persisted.collect())
+    # training is deterministic, so the persisted books == in-memory
+    # books and the search results agree exactly
+    direct = sorted(
+        tuple(r)
+        for r in __import__(
+            "beeper_matric_etl_tool_spark.ext.quantization",
+            fromlist=["pq_topk"],
+        ).pq_topk(probes, enc, books, k=5).collect()
+    )
+    assert got == direct
+
+    # append a synthetic vector identical to vec 0's embedding shifted
+    # far away; it must be encoded with the frozen books and show up
+    first = emb.orderBy("vec_id").first()
+    new_vec = [float(x) for x in first["embedding"]]
+    new = spark.createDataFrame(
+        [(999_999, new_vec)], "vec_id long, embedding array<float>"
+    )
+    append_pq_index(new, path)
+    again = search_pq(spark, path, probes, k=5)
+    ids = {r["vec_id"] for r in again.collect()}
+    # the clone of probe-0's vector has the probe's own codes -> maximal
+    # ADC score for that probe -> it enters the top-5
+    assert 999_999 in ids
