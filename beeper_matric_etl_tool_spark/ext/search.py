@@ -121,6 +121,7 @@ def unigram_nll_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     corpus_stats: tuple[int, int] | None = None,
+    lazy_stats: bool = False,
 ) -> DataFrame:
     """(id_col, score_ppm): mean per-token negative log-likelihood under a
     +1-smoothed unigram language model trained on the corpus itself —
@@ -150,28 +151,42 @@ def unigram_nll_scores(
     model scalars (N = total tokens, V = vocab size) cost one extra
     linear stats pass — pass ``corpus_stats=(n_total, v_size)`` to skip
     it when scoring many batches against one frozen model (the
-    bm25_scores convention)."""
+    bm25_scores convention), or ``lazy_stats=True`` to fold the stats
+    pass into the plan as a broadcast one-row cross join instead of an
+    eager driver job: same values (long addition is exact, the double
+    cast matches the literal path bit-for-bit below 2⁵³), but the call
+    launches NO jobs — the form a lazily-composed pipeline stage
+    (curate()) requires. The cost is that the (doc,term) relation is
+    derived twice at execution; the eager default keeps the main job
+    single-scan."""
     toks = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__term")
     )
     tf = toks.groupBy(id_col, "__term").agg(F.count(F.lit(1)).alias("__tf"))
-    if corpus_stats is not None:
-        n_total, v_size = corpus_stats
-    else:
-        n_total, v_size = tf.agg(
-            F.sum("__tf"), F.count_distinct("__term")
-        ).first()
     from pyspark.sql import Window
 
     wt = Window.partitionBy("__term")
-    scored = tf.withColumn("__ct", F.sum("__tf").over(wt)).withColumn(
+    with_ct = tf.withColumn("__ct", F.sum("__tf").over(wt))
+    if corpus_stats is not None or not lazy_stats:
+        if corpus_stats is not None:
+            n_total, v_size = corpus_stats
+        else:
+            n_total, v_size = tf.agg(
+                F.sum("__tf"), F.count_distinct("__term")
+            ).first()
+        nv = F.lit(float(n_total)) + F.lit(float(v_size))
+    else:
+        stats = tf.agg(
+            F.sum("__tf").alias("__n_total"),
+            F.count_distinct("__term").alias("__v"),
+        )
+        with_ct = with_ct.join(F.broadcast(stats))
+        nv = (F.col("__n_total") + F.col("__v")).cast("double")
+    scored = with_ct.withColumn(
         "__nll_ppm",
         F.floor(
             F.lit(1_000_000.0)
-            * F.log(
-                (F.lit(float(n_total)) + F.lit(float(v_size)))
-                / (F.col("__ct") + F.lit(1.0))
-            )
+            * F.log(nv / (F.col("__ct") + F.lit(1.0)))
         ).cast("long"),
     )
     return (

@@ -170,3 +170,15 @@ def test_unigram_nll_hand_computed(spark):
     }
     assert got == {1: 816858, 2: 1045931}
     assert got[1] < got[2]
+
+
+def test_unigram_nll_lazy_stats_matches_and_launches_no_jobs(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    eager = {r["doc_id"]: r["score_ppm"] for r in unigram_nll_scores(docs).collect()}
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    lazy_df = unigram_nll_scores(docs, lazy_stats=True)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before)  # construction launched nothing
+    lazy = {r["doc_id"]: r["score_ppm"] for r in lazy_df.collect()}
+    assert lazy == eager

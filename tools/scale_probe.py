@@ -261,6 +261,61 @@ def probe_semdedup_pairs(emb, k: int):
     )
 
 
+def probe_duplicate_spans(docs):
+    """Duplicate-SPAN removal's cost drivers: the window-fingerprint
+    count pass + the hot-position semi-join + the per-doc rebuild — all
+    designed linear. A shared 10-token sentence is planted on every 4th
+    doc (planting scales WITH the corpus, so the hot mass is a constant
+    fraction at every factor); the consonant rotation keeps base texts
+    decorrelated across copies. Returns (n_docs, tokens_removed) — the
+    removed fraction should stay ~flat while time tracks the factor."""
+    from beeper_matric_etl_tool_spark.ext.text import remove_duplicate_spans
+
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit(" probe footer sentence shared across many documents here"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = remove_duplicate_spans(planted, k=8, min_count=2)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_removed").alias("tokens_removed"),
+    )
+
+
+def probe_unigram_nll(docs):
+    """Perplexity-filter scoring: one tokenize+explode pass + three
+    (doc,term)-sized exchanges (plan-audited in ext/search.py). Expect
+    ~linear. Returns (n_docs, checksum) — the checksum pins that grown
+    runs actually scored every doc."""
+    from beeper_matric_etl_tool_spark.ext.search import unigram_nll_scores
+
+    return unigram_nll_scores(docs).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score_ppm").alias("checksum"),
+    )
+
+
+def probe_quota_sample(docs):
+    """Exact-quota stratified sampling: the per-stratum window sort over
+    a pruned (lang, hash, id) projection. Expect ~n log n — the flat
+    quota means output stays constant while the sort input grows."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import sample_quota
+    from beeper_matric_etl_tool_spark.ext.text import token_count
+
+    base = docs.select("doc_id", "lang", token_count("text").alias("n_toks"))
+    out = sample_quota(base, {"en": 100, "es": 40, "fr": 25, "de": 60, "zh": 30})
+    return out.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_toks").alias("membership_checksum"),
+    )
+
+
 def timed(df) -> float:
     df.write.format("noop").mode("overwrite").save()  # warm
     t0 = time.perf_counter()
@@ -318,6 +373,19 @@ def main() -> None:
     out["rows"]["documents_base"] = docs.count()
     out["rows"]["documents_grown"] = big_docs.count()
     # fixed benchmark side: the BASE corpus's val split
+    for pname, fn in (
+        ("duplicate_spans", probe_duplicate_spans),
+        ("unigram_nll", probe_unigram_nll),
+        ("quota_sample", probe_quota_sample),
+    ):
+        t1, r1 = timed_value(fn(docs))
+        t10, r10 = timed_value(fn(big_docs))
+        out["probe"][pname] = {
+            "base_sec": t1, "grown_sec": t10,
+            "growth_ratio": round(t10 / t1, 2) if t1 else None,
+            "base_row": list(r1), "grown_row": list(r10),
+        }
+
     val_grams = (
         docs.select("doc_id", "text", holdout_split().alias("split"))
         .filter(F.col("split") == "val")
