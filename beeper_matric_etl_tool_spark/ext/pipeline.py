@@ -295,6 +295,7 @@ CURATE_RESERVED_COLUMNS = (
     "n_tokens", "ttr_ppm", "dup3_ppm", "stop_hits", "mean_len_x100",
     "len_ok", "ttr_ok", "rep_ok", "stop_ok", "avglen_ok", "keep",
     "n_emails", "n_digit_runs", "n_tokens_packed", "pack_id",
+    "n_span_tokens_removed", "nll_ppm",
 )
 
 
@@ -339,12 +340,36 @@ def curate(
     reference_index: str | None = None,
     portable: bool = False,
     lang_col: str | None = "lang",
+    span_k: int | None = None,
+    span_min_count: int = 2,
+    span_keep_one: bool = True,
+    max_nll_ppm: int | None = None,
 ) -> "CurationStages":
     """Run the full curation funnel; returns the per-stage DataFrames:
 
     - ``quality``:     docs + signal/verdict columns (audit surface)
     - ``scrubbed``:    quality survivors with ``text`` PII-scrubbed (+ audit
                        counts ``n_emails``/``n_digit_runs``)
+    - ``despanned``:   (only when ``span_k`` is set) corpus-level
+                       duplicate-SPAN removal (`ext/text.py:
+                       remove_duplicate_spans`, keep_one defaults True —
+                       the Lee-et-al policy): every >=span_min_count-
+                       occurrence k-token window cut except its
+                       canonical copy, text rebuilt, emptied docs
+                       dropped, ``n_span_tokens_removed`` audit column.
+                       Runs BEFORE exact dedup on purpose: span removal
+                       changes content fingerprints, and deduping the
+                       cleaned text is what collapses templated docs
+                       that differ only in their boilerplate
+    - ``fluent``:      (only when ``max_nll_ppm`` is set) unigram-LM
+                       perplexity ceiling (`ext/search.py:
+                       unigram_nll_scores` in its lazy_stats form — the
+                       stage launches no jobs at composition): docs whose
+                       mean token NLL exceeds the ceiling (gibberish,
+                       OOV soup) drop; survivors carry ``nll_ppm``.
+                       The model trains on the batch AFTER span removal
+                       so duplicated boilerplate cannot drag the
+                       vocabulary distribution
     - ``exact``:       after exact dedup (lowest id per content fingerprint)
     - ``near``:        after MinHash near-dup components (canonical only)
     - ``incremental``: after dropping exact/near duplicates of the
@@ -444,7 +469,49 @@ def curate(
         scrubbed = scrubbed.persist()
         persisted.append(scrubbed)
 
-    exact = exact_dedup(scrubbed, text_col=text_col, id_col=id_col)
+    opt_stages: dict[str, DataFrame] = {}
+    dedup_input = scrubbed
+    if span_k is not None:
+        from beeper_matric_etl_tool_spark.ext.text import remove_duplicate_spans
+
+        span_out = remove_duplicate_spans(
+            dedup_input,
+            k=span_k,
+            min_count=span_min_count,
+            keep_one=span_keep_one,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        replaced = dedup_input.drop(text_col).join(
+            span_out.filter(F.length("cleaned_text") > 0).select(
+                F.col(id_col),
+                F.col("cleaned_text").alias(text_col),
+                F.col("n_removed").alias("n_span_tokens_removed"),
+            ),
+            on=id_col,
+        )
+        # restore the input column order (text back in place), audit last
+        despanned = replaced.select(
+            *[c for c in dedup_input.columns], "n_span_tokens_removed"
+        )
+        opt_stages["despanned"] = despanned
+        dedup_input = despanned
+    if max_nll_ppm is not None:
+        from beeper_matric_etl_tool_spark.ext.search import unigram_nll_scores
+
+        scores = unigram_nll_scores(
+            dedup_input, text_col=text_col, id_col=id_col, lazy_stats=True
+        )
+        fluent = dedup_input.join(
+            scores.filter(F.col("score_ppm") <= max_nll_ppm).select(
+                F.col(id_col), F.col("score_ppm").alias("nll_ppm")
+            ),
+            on=id_col,
+        )
+        opt_stages["fluent"] = fluent
+        dedup_input = fluent
+
+    exact = exact_dedup(dedup_input, text_col=text_col, id_col=id_col)
 
     near_pairs = near_dedup_minhash(
         exact, threshold=minhash_threshold, text_col=text_col, id_col=id_col,
@@ -529,6 +596,7 @@ def curate(
         {
             "quality": quality,
             "scrubbed": scrubbed,
+            **opt_stages,
             "exact": exact,
             "near": near,
             "incremental": incremental,

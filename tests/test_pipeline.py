@@ -670,3 +670,92 @@ def test_sample_quota_exact_counts_and_determinism(spark):
     # the original members that survive keep their identity (hash order
     # is stable per doc); any displaced ones were displaced BY new docs
     assert grown_en - by_lang["en"] <= {1000 + i for i in range(40)}
+
+
+def test_curate_optional_span_and_fluency_stages(spark):
+    """Opt-in despanned + fluent stages: the shared footer is cut from
+    every doc but its canonical (lowest doc,pos) copy BEFORE exact
+    dedup; the perplexity ceiling drops a gibberish doc; stage keys
+    appear only when enabled and in funnel order; the default call's
+    stage keys are unchanged. Bodies are DISTINCT per doc (identical
+    bodies would themselves be duplicate spans — that behavior is
+    test_remove_duplicate_spans' subject) and the gibberish is
+    digit-free (the PII scrub runs first and digit redaction would
+    collapse distinct tokens into one repeated token)."""
+    from beeper_matric_etl_tool_spark.ext.search import unigram_nll_scores
+
+    common = "subscribe now to get all the updates you ever wanted"
+
+    def mk_body(d: int) -> str:
+        # per-doc-unique DIGIT-FREE filler alternating with stopwords:
+        # no 5-gram is shared between two bodies, every quality rule
+        # passes, and the PII digit-run redaction (which runs before the
+        # span stage and would collapse numbered fillers into one
+        # repeated token) has nothing to rewrite
+        az = "abcdefghijklmnopqrstuvwxyz"
+        return " ".join(
+            f"w{az[d]}{az[i // 26]}{az[i % 26]}fill {'the' if i % 2 else 'of'}"
+            for i in range(30)
+        )
+
+    bodies = {1: mk_body(1), 2: mk_body(2), 3: mk_body(3)}
+    gibberish = "the and " + " ".join(
+        f"zq{chr(97 + i % 26)}xj{chr(97 + (i * 7) % 26)}w{chr(97 + (i * 11) % 26)}"
+        for i in range(70)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "en", f"{bodies[1]} {common}"),
+            (2, "en", f"{common} {bodies[2]}"),
+            (3, "en", bodies[3]),
+            (4, "en", gibberish),
+        ],
+        "doc_id long, lang string, text string",
+    )
+
+    base = curate(docs, persist_intermediates=False)
+    assert "despanned" not in base and "fluent" not in base
+    assert {r["doc_id"] for r in base["quality"].filter("keep").collect()} == {
+        1, 2, 3, 4
+    }
+
+    # pick the NLL ceiling from the post-span corpus itself: midway
+    # between the fluent docs' worst score and the gibberish score (the
+    # mechanism under test is the cut, not a universal constant)
+    probe = curate(docs, persist_intermediates=False, span_k=5)
+    scores = {
+        r["doc_id"]: r["score_ppm"]
+        for r in unigram_nll_scores(probe["despanned"]).collect()
+    }
+    assert set(scores) == {1, 2, 3, 4}
+    assert scores[4] > max(scores[d] for d in (1, 2, 3))
+    ceiling = (scores[4] + max(scores[d] for d in (1, 2, 3))) // 2
+
+    stages = curate(
+        docs,
+        persist_intermediates=False,
+        span_k=5,
+        max_nll_ppm=int(ceiling),
+    )
+    keys = list(stages.keys())
+    assert keys.index("scrubbed") < keys.index("despanned") < keys.index(
+        "fluent"
+    ) < keys.index("exact")
+
+    desp = {r["doc_id"]: r for r in stages["despanned"].collect()}
+    # canonical copy = argmin (doc_id, pos) -> doc 1 keeps its footer
+    assert desp[1]["n_span_tokens_removed"] == 0
+    assert desp[2]["n_span_tokens_removed"] == 10
+    assert desp[2]["text"] == bodies[2]
+    assert desp[3]["n_span_tokens_removed"] == 0
+
+    fluent_ids = {r["doc_id"] for r in stages["fluent"].select("doc_id").collect()}
+    assert 4 not in fluent_ids  # gibberish exceeded the NLL ceiling
+    assert fluent_ids == {1, 2, 3}
+    # survivors carry the audit score, equal to the standalone scorer's
+    fl = {r["doc_id"]: r["nll_ppm"] for r in stages["fluent"].collect()}
+    assert fl == {d: scores[d] for d in fl}
+
+    # downstream stages flow from the fluent survivors
+    exact_ids = {r["doc_id"] for r in stages["exact"].select("doc_id").collect()}
+    assert exact_ids == {1, 2, 3}
