@@ -1,0 +1,178 @@
+"""Byte-pair-encoding merge training over the corpus (SURVEY §2.12 text
+tier) — the tokenizer-FITTING stage of a training-data pipeline (Sennrich
+et al. 2016, "Neural Machine Translation of Rare Words with Subword
+Units" — public method, Spark-first implementation).
+
+The scale insight that makes distributed BPE tractable: after ONE corpus
+pass that reduces text to (word, count), every training iteration runs
+over the WORD VOCABULARY — a relation orders of magnitude smaller than
+the corpus (heaps' law: ~1e6-1e8 distinct words against 1e12 tokens) and
+one that never grows during training. The 100 TB corpus is touched
+exactly once; the n_merges-iteration loop costs n_merges
+vocabulary-sized jobs (explode pairs → weighted count → argmax), the
+same driver-loop shape as `ext/clustering.py:kmeans`.
+
+Determinism contract: merge selection is argmax by (pair count DESC,
+left symbol ASC, right symbol ASC) — integer counts, lexicographic
+tie-break, no RNG — so the learned merge table is a pure function of the
+corpus. Merge APPLICATION is the classic greedy leftmost scan, expressed
+as one `F.aggregate` fold per merge over the symbol array (the fold
+references only bound attributes — the Catalyst re-inlining hazard
+`ext/quality.py:_max_multiplicity` documents does not apply), with a
+`localCheckpoint` per iteration so the driver loop's lineage stays flat
+instead of nesting n_merges folds into one plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from beeper_matric_etl_tool_spark.ext.text import tokens
+
+#: end-of-word marker (appended as a standalone final symbol): makes
+#: "est" at a word's end a DIFFERENT unit from "est" mid-word — the
+#: Sennrich convention that lets the tokenizer learn suffixes.
+EOW = "</w>"
+
+
+def _merge_fold(syms, a: str, b: str):
+    """Greedy leftmost application of one merge (a, b) → a+b over a
+    symbol array: a single left fold — if the running output ends with
+    `a` and the next symbol is `b`, replace the tail with the merged
+    symbol, else append. The merged symbol is strictly longer than
+    either part, so it can never falsely re-trigger the same merge on
+    its own output ("aaa" under (a,a) → [aa, a], the standard greedy
+    result)."""
+    merged = F.lit(a + b)
+    empty = F.array().cast("array<string>")
+
+    def step(out, x):
+        can = (
+            (F.size(out) > 0)
+            & (F.element_at(out, -1) == F.lit(a))
+            & (x == F.lit(b))
+        )
+        return F.when(
+            can,
+            F.concat(F.slice(out, 1, F.size(out) - 1), F.array(merged)),
+        ).otherwise(F.concat(out, F.array(x)))
+
+    return F.aggregate(syms, empty, step)
+
+
+def _chars(col):
+    """Character array of a string column. Spark's split(limit=-1) keeps
+    a trailing empty element ('ab' -> [a, b, '']) — filter it out."""
+    return F.filter(F.split(col, "(?!^)"), lambda x: x != F.lit(""))
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, ct) — the ONE corpus-sized pass of BPE training."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    """(word, ct, syms): characters plus the end-of-word marker."""
+    return words.select(
+        "word",
+        "ct",
+        F.concat(_chars(F.col("word")), F.array(F.lit(EOW))).alias("syms"),
+    )
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 20,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Learn the top ``n_merges`` BPE merges: [(left, right, count), …]
+    in merge order. Stops early when the best remaining pair's weighted
+    count drops below ``min_pair_count`` (merging singleton pairs would
+    just memorize hapax words). The corpus is scanned once; each
+    iteration is vocabulary-sized (module docstring)."""
+    if n_merges < 1:
+        raise ValueError(f"train_bpe_merges: n_merges={n_merges} must be >= 1")
+    state = _initial_symbols(word_counts(docs, text_col)).localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = state.select(
+            "ct",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p")
+            .agg(F.sum("ct").alias("n"))
+            .orderBy(
+                F.col("n").desc(), F.col("p.a").asc(), F.col("p.b").asc()
+            )
+            .first()
+        )
+        if best is None or best["n"] < min_pair_count:
+            break
+        a, b = best["p"]["a"], best["p"]["b"]
+        merges.append((a, b, best["n"]))
+        prev = state
+        state = state.select(
+            "word", "ct", _merge_fold(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=True)
+        prev.unpersist()
+    state.unpersist()
+    return merges
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    word_col: str = "word",
+    out_col: str = "pieces",
+) -> DataFrame:
+    """Apply a learned merge table to a word column: adds ``out_col``
+    (array<string> of subword pieces, EOW marker on the last piece).
+    Merges apply in training order — the defining BPE property — each as
+    one fold; the plan is merges-deep but column-local (no shuffle, no
+    Python)."""
+    syms = F.concat(_chars(F.col(word_col)), F.array(F.lit(EOW)))
+    for m in merges:
+        syms = _merge_fold(syms, m[0], m[1])
+    return df.withColumn(out_col, syms)
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_bpe_tokens) — the sequence-length accounting a packing
+    budget actually needs once a real tokenizer exists: piece count per
+    document under the learned merges. One explode to words, one
+    vocabulary-sized segmentation join (each DISTINCT word is segmented
+    once, then joined back by word — piece counting never refolds per
+    occurrence), one count-sum back per document."""
+    words = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+    per_word = words.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    vocab = per_word.select("word").distinct()
+    pieces = bpe_segment(vocab, merges).select(
+        "word", F.size("pieces").alias("__pieces")
+    )
+    return (
+        per_word.join(pieces, on="word")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__n") * F.col("__pieces")).alias("n_bpe_tokens"))
+    )

@@ -1,0 +1,73 @@
+"""BPE merge training (ext/bpe.py) against the hand-computable classic
+corpus — every merge and tie-break checkable on paper."""
+
+from __future__ import annotations
+
+import pytest
+
+from beeper_matric_etl_tool_spark.ext.bpe import (
+    EOW,
+    bpe_segment,
+    bpe_token_counts,
+    train_bpe_merges,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # the Sennrich-style toy corpus: word frequencies chosen so the merge
+    # order (and its lexicographic tie-breaks) is fully hand-derivable
+    rows = (
+        [("low",)] * 5 + [("lower",)] * 2 + [("newest",)] * 6 + [("widest",)] * 3
+    )
+    return spark.createDataFrame(
+        [(i, t[0]) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+def test_merge_order_and_tiebreaks(corpus):
+    """Hand-derivation: pair counts peak at 9 for (e,s), (s,t), (t,EOW)
+    — the lexicographic tie-break picks (e,s) first, then the merged
+    symbols cascade (es,t) -> (est,EOW); the 7-count tie (l,o)/(o,w)
+    again resolves left-asc; then (lo,w)."""
+    merges = train_bpe_merges(corpus, n_merges=5)
+    assert merges == [
+        ("e", "s", 9),
+        ("es", "t", 9),
+        ("est", EOW, 9),
+        ("l", "o", 7),
+        ("lo", "w", 7),
+    ]
+
+
+def test_min_pair_count_stops_early(corpus, spark):
+    one_word = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    # every pair in the single hapax word has count 1 < 2 -> no merges
+    assert train_bpe_merges(one_word, n_merges=5, min_pair_count=2) == []
+    with pytest.raises(ValueError, match="n_merges"):
+        train_bpe_merges(one_word, n_merges=0)
+
+
+def test_segment_unseen_word(corpus, spark):
+    """The point of BPE: 'lowest' never occurs in the corpus but
+    segments into learned units [low, est</w>]."""
+    merges = train_bpe_merges(corpus, n_merges=5)
+    out = bpe_segment(
+        spark.createDataFrame([("lowest",)], "word string"), merges
+    ).first()
+    assert out["pieces"] == ["low", "est" + EOW]
+
+
+def test_token_counts_weight_by_occurrence(corpus, spark):
+    merges = train_bpe_merges(corpus, n_merges=5)
+    docs = spark.createDataFrame(
+        [(1, "lowest lowest newest"), (2, "low")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    # lowest -> [low, est</w>] = 2 pieces, twice; newest -> n e w est</w>
+    # = 4 pieces; low -> [low, </w>] = 2 pieces
+    assert got == {1: 2 + 2 + 4, 2: 2}
