@@ -176,3 +176,51 @@ def bpe_token_counts(
         .groupBy(id_col)
         .agg(F.sum(F.col("__n") * F.col("__pieces")).alias("n_bpe_tokens"))
     )
+
+
+def bpe_segment_udf(
+    df: DataFrame,
+    merges: list,
+    word_col: str = "word",
+    out_col: str = "pieces",
+) -> DataFrame:
+    """The production twin of :func:`bpe_segment` for REAL merge tables:
+    a 30k-merge vocabulary would nest 30k folds into one Catalyst plan
+    (analysis/codegen explodes long before execution), so this variant
+    ships the merge table into an Arrow-batched pandas_udf once per
+    executor and applies the standard rank-priority algorithm — repeat-
+    edly merge the best-ranked adjacent pair present — per word. Same
+    output as the fold path on any merge table (pinned in tests): rank
+    priority and greedy-leftmost-per-merge produce identical segmenta-
+    tions because earlier merges always outrank later ones. Python-per-
+    word cost is paid on the DISTINCT-word relation (see
+    bpe_token_counts), not per occurrence."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    rank = {(m[0], m[1]): i for i, m in enumerate(merges)}
+
+    def seg_one(word: str) -> list[str]:
+        syms = list(word) + [EOW]
+        while len(syms) > 1:
+            best_i, best_r = -1, len(rank)
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]), len(rank))
+                if r < best_r:
+                    best_i, best_r = i, r
+            if best_i < 0 or best_r >= len(rank):
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    # annotations assigned as real objects: the module-level
+    # `from __future__ import annotations` stringifies inline hints,
+    # which pandas_udf's signature inspection cannot resolve
+    def _seg(col):
+        return col.map(seg_one)
+
+    _seg.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    seg = pandas_udf(T.ArrayType(T.StringType()))(_seg)
+
+    return df.withColumn(out_col, seg(F.col(word_col)))

@@ -306,6 +306,15 @@ def pq_topk(
     encoded corpus row scores as Σⱼ L[j, codes[j]] — m integer gathers,
     no decode, no shuffle before the bounded top-k window.
 
+    Scale note: without a coarse partitioner the scored relation is
+    n_probes × corpus rows (the brute-force ANN shape — same as
+    `cosine_topk`, just over 100-400× smaller rows); the production
+    composition prunes the CODES scan with an IVF probe map first
+    (`similarity_index.search_ivf`'s partition pruning applied to the
+    codes table) so ADC scores ~corpus/k rows per probe. Keep probe
+    batches far below MAX_PROBES here — the per-Arrow-batch score matrix
+    is n_probes × batch_rows doubles.
+
     ``refine > 0`` re-ranks each query's top-``refine`` ADC candidates by
     EXACT quantized inner product against the true vectors (``corpus``
     required): a semi-join-shaped candidate join touches only

@@ -71,3 +71,22 @@ def test_token_counts_weight_by_occurrence(corpus, spark):
     # lowest -> [low, est</w>] = 2 pieces, twice; newest -> n e w est</w>
     # = 4 pieces; low -> [low, </w>] = 2 pieces
     assert got == {1: 2 + 2 + 4, 2: 2}
+
+
+def test_segment_udf_matches_fold_path(corpus, spark):
+    """The pandas_udf production segmenter (rank-priority) must agree
+    with the fold path (merge-order application) on every corpus word
+    AND on unseen words."""
+    from beeper_matric_etl_tool_spark.ext.bpe import bpe_segment_udf
+
+    merges = train_bpe_merges(corpus, n_merges=5)
+    words = spark.createDataFrame(
+        [("low",), ("lower",), ("newest",), ("widest",), ("lowest",),
+         ("west",), ("x",)],
+        "word string",
+    )
+    fold = {r["word"]: r["pieces"] for r in bpe_segment(words, merges).collect()}
+    udf = {
+        r["word"]: r["pieces"] for r in bpe_segment_udf(words, merges).collect()
+    }
+    assert udf == fold
