@@ -483,3 +483,151 @@ def search_pq(
         probe_vec=probe_vec,
         id_col=id_col,
     )
+
+
+def build_ivf_pq_index(
+    emb: DataFrame,
+    path: str,
+    ivf_k: int = 8,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """IVF-PQ: the coarse quantizer (k-means, `ext/clustering.py`) picks
+    WHICH codes to scan, PQ decides how small each scanned row is — the
+    composition every billion-vector ANN deployment runs. Persists
+    ``centroids/`` (ivf_k rows), ``codebooks/`` (m·k rows) and
+    ``codes/`` hive-partitioned by ``cluster_id`` so a probe is a
+    partition-pruned read of ~nprobe/ivf_k of an already-100-400×-
+    compressed table."""
+    import os
+
+    from beeper_matric_etl_tool_spark.ext.clustering import kmeans
+
+    assignments, centroids = kmeans(
+        emb, k=ivf_k, iterations=iterations, vec_col=vec_col, id_col=id_col
+    )
+    centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    books = train_pq(
+        emb, m=m, k=k, iterations=iterations, vec_col=vec_col, id_col=id_col
+    )
+    books.write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+    (
+        encode_pq(emb, books, vec_col=vec_col, id_col=id_col)
+        .join(assignments.select(id_col, "cluster_id"), on=id_col)
+        .repartition(F.col("cluster_id"))
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(os.path.join(path, "codes"))
+    )
+
+
+def search_ivf_pq(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+    probe_id: str = "query_id",
+    probe_vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the IVF-PQ index: per query, restrict to its ``nprobe``
+    nearest coarse clusters (broadcast of ivf_k centroid rows), then ADC-
+    score ONLY the candidate (query, code-row) pairs the probe map
+    joins up — unlike the flat `pq_topk` scan, a query never scores a
+    vector outside its probed clusters, so compute is
+    Σ_q |probed clusters of q| code rows, not n_probes × corpus. The
+    per-pair score is the same integer ADC gather (resident lookup
+    table, Arrow-batched pandas_udf). ``nprobe = ivf_k`` degenerates to
+    exactly the flat scan's results (pinned in tests); ``refine``
+    re-ranks candidates by exact quantized dot as in `pq_topk`."""
+    import os
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from beeper_matric_etl_tool_spark.ext.clustering import _sq_dist
+
+    if refine and corpus is None:
+        raise ValueError("search_ivf_pq: refine > 0 requires the raw corpus")
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    books = spark.read.parquet(os.path.join(path, "codebooks"))
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    C, m, ck, dsub = _codebook_tensor(books)
+
+    probe_rows = queries.select(probe_id, probe_vec).take(MAX_PROBES + 1)
+    if len(probe_rows) > MAX_PROBES:
+        raise ValueError(
+            f"search_ivf_pq: more than MAX_PROBES={MAX_PROBES} probe rows"
+        )
+    qids = [r[0] for r in probe_rows]
+    qindex = {q: i for i, q in enumerate(qids)}
+    Q = np.floor(
+        np.vstack([r[1] for r in probe_rows]).astype(np.float64) * QUANT
+    )
+    L = np.einsum("qjd,jcd->qjc", Q.reshape(len(qids), m, dsub), C)
+
+    probed = queries.select(probe_id, probe_vec).crossJoin(
+        F.broadcast(centroids)
+    ).withColumn("__d", _sq_dist(F.col(probe_vec), F.col("centroid")))
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("__d").asc(), F.col("cluster_id").asc()
+    )
+    probe_map = (
+        probed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select(probe_id, "cluster_id")
+    )
+    cand = F.broadcast(probe_map).join(codes, on="cluster_id")
+
+    def _adc(qcol, codecol):
+        qi = qcol.map(qindex).to_numpy()
+        codes_m = np.vstack(codecol.to_numpy()).astype(np.int64)
+        s = np.zeros(len(qi), dtype=np.float64)
+        for j in range(m):
+            s += L[qi, j, codes_m[:, j]]
+        return _pd.Series(s)
+
+    _adc.__annotations__ = {
+        "qcol": _pd.Series, "codecol": _pd.Series, "return": _pd.Series
+    }
+    adc = pandas_udf(T.DoubleType())(_adc)
+
+    scored = cand.select(
+        probe_id, id_col, adc(F.col(probe_id), F.col("codes")).alias("score")
+    )
+    w2 = Window.partitionBy(probe_id).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    take = max(k, refine)
+    top = scored.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= take
+    )
+    if not refine:
+        return top.select(probe_id, id_col, "score", "rank")
+    from beeper_matric_etl_tool_spark.ext.similarity import dot, quantize
+
+    qdf = queries.select(probe_id, quantize(F.col(probe_vec)).alias("__q"))
+    exact = (
+        top.select(probe_id, id_col)
+        .join(
+            corpus.select(F.col(id_col), quantize(F.col(probe_vec)).alias("__v")),
+            on=id_col,
+        )
+        .join(F.broadcast(qdf), on=probe_id)
+        .select(probe_id, id_col, dot(F.col("__q"), F.col("__v")).alias("score"))
+    )
+    w3 = Window.partitionBy(probe_id).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w3))
+        .filter(F.col("rank") <= k)
+        .select(probe_id, id_col, "score", "rank")
+    )

@@ -193,3 +193,61 @@ def test_persisted_pq_index_lifecycle(built, spark, tmp_path):
     # the clone of probe-0's vector has the probe's own codes -> maximal
     # ADC score for that probe -> it enters the top-5
     assert 999_999 in ids
+
+
+def test_ivf_pq_index_prunes_and_degenerates_to_flat(built, spark, tmp_path):
+    """IVF-PQ: at nprobe = ivf_k every cluster is probed, so results
+    equal the flat ADC scan exactly; at nprobe=1 each query scores only
+    its nearest cluster's codes (candidate volume shrinks to ~1/ivf_k),
+    and the refine leg still recovers exact-metric neighbors from the
+    probed subset."""
+    from beeper_matric_etl_tool_spark.ext.quantization import (
+        build_ivf_pq_index,
+        pq_topk,
+        search_ivf_pq,
+    )
+
+    emb, books, enc = built
+    path = str(tmp_path / "ivfpq")
+    IVF_K = 4
+    build_ivf_pq_index(emb, path, ivf_k=IVF_K, m=M, k=K, iterations=3)
+
+    probes = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # full-probe == flat scan (training is deterministic, same books)
+    full = sorted(
+        tuple(r) for r in search_ivf_pq(spark, path, probes, k=5, nprobe=IVF_K).collect()
+    )
+    flat = sorted(tuple(r) for r in pq_topk(probes, enc, books, k=5).collect())
+    assert full == flat
+
+    # nprobe=1: a strict subset of clusters is scored; results are the
+    # flat ranking RESTRICTED to the probed clusters — so every returned
+    # neighbor also appears in the flat top-k of its probed subset, and
+    # determinism holds across reruns
+    one = search_ivf_pq(spark, path, probes, k=5, nprobe=1).collect()
+    assert {r["query_id"] for r in one} == {r[0] for r in full}
+    again = search_ivf_pq(spark, path, probes, k=5, nprobe=1).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, again))
+
+    # refine: exact re-rank within probed candidates, scores are exact
+    # quantized dots (match the corpus-side recomputation)
+    from beeper_matric_etl_tool_spark.ext.similarity import dot, quantize
+
+    ref = search_ivf_pq(
+        spark, path, probes, k=3, nprobe=2, refine=20, corpus=emb
+    ).collect()
+    qv = {
+        r["query_id"]: r["q"]
+        for r in probes.select(
+            "query_id", quantize(F.col("embedding")).alias("q")
+        ).collect()
+    }
+    cv = {
+        r["vec_id"]: r["v"]
+        for r in emb.select("vec_id", quantize(F.col("embedding")).alias("v")).collect()
+    }
+    for r in ref:
+        expect = sum(a * b for a, b in zip(qv[r["query_id"]], cv[r["vec_id"]]))
+        assert r["score"] == expect
