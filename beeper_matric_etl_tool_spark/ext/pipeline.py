@@ -693,3 +693,131 @@ def stage_report(
         else:
             out[name] = df.count()
     return out
+
+
+def pack_first_fit_decreasing(
+    df: DataFrame,
+    token_col: str,
+    budget: int = 2048,
+    partition_cols: tuple[str, ...] = (),
+    id_col: str = "doc_id",
+    n_shards: int = 1,
+) -> DataFrame:
+    """Bin-packing twin of :func:`pack_by_budget` for trainers that CAP
+    sequences at the budget and pad the remainder: first-fit-decreasing
+    — sort the group's documents by length descending, place each into
+    the first bin with room — the classic 11/9·OPT-bounded heuristic
+    that beats arrival-order first-fit exactly when small docs arrive
+    before large ones (pinned in tests). `pack_by_budget` minimizes
+    nothing and overflows bins (prefix-sum semantics, zero waste, packs
+    can exceed budget); THIS packer never overflows (a doc longer than
+    the budget gets a flagged singleton bin) and minimizes padding — the
+    right choice when the training collator truncates at budget.
+
+    Adds ``pack_key`` (string, unique per (partition values, shard,
+    bin)) and ``pack_oversize`` (boolean singleton flag).
+
+    Scale shape: FFD is inherently sequential, so each (partition_cols,
+    shard) GROUP ships to one task via ``applyInPandas`` — the
+    documented group-local escape hatch (`ext/grouped.py` policy), made
+    safe by bounding group size: ``n_shards`` splits each partition
+    group by a salted id-hash so a group holds ~|group|/n_shards rows
+    regardless of source skew; size it so a shard's (id, token_count)
+    rows fit one task comfortably (the shipped columns are pruned to
+    id + count + keys — never text). Sharding costs packing quality
+    only at shard boundaries (≤ one underfull bin per shard)."""
+    if n_shards < 1:
+        raise ValueError(f"pack_first_fit_decreasing: n_shards={n_shards} < 1")
+    import pandas as pd
+
+    shard = (
+        F.pmod(
+            F.xxhash64(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(PACK_SALT)))
+            ),
+            F.lit(n_shards),
+        )
+        if n_shards > 1
+        else F.lit(0)
+    )
+    keys = [*partition_cols, "__shard"]
+    slim = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("__tok"),
+        *[F.col(c) for c in partition_cols],
+        shard.cast("int").alias("__shard"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["__tok", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        prefix = "|".join(
+            str(pdf.iloc[0][c]) for c in keys
+        )
+        fills: list[int] = []
+        bin_ids: list[int] = []
+        oversize: list[bool] = []
+        for t in pdf["__tok"]:
+            t = int(t)
+            if t > budget:
+                fills.append(budget)  # permanently full
+                bin_ids.append(len(fills) - 1)
+                oversize.append(True)
+                continue
+            for i, f in enumerate(fills):
+                if f + t <= budget:
+                    fills[i] = f + t
+                    bin_ids.append(i)
+                    oversize.append(False)
+                    break
+            else:
+                fills.append(t)
+                bin_ids.append(len(fills) - 1)
+                oversize.append(False)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "pack_key": [f"{prefix}|{b}" for b in bin_ids],
+                "pack_oversize": oversize,
+            }
+        )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    packed = slim.groupBy(*keys).applyInPandas(
+        pack, f"{id_col} {id_type}, pack_key string, pack_oversize boolean"
+    )
+    return df.join(packed, on=id_col)
+
+
+def packing_waste(
+    packed: DataFrame, token_col: str, budget: int, key_col: str = "pack_key"
+) -> dict[str, int]:
+    """Padding-waste audit of a capped packing: {'n_packs',
+    'total_tokens', 'waste_ppm'} where waste = padded capacity not
+    covered by tokens (oversize singleton packs count their own fill as
+    capacity — they are truncated, not padded). One aggregation job."""
+    agg = (
+        packed.groupBy(key_col)
+        .agg(
+            F.sum(F.col(token_col).cast("long")).alias("__fill"),
+            F.max(F.col("pack_oversize").cast("int")).alias("__over"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("__fill").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("__over") == 1, F.col("__fill")).otherwise(
+                    F.lit(budget)
+                )
+            ).alias("__capacity"),
+        )
+        .first()
+    )
+    cap = agg["__capacity"] or 0
+    tot = agg["total_tokens"] or 0
+    return {
+        "n_packs": agg["n_packs"],
+        "total_tokens": tot,
+        "waste_ppm": int((1_000_000 * (cap - tot)) // cap) if cap else 0,
+    }

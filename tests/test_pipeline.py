@@ -759,3 +759,59 @@ def test_curate_optional_span_and_fluency_stages(spark):
     # downstream stages flow from the fluent survivors
     exact_ids = {r["doc_id"] for r in stages["exact"].select("doc_id").collect()}
     assert exact_ids == {1, 2, 3}
+
+
+def test_pack_first_fit_decreasing(spark):
+    """FFD beats arrival-order packing on the classic adversarial
+    arrival [2,6,5,4,3] (budget 10): 2 bins at zero waste vs 3; no bin
+    ever exceeds the budget; oversize docs get flagged singletons;
+    deterministic across reruns; sharding keeps bins under budget."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import (
+        pack_first_fit_decreasing,
+        packing_waste,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 2), (2, 6), (3, 5), (4, 4), (5, 3)], "doc_id long, n long"
+    )
+    out = pack_first_fit_decreasing(
+        docs, "n", budget=10, partition_cols=()
+    ).collect()
+    by_key: dict[str, int] = {}
+    for r in out:
+        by_key[r["pack_key"]] = by_key.get(r["pack_key"], 0) + r["n"]
+        assert not r["pack_oversize"]
+    assert len(by_key) == 2 and all(v == 10 for v in by_key.values())
+    audit = packing_waste(
+        pack_first_fit_decreasing(docs, "n", budget=10), "n", 10
+    )
+    assert audit == {"n_packs": 2, "total_tokens": 20, "waste_ppm": 0}
+
+    # oversize doc: flagged singleton, counts its own fill as capacity
+    big = spark.createDataFrame([(9, 25), (10, 4)], "doc_id long, n long")
+    bout = pack_first_fit_decreasing(big, "n", budget=10).collect()
+    flags = {r["doc_id"]: r["pack_oversize"] for r in bout}
+    assert flags == {9: True, 10: False}
+    baudit = packing_waste(pack_first_fit_decreasing(big, "n", budget=10), "n", 10)
+    assert baudit["n_packs"] == 2 and baudit["total_tokens"] == 29
+    # capacity = 25 (oversize fill) + 10 = 35 -> waste 6/35
+    assert baudit["waste_ppm"] == (1_000_000 * 6) // 35
+
+    # determinism + sharding: same docs, 3 shards -> every bin still
+    # under budget and rerun-identical
+    many = spark.createDataFrame(
+        [(i, 1 + (i * 7) % 9) for i in range(60)], "doc_id long, n long"
+    )
+    a = sorted(
+        tuple(r)
+        for r in pack_first_fit_decreasing(many, "n", budget=10, n_shards=3).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in pack_first_fit_decreasing(many, "n", budget=10, n_shards=3).collect()
+    )
+    assert a == b
+    fills: dict[str, int] = {}
+    for r in pack_first_fit_decreasing(many, "n", budget=10, n_shards=3).collect():
+        fills[r["pack_key"]] = fills.get(r["pack_key"], 0) + r["n"]
+    assert all(v <= 10 for v in fills.values())
