@@ -411,3 +411,29 @@ def remove_duplicate_spans(
         F.col("__n").cast("int").alias("n_tokens"),
         (F.col("__n") - F.size(kept)).cast("int").alias("n_removed"),
     )
+
+
+def normalize_text(text_col: Column | str) -> Column:
+    """C4-style text canonicalization as one regex chain (pure column
+    algebra, applied BEFORE any fingerprint/quality pass so that
+    byte-level junk cannot make two equal documents hash apart):
+
+    - strip C0/C1 control characters (keep newline and tab), plus the
+      Unicode soft hyphen,
+    - canonicalize curly quotes/dashes/no-break space to ASCII (the
+      highest-frequency mojibake-adjacent variants; full NFC needs a
+      UDF and is deliberately out of the JVM chain),
+    - collapse runs of spaces/tabs to one space, trim line edges,
+    - collapse 3+ newlines to the paragraph separator (2).
+
+    Idempotent: normalize(normalize(x)) == normalize(x) (pinned in
+    tests)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    c = F.regexp_replace(
+        c, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u00AD]', ""
+    )
+    c = F.translate(c, '‘’“”–—\xa0', '\'\'""--  ')
+    c = F.regexp_replace(c, '[ \\t]+', " ")
+    c = F.regexp_replace(c, ' ?\\n ?', '\n')
+    c = F.regexp_replace(c, '\\n{3,}', '\n\n')
+    return F.trim(c)

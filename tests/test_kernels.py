@@ -1151,3 +1151,25 @@ def test_remove_duplicate_spans(spark):
         remove_duplicate_spans(docs, k=1)
     with _pytest.raises(ValueError, match="min_count=1"):
         remove_duplicate_spans(docs, k=5, min_count=1)
+
+
+def test_normalize_text(spark):
+    """Canonicalization: control chars stripped, curly quotes/dashes
+    ASCII-ized, space runs collapsed, line edges trimmed, 3+ newlines
+    -> paragraph break - and the whole map is idempotent."""
+    from beeper_matric_etl_tool_spark.ext.text import normalize_text
+
+    raw = (
+        '“Hello” — it’s\x07 a\ttest  with   runs \n'
+        + '  indented line \n\n\n\n next para\x00'
+    )
+    docs = spark.createDataFrame([(1, raw)], "doc_id long, text string")
+    out = docs.select(normalize_text("text").alias("t")).first()["t"]
+    expected = (
+        '"Hello" - it\'s a test with runs\nindented line\n\nnext para'
+    )
+    assert out == expected
+    twice = docs.select(
+        normalize_text(normalize_text("text")).alias("t")
+    ).first()["t"]
+    assert twice == out
