@@ -293,7 +293,10 @@ def pack_by_budget(
 #: front with a clear error instead.
 CURATE_RESERVED_COLUMNS = (
     "n_tokens", "ttr_ppm", "dup3_ppm", "stop_hits", "mean_len_x100",
-    "len_ok", "ttr_ok", "rep_ok", "stop_ok", "avglen_ok", "keep",
+    "dup_line_ppm", "dup_line_char_ppm", "dup_para_ppm", "dup_para_char_ppm",
+    "top2gram_ppm",
+    "len_ok", "ttr_ok", "rep_ok", "stop_ok", "avglen_ok",
+    "rep_line_ok", "rep_para_ok", "top2_ok", "keep",
     "n_emails", "n_digit_runs", "n_tokens_packed", "pack_id",
     "n_span_tokens_removed", "nll_ppm",
 )
@@ -494,6 +497,13 @@ def curate(
         despanned = replaced.select(
             *[c for c in dedup_input.columns], "n_span_tokens_removed"
         )
+        # persist: the span-removal subtree (two fingerprint shuffles +
+        # rebuild) feeds every downstream stage; its plan carries no
+        # window, so the documented quality+PII+window persist hazard
+        # does not apply here
+        if persist_intermediates:
+            despanned = despanned.persist()
+            persisted.append(despanned)
         opt_stages["despanned"] = despanned
         dedup_input = despanned
     if max_nll_ppm is not None:
@@ -752,8 +762,12 @@ def pack_first_fit_decreasing(
         pdf = pdf.sort_values(
             ["__tok", id_col], ascending=[False, True]
         ).reset_index(drop=True)
+        # '|' and '%' in partition values are percent-escaped so two
+        # distinct (values, shard, bin) tuples can never collide into
+        # one pack_key
         prefix = "|".join(
-            str(pdf.iloc[0][c]) for c in keys
+            str(pdf.iloc[0][c]).replace("%", "%25").replace("|", "%7C")
+            for c in keys
         )
         fills: list[int] = []
         bin_ids: list[int] = []
@@ -761,7 +775,10 @@ def pack_first_fit_decreasing(
         for t in pdf["__tok"]:
             t = int(t)
             if t > budget:
-                fills.append(budget)  # permanently full
+                # sentinel ABOVE budget: the singleton stays permanently
+                # full even against zero-token docs (fill+0 <= budget
+                # would otherwise admit them into a truncated bin)
+                fills.append(budget + 1)
                 bin_ids.append(len(fills) - 1)
                 oversize.append(True)
                 continue

@@ -288,6 +288,25 @@ def reconstruct_pq(
     return encoded.mapInPandas(gen, f"{id_col} {id_type}, vec array<double>")
 
 
+def _empty_topk(probes, encoded, probe_id: str, id_col: str) -> DataFrame:
+    """Typed empty (query_id, vec_id, score, rank) frame — the clean
+    result for an empty probe batch (np.vstack on zero rows would
+    otherwise throw an opaque numpy error)."""
+    from pyspark.sql import types as T
+
+    return probes.sparkSession.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField(probe_id, probes.schema[probe_id].dataType),
+                T.StructField(id_col, encoded.schema[id_col].dataType),
+                T.StructField("score", T.DoubleType()),
+                T.StructField("rank", T.IntegerType()),
+            ]
+        ),
+    )
+
+
 def pq_topk(
     probes: DataFrame,
     encoded: DataFrame,
@@ -298,6 +317,7 @@ def pq_topk(
     probe_id: str = "query_id",
     probe_vec: str = "embedding",
     id_col: str = "vec_id",
+    corpus_vec: str | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, score, rank) — top-k by ADC inner product: each
     query's lookup table L[j, c] = quantize(q_subvec_j) · centroid[j, c]
@@ -329,6 +349,8 @@ def pq_topk(
             f"pq_topk: more than MAX_PROBES={MAX_PROBES} probe rows — "
             f"batch the probe set"
         )
+    if not probe_rows:
+        return _empty_topk(probes, encoded, probe_id, id_col)
     qids = [r[0] for r in probe_rows]
     Q = np.floor(
         np.vstack([r[1] for r in probe_rows]).astype(np.float64) * QUANT
@@ -383,7 +405,8 @@ def pq_topk(
         top.select(probe_id, id_col)
         .join(
             corpus.select(
-                F.col(id_col), quantize(F.col(probe_vec)).alias("__v")
+                F.col(id_col),
+                quantize(F.col(corpus_vec or probe_vec)).alias("__v"),
             ),
             on=id_col,
         )
@@ -463,6 +486,7 @@ def search_pq(
     probe_id: str = "query_id",
     probe_vec: str = "embedding",
     id_col: str = "vec_id",
+    corpus_vec: str | None = None,
 ) -> DataFrame:
     """Probe the persisted index: ADC top-k over the ``codes/`` scan
     (raw vectors are read ONLY when ``refine`` asks for the exact
@@ -482,6 +506,7 @@ def search_pq(
         probe_id=probe_id,
         probe_vec=probe_vec,
         id_col=id_col,
+        corpus_vec=corpus_vec,
     )
 
 
@@ -535,6 +560,7 @@ def search_ivf_pq(
     probe_id: str = "query_id",
     probe_vec: str = "embedding",
     id_col: str = "vec_id",
+    corpus_vec: str | None = None,
 ) -> DataFrame:
     """Probe the IVF-PQ index: per query, restrict to its ``nprobe``
     nearest coarse clusters (broadcast of ivf_k centroid rows), then ADC-
@@ -566,6 +592,8 @@ def search_ivf_pq(
         raise ValueError(
             f"search_ivf_pq: more than MAX_PROBES={MAX_PROBES} probe rows"
         )
+    if not probe_rows:
+        return _empty_topk(queries, codes, probe_id, id_col)
     qids = [r[0] for r in probe_rows]
     qindex = {q: i for i, q in enumerate(qids)}
     Q = np.floor(
@@ -617,7 +645,10 @@ def search_ivf_pq(
     exact = (
         top.select(probe_id, id_col)
         .join(
-            corpus.select(F.col(id_col), quantize(F.col(probe_vec)).alias("__v")),
+            corpus.select(
+                F.col(id_col),
+                quantize(F.col(corpus_vec or probe_vec)).alias("__v"),
+            ),
             on=id_col,
         )
         .join(F.broadcast(qdf), on=probe_id)

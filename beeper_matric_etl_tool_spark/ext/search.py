@@ -122,62 +122,88 @@ def unigram_nll_scores(
     id_col: str = "doc_id",
     corpus_stats: tuple[int, int] | None = None,
     lazy_stats: bool = False,
+    reference: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, score_ppm): mean per-token negative log-likelihood under a
-    +1-smoothed unigram language model trained on the corpus itself —
-    the CCNet/Gopher-family "perplexity filter" in its engine-portable
-    form. score_ppm is mean NLL in nats × 1e6 (log-perplexity), so LOW =
-    fluent/typical, HIGH = surprising (gibberish, OOV soup, boilerplate
-    of rare symbols). A real deployment scores against a model trained on
-    a trusted corpus (Wikipedia in CCNet); self-scoring is the same plan
-    with the vocabulary built from a different DataFrame.
+    +1-smoothed unigram language model — the CCNet/Gopher-family
+    "perplexity filter" in its engine-portable form. score_ppm is mean
+    NLL in nats × 1e6 (log-perplexity), so LOW = fluent/typical, HIGH =
+    surprising (gibberish, OOV soup, boilerplate of rare symbols).
+
+    TWO modes, explicit about what the model is trained on:
+
+    - ``reference=None`` (self-scoring): the model IS the scored batch —
+      term counts, N and V all come from ``docs``. By definition the
+      same document scores differently in different batches (the model
+      changed); this is the exploratory/within-batch mode and the one
+      the driver oracle replays. ``corpus_stats`` here only skips the
+      (N, V) scalar job — it does NOT freeze the per-term counts, so it
+      is a plan optimization, never a frozen model.
+    - ``reference=<docs frame>`` (frozen model — the CCNet deployment
+      shape, Wikipedia-scores-the-crawl): the vocabulary and all counts
+      come from the REFERENCE corpus; scored terms absent from it are
+      OOV with ct=0 (nll = ln((N+V)/1), the +1-smoothing maximum).
+      Scoring the same document then yields the same score in ANY batch
+      (pinned in tests). ``corpus_stats`` may carry the reference's
+      precomputed (n_total, v_size).
 
     Determinism contract: nll_ppm = floor(1e6·ln((N+V)/(ct+1))) has a
-    vocabulary-sized set of DISTINCT inputs (it depends only on the
-    term's corpus count ct and two corpus constants — the tfidf/bm25
-    per-term-floor convention's exposure bound, even though the
-    expression is evaluated per (doc,term) row: identical IEEE inputs
-    give identical results); the per-document score is then
-    sum(tf·nll_ppm) DIV sum(tf) — exact integer arithmetic end to end,
-    so cross-engine agreement is bit-exact given libm-equal ln() on the
-    vocabulary.
+    vocabulary-sized set of DISTINCT inputs (the tfidf/bm25
+    per-term-floor convention's exposure bound — identical IEEE inputs
+    give identical results even when evaluated per (doc,term) row); the
+    per-document score is sum(tf·nll_ppm) DIV sum(tf) — exact integer
+    arithmetic end to end.
 
-    Scale shape (plan-audited): the main job tokenizes the corpus ONCE —
-    per-term corpus counts come from a whole-partition window over the
-    (doc,term) tf relation, not a vocabulary self-join, so there is no
-    second explode pass and no "vocabulary must fit in a broadcast"
-    assumption. Shuffled relations are (doc,term) pairs keyed by
-    (doc,term) → term → doc; no shuffle carries token positions. The two
-    model scalars (N = total tokens, V = vocab size) cost one extra
-    linear stats pass — pass ``corpus_stats=(n_total, v_size)`` to skip
-    it when scoring many batches against one frozen model (the
-    bm25_scores convention), or ``lazy_stats=True`` to fold the stats
-    pass into the plan as a broadcast one-row cross join instead of an
-    eager driver job: same values (long addition is exact, the double
-    cast matches the literal path bit-for-bit below 2⁵³), but the call
-    launches NO jobs — the form a lazily-composed pipeline stage
-    (curate()) requires. The cost is that the (doc,term) relation is
-    derived twice at execution; the eager default keeps the main job
-    single-scan."""
+    Scale shape (plan-audited): self-mode tokenizes the batch ONCE —
+    per-term counts come from a whole-partition window over the
+    (doc,term) tf relation, no vocabulary self-join, no broadcast-size
+    assumption; shuffles carry (doc,term) pairs keyed (doc,term) → term
+    → doc, never token positions. Reference mode adds one linear pass
+    over the reference (or reuse a persisted/parquet reference frame)
+    and a term-keyed equi-join of two vocabulary-shaped relations.
+    ``lazy_stats=True`` folds the (N, V) scalar pass into the plan as a
+    broadcast one-row cross join instead of an eager driver job — same
+    values (long addition exact, double cast matches the literal path
+    below 2⁵³), zero jobs at composition (the form curate() needs), at
+    the cost of deriving the counts relation twice at execution."""
     toks = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__term")
     )
     tf = toks.groupBy(id_col, "__term").agg(F.count(F.lit(1)).alias("__tf"))
+
     from pyspark.sql import Window
 
-    wt = Window.partitionBy("__term")
-    with_ct = tf.withColumn("__ct", F.sum("__tf").over(wt))
+    if reference is not None:
+        vocab = (
+            reference.select(F.explode(tokens(text_col)).alias("__term"))
+            .groupBy("__term")
+            .agg(F.count(F.lit(1)).alias("__ct"))
+        )
+        with_ct = tf.join(vocab, on="__term", how="left").withColumn(
+            "__ct", F.coalesce(F.col("__ct"), F.lit(0))
+        )
+        stats_src = vocab
+    else:
+        wt = Window.partitionBy("__term")
+        with_ct = tf.withColumn("__ct", F.sum("__tf").over(wt))
+        stats_src = tf
+
     if corpus_stats is not None or not lazy_stats:
         if corpus_stats is not None:
             n_total, v_size = corpus_stats
         else:
-            n_total, v_size = tf.agg(
-                F.sum("__tf"), F.count_distinct("__term")
+            n_total, v_size = stats_src.agg(
+                F.sum(
+                    "__ct" if reference is not None else "__tf"
+                ),
+                F.count_distinct("__term"),
             ).first()
         nv = F.lit(float(n_total)) + F.lit(float(v_size))
     else:
-        stats = tf.agg(
-            F.sum("__tf").alias("__n_total"),
+        stats = stats_src.agg(
+            F.sum("__ct" if reference is not None else "__tf").alias(
+                "__n_total"
+            ),
             F.count_distinct("__term").alias("__v"),
         )
         with_ct = with_ct.join(F.broadcast(stats))

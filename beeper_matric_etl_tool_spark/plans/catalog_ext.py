@@ -156,24 +156,39 @@ def _quality_signal_cte_sql(source: str) -> str:
 
 def _quality_verdict_cte_sql() -> str:
     """SQL twin of ``quality_verdict_columns``: the ``v`` CTE over ``m``
-    (per-rule verdicts + composite keep); literals are QUALITY_BOUNDS'
-    values, kept in lockstep by the driver hash."""
-    return """v AS (
+    (per-rule verdicts + composite keep). Every threshold interpolates
+    from QUALITY_BOUNDS — the single-source convention
+    (_quota_case_sql / _epoch_copies_sql) — so editing a bound can never
+    desync the two planes."""
+    from beeper_matric_etl_tool_spark.ext.quality import QUALITY_BOUNDS as qb
+
+    rules = {
+        "len_ok": f"(n_tokens BETWEEN {qb['min_tokens']} AND {qb['max_tokens']})",
+        "ttr_ok": f"(ttr_ppm >= {qb['min_ttr_ppm']})",
+        "rep_ok": f"(dup3_ppm <= {qb['max_dup3_ppm']})",
+        "stop_ok": f"(stop_hits >= {qb['min_stop_hits']})",
+        "avglen_ok": (
+            f"(mean_len_x100 BETWEEN {qb['min_mean_len_x100']}"
+            f" AND {qb['max_mean_len_x100']})"
+        ),
+        "rep_line_ok": (
+            f"(dup_line_ppm <= {qb['max_dup_line_ppm']}"
+            f" AND dup_line_char_ppm <= {qb['max_dup_line_char_ppm']})"
+        ),
+        "rep_para_ok": (
+            f"(dup_para_ppm <= {qb['max_dup_para_ppm']}"
+            f" AND dup_para_char_ppm <= {qb['max_dup_para_char_ppm']})"
+        ),
+        "top2_ok": f"(top2gram_ppm <= {qb['max_top2gram_ppm']})",
+    }
+    verdicts = ",\n                   ".join(
+        f"{expr} AS {name}" for name, expr in rules.items()
+    )
+    keep = " AND ".join(rules.values())
+    return f"""v AS (
             SELECT *,
-                   (n_tokens BETWEEN 50 AND 100000) AS len_ok,
-                   (ttr_ppm >= 200000) AS ttr_ok,
-                   (dup3_ppm <= 600000) AS rep_ok,
-                   (stop_hits >= 2) AS stop_ok,
-                   (mean_len_x100 BETWEEN 300 AND 1200) AS avglen_ok,
-                   (dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000) AS rep_line_ok,
-                   (dup_para_ppm <= 300000 AND dup_para_char_ppm <= 200000) AS rep_para_ok,
-                   (top2gram_ppm <= 200000) AS top2_ok,
-                   ((n_tokens BETWEEN 50 AND 100000) AND ttr_ppm >= 200000
-                     AND dup3_ppm <= 600000 AND stop_hits >= 2
-                     AND mean_len_x100 BETWEEN 300 AND 1200
-                     AND dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000
-                     AND dup_para_ppm <= 300000 AND dup_para_char_ppm <= 200000
-                     AND top2gram_ppm <= 200000) AS keep
+                   {verdicts},
+                   ({keep}) AS keep
             FROM m
         )"""
 

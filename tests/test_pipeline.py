@@ -815,3 +815,28 @@ def test_pack_first_fit_decreasing(spark):
     for r in pack_first_fit_decreasing(many, "n", budget=10, n_shards=3).collect():
         fills[r["pack_key"]] = fills.get(r["pack_key"], 0) + r["n"]
     assert all(v <= 10 for v in fills.values())
+
+
+def test_pack_ffd_zero_token_doc_never_joins_oversize_bin(spark):
+    from beeper_matric_etl_tool_spark.ext.pipeline import pack_first_fit_decreasing
+
+    docs = spark.createDataFrame(
+        [(1, 30), (2, 0)], "doc_id long, n long"
+    )
+    out = {r["doc_id"]: r for r in pack_first_fit_decreasing(docs, "n", budget=10).collect()}
+    assert out[1]["pack_oversize"] and not out[2]["pack_oversize"]
+    assert out[1]["pack_key"] != out[2]["pack_key"]
+
+
+def test_pack_ffd_escapes_separator_in_partition_values(spark):
+    from beeper_matric_etl_tool_spark.ext.pipeline import pack_first_fit_decreasing
+
+    docs = spark.createDataFrame(
+        [(1, 9, "a"), (2, 9, "a|0")], "doc_id long, n long, src string"
+    )
+    out = pack_first_fit_decreasing(
+        docs, "n", budget=10, partition_cols=("src",)
+    ).collect()
+    keys = {r["doc_id"]: r["pack_key"] for r in out}
+    assert keys[1] != keys[2]
+    assert "%7C" in keys[2]

@@ -251,3 +251,36 @@ def test_ivf_pq_index_prunes_and_degenerates_to_flat(built, spark, tmp_path):
     for r in ref:
         expect = sum(a * b for a, b in zip(qv[r["query_id"]], cv[r["vec_id"]]))
         assert r["score"] == expect
+
+
+def test_empty_probe_frame_returns_typed_empty_result(built, spark):
+    emb, books, enc = built
+    none = emb.filter("vec_id < 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(none, enc, books, k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "vec_id", "score", "rank",
+    ]
+
+
+def test_refine_with_distinct_corpus_vec_col(built):
+    from beeper_matric_etl_tool_spark.ext.quantization import pq_topk as _pq
+
+    emb, books, enc = built
+    renamed = emb.withColumnRenamed("embedding", "vec")
+    probes = emb.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(
+        tuple(r)
+        for r in _pq(probes, enc, books, k=3, refine=10, corpus=emb).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in _pq(
+            probes, enc, books, k=3, refine=10, corpus=renamed, corpus_vec="vec"
+        ).collect()
+    )
+    assert a == b

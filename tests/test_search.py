@@ -182,3 +182,31 @@ def test_unigram_nll_lazy_stats_matches_and_launches_no_jobs(spark, sf_dir):
     assert len(after) == len(before)  # construction launched nothing
     lazy = {r["doc_id"]: r["score_ppm"] for r in lazy_df.collect()}
     assert lazy == eager
+
+
+def test_unigram_nll_reference_mode_is_batch_invariant(spark, sf_dir):
+    """Frozen-model mode: scoring against a reference vocabulary yields
+    the SAME score for a document regardless of what else is in its
+    batch (the property self-scoring cannot have); OOV terms score at
+    the smoothing maximum ln((N+V)/1), so a doc of unseen tokens ranks
+    strictly above any in-vocabulary doc."""
+    ref = table(spark, sf_dir, "documents")
+    d1 = spark.createDataFrame(
+        [(100, "the data model"), (101, "qzzqv wxxqj kjjqz")],
+        "doc_id long, text string",
+    )
+    d2 = spark.createDataFrame(
+        [(100, "the data model")], "doc_id long, text string"
+    )
+    s1 = {r["doc_id"]: r["score_ppm"]
+          for r in unigram_nll_scores(d1, reference=ref).collect()}
+    s2 = {r["doc_id"]: r["score_ppm"]
+          for r in unigram_nll_scores(d2, reference=ref).collect()}
+    assert s1[100] == s2[100]  # batch composition cannot move the score
+    assert s1[101] > s1[100]   # pure-OOV doc is maximally surprising
+    # lazy_stats parity holds in reference mode too
+    lazy = {
+        r["doc_id"]: r["score_ppm"]
+        for r in unigram_nll_scores(d1, reference=ref, lazy_stats=True).collect()
+    }
+    assert lazy == s1
