@@ -347,6 +347,7 @@ def curate(
     span_min_count: int = 2,
     span_keep_one: bool = True,
     max_nll_ppm: int | None = None,
+    nll_reference: DataFrame | None = None,
 ) -> "CurationStages":
     """Run the full curation funnel; returns the per-stage DataFrames:
 
@@ -371,8 +372,10 @@ def curate(
                        mean token NLL exceeds the ceiling (gibberish,
                        OOV soup) drop; survivors carry ``nll_ppm``.
                        The model trains on the batch AFTER span removal
-                       so duplicated boilerplate cannot drag the
-                       vocabulary distribution
+                       (so duplicated boilerplate cannot drag the
+                       vocabulary distribution), or on ``nll_reference``
+                       when given — the frozen-trusted-corpus mode whose
+                       cutoff is batch-invariant
     - ``exact``:       after exact dedup (lowest id per content fingerprint)
     - ``near``:        after MinHash near-dup components (canonical only)
     - ``incremental``: after dropping exact/near duplicates of the
@@ -509,8 +512,15 @@ def curate(
     if max_nll_ppm is not None:
         from beeper_matric_etl_tool_spark.ext.search import unigram_nll_scores
 
+        # nll_reference switches the LM to the frozen-reference mode
+        # (CCNet shape: a trusted corpus scores the batch, so the cutoff
+        # is batch-invariant); None self-scores the batch
         scores = unigram_nll_scores(
-            dedup_input, text_col=text_col, id_col=id_col, lazy_stats=True
+            dedup_input,
+            text_col=text_col,
+            id_col=id_col,
+            lazy_stats=True,
+            reference=nll_reference,
         )
         fluent = dedup_input.join(
             scores.filter(F.col("score_ppm") <= max_nll_ppm).select(

@@ -840,3 +840,31 @@ def test_pack_ffd_escapes_separator_in_partition_values(spark):
     keys = {r["doc_id"]: r["pack_key"] for r in out}
     assert keys[1] != keys[2]
     assert "%7C" in keys[2]
+
+
+def test_curate_fluent_stage_accepts_frozen_reference(spark, sf_dir):
+    """nll_reference routes the fluent stage through the frozen-model
+    scorer: the same doc keeps/drops identically whatever its batchmates
+    are, and the stage still composes lazily."""
+    from beeper_matric_etl_tool_spark.ext.search import unigram_nll_scores
+
+    ref = table(spark, sf_dir, "documents")
+    az = "abcdefghijklmnopqrstuvwxyz"
+    filler = " ".join(
+        f"w{az[i // 26]}{az[i % 26]}fill {'the' if i % 2 else 'of'}"
+        for i in range(30)
+    )
+    docs = spark.createDataFrame(
+        [(1, "en", filler)], "doc_id long, lang string, text string"
+    )
+    score = unigram_nll_scores(docs, reference=ref).first()["score_ppm"]
+    kept = curate(
+        docs, persist_intermediates=False,
+        max_nll_ppm=score + 1, nll_reference=ref,
+    )["fluent"].collect()
+    dropped = curate(
+        docs, persist_intermediates=False,
+        max_nll_ppm=score - 1, nll_reference=ref,
+    )["fluent"].collect()
+    assert [r["doc_id"] for r in kept] == [1] and kept[0]["nll_ppm"] == score
+    assert dropped == []
