@@ -273,3 +273,60 @@ def test_dedup_graph_incremental_legs_are_equi_join_shaped(spark):
     plan = plan_of(spark, "dedup_graph")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unigram_nll_plan_is_single_scan(spark):
+    """The LM scorer's main job tokenizes the corpus ONCE (ext/search.py
+    claim): one parquet scan, one explode, and — critically — no second
+    derivation of the (doc,term) relation for the vocabulary side."""
+    from beeper_matric_etl_tool_spark.ext.search import unigram_nll_scores
+    from beeper_matric_etl_tool_spark.sources.tables import table
+
+    docs = table(spark, SF, "documents")
+    plan = (
+        unigram_nll_scores(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan") == 1
+    assert plan.count("Generate explode") == 1
+
+
+def test_sample_quota_sorts_pruned_projection_only(spark):
+    """The quota window must sort (stratum, hash, id) — never text. The
+    scan's ReadSchema proves column pruning reached parquet."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import sample_quota
+    from beeper_matric_etl_tool_spark.sources.tables import table
+
+    docs = table(spark, SF, "documents")
+    out = sample_quota(
+        docs.select("doc_id", "lang"), {"en": 5}, strata_col="lang"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+    assert "text" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_pq_probe_reads_codes_not_vectors(spark, tmp_path):
+    """search_pq without refine must plan zero raw-vector scans — the
+    whole point of the compressed index (duplicates the pin in
+    test_quantization at the plans tier so a regression fails fast)."""
+    from beeper_matric_etl_tool_spark.ext.quantization import (
+        build_pq_index,
+        search_pq,
+    )
+    from beeper_matric_etl_tool_spark.sources.tables import table
+
+    emb = table(spark, SF, "embeddings")
+    path = str(tmp_path / "pq-plan")
+    build_pq_index(emb, path, m=8, k=4, iterations=1)
+    probes = emb.limit(1).selectExpr("vec_id as query_id", "embedding")
+    plan = (
+        search_pq(spark, path, probes, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "codes:array" in plan
+    assert "embedding:array<float>" not in plan
