@@ -301,6 +301,22 @@ def probe_unigram_nll(docs):
     )
 
 
+def probe_bpe_training(docs, n_merges: int = 3):
+    """BPE merge training's claim: after the one corpus word-count pass,
+    iterations are WORD-VOCABULARY-sized. The consonant-rotated copies
+    make each copy's words NEW vocabulary entries, so vocab grows with
+    the factor — the probe measures that even then training stays
+    ~linear (the corpus pass + vocab-sized loop), never corpus-
+    superlinear. Returns the learned merge list length via a count
+    column."""
+    from beeper_matric_etl_tool_spark.ext.bpe import train_bpe_merges
+
+    merges = train_bpe_merges(docs, n_merges=n_merges)
+    return docs.sparkSession.createDataFrame(
+        [(len(merges),)], "n_merges int"
+    ).agg(F.max("n_merges").alias("n_merges"))
+
+
 def probe_quota_sample(docs):
     """Exact-quota stratified sampling: the per-stratum window sort over
     a pruned (lang, hash, id) projection. Expect ~n log n — the flat
@@ -377,6 +393,7 @@ def main() -> None:
         ("duplicate_spans", probe_duplicate_spans),
         ("unigram_nll", probe_unigram_nll),
         ("quota_sample", probe_quota_sample),
+        ("bpe_training", probe_bpe_training),
     ):
         t1, r1 = timed_value(fn(docs))
         t10, r10 = timed_value(fn(big_docs))
