@@ -260,3 +260,61 @@ def quality_verdict_columns() -> dict[str, Column]:
         & rep_para_ok
         & top2_ok,
     }
+
+
+def quality_rule_ablation(
+    docs,
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+):
+    """Per-rule impact audit of the quality gate — the tool that decides
+    which rule to tune: one row per verdict rule with
+
+    - ``n_failing``:      documents the rule rejects,
+    - ``n_sole_failure``: documents ONLY this rule rejects (relaxing
+                          just this rule would recover exactly these),
+    - ``recovered_ppm``:  n_sole_failure as ppm of the corpus.
+
+    A rule with large n_failing but zero sole failures is redundant
+    (everything it catches is caught elsewhere); a rule with large sole
+    failures is the binding constraint on corpus size. One signals pass
+    + one aggregation — the signal battery is computed once and every
+    rule's count folds into the same map-side-combined agg (no per-rule
+    scan). Pytest-tier: the 50-query driver window is full, and the
+    per-rule CASE algebra is a direct client-side view over the
+    driver-oracled `quality_filter` signal relation anyway."""
+    sig = quality_signal_columns(text_col, lang_col=lang_col)
+    scored = docs.select(
+        "*", *[c.alias(name) for name, c in sig.items()]
+    ).select("*", *[c.alias(name) for name, c in quality_verdict_columns().items()])
+    rules = [k for k in quality_verdict_columns() if k != "keep"]
+    n_fail = [
+        F.sum(F.when(~F.col(r), 1).otherwise(0)).alias(f"__f_{r}") for r in rules
+    ]
+    sole = [
+        F.sum(
+            F.when(
+                ~F.col(r)
+                & F.expr(" AND ".join(o for o in rules if o != r)),
+                1,
+            ).otherwise(0)
+        ).alias(f"__s_{r}")
+        for r in rules
+    ]
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("__n"), *n_fail, *sole
+    ).first()
+    spark = docs.sparkSession
+    n = agg["__n"]
+    return spark.createDataFrame(
+        [
+            (
+                r,
+                int(agg[f"__f_{r}"]),
+                int(agg[f"__s_{r}"]),
+                int((1_000_000 * agg[f"__s_{r}"]) // n) if n else 0,
+            )
+            for r in rules
+        ],
+        "rule string, n_failing long, n_sole_failure long, recovered_ppm long",
+    )

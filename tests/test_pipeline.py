@@ -868,3 +868,31 @@ def test_curate_fluent_stage_accepts_frozen_reference(spark, sf_dir):
     )["fluent"].collect()
     assert [r["doc_id"] for r in kept] == [1] and kept[0]["nll_ppm"] == score
     assert dropped == []
+
+
+def test_quality_rule_ablation(spark):
+    """Ablation accounting: a doc failing ONLY the length floor is a
+    sole failure of len_ok; a doc failing two rules is a sole failure of
+    neither; a clean doc counts nowhere. Counts are consistent with the
+    verdict battery itself."""
+    from beeper_matric_etl_tool_spark.ext.quality import quality_rule_ablation
+
+    az = "abcdefghijklmnopqrstuvwxyz"
+    good = " ".join(
+        f"w{az[i // 26]}{az[i % 26]}fill {'the' if i % 2 else 'of'}"
+        for i in range(30)
+    )
+    short_only = "the of small doc here now"  # fails len_ok alone
+    # fails len_ok AND stop_ok (no stopwords): sole failure of neither
+    short_nostop = " ".join(f"q{az[i]}zz" for i in range(6))
+    docs = spark.createDataFrame(
+        [(1, "en", good), (2, "en", short_only), (3, "en", short_nostop)],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["rule"]: r for r in quality_rule_ablation(docs).collect()}
+    assert rows["len_ok"]["n_failing"] == 2
+    assert rows["len_ok"]["n_sole_failure"] == 1
+    assert rows["len_ok"]["recovered_ppm"] == 333_333
+    assert rows["stop_ok"]["n_failing"] == 1
+    assert rows["stop_ok"]["n_sole_failure"] == 0
+    assert all(r["n_sole_failure"] <= r["n_failing"] for r in rows.values())
