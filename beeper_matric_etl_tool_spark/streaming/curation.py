@@ -1,0 +1,103 @@
+"""Continuous corpus curation — the streaming form of the `curate()`
+funnel (SURVEY §2.12 composed-pipeline tier).
+
+The steady-state 100 TB ingest shape: documents arrive continuously; each
+micro-batch runs the SAME driver-oracled batch kernels — quality gate →
+PII scrub → within-batch exact + MinHash near-dup → incremental dedup
+against the persisted index of everything already kept
+(`ext/dedup_index.py`, no reference-text rescan) — and the survivors are
+(a) appended to the curated corpus and (b) appended to the dedup index,
+so the NEXT batch deduplicates against them. Composition, not new
+semantics: the batch half is `ext/pipeline.py:curate(reference_index=…)`
+verbatim, which is what keeps streaming and batch decisions bit-identical
+(the property the curate() determinism contract promises).
+
+Exactly-once note: the corpus append + index append + audit append are
+three non-transactional parquet writes driven by one foreachBatch. Spark
+re-runs a failed batch, so a crash BETWEEN the writes can duplicate index
+rows — which cannot flip a dedup decision (witness selection is
+min(ref_id), candidate sets are distinct-ed; `append_dedup_index`
+documents this) — or re-append corpus rows, which downstream exact dedup
+would collapse. A stricter deployment stages all three through the sinks
+family's partitioned merge keyed by batch_id. The audit row carries
+batch_id so replays are visible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beeper_matric_etl_tool_spark.ext.dedup_index import append_dedup_index
+from beeper_matric_etl_tool_spark.ext.pipeline import curate
+
+
+def curation_batch_writer(
+    index_path: str,
+    out_dir: str,
+    audit_dir: str | None = None,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+    **curate_kwargs,
+):
+    """foreachBatch writer running the batch funnel per micro-batch.
+    Survivor frames are localCheckpoint-ed once so the three consumers
+    (corpus append, index append, audit count) share one execution of
+    the funnel instead of three. Empty batches are a no-op (no empty
+    parquet files, no zero-row audit spam). Extra ``curate_kwargs``
+    (span_k, max_nll_ppm, …) pass through to the funnel."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stages = curate(
+            batch_df,
+            persist_intermediates=False,
+            reference_index=index_path,
+            minhash_threshold=threshold,
+            text_col=text_col,
+            id_col=id_col,
+            lang_col=lang_col,
+            **curate_kwargs,
+        )
+        survivors = stages["incremental"].localCheckpoint(eager=True)
+        n_in = batch_df.count()
+        n_kept = survivors.count()
+        out_cols = [id_col, text_col] + ([lang_col] if lang_col else [])
+        if n_kept:
+            survivors.select(*out_cols).write.mode("append").parquet(out_dir)
+            append_dedup_index(survivors.select(id_col, text_col), index_path)
+        if audit_dir is not None:
+            spark = batch_df.sparkSession
+            spark.createDataFrame(
+                [(int(batch_id), int(n_in), int(n_kept))],
+                "batch_id long, n_in long, n_kept long",
+            ).write.mode("append").parquet(audit_dir)
+
+    return write
+
+
+def start_curation_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    audit_dir: str | None = None,
+    trigger_interval: str | None = None,
+    **writer_kwargs,
+):
+    """Wire a streaming documents frame (any source shape carrying
+    (doc_id, lang, text) — file dir, rate-derived, Kafka-parsed) through
+    :func:`curation_batch_writer`. Returns the StreamingQuery; the
+    checkpoint makes the stream resumable at micro-batch granularity
+    (re-delivered batches re-run the funnel against the CURRENT index —
+    already-kept duplicates of a replayed batch drop out via the index,
+    the idempotence path the module docstring describes)."""
+    writer = docs_stream.writeStream.foreachBatch(
+        curation_batch_writer(index_path, out_dir, audit_dir, **writer_kwargs)
+    ).option("checkpointLocation", checkpoint_dir)
+    if trigger_interval is not None:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

@@ -626,3 +626,80 @@ def test_pipeline_downstream_of_load_stream_is_source_agnostic(spark, tmp_path):
     assert {r.room_id for r in out.select("room_id").distinct().collect()} <= {
         "!r0", "!r1", "!r2", "!r3"
     }
+
+
+def test_continuous_curation_stream_dedups_across_batches(spark, tmp_path):
+    """The streaming funnel end-to-end: batch 1's survivor is appended to
+    the persisted dedup index, so batch 2's copy of it is dropped even
+    though the two documents never met in one micro-batch — the
+    cross-batch property only the index can provide. Quality-gate
+    rejects and within-index duplicates drop too; the audit trail
+    records per-batch in/kept counts."""
+    import time
+
+    from beeper_matric_etl_tool_spark.ext.dedup_index import build_dedup_index
+    from beeper_matric_etl_tool_spark.streaming.curation import (
+        start_curation_stream,
+    )
+
+    az = "abcdefghijklmnopqrstuvwxyz"
+
+    def body(d: int) -> str:
+        return " ".join(
+            f"w{az[d]}{az[i // 26]}{az[i % 26]}fill {'the' if i % 2 else 'of'}"
+            for i in range(30)
+        )
+
+    seed = spark.createDataFrame(
+        [(0, "en", body(0))], "doc_id long, lang string, text string"
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(seed.select("doc_id", "text"), idx, portable=False)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    audit = str(tmp_path / "audit")
+
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .json(str(src))
+    )
+    q = start_curation_stream(
+        stream, idx, out, str(tmp_path / "ckpt"), audit_dir=audit
+    )
+    try:
+        import json as _json
+
+        def emit(name, rows):
+            with open(src / name, "w") as fh:
+                for r in rows:
+                    fh.write(_json.dumps(r) + "\n")
+            q.processAllAvailable()
+
+        # batch 1: A unique, B duplicates the SEED (dropped via index),
+        # C fails the quality gate (too short)
+        emit("b1.json", [
+            {"doc_id": 1, "lang": "en", "text": body(1)},
+            {"doc_id": 2, "lang": "en", "text": body(0)},
+            {"doc_id": 3, "lang": "en", "text": "the of too short"},
+        ])
+        kept1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert kept1 == {1}
+
+        # batch 2: D duplicates batch 1's survivor A (cross-batch drop —
+        # A entered the index when batch 1 committed), E unique
+        emit("b2.json", [
+            {"doc_id": 4, "lang": "en", "text": body(1)},
+            {"doc_id": 5, "lang": "en", "text": body(5)},
+        ])
+        kept2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert kept2 == {1, 5}
+
+        audits = {
+            r["batch_id"]: (r["n_in"], r["n_kept"])
+            for r in spark.read.parquet(audit).collect()
+        }
+        assert audits[0] == (3, 1) and audits[1] == (2, 1)
+    finally:
+        q.stop()
