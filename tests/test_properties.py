@@ -251,3 +251,63 @@ def test_chunk_documents_laws(spark_prop, n_tokens, chunk, overlap_frac):
         covered.update(range(start, start + n))
     assert covered == set(range(n_tokens))
     assert [r[0] for r in rows] == list(range(len(rows)))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_normalize_text_idempotent_on_arbitrary_unicode(spark_prop, texts):
+    """normalize(normalize(x)) == normalize(x) for ARBITRARY unicode —
+    the law the planted-example test cannot cover."""
+    from beeper_matric_etl_tool_spark.ext.text import normalize_text
+
+    docs = spark_prop.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = docs.select("doc_id", normalize_text("text").alias("t"))
+    twice = once.select("doc_id", normalize_text("t").alias("t"))
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=25),
+    st.integers(min_value=1, max_value=4),
+)
+def test_ffd_budget_invariant_over_random_lengths(spark_prop, lengths, shards):
+    """For ANY length multiset and shard count: no non-oversize bin
+    exceeds the budget, every doc lands in exactly one bin, and oversize
+    flags appear exactly on docs longer than the budget."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import (
+        pack_first_fit_decreasing,
+    )
+
+    budget = 16
+    docs = spark_prop.createDataFrame(
+        [(i, n) for i, n in enumerate(lengths)], "doc_id long, n long"
+    )
+    out = pack_first_fit_decreasing(
+        docs, "n", budget=budget, n_shards=shards
+    ).collect()
+    assert len(out) == len(lengths)
+    fills: dict[str, int] = {}
+    overs: dict[str, bool] = {}
+    for r in out:
+        assert r["pack_oversize"] == (lengths[r["doc_id"]] > budget)
+        fills[r["pack_key"]] = fills.get(r["pack_key"], 0) + r["n"]
+        overs[r["pack_key"]] = overs.get(r["pack_key"], False) or r["pack_oversize"]
+    for key, fill in fills.items():
+        if not overs[key]:
+            assert fill <= budget, (key, fill)
