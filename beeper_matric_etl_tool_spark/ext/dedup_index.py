@@ -38,7 +38,10 @@ Filesystem contract: directories and `_META.json` are written with
 plain `os`/`open` — the same POSIX-local assumption as the sinks family
 (see sinks.py "Filesystem contract"). Parquet reads/writes go through
 Spark and work on any Hadoop-FS scheme, but the meta side-file needs a
-local path in this build.
+local path in this build — enforced with the sinks family's guard
+(`sinks._require_local_path`), so an `s3://` index path fails with the
+contract error at build/probe time instead of an opaque
+FileNotFoundError mid-pipeline.
 """
 
 from __future__ import annotations
@@ -101,6 +104,9 @@ def build_dedup_index(
     config is written to `_META.json` and becomes immutable for the
     index's lifetime (probe and append read it back; see module
     docstring for why overriding it is not offered)."""
+    from beeper_matric_etl_tool_spark.sinks import _require_local_path
+
+    _require_local_path(path, "build_dedup_index")
     if num_hashes % bands != 0:
         raise ValueError(
             f"build_dedup_index: bands={bands} must divide "
@@ -127,6 +133,13 @@ def build_dedup_index(
 
 
 def read_meta(path: str) -> dict:
+    """Read the index's frozen derivation config. Guards the filesystem
+    contract first (module docstring) so probe/append against a
+    scheme-prefixed path fails with the contract error, not an opaque
+    FileNotFoundError."""
+    from beeper_matric_etl_tool_spark.sinks import _require_local_path
+
+    _require_local_path(path, "read_meta(dedup_index)")
     meta_path = os.path.join(path, _META_FILE)
     if not os.path.exists(meta_path):
         raise FileNotFoundError(

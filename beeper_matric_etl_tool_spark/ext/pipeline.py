@@ -5,6 +5,12 @@ the reference could switch" surface for LLM-corpus work).
 pretraining-corpus order — each stage is the SAME kernel the driver-checked
 catalog query runs, so the composition adds no new semantics, only wiring:
 
+0. normalization     — C4-style byte canonicalization (ext/text.py:
+                       normalize_text), ON by default: it runs BEFORE
+                       every fingerprint so curly-quote/NBSP/doubled-
+                       space variants of the same document hash
+                       together instead of sailing past exact AND
+                       MinHash dedup
 1. quality gate      — C4/Gopher rule battery (ext/quality.py)
 2. PII scrub         — layered email/digit-run redaction (ext/quality.py)
 3. exact dedup       — content-fingerprint lowest-id-wins (ext/dedup.py)
@@ -348,8 +354,22 @@ def curate(
     span_keep_one: bool = True,
     max_nll_ppm: int | None = None,
     nll_reference: DataFrame | None = None,
+    normalize: bool = True,
 ) -> "CurationStages":
     """Run the full curation funnel; returns the per-stage DataFrames:
+
+    ``normalize=True`` (the default) first rewrites ``text_col`` through
+    :func:`ext.text.normalize_text` — control-char strip, curly-quote/
+    NBSP canonicalization, whitespace collapse — so byte-variant copies
+    of one document share a content fingerprint and MinHash shingles.
+    Without it, two documents differing only in an NBSP would survive
+    BOTH dedup stages (the exact failure the canonicalizer exists to
+    prevent). The stage is idempotent (pinned in tests), pure codegen
+    column algebra, and zero-shuffle; pass ``normalize=False`` only for
+    corpora already canonicalized upstream, where byte fidelity of the
+    output text matters more than dedup strength. Every downstream
+    stage — including the ``quality`` audit columns — sees the
+    normalized text.
 
     - ``quality``:     docs + signal/verdict columns (audit surface)
     - ``scrubbed``:    quality survivors with ``text`` PII-scrubbed (+ audit
@@ -430,6 +450,10 @@ def curate(
             f"quality_signal_columns); pass lang_col=None for English-only "
             f"scoring of a lang-less corpus"
         )
+    if normalize:
+        from beeper_matric_etl_tool_spark.ext.text import normalize_text
+
+        docs = docs.withColumn(text_col, normalize_text(text_col))
     signals = quality_signal_columns(text_col, lang_col=lang_col)
     quality = docs.select(
         "*", *[c.alias(name) for name, c in signals.items()]
@@ -722,6 +746,7 @@ def pack_first_fit_decreasing(
     partition_cols: tuple[str, ...] = (),
     id_col: str = "doc_id",
     n_shards: int = 1,
+    allow_single_partition: bool = False,
 ) -> DataFrame:
     """Bin-packing twin of :func:`pack_by_budget` for trainers that CAP
     sequences at the budget and pad the remainder: first-fit-decreasing
@@ -745,9 +770,23 @@ def pack_first_fit_decreasing(
     regardless of source skew; size it so a shard's (id, token_count)
     rows fit one task comfortably (the shipped columns are pruned to
     id + count + keys — never text). Sharding costs packing quality
-    only at shard boundaries (≤ one underfull bin per shard)."""
+    only at shard boundaries (≤ one underfull bin per shard).
+
+    The default ``partition_cols=()``/``n_shards=1`` would ship the
+    ENTIRE corpus's (id, count) rows to ONE applyInPandas task, so —
+    like :func:`pack_by_budget`'s identical hazard — it must be opted
+    into explicitly via ``allow_single_partition=True`` (toy corpora
+    only)."""
     if n_shards < 1:
         raise ValueError(f"pack_first_fit_decreasing: n_shards={n_shards} < 1")
+    if not partition_cols and n_shards == 1 and not allow_single_partition:
+        raise ValueError(
+            "pack_first_fit_decreasing: empty partition_cols with n_shards=1 "
+            "ships the whole dataset's (id, token_count) rows to a SINGLE "
+            "applyInPandas task; pass partition_cols (e.g. the source/"
+            "language column), n_shards > 1, or allow_single_partition=True "
+            "for corpora small enough to pack serially"
+        )
     import pandas as pd
 
     shard = (

@@ -413,6 +413,15 @@ def remove_duplicate_spans(
     )
 
 
+#: the curly-quote/dash/no-break-space canonicalization table — 1:1
+#: positional mapping (Spark ``F.translate`` ≡ DuckDB ``translate``),
+#: shared by :func:`normalize_text` and :func:`normalize_text_sql` so the
+#: two planes cannot drift. NBSP is the last FROM character on purpose:
+#: the SQL twin appends it via ``chr(160)`` to keep the literal printable.
+NORMALIZE_TRANSLATE_FROM = "‘’“”–— "
+NORMALIZE_TRANSLATE_TO = "''\"\"-- "
+
+
 def normalize_text(text_col: Column | str) -> Column:
     """C4-style text canonicalization as one regex chain (pure column
     algebra, applied BEFORE any fingerprint/quality pass so that
@@ -427,13 +436,41 @@ def normalize_text(text_col: Column | str) -> Column:
     - collapse 3+ newlines to the paragraph separator (2).
 
     Idempotent: normalize(normalize(x)) == normalize(x) (pinned in
-    tests)."""
+    tests). `curate()` applies this as its default stage 0, and
+    :func:`normalize_text_sql` is the DuckDB twin the `quality_filter`
+    oracle replays — parity pinned in tests/test_kernels.py."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     c = F.regexp_replace(
         c, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u00AD]', ""
     )
-    c = F.translate(c, '‘’“”–—\xa0', '\'\'""--  ')
+    c = F.translate(c, NORMALIZE_TRANSLATE_FROM, NORMALIZE_TRANSLATE_TO)
     c = F.regexp_replace(c, '[ \\t]+', " ")
     c = F.regexp_replace(c, ' ?\\n ?', '\n')
     c = F.regexp_replace(c, '\\n{3,}', '\n\n')
     return F.trim(c)
+
+
+def normalize_text_sql(expr: str) -> str:
+    """DuckDB SQL twin of :func:`normalize_text` over the SQL expression
+    ``expr`` — same five steps, same order, built from the same
+    ``NORMALIZE_TRANSLATE_*`` table, so a change to the Spark chain that
+    forgets this twin fails the `quality_filter` driver hash and the
+    parity test rather than silently desyncing the planes.
+
+    Portability notes: the control-class hex escapes (``\\x00`` style)
+    are interpreted by RE2 itself (DuckDB single-quoted literals do not
+    process backslashes); the soft hyphen and NBSP are appended via
+    ``chr()`` because RE2 lacks Java's ``\\uNNNN`` escape; replacement
+    newlines are ``chr(10)`` because RE2 replacement strings do not
+    expand ``\\n``."""
+    ctl = (
+        f"regexp_replace({expr}, "
+        "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F' || chr(173) || ']', '', 'g')"
+    )
+    frm = "'" + NORMALIZE_TRANSLATE_FROM[:-1] + "' || chr(160)"
+    to = "'" + NORMALIZE_TRANSLATE_TO.replace("'", "''") + "'"
+    tr = f"translate({ctl}, {frm}, {to})"
+    sp = f"regexp_replace({tr}, '[ \\t]+', ' ', 'g')"
+    nl = f"regexp_replace({sp}, ' ?\\n ?', chr(10), 'g')"
+    para = f"regexp_replace({nl}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    return f"trim({para})"

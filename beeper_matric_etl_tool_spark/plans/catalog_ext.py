@@ -2153,14 +2153,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the hash-holdout split is the 'split' dimension of `corpus_composition`)
 
 
-#: deterministic batch-ingest fixture — written under /tmp at import time
+#: deterministic batch-ingest fixture — written under a PER-USER /tmp dir
 #: (atomic replace, content-addressed refresh) so BOTH the Spark query and
-#: the DuckDB oracle (whose SQL embeds the path) see identical bytes in
-#: any process that imported this module. The content exercises every
-#: dead-letter class the ingest contract defines: header stripping, type
-#: mismatch, too-few/too-many columns, invalid JSON, JSON type mismatch,
-#: sparse JSON (missing field -> NULL, still good).
-INGEST_FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "spark-graft-ingest-fixture")
+#: the DuckDB oracle (whose SQL embeds the path) see identical bytes. The
+#: per-user suffix keeps two accounts on a shared host from fighting over
+#: directory ownership. NOT written at import time (a query catalog import
+#: must be side-effect-free): `ensure_ingest_fixture()` runs inside the
+#: `token_positions` query body AND inside `registry.oracle_sql()`, so the
+#: files exist before either plane can read them whatever order the driver
+#: runs the two in. The content exercises every dead-letter class the
+#: ingest contract defines: header stripping, type mismatch,
+#: too-few/too-many columns, invalid JSON, JSON type mismatch, sparse JSON
+#: (missing field -> NULL, still good).
+INGEST_FIXTURE_DIR = os.path.join(
+    tempfile.gettempdir(),
+    f"spark-graft-ingest-fixture-{os.getuid() if hasattr(os, 'getuid') else 'u'}",
+)
 INGEST_CSV = os.path.join(INGEST_FIXTURE_DIR, "batch.csv")
 INGEST_NDJSON = os.path.join(INGEST_FIXTURE_DIR, "batch.ndjson")
 INGEST_CSV_HEADER = "doc_id,lang,n_tokens"
@@ -2201,9 +2209,6 @@ def ensure_ingest_fixture() -> None:
         with open(tmp, "w") as fh:
             fh.write(content)
         os.replace(tmp, path)
-
-
-ensure_ingest_fixture()
 
 
 def _ingest_schema():
@@ -2637,11 +2642,18 @@ _FUNNEL_NULL_SIGNALS = (
     # MIX_SALT, PACK_SALT) interpolate from the same Python definitions
     # the Spark plane uses, so the two planes cannot drift silently.
     oracle=f"""
-        WITH RECURSIVE corpus AS (
+        WITH RECURSIVE rawcorpus AS (
             SELECT doc_id, text, lang FROM documents
             UNION ALL
             SELECT doc_id + 100000, text, lang
             FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 200000, replace(text, ' ', chr(160)), lang
+            FROM documents WHERE doc_id % 10 = 5
+        ),
+        corpus AS (
+            SELECT doc_id, {xtext.normalize_text_sql("text")} AS text, lang
+            FROM rawcorpus
         ),
         {_quality_signal_cte_sql("corpus")},
         {_quality_verdict_cte_sql()},
@@ -2747,8 +2759,13 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     kind='funnel' — one row per SURVIVOR per stage of the full curation
     pipeline run over the same corpus (with every 10th doc redelivered
-    under a shifted id so the exact-dedup stage demonstrably collapses):
-    quality gate → PII scrub → exact dedup → MinHash+LSH near-dup
+    under a shifted id so the exact-dedup stage demonstrably collapses,
+    and every doc_id%10==5 doc redelivered as a BYTE-VARIANT copy —
+    NBSP separators — that only collapses because curate()'s default
+    normalization stage canonicalizes it first; both planes apply the
+    same chain, ext/text.py:normalize_text and its normalize_text_sql
+    twin, so the hash pins normalization end to end):
+    normalize → quality gate → PII scrub → exact dedup → MinHash+LSH near-dup
     components → (identity incremental/semantic — no reference corpus or
     embeddings wired here; `dedup_graph` oracles the incremental kernel)
     → salted source-mix sampling → salted-order token-budget packing
@@ -2767,7 +2784,26 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     redelivered = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + 100000
     )
-    corpus = docs.unionByName(redelivered).select("doc_id", "text", "lang")
+    # byte-variant redelivery: every doc_id%10==5 doc comes back with NBSP
+    # separators — the mojibake twin that defeats exact AND MinHash dedup
+    # unless the normalization stage canonicalizes it first; its collapse
+    # at the exact stage is therefore driver-hashed evidence that
+    # curate()'s default normalize stage is live
+    byte_variant = (
+        docs.filter(F.col("doc_id") % 10 == 5)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.translate("text", " ", "\u00a0"))
+    )
+    corpus = (
+        docs.unionByName(redelivered)
+        .unionByName(byte_variant)
+        .select("doc_id", "text", "lang")
+        # the funnel's own normalize stage would cover the funnel leg, but
+        # the SIGNAL leg below audits the same normalized text the gate
+        # sees — so normalization is applied once here (idempotence makes
+        # curate()'s default stage-0 re-application a no-op)
+        .withColumn("text", xtext.normalize_text("text"))
+    )
 
     signals = quality_signal_columns("text", lang_col="lang")
     base = corpus.select("doc_id", *[c.alias(name) for name, c in signals.items()])

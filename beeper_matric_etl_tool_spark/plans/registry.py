@@ -70,6 +70,13 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the token_positions oracle reads the ingest fixture files its SQL
+    # embeds; materialize them before ANY consumer can run the SQL, so
+    # the driver's spark-vs-oracle order never matters (the Spark query
+    # body also calls this — belt and braces, both idempotent)
+    from beeper_matric_etl_tool_spark.plans.catalog_ext import ensure_ingest_fixture
+
+    ensure_ingest_fixture()
     return {name: spec.oracle for name, spec in specs().items() if spec.oracle is not None}
 
 

@@ -2,7 +2,9 @@
 funnel (SURVEY §2.12 composed-pipeline tier).
 
 The steady-state 100 TB ingest shape: documents arrive continuously; each
-micro-batch runs the SAME driver-oracled batch kernels — quality gate →
+micro-batch runs the SAME driver-oracled batch kernels — C4-style text
+normalization (curate()'s default stage 0, so byte-variant copies hash
+together across batches exactly as they do in batch mode) → quality gate →
 PII scrub → within-batch exact + MinHash near-dup → incremental dedup
 against the persisted index of everything already kept
 (`ext/dedup_index.py`, no reference-text rescan) — and the survivors are
@@ -28,7 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from beeper_matric_etl_tool_spark.ext.dedup_index import append_dedup_index
+from beeper_matric_etl_tool_spark.ext.dedup_index import (
+    append_dedup_index,
+    read_meta,
+)
 from beeper_matric_etl_tool_spark.ext.pipeline import curate
 
 
@@ -48,6 +53,22 @@ def curation_batch_writer(
     the funnel instead of three. Empty batches are a no-op (no empty
     parquet files, no zero-row audit spam). Extra ``curate_kwargs``
     (span_k, max_nll_ppm, …) pass through to the funnel."""
+
+    # fail fast at WRITER CONSTRUCTION: the index derives its frames from
+    # the column names frozen in its own _META.json, so a writer/index
+    # column mismatch would otherwise surface only as a mid-stream
+    # analysis error inside foreachBatch — after a corpus append already
+    # ran. (read_meta also raises here when index_path is not an index.)
+    meta = read_meta(index_path)
+    if (meta["id_col"], meta["text_col"]) != (id_col, text_col):
+        raise ValueError(
+            f"curation_batch_writer: id_col/text_col "
+            f"({id_col!r}, {text_col!r}) do not match the dedup index's "
+            f"frozen config ({meta['id_col']!r}, {meta['text_col']!r}) at "
+            f"{index_path!r} — the index derives append frames from its "
+            f"own meta, so a mismatch would break mid-stream after the "
+            f"corpus append; rebuild the index or match its columns"
+        )
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

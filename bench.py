@@ -131,8 +131,12 @@ def _prepare_bench_layout(spark, sf_dir: str) -> str:
     import tempfile
 
     src_for_sizing = os.path.join(os.path.abspath(sf_dir), "lineitem.parquet")
+    # a below-target source maps to 0 or 1, which the n_files <= 1 guard
+    # below turns into "no re-chunking at all" — a single-file chunk copy
+    # would be layout-identical to the symlinked original, so tiny scale
+    # factors skip the pointless rewrite entirely
     default_n = (
-        min(32, max(1, os.path.getsize(src_for_sizing) // TARGET_CHUNK_BYTES))
+        min(32, os.path.getsize(src_for_sizing) // TARGET_CHUNK_BYTES)
         if os.path.exists(src_for_sizing)
         else 0
     )

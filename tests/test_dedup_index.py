@@ -177,3 +177,25 @@ def test_curate_rides_the_persisted_index(spark, tmp_path, ref_on_disk):
 
     with pytest.raises(ValueError, match="not both"):
         curate(batch, reference_docs=reference, reference_index=idx)
+
+
+def test_dedup_index_rejects_scheme_prefixed_paths(spark):
+    """The _META.json side-file machinery is POSIX-local (sinks.py
+    'Filesystem contract'); an s3:// index path must fail with the
+    contract error at every lifecycle entry point, not an opaque
+    FileNotFoundError mid-pipeline."""
+    import pytest as _pytest
+
+    from beeper_matric_etl_tool_spark.ext.dedup_index import (
+        append_dedup_index,
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="URI scheme"):
+        build_dedup_index(docs, "s3://bucket/index")
+    with _pytest.raises(ValueError, match="URI scheme"):
+        append_dedup_index(docs, "s3://bucket/index")
+    with _pytest.raises(ValueError, match="URI scheme"):
+        dedup_against_index(docs, spark, "s3://bucket/index")

@@ -94,3 +94,29 @@ def test_reserved_corrupt_field_rejected(spark, tmp_path):
     bad_schema = T.StructType([T.StructField(CORRUPT_COL, T.StringType())])
     with pytest.raises(ValueError, match="reserved"):
         read_delimited(spark, str(tmp_path), bad_schema)
+
+
+def test_catalog_import_writes_no_fixture(tmp_path):
+    """Importing the query catalog is side-effect-free: the ingest
+    fixture materializes at first USE (token_positions body /
+    registry.oracle_sql()), never at import (round-6 verdict item #8).
+    Run in a child process with a private TMPDIR so the check sees a
+    clean slate."""
+    import subprocess
+    import sys
+
+    code = (
+        "import glob, tempfile;"
+        "import beeper_matric_etl_tool_spark.plans.catalog_ext;"
+        "leak = glob.glob(tempfile.gettempdir() + '/spark-graft-ingest-fixture*');"
+        "assert not leak, leak;"
+        "from beeper_matric_etl_tool_spark.plans import registry;"
+        "registry.oracle_sql();"
+        "made = glob.glob(tempfile.gettempdir() + '/spark-graft-ingest-fixture*');"
+        "assert made, 'oracle_sql() must materialize the fixture'"
+    )
+    env = dict(**__import__('os').environ, TMPDIR=str(tmp_path))
+    res = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True
+    )
+    assert res.returncode == 0, res.stderr

@@ -1173,3 +1173,43 @@ def test_normalize_text(spark):
         normalize_text(normalize_text("text")).alias("t")
     ).first()["t"]
     assert twice == out
+
+
+def test_normalize_text_sql_twin_parity(spark):
+    """normalize_text_sql (the DuckDB twin the quality_filter oracle
+    replays) produces byte-identical output to the Spark chain on every
+    canonicalization case — control chars, soft hyphen, curly quotes and
+    dashes, NBSP, tab/space runs, line-edge trims, paragraph collapse,
+    and the already-clean identity case."""
+    import duckdb
+
+    from beeper_matric_etl_tool_spark.ext.text import (
+        normalize_text,
+        normalize_text_sql,
+    )
+
+    cases = [
+        '“Hello” — it’s\x07 a\ttest  with   runs \n  indented \n\n\n\n next\x00',
+        'soft­hyphen and non breaking  spaces',
+        '‘single’ “double” – en — em',
+        '   leading and trailing   ',
+        'already clean single spaced text',
+        'tabs\t\tand\tmixed \t whitespace',
+        'a\nb\n\nc\n\n\nd',
+        '',
+    ]
+    docs = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, text string"
+    )
+    got_spark = {
+        r["i"]: r["t"]
+        for r in docs.select("i", normalize_text("text").alias("t")).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    got_duck = dict(
+        con.sql(
+            f"SELECT i, {normalize_text_sql('text')} AS t FROM docs"
+        ).fetchall()
+    )
+    assert got_spark == got_duck

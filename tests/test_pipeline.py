@@ -775,7 +775,7 @@ def test_pack_first_fit_decreasing(spark):
         [(1, 2), (2, 6), (3, 5), (4, 4), (5, 3)], "doc_id long, n long"
     )
     out = pack_first_fit_decreasing(
-        docs, "n", budget=10, partition_cols=()
+        docs, "n", budget=10, partition_cols=(), allow_single_partition=True
     ).collect()
     by_key: dict[str, int] = {}
     for r in out:
@@ -783,16 +783,23 @@ def test_pack_first_fit_decreasing(spark):
         assert not r["pack_oversize"]
     assert len(by_key) == 2 and all(v == 10 for v in by_key.values())
     audit = packing_waste(
-        pack_first_fit_decreasing(docs, "n", budget=10), "n", 10
+        pack_first_fit_decreasing(
+            docs, "n", budget=10, allow_single_partition=True
+        ), "n", 10
     )
     assert audit == {"n_packs": 2, "total_tokens": 20, "waste_ppm": 0}
 
     # oversize doc: flagged singleton, counts its own fill as capacity
     big = spark.createDataFrame([(9, 25), (10, 4)], "doc_id long, n long")
-    bout = pack_first_fit_decreasing(big, "n", budget=10).collect()
+    bout = pack_first_fit_decreasing(
+        big, "n", budget=10, allow_single_partition=True
+    ).collect()
     flags = {r["doc_id"]: r["pack_oversize"] for r in bout}
     assert flags == {9: True, 10: False}
-    baudit = packing_waste(pack_first_fit_decreasing(big, "n", budget=10), "n", 10)
+    baudit = packing_waste(
+        pack_first_fit_decreasing(big, "n", budget=10, allow_single_partition=True),
+        "n", 10,
+    )
     assert baudit["n_packs"] == 2 and baudit["total_tokens"] == 29
     # capacity = 25 (oversize fill) + 10 = 35 -> waste 6/35
     assert baudit["waste_ppm"] == (1_000_000 * 6) // 35
@@ -823,7 +830,12 @@ def test_pack_ffd_zero_token_doc_never_joins_oversize_bin(spark):
     docs = spark.createDataFrame(
         [(1, 30), (2, 0)], "doc_id long, n long"
     )
-    out = {r["doc_id"]: r for r in pack_first_fit_decreasing(docs, "n", budget=10).collect()}
+    out = {
+        r["doc_id"]: r
+        for r in pack_first_fit_decreasing(
+            docs, "n", budget=10, allow_single_partition=True
+        ).collect()
+    }
     assert out[1]["pack_oversize"] and not out[2]["pack_oversize"]
     assert out[1]["pack_key"] != out[2]["pack_key"]
 
@@ -896,3 +908,58 @@ def test_quality_rule_ablation(spark):
     assert rows["stop_ok"]["n_failing"] == 1
     assert rows["stop_ok"]["n_sole_failure"] == 0
     assert all(r["n_sole_failure"] <= r["n_failing"] for r in rows.values())
+
+
+def test_normalize_stage_collapses_byte_variants(spark):
+    """curate()'s default normalization stage is what makes byte-variant
+    copies (NBSP separator, doubled space) of one document collapse at
+    EXACT dedup; with normalize=False their fingerprints differ and both
+    variants sail past the exact stage — the precise failure the stage
+    exists to prevent."""
+    good = (
+        "the quick brown fox jumps over a lazy dog and then runs to the "
+        "river where it drinks some of that cool clear water before "
+        "returning to its den in the forest to rest for the evening hours "
+        "while other animals of the wood begin their own nightly routines "
+        "under a wide sky full of bright and patient little stars"
+    )
+    nbsp_variant = good.replace(" dog ", " dog ")
+    dspace_variant = good.replace("the quick", "the  quick")
+    docs = spark.createDataFrame(
+        [
+            (BASE + 50, "en", good),
+            (BASE + 51, "en", nbsp_variant),
+            (BASE + 52, "en", dspace_variant),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    ids = {BASE + 50, BASE + 51, BASE + 52}
+
+    on = curate(docs, persist_intermediates=False)
+    exact_on = {r[0] for r in on["exact"].select("doc_id").collect()} & ids
+    assert exact_on == {BASE + 50}, exact_on
+
+    off = curate(docs, persist_intermediates=False, normalize=False)
+    exact_off = {r[0] for r in off["exact"].select("doc_id").collect()} & ids
+    assert exact_off == ids, exact_off
+
+
+def test_pack_ffd_refuses_silent_single_task(spark):
+    """The empty-partition_cols/n_shards=1 default would ship the whole
+    corpus to one applyInPandas task — same fail-loud contract as
+    pack_by_budget (guard parity pinned here)."""
+    import pytest as _pytest
+
+    from beeper_matric_etl_tool_spark.ext.pipeline import pack_first_fit_decreasing
+
+    docs = spark.createDataFrame([(1, 2)], "doc_id long, n long")
+    with _pytest.raises(ValueError, match="SINGLE applyInPandas task"):
+        pack_first_fit_decreasing(docs, "n", budget=10)
+    # each escape hatch lifts the guard
+    assert pack_first_fit_decreasing(docs, "n", budget=10, n_shards=2).count() == 1
+    assert (
+        pack_first_fit_decreasing(
+            docs, "n", budget=10, allow_single_partition=True
+        ).count()
+        == 1
+    )

@@ -299,7 +299,7 @@ def test_ffd_budget_invariant_over_random_lengths(spark_prop, lengths, shards):
         [(i, n) for i, n in enumerate(lengths)], "doc_id long, n long"
     )
     out = pack_first_fit_decreasing(
-        docs, "n", budget=budget, n_shards=shards
+        docs, "n", budget=budget, n_shards=shards, allow_single_partition=True
     ).collect()
     assert len(out) == len(lengths)
     fills: dict[str, int] = {}

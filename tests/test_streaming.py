@@ -703,3 +703,27 @@ def test_continuous_curation_stream_dedups_across_batches(spark, tmp_path):
         assert audits[0] == (3, 1) and audits[1] == (2, 1)
     finally:
         q.stop()
+
+
+def test_curation_writer_validates_index_meta_at_construction(spark, tmp_path):
+    """A writer whose id/text columns disagree with the dedup index's
+    frozen _META.json must fail at CONSTRUCTION, not mid-stream after a
+    corpus append (round-6 ADVICE item)."""
+    import pytest as _pytest
+
+    from beeper_matric_etl_tool_spark.ext.dedup_index import build_dedup_index
+    from beeper_matric_etl_tool_spark.streaming.curation import (
+        curation_batch_writer,
+    )
+
+    idx = str(tmp_path / "idx")
+    seed = spark.createDataFrame(
+        [(1, "seed corpus document body")], "doc_id long, text string"
+    )
+    build_dedup_index(seed, idx)
+    with _pytest.raises(ValueError, match="frozen config"):
+        curation_batch_writer(idx, str(tmp_path / "out"), id_col="uid")
+    with _pytest.raises(FileNotFoundError):
+        curation_batch_writer(str(tmp_path / "noindex"), str(tmp_path / "out"))
+    # matching config constructs fine
+    assert curation_batch_writer(idx, str(tmp_path / "out")) is not None
