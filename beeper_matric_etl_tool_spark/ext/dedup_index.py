@@ -34,6 +34,17 @@ price of a text-scan-free verify stage — and the verify only READS the
 candidate rows (semi-join pushdown), so at 100 TB the shingle table is
 cold storage touched proportionally to candidate volume, not corpus size.
 
+Layout: every derived table is hive-partitioned by ``ingest_batch``
+(build writes batch −1; unstaged appends land in batch −2; staged appends
+pass their batch id). That makes the index REPLAY-SAFE: a staged append
+is a dynamic partition OVERWRITE of its own batch — re-running a failed
+micro-batch replaces its partition instead of duplicating rows — and a
+probe can EXCLUDE a batch (``exclude_batch``), so a replayed streaming
+batch deduplicates against exactly the index state its first attempt saw
+(its own half-committed rows are invisible), making its decisions, and
+therefore its re-written partitions, bit-identical. Partition pruning
+keeps the exclusion free.
+
 Filesystem contract: directories and `_META.json` are written with
 plain `os`/`open` — the same POSIX-local assumption as the sinks family
 (see sinks.py "Filesystem contract"). Parquet reads/writes go through
@@ -63,6 +74,16 @@ from beeper_matric_etl_tool_spark.ext.text import exact_fingerprint, tokens
 
 _META_FILE = "_META.json"
 
+#: hive partition column of every derived table (module docstring
+#: "Layout"). Consumers must SELECT their contract columns explicitly —
+#: the partition column rides along in raw reads.
+BATCH_COL = "ingest_batch"
+#: the build pass's partition value.
+BOOTSTRAP_BATCH = -1
+#: partition value for appends without a batch id (non-streaming callers
+#: that don't need replay staging; plain parquet-append semantics).
+UNSTAGED_BATCH = -2
+
 
 def _derived_frames(
     docs: DataFrame,
@@ -86,8 +107,17 @@ def _derived_frames(
     return fp, sigs, sh
 
 
-def _write(df: DataFrame, path: str, mode: str) -> None:
-    df.write.mode(mode).parquet(path)
+def _write(df: DataFrame, path: str, mode: str, batch_id: int) -> None:
+    """Write one derived table under its ``ingest_batch`` partition.
+    mode='overwrite' at build time is a STATIC overwrite (clears any
+    prior index); a staged append uses dynamic partition overwrite so a
+    replayed batch replaces only its own partition."""
+    writer = df.withColumn(
+        BATCH_COL, F.lit(int(batch_id)).cast("long")
+    ).write.mode(mode)
+    if mode == "overwrite" and batch_id != BOOTSTRAP_BATCH:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy(BATCH_COL).parquet(path)
 
 
 def build_dedup_index(
@@ -116,9 +146,9 @@ def build_dedup_index(
     fp, sigs, sh = _derived_frames(
         reference, num_hashes, shingle_k, text_col, id_col, portable
     )
-    _write(fp, os.path.join(path, "fingerprints"), "overwrite")
-    _write(sigs, os.path.join(path, "signatures"), "overwrite")
-    _write(sh, os.path.join(path, "shingles"), "overwrite")
+    _write(fp, os.path.join(path, "fingerprints"), "overwrite", BOOTSTRAP_BATCH)
+    _write(sigs, os.path.join(path, "signatures"), "overwrite", BOOTSTRAP_BATCH)
+    _write(sh, os.path.join(path, "shingles"), "overwrite", BOOTSTRAP_BATCH)
     meta = {
         "num_hashes": num_hashes,
         "bands": bands,
@@ -126,6 +156,7 @@ def build_dedup_index(
         "text_col": text_col,
         "id_col": id_col,
         "portable": portable,
+        "layout": "ingest-batch-partitioned",
     }
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _META_FILE), "w") as fh:
@@ -150,17 +181,21 @@ def read_meta(path: str) -> dict:
         return json.load(fh)
 
 
-def append_dedup_index(accepted: DataFrame, path: str) -> None:
+def append_dedup_index(
+    accepted: DataFrame, path: str, batch_id: int | None = None
+) -> None:
     """Append a batch of ACCEPTED documents (e.g. the survivors of
     `dedup_against_index` after ingestion) to the index — derive their
     three frames under the index's own stored config and append.
 
-    Idempotence caveat: parquet append is not transactional — re-running
-    an append after a partial failure duplicates derived rows. Duplicated
-    index rows cannot flip a dedup decision (witness selection is
-    min(ref_id); candidate sets are distinct-ed) but they waste space;
-    an exactly-once deployment should stage the append through the sinks
-    family's partitioned merge instead."""
+    ``batch_id=None`` is the unstaged mode (partition −2, plain parquet
+    append): re-running a failed append duplicates derived rows —
+    harmless for decisions (witness selection is min(ref_id); candidate
+    sets are distinct-ed) but wasteful. Passing ``batch_id`` stages the
+    append as a dynamic partition OVERWRITE of that batch's partition:
+    a replayed batch replaces its own rows instead of duplicating them —
+    the exactly-once mode the streaming curation writer uses (module
+    docstring "Layout")."""
     meta = read_meta(path)
     fp, sigs, sh = _derived_frames(
         accepted,
@@ -170,9 +205,53 @@ def append_dedup_index(accepted: DataFrame, path: str) -> None:
         meta["id_col"],
         meta["portable"],
     )
-    _write(fp, os.path.join(path, "fingerprints"), "append")
-    _write(sigs, os.path.join(path, "signatures"), "append")
-    _write(sh, os.path.join(path, "shingles"), "append")
+    if batch_id is None:
+        mode, part = "append", UNSTAGED_BATCH
+    else:
+        if batch_id < 0:
+            raise ValueError(
+                f"append_dedup_index: batch_id={batch_id} is reserved "
+                f"(−1 build, −2 unstaged) — staged batch ids must be >= 0"
+            )
+        mode, part = "overwrite", batch_id
+    _write(fp, os.path.join(path, "fingerprints"), mode, part)
+    _write(sigs, os.path.join(path, "signatures"), mode, part)
+    _write(sh, os.path.join(path, "shingles"), mode, part)
+
+
+def compact_dedup_index(spark: SparkSession, path: str) -> dict[str, int]:
+    """Fold the accumulated per-batch partitions into ONE bootstrap
+    partition per derived table. A streaming deployment appends one
+    partition per micro-batch; after ~10⁴ batches each probe pays
+    10⁴-way file listing and tiny-file reads — the classic small-file
+    problem. Compaction rewrites each table (same rows, batch −1) so the
+    next probe reads one well-sized partition; decisions are unaffected
+    (the probe unions all partitions either way, and witness selection
+    is content-based, not batch-based). Returns per-table row counts.
+
+    Safe to run only while no concurrent append is in flight (the same
+    single-writer assumption the streaming writer already makes):
+    rewrite goes through a staging swap — derive to `<table>.compact`,
+    then atomically rename over the old table — so a crash mid-compact
+    leaves the original intact."""
+    import shutil
+
+    from beeper_matric_etl_tool_spark.sinks import _require_local_path
+
+    _require_local_path(path, "compact_dedup_index")
+    read_meta(path)  # asserts this IS an index before touching anything
+    counts: dict[str, int] = {}
+    for sub in ("fingerprints", "signatures", "shingles"):
+        src = os.path.join(path, sub)
+        tmp = src + ".compact"
+        df = spark.read.parquet(src).drop(BATCH_COL)
+        _write(df, tmp, "overwrite", BOOTSTRAP_BATCH)
+        counts[sub] = spark.read.parquet(tmp).count()
+        old = src + ".old"
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+    return counts
 
 
 def dedup_against_index(
@@ -180,6 +259,7 @@ def dedup_against_index(
     spark: SparkSession,
     path: str,
     threshold: float = 0.7,
+    exclude_batch: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental dedup of ``new_docs`` against the PERSISTED index —
     same ``(survivors, dropped)`` contract and bit-identical decisions as
@@ -189,14 +269,29 @@ def dedup_against_index(
     `signatures/`, and the Jaccard verify reads only the candidate rows
     of `shingles/` (semi-join). Steady-state cost per batch is
     O(|batch| text scan + |index derived tables| column scans) instead of
-    O(|corpus| text scan)."""
+    O(|corpus| text scan).
+
+    ``exclude_batch`` hides one ``ingest_batch`` partition from the probe
+    (partition-pruned, so free): a REPLAYED streaming batch excludes its
+    own id and therefore sees exactly the index its first attempt saw —
+    its half-committed rows cannot drop their own re-run (module
+    docstring "Layout")."""
     meta = read_meta(path)
     id_col = meta["id_col"]
-    ref_fp = spark.read.parquet(os.path.join(path, "fingerprints")).select(
+
+    def _read(sub: str) -> DataFrame:
+        df = spark.read.parquet(os.path.join(path, sub))
+        if exclude_batch is not None:
+            df = df.filter(F.col(BATCH_COL) != F.lit(int(exclude_batch)))
+        return df
+
+    ref_fp = _read("fingerprints").select(
         F.col("fp").alias("__fp"), F.col(id_col).alias("__ref_id")
     )
-    ref_sigs = spark.read.parquet(os.path.join(path, "signatures"))
-    ref_sh = spark.read.parquet(os.path.join(path, "shingles")).select(
+    # select the contract columns explicitly — the ingest_batch partition
+    # column rides along in the raw read
+    ref_sigs = _read("signatures").select(F.col(id_col), "signature")
+    ref_sh = _read("shingles").select(
         F.col(id_col).alias("ref_id"), F.col("shingle_set").alias("__shb")
     )
     return dedup_against_frames(

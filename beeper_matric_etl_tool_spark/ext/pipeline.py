@@ -199,6 +199,7 @@ def sample_quota(
     strata_col: str = "lang",
     id_col: str = "doc_id",
     salt: str = QUOTA_SALT,
+    two_phase: bool = False,
 ) -> DataFrame:
     """EXACTLY min(quota, |stratum|) rows per stratum — the fixed-size
     stratified sample an eval-set carve or a human-review draw needs,
@@ -215,27 +216,40 @@ def sample_quota(
     Scale shape: one window per stratum over a PRUNED projection — the
     sort carries (stratum, hash, id), never text or embeddings, and the
     rank filter discards past-quota rows at the exchange that follows.
-    Spark has no rank-pushdown partial top-k for windows, so a dominant
-    stratum means one task sorts that stratum's (hash, id) pairs; at
-    16 B/row that is ~1.6 GB per 100 M docs — acceptable where a
-    text-bearing sort would not be. For quotas ≪ stratum size a
-    two-phase refinement (per-partition local top-quota, then global
-    top-quota over candidates ≤ quota·n_partitions) bounds the final
-    sort; implement against this same signature when a stratum outgrows
-    the window."""
+    Spark has no rank-pushdown partial top-k for windows, so by default a
+    dominant stratum means one task sorts that stratum's (hash, id)
+    pairs; at 16 B/row that is ~1.6 GB per 100 M docs — acceptable where
+    a text-bearing sort would not be. ``two_phase=True`` is the
+    refinement for when a stratum outgrows that window: phase 1 takes
+    each (input partition, stratum)'s LOCAL top-quota under a window
+    keyed by `spark_partition_id()` — the dominant stratum's sort spreads
+    over all input partitions instead of one task — and phase 2 re-ranks
+    only the surviving candidates (≤ quota·n_input_partitions per
+    stratum, a bounded final sort). The global top-quota of a stratum is
+    contained in the union of its per-partition top-quotas, so the two
+    forms return IDENTICAL rows (pinned in tests); the result does not
+    depend on the input partitioning, only phase-1's load spreading
+    does."""
     from pyspark.sql import Window
 
     quota_map = F.create_map(
         *[x for s, q in quotas.items() for x in (F.lit(s), F.lit(int(q)))]
     )
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    stratum_quota = F.coalesce(quota_map[F.col(strata_col)], F.lit(0))
+    if two_phase:
+        wl = Window.partitionBy(F.spark_partition_id(), strata_col).orderBy(
+            h.asc(), F.col(id_col).asc()
+        )
+        df = (
+            df.withColumn("__quota_lrk", F.row_number().over(wl))
+            .filter(F.col("__quota_lrk") <= stratum_quota)
+            .drop("__quota_lrk")
+        )
     w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
     return (
         df.withColumn("__quota_rk", F.row_number().over(w))
-        .filter(
-            F.col("__quota_rk")
-            <= F.coalesce(quota_map[F.col(strata_col)], F.lit(0))
-        )
+        .filter(F.col("__quota_rk") <= stratum_quota)
         .drop("__quota_rk")
     )
 
@@ -347,6 +361,7 @@ def curate(
     persist_intermediates: bool = True,
     reference_docs: DataFrame | None = None,
     reference_index: str | None = None,
+    reference_exclude_batch: int | None = None,
     portable: bool = False,
     lang_col: str | None = "lang",
     span_k: int | None = None,
@@ -581,12 +596,16 @@ def curate(
 
         # config (num_hashes/bands/shingle_k/portable/columns) comes from
         # the index's _META.json — the steady-state per-snapshot mode:
-        # reference text is never rescanned (see ext/dedup_index.py)
+        # reference text is never rescanned (see ext/dedup_index.py).
+        # reference_exclude_batch is the streaming replay hook: a re-run
+        # micro-batch hides its own half-committed index partition so its
+        # decisions match the first attempt bit for bit
         incremental, _incr_dropped = dedup_against_index(
             near,
             docs.sparkSession,
             reference_index,
             threshold=minhash_threshold,
+            exclude_batch=reference_exclude_batch,
         )
     elif reference_docs is not None:
         incremental, _incr_dropped = dedup_against_reference(
@@ -854,6 +873,54 @@ def pack_first_fit_decreasing(
         pack, f"{id_col} {id_type}, pack_key string, pack_oversize boolean"
     )
     return df.join(packed, on=id_col)
+
+
+def pack_token_sequences(
+    packed: DataFrame,
+    encoded: DataFrame,
+    id_col: str = "doc_id",
+    pack_cols: tuple[str, ...] = ("lang", "pack_id"),
+) -> DataFrame:
+    """Assemble the trainer-ready sequences: one row per pack carrying
+    the concatenated ``token_ids`` of its documents in the pack's
+    deterministic order (the PACK_SALT-salted hash order
+    `pack_by_budget` assigned bins with — so the emitted byte stream is
+    rerun-identical), plus the attention-mask bookkeeping a collator
+    needs: ``doc_ids`` (documents in order) and ``doc_lens`` (piece
+    count per document; cumulative sums are the cross-document
+    attention boundaries).
+
+    ``packed`` is the funnel's final stage (or any frame carrying
+    ``pack_cols`` + id_col); ``encoded`` is `ext/bpe.py:bpe_encode_ids`'
+    output. Documents without an encoding row are dropped from the
+    sequence (they had no text to encode) — audit via comparing
+    ``size(doc_ids)`` against the pack's member count.
+
+    Scale shape: one join on id (ids + token arrays, no text), one
+    groupBy per pack; a pack's payload is budget-bounded by
+    construction, so per-group state is small regardless of corpus
+    size."""
+    order = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(PACK_SALT))
+    )
+    joined = packed.select(
+        *[F.col(c) for c in pack_cols], F.col(id_col), order.alias("__ord")
+    ).join(encoded.select(F.col(id_col), "token_ids"), on=id_col)
+    member = F.struct(
+        F.col("__ord"), F.col(id_col).alias("__id"), F.col("token_ids").alias("__t")
+    )
+    members = F.array_sort(F.collect_list(member))
+    return (
+        joined.groupBy(*[F.col(c) for c in pack_cols])
+        .agg(
+            F.flatten(F.transform(members, lambda s: s["__t"])).alias(
+                "token_ids"
+            ),
+            F.transform(members, lambda s: s["__id"]).alias("doc_ids"),
+            F.transform(members, lambda s: F.size(s["__t"])).alias("doc_lens"),
+        )
+        .withColumn("n_pieces", F.size("token_ids"))
+    )
 
 
 def packing_waste(

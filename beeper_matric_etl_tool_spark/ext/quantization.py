@@ -32,7 +32,10 @@ Plan shapes (all linear, no corpus×corpus anything):
   joins true vectors back for only candidate rows — the IVF-PQ+refine
   pattern, making ADC's approximation a recall knob instead of a result.
 
-Determinism contract: trained centroids are frozen to EXACT integers
+Determinism contract: the Lloyd UPDATE sums quantized longs (exact,
+order-independent), so training itself is bit-stable across partition
+layouts — not merely everything downstream of a frozen codebook; trained
+centroids are additionally frozen to EXACT integers
 (floor(c·2¹⁶), the repo-wide quantization convention) before encoding or
 scoring — codes and ADC scores are then integer arithmetic end to end:
 ``adc_score(q, x) == dot(quantize(q), reconstruct(codes(x)))`` holds
@@ -177,6 +180,15 @@ def train_pq(
 
     for _ in range(iterations):
         assigned = _assign(centroids)
+        # the update sums QUANTIZED LONGS, not raw doubles: integer
+        # addition is exact and therefore order-independent, so the
+        # trained centroids are bit-stable across partitionings and
+        # shuffle orders — a double sum could flip the final
+        # floor(c·2¹⁶) freeze by one ulp on a different partition
+        # layout. The mean is then exact-long-sum / count, and the
+        # /QUANT rescale divides by a power of two (exact in binary);
+        # the 2⁻¹⁶ resolution loss per Lloyd step is far below k-means'
+        # own convergence tolerance.
         means = (
             assigned.select(
                 "subspace",
@@ -185,14 +197,20 @@ def train_pq(
             )
             .groupBy("subspace", "cluster_id", "pos")
             .agg(
-                F.sum(F.col("val").cast("double")).alias("__s"),
+                F.sum(
+                    F.floor(F.col("val").cast("double") * F.lit(QUANT)).cast(
+                        "long"
+                    )
+                ).alias("__s"),
                 F.count(F.lit(1)).alias("__n"),
             )
             .select(
                 "subspace",
                 "cluster_id",
                 "pos",
-                (F.col("__s") / F.col("__n")).alias("__m"),
+                (F.col("__s").cast("double") / F.col("__n") / F.lit(QUANT)).alias(
+                    "__m"
+                ),
             )
         )
         prev = centroids
@@ -307,6 +325,21 @@ def _empty_topk(probes, encoded, probe_id: str, id_col: str) -> DataFrame:
     )
 
 
+#: enforced probe ceiling for the FLAT ADC scan (pq_topk/search_pq): the
+#: scorer's output is n_probes × batch_rows rows per Arrow batch, so the
+#: limit must match that memory model — not the far-looser MAX_PROBES
+#: bound the per-pair scorers (cosine_topk, search_ivf_pq) can afford.
+#: At 4096 probes × ~10k-row batches the transient frame is ~40M slim
+#: rows per batch worst-case; the probe axis is additionally chunked
+#: (PQ_PROBE_CHUNK) so the resident score matrix stays ~tens of MB.
+MAX_FLAT_PROBES = 4_096
+
+#: probe-axis chunk inside the flat ADC scorer — bounds the per-batch
+#: score matrix at PQ_PROBE_CHUNK × batch_rows doubles regardless of how
+#: many probes the caller sends (within MAX_FLAT_PROBES).
+PQ_PROBE_CHUNK = 128
+
+
 def pq_topk(
     probes: DataFrame,
     encoded: DataFrame,
@@ -318,11 +351,11 @@ def pq_topk(
     probe_vec: str = "embedding",
     id_col: str = "vec_id",
     corpus_vec: str | None = None,
+    max_probes: int = MAX_FLAT_PROBES,
 ) -> DataFrame:
     """(query_id, vec_id, score, rank) — top-k by ADC inner product: each
     query's lookup table L[j, c] = quantize(q_subvec_j) · centroid[j, c]
-    is built driver-side (n_probes × m × k integers — probes are bounded
-    by the MAX_PROBES contract `cosine_topk` already enforces), and every
+    is built driver-side (n_probes × m × k integers), and every
     encoded corpus row scores as Σⱼ L[j, codes[j]] — m integer gathers,
     no decode, no shuffle before the bounded top-k window.
 
@@ -330,10 +363,13 @@ def pq_topk(
     n_probes × corpus rows (the brute-force ANN shape — same as
     `cosine_topk`, just over 100-400× smaller rows); the production
     composition prunes the CODES scan with an IVF probe map first
-    (`similarity_index.search_ivf`'s partition pruning applied to the
-    codes table) so ADC scores ~corpus/k rows per probe. Keep probe
-    batches far below MAX_PROBES here — the per-Arrow-batch score matrix
-    is n_probes × batch_rows doubles.
+    (`search_ivf_pq`) so ADC scores ~corpus/k rows per probe. The flat
+    scan therefore enforces its OWN probe ceiling (``max_probes``,
+    default MAX_FLAT_PROBES — far below the per-pair scorers'
+    MAX_PROBES) so the enforced limit matches the n_probes × batch_rows
+    memory model, and chunks the probe axis (PQ_PROBE_CHUNK) inside the
+    scorer so the resident matrix is chunk-bounded whatever the caller
+    sends.
 
     ``refine > 0`` re-ranks each query's top-``refine`` ADC candidates by
     EXACT quantized inner product against the true vectors (``corpus``
@@ -342,12 +378,20 @@ def pq_topk(
     rows, not a second corpus scan of the full width."""
     if refine and corpus is None:
         raise ValueError("pq_topk: refine > 0 requires the raw corpus")
-    C, m, ck, dsub = _codebook_tensor(codebooks)
-    probe_rows = probes.select(probe_id, probe_vec).take(MAX_PROBES + 1)
-    if len(probe_rows) > MAX_PROBES:
+    if max_probes > MAX_PROBES:
         raise ValueError(
-            f"pq_topk: more than MAX_PROBES={MAX_PROBES} probe rows — "
-            f"batch the probe set"
+            f"pq_topk: max_probes={max_probes} exceeds the driver-matrix "
+            f"contract MAX_PROBES={MAX_PROBES}"
+        )
+    C, m, ck, dsub = _codebook_tensor(codebooks)
+    probe_rows = probes.select(probe_id, probe_vec).take(max_probes + 1)
+    if len(probe_rows) > max_probes:
+        raise ValueError(
+            f"pq_topk: more than max_probes={max_probes} probe rows — the "
+            f"flat ADC scan emits n_probes × batch_rows rows per Arrow "
+            f"batch, so large probe sets must be batched by the caller or "
+            f"routed through search_ivf_pq (per-pair scoring, pruned "
+            f"candidates)"
         )
     if not probe_rows:
         return _empty_topk(probes, encoded, probe_id, id_col)
@@ -367,18 +411,24 @@ def pq_topk(
                 continue
             codes = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
             n = len(pdf)
-            # gather per subspace: S[q, row] = Σ_j L[q, j, codes[row, j]]
-            S = np.zeros((len(qids), n), dtype=np.float64)
-            for j in range(m):
-                S += L[:, j, :][:, codes[:, j]]
-            out = pd.DataFrame(
-                {
-                    probe_id: np.repeat(qids, n),
-                    id_col: np.tile(pdf[id_col].to_numpy(), len(qids)),
-                    "score": S.reshape(-1),
-                }
-            )
-            yield out
+            ids = pdf[id_col].to_numpy()
+            # probe-axis chunking: the resident score matrix is
+            # chunk × batch_rows, and each yielded frame carries only one
+            # chunk's cross — peak memory is bounded by PQ_PROBE_CHUNK,
+            # not by how many probes the caller sent
+            for lo in range(0, len(qids), PQ_PROBE_CHUNK):
+                hi = min(lo + PQ_PROBE_CHUNK, len(qids))
+                # gather per subspace: S[q, row] = Σ_j L[q, j, codes[row, j]]
+                S = np.zeros((hi - lo, n), dtype=np.float64)
+                for j in range(m):
+                    S += L[lo:hi, j, :][:, codes[:, j]]
+                yield pd.DataFrame(
+                    {
+                        probe_id: np.repeat(qids[lo:hi], n),
+                        id_col: np.tile(ids, hi - lo),
+                        "score": S.reshape(-1),
+                    }
+                )
 
     scored = encoded.mapInPandas(
         score, f"{probe_id} {qid_type}, {id_col} {id_type}, score double"
@@ -487,11 +537,13 @@ def search_pq(
     probe_vec: str = "embedding",
     id_col: str = "vec_id",
     corpus_vec: str | None = None,
+    max_probes: int = MAX_FLAT_PROBES,
 ) -> DataFrame:
     """Probe the persisted index: ADC top-k over the ``codes/`` scan
     (raw vectors are read ONLY when ``refine`` asks for the exact
     re-rank, and then only for candidate rows). Same contract as
-    :func:`pq_topk` — this is the one-call deployment surface."""
+    :func:`pq_topk` — this is the one-call deployment surface, including
+    the flat scan's ``max_probes`` ceiling."""
     import os
 
     books = spark.read.parquet(os.path.join(path, "codebooks"))
@@ -507,6 +559,7 @@ def search_pq(
         probe_vec=probe_vec,
         id_col=id_col,
         corpus_vec=corpus_vec,
+        max_probes=max_probes,
     )
 
 

@@ -49,6 +49,34 @@ def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda x: x.isin(*words)))
 
 
+def language_scores(toks: Column, inventories: dict[str, tuple[str, ...]] | None = None) -> dict[str, Column]:
+    """Per-language function-word hit counts over a token array — the
+    n-gram-free language-ID heuristic (a real fastText scorer slots in as
+    a pandas_udf producing the same columns). Returns {code: hits
+    Column} in inventory order."""
+    inv = STOPWORDS if inventories is None else inventories
+    return {code: stopword_hits(toks, words) for code, words in inv.items()}
+
+
+def detect_language(
+    toks: Column, inventories: dict[str, tuple[str, ...]] | None = None
+) -> Column:
+    """Argmax language code over :func:`language_scores` with a FIXED
+    preference order (inventory order; ``>=`` comparisons, so ties —
+    including the all-zero row — resolve to the earliest code:
+    deterministic, engine-portable, and exactly the CASE chain the
+    `doc_profile` oracle replays)."""
+    scores = list(language_scores(toks, inventories).items())
+    expr = None
+    for i, (code, hits) in enumerate(scores[:-1]):
+        cond = None
+        for _, other in scores[i + 1 :]:
+            c = hits >= other
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, code) if expr is None else expr.when(cond, code)
+    return expr.otherwise(scores[-1][0])
+
+
 def exact_fingerprint(text: Column | str) -> Column:
     """Whole-document content fingerprint (exact-dedup key)."""
     c = F.col(text) if isinstance(text, str) else text

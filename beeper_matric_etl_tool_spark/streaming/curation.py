@@ -14,15 +14,18 @@ semantics: the batch half is `ext/pipeline.py:curate(reference_index=…)`
 verbatim, which is what keeps streaming and batch decisions bit-identical
 (the property the curate() determinism contract promises).
 
-Exactly-once note: the corpus append + index append + audit append are
-three non-transactional parquet writes driven by one foreachBatch. Spark
-re-runs a failed batch, so a crash BETWEEN the writes can duplicate index
-rows — which cannot flip a dedup decision (witness selection is
-min(ref_id), candidate sets are distinct-ed; `append_dedup_index`
-documents this) — or re-append corpus rows, which downstream exact dedup
-would collapse. A stricter deployment stages all three through the sinks
-family's partitioned merge keyed by batch_id. The audit row carries
-batch_id so replays are visible.
+Exactly-once note: all three writes per micro-batch — corpus, index,
+audit — are STAGED by batch id: each is a dynamic partition overwrite of
+its own ``ingest_batch``/``batch_id`` hive partition, and the funnel
+probes the index with that batch EXCLUDED
+(`curate(reference_exclude_batch=batch_id)` →
+`dedup_against_index(exclude_batch=…)`), so a replayed batch sees exactly
+the index state its first attempt saw. Replay therefore re-derives
+bit-identical survivors (curate()'s determinism contract) and overwrites
+its own partitions with identical rows — corpus, index, and audit row
+counts are unchanged however many times Spark re-runs the batch (pinned
+in tests). A crash BETWEEN the three writes still leaves a transient
+mixed state, but the replay repairs it instead of compounding it.
 """
 
 from __future__ import annotations
@@ -77,6 +80,10 @@ def curation_batch_writer(
             batch_df,
             persist_intermediates=False,
             reference_index=index_path,
+            # replay safety: probe the index with THIS batch's partition
+            # hidden, so a re-run after a partial commit re-derives the
+            # first attempt's decisions (module docstring)
+            reference_exclude_batch=int(batch_id),
             minhash_threshold=threshold,
             text_col=text_col,
             id_col=id_col,
@@ -88,14 +95,33 @@ def curation_batch_writer(
         n_kept = survivors.count()
         out_cols = [id_col, text_col] + ([lang_col] if lang_col else [])
         if n_kept:
-            survivors.select(*out_cols).write.mode("append").parquet(out_dir)
-            append_dedup_index(survivors.select(id_col, text_col), index_path)
+            # staged corpus write: dynamic overwrite of this batch's own
+            # hive partition — a replay replaces, never duplicates
+            (
+                survivors.select(*out_cols)
+                .withColumn("ingest_batch", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(out_dir)
+            )
+            append_dedup_index(
+                survivors.select(id_col, text_col),
+                index_path,
+                batch_id=int(batch_id),
+            )
         if audit_dir is not None:
             spark = batch_df.sparkSession
-            spark.createDataFrame(
-                [(int(batch_id), int(n_in), int(n_kept))],
-                "batch_id long, n_in long, n_kept long",
-            ).write.mode("append").parquet(audit_dir)
+            (
+                spark.createDataFrame(
+                    [(int(batch_id), int(n_in), int(n_kept))],
+                    "batch_id long, n_in long, n_kept long",
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(audit_dir)
+            )
 
     return write
 

@@ -90,3 +90,77 @@ def test_segment_udf_matches_fold_path(corpus, spark):
         r["word"]: r["pieces"] for r in bpe_segment_udf(words, merges).collect()
     }
     assert udf == fold
+
+
+def test_bpe_encode_ids_roundtrip_and_determinism(corpus, spark):
+    """bpe_encode_ids: ids map through the lexicographic piece vocab,
+    documents reconstruct exactly, and the mapping is identical under a
+    different input partitioning (shard-independent tokenizer
+    artifact)."""
+    from beeper_matric_etl_tool_spark.ext.bpe import bpe_encode_ids
+
+    merges = train_bpe_merges(corpus, n_merges=5)
+    encoded, vocab = bpe_encode_ids(corpus, merges)
+    id2piece = {r["piece_id"]: r["piece"] for r in vocab.collect()}
+    # vocab ids are the dense 0..n-1 lexicographic ranks
+    assert sorted(id2piece) == list(range(len(id2piece)))
+    assert [id2piece[i] for i in sorted(id2piece)] == sorted(id2piece.values())
+
+    texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    rows = {r["doc_id"]: r for r in encoded.collect()}
+    assert set(rows) == set(texts)
+    for d, r in rows.items():
+        pieces = [id2piece[i] for i in r["token_ids"]]
+        assert "".join(pieces) == texts[d].replace(" ", EOW) + EOW
+        assert r["n_pieces"] == len(pieces)
+        # the trained merges compress below character count
+        assert r["n_pieces"] < len(texts[d]) + 1
+
+    encoded2, vocab2 = bpe_encode_ids(corpus.repartition(7), merges)
+    assert sorted(map(tuple, vocab2.collect())) == sorted(
+        map(tuple, vocab.collect())
+    )
+    assert {r["doc_id"]: tuple(r["token_ids"]) for r in encoded2.collect()} == {
+        d: tuple(r["token_ids"]) for d, r in rows.items()
+    }
+
+
+def test_pack_token_sequences_assembles_in_pack_order(spark):
+    """pack_token_sequences flattens each pack's docs in the salted pack
+    order with doc_ids/doc_lens bookkeeping — the collator contract."""
+    from pyspark.sql import functions as F
+
+    from beeper_matric_etl_tool_spark.ext.bpe import bpe_encode_ids
+    from beeper_matric_etl_tool_spark.ext.pipeline import (
+        pack_by_budget,
+        pack_token_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "low lower low"),
+            (2, "en", "newest widest"),
+            (3, "en", "low newest low widest low"),
+            (4, "es", "lower lower"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    merges = train_bpe_merges(docs, n_merges=4)
+    encoded, vocab = bpe_encode_ids(docs, merges)
+    packed = pack_by_budget(
+        docs.withColumn("n_tokens_packed", F.size(F.split("text", " "))),
+        token_col="n_tokens_packed",
+        budget=8,
+        partition_cols=("lang",),
+    )
+    seqs = pack_token_sequences(packed, encoded)
+    by_doc = {r["doc_id"]: r for r in encoded.collect()}
+    for r in seqs.collect():
+        # order bookkeeping agrees with the payload
+        assert r["doc_lens"] == [by_doc[d]["n_pieces"] for d in r["doc_ids"]]
+        flat = [i for d in r["doc_ids"] for i in by_doc[d]["token_ids"]]
+        assert r["token_ids"] == flat
+        assert r["n_pieces"] == sum(r["doc_lens"])
+    # every doc appears exactly once across packs
+    seen = sorted(d for r in seqs.collect() for d in r["doc_ids"])
+    assert seen == [1, 2, 3, 4]

@@ -130,6 +130,7 @@ def test_config_is_stored_and_guarded(spark, tmp_path):
         "text_col": "text",
         "id_col": "doc_id",
         "portable": True,
+        "layout": "ingest-batch-partitioned",
     }
     # the stored config drives the probe: portable md5 signatures decide
     # identically to a from-scratch run under the same config
@@ -199,3 +200,49 @@ def test_dedup_index_rejects_scheme_prefixed_paths(spark):
         append_dedup_index(docs, "s3://bucket/index")
     with _pytest.raises(ValueError, match="URI scheme"):
         dedup_against_index(docs, spark, "s3://bucket/index")
+
+
+def test_compact_dedup_index_folds_batches_and_preserves_decisions(
+    spark, tmp_path, ref_on_disk
+):
+    """After many staged appends, compaction rewrites each derived table
+    into ONE bootstrap partition — same rows, same probe decisions,
+    partition count collapsed (the streaming steady-state small-file
+    fix)."""
+    import os
+
+    from beeper_matric_etl_tool_spark.ext.dedup_index import (
+        append_dedup_index,
+        build_dedup_index,
+        compact_dedup_index,
+        dedup_against_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_dedup_index(_frame(spark, REF_ROWS), idx, num_hashes=16, bands=4)
+    extra = [
+        (900 + i, f"wholly original appended document number {_w(i)} with "
+                  f"enough body to shingle cleanly and stand alone")
+        for i in range(4)
+    ]
+    for i, row in enumerate(extra):
+        append_dedup_index(_frame(spark, [row]), idx, batch_id=i)
+
+    batch = _frame(spark, BATCH_ROWS + [extra[2]])
+    before_s, before_d = dedup_against_index(batch, spark, idx)
+    before = (_pairs(before_s), _pairs(before_d))
+
+    counts = compact_dedup_index(spark, idx)
+    assert counts["fingerprints"] == counts["signatures"] == len(REF_ROWS) + 4
+    parts = [
+        d for d in os.listdir(os.path.join(idx, "fingerprints"))
+        if d.startswith("ingest_batch=")
+    ]
+    assert parts == ["ingest_batch=-1"]
+
+    after_s, after_d = dedup_against_index(batch, spark, idx)
+    assert (_pairs(after_s), _pairs(after_d)) == before
+
+
+def _w(i: int) -> str:
+    return ["alpha", "bravo", "carol", "delta"][i % 4] + str("x" * (i + 1))

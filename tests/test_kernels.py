@@ -1213,3 +1213,41 @@ def test_normalize_text_sql_twin_parity(spark):
         ).fetchall()
     )
     assert got_spark == got_duck
+
+
+def test_detect_language_fixed_preference_argmax(spark):
+    """language_scores/detect_language (the reusable language-ID pair
+    doc_profile's oracle replays): per-inventory hits, argmax with
+    inventory-order tie preference — ties and all-zero rows resolve to
+    the earliest code."""
+    from beeper_matric_etl_tool_spark.ext.text import (
+        detect_language,
+        language_scores,
+        tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of that house"),
+            (2, "el perro que corre por la calle y el gato"),
+            (3, "le chat et le chien pour la maison"),
+            (4, "der hund und die katze von das haus mit"),
+            (5, "xxx yyy zzz"),                 # zero hits anywhere -> en
+            (6, "de de de"),                    # es/fr tie (de in both) -> es
+        ],
+        "doc_id long, text string",
+    )
+    toks = tokens("text")
+    out = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select(
+            "doc_id", detect_language(toks).alias("lang")
+        ).collect()
+    }
+    assert out == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "en", 6: "es"}
+    hits = docs.select(
+        "doc_id",
+        *[c.alias(k) for k, c in language_scores(toks).items()],
+    )
+    r6 = {r["doc_id"]: (r["es"], r["fr"]) for r in hits.collect()}
+    assert r6[6] == (3, 3)  # genuine tie, preference order decides

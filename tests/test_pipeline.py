@@ -963,3 +963,36 @@ def test_pack_ffd_refuses_silent_single_task(spark):
         ).count()
         == 1
     )
+
+
+def test_sample_quota_two_phase_equivalence_and_bounded_final_sort(spark, sf_dir):
+    """two_phase=True returns IDENTICAL rows to the single-window form
+    (the global top-quota is contained in the union of per-partition
+    top-quotas) under several input partitionings, and the plan shows
+    the refinement shape: a local rank filter BELOW the global window,
+    so the final sort input is candidate-bounded instead of
+    stratum-sized."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    quotas = {"en": 7, "es": 3, "zh": 0}
+    base = {
+        tuple(r)
+        for r in sample_quota(docs, quotas).select("doc_id", "lang").collect()
+    }
+    assert sum(1 for _, l in base if l == "en") == 7
+    for parts in (1, 3, 13):
+        got = {
+            tuple(r)
+            for r in sample_quota(
+                docs.repartition(parts), quotas, two_phase=True
+            )
+            .select("doc_id", "lang")
+            .collect()
+        }
+        assert got == base, parts
+
+    plan = sample_quota(docs, quotas, two_phase=True)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Window") >= 2
+    assert "__quota_lrk" in plan
+    # the single-phase plan has exactly one window and no local rank
+    plan1 = sample_quota(docs, quotas)._jdf.queryExecution().optimizedPlan().toString()
+    assert "__quota_lrk" not in plan1

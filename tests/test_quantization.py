@@ -284,3 +284,110 @@ def test_refine_with_distinct_corpus_vec_col(built):
         ).collect()
     )
     assert a == b
+
+
+def test_train_pq_bit_stable_across_partitionings(spark):
+    """The integer-sum Lloyd update makes TRAINING itself
+    order-independent: the same corpus under 1, 3, and 7 input
+    partitions trains byte-identical codebooks (previously only
+    encode/score downstream of a frozen codebook carried that
+    guarantee)."""
+    import numpy as _np
+
+    from beeper_matric_etl_tool_spark.ext.quantization import train_pq
+
+    rng = [
+        (i, [float(((i * 37 + j * 11) % 29) - 14) / 7.0 for j in range(8)])
+        for i in range(60)
+    ]
+    base = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+
+    def books(parts):
+        got = (
+            train_pq(base.repartition(parts), m=2, k=4, iterations=3)
+            .collect()
+        )
+        return sorted(
+            (r["subspace"], r["cluster_id"], tuple(r["centroid"])) for r in got
+        )
+
+    b1, b3, b7 = books(1), books(3), books(7)
+    assert b1 == b3 == b7
+    # still the frozen-integer grid
+    for _, _, cent in b1:
+        assert all(c == _np.floor(c) for c in cent)
+
+
+def test_pq_flat_scan_enforces_its_own_probe_ceiling(spark):
+    """The flat ADC scan's enforced limit matches its memory model:
+    max_probes (default MAX_FLAT_PROBES << MAX_PROBES) bounds the
+    n_probes × batch_rows cross, and a caller-supplied bound above
+    MAX_PROBES is rejected outright."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from beeper_matric_etl_tool_spark.ext.quantization import (
+        MAX_FLAT_PROBES,
+        encode_pq,
+        pq_topk,
+        train_pq,
+    )
+    from beeper_matric_etl_tool_spark.ext.similarity import MAX_PROBES
+
+    assert MAX_FLAT_PROBES < MAX_PROBES
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float((i * 3) % 7)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    books = train_pq(emb, m=2, k=4, iterations=1)
+    enc = encode_pq(emb, books)
+    probes = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with _pytest.raises(ValueError, match="max_probes=3"):
+        pq_topk(probes, enc, books, k=2, max_probes=3)
+    with _pytest.raises(ValueError, match="MAX_PROBES"):
+        pq_topk(probes, enc, books, k=2, max_probes=MAX_PROBES + 1)
+    # within the ceiling: results flow, probe-chunked scorer included
+    assert pq_topk(probes.limit(3), enc, books, k=2, max_probes=8).count() == 6
+
+
+def test_pq_flat_scan_probe_chunking_exact_across_chunks(spark):
+    """More probes than PQ_PROBE_CHUNK: the chunked scorer must emit the
+    same exact ADC identity per row as the single-chunk path — every
+    (query, vec) score equals dot(quantize(q), reconstruct(codes))."""
+    from pyspark.sql import functions as F
+
+    from beeper_matric_etl_tool_spark.ext.quantization import (
+        PQ_PROBE_CHUNK,
+        encode_pq,
+        pq_topk,
+        reconstruct_pq,
+        train_pq,
+    )
+    from beeper_matric_etl_tool_spark.ext.similarity import dot, quantize
+
+    n_probes = PQ_PROBE_CHUNK + 7
+    emb = spark.createDataFrame(
+        [
+            (i, [float(((i * 13 + j * 5) % 23) - 11) / 4.0 for j in range(4)])
+            for i in range(max(40, n_probes))
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    books = train_pq(emb, m=2, k=8, iterations=2)
+    enc = encode_pq(emb, books)
+    probes = emb.limit(n_probes).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = pq_topk(probes, enc, books, k=3, max_probes=n_probes + 1)
+    assert top.select("query_id").distinct().count() == n_probes
+    chk = (
+        top.join(reconstruct_pq(enc, books), on="vec_id")
+        .join(
+            probes.select(
+                "query_id", quantize(F.col("embedding")).alias("__q")
+            ),
+            on="query_id",
+        )
+        .filter(F.col("score") != dot(F.col("__q"), F.col("vec")))
+    )
+    assert chk.count() == 0

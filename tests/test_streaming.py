@@ -727,3 +727,64 @@ def test_curation_writer_validates_index_meta_at_construction(spark, tmp_path):
         curation_batch_writer(str(tmp_path / "noindex"), str(tmp_path / "out"))
     # matching config constructs fine
     assert curation_batch_writer(idx, str(tmp_path / "out")) is not None
+
+
+def test_curation_batch_replay_is_idempotent(spark, tmp_path):
+    """Re-running a micro-batch with the same batch_id (Spark's replay
+    after a mid-commit crash) leaves corpus, index, and audit
+    byte-count-identical: the probe excludes the batch's own index
+    partition, so decisions repeat, and all three writes are dynamic
+    partition overwrites of that batch's partitions."""
+    from beeper_matric_etl_tool_spark.ext.dedup_index import build_dedup_index
+    from beeper_matric_etl_tool_spark.streaming.curation import (
+        curation_batch_writer,
+    )
+
+    az = "abcdefghijklmnopqrstuvwxyz"
+
+    def body(d: int) -> str:
+        return " ".join(
+            f"w{az[d]}{az[i // 26]}{az[i % 26]}fill {'the' if i % 2 else 'of'}"
+            for i in range(30)
+        )
+
+    seed = spark.createDataFrame(
+        [(0, "en", body(0))], "doc_id long, lang string, text string"
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(seed.select("doc_id", "text"), idx)
+    out, audit = str(tmp_path / "out"), str(tmp_path / "audit")
+    write = curation_batch_writer(idx, out, audit_dir=audit)
+
+    batch = spark.createDataFrame(
+        [(1, "en", body(1)), (2, "en", body(0))],
+        "doc_id long, lang string, text string",
+    )
+    write(batch, 0)
+
+    def state():
+        corpus = sorted(
+            (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
+        )
+        fp = spark.read.parquet(idx + "/fingerprints").count()
+        sig = spark.read.parquet(idx + "/signatures").count()
+        aud = sorted(
+            tuple(r) for r in spark.read.parquet(audit).collect()
+        )
+        return corpus, fp, sig, aud
+
+    first = state()
+    assert [d for d, _ in first[0]] == [1]  # doc 2 duplicated the seed
+    # replay the SAME batch twice more — nothing may change
+    write(batch, 0)
+    write(batch, 0)
+    assert state() == first
+    # a genuinely new batch still appends (staged under its own id) and
+    # cross-batch dedup against batch 0's survivor still works
+    batch2 = spark.createDataFrame(
+        [(3, "en", body(1)), (4, "en", body(4))],
+        "doc_id long, lang string, text string",
+    )
+    write(batch2, 1)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 4]

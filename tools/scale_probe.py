@@ -317,6 +317,25 @@ def probe_bpe_training(docs, n_merges: int = 3):
     ).agg(F.max("n_merges").alias("n_merges"))
 
 
+def probe_bpe_encode(docs, n_merges: int = 3):
+    """bpe_encode_ids' claim: Python segmentation cost rides the
+    DISTINCT-word relation (vocab grows with the rotated copies), the
+    per-document reassembly is two (id, position)-keyed aggregations —
+    corpus-linear, never vocabulary × corpus. Checksums pin full
+    coverage and the exact piece mass."""
+    from beeper_matric_etl_tool_spark.ext.bpe import (
+        bpe_encode_ids,
+        train_bpe_merges,
+    )
+
+    merges = train_bpe_merges(docs, n_merges=n_merges)
+    encoded, _vocab = bpe_encode_ids(docs, merges)
+    return encoded.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_pieces").alias("piece_checksum"),
+    )
+
+
 def probe_quota_sample(docs):
     """Exact-quota stratified sampling: the per-stratum window sort over
     a pruned (lang, hash, id) projection. Expect ~n log n — the flat
@@ -326,6 +345,28 @@ def probe_quota_sample(docs):
 
     base = docs.select("doc_id", "lang", token_count("text").alias("n_toks"))
     out = sample_quota(base, {"en": 100, "es": 40, "fr": 25, "de": 60, "zh": 30})
+    return out.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_toks").alias("membership_checksum"),
+    )
+
+
+def probe_quota_two_phase(docs):
+    """The dominant-stratum refinement (sample_quota two_phase=True):
+    phase-1 local top-quota spreads the big stratum's sort over all
+    input partitions, phase-2 re-ranks ≤ quota·n_partitions candidates.
+    The checksum must EQUAL probe_quota_sample's at every factor —
+    scale-measured proof the refinement changes the plan, not the
+    sample."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import sample_quota
+    from beeper_matric_etl_tool_spark.ext.text import token_count
+
+    base = docs.select("doc_id", "lang", token_count("text").alias("n_toks"))
+    out = sample_quota(
+        base,
+        {"en": 100, "es": 40, "fr": 25, "de": 60, "zh": 30},
+        two_phase=True,
+    )
     return out.agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_toks").alias("membership_checksum"),
@@ -393,7 +434,9 @@ def main() -> None:
         ("duplicate_spans", probe_duplicate_spans),
         ("unigram_nll", probe_unigram_nll),
         ("quota_sample", probe_quota_sample),
+        ("quota_sample_two_phase", probe_quota_two_phase),
         ("bpe_training", probe_bpe_training),
+        ("bpe_encode", probe_bpe_encode),
     ):
         t1, r1 = timed_value(fn(docs))
         t10, r10 = timed_value(fn(big_docs))
