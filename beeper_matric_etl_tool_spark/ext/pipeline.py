@@ -318,7 +318,7 @@ CURATE_RESERVED_COLUMNS = (
     "len_ok", "ttr_ok", "rep_ok", "stop_ok", "avglen_ok",
     "rep_line_ok", "rep_para_ok", "top2_ok", "keep",
     "n_emails", "n_digit_runs", "n_tokens_packed", "pack_id",
-    "n_span_tokens_removed", "nll_ppm",
+    "n_span_tokens_removed", "nll_ppm", "n_boilerplate_paras_removed",
 )
 
 
@@ -364,6 +364,7 @@ def curate(
     reference_exclude_batch: int | None = None,
     portable: bool = False,
     lang_col: str | None = "lang",
+    boilerplate_min_docs: int | None = None,
     span_k: int | None = None,
     span_min_count: int = 2,
     span_keep_one: bool = True,
@@ -389,6 +390,19 @@ def curate(
     - ``quality``:     docs + signal/verdict columns (audit surface)
     - ``scrubbed``:    quality survivors with ``text`` PII-scrubbed (+ audit
                        counts ``n_emails``/``n_digit_runs``)
+    - ``deboilerplated``: (only when ``boilerplate_min_docs`` is set)
+                       corpus-level boilerplate-PARAGRAPH removal
+                       (`ext/text.py:remove_boilerplate_paragraphs`):
+                       every paragraph appearing in >= that many
+                       DISTINCT documents (site footers, license
+                       blocks) is cut from every document, text
+                       rebuilt in order, emptied docs dropped,
+                       ``n_boilerplate_paras_removed`` audit column.
+                       Runs BEFORE span removal (paragraph-level
+                       before token-level cuts — a removed footer
+                       should not first be shredded into hot spans)
+                       and before the dedup fingerprints, for the same
+                       reason the despan stage does
     - ``despanned``:   (only when ``span_k`` is set) corpus-level
                        duplicate-SPAN removal (`ext/text.py:
                        remove_duplicate_spans`, keep_one defaults True —
@@ -516,6 +530,37 @@ def curate(
 
     opt_stages: dict[str, DataFrame] = {}
     dedup_input = scrubbed
+    if boilerplate_min_docs is not None:
+        from beeper_matric_etl_tool_spark.ext.text import (
+            remove_boilerplate_paragraphs,
+        )
+
+        boiler_out = remove_boilerplate_paragraphs(
+            dedup_input,
+            min_docs=boilerplate_min_docs,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        replaced_b = dedup_input.drop(text_col).join(
+            boiler_out.filter(F.length("cleaned_text") > 0).select(
+                F.col(id_col),
+                F.col("cleaned_text").alias(text_col),
+                F.col("n_removed").alias("n_boilerplate_paras_removed"),
+            ),
+            on=id_col,
+        )
+        deboilerplated = replaced_b.select(
+            *[c for c in dedup_input.columns], "n_boilerplate_paras_removed"
+        )
+        # persist for the same reason as the despan stage: the
+        # paragraph-fingerprint shuffles feed every downstream stage and
+        # the plan carries no window (the documented persist hazard does
+        # not apply)
+        if persist_intermediates:
+            deboilerplated = deboilerplated.persist()
+            persisted.append(deboilerplated)
+        opt_stages["deboilerplated"] = deboilerplated
+        dedup_input = deboilerplated
     if span_k is not None:
         from beeper_matric_etl_tool_spark.ext.text import remove_duplicate_spans
 

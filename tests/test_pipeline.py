@@ -996,3 +996,48 @@ def test_sample_quota_two_phase_equivalence_and_bounded_final_sort(spark, sf_dir
     # the single-phase plan has exactly one window and no local rank
     plan1 = sample_quota(docs, quotas)._jdf.queryExecution().optimizedPlan().toString()
     assert "__quota_lrk" not in plan1
+
+
+def test_curate_deboilerplate_stage(spark):
+    """boilerplate_min_docs wires remove_boilerplate_paragraphs into the
+    funnel between scrub and despan/dedup: the shared footer paragraph
+    vanishes from every carrier while their distinct bodies (below the
+    distinct-doc floor) survive untouched; a doc that was ONLY
+    boilerplate empties and drops; the cleaned text — not the raw
+    text — feeds exact dedup."""
+    bodyA = (
+        "a wholly distinct first body that carries enough words to pass "
+        "the quality gate with room to spare because its token count "
+        "comfortably clears the configured minimum for the battery and "
+        "the stopword floor is satisfied by the usual function words of "
+        "the language that appear throughout this running text"
+    )
+    bodyB = bodyA.replace("first", "second").replace("wholly", "plainly")
+    bodyC = bodyA.replace("first", "third").replace("wholly", "deeply")
+    # the two-paragraph footer also pins that the pass counts DISTINCT
+    # docs (it rides 3 carriers + the footer-only doc = df 4 >= 3)
+    footer = "shared footer all rights reserved by the site operator"
+    docs = spark.createDataFrame(
+        [
+            (BASE + 60, "en", bodyA + "\n\n" + footer),
+            (BASE + 61, "en", bodyB + "\n\n" + footer),
+            (BASE + 62, "en", bodyC + "\n\n" + footer),
+            (BASE + 63, "en", footer),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    stages = curate(
+        docs, boilerplate_min_docs=3, persist_intermediates=False
+    )
+    deb = {r["doc_id"]: r for r in stages["deboilerplated"].collect()}
+    # footer-only doc dropped (emptied); carriers cleaned; each distinct
+    # body is below the floor (df 1) and survives untouched
+    assert set(deb) == {BASE + 60, BASE + 61, BASE + 62}
+    assert deb[BASE + 60]["text"] == bodyA
+    assert deb[BASE + 61]["text"] == bodyB
+    assert deb[BASE + 62]["text"] == bodyC
+    assert all(deb[d]["n_boilerplate_paras_removed"] == 1 for d in deb)
+    # the cleaned texts flow into the dedup stages — all three distinct
+    # bodies survive exact dedup
+    exact_ids = {r[0] for r in stages["exact"].select("doc_id").collect()}
+    assert {BASE + 60, BASE + 61, BASE + 62} <= exact_ids
