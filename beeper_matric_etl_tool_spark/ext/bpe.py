@@ -208,9 +208,14 @@ def bpe_encode_ids(
     rows, never alone through a shuffle."""
     from pyspark.sql import Window
 
+    # filter the F.split trailing-'' artifact (empty text, doubled or
+    # trailing spaces): a '' word would otherwise enter the vocabulary,
+    # segment to the bare EOW piece, and inject a phantom token into the
+    # emitted id stream. Documents with no real words therefore emit NO
+    # encoded row — pack_token_sequences drops them, as documented there.
     words_pos = docs.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("__wpos", "word")
-    )
+    ).filter(F.col("word") != "")
     vocab_words = words_pos.select("word").distinct()
     seg = bpe_segment_udf(vocab_words, merges)
     vocab = (

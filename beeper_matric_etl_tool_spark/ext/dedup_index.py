@@ -178,7 +178,20 @@ def read_meta(path: str) -> dict:
             f"built by build_dedup_index"
         )
     with open(meta_path) as fh:
-        return json.load(fh)
+        meta = json.load(fh)
+    # layout gate: probe/append/compact all assume the ingest_batch
+    # partition column — against a pre-batched flat index the probe
+    # would die mid-stream on an unresolvable column and an append
+    # would write partition dirs next to flat files, corrupting the
+    # table. Fail here, at every lifecycle entry point, with the fix.
+    if meta.get("layout") != "ingest-batch-partitioned":
+        raise ValueError(
+            f"dedup index at {path!r} uses the pre-batch flat layout "
+            f"(meta has no 'layout: ingest-batch-partitioned') — this "
+            f"build reads/writes ingest_batch-partitioned derived "
+            f"tables; rebuild the index with build_dedup_index"
+        )
+    return meta
 
 
 def append_dedup_index(
@@ -219,21 +232,36 @@ def append_dedup_index(
     _write(sh, os.path.join(path, "shingles"), mode, part)
 
 
-def compact_dedup_index(spark: SparkSession, path: str) -> dict[str, int]:
-    """Fold the accumulated per-batch partitions into ONE bootstrap
+def compact_dedup_index(
+    spark: SparkSession, path: str, preserve_last: bool = True
+) -> dict[str, int]:
+    """Fold the accumulated per-batch partitions into the bootstrap
     partition per derived table. A streaming deployment appends one
     partition per micro-batch; after ~10⁴ batches each probe pays
     10⁴-way file listing and tiny-file reads — the classic small-file
-    problem. Compaction rewrites each table (same rows, batch −1) so the
-    next probe reads one well-sized partition; decisions are unaffected
+    problem. Compaction rewrites each table (same rows) so the next
+    probe reads few well-sized partitions; decisions are unaffected
     (the probe unions all partitions either way, and witness selection
     is content-based, not batch-based). Returns per-table row counts.
 
-    Safe to run only while no concurrent append is in flight (the same
-    single-writer assumption the streaming writer already makes):
-    rewrite goes through a staging swap — derive to `<table>.compact`,
-    then atomically rename over the old table — so a crash mid-compact
-    leaves the original intact."""
+    ``preserve_last=True`` (default) keeps the HIGHEST staged batch
+    partition un-folded. This is what keeps compaction safe against the
+    one uncommitted micro-batch a stopped stream can leave behind: if
+    the stream crashed after batch N's index write but before its
+    checkpoint commit, Spark replays batch N on restart and the probe
+    excludes partition N — folding N into the bootstrap partition would
+    make the batch's own first-attempt rows visible to its replay and
+    every replayed survivor would drop as a duplicate of itself. Pass
+    ``preserve_last=False`` only when the stream's checkpoint is known
+    committed (a cleanly-stopped stream).
+
+    Crash posture (single compactor, no concurrent append — the same
+    single-writer assumption the streaming writer makes): each table
+    rewrites into `<table>.compact`, then swaps via two renames. A crash
+    between the renames leaves the table momentarily absent but fully
+    recoverable — the NEXT call (or any probe after the next call)
+    heals it: stale `.old`/`.compact` leftovers are detected up front,
+    a stranded original is restored, and staging debris is removed."""
     import shutil
 
     from beeper_matric_etl_tool_spark.sinks import _require_local_path
@@ -244,10 +272,37 @@ def compact_dedup_index(spark: SparkSession, path: str) -> dict[str, int]:
     for sub in ("fingerprints", "signatures", "shingles"):
         src = os.path.join(path, sub)
         tmp = src + ".compact"
-        df = spark.read.parquet(src).drop(BATCH_COL)
-        _write(df, tmp, "overwrite", BOOTSTRAP_BATCH)
-        counts[sub] = spark.read.parquet(tmp).count()
         old = src + ".old"
+        # heal a previous crashed compact: a missing live table with a
+        # stranded original means we died between the two renames
+        if not os.path.exists(src) and os.path.exists(old):
+            os.rename(old, src)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+
+        staged = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(src)
+            if d.startswith(f"{BATCH_COL}=")
+        ]
+        keep = max((b for b in staged if b >= 0), default=None)
+        if not preserve_last:
+            keep = None
+        df = spark.read.parquet(src)
+        fold = df
+        if keep is not None:
+            fold = df.filter(F.col(BATCH_COL) != F.lit(keep))
+        _write(fold.drop(BATCH_COL), tmp, "overwrite", BOOTSTRAP_BATCH)
+        if keep is not None:
+            # COPY (not move): a crash after a move but before the swap
+            # would leave the preserved batch only inside the staging
+            # dir, which the next run's healing pass deletes — copying
+            # keeps src complete until the atomic swap happens
+            shutil.copytree(
+                os.path.join(src, f"{BATCH_COL}={keep}"),
+                os.path.join(tmp, f"{BATCH_COL}={keep}"),
+            )
+        counts[sub] = spark.read.parquet(tmp).count()
         os.rename(src, old)
         os.rename(tmp, src)
         shutil.rmtree(old)

@@ -67,6 +67,13 @@ def detect_language(
     deterministic, engine-portable, and exactly the CASE chain the
     `doc_profile` oracle replays)."""
     scores = list(language_scores(toks, inventories).items())
+    if not scores:
+        raise ValueError(
+            "detect_language: empty language inventory — pass at least one "
+            "{code: function_words} entry"
+        )
+    if len(scores) == 1:
+        return F.lit(scores[0][0])
     expr = None
     for i, (code, hits) in enumerate(scores[:-1]):
         cond = None

@@ -30,6 +30,8 @@ mixed state, but the replay repairs it instead of compounding it.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -126,6 +128,39 @@ def curation_batch_writer(
     return write
 
 
+def _guard_checkpoint_binding(index_path: str, checkpoint_dir: str) -> None:
+    """Pin the (index, checkpoint) binding in a `_STREAM.json` side-file
+    next to the index's `_META.json`. Batch ids are CHECKPOINT-scoped:
+    a fresh checkpoint restarts them at 0, so pointing a new checkpoint
+    at an already-staged index/corpus would dynamic-OVERWRITE the old
+    stream's batch-0, batch-1, … partitions — silent data loss, where
+    the old append mode merely duplicated. Fail fast instead; an
+    operator who genuinely wants a fresh stream over the same index
+    deletes the side-file (and accepts that the new stream's batch ids
+    will shadow the old partitions) or compacts first."""
+    import json as _json
+
+    marker = os.path.join(index_path, "_STREAM.json")
+    ckpt = os.path.abspath(checkpoint_dir)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            bound = _json.load(fh).get("checkpoint_dir")
+        if bound != ckpt:
+            raise ValueError(
+                f"start_curation_stream: index {index_path!r} is bound to "
+                f"checkpoint {bound!r} but this stream uses {ckpt!r} — "
+                f"batch ids are checkpoint-scoped, so a fresh checkpoint "
+                f"would dynamic-overwrite the prior stream's staged "
+                f"partitions (batch 0, 1, …) in the index, corpus and "
+                f"audit. Resume with the original checkpoint, rebuild the "
+                f"index, or delete {marker!r} after compacting if you "
+                f"really mean to start over"
+            )
+    else:
+        with open(marker, "w") as fh:
+            _json.dump({"checkpoint_dir": ckpt}, fh)
+
+
 def start_curation_stream(
     docs_stream: DataFrame,
     index_path: str,
@@ -138,10 +173,16 @@ def start_curation_stream(
     """Wire a streaming documents frame (any source shape carrying
     (doc_id, lang, text) — file dir, rate-derived, Kafka-parsed) through
     :func:`curation_batch_writer`. Returns the StreamingQuery; the
-    checkpoint makes the stream resumable at micro-batch granularity
-    (re-delivered batches re-run the funnel against the CURRENT index —
-    already-kept duplicates of a replayed batch drop out via the index,
-    the idempotence path the module docstring describes)."""
+    checkpoint makes the stream resumable at micro-batch granularity.
+    A re-delivered batch re-runs the funnel with its OWN index partition
+    excluded (the module docstring's exactly-once design), re-derives
+    its first attempt's survivors bit-identically, and overwrites its
+    own staged partitions — replay replaces rather than duplicates.
+    The (index, checkpoint) binding is pinned by a `_STREAM.json`
+    side-file so a fresh checkpoint cannot silently overwrite a prior
+    stream's staged partitions (batch ids restart at 0 per
+    checkpoint)."""
+    _guard_checkpoint_binding(index_path, checkpoint_dir)
     writer = docs_stream.writeStream.foreachBatch(
         curation_batch_writer(index_path, out_dir, audit_dir, **writer_kwargs)
     ).option("checkpointLocation", checkpoint_dir)

@@ -164,3 +164,24 @@ def test_pack_token_sequences_assembles_in_pack_order(spark):
     # every doc appears exactly once across packs
     seen = sorted(d for r in seqs.collect() for d in r["doc_ids"])
     assert seen == [1, 2, 3, 4]
+
+
+def test_bpe_encode_ids_ignores_split_artifacts(spark):
+    """Trailing/doubled spaces and empty text must not inject phantom
+    EOW-only tokens: the '' word the split artifact produces is
+    filtered, and a wordless document emits NO encoded row (the
+    pack_token_sequences drop path)."""
+    from beeper_matric_etl_tool_spark.ext.bpe import bpe_encode_ids
+
+    docs = spark.createDataFrame(
+        [(1, "low low"), (2, "low  low "), (3, ""), (4, " ")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe_merges(docs, n_merges=2)
+    encoded, vocab = bpe_encode_ids(docs, merges)
+    rows = {r["doc_id"]: r for r in encoded.collect()}
+    assert set(rows) == {1, 2}
+    # doc 2's doubled/trailing spaces change nothing about its ids —
+    # without the '' filter it would gain a phantom EOW-only token
+    assert rows[2]["token_ids"] == rows[1]["token_ids"]
+    assert rows[2]["n_pieces"] == rows[1]["n_pieces"]

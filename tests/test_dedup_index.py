@@ -232,17 +232,72 @@ def test_compact_dedup_index_folds_batches_and_preserves_decisions(
     before_s, before_d = dedup_against_index(batch, spark, idx)
     before = (_pairs(before_s), _pairs(before_d))
 
+    # default preserve_last=True: the HIGHEST staged batch partition
+    # survives un-folded, so a replay of a possibly-uncommitted final
+    # micro-batch can still exclude its own rows
     counts = compact_dedup_index(spark, idx)
     assert counts["fingerprints"] == counts["signatures"] == len(REF_ROWS) + 4
-    parts = [
-        d for d in os.listdir(os.path.join(idx, "fingerprints"))
-        if d.startswith("ingest_batch=")
-    ]
-    assert parts == ["ingest_batch=-1"]
 
+    def parts():
+        return sorted(
+            d for d in os.listdir(os.path.join(idx, "fingerprints"))
+            if d.startswith("ingest_batch=")
+        )
+
+    assert parts() == ["ingest_batch=-1", "ingest_batch=3"]
     after_s, after_d = dedup_against_index(batch, spark, idx)
     assert (_pairs(after_s), _pairs(after_d)) == before
+    # excluding the preserved batch still hides exactly its rows: the
+    # replay contract compaction must not break — a copy of batch 3's
+    # document survives ONLY when batch 3 is excluded
+    copy3 = _frame(spark, [(999, extra[3][1])])
+    ex_s, _d = dedup_against_index(copy3, spark, idx, exclude_batch=3)
+    assert {r[0] for r in ex_s.select("doc_id").collect()} == {999}
+    noex_s, _d = dedup_against_index(copy3, spark, idx)
+    assert noex_s.count() == 0
+
+    # a committed-checkpoint compaction folds everything
+    counts2 = compact_dedup_index(spark, idx, preserve_last=False)
+    assert counts2 == counts
+    assert parts() == ["ingest_batch=-1"]
+    after2_s, after2_d = dedup_against_index(batch, spark, idx)
+    assert (_pairs(after2_s), _pairs(after2_d)) == before
 
 
 def _w(i: int) -> str:
     return ["alpha", "bravo", "carol", "delta"][i % 4] + str("x" * (i + 1))
+
+
+def test_read_meta_rejects_pre_batch_flat_layout(spark, tmp_path):
+    """An index whose _META.json lacks the ingest-batch layout key (a
+    pre-layout artifact) must fail at every lifecycle entry point with
+    the rebuild instruction, not die mid-stream on an unresolvable
+    partition column or corrupt the table with mixed layouts."""
+    import json
+    import os
+
+    idx = tmp_path / "idx"
+    idx.mkdir()
+    (idx / "_META.json").write_text(json.dumps({
+        "num_hashes": 16, "bands": 4, "shingle_k": 3,
+        "text_col": "text", "id_col": "doc_id", "portable": False,
+    }))
+    with pytest.raises(ValueError, match="rebuild the index"):
+        read_meta(str(idx))
+
+
+def test_curation_stream_guard_rejects_foreign_checkpoint(spark, tmp_path):
+    """Batch ids are checkpoint-scoped; binding an index to a second
+    checkpoint would let the new stream's batch 0 overwrite the old
+    stream's staged partitions — the guard fails fast instead."""
+    from beeper_matric_etl_tool_spark.streaming.curation import (
+        _guard_checkpoint_binding,
+    )
+
+    idx = tmp_path / "idx"
+    idx.mkdir()
+    _guard_checkpoint_binding(str(idx), str(tmp_path / "ckptA"))
+    # same binding is idempotent
+    _guard_checkpoint_binding(str(idx), str(tmp_path / "ckptA"))
+    with pytest.raises(ValueError, match="checkpoint-scoped"):
+        _guard_checkpoint_binding(str(idx), str(tmp_path / "ckptB"))

@@ -1251,3 +1251,19 @@ def test_detect_language_fixed_preference_argmax(spark):
     )
     r6 = {r["doc_id"]: (r["es"], r["fr"]) for r in hits.collect()}
     assert r6[6] == (3, 3)  # genuine tie, preference order decides
+
+
+def test_detect_language_degenerate_inventories(spark):
+    """detect_language's extension point: a single-language inventory
+    returns that code unconditionally; an empty inventory raises."""
+    import pytest as _pytest
+
+    from beeper_matric_etl_tool_spark.ext.text import detect_language, tokens
+
+    docs = spark.createDataFrame([(1, "whatever text")], "i long, text string")
+    out = docs.select(
+        detect_language(tokens("text"), {"xx": ("zz",)}).alias("lang")
+    ).first()["lang"]
+    assert out == "xx"
+    with _pytest.raises(ValueError, match="empty language inventory"):
+        detect_language(tokens("text"), {})
