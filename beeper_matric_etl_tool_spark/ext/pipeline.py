@@ -104,6 +104,10 @@ def mix_keep(
     salted."""
     idc = F.col(id_col) if isinstance(id_col, str) else id_col
     src = F.col(source_col) if isinstance(source_col, str) else source_col
+    if not rates:
+        # no configured source ⇒ every row's threshold is '000000' (drop
+        # all) — short-circuit rather than build a VOID-typed empty map
+        return F.lit(False)
     thresh = F.create_map(
         *[
             x
@@ -140,6 +144,10 @@ def epoch_copies(
     the audit, never silently kept."""
     idc = F.col(id_col) if isinstance(id_col, str) else id_col
     src = F.col(source_col) if isinstance(source_col, str) else source_col
+    if not rates:
+        # no configured source ⇒ zero copies everywhere (the mix_keep
+        # empty-map rule, same VOID-map hazard)
+        return F.lit(0).cast("int")
     import math
 
     base = F.create_map(
@@ -232,6 +240,12 @@ def sample_quota(
     does."""
     from pyspark.sql import Window
 
+    if not quotas:
+        # an empty quota map means every stratum has quota 0 — return the
+        # typed empty frame instead of letting F.create_map() build a
+        # VOID-typed map that detonates at analysis (found by the
+        # hypothesis equivalence property)
+        return df.filter(F.lit(False))
     quota_map = F.create_map(
         *[x for s, q in quotas.items() for x in (F.lit(s), F.lit(int(q)))]
     )

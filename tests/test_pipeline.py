@@ -1041,3 +1041,21 @@ def test_curate_deboilerplate_stage(spark):
     # bodies survive exact dedup
     exact_ids = {r[0] for r in stages["exact"].select("doc_id").collect()}
     assert {BASE + 60, BASE + 61, BASE + 62} <= exact_ids
+
+
+def test_empty_rate_maps_short_circuit(spark):
+    """Empty rates/quotas dicts must not build VOID-typed maps: mix_keep
+    drops everything, epoch_copies emits zero copies, sample_quota
+    returns the typed empty frame."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import epoch_copies
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "es")], "doc_id long, lang string"
+    )
+    assert docs.filter(mix_keep("doc_id", "lang", {})).count() == 0
+    copies = docs.select(
+        epoch_copies("doc_id", "lang", {}).alias("n")
+    ).collect()
+    assert all(r["n"] == 0 for r in copies)
+    out = sample_quota(docs, {})
+    assert out.count() == 0 and out.columns == docs.columns

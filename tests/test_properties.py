@@ -311,3 +311,50 @@ def test_ffd_budget_invariant_over_random_lengths(spark_prop, lengths, shards):
     for key, fill in fills.items():
         if not overs[key]:
             assert fill <= budget, (key, fill)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),
+            st.sampled_from(["en", "es", "fr", "zz"]),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.dictionaries(
+        st.sampled_from(["en", "es", "fr"]),
+        st.integers(min_value=0, max_value=6),
+        max_size=3,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_quota_two_phase_equals_single_phase(spark_prop, rows, quotas, parts):
+    """For ANY (id, stratum) multiset, quota map, and input partitioning:
+    two_phase=True returns exactly the single-window sample — the local
+    top-quota of every partition contains the global top-quota, and
+    unknown strata drop in both forms."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import sample_quota
+
+    docs = spark_prop.createDataFrame(rows, "doc_id long, lang string")
+    base = {
+        tuple(r)
+        for r in sample_quota(docs, quotas).collect()
+    }
+    got = {
+        tuple(r)
+        for r in sample_quota(
+            docs.repartition(parts), quotas, two_phase=True
+        ).collect()
+    }
+    assert got == base
+    # quota semantics hold: per stratum exactly min(quota, |stratum|)
+    from collections import Counter
+
+    strata = Counter(l for _, l in rows)
+    kept = Counter(l for _, l in base)
+    for code, q in quotas.items():
+        assert kept.get(code, 0) == min(q, strata.get(code, 0))
+    assert kept.get("zz", 0) == 0
