@@ -25,6 +25,8 @@ instead of nesting n_merges folds into one plan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -250,6 +252,53 @@ def bpe_encode_ids(
         .withColumn("n_pieces", F.size("token_ids"))
     )
     return encoded, vocab
+
+
+def save_tokenizer(
+    merges: list,
+    vocab: DataFrame,
+    path: str,
+) -> None:
+    """Persist the tokenizer artifact — the (merge table, piece vocab)
+    pair that :func:`bpe_encode_ids` derives — so shards, later batches
+    and the training job itself all tokenize under ONE frozen mapping:
+    ``_MERGES.json`` (ordered [left, right, count] rows; JSON because the
+    table is merge-ORDER-sensitive and driver-resident by construction)
+    plus ``vocab/`` parquet (piece, piece_id). Same POSIX-local side-file
+    contract as the index families (sinks.py "Filesystem contract")."""
+    import json
+
+    from beeper_matric_etl_tool_spark.sinks import _require_local_path
+
+    _require_local_path(path, "save_tokenizer")
+    os.makedirs(path, exist_ok=True)
+    vocab.write.mode("overwrite").parquet(os.path.join(path, "vocab"))
+    with open(os.path.join(path, "_MERGES.json"), "w") as fh:
+        json.dump([[m[0], m[1], int(m[2]) if len(m) > 2 else 0] for m in merges], fh)
+
+
+def load_tokenizer(spark, path: str) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Read back a :func:`save_tokenizer` artifact: (merges in training
+    order, vocab frame). Encoding new batches against the loaded pair —
+    `bpe_segment_udf(new_words, merges)` joined through the FROZEN vocab
+    — keeps shard outputs id-compatible with the original corpus (a
+    piece absent from the frozen vocab means the merges/vocab pair is
+    stale: re-fit, don't improvise ids)."""
+    import json
+
+    from beeper_matric_etl_tool_spark.sinks import _require_local_path
+
+    _require_local_path(path, "load_tokenizer")
+    merges_path = os.path.join(path, "_MERGES.json")
+    if not os.path.exists(merges_path):
+        raise FileNotFoundError(
+            f"tokenizer at {path!r} has no _MERGES.json — not an artifact "
+            f"written by save_tokenizer"
+        )
+    with open(merges_path) as fh:
+        merges = [tuple(m) for m in json.load(fh)]
+    vocab = spark.read.parquet(os.path.join(path, "vocab"))
+    return merges, vocab
 
 
 def bpe_segment_udf(

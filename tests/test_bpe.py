@@ -185,3 +185,29 @@ def test_bpe_encode_ids_ignores_split_artifacts(spark):
     # without the '' filter it would gain a phantom EOW-only token
     assert rows[2]["token_ids"] == rows[1]["token_ids"]
     assert rows[2]["n_pieces"] == rows[1]["n_pieces"]
+
+
+def test_tokenizer_artifact_roundtrip(corpus, spark, tmp_path):
+    """save_tokenizer/load_tokenizer: the (merges, vocab) pair survives a
+    disk roundtrip byte-identically, encodes new shards id-compatibly,
+    and enforces the local-path + artifact-presence contracts."""
+    from beeper_matric_etl_tool_spark.ext.bpe import (
+        bpe_encode_ids,
+        load_tokenizer,
+        save_tokenizer,
+    )
+
+    merges = train_bpe_merges(corpus, n_merges=5)
+    _encoded, vocab = bpe_encode_ids(corpus, merges)
+    path = str(tmp_path / "tok")
+    save_tokenizer(merges, vocab, path)
+    merges2, vocab2 = load_tokenizer(spark, path)
+    assert merges2 == merges
+    assert sorted(map(tuple, vocab2.collect())) == sorted(
+        map(tuple, vocab.collect())
+    )
+
+    with pytest.raises(ValueError, match="URI scheme"):
+        save_tokenizer(merges, vocab, "s3://bucket/tok")
+    with pytest.raises(FileNotFoundError, match="_MERGES"):
+        load_tokenizer(spark, str(tmp_path / "nope"))
