@@ -61,6 +61,80 @@ def quality_features(
     }
 
 
+#: squared-moment quantization for :func:`feature_stats` — coarser than
+#: QUANT because the per-row square (f·2¹²)² must sum in a long, which
+#: caps stats at MAX_STATS_ROWS below; floor-of-square bias is ~2|x|/2¹²
+#: on E[x²], so only features whose variance is under ~|x|/2048 collapse
+#: to std 0 (genuinely near-constant — the standardizer zeroes them
+#: deliberately).
+_SQ_QUANT = float(1 << 12)
+
+#: row ceiling for the squared-moment accumulator: 2⁶³ / (10·2¹²)² ≈
+#: 5.5e9; held to 1e9 for headroom. Scaling stats from a ≤1e9-row sample
+#: are indistinguishable from full-corpus stats for this purpose — the
+#: guard tells the caller to sample rather than silently wrapping.
+MAX_STATS_ROWS = 1_000_000_000
+
+
+def feature_stats(df: DataFrame, cols: list[str]) -> dict[str, tuple[float, float]]:
+    """Per-column (mean, std) computed from EXACT integer sums — floor
+    quantization then long addition, so the stats (and everything scaled
+    by them) are bit-stable across partition layouts, the same contract
+    as training itself. Returned values are frozen to the 2⁻¹⁶ grid.
+    One corpus-linear aggregation; std of a constant column is 0.0 (the
+    standardizer maps such a column to all-zeros rather than dividing)."""
+    if not cols:
+        raise ValueError("feature_stats: cols is empty")
+    n = df.count()
+    if n == 0:
+        raise ValueError("feature_stats: empty frame")
+    if n > MAX_STATS_ROWS:
+        raise ValueError(
+            f"feature_stats: {n} rows exceeds MAX_STATS_ROWS="
+            f"{MAX_STATS_ROWS} (squared-moment long accumulator); "
+            f"compute stats on a sample"
+        )
+    aggs = []
+    for j, c in enumerate(cols):
+        x = F.col(c).cast("double")
+        q = F.floor(x * F.lit(QUANT)).cast("long")
+        q8 = F.floor(x * F.lit(_SQ_QUANT)).cast("long")
+        aggs.append(F.sum(q).alias(f"s{j}"))
+        aggs.append(F.sum(q8 * q8).alias(f"q{j}"))
+    row = df.agg(*aggs).first()
+    out: dict[str, tuple[float, float]] = {}
+    for j, c in enumerate(cols):
+        mean = row[f"s{j}"] / QUANT / n
+        ex2 = row[f"q{j}"] / _SQ_QUANT / _SQ_QUANT / n
+        var = max(ex2 - mean * mean, 0.0)
+        std = math.sqrt(var)
+        out[c] = (
+            math.floor(mean * QUANT) / QUANT,
+            math.floor(std * QUANT) / QUANT,
+        )
+    return out
+
+
+def standardize(
+    df: DataFrame, stats: dict[str, tuple[float, float]]
+) -> DataFrame:
+    """Replace each column in ``stats`` with its z-score under the FROZEN
+    (mean, std) pair — pure column algebra, no action. Training on
+    standardized features conditions the gradient (the raw quality
+    features span three orders of magnitude of variance, which forces
+    huge per-feature learning rates); scoring new data MUST reuse the
+    training-time stats, which is why they are an explicit value and not
+    recomputed here. A zero-std (constant) column maps to 0.0."""
+    exprs: dict[str, Column] = {}
+    for c, (mean, std) in stats.items():
+        x = F.col(c).cast("double")
+        if std <= 0.0:
+            exprs[c] = F.lit(0.0)
+        else:
+            exprs[c] = (x - F.lit(mean)) / F.lit(std)
+    return df.withColumns(exprs)
+
+
 def _logit(weights: list[float], feature_cols: list[str]) -> Column:
     z: Column = F.lit(float(weights[0]))
     for w, c in zip(weights[1:], feature_cols):

@@ -268,6 +268,69 @@ def sample_quota(
     )
 
 
+#: the cluster-level holdout salt — a FIFTH independent hash decision
+#: (see MIX_SALT): the leakage-safe split keys off the near-dup CLUSTER
+#: id, and must be independent of the per-doc holdout (unsalted), the
+#: mix keep, the epoch coin and the quota rank, or holding out "every
+#: cluster whose hash starts 0/1" would correlate with the docs those
+#: decisions already singled out.
+CLUSTER_SPLIT_SALT = ":splitc"
+
+
+def cluster_split(
+    cluster_col: Column | str = "cluster_id",
+    salt: str = CLUSTER_SPLIT_SALT,
+    val_digits: tuple[str, ...] = ("0", "1"),
+) -> Column:
+    """'train'/'val' keyed on the salted md5 of the near-dup CLUSTER id —
+    the leakage-safe form of the per-doc holdout: two near-duplicate
+    documents hash to the SAME cluster, so they land in the SAME split,
+    and a val document can never have a train-side near-twin (the classic
+    eval-contamination leak the per-doc hash cannot prevent). val_digits
+    over the first hex char sets the val fraction in 1/16 steps (default
+    2/16 = 12.5%, matching the per-doc holdout's fraction)."""
+    c = F.col(cluster_col) if isinstance(cluster_col, str) else cluster_col
+    bucket = F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 1)
+    return F.when(bucket.isin(*val_digits), "val").otherwise("train")
+
+
+def split_by_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    salt: str = CLUSTER_SPLIT_SALT,
+    val_digits: tuple[str, ...] = ("0", "1"),
+) -> DataFrame:
+    """Attach ``cluster_id`` and the leakage-safe ``split`` to ``docs``
+    by joining the connected-components labeling (`ext/dedup.py:
+    dedup_clusters` output, or any (id, cluster) relation) and hashing
+    the CLUSTER id (:func:`cluster_split`). Docs absent from ``clusters``
+    are treated as singletons (cluster_id = own id) — components
+    labelings are total over their input, so absence means the doc was
+    never near-dup-analyzed, and a singleton label is the decision the
+    labeling would have made. Scale shape: one equi-join on the id key
+    (both sides key-partitioned, AQE picks the strategy; the clusters
+    side is two longs per doc), then pure column algebra — no extra
+    shuffle beyond the join."""
+    lab = clusters.select(
+        F.col(id_col),
+        F.col(cluster_col).alias("__cs_cluster"),
+    )
+    return (
+        docs.join(lab, on=id_col, how="left")
+        .withColumn(
+            "cluster_id",
+            F.coalesce(F.col("__cs_cluster"), F.col(id_col).cast("long")),
+        )
+        .drop("__cs_cluster")
+        .withColumn(
+            "split",
+            cluster_split("cluster_id", salt=salt, val_digits=val_digits),
+        )
+    )
+
+
 def pack_by_budget(
     df: DataFrame,
     token_col: str,

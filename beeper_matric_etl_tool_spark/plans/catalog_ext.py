@@ -23,11 +23,13 @@ from beeper_matric_etl_tool_spark.ext import dedup as xdedup
 from beeper_matric_etl_tool_spark.ext import similarity as xsim
 from beeper_matric_etl_tool_spark.ext import text as xtext
 from beeper_matric_etl_tool_spark.ext.pipeline import (
+    CLUSTER_SPLIT_SALT,
     EPOCH_SALT,
     MIX_SALT,
     PACK_SALT,
     QUOTA_SALT,
     mix_hex_threshold,
+    split_by_cluster,
 )
 from beeper_matric_etl_tool_spark.ext.quality import EMAIL_RE
 from beeper_matric_etl_tool_spark.operators import windows as xwin
@@ -1020,6 +1022,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'incr_drop_near', doc_id, ref_id, CAST(jppm AS BIGINT)
         FROM inear
+        UNION ALL
+        SELECT 'split', node, min(r),
+               CAST(substr(md5(CAST(min(r) AS VARCHAR) || '{CLUSTER_SPLIT_SALT}'),
+                           1, 1) IN ('0', '1') AS BIGINT)
+        FROM reach GROUP BY node
     """,
 )
 def dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1050,7 +1057,17 @@ def dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     score (NULL for exact drops) — the deterministic audit trail. Runs
     portable=True (md5 minhash family) so the LSH candidate set — and
     therefore every drop/keep decision — is replayed bit-identically by
-    the DuckDB oracle."""
+    the DuckDB oracle.
+
+    kind='split' — the LEAKAGE-SAFE train/val holdout over the same
+    clustering (ext/pipeline.py:split_by_cluster): a = doc_id, b = its
+    near-dup cluster id, score = 1 iff the ':splitc'-salted hash of the
+    CLUSTER id lands the whole cluster in val. The per-doc holdout
+    (corpus_composition dim='split') can put two near-twins on opposite
+    sides of the split — the classic eval-contamination leak; keying the
+    hash on the cluster id makes that impossible by construction, and
+    the hash pins both the exact assignment and the same-cluster-same-
+    split invariant."""
     docs = table(spark, sf_dir, "documents")
     # the quadratic-in-block Jaccard join is the expensive stage; checkpoint
     # it so BOTH consumers (the pair slice and the cluster iteration, which
@@ -1098,10 +1115,17 @@ def dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ref_id").alias("b"),
         F.col("jaccard_ppm").cast("long").alias("score"),
     )
+    split_rows = split_by_cluster(docs.select("doc_id"), clusters).select(
+        F.lit("split").alias("kind"),
+        F.col("doc_id").alias("a"),
+        F.col("cluster_id").alias("b"),
+        (F.col("split") == "val").cast("long").alias("score"),
+    )
     return (
         pair_rows.unionByName(cluster_rows)
         .unionByName(keep_rows)
         .unionByName(drop_rows)
+        .unionByName(split_rows)
     )
 
 

@@ -1059,3 +1059,47 @@ def test_empty_rate_maps_short_circuit(spark):
     assert all(r["n"] == 0 for r in copies)
     out = sample_quota(docs, {})
     assert out.count() == 0 and out.columns == docs.columns
+
+
+def test_split_by_cluster_is_leakage_safe(spark):
+    """Leakage-safe holdout: every document in a near-dup cluster gets
+    the SAME split (keyed on the cluster id), docs absent from the
+    labeling fall back to singleton clusters, and the assignment is
+    independent of the per-doc holdout hash (a doc's split can differ
+    from what the unsalted per-doc hash would choose)."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import (
+        CLUSTER_SPLIT_SALT,
+        split_by_cluster,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # clusters: docs 0..99 pair up (0,1)->0, (2,3)->2, ...; 100..149
+    # labeled singletons; 150..199 ABSENT from the labeling entirely
+    clusters = spark.createDataFrame(
+        [(i, (i // 2) * 2) for i in range(100)]
+        + [(i, i) for i in range(100, 150)],
+        "doc_id long, cluster_id long",
+    )
+    out = split_by_cluster(docs, clusters)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 200
+    # same cluster -> same split, cluster ids as labeled
+    for i in range(0, 100, 2):
+        assert rows[i]["cluster_id"] == rows[i + 1]["cluster_id"] == i
+        assert rows[i]["split"] == rows[i + 1]["split"]
+    # absent docs become singletons of themselves
+    for i in range(150, 200):
+        assert rows[i]["cluster_id"] == i
+    # both splits occur (12.5% expected val over 150 distinct clusters)
+    splits = {r["split"] for r in rows.values()}
+    assert splits == {"train", "val"}
+    # decision is the salted hash of the CLUSTER id — doc 1's split
+    # follows cluster 0, regardless of doc 1's own hash
+    import hashlib
+
+    for i in (0, 1):
+        h = hashlib.md5(f"0{CLUSTER_SPLIT_SALT}".encode()).hexdigest()
+        expect = "val" if h[0] in ("0", "1") else "train"
+        assert rows[i]["split"] == expect
