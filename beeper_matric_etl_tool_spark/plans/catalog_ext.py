@@ -1844,7 +1844,11 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(12 AS INTEGER) AS n_bpe_merges,
                TRUE AS bpe_fold_udf_equiv_ok,
                TRUE AS bpe_reconstruct_ok,
-               TRUE AS bpe_deterministic_ok
+               TRUE AS bpe_deterministic_ok,
+               (SELECT count(*) FROM documents) AS n_clf_scored,
+               TRUE AS clf_gain_ok,
+               TRUE AS clf_bit_stable_ok,
+               TRUE AS clf_grid_ok
         FROM embeddings
     """,
 )
@@ -1902,7 +1906,20 @@ def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
       tie-break determinism), the Catalyst-fold segmentation and the
       Arrow pandas_udf twin agree on the ENTIRE vocabulary, and every
       word's pieces concatenate back to word+EOW. n_bpe_vocab is the
-      oracle-derived distinct-word count."""
+      oracle-derived distinct-word count;
+    - clf_* / n_clf_scored — the trainable quality classifier
+      (ext/classifier.py) distilling the heuristic gate's own keep
+      verdict over the documents corpus: features = the quality-signal
+      battery standardized under exact-integer moments, 12 gradient
+      iterations. clf_bit_stable_ok pins that retraining from a
+      differently-partitioned input yields IDENTICAL weights (the
+      integer-sum gradient contract — the property float reductions
+      cannot give), clf_grid_ok that weights and stats froze to the
+      2⁻¹⁶ grid, and clf_gain_ok that in-sample agreement with the gate
+      beats the majority-class baseline by ≥ 5 points in exact integer
+      algebra (measured ≈ +19 at sf0.001 and sf0.01; both label classes
+      are populated at every shipped SF, ~30% keep). n_clf_scored is the
+      oracle-derived corpus count."""
     from beeper_matric_etl_tool_spark.ext.clustering import kmeans
     from beeper_matric_etl_tool_spark.ext.dedup import connected_components
     from beeper_matric_etl_tool_spark.ext.semdedup import semantic_edges
@@ -2110,6 +2127,72 @@ def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(merges == merges_repart).alias("bpe_deterministic_ok"),
     )
 
+    # --- trainable-classifier invariants (docstring clf_* legs) ---
+    from beeper_matric_etl_tool_spark.ext.classifier import (
+        classify,
+        feature_stats,
+        quality_features,
+        standardize,
+        train_logreg,
+    )
+    from beeper_matric_etl_tool_spark.ext.quality import (
+        quality_signal_columns,
+        quality_verdict_columns,
+    )
+
+    sig = quality_signal_columns("text", lang_col="lang")
+    feats = quality_features("text", lang_col="lang")
+    clf_cols = list(feats)
+    labeled = (
+        docs_bpe.select(
+            "doc_id",
+            *[c.alias(n) for n, c in sig.items()],
+            *[c.alias(k) for k, c in feats.items()],
+        )
+        .select(
+            "doc_id",
+            *clf_cols,
+            quality_verdict_columns()["keep"].cast("int").alias("__y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    clf_stats = feature_stats(labeled, clf_cols)
+    z = standardize(labeled, clf_stats).localCheckpoint(eager=True)
+    w_clf = train_logreg(z, clf_cols, "__y", iterations=12, lr=1.0)
+    w_clf2 = train_logreg(
+        z.repartition(5), clf_cols, "__y", iterations=12, lr=1.0
+    )
+    clf_agg = classify(z, w_clf, clf_cols).agg(
+        F.count(F.lit(1)).alias("n_clf_scored"),
+        F.count_if(
+            F.col("quality_prob_keep").cast("int") == F.col("__y")
+        ).alias("__clf_correct"),
+        F.sum("__y").alias("__clf_pos"),
+    )
+    clf_rows = clf_agg.select(
+        "n_clf_scored",
+        # acc ≥ majority + 0.05, in exact integer algebra:
+        # 20·correct ≥ 20·max(pos, n−pos) + n
+        (
+            F.col("__clf_correct") * 20
+            >= F.greatest(
+                F.col("__clf_pos"), F.col("n_clf_scored") - F.col("__clf_pos")
+            )
+            * 20
+            + F.col("n_clf_scored")
+        ).alias("clf_gain_ok"),
+    )
+    clf_scalars = spark.range(1).select(
+        F.lit(w_clf == w_clf2).alias("clf_bit_stable_ok"),
+        F.lit(
+            all(x * 65536 == int(x * 65536) for x in w_clf)
+            and all(
+                m * 65536 == int(m * 65536) and s * 65536 == int(s * 65536)
+                for m, s in clf_stats.values()
+            )
+        ).alias("clf_grid_ok"),
+    )
+
     return (
         n_vectors.crossJoin(F.broadcast(n_assigned))
         .crossJoin(F.broadcast(argmin_ok))
@@ -2125,6 +2208,8 @@ def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(bpe_scalars))
         .crossJoin(F.broadcast(fold_udf_ok))
         .crossJoin(F.broadcast(recon_ok))
+        .crossJoin(F.broadcast(clf_rows))
+        .crossJoin(F.broadcast(clf_scalars))
     )
 
 

@@ -103,3 +103,65 @@ def test_quality_feature_classifier_separates_planted_docs(spark):
     }
     assert all(scored[i] > 0.5 for i in (0, 1, 2, 3)), scored
     assert all(scored[100 + i] < 0.5 for i in (0, 1, 2, 3)), scored
+
+
+def test_feature_stats_and_standardize(spark):
+    """Exact-integer moments: stats are bit-stable across partition
+    layouts and frozen to the 2^-16 grid; standardized columns have
+    ~zero mean and ~unit variance; constant columns map to 0.0; empty
+    cols and oversize guards raise."""
+    from beeper_matric_etl_tool_spark.ext.classifier import (
+        feature_stats,
+        standardize,
+    )
+
+    df = _sep_frame(spark).withColumn("c_const", F.lit(0.45))
+    cols = ["x1", "x2", "c_const"]
+    stats = [feature_stats(df.repartition(p), cols) for p in (1, 3, 7)]
+    assert stats[0] == stats[1] == stats[2]
+    st = stats[0]
+    for c in cols:
+        m, s = st[c]
+        assert m * 65536 == int(m * 65536) and s * 65536 == int(s * 65536)
+    # constant column: zero std, standardizes to all-zero
+    assert st["c_const"][1] == 0.0
+    z = standardize(df, st)
+    row = z.agg(
+        F.avg("x1").alias("m1"),
+        F.stddev_pop("x1").alias("s1"),
+        F.sum(F.abs(F.col("c_const"))).alias("zc"),
+    ).first()
+    assert abs(row["m1"]) < 0.01 and abs(row["s1"] - 1.0) < 0.01
+    assert row["zc"] == 0.0
+
+    with pytest.raises(ValueError, match="cols is empty"):
+        feature_stats(df, [])
+    with pytest.raises(ValueError, match="empty frame"):
+        feature_stats(df.filter(F.lit(False)), ["x1"])
+
+
+def test_standardized_training_beats_raw_at_equal_iterations(spark):
+    """The reason standardize exists: at a small fixed iteration budget
+    the conditioned problem reaches higher agreement than the raw one
+    (raw quality features span ~3 orders of magnitude of variance)."""
+    from beeper_matric_etl_tool_spark.ext.classifier import (
+        feature_stats,
+        standardize,
+    )
+
+    df = _sep_frame(spark).withColumn("x1", F.col("x1") / 50.0)
+    cols = ["x1", "x2"]
+
+    def acc(frame, w):
+        s = classify(frame, w, cols)
+        return (
+            s.filter(
+                F.col("quality_prob_keep").cast("int") == F.col("y")
+            ).count()
+            / 200
+        )
+
+    w_raw = train_logreg(df, cols, "y", iterations=15, lr=1.0)
+    z = standardize(df, feature_stats(df, cols))
+    w_std = train_logreg(z, cols, "y", iterations=15, lr=1.0)
+    assert acc(z, w_std) > acc(df, w_raw)
