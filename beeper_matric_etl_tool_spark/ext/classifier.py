@@ -39,17 +39,10 @@ from beeper_matric_etl_tool_spark.ext.similarity import QUANT
 MAX_TRAIN_ROWS = 1_000_000_000_000
 
 
-def quality_features(
-    text_col: str = "text", lang_col: str | None = "lang"
-) -> dict[str, Column]:
-    """The quality-signal battery rescaled to O(1) doubles — the feature
-    map a classifier trains on (ppm ratios → [0, 1]; token count →
-    saturating /1000 like the heuristic gate's length rule; mean token
-    length → /10). Reuses `quality_signal_columns` so classifier and
-    heuristic gate read the SAME measurements."""
-    from beeper_matric_etl_tool_spark.ext.quality import quality_signal_columns
-
-    s = quality_signal_columns(text_col, lang_col=lang_col)
+def _rescaled_features(s: dict[str, Column]) -> dict[str, Column]:
+    """The rescaling map shared by both feature entry points (ppm ratios
+    → [0, 1]; token count → saturating /1000 like the heuristic gate's
+    length rule; mean token length → /10)."""
     n = s["n_tokens"].cast("double")
     return {
         "f_len": F.least(n, F.lit(1000.0)) / F.lit(1000.0),
@@ -59,6 +52,30 @@ def quality_features(
         "f_meanlen": s["mean_len_x100"].cast("double") / F.lit(1000.0),
         "f_top2": s["top2gram_ppm"].cast("double") / F.lit(1_000_000.0),
     }
+
+
+def quality_features(
+    text_col: str = "text", lang_col: str | None = "lang"
+) -> dict[str, Column]:
+    """The quality-signal battery rescaled to O(1) doubles — the feature
+    map a classifier trains on. Reuses `quality_signal_columns` so
+    classifier and heuristic gate read the SAME measurements."""
+    from beeper_matric_etl_tool_spark.ext.quality import quality_signal_columns
+
+    return _rescaled_features(quality_signal_columns(text_col, lang_col=lang_col))
+
+
+def quality_features_from_signals() -> dict[str, Column]:
+    """Same features, derived from ALREADY-SELECTED signal columns
+    (`quality_signal_columns` aliases, referenced by name) — the form a
+    pipeline stage uses when the gate has computed the battery upstream:
+    rescaling existing columns costs nothing, re-tokenizing would pay
+    the battery twice."""
+    names = (
+        "n_tokens", "ttr_ppm", "dup3_ppm", "stop_hits",
+        "mean_len_x100", "top2gram_ppm",
+    )
+    return _rescaled_features({n: F.col(n) for n in names})
 
 
 #: squared-moment quantization for :func:`feature_stats` — coarser than

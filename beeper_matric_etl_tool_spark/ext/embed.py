@@ -1,6 +1,7 @@
-"""Hashed-feature document embeddings — the feature-hashing trick
-(Weinberger et al. 2009, public method) as pure Spark column algebra
-(SURVEY §2.12 similarity/text tier).
+"""Hashed-feature document embeddings + DSIR importance resampling —
+the feature-hashing trick (Weinberger et al. 2009) and hashed-n-gram
+data selection (Xie et al. 2023, DSIR; both public methods) as pure
+Spark column algebra (SURVEY §2.12 similarity/text tier).
 
 Why it exists: every embedding-consuming operator in the engine
 (SemDeDup, embedding near-dup, IVF/PQ similarity search) reads an
@@ -84,6 +85,139 @@ def hashed_features(text: Column | str, dim: int = DEFAULT_DIM) -> Column:
             ),
         ),
     )
+
+
+def hashed_counts(text: Column | str, dim: int = DEFAULT_DIM) -> Column:
+    """The UNSIGNED hashed-TF vector (``array<long>`` of non-negative
+    bucket counts) — the distribution form importance resampling reads
+    (a signed wash would make 'probability of bucket b' meaningless).
+    Same bucket hash as :func:`hashed_features`, sign forced +1."""
+    if dim < 1:
+        raise ValueError(f"hashed_counts: dim={dim} must be >= 1")
+    toks = F.filter(tokens(text), lambda t: t != "")
+    buckets = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % dim,
+    )
+    zero = F.array_repeat(F.lit(0).cast("long"), dim)
+    return F.aggregate(
+        buckets,
+        zero,
+        lambda acc, b: F.transform(
+            acc,
+            lambda v, i: v
+            + F.when(i.cast("long") == b, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+    )
+
+
+def bucket_totals(
+    df: DataFrame, text_col: str = "text", dim: int = DEFAULT_DIM
+) -> list[int]:
+    """Corpus-level bucket totals (Σ over docs of each bucket's count) as
+    a driver-resident dim-list — the sufficient statistic importance
+    weighting needs from each corpus. Scale shape: per-doc vectors fold
+    at the row, posexplode fans out dim small longs per doc, and the
+    groupBy's map-side partial aggregation collapses each partition to
+    ≤ dim rows before the shuffle — the exchange carries O(dim ·
+    n_partitions) longs regardless of corpus size; the collect is dim
+    rows. (A per-bucket `F.sum(element_at(vec, i))` agg would re-inline
+    the tokenizing fold dim times per row — the `_max_multiplicity`
+    detonation class — which is why the explode form is the right one.)"""
+    exploded = df.select(
+        F.posexplode(hashed_counts(text_col, dim=dim)).alias("b", "c")
+    )
+    rows = exploded.groupBy("b").agg(F.sum("c").alias("t")).collect()
+    out = [0] * dim
+    for r in rows:
+        out[r["b"]] = int(r["t"])
+    return out
+
+
+def importance_weights_ppm(
+    target_totals: list[int], source_totals: list[int]
+) -> list[int]:
+    """Per-bucket DSIR importance log-weights (Xie et al. 2023, public
+    method), ppm-floored integers: w_b = floor(10⁶ · ln(p̂_target(b) /
+    p̂_source(b))) under +1 smoothing. Computed driver-side from the two
+    dim-vectors (bounded — dim entries); the ln of the composed RATIO is
+    one libm call per bucket, the same expression the DuckDB oracle
+    evaluates, so the floored weights agree across planes."""
+    import math
+
+    if len(target_totals) != len(source_totals):
+        raise ValueError(
+            f"importance_weights_ppm: dim mismatch "
+            f"{len(target_totals)} vs {len(source_totals)}"
+        )
+    dim = len(target_totals)
+    t_sum = sum(target_totals) + dim
+    s_sum = sum(source_totals) + dim
+    return [
+        math.floor(
+            1_000_000.0
+            * math.log(((tb + 1) * s_sum) / ((sb + 1) * t_sum))
+        )
+        for tb, sb in zip(target_totals, source_totals)
+    ]
+
+
+def importance_scores(
+    df: DataFrame,
+    weights_ppm: list[int],
+    text_col: str = "text",
+    dim: int = DEFAULT_DIM,
+    out_col: str = "dsir_score_ppm",
+) -> DataFrame:
+    """Attach the per-document importance score: Σ_b count(doc, b) ·
+    w_b — the hashed-feature estimate of how much more target-like than
+    source-like the document reads (positive = resample toward it).
+    Integer-exact given the frozen weights (long count × long ppm weight,
+    long sum — engine-portable, oracle-replayable). Scale shape: the
+    count vector folds at the row and is referenced ONCE by the zip_with
+    dot product; the weights ride in as a literal array — no shuffle, no
+    join, no broadcast."""
+    if len(weights_ppm) != dim:
+        raise ValueError(
+            f"importance_scores: {len(weights_ppm)} weights for dim={dim}"
+        )
+    wlit = F.array(*[F.lit(int(w)).cast("long") for w in weights_ppm])
+    vec = hashed_counts(text_col, dim=dim)
+    score = F.aggregate(
+        F.zip_with(vec, wlit, lambda c, w: c * w),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn(out_col, score)
+
+
+def importance_resample(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    dim: int = DEFAULT_DIM,
+    min_score_ppm: int = 0,
+    out_col: str = "dsir_score_ppm",
+) -> DataFrame:
+    """DSIR in one call: estimate bucket distributions of ``target``
+    (the trusted domain sample — small, e.g. a quality reference corpus)
+    and of ``df`` itself (the source), weight, score, and keep documents
+    with score ≥ ``min_score_ppm`` (0 = 'more target-like than
+    source-like'). Two bounded corpus aggregations + one map-only scoring
+    pass; survivors carry ``out_col`` for audit or downstream quota
+    sampling (`ext/pipeline.py:sample_quota` composes for fixed-size
+    draws)."""
+    w = importance_weights_ppm(
+        bucket_totals(target, text_col=text_col, dim=dim),
+        bucket_totals(df, text_col=text_col, dim=dim),
+    )
+    scored = importance_scores(
+        df, w, text_col=text_col, dim=dim, out_col=out_col
+    )
+    return scored.filter(F.col(out_col) >= F.lit(int(min_score_ppm)))
 
 
 def embed_documents(

@@ -396,6 +396,7 @@ CURATE_RESERVED_COLUMNS = (
     "rep_line_ok", "rep_para_ok", "top2_ok", "keep",
     "n_emails", "n_digit_runs", "n_tokens_packed", "pack_id",
     "n_span_tokens_removed", "nll_ppm", "n_boilerplate_paras_removed",
+    "quality_prob",
 )
 
 
@@ -448,6 +449,9 @@ def curate(
     max_nll_ppm: int | None = None,
     nll_reference: DataFrame | None = None,
     normalize: bool = True,
+    clf_weights: list[float] | None = None,
+    clf_feature_stats: dict[str, tuple[float, float]] | None = None,
+    clf_threshold: float = 0.5,
 ) -> "CurationStages":
     """Run the full curation funnel; returns the per-stage DataFrames:
 
@@ -467,6 +471,19 @@ def curate(
     - ``quality``:     docs + signal/verdict columns (audit surface)
     - ``scrubbed``:    quality survivors with ``text`` PII-scrubbed (+ audit
                        counts ``n_emails``/``n_digit_runs``)
+    - ``classified``:  (only when ``clf_weights`` is set) the LEARNED
+                       quality filter (`ext/classifier.py`) after the
+                       heuristic gate — the CCNet/fastText-classifier
+                       shape: score = sigmoid of the frozen weights over
+                       the SAME signal battery the gate computed
+                       (rescaled in place, standardized under
+                       ``clf_feature_stats`` when given — pass the
+                       training-time stats, never refit on the batch),
+                       keep iff ≥ ``clf_threshold``; survivors carry
+                       ``quality_prob``. Pure column algebra over
+                       existing columns — no second tokenization, no
+                       shuffle, nothing batch-dependent: the stage is
+                       deterministic given (weights, stats)
     - ``deboilerplated``: (only when ``boilerplate_min_docs`` is set)
                        corpus-level boilerplate-PARAGRAPH removal
                        (`ext/text.py:remove_boilerplate_paragraphs`):
@@ -607,6 +624,47 @@ def curate(
 
     opt_stages: dict[str, DataFrame] = {}
     dedup_input = scrubbed
+    if clf_weights is not None:
+        from beeper_matric_etl_tool_spark.ext.classifier import (
+            predict_proba,
+            quality_features_from_signals,
+        )
+
+        # the learned filter reads the SAME signal battery the heuristic
+        # gate already computed (columns carried through `scrubbed`), so
+        # this stage is pure column algebra over existing columns — no
+        # second tokenization pass, no shuffle. Standardization happens
+        # inline under the caller's frozen training-time stats
+        # (clf_feature_stats); raw features when None (weights trained
+        # raw). CCNet shape: heuristic gate first, learned filter second.
+        feats = quality_features_from_signals()
+        cols = list(feats)
+        if clf_feature_stats is not None:
+            missing = [c for c in cols if c not in clf_feature_stats]
+            if missing:
+                raise ValueError(
+                    f"curate: clf_feature_stats lacks {missing} — pass the "
+                    f"stats dict feature_stats() returned at training time"
+                )
+
+            def _z(c: str) -> Column:
+                mean, std = clf_feature_stats[c]
+                if std <= 0.0:
+                    return F.lit(0.0)
+                return (feats[c] - F.lit(mean)) / F.lit(std)
+
+            z_cols = {f"__clf_{c}": _z(c) for c in cols}
+        else:
+            z_cols = {f"__clf_{c}": feats[c] for c in cols}
+        prob = predict_proba(clf_weights, [f"__clf_{c}" for c in cols])
+        classified = (
+            dedup_input.withColumns(z_cols)
+            .withColumn("quality_prob", prob)
+            .filter(F.col("quality_prob") >= F.lit(float(clf_threshold)))
+            .drop(*z_cols.keys())
+        )
+        opt_stages["classified"] = classified
+        dedup_input = classified
     if boilerplate_min_docs is not None:
         from beeper_matric_etl_tool_spark.ext.text import (
             remove_boilerplate_paragraphs,

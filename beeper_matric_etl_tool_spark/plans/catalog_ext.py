@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from beeper_matric_etl_tool_spark.ext import dedup as xdedup
+from beeper_matric_etl_tool_spark.ext import embed as xembed
 from beeper_matric_etl_tool_spark.ext import similarity as xsim
 from beeper_matric_etl_tool_spark.ext import text as xtext
 from beeper_matric_etl_tool_spark.ext.pipeline import (
@@ -717,6 +718,38 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(len(s.toks) - coalesce(r.n_kept, 0) AS INTEGER)
                        AS n_removed
             FROM stoks s LEFT JOIN sreb r USING (doc_id)
+        ),
+        embtok AS (
+            SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents
+        ),
+        embbt AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                       % {xembed.DEFAULT_DIM} AS b,
+                   CASE WHEN CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT)
+                             % 2 = 0
+                        THEN 1 ELSE -1 END AS s
+            FROM embtok WHERE t <> ''
+        ),
+        embv AS (
+            SELECT doc_id, b, SUM(s) AS val FROM embbt GROUP BY doc_id, b
+        ),
+        embgrid AS (
+            SELECT d.doc_id, gs.i
+            FROM documents d
+            CROSS JOIN generate_series(0, {xembed.DEFAULT_DIM - 1}) gs(i)
+        ),
+        embfull AS (
+            SELECT g.doc_id, g.i, coalesce(v.val, 0) AS val
+            FROM embgrid g
+            LEFT JOIN embv v ON v.doc_id = g.doc_id AND v.b = g.i
+        ),
+        embleg AS (
+            SELECT doc_id,
+                   md5(string_agg(CAST(val AS VARCHAR), ',' ORDER BY i))
+                       AS cleaned_fp,
+                   count(*) FILTER (WHERE val <> 0) AS nz
+            FROM embfull GROUP BY doc_id
         )
         SELECT 'profile' AS kind, doc_id, en_hits, es_hits, fr_hits, de_hits,
                predicted_lang, fp, min_shingle_fp,
@@ -733,6 +766,11 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
                cleaned_fp, n_units, n_removed
         FROM sleg
+        UNION ALL
+        SELECT 'embed', doc_id, NULL, NULL, NULL, NULL,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               cleaned_fp, CAST(nz AS INTEGER), CAST(NULL AS INTEGER)
+        FROM embleg
     """,
 )
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -767,7 +805,18 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     TWICE (hot by occurrence count inside a single document — the case
     a distinct-doc floor cannot see), doc 77 gains a once-only sentence
     (the in-window negative case, kept). cleaned_fp again certifies the
-    exact rebuilt bytes; n_units = token count, n_removed = tokens cut."""
+    exact rebuilt bytes; n_units = token count, n_removed = tokens cut.
+
+    kind='embed' — the hashed-feature document embedder
+    (`ext/embed.py:hashed_features`, the Weinberger et al. feature-
+    hashing trick): every token ±1s one of 64 buckets, bucket and sign
+    from disjoint hex regions of one md5 per token, the whole vector
+    computed AT THE ROW in one fold (zero shuffle — plan-pinned in
+    tests). cleaned_fp here = md5 of the comma-joined INTEGER vector —
+    certifying all 64 components of every document's embedding without
+    shipping them; n_units = nonzero buckets. This is the engine-native
+    text→vector producer the SemDeDup/IVF/PQ tier composes with when no
+    external model supplies embeddings."""
     docs = table(spark, sf_dir, "documents")
     toks = xtext.tokens("text")
     # the reusable language-ID pair (ext/text.py): per-inventory scores +
@@ -846,7 +895,24 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("int").alias("n_units"),
         "n_removed",
     )
-    return profile_leg.unionByName(boiler_leg).unionByName(spans_leg)
+
+    vec = xembed.hashed_features("text", dim=xembed.DEFAULT_DIM)
+    embed_leg = docs.select(
+        F.lit("embed").alias("kind"),
+        "doc_id",
+        *null_dims,
+        *null_fps,
+        F.md5(
+            F.concat_ws(",", F.transform(vec, lambda v: v.cast("string")))
+        ).alias("cleaned_fp"),
+        F.size(F.filter(vec, lambda v: v != 0)).cast("int").alias("n_units"),
+        F.lit(None).cast("int").alias("n_removed"),
+    )
+    return (
+        profile_leg.unionByName(boiler_leg)
+        .unionByName(spans_leg)
+        .unionByName(embed_leg)
+    )
 
 
 @register(

@@ -1,0 +1,115 @@
+"""Hashed-feature embeddings (ext/embed.py): exactness vs a Python
+reference, zero-shuffle plan shape, determinism/identity properties, and
+composition with the embedding-consuming dedup tier."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from beeper_matric_etl_tool_spark.ext.embed import (
+    DEFAULT_DIM,
+    embed_documents,
+    hashed_features,
+)
+
+
+def _py_ref(text: str, dim: int) -> list[int]:
+    vec = [0] * dim
+    for t in text.split(" "):
+        if not t:
+            continue
+        h = hashlib.md5(t.encode()).hexdigest()
+        vec[int(h[:8], 16) % dim] += 1 if int(h[8], 16) % 2 == 0 else -1
+    return vec
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "a completely different document about spark engines"),
+        (3, "single"),
+        (4, ""),  # empty doc -> zero vector
+        (5, "trailing space "),  # split artifact token
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hashed_features_match_python_reference(docs):
+    out = {
+        r["doc_id"]: list(r["v"])
+        for r in docs.select(
+            "doc_id", hashed_features("text", dim=16).alias("v")
+        ).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for i, t in texts.items():
+        assert out[i] == _py_ref(t, 16), i
+    # identical text -> identical vector; empty doc -> zero vector
+    assert out[0] == out[1]
+    assert out[4] == [0] * 16
+    # the trailing-'' artifact contributes nothing
+    assert out[5] == _py_ref("trailing space", 16)
+
+
+def test_embed_documents_normalization_and_plan(docs):
+    emb = embed_documents(docs, dim=16)
+    rows = {r["doc_id"]: r["embedding"] for r in emb.collect()}
+    for i, v in rows.items():
+        assert len(v) == 16
+        n = math.sqrt(sum(x * x for x in v))
+        if any(x != 0 for x in v):
+            assert abs(n - 1.0) < 1e-5, i
+        else:
+            assert i == 4  # the empty doc stays all-zero
+    # map-only: the embedding never shuffles
+    plan = emb._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # raw mode keeps the integer counts (as floats)
+    raw = {
+        r["doc_id"]: [int(x) for x in r["embedding"]]
+        for r in embed_documents(docs, dim=16, normalize=False).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert raw[2] == _py_ref(texts[2], 16)
+
+
+def test_embed_guards_and_default_dim(docs):
+    with pytest.raises(ValueError, match="dim"):
+        hashed_features("text", dim=0)
+    r = docs.limit(1).select(hashed_features("text").alias("v")).first()
+    assert len(r["v"]) == DEFAULT_DIM
+
+
+def test_hashed_embeddings_feed_embedding_dedup(spark):
+    """The composition the embedder exists for: embed the corpus, then
+    run the embedding near-dup kernel over the result — exact duplicate
+    texts MUST pair up (identical vectors), unrelated texts must not."""
+    from beeper_matric_etl_tool_spark.ext.similarity import near_dup_embeddings
+
+    base = (
+        "the quick brown fox jumps over a lazy dog near the quiet river "
+        "bank while evening settles over the watchful forest"
+    )
+    rows = (
+        [(i, base) for i in range(3)]  # three exact copies
+        + [
+            (10 + i, f"document {i} about {w} pipelines and {w} engines")
+            for i, w in enumerate(["spark", "flink", "trino", "duck"])
+        ]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = embed_documents(docs, dim=32).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    pairs = near_dup_embeddings(emb, threshold=0.999)
+    got = {
+        tuple(sorted((r["id_a"], r["id_b"]))) for r in pairs.collect()
+    }
+    assert {(0, 1), (0, 2), (1, 2)} <= got
+    assert all(a < 3 and b < 3 for a, b in got)

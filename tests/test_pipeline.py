@@ -1103,3 +1103,77 @@ def test_split_by_cluster_is_leakage_safe(spark):
         h = hashlib.md5(f"0{CLUSTER_SPLIT_SALT}".encode()).hexdigest()
         expect = "val" if h[0] in ("0", "1") else "train"
         assert rows[i]["split"] == expect
+
+
+def test_curate_classified_stage(spark):
+    """curate(clf_weights=…): the learned filter runs after the heuristic
+    gate on the gate's own signal columns — a trained model drops planted
+    junk the fixed thresholds let through, survivors carry quality_prob,
+    and the stage is deterministic given (weights, stats)."""
+    from beeper_matric_etl_tool_spark.ext.classifier import (
+        feature_stats,
+        quality_features,
+        standardize,
+        train_logreg,
+    )
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and then runs to the "
+        "river where it drinks some of that cool clear water before "
+        "returning to its den in the forest to rest for the evening hours "
+        "while other animals of the wood begin their own nightly routines "
+        "under a wide sky full of patient little stars"
+    )
+    # borderline junk: enough variety/stopwords to squeak past the fixed
+    # gate, but measurably junkier than the good docs on the same signals
+    junkish = (
+        "buy the best deal now and buy the best offer now with the best "
+        "price now for the best value now and the best deal now with the "
+        "best offer now at the best price now for the best value now and "
+        "the best deal now with the best offer now at the best price now"
+    )
+    goods = [(i, "en", good.replace("fox", w)) for i, w in
+             enumerate(["fox", "hare", "deer", "crow", "wolf", "lynx"])]
+    junks = [(100 + i, "en", junkish.replace("buy", w)) for i, w in
+             enumerate(["buy", "get", "grab", "take"])]
+    docs = spark.createDataFrame(
+        goods + junks, "doc_id long, lang string, text string"
+    )
+
+    # train on labels: good=1, junk=0 (the seed-set shape)
+    feats = quality_features("text", lang_col="lang")
+    cols = list(feats)
+    featured = docs.select(
+        "doc_id",
+        *[c.alias(k) for k, c in feats.items()],
+        (F.col("doc_id") < 100).cast("int").alias("y"),
+    ).localCheckpoint(eager=True)
+    st = feature_stats(featured, cols)
+    w = train_logreg(standardize(featured, st), cols, "y",
+                     iterations=40, lr=1.0)
+
+    base = curate(docs, persist_intermediates=False)
+    assert "classified" not in base
+    with_clf = curate(
+        docs,
+        persist_intermediates=False,
+        clf_weights=w,
+        clf_feature_stats=st,
+    )
+    gate_ids = {r["doc_id"] for r in base["scrubbed"].select("doc_id").collect()}
+    clf_rows = {
+        r["doc_id"]: r["quality_prob"]
+        for r in with_clf["classified"].select("doc_id", "quality_prob").collect()
+    }
+    # the fixed gate passed at least some junk docs; the classifier
+    # stage removed every planted junk doc and kept every good one
+    assert any(j >= 100 for j in gate_ids), gate_ids
+    assert set(clf_rows) == {i for i, _, _ in goods}, clf_rows
+    assert all(p >= 0.5 for p in clf_rows.values())
+    # downstream stages see the filtered corpus
+    packed_ids = {r["doc_id"] for r in with_clf["packed"].select("doc_id").collect()}
+    assert packed_ids <= set(clf_rows)
+    # missing stats entries fail loudly
+    with pytest.raises(ValueError, match="clf_feature_stats lacks"):
+        curate(docs, clf_weights=w, clf_feature_stats={"f_len": (0.0, 1.0)},
+               persist_intermediates=False)
