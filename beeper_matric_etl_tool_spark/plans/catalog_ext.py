@@ -750,6 +750,43 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS cleaned_fp,
                    count(*) FILTER (WHERE val <> 0) AS nz
             FROM embfull GROUP BY doc_id
+        ),
+        dsb AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                       % {xembed.DEFAULT_DIM} AS b
+            FROM embtok WHERE t <> ''
+        ),
+        dsv AS (
+            SELECT doc_id, b, count(*) AS c FROM dsb GROUP BY doc_id, b
+        ),
+        dstot AS (
+            SELECT b,
+                   SUM(CASE WHEN d.lang = 'en' THEN c ELSE 0 END) AS tc,
+                   SUM(c) AS sc
+            FROM dsv v JOIN documents d USING (doc_id) GROUP BY b
+        ),
+        dssum AS (
+            SELECT CAST(SUM(tc) + {xembed.DEFAULT_DIM} AS BIGINT) AS tsum,
+                   CAST(SUM(sc) + {xembed.DEFAULT_DIM} AS BIGINT) AS ssum
+            FROM dstot
+        ),
+        dsw AS (
+            SELECT g.i AS b,
+                   CAST(floor(1000000.0 * ln(
+                       (CAST(coalesce(t.tc, 0) + 1 AS BIGINT) * s.ssum)
+                       / (CAST(coalesce(t.sc, 0) + 1 AS BIGINT) * s.tsum)
+                   )) AS BIGINT) AS w
+            FROM generate_series(0, {xembed.DEFAULT_DIM - 1}) g(i)
+            LEFT JOIN dstot t ON t.b = g.i CROSS JOIN dssum s
+        ),
+        dsscore AS (
+            SELECT v.doc_id, SUM(v.c * w.w) AS score
+            FROM dsv v JOIN dsw w ON w.b = v.b GROUP BY v.doc_id
+        ),
+        dsleg AS (
+            SELECT d.doc_id, CAST(coalesce(s.score, 0) AS INTEGER) AS score
+            FROM documents d LEFT JOIN dsscore s USING (doc_id)
         )
         SELECT 'profile' AS kind, doc_id, en_hits, es_hits, fr_hits, de_hits,
                predicted_lang, fp, min_shingle_fp,
@@ -771,6 +808,11 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
                cleaned_fp, CAST(nz AS INTEGER), CAST(NULL AS INTEGER)
         FROM embleg
+        UNION ALL
+        SELECT 'dsir', doc_id, NULL, NULL, NULL, NULL,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), score, CAST(NULL AS INTEGER)
+        FROM dsleg
     """,
 )
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,7 +858,17 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifying all 64 components of every document's embedding without
     shipping them; n_units = nonzero buckets. This is the engine-native
     text→vector producer the SemDeDup/IVF/PQ tier composes with when no
-    external model supplies embeddings."""
+    external model supplies embeddings.
+
+    kind='dsir' — DSIR importance resampling (`ext/embed.py:
+    importance_scores`, Xie et al. 2023): target = the corpus's English
+    slice, source = the whole corpus; per-bucket ppm log-ratio weights
+    under +1 smoothing (driver-resident dim-vector, the two corpus
+    aggregations ship O(dim) longs per partition), per-doc score = the
+    integer dot of its hashed counts with the weights (n_units). Every
+    score is replayed exactly by the oracle — the ln() of the composed
+    integer ratio is evaluated on doubles both planes produce
+    identically (all operands < 2⁵³)."""
     docs = table(spark, sf_dir, "documents")
     toks = xtext.tokens("text")
     # the reusable language-ID pair (ext/text.py): per-inventory scores +
@@ -908,10 +960,28 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(vec, lambda v: v != 0)).cast("int").alias("n_units"),
         F.lit(None).cast("int").alias("n_removed"),
     )
+
+    # DSIR weights: target = the English slice, source = the whole corpus
+    # (resample-toward-English demo semantics); two bounded aggregations
+    # at query-build time, then the scoring pass is map-only
+    dsir_w = xembed.importance_weights_ppm(
+        xembed.bucket_totals(docs.filter(F.col("lang") == "en")),
+        xembed.bucket_totals(docs),
+    )
+    dsir_leg = xembed.importance_scores(docs, dsir_w).select(
+        F.lit("dsir").alias("kind"),
+        "doc_id",
+        *null_dims,
+        *null_fps,
+        F.lit(None).cast("string").alias("cleaned_fp"),
+        F.col("dsir_score_ppm").cast("int").alias("n_units"),
+        F.lit(None).cast("int").alias("n_removed"),
+    )
     return (
         profile_leg.unionByName(boiler_leg)
         .unionByName(spans_leg)
         .unionByName(embed_leg)
+        .unionByName(dsir_leg)
     )
 
 

@@ -113,3 +113,62 @@ def test_hashed_embeddings_feed_embedding_dedup(spark):
     }
     assert {(0, 1), (0, 2), (1, 2)} <= got
     assert all(a < 3 and b < 3 for a, b in got)
+
+
+def test_dsir_importance_resampling(spark):
+    """DSIR kernels: totals match a Python reference, weights favor
+    target-heavy buckets, scores separate target-like from source-only
+    documents, and resample keeps exactly the score>=threshold set."""
+    from beeper_matric_etl_tool_spark.ext.embed import (
+        bucket_totals,
+        importance_resample,
+        importance_scores,
+        importance_weights_ppm,
+    )
+
+    target_voc = "alpha beta gamma delta epsilon zeta eta theta"
+    source_voc = "one two three four five six seven eight nine ten"
+    targetish = [(i, f"{target_voc} alpha beta gamma") for i in range(4)]
+    sourcish = [(10 + i, f"{source_voc} one two three") for i in range(8)]
+    df = spark.createDataFrame(
+        targetish + sourcish, "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [(100 + i, target_voc) for i in range(3)], "doc_id long, text string"
+    )
+    dim = 16
+    tt = bucket_totals(target, dim=dim)
+    st = bucket_totals(df, dim=dim)
+    # python reference for totals
+    ref = [0] * dim
+    for _, t in targetish + sourcish:
+        for tok in t.split(" "):
+            ref[int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim] += 1
+    assert st == ref
+    w = importance_weights_ppm(tt, st)
+    assert len(w) == dim
+    scored = {
+        r["doc_id"]: r["dsir_score_ppm"]
+        for r in importance_scores(df, w, dim=dim).collect()
+    }
+    # every target-like doc outscores every source-only doc
+    assert min(scored[i] for i in range(4)) > max(
+        scored[10 + i] for i in range(8)
+    )
+    kept = {
+        r["doc_id"]
+        for r in importance_resample(df, target, dim=dim).collect()
+    }
+    # threshold 0: doc kept iff its own score (vs in-df source totals)
+    # is non-negative — recompute with in-df weights for the pin
+    w_self = importance_weights_ppm(tt, st)
+    scored_self = {
+        r["doc_id"]: r["dsir_score_ppm"]
+        for r in importance_scores(df, w_self, dim=dim).collect()
+    }
+    assert kept == {i for i, s in scored_self.items() if s >= 0}
+    assert {i for i, _ in targetish} <= kept
+    with pytest.raises(ValueError, match="dim mismatch"):
+        importance_weights_ppm([0] * 4, [0] * 8)
+    with pytest.raises(ValueError, match="weights for dim"):
+        importance_scores(df, [0] * 4, dim=16)
