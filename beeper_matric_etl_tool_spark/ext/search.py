@@ -242,3 +242,237 @@ def bm25_topk(
         .orderBy(F.col("score_ppm").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def bigram_nll_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lambda_ppm: int = 700_000,
+) -> DataFrame:
+    """(id_col, score_ppm) for every document with ≥2 tokens: mean
+    per-transition negative log-likelihood under a Jelinek-Mercer
+    interpolated bigram language model — the CCNet perplexity filter one
+    order up, where "the the the" scores BADLY (the unigram model loves
+    it) and natural word order scores well:
+
+        P(w2 | w1) = λ · c(w1,w2)/c(w1) + (1−λ) · (c(w2)+1)/(N+V)
+
+    with λ = lambda_ppm/1e6 (default 0.7), c(·) corpus counts, and the
+    +1-smoothed unigram as the backoff mass so unseen continuations get
+    the `unigram_nll_scores` floor rather than −∞. Self-scoring mode
+    only (the model is the scored corpus — the exploratory form the
+    driver oracle replays; a frozen-reference twin composes the same way
+    `unigram_nll_scores(reference=...)` does).
+
+    Determinism contract: the interpolated probability has a BIGRAM-
+    vocabulary-sized set of distinct IEEE inputs — all counts are exact
+    longs, λ and (N+V) are per-run literals, and the float chain
+    (two divides, one multiply-add, one ln) is evaluated identically by
+    any IEEE engine, so nll_ppm = floor(1e6·ln(1/P)) flips nowhere; the
+    per-document score is sum(tf·nll_ppm) DIV sum(tf), exact integers.
+
+    Scale shape: ONE tokenize pass; the transition relation is built by
+    zipping each token array with its own tail (zero-shuffle fan-out,
+    ~n_tokens rows), then three (doc,bigram)-keyed/vocabulary-keyed
+    exchanges mirror the unigram scorer's plan — window per-bigram
+    counts, a vocabulary-sized unigram join (left word + right word),
+    never a corpus self-join."""
+    from pyspark.sql import Window
+
+    lam = F.lit(lambda_ppm / 1_000_000.0)
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    pairs = (
+        toks.filter(F.size("__toks") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.zip_with(
+                    F.slice(
+                        F.col("__toks"), 1, F.size("__toks") - 1
+                    ),
+                    F.slice(
+                        F.col("__toks"), 2, F.size("__toks") - 1
+                    ),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("__bg"),
+        )
+        .select(id_col, F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2"))
+    )
+    tf = pairs.groupBy(id_col, "__w1", "__w2").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    # corpus bigram count via window over the (doc, bigram) tf relation —
+    # the unigram scorer's no-vocab-broadcast-assumption trick
+    wbg = Window.partitionBy("__w1", "__w2")
+    with_c12 = tf.withColumn("__c12", F.sum("__tf").over(wbg))
+    # unigram counts from the SAME tokenize pass (full token stream —
+    # c(w1) must count w1 everywhere, including document-final positions)
+    uni = (
+        toks.select(F.explode("__toks").alias("__term"))
+        .groupBy("__term")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    n_total, v_size = uni.agg(
+        F.sum("__ct"), F.count_distinct("__term")
+    ).first()
+    nv = F.lit(float(n_total + v_size))
+    scored = (
+        with_c12.join(
+            uni.select(
+                F.col("__term").alias("__w1"), F.col("__ct").alias("__c1")
+            ),
+            on="__w1",
+        )
+        .join(
+            uni.select(
+                F.col("__term").alias("__w2"), F.col("__ct").alias("__c2")
+            ),
+            on="__w2",
+        )
+        .withColumn(
+            "__nll_ppm",
+            F.floor(
+                F.lit(-1_000_000.0)
+                * F.log(
+                    lam * F.col("__c12").cast("double")
+                    / F.col("__c1").cast("double")
+                    + (F.lit(1.0) - lam)
+                    * (F.col("__c2") + F.lit(1.0)).cast("double")
+                    / nv
+                )
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum(F.col("__tf") * F.col("__nll_ppm")).alias("__tot"),
+            F.sum("__tf").alias("__n"),
+        )
+        .select(
+            id_col,
+            F.expr("__tot DIV __n").cast("long").alias("score_ppm"),
+        )
+    )
+
+
+def dense_hash_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by hashed-feature cosine similarity to the query —
+    the DENSE leg a hybrid retrieval stack pairs with BM25 (`rrf_fuse`),
+    model-free: both sides embed through `ext/embed.py:hashed_counts`'
+    bucket formula, so identical wording maps to identical buckets.
+
+    Ranking is integer-exact: with d = doc count vector, q = query count
+    vector, cos²(d,q) ∝ dot(d,q)²/‖d‖² (the query norm is constant across
+    docs and drops out of the ordering), so
+
+        score = (dot² · 1e9) DIV ‖d‖²
+
+    is a pure long expression — no float enters the comparison, so the
+    (score desc, id asc) order is engine-portable bit for bit. Overflow
+    needs dot ≥ ~3e6 co-bucketed (doc,query) token pairs — raise-guarded.
+
+    Scale shape: the query vector rides in as a dim-length literal
+    (hashlib on the driver — same md5-prefix formula as the column
+    kernel, pinned in tests); scoring is one map-only pass over docs
+    (the count vector folds at the row, two bounded references), and the
+    k rows come from TakeOrderedAndProject — no shuffle at all."""
+    import hashlib
+
+    if not query_terms:
+        raise ValueError("dense_hash_topk: query_terms must be non-empty")
+    qv = [0] * dim
+    for t in query_terms:
+        if t:
+            qv[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim] += 1
+    from beeper_matric_etl_tool_spark.ext.embed import hashed_counts
+
+    qlit = F.array(*[F.lit(int(c)).cast("long") for c in qv])
+    vec = hashed_counts(text_col, dim=dim)
+    dot = F.aggregate(
+        F.zip_with(vec, qlit, lambda c, q: c * q),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    norm2 = F.aggregate(
+        vec,
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + c * c,
+    )
+    score = F.when(
+        F.col("__dot") > F.lit(3_000_000),
+        F.raise_error(
+            F.lit(
+                "dense_hash_topk: dot product too large for the "
+                "1e9-scaled long score — lower dim collision mass "
+                "or pre-truncate documents"
+            )
+        ).cast("long"),
+    ).otherwise(
+        F.expr("(__dot * __dot * 1000000000) DIV __norm2").cast("long")
+    )
+    scored = (
+        docs.select(
+            F.col(id_col), dot.alias("__dot"), norm2.alias("__norm2")
+        )
+        .filter(F.col("__dot") > 0)
+        .select(id_col, score.alias("score_ppb"))
+    )
+    return scored.orderBy(
+        F.col("score_ppb").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k0: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009, public
+    method) over any number of ranked lists: each (id, rank) row
+    contributes 1/(k0 + rank), summed per id —
+
+        rrf_ppb(id) = Σ_lists  1e9 DIV (k0 + rank)
+
+    as exact integer arithmetic (the ppb floor makes the fused score and
+    its ordering engine-portable; k0=60 is the paper's constant). Returns
+    (id_col, rrf_ppb, n_lists) sorted (rrf_ppb desc, id asc) — ids
+    missing from a list simply contribute nothing, the property that
+    makes RRF robust to incomparable score scales (BM25 ppm vs cosine
+    ppb never meet — only ranks do).
+
+    Scale shape: inputs are top-k lists (k rows each), so the union +
+    groupBy runs on lists-of-k rows regardless of corpus size; fusion
+    cost is independent of the corpus by construction."""
+    if not ranked:
+        raise ValueError("rrf_fuse: ranked is empty")
+    legs = [
+        df.select(
+            F.col(id_col),
+            F.expr(f"1000000000 DIV ({int(k0)} + {rank_col})")
+            .cast("long")
+            .alias("__rrf"),
+        )
+        for df in ranked
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return (
+        out.groupBy(id_col)
+        .agg(
+            F.sum("__rrf").alias("rrf_ppb"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_ppb").desc(), F.col(id_col).asc())
+    )

@@ -2425,6 +2425,94 @@ _BM25_QUERY = ("the", "data", "model")
                    CAST(sum(tf.tf * n.nll_ppm) // sum(tf.tf) AS BIGINT)
                        AS score_ppm
             FROM tf JOIN lmnll n USING (term) GROUP BY tf.doc_id
+        ),
+        bgr AS (
+            SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM (
+                    SELECT doc_id, str_split(text, ' ') AS toks
+                    FROM documents
+                ) WHERE len(toks) >= 2
+            )
+        ),
+        bgtf AS (
+            SELECT doc_id, w1, w2, count(*) AS tf
+            FROM bgr GROUP BY doc_id, w1, w2
+        ),
+        bgc AS (
+            SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12
+            FROM bgtf GROUP BY w1, w2
+        ),
+        bgnll AS (
+            SELECT c.w1, c.w2,
+                   CAST(floor(-1000000.0 * ln(
+                       {0.7!r} * c.c12 / u1.ct
+                       + {1.0 - 0.7!r} * (u2.ct + 1.0) / (s.n_total + s.v)
+                   )) AS BIGINT) AS nll_ppm
+            FROM bgc c
+            JOIN lmvocab u1 ON u1.term = c.w1
+            JOIN lmvocab u2 ON u2.term = c.w2
+            CROSS JOIN lmstats s
+        ),
+        bgdoc AS (
+            SELECT t.doc_id,
+                   CAST(sum(t.tf * n.nll_ppm) // sum(t.tf) AS BIGINT)
+                       AS score_ppm
+            FROM bgtf t JOIN bgnll n ON n.w1 = t.w1 AND n.w2 = t.w2
+            GROUP BY t.doc_id
+        ),
+        dvb AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64 AS b
+            FROM toks WHERE term <> ''
+        ),
+        dvc AS (
+            SELECT doc_id, b, count(*) AS c FROM dvb GROUP BY doc_id, b
+        ),
+        qvb AS (
+            SELECT CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS b,
+                   count(*) AS qc
+            FROM (VALUES {", ".join(f"('{t}')" for t in _BM25_QUERY)}) q(t)
+            GROUP BY b
+        ),
+        dsc AS (
+            SELECT v.doc_id,
+                   CAST(sum(v.c * coalesce(q.qc, 0)) AS BIGINT) AS dot,
+                   CAST(sum(v.c * v.c) AS BIGINT) AS norm2
+            FROM dvc v LEFT JOIN qvb q USING (b) GROUP BY v.doc_id
+        ),
+        denseleg AS (
+            SELECT doc_id, score_ppb, rnk FROM (
+                SELECT doc_id,
+                       CAST((dot * dot * 1000000000) // norm2 AS BIGINT)
+                           AS score_ppb,
+                       row_number() OVER (
+                           ORDER BY (dot * dot * 1000000000) // norm2 DESC,
+                                    doc_id) AS rnk
+                FROM dsc WHERE dot > 0
+            ) WHERE rnk <= 10
+        ),
+        bmr AS (
+            SELECT doc_id, rnk FROM (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY score_ppm DESC, doc_id) AS rnk
+                FROM bsum
+            ) WHERE rnk <= 10
+        ),
+        rrfs AS (
+            SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS rrf
+            FROM (
+                SELECT doc_id, 1000000000 // (60 + rnk) AS contrib FROM bmr
+                UNION ALL
+                SELECT doc_id, 1000000000 // (60 + rnk) FROM denseleg
+            ) GROUP BY doc_id
+        ),
+        rrfleg AS (
+            SELECT doc_id, rrf,
+                   row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+            FROM rrfs
         )
         SELECT 'tfidf' AS method, doc_id, term, tfidf_ppm AS score_ppm,
                rnk AS rank
@@ -2444,6 +2532,16 @@ _BM25_QUERY = ("the", "data", "model")
         SELECT 'lm', doc_id, CAST(NULL AS VARCHAR), score_ppm,
                CAST(NULL AS INTEGER)
         FROM lmdoc
+        UNION ALL
+        SELECT 'lm2', doc_id, CAST(NULL AS VARCHAR), score_ppm,
+               CAST(NULL AS INTEGER)
+        FROM bgdoc
+        UNION ALL
+        SELECT 'dense', doc_id, CAST(NULL AS VARCHAR), score_ppb, rnk
+        FROM denseleg
+        UNION ALL
+        SELECT 'rrf', doc_id, CAST(NULL AS VARCHAR), rrf, rnk
+        FROM rrfleg
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2475,7 +2573,27 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter): per-term nll_ppm floored once per vocabulary entry, per-doc
     score an exact integer DIV, so the full per-doc score vector
     hash-matches the oracle bit-for-bit. rank is NULL — the score is a
-    filter threshold, not a ranking."""
+    filter threshold, not a ranking.
+
+    method='lm2' — Jelinek-Mercer interpolated BIGRAM perplexity
+    (`ext/search.py:bigram_nll_scores`, λ=0.7): P(w2|w1) = λ·c12/c1 +
+    (1−λ)·(c2+1)/(N+V). Word ORDER enters the score — "the the the"
+    scores badly where the unigram model loves it. The λ and 1−λ
+    literals are the SAME IEEE doubles on both planes (the SQL
+    interpolates repr(1.0−0.7), not a re-rounded 0.3), and the float
+    chain has bigram-vocabulary-many distinct inputs, the lm leg's
+    exposure argument one order up.
+
+    method='dense' — hashed-embedding cosine top-10 for the same query
+    (`ext/search.py:dense_hash_topk`): both sides bucket through the
+    `ext/embed.py` md5 formula, ranking by the integer-exact
+    (dot²·1e9) DIV ‖d‖² (query norm constant → drops out), so the
+    order is engine-portable with no float comparison anywhere.
+
+    method='rrf' — reciprocal rank fusion of the bm25 and dense top-10
+    lists (`ext/search.py:rrf_fuse`, Cormack et al. 2009): score =
+    Σ 1e9 DIV (60+rank) — the hybrid-retrieval surface; only RANKS
+    cross the leg boundary, so the ppm/ppb score scales never mix."""
     docs = table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -2529,7 +2647,65 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_ppm",
         F.lit(None).cast("int").alias("rank"),
     )
-    return tfidf_leg.unionByName(bm25_leg).unionByName(lm_leg)
+
+    # method='lm2' — Jelinek-Mercer interpolated BIGRAM perplexity
+    # (ext/search.py:bigram_nll_scores): word ORDER enters the score, so
+    # degenerate repetition the unigram model loves scores badly. rank is
+    # NULL — a filter threshold, like 'lm'.
+    from beeper_matric_etl_tool_spark.ext.search import (
+        bigram_nll_scores,
+        dense_hash_topk,
+        rrf_fuse,
+    )
+
+    lm2_leg = bigram_nll_scores(docs).select(
+        F.lit("lm2").alias("method"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        "score_ppm",
+        F.lit(None).cast("int").alias("rank"),
+    )
+
+    # method='dense' — hashed-embedding cosine top-10 for the same query,
+    # integer-exact ((dot²·1e9) DIV ‖d‖², the query norm drops out of the
+    # ordering); method='rrf' — reciprocal rank fusion of the bm25 and
+    # dense top-10 lists (1e9 DIV (60+rank), Cormack et al. 2009): the
+    # hybrid-retrieval surface, rank-only so the ppm/ppb scales never mix.
+    dense_rk = dense_hash_topk(docs, list(_BM25_QUERY), k=10, dim=64).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score_ppb").desc(), F.col("doc_id").asc())
+        ),
+    )
+    dense_leg = dense_rk.select(
+        F.lit("dense").alias("method"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.col("score_ppb").alias("score_ppm"),
+        "rank",
+    )
+    fused = rrf_fuse(
+        [bm25_leg.select("doc_id", "rank"), dense_rk.select("doc_id", "rank")]
+    )
+    rrf_leg = fused.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("rrf_ppb").desc(), F.col("doc_id").asc())
+        ),
+    ).select(
+        F.lit("rrf").alias("method"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.col("rrf_ppb").alias("score_ppm"),
+        "rank",
+    )
+    return (
+        tfidf_leg.unionByName(bm25_leg)
+        .unionByName(lm_leg)
+        .unionByName(lm2_leg)
+        .unionByName(dense_leg)
+        .unionByName(rrf_leg)
+    )
 
 
 # (the hash-holdout split is the 'split' dimension of `corpus_composition`)

@@ -210,3 +210,166 @@ def test_unigram_nll_reference_mode_is_batch_invariant(spark, sf_dir):
         for r in unigram_nll_scores(d1, reference=ref, lazy_stats=True).collect()
     }
     assert lazy == s1
+
+
+# ---------------------------------------------------------------- round 7
+
+from beeper_matric_etl_tool_spark.ext.search import (  # noqa: E402
+    bigram_nll_scores,
+    dense_hash_topk,
+    rrf_fuse,
+)
+
+LM2_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+    ),
+    lmvocab AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS ct FROM toks GROUP BY term
+    ),
+    lmstats AS (
+        SELECT CAST(sum(ct) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS v FROM lmvocab
+    ),
+    bgr AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+            WHERE len(toks) >= 2
+        )
+    ),
+    bgtf AS (
+        SELECT doc_id, w1, w2, count(*) AS tf FROM bgr GROUP BY doc_id, w1, w2
+    ),
+    bgc AS (
+        SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12 FROM bgtf GROUP BY w1, w2
+    ),
+    bgnll AS (
+        SELECT c.w1, c.w2,
+               CAST(floor(-1000000.0 * ln(
+                   {0.7!r} * c.c12 / u1.ct
+                   + {1.0 - 0.7!r} * (u2.ct + 1.0) / (s.n_total + s.v)
+               )) AS BIGINT) AS nll_ppm
+        FROM bgc c
+        JOIN lmvocab u1 ON u1.term = c.w1
+        JOIN lmvocab u2 ON u2.term = c.w2
+        CROSS JOIN lmstats s
+    )
+    SELECT t.doc_id,
+           CAST(sum(t.tf * n.nll_ppm) // sum(t.tf) AS BIGINT) AS score_ppm
+    FROM bgtf t JOIN bgnll n ON n.w1 = t.w1 AND n.w2 = t.w2
+    GROUP BY t.doc_id
+"""
+
+
+def test_bigram_nll_matches_duckdb_oracle(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    assert_matches_oracle(bigram_nll_scores(docs), LM2_ORACLE, sf_dir)
+
+
+def test_bigram_nll_hand_computed(spark):
+    """Corpus 'a b' ×3 + 'b a': unigram counts a=4 b=4 (N=8, V=2);
+    bigram counts (a,b)=3, (b,a)=1. Mirroring the engine's float chain
+    in Python gives the exact expected integers, and the ordering is the
+    operator's point: the document whose transition is corpus-typical
+    scores LOWER (less surprising) than the reversed one — word order
+    enters the score, which no unigram model can do."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "b a")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["score_ppm"] for r in bigram_nll_scores(docs).collect()}
+    lam, oml = 0.7, 1.0 - 0.7
+    nll_ab = math.floor(-1e6 * math.log(lam * 3 / 4 + oml * (4 + 1.0) / 10))
+    nll_ba = math.floor(-1e6 * math.log(lam * 1 / 4 + oml * (4 + 1.0) / 10))
+    assert got == {1: nll_ab, 2: nll_ab, 3: nll_ab, 4: nll_ba}
+    assert got[4] > got[1]
+
+
+def test_bigram_nll_skips_sub_two_token_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a"), (3, "")], "doc_id long, text string"
+    )
+    ids = {r["doc_id"] for r in bigram_nll_scores(docs).collect()}
+    assert ids == {1}
+
+
+def test_dense_hash_topk_exact_query_doc_ranks_first(spark):
+    """A document that IS the query text has cosine 1 — no other doc can
+    beat it; score is the integer-exact (dot²·1e9) DIV norm², so ties
+    break on id and the ranking is bit-stable."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "the data model"),
+            (3, "the data model extra words beyond the query"),
+            (4, "unrelated text entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = dense_hash_topk(docs, ["the", "data", "model"], k=3).collect()
+    assert got[0]["doc_id"] == 2
+    # the true lexical matches outrank any dim=64 bucket-collision noise
+    assert [r["doc_id"] for r in got[:2]] == [2, 3]
+    with pytest.raises(ValueError, match="non-empty"):
+        dense_hash_topk(docs, [])
+
+
+def test_dense_hash_topk_matches_duckdb_oracle(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    got = dense_hash_topk(docs, QUERY, k=10)
+    oracle = """
+        WITH toks AS (
+            SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents
+        ),
+        dvc AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS b,
+                   count(*) AS c
+            FROM toks WHERE t <> '' GROUP BY doc_id, b
+        ),
+        qvb AS (
+            SELECT CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS b,
+                   count(*) AS qc
+            FROM (VALUES ('the'), ('data'), ('model')) q(t) GROUP BY b
+        ),
+        dsc AS (
+            SELECT v.doc_id,
+                   CAST(sum(v.c * coalesce(q.qc, 0)) AS BIGINT) AS dot,
+                   CAST(sum(v.c * v.c) AS BIGINT) AS norm2
+            FROM dvc v LEFT JOIN qvb q USING (b) GROUP BY v.doc_id
+        )
+        SELECT doc_id, score_ppb FROM (
+            SELECT doc_id,
+                   CAST((dot * dot * 1000000000) // norm2 AS BIGINT)
+                       AS score_ppb,
+                   row_number() OVER (
+                       ORDER BY (dot * dot * 1000000000) // norm2 DESC,
+                                doc_id) AS rnk
+            FROM dsc WHERE dot > 0
+        ) WHERE rnk <= 10
+    """
+    assert_matches_oracle(got, oracle, sf_dir)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Lists A=[1@1, 2@2], B=[2@1, 3@2]: rrf(2) = 1e9//62 + 1e9//61
+    beats rrf(1) = 1e9//61 — consensus across lists wins over a single
+    first place, the fusion property; exact integer arithmetic so the
+    values are checkable by hand."""
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank int")
+    got = rrf_fuse([a, b]).collect()
+    by_id = {r["doc_id"]: (r["rrf_ppb"], r["n_lists"]) for r in got}
+    assert by_id == {
+        1: (1_000_000_000 // 61, 1),
+        2: (1_000_000_000 // 62 + 1_000_000_000 // 61, 2),
+        3: (1_000_000_000 // 62, 1),
+    }
+    assert [r["doc_id"] for r in got] == [2, 1, 3]
+    with pytest.raises(ValueError, match="empty"):
+        rrf_fuse([])

@@ -336,6 +336,78 @@ def probe_bpe_encode(docs, n_merges: int = 3):
     )
 
 
+def probe_classifier_train(docs, iterations: int = 3):
+    """Trainable quality filter (`ext/classifier.py`): every training
+    iteration is ONE corpus-linear aggregation of d+1 long sums (map-side
+    combined), plus the one-time count + feature-stats passes — so total
+    cost should track iterations × corpus, never iterations × corpus².
+    Labels are the deterministic lang=='en' proxy (present at every
+    factor); returns (n_rows, w0_q16) driver-side — the fitted intercept
+    frozen to the 2⁻¹⁶ grid, pinning that training actually converged on
+    the grown corpus rather than short-circuiting."""
+    from beeper_matric_etl_tool_spark.ext.classifier import (
+        feature_stats,
+        quality_features,
+        standardize,
+        train_logreg,
+    )
+
+    feats = quality_features("text", lang_col="lang")
+    base = docs.select(
+        F.col("doc_id"),
+        (F.col("lang") == "en").cast("double").alias("label"),
+        *[c.alias(name) for name, c in feats.items()],
+    )
+    cols = list(feats.keys())
+    stats = feature_stats(base, cols)
+    std = standardize(base, stats)
+    w = train_logreg(std, cols, "label", iterations=iterations, lr=0.5)
+    return std.count(), int(round(w[0] * (1 << 16)))
+
+
+def probe_dsir(docs, target):
+    """DSIR importance resampling (`ext/embed.py:importance_resample`):
+    two bounded bucket-total aggregations (dim·n_partitions longs on the
+    exchange regardless of corpus size) + one map-only scoring pass —
+    expect ~linear. The target (trusted reference) is FIXED at base size
+    as in a real pipeline; returns (n_kept, score checksum of survivors)."""
+    from beeper_matric_etl_tool_spark.ext.embed import importance_resample
+
+    kept = importance_resample(docs.select("doc_id", "text"), target, dim=64)
+    row = kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("dsir_score_ppm").alias("checksum"),
+    ).first()
+    return int(row["n_kept"]), int(row["checksum"] or 0)
+
+
+def probe_embed_documents(docs):
+    """Hashed-feature embedder (`ext/embed.py:embed_documents`): one
+    map-only pass, the count vector folds at the row and is referenced
+    twice (norm + scale) — expect flat-to-linear. Checksum sums the
+    first component over the corpus (deterministic; pins full coverage)."""
+    from beeper_matric_etl_tool_spark.ext.embed import embed_documents
+
+    emb = embed_documents(docs.select("doc_id", "text"), dim=64)
+    return emb.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.floor(F.element_at("embedding", 1).cast("double") * 1e6).cast(
+                "long"
+            )
+        ).alias("checksum"),
+    )
+
+
+def timed_fn(fn):
+    """(seconds, value) for EAGER probes (driver-side collects inside the
+    callable) — one warm call, one timed call, mirroring `timed_value`."""
+    fn()  # warm
+    t0 = time.perf_counter()
+    v = fn()
+    return round(time.perf_counter() - t0, 4), v
+
+
 def probe_quota_sample(docs):
     """Exact-quota stratified sampling: the per-stratum window sort over
     a pruned (lang, hash, id) projection. Expect ~n log n — the flat
@@ -445,6 +517,39 @@ def main() -> None:
             "growth_ratio": round(t10 / t1, 2) if t1 else None,
             "base_row": list(r1), "grown_row": list(r10),
         }
+
+    # eager probes (driver-side work inside): classifier training + DSIR.
+    # The DSIR target is the BASE corpus's en-subset at both factors — a
+    # trusted reference corpus does not grow because the crawl did.
+    dsir_target = docs.filter(F.col("lang") == "en").select("doc_id", "text").persist()
+    dsir_target.count()
+    for pname, fn1, fn10 in (
+        (
+            "classifier_train",
+            lambda: probe_classifier_train(docs),
+            lambda: probe_classifier_train(big_docs),
+        ),
+        (
+            "dsir_resample",
+            lambda: probe_dsir(docs, dsir_target),
+            lambda: probe_dsir(big_docs, dsir_target),
+        ),
+    ):
+        t1, r1 = timed_fn(fn1)
+        t10, r10 = timed_fn(fn10)
+        out["probe"][pname] = {
+            "base_sec": t1, "grown_sec": t10,
+            "growth_ratio": round(t10 / t1, 2) if t1 else None,
+            "base_row": list(r1), "grown_row": list(r10),
+        }
+    dsir_target.unpersist()
+    t1, r1 = timed_value(probe_embed_documents(docs))
+    t10, r10 = timed_value(probe_embed_documents(big_docs))
+    out["probe"]["embed_documents"] = {
+        "base_sec": t1, "grown_sec": t10,
+        "growth_ratio": round(t10 / t1, 2) if t1 else None,
+        "base_row": list(r1), "grown_row": list(r10),
+    }
 
     val_grams = (
         docs.select("doc_id", "text", holdout_split().alias("split"))
