@@ -268,6 +268,81 @@ def sample_quota(
     )
 
 
+#: the token-budget carve salt — a SIXTH independent hash decision (see
+#: MIX_SALT): token-budget membership must not correlate with the doc-count
+#: quota, the mix keep, the epoch coin, the holdout or the cluster split.
+TOKQUOTA_SALT = ":tokq"
+
+
+def sample_token_quota(
+    df: DataFrame,
+    budgets: dict[str, int],
+    n_toks_col: str = "n_toks",
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = TOKQUOTA_SALT,
+    two_phase: bool = False,
+) -> DataFrame:
+    """Per-stratum TOKEN-budget sampling — the unit a pretraining mixture
+    is actually specified in ("30 B tokens of code, 5 B of es"), where
+    :func:`sample_quota`'s doc counts cannot serve: documents vary 100×
+    in length, so a doc quota's token mass is whatever it happens to be.
+    Keeps each stratum's docs in ':tokq'-salted-hash order while the
+    EXCLUSIVE running token total is below the budget — so the budget is
+    filled greedily and the crossing document is the last one kept
+    (guaranteeing ≥1 doc per non-empty stratum with a positive budget,
+    and overshoot bounded by one document). Deterministic, portable,
+    resumable: the kept set is a hash-prefix of the stratum, so growing
+    the corpus can displace docs but never reorder the prefix rule.
+    Strata without a budget entry get budget 0 and are dropped loudly,
+    mirroring mix_keep/sample_quota.
+
+    Scale shape: one window per stratum over a PRUNED (stratum, hash,
+    id, n_toks) projection. ``two_phase=True`` spreads a dominant
+    stratum: phase 1 keeps each (input partition, stratum)'s LOCAL
+    budget-prefix — sound because a doc's local exclusive cumsum never
+    exceeds its global one, so the global prefix survives phase 1 — and
+    phase 2 re-ranks survivors only. Any candidate whose true
+    predecessors include a phase-1 casualty necessarily sees ≥ budget
+    candidate-token mass ahead of it (the casualty's own partition
+    already contributed a full budget of candidates), so phase 2 drops
+    it exactly as the single-window form would: the two forms return
+    IDENTICAL rows (pinned in tests)."""
+    from pyspark.sql import Window
+
+    if not budgets:
+        return df.filter(F.lit(False))
+    budget_map = F.create_map(
+        *[x for s, b in budgets.items() for x in (F.lit(s), F.lit(int(b)))]
+    )
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    stratum_budget = F.coalesce(
+        budget_map[F.col(strata_col)], F.lit(0)
+    ).cast("long")
+    toks = F.col(n_toks_col).cast("long")
+    if two_phase:
+        wl = (
+            Window.partitionBy(F.spark_partition_id(), strata_col)
+            .orderBy(h.asc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        df = df.withColumn(
+            "__tq_lcum", F.coalesce(F.sum(toks).over(wl), F.lit(0))
+        ).filter(F.col("__tq_lcum") < stratum_budget).drop("__tq_lcum")
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn(
+            "__tq_cum", F.coalesce(F.sum(toks).over(w), F.lit(0))
+        )
+        .filter(F.col("__tq_cum") < stratum_budget)
+        .drop("__tq_cum")
+    )
+
+
 #: the cluster-level holdout salt — a FIFTH independent hash decision
 #: (see MIX_SALT): the leakage-safe split keys off the near-dup CLUSTER
 #: id, and must be independent of the per-doc holdout (unsalted), the

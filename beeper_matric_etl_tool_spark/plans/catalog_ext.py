@@ -29,6 +29,7 @@ from beeper_matric_etl_tool_spark.ext.pipeline import (
     MIX_SALT,
     PACK_SALT,
     QUOTA_SALT,
+    TOKQUOTA_SALT,
     mix_hex_threshold,
     split_by_cluster,
 )
@@ -356,6 +357,26 @@ def _quota_case_sql() -> str:
     return f"CASE lang {arms} ELSE 0 END"
 
 
+#: per-language TOKEN budgets for the dim='tokquota' leg — branch
+#: coverage mirrors QUOTA_N: en/es fill mid-stratum (a real carve), fr's
+#: budget is below ONE document's tokens (the crossing-doc rule keeps
+#: exactly the first hash-ordered doc), de's covers the whole stratum
+#: (keeps everything), zh absent (budget 0, zeroed audit row).
+TOKQUOTA_N: dict[str, int] = {
+    "en": 1_000,
+    "es": 600,
+    "fr": 10,
+    "de": 10_000_000,
+}
+
+
+def _tokquota_case_sql() -> str:
+    """SQL CASE twin of sample_token_quota's budget map, interpolated
+    from TOKQUOTA_N so a budget edit re-derives both planes."""
+    arms = " ".join(f"WHEN '{s}' THEN {int(b)}" for s, b in TOKQUOTA_N.items())
+    return f"CASE lang {arms} ELSE 0 END"
+
+
 def _epoch_copies_sql() -> str:
     """SQL twin of ext/pipeline.py:epoch_copies over (doc_id, lang):
     integer base CASE + fractional-threshold hash CASE, every literal
@@ -403,6 +424,23 @@ def _epoch_copies_sql() -> str:
                    CAST(sum(n_toks) AS BIGINT) AS q_toks
             FROM qranked WHERE rk <= {_quota_case_sql()}
             GROUP BY lang
+        ),
+        tkranked AS (
+            SELECT lang, n_toks,
+                   sum(n_toks) OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || '{TOKQUOTA_SALT}'),
+                                doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS cum_before
+            FROM d
+        ),
+        tkept AS (
+            SELECT lang, count(*) AS t_kept,
+                   CAST(sum(n_toks) AS BIGINT) AS t_toks
+            FROM tkranked
+            WHERE coalesce(cum_before, 0) < {_tokquota_case_sql()}
+            GROUP BY lang
         )
         SELECT 'lang' AS dim, lang AS key, count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -438,6 +476,14 @@ def _epoch_copies_sql() -> str:
                CAST((1000000 * coalesce(any_value(q.q_kept), 0)) // count(*)
                     AS BIGINT) AS kept_ppm
         FROM d LEFT JOIN qkept q ON d.lang = q.lang GROUP BY d.lang
+        UNION ALL
+        SELECT 'tokquota' AS dim, d.lang AS key, count(*) AS n_docs,
+               CAST(NULL AS BIGINT) AS total_chars,
+               CAST(coalesce(any_value(t.t_toks), 0) AS BIGINT) AS total_tokens,
+               CAST(coalesce(any_value(t.t_kept), 0) AS BIGINT) AS n_kept,
+               CAST((1000000 * coalesce(any_value(t.t_kept), 0)) // count(*)
+                    AS BIGINT) AS kept_ppm
+        FROM d LEFT JOIN tkept t ON d.lang = t.lang GROUP BY d.lang
     """,
 )
 def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,11 +532,22 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     per stratum — n_kept pins the guaranteed count semantics
     (min(quota, |stratum|): de's over-sized quota clamps, zh's missing
     entry zeroes) and total_tokens pins the sampled MEMBERSHIP, not just
-    its cardinality — two different 100-doc samples hash-differ."""
+    its cardinality — two different 100-doc samples hash-differ.
+
+    dim='tokquota' — the TOKEN-budget carve
+    (ext/pipeline.py:sample_token_quota; its own ':tokq' salt, the sixth
+    independent decision): keeps each language's docs in hash order
+    while the exclusive running token total is under the budget — the
+    unit a pretraining mixture is specified in ("12k tokens of en"), so
+    the audit's total_tokens lands in [budget, budget + one doc). fr's
+    budget (10) is below a single document, pinning the crossing-doc
+    rule (exactly 1 doc kept); de's covers the stratum (keeps all); zh
+    absent (zeroed row)."""
     from beeper_matric_etl_tool_spark.ext.pipeline import (
         mix_epochs,
         mix_keep,
         sample_quota,
+        sample_token_quota,
     )
 
     docs = table(spark, sf_dir, "documents")
@@ -584,12 +641,41 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_ppm"),
         )
     )
+    tq = sample_token_quota(
+        docs.select("doc_id", "lang", xtext.token_count("text").alias("__n_toks")),
+        TOKQUOTA_N,
+        n_toks_col="__n_toks",
+    )
+    tqagg = tq.groupBy(F.col("lang").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("__t_kept"),
+        F.sum("__n_toks").cast("long").alias("__t_toks"),
+    )
+    tokquota = (
+        base.groupBy(F.col("lang").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(tqagg, "key", "left")
+        .select(
+            F.lit("tokquota").alias("dim"),
+            "key",
+            "n_docs",
+            null_long.alias("total_chars"),
+            F.coalesce("__t_toks", F.lit(0)).cast("long").alias("total_tokens"),
+            F.coalesce("__t_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.floor(
+                (F.lit(1_000_000) * F.coalesce(F.col("__t_kept"), F.lit(0)))
+                / F.col("n_docs")
+            )
+            .cast("long")
+            .alias("kept_ppm"),
+        )
+    )
     return (
         _grouped("lang", "lang")
         .unionByName(_grouped("split", "split"))
         .unionByName(mix)
         .unionByName(epoch)
         .unionByName(quota)
+        .unionByName(tokquota)
     )
 
 

@@ -1177,3 +1177,82 @@ def test_curate_classified_stage(spark):
     with pytest.raises(ValueError, match="clf_feature_stats lacks"):
         curate(docs, clf_weights=w, clf_feature_stats={"f_len": (0.0, 1.0)},
                persist_intermediates=False)
+
+
+def test_sample_token_quota_semantics(spark):
+    """Token-budget carve: the kept set is the hash-order prefix whose
+    EXCLUSIVE cumulative tokens stay under the budget — so the crossing
+    doc is kept (overshoot < one doc), a budget below one document keeps
+    exactly the first doc, a zero/missing budget keeps nothing, and an
+    over-sized budget keeps the whole stratum."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import (
+        TOKQUOTA_SALT,
+        sample_token_quota,
+    )
+    import hashlib
+
+    rows = [(i, "en", 10) for i in range(10)] + [
+        (100, "es", 7),
+        (101, "zz", 5),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_toks int")
+    budgets = {"en": 35, "es": 1_000, "fr": 50}
+    kept = sample_token_quota(docs, budgets).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    # en: hash-order prefix with exclusive cumsum < 35 → 4 docs
+    # (0,10,20,30 are the cum-before values; 30 < 35 keeps the 4th)
+    order = sorted(
+        range(10),
+        key=lambda i: (
+            hashlib.md5(f"{i}{TOKQUOTA_SALT}".encode()).hexdigest(),
+            i,
+        ),
+    )
+    assert sorted(by_lang["en"]) == sorted(order[:4])
+    assert by_lang["es"] == [100]      # budget covers the stratum
+    assert "zz" not in by_lang         # no budget entry → dropped
+    # empty budget map → typed empty frame, no VOID-map detonation
+    assert sample_token_quota(docs, {}).count() == 0
+
+
+def test_sample_token_quota_two_phase_equivalence(spark, sf_dir):
+    """two_phase=True returns IDENTICAL rows under several input
+    partitionings (the global budget-prefix survives the local filter;
+    any candidate ahead of ≥budget candidate-mass drops in phase 2), and
+    the plan shows the local cumsum filter below the global window."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import sample_token_quota
+    from beeper_matric_etl_tool_spark.ext.text import token_count
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", token_count("text").alias("n_toks"))
+    )
+    budgets = {"en": 700, "es": 300, "fr": 10, "zh": 0}
+    base = {
+        tuple(r)
+        for r in sample_token_quota(docs, budgets)
+        .select("doc_id", "lang")
+        .collect()
+    }
+    assert len(base) > 0
+    for parts in (1, 3, 13):
+        got = {
+            tuple(r)
+            for r in sample_token_quota(
+                docs.repartition(parts), budgets, two_phase=True
+            )
+            .select("doc_id", "lang")
+            .collect()
+        }
+        assert got == base, parts
+    plan = (
+        sample_token_quota(docs, budgets, two_phase=True)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the optimizer renames the cumsum alias (_we0) — pin the shape
+    # instead: two windows, the local one keyed by spark_partition_id
+    assert plan.count("Window") >= 2 and "SPARK_PARTITION_ID" in plan.upper()

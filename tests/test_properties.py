@@ -358,3 +358,67 @@ def test_quota_two_phase_equals_single_phase(spark_prop, rows, quotas, parts):
     for code, q in quotas.items():
         assert kept.get(code, 0) == min(q, strata.get(code, 0))
     assert kept.get("zz", 0) == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),
+            st.sampled_from(["en", "es", "fr", "zz"]),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.dictionaries(
+        st.sampled_from(["en", "es", "fr"]),
+        st.integers(min_value=0, max_value=120),
+        max_size=3,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_token_quota_two_phase_equals_single_phase(
+    spark_prop, rows, budgets, parts
+):
+    """For ANY (id, stratum, n_toks) multiset, budget map, and input
+    partitioning: two_phase=True returns exactly the single-window
+    token-budget prefix, and the prefix semantics hold — exclusive
+    cumulative tokens of every kept doc stay under the budget, unknown
+    strata drop, and the kept set is a prefix of the salted-hash order."""
+    import hashlib
+
+    from beeper_matric_etl_tool_spark.ext.pipeline import (
+        TOKQUOTA_SALT,
+        sample_token_quota,
+    )
+
+    docs = spark_prop.createDataFrame(
+        rows, "doc_id long, lang string, n_toks int"
+    )
+    base = {tuple(r) for r in sample_token_quota(docs, budgets).collect()}
+    got = {
+        tuple(r)
+        for r in sample_token_quota(
+            docs.repartition(parts), budgets, two_phase=True
+        ).collect()
+    }
+    assert got == base
+    # reference semantics, recomputed driver-side
+    expected = set()
+    for lang in {l for _, l, _ in rows}:
+        budget = budgets.get(lang, 0)
+        stratum = sorted(
+            (r for r in rows if r[1] == lang),
+            key=lambda r: (
+                hashlib.md5(f"{r[0]}{TOKQUOTA_SALT}".encode()).hexdigest(),
+                r[0],
+            ),
+        )
+        cum = 0
+        for r in stratum:
+            if cum < budget:
+                expected.add(tuple(r))
+            cum += r[2]
+    assert base == expected
