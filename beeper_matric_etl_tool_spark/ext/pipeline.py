@@ -343,6 +343,123 @@ def sample_token_quota(
     )
 
 
+#: the per-epoch training-order salt — a SEVENTH independent hash
+#: decision (see MIX_SALT): the epoch permutation must not correlate
+#: with any keep/drop/split decision, or "docs that survived the mix"
+#: would cluster at one end of the training order.
+EPOCH_SHUFFLE_SALT = ":eshuf"
+
+#: the hash-prefix width the epoch shuffle orders and shards by — 16⁶
+#: distinct values; shard assignment divides this space evenly.
+_ESHUF_SPACE = 16**6
+
+
+def epoch_shuffle_key(
+    id_col: Column | str = "doc_id",
+    epoch: int = 0,
+    salt: str = EPOCH_SHUFFLE_SALT,
+) -> Column:
+    """The deterministic per-epoch global shuffle key: md5(id ‖ ':eshuf'
+    ‖ epoch). Ordering a corpus by (this, id) IS the epoch's training
+    permutation — uniform (so any contiguous slice is an unbiased
+    sample), reproducible on any engine/cluster/retry, and DIFFERENT
+    per epoch (the epoch number is inside the hash, so consecutive
+    epochs are independent permutations — the convergence property
+    epoch shuffling exists for)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat(c.cast("string"), F.lit(salt), F.lit(str(int(epoch)))))
+
+
+def epoch_shard(
+    id_col: Column | str = "doc_id",
+    epoch: int = 0,
+    n_shards: int = 64,
+    salt: str = EPOCH_SHUFFLE_SALT,
+) -> Column:
+    """Which of ``n_shards`` output shards a document belongs to in the
+    epoch's global order: the first 6 hex digits of the shuffle key,
+    scaled — shard = v·n_shards DIV 16⁶ — so shard boundaries are FIXED
+    hash ranges (deterministic regardless of data, unlike
+    repartitionByRange's sampled boundaries) and every shard receives a
+    contiguous slice of the permutation: shard i's rows ALL precede
+    shard i+1's, which is what lets a trainer stream shard directories
+    in name order and read the exact global permutation."""
+    if n_shards < 1:
+        raise ValueError(f"epoch_shard: n_shards={n_shards} must be >= 1")
+    if n_shards > _ESHUF_SPACE:
+        raise ValueError(
+            f"epoch_shard: n_shards={n_shards} exceeds the 16^6 hash-prefix "
+            f"space — shards would be empty by construction"
+        )
+    v = F.conv(
+        F.substring(epoch_shuffle_key(id_col, epoch, salt), 1, 6), 16, 10
+    ).cast("long")
+    # 16^6 = 2^24: dividing by a power of two is EXACT in IEEE doubles,
+    # so floor(double /) here equals integer DIV on every engine
+    return F.floor(
+        (v * F.lit(int(n_shards))) / F.lit(_ESHUF_SPACE)
+    ).cast("long")
+
+
+def shuffle_epoch(
+    df: DataFrame,
+    epoch: int = 0,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    salt: str = EPOCH_SHUFFLE_SALT,
+) -> DataFrame:
+    """Attach the epoch's training order: ``eshard`` (zero-padded string,
+    hive-partition-friendly) + ``ekey`` (the full shuffle key), with the
+    frame hash-partitioned on eshard and locally sorted by (ekey, id).
+    The epoch's GLOBAL permutation is (eshard asc, ekey asc, id asc) —
+    materialized with NO global sort: shard assignment is a fixed hash
+    range (so no range-boundary sampling job either), the per-shard sort
+    is partition-local, and re-runs/retries reproduce it bit for bit.
+    Export through `export_epoch` to get one directory per shard that a
+    trainer streams in name order.
+
+    Scale shape: one hash-partition exchange on eshard + a local sort —
+    the same cost as any bucketed write; shard sizes are balanced by the
+    uniform key (±binomial noise), never by a hot data key, so there is
+    no skew to mitigate by construction."""
+    pad = len(str(max(n_shards - 1, 0)))
+    out = df.withColumn(
+        "eshard",
+        F.lpad(
+            epoch_shard(id_col, epoch, n_shards, salt).cast("string"),
+            pad,
+            "0",
+        ),
+    ).withColumn("ekey", epoch_shuffle_key(id_col, epoch, salt))
+    return out.repartition(n_shards, "eshard").sortWithinPartitions(
+        "eshard", "ekey", id_col
+    )
+
+
+def export_epoch(
+    df: DataFrame,
+    path: str,
+    epoch: int = 0,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+) -> None:
+    """Write one epoch's deterministically-shuffled corpus: hive layout
+    ``eshard=<k>/`` with rows in (ekey, id) order inside each shard —
+    the trainer contract: reading shard directories in name order yields
+    the epoch's exact global permutation, identical on every re-run.
+    Uses the sinks family's indexed writer (local-path contract, sorted
+    row groups)."""
+    from beeper_matric_etl_tool_spark.sinks import write_indexed
+
+    shuffled = shuffle_epoch(df, epoch=epoch, n_shards=n_shards, id_col=id_col)
+    write_indexed(
+        shuffled,
+        path,
+        partition_by=("eshard",),
+        sort_within=(F.col("ekey"), F.col(id_col)),
+    )
+
+
 #: the cluster-level holdout salt — a FIFTH independent hash decision
 #: (see MIX_SALT): the leakage-safe split keys off the near-dup CLUSTER
 #: id, and must be independent of the per-doc holdout (unsalted), the

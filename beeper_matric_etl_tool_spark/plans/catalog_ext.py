@@ -26,6 +26,7 @@ from beeper_matric_etl_tool_spark.ext import text as xtext
 from beeper_matric_etl_tool_spark.ext.pipeline import (
     CLUSTER_SPLIT_SALT,
     EPOCH_SALT,
+    EPOCH_SHUFFLE_SALT,
     MIX_SALT,
     PACK_SALT,
     QUOTA_SALT,
@@ -377,6 +378,13 @@ def _tokquota_case_sql() -> str:
     return f"CASE lang {arms} ELSE 0 END"
 
 
+#: dim='eshuf' parameters — epoch 1 (a non-zero epoch pins that the epoch
+#: number actually enters the hash) sharded 8 ways (single-digit shards,
+#: so the zero-pad width is 1 and the SQL twin needs no lpad).
+ESHUF_EPOCH = 1
+ESHUF_SHARDS = 8
+
+
 def _epoch_copies_sql() -> str:
     """SQL twin of ext/pipeline.py:epoch_copies over (doc_id, lang):
     integer base CASE + fractional-threshold hash CASE, every literal
@@ -441,6 +449,28 @@ def _epoch_copies_sql() -> str:
             FROM tkranked
             WHERE coalesce(cum_before, 0) < {_tokquota_case_sql()}
             GROUP BY lang
+        ),
+        eshr AS (
+            SELECT doc_id, n_toks, ekey,
+                   CAST(CAST(('0x' || substr(ekey, 1, 6)) AS BIGINT)
+                        * {ESHUF_SHARDS} // 16777216 AS VARCHAR) AS shard
+            FROM (
+                SELECT doc_id, n_toks,
+                       md5(CAST(doc_id AS VARCHAR)
+                           || '{EPOCH_SHUFFLE_SALT}{ESHUF_EPOCH}') AS ekey
+                FROM d
+            )
+        ),
+        eshleg AS (
+            SELECT shard, count(*) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS toks,
+                   CAST(sum(rk * doc_id) AS BIGINT) AS ordsum
+            FROM (
+                SELECT shard, n_toks, doc_id,
+                       row_number() OVER (
+                           PARTITION BY shard ORDER BY ekey, doc_id) AS rk
+                FROM eshr
+            ) GROUP BY shard
         )
         SELECT 'lang' AS dim, lang AS key, count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -484,6 +514,13 @@ def _epoch_copies_sql() -> str:
                CAST((1000000 * coalesce(any_value(t.t_kept), 0)) // count(*)
                     AS BIGINT) AS kept_ppm
         FROM d LEFT JOIN tkept t ON d.lang = t.lang GROUP BY d.lang
+        UNION ALL
+        SELECT 'eshuf' AS dim, shard AS key, n_docs,
+               CAST(NULL AS BIGINT) AS total_chars,
+               toks AS total_tokens,
+               ordsum AS n_kept,
+               CAST(NULL AS BIGINT) AS kept_ppm
+        FROM eshleg
     """,
 )
 def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,12 +579,22 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit's total_tokens lands in [budget, budget + one doc). fr's
     budget (10) is below a single document, pinning the crossing-doc
     rule (exactly 1 doc kept); de's covers the stratum (keeps all); zh
-    absent (zeroed row)."""
+    absent (zeroed row).
+
+    dim='eshuf' — the deterministic per-epoch training shuffle
+    (ext/pipeline.py:shuffle_epoch; ':eshuf' salt, the seventh
+    independent decision): epoch 1's global permutation sharded 8 ways
+    by fixed hash ranges. n_docs/total_tokens pin each shard's
+    MEMBERSHIP; n_kept carries the ORDER checksum Σ rank·doc_id under
+    the shard-local (ekey, id) sort — a re-run, a different cluster, or
+    a different engine must reproduce the exact permutation to match.
+    EPOCH_SHUFFLE_SALT imported so a salt edit re-derives both planes."""
     from beeper_matric_etl_tool_spark.ext.pipeline import (
         mix_epochs,
         mix_keep,
         sample_quota,
         sample_token_quota,
+        shuffle_epoch,
     )
 
     docs = table(spark, sf_dir, "documents")
@@ -669,6 +716,34 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_ppm"),
         )
     )
+    from pyspark.sql import Window
+
+    shuffled = shuffle_epoch(
+        docs.select("doc_id", xtext.token_count("text").alias("__n_toks")),
+        epoch=ESHUF_EPOCH,
+        n_shards=ESHUF_SHARDS,
+    )
+    wsh = Window.partitionBy("eshard").orderBy(
+        F.col("ekey").asc(), F.col("doc_id").asc()
+    )
+    eshuf = (
+        shuffled.withColumn("__rk", F.row_number().over(wsh))
+        .groupBy(F.col("eshard").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n_toks").cast("long").alias("total_tokens"),
+            F.sum(F.col("__rk") * F.col("doc_id")).cast("long").alias("n_kept"),
+        )
+        .select(
+            F.lit("eshuf").alias("dim"),
+            "key",
+            "n_docs",
+            null_long.alias("total_chars"),
+            "total_tokens",
+            "n_kept",
+            null_long.alias("kept_ppm"),
+        )
+    )
     return (
         _grouped("lang", "lang")
         .unionByName(_grouped("split", "split"))
@@ -676,6 +751,7 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(epoch)
         .unionByName(quota)
         .unionByName(tokquota)
+        .unionByName(eshuf)
     )
 
 

@@ -222,14 +222,24 @@ def write_indexed(
 ) -> None:
     """X1 — persist with index-like layout: hive partitions on the equality
     key(s), sorted row groups on the range key(s). ``sort_within`` accepts
-    column names or Column expressions (computed sort keys)."""
+    column names or Column expressions (computed sort keys).
+
+    The local sort PREPENDS the partition columns: FileFormatWriter
+    requires each task's rows ordered by the partition columns and
+    injects its own NON-stable sort when the child ordering does not
+    start with them — which would silently destroy ``sort_within``
+    (observed: epoch-shuffle export came back in scan order). Leading
+    with the partition columns satisfies the writer's requirement, so
+    OUR ordering is the one on disk; within each hive directory the
+    rows are still exactly ``sort_within``-ordered."""
     out = df
     if partition_by:
         out = out.repartition(*[F.col(c) for c in partition_by])
     if sort_within:
-        out = out.sortWithinPartitions(
-            *[F.col(c) if isinstance(c, str) else c for c in sort_within]
-        )
+        keys = [F.col(c) for c in partition_by] + [
+            F.col(c) if isinstance(c, str) else c for c in sort_within
+        ]
+        out = out.sortWithinPartitions(*keys)
     writer = out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

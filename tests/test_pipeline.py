@@ -1256,3 +1256,66 @@ def test_sample_token_quota_two_phase_equivalence(spark, sf_dir):
     # the optimizer renames the cumsum alias (_we0) — pin the shape
     # instead: two windows, the local one keyed by spark_partition_id
     assert plan.count("Window") >= 2 and "SPARK_PARTITION_ID" in plan.upper()
+
+
+def test_shuffle_epoch_permutation_and_export(spark, sf_dir, tmp_path):
+    """The epoch shuffle is a deterministic, balanced, epoch-dependent
+    global permutation: shard = fixed hash range (driver-recomputable),
+    per-shard order = (ekey, id), epochs 0 and 1 produce different
+    orders, the plan contains NO range partitioning (no sampled
+    boundaries, no global sort), and the exported hive layout read back
+    shard-by-shard in name order reproduces the exact permutation."""
+    import hashlib
+
+    from beeper_matric_etl_tool_spark.ext.pipeline import (
+        EPOCH_SHUFFLE_SALT,
+        export_epoch,
+        shuffle_epoch,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+
+    def key(i, epoch):
+        return hashlib.md5(
+            f"{i}{EPOCH_SHUFFLE_SALT}{epoch}".encode()
+        ).hexdigest()
+
+    def expected_order(epoch, n_shards):
+        return sorted(
+            ids,
+            key=lambda i: (
+                int(key(i, epoch)[:6], 16) * n_shards // 16**6,
+                key(i, epoch),
+                i,
+            ),
+        )
+
+    shuffled = shuffle_epoch(docs, epoch=0, n_shards=16)
+    got = shuffled.select("eshard", "ekey", "doc_id").collect()
+    # shard formula matches the driver-side recomputation, zero-padded
+    for r in got:
+        assert r["ekey"] == key(r["doc_id"], 0)
+        assert r["eshard"] == f"{int(key(r['doc_id'], 0)[:6], 16) * 16 // 16**6:02d}"
+    # balanced: uniform hash, 500 docs / 16 shards — no shard 3× the mean
+    from collections import Counter
+
+    sizes = Counter(r["eshard"] for r in got)
+    assert max(sizes.values()) < 3 * (len(ids) / 16)
+    # epochs are different permutations
+    assert expected_order(0, 16) != expected_order(1, 16)
+    # no sampled range boundaries, no global sort
+    plan = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning" in plan.lower()
+
+    # export twice; both read-backs reproduce the exact permutation
+    import pyarrow.parquet as pq
+
+    for out in (tmp_path / "e0a", tmp_path / "e0b"):
+        export_epoch(docs, str(out), epoch=0, n_shards=16)
+        walked = []
+        for shard_dir in sorted(p for p in out.iterdir() if p.name.startswith("eshard=")):
+            for f in sorted(shard_dir.glob("*.parquet")):
+                walked.extend(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+        assert walked == expected_order(0, 16)

@@ -408,6 +408,20 @@ def timed_fn(fn):
     return round(time.perf_counter() - t0, 4), v
 
 
+def probe_bigram_nll(docs):
+    """Interpolated bigram-LM scoring (`ext/search.py:bigram_nll_scores`):
+    one tokenize pass, transition relation via a zero-shuffle array zip,
+    then (doc,bigram)/vocabulary-keyed exchanges — expect ~linear (the
+    bigram vocabulary grows faster than the unigram one, but both ride
+    map-side combine). Checksum pins full coverage."""
+    from beeper_matric_etl_tool_spark.ext.search import bigram_nll_scores
+
+    return bigram_nll_scores(docs).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score_ppm").alias("checksum"),
+    )
+
+
 def probe_quota_sample(docs):
     """Exact-quota stratified sampling: the per-stratum window sort over
     a pruned (lang, hash, id) projection. Expect ~n log n — the flat
@@ -505,6 +519,7 @@ def main() -> None:
     for pname, fn in (
         ("duplicate_spans", probe_duplicate_spans),
         ("unigram_nll", probe_unigram_nll),
+        ("bigram_nll", probe_bigram_nll),
         ("quota_sample", probe_quota_sample),
         ("quota_sample_two_phase", probe_quota_two_phase),
         ("bpe_training", probe_bpe_training),
