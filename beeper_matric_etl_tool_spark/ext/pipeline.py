@@ -343,6 +343,60 @@ def sample_token_quota(
     )
 
 
+def sample_top_fraction(
+    df: DataFrame,
+    score_col: str,
+    keep_ppm: int,
+    ascending: bool = True,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep EXACTLY floor(n · keep_ppm/1e6) best-scoring rows (per
+    stratum when ``strata_col`` is set) — the data-dependent percentile
+    gate a score threshold cannot express: "keep the most fluent 80% of
+    each language" holds regardless of how the batch's score
+    distribution drifts, where a fixed ``score ≤ cutoff`` keeps 50% of
+    one crawl and 95% of the next. ``ascending=True`` keeps the LOWEST
+    scores (the NLL/perplexity convention: low = fluent);
+    ``ascending=False`` keeps the highest (classifier-probability
+    convention). Deterministic: ties break on the stable id, and the
+    kept count is an exact integer — no approximate percentile sketch,
+    so re-runs and engines agree row for row.
+
+    Scale shape: the same pruned per-stratum window as `sample_quota` —
+    the sort carries (stratum, score, id), never text — plus a
+    whole-stratum count window over the identical partitioning (one
+    exchange serves both). A dominant stratum single-tasks its sort, the
+    `sample_quota` docstring's discussion applies; the two-phase
+    refinement does NOT port directly because the keep count depends on
+    the stratum size (compute counts first, then quota-sample with
+    per-stratum k, if that regime arrives)."""
+    from pyspark.sql import Window
+
+    if not (0 <= keep_ppm <= 1_000_000):
+        raise ValueError(
+            f"sample_top_fraction: keep_ppm={keep_ppm} outside [0, 1e6]"
+        )
+    score = F.col(score_col)
+    order = [score.asc() if ascending else score.desc(), F.col(id_col).asc()]
+    if strata_col is not None:
+        wrank = Window.partitionBy(strata_col).orderBy(*order)
+        wall = Window.partitionBy(strata_col)
+    else:
+        wrank = Window.orderBy(*order)
+        wall = Window.partitionBy()
+    k = F.floor(
+        (F.count(F.lit(1)).over(wall) * F.lit(int(keep_ppm)))
+        / F.lit(1_000_000)
+    ).cast("long")
+    return (
+        df.withColumn("__tf_rk", F.row_number().over(wrank))
+        .withColumn("__tf_k", k)
+        .filter(F.col("__tf_rk") <= F.col("__tf_k"))
+        .drop("__tf_rk", "__tf_k")
+    )
+
+
 #: the per-epoch training-order salt — a SEVENTH independent hash
 #: decision (see MIX_SALT): the epoch permutation must not correlate
 #: with any keep/drop/split decision, or "docs that survived the mix"
@@ -644,6 +698,9 @@ def curate(
     clf_weights: list[float] | None = None,
     clf_feature_stats: dict[str, tuple[float, float]] | None = None,
     clf_threshold: float = 0.5,
+    dsir_target: DataFrame | None = None,
+    dsir_min_score_ppm: int = 0,
+    dsir_dim: int | None = None,
 ) -> "CurationStages":
     """Run the full curation funnel; returns the per-stage DataFrames:
 
@@ -726,6 +783,14 @@ def curate(
                        within-batch stages so the reference comparison
                        sees the smallest possible batch.
     - ``semantic``:    after SemDeDup (identity when ``embeddings`` is None)
+    - ``dsir``:        (only when ``dsir_target`` is set) DSIR importance
+                       resampling toward the trusted target corpus
+                       (`ext/embed.py:importance_resample`): keep docs
+                       scoring ≥ ``dsir_min_score_ppm`` under the hashed
+                       bucket-distribution log-ratio weights; survivors
+                       carry ``dsir_score_ppm``. Runs after every dedup
+                       stage (duplicates would bias the batch's own
+                       bucket distribution) and before the mix sampler
     - ``sampled``:     after source-mix sampling (identity when
                        ``mix_rates`` is None)
     - ``packed``:      final corpus with ``pack_id`` (hash-shuffled order,
@@ -1014,10 +1079,36 @@ def curate(
     else:
         semantic = incremental
 
-    if mix_rates is not None:
-        sampled = semantic.filter(mix_keep(id_col, source_col, mix_rates))
+    if dsir_target is not None:
+        # DSIR importance resampling toward the trusted target domain
+        # (ext/embed.py) — runs AFTER every dedup stage (duplicates would
+        # bias the batch's own bucket distribution) and BEFORE the mix
+        # sampler (the mix shapes source proportions of the docs DSIR
+        # already judged target-like). The source distribution is the
+        # surviving batch itself — per the method, resampling is relative
+        # to what this batch looks like; survivors carry dsir_score_ppm.
+        from beeper_matric_etl_tool_spark.ext.embed import (
+            DEFAULT_DIM,
+            importance_resample,
+        )
+
+        dsir = importance_resample(
+            semantic,
+            dsir_target,
+            text_col=text_col,
+            dim=dsir_dim if dsir_dim is not None else DEFAULT_DIM,
+            min_score_ppm=dsir_min_score_ppm,
+        )
+        post_stages = {"dsir": dsir}
+        mix_input = dsir
     else:
-        sampled = semantic
+        post_stages = {}
+        mix_input = semantic
+
+    if mix_rates is not None:
+        sampled = mix_input.filter(mix_keep(id_col, source_col, mix_rates))
+    else:
+        sampled = mix_input
 
     packed = pack_by_budget(
         sampled.withColumn("n_tokens_packed", token_count(text_col)),
@@ -1036,6 +1127,7 @@ def curate(
             "near": near,
             "incremental": incremental,
             "semantic": semantic,
+            **post_stages,
             "sampled": sampled,
             "packed": packed,
         },

@@ -249,6 +249,7 @@ def bigram_nll_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     lambda_ppm: int = 700_000,
+    reference: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, score_ppm) for every document with ≥2 tokens: mean
     per-transition negative log-likelihood under a Jelinek-Mercer
@@ -260,10 +261,19 @@ def bigram_nll_scores(
 
     with λ = lambda_ppm/1e6 (default 0.7), c(·) corpus counts, and the
     +1-smoothed unigram as the backoff mass so unseen continuations get
-    the `unigram_nll_scores` floor rather than −∞. Self-scoring mode
-    only (the model is the scored corpus — the exploratory form the
-    driver oracle replays; a frozen-reference twin composes the same way
-    `unigram_nll_scores(reference=...)` does).
+    the `unigram_nll_scores` floor rather than −∞.
+
+    TWO modes, mirroring `unigram_nll_scores`:
+
+    - ``reference=None`` (self-scoring): the model IS the scored batch —
+      the exploratory mode the driver oracle replays.
+    - ``reference=<docs frame>`` (frozen model — the CCNet deployment
+      shape): all counts (c12, c1, c2, N, V) come from the REFERENCE
+      corpus. Transitions the reference never saw get zero bigram mass
+      (when c(w1)=0 the λ-term is 0, not 0/0); fully-OOV transitions
+      score at the smoothing maximum ln((N+V)/1) exactly like the
+      unigram scorer. Scoring the same document yields the same score
+      in ANY batch (pinned in tests).
 
     Determinism contract: the interpolated probability has a BIGRAM-
     vocabulary-sized set of distinct IEEE inputs — all counts are exact
@@ -303,43 +313,84 @@ def bigram_nll_scores(
     tf = pairs.groupBy(id_col, "__w1", "__w2").agg(
         F.count(F.lit(1)).alias("__tf")
     )
-    # corpus bigram count via window over the (doc, bigram) tf relation —
-    # the unigram scorer's no-vocab-broadcast-assumption trick
-    wbg = Window.partitionBy("__w1", "__w2")
-    with_c12 = tf.withColumn("__c12", F.sum("__tf").over(wbg))
-    # unigram counts from the SAME tokenize pass (full token stream —
-    # c(w1) must count w1 everywhere, including document-final positions)
-    uni = (
-        toks.select(F.explode("__toks").alias("__term"))
-        .groupBy("__term")
-        .agg(F.count(F.lit(1)).alias("__ct"))
-    )
+    if reference is not None:
+        # frozen model: every count comes from the reference corpus;
+        # both count relations are vocabulary-shaped term-keyed joins
+        rtoks = reference.select(tokens(text_col).alias("__toks"))
+        rbg = (
+            rtoks.filter(F.size("__toks") >= 2)
+            .select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                        F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    )
+                ).alias("__bg")
+            )
+            .select(
+                F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2")
+            )
+            .groupBy("__w1", "__w2")
+            .agg(F.count(F.lit(1)).alias("__c12"))
+        )
+        with_c12 = tf.join(rbg, on=["__w1", "__w2"], how="left").withColumn(
+            "__c12", F.coalesce(F.col("__c12"), F.lit(0))
+        )
+        uni = (
+            rtoks.select(F.explode("__toks").alias("__term"))
+            .groupBy("__term")
+            .agg(F.count(F.lit(1)).alias("__ct"))
+        )
+        join_how = "left"
+    else:
+        # corpus bigram count via window over the (doc, bigram) tf
+        # relation — the unigram scorer's no-vocab-broadcast trick
+        wbg = Window.partitionBy("__w1", "__w2")
+        with_c12 = tf.withColumn("__c12", F.sum("__tf").over(wbg))
+        # unigram counts from the SAME tokenize pass (full token stream —
+        # c(w1) must count w1 everywhere, incl. document-final positions)
+        uni = (
+            toks.select(F.explode("__toks").alias("__term"))
+            .groupBy("__term")
+            .agg(F.count(F.lit(1)).alias("__ct"))
+        )
+        join_how = "inner"  # self-mode: every scored term is in-vocabulary
     n_total, v_size = uni.agg(
         F.sum("__ct"), F.count_distinct("__term")
     ).first()
-    nv = F.lit(float(n_total + v_size))
+    nv = F.lit(float((n_total or 0) + (v_size or 0)))
+    c1 = F.coalesce(F.col("__c1"), F.lit(0)).cast("double")
+    c2 = F.coalesce(F.col("__c2"), F.lit(0))
+    # zero continuation mass when w1 is OOV — the λ-term vanishes
+    # instead of evaluating 0/0 (reference mode only; self mode never
+    # sees c1=0 and keeps the oracle-replayed expression shape)
+    bigram_term = F.when(
+        c1 > 0.0, lam * F.col("__c12").cast("double") / c1
+    ).otherwise(F.lit(0.0))
     scored = (
         with_c12.join(
             uni.select(
                 F.col("__term").alias("__w1"), F.col("__ct").alias("__c1")
             ),
             on="__w1",
+            how=join_how,
         )
         .join(
             uni.select(
                 F.col("__term").alias("__w2"), F.col("__ct").alias("__c2")
             ),
             on="__w2",
+            how=join_how,
         )
         .withColumn(
             "__nll_ppm",
             F.floor(
                 F.lit(-1_000_000.0)
                 * F.log(
-                    lam * F.col("__c12").cast("double")
-                    / F.col("__c1").cast("double")
+                    bigram_term
                     + (F.lit(1.0) - lam)
-                    * (F.col("__c2") + F.lit(1.0)).cast("double")
+                    * (c2 + F.lit(1.0)).cast("double")
                     / nv
                 )
             ).cast("long"),

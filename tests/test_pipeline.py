@@ -1319,3 +1319,75 @@ def test_shuffle_epoch_permutation_and_export(spark, sf_dir, tmp_path):
             for f in sorted(shard_dir.glob("*.parquet")):
                 walked.extend(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
         assert walked == expected_order(0, 16)
+
+
+def test_curate_dsir_stage(spark, sf_dir):
+    """curate(dsir_target=...) inserts the importance-resampling stage
+    between semantic and sampled: survivors carry dsir_score_ppm >= the
+    floor, the stage is a subset of semantic, and downstream stages run
+    on the resampled rows; without the param no 'dsir' stage exists."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import curate
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    stages = curate(docs, dsir_target=target)
+    assert "dsir" in stages
+    sem_ids = {r[0] for r in stages["semantic"].select("doc_id").collect()}
+    dsir_rows = stages["dsir"].select("doc_id", "dsir_score_ppm").collect()
+    dsir_ids = {r["doc_id"] for r in dsir_rows}
+    assert dsir_ids <= sem_ids and 0 < len(dsir_ids) < len(sem_ids)
+    assert all(r["dsir_score_ppm"] >= 0 for r in dsir_rows)
+    # the packed stage rides the resampled set
+    packed_ids = {r[0] for r in stages["packed"].select("doc_id").collect()}
+    assert packed_ids <= dsir_ids
+    assert "dsir" not in curate(docs)
+
+
+def test_sample_top_fraction_exact_counts_and_direction(spark, sf_dir):
+    """Exactly floor(n·keep_ppm/1e6) rows survive per stratum; ascending
+    keeps the LOWEST scores (perplexity convention), descending the
+    highest; ties break on id; bounds are validated."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import sample_top_fraction
+    from beeper_matric_etl_tool_spark.ext.search import unigram_nll_scores
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = docs.join(unigram_nll_scores(docs), on="doc_id")
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    kept = sample_top_fraction(
+        scored, "score_ppm", keep_ppm=800_000, strata_col="lang"
+    )
+    got = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {l: n * 800_000 // 1_000_000 for l, n in per_lang.items()}
+    # ascending keeps the fluent end: the kept max ≤ the dropped min per lang
+    worst_kept = {
+        r["lang"]: r["m"]
+        for r in kept.groupBy("lang").agg(F.max("score_ppm").alias("m")).collect()
+    }
+    dropped = scored.join(kept.select("doc_id"), on="doc_id", how="left_anti")
+    best_dropped = {
+        r["lang"]: r["m"]
+        for r in dropped.groupBy("lang").agg(F.min("score_ppm").alias("m")).collect()
+    }
+    for lang in worst_kept:
+        assert worst_kept[lang] <= best_dropped[lang]
+    # descending keeps the other end
+    top = sample_top_fraction(
+        scored, "score_ppm", keep_ppm=100_000, ascending=False
+    )
+    n = scored.count()
+    rows = top.collect()
+    assert len(rows) == n * 100_000 // 1_000_000
+    cutoff = sorted(
+        (r["score_ppm"] for r in scored.collect()), reverse=True
+    )[len(rows) - 1]
+    assert all(r["score_ppm"] >= cutoff for r in rows)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="keep_ppm"):
+        sample_top_fraction(scored, "score_ppm", keep_ppm=2_000_000)

@@ -373,3 +373,35 @@ def test_rrf_fuse_hand_computed(spark):
     assert [r["doc_id"] for r in got] == [2, 1, 3]
     with pytest.raises(ValueError, match="empty"):
         rrf_fuse([])
+
+
+def test_bigram_nll_reference_mode_is_batch_invariant(spark, sf_dir):
+    """Frozen-model bigram scoring: same doc, same score in any batch;
+    a doc whose transitions the reference never saw scores at the
+    smoothing maximum — strictly above any in-vocabulary doc; self-mode
+    values are untouched by the reference-mode code path (oracle leg
+    still green)."""
+    ref = table(spark, sf_dir, "documents")
+    d1 = spark.createDataFrame(
+        [(100, "the data model"), (101, "qzzqv wxxqj kjjqz pqqzv")],
+        "doc_id long, text string",
+    )
+    d2 = spark.createDataFrame(
+        [(100, "the data model")], "doc_id long, text string"
+    )
+    s1 = {r["doc_id"]: r["score_ppm"]
+          for r in bigram_nll_scores(d1, reference=ref).collect()}
+    s2 = {r["doc_id"]: r["score_ppm"]
+          for r in bigram_nll_scores(d2, reference=ref).collect()}
+    assert s1[100] == s2[100]
+    assert s1[101] > s1[100]
+    # the OOV doc sits exactly at the smoothing maximum: every transition
+    # scores floor(1e6·ln((N+V)/((1-λ)^-1 ... )) — recompute driver-side
+    import math
+
+    from beeper_matric_etl_tool_spark.ext.text import tokens as _  # noqa: F401
+
+    toks = [t for r in ref.select("text").collect() for t in r["text"].split(" ") if t != ""]
+    n_total, v = len(toks), len(set(toks))
+    exp = math.floor(-1e6 * math.log((1.0 - 0.7) * 1.0 / (n_total + v)))
+    assert s1[101] == exp
