@@ -201,21 +201,99 @@ def importance_resample(
     dim: int = DEFAULT_DIM,
     min_score_ppm: int = 0,
     out_col: str = "dsir_score_ppm",
+    lazy: bool = False,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """DSIR in one call: estimate bucket distributions of ``target``
     (the trusted domain sample — small, e.g. a quality reference corpus)
     and of ``df`` itself (the source), weight, score, and keep documents
     with score ≥ ``min_score_ppm`` (0 = 'more target-like than
-    source-like'). Two bounded corpus aggregations + one map-only scoring
-    pass; survivors carry ``out_col`` for audit or downstream quota
-    sampling (`ext/pipeline.py:sample_quota` composes for fixed-size
-    draws)."""
-    w = importance_weights_ppm(
-        bucket_totals(target, text_col=text_col, dim=dim),
-        bucket_totals(df, text_col=text_col, dim=dim),
+    source-like'). Survivors carry ``out_col`` for audit or downstream
+    quota sampling (`ext/pipeline.py:sample_quota` composes for
+    fixed-size draws).
+
+    ``lazy=False`` (default): two eager bucket-total collects feed the
+    weights in as a literal array — the tightest scoring plan (map-only,
+    no join), right when the caller is about to act on the result
+    anyway. ``lazy=True`` launches ZERO jobs at call time (the
+    `unigram_nll_scores(lazy_stats=True)` precedent — the form
+    `curate()` needs to keep its no-jobs contract): the weights become a
+    dim-sized relation (source buckets left-joined with target buckets,
+    sums as a broadcast one-row cross join) and scoring joins the
+    exploded (doc, bucket, count) rows against the broadcast weights.
+    Same integer weights, same scores (the ln() input set is dim-sized
+    either way; pinned eager ≡ lazy in tests — with the caveat that at
+    count-product scale beyond 2⁵³ the lazy plane's cast-then-divide may
+    differ from Python's exact int/int division by one ulp before the
+    floor, the same bounded exposure the ln() convention documents), at
+    the cost of deriving ``df``'s lineage twice at execution (totals +
+    scoring) — persist the input, as curate()'s cache boundary does,
+    when that matters. The lazy join keys on ``id_col`` (must be unique;
+    text never enters a shuffle key)."""
+    if not lazy:
+        w = importance_weights_ppm(
+            bucket_totals(target, text_col=text_col, dim=dim),
+            bucket_totals(df, text_col=text_col, dim=dim),
+        )
+        scored = importance_scores(
+            df, w, text_col=text_col, dim=dim, out_col=out_col
+        )
+        return scored.filter(F.col(out_col) >= F.lit(int(min_score_ppm)))
+
+    src = (
+        df.select(F.posexplode(hashed_counts(text_col, dim=dim)).alias("__b", "__c"))
+        .groupBy("__b")
+        .agg(F.sum("__c").alias("__sc"))
     )
-    scored = importance_scores(
-        df, w, text_col=text_col, dim=dim, out_col=out_col
+    tgt = (
+        target.select(
+            F.posexplode(hashed_counts(text_col, dim=dim)).alias("__b", "__c")
+        )
+        .groupBy("__b")
+        .agg(F.sum("__c").alias("__tc"))
+    )
+    # +dim smoothing mass mirrors importance_weights_ppm exactly; the two
+    # one-row sums broadcast onto the dim-sized weight relation. A bucket
+    # absent from src carries no scored mass (the source totals come from
+    # the very frame being scored), so the left join covers every bucket
+    # a score can touch; absent-from-target buckets coalesce to 0.
+    sums = F.broadcast(
+        src.agg((F.sum("__sc") + F.lit(dim)).alias("__ssum")).crossJoin(
+            tgt.agg((F.sum("__tc") + F.lit(dim)).alias("__tsum"))
+        ).select(
+            F.coalesce("__ssum", F.lit(dim)).alias("__ssum"),
+            F.coalesce("__tsum", F.lit(dim)).alias("__tsum"),
+        )
+    )
+    weights = (
+        src.join(tgt, on="__b", how="left")
+        .crossJoin(sums)
+        .select(
+            "__b",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.log(
+                    ((F.coalesce(F.col("__tc"), F.lit(0)) + F.lit(1)) * F.col("__ssum"))
+                    .cast("double")
+                    / ((F.col("__sc") + F.lit(1)) * F.col("__tsum")).cast("double")
+                )
+            ).cast("long").alias("__w"),
+        )
+    )
+    per_doc = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(hashed_counts(text_col, dim=dim)).alias("__b", "__c"),
+        )
+        .filter(F.col("__c") > 0)
+        .join(F.broadcast(weights), on="__b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__c") * F.col("__w")).alias(out_col))
+    )
+    # docs with no tokens fold to score 0 in the eager path — mirror that
+    # (left join on the UNIQUE id keeps text out of every shuffle key)
+    scored = df.join(per_doc, on=id_col, how="left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0))
     )
     return scored.filter(F.col(out_col) >= F.lit(int(min_score_ppm)))
 
@@ -241,10 +319,13 @@ def embed_documents(
         return df.withColumn(
             out_col, F.transform(vec, lambda v: v.cast("float"))
         )
-    # reference the integer vector through its own projection ONCE per
-    # consumer expression (norm, then scale) — two references total,
-    # bounded, unlike a per-bucket expansion
+    # project the integer vector, then the SCALAR norm, each through its
+    # own column — the transform lambda below references the norm as a
+    # plain column, never re-evaluating the O(dim) fold per element
+    # (Spark does not hoist subexpressions out of higher-order-function
+    # lambdas, so an inlined norm would cost O(dim²) per row)
     tmp = f"__{out_col}_raw"
+    tmp_n = f"__{out_col}_norm"
     norm = F.sqrt(
         F.aggregate(
             F.col(tmp),
@@ -254,14 +335,17 @@ def embed_documents(
     )
     return (
         df.withColumn(tmp, vec)
+        .withColumn(tmp_n, norm)
         .withColumn(
             out_col,
             F.transform(
                 F.col(tmp),
-                lambda v: F.when(norm > 0.0, v.cast("double") / norm)
+                lambda v: F.when(
+                    F.col(tmp_n) > 0.0, v.cast("double") / F.col(tmp_n)
+                )
                 .otherwise(F.lit(0.0))
                 .cast("float"),
             ),
         )
-        .drop(tmp)
+        .drop(tmp, tmp_n)
     )

@@ -563,11 +563,27 @@ def split_by_cluster(
         F.col(id_col),
         F.col(cluster_col).alias("__cs_cluster"),
     )
+    # the singleton fallback casts the id to long (components labelings
+    # emit long cluster ids) — a non-numeric string id would cast to
+    # NULL and silently route every unlabeled doc to 'train' (NULL hash
+    # → otherwise branch), so the cast failure raises instead
+    own = F.col(id_col).cast("long")
+    fallback = F.when(
+        F.col(id_col).isNotNull() & own.isNull(),
+        F.raise_error(
+            F.lit(
+                "split_by_cluster: id_col is not castable to long — the "
+                "singleton fallback needs numeric ids to stand in as "
+                "cluster ids; pre-map string ids or provide a total "
+                "clusters relation"
+            )
+        ).cast("long"),
+    ).otherwise(own)
     return (
         docs.join(lab, on=id_col, how="left")
         .withColumn(
             "cluster_id",
-            F.coalesce(F.col("__cs_cluster"), F.col(id_col).cast("long")),
+            F.coalesce(F.col("__cs_cluster"), fallback),
         )
         .drop("__cs_cluster")
         .withColumn(
@@ -642,7 +658,7 @@ CURATE_RESERVED_COLUMNS = (
     "rep_line_ok", "rep_para_ok", "top2_ok", "keep",
     "n_emails", "n_digit_runs", "n_tokens_packed", "pack_id",
     "n_span_tokens_removed", "nll_ppm", "n_boilerplate_paras_removed",
-    "quality_prob",
+    "quality_prob", "dsir_score_ppm",
 )
 
 
@@ -1098,6 +1114,8 @@ def curate(
             text_col=text_col,
             dim=dsir_dim if dsir_dim is not None else DEFAULT_DIM,
             min_score_ppm=dsir_min_score_ppm,
+            lazy=True,  # curate() launches no jobs — see the laziness contract
+            id_col=id_col,
         )
         post_stages = {"dsir": dsir}
         mix_input = dsir

@@ -235,12 +235,18 @@ def bm25_topk(
     **kwargs,
 ) -> DataFrame:
     """Top-k BM25 results with deterministic (score desc, id asc) tie-break
-    — a TakeOrderedAndProject, never a global sort."""
+    — a TakeOrderedAndProject, never a global sort — plus a ``rank``
+    column (row_number over the SAME order, windowed over the k rows
+    only) so the output feeds :func:`rrf_fuse` directly."""
+    from pyspark.sql import Window
+
     id_col = kwargs.get("id_col", "doc_id")
+    order = [F.col("score_ppm").desc(), F.col(id_col).asc()]
     return (
         bm25_scores(docs, query_terms, **kwargs)
-        .orderBy(F.col("score_ppm").desc(), F.col(id_col).asc())
+        .orderBy(*order)
         .limit(k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
     )
 
 
@@ -409,6 +415,14 @@ def bigram_nll_scores(
     )
 
 
+#: the exact-long score bound: (dot²·1e9) stays under 2⁶³−1 only while
+#: dot ≤ floor(√(2⁶³/1e9)) = 96,038 — held to 96,000 for headroom. A
+#: larger dot means ~10⁵ co-bucketed (doc, query) token-count mass,
+#: i.e. a pathological document; the guard raises rather than letting
+#: the long wrap negative and corrupt the ranking.
+DENSE_MAX_DOT = 96_000
+
+
 def dense_hash_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -430,7 +444,11 @@ def dense_hash_topk(
 
     is a pure long expression — no float enters the comparison, so the
     (score desc, id asc) order is engine-portable bit for bit. Overflow
-    needs dot ≥ ~3e6 co-bucketed (doc,query) token pairs — raise-guarded.
+    needs dot > √(2⁶³/1e9) ≈ 96k co-bucketed (doc,query) token-count
+    mass — raise-guarded at ``DENSE_MAX_DOT`` BEFORE the squaring, so a
+    pathological document fails loudly instead of wrapping the long and
+    corrupting the ranking. Output carries ``rank`` (windowed over the k
+    rows only), feeding :func:`rrf_fuse` directly.
 
     Scale shape: the query vector rides in as a dim-length literal
     (hashlib on the driver — same md5-prefix formula as the column
@@ -460,12 +478,13 @@ def dense_hash_topk(
         lambda acc, c: acc + c * c,
     )
     score = F.when(
-        F.col("__dot") > F.lit(3_000_000),
+        F.col("__dot") > F.lit(DENSE_MAX_DOT),
         F.raise_error(
             F.lit(
-                "dense_hash_topk: dot product too large for the "
-                "1e9-scaled long score — lower dim collision mass "
-                "or pre-truncate documents"
+                "dense_hash_topk: dot product exceeds the exact-long "
+                f"score bound ({DENSE_MAX_DOT}) — dot²·1e9 would "
+                "overflow int64; lower dim collision mass or "
+                "pre-truncate documents"
             )
         ).cast("long"),
     ).otherwise(
@@ -478,9 +497,14 @@ def dense_hash_topk(
         .filter(F.col("__dot") > 0)
         .select(id_col, score.alias("score_ppb"))
     )
-    return scored.orderBy(
-        F.col("score_ppb").desc(), F.col(id_col).asc()
-    ).limit(k)
+    order = [F.col("score_ppb").desc(), F.col(id_col).asc()]
+    from pyspark.sql import Window
+
+    return (
+        scored.orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    )
 
 
 def rrf_fuse(

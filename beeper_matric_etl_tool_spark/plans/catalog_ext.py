@@ -2788,19 +2788,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # rank over the ALREADY-limited top-k (10 rows) — the global window
-    # runs on a bounded frame, never the corpus
-    wb = Window.orderBy(F.col("score_ppm").desc(), F.col("doc_id").asc())
-    bm25_leg = (
-        bm25_topk(docs, list(_BM25_QUERY), k=10)
-        .withColumn("rank", F.row_number().over(wb))
-        .select(
-            F.lit("bm25").alias("method"),
-            "doc_id",
-            F.lit(None).cast("string").alias("term"),
-            "score_ppm",
-            "rank",
-        )
+    # bm25_topk emits rank itself (windowed over the already-limited k
+    # rows — the global window runs on a bounded frame, never the corpus)
+    bm25_leg = bm25_topk(docs, list(_BM25_QUERY), k=10).select(
+        F.lit("bm25").alias("method"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        "score_ppm",
+        "rank",
     )
     lm_leg = unigram_nll_scores(docs).select(
         F.lit("lm").alias("method"),
@@ -2833,12 +2828,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ordering); method='rrf' — reciprocal rank fusion of the bm25 and
     # dense top-10 lists (1e9 DIV (60+rank), Cormack et al. 2009): the
     # hybrid-retrieval surface, rank-only so the ppm/ppb scales never mix.
-    dense_rk = dense_hash_topk(docs, list(_BM25_QUERY), k=10, dim=64).withColumn(
-        "rank",
-        F.row_number().over(
-            Window.orderBy(F.col("score_ppb").desc(), F.col("doc_id").asc())
-        ),
-    )
+    dense_rk = dense_hash_topk(docs, list(_BM25_QUERY), k=10, dim=64)
     dense_leg = dense_rk.select(
         F.lit("dense").alias("method"),
         "doc_id",

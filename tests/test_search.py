@@ -343,7 +343,7 @@ def test_dense_hash_topk_matches_duckdb_oracle(spark, sf_dir):
                    CAST(sum(v.c * v.c) AS BIGINT) AS norm2
             FROM dvc v LEFT JOIN qvb q USING (b) GROUP BY v.doc_id
         )
-        SELECT doc_id, score_ppb FROM (
+        SELECT doc_id, score_ppb, rnk AS rank FROM (
             SELECT doc_id,
                    CAST((dot * dot * 1000000000) // norm2 AS BIGINT)
                        AS score_ppb,
@@ -405,3 +405,17 @@ def test_bigram_nll_reference_mode_is_batch_invariant(spark, sf_dir):
     n_total, v = len(toks), len(set(toks))
     exp = math.floor(-1e6 * math.log((1.0 - 0.7) * 1.0 / (n_total + v)))
     assert s1[101] == exp
+
+
+def test_rrf_fuse_composes_with_topk_producers(spark, sf_dir):
+    """The advertised composition works directly: both top-k producers
+    emit rank, so fusion needs no hand-built window; the fused head is
+    deterministic across runs."""
+    docs = table(spark, sf_dir, "documents")
+    fused = rrf_fuse(
+        [bm25_topk(docs, QUERY, k=10), dense_hash_topk(docs, QUERY, k=10)]
+    )
+    rows = fused.collect()
+    assert 10 <= len(rows) <= 20
+    assert rows == fused.collect()
+    assert all(r["n_lists"] in (1, 2) for r in rows)
