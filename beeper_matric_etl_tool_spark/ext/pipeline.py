@@ -26,10 +26,16 @@ catalog query runs, so the composition adds no new semantics, only wiring:
 8. sequence packing  — deterministic pseudo-random order, fixed
                        token-budget bins (pack_by_budget below)
 
-Every stage is LAZY — `curate()` returns the per-stage DataFrames without
-running a single job, so a caller can materialize only the final corpus
-(one pass at 100 TB) or audit any intermediate. `stage_report()` forces
-counts when the funnel numbers themselves are the product.
+Every stage is LAZY — with ONE scoped exception: the near-dup components
+labeling (`ext/dedup.py:dedup_clusters`, pointer jumping) is iterative
+and must run its bounded convergence actions at curate() time, over the
+fingerprint/pair relations only — never text, never the corpus. Every
+OTHER stage (including the optional classifier/despan/fluency/dsir
+stages — dsir rides `importance_resample(lazy=True)`, pinned zero-jobs
+in tests) builds pure plans, so a caller materializes only the final
+corpus (one data pass at 100 TB) or audits any intermediate.
+`stage_report()` forces counts when the funnel numbers themselves are
+the product.
 
 Determinism contract: re-running curate() on the same input yields
 byte-identical decisions — every stage keys off content hashes or ids,

@@ -172,3 +172,58 @@ def test_dsir_importance_resampling(spark):
         importance_weights_ppm([0] * 4, [0] * 8)
     with pytest.raises(ValueError, match="weights for dim"):
         importance_scores(df, [0] * 4, dim=16)
+
+
+def test_importance_resample_lazy_matches_eager_and_launches_no_jobs(spark, sf_dir):
+    """lazy=True returns the exact eager rows/scores (same integer
+    weights — the ln() input set is dim-sized either way) and launches
+    ZERO jobs at construction — the contract curate()'s dsir stage
+    relies on."""
+    from beeper_matric_etl_tool_spark.ext.embed import importance_resample
+    from beeper_matric_etl_tool_spark.sources.tables import table
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "text")
+    )
+    eager = {
+        (r["doc_id"], r["dsir_score_ppm"])
+        for r in importance_resample(docs, target, dim=32).collect()
+    }
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    lazy_df = importance_resample(docs, target, dim=32, lazy=True)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before)  # construction launched nothing
+    lazy = {
+        (r["doc_id"], r["dsir_score_ppm"]) for r in lazy_df.collect()
+    }
+    assert lazy == eager
+
+
+def test_curate_dsir_adds_no_eager_scoring_jobs(spark, sf_dir):
+    """The dsir stage inside curate() must not add eager scoring work at
+    construction: curate(dsir_target) launches no more jobs than the
+    default funnel on the same input (the only construction-time actions
+    are the components labeling's bounded pointer-jumping rounds, which
+    both calls share — see the module docstring's scoped laziness
+    contract)."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import curate
+    from beeper_matric_etl_tool_spark.sources.tables import table
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    tracker = spark.sparkContext.statusTracker()
+    curate(docs)  # warm: session/AQE one-time costs out of the measurement
+    b = tracker.getJobIdsForGroup(None)
+    curate(docs)
+    mid = tracker.getJobIdsForGroup(None)
+    curate(docs, dsir_target=target)
+    a = tracker.getJobIdsForGroup(None)
+    base_jobs = len(mid) - len(b)
+    dsir_jobs = len(a) - len(mid)
+    assert dsir_jobs <= base_jobs, (base_jobs, dsir_jobs)
