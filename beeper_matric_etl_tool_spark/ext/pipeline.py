@@ -659,9 +659,11 @@ def pack_by_budget(
 CURATE_RESERVED_COLUMNS = (
     "n_tokens", "ttr_ppm", "dup3_ppm", "stop_hits", "mean_len_x100",
     "dup_line_ppm", "dup_line_char_ppm", "dup_para_ppm", "dup_para_char_ppm",
-    "top2gram_ppm",
+    "top2gram_ppm", "symbol_ppm", "bullet_line_ppm", "ellipsis_line_ppm",
+    "alpha_word_ppm",
     "len_ok", "ttr_ok", "rep_ok", "stop_ok", "avglen_ok",
-    "rep_line_ok", "rep_para_ok", "top2_ok", "keep",
+    "rep_line_ok", "rep_para_ok", "top2_ok", "symbol_ok", "bullet_ok",
+    "ellipsis_ok", "alpha_ok", "keep",
     "n_emails", "n_digit_runs", "n_tokens_packed", "pack_id",
     "n_span_tokens_removed", "nll_ppm", "n_boilerplate_paras_removed",
     "quality_prob", "dsir_score_ppm",

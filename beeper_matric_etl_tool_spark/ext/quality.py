@@ -70,7 +70,27 @@ QUALITY_BOUNDS = {
     # the synthetic corpus: 166_666 ppm, so the rule is live but
     # non-perturbing at the oracle tier.
     "max_top2gram_ppm": 200_000,
+    # Gopher's format battery (round 7). symbol: '#'/ellipsis mentions
+    # per word ≤ 0.1 (markup/truncation junk); bullet: ≤ 90% of lines
+    # may start with a bullet glyph; ellipsis: ≤ 30% of lines may END
+    # with an ellipsis (pagination/truncation artifacts); alpha: ≥ 80%
+    # of words must contain a letter (symbol soup, tables of numbers).
+    # The newline-free synthetic corpus scores 0/0/0/1e6 — all live but
+    # non-perturbing at the oracle tier, exercised by planted docs.
+    "max_symbol_ppm": 100_000,
+    "max_bullet_line_ppm": 900_000,
+    "max_ellipsis_line_ppm": 300_000,
+    "min_alpha_word_ppm": 800_000,
 }
+
+#: the format-battery regexes — RE2 ∩ Java common subset, shared with the
+#: SQL twins by interpolation so the two planes cannot drift. The char
+#: class leads with '-' (not a range); '…' is the single-codepoint
+#: ellipsis both engines match literally under UTF-8.
+SYMBOL_RE = r"#|\.\.\.|…"
+BULLET_LINE_RE = r"^[-*•]"
+ELLIPSIS_LINE_RE = r"(\.\.\.|…)$"
+ALPHA_WORD_RE = r"[a-zA-Z]"
 
 
 def _segments(col: Column, pattern: str) -> Column:
@@ -165,9 +185,12 @@ def repetition_signal_columns(text_col: Column | str) -> dict[str, Column]:
 def quality_signal_columns(
     text_col: Column | str, lang_col: Column | str | None = None
 ) -> dict[str, Column]:
-    """The five C4/Gopher quality SIGNALS as exact-integer named columns:
+    """The C4/Gopher quality SIGNALS as exact-integer named columns:
     token count, type-token ratio (ppm), duplicate-3-gram ratio (ppm),
-    stopword hits, mean token length (x100). The 3-gram ratio compares
+    stopword hits, mean token length (x100), the line/paragraph
+    repetition battery, the top-2-gram ceiling, and the format battery
+    (symbol-per-word, bullet-led / ellipsis-ended line fractions,
+    letter-bearing word fraction — all ppm). The 3-gram ratio compares
     TOTAL shingle count (positions) against DISTINCT shingles, both
     O(tokens) array ops — no explode, no shuffle.
 
@@ -209,6 +232,11 @@ def quality_signal_columns(
     mean_len = F.floor(
         (F.lit(100) * (F.length(col) - (n_tokens - F.lit(1)))) / n_tokens
     ).cast("long")
+    # the format battery (Gopher, round 7): symbol mentions per word,
+    # bullet-led and ellipsis-ended line fractions, letter-bearing word
+    # fraction — all O(tokens/lines) array algebra like the rest
+    seg_lines = _segments(col, r"\n")
+    n_lines = F.greatest(F.size(seg_lines), F.lit(1))
     return {
         "n_tokens": n_tokens.cast("int"),
         "ttr_ppm": xtext.scaled_ratio(n_uniq, n_tokens),
@@ -219,6 +247,22 @@ def quality_signal_columns(
         "top2gram_ppm": xtext.scaled_ratio(
             _max_multiplicity(all_shingles(toks, k=2)),
             F.greatest(n_tokens - F.lit(1), F.lit(1)),
+        ),
+        "symbol_ppm": xtext.scaled_ratio(
+            F.regexp_count(col, F.lit(SYMBOL_RE)),
+            F.greatest(n_tokens, F.lit(1)),
+        ),
+        "bullet_line_ppm": xtext.scaled_ratio(
+            F.size(F.filter(seg_lines, lambda x: x.rlike(BULLET_LINE_RE))),
+            n_lines,
+        ),
+        "ellipsis_line_ppm": xtext.scaled_ratio(
+            F.size(F.filter(seg_lines, lambda x: x.rlike(ELLIPSIS_LINE_RE))),
+            n_lines,
+        ),
+        "alpha_word_ppm": xtext.scaled_ratio(
+            F.size(F.filter(toks, lambda x: x.rlike(ALPHA_WORD_RE))),
+            F.greatest(n_tokens, F.lit(1)),
         ),
     }
 
@@ -242,6 +286,10 @@ def quality_verdict_columns() -> dict[str, Column]:
         F.col("dup_para_char_ppm") <= b["max_dup_para_char_ppm"]
     )
     top2_ok = F.col("top2gram_ppm") <= b["max_top2gram_ppm"]
+    symbol_ok = F.col("symbol_ppm") <= b["max_symbol_ppm"]
+    bullet_ok = F.col("bullet_line_ppm") <= b["max_bullet_line_ppm"]
+    ellipsis_ok = F.col("ellipsis_line_ppm") <= b["max_ellipsis_line_ppm"]
+    alpha_ok = F.col("alpha_word_ppm") >= b["min_alpha_word_ppm"]
     return {
         "len_ok": len_ok,
         "ttr_ok": ttr_ok,
@@ -251,6 +299,10 @@ def quality_verdict_columns() -> dict[str, Column]:
         "rep_line_ok": rep_line_ok,
         "rep_para_ok": rep_para_ok,
         "top2_ok": top2_ok,
+        "symbol_ok": symbol_ok,
+        "bullet_ok": bullet_ok,
+        "ellipsis_ok": ellipsis_ok,
+        "alpha_ok": alpha_ok,
         "keep": len_ok
         & ttr_ok
         & rep_ok
@@ -258,7 +310,11 @@ def quality_verdict_columns() -> dict[str, Column]:
         & avglen_ok
         & rep_line_ok
         & rep_para_ok
-        & top2_ok,
+        & top2_ok
+        & symbol_ok
+        & bullet_ok
+        & ellipsis_ok
+        & alpha_ok,
     }
 
 

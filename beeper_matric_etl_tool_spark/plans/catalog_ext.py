@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from beeper_matric_etl_tool_spark.ext import dedup as xdedup
+from beeper_matric_etl_tool_spark.ext import quality as xquality
 from beeper_matric_etl_tool_spark.ext import embed as xembed
 from beeper_matric_etl_tool_spark.ext import similarity as xsim
 from beeper_matric_etl_tool_spark.ext import text as xtext
@@ -138,7 +139,18 @@ def _quality_signal_cte_sql(source: str) -> str:
                    CAST(coalesce(list_sum(list_transform(list_distinct(seg_paras), x -> len(x))), 0) AS BIGINT) AS uniq_para_chars,
                    len(g2s) AS n_g2,
                    list_filter(generate_series(1, greatest(len(g2s), 1)),
-                               i -> i = 1 OR g2s[i] <> g2s[i-1]) AS g2bpos
+                               i -> i = 1 OR g2s[i] <> g2s[i-1]) AS g2bpos,
+                   len(regexp_extract_all(text, '{xquality.SYMBOL_RE}'))
+                       AS n_symbols,
+                   len(list_filter(seg_lines,
+                       x -> regexp_matches(x, '{xquality.BULLET_LINE_RE}')))
+                       AS n_bullet_lines,
+                   len(list_filter(seg_lines,
+                       x -> regexp_matches(x, '{xquality.ELLIPSIS_LINE_RE}')))
+                       AS n_ellipsis_lines,
+                   len(list_filter(str_split(text, ' '),
+                       x -> regexp_matches(x, '{xquality.ALPHA_WORD_RE}')))
+                       AS n_alpha_words
             FROM seg
         ),
         m AS (
@@ -154,7 +166,14 @@ def _quality_signal_cte_sql(source: str) -> str:
                         generate_series(1, len(g2bpos)),
                         j -> (CASE WHEN j < len(g2bpos) THEN g2bpos[j+1]
                                    ELSE n_g2 + 1 END) - g2bpos[j])))
-                     // greatest(n_tokens - 1, 1) AS top2gram_ppm
+                     // greatest(n_tokens - 1, 1) AS top2gram_ppm,
+                   (1000000 * n_symbols) // greatest(n_tokens, 1) AS symbol_ppm,
+                   (1000000 * n_bullet_lines) // greatest(n_lines, 1)
+                       AS bullet_line_ppm,
+                   (1000000 * n_ellipsis_lines) // greatest(n_lines, 1)
+                       AS ellipsis_line_ppm,
+                   (1000000 * n_alpha_words) // greatest(n_tokens, 1)
+                       AS alpha_word_ppm
             FROM s
         )"""
 
@@ -185,6 +204,10 @@ def _quality_verdict_cte_sql() -> str:
             f" AND dup_para_char_ppm <= {qb['max_dup_para_char_ppm']})"
         ),
         "top2_ok": f"(top2gram_ppm <= {qb['max_top2gram_ppm']})",
+        "symbol_ok": f"(symbol_ppm <= {qb['max_symbol_ppm']})",
+        "bullet_ok": f"(bullet_line_ppm <= {qb['max_bullet_line_ppm']})",
+        "ellipsis_ok": f"(ellipsis_line_ppm <= {qb['max_ellipsis_line_ppm']})",
+        "alpha_ok": f"(alpha_word_ppm >= {qb['min_alpha_word_ppm']})",
     }
     verdicts = ",\n                   ".join(
         f"{expr} AS {name}" for name, expr in rules.items()

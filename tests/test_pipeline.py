@@ -512,9 +512,34 @@ def test_quality_gate_repetition_battery(spark):
     phrase_spam = " ".join(
         w for i in range(20) for w in (f"filler{i:02d}x", "the", "data")
     ) + " lastword"
+    # docs 5-8: the round-7 format battery, one sole-kill each.
+    # doc 5: every line bullet-led (fraction 1.0 > the 0.90 ceiling);
+    # lines distinct, stopword-bearing, 50+ tokens, no digits
+    bullets = "\n".join(f"- the item w{i}a w{i}b w{i}c w{i}d" for i in range(10))
+    # doc 6: 3 of 6 lines END with an ellipsis (500_000 > 300_000)
+    ellipsis = "\n".join(
+        line + ("..." if i % 2 == 0 else "")
+        for i, line in enumerate(uniq_lines)
+    )
+    # doc 7: symbol soup — one '#' token per 6 words (166_666 > 100_000);
+    # the '#' tokens are single-char words, so mean length stays in band
+    # via long filler words
+    symbols = " ".join(
+        w for i in range(12) for w in (f"wordier{i:02d}x", "the", "of",
+                                       f"lengthy{i:02d}y", f"filler{i:02d}z", "#")
+    )
+    # doc 8: ~a third of the words carry no letter (alpha < 800_000);
+    # '::' neighbors are all-distinct words so no bigram repeats, and a
+    # leading stopword pair satisfies the floor
+    nonalpha = "the of " + " ".join(
+        w
+        for i in range(20)
+        for w in (f"va{chr(97 + i)}lpha", "::", f"vb{chr(97 + i)}ravo")
+    )
     docs = spark.createDataFrame(
         [(1, "en", clean), (2, "en", sep_heavy), (3, "en", boiler),
-         (4, "en", phrase_spam)],
+         (4, "en", phrase_spam), (5, "en", bullets), (6, "en", ellipsis),
+         (7, "en", symbols), (8, "en", nonalpha)],
         "doc_id long, lang string, text string",
     )
 
@@ -550,6 +575,27 @@ def test_quality_gate_repetition_battery(spark):
                   "rep_line_ok", "rep_para_ok")
     )
 
+    legacy = ("len_ok", "ttr_ok", "rep_ok", "stop_ok", "avglen_ok",
+              "rep_line_ok", "rep_para_ok", "top2_ok")
+    r5 = rows[5]
+    assert r5["bullet_line_ppm"] == 1_000_000
+    assert not r5["bullet_ok"] and not r5["keep"]
+    assert all(r5[k] for k in legacy + ("symbol_ok", "ellipsis_ok", "alpha_ok"))
+    r6 = rows[6]
+    assert r6["ellipsis_line_ppm"] == 500_000
+    assert not r6["ellipsis_ok"] and not r6["keep"]
+    assert all(r6[k] for k in legacy + ("symbol_ok", "bullet_ok", "alpha_ok"))
+    r7 = rows[7]
+    assert r7["symbol_ppm"] == 166_666  # 12 '#' of 72 words
+    assert not r7["symbol_ok"] and not r7["keep"]
+    assert all(r7[k] for k in legacy + ("bullet_ok", "ellipsis_ok", "alpha_ok"))
+    r8 = rows[8]
+    assert r8["alpha_word_ppm"] == 677_419  # 42 lettered of 62 words
+    assert not r8["alpha_ok"] and not r8["keep"]
+    assert all(r8[k] for k in legacy + ("symbol_ok", "bullet_ok", "ellipsis_ok"))
+    # the clean doc passes the whole new battery too
+    assert all(rows[1][k] for k in ("symbol_ok", "bullet_ok", "ellipsis_ok", "alpha_ok"))
+
     # cross-engine: replay the ORACLE's own CTE fragments in DuckDB on
     # the same planted docs and compare every signal + verdict
     con = duckdb.connect()
@@ -570,9 +616,11 @@ def test_quality_gate_repetition_battery(spark):
         for col in (
             "n_tokens", "ttr_ppm", "dup3_ppm", "stop_hits", "mean_len_x100",
             "dup_line_ppm", "dup_line_char_ppm", "dup_para_ppm",
-            "dup_para_char_ppm", "top2gram_ppm", "len_ok", "ttr_ok",
-            "rep_ok", "stop_ok", "avglen_ok", "rep_line_ok", "rep_para_ok",
-            "top2_ok", "keep",
+            "dup_para_char_ppm", "top2gram_ppm", "symbol_ppm",
+            "bullet_line_ppm", "ellipsis_line_ppm", "alpha_word_ppm",
+            "len_ok", "ttr_ok", "rep_ok", "stop_ok", "avglen_ok",
+            "rep_line_ok", "rep_para_ok", "top2_ok", "symbol_ok",
+            "bullet_ok", "ellipsis_ok", "alpha_ok", "keep",
         ):
             assert s[col] == o[col], (o["doc_id"], col, s[col], o[col])
 
