@@ -755,3 +755,42 @@ def knn_suite(
     return ranked.select(
         "query_id", "neighbor_id", "cosine_ppm", F.inline(entries)
     ).select("strategy", "query_id", "neighbor_id", "cosine_ppm", "rank")
+
+
+def evaluate_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k audit of ANY approximate top-k result set against its
+    exact (brute-force) ground truth — the eval loop an ANN deployment
+    tunes nprobe/nlist/planes against. Inputs are two (query, id)
+    relations (extra columns ignored); returns one row per query:
+    ``(query_col, n_exact, n_hit, recall_ppm)`` with recall_ppm =
+    floor(1e6·|approx ∩ exact| / |exact|) — exact integers, so the audit
+    itself is engine-portable and hash-stable like every other metric
+    the engine emits. Queries present in ``exact`` but absent from
+    ``approx`` (the worst failure: the index returned nothing) appear
+    with n_hit = 0 rather than silently vanishing.
+
+    Scale shape: one equi-join on (query, id) — both relations are
+    top-k-sized (queries × k rows), so the join and the per-query
+    aggregation ride result-sized relations, never the corpus. Compose:
+    ``evaluate_recall(search_ivf_pq(...), cosine_topk(...))`` then
+    ``.agg(avg)`` driver-side for the headline number."""
+    a = approx.select(F.col(query_col), F.col(id_col)).withColumn(
+        "__hit", F.lit(1)
+    )
+    e = exact.select(F.col(query_col), F.col(id_col))
+    joined = e.join(a, on=[query_col, id_col], how="left")
+    return joined.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_hit"),
+        F.floor(
+            (F.lit(1_000_000) * F.sum(F.coalesce(F.col("__hit"), F.lit(0))))
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("recall_ppm"),
+    )
