@@ -1444,3 +1444,121 @@ def packing_waste(
         "total_tokens": tot,
         "waste_ppm": int((1_000_000 * (cap - tot)) // cap) if cap else 0,
     }
+
+
+#: token-count histogram bucket edges for :func:`corpus_report` — the
+#: length distribution a data card publishes; the last bucket is open.
+REPORT_HIST_EDGES = (0, 50, 100, 200, 500, 1000, 2000, 5000)
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+) -> dict:
+    """The corpus DATA CARD in one aggregation pass: per-language (or
+    whole-corpus when ``lang_col`` is None) document/token/char totals,
+    per-quality-rule failure counts, PII mention volume, exact-duplicate
+    document count, and a token-length histogram — the release-notes
+    numbers every dataset card publishes, computed the way the engine
+    computes everything else (exact integers, deterministic, no
+    sampling).
+
+    Returns ``{lang: {...}, "_corpus": {...}}`` where each entry carries
+    ``n_docs``, ``total_tokens``, ``total_chars``, ``exact_dup_docs``
+    (docs minus distinct content fingerprints — WITHIN the group),
+    ``rule_failures`` ({rule: n_failing}), ``pii`` ({emails,
+    digit_runs}) and ``token_hist`` ({"0-49": n, ..., "5000+": n}).
+    ``_corpus`` sums the additive metrics across groups; its
+    ``exact_dup_docs`` is recomputed globally in the same job (a
+    fingerprint duplicated ACROSS languages is invisible to within-group
+    distinct counts, so the global number is NOT the sum).
+
+    Scale shape: ONE job — a rollup(lang) over a projection where every
+    metric is column algebra (the quality battery, regexp counts, CASE
+    bucket sums); the one non-trivial aggregate is the EXACT
+    count_distinct(md5), which Spark executes with a partial-distinct
+    expand — still map-side combined, and no shuffle key ever carries
+    text (fingerprints only). The result is #langs × #metrics scalars —
+    driver-bounded."""
+    from beeper_matric_etl_tool_spark.ext.quality import (
+        pii_columns,
+        quality_signal_columns,
+        quality_verdict_columns,
+    )
+    from beeper_matric_etl_tool_spark.ext.text import token_count
+
+    sig = quality_signal_columns(text_col, lang_col=lang_col)
+    pii = pii_columns(text_col)
+    lang = (
+        F.col(lang_col) if lang_col is not None else F.lit("_corpus")
+    ).alias("__lang")
+    base = docs.select(
+        lang,
+        F.md5(F.col(text_col)).alias("__fp"),
+        token_count(text_col).alias("__n_toks"),
+        F.length(F.col(text_col)).alias("__n_chars"),
+        pii["n_emails"].alias("__emails"),
+        pii["n_digit_runs"].alias("__digits"),
+        *[c.alias(n) for n, c in sig.items()],
+    ).select("*", *[c.alias(n) for n, c in quality_verdict_columns().items()])
+    rules = [k for k in quality_verdict_columns() if k != "keep"]
+    edges = list(REPORT_HIST_EDGES)
+    buckets: list[tuple[str, Column]] = []
+    for lo, hi in zip(edges, edges[1:]):
+        buckets.append(
+            (
+                f"{lo}-{hi - 1}",
+                F.sum(
+                    F.when(
+                        F.col("__n_toks").between(lo, hi - 1), 1
+                    ).otherwise(0)
+                ),
+            )
+        )
+    buckets.append(
+        (
+            f"{edges[-1]}+",
+            F.sum(F.when(F.col("__n_toks") >= edges[-1], 1).otherwise(0)),
+        )
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n_toks").alias("total_tokens"),
+        F.sum("__n_chars").alias("total_chars"),
+        F.count_distinct("__fp").alias("__uniq_fp"),
+        F.sum("__emails").alias("__pii_emails"),
+        F.sum("__digits").alias("__pii_digits"),
+        *[
+            F.sum(F.when(~F.col(r), 1).otherwise(0)).alias(f"__fail_{r}")
+            for r in rules
+        ],
+        *[b.alias(f"__hist_{i}") for i, (_, b) in enumerate(buckets)],
+    ]
+    # grouping sets: per-language rows AND the global row in the SAME
+    # job — the global distinct-fingerprint count cannot be summed from
+    # the per-language ones (cross-language duplicates), so it must be
+    # its own grouping, not client-side addition
+    rolled = base.rollup("__lang").agg(*aggs).collect()
+    out: dict = {}
+    for row in rolled:
+        key = row["__lang"] if row["__lang"] is not None else "_corpus"
+        out[key] = {
+            "n_docs": int(row["n_docs"]),
+            "total_tokens": int(row["total_tokens"] or 0),
+            "total_chars": int(row["total_chars"] or 0),
+            "exact_dup_docs": int(row["n_docs"]) - int(row["__uniq_fp"]),
+            "rule_failures": {
+                r: int(row[f"__fail_{r}"]) for r in rules
+            },
+            "pii": {
+                "emails": int(row["__pii_emails"] or 0),
+                "digit_runs": int(row["__pii_digits"] or 0),
+            },
+            "token_hist": {
+                name: int(row[f"__hist_{i}"])
+                for i, (name, _) in enumerate(buckets)
+            },
+        }
+    return out

@@ -1439,3 +1439,46 @@ def test_sample_top_fraction_exact_counts_and_direction(spark, sf_dir):
 
     with _pt.raises(ValueError, match="keep_ppm"):
         sample_top_fraction(scored, "score_ppm", keep_ppm=2_000_000)
+
+
+def test_corpus_report_data_card(spark, sf_dir):
+    """The one-pass data card: per-language and global rows agree with
+    independently-computed ground truth on a planted corpus — including
+    the case the rollup exists for: a fingerprint duplicated ACROSS
+    languages is a global duplicate but no language's within-group
+    duplicate, so the global exact_dup_docs is NOT the per-lang sum."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import corpus_report
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and then runs to the "
+        "river where it drinks some of that cool clear water before "
+        "returning to its den in the forest to rest for the evening hours "
+        "while other animals of the wood begin their own nightly routines "
+        "under a wide sky full of bright and patient little stars"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "en", good),                      # clean
+            (2, "en", good),                      # within-lang duplicate
+            (3, "es", good),                      # CROSS-lang duplicate
+            (4, "en", "spam " * 80),              # quality victim (ttr)
+            (5, "en", good + " mail me at bob@example.com now please"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    report = corpus_report(docs)
+    en, es, corpus = report["en"], report["es"], report["_corpus"]
+    assert en["n_docs"] == 4 and es["n_docs"] == 1 and corpus["n_docs"] == 5
+    assert en["exact_dup_docs"] == 1      # doc 2 duplicates doc 1
+    assert es["exact_dup_docs"] == 0      # unique within es...
+    assert corpus["exact_dup_docs"] == 2  # ...but not globally
+    assert en["pii"]["emails"] == 1 and corpus["pii"]["emails"] == 1
+    assert en["rule_failures"]["ttr_ok"] == 1  # the spam doc
+    assert corpus["rule_failures"]["ttr_ok"] == 1
+    n_good_tokens = len(good.split(" "))
+    assert sum(en["token_hist"].values()) == 4
+    assert en["token_hist"]["50-99"] >= 3  # the good-body docs
+    assert corpus["total_tokens"] == (
+        en["total_tokens"] + es["total_tokens"]
+    )
+    assert n_good_tokens < 100
