@@ -204,26 +204,21 @@ def test_importance_resample_lazy_matches_eager_and_launches_no_jobs(spark, sf_d
     assert lazy == eager
 
 
-def test_curate_dsir_adds_no_eager_scoring_jobs(spark, sf_dir):
-    """The dsir stage inside curate() must not add eager scoring work at
-    construction: curate(dsir_target) launches no more jobs than the
-    default funnel on the same input (the only construction-time actions
-    are the components labeling's bounded pointer-jumping rounds, which
-    both calls share — see the module docstring's scoped laziness
-    contract)."""
+def test_curate_dsir_stage_is_the_lazy_plan_form(spark, sf_dir):
+    """curate(dsir_target) must build the dsir stage through the LAZY
+    importance_resample form (zero construction jobs — pinned above on
+    the operator): the lazy plan scores via posexplode + a weights JOIN,
+    where the eager form embeds the collected weights as a literal array
+    consumed by zip_with. Plan-shape assertion (deterministic, unlike
+    session-wide job counting): the stage plan contains a generator
+    explode and no zip_with scoring fold."""
     from beeper_matric_etl_tool_spark.ext.pipeline import curate
     from beeper_matric_etl_tool_spark.sources.tables import table
     from pyspark.sql import functions as F
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
-    tracker = spark.sparkContext.statusTracker()
-    curate(docs)  # warm: session/AQE one-time costs out of the measurement
-    b = tracker.getJobIdsForGroup(None)
-    curate(docs)
-    mid = tracker.getJobIdsForGroup(None)
-    curate(docs, dsir_target=target)
-    a = tracker.getJobIdsForGroup(None)
-    base_jobs = len(mid) - len(b)
-    dsir_jobs = len(a) - len(mid)
-    assert dsir_jobs <= base_jobs, (base_jobs, dsir_jobs)
+    stages = curate(docs, dsir_target=target)
+    plan = stages["dsir"]._jdf.queryExecution().optimizedPlan().toString()
+    assert "posexplode" in plan or "Generate" in plan
+    assert "zip_with" not in plan

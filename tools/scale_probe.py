@@ -408,6 +408,35 @@ def timed_fn(fn):
     return round(time.perf_counter() - t0, 4), v
 
 
+def probe_corpus_report(docs):
+    """The one-rollup data card (`ext/pipeline.py:corpus_report`): every
+    metric is column algebra over one projection + a rollup(lang) agg
+    (exact count_distinct is the only expand) — expect ~linear, output
+    size constant."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import corpus_report
+
+    rep = corpus_report(docs)
+    return rep["_corpus"]["n_docs"], rep["_corpus"]["exact_dup_docs"]
+
+
+def probe_top_fraction(docs):
+    """Exact percentile gate (`sample_top_fraction`): per-stratum rank +
+    count windows over a pruned (lang, score, id) projection — the
+    sample_quota sort shape with a data-dependent k. Expect ~n log n;
+    kept counts scale exactly with the corpus (the semantics)."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import sample_top_fraction
+    from beeper_matric_etl_tool_spark.ext.text import token_count
+
+    base = docs.select("doc_id", "lang", token_count("text").alias("n_toks"))
+    kept = sample_top_fraction(
+        base, "n_toks", keep_ppm=750_000, strata_col="lang"
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_toks").alias("membership_checksum"),
+    )
+
+
 def probe_bigram_nll(docs):
     """Interpolated bigram-LM scoring (`ext/search.py:bigram_nll_scores`):
     one tokenize pass, transition relation via a zero-shuffle array zip,
@@ -520,6 +549,7 @@ def main() -> None:
         ("duplicate_spans", probe_duplicate_spans),
         ("unigram_nll", probe_unigram_nll),
         ("bigram_nll", probe_bigram_nll),
+        ("top_fraction", probe_top_fraction),
         ("quota_sample", probe_quota_sample),
         ("quota_sample_two_phase", probe_quota_two_phase),
         ("bpe_training", probe_bpe_training),
@@ -548,6 +578,11 @@ def main() -> None:
             "dsir_resample",
             lambda: probe_dsir(docs, dsir_target),
             lambda: probe_dsir(big_docs, dsir_target),
+        ),
+        (
+            "corpus_report",
+            lambda: probe_corpus_report(docs),
+            lambda: probe_corpus_report(big_docs),
         ),
     ):
         t1, r1 = timed_fn(fn1)
