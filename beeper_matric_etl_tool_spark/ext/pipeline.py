@@ -403,6 +403,70 @@ def sample_top_fraction(
     )
 
 
+def score_buckets(
+    df: DataFrame,
+    score_col: str,
+    cuts_ppm: tuple[int, ...] = (333_333, 666_666),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    ascending: bool = True,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+    out_col: str = "score_bucket",
+) -> DataFrame:
+    """Label every row with its score-percentile bucket — CCNet's
+    head/middle/tail split (per language when ``strata_col`` is set):
+    rank rows by score (``ascending=True`` = best-first for NLL), bucket
+    by exact integer percentile rank·1e6 DIV n against ``cuts_ppm``.
+    Default thirds; any monotone cut list works (len(labels) =
+    len(cuts_ppm)+1). Unlike a filter, ALL rows survive with a label —
+    the form downstream mixture builders consume (e.g. upsample 'head',
+    downsample 'tail' via `mix_epochs`/`sample_quota` keyed on the
+    bucket). Deterministic (id tie-break), exact integers, no percentile
+    sketch — two engines agree on every label.
+
+    Scale shape: the `sample_top_fraction` window pair (rank + count
+    over one partitioning) plus a CASE — one exchange keyed by the
+    stratum."""
+    from pyspark.sql import Window
+
+    if len(labels) != len(cuts_ppm) + 1:
+        raise ValueError(
+            f"score_buckets: {len(labels)} labels need "
+            f"{len(labels) - 1} cuts, got {len(cuts_ppm)}"
+        )
+    if list(cuts_ppm) != sorted(cuts_ppm) or not all(
+        0 < c < 1_000_000 for c in cuts_ppm
+    ):
+        raise ValueError(
+            f"score_buckets: cuts_ppm={cuts_ppm} must be strictly "
+            f"inside (0, 1e6) and nondecreasing"
+        )
+    score = F.col(score_col)
+    order = [score.asc() if ascending else score.desc(), F.col(id_col).asc()]
+    if strata_col is not None:
+        wrank = Window.partitionBy(strata_col).orderBy(*order)
+        wall = Window.partitionBy(strata_col)
+    else:
+        wrank = Window.orderBy(*order)
+        wall = Window.partitionBy()
+    pct = F.expr(
+        "(__sb_rk * 1000000) DIV __sb_n"
+    )
+    bucket = None
+    for cut, label in zip(cuts_ppm, labels):
+        cond = pct <= F.lit(int(cut))
+        bucket = (
+            F.when(cond, label) if bucket is None else bucket.when(cond, label)
+        )
+    bucket = bucket.otherwise(labels[-1])
+    return (
+        df.withColumn("__sb_rk", F.row_number().over(wrank))
+        .withColumn("__sb_n", F.count(F.lit(1)).over(wall))
+        .withColumn(out_col, bucket)
+        .drop("__sb_rk", "__sb_n")
+    )
+
+
 #: the per-epoch training-order salt — a SEVENTH independent hash
 #: decision (see MIX_SALT): the epoch permutation must not correlate
 #: with any keep/drop/split decision, or "docs that survived the mix"
@@ -717,6 +781,7 @@ def curate(
     span_min_count: int = 2,
     span_keep_one: bool = True,
     max_nll_ppm: int | None = None,
+    nll_keep_ppm: int | None = None,
     nll_reference: DataFrame | None = None,
     normalize: bool = True,
     clf_weights: list[float] | None = None,
@@ -791,7 +856,12 @@ def curate(
                        (so duplicated boilerplate cannot drag the
                        vocabulary distribution), or on ``nll_reference``
                        when given — the frozen-trusted-corpus mode whose
-                       cutoff is batch-invariant
+                       cutoff is batch-invariant. ``nll_keep_ppm``
+                       (mutually exclusive) is the PERCENTILE form:
+                       keep the most fluent fraction PER SOURCE
+                       (:func:`sample_top_fraction` over the same
+                       scores — CCNet's head-fraction selection, robust
+                       to score-distribution drift across crawls)
     - ``exact``:       after exact dedup (lowest id per content fingerprint)
     - ``near``:        after MinHash near-dup components (canonical only)
     - ``incremental``: after dropping exact/near duplicates of the
@@ -1009,6 +1079,42 @@ def curate(
             persisted.append(despanned)
         opt_stages["despanned"] = despanned
         dedup_input = despanned
+    if max_nll_ppm is not None and nll_keep_ppm is not None:
+        raise ValueError(
+            "curate: pass max_nll_ppm (fixed cutoff) OR nll_keep_ppm "
+            "(per-source percentile — the CCNet head-fraction form), "
+            "not both: two fluency gates in sequence would make the "
+            "realized keep rate depend on their interaction"
+        )
+    if nll_keep_ppm is not None:
+        from beeper_matric_etl_tool_spark.ext.search import unigram_nll_scores
+
+        # the PERCENTILE form of the fluency gate (CCNet keeps the most
+        # fluent fraction per language, not a fixed-score head): rank by
+        # the same LM score, keep the best nll_keep_ppm per source —
+        # robust to score-distribution drift across crawls, where a
+        # fixed cutoff keeps 50% of one batch and 95% of the next
+        scores = unigram_nll_scores(
+            dedup_input,
+            text_col=text_col,
+            id_col=id_col,
+            lazy_stats=True,
+            reference=nll_reference,
+        )
+        scored = dedup_input.join(
+            scores.select(F.col(id_col), F.col("score_ppm").alias("nll_ppm")),
+            on=id_col,
+        )
+        fluent = sample_top_fraction(
+            scored,
+            "nll_ppm",
+            keep_ppm=nll_keep_ppm,
+            ascending=True,  # low NLL = fluent
+            strata_col=source_col,
+            id_col=id_col,
+        )
+        opt_stages["fluent"] = fluent
+        dedup_input = fluent
     if max_nll_ppm is not None:
         from beeper_matric_etl_tool_spark.ext.search import unigram_nll_scores
 

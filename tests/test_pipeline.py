@@ -1482,3 +1482,58 @@ def test_corpus_report_data_card(spark, sf_dir):
         en["total_tokens"] + es["total_tokens"]
     )
     assert n_good_tokens < 100
+
+
+def test_curate_percentile_fluency_stage(spark, sf_dir):
+    """curate(nll_keep_ppm=...) keeps exactly the most fluent fraction
+    per source (the CCNet head-fraction form); mutually exclusive with
+    the fixed-cutoff form; survivors carry nll_ppm and the kept set is
+    the per-source low-NLL prefix."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import curate
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    stages = curate(docs, nll_keep_ppm=500_000)
+    scrubbed_per_lang = {
+        r["lang"]: r["n"]
+        for r in stages["scrubbed"].groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    fluent = stages["fluent"].select("doc_id", "lang", "nll_ppm").collect()
+    got_per_lang = {}
+    for r in fluent:
+        got_per_lang[r["lang"]] = got_per_lang.get(r["lang"], 0) + 1
+    for lang, n in scrubbed_per_lang.items():
+        assert got_per_lang.get(lang, 0) == n * 500_000 // 1_000_000, lang
+    with pytest.raises(ValueError, match="not both"):
+        curate(docs, max_nll_ppm=1, nll_keep_ppm=1)
+
+
+def test_score_buckets_thirds_and_strata(spark):
+    """Exact integer percentile bucketing: 9 rows split 3/3/3 into
+    head/middle/tail by rank thirds; per-stratum mode buckets within
+    each stratum; every row survives with a label; bad cuts raise."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import score_buckets
+
+    rows = [(i, "en", i * 10) for i in range(9)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, s long")
+    got = {
+        r["doc_id"]: r["score_bucket"]
+        for r in score_buckets(docs, "s").collect()
+    }
+    assert [got[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    # strata: each language bucketed independently
+    both = spark.createDataFrame(
+        [(i, "en", i) for i in range(3)] + [(10 + i, "es", i) for i in range(3)],
+        "doc_id long, lang string, s long",
+    )
+    g2 = {
+        r["doc_id"]: r["score_bucket"]
+        for r in score_buckets(both, "s", strata_col="lang").collect()
+    }
+    assert g2[0] == g2[10] == "head"
+    assert g2[2] == g2[12] == "tail"
+    with pytest.raises(ValueError, match="labels"):
+        score_buckets(docs, "s", cuts_ppm=(500_000,), labels=("a", "b", "c"))
+    with pytest.raises(ValueError, match="cuts_ppm"):
+        score_buckets(docs, "s", cuts_ppm=(700_000, 300_000))
