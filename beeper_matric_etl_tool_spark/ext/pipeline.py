@@ -434,12 +434,14 @@ def score_buckets(
             f"score_buckets: {len(labels)} labels need "
             f"{len(labels) - 1} cuts, got {len(cuts_ppm)}"
         )
-    if list(cuts_ppm) != sorted(cuts_ppm) or not all(
+    if any(b <= a for a, b in zip(cuts_ppm, cuts_ppm[1:])) or not all(
         0 < c < 1_000_000 for c in cuts_ppm
     ):
+        # ties would silently shadow a label (the earlier when() wins),
+        # so cuts must STRICTLY increase
         raise ValueError(
             f"score_buckets: cuts_ppm={cuts_ppm} must be strictly "
-            f"inside (0, 1e6) and nondecreasing"
+            f"inside (0, 1e6) and strictly increasing"
         )
     score = F.col(score_col)
     order = [score.asc() if ascending else score.desc(), F.col(id_col).asc()]
@@ -449,8 +451,10 @@ def score_buckets(
     else:
         wrank = Window.orderBy(*order)
         wall = Window.partitionBy()
+    # rank is a 32-bit int: the ×1e6 product overflows at rank ≥ 2148
+    # without the BIGINT cast (ANSI crash / silent head-mislabeling)
     pct = F.expr(
-        "(__sb_rk * 1000000) DIV __sb_n"
+        "(CAST(__sb_rk AS BIGINT) * 1000000) DIV __sb_n"
     )
     bucket = None
     for cut, label in zip(cuts_ppm, labels):
@@ -924,6 +928,16 @@ def curate(
             f"quality_signal_columns); pass lang_col=None for English-only "
             f"scoring of a lang-less corpus"
         )
+    # pure argument validation lives BEFORE any stage is composed: raising
+    # after persist() marks would leak pinned cache-manager entries with
+    # no release handle (the CurationStages is never returned)
+    if max_nll_ppm is not None and nll_keep_ppm is not None:
+        raise ValueError(
+            "curate: pass max_nll_ppm (fixed cutoff) OR nll_keep_ppm "
+            "(per-source percentile — the CCNet head-fraction form), "
+            "not both: two fluency gates in sequence would make the "
+            "realized keep rate depend on their interaction"
+        )
     if normalize:
         from beeper_matric_etl_tool_spark.ext.text import normalize_text
 
@@ -1079,13 +1093,6 @@ def curate(
             persisted.append(despanned)
         opt_stages["despanned"] = despanned
         dedup_input = despanned
-    if max_nll_ppm is not None and nll_keep_ppm is not None:
-        raise ValueError(
-            "curate: pass max_nll_ppm (fixed cutoff) OR nll_keep_ppm "
-            "(per-source percentile — the CCNet head-fraction form), "
-            "not both: two fluency gates in sequence would make the "
-            "realized keep rate depend on their interaction"
-        )
     if nll_keep_ppm is not None:
         from beeper_matric_etl_tool_spark.ext.search import unigram_nll_scores
 
@@ -1571,7 +1578,10 @@ def corpus_report(
     computes everything else (exact integers, deterministic, no
     sampling).
 
-    Returns ``{lang: {...}, "_corpus": {...}}`` where each entry carries
+    Returns ``{lang: {...}, "_corpus": {...}}`` (documents with a NULL
+    language group under the Python key ``None`` — the rollup's
+    grouping flag keeps them distinct from the grand total) where each
+    entry carries
     ``n_docs``, ``total_tokens``, ``total_chars``, ``exact_dup_docs``
     (docs minus distinct content fingerprints — WITHIN the group),
     ``rule_failures`` ({rule: n_failing}), ``pii`` ({emails,
@@ -1592,6 +1602,8 @@ def corpus_report(
         pii_columns,
         quality_signal_columns,
         quality_verdict_columns,
+        rule_failure_aggs,
+        verdict_rules,
     )
     from beeper_matric_etl_tool_spark.ext.text import token_count
 
@@ -1609,7 +1621,7 @@ def corpus_report(
         pii["n_digit_runs"].alias("__digits"),
         *[c.alias(n) for n, c in sig.items()],
     ).select("*", *[c.alias(n) for n, c in quality_verdict_columns().items()])
-    rules = [k for k in quality_verdict_columns() if k != "keep"]
+    rules = verdict_rules()
     edges = list(REPORT_HIST_EDGES)
     buckets: list[tuple[str, Column]] = []
     for lo, hi in zip(edges, edges[1:]):
@@ -1636,11 +1648,13 @@ def corpus_report(
         F.count_distinct("__fp").alias("__uniq_fp"),
         F.sum("__emails").alias("__pii_emails"),
         F.sum("__digits").alias("__pii_digits"),
-        *[
-            F.sum(F.when(~F.col(r), 1).otherwise(0)).alias(f"__fail_{r}")
-            for r in rules
-        ],
+        *rule_failure_aggs(rules, prefix="__fail_"),
         *[b.alias(f"__hist_{i}") for i, (_, b) in enumerate(buckets)],
+        # distinguishes the rollup GRAND-TOTAL row (grouping=1) from a
+        # genuine NULL-language group row (grouping=0) — without it the
+        # two collide on the same dict key and whichever collects last
+        # wins, silently dropping null-lang docs from the breakdown
+        F.grouping("__lang").alias("__is_total"),
     ]
     # grouping sets: per-language rows AND the global row in the SAME
     # job — the global distinct-fingerprint count cannot be summed from
@@ -1649,7 +1663,7 @@ def corpus_report(
     rolled = base.rollup("__lang").agg(*aggs).collect()
     out: dict = {}
     for row in rolled:
-        key = row["__lang"] if row["__lang"] is not None else "_corpus"
+        key = "_corpus" if row["__is_total"] == 1 else row["__lang"]
         out[key] = {
             "n_docs": int(row["n_docs"]),
             "total_tokens": int(row["total_tokens"] or 0),

@@ -318,6 +318,24 @@ def quality_verdict_columns() -> dict[str, Column]:
     }
 
 
+def verdict_rules() -> list[str]:
+    """The per-rule verdict names (everything but the composite keep) —
+    the single list `quality_rule_ablation` and the corpus data card
+    iterate, so a new rule reaches both audits automatically."""
+    return [k for k in quality_verdict_columns() if k != "keep"]
+
+
+def rule_failure_aggs(rules: list[str], prefix: str = "__f_") -> list[Column]:
+    """One SUM(CASE) failure counter per rule over verdict columns
+    referenced by name — the shared aggregation fragment of the ablation
+    audit and the data card (one definition, two consumers: a change to
+    failure semantics cannot desync them)."""
+    return [
+        F.sum(F.when(~F.col(r), 1).otherwise(0)).alias(f"{prefix}{r}")
+        for r in rules
+    ]
+
+
 def quality_rule_ablation(
     docs,
     text_col: str = "text",
@@ -343,10 +361,8 @@ def quality_rule_ablation(
     scored = docs.select(
         "*", *[c.alias(name) for name, c in sig.items()]
     ).select("*", *[c.alias(name) for name, c in quality_verdict_columns().items()])
-    rules = [k for k in quality_verdict_columns() if k != "keep"]
-    n_fail = [
-        F.sum(F.when(~F.col(r), 1).otherwise(0)).alias(f"__f_{r}") for r in rules
-    ]
+    rules = verdict_rules()
+    n_fail = rule_failure_aggs(rules)
     sole = [
         F.sum(
             F.when(

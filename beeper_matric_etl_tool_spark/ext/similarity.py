@@ -779,10 +779,15 @@ def evaluate_recall(
     aggregation ride result-sized relations, never the corpus. Compose:
     ``evaluate_recall(search_ivf_pq(...), cosine_topk(...))`` then
     ``.agg(avg)`` driver-side for the headline number."""
-    a = approx.select(F.col(query_col), F.col(id_col)).withColumn(
-        "__hit", F.lit(1)
+    # dedup both projections: a multiprobe index legitimately returns
+    # the same id from two probes, and a duplicated (query, id) row on
+    # either side would multiply join matches and inflate n_exact/n_hit
+    a = (
+        approx.select(F.col(query_col), F.col(id_col))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    e = exact.select(F.col(query_col), F.col(id_col))
+    e = exact.select(F.col(query_col), F.col(id_col)).distinct()
     joined = e.join(a, on=[query_col, id_col], how="left")
     return joined.groupBy(query_col).agg(
         F.count(F.lit(1)).alias("n_exact"),

@@ -1537,3 +1537,39 @@ def test_score_buckets_thirds_and_strata(spark):
         score_buckets(docs, "s", cuts_ppm=(500_000,), labels=("a", "b", "c"))
     with pytest.raises(ValueError, match="cuts_ppm"):
         score_buckets(docs, "s", cuts_ppm=(700_000, 300_000))
+
+
+def test_score_buckets_large_stratum_and_tie_cuts(spark):
+    """Regression pins for the review findings: ranks beyond 2¹¹ must
+    not overflow the ×1e6 percentile product (3000 rows bucket cleanly
+    into exact thirds), and tied cuts are rejected (a tie would silently
+    shadow the middle label)."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import score_buckets
+
+    docs = spark.createDataFrame(
+        [(i, i) for i in range(3000)], "doc_id long, s long"
+    )
+    got = score_buckets(docs, "s").groupBy("score_bucket").count().collect()
+    counts = {r["score_bucket"]: r["count"] for r in got}
+    assert counts == {"head": 1000, "middle": 1000, "tail": 1000}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="strictly increasing"):
+        score_buckets(docs, "s", cuts_ppm=(500_000, 500_000))
+
+
+def test_corpus_report_null_lang_group_is_not_the_total(spark):
+    """Regression pin: a NULL-language group must appear under key None
+    and never collide with the '_corpus' grand total (the rollup's
+    grouping flag distinguishes them)."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import corpus_report
+
+    body = " ".join(f"w{i}a the of" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, None, body), (2, None, body + " extra"), (3, "en", body + " more")],
+        "doc_id long, lang string, text string",
+    )
+    rep = corpus_report(docs)
+    assert rep["_corpus"]["n_docs"] == 3
+    assert rep[None]["n_docs"] == 2
+    assert rep["en"]["n_docs"] == 1

@@ -195,3 +195,18 @@ def test_evaluate_recall_composes_with_knn(spark, sf_dir):
     rows = audit.collect()
     assert len(rows) == 3
     assert all(r["recall_ppm"] == 1_000_000 for r in rows)
+
+
+def test_evaluate_recall_dedups_duplicate_result_rows(spark):
+    """A multiprobe index returning the same id from two probes must not
+    inflate the audit: duplicate (query, id) rows dedupe on both sides."""
+    from beeper_matric_etl_tool_spark.ext.similarity import evaluate_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11)], "query_id long, vec_id long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 10)], "query_id long, vec_id long"
+    )
+    r = evaluate_recall(approx, exact).first()
+    assert (r["n_exact"], r["n_hit"], r["recall_ppm"]) == (2, 1, 500_000)
