@@ -437,6 +437,41 @@ def probe_top_fraction(docs):
     )
 
 
+def probe_token_quota(docs):
+    """Token-budget stratified sampling (`sample_token_quota`,
+    two-phase): the dominant-stratum refinement's cumsum windows over a
+    pruned (lang, hash, id, n_toks) projection. Budgets are FIXED, so
+    kept token mass stays ~constant while the corpus grows — the flat
+    output that makes the curve the sort cost, not the result."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import sample_token_quota
+    from beeper_matric_etl_tool_spark.ext.text import token_count
+
+    base = docs.select("doc_id", "lang", token_count("text").alias("n_toks"))
+    kept = sample_token_quota(
+        base,
+        {"en": 2000, "es": 800, "fr": 500, "de": 700, "zh": 300},
+        two_phase=True,
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_toks").alias("kept_tokens"),
+    )
+
+
+def probe_epoch_shuffle(docs):
+    """Deterministic epoch shuffle (`shuffle_epoch`): one hash exchange
+    + a partition-local sort — the bucketed-write shape, expect ~n log n
+    at worst. The checksum sums shard ids over all docs (pins full
+    coverage and the fixed-hash-range shard assignment)."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import shuffle_epoch
+
+    out = shuffle_epoch(docs.select("doc_id"), epoch=1, n_shards=16)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("eshard").cast("long")).alias("shard_checksum"),
+    )
+
+
 def probe_bigram_nll(docs):
     """Interpolated bigram-LM scoring (`ext/search.py:bigram_nll_scores`):
     one tokenize pass, transition relation via a zero-shuffle array zip,
@@ -550,6 +585,8 @@ def main() -> None:
         ("unigram_nll", probe_unigram_nll),
         ("bigram_nll", probe_bigram_nll),
         ("top_fraction", probe_top_fraction),
+        ("token_quota_two_phase", probe_token_quota),
+        ("epoch_shuffle", probe_epoch_shuffle),
         ("quota_sample", probe_quota_sample),
         ("quota_sample_two_phase", probe_quota_two_phase),
         ("bpe_training", probe_bpe_training),
