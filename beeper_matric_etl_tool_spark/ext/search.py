@@ -512,6 +512,7 @@ def rrf_fuse(
     k0: int = 60,
     id_col: str = "doc_id",
     rank_col: str = "rank",
+    weights: list[int] | None = None,
 ) -> DataFrame:
     """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009, public
     method) over any number of ranked lists: each (id, rank) row
@@ -526,19 +527,32 @@ def rrf_fuse(
     makes RRF robust to incomparable score scales (BM25 ppm vs cosine
     ppb never meet — only ranks do).
 
+    ``weights`` (optional, one non-negative integer per list) scales
+    each list's contribution — weighted RRF, the common production
+    variant when one retriever is trusted more: contribution =
+    w·(1e9 DIV (k0+rank)), still exact integers. None = all 1s (the
+    paper's form).
+
     Scale shape: inputs are top-k lists (k rows each), so the union +
     groupBy runs on lists-of-k rows regardless of corpus size; fusion
     cost is independent of the corpus by construction."""
     if not ranked:
         raise ValueError("rrf_fuse: ranked is empty")
+    if weights is None:
+        weights = [1] * len(ranked)
+    if len(weights) != len(ranked) or any(int(w) < 0 for w in weights):
+        raise ValueError(
+            f"rrf_fuse: weights must be {len(ranked)} non-negative "
+            f"integers, got {weights}"
+        )
     legs = [
         df.select(
             F.col(id_col),
-            F.expr(f"1000000000 DIV ({int(k0)} + {rank_col})")
+            F.expr(f"{int(w)} * (1000000000 DIV ({int(k0)} + {rank_col}))")
             .cast("long")
             .alias("__rrf"),
         )
-        for df in ranked
+        for df, w in zip(ranked, weights)
     ]
     out = legs[0]
     for leg in legs[1:]:

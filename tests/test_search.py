@@ -419,3 +419,19 @@ def test_rrf_fuse_composes_with_topk_producers(spark, sf_dir):
     assert 10 <= len(rows) <= 20
     assert rows == fused.collect()
     assert all(r["n_lists"] in (1, 2) for r in rows)
+
+
+def test_rrf_fuse_weighted(spark):
+    """Weighted RRF: an integer weight scales a list's contribution
+    exactly; weight 0 silences a list without changing n_lists; bad
+    weight vectors raise."""
+    a = spark.createDataFrame([(1, 1)], "doc_id long, rank int")
+    b = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    got = {r["doc_id"]: r for r in rrf_fuse([a, b], weights=[3, 1]).collect()}
+    unit = 1_000_000_000 // 61
+    assert got[1]["rrf_ppb"] == 3 * unit + unit
+    assert got[2]["rrf_ppb"] == 1_000_000_000 // 62
+    muted = {r["doc_id"]: r for r in rrf_fuse([a, b], weights=[0, 1]).collect()}
+    assert muted[1]["rrf_ppb"] == unit and muted[1]["n_lists"] == 2
+    with pytest.raises(ValueError, match="non-negative"):
+        rrf_fuse([a, b], weights=[1])
