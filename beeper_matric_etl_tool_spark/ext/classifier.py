@@ -38,13 +38,20 @@ from beeper_matric_etl_tool_spark.ext.similarity import QUANT
 #: (see module docstring) — conservative: 2⁶³ / (2¹⁶ · 2⁷) ≈ 1.1e12.
 MAX_TRAIN_ROWS = 1_000_000_000_000
 
+#: the quality-feature battery's column names, in training order — the
+#: single source for callers that must validate weight/stats shapes
+#: BEFORE composing any stage (curate()'s fail-before-persist contract).
+QUALITY_FEATURE_NAMES = (
+    "f_len", "f_ttr", "f_dup3", "f_stop", "f_meanlen", "f_top2",
+)
+
 
 def _rescaled_features(s: dict[str, Column]) -> dict[str, Column]:
     """The rescaling map shared by both feature entry points (ppm ratios
     → [0, 1]; token count → saturating /1000 like the heuristic gate's
     length rule; mean token length → /10)."""
     n = s["n_tokens"].cast("double")
-    return {
+    out = {
         "f_len": F.least(n, F.lit(1000.0)) / F.lit(1000.0),
         "f_ttr": s["ttr_ppm"].cast("double") / F.lit(1_000_000.0),
         "f_dup3": s["dup3_ppm"].cast("double") / F.lit(1_000_000.0),
@@ -52,6 +59,8 @@ def _rescaled_features(s: dict[str, Column]) -> dict[str, Column]:
         "f_meanlen": s["mean_len_x100"].cast("double") / F.lit(1000.0),
         "f_top2": s["top2gram_ppm"].cast("double") / F.lit(1_000_000.0),
     }
+    assert tuple(out) == QUALITY_FEATURE_NAMES
+    return out
 
 
 def quality_features(
@@ -179,16 +188,33 @@ def train_logreg(
     iterations: int = 100,
     lr: float = 1.0,
     l2: float = 0.0,
+    cache: bool = True,
 ) -> list[float]:
     """Fit logistic regression by full-batch gradient descent; returns
     ``[intercept, w_1 … w_d]`` frozen to the 2⁻¹⁶ grid. ``label_col``
     must be 0/1 (cast-able to double). One aggregation job per
     iteration; deterministic across partition layouts (module
-    docstring). l2 regularizes the non-intercept weights."""
+    docstring). l2 regularizes the non-intercept weights.
+
+    ``cache=True`` (default) projects ``feature_cols + [label_col]`` and
+    ``localCheckpoint``s the (d+1)-column frame ONCE before the loop —
+    without it, every iteration re-executes the caller's full lineage
+    (for curate-battery features that means re-tokenizing the corpus per
+    iteration, a ~feature-battery× tax at iterations=100). Training is
+    eager by nature (one agg job per iteration), so the checkpoint's
+    materialization job breaks no laziness contract; the checkpointed
+    blocks are reclaimed by the ContextCleaner once training returns.
+    Pass ``cache=False`` only when the input is already persisted or
+    checkpointed (re-checkpointing a checkpoint is pure copy cost).
+    The fitted weights are bit-identical either way — the integer-sum
+    gradient contract is layout-independent by construction."""
     if not feature_cols:
         raise ValueError("train_logreg: feature_cols is empty")
     if iterations < 1:
         raise ValueError(f"train_logreg: iterations={iterations} must be >= 1")
+    if cache:
+        proj = list(dict.fromkeys([*feature_cols, label_col]))
+        df = df.select(*proj).localCheckpoint(eager=True)
     n = df.count()
     if n == 0:
         raise ValueError("train_logreg: empty training frame")

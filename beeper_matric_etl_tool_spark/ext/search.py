@@ -256,6 +256,8 @@ def bigram_nll_scores(
     id_col: str = "doc_id",
     lambda_ppm: int = 700_000,
     reference: DataFrame | None = None,
+    lazy_stats: bool = False,
+    corpus_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(id_col, score_ppm) for every document with ≥2 tokens: mean
     per-transition negative log-likelihood under a Jelinek-Mercer
@@ -293,7 +295,17 @@ def bigram_nll_scores(
     ~n_tokens rows), then three (doc,bigram)-keyed/vocabulary-keyed
     exchanges mirror the unigram scorer's plan — window per-bigram
     counts, a vocabulary-sized unigram join (left word + right word),
-    never a corpus self-join."""
+    never a corpus self-join.
+
+    Stats modes, mirroring `unigram_nll_scores` exactly: by default the
+    (N, V) smoothing denominator is ONE eager scalar job at composition
+    time; ``lazy_stats=True`` folds it into the plan as a broadcast
+    one-row cross join — zero jobs at composition (the form a zero-jobs
+    context like a curate() stage needs), same values (long sums are
+    exact; the double cast matches the literal path below 2⁵³), at the
+    cost of deriving the unigram relation twice at execution.
+    ``corpus_stats=(n_total, v_size)`` supplies frozen precomputed stats
+    (reference-mode reuse) and overrides both."""
     from pyspark.sql import Window
 
     lam = F.lit(lambda_ppm / 1_000_000.0)
@@ -362,10 +374,23 @@ def bigram_nll_scores(
             .agg(F.count(F.lit(1)).alias("__ct"))
         )
         join_how = "inner"  # self-mode: every scored term is in-vocabulary
-    n_total, v_size = uni.agg(
-        F.sum("__ct"), F.count_distinct("__term")
-    ).first()
-    nv = F.lit(float((n_total or 0) + (v_size or 0)))
+    if corpus_stats is not None or not lazy_stats:
+        if corpus_stats is not None:
+            n_total, v_size = corpus_stats
+        else:
+            n_total, v_size = uni.agg(
+                F.sum("__ct"), F.count_distinct("__term")
+            ).first()
+        nv = F.lit(float((n_total or 0) + (v_size or 0)))
+    else:
+        stats = uni.agg(
+            F.sum("__ct").alias("__n_total"),
+            F.count_distinct("__term").alias("__v"),
+        )
+        with_c12 = with_c12.join(F.broadcast(stats))
+        nv = (
+            F.coalesce(F.col("__n_total"), F.lit(0)) + F.col("__v")
+        ).cast("double")
     c1 = F.coalesce(F.col("__c1"), F.lit(0)).cast("double")
     c2 = F.coalesce(F.col("__c2"), F.lit(0))
     # zero continuation mass when w1 is OOV — the λ-term vanishes

@@ -42,6 +42,38 @@ from beeper_matric_etl_tool_spark.ext.dedup_index import (
 from beeper_matric_etl_tool_spark.ext.pipeline import curate
 
 
+def _guard_output_layout(path: str, partition_col: str, caller: str) -> None:
+    """Reject an output directory populated by the pre-staging FLAT-append
+    writer: the exactly-once design dynamic-overwrites ``partition_col=<id>``
+    hive partitions, and pointing it at a directory of flat part-files
+    would MIX the two layouts — readers would see every flat row twice
+    conceptually (once outside any partition, once staged) and compaction
+    tooling would mis-walk it. A fresh/missing directory and a directory
+    of matching hive partitions both pass; anything else fails loudly at
+    writer construction, mirroring the index's `read_meta` layout gate
+    (upgrading from the flat layout means re-staging, exactly like the
+    index rebuild requirement)."""
+    from beeper_matric_etl_tool_spark.sinks import _require_local_path
+
+    _require_local_path(path, caller)
+    if not os.path.isdir(path):
+        return
+    for name in os.listdir(path):
+        if name.startswith(("_", ".")):
+            continue  # markers (_SUCCESS), checksums — layout-neutral
+        full = os.path.join(path, name)
+        if os.path.isdir(full) and name.startswith(f"{partition_col}="):
+            continue
+        raise ValueError(
+            f"{caller}: {path!r} contains {name!r}, which is not a "
+            f"{partition_col}=<id> hive partition — the directory was "
+            f"written by a flat-append layout (or is not a curation "
+            f"output at all). The staged exactly-once writer would mix "
+            f"layouts and corrupt reads; point it at a fresh directory "
+            f"(re-staging the corpus, mirroring the index rebuild rule)"
+        )
+
+
 def curation_batch_writer(
     index_path: str,
     out_dir: str,
@@ -65,6 +97,11 @@ def curation_batch_writer(
     # analysis error inside foreachBatch — after a corpus append already
     # ran. (read_meta also raises here when index_path is not an index.)
     meta = read_meta(index_path)
+    # same construction-time discipline for the corpus/audit directories:
+    # the staged writer must never target a flat-append-layout directory
+    _guard_output_layout(out_dir, "ingest_batch", "curation_batch_writer")
+    if audit_dir is not None:
+        _guard_output_layout(audit_dir, "batch_id", "curation_batch_writer")
     if (meta["id_col"], meta["text_col"]) != (id_col, text_col):
         raise ValueError(
             f"curation_batch_writer: id_col/text_col "
@@ -182,10 +219,18 @@ def start_curation_stream(
     side-file so a fresh checkpoint cannot silently overwrite a prior
     stream's staged partitions (batch ids restart at 0 per
     checkpoint)."""
+    # construct the writer FIRST: its read_meta/layout gates validate the
+    # index and output directories, so the binding marker below is only
+    # ever written into a directory that really is an index — pointing a
+    # stream at a wrong path fails loudly here without stranding a stale
+    # _STREAM.json that would block a later legitimate stream
+    batch_writer = curation_batch_writer(
+        index_path, out_dir, audit_dir, **writer_kwargs
+    )
     _guard_checkpoint_binding(index_path, checkpoint_dir)
-    writer = docs_stream.writeStream.foreachBatch(
-        curation_batch_writer(index_path, out_dir, audit_dir, **writer_kwargs)
-    ).option("checkpointLocation", checkpoint_dir)
+    writer = docs_stream.writeStream.foreachBatch(batch_writer).option(
+        "checkpointLocation", checkpoint_dir
+    )
     if trigger_interval is not None:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()

@@ -66,6 +66,30 @@ def test_logreg_guards(spark):
         predict_proba([0.0, 1.0], ["x1", "x2"])
 
 
+def test_train_logreg_caches_lineage_once(spark):
+    """cache=True (default) must execute the caller's lineage exactly
+    ONCE (projection + localCheckpoint before the loop), not once per
+    iteration — pinned by a side-effect accumulator in the input lineage
+    (plan-shape evidence; job counts are flaky on a shared session), and
+    the fitted weights are bit-identical to the uncached path (the
+    integer-sum gradient contract is layout-independent)."""
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("double")
+    def bump(x):
+        acc.add(1)
+        return x
+
+    base = _sep_frame(spark)
+    df = base.select("id", bump("x1").alias("x1"), "x2", "y")
+    w_cached = train_logreg(df, ["x1", "x2"], "y", iterations=5, lr=2.0)
+    assert acc.value == 200, acc.value  # one materialization, not 5-7×
+    w_uncached = train_logreg(
+        base, ["x1", "x2"], "y", iterations=5, lr=2.0, cache=False
+    )
+    assert w_cached == w_uncached
+
+
 def test_quality_feature_classifier_separates_planted_docs(spark):
     """End-to-end with the engine's own signals: junk (degenerate
     repetition, stopword-free soup) vs good English prose — the trained

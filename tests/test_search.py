@@ -290,6 +290,49 @@ def test_bigram_nll_hand_computed(spark):
     assert got[4] > got[1]
 
 
+def test_bigram_nll_lazy_stats_matches_and_launches_no_jobs(spark, sf_dir):
+    """lazy_stats folds the (N, V) scalar pass into the plan (broadcast
+    one-row cross join) — zero jobs at composition, identical scores, in
+    both self and frozen-reference mode; corpus_stats overrides both
+    (round-7 ADVICE item: the eager .first() would silently break a
+    zero-jobs composition context)."""
+    docs = table(spark, sf_dir, "documents")
+    eager = {r["doc_id"]: r["score_ppm"] for r in bigram_nll_scores(docs).collect()}
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    lazy_df = bigram_nll_scores(docs, lazy_stats=True)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before)  # construction launched nothing
+    lazy = {r["doc_id"]: r["score_ppm"] for r in lazy_df.collect()}
+    assert lazy == eager
+    # reference mode: lazy parity + frozen corpus_stats parity
+    ref = docs
+    probe = spark.createDataFrame(
+        [(100, "the data model")], "doc_id long, text string"
+    )
+    eager_ref = {
+        r["doc_id"]: r["score_ppm"]
+        for r in bigram_nll_scores(probe, reference=ref).collect()
+    }
+    lazy_ref = {
+        r["doc_id"]: r["score_ppm"]
+        for r in bigram_nll_scores(probe, reference=ref, lazy_stats=True).collect()
+    }
+    assert lazy_ref == eager_ref
+    n_total, v_size = (
+        docs.selectExpr("explode(split(text, ' ')) AS t")
+        .agg(F.count(F.lit(1)), F.count_distinct("t"))
+        .first()
+    )
+    frozen = {
+        r["doc_id"]: r["score_ppm"]
+        for r in bigram_nll_scores(
+            probe, reference=ref, corpus_stats=(n_total, v_size)
+        ).collect()
+    }
+    assert frozen == eager_ref
+
+
 def test_bigram_nll_skips_sub_two_token_docs(spark):
     docs = spark.createDataFrame(
         [(1, "a b"), (2, "a"), (3, "")], "doc_id long, text string"

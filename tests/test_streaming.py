@@ -729,6 +729,79 @@ def test_curation_writer_validates_index_meta_at_construction(spark, tmp_path):
     assert curation_batch_writer(idx, str(tmp_path / "out")) is not None
 
 
+def test_curation_stream_invalid_index_strands_no_marker(spark, tmp_path):
+    """start_curation_stream against a non-index path must fail from the
+    writer's read_meta gate BEFORE the checkpoint-binding marker is
+    written — a stranded _STREAM.json in a wrong directory would block a
+    later legitimate stream until an operator hand-deletes it (round-7
+    ADVICE item). A missing directory likewise raises the gate's own
+    error, not a raw open() FileNotFoundError from the marker writer."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from beeper_matric_etl_tool_spark.streaming.curation import (
+        start_curation_stream,
+    )
+
+    notindex = tmp_path / "notindex"
+    notindex.mkdir()
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS doc_id", "'en' AS lang", "'x' AS text")
+    )
+    with _pytest.raises(FileNotFoundError, match="not an index"):
+        start_curation_stream(
+            stream, str(notindex), str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+    assert not _os.path.exists(notindex / "_STREAM.json")
+    with _pytest.raises(FileNotFoundError):
+        start_curation_stream(
+            stream, str(tmp_path / "missing"), str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+
+
+def test_curation_writer_rejects_flat_layout_outputs(spark, tmp_path):
+    """The staged exactly-once writer dynamic-overwrites hive partitions;
+    pointing it at a directory populated by the old FLAT-append layout
+    would mix layouts and corrupt reads — the construction-time gate
+    rejects it for both out_dir and audit_dir, while fresh/missing
+    directories and matching hive layouts pass (round-7 ADVICE item)."""
+    import pytest as _pytest
+
+    from beeper_matric_etl_tool_spark.ext.dedup_index import build_dedup_index
+    from beeper_matric_etl_tool_spark.streaming.curation import (
+        curation_batch_writer,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_dedup_index(
+        spark.createDataFrame(
+            [(1, "seed corpus document body")], "doc_id long, text string"
+        ),
+        idx,
+    )
+    flat = tmp_path / "flat_out"
+    flat.mkdir()
+    (flat / "part-00000-deadbeef.snappy.parquet").write_bytes(b"PAR1")
+    with _pytest.raises(ValueError, match="flat-append"):
+        curation_batch_writer(idx, str(flat))
+    with _pytest.raises(ValueError, match="flat-append"):
+        curation_batch_writer(
+            idx, str(tmp_path / "fresh_out"), audit_dir=str(flat)
+        )
+    # staged layouts and fresh/missing directories all construct fine
+    staged = tmp_path / "staged_out"
+    (staged / "ingest_batch=0").mkdir(parents=True)
+    (staged / "_SUCCESS").write_text("")
+    assert curation_batch_writer(idx, str(staged)) is not None
+    assert curation_batch_writer(
+        idx, str(tmp_path / "fresh2"), audit_dir=str(tmp_path / "fresh3")
+    ) is not None
+
+
 def test_curation_batch_replay_is_idempotent(spark, tmp_path):
     """Re-running a micro-batch with the same batch_id (Spark's replay
     after a mid-commit crash) leaves corpus, index, and audit
