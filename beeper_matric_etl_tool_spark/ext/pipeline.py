@@ -349,6 +349,114 @@ def sample_token_quota(
     )
 
 
+def _spread_ranked(
+    df: DataFrame,
+    score_col: str,
+    ascending: bool,
+    strata_col: str | None,
+    id_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact per-stratum rank WITHOUT a single-task stratum sort — the
+    distributed-selection core the ``spread=True`` percentile operators
+    share. Returns the PRUNED relation (strata?, id, score, __rank, __n):
+    ``__rank`` is row_number under (score asc|desc nulls-per-Spark, id
+    asc) within the stratum, ``__n`` the stratum size — bit-identical to
+    what ``Window.partitionBy(stratum)`` would produce, built from plans
+    that spread a dominant stratum over every task:
+
+    1. range-partition the pruned (stratum, score, id) triples on the
+       FULL sort key — a dominant stratum spans many contiguous range
+       partitions instead of hashing into one;
+    2. count rows per (range partition, stratum) — a map-side-combined
+       agg whose output is ≤ partitions × strata rows;
+    3. prefix-sum those counts per stratum in partition order (a window
+       over the TINY counts relation) → each range partition's starting
+       offset within its stratum, plus the stratum total;
+    4. broadcast the offsets back and add each row's partition-LOCAL
+       rank (a window keyed (partition, stratum) — balanced by
+       construction, since range partitions are size-balanced by the
+       sampler) to its partition offset.
+
+    Global rank = offset + local rank is exact because range partition i
+    holds exactly the sort-order predecessors of partition i+1.
+    Correctness does not depend on Spark's exchange-reuse cache: the two
+    consumers of the range exchange (counts, ranked) see the same
+    boundaries either way — the range sampler is deterministic for a
+    given input partitioning, and both branches share one canonical
+    exchange (reused when spark.sql.exchange.reuse is on, the default).
+    ``partitions`` defaults to spark.sql.shuffle.partitions; the
+    explicit partition count also keeps AQE from re-coalescing the range
+    exchange under a different layout per consumer."""
+    sc_ = F.col(score_col)
+    order = [sc_.asc() if ascending else sc_.desc(), F.col(id_col).asc()]
+    grp = [strata_col] if strata_col is not None else []
+    pruned = df.select(*grp, id_col, score_col)
+    n_parts = int(
+        partitions
+        if partitions is not None
+        else df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    strata_exprs = [F.col(c) for c in grp]
+    rp = pruned.repartitionByRange(n_parts, *strata_exprs, *order)
+    withpid = rp.withColumn("__pid", F.spark_partition_id())
+    counts = withpid.groupBy("__pid", *grp).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    woff = (
+        Window.partitionBy(*grp)
+        .orderBy(F.col("__pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "__pid",
+        *grp,
+        F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(Window.partitionBy(*grp)).alias("__n"),
+    )
+    wloc = Window.partitionBy("__pid", *grp).orderBy(*order)
+    return (
+        withpid.join(F.broadcast(offs), on=["__pid", *grp])
+        .withColumn("__rank", F.row_number().over(wloc) + F.col("__off"))
+        .select(*grp, id_col, score_col, "__rank", "__n")
+    )
+
+
+def _rank_le_boundary(
+    score: Column, id_: Column, b_score: Column, b_id: Column, ascending: bool
+) -> Column:
+    """score-then-id composite "sorts at or before the boundary row",
+    replicating Spark's window order null placement exactly (asc = nulls
+    FIRST, desc = nulls LAST) so the boundary-compare gate and the
+    window-rank gate keep identical rows even on null scores."""
+    both = score.isNotNull() & b_score.isNotNull()
+    if ascending:
+        strictly = (score.isNull() & b_score.isNotNull()) | (
+            both & (score < b_score)
+        )
+    else:
+        strictly = (b_score.isNull() & score.isNotNull()) | (
+            both & (score > b_score)
+        )
+    return strictly | (score.eqNullSafe(b_score) & (id_ <= b_id))
+
+
+def _require_strata_or_optin(
+    op: str, strata_col: str | None, spread: bool, allow_single_partition: bool
+) -> None:
+    """The fail-loud contract `pack_by_budget` established, extended to
+    the percentile tier: a stratum-less WINDOW form funnels the whole
+    corpus through ONE rank task."""
+    if strata_col is None and not spread and not allow_single_partition:
+        raise ValueError(
+            f"{op}: strata_col=None with spread=False runs the rank window "
+            f"in a SINGLE task over the whole dataset; pass strata_col, "
+            f"spread=True (the distributed-rank form, which needs no "
+            f"stratum to spread), or allow_single_partition=True for "
+            f"corpora small enough to rank serially"
+        )
+
+
 def sample_top_fraction(
     df: DataFrame,
     score_col: str,
@@ -356,6 +464,9 @@ def sample_top_fraction(
     ascending: bool = True,
     strata_col: str | None = None,
     id_col: str = "doc_id",
+    spread: bool = False,
+    allow_single_partition: bool = False,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Keep EXACTLY floor(n · keep_ppm/1e6) best-scoring rows (per
     stratum when ``strata_col`` is set) — the data-dependent percentile
@@ -369,21 +480,70 @@ def sample_top_fraction(
     kept count is an exact integer — no approximate percentile sketch,
     so re-runs and engines agree row for row.
 
-    Scale shape: the same pruned per-stratum window as `sample_quota` —
-    the sort carries (stratum, score, id), never text — plus a
-    whole-stratum count window over the identical partitioning (one
-    exchange serves both). A dominant stratum single-tasks its sort, the
-    `sample_quota` docstring's discussion applies; the two-phase
-    refinement does NOT port directly because the keep count depends on
-    the stratum size (compute counts first, then quota-sample with
-    per-stratum k, if that regime arrives)."""
-    from pyspark.sql import Window
+    Two plan shapes, IDENTICAL rows (pinned in tests):
 
+    ``spread=False`` — the window form: one pruned per-stratum window
+    (rank + count share an exchange; the sort carries (stratum, score,
+    id), never text). A dominant stratum single-tasks its sort — fine up
+    to ~100 M rows/stratum of 16 B pairs, a wall past it — so the
+    stratum-less variant must be opted into via
+    ``allow_single_partition`` (`pack_by_budget`'s fail-loud contract).
+    Note the keep count is ∝ n: candidate-pruning two-phase tricks
+    (`sample_quota`) cannot bound this sort, which is why the scale form
+    is a distributed RANK, not a pruned window.
+
+    ``spread=True`` — the scale form (:func:`_spread_ranked`): exact
+    ranks from a range-partitioned sort + per-partition offsets (no
+    single-task stage anywhere, stratum optional), then the per-stratum
+    BOUNDARY row (rank == floor(n·keep_ppm/1e6)) — one row per stratum —
+    broadcasts back and the gate is a map-only composite compare on the
+    full frame: the corpus itself never shuffles. Costs one extra
+    derivation of the pruned triples (rank path) vs the window form;
+    buys sort spreading and a shuffle-free gate. The eshuf/two-phase
+    probes' template measures both regimes in tools/scale_probe.py."""
     if not (0 <= keep_ppm <= 1_000_000):
         raise ValueError(
             f"sample_top_fraction: keep_ppm={keep_ppm} outside [0, 1e6]"
         )
+    _require_strata_or_optin(
+        "sample_top_fraction", strata_col, spread, allow_single_partition
+    )
     score = F.col(score_col)
+    if spread:
+        ranked = _spread_ranked(
+            df, score_col, ascending, strata_col, id_col, partitions
+        )
+        k = F.floor(
+            (F.col("__n") * F.lit(int(keep_ppm))) / F.lit(1_000_000)
+        ).cast("long")
+        bounds = ranked.filter(F.col("__rank") == k).select(
+            *(
+                [F.col(strata_col).alias("__tf_key")]
+                if strata_col is not None
+                else []
+            ),
+            F.col(score_col).alias("__tf_bscore"),
+            F.col(id_col).alias("__tf_bid"),
+        )
+        cond = (
+            F.col(strata_col).eqNullSafe(F.col("__tf_key"))
+            if strata_col is not None
+            else F.lit(True)
+        )
+        keep = _rank_le_boundary(
+            score,
+            F.col(id_col),
+            F.col("__tf_bscore"),
+            F.col("__tf_bid"),
+            ascending,
+        )
+        # inner join: a stratum whose k = 0 has no boundary row and is
+        # dropped whole — exactly the window form's rank ≤ 0 = nothing
+        return (
+            df.join(F.broadcast(bounds), on=cond, how="inner")
+            .filter(keep)
+            .drop("__tf_key", "__tf_bscore", "__tf_bid")
+        )
     order = [score.asc() if ascending else score.desc(), F.col(id_col).asc()]
     if strata_col is not None:
         wrank = Window.partitionBy(strata_col).orderBy(*order)
@@ -412,6 +572,9 @@ def score_buckets(
     strata_col: str | None = None,
     id_col: str = "doc_id",
     out_col: str = "score_bucket",
+    spread: bool = False,
+    allow_single_partition: bool = False,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Label every row with its score-percentile bucket — CCNet's
     head/middle/tail split (per language when ``strata_col`` is set):
@@ -424,11 +587,25 @@ def score_buckets(
     bucket). Deterministic (id tie-break), exact integers, no percentile
     sketch — two engines agree on every label.
 
-    Scale shape: the `sample_top_fraction` window pair (rank + count
-    over one partitioning) plus a CASE — one exchange keyed by the
-    stratum."""
-    from pyspark.sql import Window
+    Two plan shapes, IDENTICAL labels (pinned in tests):
 
+    ``spread=False`` — the `sample_top_fraction` window pair (rank +
+    count over one partitioning) plus a CASE: one exchange keyed by the
+    stratum, dominant stratum single-tasks its sort (and the stratum-less
+    variant needs ``allow_single_partition``, the fail-loud contract).
+    Candidate pruning can never help here — EVERY row keeps a label, so
+    the scale fix is spreading the rank, not bounding it.
+
+    ``spread=True`` — the scale form: exact ranks from
+    :func:`_spread_ranked` (range-partitioned sort + offsets, no
+    single-task stage, stratum optional), then ONE tiny per-stratum agg
+    extracts the boundary (score, id) at each cut rank
+    k_j = ((cut_j+1)·n − 1) DIV 1e6 — the last rank whose percentile ≤
+    cut_j — and the label is a map-only CASE of composite compares
+    against the broadcast boundaries: the corpus itself never shuffles.
+    An empty bucket (k_j = 0, or two cuts collapsing to one rank on a
+    tiny stratum) has a NULL/duplicate boundary and falls through to the
+    next label, exactly as the window form's first-when-wins CASE does."""
     if len(labels) != len(cuts_ppm) + 1:
         raise ValueError(
             f"score_buckets: {len(labels)} labels need "
@@ -443,7 +620,64 @@ def score_buckets(
             f"score_buckets: cuts_ppm={cuts_ppm} must be strictly "
             f"inside (0, 1e6) and strictly increasing"
         )
+    _require_strata_or_optin(
+        "score_buckets", strata_col, spread, allow_single_partition
+    )
     score = F.col(score_col)
+    if spread:
+        ranked = _spread_ranked(
+            df, score_col, ascending, strata_col, id_col, partitions
+        )
+        # boundary rank per cut: (r·1e6) DIV n ≤ c  ⟺  r ≤ ((c+1)·n − 1)
+        # DIV 1e6 — exact long algebra ((c+1)·n ≤ 1e6·9.2e12 fits int64).
+        # One map-side-combined agg: ≤ #strata rows out, each carrying
+        # len(cuts) boundary structs (max of ≤1 matching struct per cut)
+        bnd_aggs = [
+            F.max(
+                F.when(
+                    F.col("__rank")
+                    == F.expr(
+                        f"(({int(cut)} + 1) * __n - 1) DIV 1000000"
+                    ).cast("long"),
+                    F.struct(
+                        F.col(score_col).alias("s"), F.col(id_col).alias("i")
+                    ),
+                )
+            ).alias(f"__sb_b{j}")
+            for j, cut in enumerate(cuts_ppm)
+        ]
+        if strata_col is not None:
+            bounds = ranked.groupBy(
+                F.col(strata_col).alias("__sb_key")
+            ).agg(*bnd_aggs)
+            cond = F.col(strata_col).eqNullSafe(F.col("__sb_key"))
+        else:
+            bounds = ranked.groupBy().agg(*bnd_aggs)
+            cond = F.lit(True)
+        bucket = None
+        for j, label in zip(range(len(cuts_ppm)), labels):
+            b = F.col(f"__sb_b{j}")
+            in_bucket = b.isNotNull() & _rank_le_boundary(
+                score, F.col(id_col), b["s"], b["i"], ascending
+            )
+            bucket = (
+                F.when(in_bucket, label)
+                if bucket is None
+                else bucket.when(in_bucket, label)
+            )
+        bucket = bucket.otherwise(labels[-1])
+        drop_cols = [f"__sb_b{j}" for j in range(len(cuts_ppm))] + (
+            ["__sb_key"] if strata_col is not None else []
+        )
+        # left join: bounds has one row per stratum by construction (it
+        # aggregates the total ranked relation), so this is effectively
+        # inner; left keeps the contract "ALL rows survive with a label"
+        # robust even for a pathological empty-bounds corner
+        return (
+            df.join(F.broadcast(bounds), on=cond, how="left")
+            .withColumn(out_col, bucket)
+            .drop(*drop_cols)
+        )
     order = [score.asc() if ascending else score.desc(), F.col(id_col).asc()]
     if strata_col is not None:
         wrank = Window.partitionBy(strata_col).orderBy(*order)
@@ -786,6 +1020,7 @@ def curate(
     span_keep_one: bool = True,
     max_nll_ppm: int | None = None,
     nll_keep_ppm: int | None = None,
+    nll_spread: bool = True,
     nll_reference: DataFrame | None = None,
     normalize: bool = True,
     clf_weights: list[float] | None = None,
@@ -938,6 +1173,31 @@ def curate(
             "not both: two fluency gates in sequence would make the "
             "realized keep rate depend on their interaction"
         )
+    if clf_weights is not None:
+        from beeper_matric_etl_tool_spark.ext.classifier import (
+            QUALITY_FEATURE_NAMES,
+        )
+
+        # shape checks belong HERE, with the other pure argument
+        # validation — the classifier stage composes after
+        # scrubbed.persist(), and raising past a persist mark would leak
+        # a pinned cache-manager entry with no release handle
+        if len(clf_weights) != len(QUALITY_FEATURE_NAMES) + 1:
+            raise ValueError(
+                f"curate: {len(clf_weights)} clf_weights for "
+                f"{len(QUALITY_FEATURE_NAMES)} features — expected "
+                f"intercept + one per feature "
+                f"({', '.join(QUALITY_FEATURE_NAMES)})"
+            )
+        if clf_feature_stats is not None:
+            missing = [
+                c for c in QUALITY_FEATURE_NAMES if c not in clf_feature_stats
+            ]
+            if missing:
+                raise ValueError(
+                    f"curate: clf_feature_stats lacks {missing} — pass the "
+                    f"stats dict feature_stats() returned at training time"
+                )
     if normalize:
         from beeper_matric_etl_tool_spark.ext.text import normalize_text
 
@@ -1004,13 +1264,9 @@ def curate(
         # raw). CCNet shape: heuristic gate first, learned filter second.
         feats = quality_features_from_signals()
         cols = list(feats)
+        # shape validation happened in the argument block up top (before
+        # any persist mark) — here the stats/weights are known well-formed
         if clf_feature_stats is not None:
-            missing = [c for c in cols if c not in clf_feature_stats]
-            if missing:
-                raise ValueError(
-                    f"curate: clf_feature_stats lacks {missing} — pass the "
-                    f"stats dict feature_stats() returned at training time"
-                )
 
             def _z(c: str) -> Column:
                 mean, std = clf_feature_stats[c]
@@ -1112,6 +1368,14 @@ def curate(
             scores.select(F.col(id_col), F.col("score_ppm").alias("nll_ppm")),
             on=id_col,
         )
+        # nll_spread=True (default) ranks through the distributed
+        # range-partition form — no single-task dominant-stratum sort
+        # inside the flagship funnel (the round-7 scale gap); identical
+        # rows either way (pinned in tests), still zero jobs at
+        # composition (the range sampler runs at execution, not here).
+        # Price: the pruned (source, nll, id) rank path re-derives the
+        # LM scoring at execution — bounded by one extra pass over the
+        # persisted dedup_input cache, never a second tokenize-from-disk
         fluent = sample_top_fraction(
             scored,
             "nll_ppm",
@@ -1119,6 +1383,7 @@ def curate(
             ascending=True,  # low NLL = fluent
             strata_col=source_col,
             id_col=id_col,
+            spread=nll_spread,
         )
         opt_stages["fluent"] = fluent
         dedup_input = fluent

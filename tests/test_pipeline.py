@@ -1227,6 +1227,36 @@ def test_curate_classified_stage(spark):
                persist_intermediates=False)
 
 
+def test_curate_clf_validation_precedes_persist(spark, monkeypatch):
+    """Malformed classifier arguments must raise from the argument block
+    at the TOP of curate(), before any stage persist mark — a raise past
+    a persist() would leak a pinned cache-manager entry with no release
+    handle (round-7 ADVICE item). Pinned by spying on DataFrame.persist:
+    the failing calls may never reach it."""
+    from pyspark.sql import DataFrame as _DF
+
+    docs = spark.createDataFrame(
+        [(1, "en", "some words here")], "doc_id long, lang string, text string"
+    )
+    called: list = []
+    orig = _DF.persist
+
+    def spy(self, *a, **k):
+        called.append(self)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(_DF, "persist", spy)
+    with pytest.raises(ValueError, match="clf_weights"):
+        curate(docs, clf_weights=[0.0, 1.0])  # arity 2 ≠ 6 features + 1
+    with pytest.raises(ValueError, match="clf_feature_stats lacks"):
+        curate(
+            docs,
+            clf_weights=[0.0] * 7,
+            clf_feature_stats={"f_len": (0.0, 1.0)},
+        )
+    assert called == []  # neither failing call reached a persist mark
+
+
 def test_sample_token_quota_semantics(spark):
     """Token-budget carve: the kept set is the hash-order prefix whose
     EXCLUSIVE cumulative tokens stay under the budget — so the crossing
@@ -1426,7 +1456,8 @@ def test_sample_top_fraction_exact_counts_and_direction(spark, sf_dir):
         assert worst_kept[lang] <= best_dropped[lang]
     # descending keeps the other end
     top = sample_top_fraction(
-        scored, "score_ppm", keep_ppm=100_000, ascending=False
+        scored, "score_ppm", keep_ppm=100_000, ascending=False,
+        allow_single_partition=True,
     )
     n = scored.count()
     rows = top.collect()
@@ -1439,6 +1470,199 @@ def test_sample_top_fraction_exact_counts_and_direction(spark, sf_dir):
 
     with _pt.raises(ValueError, match="keep_ppm"):
         sample_top_fraction(scored, "score_ppm", keep_ppm=2_000_000)
+
+
+def test_sample_top_fraction_spread_equivalence_and_plan(spark, sf_dir):
+    """The spread (distributed-rank) form returns IDENTICAL rows to the
+    single-window form — per stratum and stratum-less, both directions,
+    under 1/3/13-partition inputs — and its plan is the one the 100 TB
+    story claims: a RangePartitioning exchange spreads the rank (no
+    whole-stratum hash window), and the gate itself is a broadcast
+    boundary compare, so the full frame never shuffles."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import sample_top_fraction
+    from beeper_matric_etl_tool_spark.ext.search import unigram_nll_scores
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = docs.join(unigram_nll_scores(docs), on="doc_id").localCheckpoint(
+        eager=True
+    )
+
+    def ids(df):
+        return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+    base = ids(
+        sample_top_fraction(scored, "score_ppm", 800_000, strata_col="lang")
+    )
+    for parts in (1, 3, 13):
+        got = ids(
+            sample_top_fraction(
+                scored.repartition(parts), "score_ppm", 800_000,
+                strata_col="lang", spread=True,
+            )
+        )
+        assert got == base, parts
+    # stratum-less: spread needs no opt-in (that is its point); both
+    # directions agree with the window form
+    for asc in (True, False):
+        w = ids(
+            sample_top_fraction(
+                scored, "score_ppm", 317_000, ascending=asc,
+                allow_single_partition=True,
+            )
+        )
+        s = ids(
+            sample_top_fraction(
+                scored.repartition(7), "score_ppm", 317_000, ascending=asc,
+                spread=True,
+            )
+        )
+        assert s == w, asc
+    # keep_ppm=0 keeps nothing in both forms
+    assert ids(
+        sample_top_fraction(scored, "score_ppm", 0, strata_col="lang",
+                            spread=True)
+    ) == []
+    # plan shape: range exchange + broadcast gate, and the full-width
+    # frame reaches no hash-partitioned stratum window
+    plan = sample_top_fraction(
+        scored, "score_ppm", 800_000, strata_col="lang", spread=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "Broadcast" in plan
+    # the guard: stratum-less window form must be opted into
+    with pytest.raises(ValueError, match="SINGLE task"):
+        sample_top_fraction(scored, "score_ppm", 500_000)
+
+
+def test_spread_rank_ties_and_null_scores(spark):
+    """Planted ties (same score, id tie-break) and NULL scores (Spark
+    window order: asc = nulls FIRST, desc = nulls LAST) — the spread
+    boundary compare must replicate both exactly, in both operators."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import (
+        sample_top_fraction,
+        score_buckets,
+    )
+
+    rows = [
+        (1, "en", 10), (2, "en", 10), (3, "en", 10), (4, "en", 20),
+        (5, "en", None), (6, "en", 20),
+        (10, "es", 5), (11, "es", None), (12, "es", None), (13, "es", 7),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, s long")
+    for asc in (True, False):
+        for ppm in (250_000, 500_000, 750_000):
+            w = sorted(
+                r["doc_id"]
+                for r in sample_top_fraction(
+                    docs, "s", ppm, ascending=asc, strata_col="lang"
+                ).collect()
+            )
+            s = sorted(
+                r["doc_id"]
+                for r in sample_top_fraction(
+                    docs.repartition(3), "s", ppm, ascending=asc,
+                    strata_col="lang", spread=True,
+                ).collect()
+            )
+            assert s == w, (asc, ppm)
+        wb = {
+            r["doc_id"]: r["score_bucket"]
+            for r in score_buckets(
+                docs, "s", ascending=asc, strata_col="lang"
+            ).collect()
+        }
+        sb = {
+            r["doc_id"]: r["score_bucket"]
+            for r in score_buckets(
+                docs.repartition(3), "s", ascending=asc, strata_col="lang",
+                spread=True,
+            ).collect()
+        }
+        assert sb == wb, asc
+
+
+def test_score_buckets_spread_equivalence_and_plan(spark, sf_dir):
+    """score_buckets(spread=True): identical labels to the window form
+    on the real corpus (per-stratum and stratum-less, 1/3/13-partition
+    inputs, the 3000-row overflow stratum), range-partitioned rank plan,
+    broadcast label gate. Every row must survive with a label in both
+    forms (the bucketing contract)."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import score_buckets
+    from beeper_matric_etl_tool_spark.ext.text import token_count
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", token_count("text").alias("n_toks"))
+        .localCheckpoint(eager=True)
+    )
+    base = {
+        r["doc_id"]: r["score_bucket"]
+        for r in score_buckets(docs, "n_toks", strata_col="lang").collect()
+    }
+    for parts in (1, 3, 13):
+        got = {
+            r["doc_id"]: r["score_bucket"]
+            for r in score_buckets(
+                docs.repartition(parts), "n_toks", strata_col="lang",
+                spread=True,
+            ).collect()
+        }
+        assert got == base, parts
+    assert len(base) == docs.count()  # total labeling
+    # stratum-less + the 3000-row percentile-overflow regression corpus
+    big = spark.createDataFrame(
+        [(i, i) for i in range(3000)], "doc_id long, s long"
+    )
+    wbig = {
+        r["doc_id"]: r["score_bucket"]
+        for r in score_buckets(big, "s", allow_single_partition=True).collect()
+    }
+    sbig = {
+        r["doc_id"]: r["score_bucket"]
+        for r in score_buckets(big.repartition(13), "s", spread=True).collect()
+    }
+    assert sbig == wbig
+    plan = score_buckets(
+        docs, "n_toks", strata_col="lang", spread=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "Broadcast" in plan
+    with pytest.raises(ValueError, match="SINGLE task"):
+        score_buckets(big, "s")
+
+
+def test_curate_nll_spread_matches_window_form(spark, sf_dir):
+    """curate(nll_keep_ppm=…) runs the spread rank by default; the
+    window form (nll_spread=False) keeps the IDENTICAL fluent set — the
+    funnel's scale-form switch cannot move a single decision. Plan-shape
+    pin (deterministic, unlike session-wide job counts): the default
+    fluent stage ranks through a RangePartitioning exchange; the window
+    form has none."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import curate
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    spread_stages = curate(
+        docs, nll_keep_ppm=500_000, persist_intermediates=False
+    )
+    window_stages = curate(
+        docs, nll_keep_ppm=500_000, nll_spread=False,
+        persist_intermediates=False,
+    )
+    got = sorted(
+        r["doc_id"] for r in spread_stages["fluent"].select("doc_id").collect()
+    )
+    want = sorted(
+        r["doc_id"] for r in window_stages["fluent"].select("doc_id").collect()
+    )
+    assert got == want and got
+    splan = (
+        spread_stages["fluent"]._jdf.queryExecution().executedPlan().toString()
+    )
+    wplan = (
+        window_stages["fluent"]._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" in splan.lower()
+    assert "rangepartitioning" not in wplan.lower()
 
 
 def test_corpus_report_data_card(spark, sf_dir):
@@ -1517,7 +1741,7 @@ def test_score_buckets_thirds_and_strata(spark):
     docs = spark.createDataFrame(rows, "doc_id long, lang string, s long")
     got = {
         r["doc_id"]: r["score_bucket"]
-        for r in score_buckets(docs, "s").collect()
+        for r in score_buckets(docs, "s", allow_single_partition=True).collect()
     }
     assert [got[i] for i in range(9)] == (
         ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
@@ -1549,7 +1773,12 @@ def test_score_buckets_large_stratum_and_tie_cuts(spark):
     docs = spark.createDataFrame(
         [(i, i) for i in range(3000)], "doc_id long, s long"
     )
-    got = score_buckets(docs, "s").groupBy("score_bucket").count().collect()
+    got = (
+        score_buckets(docs, "s", allow_single_partition=True)
+        .groupBy("score_bucket")
+        .count()
+        .collect()
+    )
     counts = {r["score_bucket"]: r["count"] for r in got}
     assert counts == {"head": 1000, "middle": 1000, "tail": 1000}
     import pytest as _pt

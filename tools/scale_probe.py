@@ -437,6 +437,48 @@ def probe_top_fraction(docs):
     )
 
 
+def probe_top_fraction_spread(docs):
+    """The percentile gate's SCALE form (spread=True): range-partitioned
+    distributed rank + broadcast boundary compare — no single-task
+    stratum sort, the corpus never shuffles for the gate itself. The
+    checksum must EQUAL probe_top_fraction's at every factor (identical
+    kept set, different plan); the growth curve prices the extra pruned
+    rank pass against the window form's dominant-stratum sort."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import sample_top_fraction
+    from beeper_matric_etl_tool_spark.ext.text import token_count
+
+    base = docs.select("doc_id", "lang", token_count("text").alias("n_toks"))
+    kept = sample_top_fraction(
+        base, "n_toks", keep_ppm=750_000, strata_col="lang", spread=True
+    )
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_toks").alias("membership_checksum"),
+    )
+
+
+def probe_score_buckets_spread(docs):
+    """CCNet head/middle/tail bucketing in its scale form (spread=True):
+    the same distributed rank, boundaries at the cut ranks, map-only
+    CASE labeling. Output is corpus-sized (every row keeps a label), so
+    expect ~linear; the label-mass checksum pins the full labeling
+    against the window form's semantics."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import score_buckets
+    from beeper_matric_etl_tool_spark.ext.text import token_count
+
+    base = docs.select("doc_id", "lang", token_count("text").alias("n_toks"))
+    labeled = score_buckets(
+        base, "n_toks", strata_col="lang", spread=True
+    )
+    return labeled.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("score_bucket") == "head", F.col("doc_id"))
+        ).alias("head_checksum"),
+        F.count_if(F.col("score_bucket") == "middle").alias("n_middle"),
+    )
+
+
 def probe_token_quota(docs):
     """Token-budget stratified sampling (`sample_token_quota`,
     two-phase): the dominant-stratum refinement's cumsum windows over a
@@ -585,6 +627,8 @@ def main() -> None:
         ("unigram_nll", probe_unigram_nll),
         ("bigram_nll", probe_bigram_nll),
         ("top_fraction", probe_top_fraction),
+        ("top_fraction_spread", probe_top_fraction_spread),
+        ("score_buckets_spread", probe_score_buckets_spread),
         ("token_quota_two_phase", probe_token_quota),
         ("epoch_shuffle", probe_epoch_shuffle),
         ("quota_sample", probe_quota_sample),
