@@ -532,6 +532,94 @@ def dense_hash_topk(
     )
 
 
+def dense_hash_topk_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """The QUERY-FRAME form of :func:`dense_hash_topk` — score a whole
+    evaluation sweep's query set in ONE corpus pass instead of one job
+    per query. Each query row embeds through the SAME
+    `ext/embed.py:hashed_counts` bucket formula the per-query form's
+    driver-side hashlib uses (`tokens(query_text_col)` defines the
+    terms, so a query whose text is the space-joined term list returns
+    IDENTICAL results to the per-query loop — pinned in tests), and the
+    ranking stays integer-exact: score = (dot²·1e9) DIV ‖d‖², same
+    overflow raise at ``DENSE_MAX_DOT``.
+
+    Output: one row per (query, hit) — (query_id_col, id_col,
+    score_ppb, rank), rank windowed per query, ready for per-query RRF
+    fusion or `ext/similarity.py:evaluate_recall`.
+
+    Scale shape: the query frame BROADCASTS (it is an eval set, not a
+    corpus — thousands of rows, not millions); each document's count
+    vector and squared norm are computed ONCE in the projection BELOW
+    the broadcast join (both are referenced by every pair row, which is
+    exactly what stops Catalyst's CollapseProject from re-inlining the
+    O(dim·n_tokens) fold per query — the `embed_documents` two-column
+    pattern), so the join stage is |docs|·|queries| integer dot products
+    over resident vectors with NO shuffle. Top-k then prunes in two
+    bounded windows: a local rank per (input partition, query) cuts each
+    partition's contribution to k rows BEFORE the only exchange, so the
+    per-query global sort re-ranks ≤ k·n_partitions candidates — never
+    the corpus (`sample_quota two_phase`'s containment argument: every
+    global top-k row is its partition's local top-k)."""
+    from pyspark.sql import Window
+
+    from beeper_matric_etl_tool_spark.ext.embed import hashed_counts
+
+    q = queries.select(
+        F.col(query_id_col).alias("__bq_id"),
+        hashed_counts(query_text_col, dim=dim).alias("__qv"),
+    )
+    vec = hashed_counts(text_col, dim=dim)
+    d = docs.select(F.col(id_col), vec.alias("__dv")).withColumn(
+        "__norm2",
+        F.aggregate(
+            F.col("__dv"), F.lit(0).cast("long"), lambda acc, c: acc + c * c
+        ),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__dv"), F.col("__qv"), lambda c, qq: c * qq),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    score = F.when(
+        F.col("__dot") > F.lit(DENSE_MAX_DOT),
+        F.raise_error(
+            F.lit(
+                "dense_hash_topk_batch: dot product exceeds the exact-long "
+                f"score bound ({DENSE_MAX_DOT}) — dot²·1e9 would overflow "
+                "int64; lower dim collision mass or pre-truncate documents"
+            )
+        ).cast("long"),
+    ).otherwise(
+        F.expr("(__dot * __dot * 1000000000) DIV __norm2").cast("long")
+    )
+    scored = (
+        d.crossJoin(F.broadcast(q))
+        .select(F.col("__bq_id"), F.col(id_col), dot.alias("__dot"), "__norm2")
+        .filter(F.col("__dot") > 0)
+        .select("__bq_id", id_col, score.alias("score_ppb"))
+    )
+    order = [F.col("score_ppb").desc(), F.col(id_col).asc()]
+    wl = Window.partitionBy(F.spark_partition_id(), "__bq_id").orderBy(*order)
+    wg = Window.partitionBy("__bq_id").orderBy(*order)
+    return (
+        scored.withColumn("__lrk", F.row_number().over(wl))
+        .filter(F.col("__lrk") <= k)
+        .drop("__lrk")
+        .withColumn("rank", F.row_number().over(wg))
+        .filter(F.col("rank") <= k)
+        .withColumnRenamed("__bq_id", query_id_col)
+    )
+
+
 def rrf_fuse(
     ranked: list[DataFrame],
     k0: int = 60,

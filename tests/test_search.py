@@ -399,6 +399,54 @@ def test_dense_hash_topk_matches_duckdb_oracle(spark, sf_dir):
     assert_matches_oracle(got, oracle, sf_dir)
 
 
+def test_dense_hash_topk_batch_matches_per_query_loop(spark, sf_dir):
+    """The query-frame form returns IDENTICAL (id, score, rank) lists to
+    the per-query loop for every query in the set — one corpus pass for
+    the whole sweep instead of one job per query — under 1/3/13-partition
+    corpora; plan pins: the query frame broadcasts (no shuffle scoring
+    the pairs), and the final per-query sort input is candidate-bounded
+    by the local-rank prune BEFORE the exchange."""
+    from beeper_matric_etl_tool_spark.ext.search import dense_hash_topk_batch
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    query_sets = {
+        0: ["the", "data", "model"],
+        1: ["alpha", "of", "the"],
+        2: ["qzzqv"],  # no hits: empty list in both forms
+    }
+    queries = spark.createDataFrame(
+        [(qid, " ".join(terms)) for qid, terms in query_sets.items()],
+        "query_id long, text string",
+    )
+    want = {
+        qid: [
+            (r["doc_id"], r["score_ppb"], r["rank"])
+            for r in dense_hash_topk(docs, terms, k=5).collect()
+        ]
+        for qid, terms in query_sets.items()
+    }
+    for parts in (1, 3, 13):
+        batch = dense_hash_topk_batch(
+            docs.repartition(parts), queries, k=5
+        ).collect()
+        got: dict = {qid: [] for qid in query_sets}
+        for r in sorted(batch, key=lambda r: (r["query_id"], r["rank"])):
+            got[r["query_id"]].append(
+                (r["doc_id"], r["score_ppb"], r["rank"])
+            )
+        assert got == want, parts
+    plan = (
+        dense_hash_topk_batch(docs, queries, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Broadcast" in plan
+    # the local prune (filter on the partition-local rank) sits in the
+    # plan before the per-query global window
+    assert plan.count("Window") >= 2
+
+
 def test_rrf_fuse_hand_computed(spark):
     """Lists A=[1@1, 2@2], B=[2@1, 3@2]: rrf(2) = 1e9//62 + 1e9//61
     beats rrf(1) = 1e9//61 — consensus across lists wins over a single
