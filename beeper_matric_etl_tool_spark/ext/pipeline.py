@@ -422,6 +422,70 @@ def _spread_ranked(
     )
 
 
+def _spread_prefix(
+    df: DataFrame,
+    weight_col: str,
+    order: list[Column],
+    grp: list[str],
+    partitions: int | None = None,
+    out_col: str = "__prefix",
+) -> DataFrame:
+    """Distributed EXCLUSIVE prefix sum — `_spread_ranked`'s sibling for
+    running-total operators (token packing): appends ``out_col`` = the
+    sum of ``weight_col`` over all rows strictly BEFORE this one in the
+    per-group ``order``, bit-identical to the single-window form for
+    integer weights (long addition is association-free; float weights
+    would expose summation-order ulps and are not used here), with no
+    single-task group stage:
+
+    range-partition on (group, order) → per-(partition, group) weight
+    totals (tiny, map-side combined) → per-group exclusive prefix of
+    those totals in partition order (window over the tiny relation) →
+    broadcast offsets back, local exclusive cumsum + offset. The FULL
+    row set rides the two exchanges (range + the window's (partition,
+    group) hash) — the price of spreading vs the window form's one
+    exchange into one-task-per-group; at corpus scale the second
+    balanced exchange is cheap and the single task is the wall."""
+    n_parts = int(
+        partitions
+        if partitions is not None
+        else df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    grp_exprs = [F.col(c) for c in grp]
+    rp = df.repartitionByRange(n_parts, *grp_exprs, *order)
+    withpid = rp.withColumn("__pid", F.spark_partition_id())
+    sums = withpid.groupBy("__pid", *grp).agg(
+        F.sum(weight_col).alias("__wsum")
+    )
+    woff = (
+        Window.partitionBy(*grp)
+        .orderBy(F.col("__pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sums.select(
+        "__pid",
+        *grp,
+        F.coalesce(F.sum("__wsum").over(woff), F.lit(0)).alias("__woff"),
+    )
+    wloc = (
+        Window.partitionBy("__pid", *grp)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        withpid.join(F.broadcast(offs), on=["__pid", *grp])
+        .withColumn(
+            out_col,
+            F.coalesce(F.sum(weight_col).over(wloc), F.lit(0))
+            + F.col("__woff"),
+        )
+        # the name-keyed join moved the keys to the front — restore the
+        # caller's column order (an observable schema for positional
+        # consumers), appending only out_col
+        .select(*df.columns, out_col)
+    )
+
+
 def _rank_le_boundary(
     score: Column, id_: Column, b_score: Column, b_id: Column, ascending: bool
 ) -> Column:
@@ -909,6 +973,8 @@ def pack_by_budget(
     id_col: str = "doc_id",
     shuffle: bool = True,
     allow_single_partition: bool = False,
+    spread: bool = False,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Assign documents to fixed token-budget bins via an exclusive running
     sum — every row's ``pack_id`` is a pure function of the ordered prefix,
@@ -929,12 +995,20 @@ def pack_by_budget(
     window task (Spark's single-partition Window path) — fine for a toy
     corpus, a wall at scale — so it must be opted into explicitly via
     ``allow_single_partition`` (the same fail-loud contract as
-    ``jaccard_pairs``' ``allow_full_scan``)."""
-    if not partition_cols and not allow_single_partition:
+    ``jaccard_pairs``' ``allow_full_scan``). Even WITH partition_cols,
+    a dominant source runs its cumsum in one task; ``spread=True`` is
+    the scale form (:func:`_spread_prefix`): the same pack assignments
+    (pinned in tests — integer token weights make the split-and-offset
+    sums exact) from a range-partitioned local cumsum + broadcast
+    per-partition offsets, no single-task stage with or without
+    partition_cols. The hash ORDER is unchanged, so spread is a plan
+    choice, never a semantics choice."""
+    if not partition_cols and not allow_single_partition and not spread:
         raise ValueError(
             "pack_by_budget: empty partition_cols runs the prefix-sum window "
             "in a SINGLE task over the whole dataset; pass partition_cols "
-            "(e.g. the source/language column) or allow_single_partition=True "
+            "(e.g. the source/language column), spread=True (the distributed "
+            "prefix-sum form), or allow_single_partition=True "
             "for corpora small enough to pack serially"
         )
     order = (
@@ -945,6 +1019,13 @@ def pack_by_budget(
         if shuffle
         else [F.col(id_col).asc()]
     )
+    if spread:
+        out = _spread_prefix(
+            df, token_col, order, list(partition_cols), partitions
+        )
+        return out.withColumn(
+            "pack_id", F.floor(F.col("__prefix") / F.lit(budget)).cast("long")
+        ).drop("__prefix")
     w = (
         Window.partitionBy(*[F.col(c) for c in partition_cols])
         .orderBy(*order)
@@ -1007,6 +1088,7 @@ def curate(
     semdedup_k: int = 8,
     semdedup_threshold_ppm: int = 950_000,
     pack_budget: int = 2048,
+    pack_spread: bool = True,
     embedding_id_col: str = "vec_id",
     persist_intermediates: bool = True,
     reference_docs: DataFrame | None = None,
@@ -1514,12 +1596,17 @@ def curate(
     else:
         sampled = mix_input
 
+    # pack_spread=True (default): the distributed prefix sum — a
+    # dominant source no longer single-tasks its cumsum; identical
+    # pack_ids either way (pinned in tests, and the quality_filter
+    # driver row hashes them through this very path)
     packed = pack_by_budget(
         sampled.withColumn("n_tokens_packed", token_count(text_col)),
         token_col="n_tokens_packed",
         budget=pack_budget,
         partition_cols=(source_col,),
         id_col=id_col,
+        spread=pack_spread,
     )
 
     return CurationStages(

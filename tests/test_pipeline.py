@@ -1631,6 +1631,69 @@ def test_score_buckets_spread_equivalence_and_plan(spark, sf_dir):
         score_buckets(big, "s")
 
 
+def test_pack_by_budget_spread_equivalence_and_plan(spark, sf_dir):
+    """pack_by_budget(spread=True) assigns IDENTICAL pack_ids to the
+    window form — per-source and partition-less, shuffled and id-order,
+    under 1/3/13-partition inputs (integer token weights make the
+    split-and-offset sums exact) — through a RangePartitioning plan
+    with no single-task cumsum; partition-less spread needs no opt-in."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import pack_by_budget
+    from beeper_matric_etl_tool_spark.ext.text import token_count
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", token_count("text").alias("n_toks"))
+        .localCheckpoint(eager=True)
+    )
+
+    def packs(df, **kw):
+        return {
+            r["doc_id"]: r["pack_id"]
+            for r in pack_by_budget(df, "n_toks", budget=700, **kw).collect()
+        }
+
+    for shuffle in (True, False):
+        base = packs(docs, partition_cols=("lang",), shuffle=shuffle)
+        for parts in (1, 3, 13):
+            got = packs(
+                docs.repartition(parts), partition_cols=("lang",),
+                shuffle=shuffle, spread=True,
+            )
+            assert got == base, (shuffle, parts)
+    # partition-less: spread replaces the single-task window, no opt-in
+    w = packs(docs, allow_single_partition=True)
+    s = packs(docs.repartition(7), spread=True)
+    assert s == w
+    plan = (
+        pack_by_budget(
+            docs, "n_toks", budget=700, partition_cols=("lang",), spread=True
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_curate_pack_spread_matches_window_form(spark, sf_dir):
+    """curate()'s packed stage defaults to the spread prefix sum; the
+    window form (pack_spread=False) yields identical pack assignments."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import curate
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    a = curate(docs, persist_intermediates=False)
+    b = curate(docs, persist_intermediates=False, pack_spread=False)
+    pa = sorted(
+        (r["doc_id"], r["pack_id"])
+        for r in a["packed"].select("doc_id", "pack_id").collect()
+    )
+    pb = sorted(
+        (r["doc_id"], r["pack_id"])
+        for r in b["packed"].select("doc_id", "pack_id").collect()
+    )
+    assert pa == pb and pa
+
+
 def test_curate_nll_spread_matches_window_form(spark, sf_dir):
     """curate(nll_keep_ppm=…) runs the spread rank by default; the
     window form (nll_spread=False) keeps the IDENTICAL fluent set — the

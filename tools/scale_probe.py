@@ -457,6 +457,25 @@ def probe_top_fraction_spread(docs):
     )
 
 
+def probe_pack_spread(docs):
+    """Token packing in its scale form (pack_by_budget spread=True): the
+    distributed exclusive prefix sum — range exchange + tiny offsets +
+    local cumsum, no single-task dominant-source stage. Expect ~linear;
+    the (pack count, Σ pack_id) checksum pins assignment semantics
+    against the window form's SQL-oracled replay (doc_packing)."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import pack_by_budget
+    from beeper_matric_etl_tool_spark.ext.text import token_count
+
+    base = docs.select("doc_id", "lang", token_count("text").alias("n_toks"))
+    packed = pack_by_budget(
+        base, "n_toks", budget=2048, partition_cols=("lang",), spread=True
+    )
+    return packed.agg(
+        F.count_distinct("lang", "pack_id").alias("n_packs"),
+        F.sum("pack_id").alias("assignment_checksum"),
+    )
+
+
 def probe_score_buckets_spread(docs):
     """CCNet head/middle/tail bucketing in its scale form (spread=True):
     the same distributed rank, boundaries at the cut ranks, map-only
@@ -629,6 +648,7 @@ def main() -> None:
         ("top_fraction", probe_top_fraction),
         ("top_fraction_spread", probe_top_fraction_spread),
         ("score_buckets_spread", probe_score_buckets_spread),
+        ("pack_spread", probe_pack_spread),
         ("token_quota_two_phase", probe_token_quota),
         ("epoch_shuffle", probe_epoch_shuffle),
         ("quota_sample", probe_quota_sample),
