@@ -407,6 +407,17 @@ def _tokquota_case_sql() -> str:
 ESHUF_EPOCH = 1
 ESHUF_SHARDS = 8
 
+#: the percentile-gate dim's keep fraction (dim='pct') — mid-range so
+#: every language both keeps and drops rows at every SF; the Spark leg
+#: runs sample_top_fraction in its SPREAD (distributed-rank) form, so a
+#: green row is driver evidence for the scale path, replayed by the
+#: oracle's single-window SQL.
+PCT_KEEP_PPM = 750_000
+
+#: score_buckets dim cuts (dim='bucket') — the operator's CCNet
+#: head/middle/tail defaults, interpolated into the oracle.
+BUCKET_CUTS_PPM = (333_333, 666_666)
+
 
 def _epoch_copies_sql() -> str:
     """SQL twin of ext/pipeline.py:epoch_copies over (doc_id, lang):
@@ -472,6 +483,34 @@ def _epoch_copies_sql() -> str:
             FROM tkranked
             WHERE coalesce(cum_before, 0) < {_tokquota_case_sql()}
             GROUP BY lang
+        ),
+        pranked AS (
+            SELECT lang, n_toks,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY n_toks, doc_id) AS rk,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM d
+        ),
+        pkept AS (
+            SELECT lang, count(*) AS p_kept,
+                   CAST(sum(n_toks) AS BIGINT) AS p_toks
+            FROM pranked WHERE rk <= (n * {PCT_KEEP_PPM}) // 1000000
+            GROUP BY lang
+        ),
+        blabeled AS (
+            SELECT lang, n_toks, doc_id,
+                   CASE WHEN (rk * 1000000) // n <= {BUCKET_CUTS_PPM[0]}
+                            THEN 'head'
+                        WHEN (rk * 1000000) // n <= {BUCKET_CUTS_PPM[1]}
+                            THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM (
+                SELECT lang, n_toks, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY n_toks, doc_id) AS rk,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM d
+            )
         ),
         eshr AS (
             SELECT doc_id, n_toks, ekey,
@@ -544,6 +583,36 @@ def _epoch_copies_sql() -> str:
                ordsum AS n_kept,
                CAST(NULL AS BIGINT) AS kept_ppm
         FROM eshleg
+        UNION ALL
+        SELECT 'pct' AS dim, d.lang AS key, count(*) AS n_docs,
+               CAST(NULL AS BIGINT) AS total_chars,
+               CAST(coalesce(any_value(p.p_toks), 0) AS BIGINT) AS total_tokens,
+               CAST(coalesce(any_value(p.p_kept), 0) AS BIGINT) AS n_kept,
+               CAST((1000000 * coalesce(any_value(p.p_kept), 0)) // count(*)
+                    AS BIGINT) AS kept_ppm
+        FROM d LEFT JOIN pkept p ON d.lang = p.lang GROUP BY d.lang
+        UNION ALL
+        SELECT 'bucket' AS dim, concat_ws('/', lang, bucket) AS key,
+               count(*) AS n_docs,
+               CAST(NULL AS BIGINT) AS total_chars,
+               CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+               CAST(sum(doc_id) AS BIGINT) AS n_kept,
+               CAST(NULL AS BIGINT) AS kept_ppm
+        FROM blabeled GROUP BY lang, bucket
+        UNION ALL
+        SELECT 'report' AS dim, lang AS key, count(*) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+               CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_kept,
+               CAST(NULL AS BIGINT) AS kept_ppm
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT 'report' AS dim, '_corpus' AS key, count(*) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+               CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_kept,
+               CAST(NULL AS BIGINT) AS kept_ppm
+        FROM documents
     """,
 )
 def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -611,12 +680,40 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     MEMBERSHIP; n_kept carries the ORDER checksum Σ rank·doc_id under
     the shard-local (ekey, id) sort — a re-run, a different cluster, or
     a different engine must reproduce the exact permutation to match.
-    EPOCH_SHUFFLE_SALT imported so a salt edit re-derives both planes."""
+    EPOCH_SHUFFLE_SALT imported so a salt edit re-derives both planes.
+
+    dim='pct' — the exact percentile gate (ext/pipeline.py:
+    sample_top_fraction) in its SPREAD form: distributed rank via
+    range-partitioning + per-partition offsets, boundary-row broadcast
+    gate — the 100 TB path, whose kept set the oracle replays with the
+    textbook single-window SQL. n_kept pins the per-language exact count
+    floor(n·keep_ppm/1e6); total_tokens pins the kept MEMBERSHIP (the
+    low-token prefix under (n_toks, id) order), not just its size.
+
+    dim='bucket' — CCNet head/middle/tail percentile bucketing
+    (ext/pipeline.py:score_buckets, spread form): one row per
+    (language, bucket) with count, token mass and an id-sum membership
+    checksum — the oracle's window/CASE replay must agree on every
+    label for every hash to land.
+
+    dim='report' — the one-rollup corpus data card (ext/pipeline.py:
+    corpus_report): per-language + '_corpus' doc/char/token totals with
+    n_kept = exact-duplicate docs (n_docs − distinct content
+    fingerprints, recomputed globally for the grand row — a fingerprint
+    duplicated ACROSS languages is a global dup no per-language count
+    sees). The Spark rows come from the operator's own rollup output,
+    so a green row oracles the data card's arithmetic end to end; the
+    rule-failure/PII/histogram tiers of the card stay pytest-pinned
+    (their per-document inputs are already driver-hashed via
+    quality_filter's signal leg)."""
     from beeper_matric_etl_tool_spark.ext.pipeline import (
+        corpus_report,
         mix_epochs,
         mix_keep,
         sample_quota,
         sample_token_quota,
+        sample_top_fraction,
+        score_buckets,
         shuffle_epoch,
     )
 
@@ -767,6 +864,77 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             null_long.alias("kept_ppm"),
         )
     )
+    pbase = docs.select(
+        "doc_id", "lang", xtext.token_count("text").alias("__n_toks")
+    )
+    pct_kept = sample_top_fraction(
+        pbase, "__n_toks", keep_ppm=PCT_KEEP_PPM, strata_col="lang",
+        spread=True,
+    )
+    pagg = pct_kept.groupBy(F.col("lang").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("__p_kept"),
+        F.sum("__n_toks").cast("long").alias("__p_toks"),
+    )
+    pct = (
+        base.groupBy(F.col("lang").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(pagg, "key", "left")
+        .select(
+            F.lit("pct").alias("dim"),
+            "key",
+            "n_docs",
+            null_long.alias("total_chars"),
+            F.coalesce("__p_toks", F.lit(0)).cast("long").alias("total_tokens"),
+            F.coalesce("__p_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.floor(
+                (F.lit(1_000_000) * F.coalesce(F.col("__p_kept"), F.lit(0)))
+                / F.col("n_docs")
+            )
+            .cast("long")
+            .alias("kept_ppm"),
+        )
+    )
+    bucket = (
+        score_buckets(
+            pbase, "__n_toks", cuts_ppm=BUCKET_CUTS_PPM,
+            strata_col="lang", spread=True,
+        )
+        .groupBy(F.concat_ws("/", "lang", "score_bucket").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n_toks").cast("long").alias("total_tokens"),
+            F.sum("doc_id").cast("long").alias("n_kept"),
+        )
+        .select(
+            F.lit("bucket").alias("dim"),
+            "key",
+            "n_docs",
+            null_long.alias("total_chars"),
+            "total_tokens",
+            "n_kept",
+            null_long.alias("kept_ppm"),
+        )
+    )
+    # dim='report': the data card's own rollup output, reshaped — the
+    # operator is eager by contract (it returns driver scalars), so the
+    # rows below carry the numbers its one rollup job produced
+    rep = corpus_report(docs)
+    report = spark.createDataFrame(
+        [
+            (
+                "report",
+                k if k is not None else "<null>",
+                int(v["n_docs"]),
+                int(v["total_chars"]),
+                int(v["total_tokens"]),
+                int(v["exact_dup_docs"]),
+                None,
+            )
+            for k, v in rep.items()
+        ],
+        "dim string, key string, n_docs long, total_chars long, "
+        "total_tokens long, n_kept long, kept_ppm long",
+    )
     return (
         _grouped("lang", "lang")
         .unionByName(_grouped("split", "split"))
@@ -775,6 +943,9 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(quota)
         .unionByName(tokquota)
         .unionByName(eshuf)
+        .unionByName(pct)
+        .unionByName(bucket)
+        .unionByName(report)
     )
 
 
@@ -1649,12 +1820,52 @@ _MULTIPROBE_ORACLE = """
                     AS BIGINT) AS cosine_ppm
         FROM q JOIN z c ON c.vec_id <> q.query_id
         JOIN top2 t ON t.query_id = q.query_id AND t.label = c.label
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id, cosine_ppm, rnk FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_ppm DESC, neighbor_id
+            ) AS rnk
+            FROM scored
+        ) WHERE rnk <= {k}
+    ),
+    bscored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               CAST(floor(1000000 * list_dot_product(q.qv, c.v)
+                     / (sqrt(q.qn2) * sqrt(list_dot_product(c.v, c.v))))
+                    AS BIGINT) AS cosine_ppm
+        FROM q JOIN z c ON c.vec_id <> q.query_id
+    ),
+    exact5 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_ppm DESC, neighbor_id
+            ) AS rnk
+            FROM bscored
+        ) WHERE rnk <= {k}
+    ),
+    rec AS (
+        SELECT e.query_id,
+               count(*) AS n_exact,
+               CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               CAST((1000000 *
+                     sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+                    // count(*) AS BIGINT) AS recall_ppm
+        FROM exact5 e
+        LEFT JOIN (SELECT DISTINCT query_id, neighbor_id FROM approx) a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
     )
-    SELECT query_id, neighbor_id, cosine_ppm, rnk AS rank FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY cosine_ppm DESC, neighbor_id) AS rnk
-        FROM scored
-    ) WHERE rnk <= {k}
+    SELECT 'topk' AS kind, query_id, neighbor_id, cosine_ppm, rnk AS rank,
+           CAST(NULL AS BIGINT) AS n_exact, CAST(NULL AS BIGINT) AS n_hit,
+           CAST(NULL AS BIGINT) AS recall_ppm
+    FROM approx
+    UNION ALL
+    SELECT 'recall' AS kind, query_id, CAST(NULL AS BIGINT) AS neighbor_id,
+           CAST(NULL AS BIGINT) AS cosine_ppm, CAST(NULL AS INTEGER) AS rank,
+           n_exact, n_hit, recall_ppm
+    FROM rec
 """
 
 
@@ -1707,7 +1918,15 @@ def knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid ranking is engine-identical (exact-integer inputs, pinned
     IEEE op order, left-fold sum — see `multiprobe_labels`), which is what
     makes this leg hash-checkable against the SQL oracle where ordinary
-    float k-means (`knn_ivf_kmeans`) is not."""
+    float k-means (`knn_ivf_kmeans`) is not.
+
+    kind='topk'   — the nprobe=2 top-5 per probe (the original leg).
+    kind='recall' — `ext/similarity.py:evaluate_recall` of that result
+    against the exact brute-force top-5 from the SAME scored funnel: one
+    row per query with (n_exact, n_hit, recall_ppm), the recall@k eval
+    loop an ANN deployment tunes against — the operator's join/agg
+    arithmetic driver-hashed against the oracle's independent replay
+    (every metric rides top-k-sized relations, never the corpus)."""
     emb = table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 8)
     cent = xsim.label_centroid_sums(emb)
@@ -1716,8 +1935,36 @@ def knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes, emb, k_brute=10, k_ivf=5, partition_col="label",
         probe_labels=mp, k_multi=5,
     )
-    return suite.filter(F.col("strategy") == "ivf2").select(
+    top = suite.filter(F.col("strategy") == "ivf2").select(
         "query_id", "neighbor_id", "cosine_ppm", "rank"
+    )
+    brute5 = suite.filter(
+        (F.col("strategy") == "brute") & (F.col("rank") <= 5)
+    ).select("query_id", "neighbor_id")
+    rec = xsim.evaluate_recall(
+        top, brute5, query_col="query_id", id_col="neighbor_id"
+    )
+    nl = F.lit(None).cast("long")
+    return top.select(
+        F.lit("topk").alias("kind"),
+        "query_id",
+        "neighbor_id",
+        "cosine_ppm",
+        "rank",
+        nl.alias("n_exact"),
+        nl.alias("n_hit"),
+        nl.alias("recall_ppm"),
+    ).unionByName(
+        rec.select(
+            F.lit("recall").alias("kind"),
+            "query_id",
+            nl.alias("neighbor_id"),
+            nl.alias("cosine_ppm"),
+            F.lit(None).cast("int").alias("rank"),
+            "n_exact",
+            "n_hit",
+            "recall_ppm",
+        )
     )
 
 
@@ -2537,6 +2784,14 @@ def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the BM25 leg's fixed query — also the query tests/test_search.py oracles
 _BM25_QUERY = ("the", "data", "model")
 
+#: the batch dense-retrieval leg's query SET (method='dense2'):
+#: dense_hash_topk_batch scores all of them in ONE corpus pass; q0 is the
+#: single-query leg's query so the driver also pins batch ≡ per-query.
+_DENSE2_QUERIES: dict[str, tuple[str, ...]] = {
+    "q0": _BM25_QUERY,
+    "q1": ("alpha", "of", "the"),
+}
+
 
 @register(
     "tfidf_top_terms",
@@ -2679,6 +2934,38 @@ _BM25_QUERY = ("the", "data", "model")
                 FROM dsc WHERE dot > 0
             ) WHERE rnk <= 10
         ),
+        q2 AS (
+            SELECT qk, t FROM (VALUES {", ".join(
+                f"('{qk}', '{t}')"
+                for qk, terms in _DENSE2_QUERIES.items()
+                for t in terms
+            )}) v(qk, t)
+        ),
+        qvb2 AS (
+            SELECT qk,
+                   CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS b,
+                   count(*) AS qc
+            FROM q2 GROUP BY qk, b
+        ),
+        dsc2 AS (
+            SELECT k.qk, v.doc_id,
+                   CAST(sum(v.c * coalesce(q.qc, 0)) AS BIGINT) AS dot,
+                   CAST(sum(v.c * v.c) AS BIGINT) AS norm2
+            FROM dvc v CROSS JOIN (SELECT DISTINCT qk FROM q2) k
+            LEFT JOIN qvb2 q ON q.qk = k.qk AND q.b = v.b
+            GROUP BY k.qk, v.doc_id
+        ),
+        dense2 AS (
+            SELECT qk, doc_id, score_ppb, rnk FROM (
+                SELECT qk, doc_id,
+                       CAST((dot * dot * 1000000000) // norm2 AS BIGINT)
+                           AS score_ppb,
+                       row_number() OVER (PARTITION BY qk
+                           ORDER BY (dot * dot * 1000000000) // norm2 DESC,
+                                    doc_id) AS rnk
+                FROM dsc2 WHERE dot > 0
+            ) WHERE rnk <= 10
+        ),
         bmr AS (
             SELECT doc_id, rnk FROM (
                 SELECT doc_id, row_number() OVER (
@@ -2724,6 +3011,9 @@ _BM25_QUERY = ("the", "data", "model")
         UNION ALL
         SELECT 'dense', doc_id, CAST(NULL AS VARCHAR), score_ppb, rnk
         FROM denseleg
+        UNION ALL
+        SELECT 'dense2', doc_id, qk, score_ppb, rnk
+        FROM dense2
         UNION ALL
         SELECT 'rrf', doc_id, CAST(NULL AS VARCHAR), rrf, rnk
         FROM rrfleg
@@ -2774,6 +3064,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ext/embed.py` md5 formula, ranking by the integer-exact
     (dot²·1e9) DIV ‖d‖² (query norm constant → drops out), so the
     order is engine-portable with no float comparison anywhere.
+
+    method='dense2' — the BATCH dense form
+    (`ext/search.py:dense_hash_topk_batch`): the `_DENSE2_QUERIES` set
+    scored in ONE corpus pass (queries broadcast, per-doc vector folded
+    once below the join, local-rank prune before the only exchange);
+    `term` carries the query key, and q0 = the dense leg's query, so a
+    green row pins batch ≡ per-query.
 
     method='rrf' — reciprocal rank fusion of the bm25 and dense top-10
     lists (`ext/search.py:rrf_fuse`, Cormack et al. 2009): score =
@@ -2859,6 +3156,27 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score_ppb").alias("score_ppm"),
         "rank",
     )
+    # method='dense2' — the BATCH form (ext/search.py:
+    # dense_hash_topk_batch): the whole query SET scores in one corpus
+    # pass (queries broadcast, doc vectors fold once below the join,
+    # local-rank prune bounds the per-query sort); term carries the
+    # query key. q0 is the single-query leg's query, so the driver row
+    # also pins batch ≡ per-query end to end.
+    from beeper_matric_etl_tool_spark.ext.search import dense_hash_topk_batch
+
+    qframe = spark.createDataFrame(
+        [(qk, " ".join(terms)) for qk, terms in _DENSE2_QUERIES.items()],
+        "qk string, text string",
+    )
+    dense2_leg = dense_hash_topk_batch(
+        docs, qframe, k=10, dim=64, query_id_col="qk"
+    ).select(
+        F.lit("dense2").alias("method"),
+        "doc_id",
+        F.col("qk").alias("term"),
+        F.col("score_ppb").alias("score_ppm"),
+        "rank",
+    )
     fused = rrf_fuse(
         [bm25_leg.select("doc_id", "rank"), dense_rk.select("doc_id", "rank")]
     )
@@ -2879,6 +3197,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lm_leg)
         .unionByName(lm2_leg)
         .unionByName(dense_leg)
+        .unionByName(dense2_leg)
         .unionByName(rrf_leg)
     )
 
@@ -3160,18 +3479,23 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for pretraining: greedily assign documents (in
     stable id order, per language) to fixed 2048-token bins via an
     exclusive running sum — every row's pack is a pure function of the
-    ordered prefix, so packing is deterministic and resumable. One shuffle
-    on the partition key; exact integer arithmetic throughout. The
-    mechanism is ext/pipeline.py:pack_by_budget (shuffle=False keeps the
-    oracle's id ordering; the pipeline's export path uses the md5-shuffled
-    order instead — same kernel, one implementation)."""
+    ordered prefix, so packing is deterministic and resumable. Exact
+    integer arithmetic throughout. The mechanism is
+    ext/pipeline.py:pack_by_budget (shuffle=False keeps the oracle's id
+    ordering; the pipeline's export path uses the md5-shuffled order
+    instead — same kernel, one implementation), run in its SPREAD form —
+    the distributed prefix sum (range-partitioned local cumsum +
+    broadcast per-partition offsets, no single-task dominant-language
+    stage) — so a green row is driver evidence for the scale path,
+    replayed by the oracle's textbook single-window SQL."""
     from beeper_matric_etl_tool_spark.ext.pipeline import pack_by_budget
 
     docs = table(spark, sf_dir, "documents")
     n_tokens = F.size(xtext.tokens("text"))
     base = docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
     return pack_by_budget(
-        base, "n_tokens", budget=2048, partition_cols=("lang",), shuffle=False
+        base, "n_tokens", budget=2048, partition_cols=("lang",),
+        shuffle=False, spread=True,
     )
 
 
