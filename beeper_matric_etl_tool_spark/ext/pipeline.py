@@ -1103,6 +1103,7 @@ def curate(
     max_nll_ppm: int | None = None,
     nll_keep_ppm: int | None = None,
     nll_spread: bool = True,
+    nll_lm_order: int = 1,
     nll_reference: DataFrame | None = None,
     normalize: bool = True,
     clf_weights: list[float] | None = None,
@@ -1182,7 +1183,14 @@ def curate(
                        keep the most fluent fraction PER SOURCE
                        (:func:`sample_top_fraction` over the same
                        scores — CCNet's head-fraction selection, robust
-                       to score-distribution drift across crawls)
+                       to score-distribution drift across crawls).
+                       ``nll_lm_order=2`` scores BOTH gate forms under
+                       the interpolated bigram LM instead
+                       (`ext/search.py:bigram_nll_scores`, lazy_stats
+                       form): word order enters the score, so scrambled
+                       or looped text with a fluent-looking token
+                       MULTISET — invisible to the unigram model by
+                       construction — gets caught
     - ``exact``:       after exact dedup (lowest id per content fingerprint)
     - ``near``:        after MinHash near-dup components (canonical only)
     - ``incremental``: after dropping exact/near duplicates of the
@@ -1254,6 +1262,11 @@ def curate(
             "(per-source percentile — the CCNet head-fraction form), "
             "not both: two fluency gates in sequence would make the "
             "realized keep rate depend on their interaction"
+        )
+    if nll_lm_order not in (1, 2):
+        raise ValueError(
+            f"curate: nll_lm_order={nll_lm_order} — the fluency gate "
+            f"scores under the unigram (1) or interpolated bigram (2) LM"
         )
     if clf_weights is not None:
         from beeper_matric_etl_tool_spark.ext.classifier import (
@@ -1431,21 +1444,45 @@ def curate(
             persisted.append(despanned)
         opt_stages["despanned"] = despanned
         dedup_input = despanned
-    if nll_keep_ppm is not None:
+    def _fluency_scores(frame: DataFrame) -> DataFrame:
+        # the gate's LM, by nll_lm_order: 1 = unigram (token-frequency
+        # fluency), 2 = Jelinek-Mercer interpolated bigram — word ORDER
+        # enters the score, so scrambled/looped text the unigram model
+        # loves scores badly (the reason CCNet-style gates use real LMs).
+        # Both ride their lazy_stats plan forms: zero jobs at
+        # composition, the funnel's contract. Bigram caveat: docs with
+        # <2 tokens carry no transition evidence and drop at the gate —
+        # upstream of it, the quality gate's length floor has already
+        # removed every such doc, so the gate composes totally here
+        if nll_lm_order == 2:
+            from beeper_matric_etl_tool_spark.ext.search import (
+                bigram_nll_scores,
+            )
+
+            return bigram_nll_scores(
+                frame,
+                text_col=text_col,
+                id_col=id_col,
+                lazy_stats=True,
+                reference=nll_reference,
+            )
         from beeper_matric_etl_tool_spark.ext.search import unigram_nll_scores
 
-        # the PERCENTILE form of the fluency gate (CCNet keeps the most
-        # fluent fraction per language, not a fixed-score head): rank by
-        # the same LM score, keep the best nll_keep_ppm per source —
-        # robust to score-distribution drift across crawls, where a
-        # fixed cutoff keeps 50% of one batch and 95% of the next
-        scores = unigram_nll_scores(
-            dedup_input,
+        return unigram_nll_scores(
+            frame,
             text_col=text_col,
             id_col=id_col,
             lazy_stats=True,
             reference=nll_reference,
         )
+
+    if nll_keep_ppm is not None:
+        # the PERCENTILE form of the fluency gate (CCNet keeps the most
+        # fluent fraction per language, not a fixed-score head): rank by
+        # the same LM score, keep the best nll_keep_ppm per source —
+        # robust to score-distribution drift across crawls, where a
+        # fixed cutoff keeps 50% of one batch and 95% of the next
+        scores = _fluency_scores(dedup_input)
         scored = dedup_input.join(
             scores.select(F.col(id_col), F.col("score_ppm").alias("nll_ppm")),
             on=id_col,
@@ -1470,18 +1507,10 @@ def curate(
         opt_stages["fluent"] = fluent
         dedup_input = fluent
     if max_nll_ppm is not None:
-        from beeper_matric_etl_tool_spark.ext.search import unigram_nll_scores
-
         # nll_reference switches the LM to the frozen-reference mode
         # (CCNet shape: a trusted corpus scores the batch, so the cutoff
         # is batch-invariant); None self-scores the batch
-        scores = unigram_nll_scores(
-            dedup_input,
-            text_col=text_col,
-            id_col=id_col,
-            lazy_stats=True,
-            reference=nll_reference,
-        )
+        scores = _fluency_scores(dedup_input)
         fluent = dedup_input.join(
             scores.filter(F.col("score_ppm") <= max_nll_ppm).select(
                 F.col(id_col), F.col("score_ppm").alias("nll_ppm")

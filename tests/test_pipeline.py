@@ -1794,6 +1794,53 @@ def test_curate_percentile_fluency_stage(spark, sf_dir):
         curate(docs, max_nll_ppm=1, nll_keep_ppm=1)
 
 
+def test_curate_bigram_fluency_gate_catches_word_order(spark):
+    """nll_lm_order=2: the fluency gate scores under the interpolated
+    bigram LM — a document whose token MULTISET matches the corpus but
+    whose word ORDER is scrambled (reversed) is exactly what the unigram
+    gate cannot see (identical multiset ⇒ identical unigram score; the
+    id tie-break then keeps the low-id scrambled doc) and exactly what
+    the bigram gate kills (its transitions are corpus-rare). Bad order
+    values raise."""
+    good = (
+        "the quick brown fox jumps over a lazy dog and then runs to the "
+        "river where it drinks some of that cool clear water before "
+        "returning to its den in the forest to rest for the evening hours "
+        "while other animals of the wood begin their own nightly routines "
+        "under a wide sky full of patient little stars"
+    )
+    animals = ["fox", "hare", "deer", "crow", "wolf", "lynx", "boar",
+               "mole", "toad"]
+    naturals = [(10 + i, "en", good.replace("fox", w))
+                for i, w in enumerate(animals)]
+    # id 1 < every natural id: under the unigram tie-break it SURVIVES
+    reversed_doc = (1, "en", " ".join(reversed(good.split(" "))))
+    docs = spark.createDataFrame(
+        [reversed_doc] + naturals, "doc_id long, lang string, text string"
+    )
+    # keep 9 of 10 per source — exactly one doc must drop
+    uni = curate(docs, nll_keep_ppm=900_000, persist_intermediates=False)
+    assert {r["doc_id"] for r in uni["scrubbed"].select("doc_id").collect()} \
+        == {1} | {10 + i for i in range(9)}  # all pass the heuristic gate
+    uni_ids = {r["doc_id"] for r in uni["fluent"].select("doc_id").collect()}
+    assert 1 in uni_ids  # unigram model cannot see the scrambling
+    bi = curate(
+        docs, nll_keep_ppm=900_000, nll_lm_order=2,
+        persist_intermediates=False,
+    )
+    bi_ids = {r["doc_id"] for r in bi["fluent"].select("doc_id").collect()}
+    assert 1 not in bi_ids  # word order enters the bigram score
+    assert len(bi_ids) == 9
+    # the fixed-cutoff form accepts the order switch too
+    bi_cut = curate(
+        docs, max_nll_ppm=10_000_000, nll_lm_order=2,
+        persist_intermediates=False,
+    )
+    assert {r["doc_id"] for r in bi_cut["fluent"].select("doc_id").collect()}
+    with pytest.raises(ValueError, match="nll_lm_order"):
+        curate(docs, nll_keep_ppm=1, nll_lm_order=3)
+
+
 def test_score_buckets_thirds_and_strata(spark):
     """Exact integer percentile bucketing: 9 rows split 3/3/3 into
     head/middle/tail by rank thirds; per-stratum mode buckets within

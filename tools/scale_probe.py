@@ -457,6 +457,29 @@ def probe_top_fraction_spread(docs):
     )
 
 
+def probe_dense_batch(docs):
+    """Batch dense retrieval (`ext/search.py:dense_hash_topk_batch`):
+    8 queries scored in one corpus pass — per-doc vector folds once
+    below the broadcast join, local-rank prune bounds the per-query
+    sort. Expect ~linear in the corpus (the 8× query fan-out rides the
+    same scan); the pooled (row count, Σ rank·doc_id) checksum pins the
+    per-query orderings."""
+    from beeper_matric_etl_tool_spark.ext.search import dense_hash_topk_batch
+
+    spark = docs.sparkSession
+    qsets = [
+        (0, "the data model"), (1, "alpha of the"), (2, "and to a"),
+        (3, "in is that"), (4, "by for with"), (5, "stream batch join"),
+        (6, "of of of"), (7, "table scan index"),
+    ]
+    queries = spark.createDataFrame(qsets, "query_id long, text string")
+    out = dense_hash_topk_batch(docs, queries, k=10)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("rank") * F.col("doc_id")).alias("order_checksum"),
+    )
+
+
 def probe_pack_spread(docs):
     """Token packing in its scale form (pack_by_budget spread=True): the
     distributed exclusive prefix sum — range exchange + tiny offsets +
@@ -649,6 +672,7 @@ def main() -> None:
         ("top_fraction_spread", probe_top_fraction_spread),
         ("score_buckets_spread", probe_score_buckets_spread),
         ("pack_spread", probe_pack_spread),
+        ("dense_batch", probe_dense_batch),
         ("token_quota_two_phase", probe_token_quota),
         ("epoch_shuffle", probe_epoch_shuffle),
         ("quota_sample", probe_quota_sample),
