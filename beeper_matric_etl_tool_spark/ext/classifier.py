@@ -266,3 +266,95 @@ def classify(
     return df.withColumn(out_col, p).withColumn(
         f"{out_col}_keep", F.col(out_col) >= F.lit(float(threshold))
     )
+
+
+def evaluate_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    strata_col: str | None = None,
+    spread: bool = False,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact tie-aware ROC AUC of ``score_col`` against the boolean
+    ``label_col`` — the threshold-free counterpart of `classify`'s fixed
+    cutoff, and the eval surface a learned quality filter is actually
+    judged by (which cutoff to deploy comes AFTER ranking quality is
+    established). One row per stratum: (strata?, n_pos, n_neg, u2,
+    auc_ppm).
+
+    Method: Mann-Whitney U with the standard tie correction,
+    AUC = (#concordant + ½·#tied) / (P·N), computed from SCORE-GROUP
+    counts so no per-row rank is ever materialized:
+
+        u2 = Σ_g (2·pos_g·negbelow_g + pos_g·neg_g)   (u2 = 2·U, exact)
+        auc_ppm = floor(1e6 · u2 / (2·P·N))
+
+    Determinism contract: pos_g/neg_g/negbelow_g are exact longs, u2 an
+    exact long sum (order-independent), so u2/n_pos/n_neg hash-match any
+    engine bit-for-bit; auc_ppm's one float divide + floor runs ONCE PER
+    STRATUM on identical long inputs — the lm-leg exposure argument at
+    its smallest possible surface.
+
+    Overflow: u2 ≤ 2·P·N. Each addend and every partial sum of the
+    nonnegative series stays under the total, so the single guard
+    P·N > 2⁶¹ (checked in DOUBLES after the counts agg — the long
+    product itself could wrap) raises before a wrapped u2 can be read;
+    that bound admits P = N ≈ 1.5e9 per stratum, and per-language strata
+    at 100 TB sit orders below the 2⁶¹ pair count.
+
+    Scale shape: ONE corpus-sized exchange (the (stratum, score) count
+    agg, map-side combined); everything after rides the score-DISTINCT
+    relation — bounded by the score's value domain (ppm scores: ≤ 1e6+1
+    rows per stratum), not the corpus. The cumulative-negatives window
+    single-tasks a stratum of that bounded relation by default;
+    ``spread=True`` routes it through the distributed prefix sum
+    (`ext/pipeline.py:_spread_prefix`) for unbounded score domains."""
+    lab = F.col(label_col).cast("long")
+    grp = [strata_col] if strata_col is not None else []
+    g = df.groupBy(*grp, score_col).agg(
+        F.sum(lab).alias("__pos"),
+        (F.count(F.lit(1)) - F.sum(lab)).alias("__neg"),
+    )
+    order = [F.col(score_col).asc()]
+    if spread:
+        from beeper_matric_etl_tool_spark.ext.pipeline import _spread_prefix
+
+        gp = _spread_prefix(
+            g, "__neg", order, grp, partitions, out_col="__negb"
+        )
+    else:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(*grp)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        gp = g.withColumn(
+            "__negb", F.coalesce(F.sum("__neg").over(w), F.lit(0))
+        )
+    agg = gp.groupBy(*grp).agg(
+        F.sum("__pos").alias("n_pos"),
+        F.sum("__neg").alias("n_neg"),
+        F.sum(
+            F.lit(2) * F.col("__pos") * F.col("__negb")
+            + F.col("__pos") * F.col("__neg")
+        ).alias("u2"),
+    )
+    pn = F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
+    u2_ok = F.when(
+        pn > F.lit(float(2**61)),
+        F.raise_error(F.lit(
+            "evaluate_auc: n_pos*n_neg exceeds 2^61 in one stratum — the "
+            "long u2 accumulator would wrap; stratify finer"
+        )).cast("long"),
+    ).otherwise(F.col("u2"))
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.floor(
+            F.lit(1_000_000.0) * F.col("u2").cast("double")
+            / (F.lit(2.0) * pn)
+        ).cast("long"),
+    )
+    return agg.select(*grp, "n_pos", "n_neg", u2_ok.alias("u2"), auc.alias("auc_ppm"))

@@ -678,3 +678,81 @@ def rrf_fuse(
         )
         .orderBy(F.col("rrf_ppb").desc(), F.col(id_col).asc())
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` two-word collocations by pointwise mutual information
+    (Church & Hanks 1990) — (w1, w2, c12, pmi_ppm, rank). The corpus-
+    statistics surface a training-data pipeline reads to find multiword
+    units worth protecting from tokenizer splits, boilerplate phrases
+    worth auditing, and contamination-marker phrases:
+
+        pmi_ppm = floor(1e6 · ln( (c12/c1) · (N/c2) ))
+
+    with c12 the corpus bigram count, c1/c2 unigram counts, N total
+    tokens. ``min_count`` is the classic rare-pair floor — PMI is
+    maximized by hapax pairs, so unfloored output is all noise.
+
+    Determinism contract: all counts are exact longs; the float chain
+    (two divides, one multiply, one ln, one floor) has BIGRAM-VOCABULARY-
+    many distinct inputs and is evaluated identically by any IEEE engine
+    (the lm2-leg exposure argument); ranking ties break (w1, w2) asc.
+
+    Scale shape: one tokenize pass; bigrams fan out through the
+    zero-shuffle zip-with-own-tail (`bigram_nll_scores`'s plan); the
+    (w1,w2) count agg is map-side combined into a bigram-vocabulary-
+    sized relation, the two unigram joins are vocabulary-sized, and the
+    top-k is a TakeOrderedAndProject — no global sort, no corpus-sized
+    join, nothing quadratic."""
+    from pyspark.sql import Window
+
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    pairs = (
+        toks.filter(F.size("__toks") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                    F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("__bg")
+        )
+        .select(F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (
+        docs.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    stats = uni.agg(F.sum("ct").cast("long").alias("n_total"))
+    scored = (
+        c12.filter(F.col("c12") >= F.lit(int(min_count)))
+        .join(uni.select(F.col("term").alias("w1"), F.col("ct").alias("c1")), on="w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("ct").alias("c2")), on="w2")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w1", "w2", "c12",
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.log(
+                    (F.col("c12").cast("double") / F.col("c1").cast("double"))
+                    * (F.col("n_total").cast("double") / F.col("c2").cast("double"))
+                )
+            ).cast("long").alias("pmi_ppm"),
+        )
+    )
+    order = [F.col("pmi_ppm").desc(), F.col("w1").asc(), F.col("w2").asc()]
+    return (
+        scored.orderBy(*order)
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .select("w1", "w2", "c12", "pmi_ppm", "rank")
+    )

@@ -533,6 +533,28 @@ def _epoch_copies_sql() -> str:
                            PARTITION BY shard ORDER BY ekey, doc_id) AS rk
                 FROM eshr
             ) GROUP BY shard
+        ),
+        {_quality_signal_cte_sql("documents")},
+        {_quality_verdict_cte_sql()},
+        aucg AS (
+            SELECT lang, ttr_ppm AS sc,
+                   sum(CASE WHEN keep THEN 1 ELSE 0 END) AS pos,
+                   count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS neg
+            FROM v GROUP BY lang, ttr_ppm
+        ),
+        aucc AS (
+            SELECT lang, pos, neg,
+                   coalesce(sum(neg) OVER (
+                       PARTITION BY lang ORDER BY sc
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS negb
+            FROM aucg
+        ),
+        aucleg AS (
+            SELECT lang, CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(neg) AS BIGINT) AS n_neg,
+                   CAST(sum(2 * pos * negb + pos * neg) AS BIGINT) AS u2
+            FROM aucc GROUP BY lang
         )
         SELECT 'lang' AS dim, lang AS key, count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -599,6 +621,16 @@ def _epoch_copies_sql() -> str:
                CAST(sum(doc_id) AS BIGINT) AS n_kept,
                CAST(NULL AS BIGINT) AS kept_ppm
         FROM blabeled GROUP BY lang, bucket
+        UNION ALL
+        SELECT 'auc' AS dim, lang AS key, n_pos + n_neg AS n_docs,
+               CAST(NULL AS BIGINT) AS total_chars,
+               u2 AS total_tokens,
+               n_pos AS n_kept,
+               CASE WHEN n_pos > 0 AND n_neg > 0
+                    THEN CAST(floor(1000000.0 * u2
+                              / (2.0 * n_pos * n_neg)) AS BIGINT)
+                    ELSE NULL END AS kept_ppm
+        FROM aucleg
         UNION ALL
         SELECT 'report' AS dim, lang AS key, count(*) AS n_docs,
                CAST(sum(length(text)) AS BIGINT) AS total_chars,
@@ -695,6 +727,15 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (language, bucket) with count, token mass and an id-sum membership
     checksum — the oracle's window/CASE replay must agree on every
     label for every hash to land.
+
+    dim='auc' — exact tie-aware ROC AUC (`ext/classifier.py:
+    evaluate_auc`, Mann-Whitney U from score-group counts, SPREAD
+    prefix-sum form — the 100 TB path) of the ttr_ppm quality signal
+    against the heuristic gate's own keep verdict, per language:
+    total_tokens carries u2 = 2·U (the exact long the AUC derives
+    from), n_kept = n_pos, kept_ppm = auc_ppm — the oracle recomputes
+    the whole rank-sum independently, so a green row pins the
+    evaluation operator's arithmetic end to end.
 
     dim='report' — the one-rollup corpus data card (ext/pipeline.py:
     corpus_report): per-language + '_corpus' doc/char/token totals with
@@ -915,6 +956,27 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             null_long.alias("kept_ppm"),
         )
     )
+    from beeper_matric_etl_tool_spark.ext.classifier import evaluate_auc
+    from beeper_matric_etl_tool_spark.ext.quality import (
+        quality_signal_columns,
+        quality_verdict_columns,
+    )
+
+    sig = quality_signal_columns("text", lang_col="lang")
+    labeled = docs.select(
+        "doc_id", "lang", *(c.alias(n) for n, c in sig.items())
+    ).select("lang", "ttr_ppm", quality_verdict_columns()["keep"].alias("__keep"))
+    aucleg = evaluate_auc(
+        labeled, "ttr_ppm", "__keep", strata_col="lang", spread=True
+    ).select(
+        F.lit("auc").alias("dim"),
+        F.col("lang").alias("key"),
+        (F.col("n_pos") + F.col("n_neg")).alias("n_docs"),
+        null_long.alias("total_chars"),
+        F.col("u2").alias("total_tokens"),
+        F.col("n_pos").alias("n_kept"),
+        F.col("auc_ppm").alias("kept_ppm"),
+    )
     # dim='report': the data card's own rollup output, reshaped — the
     # operator is eager by contract (it returns driver scalars), so the
     # rows below carry the numbers its one rollup job produced
@@ -945,6 +1007,7 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(eshuf)
         .unionByName(pct)
         .unionByName(bucket)
+        .unionByName(aucleg)
         .unionByName(report)
     )
 
@@ -1926,7 +1989,13 @@ def knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per query with (n_exact, n_hit, recall_ppm), the recall@k eval
     loop an ANN deployment tunes against — the operator's join/agg
     arithmetic driver-hashed against the oracle's independent replay
-    (every metric rides top-k-sized relations, never the corpus)."""
+    (every metric rides top-k-sized relations, never the corpus).
+
+    The scored funnel feeds THREE consumers (the topk leg, recall's
+    approx side, recall's exact side), so it localCheckpoints — one
+    corpus matmul, not three (the dedup_graph sharing pattern); the
+    funnel's own plan shape stays pinned pre-checkpoint by
+    tests/test_plans.py."""
     emb = table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 8)
     cent = xsim.label_centroid_sums(emb)
@@ -1934,7 +2003,7 @@ def knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     suite = xsim.knn_suite(
         probes, emb, k_brute=10, k_ivf=5, partition_col="label",
         probe_labels=mp, k_multi=5,
-    )
+    ).localCheckpoint(eager=False)
     top = suite.filter(F.col("strategy") == "ivf2").select(
         "query_id", "neighbor_id", "cosine_ppm", "rank"
     )
@@ -2031,37 +2100,98 @@ def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tum.unionByName(sli)
 
 
+#: events_sessions' transcript leg: turn ceiling per assembled session —
+#: one definition feeding both planes
+TRANSCRIPT_MAX_TURNS = 5
+
+
 @register(
     "events_sessions",
-    tags=("ext-window",),
-    oracle="""
+    tags=("ext-window", "ext-transcripts"),
+    oracle=f"""
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, event_id,
+                   'u' || user_id || ' ' || event_type || ': '
+                       || coalesce(props, '') AS line,
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              > INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_sess
             FROM events
         ),
         numbered AS (
-            SELECT user_id, ts, value,
-                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+            SELECT user_id, ts, event_id, line,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS UNBOUNDED PRECEDING) AS sess_id
             FROM flagged
+        ),
+        turns AS (
+            SELECT *, row_number() OVER (PARTITION BY user_id, sess_id
+                                         ORDER BY ts, event_id) AS rn
+            FROM numbered
+        ),
+        sess AS (
+            SELECT user_id, sess_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   count(*) FILTER (WHERE rn <= {TRANSCRIPT_MAX_TURNS})
+                       AS n_turns,
+                   string_agg(line, chr(10) ORDER BY ts, event_id)
+                       FILTER (WHERE rn <= {TRANSCRIPT_MAX_TURNS})
+                       AS transcript
+            FROM turns GROUP BY user_id, sess_id
         )
-        SELECT user_id, min(ts) AS session_start,
-               max(ts) + INTERVAL 30 MINUTE AS session_end,
-               count(*) AS n_events
-        FROM numbered GROUP BY user_id, sess_id
+        SELECT 'session' AS kind, user_id, session_start, session_end,
+               n_events, CAST(NULL AS BIGINT) AS n_turns,
+               CAST(NULL AS BIGINT) AS n_tokens,
+               CAST(NULL AS VARCHAR) AS transcript
+        FROM sess
+        UNION ALL
+        SELECT 'transcript', user_id, session_start, session_end,
+               n_events, n_turns,
+               CAST(len(str_split(transcript, ' ')) AS BIGINT),
+               transcript
+        FROM sess
     """,
 )
 def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user session windows with a 30-minute inactivity gap
-    (F.session_window: start = first event, end = last event + gap)."""
+    """Both session surfaces over the events stream, in one relation:
+
+    kind='session' — per-user session windows with a 30-minute
+    inactivity gap (F.session_window: start = first event, end = last
+    event + gap).
+
+    kind='transcript' — the SAME sessions assembled into chat-LM
+    training documents (`ext/transcripts.py:assemble_transcripts`):
+    speaker-tagged turn lines in exact (ts, event_id) order, the first
+    TRANSCRIPT_MAX_TURNS turns concatenated into one deterministic
+    transcript string, with the token count the downstream
+    packing/quota stages would see. The driver hash covers the FULL
+    transcript text per session, so turn rendering, session membership,
+    ordering and truncation are all pinned against the oracle's
+    independent string_agg replay. The two legs derive sessionization
+    independently (session_window vs lag/cumsum windows) — a green row
+    is also an equivalence proof between the two session forms."""
+    from beeper_matric_etl_tool_spark.ext.transcripts import assemble_transcripts
+
     events = table(spark, sf_dir, "events")
     out = xwin.sessionized(
         events, "ts", "30 minutes", ["user_id"], F.count(F.lit(1)).alias("n_events")
     )
-    return out.select("user_id", "session_start", "session_end", "n_events")
+    sess_leg = out.select(
+        F.lit("session").alias("kind"),
+        "user_id", "session_start", "session_end", "n_events",
+        F.lit(None).cast("long").alias("n_turns"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("string").alias("transcript"),
+    )
+    tr_leg = assemble_transcripts(
+        events, max_turns=TRANSCRIPT_MAX_TURNS
+    ).select(
+        F.lit("transcript").alias("kind"),
+        "user_id", "session_start", "session_end", "n_events",
+        "n_turns", "n_tokens", "transcript",
+    )
+    return sess_leg.unionByName(tr_leg)
 
 
 # --------------------------------------------------------------------------
@@ -2792,6 +2922,11 @@ _DENSE2_QUERIES: dict[str, tuple[str, ...]] = {
     "q1": ("alpha", "of", "the"),
 }
 
+#: the PMI collocation leg's rare-pair floor and list size — one
+#: definition feeding both planes (ext/search.py:pmi_collocations)
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
 
 @register(
     "tfidf_top_terms",
@@ -2985,6 +3120,22 @@ _DENSE2_QUERIES: dict[str, tuple[str, ...]] = {
             SELECT doc_id, rrf,
                    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
             FROM rrfs
+        ),
+        pmis AS (
+            SELECT c.w1, c.w2,
+                   CAST(floor(1000000.0 * ln(
+                       (c.c12 * 1.0 / u1.ct) * (s.n_total * 1.0 / u2.ct)
+                   )) AS BIGINT) AS pmi_ppm
+            FROM bgc c
+            JOIN lmvocab u1 ON u1.term = c.w1
+            JOIN lmvocab u2 ON u2.term = c.w2
+            CROSS JOIN lmstats s
+            WHERE c.c12 >= {PMI_MIN_COUNT}
+        ),
+        pmileg AS (
+            SELECT w1, w2, pmi_ppm,
+                   row_number() OVER (ORDER BY pmi_ppm DESC, w1, w2) AS rnk
+            FROM pmis
         )
         SELECT 'tfidf' AS method, doc_id, term, tfidf_ppm AS score_ppm,
                rnk AS rank
@@ -3017,6 +3168,9 @@ _DENSE2_QUERIES: dict[str, tuple[str, ...]] = {
         UNION ALL
         SELECT 'rrf', doc_id, CAST(NULL AS VARCHAR), rrf, rnk
         FROM rrfleg
+        UNION ALL
+        SELECT 'pmi', CAST(NULL AS BIGINT), w1 || ' ' || w2, pmi_ppm, rnk
+        FROM pmileg WHERE rnk <= {PMI_TOP_K}
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3075,7 +3229,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     method='rrf' — reciprocal rank fusion of the bm25 and dense top-10
     lists (`ext/search.py:rrf_fuse`, Cormack et al. 2009): score =
     Σ 1e9 DIV (60+rank) — the hybrid-retrieval surface; only RANKS
-    cross the leg boundary, so the ppm/ppb score scales never mix."""
+    cross the leg boundary, so the ppm/ppb score scales never mix.
+
+    method='pmi' — top-PMI_TOP_K collocations
+    (`ext/search.py:pmi_collocations`): pmi_ppm = floor(1e6·ln(c12·N /
+    (c1·c2))) over pairs with c12 ≥ PMI_MIN_COUNT, (pmi desc, w1, w2)
+    tie-break; doc_id NULL, term = 'w1 w2'."""
     docs = table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -3192,6 +3351,24 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rrf_ppb").alias("score_ppm"),
         "rank",
     )
+    # method='pmi' — corpus-statistics collocation extraction
+    # (ext/search.py:pmi_collocations, Church & Hanks 1990): top-k word
+    # pairs by PMI over the rare-pair floor; term carries 'w1 w2',
+    # doc_id is NULL (a corpus-level row, not a document row). The
+    # oracle re-derives the bigram/unigram counts and the floored
+    # ln-lift independently, so a green row pins the whole
+    # count→join→score→rank chain.
+    from beeper_matric_etl_tool_spark.ext.search import pmi_collocations
+
+    pmi_leg = pmi_collocations(
+        docs, min_count=PMI_MIN_COUNT, k=PMI_TOP_K
+    ).select(
+        F.lit("pmi").alias("method"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.concat_ws(" ", "w1", "w2").alias("term"),
+        F.col("pmi_ppm").alias("score_ppm"),
+        "rank",
+    )
     return (
         tfidf_leg.unionByName(bm25_leg)
         .unionByName(lm_leg)
@@ -3199,6 +3376,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dense_leg)
         .unionByName(dense2_leg)
         .unionByName(rrf_leg)
+        .unionByName(pmi_leg)
     )
 
 

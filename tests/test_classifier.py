@@ -189,3 +189,62 @@ def test_standardized_training_beats_raw_at_equal_iterations(spark):
     z = standardize(df, feature_stats(df, cols))
     w_std = train_logreg(z, cols, "y", iterations=15, lr=1.0)
     assert acc(z, w_std) > acc(df, w_raw)
+
+
+def test_evaluate_auc_exact_tie_aware(spark):
+    """Hand-computed Mann-Whitney AUC: perfect separation → 1e6,
+    perfect inversion → 0, all-tied → 500000, a mixed case with ties
+    matches the hand-derived u2 exactly, spread ≡ window, one-class
+    strata → NULL auc with exact counts."""
+    from beeper_matric_etl_tool_spark.ext.classifier import evaluate_auc
+
+    rows = (
+        # stratum a: pos scores {3, 4}, neg {1, 2} — perfect separation
+        [("a", 3, True), ("a", 4, True), ("a", 1, False), ("a", 2, False)]
+        # stratum b: inverted
+        + [("b", 1, True), ("b", 2, True), ("b", 3, False), ("b", 4, False)]
+        # stratum c: all tied at one score, 2 pos 3 neg
+        + [("c", 7, True), ("c", 7, True)]
+        + [("c", 7, False)] * 3
+        # stratum d: ties straddling — pos {2, 3}, neg {2, 1}:
+        # u2 = Σ 2·pos_g·negb + pos_g·neg_g over score groups asc:
+        #   s=1: (0,1) → 0 ; s=2: (1,1) → 2·1·1 + 1·1 = 3 ; s=3: (1,0) → 2·1·2 = 4
+        # u2 = 7, P=N=2 → auc_ppm = floor(1e6·7/8) = 875000
+        + [("d", 2, True), ("d", 3, True), ("d", 2, False), ("d", 1, False)]
+        # stratum e: one class only → auc NULL
+        + [("e", 5, True), ("e", 6, True)]
+    )
+    df = spark.createDataFrame(rows, "lang string, score long, keep boolean")
+    out = {
+        r["lang"]: (r["n_pos"], r["n_neg"], r["u2"], r["auc_ppm"])
+        for r in evaluate_auc(df, "score", "keep", strata_col="lang").collect()
+    }
+    assert out["a"] == (2, 2, 8, 1_000_000)
+    assert out["b"] == (2, 2, 0, 0)
+    assert out["c"] == (2, 3, 6, 500_000)
+    assert out["d"] == (2, 2, 7, 875_000)
+    assert out["e"] == (2, 0, 0, None)
+    spread = {
+        r["lang"]: (r["n_pos"], r["n_neg"], r["u2"], r["auc_ppm"])
+        for r in evaluate_auc(
+            df, "score", "keep", strata_col="lang", spread=True
+        ).collect()
+    }
+    assert spread == out
+    # stratum-less form: pooled over everything
+    pooled = evaluate_auc(
+        df.filter(F.col("lang").isin("a", "b")), "score", "keep"
+    ).collect()
+    assert len(pooled) == 1 and pooled[0]["n_pos"] == 4
+
+
+def test_evaluate_auc_partition_invariant(spark):
+    """The counts are order-independent long sums: 1/7-partition inputs
+    yield identical rows (the bit-stability contract)."""
+    from beeper_matric_etl_tool_spark.ext.classifier import evaluate_auc
+
+    rows = [("x", i % 13, i % 3 == 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "lang string, score long, keep boolean")
+    a = sorted(map(tuple, evaluate_auc(df.coalesce(1), "score", "keep", strata_col="lang").collect()))
+    b = sorted(map(tuple, evaluate_auc(df.repartition(7), "score", "keep", strata_col="lang").collect()))
+    assert a == b

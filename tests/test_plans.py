@@ -139,14 +139,39 @@ def test_knn_multiprobe_plan_shape(spark):
     the strategy rank rides ONE WindowExec over the scored relation (+1
     for the tiny centroid ranking), and the multiprobe membership flag
     joins as a BroadcastHashJoin keyed on (query_id, partition) — never a
-    per-pair recompute."""
-    plan = plan_of(spark, "knn_multiprobe")
+    per-pair recompute. Asserted on the RAW suite (the registered query
+    localCheckpoints it, which truncates lineage — next test)."""
+    from pyspark.sql import functions as F
+
+    from beeper_matric_etl_tool_spark.ext import similarity as xsim
+    from beeper_matric_etl_tool_spark.sources.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    cent = xsim.label_centroid_sums(emb)
+    mp = xsim.multiprobe_labels(probes, cent, nprobe=2)
+    suite = xsim.knn_suite(
+        probes, emb, k_brute=10, k_ivf=5, partition_col="label",
+        probe_labels=mp, k_multi=5,
+    )
+    plan = suite._jdf.queryExecution().executedPlan().toString()
     # corpus (matmul) + probes (multiprobe) + corpus (centroid sums)
     assert plan.count("Scan parquet") == 3
     assert plan.count("MapInPandas") == 1, "scoring is one vectorized matmul stage"
     assert plan.count("Window [") == 2, "strategy rank + centroid rank only"
     assert "BroadcastHashJoin [query_id" in plan, "multiprobe flag joins hash-keyed"
     assert "partial_sum" in plan, "centroid sums partial-aggregate map-side"
+
+
+def test_knn_multiprobe_query_shares_one_funnel(spark):
+    """The registered query slices the scored funnel THREE ways (topk
+    leg, recall approx side, recall exact side): the funnel must
+    materialize ONCE via localCheckpoint — no leg re-reads parquet or
+    re-runs the matmul."""
+    plan = plan_of(spark, "knn_multiprobe")
+    assert plan.count("Scan parquet") == 0, "no leg re-derives the funnel"
+    assert plan.count("MapInPandas") == 0, "the matmul ran at checkpoint time"
+    assert "ExistingRDD" in plan
 
 
 def test_point_lookup_pushes_pk_predicate(spark):

@@ -526,3 +526,51 @@ def test_rrf_fuse_weighted(spark):
     assert muted[1]["rrf_ppb"] == unit and muted[1]["n_lists"] == 2
     with pytest.raises(ValueError, match="non-negative"):
         rrf_fuse([a, b], weights=[1])
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """Tiny corpus with one planted hot collocation: 'data model' occurs
+    in every doc (c12 = 4), each unigram also appears alone, so
+    pmi_ppm = floor(1e6·ln(c12·N/(c1·c2))) is hand-checkable; the
+    min_count floor removes hapax pairs entirely; ties break (w1, w2)."""
+    import math
+
+    from beeper_matric_etl_tool_spark.ext.search import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data model data model alpha"),
+            (2, "data model beta"),
+            (3, "model data model gamma data"),
+            (4, "delta data model"),
+        ],
+        "doc_id long, text string",
+    )
+    out = pmi_collocations(docs, min_count=4, k=5).collect()
+    # corpus: N = 16 tokens; c(data) = 6, c(model) = 6; 'data model'
+    # pairs: doc1 ×2, doc2 ×1, doc3 ×1, doc4 ×1 → c12 = 5
+    expected = math.floor(1e6 * math.log((5 / 6) * (16 / 6)))
+    top = out[0]
+    assert (top["w1"], top["w2"], top["c12"]) == ("data", "model", 5)
+    assert top["pmi_ppm"] == expected
+    assert top["rank"] == 1
+    # every surviving pair respects the floor
+    assert all(r["c12"] >= 4 for r in out)
+    # ranks are dense and ordering is (pmi desc, w1, w2)
+    scores = [(r["pmi_ppm"], r["w1"], r["w2"]) for r in out]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1], t[2]))
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+
+def test_pmi_collocations_min_count_floor(spark):
+    """A pair under the floor never surfaces, however high its PMI."""
+    from beeper_matric_etl_tool_spark.ext.search import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "rare pair"), (2, "common word common word common word")],
+        "doc_id long, text string",
+    )
+    out = pmi_collocations(docs, min_count=2, k=10).collect()
+    pairs = {(r["w1"], r["w2"]) for r in out}
+    assert ("rare", "pair") not in pairs  # c12 = 1 < 2
+    assert ("common", "word") in pairs  # c12 = 3
