@@ -114,3 +114,156 @@ def start_user_profiles(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --------------------------------------------------------------------------
+# Continuous conversation-transcript assembly
+# --------------------------------------------------------------------------
+
+TRANSCRIPT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("sender", T.StringType()),
+        T.StructField("session_start_ms", T.LongType()),
+        T.StructField("session_end_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("transcript", T.StringType()),
+    ]
+)
+
+TRANSCRIPT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("turns", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _closed_session(key: str, st: tuple, gap_ms: int) -> dict:
+    start_ms, last_ms, n_events, turns = st
+    transcript = "\n".join(turns)
+    return {
+        "sender": key,
+        "session_start_ms": start_ms,
+        "session_end_ms": last_ms + gap_ms,
+        "n_events": n_events,
+        "n_turns": len(turns),
+        "n_tokens": len(transcript.split(" ")) if transcript else 0,
+        "transcript": transcript,
+    }
+
+
+def _make_transcript_updater(gap_ms: int, max_turns: int, flush_idle: bool):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        out: list[dict] = []
+        if flush_idle and state.hasTimedOut:
+            # idle flush: the open session closes with no new rows
+            out.append(_closed_session(key[0], tuple(state.get), gap_ms))
+            state.remove()
+            yield pd.DataFrame(out, columns=[f.name for f in TRANSCRIPT_OUTPUT_SCHEMA])
+            return
+        st = list(state.get) if state.exists else None
+        batch = pd.concat([p for p in pdfs if not p.empty], ignore_index=True) \
+            if pdfs is not None else pd.DataFrame()
+        if len(batch):
+            batch = batch.sort_values(["timestamp", "event_id"])
+            for ts_ms, line in zip(batch["timestamp"], batch["line"]):
+                ts_ms = int(ts_ms)
+                if st is not None and ts_ms - st[1] > gap_ms:
+                    out.append(_closed_session(key[0], tuple(st), gap_ms))
+                    st = None
+                if st is None:
+                    st = [ts_ms, ts_ms, 0, []]
+                st[1] = max(st[1], ts_ms)
+                st[2] += 1
+                if len(st[3]) < max_turns:
+                    st[3].append(line)
+        if st is not None:
+            state.update(tuple(st))
+            if flush_idle:
+                state.setTimeoutDuration(gap_ms)
+        yield pd.DataFrame(out, columns=[f.name for f in TRANSCRIPT_OUTPUT_SCHEMA])
+
+    return update
+
+
+def start_transcript_stream(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    max_turns: int = 64,
+    flush_idle: bool = False,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuous conversation-transcript assembly — the STREAMING form of
+    `ext/transcripts.py:assemble_transcripts`: per-sender inactivity
+    sessions accumulate in the state store across micro-batches and
+    restarts; a session CLOSES (and its transcript row appends to the
+    parquet target, exactly-once via the native file sink) when a later
+    event arrives past the gap — or, with ``flush_idle=True``, when the
+    processing-time timeout fires on an idle key. Turn lines are rendered
+    JVM-side (one concat column) BEFORE the stateful stage; the Python
+    function only appends bounded lists — state per key is ≤ max_turns
+    lines plus three longs.
+
+    Ordering contract: turns order by (timestamp, event_id) WITHIN each
+    micro-batch and by arrival across batches — a strict event-time total
+    order holds exactly when the source delivers each sender's timeline
+    in order (the chat-sync contract; the reference's timeline listener
+    consumes an ordered per-room stream). The batch operator is the
+    order-exact form for backfills; the parity test pins closed sessions
+    equal between the two on in-order input. Late events WITHIN the gap
+    horizon extend the open session (their lines order by arrival);
+    events older than a CLOSED session start a spurious new session —
+    the same semantics every gap-sessionizer has without a watermark
+    re-sort, and why the batch form re-derives transcripts for exports.
+
+    session_end_ms = last event + gap, matching the batch operator and
+    `F.session_window`."""
+    from beeper_matric_etl_tool_spark.streaming.ingest import (
+        load_stream,
+        parse_events,
+    )
+
+    events = parse_events(
+        load_stream(spark, source_dir, max_files_per_trigger)
+    ).filter(F.col("error").isNull() & F.col("timestamp").isNotNull())
+    lined = events.select(
+        "sender",
+        "timestamp",
+        "event_id",
+        F.concat(
+            F.col("sender"), F.lit(" "), F.col("event_type"), F.lit(": "),
+            F.coalesce(F.col("content"), F.lit("")),
+        ).alias("line"),
+    )
+    closed = lined.groupBy("sender").applyInPandasWithState(
+        _make_transcript_updater(
+            int(gap_minutes) * 60_000, int(max_turns), flush_idle
+        ),
+        outputStructType=TRANSCRIPT_OUTPUT_SCHEMA,
+        stateStructType=TRANSCRIPT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if flush_idle
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+    writer = (
+        closed.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

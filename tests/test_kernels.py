@@ -578,6 +578,8 @@ def test_multiprobe_dominates_single_probe(spark, sf_dir):
             cur = worst.setdefault((r.query_id, "ivf"), r.cosine_ppm)
             worst[(r.query_id, "ivf")] = min(cur, r.cosine_ppm)
     for r in specs()["knn_multiprobe"].fn(spark, sf_dir).collect():
+        if r.kind != "topk":  # the recall-audit leg carries NULL scores
+            continue
         cur = worst.setdefault((r.query_id, "ivf2"), r.cosine_ppm)
         worst[(r.query_id, "ivf2")] = min(cur, r.cosine_ppm)
     for q, labels in top2.items():

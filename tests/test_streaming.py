@@ -861,3 +861,119 @@ def test_curation_batch_replay_is_idempotent(spark, tmp_path):
     write(batch2, 1)
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept == [1, 4]
+
+
+def _tev(eid: str, sender: str, ts_min: int, body: str) -> str:
+    return json.dumps(
+        {
+            "event_id": eid,
+            "room_id": "!r1",
+            "sender": sender,
+            "event_type": "m.text",
+            "timestamp": T0_MS + ts_min * 60_000,
+            "is_encrypted": False,
+            "content": body,
+            "relates_to": None,
+        }
+    )
+
+
+def test_transcript_stream_assembles_across_batches_and_restarts(spark, tmp_path):
+    """Continuous transcript assembly (streaming/stateful.py:
+    start_transcript_stream): a session spanning two micro-batches
+    assembles into ONE transcript; a gap inside the data closes the open
+    session and appends exactly its turns in (timestamp, event_id)
+    order; the still-open session survives a RESTART via the state
+    store and closes correctly afterwards; closed sessions equal the
+    batch operator's output on the same (in-order) events minus each
+    sender's final open session."""
+    from beeper_matric_etl_tool_spark.streaming.stateful import (
+        start_transcript_stream,
+    )
+
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "tgt", tmp_path / "ckpt"
+    src.mkdir()
+    # batch 1: A opens a session (0, 5), B opens a session (0)
+    _write_file(src, "f1.json", [
+        _tev("a1", "@a", 0, "one"), _tev("a2", "@a", 5, "two"),
+        _tev("b1", "@b", 0, "solo"),
+    ])
+    # batch 2: a3 extends A's session ACROSS the batch boundary (10);
+    # a4 at 60 is past the 30-min gap → closes A's first session;
+    # b2 at 90 closes B's first session
+    _write_file(src, "f2.json", [
+        _tev("a3", "@a", 10, "three"), _tev("a4", "@a", 60, "four"),
+        _tev("b2", "@b", 90, "later"),
+    ])
+
+    def drain():
+        q = start_transcript_stream(
+            spark, str(src), str(tgt), str(ckpt),
+            gap_minutes=30, max_turns=2, max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    drain()
+    got = {
+        r["sender"]: r
+        for r in spark.read.parquet(str(tgt)).collect()
+    }
+    assert set(got) == {"@a", "@b"}
+    a = got["@a"]
+    # events 0,5,10 in one session; max_turns=2 truncates the third line
+    assert a["session_start_ms"] == T0_MS
+    assert a["session_end_ms"] == T0_MS + 10 * 60_000 + 30 * 60_000
+    assert a["n_events"] == 3 and a["n_turns"] == 2
+    assert a["transcript"] == "@a m.text: one\n@a m.text: two"
+    b = got["@b"]
+    assert b["n_events"] == 1 and b["transcript"] == "@b m.text: solo"
+
+    # restart: a5 extends A's OPEN session (61 within gap of 60) — state
+    # survived the restart; a6 at 200 closes it
+    _write_file(src, "f3.json", [
+        _tev("a5", "@a", 61, "five"), _tev("a6", "@a", 200, "done"),
+    ])
+    drain()
+    rows = spark.read.parquet(str(tgt)).filter(F.col("sender") == "@a").collect()
+    assert len(rows) == 2
+    second = next(r for r in rows if r["session_start_ms"] == T0_MS + 60 * 60_000)
+    assert second["n_events"] == 2
+    assert second["transcript"] == "@a m.text: four\n@a m.text: five"
+
+    # parity with the batch operator: run assemble_transcripts over the
+    # SAME events (batch-parsed), matching line rendering — the closed
+    # streaming sessions equal the batch sessions minus each sender's
+    # final (still-open) one
+    from beeper_matric_etl_tool_spark.ext.transcripts import assemble_transcripts
+    from beeper_matric_etl_tool_spark.streaming.ingest import parse_events
+
+    parsed = parse_events(spark.read.text(str(src)))
+    line = F.concat(
+        F.col("sender"), F.lit(" "), F.col("event_type"), F.lit(": "),
+        F.coalesce(F.col("content"), F.lit("")),
+    )
+    batch = assemble_transcripts(
+        parsed, line=line, ts_col="ts", user_col="sender",
+        order_col="event_id", gap_minutes=30, max_turns=2,
+    ).select(
+        "sender",
+        F.unix_millis("session_start").alias("session_start_ms"),
+        F.unix_millis("session_end").alias("session_end_ms"),
+        "n_events", "n_turns", "n_tokens", "transcript",
+    ).collect()
+    last_start = {}
+    for r in batch:
+        last_start[r["sender"]] = max(
+            last_start.get(r["sender"], -1), r["session_start_ms"]
+        )
+    expected_closed = sorted(
+        tuple(r) for r in batch if r["session_start_ms"] < last_start[r["sender"]]
+    )
+    streamed = sorted(
+        tuple(r) for r in spark.read.parquet(str(tgt)).select(
+            "sender", "session_start_ms", "session_end_ms",
+            "n_events", "n_turns", "n_tokens", "transcript",
+        ).collect()
+    )
+    assert streamed == expected_closed

@@ -129,3 +129,38 @@ def test_transcript_max_turns_validated(spark):
         assemble_transcripts(
             spark.createDataFrame([], SCHEMA), max_turns=0
         )
+
+
+def test_transcripts_feed_curate_end_to_end(spark, sf_dir):
+    """The bridge works both directions: assembled transcripts ARE
+    documents — rename columns and the full curation funnel runs over
+    them unchanged (quality gate → scrub → exact dedup → near dedup →
+    mix → pack), with per-user-session doc ids unique by construction."""
+    from pyspark.sql import Window
+
+    from beeper_matric_etl_tool_spark.ext.pipeline import curate
+    from beeper_matric_etl_tool_spark.sources.tables import table
+
+    events = table(spark, sf_dir, "events")
+    tr = assemble_transcripts(events, max_turns=8)
+    w = Window.orderBy("user_id", "session_start")
+    docs = tr.select(
+        F.row_number().over(w).cast("long").alias("doc_id"),
+        F.col("transcript").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = curate(docs, persist_intermediates=False)
+    n_in = docs.count()
+    stages = {
+        k: out[k].count()
+        for k in ("scrubbed", "exact", "near", "sampled", "packed")
+    }
+    # the funnel ran and is monotone non-increasing through dedup
+    assert stages["scrubbed"] <= n_in
+    assert stages["exact"] <= stages["scrubbed"]
+    assert stages["near"] <= stages["exact"]
+    assert stages["packed"] == stages["sampled"]
+    # pack ids exist and are dense from 0 when anything survived
+    if stages["packed"]:
+        packs = out["packed"].agg(F.min("pack_id"), F.max("pack_id")).first()
+        assert packs[0] == 0

@@ -457,6 +457,63 @@ def probe_top_fraction_spread(docs):
     )
 
 
+def probe_transcripts(events):
+    """Transcript assembly (`ext/transcripts.py:assemble_transcripts`):
+    two user-partitioned windows + one (user, session) group, per-session
+    arrays bounded at max_turns BEFORE collection. Expect ~linear in
+    events — day-shifted copies add SESSIONS per user, not session
+    length, and the windows spread across users. The checksum pins
+    session membership and transcript content mass."""
+    from beeper_matric_etl_tool_spark.ext.transcripts import assemble_transcripts
+
+    out = assemble_transcripts(events, max_turns=8)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_tokens").alias("token_mass"),
+        F.sum(F.length("transcript")).alias("char_mass"),
+    )
+
+
+def probe_auc(docs):
+    """Exact AUC (`ext/classifier.py:evaluate_auc`, spread form): one
+    corpus-sized (lang, score) count agg, then everything rides the
+    score-distinct relation. Expect ~linear wall; the u2 VALUE grows
+    ~quadratically (it is a concordant-pair count) while the compute
+    does not — that separation is the point of the rank-sum form."""
+    from beeper_matric_etl_tool_spark.ext.classifier import evaluate_auc
+    from beeper_matric_etl_tool_spark.ext.quality import (
+        quality_signal_columns,
+        quality_verdict_columns,
+    )
+
+    sig = quality_signal_columns("text", lang_col="lang")
+    labeled = docs.select(
+        "doc_id", "lang", *(c.alias(n) for n, c in sig.items())
+    ).select("lang", "ttr_ppm", quality_verdict_columns()["keep"].alias("__keep"))
+    out = evaluate_auc(labeled, "ttr_ppm", "__keep", strata_col="lang", spread=True)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("u2").alias("u2_mass"),
+        F.sum("auc_ppm").alias("auc_sum"),
+    )
+
+
+def probe_pmi(docs):
+    """PMI collocations (`ext/search.py:pmi_collocations`): bigram-count
+    agg (map-side combined) + vocabulary joins + TakeOrderedAndProject.
+    Expect ~linear in tokens; the consonant rotation grows the bigram
+    vocabulary per copy, so the count relation grows with the corpus —
+    the honest regime (a verbatim union would dedupe into base-sized
+    counts and measure nothing)."""
+    from beeper_matric_etl_tool_spark.ext.search import pmi_collocations
+
+    out = pmi_collocations(docs, min_count=5, k=20)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("rank") * F.col("pmi_ppm")).alias("order_checksum"),
+    )
+
+
 def probe_dense_batch(docs):
     """Batch dense retrieval (`ext/search.py:dense_hash_topk_batch`):
     8 queries scored in one corpus pass — per-doc vector folds once
@@ -653,6 +710,13 @@ def main() -> None:
         "base_sec": t1, "grown_sec": t10,
         "growth_ratio": round(t10 / t1, 2) if t1 else None,
     }
+    t1, r1 = timed_value(probe_transcripts(events))
+    t10, r10 = timed_value(probe_transcripts(big))
+    out["probe"]["transcripts"] = {
+        "base_sec": t1, "grown_sec": t10,
+        "growth_ratio": round(t10 / t1, 2) if t1 else None,
+        "base_row": list(r1), "grown_row": list(r10),
+    }
     big.unpersist()
 
     from beeper_matric_etl_tool_spark.ext import dedup as xdedup
@@ -673,6 +737,8 @@ def main() -> None:
         ("score_buckets_spread", probe_score_buckets_spread),
         ("pack_spread", probe_pack_spread),
         ("dense_batch", probe_dense_batch),
+        ("auc_spread", probe_auc),
+        ("pmi", probe_pmi),
         ("token_quota_two_phase", probe_token_quota),
         ("epoch_shuffle", probe_epoch_shuffle),
         ("quota_sample", probe_quota_sample),
