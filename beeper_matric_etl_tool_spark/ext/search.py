@@ -704,12 +704,16 @@ def pmi_collocations(
     many distinct inputs and is evaluated identically by any IEEE engine
     (the lm2-leg exposure argument); ranking ties break (w1, w2) asc.
 
-    Scale shape: one tokenize pass; bigrams fan out through the
-    zero-shuffle zip-with-own-tail (`bigram_nll_scores`'s plan); the
-    (w1,w2) count agg is map-side combined into a bigram-vocabulary-
-    sized relation, the two unigram joins are vocabulary-sized, and the
-    top-k is a TakeOrderedAndProject — no global sort, no corpus-sized
-    join, nothing quadratic."""
+    Scale shape: two tokenize passes (bigrams via the zero-shuffle
+    zip-with-own-tail — `bigram_nll_scores`'s plan — and the unigram
+    explode); the (w1,w2) count agg is map-side combined into a
+    bigram-vocabulary-sized relation, the two unigram joins are
+    vocabulary-sized, and the top-k is a TakeOrderedAndProject — no
+    global sort, no corpus-sized join, nothing quadratic. The unigram
+    count relation appears three times in the plan (w1 join, w2 join,
+    N-total row) but computes ONCE under AQE's runtime exchange reuse
+    (the engine default; measured: 2 ReusedQueryStage at sf0.001) —
+    without AQE the static planner may recompute it."""
     from pyspark.sql import Window
 
     toks = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))

@@ -23,9 +23,10 @@ Scale shape: the session id comes from two windows partitioned by USER
 user, the natural unit of a chat timeline (the reference pages one
 user's timeline the same way); turns beyond ``max_turns`` are dropped
 BEFORE collection, so the per-session array is bounded at max_turns
-structs regardless of session length; the final groupBy rides the
-(user, session) key. Two exchanges total (user window hash, group hash),
-both map-side combinable where Spark allows.
+structs regardless of session length; the final (user, session) groupBy
+rides the SAME user hash partitioning the windows installed (same-user
+rows are already co-located), so the whole operator is ONE exchange —
+measured: 1 Exchange, 3 Window, partial aggregation live.
 """
 
 from __future__ import annotations

@@ -168,8 +168,9 @@ def _make_transcript_updater(gap_ms: int, max_turns: int, flush_idle: bool):
             yield pd.DataFrame(out, columns=[f.name for f in TRANSCRIPT_OUTPUT_SCHEMA])
             return
         st = list(state.get) if state.exists else None
-        batch = pd.concat([p for p in pdfs if not p.empty], ignore_index=True) \
-            if pdfs is not None else pd.DataFrame()
+        frames = [p for p in pdfs if not p.empty]
+        # pd.concat([]) raises — a key can surface with only empty frames
+        batch = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
         if len(batch):
             batch = batch.sort_values(["timestamp", "event_id"])
             for ts_ms, line in zip(batch["timestamp"], batch["line"]):

@@ -977,3 +977,62 @@ def test_transcript_stream_assembles_across_batches_and_restarts(spark, tmp_path
         ).collect()
     )
     assert streamed == expected_closed
+
+
+def test_transcript_updater_idle_flush_path():
+    """The flush_idle timeout branch, driven directly (a processing-time
+    timeout cannot be made deterministic under availableNow triggers):
+    a timed-out key emits its open session exactly as a gap-close would
+    and clears its state; a live key under flush_idle re-arms the
+    timeout after every update."""
+    import pandas as pd
+
+    from beeper_matric_etl_tool_spark.streaming.stateful import (
+        _make_transcript_updater,
+    )
+
+    class FakeState:
+        def __init__(self, value=None, timed_out=False):
+            self._v = value
+            self.hasTimedOut = timed_out
+            self.removed = False
+            self.timeout_ms = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v, self.removed = None, True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    gap_ms = 30 * 60_000
+    upd = _make_transcript_updater(gap_ms, max_turns=2, flush_idle=True)
+
+    # timed-out key: open session (start=0, last=60s, 3 events, 2 turns)
+    st = (0, 60_000, 3, ["l1", "l2"])
+    state = FakeState(value=st, timed_out=True)
+    [out] = list(upd(("@x",), iter([]), state))
+    assert state.removed and len(out) == 1
+    row = out.iloc[0]
+    assert row["session_end_ms"] == 60_000 + gap_ms
+    assert row["n_events"] == 3 and row["n_turns"] == 2
+    assert row["transcript"] == "l1\nl2"
+
+    # live key: new rows re-arm the timeout with the gap duration
+    batch = pd.DataFrame(
+        {"timestamp": [1_000], "event_id": ["e1"], "line": ["hello"]}
+    )
+    state2 = FakeState()
+    [out2] = list(upd(("@y",), iter([batch]), state2))
+    assert len(out2) == 0 and state2.timeout_ms == gap_ms
+    assert state2.get == (1_000, 1_000, 1, ["hello"])
