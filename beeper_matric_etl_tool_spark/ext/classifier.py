@@ -309,12 +309,21 @@ def evaluate_auc(
     rows per stratum), not the corpus. The cumulative-negatives window
     single-tasks a stratum of that bounded relation by default;
     ``spread=True`` routes it through the distributed prefix sum
-    (`ext/pipeline.py:_spread_prefix`) for unbounded score domains."""
-    lab = F.col(label_col).cast("long")
+    (`ext/pipeline.py:_spread_prefix`) for unbounded score domains.
+
+    Null handling: rows with a NULL score or NULL label are EXCLUDED
+    (an unscored row cannot rank; silently counting a null label as
+    negative — what a bare count-minus-sum would do — is a trap), and
+    n_pos/n_neg count only the rows that entered the statistic."""
+    lab = F.col(label_col)
     grp = [strata_col] if strata_col is not None else []
-    g = df.groupBy(*grp, score_col).agg(
-        F.sum(lab).alias("__pos"),
-        (F.count(F.lit(1)) - F.sum(lab)).alias("__neg"),
+    g = (
+        df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+        .groupBy(*grp, score_col)
+        .agg(
+            F.count_if(lab).alias("__pos"),
+            F.count_if(~lab).alias("__neg"),
+        )
     )
     order = [F.col(score_col).asc()]
     if spread:

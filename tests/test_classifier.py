@@ -248,3 +248,19 @@ def test_evaluate_auc_partition_invariant(spark):
     a = sorted(map(tuple, evaluate_auc(df.coalesce(1), "score", "keep", strata_col="lang").collect()))
     b = sorted(map(tuple, evaluate_auc(df.repartition(7), "score", "keep", strata_col="lang").collect()))
     assert a == b
+
+
+def test_evaluate_auc_excludes_null_scores_and_labels(spark):
+    """A NULL score cannot rank and a NULL label is neither class —
+    both are EXCLUDED (not silently counted as negatives, the
+    count-minus-sum trap), and the counts reflect only included rows."""
+    from beeper_matric_etl_tool_spark.ext.classifier import evaluate_auc
+
+    rows = [
+        ("a", 3, True), ("a", 4, True), ("a", 1, False), ("a", 2, False),
+        ("a", None, True),   # null score
+        ("a", 5, None),      # null label
+    ]
+    df = spark.createDataFrame(rows, "lang string, score long, keep boolean")
+    [r] = evaluate_auc(df, "score", "keep", strata_col="lang").collect()
+    assert (r["n_pos"], r["n_neg"], r["u2"], r["auc_ppm"]) == (2, 2, 8, 1_000_000)
