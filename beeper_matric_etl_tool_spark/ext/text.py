@@ -509,3 +509,89 @@ def normalize_text_sql(expr: str) -> str:
     nl = f"regexp_replace({sp}, ' ?\\n ?', chr(10), 'g')"
     para = f"regexp_replace({nl}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
     return f"trim({para})"
+
+
+def ngram_duplication_scores(
+    df,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document duplicated-window fraction — the SCORING sibling of
+    :func:`remove_duplicate_spans` (same Lee et al. 2022 window
+    fingerprints, same total-occurrence floor), emitting the signal
+    instead of rewriting text: (id_col, n_windows, dup_windows,
+    dup_ppm), where dup_windows counts the document's k-token windows
+    whose exact content occurs at least ``min_count`` times ACROSS THE
+    CORPUS (within-document repeats count), and dup_ppm =
+    floor(1e6·dup/n) (NULL for docs shorter than k tokens — no windows,
+    no signal). This is the "what fraction of this page is copied
+    somewhere" filter signal web-curation pipelines gate on when they
+    would rather DROP a mostly-duplicated document than surgically cut
+    its spans — compose with `sample_top_fraction`/`score_buckets` or a
+    `curate()` pre-filter.
+
+    Scale shape (inherited from the span remover): one tokenize pass,
+    (md5(window), doc) fingerprint rows shuffle for the corpus count —
+    16-byte fingerprints, never window text; the over-floor set is
+    df-filtered small and the per-doc rollups are map-side combined.
+    Exact integers end to end."""
+    if k < 2:
+        raise ValueError(
+            f"ngram_duplication_scores: k={k} must be >= 2 — at 1 every "
+            f"repeated TOKEN counts as duplication"
+        )
+    if min_count < 2:
+        raise ValueError(
+            f"ngram_duplication_scores: min_count={min_count} must be >= 2 "
+            f"— at 1 every window is 'duplicated' and the score saturates"
+        )
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n")
+    )
+    win_starts = F.when(
+        F.col("__n") >= k, F.sequence(F.lit(1), F.col("__n") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    spans = base.select(
+        id_col, F.explode(win_starts).alias("__p"), F.col("__toks")
+    ).select(
+        id_col,
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__p"), k))
+        ).alias("__fp"),
+    )
+    hot_fps = (
+        spans.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+        .filter(F.col("__ct") >= min_count)
+        .select("__fp")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows")
+    )
+    dup = (
+        spans.join(hot_fps, "__fp")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dup_windows"))
+    )
+    out = (
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+        )
+    )
+    return out.withColumn(
+        "dup_ppm",
+        F.when(
+            F.col("n_windows") > 0,
+            F.floor(
+                F.lit(1_000_000) * F.col("dup_windows") / F.col("n_windows")
+            ).cast("long"),
+        ),
+    )

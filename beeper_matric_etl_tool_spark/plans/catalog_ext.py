@@ -1206,6 +1206,18 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsleg AS (
             SELECT d.doc_id, CAST(coalesce(s.score, 0) AS INTEGER) AS score
             FROM documents d LEFT JOIN dsscore s USING (doc_id)
+        ),
+        snov AS (
+            SELECT s.doc_id, count(*) AS n_windows,
+                   count(*) FILTER (WHERE s.fp IN (SELECT fp FROM shot))
+                       AS dup_windows
+            FROM sfp s GROUP BY s.doc_id
+        ),
+        novleg AS (
+            SELECT st.doc_id,
+                   CAST(coalesce(n.n_windows, 0) AS INTEGER) AS n_units,
+                   CAST(coalesce(n.dup_windows, 0) AS INTEGER) AS n_removed
+            FROM stoks st LEFT JOIN snov n USING (doc_id)
         )
         SELECT 'profile' AS kind, doc_id, en_hits, es_hits, fr_hits, de_hits,
                predicted_lang, fp, min_shingle_fp,
@@ -1232,6 +1244,11 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
                CAST(NULL AS VARCHAR), score, CAST(NULL AS INTEGER)
         FROM dsleg
+        UNION ALL
+        SELECT 'novelty', doc_id, NULL, NULL, NULL, NULL,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), n_units, n_removed
+        FROM novleg
     """,
 )
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1287,7 +1304,17 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer dot of its hashed counts with the weights (n_units). Every
     score is replayed exactly by the oracle — the ln() of the composed
     integer ratio is evaluated on doubles both planes produce
-    identically (all operands < 2⁵³)."""
+    identically (all operands < 2⁵³).
+
+    kind='novelty' — the duplicated-window fraction score
+    (`ext/text.py:ngram_duplication_scores`, the SCORING sibling of the
+    spans leg) over the SAME planted-span corpus: n_units = k-token
+    windows, n_removed = windows whose fingerprint occurs ≥ 2 times
+    corpus-wide — every 4th doc carries copied-footer duplication, doc
+    42's within-doc paste counts (total-occurrence floor), doc 77's
+    once-only sentence does not. A green row pins the signal a curation
+    pipeline gates on when it drops mostly-duplicated documents instead
+    of surgically despanning them."""
     docs = table(spark, sf_dir, "documents")
     toks = xtext.tokens("text")
     # the reusable language-ID pair (ext/text.py): per-inventory scores +
@@ -1396,11 +1423,23 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dsir_score_ppm").cast("int").alias("n_units"),
         F.lit(None).cast("int").alias("n_removed"),
     )
+    novelty_leg = xtext.ngram_duplication_scores(
+        scorp, k=SPAN_K, min_count=2
+    ).select(
+        F.lit("novelty").alias("kind"),
+        "doc_id",
+        *null_dims,
+        *null_fps,
+        F.lit(None).cast("string").alias("cleaned_fp"),
+        F.col("n_windows").cast("int").alias("n_units"),
+        F.col("dup_windows").cast("int").alias("n_removed"),
+    )
     return (
         profile_leg.unionByName(boiler_leg)
         .unionByName(spans_leg)
         .unionByName(embed_leg)
         .unionByName(dsir_leg)
+        .unionByName(novelty_leg)
     )
 
 

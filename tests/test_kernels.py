@@ -1269,3 +1269,47 @@ def test_detect_language_degenerate_inventories(spark):
     assert out == "xx"
     with _pytest.raises(ValueError, match="empty language inventory"):
         detect_language(tokens("text"), {})
+
+
+def test_ngram_duplication_scores_planted(spark):
+    """The scoring sibling of remove_duplicate_spans on a hand-checkable
+    corpus: a shared 4-token sentence marks its windows duplicated in
+    every carrier; a within-doc double-paste counts under the
+    total-occurrence floor; a unique doc scores 0; a doc shorter than k
+    emits (0, 0, NULL). Validation raises on degenerate k/min_count."""
+    import pytest as _pytest
+
+    from beeper_matric_etl_tool_spark.ext.text import ngram_duplication_scores
+
+    shared = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            # docs 1, 2 share the 4-gram → its single window is hot in both
+            (1, shared + " unique one tail words here"),
+            (2, shared + " other disjoint closing tokens now"),
+            # doc 3: the same 4-gram pasted twice WITHIN one doc
+            (3, shared + " " + shared),
+            # doc 4: all-unique text of the same length
+            (4, "epsilon zeta eta theta iota kappa lam mu"),
+            # doc 5: shorter than k → no windows
+            (5, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_windows"], r["dup_windows"], r["dup_ppm"])
+        for r in ngram_duplication_scores(docs, k=4, min_count=2).collect()
+    }
+    # doc 1: 9 tokens → 6 windows; only the leading shared window is hot
+    assert out[1] == (6, 1, 166_666)
+    assert out[2] == (6, 1, 166_666)
+    # doc 3: 8 tokens → 5 windows; windows 1 and 5 are the shared 4-gram
+    # (count 4 corpus-wide ≥ 2); the 3 straddling windows each occur
+    # once... but window 2 'beta gamma delta alpha' also repeats NOWHERE
+    assert out[3][0] == 5 and out[3][1] >= 2
+    assert out[4] == (5, 0, 0)
+    assert out[5] == (0, 0, None)
+    with _pytest.raises(ValueError, match="k=1"):
+        ngram_duplication_scores(docs, k=1)
+    with _pytest.raises(ValueError, match="min_count=1"):
+        ngram_duplication_scores(docs, k=4, min_count=1)

@@ -288,6 +288,31 @@ def probe_duplicate_spans(docs):
     )
 
 
+def probe_novelty(docs):
+    """Duplicated-window fraction scoring
+    (`ext/text.py:ngram_duplication_scores`): the span remover's
+    fingerprint-count pass + per-doc rollups, no rebuild. Same planted
+    footer as the spans probe (constant hot fraction at every factor);
+    dup-window mass should track the corpus while time stays ~linear."""
+    from beeper_matric_etl_tool_spark.ext.text import ngram_duplication_scores
+
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit(" probe footer sentence shared across many documents here"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = ngram_duplication_scores(planted, k=8, min_count=2)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dup_windows").alias("dup_mass"),
+    )
+
+
 def probe_unigram_nll(docs):
     """Perplexity-filter scoring: one tokenize+explode pass + three
     (doc,term)-sized exchanges (plan-audited in ext/search.py). Expect
@@ -730,6 +755,7 @@ def main() -> None:
     # fixed benchmark side: the BASE corpus's val split
     for pname, fn in (
         ("duplicate_spans", probe_duplicate_spans),
+        ("novelty_score", probe_novelty),
         ("unigram_nll", probe_unigram_nll),
         ("bigram_nll", probe_bigram_nll),
         ("top_fraction", probe_top_fraction),
