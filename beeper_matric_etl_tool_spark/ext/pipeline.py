@@ -1049,7 +1049,7 @@ CURATE_RESERVED_COLUMNS = (
     "ellipsis_ok", "alpha_ok", "keep",
     "n_emails", "n_digit_runs", "n_tokens_packed", "pack_id",
     "n_span_tokens_removed", "nll_ppm", "n_boilerplate_paras_removed",
-    "quality_prob", "dsir_score_ppm",
+    "quality_prob", "dsir_score_ppm", "dup_window_ppm",
 )
 
 
@@ -1100,6 +1100,9 @@ def curate(
     span_k: int | None = None,
     span_min_count: int = 2,
     span_keep_one: bool = True,
+    max_dup_window_ppm: int | None = None,
+    dup_window_k: int = 8,
+    dup_window_min_count: int = 2,
     max_nll_ppm: int | None = None,
     nll_keep_ppm: int | None = None,
     nll_spread: bool = True,
@@ -1168,6 +1171,16 @@ def curate(
                        changes content fingerprints, and deduping the
                        cleaned text is what collapses templated docs
                        that differ only in their boilerplate
+    - ``novel``:       (only when ``max_dup_window_ppm`` is set) the
+                       duplicated-window-fraction DROP gate
+                       (`ext/text.py:ngram_duplication_scores`): docs
+                       whose corpus-wide duplicated k-token-window
+                       fraction exceeds the ceiling are removed WHOLE —
+                       the mostly-boilerplate-page filter, where the
+                       despan stage would rewrite; sub-k docs carry no
+                       signal and pass; ``dup_window_ppm`` audit column.
+                       Runs after despan (scores reflect the cleaned
+                       text) and before the fluency gates
     - ``fluent``:      (only when ``max_nll_ppm`` is set) unigram-LM
                        perplexity ceiling (`ext/search.py:
                        unigram_nll_scores` in its lazy_stats form — the
@@ -1263,6 +1276,21 @@ def curate(
             "not both: two fluency gates in sequence would make the "
             "realized keep rate depend on their interaction"
         )
+    if max_dup_window_ppm is not None:
+        # the gate's operator validates k/min_count too, but it composes
+        # AFTER persist marks — the fail-before-persist contract wants
+        # these raises up here with the other pure argument validation
+        if not 0 <= max_dup_window_ppm <= 1_000_000:
+            raise ValueError(
+                f"curate: max_dup_window_ppm={max_dup_window_ppm} is not a "
+                f"ppm fraction in [0, 1e6]"
+            )
+        if dup_window_k < 2 or dup_window_min_count < 2:
+            raise ValueError(
+                f"curate: dup_window_k={dup_window_k} / "
+                f"dup_window_min_count={dup_window_min_count} — both must "
+                f"be >= 2 (at 1 every token/window is 'duplicated')"
+            )
     if nll_lm_order not in (1, 2):
         raise ValueError(
             f"curate: nll_lm_order={nll_lm_order} — the fluency gate "
@@ -1444,6 +1472,37 @@ def curate(
             persisted.append(despanned)
         opt_stages["despanned"] = despanned
         dedup_input = despanned
+    if max_dup_window_ppm is not None:
+        from beeper_matric_etl_tool_spark.ext.text import (
+            ngram_duplication_scores,
+        )
+
+        # the DROP form of window-level dedup (RefinedWeb/Dolma shape):
+        # a page that is mostly copied-from-elsewhere is removed whole,
+        # where the despan stage would surgically rewrite it — gate on
+        # the corpus-wide duplicated-window fraction. Docs shorter than
+        # k windows carry no signal (dup_window_ppm NULL) and pass.
+        # Fully lazy (fingerprint aggs only — no eager collect), so the
+        # funnel's zero-jobs composition contract holds.
+        dup_scores = ngram_duplication_scores(
+            dedup_input,
+            k=dup_window_k,
+            min_count=dup_window_min_count,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        novel = dedup_input.join(
+            dup_scores.filter(
+                F.col("dup_ppm").isNull()
+                | (F.col("dup_ppm") <= max_dup_window_ppm)
+            ).select(F.col(id_col), F.col("dup_ppm").alias("dup_window_ppm")),
+            on=id_col,
+        ).select(*dedup_input.columns, "dup_window_ppm")
+        if persist_intermediates:
+            novel = novel.persist()
+            persisted.append(novel)
+        opt_stages["novel"] = novel
+        dedup_input = novel
     def _fluency_scores(frame: DataFrame) -> DataFrame:
         # the gate's LM, by nll_lm_order: 1 = unigram (token-frequency
         # fluency), 2 = Jelinek-Mercer interpolated bigram — word ORDER

@@ -1912,3 +1912,92 @@ def test_corpus_report_null_lang_group_is_not_the_total(spark):
     assert rep["_corpus"]["n_docs"] == 3
     assert rep[None]["n_docs"] == 2
     assert rep["en"]["n_docs"] == 1
+
+
+def test_curate_dup_window_gate_drops_boilerplate_pages(spark):
+    """max_dup_window_ppm: a page stitched from sentences that each
+    appear in OTHER documents has no within-doc repetition (the Gopher
+    battery passes it) but a high corpus-wide duplicated-window
+    fraction — the gate drops it whole while its carrier documents
+    (mostly-unique pages sharing one sentence each) pass; with the
+    stage off the page sails through; arguments validate before any
+    persist mark."""
+    base = (
+        "river meadow stone harbor lantern copper willow ember frost "
+        "garden marble cedar falcon amber tunnel violet ginger hollow "
+        "saddle barley canyon drift fable grove heron island jasper "
+        "keel lumen mossy nectar orchid prairie quartz russet spruce "
+        "timber umber vessel walnut yonder zephyr arbor bluff cinder"
+    ).split()
+    az = "abcdefghijklmnopqrstuvwxyz"
+    sentences = [
+        " ".join(
+            [f"s{az[si]}w{az[j]}" for j in range(7)]
+            + ["the"]
+            + [f"s{az[si]}x{az[j]}" for j in range(7)]
+            + ["and"]
+        )
+        for si in range(5)
+    ]  # 16 tokens each, no within-sentence repeats, digit-free (the
+    # PII scrub rewrites digit runs — digits would collapse every
+    # carrier body into one string and make everything hot)
+
+    docs = []
+    did = 0
+    for si, sent in enumerate(sentences):
+        for c in range(4):  # 4 carriers per sentence
+            did += 1
+            tag = az[did // 26] + az[did % 26]
+            body = " ".join(f"{w}c{tag}" for w in base[:38]) + " the and"
+            docs.append((did, "en", body + " " + sent))
+    junk_id = 999
+    docs.append((junk_id, "en", " ".join(sentences)))  # 80 tokens, all copied
+    frame = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+
+    gated = curate(
+        frame, max_dup_window_ppm=300_000, persist_intermediates=False
+    )
+    assert {r["doc_id"] for r in gated["scrubbed"].select("doc_id").collect()} \
+        == {d[0] for d in docs}  # everyone passes the heuristic battery
+    novel_ids = {r["doc_id"] for r in gated["novel"].select("doc_id").collect()}
+    assert junk_id not in novel_ids
+    assert len(novel_ids) == 20  # every carrier survives
+    # audit column present with a sane value for a carrier
+    row = gated["novel"].filter(F.col("doc_id") == 1).collect()[0]
+    assert 0 <= row["dup_window_ppm"] <= 300_000
+
+    off = curate(frame, persist_intermediates=False)
+    assert "novel" not in off
+    kept_off = {r["doc_id"] for r in off["exact"].select("doc_id").collect()}
+    assert junk_id in kept_off  # without the gate the page sails through
+
+    with pytest.raises(ValueError, match="max_dup_window_ppm"):
+        curate(frame, max_dup_window_ppm=2_000_000)
+    with pytest.raises(ValueError, match="dup_window_k"):
+        curate(frame, max_dup_window_ppm=1000, dup_window_k=1)
+
+
+def test_curate_dup_window_stage_is_lazy(spark, sf_dir):
+    """The novel stage preserves the funnel's zero-jobs composition
+    contract (scoped, as documented, to exclude the iterative
+    components labeling that base curate() always runs): the OPERATOR
+    composes with zero jobs — it is pure plan algebra, fingerprint aggs
+    and a join, no collect — and the stage's optimized plan scores via
+    the md5-window aggregate, not a driver-collected literal."""
+    from beeper_matric_etl_tool_spark.ext.text import ngram_duplication_scores
+    from beeper_matric_etl_tool_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    scores = ngram_duplication_scores(docs, k=8, min_count=2)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before)  # single-operator zero-jobs pin
+
+    stages = curate(
+        docs, max_dup_window_ppm=300_000, persist_intermediates=False
+    )
+    assert "novel" in stages and "dup_window_ppm" in stages["novel"].columns
+    plan = stages["novel"]._jdf.queryExecution().optimizedPlan().toString()
+    assert "md5" in plan  # scored in-plan, not via a collected literal
+    del scores
