@@ -367,3 +367,50 @@ def evaluate_auc(
         ).cast("long"),
     )
     return agg.select(*grp, "n_pos", "n_neg", u2_ok.alias("u2"), auc.alias("auc_ppm"))
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Reliability-diagram counts — the calibration audit that pairs
+    with `evaluate_auc` (AUC measures ranking; calibration measures
+    whether prob≈0.8 rows are actually kept ~80% of the time, the
+    property a downstream threshold choice depends on): one row per
+    (strata?, bin) with (n, n_pos, pos_ppm, sum_prob_ppm), where bin =
+    floor(prob·n_bins) clamped so prob=1.0 lands in the top bin.
+
+    Exact integers where exactness is possible: n/n_pos are counts,
+    pos_ppm an integer-floored rate; the mean predicted probability —
+    the diagonal the diagram compares against — ships as
+    sum_prob_ppm = Σ floor(1e6·prob) (an exact long; the caller divides
+    by n client-side), because a float mean cannot hash-match across
+    engines. NULL probs/labels are excluded (`evaluate_auc`'s rule).
+
+    Scale shape: ONE map-side-combined groupBy of ≤ strata·n_bins
+    output rows — nothing else touches the corpus."""
+    if n_bins < 2:
+        raise ValueError(f"calibration_bins: n_bins={n_bins} must be >= 2")
+    p = F.col(prob_col)
+    lab = F.col(label_col)
+    grp = [strata_col] if strata_col is not None else []
+    binned = df.filter(p.isNotNull() & lab.isNotNull()).select(
+        *grp,
+        F.least(
+            F.floor(p * F.lit(float(n_bins))).cast("long"),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+        lab.alias("__lab"),
+        F.floor(p * F.lit(1_000_000.0)).cast("long").alias("__p_ppm"),
+    )
+    return binned.groupBy(*grp, "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("__lab")).alias("n_pos"),
+        F.floor(
+            F.lit(1_000_000) * F.count_if(F.col("__lab")) / F.count(F.lit(1))
+        ).cast("long").alias("pos_ppm"),
+        F.sum("__p_ppm").alias("sum_prob_ppm"),
+    )

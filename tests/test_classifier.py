@@ -264,3 +264,34 @@ def test_evaluate_auc_excludes_null_scores_and_labels(spark):
     df = spark.createDataFrame(rows, "lang string, score long, keep boolean")
     [r] = evaluate_auc(df, "score", "keep", strata_col="lang").collect()
     assert (r["n_pos"], r["n_neg"], r["u2"], r["auc_ppm"]) == (2, 2, 8, 1_000_000)
+
+
+def test_calibration_bins_hand_computed(spark):
+    """Reliability counts on a hand-checkable frame: bin edges floor at
+    prob·n_bins, prob=1.0 clamps into the top bin, NULLs drop, counts
+    and the exact sum-of-floored-probs checksum match; partition layout
+    cannot move anything (one order-free agg)."""
+    from beeper_matric_etl_tool_spark.ext.classifier import calibration_bins
+
+    rows = [
+        (0.05, False), (0.08, True),            # bin 0: 2 rows, 1 pos
+        (0.55, True), (0.52, False), (0.58, True),  # bin 5: 3 rows, 2 pos
+        (1.0, True),                            # clamps into bin 9
+        (None, True), (0.4, None),              # excluded
+    ]
+    df = spark.createDataFrame(rows, "prob double, keep boolean")
+    out = {
+        r["bin"]: (r["n"], r["n_pos"], r["pos_ppm"], r["sum_prob_ppm"])
+        for r in calibration_bins(df, "prob", "keep", n_bins=10).collect()
+    }
+    assert set(out) == {0, 5, 9}
+    assert out[0] == (2, 1, 500_000, 50_000 + 80_000)
+    assert out[5] == (3, 2, 666_666, 550_000 + 520_000 + 580_000)
+    assert out[9] == (1, 1, 1_000_000, 1_000_000)
+    a = sorted(map(tuple, calibration_bins(df.coalesce(1), "prob", "keep").collect()))
+    b = sorted(map(tuple, calibration_bins(df.repartition(5), "prob", "keep").collect()))
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        calibration_bins(df, "prob", "keep", n_bins=1)
