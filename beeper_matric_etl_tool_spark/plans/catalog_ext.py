@@ -555,6 +555,16 @@ def _epoch_copies_sql() -> str:
                    CAST(sum(neg) AS BIGINT) AS n_neg,
                    CAST(sum(2 * pos * negb + pos * neg) AS BIGINT) AS u2
             FROM aucc GROUP BY lang
+        ),
+        calib AS (
+            SELECT lang,
+                   least(CAST(floor((ttr_ppm / 1000000.0) * 10.0) AS BIGINT),
+                         9) AS bin,
+                   count(*) AS n,
+                   sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_pos,
+                   CAST(sum(CAST(floor(1000000.0 * (ttr_ppm / 1000000.0))
+                                 AS BIGINT)) AS BIGINT) AS sum_prob_ppm
+            FROM v GROUP BY lang, bin
         )
         SELECT 'lang' AS dim, lang AS key, count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -631,6 +641,14 @@ def _epoch_copies_sql() -> str:
                               / (2.0 * n_pos * n_neg)) AS BIGINT)
                     ELSE NULL END AS kept_ppm
         FROM aucleg
+        UNION ALL
+        SELECT 'calib' AS dim, lang || '/' || CAST(bin AS VARCHAR) AS key,
+               n AS n_docs,
+               CAST(NULL AS BIGINT) AS total_chars,
+               sum_prob_ppm AS total_tokens,
+               CAST(n_pos AS BIGINT) AS n_kept,
+               CAST((1000000 * n_pos) // n AS BIGINT) AS kept_ppm
+        FROM calib
         UNION ALL
         SELECT 'report' AS dim, lang AS key, count(*) AS n_docs,
                CAST(sum(length(text)) AS BIGINT) AS total_chars,
@@ -736,6 +754,13 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from), n_kept = n_pos, kept_ppm = auc_ppm — the oracle recomputes
     the whole rank-sum independently, so a green row pins the
     evaluation operator's arithmetic end to end.
+
+    dim='calib' — calibration_bins (`ext/classifier.py`): reliability
+    counts per (language, probability bin) over the same pseudo-prob
+    (ttr_ppm/1e6) and keep label — key = 'lang/bin', total_tokens =
+    Σ floor(1e6·prob) (the diagram's diagonal as an exact long),
+    n_kept/kept_ppm the observed positives; the oracle rebuilds the
+    binning and the checksum independently.
 
     dim='report' — the one-rollup corpus data card (ext/pipeline.py:
     corpus_report): per-language + '_corpus' doc/char/token totals with
@@ -977,6 +1002,31 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pos").alias("n_kept"),
         F.col("auc_ppm").alias("kept_ppm"),
     )
+    # dim='calib': calibration_bins driver-oracled over an exact-integer
+    # pseudo-probability (ttr_ppm/1e6 — the same double chain both
+    # planes evaluate identically); real classifier probabilities are
+    # float-iterative and stay pytest-tier
+    from beeper_matric_etl_tool_spark.ext.classifier import calibration_bins
+
+    calibleg = calibration_bins(
+        labeled.select(
+            "lang",
+            (F.col("ttr_ppm") / F.lit(1_000_000.0)).alias("__prob"),
+            "__keep",
+        ),
+        "__prob",
+        "__keep",
+        n_bins=10,
+        strata_col="lang",
+    ).select(
+        F.lit("calib").alias("dim"),
+        F.concat_ws("/", "lang", F.col("bin").cast("string")).alias("key"),
+        F.col("n").alias("n_docs"),
+        null_long.alias("total_chars"),
+        F.col("sum_prob_ppm").alias("total_tokens"),
+        F.col("n_pos").alias("n_kept"),
+        F.col("pos_ppm").alias("kept_ppm"),
+    )
     # dim='report': the data card's own rollup output, reshaped — the
     # operator is eager by contract (it returns driver scalars), so the
     # rows below carry the numbers its one rollup job produced
@@ -1008,6 +1058,7 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pct)
         .unionByName(bucket)
         .unionByName(aucleg)
+        .unionByName(calibleg)
         .unionByName(report)
     )
 
