@@ -2636,7 +2636,8 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT count(*) FROM documents) AS n_clf_scored,
                TRUE AS clf_gain_ok,
                TRUE AS clf_bit_stable_ok,
-               TRUE AS clf_grid_ok
+               TRUE AS clf_grid_ok,
+               TRUE AS clf_auc_ok
         FROM embeddings
     """,
 )
@@ -2703,11 +2704,17 @@ def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
       differently-partitioned input yields IDENTICAL weights (the
       integer-sum gradient contract — the property float reductions
       cannot give), clf_grid_ok that weights and stats froze to the
-      2⁻¹⁶ grid, and clf_gain_ok that in-sample agreement with the gate
+      2⁻¹⁶ grid, clf_gain_ok that in-sample agreement with the gate
       beats the majority-class baseline by ≥ 5 points in exact integer
       algebra (measured ≈ +19 at sf0.001 and sf0.01; both label classes
-      are populated at every shipped SF, ~30% keep). n_clf_scored is the
-      oracle-derived corpus count."""
+      are populated at every shipped SF, ~30% keep), and clf_auc_ok
+      (r8) that the REAL trained model's ranking quality —
+      `ext/classifier.py:evaluate_auc` over its own in-sample
+      probabilities, spread form — clears 0.80 AUC (measured 0.955 /
+      0.971 at sf0.001 / sf0.01; the threshold-free eval the dim='auc'
+      leg exercises on an exact-integer score is here wired to the
+      float-iterative model through the invariant contract).
+      n_clf_scored is the oracle-derived corpus count."""
     from beeper_matric_etl_tool_spark.ext.clustering import kmeans
     from beeper_matric_etl_tool_spark.ext.dedup import connected_components
     from beeper_matric_etl_tool_spark.ext.semdedup import semantic_edges
@@ -2970,6 +2977,16 @@ def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("n_clf_scored")
         ).alias("clf_gain_ok"),
     )
+    from beeper_matric_etl_tool_spark.ext.classifier import evaluate_auc
+
+    clf_auc = evaluate_auc(
+        classify(z, w_clf, clf_cols).select(
+            "quality_prob", (F.col("__y") == 1).alias("__lab")
+        ),
+        "quality_prob",
+        "__lab",
+        spread=True,
+    ).select((F.col("auc_ppm") >= F.lit(800_000)).alias("clf_auc_ok"))
     clf_scalars = spark.range(1).select(
         F.lit(w_clf == w_clf2).alias("clf_bit_stable_ok"),
         F.lit(
@@ -2998,6 +3015,7 @@ def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(recon_ok))
         .crossJoin(F.broadcast(clf_rows))
         .crossJoin(F.broadcast(clf_scalars))
+        .crossJoin(F.broadcast(clf_auc))
     )
 
 
