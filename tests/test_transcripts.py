@@ -164,3 +164,41 @@ def test_transcripts_feed_curate_end_to_end(spark, sf_dir):
     if stages["packed"]:
         packs = out["packed"].agg(F.min("pack_id"), F.max("pack_id")).first()
         assert packs[0] == 0
+
+
+def test_room_keyed_multi_speaker_transcripts(spark):
+    """Conversation assembly generalizes to ROOM-keyed sessions — the
+    multi-speaker chat-LM shape: sessionize per room, keep per-event
+    speaker tags in the rendered lines (line= overrides the default
+    key-based tag), interleaving turns from different senders in exact
+    (ts, event_id) order."""
+    rows = [
+        # room 7: alice and bob interleave inside one session
+        (1, T0, 7, 100, "m.text", "hi bob"),
+        (2, T0 + dt.timedelta(minutes=1), 7, 200, "m.text", "hi alice"),
+        (3, T0 + dt.timedelta(minutes=2), 7, 100, "m.text", "how are you"),
+        # a 40-min gap opens a second session in the same room
+        (4, T0 + dt.timedelta(minutes=42), 7, 200, "m.text", "back now"),
+        # room 8: a different conversation entirely
+        (5, T0, 8, 300, "m.text", "other room"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, room_id long, speaker_id long, "
+        "event_type string, props string",
+    )
+    out = assemble_transcripts(
+        df,
+        line=turn_line(user_col="speaker_id"),
+        user_col="room_id",
+    )
+    got = {
+        (r["room_id"], str(r["session_start"])): r["transcript"]
+        for r in out.collect()
+    }
+    assert len(got) == 3
+    assert got[(7, str(T0))] == (
+        "u100 m.text: hi bob\nu200 m.text: hi alice\nu100 m.text: how are you"
+    )
+    assert got[(7, str(T0 + dt.timedelta(minutes=42)))] == "u200 m.text: back now"
+    assert got[(8, str(T0))] == "u300 m.text: other room"
