@@ -87,7 +87,10 @@ def assemble_transcripts(
         F.col(ts_col).asc(), F.col(order_col).asc()
     )
     gap_us = int(gap_minutes) * _US_PER_MIN
-    flagged = events.select(
+    # NULL event times cannot sessionize — dropped, matching BOTH sibling
+    # forms (F.session_window excludes null-window rows; the streaming
+    # assembler filters timestamp.isNotNull())
+    flagged = events.filter(F.col(ts_col).isNotNull()).select(
         F.col(user_col), F.col(ts_col), F.col(order_col), ln.alias("__line")
     ).withColumn(
         "__new_sess",

@@ -202,3 +202,13 @@ def test_room_keyed_multi_speaker_transcripts(spark):
     )
     assert got[(7, str(T0 + dt.timedelta(minutes=42)))] == "u200 m.text: back now"
     assert got[(8, str(T0))] == "u300 m.text: other room"
+
+
+def test_transcript_null_ts_rows_drop(spark):
+    """NULL event times cannot sessionize — excluded, matching both the
+    session_window leg and the streaming assembler's filter."""
+    rows = [(1, T0, 9, "t", "a"), (2, None, 9, "t", "ghost")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = assemble_transcripts(df).collect()
+    assert len(got) == 1
+    assert got[0]["n_events"] == 1 and got[0]["transcript"] == "u9 t: a"
