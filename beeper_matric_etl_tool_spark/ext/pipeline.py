@@ -380,14 +380,22 @@ def _spread_ranked(
 
     Global rank = offset + local rank is exact because range partition i
     holds exactly the sort-order predecessors of partition i+1.
-    Correctness does not depend on Spark's exchange-reuse cache: the two
-    consumers of the range exchange (counts, ranked) see the same
-    boundaries either way — the range sampler is deterministic for a
-    given input partitioning, and both branches share one canonical
-    exchange (reused when spark.sql.exchange.reuse is on, the default).
-    ``partitions`` defaults to spark.sql.shuffle.partitions; the
-    explicit partition count also keeps AQE from re-coalescing the range
-    exchange under a different layout per consumer."""
+    Correctness REQUIRES the counts branch and the ranked branch to
+    observe identical range boundaries — guaranteed because both
+    consumers share one canonical exchange that Spark's exchange-reuse
+    cache materializes exactly once. RangePartitioning's boundary
+    sampler is NOT instance-independent (its seed varies per execution),
+    so with ``spark.sql.exchange.reuse=false`` two materializations
+    could disagree and produce silently wrong global ranks; the
+    constructor therefore REFUSES to build the plan when reuse is
+    disabled (fail-loud beats silent corruption). ``partitions``
+    defaults to spark.sql.shuffle.partitions; the explicit partition
+    count also keeps AQE from re-coalescing the range exchange under a
+    different layout per consumer. NULL group values are first-class:
+    the offsets join back through eqNullSafe compares, so a NULL
+    stratum ranks exactly as the window form's NULL partition would
+    (a bare name-list join would silently drop those rows)."""
+    _require_exchange_reuse(df, "_spread_ranked")
     sc_ = F.col(score_col)
     order = [sc_.asc() if ascending else sc_.desc(), F.col(id_col).asc()]
     grp = [strata_col] if strata_col is not None else []
@@ -416,9 +424,48 @@ def _spread_ranked(
     )
     wloc = Window.partitionBy("__pid", *grp).orderBy(*order)
     return (
-        withpid.join(F.broadcast(offs), on=["__pid", *grp])
+        _join_back_nullsafe(withpid, offs, grp)
         .withColumn("__rank", F.row_number().over(wloc) + F.col("__off"))
         .select(*grp, id_col, score_col, "__rank", "__n")
+    )
+
+
+def _require_exchange_reuse(df: DataFrame, op: str) -> None:
+    """The spread forms' two consumers of one range exchange MUST see one
+    materialization (module functions' docstrings) — refuse to compose a
+    silently-rank-corrupting plan when the cache is off."""
+    reuse = str(
+        df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
+    ).lower()
+    if reuse != "true":
+        raise ValueError(
+            f"{op}: spark.sql.exchange.reuse is disabled — the counts and "
+            f"ranked branches would each re-sample range boundaries and "
+            f"can disagree, corrupting global ranks silently; re-enable "
+            f"exchange reuse (the Spark default) to use spread=True"
+        )
+
+
+def _join_back_nullsafe(
+    withpid: DataFrame, offs: DataFrame, grp: list[str]
+) -> DataFrame:
+    """Broadcast-join per-partition offsets back onto the range-partitioned
+    rows on (__pid, *grp) with NULL-SAFE group compares. A name-list join
+    compiles to plain EqualTo, which never matches NULL keys — rows in a
+    NULL stratum would silently vanish from the ranked relation (the one
+    place the window form and the spread form could diverge). The offs
+    side's key columns are renamed before the join and dropped after, so
+    the output schema is exactly the name-list join's."""
+    offs_r = offs.select(
+        F.col("__pid").alias("__o_pid"),
+        *[F.col(c).alias(f"__o_g{i}") for i, c in enumerate(grp)],
+        *[c for c in offs.columns if c != "__pid" and c not in grp],
+    )
+    cond = F.col("__pid") == F.col("__o_pid")
+    for i, c in enumerate(grp):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__o_g{i}"))
+    return withpid.join(F.broadcast(offs_r), on=cond).drop(
+        "__o_pid", *[f"__o_g{i}" for i in range(len(grp))]
     )
 
 
@@ -445,7 +492,14 @@ def _spread_prefix(
     row set rides the two exchanges (range + the window's (partition,
     group) hash) — the price of spreading vs the window form's one
     exchange into one-task-per-group; at corpus scale the second
-    balanced exchange is cheap and the single task is the wall."""
+    balanced exchange is cheap and the single task is the wall.
+
+    Same two invariants as `_spread_ranked`: the offsets join back
+    null-safely (a NULL group value accumulates its own prefix instead
+    of silently dropping), and composition refuses when
+    spark.sql.exchange.reuse is off (the sums and cumsum branches must
+    observe one boundary sample)."""
+    _require_exchange_reuse(df, "_spread_prefix")
     n_parts = int(
         partitions
         if partitions is not None
@@ -473,7 +527,7 @@ def _spread_prefix(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        withpid.join(F.broadcast(offs), on=["__pid", *grp])
+        _join_back_nullsafe(withpid, offs, grp)
         .withColumn(
             out_col,
             F.coalesce(F.sum(weight_col).over(wloc), F.lit(0))

@@ -1581,6 +1581,119 @@ def test_spread_rank_ties_and_null_scores(spark):
         assert sb == wb, asc
 
 
+def test_spread_null_stratum_parity(spark):
+    """Rows in a NULL stratum must survive the spread forms and rank
+    exactly as the window form's NULL partition does — the internal
+    offsets join-back is null-safe (a bare name-list join would silently
+    drop the NULL group: data loss in sample_top_fraction/pack_by_budget,
+    label fall-through in score_buckets)."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import (
+        pack_by_budget,
+        sample_top_fraction,
+        score_buckets,
+    )
+
+    rows = [
+        (1, "en", 10), (2, "en", 10), (3, None, 10), (4, "en", 20),
+        (5, None, None), (6, "en", 20),
+        (10, "es", 5), (11, None, 3), (12, "es", None), (13, "es", 7),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, s long")
+    null_ids = {3, 5, 11}
+    for asc in (True, False):
+        for ppm in (250_000, 500_000, 750_000):
+            w = sorted(
+                r["doc_id"]
+                for r in sample_top_fraction(
+                    docs, "s", ppm, ascending=asc, strata_col="lang"
+                ).collect()
+            )
+            s = sorted(
+                r["doc_id"]
+                for r in sample_top_fraction(
+                    docs.repartition(3), "s", ppm, ascending=asc,
+                    strata_col="lang", spread=True,
+                ).collect()
+            )
+            assert s == w, (asc, ppm)
+        wb = {
+            r["doc_id"]: r["score_bucket"]
+            for r in score_buckets(
+                docs, "s", ascending=asc, strata_col="lang"
+            ).collect()
+        }
+        sb = {
+            r["doc_id"]: r["score_bucket"]
+            for r in score_buckets(
+                docs.repartition(3), "s", ascending=asc,
+                strata_col="lang", spread=True,
+            ).collect()
+        }
+        assert sb == wb, asc
+        assert set(sb) >= null_ids  # the NULL stratum is fully labeled
+    # the NULL stratum keeps its exact 500k head (2 of 3 rows at 750k)
+    kept = {
+        r["doc_id"]
+        for r in sample_top_fraction(
+            docs, "s", 750_000, strata_col="lang", spread=True
+        ).collect()
+    }
+    assert len(kept & null_ids) == 2
+    # pack_by_budget(spread): NULL partition value accumulates its own
+    # prefix, identical to the window form
+    toks = spark.createDataFrame(
+        [(i, ["en", None, "es"][i % 3], 10 + i) for i in range(30)],
+        "doc_id long, lang string, n long",
+    )
+    w = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_by_budget(
+            toks, budget=40, token_col="n", partition_cols=["lang"]
+        ).collect()
+    }
+    s = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_by_budget(
+            toks.repartition(3), budget=40, token_col="n",
+            partition_cols=["lang"], spread=True,
+        ).collect()
+    }
+    assert s == w
+    assert len(s) == 30
+
+
+def test_spread_refuses_without_exchange_reuse(spark):
+    """spread=True's two consumers of the range exchange must observe ONE
+    boundary sample; with spark.sql.exchange.reuse off the plans could
+    each re-sample and silently corrupt global ranks — composition
+    fails loudly instead."""
+    from beeper_matric_etl_tool_spark.ext.pipeline import (
+        pack_by_budget,
+        sample_top_fraction,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 20)], "doc_id long, lang string, s long"
+    )
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        with pytest.raises(ValueError, match="exchange.reuse"):
+            sample_top_fraction(
+                docs, "s", 500_000, strata_col="lang", spread=True
+            )
+        with pytest.raises(ValueError, match="exchange.reuse"):
+            pack_by_budget(
+                docs, budget=10, token_col="s", partition_cols=["lang"],
+                spread=True,
+            )
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
+    # re-enabled: composition proceeds
+    assert sample_top_fraction(
+        docs, "s", 500_000, strata_col="lang", spread=True
+    ).count() == 1
+
+
 def test_score_buckets_spread_equivalence_and_plan(spark, sf_dir):
     """score_buckets(spread=True): identical labels to the window form
     on the real corpus (per-stratum and stratum-less, 1/3/13-partition
