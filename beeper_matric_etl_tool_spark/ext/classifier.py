@@ -359,10 +359,16 @@ def evaluate_auc(
             "long u2 accumulator would wrap; stratify finer"
         )).cast("long"),
     ).otherwise(F.col("u2"))
+    # auc derives from the GUARDED u2, not the raw column: a caller that
+    # selects only auc_ppm would otherwise let Catalyst column-prune the
+    # raise_error away and read a wrapped accumulator as a silently wrong
+    # AUC — the guard must survive every projection that exposes u2's
+    # value (pinned by a plan test: raise_error appears in auc_ppm's
+    # optimized plan)
     auc = F.when(
         (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
         F.floor(
-            F.lit(1_000_000.0) * F.col("u2").cast("double")
+            F.lit(1_000_000.0) * u2_ok.cast("double")
             / (F.lit(2.0) * pn)
         ).cast("long"),
     )
@@ -391,7 +397,13 @@ def calibration_bins(
     engines. NULL probs/labels are excluded (`evaluate_auc`'s rule).
 
     Scale shape: ONE map-side-combined groupBy of ≤ strata·n_bins
-    output rows — nothing else touches the corpus."""
+    output rows — nothing else touches the corpus.
+
+    Domain: ``prob_col`` must lie in [0, 1] — a value outside it (a
+    mis-scaled score passed as a probability) RAISES instead of silently
+    binning into a negative or top-clamped bin id, matching the module's
+    fail-loud convention; the raise lives inside the bin expression the
+    groupBy consumes, so no projection can prune it."""
     if n_bins < 2:
         raise ValueError(f"calibration_bins: n_bins={n_bins} must be >= 2")
     p = F.col(prob_col)
@@ -399,9 +411,17 @@ def calibration_bins(
     grp = [strata_col] if strata_col is not None else []
     binned = df.filter(p.isNotNull() & lab.isNotNull()).select(
         *grp,
-        F.least(
-            F.floor(p * F.lit(float(n_bins))).cast("long"),
-            F.lit(n_bins - 1),
+        F.when(
+            (p < F.lit(0.0)) | (p > F.lit(1.0)),
+            F.raise_error(F.lit(
+                f"calibration_bins: {prob_col} outside [0, 1] — not a "
+                f"probability; rescale the score before binning"
+            )).cast("long"),
+        ).otherwise(
+            F.least(
+                F.floor(p * F.lit(float(n_bins))).cast("long"),
+                F.lit(n_bins - 1),
+            )
         ).alias("bin"),
         lab.alias("__lab"),
         F.floor(p * F.lit(1_000_000.0)).cast("long").alias("__p_ppm"),

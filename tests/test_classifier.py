@@ -266,6 +266,46 @@ def test_evaluate_auc_excludes_null_scores_and_labels(spark):
     assert (r["n_pos"], r["n_neg"], r["u2"], r["auc_ppm"]) == (2, 2, 8, 1_000_000)
 
 
+def test_evaluate_auc_overflow_guard_survives_projection(spark):
+    """The P·N > 2^61 raise must survive a caller that selects ONLY
+    auc_ppm: auc derives from the guarded u2 expression, so Catalyst
+    cannot column-prune the raise_error away and expose a wrapped
+    accumulator as a silently wrong AUC. (The 2^61-row input itself is
+    untestable — the pin is the optimized plan.)"""
+    from beeper_matric_etl_tool_spark.ext.classifier import evaluate_auc
+
+    df = spark.createDataFrame(
+        [("a", 2, True), ("a", 1, False)], "lang string, score long, keep boolean"
+    )
+    out = evaluate_auc(df, "score", "keep", strata_col="lang").select("auc_ppm")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "raise_error" in plan
+    # and the guarded path still computes the right value
+    assert out.collect()[0]["auc_ppm"] == 1_000_000
+
+
+def test_calibration_bins_rejects_out_of_domain_probs(spark):
+    """A value outside [0, 1] in the probability column is a mis-scaled
+    score, not a probability — the operator raises (fail-loud
+    convention) instead of silently emitting negative/clamped bin ids."""
+    import pytest as _pytest
+
+    from beeper_matric_etl_tool_spark.ext.classifier import calibration_bins
+
+    for bad in (-0.2, 1.5):
+        df = spark.createDataFrame(
+            [(0.5, True), (bad, False)], "prob double, keep boolean"
+        )
+        with _pytest.raises(Exception, match="outside"):
+            calibration_bins(df, "prob", "keep").collect()
+    # boundary values are legal: 0.0 and 1.0 bin normally
+    df = spark.createDataFrame(
+        [(0.0, True), (1.0, False)], "prob double, keep boolean"
+    )
+    out = {r["bin"] for r in calibration_bins(df, "prob", "keep").collect()}
+    assert out == {0, 9}
+
+
 def test_calibration_bins_hand_computed(spark):
     """Reliability counts on a hand-checkable frame: bin edges floor at
     prob·n_bins, prob=1.0 clamps into the top bin, NULLs drop, counts
