@@ -1563,10 +1563,14 @@ def curate(
         # enters the score, so scrambled/looped text the unigram model
         # loves scores badly (the reason CCNet-style gates use real LMs).
         # Both ride their lazy_stats plan forms: zero jobs at
-        # composition, the funnel's contract. Bigram caveat: docs with
-        # <2 tokens carry no transition evidence and drop at the gate —
-        # upstream of it, the quality gate's length floor has already
-        # removed every such doc, so the gate composes totally here
+        # composition, the funnel's contract. Evidence caveat: a doc
+        # with <2 tokens (bigram) or 0 tokens (unigram) produces NO
+        # score row. The quality gate's length floor removes such docs
+        # from the RAW input, but despan/deboilerplate run after it and
+        # REWRITE text — a doc cut down to 0-1 tokens re-enters that
+        # class. Both gate forms therefore LEFT-join the scores and PASS
+        # no-evidence docs (nll_ppm NULL), mirroring the dup_window
+        # NULL-pass rule: absence of evidence never silently drops
         if nll_lm_order == 2:
             from beeper_matric_etl_tool_spark.ext.search import (
                 bigram_nll_scores,
@@ -1599,7 +1603,13 @@ def curate(
         scored = dedup_input.join(
             scores.select(F.col(id_col), F.col("score_ppm").alias("nll_ppm")),
             on=id_col,
+            how="left",
         )
+        # no-evidence docs (NULL nll_ppm) bypass the percentile gate and
+        # rejoin unconditionally below — they must NOT enter the ranked
+        # population (NULLs sort first under asc and would eat quota as
+        # fake "most fluent" rows)
+        no_evidence = scored.filter(F.col("nll_ppm").isNull())
         # nll_spread=True (default) ranks through the distributed
         # range-partition form — no single-task dominant-stratum sort
         # inside the flagship funnel (the round-7 scale gap); identical
@@ -1609,26 +1619,31 @@ def curate(
         # LM scoring at execution — bounded by one extra pass over the
         # persisted dedup_input cache, never a second tokenize-from-disk
         fluent = sample_top_fraction(
-            scored,
+            scored.filter(F.col("nll_ppm").isNotNull()),
             "nll_ppm",
             keep_ppm=nll_keep_ppm,
             ascending=True,  # low NLL = fluent
             strata_col=source_col,
             id_col=id_col,
             spread=nll_spread,
-        )
+        ).unionByName(no_evidence)
         opt_stages["fluent"] = fluent
         dedup_input = fluent
     if max_nll_ppm is not None:
         # nll_reference switches the LM to the frozen-reference mode
         # (CCNet shape: a trusted corpus scores the batch, so the cutoff
-        # is batch-invariant); None self-scores the batch
+        # is batch-invariant); None self-scores the batch. LEFT join +
+        # NULL-pass: a doc despanned below the LM's evidence floor has
+        # no score row and passes with nll_ppm NULL (see _fluency_scores)
         scores = _fluency_scores(dedup_input)
         fluent = dedup_input.join(
-            scores.filter(F.col("score_ppm") <= max_nll_ppm).select(
+            scores.select(
                 F.col(id_col), F.col("score_ppm").alias("nll_ppm")
             ),
             on=id_col,
+            how="left",
+        ).filter(
+            F.col("nll_ppm").isNull() | (F.col("nll_ppm") <= max_nll_ppm)
         )
         opt_stages["fluent"] = fluent
         dedup_input = fluent

@@ -1954,6 +1954,62 @@ def test_curate_bigram_fluency_gate_catches_word_order(spark):
         curate(docs, nll_keep_ppm=1, nll_lm_order=3)
 
 
+def test_curate_fluency_gate_passes_no_evidence_docs(spark):
+    """A doc despanned down to one token has no bigram transition (and
+    would have no unigram row at zero tokens) — the fluency gates LEFT-
+    join the LM scores and PASS such docs with nll_ppm NULL, mirroring
+    the dup_window NULL-pass rule. The quality gate's length floor
+    cannot protect here: despan runs AFTER it and rewrites text. Before
+    the fix the inner join silently dropped the doc."""
+    shared = (
+        "the quick brown fox jumps over a lazy dog and then runs to the "
+        "river where it drinks some of that cool clear water before "
+        "returning to its den in the forest to rest for the evening hours "
+        "while other animals of the wood begin their own nightly routines"
+    )
+    az = "abcdefghijklmnopqrstuvwxyz"
+
+    def filler(d: int) -> str:
+        # digit-free per-doc-unique tokens alternating with stopwords —
+        # no shared 5-gram, passes every quality rule, immune to the
+        # PII digit scrub (the planted-fixture traps)
+        return " ".join(
+            f"q{az[d]}{az[i // 26]}{az[i % 26]}fill {'the' if i % 2 else 'of'}"
+            for i in range(30)
+        )
+
+    docs = spark.createDataFrame(
+        # id 1 holds the canonical span copy; id 2 = span + one unique
+        # token, so despan leaves it exactly "zebra" (1 token, no bigram)
+        [(1, "en", f"{shared} {filler(1)}"), (2, "en", f"{shared} zebra")]
+        + [(10 + i, "en", filler(3 + i)) for i in range(4)],
+        "doc_id long, lang string, text string",
+    )
+    # fixed-cutoff form: the ceiling is generous — every SCORED doc
+    # passes; doc 2 passes via the NULL rule with a NULL audit column
+    cut = curate(
+        docs, persist_intermediates=False, span_k=5,
+        max_nll_ppm=100_000_000, nll_lm_order=2,
+    )
+    despanned = {
+        r["doc_id"]: r["text"] for r in cut["despanned"].collect()
+    }
+    assert despanned[2] == "zebra"  # the planted rewrite happened
+    fl = {r["doc_id"]: r["nll_ppm"] for r in cut["fluent"].collect()}
+    assert 2 in fl and fl[2] is None
+    assert all(fl[d] is not None for d in fl if d != 2)
+    # percentile form: doc 2 must NOT enter the ranked population (a
+    # NULL would sort as "most fluent" and eat quota) — the 5 scored
+    # docs keep floor(5·0.6)=3, plus doc 2 through the NULL rule
+    pct = curate(
+        docs, persist_intermediates=False, span_k=5,
+        nll_keep_ppm=600_000, nll_lm_order=2,
+    )
+    rows = {r["doc_id"]: r["nll_ppm"] for r in pct["fluent"].collect()}
+    assert 2 in rows and rows[2] is None
+    assert len(rows) == 4  # 3 scored survivors + the no-evidence doc
+
+
 def test_score_buckets_thirds_and_strata(spark):
     """Exact integer percentile bucketing: 9 rows split 3/3/3 into
     head/middle/tail by rank thirds; per-stratum mode buckets within
