@@ -434,3 +434,203 @@ def calibration_bins(
         ).cast("long").alias("pos_ppm"),
         F.sum("__p_ppm").alias("sum_prob_ppm"),
     )
+
+
+#: ×1e6 numerators in the sweep metrics stay exact longs below this row
+#: count per stratum (1e6 · 4e12 < 2⁶³); past it the guarded expression
+#: raises instead of wrapping.
+MAX_SWEEP_ROWS_PER_STRATUM = 4_000_000_000_000
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    strata_col: str | None = None,
+    spread: bool = False,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Confusion counts + deployment metrics at EVERY candidate cut —
+    the sweep `select_threshold` argmaxes over, exposed because the full
+    precision/recall curve is itself a deliverable (threshold choice is
+    a product decision; the curve is the evidence). One row per
+    (strata?, observed score), with the decision rule "predict positive
+    iff score >= threshold": (strata?, threshold, tp, fp, fn, tn,
+    n_pos, n_neg, precision_ppm, recall_ppm, f1_ppm, accuracy_ppm,
+    youden_ppm).
+
+    Candidate cuts are the OBSERVED distinct scores — between two
+    observed scores every cut yields the same confusion matrix, so the
+    sweep is lossless and score-distinct-sized (never corpus-sized).
+    Built from the same (stratum, score) count relation `evaluate_auc`
+    aggregates: tp/fp at cut t are the inclusive descending cumulative
+    positive/negative counts; fn/tn derive from the per-stratum totals.
+
+    Exactness contract: every count is an exact long; each *_ppm metric
+    is ONE integer-floored division of longs (f1 simplifies to
+    2·tp/(2·tp+fp+fn) = 2·tp/(tp+fp+n_pos), so no float precision/recall
+    composition): engines agree bit for bit. recall/youden are NULL when
+    a class is empty (0/0 is not 0); youden_ppm = recall_ppm − fpr_ppm,
+    each floored separately (documented, portable). The ×1e6 numerators
+    are guarded: a stratum past MAX_SWEEP_ROWS_PER_STRATUM raises inside
+    the metric expressions (prune-proof — the `evaluate_auc` guard
+    precedent) instead of wrapping.
+
+    Scale shape: ONE corpus-sized exchange (the map-side-combined
+    (stratum, score) count agg); everything downstream rides the
+    score-distinct relation — ≤ 1e6+1 rows per stratum for ppm scores.
+    The default cumulative window single-tasks a stratum of that BOUNDED
+    relation; ``spread=True`` routes both running sums through the
+    distributed prefix form (`ext/pipeline.py:_spread_prefix`) for
+    unbounded score domains. The per-stratum totals join back through a
+    broadcast with NULL-SAFE stratum compares (a NULL stratum sweeps
+    like any other group).
+
+    NULL handling: rows with a NULL score or label are EXCLUDED
+    (`evaluate_auc`'s rule — an unscored row cannot be cut on)."""
+    lab = F.col(label_col)
+    grp = [strata_col] if strata_col is not None else []
+    g = (
+        df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+        .groupBy(*grp, score_col)
+        .agg(
+            F.count_if(lab).alias("__pos"),
+            F.count_if(~lab).alias("__neg"),
+        )
+    )
+    order = [F.col(score_col).desc()]
+    if spread:
+        from beeper_matric_etl_tool_spark.ext.pipeline import _spread_prefix
+
+        gp = _spread_prefix(
+            g, "__pos", order, grp, partitions, out_col="__tp_x"
+        )
+        gp = _spread_prefix(
+            gp, "__neg", order, grp, partitions, out_col="__fp_x"
+        )
+        gp = (
+            gp.withColumn("__tp", F.col("__tp_x") + F.col("__pos"))
+            .withColumn("__fp", F.col("__fp_x") + F.col("__neg"))
+            .drop("__tp_x", "__fp_x")
+        )
+    else:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(*grp)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        gp = g.withColumn("__tp", F.sum("__pos").over(w)).withColumn(
+            "__fp", F.sum("__neg").over(w)
+        )
+    totals = gp.groupBy(*grp).agg(
+        F.sum("__pos").alias("n_pos"), F.sum("__neg").alias("n_neg")
+    )
+    if grp:
+        tot_r = totals.select(
+            *[F.col(c).alias(f"__t_{c}") for c in grp], "n_pos", "n_neg"
+        )
+        cond = F.lit(True)
+        for c in grp:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__t_{c}"))
+        joined = gp.join(F.broadcast(tot_r), on=cond).drop(
+            *[f"__t_{c}" for c in grp]
+        )
+    else:
+        joined = gp.join(F.broadcast(totals))
+    tp, fp = F.col("__tp"), F.col("__fp")
+    n_pos, n_neg = F.col("n_pos"), F.col("n_neg")
+    n_total = n_pos + n_neg
+    # prune-proof overflow guard: every ×1e6 numerator derives from the
+    # guarded tp, so selecting any single metric keeps the raise alive
+    tp_ok = F.when(
+        n_total > F.lit(MAX_SWEEP_ROWS_PER_STRATUM),
+        F.raise_error(F.lit(
+            "threshold_sweep: stratum exceeds MAX_SWEEP_ROWS_PER_STRATUM "
+            "— the 1e6-scaled metric numerators would wrap; stratify finer"
+        )).cast("long"),
+    ).otherwise(tp)
+    tn = n_neg - fp
+    recall = F.when(
+        n_pos > 0, F.expr("(1000000 * __tp_ok) DIV n_pos")
+    )
+    fpr = F.when(n_neg > 0, F.expr("(1000000 * __fp) DIV n_neg"))
+    return joined.withColumn("__tp_ok", tp_ok).select(
+        *grp,
+        F.col(score_col).alias("threshold"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        (n_pos - tp).alias("fn"),
+        tn.alias("tn"),
+        "n_pos",
+        "n_neg",
+        F.expr("(1000000 * __tp_ok) DIV (__tp + __fp)").alias(
+            "precision_ppm"
+        ),
+        recall.alias("recall_ppm"),
+        F.expr("(2000000 * __tp_ok) DIV (__tp + __fp + n_pos)").alias(
+            "f1_ppm"
+        ),
+        F.expr(
+            "(1000000 * (__tp_ok + (n_neg - __fp))) DIV (n_pos + n_neg)"
+        ).alias("accuracy_ppm"),
+        (recall - fpr).alias("youden_ppm"),
+    )
+
+
+#: metrics select_threshold may argmax — precision/recall alone are
+#: DEGENERATE objectives (precision is maximized by the most selective
+#: cut, recall by the least) and are rejected; sweep them via
+#: `threshold_sweep` if the curve itself is wanted.
+SELECTABLE_METRICS = ("f1_ppm", "accuracy_ppm", "youden_ppm")
+
+
+def select_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    strata_col: str | None = None,
+    metric: str = "f1_ppm",
+    spread: bool = False,
+    partitions: int | None = None,
+) -> DataFrame:
+    """The deployment cut: per stratum, the threshold maximizing
+    ``metric`` over the full `threshold_sweep` — completing the
+    classifier story (`train_logreg` → `evaluate_auc`/`calibration_bins`
+    → select_threshold → `curate(clf_threshold=chosen/1e6)` /
+    `classify(threshold=)`). One row per stratum with the chosen
+    ``threshold`` ("predict positive iff score >= threshold") and its
+    full confusion/metric row.
+
+    Deterministic tie-break: equal metric values resolve to the LARGEST
+    threshold — the more selective cut, which keeps fewer rows at equal
+    measured quality (the conservative curation default); pinned via a
+    single struct-max (metric, threshold) over the sweep, so the argmax
+    is one tiny per-stratum aggregation of the score-distinct relation.
+    A stratum where the metric is NULL everywhere (youden on a
+    one-class stratum) still returns its max-threshold row with the
+    NULL metric — visibly unusable rather than silently absent."""
+    if metric not in SELECTABLE_METRICS:
+        raise ValueError(
+            f"select_threshold: metric={metric!r} not in "
+            f"{SELECTABLE_METRICS} — precision/recall alone are degenerate "
+            f"objectives (argmax = most/least selective cut); use "
+            f"threshold_sweep for the raw curve"
+        )
+    sweep = threshold_sweep(
+        df, score_col, label_col, strata_col, spread, partitions
+    )
+    grp = [strata_col] if strata_col is not None else []
+    tail = [c for c in sweep.columns if c not in grp]
+    best = sweep.groupBy(*grp).agg(
+        F.max(
+            F.struct(
+                F.col(metric).alias("__m"),
+                *[F.col(c) for c in tail],
+            )
+        ).alias("__best")
+    )
+    return best.select(
+        *grp, *[F.col(f"__best.{c}").alias(c) for c in tail]
+    )

@@ -565,6 +565,33 @@ def _epoch_copies_sql() -> str:
                    CAST(sum(CAST(floor(1000000.0 * (ttr_ppm / 1000000.0))
                                  AS BIGINT)) AS BIGINT) AS sum_prob_ppm
             FROM v GROUP BY lang, bin
+        ),
+        thrg AS (
+            SELECT lang, ttr_ppm AS sc,
+                   sum(CASE WHEN keep THEN 1 ELSE 0 END) AS pos,
+                   count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS neg
+            FROM v GROUP BY lang, ttr_ppm
+        ),
+        thrc AS (
+            SELECT lang, sc,
+                   sum(pos) OVER (PARTITION BY lang ORDER BY sc DESC
+                                  ROWS UNBOUNDED PRECEDING) AS tp,
+                   sum(neg) OVER (PARTITION BY lang ORDER BY sc DESC
+                                  ROWS UNBOUNDED PRECEDING) AS fp,
+                   sum(pos) OVER (PARTITION BY lang) AS p,
+                   sum(neg) OVER (PARTITION BY lang) AS nn
+            FROM thrg
+        ),
+        thrbest AS (
+            SELECT lang, sc, tp, p, nn, f1_ppm FROM (
+                SELECT lang, sc, tp, p, nn,
+                       (2000000 * tp) // (tp + fp + p) AS f1_ppm,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (2000000 * tp) // (tp + fp + p) DESC,
+                                    sc DESC) AS rn
+                FROM thrc
+            ) WHERE rn = 1
         )
         SELECT 'lang' AS dim, lang AS key, count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -649,6 +676,13 @@ def _epoch_copies_sql() -> str:
                CAST(n_pos AS BIGINT) AS n_kept,
                CAST((1000000 * n_pos) // n AS BIGINT) AS kept_ppm
         FROM calib
+        UNION ALL
+        SELECT 'thr' AS dim, lang AS key, p + nn AS n_docs,
+               CAST(NULL AS BIGINT) AS total_chars,
+               CAST(sc AS BIGINT) AS total_tokens,
+               CAST(tp AS BIGINT) AS n_kept,
+               CAST(f1_ppm AS BIGINT) AS kept_ppm
+        FROM thrbest
         UNION ALL
         SELECT 'report' AS dim, lang AS key, count(*) AS n_docs,
                CAST(sum(length(text)) AS BIGINT) AS total_chars,
@@ -761,6 +795,18 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ floor(1e6·prob) (the diagram's diagonal as an exact long),
     n_kept/kept_ppm the observed positives; the oracle rebuilds the
     binning and the checksum independently.
+
+    dim='thr' — threshold selection (`ext/classifier.py:
+    select_threshold`, SPREAD prefix form — the 100 TB path): the
+    F1-argmax deployment cut over the same (language, ttr_ppm, keep)
+    relation the AUC/calibration legs evaluate, completing the
+    classifier deploy story (train → rank → calibrate → CUT). key =
+    language, total_tokens = the chosen threshold (the ttr_ppm score
+    value; keep iff score >= it), n_kept = tp at that cut, kept_ppm =
+    its exact-integer f1_ppm; the oracle recomputes the whole
+    descending-cumulative sweep AND the (F1 desc, threshold desc)
+    argmax independently, so a green row pins the sweep arithmetic and
+    the tie-break end to end.
 
     dim='report' — the one-rollup corpus data card (ext/pipeline.py:
     corpus_report): per-language + '_corpus' doc/char/token totals with
@@ -1027,6 +1073,23 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pos").alias("n_kept"),
         F.col("pos_ppm").alias("kept_ppm"),
     )
+    # dim='thr': the deployment-cut selection over the same labeled
+    # relation (third consumer — lazy, one shared scan); spread=True is
+    # the scale form the oracle's window SQL replays
+    from beeper_matric_etl_tool_spark.ext.classifier import select_threshold
+
+    thrleg = select_threshold(
+        labeled, "ttr_ppm", "__keep", strata_col="lang", metric="f1_ppm",
+        spread=True,
+    ).select(
+        F.lit("thr").alias("dim"),
+        F.col("lang").alias("key"),
+        (F.col("n_pos") + F.col("n_neg")).alias("n_docs"),
+        null_long.alias("total_chars"),
+        F.col("threshold").cast("long").alias("total_tokens"),
+        F.col("tp").alias("n_kept"),
+        F.col("f1_ppm").alias("kept_ppm"),
+    )
     # dim='report': the data card's own rollup output, reshaped — the
     # operator is eager by contract (it returns driver scalars), so the
     # rows below carry the numbers its one rollup job produced
@@ -1059,6 +1122,7 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bucket)
         .unionByName(aucleg)
         .unionByName(calibleg)
+        .unionByName(thrleg)
         .unionByName(report)
     )
 

@@ -266,6 +266,112 @@ def test_evaluate_auc_excludes_null_scores_and_labels(spark):
     assert (r["n_pos"], r["n_neg"], r["u2"], r["auc_ppm"]) == (2, 2, 8, 1_000_000)
 
 
+def test_threshold_sweep_hand_computed(spark):
+    """Every candidate cut's confusion counts and integer metrics on a
+    hand-derived frame (P=2, N=3, a tied score group at 4):
+    the rule is predict-positive iff score >= threshold, tp/fp are the
+    inclusive descending cumulatives, f1 = 2tp/(tp+fp+P) exactly."""
+    from beeper_matric_etl_tool_spark.ext.classifier import threshold_sweep
+
+    rows = [
+        ("a", 5, True), ("a", 4, True), ("a", 4, False),
+        ("a", 2, False), ("a", 1, False),
+        ("a", None, True), ("a", 3, None),  # excluded (NULL rule)
+    ]
+    df = spark.createDataFrame(rows, "lang string, score long, keep boolean")
+    out = {
+        r["threshold"]: r.asDict()
+        for r in threshold_sweep(df, "score", "keep", strata_col="lang").collect()
+    }
+    assert set(out) == {5, 4, 2, 1}
+    assert (out[5]["tp"], out[5]["fp"], out[5]["fn"], out[5]["tn"]) == (1, 0, 1, 3)
+    assert (out[5]["precision_ppm"], out[5]["recall_ppm"]) == (1_000_000, 500_000)
+    assert (out[5]["f1_ppm"], out[5]["accuracy_ppm"]) == (666_666, 800_000)
+    assert out[5]["youden_ppm"] == 500_000
+    assert (out[4]["tp"], out[4]["fp"]) == (2, 1)
+    assert (out[4]["f1_ppm"], out[4]["accuracy_ppm"], out[4]["youden_ppm"]) == (
+        800_000, 800_000, 666_667
+    )
+    assert out[1]["f1_ppm"] == 571_428 and out[1]["youden_ppm"] == 0
+    # spread form ≡ window form under a different partitioning
+    s = sorted(
+        map(tuple, threshold_sweep(
+            df.repartition(3), "score", "keep", strata_col="lang", spread=True
+        ).collect())
+    )
+    w = sorted(
+        map(tuple, threshold_sweep(df, "score", "keep", strata_col="lang").collect())
+    )
+    assert s == w
+    # one-class stratum: recall/youden NULL, precision/accuracy defined
+    one = spark.createDataFrame(
+        [("b", 3, False), ("b", 1, False)], "lang string, score long, keep boolean"
+    )
+    r3 = {
+        r["threshold"]: r
+        for r in threshold_sweep(one, "score", "keep", strata_col="lang").collect()
+    }
+    assert r3[3]["recall_ppm"] is None and r3[3]["youden_ppm"] is None
+    assert r3[3]["f1_ppm"] == 0 and r3[3]["accuracy_ppm"] == 500_000
+
+
+def test_select_threshold_argmax_and_tiebreak(spark):
+    """Argmax per stratum with the largest-threshold tie-break (the more
+    selective cut at equal metric), NULL-stratum rows sweep as their own
+    group, and degenerate metrics are rejected."""
+    import pytest as _pytest
+
+    from beeper_matric_etl_tool_spark.ext.classifier import select_threshold
+
+    rows = [
+        ("a", 5, True), ("a", 4, True), ("a", 4, False),
+        ("a", 2, False), ("a", 1, False),
+        # NULL stratum: perfect separation at threshold 7
+        (None, 7, True), (None, 3, False),
+    ]
+    df = spark.createDataFrame(rows, "lang string, score long, keep boolean")
+    out = {
+        r["lang"]: r
+        for r in select_threshold(df, "score", "keep", strata_col="lang").collect()
+    }
+    assert out["a"]["threshold"] == 4 and out["a"]["f1_ppm"] == 800_000
+    assert out[None]["threshold"] == 7 and out[None]["f1_ppm"] == 1_000_000
+    # accuracy ties 800000 at cuts 5 and 4 → the larger threshold wins
+    acc = select_threshold(
+        df, "score", "keep", strata_col="lang", metric="accuracy_ppm"
+    ).collect()
+    assert {r["lang"]: r["threshold"] for r in acc}["a"] == 5
+    # spread ≡ window for the chosen row
+    sp = {
+        r["lang"]: r["threshold"]
+        for r in select_threshold(
+            df.repartition(3), "score", "keep", strata_col="lang", spread=True
+        ).collect()
+    }
+    assert sp == {k: v["threshold"] for k, v in out.items()}
+    with _pytest.raises(ValueError, match="degenerate"):
+        select_threshold(df, "score", "keep", metric="precision_ppm")
+    # stratum-less: one pooled row
+    pooled = select_threshold(
+        df.filter(F.col("lang") == "a"), "score", "keep"
+    ).collect()
+    assert len(pooled) == 1 and pooled[0]["threshold"] == 4
+
+
+def test_threshold_sweep_guard_survives_projection(spark):
+    """The MAX_SWEEP_ROWS_PER_STRATUM raise derives every ×1e6 metric, so
+    selecting a single metric column cannot prune it (the evaluate_auc
+    guard precedent)."""
+    from beeper_matric_etl_tool_spark.ext.classifier import threshold_sweep
+
+    df = spark.createDataFrame(
+        [("a", 2, True), ("a", 1, False)], "lang string, score long, keep boolean"
+    )
+    out = threshold_sweep(df, "score", "keep", strata_col="lang").select("f1_ppm")
+    assert "raise_error" in out._jdf.queryExecution().optimizedPlan().toString()
+    assert sorted(r["f1_ppm"] for r in out.collect()) == [666_666, 1_000_000]
+
+
 def test_evaluate_auc_overflow_guard_survives_projection(spark):
     """The P·N > 2^61 raise must survive a caller that selects ONLY
     auc_ppm: auc derives from the guarded u2 expression, so Catalyst
