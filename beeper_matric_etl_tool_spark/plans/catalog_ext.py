@@ -2258,6 +2258,13 @@ def events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: one definition feeding both planes
 TRANSCRIPT_MAX_TURNS = 5
 
+#: the room fan-in for the ROOM-keyed transcript leg — the testdata events
+#: table has no room column, so both planes derive room_id = user_id % 4
+#: (deterministic, SQL-replayable); 4 rooms keeps several interleaving
+#: speakers per room even at sf0.001's 15 users (16 buckets would make
+#: every room single-speaker there, hollowing out the evidence)
+TRANSCRIPT_ROOM_BUCKETS = 4
+
 
 @register(
     "events_sessions",
@@ -2305,6 +2312,44 @@ TRANSCRIPT_MAX_TURNS = 5
                CAST(len(str_split(transcript, ' ')) AS BIGINT),
                transcript
         FROM sess
+        UNION ALL
+        SELECT 'transcript_room', room_id, session_start, session_end,
+               n_events, n_turns,
+               CAST(len(str_split(transcript, ' ')) AS BIGINT),
+               transcript
+        FROM (
+            SELECT room_id, sess_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   count(*) FILTER (WHERE rn <= {TRANSCRIPT_MAX_TURNS})
+                       AS n_turns,
+                   string_agg(line, chr(10) ORDER BY ts, event_id)
+                       FILTER (WHERE rn <= {TRANSCRIPT_MAX_TURNS})
+                       AS transcript
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY room_id, sess_id
+                           ORDER BY ts, event_id) AS rn
+                FROM (
+                    SELECT room_id, ts, event_id, line,
+                           sum(new_sess) OVER (
+                               PARTITION BY room_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+                    FROM (
+                        SELECT user_id % {TRANSCRIPT_ROOM_BUCKETS} AS room_id,
+                               ts, event_id,
+                               'u' || user_id || ' ' || event_type || ': '
+                                   || coalesce(props, '') AS line,
+                               CASE WHEN ts - lag(ts) OVER (
+                                        PARTITION BY user_id % {TRANSCRIPT_ROOM_BUCKETS}
+                                        ORDER BY ts, event_id)
+                                        > INTERVAL 30 MINUTE
+                                    THEN 1 ELSE 0 END AS new_sess
+                        FROM events
+                    )
+                )
+            ) GROUP BY room_id, sess_id
+        )
     """,
 )
 def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2324,7 +2369,15 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering and truncation are all pinned against the oracle's
     independent string_agg replay. The two legs derive sessionization
     independently (session_window vs lag/cumsum windows) — a green row
-    is also an equivalence proof between the two session forms."""
+    is also an equivalence proof between the two session forms.
+
+    kind='transcript_room' — the ROOM-keyed MULTI-SPEAKER form (the
+    chat-LM training document; the reference's natural unit is the room
+    timeline): sessionize per derived room (user_id %
+    TRANSCRIPT_ROOM_BUCKETS — the testdata has no room column), keep
+    per-event speaker tags, interleave turns from different senders in
+    exact (ts, event_id) order. The key column slot carries the room
+    id."""
     from beeper_matric_etl_tool_spark.ext.transcripts import assemble_transcripts
 
     events = table(spark, sf_dir, "events")
@@ -2345,7 +2398,33 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "session_start", "session_end", "n_events",
         "n_turns", "n_tokens", "transcript",
     )
-    return sess_leg.unionByName(tr_leg)
+    # kind='transcript_room': the MULTI-SPEAKER room timeline — the
+    # document form a chat LM actually trains on (the reference's natural
+    # unit is the room: its timeline listener consumes an ordered
+    # per-room event stream, reference src/app/matrix/client.ts:271-279).
+    # The testdata has no room column, so both planes derive
+    # room_id = user_id % TRANSCRIPT_ROOM_BUCKETS; the speaker tag stays
+    # per-EVENT (turn_line on user_id) while sessionization keys on the
+    # room, so turns from different senders interleave in exact
+    # (ts, event_id) order and the driver hash pins that interleaving.
+    from beeper_matric_etl_tool_spark.ext.transcripts import turn_line
+
+    room_events = events.withColumn(
+        "room_id",
+        (F.col("user_id") % F.lit(TRANSCRIPT_ROOM_BUCKETS)).cast("long"),
+    )
+    room_leg = assemble_transcripts(
+        room_events,
+        line=turn_line(user_col="user_id"),
+        user_col="room_id",
+        max_turns=TRANSCRIPT_MAX_TURNS,
+    ).select(
+        F.lit("transcript_room").alias("kind"),
+        F.col("room_id").alias("user_id"),
+        "session_start", "session_end", "n_events",
+        "n_turns", "n_tokens", "transcript",
+    )
+    return sess_leg.unionByName(tr_leg).unionByName(room_leg)
 
 
 # --------------------------------------------------------------------------

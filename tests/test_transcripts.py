@@ -204,6 +204,30 @@ def test_room_keyed_multi_speaker_transcripts(spark):
     assert got[(8, str(T0))] == "u300 m.text: other room"
 
 
+def test_events_sessions_room_leg_is_multi_speaker(spark, sf_dir):
+    """The driver-oracled kind='transcript_room' leg genuinely exercises
+    the multi-speaker form: rooms fan in ~1/4 of users each, so room
+    transcripts interleave DISTINCT speaker tags (the chat-LM document
+    shape), and keys cover the derived room-id domain."""
+    import re
+
+    from beeper_matric_etl_tool_spark.plans.catalog_ext import events_sessions
+
+    out = events_sessions(spark, sf_dir).filter(
+        F.col("kind") == "transcript_room"
+    )
+    rows = out.collect()
+    assert rows
+    assert {r["user_id"] for r in rows} <= set(range(4))
+    multi = 0
+    for r in rows:
+        speakers = set(re.findall(r"^u(\d+) ", r["transcript"], re.M))
+        assert r["n_turns"] == len(r["transcript"].split("\n"))
+        if len(speakers) > 1:
+            multi += 1
+    assert multi > 0  # interleaving actually happens in the testdata
+
+
 def test_transcript_null_ts_rows_drop(spark):
     """NULL event times cannot sessionize — excluded, matching both the
     session_window leg and the streaming assembler's filter."""
