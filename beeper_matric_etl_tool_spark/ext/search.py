@@ -565,10 +565,14 @@ def dense_hash_topk_batch(
     pattern), so the join stage is |docs|·|queries| integer dot products
     over resident vectors with NO shuffle. Top-k then prunes in two
     bounded windows: a local rank per (input partition, query) cuts each
-    partition's contribution to k rows BEFORE the only exchange, so the
-    per-query global sort re-ranks ≤ k·n_partitions candidates — never
-    the corpus (`sample_quota two_phase`'s containment argument: every
-    global top-k row is its partition's local top-k)."""
+    partition's contribution to k rows before any exchange, and the
+    physical plan carries TWO rank exchanges — one per window — both
+    k-bounded map-side by WindowGroupLimit(Partial), so each shuffles
+    ≤ k rows per (partition, query) group and the per-query global sort
+    re-ranks ≤ k·n_partitions candidates — never the corpus
+    (`sample_quota two_phase`'s containment argument: every global
+    top-k row is its partition's local top-k). The k-bounded-exchange
+    property is pinned by a plan test, not prose."""
     from pyspark.sql import Window
 
     from beeper_matric_etl_tool_spark.ext.embed import hashed_counts
@@ -686,6 +690,7 @@ def pmi_collocations(
     id_col: str = "doc_id",
     min_count: int = 5,
     k: int = 20,
+    materialize_unigrams: bool = True,
 ) -> DataFrame:
     """Top-``k`` two-word collocations by pointwise mutual information
     (Church & Hanks 1990) — (w1, w2, c12, pmi_ppm, rank). The corpus-
@@ -710,10 +715,15 @@ def pmi_collocations(
     bigram-vocabulary-sized relation, the two unigram joins are
     vocabulary-sized, and the top-k is a TakeOrderedAndProject — no
     global sort, no corpus-sized join, nothing quadratic. The unigram
-    count relation appears three times in the plan (w1 join, w2 join,
-    N-total row) but computes ONCE under AQE's runtime exchange reuse
-    (the engine default; measured: 2 ReusedQueryStage at sf0.001) —
-    without AQE the static planner may recompute it."""
+    count relation has THREE consumers (w1 join, w2 join, N-total row);
+    ``materialize_unigrams=True`` (default) localCheckpoints that
+    vocabulary-sized relation once (the `knn_multiprobe` precedent), so
+    it computes exactly once REGARDLESS of AQE/exchange-reuse config —
+    at the cost of one eager job at composition. Pass False only when
+    lazy composition matters more and AQE's runtime exchange reuse (the
+    engine default; measured: 2 ReusedQueryStage at sf0.001) can be
+    relied on — without it the static planner may recompute the
+    tokenize+count pass per consumer."""
     from pyspark.sql import Window
 
     toks = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
@@ -736,6 +746,11 @@ def pmi_collocations(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("ct"))
     )
+    if materialize_unigrams:
+        # one vocabulary-sized materialization; the plan is a window-free
+        # explode+agg, outside the documented quality+PII+window persist
+        # hazard class
+        uni = uni.localCheckpoint(eager=True)
     stats = uni.agg(F.sum("ct").cast("long").alias("n_total"))
     scored = (
         c12.filter(F.col("c12") >= F.lit(int(min_count)))

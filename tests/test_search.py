@@ -574,3 +574,53 @@ def test_pmi_collocations_min_count_floor(spark):
     pairs = {(r["w1"], r["w2"]) for r in out}
     assert ("rare", "pair") not in pairs  # c12 = 1 < 2
     assert ("common", "word") in pairs  # c12 = 3
+
+
+def test_pmi_unigram_relation_computes_once_without_aqe(spark):
+    """materialize_unigrams=True (default) localCheckpoints the
+    vocabulary-sized unigram counts, so the three consumers (w1 join,
+    w2 join, N-total) read ONE materialization regardless of AQE — the
+    plan carries ZERO 'groupBy term' aggregates; the lazy opt-out
+    re-plans the aggregate per consumer under the static planner.
+    Values are identical either way."""
+    from beeper_matric_etl_tool_spark.ext.search import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the cat ran to the barn")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        mat = pmi_collocations(docs, min_count=3, k=5)
+        pm = mat._jdf.queryExecution().executedPlan().toString()
+        assert pm.count("keys=[term") == 0
+        lazy = pmi_collocations(docs, min_count=3, k=5,
+                                materialize_unigrams=False)
+        pl = lazy._jdf.queryExecution().executedPlan().toString()
+        assert pl.count("keys=[term") > 0
+        assert sorted(map(tuple, mat.collect())) == sorted(
+            map(tuple, lazy.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_dense_hash_topk_batch_exchanges_are_k_bounded(spark):
+    """The docstring's scale claim, pinned: the physical plan bounds
+    BOTH rank exchanges map-side via WindowGroupLimit(Partial) — each
+    shuffles at most k rows per (partition, query) group, so no
+    corpus-sized sort ever reaches one task."""
+    from beeper_matric_etl_tool_spark.ext.search import dense_hash_topk_batch
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma tok{i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "query_id long, text string"
+    )
+    plan = dense_hash_topk_batch(docs, q, k=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "Partial" in plan
