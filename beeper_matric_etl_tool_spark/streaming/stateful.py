@@ -225,7 +225,13 @@ def start_transcript_stream(
     horizon extend the open session (their lines order by arrival);
     events older than a CLOSED session start a spurious new session —
     the same semantics every gap-sessionizer has without a watermark
-    re-sort, and why the batch form re-derives transcripts for exports.
+    re-sort. When late delivery is expected, use the REPAIRABLE layout
+    instead: `streaming/reconcile.py:start_transcript_upsert_stream`
+    writes a sender-bucketed upsert target that
+    `reconcile.repair_transcripts` converges back to the batch-exact
+    derivation in place (this native-file-sink form is append-only —
+    its _spark_metadata log forbids batch rewrites — so it stays the
+    pure-append export path).
 
     session_end_ms = last event + gap, matching the batch operator and
     `F.session_window`."""

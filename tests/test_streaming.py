@@ -1141,3 +1141,149 @@ def test_chat_to_curated_corpus_pipeline(spark, tmp_path):
         assert audits[-1][1] >= 1 and audits[-1][2] == 0
     finally:
         cq.stop()
+
+
+def _drain_upsert(spark, src, tgt, ckpt, **kw):
+    from beeper_matric_etl_tool_spark.streaming.reconcile import (
+        start_transcript_upsert_stream,
+    )
+
+    q = start_transcript_upsert_stream(
+        spark, str(src), str(tgt), str(ckpt), available_now=True,
+        max_files_per_trigger=1, **kw,
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+
+def _rows(spark, tgt):
+    from beeper_matric_etl_tool_spark.streaming.reconcile import (
+        TRANSCRIPT_COLUMNS,
+    )
+
+    return sorted(
+        tuple(r) for r in spark.read.parquet(str(tgt))
+        .select(*TRANSCRIPT_COLUMNS).collect()
+    )
+
+
+def test_transcript_repair_converges_late_event_drift(spark, tmp_path):
+    """The late-event reconciliation story end to end: a redelivered
+    event older than a CLOSED session corrupts the streamed assembly
+    (it lands in the wrong open session — the documented no-watermark
+    semantics); repair_transcripts detects exactly the drifted sender,
+    rewrites only its rows, and the target converges byte-identical to
+    the batch operator's closed sessions. A clean sender is neither
+    flagged nor touched; a second repair is a no-op."""
+    from beeper_matric_etl_tool_spark.streaming.reconcile import (
+        batch_transcripts,
+        repair_transcripts,
+    )
+
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "tgt", tmp_path / "ckpt"
+    src.mkdir()
+    _write_file(src, "f1.json", [
+        _tev("a1", "@a", 0, "one"), _tev("a2", "@a", 60, "two"),
+        _tev("b1", "@b", 0, "solo"), _tev("b2", "@b", 90, "later"),
+    ])
+    _drain_upsert(spark, src, tgt, ckpt, gap_minutes=30, max_turns=4)
+    # late redelivery: a0 at minute 5 belongs in @a's CLOSED first
+    # session but extends the open one instead (arrival order)
+    _write_file(src, "f2.json", [_tev("a0", "@a", 5, "late")])
+    # closers so the corrupted session and @b's second both emit
+    _write_file(src, "f3.json", [
+        _tev("a9", "@a", 200, "done"), _tev("b3", "@b", 300, "done"),
+    ])
+    _drain_upsert(spark, src, tgt, ckpt, gap_minutes=30, max_turns=4)
+
+    streamed = dict(
+        ((r[0], r[1]), r[6]) for r in _rows(spark, tgt)
+    )
+    # the drift is real: the late line sits in the minute-60 session
+    assert streamed[("@a", T0_MS + 60 * 60_000)] == (
+        "@a m.text: two\n@a m.text: late"
+    )
+
+    batch = batch_transcripts(spark, str(src), gap_minutes=30, max_turns=4)
+    rows = batch.collect()
+    last = {}
+    for r in rows:
+        last[r["sender"]] = max(last.get(r["sender"], -1), r["session_start_ms"])
+    expected_closed = sorted(
+        tuple(r) for r in rows if r["session_start_ms"] < last[r["sender"]]
+    )
+    # detection flags ONLY the drifted sender; the repair converges the
+    # target to the batch-exact closed sessions
+    assert repair_transcripts(spark, str(src), str(tgt),
+                              gap_minutes=30, max_turns=4) == ["@a"]
+    assert _rows(spark, tgt) == expected_closed
+    fixed = dict(((r[0], r[1]), r[6]) for r in _rows(spark, tgt))
+    assert fixed[("@a", T0_MS)] == "@a m.text: one\n@a m.text: late"
+    assert fixed[("@a", T0_MS + 60 * 60_000)] == "@a m.text: two"
+    # converged: a second repair detects nothing and changes nothing
+    assert repair_transcripts(spark, str(src), str(tgt),
+                              gap_minutes=30, max_turns=4) == []
+    assert _rows(spark, tgt) == expected_closed
+    # export mode: include_open converges to the FULL batch derivation
+    # (both senders gain their final, still-open session)
+    repaired = repair_transcripts(
+        spark, str(src), str(tgt), gap_minutes=30, max_turns=4,
+        include_open=True,
+    )
+    assert repaired == ["@a", "@b"]
+    assert _rows(spark, tgt) == sorted(tuple(r) for r in rows)
+
+
+def test_transcript_repair_deletes_spurious_sender(spark, tmp_path):
+    """Deletion-only repair: a sender present in the target with NO
+    batch counterpart (e.g. rows from a replayed/poisoned source file)
+    is detected and its rows removed — including when its hash bucket
+    ends up empty (the dynamic-overwrite blind spot the repair handles
+    explicitly)."""
+    from beeper_matric_etl_tool_spark.streaming.reconcile import (
+        _session_upsert,
+        repair_transcripts,
+    )
+
+    src, tgt = tmp_path / "src", tmp_path / "tgt"
+    src.mkdir()
+    _write_file(src, "f1.json", [
+        _tev("a1", "@a", 0, "one"), _tev("a2", "@a", 60, "two"),
+    ])
+    ghost = spark.createDataFrame(
+        [("@ghost", T0_MS, T0_MS + 1800_000, 1, 1, 3, "@ghost m.text: boo")],
+        "sender string, session_start_ms long, session_end_ms long, "
+        "n_events long, n_turns long, n_tokens long, transcript string",
+    )
+    _session_upsert(ghost, str(tgt))
+    got = repair_transcripts(spark, str(src), str(tgt))
+    assert "@ghost" in got
+    remaining = {r[0] for r in _rows(spark, tgt)}
+    assert "@ghost" not in remaining
+
+
+def test_session_upsert_replay_is_idempotent(spark, tmp_path):
+    """The upsert stream's exactly-once story: replaying a micro-batch
+    (same closed sessions) rewrites the same (sender, session_start_ms)
+    rows instead of duplicating them; a genuinely new session appends."""
+    from beeper_matric_etl_tool_spark.streaming.reconcile import (
+        _session_upsert,
+    )
+
+    tgt = tmp_path / "tgt"
+    schema = (
+        "sender string, session_start_ms long, session_end_ms long, "
+        "n_events long, n_turns long, n_tokens long, transcript string"
+    )
+    b1 = spark.createDataFrame(
+        [("@x", 1000, 2000, 2, 2, 6, "@x t: a\n@x t: b")], schema
+    )
+    _session_upsert(b1, str(tgt))
+    _session_upsert(b1, str(tgt))  # crash-replay of the same batch
+    assert len(_rows(spark, tgt)) == 1
+    b2 = spark.createDataFrame(
+        [("@x", 9000, 9900, 1, 1, 3, "@x t: c")], schema
+    )
+    _session_upsert(b2, str(tgt))
+    rows = _rows(spark, tgt)
+    assert len(rows) == 2 and {r[1] for r in rows} == {1000, 9000}
