@@ -523,6 +523,77 @@ def probe_auc(docs):
     )
 
 
+def probe_select_threshold(docs):
+    """Threshold selection (`ext/classifier.py:select_threshold`, spread
+    form): the same corpus-sized (lang, score) count agg as the AUC
+    probe, then the sweep + struct-argmax ride the score-distinct
+    relation. Expect ~linear wall (the feature battery dominates); the
+    chosen cuts' checksum pins the argmax across growth."""
+    from beeper_matric_etl_tool_spark.ext.classifier import select_threshold
+    from beeper_matric_etl_tool_spark.ext.quality import (
+        quality_signal_columns,
+        quality_verdict_columns,
+    )
+
+    sig = quality_signal_columns("text", lang_col="lang")
+    labeled = docs.select(
+        "doc_id", "lang", *(c.alias(n) for n, c in sig.items())
+    ).select(
+        "lang", "ttr_ppm", quality_verdict_columns()["keep"].alias("__keep")
+    )
+    out = select_threshold(
+        labeled, "ttr_ppm", "__keep", strata_col="lang", spread=True
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("threshold").alias("thr_sum"),
+        F.sum("tp").alias("tp_mass"),
+        F.sum("f1_ppm").alias("f1_sum"),
+    )
+
+
+def probe_calibration(docs):
+    """Reliability bins over REAL classifier probabilities
+    (`ext/classifier.py:calibration_bins` on predict_proba output — the
+    oracle tier bins an exact-integer pseudo-prob instead, so this probe
+    closes the eval tier's growth table for the float-sigmoid path): the
+    feature battery + sigmoid is pure column algebra feeding ONE
+    map-side-combined groupBy of ≤ strata·n_bins output rows. Expect
+    ~linear wall; bin COUNTS grow ~FACTOR× while the relation stays
+    bins-sized. Weights are a FROZEN literal vector (training growth is
+    probe_classifier_train's subject), so the probe is deterministic."""
+    from beeper_matric_etl_tool_spark.ext.classifier import (
+        QUALITY_FEATURE_NAMES,
+        calibration_bins,
+        predict_proba,
+        quality_features_from_signals,
+    )
+    from beeper_matric_etl_tool_spark.ext.quality import (
+        quality_signal_columns,
+        quality_verdict_columns,
+    )
+
+    sig = quality_signal_columns("text", lang_col="lang")
+    base = docs.select("lang", *(c.alias(n) for n, c in sig.items()))
+    feats = quality_features_from_signals()
+    labeled = base.select(
+        "lang",
+        *(c.alias(n) for n, c in feats.items()),
+        quality_verdict_columns()["keep"].alias("__keep"),
+    )
+    w = [0.25, 1.5, 2.0, -3.0, 1.0, -0.5, -1.0]
+    probs = labeled.withColumn(
+        "__p", predict_proba(w, list(QUALITY_FEATURE_NAMES))
+    )
+    out = calibration_bins(probs, "__p", "__keep", n_bins=10, strata_col="lang")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_bins_rows"),
+        F.sum("n").alias("n_docs"),
+        F.sum("n_pos").alias("n_pos"),
+        F.sum(F.col("bin") * F.col("n")).alias("bin_mass"),
+    )
+
+
 def probe_pmi(docs):
     """PMI collocations (`ext/search.py:pmi_collocations`): bigram-count
     agg (map-side combined) + vocabulary joins + TakeOrderedAndProject.
@@ -764,6 +835,8 @@ def main() -> None:
         ("pack_spread", probe_pack_spread),
         ("dense_batch", probe_dense_batch),
         ("auc_spread", probe_auc),
+        ("select_threshold_spread", probe_select_threshold),
+        ("calibration_bins", probe_calibration),
         ("pmi", probe_pmi),
         ("token_quota_two_phase", probe_token_quota),
         ("epoch_shuffle", probe_epoch_shuffle),
