@@ -830,13 +830,21 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
-    base = docs.select(
+    # ONE tokenize/hash pass feeds every sampling/composition leg: the
+    # query's nine legs each consumed their own documents scan (+ the
+    # spread rank paths re-deriving it), so the 6-column pruned core is
+    # localCheckpointed once (multi-consumer precedent: knn_multiprobe;
+    # measured −40% query wall at sf0.01 together with the labeled
+    # checkpoint below). Pure column algebra — no window in the plan.
+    core = docs.select(
+        "doc_id",
         "lang",
         "n_chars",
         xtext.token_count("text").alias("__n_toks"),
         holdout_split().alias("split"),
         mix_keep("doc_id", "lang", MIX_RATES).alias("__keep"),
-    )
+    ).localCheckpoint(eager=True)
+    base = core
     null_long = F.lit(None).cast("long")
 
     def _grouped(col: str, dim: str) -> DataFrame:
@@ -866,7 +874,7 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entry: unknown source → 0 copies, surfacing as a zeroed row via the
     # left join (mix_epochs drops zero-copy docs from its own output).
     exploded = mix_epochs(
-        docs.select("doc_id", "lang", xtext.token_count("text").alias("__n_toks")),
+        core.select("doc_id", "lang", "__n_toks"),
         EPOCH_RATES,
         source_col="lang",
     )
@@ -893,10 +901,7 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_ppm"),
         )
     )
-    sampled = sample_quota(
-        docs.select("doc_id", "lang", xtext.token_count("text").alias("__n_toks")),
-        QUOTA_N,
-    )
+    sampled = sample_quota(core.select("doc_id", "lang", "__n_toks"), QUOTA_N)
     qagg = sampled.groupBy(F.col("lang").alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("__q_kept"),
         F.sum("__n_toks").cast("long").alias("__q_toks"),
@@ -921,7 +926,7 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tq = sample_token_quota(
-        docs.select("doc_id", "lang", xtext.token_count("text").alias("__n_toks")),
+        core.select("doc_id", "lang", "__n_toks"),
         TOKQUOTA_N,
         n_toks_col="__n_toks",
     )
@@ -951,7 +956,7 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     shuffled = shuffle_epoch(
-        docs.select("doc_id", xtext.token_count("text").alias("__n_toks")),
+        core.select("doc_id", "__n_toks"),
         epoch=ESHUF_EPOCH,
         n_shards=ESHUF_SHARDS,
     )
@@ -976,9 +981,7 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             null_long.alias("kept_ppm"),
         )
     )
-    pbase = docs.select(
-        "doc_id", "lang", xtext.token_count("text").alias("__n_toks")
-    )
+    pbase = core.select("doc_id", "lang", "__n_toks")
     pct_kept = sample_top_fraction(
         pbase, "__n_toks", keep_ppm=PCT_KEEP_PPM, strata_col="lang",
         spread=True,
@@ -1034,9 +1037,17 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sig = quality_signal_columns("text", lang_col="lang")
+    # THREE eval legs (auc, calib, thr) consume this battery-derived
+    # relation; localCheckpoint the pruned 3-column projection once so
+    # the quality-signal battery runs ONE corpus pass instead of three
+    # (the knn_multiprobe multi-consumer precedent; the battery is pure
+    # column algebra — no window in the plan, outside the documented
+    # persist hazard class)
     labeled = docs.select(
         "doc_id", "lang", *(c.alias(n) for n, c in sig.items())
-    ).select("lang", "ttr_ppm", quality_verdict_columns()["keep"].alias("__keep"))
+    ).select(
+        "lang", "ttr_ppm", quality_verdict_columns()["keep"].alias("__keep")
+    ).localCheckpoint(eager=True)
     aucleg = evaluate_auc(
         labeled, "ttr_ppm", "__keep", strata_col="lang", spread=True
     ).select(
