@@ -274,3 +274,195 @@ def start_transcript_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --------------------------------------------------------------------------
+# Watermarked transcript assembly — bounded-lateness EXACT ordering
+# --------------------------------------------------------------------------
+
+WM_TRANSCRIPT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("turns", T.ArrayType(T.StringType())),
+        T.StructField("pend_ts", T.ArrayType(T.LongType())),
+        T.StructField("pend_eid", T.ArrayType(T.StringType())),
+        T.StructField("pend_line", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _make_wm_transcript_updater(gap_ms: int, max_turns: int):
+    """The watermark re-sort the arrival-order assembler lacks. Invariants:
+
+    - events with ts < watermark are FINAL in both membership and order
+      (any future delivery carries ts >= watermark), so they fold into a
+      COMPACT open-session accumulator (start, last, n, first max_turns
+      lines) exactly once, in globally-sorted (ts, event_id) order;
+    - events with ts >= watermark are UNSTABLE (a late sibling could
+      still sort before them) and wait in a raw buffer — bounded by the
+      lateness horizon x event rate, never the stream's lifetime;
+    - an open session CLOSES only when last_ms + gap < watermark: every
+      future event then has ts >= watermark > last + gap, i.e. strictly
+      past the gap, so the close is final by construction;
+    - an arriving event with ts < watermark is beyond the declared
+      lateness horizon and DROPS deterministically (the documented
+      watermark contract), never mis-sorts into a folded prefix.
+
+    Consequence (pinned in tests): for any input whose lateness stays
+    within the watermark delay, the closed-session stream is
+    BYTE-IDENTICAL to `ext/transcripts.py:assemble_transcripts` — the
+    property the arrival-order form (`start_transcript_stream`) only
+    holds on in-order input."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            start, last, n, turns, p_ts, p_eid, p_line = state.get
+            pend = list(zip(p_ts, p_eid, p_line))
+            open_s = (
+                [start, last, n, list(turns)] if start is not None else None
+            )
+        else:
+            pend, open_s = [], None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            for ts_ms, eid, line in zip(
+                pdf["timestamp"], pdf["event_id"], pdf["line"]
+            ):
+                ts_ms = int(ts_ms)
+                if ts_ms < wm:
+                    continue  # beyond the lateness horizon — dropped
+                pend.append((ts_ms, str(eid), line))
+        pend.sort(key=lambda e: (e[0], e[1]))
+        stable = [e for e in pend if e[0] < wm]
+        pend = [e for e in pend if e[0] >= wm]
+        out: list[dict] = []
+        for ts_ms, _eid, line in stable:
+            if open_s is not None and ts_ms - open_s[1] > gap_ms:
+                out.append(
+                    _closed_session(
+                        key[0],
+                        (open_s[0], open_s[1], open_s[2], open_s[3]),
+                        gap_ms,
+                    )
+                )
+                open_s = None
+            if open_s is None:
+                open_s = [ts_ms, ts_ms, 0, []]
+            open_s[1] = ts_ms  # stable region is sorted: ts only advances
+            open_s[2] += 1
+            if len(open_s[3]) < max_turns:
+                open_s[3].append(line)
+        if open_s is not None and open_s[1] + gap_ms < wm:
+            out.append(
+                _closed_session(
+                    key[0], (open_s[0], open_s[1], open_s[2], open_s[3]),
+                    gap_ms,
+                )
+            )
+            open_s = None
+        if open_s is None and not pend:
+            if state.exists:
+                state.remove()
+        else:
+            s = open_s if open_s is not None else [None, None, None, []]
+            state.update(
+                (
+                    s[0], s[1], s[2], s[3],
+                    [e[0] for e in pend],
+                    [e[1] for e in pend],
+                    [e[2] for e in pend],
+                )
+            )
+            # event-time timeout re-arm: with NoTimeout a key is only
+            # invoked when NEW rows arrive, so an idle sender's session
+            # would never close on watermark advance alone. Wake at the
+            # next decision point: the open session's close time or the
+            # earliest unstable event becoming stable. Both candidates
+            # are >= the current watermark by construction (a closable
+            # session already closed above; pend holds ts >= wm), so +1
+            # satisfies Spark's timeout-after-watermark requirement.
+            cands = []
+            if open_s is not None:
+                cands.append(open_s[1] + gap_ms)
+            if pend:
+                cands.append(pend[0][0])
+            state.setTimeoutTimestamp(min(cands) + 1)
+        yield pd.DataFrame(
+            out, columns=[f.name for f in TRANSCRIPT_OUTPUT_SCHEMA]
+        )
+
+    return update
+
+
+def start_transcript_stream_watermarked(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    max_turns: int = 64,
+    lateness: str = "10 minutes",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuous transcript assembly with a WATERMARK RE-SORT — the
+    bounded-lateness exact form. Where `start_transcript_stream` orders
+    turns by arrival across micro-batches (exact only on in-order
+    sources) and `streaming/reconcile.py` repairs drift after the fact,
+    this operator buys exactness up front: events buffer per sender
+    until the event-time watermark passes them, fold into sessions in
+    true (ts, event_id) order, and a session only closes when no
+    within-horizon event can still extend or reorder it. Closed output
+    is byte-identical to the batch operator for any input whose
+    lateness stays within ``lateness``; events later than that drop
+    deterministically (the watermark contract — choose the horizon the
+    way you would for any windowed aggregation).
+
+    State per sender: one compact open session (<= max_turns lines +
+    three longs) + the unstable buffer (events newer than the
+    watermark — bounded by lateness x per-sender rate, NOT by session
+    length or stream lifetime, because the stable prefix folds
+    incrementally). The cost vs the arrival-order form is output
+    latency: a session appears only after the watermark passes its gap.
+
+    Exactly-once via the native file sink, like the arrival-order
+    form."""
+    events = parse_events(
+        load_stream(spark, source_dir, max_files_per_trigger)
+    ).filter(F.col("error").isNull() & F.col("timestamp").isNotNull())
+    lined = events.select(
+        "sender",
+        "timestamp",
+        "event_id",
+        "ts",
+        F.concat(
+            F.col("sender"), F.lit(" "), F.col("event_type"), F.lit(": "),
+            F.coalesce(F.col("content"), F.lit("")),
+        ).alias("line"),
+    ).withWatermark("ts", lateness)
+    closed = lined.groupBy("sender").applyInPandasWithState(
+        _make_wm_transcript_updater(int(gap_minutes) * 60_000, int(max_turns)),
+        outputStructType=TRANSCRIPT_OUTPUT_SCHEMA,
+        stateStructType=WM_TRANSCRIPT_STATE_SCHEMA,
+        outputMode="append",
+        # EventTimeTimeout: idle keys MUST wake when the watermark passes
+        # their next decision point (close an open session / fold newly
+        # stable events) — with NoTimeout only keys with fresh rows are
+        # invoked and an idle sender's last session would never close
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    writer = (
+        closed.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

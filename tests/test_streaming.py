@@ -1287,3 +1287,128 @@ def test_session_upsert_replay_is_idempotent(spark, tmp_path):
     _session_upsert(b2, str(tgt))
     rows = _rows(spark, tgt)
     assert len(rows) == 2 and {r[1] for r in rows} == {1000, 9000}
+
+
+def test_watermarked_transcript_stream_reorders_within_lateness(spark, tmp_path):
+    """The watermark re-sort: an event delivered AFTER its successor
+    (cross-batch, within the lateness horizon) still folds into the
+    transcript in true (ts, event_id) order — including winning a
+    max_turns slot from the later-timestamped turn that arrived first,
+    exactly what the arrival-order assembler cannot do. An event beyond
+    the horizon drops deterministically. Sessions close only once the
+    watermark passes their gap."""
+    from beeper_matric_etl_tool_spark.streaming.stateful import (
+        start_transcript_stream_watermarked,
+    )
+
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "tgt", tmp_path / "ckpt"
+    src.mkdir()
+
+    def drain():
+        q = start_transcript_stream_watermarked(
+            spark, str(src), str(tgt), str(ckpt), gap_minutes=30,
+            max_turns=2, lateness="5 minutes", max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    # batch1: alpha(0) and gamma(10) arrive; the clock key drags the
+    # watermark forward in later batches
+    _write_file(src, "f1.json", [
+        _tev("a1", "@a", 0, "alpha"), _tev("a3", "@a", 10, "gamma"),
+        _tev("c1", "@clk", 12, "x"),
+    ])
+    # batch2: beta(8) arrives LATE (after gamma) but within the horizon
+    # (wm = 12-5 = 7 <= 8)
+    _write_file(src, "f2.json", [_tev("a2", "@a", 8, "beta")])
+    # batch3: clock jumps to 50 → wm 45 passes 10+30 → @a's session closes
+    _write_file(src, "f3.json", [_tev("c2", "@clk", 50, "x")])
+    # batch4: ghost(1) is beyond the horizon (wm 45) → dropped
+    _write_file(src, "f4.json", [
+        _tev("a9", "@a", 1, "ghost"), _tev("c3", "@clk", 200, "x"),
+    ])
+    drain()
+    rows = [
+        r for r in spark.read.parquet(str(tgt)).collect()
+        if r["sender"] == "@a"
+    ]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["session_start_ms"] == T0_MS
+    assert r["session_end_ms"] == T0_MS + (10 + 30) * 60_000
+    assert r["n_events"] == 3  # alpha, beta, gamma — ghost dropped
+    # the late beta WON the second max_turns slot from gamma: true
+    # event-time order, not arrival order
+    assert r["n_turns"] == 2
+    assert r["transcript"] == "@a m.text: alpha\n@a m.text: beta"
+
+
+def test_wm_transcript_updater_boundaries():
+    """The three watermark boundary rules, driven directly: ts == wm
+    stays UNSTABLE (a same-ts, smaller-id sibling may still arrive);
+    last + gap == wm keeps the session OPEN (a future ts == wm event
+    would still merge under the strict-> gap rule); incoming ts < wm
+    drops without touching state."""
+    import pandas as pd
+
+    from beeper_matric_etl_tool_spark.streaming.stateful import (
+        _make_wm_transcript_updater,
+    )
+
+    class FakeState:
+        def __init__(self, value=None, wm=0):
+            self._v = value
+            self._wm = wm
+            self.removed = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v, self.removed = None, True
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout_ts = ts
+
+    upd = _make_wm_transcript_updater(gap_ms=100, max_turns=5)
+
+    def batch(*rows):
+        return pd.DataFrame(
+            {"timestamp": [r[0] for r in rows],
+             "event_id": [r[1] for r in rows],
+             "line": [r[2] for r in rows]}
+        )
+
+    # ts == wm: unstable — buffered, nothing folds; wakeup armed at the
+    # pending event becoming stable
+    st = FakeState(wm=1000)
+    [out] = list(upd(("@x",), iter([batch((1000, "e1", "l1"))]), st))
+    assert len(out) == 0
+    assert st.get[0] is None and list(st.get[4]) == [1000]
+    assert st.timeout_ts == 1001
+    # wm advances past it → folds into an open session (not yet closed:
+    # 1000 + 100 == 1100 is NOT < 1100); wakeup re-armed at close time
+    st._wm = 1100
+    [out] = list(upd(("@x",), iter([]), st))
+    assert len(out) == 0 and st.get[0] == 1000 and st.get[2] == 1
+    assert st.timeout_ts == 1101  # close time (1000+100) + 1
+    # one tick further → closes, state clears
+    st._wm = 1101
+    [out] = list(upd(("@x",), iter([]), st))
+    assert len(out) == 1 and out.iloc[0]["session_end_ms"] == 1100
+    assert st.removed
+    # beyond-horizon row drops without creating state
+    st2 = FakeState(wm=1000)
+    [out2] = list(upd(("@y",), iter([batch((999, "e9", "late"))]), st2))
+    assert len(out2) == 0 and not st2.exists
