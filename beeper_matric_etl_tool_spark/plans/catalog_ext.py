@@ -677,7 +677,7 @@ def _epoch_copies_sql() -> str:
                CAST((1000000 * n_pos) // n AS BIGINT) AS kept_ppm
         FROM calib
         UNION ALL
-        SELECT 'thr' AS dim, lang AS key, p + nn AS n_docs,
+        SELECT 'thr' AS dim, lang AS key, CAST(p + nn AS BIGINT) AS n_docs,
                CAST(NULL AS BIGINT) AS total_chars,
                CAST(sc AS BIGINT) AS total_tokens,
                CAST(tp AS BIGINT) AS n_kept,
