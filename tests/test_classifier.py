@@ -441,3 +441,44 @@ def test_calibration_bins_hand_computed(spark):
 
     with _pytest.raises(ValueError, match="n_bins"):
         calibration_bins(df, "prob", "keep", n_bins=1)
+
+
+def test_classifier_deploy_story_end_to_end(spark):
+    """The full deploy loop composed from the module's own pieces:
+    train_logreg fits weights on a separable seed set, predict_proba
+    scores a batch, the ppm-floored probabilities sweep through
+    select_threshold (F1 argmax), and classify() at the chosen cut
+    reproduces exactly the tp/fp the sweep row promised — the contract
+    that makes the selected threshold deployable via
+    curate(clf_threshold=)."""
+    from beeper_matric_etl_tool_spark.ext.classifier import (
+        select_threshold,
+        threshold_sweep,
+    )
+
+    rows = [(float(i), 1 if i >= 10 else 0) for i in range(20)]
+    # one mislabeled row so the optimum is a real tradeoff, not 1.0
+    rows[3] = (3.0, 1)
+    df = spark.createDataFrame(rows, "x double, y int")
+    w = train_logreg(df, ["x"], "y", iterations=60, lr=0.5)
+    scored = df.withColumn(
+        "p_ppm",
+        F.floor(predict_proba(w, ["x"]) * F.lit(1_000_000.0)).cast("long"),
+    ).withColumn("lab", F.col("y") == 1)
+    best = select_threshold(scored, "p_ppm", "lab").collect()[0]
+    t = best["threshold"]
+    # classify() at the chosen cut reproduces the sweep's confusion row
+    kept = classify(scored, w, ["x"], threshold=t / 1_000_000.0)
+    got_tp = kept.filter(
+        F.col("quality_prob_keep") & F.col("lab")
+    ).count()
+    got_fp = kept.filter(
+        F.col("quality_prob_keep") & ~F.col("lab")
+    ).count()
+    assert (got_tp, got_fp) == (best["tp"], best["fp"])
+    # the chosen cut is the sweep's true F1 maximum
+    sweep_f1 = {
+        r["threshold"]: r["f1_ppm"]
+        for r in threshold_sweep(scored, "p_ppm", "lab").collect()
+    }
+    assert best["f1_ppm"] == max(sweep_f1.values())
