@@ -203,6 +203,7 @@ def start_transcript_stream(
     flush_idle: bool = False,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    key_col: str = "sender",
 ) -> StreamingQuery:
     """Continuous conversation-transcript assembly — the STREAMING form of
     `ext/transcripts.py:assemble_transcripts`: per-sender inactivity
@@ -242,9 +243,19 @@ def start_transcript_stream(
 
     events = parse_events(
         load_stream(spark, source_dir, max_files_per_trigger)
-    ).filter(F.col("error").isNull() & F.col("timestamp").isNotNull())
+    ).filter(
+        F.col("error").isNull()
+        & F.col("timestamp").isNotNull()
+        & F.col(key_col).isNotNull()
+    )
+    # ``key_col`` generalizes the session key: 'sender' (default — the
+    # per-user timeline) or 'room_id' (the MULTI-SPEAKER room document,
+    # the reference's natural unit; the batch twin is events_sessions
+    # kind='transcript_room'). Turn lines keep the per-event SPEAKER tag
+    # either way — the line renders from the sender column BEFORE the
+    # key is aliased into the output's 'sender' slot.
     lined = events.select(
-        "sender",
+        F.col(key_col).cast("string").alias("__skey"),
         "timestamp",
         "event_id",
         F.concat(
@@ -252,7 +263,7 @@ def start_transcript_stream(
             F.coalesce(F.col("content"), F.lit("")),
         ).alias("line"),
     )
-    closed = lined.groupBy("sender").applyInPandasWithState(
+    closed = lined.groupBy("__skey").applyInPandasWithState(
         _make_transcript_updater(
             int(gap_minutes) * 60_000, int(max_turns), flush_idle
         ),
@@ -410,6 +421,7 @@ def start_transcript_stream_watermarked(
     lateness: str = "10 minutes",
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    key_col: str = "sender",
 ) -> StreamingQuery:
     """Continuous transcript assembly with a WATERMARK RE-SORT — the
     bounded-lateness exact form. Where `start_transcript_stream` orders
@@ -435,9 +447,16 @@ def start_transcript_stream_watermarked(
     form."""
     events = parse_events(
         load_stream(spark, source_dir, max_files_per_trigger)
-    ).filter(F.col("error").isNull() & F.col("timestamp").isNotNull())
+    ).filter(
+        F.col("error").isNull()
+        & F.col("timestamp").isNotNull()
+        & F.col(key_col).isNotNull()
+    )
+    # key_col generalizes the session key exactly as in
+    # start_transcript_stream: 'room_id' yields the multi-speaker room
+    # document; the speaker tag renders per event regardless of key
     lined = events.select(
-        "sender",
+        F.col(key_col).cast("string").alias("__skey"),
         "timestamp",
         "event_id",
         "ts",
@@ -446,7 +465,7 @@ def start_transcript_stream_watermarked(
             F.coalesce(F.col("content"), F.lit("")),
         ).alias("line"),
     ).withWatermark("ts", lateness)
-    closed = lined.groupBy("sender").applyInPandasWithState(
+    closed = lined.groupBy("__skey").applyInPandasWithState(
         _make_wm_transcript_updater(int(gap_minutes) * 60_000, int(max_turns)),
         outputStructType=TRANSCRIPT_OUTPUT_SCHEMA,
         stateStructType=WM_TRANSCRIPT_STATE_SCHEMA,

@@ -1412,3 +1412,33 @@ def test_wm_transcript_updater_boundaries():
     st2 = FakeState(wm=1000)
     [out2] = list(upd(("@y",), iter([batch((999, "e9", "late"))]), st2))
     assert len(out2) == 0 and not st2.exists
+
+
+def test_transcript_stream_room_keyed_multi_speaker(spark, tmp_path):
+    """key_col='room_id': the streaming assembler sessionizes the ROOM
+    timeline (the multi-speaker chat-LM document — the batch twin is
+    events_sessions kind='transcript_room') while turn lines keep their
+    per-event speaker tags; the output's 'sender' slot carries the room
+    key."""
+    from beeper_matric_etl_tool_spark.streaming.stateful import (
+        start_transcript_stream,
+    )
+
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "tgt", tmp_path / "ckpt"
+    src.mkdir()
+    _write_file(src, "f1.json", [
+        _tev("a1", "@a", 0, "hi bob"), _tev("b1", "@b", 1, "hi alice"),
+    ])
+    _write_file(src, "f2.json", [_tev("a2", "@a", 60, "new session")])
+    q = start_transcript_stream(
+        spark, str(src), str(tgt), str(ckpt), gap_minutes=30,
+        max_turns=4, max_files_per_trigger=1, key_col="room_id",
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    rows = spark.read.parquet(str(tgt)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["sender"] == "!r1"  # the room key rides the key slot
+    assert r["n_events"] == 2
+    assert r["transcript"] == "@a m.text: hi bob\n@b m.text: hi alice"
