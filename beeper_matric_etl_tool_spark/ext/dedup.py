@@ -40,6 +40,41 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return latest_by_key(with_fp, keys=["__fp"], order_by=[F.col(id_col).asc()]).drop("__fp")
 
 
+def soft_dedup_weights(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_col, dup_count, weight_ppm) — the DOWN-WEIGHTING alternative
+    to `exact_dedup`'s hard drop (the SoftDeDup idea, public method):
+    instead of keeping one copy per content fingerprint, keep every copy
+    and hand the trainer a sampling/loss weight inversely proportional
+    to its duplication count, so n copies of a document carry the same
+    total mass as one unique document (Σ weight over a duplicate group
+    = 1e6 − rounding < dup_count ppm). Hard dropping loses the signal
+    that duplicated text is PRIOR-heavy; weighting preserves corpus
+    coverage while removing the over-count — the knob for pipelines
+    that want frequency-aware training rather than deduplication.
+
+    weight_ppm = floor(1e6 / dup_count): exact integer, portable,
+    order-independent. Every input row survives with its weight.
+
+    Scale shape: the same fingerprint plan class as `exact_dedup` — one
+    md5 per document, one map-side-combined fingerprint count agg, one
+    fingerprint-keyed join back; shuffles carry (16-byte fp, id) pairs,
+    never text."""
+    with_fp = df.select(F.col(id_col), exact_fingerprint(text_col).alias("__fp"))
+    counts = with_fp.groupBy("__fp").agg(
+        F.count(F.lit(1)).alias("dup_count")
+    )
+    return (
+        with_fp.join(counts, on="__fp")
+        .select(
+            id_col,
+            "dup_count",
+            F.expr("1000000 DIV dup_count").alias("weight_ppm"),
+        )
+    )
+
+
 def shingles(toks: Column, k: int = 3) -> Column:
     """Distinct k-token shingles of a token array."""
     return F.array_distinct(

@@ -250,6 +250,16 @@ SPAN_ONCE = "this sentence occurs exactly once anywhere in the whole corpus"
 SPAN_WITHIN_DOC = 42
 SPAN_ONCE_DOC = 77
 
+#: the softdedup leg's planted duplicate group: every 5th doc's text is
+#: replaced by this template, so ~n/5 docs share one content fingerprint
+#: (dup_count = the group size, weight_ppm = 1e6 DIV it) while the rest
+#: keep their (unique) raw text — both weight branches exercised at
+#: every SF, one definition feeding both planes
+SOFTDEDUP_TEMPLATE = (
+    "thank you for your purchase your order has shipped and will arrive "
+    "within five business days please keep this message for your records"
+)
+
 MINHASH_NUM_HASHES = xdedup.MINHASH_NUM_HASHES
 MINHASH_BAND_WIDTH = xdedup.MINHASH_NUM_HASHES // xdedup.MINHASH_BANDS
 
@@ -1344,6 +1354,16 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(coalesce(n.n_windows, 0) AS INTEGER) AS n_units,
                    CAST(coalesce(n.dup_windows, 0) AS INTEGER) AS n_removed
             FROM stoks st LEFT JOIN snov n USING (doc_id)
+        ),
+        softleg AS (
+            SELECT doc_id,
+                   count(*) OVER (PARTITION BY md5(t)) AS dup_count
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN '{SOFTDEDUP_TEMPLATE}'
+                            ELSE text END AS t
+                FROM documents
+            )
         )
         SELECT 'profile' AS kind, doc_id, en_hits, es_hits, fr_hits, de_hits,
                predicted_lang, fp, min_shingle_fp,
@@ -1375,6 +1395,12 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
                CAST(NULL AS VARCHAR), n_units, n_removed
         FROM novleg
+        UNION ALL
+        SELECT 'softdedup', doc_id, NULL, NULL, NULL, NULL,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(dup_count AS INTEGER),
+               CAST(1000000 // dup_count AS INTEGER)
+        FROM softleg
     """,
 )
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1440,7 +1466,16 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     42's within-doc paste counts (total-occurrence floor), doc 77's
     once-only sentence does not. A green row pins the signal a curation
     pipeline gates on when it drops mostly-duplicated documents instead
-    of surgically despanning them."""
+    of surgically despanning them.
+
+    kind='softdedup' — frequency-aware DOWN-WEIGHTING
+    (`ext/dedup.py:soft_dedup_weights`, the SoftDeDup alternative to
+    exact dedup's hard drop) over a planted duplicate group (every 5th
+    doc shares one template): n_units = the content fingerprint's
+    duplication count, n_removed = weight_ppm = 1e6 DIV dup_count —
+    every row survives, a duplicate group's total weight sums to ~1e6,
+    and the oracle replays the fingerprint-count window and the integer
+    division exactly."""
     docs = table(spark, sf_dir, "documents")
     toks = xtext.tokens("text")
     # the reusable language-ID pair (ext/text.py): per-inventory scores +
@@ -1560,12 +1595,32 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_windows").cast("int").alias("n_units"),
         F.col("dup_windows").cast("int").alias("n_removed"),
     )
+    # kind='softdedup': the down-weighting alternative to hard exact
+    # dedup (ext/dedup.py:soft_dedup_weights) over a planted duplicate
+    # group — n_units = dup_count, n_removed = weight_ppm; the oracle
+    # replays the fingerprint count window + the integer division
+    dupcorp = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(SOFTDEDUP_TEMPLATE))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    soft_leg = xdedup.soft_dedup_weights(dupcorp).select(
+        F.lit("softdedup").alias("kind"),
+        "doc_id",
+        *null_dims,
+        *null_fps,
+        F.lit(None).cast("string").alias("cleaned_fp"),
+        F.col("dup_count").cast("int").alias("n_units"),
+        F.col("weight_ppm").cast("int").alias("n_removed"),
+    )
     return (
         profile_leg.unionByName(boiler_leg)
         .unionByName(spans_leg)
         .unionByName(embed_leg)
         .unionByName(dsir_leg)
         .unionByName(novelty_leg)
+        .unionByName(soft_leg)
     )
 
 

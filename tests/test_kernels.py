@@ -99,6 +99,27 @@ def test_exact_dedup_keeps_lowest_id(spark):
     assert got == [3, 5]
 
 
+def test_soft_dedup_weights_mass_preserving(spark):
+    """SoftDeDup down-weighting: every row survives with weight_ppm =
+    1e6 DIV dup_count, a duplicate group's total weight lands within
+    rounding of 1e6 (n copies ≡ one unique doc's mass), unique docs keep
+    full weight, and the result is partition-layout invariant."""
+    rows = [(1, "same text"), (7, "same text"), (4, "same text"),
+            (9, "unique one"), (2, "unique two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for layout in (df.coalesce(1), df.repartition(4)):
+        got = {
+            r["doc_id"]: (r["dup_count"], r["weight_ppm"])
+            for r in xdedup.soft_dedup_weights(layout).collect()
+        }
+        assert got == {
+            1: (3, 333_333), 7: (3, 333_333), 4: (3, 333_333),
+            9: (1, 1_000_000), 2: (1, 1_000_000),
+        }
+    group_mass = 3 * 333_333
+    assert 1_000_000 - 3 < group_mass <= 1_000_000
+
+
 def test_connected_components_chain_and_island(spark):
     # chain 1-2-3 (via pairs (1,2),(2,3)) + island (8,9): min-label must
     # propagate across the chain, not just direct neighbours
