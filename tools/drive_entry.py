@@ -24,17 +24,22 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 
 skip = set((sys.argv[2] if len(sys.argv) > 2 else "").split(",")) - {""}
 qs, oracles = e.queries(), e.oracle_sql()
+import time
+
 for name, fn in qs.items():
     if name in skip:
         print(f"{name}: SKIPPED")
         continue
+    t0 = time.time()
     sdf = fn(spark, sf)
     srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
+    elapsed = time.time() - t0
     if name in oracles:
         drel = con.sql(oracles[name])
         drows = sorted(tuple(str(x) for x in r) for r in drel.fetchall())
         status = "MATCH" if srows == drows else "MISMATCH"
-        print(f"{name}: spark={len(srows)} duckdb={len(drows)} -> {status}")
+        print(f"{name}: spark={len(srows)} duckdb={len(drows)} "
+              f"[{elapsed:.1f}s] -> {status}")
         if status == "MISMATCH":
             for a, b in zip(srows, drows):
                 if a != b:
