@@ -50,6 +50,7 @@ from beeper_matric_etl_tool_spark.streaming.ingest import (
     load_stream,
     parse_events,
 )
+from beeper_matric_etl_tool_spark.streaming.stateful import streaming_turn_line
 
 #: the transcript-row columns, in the streaming output order — the shared
 #: schema contract between the stateful assembler, the batch derivation
@@ -58,16 +59,6 @@ TRANSCRIPT_COLUMNS = (
     "sender", "session_start_ms", "session_end_ms",
     "n_events", "n_turns", "n_tokens", "transcript",
 )
-
-
-def _streaming_line():
-    """The streaming assembler's turn rendering — ONE definition shared
-    with `batch_transcripts` so the batch/stream parity contract cannot
-    drift (streaming/stateful.py renders the same concat JVM-side)."""
-    return F.concat(
-        F.col("sender"), F.lit(" "), F.col("event_type"), F.lit(": "),
-        F.coalesce(F.col("content"), F.lit("")),
-    )
 
 
 def _session_upsert(batch: DataFrame, target_dir: str) -> None:
@@ -118,9 +109,16 @@ def start_transcript_upsert_stream(
 
     events = parse_events(
         load_stream(spark, source_dir, max_files_per_trigger)
-    ).filter(F.col("error").isNull() & F.col("timestamp").isNotNull())
+    ).filter(
+        F.col("error").isNull()
+        & F.col("timestamp").isNotNull()
+        # a keyless event belongs to no sender timeline — dropped here
+        # AND in batch_transcripts, so the repair compare never sees a
+        # NULL key (name-keyed joins cannot match one)
+        & F.col("sender").isNotNull()
+    )
     lined = events.select(
-        "sender", "timestamp", "event_id", _streaming_line().alias("line")
+        "sender", "timestamp", "event_id", streaming_turn_line().alias("line")
     )
     closed = lined.groupBy("sender").applyInPandasWithState(
         _make_transcript_updater(
@@ -156,18 +154,29 @@ def batch_transcripts(
     source_dir: str,
     gap_minutes: int = 30,
     max_turns: int = 64,
+    senders: list[str] | None = None,
 ) -> DataFrame:
     """The ORDER-EXACT batch derivation of the stream's source files, in
     the streaming output schema (`TRANSCRIPT_COLUMNS`, ms longs): parse
-    the same JSON lines, drop dead-letter and NULL-timestamp rows (the
-    stream's own filter), assemble with the streaming turn rendering.
-    This is the ground truth the repair converges the target toward."""
+    the same JSON lines, drop dead-letter / NULL-timestamp / NULL-sender
+    rows (the upsert stream's own filter), assemble with the SHARED
+    streaming turn rendering (`stateful.streaming_turn_line`). This is
+    the ground truth the repair converges the target toward.
+
+    ``senders`` restricts the derivation to those keys BEFORE
+    sessionization — sound because sessions are per-sender windows, so
+    filtering first is semantically identical and drops a one-sender
+    repair from corpus-sized to sender-sized."""
     parsed = parse_events(spark.read.text(source_dir)).filter(
-        F.col("error").isNull() & F.col("timestamp").isNotNull()
+        F.col("error").isNull()
+        & F.col("timestamp").isNotNull()
+        & F.col("sender").isNotNull()
     )
+    if senders is not None:
+        parsed = parsed.filter(F.col("sender").isin(list(senders)))
     return assemble_transcripts(
         parsed,
-        line=_streaming_line(),
+        line=streaming_turn_line(),
         ts_col="ts",
         user_col="sender",
         order_col="event_id",
@@ -181,27 +190,31 @@ def batch_transcripts(
     )
 
 
-def _drop_final_open_session(batch: DataFrame) -> DataFrame:
-    """Remove each sender's LAST batch session — the one still open in
-    the stream's state store (a gap-sessionizer only closes a session
-    when a later event or an idle timeout arrives), so it must not be
-    compared against or written into a live stream's target."""
-    last = batch.groupBy("sender").agg(
-        F.max("session_start_ms").alias("__last_start")
-    )
-    return (
-        batch.join(F.broadcast(last), on="sender")
-        .filter(F.col("session_start_ms") < F.col("__last_start"))
-        .drop("__last_start")
+def _final_session_identities(batch: DataFrame) -> DataFrame:
+    """(sender, session_start_ms) of each sender's LAST batch session —
+    the one the repair claims NO authority over under
+    ``include_open=False``: in a live stream it is still open in the
+    state store (a gap-sessionizer only closes on a later event or an
+    idle timeout); under ``flush_idle`` it may already sit CLOSED in the
+    target. Both cases resolve by excluding the identity from the drift
+    compare on BOTH sides and preserving any matching target row
+    verbatim during a rewrite — so a repaired target never loses an
+    idle-flushed final session and never duplicates one the stream will
+    close later."""
+    return batch.groupBy("sender").agg(
+        F.max("session_start_ms").alias("session_start_ms")
     )
 
 
 def _sender_checksums(df: DataFrame) -> DataFrame:
     """(sender, __n, __ck): row count + order-free 64-bit checksum of the
     full row content — the per-sender compare unit. crc32 is summed as a
-    long, so partition layout cannot move the value."""
+    long, so partition layout cannot move the value. Fields join under
+    an explicit unit separator: with no delimiter, adjacent numeric
+    fields would make STRUCTURAL collisions ((1, 12) vs (11, 2)
+    concatenate identically) — not crc32-random at all."""
     row = F.concat_ws(
-        "", *[F.col(c).cast("string") for c in TRANSCRIPT_COLUMNS]
+        "\x1f", *[F.col(c).cast("string") for c in TRANSCRIPT_COLUMNS]
     )
     return df.groupBy("sender").agg(
         F.count(F.lit(1)).alias("__n"),
@@ -225,13 +238,20 @@ def repair_transcripts(
 
     ``senders=None`` detects drift by per-sender count+checksum compare
     between the target and :func:`batch_transcripts` (full outer on the
-    sender, so senders missing from either side are caught);
-    ``include_open=False`` (default) excludes each sender's final batch
-    session — still open in a live stream's state — from BOTH compare
-    and rewrite, so repairing between micro-batches never duplicates a
-    session the stream will close later. Run with ``include_open=True``
-    only when the stream is quiesced/drained and the target should
-    become the full export.
+    sender, so senders missing from either side are caught); an explicit
+    ``senders`` list ALSO narrows the batch derivation to those keys
+    (sender-sized repair cost, see `batch_transcripts`).
+
+    ``include_open=False`` (default) claims no authority over each
+    sender's FINAL batch session: its (sender, session_start_ms)
+    identity is excluded from the drift compare on BOTH sides, it is
+    never written, and a target row already carrying that identity is
+    preserved verbatim through a rewrite — so repairing between
+    micro-batches never duplicates a session a live stream will close
+    later, and never deletes one a ``flush_idle`` idle timeout already
+    closed into the target. Run with ``include_open=True`` when the
+    stream is quiesced/drained and the target should become the full
+    export.
 
     The rewrite uses the `sinks.partitioned_upsert` layout primitives
     directly (same bucket formula, same dynamic-overwrite discipline)
@@ -246,18 +266,38 @@ def repair_transcripts(
     import os
     import shutil
 
-    batch = batch_transcripts(spark, source_dir, gap_minutes, max_turns)
+    batch = batch_transcripts(
+        spark, source_dir, gap_minutes, max_turns, senders=senders
+    ).localCheckpoint(eager=True)
+    final_ids = None
     if not include_open:
-        batch = _drop_final_open_session(batch)
-    batch = batch.localCheckpoint(eager=True)
+        final_ids = _final_session_identities(batch)
+        batch_scope = batch.join(
+            F.broadcast(final_ids),
+            on=["sender", "session_start_ms"],
+            how="left_anti",
+        )
+    else:
+        batch_scope = batch
+
+    def _without_final(df: DataFrame) -> DataFrame:
+        # the no-authority zone: rows carrying a final-session identity
+        # are invisible to the compare and untouchable by the rewrite
+        if final_ids is None:
+            return df
+        return df.join(
+            F.broadcast(final_ids),
+            on=["sender", "session_start_ms"],
+            how="left_anti",
+        )
 
     if senders is None:
         if sinks.has_parquet(target_dir):
             tgt = spark.read.parquet(target_dir).select(*TRANSCRIPT_COLUMNS)
         else:
             tgt = batch.filter(F.lit(False))
-        cmp_ = _sender_checksums(batch).join(
-            _sender_checksums(tgt).select(
+        cmp_ = _sender_checksums(batch_scope).join(
+            _sender_checksums(_without_final(tgt)).select(
                 F.col("sender"),
                 F.col("__n").alias("__tn"),
                 F.col("__ck").alias("__tck"),
@@ -273,16 +313,20 @@ def repair_transcripts(
                     & F.col("__ck").eqNullSafe(F.col("__tck"))
                 )
             ).select("sender").collect()
+            # a NULL key cannot exist in either plane (both filter
+            # sender IS NOT NULL) — dropped defensively: name-keyed
+            # joins could neither rewrite nor delete it
+            if r["sender"] is not None
         ]
     else:
-        affected = list(senders)
+        affected = [x for x in senders if x is not None]
     if not affected:
         return []
 
     bucket = sinks.key_bucket(["sender"], sinks.DEFAULT_UPSERT_BUCKETS)
     aff = spark.createDataFrame([(s,) for s in affected], "sender string")
     touched = [r[0] for r in aff.select(bucket.alias("b")).distinct().collect()]
-    repaired = batch.filter(F.col("sender").isin(affected)).withColumn(
+    repaired = batch_scope.filter(F.col("sender").isin(affected)).withColumn(
         sinks.BUCKET_COL, bucket
     )
     existing = None
@@ -295,10 +339,23 @@ def repair_transcripts(
     else:
         # replace the affected senders' rows WHOLESALE — the repair owns
         # their full session history, not individual session identities
-        # (a spurious streamed session has no batch counterpart to match)
-        merged = existing.filter(
-            ~F.col("sender").isin(affected)
-        ).unionByName(repaired.select(*existing.columns))
+        # (a spurious streamed session has no batch counterpart to
+        # match) — EXCEPT rows in the no-authority zone (an affected
+        # sender's idle-flushed final session survives verbatim)
+        keep_final = (
+            existing.filter(F.col("sender").isin(affected)).join(
+                F.broadcast(final_ids),
+                on=["sender", "session_start_ms"],
+                how="left_semi",
+            )
+            if final_ids is not None
+            else existing.filter(F.lit(False))
+        )
+        merged = (
+            existing.filter(~F.col("sender").isin(affected))
+            .unionByName(keep_final)
+            .unionByName(repaired.select(*existing.columns))
+        )
     out = merged.repartition(max(len(touched), 1), F.col(sinks.BUCKET_COL))
     if existing is not None:
         # materialize before the overwrite deletes the files the merge

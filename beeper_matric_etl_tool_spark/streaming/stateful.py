@@ -142,9 +142,27 @@ TRANSCRIPT_STATE_SCHEMA = T.StructType(
 )
 
 
+def streaming_turn_line() -> "F.Column":
+    """The ONE turn-line rendering every streaming transcript surface
+    shares — both stateful assemblers and the reconcile module's batch
+    derivation import THIS definition, so the stream/batch/repair parity
+    contract cannot drift through a divergent copy. NULL-propagating on
+    event_type/sender by design: a typeless event renders a NULL line,
+    which every plane SKIPS in the joined transcript while still
+    counting its turn slot (the batch operator's array_join semantics
+    and the oracle's string_agg agree)."""
+    return F.concat(
+        F.col("sender"), F.lit(" "), F.col("event_type"), F.lit(": "),
+        F.coalesce(F.col("content"), F.lit("")),
+    )
+
+
 def _closed_session(key: str, st: tuple, gap_ms: int) -> dict:
     start_ms, last_ms, n_events, turns = st
-    transcript = "\n".join(turns)
+    # a NULL line (typeless event) fills its turn slot but renders
+    # nothing — matching the batch operator, whose array_join skips null
+    # elements while size() counts them; a bare join would crash on None
+    transcript = "\n".join(t for t in turns if t is not None)
     return {
         "sender": key,
         "session_start_ms": start_ms,
@@ -183,7 +201,9 @@ def _make_transcript_updater(gap_ms: int, max_turns: int, flush_idle: bool):
                 st[1] = max(st[1], ts_ms)
                 st[2] += 1
                 if len(st[3]) < max_turns:
-                    st[3].append(line)
+                    # arrow may surface a NULL line as None OR NaN —
+                    # normalize so the array<string> state stays valid
+                    st[3].append(line if isinstance(line, str) else None)
         if st is not None:
             state.update(tuple(st))
             if flush_idle:
@@ -258,10 +278,7 @@ def start_transcript_stream(
         F.col(key_col).cast("string").alias("__skey"),
         "timestamp",
         "event_id",
-        F.concat(
-            F.col("sender"), F.lit(" "), F.col("event_type"), F.lit(": "),
-            F.coalesce(F.col("content"), F.lit("")),
-        ).alias("line"),
+        streaming_turn_line().alias("line"),
     )
     closed = lined.groupBy("__skey").applyInPandasWithState(
         _make_transcript_updater(
@@ -348,7 +365,9 @@ def _make_wm_transcript_updater(gap_ms: int, max_turns: int):
                 ts_ms = int(ts_ms)
                 if ts_ms < wm:
                     continue  # beyond the lateness horizon — dropped
-                pend.append((ts_ms, str(eid), line))
+                pend.append(
+                    (ts_ms, str(eid), line if isinstance(line, str) else None)
+                )
         pend.sort(key=lambda e: (e[0], e[1]))
         stable = [e for e in pend if e[0] < wm]
         pend = [e for e in pend if e[0] >= wm]
@@ -460,10 +479,7 @@ def start_transcript_stream_watermarked(
         "timestamp",
         "event_id",
         "ts",
-        F.concat(
-            F.col("sender"), F.lit(" "), F.col("event_type"), F.lit(": "),
-            F.coalesce(F.col("content"), F.lit("")),
-        ).alias("line"),
+        streaming_turn_line().alias("line"),
     ).withWatermark("ts", lateness)
     closed = lined.groupBy("__skey").applyInPandasWithState(
         _make_wm_transcript_updater(int(gap_minutes) * 60_000, int(max_turns)),

@@ -1232,6 +1232,15 @@ def test_transcript_repair_converges_late_event_drift(spark, tmp_path):
     )
     assert repaired == ["@a", "@b"]
     assert _rows(spark, tgt) == sorted(tuple(r) for r in rows)
+    # the no-authority contract: a target row carrying a final-session
+    # identity (here: written by the export-mode repair, in production
+    # by a flush_idle close) is excluded from the default compare AND
+    # preserved through rewrites — a subsequent include_open=False
+    # repair detects nothing and deletes nothing
+    assert repair_transcripts(
+        spark, str(src), str(tgt), gap_minutes=30, max_turns=4
+    ) == []
+    assert _rows(spark, tgt) == sorted(tuple(r) for r in rows)
 
 
 def test_transcript_repair_deletes_spurious_sender(spark, tmp_path):
@@ -1260,6 +1269,64 @@ def test_transcript_repair_deletes_spurious_sender(spark, tmp_path):
     assert "@ghost" in got
     remaining = {r[0] for r in _rows(spark, tgt)}
     assert "@ghost" not in remaining
+    # explicit-senders form: sender-scoped batch derivation, same delete
+    _session_upsert(ghost, str(tgt))
+    assert repair_transcripts(
+        spark, str(src), str(tgt), senders=["@ghost"]
+    ) == ["@ghost"]
+    assert "@ghost" not in {r[0] for r in _rows(spark, tgt)}
+
+
+def test_transcript_stream_skips_null_sender_and_null_type_line(spark, tmp_path):
+    """Hardening from review: a keyless event (no sender) is dropped by
+    the upsert stream AND the batch derivation (a name-keyed repair
+    could neither rewrite nor delete a NULL key); a typeless event
+    renders a NULL line that fills its turn slot but is skipped in the
+    joined transcript — matching the batch operator's array_join
+    semantics — instead of crashing the stream."""
+    import json as _json
+
+    from beeper_matric_etl_tool_spark.streaming.reconcile import (
+        batch_transcripts,
+        start_transcript_upsert_stream,
+    )
+
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "tgt", tmp_path / "ckpt"
+    src.mkdir()
+    no_sender = _json.dumps({
+        "event_id": "x1", "room_id": "!r1", "sender": None,
+        "event_type": "m.text", "timestamp": T0_MS, "is_encrypted": False,
+        "content": "ghost", "relates_to": None,
+    })
+    no_type = _json.dumps({
+        "event_id": "a2", "room_id": "!r1", "sender": "@a",
+        "event_type": None, "timestamp": T0_MS + 60_000, "is_encrypted": False,
+        "content": "typeless", "relates_to": None,
+    })
+    _write_file(src, "f1.json", [
+        _tev("a1", "@a", 0, "one"), no_sender, no_type,
+    ])
+    _write_file(src, "f2.json", [_tev("a9", "@a", 200, "closer")])
+    q = start_transcript_upsert_stream(
+        spark, str(src), str(tgt), str(ckpt), gap_minutes=30,
+        max_turns=4, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    rows = _rows(spark, tgt)
+    senders = {r[0] for r in rows}
+    assert None not in senders  # keyless event never entered a timeline
+    [a] = [r for r in rows if r[0] == "@a"]
+    # the typeless event fills a turn slot (n_turns counts it) but its
+    # NULL line is skipped in the rendered transcript
+    assert a[3] == 2 and a[4] == 2  # n_events, n_turns
+    assert a[6] == "@a m.text: one"
+    # batch twin agrees on both rules
+    b = {
+        r["sender"]: r
+        for r in batch_transcripts(spark, str(src)).collect()
+    }
+    assert set(b) == {"@a"}
 
 
 def test_session_upsert_replay_is_idempotent(spark, tmp_path):
