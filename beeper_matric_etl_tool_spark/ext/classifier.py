@@ -502,11 +502,11 @@ def threshold_sweep(
     if spread:
         from beeper_matric_etl_tool_spark.ext.pipeline import _spread_prefix
 
+        # ONE range exchange carries both running totals (the helper's
+        # multi-weight form) — inclusive cumulatives = exclusive + own
         gp = _spread_prefix(
-            g, "__pos", order, grp, partitions, out_col="__tp_x"
-        )
-        gp = _spread_prefix(
-            gp, "__neg", order, grp, partitions, out_col="__fp_x"
+            g, ["__pos", "__neg"], order, grp, partitions,
+            out_col=["__tp_x", "__fp_x"],
         )
         gp = (
             gp.withColumn("__tp", F.col("__tp_x") + F.col("__pos"))

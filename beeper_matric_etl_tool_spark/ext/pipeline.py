@@ -471,11 +471,11 @@ def _join_back_nullsafe(
 
 def _spread_prefix(
     df: DataFrame,
-    weight_col: str,
+    weight_col: str | list[str],
     order: list[Column],
     grp: list[str],
     partitions: int | None = None,
-    out_col: str = "__prefix",
+    out_col: str | list[str] = "__prefix",
 ) -> DataFrame:
     """Distributed EXCLUSIVE prefix sum — `_spread_ranked`'s sibling for
     running-total operators (token packing): appends ``out_col`` = the
@@ -498,8 +498,20 @@ def _spread_prefix(
     null-safely (a NULL group value accumulates its own prefix instead
     of silently dropping), and composition refuses when
     spark.sql.exchange.reuse is off (the sums and cumsum branches must
-    observe one boundary sample)."""
+    observe one boundary sample).
+
+    ``weight_col``/``out_col`` also accept equal-length LISTS: all the
+    running totals then ride ONE range exchange and one offsets
+    broadcast instead of re-partitioning per weight — the form
+    `threshold_sweep` uses for its tp/fp cumulative pair."""
     _require_exchange_reuse(df, "_spread_prefix")
+    weights = [weight_col] if isinstance(weight_col, str) else list(weight_col)
+    outs = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(weights) != len(outs):
+        raise ValueError(
+            f"_spread_prefix: {len(weights)} weight columns need "
+            f"{len(weights)} out columns, got {len(outs)}"
+        )
     n_parts = int(
         partitions
         if partitions is not None
@@ -509,7 +521,7 @@ def _spread_prefix(
     rp = df.repartitionByRange(n_parts, *grp_exprs, *order)
     withpid = rp.withColumn("__pid", F.spark_partition_id())
     sums = withpid.groupBy("__pid", *grp).agg(
-        F.sum(weight_col).alias("__wsum")
+        *[F.sum(w).alias(f"__wsum{i}") for i, w in enumerate(weights)]
     )
     woff = (
         Window.partitionBy(*grp)
@@ -519,25 +531,29 @@ def _spread_prefix(
     offs = sums.select(
         "__pid",
         *grp,
-        F.coalesce(F.sum("__wsum").over(woff), F.lit(0)).alias("__woff"),
+        *[
+            F.coalesce(F.sum(f"__wsum{i}").over(woff), F.lit(0)).alias(
+                f"__woff{i}"
+            )
+            for i in range(len(weights))
+        ],
     )
     wloc = (
         Window.partitionBy("__pid", *grp)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
-        _join_back_nullsafe(withpid, offs, grp)
-        .withColumn(
-            out_col,
-            F.coalesce(F.sum(weight_col).over(wloc), F.lit(0))
-            + F.col("__woff"),
+    joined = _join_back_nullsafe(withpid, offs, grp)
+    for i, (w, o) in enumerate(zip(weights, outs)):
+        joined = joined.withColumn(
+            o,
+            F.coalesce(F.sum(w).over(wloc), F.lit(0))
+            + F.col(f"__woff{i}"),
         )
-        # the name-keyed join moved the keys to the front — restore the
-        # caller's column order (an observable schema for positional
-        # consumers), appending only out_col
-        .select(*df.columns, out_col)
-    )
+    # the name-keyed join moved the keys to the front — restore the
+    # caller's column order (an observable schema for positional
+    # consumers), appending only the out columns
+    return joined.select(*df.columns, *outs)
 
 
 def _rank_le_boundary(
