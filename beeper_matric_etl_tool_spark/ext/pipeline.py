@@ -507,10 +507,10 @@ def _spread_prefix(
     _require_exchange_reuse(df, "_spread_prefix")
     weights = [weight_col] if isinstance(weight_col, str) else list(weight_col)
     outs = [out_col] if isinstance(out_col, str) else list(out_col)
-    if len(weights) != len(outs):
+    if not weights or len(weights) != len(outs):
         raise ValueError(
-            f"_spread_prefix: {len(weights)} weight columns need "
-            f"{len(weights)} out columns, got {len(outs)}"
+            f"_spread_prefix: need >=1 weight column with matching out "
+            f"columns, got {len(weights)} weights / {len(outs)} outs"
         )
     n_parts = int(
         partitions
