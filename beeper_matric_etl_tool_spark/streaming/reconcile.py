@@ -6,10 +6,10 @@ can drift from the batch-exact derivation. This module makes the drift
 REPAIRABLE in place instead of "re-export everything":
 
 - :func:`start_transcript_upsert_stream` — the same stateful assembler,
-  but writing through `sinks.partitioned_upsert` into a sender-hash-
+  but writing through `sinks.partitioned_upsert` into a key-hash-
   bucketed layout (the `start_user_profiles` pattern) instead of the
   native append-only file sink. Exactly-once comes from session-identity
-  replacement ((sender, session_start_ms) is the merge key), so a
+  replacement ((key, session_start_ms) is the merge key), so a
   replayed micro-batch rewrites the same session rows; the bucketed
   layout is what lets the repair touch ONLY affected partitions (the
   native file sink's `_spark_metadata` log forbids batch rewrites, which
@@ -19,26 +19,42 @@ REPAIRABLE in place instead of "re-export everything":
   SAME source files in the streaming output schema (ms longs), reusing
   `ext/transcripts.py:assemble_transcripts` with the streaming turn-line
   rendering (the parity contract the streaming tests pin).
-- :func:`repair_transcripts` — detect senders whose streamed rows differ
-  from the batch derivation (per-sender count + order-free checksum
-  compare; or an explicit ``senders`` list) and dynamic-overwrite ONLY
+- :func:`repair_transcripts` — detect keys whose streamed rows differ
+  from the batch derivation (per-key count + order-free checksum
+  compare; or an explicit ``keys`` list) and dynamic-overwrite ONLY
   their rows via the same partitioned upsert, converging the target to
   the batch-exact transcripts. With ``include_open=False`` (default —
-  stream still running) each sender's FINAL batch session is treated as
+  stream still running) each key's FINAL batch session is treated as
   the stream's open session and left out of both compare and rewrite;
   ``include_open=True`` is the export/quiesced mode that converges the
   target to the full batch output.
 
-Scale shape: the repair reads the target once for detection (per-sender
-map-side-combined agg — no corpus shuffle beyond the sender key), derives
-batch transcripts only to session-sized relations, and the rewrite I/O is
-touched-buckets-only (`partitioned_upsert`'s contract). Detection uses a
-64-bit-summed crc32 checksum — collisions are astronomically unlikely but
-possible; pass ``senders=`` explicitly when exactness of the DETECTION
-(not the repair itself) must be absolute.
+Every function takes ``key_col`` — 'sender' (the per-user timeline,
+default) or 'room_id' (the multi-speaker room document, the reference's
+natural unit: its timeline listener consumes an ordered per-room stream,
+reference src/app/matrix/client.ts:271-279). Whatever the key column,
+the TARGET schema names the key slot 'sender' (`TRANSCRIPT_COLUMNS`) —
+the same slot-aliasing contract the stateful assemblers use
+(`streaming/stateful.py:start_transcript_stream`), so one repair
+implementation serves both stream shapes.
+
+Scale shape: the repair reads the target once for detection (per-key
+map-side-combined agg — no corpus shuffle beyond the key), derives
+batch transcripts only to session-sized relations, the affected-key set
+stays a DATAFRAME end to end (semi/anti joins, never a driver-side list
+— full drift of a corpus-sized key space repairs without driver
+materialization; AQE broadcasts the key set when it is small), and the
+rewrite I/O is touched-buckets-only (`partitioned_upsert`'s contract;
+the only collects are bucket ids, bounded by the bucket count).
+Detection uses a per-field null-flagged, 64-bit-summed crc32 checksum —
+collisions are astronomically unlikely but possible; pass ``keys=``
+explicitly when exactness of the DETECTION (not the repair itself) must
+be absolute.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,18 +70,25 @@ from beeper_matric_etl_tool_spark.streaming.stateful import streaming_turn_line
 
 #: the transcript-row columns, in the streaming output order — the shared
 #: schema contract between the stateful assembler, the batch derivation
-#: and the repair compare
+#: and the repair compare. 'sender' is the KEY SLOT: it holds the room id
+#: when the stream is room-keyed (key_col='room_id').
 TRANSCRIPT_COLUMNS = (
     "sender", "session_start_ms", "session_end_ms",
     "n_events", "n_turns", "n_tokens", "transcript",
 )
+
+#: active upsert streams by query id → absolute target dir; maintained by
+#: :func:`start_transcript_upsert_stream` so :func:`repair_transcripts`
+#: can refuse to rewrite a target a live query in THIS session is still
+#: writing (see the repair docstring's quiesce contract).
+_ACTIVE_UPSERT_TARGETS: dict[str, str] = {}
 
 
 def _session_upsert(batch: DataFrame, target_dir: str) -> None:
     """Upsert closed-session rows by SESSION identity: replace any
     existing row with the same (sender, session_start_ms), append the
     rest. Micro-batch replay after a crash rewrites the same sessions —
-    idempotent; bucketing stays on the sender hash so one sender's rows
+    idempotent; bucketing stays on the key hash so one key's rows
     always live in one bucket (the repair's pruning unit)."""
 
     def merge(existing: DataFrame | None, b: DataFrame) -> DataFrame:
@@ -92,13 +115,18 @@ def start_transcript_upsert_stream(
     flush_idle: bool = False,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    key_col: str = "sender",
 ) -> StreamingQuery:
     """`start_transcript_stream` with a REPAIRABLE target: closed
-    sessions upsert into a sender-bucketed parquet layout via
-    foreachBatch instead of appending through the native file sink.
-    Same stateful assembler, same output schema, same session semantics
-    (see streaming/stateful.py); what changes is the write path — and
-    therefore what `repair_transcripts` is allowed to rewrite."""
+    sessions upsert into a key-bucketed parquet layout via foreachBatch
+    instead of appending through the native file sink. Same stateful
+    assembler, same output schema, same session semantics (see
+    streaming/stateful.py); what changes is the write path — and
+    therefore what `repair_transcripts` is allowed to rewrite.
+
+    ``key_col`` follows the assemblers' contract: 'sender' or 'room_id';
+    the key value lands in the output's 'sender' slot either way, and
+    turn lines keep their per-event speaker tag."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from beeper_matric_etl_tool_spark.streaming.stateful import (
@@ -112,15 +140,18 @@ def start_transcript_upsert_stream(
     ).filter(
         F.col("error").isNull()
         & F.col("timestamp").isNotNull()
-        # a keyless event belongs to no sender timeline — dropped here
-        # AND in batch_transcripts, so the repair compare never sees a
-        # NULL key (name-keyed joins cannot match one)
-        & F.col("sender").isNotNull()
+        # a keyless event belongs to no timeline — dropped here AND in
+        # batch_transcripts, so the repair compare never sees a NULL key
+        # (name-keyed joins cannot match one)
+        & F.col(key_col).isNotNull()
     )
     lined = events.select(
-        "sender", "timestamp", "event_id", streaming_turn_line().alias("line")
+        F.col(key_col).cast("string").alias("__skey"),
+        "timestamp",
+        "event_id",
+        streaming_turn_line().alias("line"),
     )
-    closed = lined.groupBy("sender").applyInPandasWithState(
+    closed = lined.groupBy("__skey").applyInPandasWithState(
         _make_transcript_updater(
             int(gap_minutes) * 60_000, int(max_turns), flush_idle
         ),
@@ -146,7 +177,9 @@ def start_transcript_upsert_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    q = writer.start()
+    _ACTIVE_UPSERT_TARGETS[q.id] = os.path.abspath(target_dir)
+    return q
 
 
 def batch_transcripts(
@@ -154,36 +187,43 @@ def batch_transcripts(
     source_dir: str,
     gap_minutes: int = 30,
     max_turns: int = 64,
+    keys: list[str] | None = None,
+    key_col: str = "sender",
     senders: list[str] | None = None,
 ) -> DataFrame:
     """The ORDER-EXACT batch derivation of the stream's source files, in
     the streaming output schema (`TRANSCRIPT_COLUMNS`, ms longs): parse
-    the same JSON lines, drop dead-letter / NULL-timestamp / NULL-sender
+    the same JSON lines, drop dead-letter / NULL-timestamp / NULL-key
     rows (the upsert stream's own filter), assemble with the SHARED
     streaming turn rendering (`stateful.streaming_turn_line`). This is
-    the ground truth the repair converges the target toward.
+    the ground truth the repair converges the target toward — and the
+    EXPORT fixed point of the watermarked assembler (see
+    `streaming/stateful.py:finalize_transcripts`).
 
-    ``senders`` restricts the derivation to those keys BEFORE
-    sessionization — sound because sessions are per-sender windows, so
-    filtering first is semantically identical and drops a one-sender
-    repair from corpus-sized to sender-sized."""
+    ``keys`` restricts the derivation to those key values BEFORE
+    sessionization — sound because sessions are per-key windows, so
+    filtering first is semantically identical and drops a one-key
+    repair from corpus-sized to key-sized. ``senders`` is the legacy
+    alias of ``keys``."""
+    if keys is None:
+        keys = senders
     parsed = parse_events(spark.read.text(source_dir)).filter(
         F.col("error").isNull()
         & F.col("timestamp").isNotNull()
-        & F.col("sender").isNotNull()
+        & F.col(key_col).isNotNull()
     )
-    if senders is not None:
-        parsed = parsed.filter(F.col("sender").isin(list(senders)))
+    if keys is not None:
+        parsed = parsed.filter(F.col(key_col).isin(list(keys)))
     return assemble_transcripts(
-        parsed,
+        parsed.withColumn("__skey", F.col(key_col).cast("string")),
         line=streaming_turn_line(),
         ts_col="ts",
-        user_col="sender",
+        user_col="__skey",
         order_col="event_id",
         gap_minutes=gap_minutes,
         max_turns=max_turns,
     ).select(
-        "sender",
+        F.col("__skey").alias("sender"),
         F.unix_millis("session_start").alias("session_start_ms"),
         F.unix_millis("session_end").alias("session_end_ms"),
         "n_events", "n_turns", "n_tokens", "transcript",
@@ -191,7 +231,7 @@ def batch_transcripts(
 
 
 def _final_session_identities(batch: DataFrame) -> DataFrame:
-    """(sender, session_start_ms) of each sender's LAST batch session —
+    """(sender, session_start_ms) of each key's LAST batch session —
     the one the repair claims NO authority over under
     ``include_open=False``: in a live stream it is still open in the
     state store (a gap-sessionizer only closes on a later event or an
@@ -206,20 +246,46 @@ def _final_session_identities(batch: DataFrame) -> DataFrame:
     )
 
 
-def _sender_checksums(df: DataFrame) -> DataFrame:
+def _key_checksums(df: DataFrame) -> DataFrame:
     """(sender, __n, __ck): row count + order-free 64-bit checksum of the
-    full row content — the per-sender compare unit. crc32 is summed as a
+    full row content — the per-key compare unit. crc32 is summed as a
     long, so partition layout cannot move the value. Fields join under
     an explicit unit separator: with no delimiter, adjacent numeric
     fields would make STRUCTURAL collisions ((1, 12) vs (11, 2)
-    concatenate identically) — not crc32-random at all."""
-    row = F.concat_ws(
-        "\x1f", *[F.col(c).cast("string") for c in TRANSCRIPT_COLUMNS]
-    )
+    concatenate identically) — not crc32-random at all. Each field also
+    carries an explicit null flag: concat_ws SKIPS null arguments (it
+    does not render them), so without the flag a NULL and an empty
+    string would hash identically and a NULL-vs-'' drift would evade
+    detection."""
+    parts: list[F.Column] = []
+    for c in TRANSCRIPT_COLUMNS:
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+        parts.append(F.isnull(F.col(c)).cast("int"))
+    row = F.concat_ws("\x1f", *parts)
     return df.groupBy("sender").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(F.crc32(row)).alias("__ck"),
     )
+
+
+def _require_quiesced(spark: SparkSession, target_dir: str) -> None:
+    """Refuse to repair a target an ACTIVE upsert stream in this session
+    is still writing: the repair rmtree's bucket directories and
+    dynamic-overwrites partitions, and a racing micro-batch could
+    resurrect pre-repair rows or read half-deleted buckets. This guard
+    catches the in-session footgun; across sessions the quiesce
+    requirement is a documented precondition the operator must enforce
+    (stop or drain the stream first)."""
+    tgt = os.path.abspath(target_dir)
+    active = {q.id for q in spark.streams.active}
+    for qid, qtgt in _ACTIVE_UPSERT_TARGETS.items():
+        if qtgt == tgt and qid in active:
+            raise RuntimeError(
+                f"repair_transcripts: streaming query {qid} is actively "
+                f"writing {target_dir!r}; stop or drain it before "
+                f"repairing (the rewrite is not safe concurrently with "
+                f"the upsert stream's foreachBatch)"
+            )
 
 
 def repair_transcripts(
@@ -228,22 +294,42 @@ def repair_transcripts(
     target_dir: str,
     gap_minutes: int = 30,
     max_turns: int = 64,
-    senders: list[str] | None = None,
+    keys: list[str] | None = None,
     include_open: bool = False,
-) -> list[str]:
+    key_col: str = "sender",
+    senders: list[str] | None = None,
+) -> DataFrame:
     """Converge a streamed transcript target (the
     :func:`start_transcript_upsert_stream` layout) to the batch-exact
-    derivation for every sender whose rows drifted — the late-event
-    repair job. Returns the repaired senders (sorted).
+    derivation for every key whose rows drifted — the late-event
+    repair job. Returns the affected keys as a ONE-COLUMN DATAFRAME
+    (``sender``), already materialized (localCheckpoint) so it stays
+    valid after the rewrite; collect it only when you know the drifted
+    set is small — under full drift it is corpus-keyed, which is
+    exactly why the repair itself never materializes it on the driver
+    (the only collects in this function are bucket ids, bounded by the
+    bucket count).
 
-    ``senders=None`` detects drift by per-sender count+checksum compare
+    **Quiesce contract (hard precondition):** no live
+    `start_transcript_upsert_stream` query may be writing
+    ``target_dir`` while the repair runs — the rewrite deletes and
+    dynamic-overwrites the very partitions a racing micro-batch would
+    read and write, with no commit protocol between them. Queries
+    started in THIS session are checked and refused automatically;
+    cross-session writers must be stopped (or fully drained via
+    ``trigger(availableNow=True)`` termination) by the operator.
+
+    ``keys=None`` detects drift by per-key count+checksum compare
     between the target and :func:`batch_transcripts` (full outer on the
-    sender, so senders missing from either side are caught); an explicit
-    ``senders`` list ALSO narrows the batch derivation to those keys
-    (sender-sized repair cost, see `batch_transcripts`).
+    key, so keys missing from either side are caught); an explicit
+    ``keys`` list ALSO narrows the batch derivation to those values
+    (key-sized repair cost, see `batch_transcripts`). ``senders`` is
+    the legacy alias of ``keys``. ``key_col`` selects the timeline key
+    of the SOURCE ('sender' or 'room_id' — the multi-speaker room
+    stream); the target schema's key slot is named 'sender' either way.
 
     ``include_open=False`` (default) claims no authority over each
-    sender's FINAL batch session: its (sender, session_start_ms)
+    key's FINAL batch session: its (sender, session_start_ms)
     identity is excluded from the drift compare on BOTH sides, it is
     never written, and a target row already carrying that identity is
     preserved verbatim through a rewrite — so repairing between
@@ -256,24 +342,27 @@ def repair_transcripts(
     The rewrite uses the `sinks.partitioned_upsert` layout primitives
     directly (same bucket formula, same dynamic-overwrite discipline)
     rather than the sink itself, because a repair can be DELETION-ONLY
-    for a sender (spurious streamed rows, zero batch rows): touched
-    buckets derive from the AFFECTED-SENDER list, not from the rewrite
+    for a key (spurious streamed rows, zero batch rows): touched
+    buckets derive from the AFFECTED-KEY set, not from the rewrite
     rows, and a touched bucket whose merge output is empty has its
     partition directory removed explicitly (dynamic overwrite only
-    replaces partitions present in the output). Affected senders' rows
+    replaces partitions present in the output). Affected keys' rows
     are replaced wholesale; untouched buckets are never read and stay
-    byte-identical (the sink's pinned contract)."""
-    import os
+    byte-identical (the sink's pinned contract, re-pinned for this
+    path in tests/test_streaming.py)."""
     import shutil
 
+    if keys is None:
+        keys = senders
+    _require_quiesced(spark, target_dir)
     batch = batch_transcripts(
-        spark, source_dir, gap_minutes, max_turns, senders=senders
+        spark, source_dir, gap_minutes, max_turns, keys=keys, key_col=key_col
     ).localCheckpoint(eager=True)
     final_ids = None
     if not include_open:
         final_ids = _final_session_identities(batch)
         batch_scope = batch.join(
-            F.broadcast(final_ids),
+            final_ids,
             on=["sender", "session_start_ms"],
             how="left_anti",
         )
@@ -286,18 +375,18 @@ def repair_transcripts(
         if final_ids is None:
             return df
         return df.join(
-            F.broadcast(final_ids),
+            final_ids,
             on=["sender", "session_start_ms"],
             how="left_anti",
         )
 
-    if senders is None:
+    if keys is None:
         if sinks.has_parquet(target_dir):
             tgt = spark.read.parquet(target_dir).select(*TRANSCRIPT_COLUMNS)
         else:
             tgt = batch.filter(F.lit(False))
-        cmp_ = _sender_checksums(batch_scope).join(
-            _sender_checksums(_without_final(tgt)).select(
+        cmp_ = _key_checksums(batch_scope).join(
+            _key_checksums(_without_final(tgt)).select(
                 F.col("sender"),
                 F.col("__n").alias("__tn"),
                 F.col("__ck").alias("__tck"),
@@ -305,30 +394,44 @@ def repair_transcripts(
             on="sender",
             how="full_outer",
         )
-        affected = [
-            r["sender"]
-            for r in cmp_.filter(
+        # the affected-key set stays a DataFrame: under full drift it is
+        # corpus-keyed, so a driver-side list would OOM the driver and an
+        # isin() literal would blow up the plan. A NULL key cannot exist
+        # in either plane (both filter the key NOT NULL) — dropped
+        # defensively: name-keyed joins could neither rewrite nor delete
+        # it. localCheckpoint both cuts the checksum-compare lineage (the
+        # set is consumed by three joins + the bucket collect) and keeps
+        # the returned frame valid after the target is overwritten.
+        affected = (
+            cmp_.filter(
                 ~(
                     F.col("__n").eqNullSafe(F.col("__tn"))
                     & F.col("__ck").eqNullSafe(F.col("__tck"))
                 )
-            ).select("sender").collect()
-            # a NULL key cannot exist in either plane (both filter
-            # sender IS NOT NULL) — dropped defensively: name-keyed
-            # joins could neither rewrite nor delete it
-            if r["sender"] is not None
-        ]
+            )
+            .select("sender")
+            .filter(F.col("sender").isNotNull())
+            .localCheckpoint(eager=True)
+        )
     else:
-        affected = [x for x in senders if x is not None]
-    if not affected:
-        return []
+        affected = spark.createDataFrame(
+            [(k,) for k in keys if k is not None], "sender string"
+        ).localCheckpoint(eager=True)
+    if affected.isEmpty():
+        return affected
 
     bucket = sinks.key_bucket(["sender"], sinks.DEFAULT_UPSERT_BUCKETS)
-    aff = spark.createDataFrame([(s,) for s in affected], "sender string")
-    touched = [r[0] for r in aff.select(bucket.alias("b")).distinct().collect()]
-    repaired = batch_scope.filter(F.col("sender").isin(affected)).withColumn(
-        sinks.BUCKET_COL, bucket
-    )
+    # bounded collect: distinct BUCKET ids of the affected keys — at most
+    # DEFAULT_UPSERT_BUCKETS rows regardless of drift size
+    touched = [
+        r[0] for r in affected.select(bucket.alias("b")).distinct().collect()
+    ]
+    # semi/anti joins carry the affected set to the executors; AQE
+    # broadcasts it when small (the designed few-drifted-keys case) and
+    # shuffles it when corpus-sized (full drift) — never an isin literal
+    repaired = batch_scope.join(
+        affected, on="sender", how="left_semi"
+    ).withColumn(sinks.BUCKET_COL, bucket)
     existing = None
     if sinks.has_parquet(target_dir):
         existing = spark.read.parquet(target_dir).filter(
@@ -337,14 +440,14 @@ def repair_transcripts(
     if existing is None:
         merged = repaired
     else:
-        # replace the affected senders' rows WHOLESALE — the repair owns
+        # replace the affected keys' rows WHOLESALE — the repair owns
         # their full session history, not individual session identities
         # (a spurious streamed session has no batch counterpart to
         # match) — EXCEPT rows in the no-authority zone (an affected
-        # sender's idle-flushed final session survives verbatim)
+        # key's idle-flushed final session survives verbatim)
         keep_final = (
-            existing.filter(F.col("sender").isin(affected)).join(
-                F.broadcast(final_ids),
+            existing.join(affected, on="sender", how="left_semi").join(
+                final_ids,
                 on=["sender", "session_start_ms"],
                 how="left_semi",
             )
@@ -352,7 +455,7 @@ def repair_transcripts(
             else existing.filter(F.lit(False))
         )
         merged = (
-            existing.filter(~F.col("sender").isin(affected))
+            existing.join(affected, on="sender", how="left_anti")
             .unionByName(keep_final)
             .unionByName(repaired.select(*existing.columns))
         )
@@ -375,4 +478,4 @@ def repair_transcripts(
             os.path.join(target_dir, f"{sinks.BUCKET_COL}={b}"),
             ignore_errors=True,
         )
-    return sorted(affected)
+    return affected

@@ -169,7 +169,13 @@ def _closed_session(key: str, st: tuple, gap_ms: int) -> dict:
         "session_end_ms": last_ms + gap_ms,
         "n_events": n_events,
         "n_turns": len(turns),
-        "n_tokens": len(transcript.split(" ")) if transcript else 0,
+        # UNCONDITIONAL split — the batch plane's token_count is
+        # size(split(text, " ")), which is 1 for the empty string, and
+        # python's "".split(" ") == [""] agrees. A former `if transcript
+        # else 0` guard here made an ALL-typeless session (every turn a
+        # NULL line → empty transcript) violate the stream≡batch parity
+        # contract and read as drift to repair_transcripts.
+        "n_tokens": len(transcript.split(" ")),
         "transcript": transcript,
     }
 

@@ -1167,6 +1167,12 @@ def _rows(spark, tgt):
     )
 
 
+def _affected(result):
+    """repair_transcripts returns the affected keys as a DataFrame (never
+    a driver list — the full-drift scale contract); tests collect it."""
+    return sorted(r[0] for r in result.collect())
+
+
 def test_transcript_repair_converges_late_event_drift(spark, tmp_path):
     """The late-event reconciliation story end to end: a redelivered
     event older than a CLOSED session corrupts the streamed assembly
@@ -1214,15 +1220,15 @@ def test_transcript_repair_converges_late_event_drift(spark, tmp_path):
     )
     # detection flags ONLY the drifted sender; the repair converges the
     # target to the batch-exact closed sessions
-    assert repair_transcripts(spark, str(src), str(tgt),
-                              gap_minutes=30, max_turns=4) == ["@a"]
+    assert _affected(repair_transcripts(spark, str(src), str(tgt),
+                                        gap_minutes=30, max_turns=4)) == ["@a"]
     assert _rows(spark, tgt) == expected_closed
     fixed = dict(((r[0], r[1]), r[6]) for r in _rows(spark, tgt))
     assert fixed[("@a", T0_MS)] == "@a m.text: one\n@a m.text: late"
     assert fixed[("@a", T0_MS + 60 * 60_000)] == "@a m.text: two"
     # converged: a second repair detects nothing and changes nothing
-    assert repair_transcripts(spark, str(src), str(tgt),
-                              gap_minutes=30, max_turns=4) == []
+    assert _affected(repair_transcripts(spark, str(src), str(tgt),
+                                        gap_minutes=30, max_turns=4)) == []
     assert _rows(spark, tgt) == expected_closed
     # export mode: include_open converges to the FULL batch derivation
     # (both senders gain their final, still-open session)
@@ -1230,16 +1236,16 @@ def test_transcript_repair_converges_late_event_drift(spark, tmp_path):
         spark, str(src), str(tgt), gap_minutes=30, max_turns=4,
         include_open=True,
     )
-    assert repaired == ["@a", "@b"]
+    assert _affected(repaired) == ["@a", "@b"]
     assert _rows(spark, tgt) == sorted(tuple(r) for r in rows)
     # the no-authority contract: a target row carrying a final-session
     # identity (here: written by the export-mode repair, in production
     # by a flush_idle close) is excluded from the default compare AND
     # preserved through rewrites — a subsequent include_open=False
     # repair detects nothing and deletes nothing
-    assert repair_transcripts(
+    assert _affected(repair_transcripts(
         spark, str(src), str(tgt), gap_minutes=30, max_turns=4
-    ) == []
+    )) == []
     assert _rows(spark, tgt) == sorted(tuple(r) for r in rows)
 
 
@@ -1265,15 +1271,16 @@ def test_transcript_repair_deletes_spurious_sender(spark, tmp_path):
         "n_events long, n_turns long, n_tokens long, transcript string",
     )
     _session_upsert(ghost, str(tgt))
-    got = repair_transcripts(spark, str(src), str(tgt))
+    got = _affected(repair_transcripts(spark, str(src), str(tgt)))
     assert "@ghost" in got
     remaining = {r[0] for r in _rows(spark, tgt)}
     assert "@ghost" not in remaining
-    # explicit-senders form: sender-scoped batch derivation, same delete
+    # explicit-keys form: key-scoped batch derivation, same delete (the
+    # legacy `senders=` alias is pinned here on purpose)
     _session_upsert(ghost, str(tgt))
-    assert repair_transcripts(
+    assert _affected(repair_transcripts(
         spark, str(src), str(tgt), senders=["@ghost"]
-    ) == ["@ghost"]
+    )) == ["@ghost"]
     assert "@ghost" not in {r[0] for r in _rows(spark, tgt)}
 
 
@@ -1354,6 +1361,282 @@ def test_session_upsert_replay_is_idempotent(spark, tmp_path):
     _session_upsert(b2, str(tgt))
     rows = _rows(spark, tgt)
     assert len(rows) == 2 and {r[1] for r in rows} == {1000, 9000}
+
+
+def test_repair_full_drift_no_driver_key_materialization(spark, tmp_path, monkeypatch):
+    """Full drift — empty/lost target, EVERY key drifted: the repair
+    converges from nothing to the batch-exact closed sessions without
+    ever materializing the affected-key set on the driver. Spy-pinned:
+    every DataFrame.collect() issued during the repair returns at most
+    DEFAULT_UPSERT_BUCKETS rows (bucket ids — the function's documented
+    collect bound); the affected keys come back as a DataFrame."""
+    # patch the CONCRETE class — pyspark 4 instances are
+    # sql.classic.dataframe.DataFrame, which overrides collect()
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from beeper_matric_etl_tool_spark import sinks
+    from beeper_matric_etl_tool_spark.streaming.reconcile import (
+        batch_transcripts,
+        repair_transcripts,
+    )
+
+    src, tgt = tmp_path / "src", tmp_path / "tgt"
+    src.mkdir()
+    lines = []
+    for i in range(40):  # more keys than buckets — full drift spans all 16
+        s = f"@u{i:02d}"
+        lines += [_tev(f"{s}-1", s, 0, "one"), _tev(f"{s}-2", s, 200, "closer")]
+    _write_file(src, "f1.json", lines)
+
+    collected_sizes = []
+    real_collect = DataFrame.collect
+
+    def spy(self):
+        rows = real_collect(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    res = repair_transcripts(spark, str(src), str(tgt))
+    monkeypatch.undo()
+    assert collected_sizes  # the bucket collects did run through the spy
+    assert max(collected_sizes) <= sinks.DEFAULT_UPSERT_BUCKETS
+    assert res.count() == 40  # every key was (correctly) affected
+    rows_b = batch_transcripts(spark, str(src)).collect()
+    last = {}
+    for r in rows_b:
+        last[r["sender"]] = max(last.get(r["sender"], -1), r["session_start_ms"])
+    expected = sorted(
+        tuple(r) for r in rows_b if r["session_start_ms"] < last[r["sender"]]
+    )
+    assert _rows(spark, tgt) == expected
+
+
+def test_room_keyed_repair_converges(spark, tmp_path):
+    """key_col='room_id' through the whole reconcile tier: a room-keyed
+    upsert stream (the multi-speaker room document — the reference's
+    natural unit) drifts on a late redelivery; repair_transcripts
+    flags exactly the drifted room and converges its rows to the
+    batch-exact interleaved transcript. Speaker tags are per EVENT (the
+    line renders from the sender before the room key aliases into the
+    output's 'sender' slot)."""
+    import json as _json
+
+    from beeper_matric_etl_tool_spark.streaming.reconcile import (
+        batch_transcripts,
+        repair_transcripts,
+    )
+
+    def rev(eid, room, sender, ts_min, body):
+        return _json.dumps({
+            "event_id": eid, "room_id": room, "sender": sender,
+            "event_type": "m.text", "timestamp": T0_MS + ts_min * 60_000,
+            "is_encrypted": False, "content": body, "relates_to": None,
+        })
+
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "tgt", tmp_path / "ckpt"
+    src.mkdir()
+    _write_file(src, "f1.json", [
+        rev("a1", "!r1", "@a", 0, "hi"), rev("b1", "!r1", "@b", 1, "yo"),
+        rev("a2", "!r1", "@a", 60, "again"),
+        rev("c1", "!r2", "@c", 0, "solo"), rev("c2", "!r2", "@c", 90, "later"),
+    ])
+    # late redelivery: b0 at minute 3 belongs in !r1's CLOSED first
+    # session but extends the open one instead (arrival order)
+    _write_file(src, "f2.json", [rev("b0", "!r1", "@b", 3, "late")])
+    _write_file(src, "f3.json", [
+        rev("a9", "!r1", "@a", 200, "done"), rev("c9", "!r2", "@c", 300, "done"),
+    ])
+    _drain_upsert(spark, src, tgt, ckpt, gap_minutes=30, max_turns=8,
+                  key_col="room_id")
+
+    rows_b = batch_transcripts(
+        spark, str(src), gap_minutes=30, max_turns=8, key_col="room_id"
+    ).collect()
+    last = {}
+    for r in rows_b:
+        last[r["sender"]] = max(last.get(r["sender"], -1), r["session_start_ms"])
+    expected = sorted(
+        tuple(r) for r in rows_b if r["session_start_ms"] < last[r["sender"]]
+    )
+    # only the drifted room is flagged; the clean room is untouched
+    assert _affected(repair_transcripts(
+        spark, str(src), str(tgt), gap_minutes=30, max_turns=8,
+        key_col="room_id",
+    )) == ["!r1"]
+    assert _rows(spark, tgt) == expected
+    fixed = {(r[0], r[1]): r[6] for r in _rows(spark, tgt)}
+    # the repaired first session interleaves BOTH speakers in true
+    # (ts, event_id) order, late line included
+    assert fixed[("!r1", T0_MS)] == (
+        "@a m.text: hi\n@b m.text: yo\n@b m.text: late"
+    )
+    # converged: nothing further detected
+    assert _affected(repair_transcripts(
+        spark, str(src), str(tgt), gap_minutes=30, max_turns=8,
+        key_col="room_id",
+    )) == []
+
+
+def test_all_typeless_session_token_parity(spark, tmp_path):
+    """ADVICE r9 n_tokens edge: a session whose EVERY event is typeless
+    (NULL event_type → NULL turn line) renders an empty transcript; the
+    streaming plane must report n_tokens = 1 — the batch definition
+    size(split('', ' ')) — not 0, or repair_transcripts would flag the
+    sender as drifted forever."""
+    import json as _json
+
+    from beeper_matric_etl_tool_spark.streaming.reconcile import (
+        batch_transcripts,
+        repair_transcripts,
+    )
+
+    def tev_typeless(eid, sender, ts_min):
+        return _json.dumps({
+            "event_id": eid, "room_id": "!r1", "sender": sender,
+            "event_type": None, "timestamp": T0_MS + ts_min * 60_000,
+            "is_encrypted": False, "content": "ignored", "relates_to": None,
+        })
+
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "tgt", tmp_path / "ckpt"
+    src.mkdir()
+    _write_file(src, "f1.json", [
+        tev_typeless("t1", "@t", 0), tev_typeless("t2", "@t", 1),
+        _tev("t9", "@t", 200, "closer"),
+    ])
+    _drain_upsert(spark, src, tgt, ckpt, gap_minutes=30, max_turns=4)
+    [row] = _rows(spark, tgt)
+    assert row[0] == "@t" and row[6] == ""  # empty transcript
+    assert row[5] == 1  # n_tokens — the batch plane's size(split('',' '))
+    [brow] = [
+        r for r in batch_transcripts(spark, str(src)).collect()
+        if r["session_start_ms"] == T0_MS
+    ]
+    assert brow["n_tokens"] == 1 and brow["transcript"] == ""
+    # and therefore: no drift detected
+    assert _affected(repair_transcripts(spark, str(src), str(tgt))) == []
+
+
+def test_repair_refuses_active_upsert_stream(spark, tmp_path):
+    """Quiesce contract (ADVICE r9): while a live upsert stream is
+    writing the target, repair_transcripts refuses — its rmtree +
+    dynamic overwrite has no commit protocol against a racing
+    micro-batch. After the stream stops, the same repair proceeds."""
+    import time
+
+    import pytest
+
+    from beeper_matric_etl_tool_spark.streaming.reconcile import (
+        repair_transcripts,
+        start_transcript_upsert_stream,
+    )
+
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "tgt", tmp_path / "ckpt"
+    src.mkdir()
+    _write_file(src, "f1.json", [
+        _tev("a1", "@a", 0, "one"), _tev("a2", "@a", 200, "closer"),
+    ])
+    q = start_transcript_upsert_stream(
+        spark, str(src), str(tgt), str(ckpt), available_now=False,
+    )
+    try:
+        with pytest.raises(RuntimeError, match="actively writing"):
+            repair_transcripts(spark, str(src), str(tgt))
+    finally:
+        q.stop()
+    for _ in range(100):
+        if not q.isActive:
+            break
+        time.sleep(0.1)
+    assert not q.isActive
+    # quiesced: the guard clears and the repair runs normally
+    repair_transcripts(spark, str(src), str(tgt))
+
+
+def test_key_checksums_distinguish_null_from_empty(spark):
+    """ADVICE r9: concat_ws SKIPS null arguments, so without per-field
+    null flags a NULL transcript and an empty-string transcript would
+    checksum identically and a NULL-vs-'' drift would evade detection."""
+    from beeper_matric_etl_tool_spark.streaming.reconcile import (
+        _key_checksums,
+    )
+
+    schema = (
+        "sender string, session_start_ms long, session_end_ms long, "
+        "n_events long, n_turns long, n_tokens long, transcript string"
+    )
+    empty = spark.createDataFrame([("@x", 1, 2, 1, 1, 1, "")], schema)
+    nul = spark.createDataFrame([("@x", 1, 2, 1, 1, 1, None)], schema)
+    ck_empty = _key_checksums(empty).first()["__ck"]
+    ck_null = _key_checksums(nul).first()["__ck"]
+    assert ck_empty != ck_null
+
+
+def test_repair_leaves_untouched_buckets_byte_identical(spark, tmp_path):
+    """The repair's touched-buckets-only I/O claim, pinned physically
+    (the partitioned-sinks test pattern): after repairing ONE drifted
+    sender, every parquet file in every bucket other than that sender's
+    is byte-identical — untouched buckets were neither rewritten nor
+    reshuffled."""
+    import hashlib
+    import os as _os
+
+    from beeper_matric_etl_tool_spark import sinks
+    from beeper_matric_etl_tool_spark.streaming.reconcile import (
+        _session_upsert,
+        repair_transcripts,
+    )
+
+    def digests(root):
+        out = {}
+        for dirpath, dirs, files in _os.walk(root):
+            dirs[:] = [d for d in dirs if "=" in d or not d.startswith(("_", "."))]
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = _os.path.join(dirpath, f)
+                    with open(p, "rb") as fh:
+                        out[_os.path.relpath(p, root)] = hashlib.md5(
+                            fh.read()
+                        ).hexdigest()
+        return out
+
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "tgt", tmp_path / "ckpt"
+    src.mkdir()
+    lines = []
+    for i in range(40):
+        s = f"@u{i:02d}"
+        lines += [_tev(f"{s}-1", s, 0, "one"), _tev(f"{s}-2", s, 200, "closer")]
+    _write_file(src, "f1.json", lines)
+    _drain_upsert(spark, src, tgt, ckpt)
+    # drift exactly one sender: a spurious non-final session
+    ghost = spark.createDataFrame(
+        [("@u00", T0_MS + 50 * 60_000, T0_MS + 80 * 60_000, 1, 1, 3,
+          "@u00 m.text: spurious")],
+        "sender string, session_start_ms long, session_end_ms long, "
+        "n_events long, n_turns long, n_tokens long, transcript string",
+    )
+    _session_upsert(ghost, str(tgt))
+    before = digests(str(tgt))
+    assert _affected(repair_transcripts(spark, str(src), str(tgt))) == ["@u00"]
+    after = digests(str(tgt))
+    bucket_val = (
+        spark.createDataFrame([("@u00",)], "sender string")
+        .select(sinks.key_bucket(["sender"], sinks.DEFAULT_UPSERT_BUCKETS))
+        .first()[0]
+    )
+    touched_dir = f"{sinks.BUCKET_COL}={bucket_val}"
+    untouched_before = {
+        p: h for p, h in before.items() if not p.startswith(touched_dir)
+    }
+    untouched_after = {
+        p: h for p, h in after.items() if not p.startswith(touched_dir)
+    }
+    assert untouched_before and untouched_before == untouched_after
+    # and the touched bucket did change (the ghost row is gone)
+    assert {p: h for p, h in before.items() if p.startswith(touched_dir)} != {
+        p: h for p, h in after.items() if p.startswith(touched_dir)
+    }
+    assert "spurious" not in {r[6] for r in _rows(spark, tgt)}
 
 
 def test_watermarked_transcript_stream_reorders_within_lateness(spark, tmp_path):
