@@ -230,6 +230,49 @@ def batch_transcripts(
     )
 
 
+def finalize_transcripts(
+    spark: SparkSession,
+    source_dir: str,
+    stream_target_dir: str,
+    gap_minutes: int = 30,
+    max_turns: int = 64,
+    key_col: str = "sender",
+) -> DataFrame:
+    """The EXPORT fixed point of the watermarked assembler
+    (`streaming/stateful.py:start_transcript_stream_watermarked`): after
+    the source drains, the watermark stops advancing, so each key's
+    final open session sits in the state store forever and never emits
+    — by design (a later event could still extend it). The full-corpus
+    export is therefore *streamed closed rows + the batch-derived
+    tail*: every batch session whose (sender, session_start_ms)
+    identity the stream has not emitted, anti-joined in. For any
+    drift-free stream (all lateness within the watermark horizon — the
+    wm assembler's pinned guarantee) the result is BYTE-IDENTICAL to
+    :func:`batch_transcripts`, because streamed closed rows are
+    byte-identical to their batch counterparts and the anti-join
+    supplies exactly the complement.
+
+    Precondition: the stream is quiesced/drained (same contract as
+    `repair_transcripts` ``include_open=True``). Scale shape: one
+    anti-join on the session identity — the streamed side ships only
+    (key, start) pairs into the join; the batch derivation is the same
+    session-sized relation the repair uses."""
+    batch = batch_transcripts(
+        spark, source_dir, gap_minutes, max_turns, key_col=key_col
+    )
+    if not sinks.has_parquet(stream_target_dir):
+        return batch
+    streamed = spark.read.parquet(stream_target_dir).select(
+        *TRANSCRIPT_COLUMNS
+    )
+    tail = batch.join(
+        streamed.select("sender", "session_start_ms"),
+        on=["sender", "session_start_ms"],
+        how="left_anti",
+    )
+    return streamed.unionByName(tail)
+
+
 def _final_session_identities(batch: DataFrame) -> DataFrame:
     """(sender, session_start_ms) of each key's LAST batch session —
     the one the repair claims NO authority over under

@@ -468,6 +468,15 @@ def start_transcript_stream_watermarked(
     incrementally). The cost vs the arrival-order form is output
     latency: a session appears only after the watermark passes its gap.
 
+    **Finalize/export contract:** after the source drains the watermark
+    stops advancing, so each key's final open session never emits —
+    deliberately (a later event could still extend it; there is no
+    flush_idle here because an idle flush would break the byte-identical
+    guarantee). The full-corpus export is
+    `streaming/reconcile.py:finalize_transcripts`: streamed closed rows
+    + the batch-derived complement, pinned byte-identical to the full
+    batch derivation for drift-free streams.
+
     Exactly-once via the native file sink, like the arrival-order
     form."""
     events = parse_events(

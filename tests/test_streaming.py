@@ -5,6 +5,7 @@ stateful and deliberately outside the DuckDB oracle tier (SURVEY §7)."""
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import pytest
@@ -30,8 +31,20 @@ def _event(eid: str, ts_offset_min: int = 0, body: str = "hi", etype: str = "m.r
     )
 
 
+_MTIME_SEQ = [0]
+
+
 def _write_file(src, name: str, lines: list[str]) -> None:
-    (src / name).write_text("\n".join(lines) + "\n")
+    """Write a source file with a strictly increasing mtime: Spark's
+    FileStreamSource orders files by MODIFICATION TIME (ms resolution)
+    under maxFilesPerTrigger, and several tests depend on delivery
+    order — two files written within the same millisecond would arrive
+    in undefined order."""
+    p = src / name
+    p.write_text("\n".join(lines) + "\n")
+    _MTIME_SEQ[0] += 2
+    t = time.time() + _MTIME_SEQ[0]
+    os.utime(p, (t, t))
 
 
 def _run_drain(spark, src, tgt, ckpt, **kw):
@@ -1792,3 +1805,189 @@ def test_transcript_stream_room_keyed_multi_speaker(spark, tmp_path):
     assert r["sender"] == "!r1"  # the room key rides the key slot
     assert r["n_events"] == 2
     assert r["transcript"] == "@a m.text: hi bob\n@b m.text: hi alice"
+
+
+def test_watermarked_finalize_equals_batch(spark, tmp_path):
+    """The watermarked assembler's export fixed point, pinned: streamed
+    closed rows + the batch-derived tail (finalize_transcripts) are
+    byte-identical to the full batch derivation — with a non-trivial
+    split (the stream really closed some sessions; the tail really
+    carries the still-open remainder), out-of-order input included."""
+    from beeper_matric_etl_tool_spark.streaming.reconcile import (
+        batch_transcripts,
+        finalize_transcripts,
+    )
+    from beeper_matric_etl_tool_spark.streaming.stateful import (
+        start_transcript_stream_watermarked,
+    )
+
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "tgt", tmp_path / "ckpt"
+    src.mkdir()
+    _write_file(src, "f1.json", [
+        _tev("a1", "@a", 0, "alpha"), _tev("a3", "@a", 10, "gamma"),
+        _tev("c1", "@clk", 12, "x"),
+    ])
+    # beta arrives late but within the 5-minute horizon (wm = 12-5 = 7)
+    _write_file(src, "f2.json", [
+        _tev("a2", "@a", 8, "beta"), _tev("b1", "@b", 14, "solo"),
+    ])
+    # clock to 50 → wm 45 closes @a (10+30) and @b (14+30)
+    _write_file(src, "f3.json", [_tev("c2", "@clk", 50, "x")])
+    # second @a session + clock to 200 → wm 195 closes it (100+30)
+    _write_file(src, "f4.json", [
+        _tev("a9", "@a", 100, "second"), _tev("c3", "@clk", 200, "x"),
+    ])
+    # one more clock tick so the wm-195 timeouts actually fire
+    _write_file(src, "f5.json", [_tev("c4", "@clk", 201, "x")])
+    q = start_transcript_stream_watermarked(
+        spark, str(src), str(tgt), str(ckpt), gap_minutes=30,
+        lateness="5 minutes", max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    streamed = set(_rows(spark, tgt))
+    batch = sorted(
+        tuple(r)
+        for r in batch_transcripts(spark, str(src), gap_minutes=30).collect()
+    )
+    # non-vacuous: the stream closed sessions AND left an open tail
+    assert streamed and streamed < set(batch)
+    # the export fixed point: finalize ≡ full batch, byte-identical
+    fin = sorted(
+        tuple(r)
+        for r in finalize_transcripts(
+            spark, str(src), str(tgt), gap_minutes=30
+        ).select("sender", "session_start_ms", "session_end_ms",
+                 "n_events", "n_turns", "n_tokens", "transcript").collect()
+    )
+    assert fin == batch
+
+
+def test_chat_to_curated_corpus_pipeline_watermarked(spark, tmp_path):
+    """The continuous training-data story on the WATERMARKED path — the
+    configuration a production deployment with out-of-order delivery
+    would pick: raw chat JSON (one turn delivered late, cross-batch) →
+    watermark-re-sorted transcript stream → parquet → curation stream
+    (quality gate → scrub → dedup vs the persisted index). The closed
+    transcripts are byte-identical to the batch derivation despite the
+    out-of-order arrival; a replayed conversation assembles into a
+    byte-identical transcript and is dropped by the INDEX cross-run."""
+    import json as _json
+
+    from beeper_matric_etl_tool_spark.ext.dedup_index import build_dedup_index
+    from beeper_matric_etl_tool_spark.streaming.curation import (
+        start_curation_stream,
+    )
+    from beeper_matric_etl_tool_spark.streaming.reconcile import (
+        batch_transcripts,
+    )
+    from beeper_matric_etl_tool_spark.streaming.stateful import (
+        start_transcript_stream_watermarked,
+    )
+
+    words = (
+        "river meadow stone harbor lantern copper willow ember frost "
+        "garden marble cedar falcon amber tunnel violet ginger hollow "
+        "saddle barley canyon drift fable grove heron island jasper"
+    ).split()
+
+    def body(sender_i: int, turn: int) -> str:
+        ws = [words[(sender_i * 31 + turn * 7 + j) % len(words)] for j in range(8)]
+        return " ".join(ws[:4] + ["the"] + ws[4:] + ["and"])
+
+    def ev(eid, sender, ts_min, text):
+        return _json.dumps({
+            "event_id": eid, "room_id": "!r", "sender": sender,
+            "event_type": "chat", "timestamp": T0_MS + ts_min * 60_000,
+            "is_encrypted": False, "content": text, "relates_to": None,
+        })
+
+    src = tmp_path / "chat"
+    src.mkdir()
+    tdir, tckpt = str(tmp_path / "transcripts"), str(tmp_path / "tckpt")
+
+    def drain():
+        q = start_transcript_stream_watermarked(
+            spark, str(src), tdir, tckpt, gap_minutes=30, max_turns=16,
+            lateness="10 minutes", max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+
+    def turns(sender, si, start_min, skip=()):
+        return [
+            ev(f"{sender}-{start_min}-{t}", sender, start_min + t, body(si, t))
+            for t in range(8) if t not in skip
+        ]
+
+    # run 1: ua's turn 3 is HELD BACK and delivered in a later file —
+    # cross-batch out-of-order, within the 10-minute horizon
+    _write_file(src, "c1.json", turns("ua", 0, 0, skip=(3,)) + turns("ub", 1, 0))
+    _write_file(src, "c2.json", [ev("ua-0-3", "ua", 3, body(0, 3))])
+    _write_file(src, "c3.json", [ev("clk-1", "@clk", 200, "x")])
+    _write_file(src, "c4.json", [ev("clk-2", "@clk", 201, "x")])
+    drain()
+
+    # closed transcripts are byte-identical to the batch derivation —
+    # the late turn folded into its true (ts, event_id) slot
+    streamed = set(
+        tuple(r) for r in spark.read.parquet(tdir)
+        .select("sender", "session_start_ms", "session_end_ms",
+                "n_events", "n_turns", "n_tokens", "transcript").collect()
+    )
+    batch = set(
+        tuple(r) for r in batch_transcripts(spark, str(src)).collect()
+    )
+    assert {r[0] for r in streamed} == {"ua", "ub"}
+    assert streamed < batch  # every closed row exactly matches batch
+    ua_row = next(r for r in streamed if r[0] == "ua")
+    assert ua_row[3] == 8  # all 8 turns, late one included
+
+    # curation stage: seed index, stream the transcript parquet through
+    seed = spark.createDataFrame(
+        [(0, " ".join(words) + " the and of unrelated seed corpus text")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_dedup_index(seed, idx, portable=False)
+    tschema = (
+        "sender string, session_start_ms long, session_end_ms long, "
+        "n_events long, n_turns long, n_tokens long, transcript string"
+    )
+    docs_stream = (
+        spark.readStream.schema(tschema).parquet(tdir).select(
+            F.xxhash64("sender", "session_start_ms").alias("doc_id"),
+            F.lit("en").alias("lang"),
+            F.col("transcript").alias("text"),
+        )
+    )
+    out, audit = str(tmp_path / "corpus"), str(tmp_path / "audit")
+    cq = start_curation_stream(
+        docs_stream, idx, out, str(tmp_path / "cckpt"), audit_dir=audit
+    )
+    try:
+        cq.processAllAvailable()
+        kept1 = spark.read.parquet(out).collect()
+        assert len(kept1) == 2  # both full sessions pass the gate + dedup
+        texts1 = {r["text"] for r in kept1}
+
+        # REPLAY: ua holds the same conversation again, later — the
+        # transcript string is byte-identical (timestamps are not in the
+        # rendered lines), so the INDEX drops it cross-run
+        _write_file(src, "c5.json", turns("ua", 0, 300))
+        _write_file(src, "c6.json", [ev("clk-3", "@clk", 600, "x")])
+        _write_file(src, "c7.json", [ev("clk-4", "@clk", 601, "x")])
+        drain()
+        cq.processAllAvailable()
+        kept2 = spark.read.parquet(out).collect()
+        assert len(kept2) == 2
+        assert {r["text"] for r in kept2} == texts1
+        # the audit saw the replayed transcript arrive and kept nothing
+        audits = sorted(
+            (r["batch_id"], r["n_in"], r["n_kept"])
+            for r in spark.read.parquet(audit).collect()
+        )
+        assert audits[-1][1] >= 1 and audits[-1][2] == 0
+    finally:
+        cq.stop()
