@@ -357,8 +357,178 @@ def sample_audio_frames(
 
 
 # ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash / aHash) + banded Hamming near-dup
+# ---------------------------------------------------------------------------
+
+#: dHash grid: 9 columns x 8 rows of nearest-neighbor luma samples →
+#: 8 adjacent comparisons per row = 64 signature bits
+DHASH_GRID_W = 9
+DHASH_GRID_H = 8
+DHASH_BITS = 64
+
+#: aHash grid: 8x8 samples, each compared to the grid mean → 64 bits
+AHASH_GRID = 8
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bits", T.ArrayType(T.IntegerType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _grid_luma(px: "np.ndarray", grid_h: int, grid_w: int) -> "np.ndarray":
+    """(grid_h, grid_w) INTEGER luma grid: nearest-neighbor samples at
+    output-pixel centers (the resize_images sampling rule), luma as the
+    exact integer 299*R + 587*G + 114*B — no float anywhere, so every
+    downstream comparison is engine- and platform-exact (the same
+    integer-exactness discipline as the quantized cosine kernels)."""
+    h, w = px.shape[0], px.shape[1]
+    luma = (
+        299 * px[:, :, 2].astype(np.int64)
+        + 587 * px[:, :, 1].astype(np.int64)
+        + 114 * px[:, :, 0].astype(np.int64)
+    )  # BMP stores BGR
+    yi = np.minimum((2 * np.arange(grid_h) + 1) * h // (2 * grid_h), h - 1)
+    xi = np.minimum((2 * np.arange(grid_w) + 1) * w // (2 * grid_w), w - 1)
+    return luma[yi][:, xi]
+
+
+def _dhash_of(px: "np.ndarray") -> list[int]:
+    """Classic difference hash: 9x8 luma grid, bit(r,c) = 1 iff the
+    right neighbor is strictly brighter. Row-major, 64 bits."""
+    g = _grid_luma(px, DHASH_GRID_H, DHASH_GRID_W)
+    return (g[:, 1:] > g[:, :-1]).astype(np.int32).ravel().tolist()
+
+
+def _ahash_of(px: "np.ndarray") -> list[int]:
+    """Average hash: 8x8 luma grid, bit = 1 iff the cell is strictly
+    brighter than the grid mean. The mean compare is kept integer-exact
+    (cell*64 > total) — no float division."""
+    g = _grid_luma(px, AHASH_GRID, AHASH_GRID)
+    total = int(g.sum())
+    return (g.ravel() * (AHASH_GRID * AHASH_GRID) > total).astype(
+        np.int32
+    ).ravel().tolist()
+
+
+def image_perceptual_bits(
+    with_payload: DataFrame,
+    id_col: str = "doc_id",
+    method: str = "dhash",
+) -> DataFrame:
+    """(doc_id, width, height, bits array<int>[64], error) — perceptual
+    hash signatures over BMP payloads, Arrow-batched ``mapInPandas``
+    like the other decode stages. Non-BMP / corrupt payloads yield a
+    NULL signature with ``error`` set (dead-letter — never silently
+    dropped, never a task crash).
+
+    Scale shape: the only stage that touches pixels; everything
+    downstream (banding, candidate join, hamming verify) carries
+    (id, 64 small ints) — a shuffle row of ~300 bytes per image
+    regardless of image size. ``method``: 'dhash' (gradient structure —
+    robust to uniform brightness shifts) or 'ahash' (global threshold)."""
+    if method not in ("dhash", "ahash"):
+        raise ValueError(f"image_perceptual_bits: unknown method {method!r}")
+    hasher = _dhash_of if method == "dhash" else _ahash_of
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, bits, errs = [], [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                p = bytes(p)
+                try:
+                    if not (p[:2] == b"BM" and len(p) >= 54):
+                        raise NotImplementedError("not a BMP payload")
+                    px = _bmp_pixels(p)[:, :, :3]
+                    ws.append(px.shape[1])
+                    hs.append(px.shape[0])
+                    bits.append(hasher(px))
+                    errs.append(None)
+                except (NotImplementedError, ValueError, IndexError) as exc:
+                    ws.append(None)
+                    hs.append(None)
+                    bits.append(None)
+                    errs.append(f"phash_error: {exc}")
+                ids.append(doc_id)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "height": pd.Series(hs, dtype="Int32"),
+                    "bits": bits,
+                    "error": errs,
+                }
+            )
+
+    return with_payload.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    with_payload: DataFrame,
+    max_hamming: int = 12,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    method: str = "dhash",
+) -> DataFrame:
+    """(id_a < id_b, hamming) image near-duplicate pairs: perceptual
+    signatures (:func:`image_perceptual_bits`) fed through the SAME
+    pigeonhole banding machinery as text SimHash
+    (`ext/dedup.py:simhash_candidate_pairs`) — any pair within
+    ``max_hamming`` must agree exactly on ≥1 of the ``bands`` slices,
+    so candidates come from a LINEAR equi-join on (band_id, band_value)
+    and the exact hamming distance is verified on candidates only. The
+    recall guarantee carries over verbatim: ``max_hamming ≤ bands-1``
+    is enforced there. Dead-letter rows (undecodable payloads) are
+    excluded from banding — they have no signature to compare."""
+    from beeper_matric_etl_tool_spark.ext.dedup import simhash_candidate_pairs
+
+    sigs = image_perceptual_bits(with_payload, id_col=id_col, method=method)
+    ok = sigs.filter(F.col("error").isNull()).select(F.col("doc_id"), "bits")
+    return simhash_candidate_pairs(
+        ok, max_hamming=max_hamming, id_col="doc_id",
+        bands=bands, n_bits=DHASH_BITS,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Synthetic media generators — used by tests and as wire-format documentation
 # ---------------------------------------------------------------------------
+
+
+def make_gradient_bmp(
+    width: int, height: int, seed: int, invert_col: int | None = None
+) -> bytes:
+    """A real uncompressed 24-bpp BMP whose pixel channels are CLOSED-FORM
+    functions of (x, y, seed) — seed-dependent MULTIPLIERS, not offsets,
+    so different seeds produce genuinely different gradient structure
+    (a constant offset would cancel in any adjacent-comparison hash):
+
+        B = (x * (7 + 13*seed)) % 256
+        G = (y * (11 + 17*seed)) % 256
+        R = ((x + y) * (3 + 7*seed)) % 256
+
+    ``invert_col=x0`` inverts all three channels in that pixel column —
+    the deterministic "small edit" that turns an image into a NEAR
+    duplicate (a handful of dHash bits flip where the grid samples x0).
+    The closed form is replayable in ANY SQL dialect, which is what lets
+    the driver oracle re-derive the perceptual-hash pipeline end to end
+    (plans/catalog_ext.py multimodal_features kind='phash_pair')."""
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)
+    B = np.broadcast_to((x * (7 + 13 * seed)) % 256, (height, width)).copy()
+    G = np.broadcast_to(((y * (11 + 17 * seed)) % 256)[:, None], (height, width)).copy()
+    R = ((x[None, :] + y[:, None]) * (3 + 7 * seed)) % 256
+    if invert_col is not None and 0 <= invert_col < width:
+        B[:, invert_col] = 255 - B[:, invert_col]
+        G[:, invert_col] = 255 - G[:, invert_col]
+        R = R.copy()
+        R[:, invert_col] = 255 - R[:, invert_col]
+    bgr = np.stack([B, G, R], axis=2).astype(np.uint8)
+    return _encode_bmp(bgr)
 
 
 def make_bmp(width: int, height: int, seed: int = 0) -> bytes:

@@ -2498,45 +2498,167 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+#: planted perceptual-hash corpus parameters (kind='phash_pair'): docs
+#: 0..47 render as 36x32 gradient BMPs — seed = doc_id % 6 picks the
+#: gradient family, every second family member inverts pixel column 18
+#: (the NEAR-duplicate edit). The generator's closed form
+#: (ext/multimodal.py:make_gradient_bmp) is what makes the whole
+#: decode→dHash→banded-pairs pipeline SQL-replayable.
+PHASH_DOCS = 48
+PHASH_SEEDS = 6
+PHASH_W, PHASH_H = 36, 32
+PHASH_MARK_COL = 18
+PHASH_MAX_HAMMING = 12
+PHASH_BANDS = 16
+
+
 @register(
     "multimodal_features",
     tags=("ext-multimodal",),
-    # BOTH multimodal planes in one relation. Metadata plane (mime /
-    # byte_len / payload_sha256): describable without ever decoding bytes —
-    # the queries a 100 TB media lake answers from parquet footers +
-    # metadata columns only. Decode plane (width / height): the stage RUNS
-    # for real (Arrow mapInPandas); the driver-checked projection is its
-    # integer outputs, whose contract for non-media payloads is
-    # SQL-expressible (stub dims are a pure function of byte length).
+    # ALL multimodal planes in one relation, as kind legs.
+    # kind='manifest' — metadata plane (mime / byte_len / payload_sha256):
+    # describable without ever decoding bytes — the queries a 100 TB media
+    # lake answers from parquet footers + metadata columns only; plus the
+    # decode plane (width / height): the stage RUNS for real (Arrow
+    # mapInPandas); the driver-checked projection is its integer outputs,
+    # whose contract for non-media payloads is SQL-expressible (stub dims
+    # are a pure function of byte length).
+    # kind='phash_pair' — image perceptual near-dup: REAL BMP bytes are
+    # generated from a closed-form gradient (seed multipliers + one
+    # inverted column as the near-dup edit), decoded by the real BMP
+    # codec, dHashed (integer luma, NN grid), and paired through the SAME
+    # pigeonhole banding as text SimHash. The oracle re-derives the 64
+    # signature bits per doc from the generator's closed form and replays
+    # all-pairs hamming over the planted subset — so the driver hash pins
+    # the full decode→hash→band→verify pipeline, not a stub.
     # Float feature vectors stay pytest-gated (test_kernels) — numpy
     # float32 arithmetic is not reproducible in SQL.
-    oracle="""
-        SELECT doc_id, 'application/octet-stream' AS mime,
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id, doc_id % {PHASH_SEEDS} AS seed,
+                   (doc_id // {PHASH_SEEDS}) % 2 AS variant
+            FROM documents WHERE doc_id < {PHASH_DOCS}
+        ),
+        grid AS (
+            SELECT doc_id, seed, variant, gr.r AS r, gc.c AS c,
+                   least((2*gr.r + 1) * {PHASH_H} // 16, {PHASH_H - 1}) AS yi,
+                   least((2*gc.c + 1) * {PHASH_W} // 18, {PHASH_W - 1}) AS xi
+            FROM p, generate_series(0, 7) AS gr(r), generate_series(0, 8) AS gc(c)
+        ),
+        chan AS (
+            SELECT doc_id, r, c, variant, xi,
+                   (xi * (7 + 13*seed)) % 256 AS b0,
+                   (yi * (11 + 17*seed)) % 256 AS g0,
+                   ((xi + yi) * (3 + 7*seed)) % 256 AS r0
+            FROM grid
+        ),
+        cells AS (
+            SELECT doc_id, r, c,
+                   299 * (CASE WHEN variant = 1 AND xi = {PHASH_MARK_COL}
+                          THEN 255 - r0 ELSE r0 END)
+                 + 587 * (CASE WHEN variant = 1 AND xi = {PHASH_MARK_COL}
+                          THEN 255 - g0 ELSE g0 END)
+                 + 114 * (CASE WHEN variant = 1 AND xi = {PHASH_MARK_COL}
+                          THEN 255 - b0 ELSE b0 END) AS luma
+            FROM chan
+        ),
+        bits AS (
+            SELECT a.doc_id, a.r * 8 + a.c AS pos,
+                   CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+            FROM cells a JOIN cells b
+              ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+            WHERE a.c < 8
+        ),
+        ham AS (
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                   SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+            FROM bits x JOIN bits y
+              ON x.pos = y.pos AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT 'manifest' AS kind, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+               'application/octet-stream' AS mime,
                octet_length(encode(text)) AS byte_len,
                sha256(text) AS payload_sha256,
                CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
-               CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
+               CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+               CAST(NULL AS BIGINT) AS hamming
         FROM documents
+        UNION ALL
+        SELECT 'phash_pair' AS kind, id_a, id_b,
+               CAST(NULL AS VARCHAR) AS mime, CAST(NULL AS BIGINT) AS byte_len,
+               CAST(NULL AS VARCHAR) AS payload_sha256,
+               CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+               CAST(hamming AS BIGINT) AS hamming
+        FROM ham WHERE hamming <= {PHASH_MAX_HAMMING}
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract stage over the payload+metadata plane:
-    Arrow-batched mapInPandas over binary payloads. Real BMP/WAV codecs
-    dispatch on magic bytes; the synthetic text payloads take the
-    deterministic stub path whose dimension contract (width = len%640+1,
-    height = len%480+1) the oracle re-derives in SQL — so the driver
-    hash-checks that the Python stage actually ran the decode dispatch over
-    every row with deterministic results. The metadata plane
-    (mime/byte_len/sha256 from `attach_payload`) passes through the stage in
-    the same relation — no join, no second scan — proving the manifest
-    surface alongside the decode outputs."""
+    """Multimodal plane, two kind legs in one relation.
+
+    kind='manifest' — decode/feature-extract stage over the
+    payload+metadata plane: Arrow-batched mapInPandas over binary
+    payloads. Real BMP/WAV codecs dispatch on magic bytes; the synthetic
+    text payloads take the deterministic stub path whose dimension
+    contract (width = len%640+1, height = len%480+1) the oracle
+    re-derives in SQL — so the driver hash-checks that the Python stage
+    actually ran the decode dispatch over every row with deterministic
+    results. The metadata plane (mime/byte_len/sha256 from
+    `attach_payload`) passes through the stage in the same relation.
+
+    kind='phash_pair' — image perceptual near-duplicate detection over a
+    planted BMP corpus: docs 0..47 render as REAL 24-bpp gradient BMPs
+    (`make_gradient_bmp` — closed-form pixels, one inverted column as
+    the near-dup edit), the real codec decodes them, integer-luma dHash
+    signatures (`image_perceptual_bits`) band through the SimHash
+    pigeonhole join (`image_near_dup_pairs`), and the exact hamming is
+    verified on candidates. Identical images pair at hamming 0, the
+    inverted-column variants at 6-12, cross-family images (>= 16) are
+    excluded. Scale shape: pixels never shuffle — one decode pass emits
+    64-bit signatures, candidates are a LINEAR equi-join on
+    (band_id, band_value), exact verify only on candidates; recall for
+    hamming <= bands-1 is guaranteed by pigeonhole, enforced in code."""
+    import pandas as pd
+
     from beeper_matric_etl_tool_spark.ext import multimodal as xmm
 
     docs = table(spark, sf_dir, "documents")
     feats = xmm.extract_features(xmm.attach_payload(docs))
-    return feats.select(
-        "doc_id", "mime", "byte_len", "payload_sha256", "width", "height"
+    manifest = feats.select(
+        F.lit("manifest").alias("kind"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        "mime", "byte_len", "payload_sha256", "width", "height",
+        F.lit(None).cast("long").alias("hamming"),
     )
+
+    def gen_images(it):
+        for pdf in it:
+            payloads = [
+                xmm.make_gradient_bmp(
+                    PHASH_W, PHASH_H, int(d) % PHASH_SEEDS,
+                    PHASH_MARK_COL if (int(d) // PHASH_SEEDS) % 2 else None,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    planted = docs.select("doc_id").filter(F.col("doc_id") < PHASH_DOCS)
+    imgs = planted.mapInPandas(gen_images, "doc_id long, payload binary")
+    pairs = xmm.image_near_dup_pairs(
+        imgs, max_hamming=PHASH_MAX_HAMMING, bands=PHASH_BANDS
+    ).select(
+        F.lit("phash_pair").alias("kind"),
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("long").alias("byte_len"),
+        F.lit(None).cast("string").alias("payload_sha256"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.col("hamming").cast("long"),
+    )
+    return manifest.unionByName(pairs)
 
 
 # --------------------------------------------------------------------------

@@ -327,6 +327,63 @@ def test_multimodal_audio_frame_sampling(spark):
     assert {r.doc_id for r in got} == {1}
 
 
+def test_image_dhash_near_dup_pairs(spark):
+    """Perceptual image near-dup: a near-identical pair (one inverted
+    pixel column) is found with small positive hamming; an identical
+    copy at hamming 0; a pristine different image (other seed) is NOT
+    paired; an undecodable payload dead-letters out of the banding.
+    Spark hammings equal the NumPy reference exactly (integer luma)."""
+    import numpy as np
+    import pytest
+
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+
+    a = xmm.make_gradient_bmp(36, 32, seed=2)
+    a_near = xmm.make_gradient_bmp(36, 32, seed=2, invert_col=18)
+    b_far = xmm.make_gradient_bmp(36, 32, seed=4)
+    rows = [
+        (1, bytearray(a)), (2, bytearray(a_near)), (3, bytearray(b_far)),
+        (4, bytearray(a)), (5, bytearray(b"definitely not a bitmap")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    # reference hammings straight off the decoded pixels
+    def ref_bits(payload):
+        return np.array(xmm._dhash_of(xmm._bmp_pixels(payload)[:, :, :3]))
+
+    ra, rn, rf = ref_bits(a), ref_bits(a_near), ref_bits(b_far)
+    h_near = int((ra != rn).sum())
+    assert 0 < h_near <= 12  # the planted edit is a NEAR duplicate
+    assert int((ra != rf).sum()) > 12  # the other seed is genuinely far
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in xmm.image_near_dup_pairs(df, max_hamming=12, bands=16).collect()
+    }
+    assert pairs[(1, 4)] == 0  # identical copy
+    assert pairs[(1, 2)] == h_near == pairs[(2, 4)]
+    assert not any(3 in p or 5 in p for p in pairs)  # pristine + dead-letter
+    assert set(pairs) == {(1, 4), (1, 2), (2, 4)}
+
+    # signatures surface: identical images -> identical bits; the
+    # dead-letter row carries error + NULL bits (never enters banding)
+    sigs = {r.doc_id: r for r in xmm.image_perceptual_bits(df).collect()}
+    assert sigs[1].bits == sigs[4].bits and len(sigs[1].bits) == 64
+    assert sigs[1].width == 36 and sigs[1].height == 32
+    assert sigs[5].bits is None and "phash_error" in sigs[5].error
+
+    # aHash method: same machinery, global-threshold signature
+    asigs = {
+        r.doc_id: r.bits
+        for r in xmm.image_perceptual_bits(df, method="ahash").collect()
+    }
+    assert asigs[1] == asigs[4] and asigs[1] != asigs[3]
+
+    # the pigeonhole recall guarantee is enforced, not assumed
+    with pytest.raises(ValueError, match="bands"):
+        xmm.image_near_dup_pairs(df, max_hamming=16, bands=16).collect()
+
+
 def test_sinks_indexed_layout_and_keyed_update(spark, tmp_path):
     from beeper_matric_etl_tool_spark import sinks
 
