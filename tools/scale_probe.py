@@ -552,6 +552,36 @@ def probe_select_threshold(docs):
     )
 
 
+def probe_sweep_only(docs):
+    """The threshold sweep PROPER, isolated (round-10 BASELINE ask): the
+    r9 select_threshold growth row is dominated by the quality-feature
+    battery feeding it, so this probe feeds a PRECOMPUTED integer score
+    (one pmod-of-hash column — negligible next to the sweep) straight
+    into select_threshold. What the curve then shows is exactly the
+    sweep machinery: one corpus-sized (stratum, score) count agg, the
+    multi-weight `_spread_prefix` range exchange carrying the tp/fp
+    cumulatives, the totals join-back, and the struct-argmax — all on
+    the score-distinct relation. The hash score keeps per-stratum score
+    cardinality HIGH (up to 100k distinct), so the score-distinct
+    relation actually grows with the corpus instead of saturating."""
+    from beeper_matric_etl_tool_spark.ext.classifier import select_threshold
+
+    labeled = docs.select(
+        "lang",
+        F.pmod(F.xxhash64("text"), F.lit(100_000)).alias("score"),
+        (F.length("text") % 2 == 0).alias("__keep"),
+    )
+    out = select_threshold(
+        labeled, "score", "__keep", strata_col="lang", spread=True
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("threshold").alias("thr_sum"),
+        F.sum("tp").alias("tp_mass"),
+        F.sum("f1_ppm").alias("f1_sum"),
+    )
+
+
 def probe_calibration(docs):
     """Reliability bins over REAL classifier probabilities
     (`ext/classifier.py:calibration_bins` on predict_proba output — the
@@ -836,6 +866,7 @@ def main() -> None:
         ("dense_batch", probe_dense_batch),
         ("auc_spread", probe_auc),
         ("select_threshold_spread", probe_select_threshold),
+        ("sweep_only", probe_sweep_only),
         ("calibration_bins", probe_calibration),
         ("pmi", probe_pmi),
         ("token_quota_two_phase", probe_token_quota),
