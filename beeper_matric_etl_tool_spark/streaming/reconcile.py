@@ -116,25 +116,57 @@ def start_transcript_upsert_stream(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     key_col: str = "sender",
+    assembler: str = "arrival",
+    lateness: str = "10 minutes",
 ) -> StreamingQuery:
     """`start_transcript_stream` with a REPAIRABLE target: closed
     sessions upsert into a key-bucketed parquet layout via foreachBatch
     instead of appending through the native file sink. Same stateful
-    assembler, same output schema, same session semantics (see
+    assemblers, same output schema, same session semantics (see
     streaming/stateful.py); what changes is the write path — and
     therefore what `repair_transcripts` is allowed to rewrite.
 
     ``key_col`` follows the assemblers' contract: 'sender' or 'room_id';
     the key value lands in the output's 'sender' slot either way, and
-    turn lines keep their per-event speaker tag."""
+    turn lines keep their per-event speaker tag.
+
+    ``assembler`` picks the ordering strategy:
+
+    - 'arrival' (default) — the gap-sessionizer in arrival order; exact
+      on in-order sources, late deliveries drift the target and
+      `repair_transcripts` converges it after the fact. Supports
+      ``flush_idle``.
+    - 'watermarked' — the bounded-lateness EXACT assembler
+      (`stateful._make_wm_transcript_updater`): events within the
+      ``lateness`` horizon fold in true (ts, event_id) order, so the
+      target needs NO repair for in-horizon input — the repair tier then
+      serves beyond-horizon stragglers and `include_open=True` export
+      (the upsert-layout twin of `finalize_transcripts`). flush_idle
+      does not compose (an idle flush would break the byte-identical
+      guarantee; the wm form closes on watermark advance instead)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from beeper_matric_etl_tool_spark.streaming.stateful import (
         TRANSCRIPT_OUTPUT_SCHEMA,
         TRANSCRIPT_STATE_SCHEMA,
+        WM_TRANSCRIPT_STATE_SCHEMA,
         _make_transcript_updater,
+        _make_wm_transcript_updater,
     )
 
+    if assembler not in ("arrival", "watermarked"):
+        raise ValueError(
+            f"start_transcript_upsert_stream: unknown assembler "
+            f"{assembler!r} (expected 'arrival' or 'watermarked')"
+        )
+    if assembler == "watermarked" and flush_idle:
+        raise ValueError(
+            "start_transcript_upsert_stream: flush_idle does not compose "
+            "with the watermarked assembler — its sessions close on "
+            "watermark advance (EventTimeTimeout), and an idle flush "
+            "would emit a session a late in-horizon event may still "
+            "extend, breaking the byte-identical-to-batch guarantee"
+        )
     events = parse_events(
         load_stream(spark, source_dir, max_files_per_trigger)
     ).filter(
@@ -145,25 +177,43 @@ def start_transcript_upsert_stream(
         # (name-keyed joins cannot match one)
         & F.col(key_col).isNotNull()
     )
-    lined = events.select(
-        F.col(key_col).cast("string").alias("__skey"),
-        "timestamp",
-        "event_id",
-        streaming_turn_line().alias("line"),
-    )
-    closed = lined.groupBy("__skey").applyInPandasWithState(
-        _make_transcript_updater(
-            int(gap_minutes) * 60_000, int(max_turns), flush_idle
-        ),
-        outputStructType=TRANSCRIPT_OUTPUT_SCHEMA,
-        stateStructType=TRANSCRIPT_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if flush_idle
-            else GroupStateTimeout.NoTimeout
-        ),
-    )
+    if assembler == "watermarked":
+        lined = events.select(
+            F.col(key_col).cast("string").alias("__skey"),
+            "timestamp",
+            "event_id",
+            "ts",
+            streaming_turn_line().alias("line"),
+        ).withWatermark("ts", lateness)
+        closed = lined.groupBy("__skey").applyInPandasWithState(
+            _make_wm_transcript_updater(
+                int(gap_minutes) * 60_000, int(max_turns)
+            ),
+            outputStructType=TRANSCRIPT_OUTPUT_SCHEMA,
+            stateStructType=WM_TRANSCRIPT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    else:
+        lined = events.select(
+            F.col(key_col).cast("string").alias("__skey"),
+            "timestamp",
+            "event_id",
+            streaming_turn_line().alias("line"),
+        )
+        closed = lined.groupBy("__skey").applyInPandasWithState(
+            _make_transcript_updater(
+                int(gap_minutes) * 60_000, int(max_turns), flush_idle
+            ),
+            outputStructType=TRANSCRIPT_OUTPUT_SCHEMA,
+            stateStructType=TRANSCRIPT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if flush_idle
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():

@@ -1864,6 +1864,73 @@ def test_watermarked_finalize_equals_batch(spark, tmp_path):
     assert fin == batch
 
 
+def test_watermarked_upsert_store_needs_no_repair(spark, tmp_path):
+    """assembler='watermarked' on the REPAIRABLE layout: out-of-order
+    (in-horizon) input lands batch-exact in the upsert target, so the
+    default repair detects NOTHING — exact-up-front ordering composed
+    with the in-place-rewritable store. include_open=True then converges
+    the store to the full batch export in place (the upsert-layout twin
+    of finalize_transcripts). flush_idle and unknown assemblers are
+    refused loudly."""
+    import pytest
+
+    from beeper_matric_etl_tool_spark.streaming.reconcile import (
+        batch_transcripts,
+        repair_transcripts,
+        start_transcript_upsert_stream,
+    )
+
+    src, tgt, ckpt = tmp_path / "src", tmp_path / "tgt", tmp_path / "ckpt"
+    src.mkdir()
+    _write_file(src, "f1.json", [
+        _tev("a1", "@a", 0, "alpha"), _tev("a3", "@a", 10, "gamma"),
+        _tev("c1", "@clk", 12, "x"),
+    ])
+    # beta arrives late but within the 5-minute horizon
+    _write_file(src, "f2.json", [
+        _tev("a2", "@a", 8, "beta"), _tev("b1", "@b", 14, "solo"),
+    ])
+    _write_file(src, "f3.json", [_tev("c2", "@clk", 50, "x")])
+    _write_file(src, "f4.json", [
+        _tev("a9", "@a", 100, "second"), _tev("c3", "@clk", 200, "x"),
+    ])
+    _write_file(src, "f5.json", [_tev("c4", "@clk", 201, "x")])
+
+    with pytest.raises(ValueError, match="flush_idle"):
+        start_transcript_upsert_stream(
+            spark, str(src), str(tgt), str(ckpt),
+            assembler="watermarked", flush_idle=True,
+        )
+    with pytest.raises(ValueError, match="assembler"):
+        start_transcript_upsert_stream(
+            spark, str(src), str(tgt), str(ckpt), assembler="sorted",
+        )
+
+    q = start_transcript_upsert_stream(
+        spark, str(src), str(tgt), str(ckpt), gap_minutes=30,
+        assembler="watermarked", lateness="5 minutes",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    rows_b = batch_transcripts(spark, str(src), gap_minutes=30).collect()
+    batch_all = sorted(tuple(r) for r in rows_b)
+    streamed = set(_rows(spark, tgt))
+    # the store holds EXACT batch rows (the late beta folded in order)
+    assert streamed and streamed < set(batch_all)
+    a_first = next(r for r in streamed if r[0] == "@a")
+    assert "beta" in a_first[6] and a_first[6].index("beta") < a_first[6].index("gamma")
+    # no drift: the watermarked assembler needed no repair
+    assert _affected(repair_transcripts(spark, str(src), str(tgt),
+                                        gap_minutes=30)) == []
+    assert set(_rows(spark, tgt)) == streamed  # and it changed nothing
+    # in-place export: converge the store to the FULL batch derivation
+    repair_transcripts(spark, str(src), str(tgt), gap_minutes=30,
+                       include_open=True)
+    assert _rows(spark, tgt) == batch_all
+
+
 def test_chat_to_curated_corpus_pipeline_watermarked(spark, tmp_path):
     """The continuous training-data story on the WATERMARKED path — the
     configuration a production deployment with out-of-order delivery

@@ -582,6 +582,71 @@ def probe_sweep_only(docs):
     )
 
 
+def probe_transcript_repair(spark, events):
+    """Transcript-repair cost shape (round 10): the claim to pin is
+    "rewrite I/O ∝ drift size, detection ∝ corpus" — so time three
+    repairs over the same NDJSON source: FULL drift (empty target —
+    detection + corpus-sized rewrite), ONE-key drift (detection + one
+    bucket rewritten), and NO drift (detection only — the steady-state
+    watchdog pass). one_drift should sit near detect_only (the rewrite
+    adds one bucket), far under full_drift; all three grow ~linearly
+    with the corpus because detection is a per-key count+checksum agg."""
+    import shutil
+    import tempfile
+
+    from beeper_matric_etl_tool_spark.streaming.reconcile import (
+        _session_upsert,
+        repair_transcripts,
+    )
+
+    work = tempfile.mkdtemp(prefix="probe-repair-")
+    try:
+        src = os.path.join(work, "src")
+        wire = events.select(
+            F.to_json(
+                F.struct(
+                    F.col("event_id").cast("string").alias("event_id"),
+                    F.lit("!r").alias("room_id"),
+                    F.concat(
+                        F.lit("@u"), F.col("user_id").cast("string")
+                    ).alias("sender"),
+                    F.col("event_type").alias("event_type"),
+                    F.unix_millis(F.col("ts")).alias("timestamp"),
+                    F.lit(False).alias("is_encrypted"),
+                    F.col("props").alias("content"),
+                    F.lit(None).cast("string").alias("relates_to"),
+                )
+            ).alias("value")
+        )
+        wire.repartition(8).write.mode("overwrite").text(src)
+        tgt = os.path.join(work, "tgt")
+
+        t0 = time.time()
+        n_full = repair_transcripts(spark, src, tgt).count()
+        full_sec = time.time() - t0
+
+        ghost = spark.createDataFrame(
+            [("@u1", 1, 2, 1, 1, 1, "@u1 chat: ghost")],
+            "sender string, session_start_ms long, session_end_ms long, "
+            "n_events long, n_turns long, n_tokens long, transcript string",
+        )
+        _session_upsert(ghost, tgt)
+        t0 = time.time()
+        n_one = repair_transcripts(spark, src, tgt).count()
+        one_sec = time.time() - t0
+
+        t0 = time.time()
+        n_zero = repair_transcripts(spark, src, tgt).count()
+        detect_sec = time.time() - t0
+        return {
+            "full_drift_sec": round(full_sec, 3), "full_keys": n_full,
+            "one_drift_sec": round(one_sec, 3), "one_keys": n_one,
+            "detect_only_sec": round(detect_sec, 3), "zero_keys": n_zero,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def probe_calibration(docs):
     """Reliability bins over REAL classifier probabilities
     (`ext/classifier.py:calibration_bins` on predict_proba output — the
@@ -842,6 +907,10 @@ def main() -> None:
         "base_sec": t1, "grown_sec": t10,
         "growth_ratio": round(t10 / t1, 2) if t1 else None,
         "base_row": list(r1), "grown_row": list(r10),
+    }
+    out["probe"]["transcript_repair"] = {
+        "base": probe_transcript_repair(spark, events),
+        "grown": probe_transcript_repair(spark, big),
     }
     big.unpersist()
 
