@@ -385,6 +385,7 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = SIMHASH_BANDS,
     n_bits: int = SIMHASH_BITS,
+    cache: bool = True,
 ) -> DataFrame:
     """(id_a < id_b, hamming) pairs with hamming distance ≤ max_hamming.
 
@@ -398,7 +399,17 @@ def simhash_candidate_pairs(
     "no near-duplicates" exactly when it matters. The signature width is
     taken from ``n_bits`` (pass :data:`SIMHASH_BITS_PORTABLE` when the
     signatures came from the portable hash).
-    """
+
+    ``cache=True`` (default) localCheckpoints the pruned (id, bits)
+    relation ONCE before banding: the self-join consumes the signatures
+    as BOTH sides, and Catalyst does not reuse the unshuffled stage —
+    without the checkpoint the whole upstream signature computation (the
+    tokenize+vote aggregation here; the BMP decode in the image path,
+    `ext/multimodal.py:image_near_dup_pairs`) executes twice, plan-pinned
+    in tests. The knn_multiprobe/pmi precedent: one materialization of a
+    multi-consumer expensive stage, opt-out for callers that cached
+    upstream themselves (localCheckpoint is eager and this function
+    stops being lazy under the default)."""
     if max_hamming > bands - 1:
         raise ValueError(
             f"banding guarantees recall only for max_hamming <= bands-1 "
@@ -407,6 +418,9 @@ def simhash_candidate_pairs(
     if n_bits % bands != 0:
         raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
     width = n_bits // bands
+    sigs = sigs.select(F.col(id_col), "bits")
+    if cache:
+        sigs = sigs.localCheckpoint(eager=True)
     banded = sigs.select(
         F.col(id_col),
         F.col("bits"),

@@ -384,6 +384,40 @@ def test_image_dhash_near_dup_pairs(spark):
         xmm.image_near_dup_pairs(df, max_hamming=16, bands=16).collect()
 
 
+def test_simhash_banding_single_signature_pass(spark):
+    """The banding self-join consumes the signature relation as BOTH
+    sides and Catalyst does not reuse the unshuffled stage — so
+    simhash_candidate_pairs localCheckpoints the pruned (id, bits)
+    relation once (cache=True default). Plan-pinned on the image path,
+    where the duplicated stage is the BMP DECODE: zero MapInPandas
+    stages survive in the pairs plan under the default (the decode
+    already materialized at checkpoint time); exactly two without the
+    cache — the double-decode this guards against."""
+    from beeper_matric_etl_tool_spark.ext import dedup as xdedup
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+
+    rows = [(i, bytearray(xmm.make_gradient_bmp(36, 32, i % 3))) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    def plan_of(pairs_df):
+        return pairs_df._jdf.queryExecution().executedPlan().toString()
+
+    cached = xmm.image_near_dup_pairs(df, max_hamming=12, bands=16)
+    assert plan_of(cached).count("MapInPandas") == 0
+
+    sigs = xmm.image_perceptual_bits(df).filter(
+        F.col("error").isNull()
+    ).select("doc_id", "bits")
+    uncached = xdedup.simhash_candidate_pairs(
+        sigs, max_hamming=12, bands=16, n_bits=64, cache=False
+    )
+    assert plan_of(uncached).count("MapInPandas") == 2
+    # and the pair sets are identical either way
+    assert sorted(map(tuple, cached.collect())) == sorted(
+        map(tuple, uncached.collect())
+    )
+
+
 def test_sinks_indexed_layout_and_keyed_update(spark, tmp_path):
     from beeper_matric_etl_tool_spark import sinks
 
