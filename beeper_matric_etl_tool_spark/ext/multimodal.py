@@ -439,8 +439,12 @@ def image_perceptual_bits(
         for pdf in it:
             ids, ws, hs, bits, errs = [], [], [], [], []
             for doc_id, p in zip(pdf[id_col], pdf["payload"]):
-                p = bytes(p)
                 try:
+                    # a NULL payload is a data problem like any other
+                    # undecodable row — dead-letter, never a task crash
+                    if p is None:
+                        raise NotImplementedError("null payload")
+                    p = bytes(p)
                     if not (p[:2] == b"BM" and len(p) >= 54):
                         raise NotImplementedError("not a BMP payload")
                     px = _bmp_pixels(p)[:, :, :3]

@@ -255,6 +255,11 @@ def batch_transcripts(
     filtering first is semantically identical and drops a one-key
     repair from corpus-sized to key-sized. ``senders`` is the legacy
     alias of ``keys``."""
+    if keys is not None and senders is not None:
+        raise ValueError(
+            "batch_transcripts: pass keys= or its legacy alias senders=, "
+            "not both"
+        )
     if keys is None:
         keys = senders
     parsed = parse_events(spark.read.text(source_dir)).filter(
@@ -445,6 +450,11 @@ def repair_transcripts(
     path in tests/test_streaming.py)."""
     import shutil
 
+    if keys is not None and senders is not None:
+        raise ValueError(
+            "repair_transcripts: pass keys= or its legacy alias senders=, "
+            "not both"
+        )
     if keys is None:
         keys = senders
     _require_quiesced(spark, target_dir)

@@ -181,6 +181,10 @@ def _closed_session(key: str, st: tuple, gap_ms: int) -> dict:
 
 
 def _make_transcript_updater(gap_ms: int, max_turns: int, flush_idle: bool):
+    if max_turns < 1:
+        # match the batch operator's contract (assemble_transcripts)
+        raise ValueError(f"transcript stream: max_turns={max_turns} < 1")
+
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -349,6 +353,10 @@ def _make_wm_transcript_updater(gap_ms: int, max_turns: int):
     BYTE-IDENTICAL to `ext/transcripts.py:assemble_transcripts` — the
     property the arrival-order form (`start_transcript_stream`) only
     holds on in-order input."""
+
+    if max_turns < 1:
+        # match the batch operator's contract (assemble_transcripts)
+        raise ValueError(f"transcript stream: max_turns={max_turns} < 1")
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState

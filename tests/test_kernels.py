@@ -344,6 +344,7 @@ def test_image_dhash_near_dup_pairs(spark):
     rows = [
         (1, bytearray(a)), (2, bytearray(a_near)), (3, bytearray(b_far)),
         (4, bytearray(a)), (5, bytearray(b"definitely not a bitmap")),
+        (6, None),  # NULL payload — must dead-letter, not crash the task
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
 
@@ -362,7 +363,8 @@ def test_image_dhash_near_dup_pairs(spark):
     }
     assert pairs[(1, 4)] == 0  # identical copy
     assert pairs[(1, 2)] == h_near == pairs[(2, 4)]
-    assert not any(3 in p or 5 in p for p in pairs)  # pristine + dead-letter
+    # pristine negative + both dead-letter rows stay out of the pairs
+    assert not any(3 in p or 5 in p or 6 in p for p in pairs)
     assert set(pairs) == {(1, 4), (1, 2), (2, 4)}
 
     # signatures surface: identical images -> identical bits; the
@@ -371,6 +373,7 @@ def test_image_dhash_near_dup_pairs(spark):
     assert sigs[1].bits == sigs[4].bits and len(sigs[1].bits) == 64
     assert sigs[1].width == 36 and sigs[1].height == 32
     assert sigs[5].bits is None and "phash_error" in sigs[5].error
+    assert sigs[6].bits is None and "null payload" in sigs[6].error
 
     # aHash method: same machinery, global-threshold signature
     asigs = {

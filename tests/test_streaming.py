@@ -2058,3 +2058,35 @@ def test_chat_to_curated_corpus_pipeline_watermarked(spark, tmp_path):
         assert audits[-1][1] >= 1 and audits[-1][2] == 0
     finally:
         cq.stop()
+
+
+def test_transcript_guard_rails(spark, tmp_path):
+    """Contract guards fail loudly at construction time: max_turns < 1
+    (both stateful updaters — the batch operator already raises) and
+    passing BOTH keys= and its legacy alias senders= to the reconcile
+    entry points (silently preferring one would repair the wrong set)."""
+    from beeper_matric_etl_tool_spark.streaming.reconcile import (
+        batch_transcripts,
+        repair_transcripts,
+    )
+    from beeper_matric_etl_tool_spark.streaming.stateful import (
+        _make_transcript_updater,
+        _make_wm_transcript_updater,
+    )
+
+    with pytest.raises(ValueError, match="max_turns"):
+        _make_transcript_updater(60_000, max_turns=0, flush_idle=True)
+    with pytest.raises(ValueError, match="max_turns"):
+        _make_wm_transcript_updater(60_000, max_turns=0)
+    with pytest.raises(ValueError, match="not both"):
+        batch_transcripts(
+            spark, str(tmp_path), keys=["@a"], senders=["@b"]
+        )
+    with pytest.raises(ValueError, match="not both"):
+        repair_transcripts(
+            spark,
+            str(tmp_path),
+            str(tmp_path / "tgt"),
+            keys=["@a"],
+            senders=["@b"],
+        )
