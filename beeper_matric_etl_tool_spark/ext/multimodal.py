@@ -129,9 +129,12 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
     return width, h, feats
 
 
-def _wav_pcm(payload: bytes) -> tuple[np.ndarray, int, int]:
-    """RIFF/WAVE chunk walk → (frames float64 (n, channels) in [-1, 1),
-    sample_rate, channels). 16-bit PCM only."""
+def _wav_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """RIFF/WAVE chunk walk → (frames int16 (n, channels) — the RAW PCM
+    integers, no normalization — sample_rate, channels). 16-bit PCM only.
+    The integer form is what the acoustic fingerprint consumes: exact
+    integer arithmetic end to end, so signatures are engine- and
+    platform-exact (the image dHash discipline)."""
     if payload[8:12] != b"WAVE":
         raise NotImplementedError("RIFF but not WAVE")
     pos, channels, bits, rate, data = 12, None, None, None, None
@@ -148,9 +151,16 @@ def _wav_pcm(payload: bytes) -> tuple[np.ndarray, int, int]:
         pos += 8 + size + (size & 1)  # chunks pad to even sizes
     if channels is None or data is None or bits != 16:
         raise NotImplementedError(f"WAV bits={bits}")
-    samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    samples = np.frombuffer(data, dtype="<i2")
     n_frames = len(samples) // channels
     return samples[: n_frames * channels].reshape(n_frames, channels), rate, channels
+
+
+def _wav_pcm(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """RIFF/WAVE chunk walk → (frames float64 (n, channels) in [-1, 1),
+    sample_rate, channels). 16-bit PCM only."""
+    frames, rate, channels = _wav_samples(payload)
+    return frames.astype(np.float64) / 32768.0, rate, channels
 
 
 def _decode_wav(payload: bytes) -> tuple[int, int, list[float]]:
@@ -499,6 +509,148 @@ def image_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Acoustic fingerprinting (energy / spectral-flux sign bits) + banded near-dup
+# ---------------------------------------------------------------------------
+
+#: time bins for the acoustic fingerprint: 33 bins → 32 adjacent energy
+#: comparisons + 32 adjacent flux comparisons = 64 signature bits
+AFP_BINS = 33
+AFP_BITS = 64
+
+#: int64 overflow guard: per-sample s² ≤ 2^30, so a bin sum wraps only
+#: past ~2^33 samples per bin → ~2^38 samples total (~9,000 h at 8 kHz)
+AFP_MAX_SAMPLES = 1 << 38
+
+AFP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits", T.ArrayType(T.IntegerType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _bin_starts(n: int, bins: int) -> np.ndarray:
+    """First index of each bin under the exact integer rule
+    bin(i) = i * bins // n — starts[k] = ceil(k * n / bins)."""
+    k = np.arange(bins, dtype=np.int64)
+    return (k * n + bins - 1) // bins
+
+
+def _afp_of(mono: "np.ndarray") -> list[int]:
+    """64 acoustic fingerprint bits over an int64 mono signal — a
+    simplified Haitsma–Kalker energy-sign fingerprint, integer-exact:
+
+    - E[k] = Σ s² over time bin k (33 equal bins, bin(i) = i*33//n);
+      bits 0..31: E[k+1] > E[k] — the energy envelope's shape.
+    - D[k] = Σ (Δs)² over the same binning of the first-difference
+      signal (n-1 samples); bits 32..63: D[k+1] > D[k] — a spectral-tilt
+      / high-frequency proxy (difference energy rises with frequency),
+      no FFT needed.
+
+    Both planes are invariant to time-uniform gain only in SIGN
+    structure (like dHash's brightness invariance): scaling the whole
+    signal scales every bin equally, so no bit flips; a local edit
+    (dropout, splice, re-level) flips only the bits whose bins it
+    touches."""
+    n = len(mono)
+    e2 = mono * mono
+    E = np.add.reduceat(e2, _bin_starts(n, AFP_BINS))
+    d = np.diff(mono)
+    D = np.add.reduceat(d * d, _bin_starts(n - 1, AFP_BINS))
+    return np.concatenate(
+        [(E[1:] > E[:-1]).astype(np.int32), (D[1:] > D[:-1]).astype(np.int32)]
+    ).tolist()
+
+
+def audio_fingerprint_bits(
+    with_payload: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_frames, sample_rate, bits array<int>[64], error) —
+    acoustic fingerprint signatures over WAV payloads, Arrow-batched
+    ``mapInPandas`` like the other decode stages. Non-WAV / corrupt /
+    too-short payloads yield a NULL signature with ``error`` set
+    (dead-letter — never silently dropped, never a task crash).
+
+    Scale shape (the image-phash twin): the only stage that touches PCM
+    bytes; everything downstream (banding, candidate join, hamming
+    verify) carries (id, 64 small ints) — ~300 shuffle bytes per clip
+    regardless of duration. Multi-channel audio folds to mono by
+    integer channel SUM (a mean would need division — the sum preserves
+    exactness and the sign structure is gain-invariant anyway)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nfs, rates, bits, errs = [], [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    if p is None:
+                        raise NotImplementedError("null payload")
+                    p = bytes(p)
+                    if not (p[:4] == b"RIFF" and len(p) >= 44):
+                        raise NotImplementedError("not a WAV payload")
+                    frames, rate, _ = _wav_samples(p)
+                    n = frames.shape[0]
+                    # need every E bin (n ≥ 33) AND every D bin
+                    # (n-1 ≥ 33) non-empty
+                    if n < AFP_BINS + 1:
+                        raise NotImplementedError(
+                            f"audio too short for {AFP_BINS} bins ({n} frames)"
+                        )
+                    if n > AFP_MAX_SAMPLES:
+                        raise NotImplementedError(
+                            "audio too long for exact int64 bin energies"
+                        )
+                    mono = frames.astype(np.int64).sum(axis=1)
+                    nfs.append(n)
+                    rates.append(rate)
+                    bits.append(_afp_of(mono))
+                    errs.append(None)
+                except (NotImplementedError, ValueError, IndexError) as exc:
+                    nfs.append(None)
+                    rates.append(None)
+                    bits.append(None)
+                    errs.append(f"afp_error: {exc}")
+                ids.append(doc_id)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nfs, dtype="Int32"),
+                    "sample_rate": pd.Series(rates, dtype="Int32"),
+                    "bits": bits,
+                    "error": errs,
+                }
+            )
+
+    return with_payload.mapInPandas(batches, schema=AFP_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    with_payload: DataFrame,
+    max_hamming: int = 12,
+    bands: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a < id_b, hamming) audio near-duplicate pairs: acoustic
+    fingerprints (:func:`audio_fingerprint_bits`) through the SAME
+    pigeonhole banding as text SimHash and image phash
+    (`ext/dedup.py:simhash_candidate_pairs`) — candidates from a LINEAR
+    equi-join on (band_id, band_value), exact hamming verified on
+    candidates only, recall guaranteed for ``max_hamming ≤ bands-1``
+    (enforced there). Dead-letter rows are excluded from banding."""
+    from beeper_matric_etl_tool_spark.ext.dedup import simhash_candidate_pairs
+
+    sigs = audio_fingerprint_bits(with_payload, id_col=id_col)
+    ok = sigs.filter(F.col("error").isNull()).select(F.col("doc_id"), "bits")
+    return simhash_candidate_pairs(
+        ok, max_hamming=max_hamming, id_col="doc_id",
+        bands=bands, n_bits=AFP_BITS,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Synthetic media generators — used by tests and as wire-format documentation
 # ---------------------------------------------------------------------------
 
@@ -564,6 +716,47 @@ def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
         row += b"\x00" * (row_size - len(row))
         rows += row
     return header + bytes(rows)
+
+
+def make_saw_wav(
+    n_frames: int,
+    seed: int,
+    edit: tuple[int, int] | None = None,
+    rate: int = 8000,
+) -> bytes:
+    """A real 16-bit PCM mono WAV whose samples are a CLOSED-FORM integer
+    function of (index, seed) — a seed-sloped non-negative sawtooth:
+
+        s[i] = (i * (97 + 31*seed)) % 32768
+
+    ``edit=(a, b)`` halves the samples in ``[a, b)`` (``s // 2`` —
+    non-negative, so floor == truncate and any SQL dialect replays it) —
+    the deterministic "local re-level" edit that turns a clip into a
+    NEAR duplicate (a handful of fingerprint bits flip in the bins the
+    window touches). The closed form is what lets the driver oracle
+    re-derive the decode→fingerprint→banded-pairs pipeline end to end
+    (plans/catalog_ext.py multimodal_features kind='afp_pair')."""
+    i = np.arange(n_frames, dtype=np.int64)
+    s = (i * (97 + 31 * seed)) % 32768
+    if edit is not None:
+        a, b = edit
+        s = s.copy()
+        s[a:b] = s[a:b] // 2
+    signal = s.astype("<i2").tobytes()
+    byte_rate = rate * 2
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    data = b"data" + len(signal).to_bytes(4, "little") + signal
+    riff_body = b"WAVE" + fmt + data
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
 
 
 def make_wav(n_frames: int, channels: int = 1, rate: int = 8000, seed: int = 0) -> bytes:

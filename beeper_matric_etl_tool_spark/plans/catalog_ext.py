@@ -2511,6 +2511,20 @@ PHASH_MARK_COL = 18
 PHASH_MAX_HAMMING = 12
 PHASH_BANDS = 16
 
+#: planted acoustic-fingerprint corpus parameters (kind='afp_pair'): the
+#: phash layout transposed to audio — docs 0..47 render as 3300-frame
+#: seed-sloped sawtooth WAVs (ext/multimodal.py:make_saw_wav), seed =
+#: doc_id % 6 picks the slope family, every second family member halves
+#: samples [1022, 1622) (the near-dup "local re-level" edit — flips
+#: fingerprint bits only in the bins the window touches; measured
+#: near-pair hamming 1-3, cross-family ≥ 25).
+AFP_DOCS = 48
+AFP_SEEDS = 6
+AFP_N = 3300
+AFP_EDIT = (1022, 1622)
+AFP_MAX_HAMMING = 12
+AFP_BANDS = 16
+
 
 @register(
     "multimodal_features",
@@ -2575,6 +2589,48 @@ PHASH_BANDS = 16
             FROM bits x JOIN bits y
               ON x.pos = y.pos AND x.doc_id < y.doc_id
             GROUP BY 1, 2
+        ),
+        afp_p AS (
+            SELECT doc_id, doc_id % {AFP_SEEDS} AS seed,
+                   (doc_id // {AFP_SEEDS}) % 2 AS variant
+            FROM documents WHERE doc_id < {AFP_DOCS}
+        ),
+        afp_s AS (
+            SELECT doc_id, gi.i AS i,
+                   CASE WHEN variant = 1
+                             AND gi.i >= {AFP_EDIT[0]} AND gi.i < {AFP_EDIT[1]}
+                        THEN ((gi.i * (97 + 31*seed)) % 32768) // 2
+                        ELSE (gi.i * (97 + 31*seed)) % 32768 END AS s
+            FROM afp_p, generate_series(0, {AFP_N - 1}) AS gi(i)
+        ),
+        afp_e AS (
+            SELECT doc_id, (i * 33) // {AFP_N} AS b, SUM(s * s) AS v
+            FROM afp_s GROUP BY 1, 2
+        ),
+        afp_d AS (
+            SELECT x.doc_id, (x.i * 33) // {AFP_N - 1} AS b,
+                   SUM((y.s - x.s) * (y.s - x.s)) AS v
+            FROM afp_s x JOIN afp_s y
+              ON y.doc_id = x.doc_id AND y.i = x.i + 1
+            GROUP BY 1, 2
+        ),
+        afp_bits AS (
+            SELECT a.doc_id, a.b AS pos,
+                   CASE WHEN c.v > a.v THEN 1 ELSE 0 END AS bit
+            FROM afp_e a JOIN afp_e c
+              ON c.doc_id = a.doc_id AND c.b = a.b + 1
+            UNION ALL
+            SELECT a.doc_id, 32 + a.b AS pos,
+                   CASE WHEN c.v > a.v THEN 1 ELSE 0 END AS bit
+            FROM afp_d a JOIN afp_d c
+              ON c.doc_id = a.doc_id AND c.b = a.b + 1
+        ),
+        afp_ham AS (
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                   SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+            FROM afp_bits x JOIN afp_bits y
+              ON x.pos = y.pos AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
         )
         SELECT 'manifest' AS kind, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
                'application/octet-stream' AS mime,
@@ -2591,10 +2647,17 @@ PHASH_BANDS = 16
                CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
                CAST(hamming AS BIGINT) AS hamming
         FROM ham WHERE hamming <= {PHASH_MAX_HAMMING}
+        UNION ALL
+        SELECT 'afp_pair' AS kind, id_a, id_b,
+               CAST(NULL AS VARCHAR) AS mime, CAST(NULL AS BIGINT) AS byte_len,
+               CAST(NULL AS VARCHAR) AS payload_sha256,
+               CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+               CAST(hamming AS BIGINT) AS hamming
+        FROM afp_ham WHERE hamming <= {AFP_MAX_HAMMING}
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plane, two kind legs in one relation.
+    """Multimodal plane, three kind legs in one relation.
 
     kind='manifest' — decode/feature-extract stage over the
     payload+metadata plane: Arrow-batched mapInPandas over binary
@@ -2617,7 +2680,17 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded. Scale shape: pixels never shuffle — one decode pass emits
     64-bit signatures, candidates are a LINEAR equi-join on
     (band_id, band_value), exact verify only on candidates; recall for
-    hamming <= bands-1 is guaranteed by pigeonhole, enforced in code."""
+    hamming <= bands-1 is guaranteed by pigeonhole, enforced in code.
+
+    kind='afp_pair' — the AUDIO twin: docs 0..47 render as REAL 16-bit
+    PCM sawtooth WAVs (`make_saw_wav` — closed-form integer samples,
+    one halved window as the near-dup edit), the real chunk-walk codec
+    decodes them, integer energy/spectral-flux fingerprints
+    (`audio_fingerprint_bits` — 33 time bins, adjacent-sign bits, the
+    Haitsma-Kalker shape without the FFT) band through the same
+    pigeonhole join (`audio_near_dup_pairs`). Identical clips pair at
+    hamming 0, re-leveled variants at 1-3, cross-family (>= 25)
+    excluded. PCM bytes never shuffle."""
     import pandas as pd
 
     from beeper_matric_etl_tool_spark.ext import multimodal as xmm
@@ -2658,7 +2731,36 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.col("hamming").cast("long"),
     )
-    return manifest.unionByName(pairs)
+
+    # kind='afp_pair': the audio twin — closed-form sawtooth WAVs through
+    # the real PCM codec, integer energy/flux fingerprints, same banding.
+    def gen_wavs(it):
+        for pdf in it:
+            payloads = [
+                xmm.make_saw_wav(
+                    AFP_N, int(d) % AFP_SEEDS,
+                    AFP_EDIT if (int(d) // AFP_SEEDS) % 2 else None,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    planted_a = docs.select("doc_id").filter(F.col("doc_id") < AFP_DOCS)
+    wavs = planted_a.mapInPandas(gen_wavs, "doc_id long, payload binary")
+    apairs = xmm.audio_near_dup_pairs(
+        wavs, max_hamming=AFP_MAX_HAMMING, bands=AFP_BANDS
+    ).select(
+        F.lit("afp_pair").alias("kind"),
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("long").alias("byte_len"),
+        F.lit(None).cast("string").alias("payload_sha256"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.col("hamming").cast("long"),
+    )
+    return manifest.unionByName(pairs).unionByName(apairs)
 
 
 # --------------------------------------------------------------------------

@@ -1428,3 +1428,73 @@ def test_ngram_duplication_scores_planted(spark):
         ngram_duplication_scores(docs, k=1)
     with _pytest.raises(ValueError, match="min_count=1"):
         ngram_duplication_scores(docs, k=4, min_count=1)
+
+
+def test_audio_fingerprint_near_dup_pairs(spark):
+    """Acoustic-fingerprint near-dup (the image-phash twin): a re-leveled
+    variant (one halved sample window) is found with small positive
+    hamming; an identical copy at hamming 0; a different slope family is
+    NOT paired; non-WAV / NULL / too-short payloads dead-letter out of
+    the banding. Spark hammings equal the NumPy reference exactly
+    (integer energy/flux bins)."""
+    import numpy as np
+    import pytest
+
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+
+    a = xmm.make_saw_wav(3300, seed=2)
+    a_near = xmm.make_saw_wav(3300, seed=2, edit=(1022, 1622))
+    b_far = xmm.make_saw_wav(3300, seed=4)
+    rows = [
+        (1, bytearray(a)), (2, bytearray(a_near)), (3, bytearray(b_far)),
+        (4, bytearray(a)), (5, bytearray(b"definitely not audio data....")),
+        (6, None),  # NULL payload — must dead-letter, not crash the task
+        (7, bytearray(xmm.make_saw_wav(20, seed=0))),  # < 34 frames
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    # reference hammings straight off the decoded samples
+    def ref_bits(payload):
+        frames, _, _ = xmm._wav_samples(payload)
+        return np.array(xmm._afp_of(frames.astype(np.int64).sum(axis=1)))
+
+    ra, rn, rf = ref_bits(a), ref_bits(a_near), ref_bits(b_far)
+    h_near = int((ra != rn).sum())
+    assert 0 < h_near <= 12  # the planted edit is a NEAR duplicate
+    assert int((ra != rf).sum()) > 12  # the other slope is genuinely far
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in xmm.audio_near_dup_pairs(df, max_hamming=12, bands=16).collect()
+    }
+    assert pairs[(1, 4)] == 0  # identical copy
+    assert pairs[(1, 2)] == h_near == pairs[(2, 4)]
+    # pristine negative + all three dead-letter rows stay out
+    assert not any(x in p for p in pairs for x in (3, 5, 6, 7))
+    assert set(pairs) == {(1, 4), (1, 2), (2, 4)}
+
+    # signatures surface: identical clips -> identical bits; dead-letter
+    # rows carry error + NULL bits (never enter banding)
+    sigs = {r.doc_id: r for r in xmm.audio_fingerprint_bits(df).collect()}
+    assert sigs[1].bits == sigs[4].bits and len(sigs[1].bits) == 64
+    assert sigs[1].n_frames == 3300 and sigs[1].sample_rate == 8000
+    assert sigs[5].bits is None and "afp_error" in sigs[5].error
+    assert sigs[6].bits is None and "null payload" in sigs[6].error
+    assert sigs[7].bits is None and "too short" in sigs[7].error
+
+    # stereo folds to mono by integer channel sum, exactly (a 2-channel
+    # clip whose channels are both s has fingerprint of 2*s — same sign
+    # structure as s, since every bin energy scales by 4)
+    st = xmm.make_wav(3300, channels=2, seed=1)
+    frames, _, ch = xmm._wav_samples(st)
+    assert ch == 2
+    got = xmm.audio_fingerprint_bits(
+        spark.createDataFrame([(9, bytearray(st))], "doc_id long, payload binary")
+    ).collect()[0]
+    assert got.bits == list(
+        np.array(xmm._afp_of(frames.astype(np.int64).sum(axis=1)))
+    )
+
+    # the pigeonhole recall guarantee is enforced, not assumed
+    with pytest.raises(ValueError, match="bands"):
+        xmm.audio_near_dup_pairs(df, max_hamming=16, bands=16).collect()
