@@ -651,6 +651,327 @@ def audio_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Video: uncompressed-AVI codec, frame sampling, spatio-temporal hash
+# ---------------------------------------------------------------------------
+
+#: video hash shape: 8 frames sampled at temporal centers, each reduced to
+#: a 2x5 integer-luma grid whose horizontal dHash comparisons give
+#: 2 rows x 4 = 8 spatial bits → 8 frames x 8 bits = 64 signature bits.
+#: A temporally LOCAL edit flips only the bits of the sampled frames it
+#: touches (the dHash locality property, extended along time).
+VHASH_FRAMES = 8
+VHASH_GRID_H = 2
+VHASH_GRID_W = 5
+VHASH_BITS = 64
+
+
+def _avi_frames(payload: bytes) -> tuple[np.ndarray, int]:
+    """Uncompressed AVI (RIFF 'AVI ') → ((n, h, w, 3) uint8 BGR top-down
+    frame array, microseconds per frame). Chunk walk like the WAV codec:
+    LIST'hdrl' → 'avih' (MainAVIHeader: usec/frame at +0, total frames at
+    +16, width at +32, height at +36), LIST'movi' → one '00db' chunk per
+    uncompressed DIB frame (bottom-up BGR24 rows, 4-byte row padding —
+    the BMP pixel-data layout without the BMP header). Compressed streams
+    ('00dc'), rec-grouped movi lists, and non-24-bpp frames raise
+    NotImplementedError rather than mis-decoding — callers dead-letter."""
+    if payload[8:12] != b"AVI ":
+        raise NotImplementedError("RIFF but not AVI")
+    usec_pf = width = height = n_total = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal usec_pf, width, height, n_total
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body_start = pos + 8
+            if cid == b"LIST":
+                ltype = buf[body_start : body_start + 4]
+                if ltype in (b"hdrl", b"movi", b"strl"):
+                    walk(buf, body_start + 4, body_start + size)
+                elif ltype == b"rec ":
+                    raise NotImplementedError("rec-grouped movi list")
+            elif cid == b"avih":
+                body = buf[body_start : body_start + size]
+                usec_pf = int.from_bytes(body[0:4], "little")
+                n_total = int.from_bytes(body[16:20], "little")
+                width = int.from_bytes(body[32:36], "little")
+                height = int.from_bytes(body[36:40], "little")
+            elif cid == b"00db":
+                frames.append(buf[body_start : body_start + size])
+            elif cid == b"00dc":
+                raise NotImplementedError("compressed video stream")
+            pos = body_start + size + (size & 1)  # chunks pad to even sizes
+
+    walk(payload, 12, len(payload))
+    if width is None or not frames:
+        raise NotImplementedError("AVI without avih header or 00db frames")
+    if n_total is not None and n_total != len(frames):
+        raise NotImplementedError(
+            f"AVI frame count mismatch (avih={n_total}, movi={len(frames)})"
+        )
+    row_size = ((width * 3 + 3) // 4) * 4
+    out = np.empty((len(frames), height, width, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames):
+        if len(fb) < row_size * height:
+            raise NotImplementedError(f"truncated DIB frame {i}")
+        rows = np.frombuffer(fb, dtype=np.uint8, count=row_size * height)
+        # bottom-up storage (positive-height BMP convention), flip to top-down
+        out[i] = rows.reshape(height, row_size)[::-1, : width * 3].reshape(
+            height, width, 3
+        )
+    return out, int(usec_pf or 0)
+
+
+def _encode_avi(frames_bgr: np.ndarray, fps: int = 12) -> bytes:
+    """(n, h, w, 3) uint8 BGR top-down frames → real uncompressed AVI bytes
+    (RIFF: hdrl with avih + a minimal vids/DIB strl, movi with one '00db'
+    DIB per frame) — the inverse of :func:`_avi_frames`, vectorized per
+    frame via the BMP row packer's layout rules."""
+    n, h, w, _ = frames_bgr.shape
+    row_size = ((w * 3 + 3) // 4) * 4
+    dibs = []
+    for f in frames_bgr:
+        padded = np.zeros((h, row_size), dtype=np.uint8)
+        padded[:, : w * 3] = f[::-1].reshape(h, w * 3)  # bottom-up
+        dibs.append(padded.tobytes())
+    usec_pf = 1_000_000 // fps
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) & 1 else b"")
+
+    avih = chunk(
+        b"avih",
+        usec_pf.to_bytes(4, "little")
+        + (row_size * h * fps).to_bytes(4, "little")  # max bytes/sec
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")  # flags
+        + n.to_bytes(4, "little")  # total frames
+        + (0).to_bytes(4, "little")
+        + (1).to_bytes(4, "little")  # streams
+        + (row_size * h).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + b"\x00" * 16,
+    )
+    strh = chunk(
+        b"strh",
+        b"vids"
+        + b"DIB "
+        + b"\x00" * 12
+        + (1).to_bytes(4, "little")  # scale
+        + fps.to_bytes(4, "little")  # rate
+        + (0).to_bytes(4, "little")
+        + n.to_bytes(4, "little")  # length
+        + (row_size * h).to_bytes(4, "little")
+        + b"\xff" * 4  # quality (-1)
+        + b"\x00" * 12,
+    )
+    strf = chunk(
+        b"strf",
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + (row_size * h).to_bytes(4, "little")
+        + b"\x00" * 16,
+    )
+    strl = chunk(b"LIST", b"strl" + strh + strf)
+    hdrl = chunk(b"LIST", b"hdrl" + avih + strl)
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00db", d) for d in dibs))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+#: output schema of the video frame-sampling stage — one row per sampled
+#: frame; an undecodable payload dead-letters as a single NULL-frame row
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("time_ms", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def video_sample_frames(
+    with_payload: DataFrame, n_samples: int = VHASH_FRAMES, id_col: str = "doc_id"
+) -> DataFrame:
+    """Video frame-sampling stage: AVI payload → ``n_samples`` frames at
+    temporal centers (frame index ``(2k+1)*n // (2*n_samples)`` — the
+    exact integer rule the image grid sampler uses, applied along time),
+    each re-encoded as a REAL standalone BMP payload — so every sampled
+    frame composes directly with the image plane (`resize_images`,
+    `image_perceptual_bits`, feature extraction). The 1→N row explosion
+    happens inside the Arrow batch like `sample_audio_frames`; videos
+    shorter than ``n_samples`` emit every frame once (no duplicates).
+    Undecodable payloads yield ONE dead-letter row with ``error`` set
+    and NULL frame fields — never silently dropped, never a task crash."""
+    if n_samples < 1:
+        raise ValueError(f"video_sample_frames: n_samples must be >= 1 ({n_samples})")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, times, ws, hs, payloads, errs = [], [], [], [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    if p is None:
+                        raise NotImplementedError("null payload")
+                    p = bytes(p)
+                    if not (p[:4] == b"RIFF" and len(p) >= 24):
+                        raise NotImplementedError("not an AVI payload")
+                    frames, usec_pf = _avi_frames(p)
+                    n = frames.shape[0]
+                    take = min(n_samples, n)
+                    fidx = np.unique(
+                        (2 * np.arange(take) + 1) * n // (2 * take)
+                    )
+                    for fi in fidx.tolist():
+                        ids.append(doc_id)
+                        idxs.append(fi)
+                        times.append(fi * usec_pf // 1000)
+                        ws.append(frames.shape[2])
+                        hs.append(frames.shape[1])
+                        payloads.append(_encode_bmp(frames[fi]))
+                        errs.append(None)
+                except (NotImplementedError, ValueError, IndexError) as exc:
+                    ids.append(doc_id)
+                    idxs.append(None)
+                    times.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    payloads.append(None)
+                    errs.append(f"video_error: {exc}")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="Int32"),
+                    "time_ms": pd.Series(times, dtype="Int64"),
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "height": pd.Series(hs, dtype="Int32"),
+                    "payload": payloads,
+                    "error": errs,
+                }
+            )
+
+    return with_payload.mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)
+
+
+VHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_video_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bits", T.ArrayType(T.IntegerType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _vhash_of(frames: "np.ndarray") -> list[int]:
+    """64 spatio-temporal signature bits over a (n, h, w, 3) BGR frame
+    array: sample VHASH_FRAMES frames at temporal centers, reduce each to
+    a 2x5 integer-luma grid (`_grid_luma` — the image dHash sampler), and
+    take the 8 horizontal strictly-brighter comparisons per frame.
+    Integer-exact end to end (the dHash/afp discipline); invariant to
+    uniform brightness scaling per frame in SIGN structure; a temporally
+    local edit flips only the touched frames' bit groups."""
+    n = frames.shape[0]
+    fidx = (2 * np.arange(VHASH_FRAMES) + 1) * n // (2 * VHASH_FRAMES)
+    bits: list[int] = []
+    for fi in fidx.tolist():
+        g = _grid_luma(frames[fi], VHASH_GRID_H, VHASH_GRID_W)
+        bits.extend((g[:, 1:] > g[:, :-1]).astype(np.int32).ravel().tolist())
+    return bits
+
+
+def video_hash_bits(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_video_frames, width, height, bits array<int>[64], error)
+    — spatio-temporal video hash signatures over AVI payloads,
+    Arrow-batched ``mapInPandas`` like the other decode stages. Non-AVI /
+    corrupt / too-short payloads yield a NULL signature with ``error``
+    set (dead-letter).
+
+    Scale shape (the phash/afp triplet completed): the only stage that
+    touches frame pixels; everything downstream carries (id, 64 small
+    ints) — ~300 shuffle bytes per video regardless of duration or
+    resolution. Videos need at least VHASH_FRAMES frames so every
+    temporal sample lands on a distinct frame (duplicate samples would
+    make short clips hash like freeze-frames of themselves)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nfs, ws, hs, bits, errs = [], [], [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    if p is None:
+                        raise NotImplementedError("null payload")
+                    p = bytes(p)
+                    if not (p[:4] == b"RIFF" and len(p) >= 24):
+                        raise NotImplementedError("not an AVI payload")
+                    frames, _usec = _avi_frames(p)
+                    n = frames.shape[0]
+                    if n < VHASH_FRAMES:
+                        raise NotImplementedError(
+                            f"video too short for {VHASH_FRAMES} temporal samples"
+                            f" ({n} frames)"
+                        )
+                    nfs.append(n)
+                    ws.append(frames.shape[2])
+                    hs.append(frames.shape[1])
+                    bits.append(_vhash_of(frames))
+                    errs.append(None)
+                except (NotImplementedError, ValueError, IndexError) as exc:
+                    nfs.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    bits.append(None)
+                    errs.append(f"vhash_error: {exc}")
+                ids.append(doc_id)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_video_frames": pd.Series(nfs, dtype="Int32"),
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "height": pd.Series(hs, dtype="Int32"),
+                    "bits": bits,
+                    "error": errs,
+                }
+            )
+
+    return with_payload.mapInPandas(batches, schema=VHASH_SCHEMA)
+
+
+def video_near_dup_pairs(
+    with_payload: DataFrame,
+    max_hamming: int = 12,
+    bands: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a < id_b, hamming) video near-duplicate pairs: spatio-temporal
+    signatures (:func:`video_hash_bits`) through the SAME pigeonhole
+    banding as text SimHash / image phash / audio afp
+    (`ext/dedup.py:simhash_candidate_pairs`) — candidates from a LINEAR
+    equi-join on (band_id, band_value), exact hamming verified on
+    candidates only, recall guaranteed for ``max_hamming ≤ bands-1``
+    (enforced there). Dead-letter rows are excluded from banding."""
+    from beeper_matric_etl_tool_spark.ext.dedup import simhash_candidate_pairs
+
+    sigs = video_hash_bits(with_payload, id_col=id_col)
+    ok = sigs.filter(F.col("error").isNull()).select(F.col("doc_id"), "bits")
+    return simhash_candidate_pairs(
+        ok, max_hamming=max_hamming, id_col="doc_id",
+        bands=bands, n_bits=VHASH_BITS,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Synthetic media generators — used by tests and as wire-format documentation
 # ---------------------------------------------------------------------------
 
@@ -685,6 +1006,55 @@ def make_gradient_bmp(
         R[:, invert_col] = 255 - R[:, invert_col]
     bgr = np.stack([B, G, R], axis=2).astype(np.uint8)
     return _encode_bmp(bgr)
+
+
+def make_gradient_avi(
+    width: int,
+    height: int,
+    n_frames: int,
+    seed: int,
+    invert_col: int | None = None,
+    edit_frames: tuple[int, int] | None = None,
+    fps: int = 12,
+) -> bytes:
+    """A real uncompressed AVI whose frame pixels are CLOSED-FORM functions
+    of (x, y, t, seed) — the gradient-BMP channels plus per-frame offsets,
+    so consecutive frames genuinely differ (the offsets shift where the
+    mod-256 wraps land, which moves the comparison structure every frame):
+
+        B = (x * (7 + 13*seed) + t*29) % 256
+        G = (y * (11 + 17*seed) + t*23) % 256
+        R = ((x + y) * (3 + 7*seed) + t*19) % 256
+
+    ``invert_col=x0`` + ``edit_frames=(a, b)`` inverts all three channels
+    in pixel column x0 for frames a <= t < b — the deterministic
+    TEMPORALLY-LOCAL edit that turns a video into a NEAR duplicate (only
+    the sampled frames inside [a, b) flip signature bits, and only the
+    comparisons whose grid columns straddle x0). The closed form is
+    replayable in any SQL dialect, which is what lets the driver oracle
+    re-derive the decode→sample→hash→banded-pairs pipeline end to end
+    (plans/catalog_ext.py multimodal_features kind='vhash_pair')."""
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)
+    frames = np.empty((n_frames, height, width, 3), dtype=np.uint8)
+    for t in range(n_frames):
+        B = np.broadcast_to((x * (7 + 13 * seed) + t * 29) % 256, (height, width)).copy()
+        G = np.broadcast_to(
+            ((y * (11 + 17 * seed) + t * 23) % 256)[:, None], (height, width)
+        ).copy()
+        R = ((x[None, :] + y[:, None]) * (3 + 7 * seed) + t * 19) % 256
+        if (
+            invert_col is not None
+            and edit_frames is not None
+            and 0 <= invert_col < width
+            and edit_frames[0] <= t < edit_frames[1]
+        ):
+            B[:, invert_col] = 255 - B[:, invert_col]
+            G[:, invert_col] = 255 - G[:, invert_col]
+            R = R.copy()
+            R[:, invert_col] = 255 - R[:, invert_col]
+        frames[t] = np.stack([B, G, R], axis=2)
+    return _encode_avi(frames, fps=fps)
 
 
 def make_bmp(width: int, height: int, seed: int = 0) -> bytes:

@@ -2525,6 +2525,22 @@ AFP_EDIT = (1022, 1622)
 AFP_MAX_HAMMING = 12
 AFP_BANDS = 16
 
+#: planted video-hash corpus parameters (kind='vhash_pair'): the phash
+#: layout extended along TIME — docs 0..47 render as 24-frame 40x16
+#: uncompressed AVIs (ext/multimodal.py:make_gradient_avi), seed =
+#: doc_id % 6 picks the gradient family, every second family member
+#: inverts pixel column 20 in frames [9, 18) only (the TEMPORALLY-local
+#: near-dup edit — flips bits only for the 3 sampled frames inside the
+#: window; measured near-pair hamming 3-8, cross-family ≥ 19).
+VHASH_DOCS = 48
+VHASH_SEEDS = 6
+VHASH_W, VHASH_H = 40, 16
+VHASH_N_FRAMES = 24
+VHASH_MARK_COL = 20
+VHASH_EDIT_FRAMES = (9, 18)
+VHASH_MAX_HAMMING = 12
+VHASH_BANDS = 16
+
 
 @register(
     "multimodal_features",
@@ -2631,6 +2647,57 @@ AFP_BANDS = 16
             FROM afp_bits x JOIN afp_bits y
               ON x.pos = y.pos AND x.doc_id < y.doc_id
             GROUP BY 1, 2
+        ),
+        vh_p AS (
+            SELECT doc_id, doc_id % {VHASH_SEEDS} AS seed,
+                   (doc_id // {VHASH_SEEDS}) % 2 AS variant
+            FROM documents WHERE doc_id < {VHASH_DOCS}
+        ),
+        vh_grid AS (
+            SELECT doc_id, seed, variant, gk.k AS k, gr.r AS r, gc.c AS c,
+                   (2*gk.k + 1) * {VHASH_N_FRAMES} // 16 AS t,
+                   least((2*gr.r + 1) * {VHASH_H} // 4, {VHASH_H - 1}) AS yi,
+                   least((2*gc.c + 1) * {VHASH_W} // 10, {VHASH_W - 1}) AS xi
+            FROM vh_p, generate_series(0, 7) AS gk(k),
+                 generate_series(0, 1) AS gr(r), generate_series(0, 4) AS gc(c)
+        ),
+        vh_chan AS (
+            SELECT doc_id, k, r, c, variant, xi, t,
+                   (xi * (7 + 13*seed) + t*29) % 256 AS b0,
+                   (yi * (11 + 17*seed) + t*23) % 256 AS g0,
+                   ((xi + yi) * (3 + 7*seed) + t*19) % 256 AS r0
+            FROM vh_grid
+        ),
+        vh_cells AS (
+            SELECT doc_id, k, r, c,
+                   299 * (CASE WHEN variant = 1 AND xi = {VHASH_MARK_COL}
+                               AND t >= {VHASH_EDIT_FRAMES[0]}
+                               AND t < {VHASH_EDIT_FRAMES[1]}
+                          THEN 255 - r0 ELSE r0 END)
+                 + 587 * (CASE WHEN variant = 1 AND xi = {VHASH_MARK_COL}
+                               AND t >= {VHASH_EDIT_FRAMES[0]}
+                               AND t < {VHASH_EDIT_FRAMES[1]}
+                          THEN 255 - g0 ELSE g0 END)
+                 + 114 * (CASE WHEN variant = 1 AND xi = {VHASH_MARK_COL}
+                               AND t >= {VHASH_EDIT_FRAMES[0]}
+                               AND t < {VHASH_EDIT_FRAMES[1]}
+                          THEN 255 - b0 ELSE b0 END) AS luma
+            FROM vh_chan
+        ),
+        vh_bits AS (
+            SELECT a.doc_id, a.k * 8 + a.r * 4 + a.c AS pos,
+                   CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+            FROM vh_cells a JOIN vh_cells b
+              ON b.doc_id = a.doc_id AND b.k = a.k AND b.r = a.r
+                 AND b.c = a.c + 1
+            WHERE a.c < 4
+        ),
+        vh_ham AS (
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                   SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+            FROM vh_bits x JOIN vh_bits y
+              ON x.pos = y.pos AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
         )
         SELECT 'manifest' AS kind, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
                'application/octet-stream' AS mime,
@@ -2654,10 +2721,17 @@ AFP_BANDS = 16
                CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
                CAST(hamming AS BIGINT) AS hamming
         FROM afp_ham WHERE hamming <= {AFP_MAX_HAMMING}
+        UNION ALL
+        SELECT 'vhash_pair' AS kind, id_a, id_b,
+               CAST(NULL AS VARCHAR) AS mime, CAST(NULL AS BIGINT) AS byte_len,
+               CAST(NULL AS VARCHAR) AS payload_sha256,
+               CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+               CAST(hamming AS BIGINT) AS hamming
+        FROM vh_ham WHERE hamming <= {VHASH_MAX_HAMMING}
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plane, three kind legs in one relation.
+    """Multimodal plane, four kind legs in one relation.
 
     kind='manifest' — decode/feature-extract stage over the
     payload+metadata plane: Arrow-batched mapInPandas over binary
@@ -2690,7 +2764,19 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Haitsma-Kalker shape without the FFT) band through the same
     pigeonhole join (`audio_near_dup_pairs`). Identical clips pair at
     hamming 0, re-leveled variants at 1-3, cross-family (>= 25)
-    excluded. PCM bytes never shuffle."""
+    excluded. PCM bytes never shuffle.
+
+    kind='vhash_pair' — the VIDEO leg completing the triad: docs 0..47
+    render as REAL uncompressed 24-frame AVIs (`make_gradient_avi` —
+    closed-form gradient frames with per-frame offsets, one inverted
+    column in frames [9, 18) as the TEMPORALLY-local near-dup edit), the
+    real RIFF chunk-walk codec decodes them (`_avi_frames`), integer
+    spatio-temporal signatures (`video_hash_bits` — 8 frames sampled at
+    temporal centers x 8 spatial dHash bits each) band through the same
+    pigeonhole join (`video_near_dup_pairs`). Identical videos pair at
+    hamming 0, edited variants at 3-8 (only the 3 sampled frames inside
+    the edit window flip bits), cross-family (>= 19) excluded. Frame
+    pixels never shuffle — one decode pass per video emits 64 bits."""
     import pandas as pd
 
     from beeper_matric_etl_tool_spark.ext import multimodal as xmm
@@ -2760,7 +2846,38 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.col("hamming").cast("long"),
     )
-    return manifest.unionByName(pairs).unionByName(apairs)
+
+    # kind='vhash_pair': the video leg — closed-form gradient AVIs through
+    # the real RIFF chunk-walk codec, spatio-temporal integer signatures
+    # (8 sampled frames x 8 spatial dHash bits), same pigeonhole banding.
+    def gen_avis(it):
+        for pdf in it:
+            payloads = [
+                xmm.make_gradient_avi(
+                    VHASH_W, VHASH_H, VHASH_N_FRAMES, int(d) % VHASH_SEEDS,
+                    VHASH_MARK_COL if (int(d) // VHASH_SEEDS) % 2 else None,
+                    VHASH_EDIT_FRAMES if (int(d) // VHASH_SEEDS) % 2 else None,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    planted_v = docs.select("doc_id").filter(F.col("doc_id") < VHASH_DOCS)
+    avis = planted_v.mapInPandas(gen_avis, "doc_id long, payload binary")
+    vpairs = xmm.video_near_dup_pairs(
+        avis, max_hamming=VHASH_MAX_HAMMING, bands=VHASH_BANDS
+    ).select(
+        F.lit("vhash_pair").alias("kind"),
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("long").alias("byte_len"),
+        F.lit(None).cast("string").alias("payload_sha256"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.col("hamming").cast("long"),
+    )
+    return manifest.unionByName(pairs).unionByName(apairs).unionByName(vpairs)
 
 
 # --------------------------------------------------------------------------

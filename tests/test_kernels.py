@@ -1498,3 +1498,121 @@ def test_audio_fingerprint_near_dup_pairs(spark):
     # the pigeonhole recall guarantee is enforced, not assumed
     with pytest.raises(ValueError, match="bands"):
         xmm.audio_near_dup_pairs(df, max_hamming=16, bands=16).collect()
+
+
+def test_video_hash_near_dup_pairs(spark):
+    """Spatio-temporal video near-dup (the phash/afp triad completed): a
+    temporally-local edit (one inverted column in frames [9, 18)) is
+    found with small positive hamming; an identical copy at hamming 0; a
+    different gradient family is NOT paired; non-AVI / NULL / too-short
+    payloads dead-letter out of the banding. Spark hammings equal the
+    NumPy reference exactly (integer luma grids on sampled frames)."""
+    import numpy as np
+    import pytest
+
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+
+    a = xmm.make_gradient_avi(40, 16, 24, seed=2)
+    a_near = xmm.make_gradient_avi(
+        40, 16, 24, seed=2, invert_col=20, edit_frames=(9, 18)
+    )
+    b_far = xmm.make_gradient_avi(40, 16, 24, seed=4)
+    rows = [
+        (1, bytearray(a)), (2, bytearray(a_near)), (3, bytearray(b_far)),
+        (4, bytearray(a)), (5, bytearray(b"definitely not a video......")),
+        (6, None),  # NULL payload — must dead-letter, not crash the task
+        (7, bytearray(xmm.make_gradient_avi(40, 16, 5, seed=0))),  # < 8 frames
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    # reference hammings straight off the decoded frames
+    def ref_bits(payload):
+        frames, _ = xmm._avi_frames(payload)
+        return np.array(xmm._vhash_of(frames))
+
+    ra, rn, rf = ref_bits(a), ref_bits(a_near), ref_bits(b_far)
+    h_near = int((ra != rn).sum())
+    assert 0 < h_near <= 12  # the planted edit is a NEAR duplicate
+    assert int((ra != rf).sum()) > 12  # the other family is genuinely far
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in xmm.video_near_dup_pairs(df, max_hamming=12, bands=16).collect()
+    }
+    assert pairs[(1, 4)] == 0  # identical copy
+    assert pairs[(1, 2)] == h_near == pairs[(2, 4)]
+    # pristine negative + all three dead-letter rows stay out
+    assert not any(x in p for p in pairs for x in (3, 5, 6, 7))
+    assert set(pairs) == {(1, 4), (1, 2), (2, 4)}
+
+    # signatures surface: identical videos -> identical bits; dead-letter
+    # rows carry error + NULL bits (never enter banding)
+    sigs = {r.doc_id: r for r in xmm.video_hash_bits(df).collect()}
+    assert sigs[1].bits == sigs[4].bits and len(sigs[1].bits) == 64
+    assert sigs[1].n_video_frames == 24
+    assert sigs[1].width == 40 and sigs[1].height == 16
+    assert sigs[5].bits is None and "vhash_error" in sigs[5].error
+    assert sigs[6].bits is None and "null payload" in sigs[6].error
+    assert sigs[7].bits is None and "too short" in sigs[7].error
+
+    # the edit is TEMPORALLY local: only bit groups of sampled frames
+    # inside [9, 18) (sampled indices 10, 13, 16 -> groups k=3,4,5) flip
+    flipped_groups = {int(pos) // 8 for pos in np.nonzero(ra != rn)[0]}
+    assert flipped_groups <= {3, 4, 5} and flipped_groups
+
+    # the pigeonhole recall guarantee is enforced, not assumed
+    with pytest.raises(ValueError, match="bands"):
+        xmm.video_near_dup_pairs(df, max_hamming=16, bands=16).collect()
+
+
+def test_video_frame_sampling_composes_with_image_plane(spark):
+    """video_sample_frames emits REAL standalone BMP payloads at the
+    temporal-center indices: round-trippable by the BMP codec
+    (byte-identical pixels to the source frame), composable with
+    image_perceptual_bits, short videos emit every frame once, and
+    undecodable payloads dead-letter as a single NULL-frame row."""
+    import numpy as np
+
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+
+    avi = xmm.make_gradient_avi(40, 16, 24, seed=1, fps=12)
+    rows = [
+        (1, bytearray(avi)),
+        (2, bytearray(xmm.make_gradient_avi(24, 12, 3, seed=0))),  # short
+        (3, bytearray(b"not a RIFF payload at all...")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = xmm.video_sample_frames(df, n_samples=8).collect()
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    # doc 1: the 8 temporal-center frames, at exact integer indices
+    got1 = sorted(by_doc[1], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in got1] == [1, 4, 7, 10, 13, 16, 19, 22]
+    assert all(r.width == 40 and r.height == 16 for r in got1)
+    # time_ms = frame_idx * usec_per_frame // 1000 at 12 fps
+    assert [r.time_ms for r in got1] == [f * 83333 // 1000 for f in
+                                         [1, 4, 7, 10, 13, 16, 19, 22]]
+    # sampled payloads are REAL BMPs, byte-identical pixels to the source
+    src_frames, _ = xmm._avi_frames(avi)
+    for r in got1:
+        assert np.array_equal(
+            xmm._bmp_pixels(bytes(r.payload)), src_frames[r.frame_idx]
+        )
+
+    # ...and compose with the image plane directly
+    frames_df = spark.createDataFrame(
+        [(int(r.frame_idx), bytearray(r.payload)) for r in got1],
+        "doc_id long, payload binary",
+    )
+    psigs = xmm.image_perceptual_bits(frames_df).collect()
+    assert all(s.error is None and len(s.bits) == 64 for s in psigs)
+
+    # doc 2: 3 frames < 8 samples -> every frame exactly once
+    assert sorted(r.frame_idx for r in by_doc[2]) == [0, 1, 2]
+    # doc 3: one dead-letter row, NULL frame fields
+    (dl,) = by_doc[3]
+    assert dl.payload is None and dl.frame_idx is None
+    assert "video_error" in dl.error
