@@ -972,6 +972,171 @@ def video_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Media curation funnel — the multimodal twin of the text curate() pipeline
+# ---------------------------------------------------------------------------
+
+#: decision vocabulary of the curation funnel — every input row gets
+#: exactly one, never silently dropped (the curate() audit discipline)
+MEDIA_DECISIONS = ("keep", "drop:undecodable", "drop:below_floor", "drop:near_dup")
+
+MEDIA_CURATION_SCHEMA = (
+    "doc_id long, modality string, width int, height int, "
+    "n_frames int, cluster_id long, decision string"
+)
+
+
+def dispatch_modality(with_payload: DataFrame) -> DataFrame:
+    """Adds a ``modality`` column ('image'/'audio'/'video'/'unknown') from
+    the payload's magic bytes — pure JVM column algebra (binary substring
+    compares), so the corpus-wide dispatch never leaves whole-stage
+    codegen and NULL payloads fall through to 'unknown' for free."""
+    p = F.col("payload")
+    is_bmp = (F.substring(p, 1, 2) == F.lit(bytearray(b"BM"))) & (F.length(p) >= 54)
+    riff = F.substring(p, 1, 4) == F.lit(bytearray(b"RIFF"))
+    is_wav = riff & (F.substring(p, 9, 4) == F.lit(bytearray(b"WAVE"))) & (F.length(p) >= 44)
+    is_avi = riff & (F.substring(p, 9, 4) == F.lit(bytearray(b"AVI "))) & (F.length(p) >= 24)
+    return with_payload.withColumn(
+        "modality",
+        F.when(is_bmp, "image")
+        .when(is_wav, "audio")
+        .when(is_avi, "video")
+        .otherwise("unknown"),
+    )
+
+
+def curate_media(
+    with_payload: DataFrame,
+    id_col: str = "doc_id",
+    min_width: int = 1,
+    min_height: int = 1,
+    min_audio_frames: int = AFP_BINS + 1,
+    min_video_frames: int = VHASH_FRAMES,
+    image_max_hamming: int = 12,
+    audio_max_hamming: int = 12,
+    video_max_hamming: int = 12,
+    bands: int = 16,
+) -> DataFrame:
+    """The media lake's curation funnel — the multimodal twin of the text
+    ``curate()`` pipeline: (doc_id, modality, width, height, n_frames,
+    cluster_id, decision) with EVERY input row present exactly once and
+    ``decision`` one of :data:`MEDIA_DECISIONS` (audit discipline: drops
+    are labeled, never silent).
+
+    Stages, per the text funnel's shape:
+
+    1. **Dispatch** (:func:`dispatch_modality`) — JVM-side magic-byte
+       dispatch; 'unknown' (including NULL payloads) → drop:undecodable.
+    2. **Decode gate** — the per-modality signature op runs its real
+       codec once (`image_perceptual_bits` / `audio_fingerprint_bits` /
+       `video_hash_bits`); its dead-letter rows (corrupt body, too-short
+       media, unsupported sub-format) → drop:undecodable.
+    3. **Floor gates** — images below (min_width, min_height) and audio
+       below ``min_audio_frames`` → drop:below_floor (videos shorter
+       than ``min_video_frames`` already dead-lettered at the decode
+       gate: the hash needs that many distinct temporal samples, and
+       ``min_video_frames`` below that floor is rejected loudly here).
+    4. **Near-dup dedup** — per-modality banded pairs through the shared
+       pigeonhole machinery, clustered by
+       `ext/dedup.py:dedup_clusters` (pointer-jumping components,
+       lowest-id canonical): non-canonical members → drop:near_dup; every
+       gate survivor carries its ``cluster_id`` (canonicals too — the
+       lineage a downstream mixer needs to weight clusters).
+
+    Scale shape: dispatch is whole-stage column algebra over the corpus;
+    each payload is decoded EXACTLY ONCE (by its modality's signature
+    stage); everything after the decode shuffles (id, 64 small ints) or
+    the pair graph — media bytes never shuffle. The final relation is
+    assembled by id-keyed joins of signature-sized frames back onto the
+    dispatch skeleton."""
+    if min_video_frames < VHASH_FRAMES:
+        raise ValueError(
+            f"curate_media: min_video_frames={min_video_frames} is below the "
+            f"video hash's floor of {VHASH_FRAMES} distinct temporal samples"
+        )
+    from beeper_matric_etl_tool_spark.ext.dedup import (
+        dedup_clusters,
+        simhash_candidate_pairs,
+    )
+
+    dispatched = dispatch_modality(with_payload).select(
+        F.col(id_col).alias("doc_id"), "payload", "modality"
+    )
+
+    def leg(
+        modality: str,
+        sig_fn,
+        max_hamming: int,
+        width_col,
+        height_col,
+        frames_col,
+        floor_fail,
+    ) -> DataFrame:
+        sigs = sig_fn(dispatched.filter(F.col("modality") == modality))
+        gated = sigs.filter(F.col("error").isNull()).filter(~floor_fail(sigs))
+        pairs = simhash_candidate_pairs(
+            gated.select("doc_id", "bits"),
+            max_hamming=max_hamming,
+            bands=bands,
+            n_bits=VHASH_BITS,
+        )
+        clusters = dedup_clusters(gated.select("doc_id"), pairs)
+        return (
+            sigs.join(clusters, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.lit(modality).alias("modality"),
+                width_col(sigs).alias("width"),
+                height_col(sigs).alias("height"),
+                frames_col(sigs).alias("n_frames"),
+                F.col("cluster_id"),
+                F.when(F.col("error").isNotNull(), "drop:undecodable")
+                .when(F.col("cluster_id").isNull(), "drop:below_floor")
+                .when(~F.col("is_canonical"), "drop:near_dup")
+                .otherwise("keep")
+                .alias("decision"),
+            )
+        )
+
+    img = leg(
+        "image",
+        image_perceptual_bits,
+        image_max_hamming,
+        lambda s: F.col("width"),
+        lambda s: F.col("height"),
+        lambda s: F.lit(None).cast("int"),
+        lambda s: (F.col("width") < min_width) | (F.col("height") < min_height),
+    )
+    aud = leg(
+        "audio",
+        audio_fingerprint_bits,
+        audio_max_hamming,
+        lambda s: F.lit(None).cast("int"),
+        lambda s: F.lit(None).cast("int"),
+        lambda s: F.col("n_frames"),
+        lambda s: F.col("n_frames") < min_audio_frames,
+    )
+    vid = leg(
+        "video",
+        video_hash_bits,
+        video_max_hamming,
+        lambda s: F.col("width"),
+        lambda s: F.col("height"),
+        lambda s: F.col("n_video_frames"),
+        lambda s: F.col("n_video_frames") < min_video_frames,
+    )
+    unk = dispatched.filter(F.col("modality") == "unknown").select(
+        "doc_id",
+        "modality",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("n_frames"),
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit("drop:undecodable").alias("decision"),
+    )
+    return img.unionByName(aud).unionByName(vid).unionByName(unk)
+
+
+# ---------------------------------------------------------------------------
 # Synthetic media generators — used by tests and as wire-format documentation
 # ---------------------------------------------------------------------------
 

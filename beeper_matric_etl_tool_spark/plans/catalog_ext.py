@@ -2541,6 +2541,21 @@ VHASH_EDIT_FRAMES = (9, 18)
 VHASH_MAX_HAMMING = 12
 VHASH_BANDS = 16
 
+#: planted MIXED-media curation corpus (kind='curation'): docs 0..47
+#: round-robin modalities (doc_id % 3 → image/audio/video); j = doc_id//3
+#: gives seed = j % 4 (4 families per modality) and variant = (j//4) % 2
+#: (members alternate original/edited copies, so every family is a
+#: 4-member near-dup CLIQUE: two exact copies of each form, originals and
+#: edits within the modality's near threshold). Docs 48..51 are text
+#: payloads ('unknown' container), 52 a below-floor 8x6 image, 53 a
+#: 5-frame video the hash's decode gate dead-letters.
+MC_MEDIA_DOCS = 48
+MC_DOCS = 54
+MC_SEEDS = 4
+MC_MIN_W, MC_MIN_H = 16, 8
+MC_SMALL_W, MC_SMALL_H = 8, 6
+MC_SHORT_FRAMES = 5
+
 
 @register(
     "multimodal_features",
@@ -2698,6 +2713,160 @@ VHASH_BANDS = 16
             FROM vh_bits x JOIN vh_bits y
               ON x.pos = y.pos AND x.doc_id < y.doc_id
             GROUP BY 1, 2
+        ),
+        mc_docs AS (
+            SELECT doc_id, doc_id % 3 AS m,
+                   (doc_id // 3) % {MC_SEEDS} AS seed,
+                   ((doc_id // 3) // {MC_SEEDS}) % 2 AS variant
+            FROM documents WHERE doc_id < {MC_MEDIA_DOCS}
+        ),
+        mc_img_cells AS (
+            SELECT doc_id, r, c,
+                   299 * (CASE WHEN variant = 1 AND xi = {PHASH_MARK_COL}
+                          THEN 255 - ((xi + yi) * (3 + 7*seed)) % 256
+                          ELSE ((xi + yi) * (3 + 7*seed)) % 256 END)
+                 + 587 * (CASE WHEN variant = 1 AND xi = {PHASH_MARK_COL}
+                          THEN 255 - (yi * (11 + 17*seed)) % 256
+                          ELSE (yi * (11 + 17*seed)) % 256 END)
+                 + 114 * (CASE WHEN variant = 1 AND xi = {PHASH_MARK_COL}
+                          THEN 255 - (xi * (7 + 13*seed)) % 256
+                          ELSE (xi * (7 + 13*seed)) % 256 END) AS luma
+            FROM (
+                SELECT doc_id, seed, variant, gr0.r AS r, gc0.c AS c,
+                       least((2*gr0.r + 1) * {PHASH_H} // 16, {PHASH_H - 1}) AS yi,
+                       least((2*gc0.c + 1) * {PHASH_W} // 18, {PHASH_W - 1}) AS xi
+                FROM mc_docs, generate_series(0, 7) AS gr0(r),
+                     generate_series(0, 8) AS gc0(c)
+                WHERE m = 0
+            )
+        ),
+        mc_img_near AS (
+            SELECT x2.doc_id AS id_a, y2.doc_id AS id_b
+            FROM (
+                SELECT a.doc_id, a.r * 8 + a.c AS pos,
+                       CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+                FROM mc_img_cells a JOIN mc_img_cells b
+                  ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+                WHERE a.c < 8
+            ) x2 JOIN (
+                SELECT a.doc_id, a.r * 8 + a.c AS pos,
+                       CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+                FROM mc_img_cells a JOIN mc_img_cells b
+                  ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+                WHERE a.c < 8
+            ) y2 ON x2.pos = y2.pos AND x2.doc_id < y2.doc_id
+            GROUP BY 1, 2
+            HAVING SUM(CASE WHEN x2.bit <> y2.bit THEN 1 ELSE 0 END)
+                   <= {PHASH_MAX_HAMMING}
+        ),
+        mc_aud_s AS (
+            SELECT doc_id, gi.i AS i,
+                   CASE WHEN variant = 1
+                             AND gi.i >= {AFP_EDIT[0]} AND gi.i < {AFP_EDIT[1]}
+                        THEN ((gi.i * (97 + 31*seed)) % 32768) // 2
+                        ELSE (gi.i * (97 + 31*seed)) % 32768 END AS s
+            FROM mc_docs, generate_series(0, {AFP_N - 1}) AS gi(i)
+            WHERE m = 1
+        ),
+        mc_aud_bits AS (
+            SELECT a.doc_id, a.b AS pos,
+                   CASE WHEN c.v > a.v THEN 1 ELSE 0 END AS bit
+            FROM (SELECT doc_id, (i * 33) // {AFP_N} AS b, SUM(s * s) AS v
+                  FROM mc_aud_s GROUP BY 1, 2) a
+            JOIN (SELECT doc_id, (i * 33) // {AFP_N} AS b, SUM(s * s) AS v
+                  FROM mc_aud_s GROUP BY 1, 2) c
+              ON c.doc_id = a.doc_id AND c.b = a.b + 1
+            UNION ALL
+            SELECT a.doc_id, 32 + a.b AS pos,
+                   CASE WHEN c.v > a.v THEN 1 ELSE 0 END AS bit
+            FROM (SELECT x.doc_id, (x.i * 33) // {AFP_N - 1} AS b,
+                         SUM((y.s - x.s) * (y.s - x.s)) AS v
+                  FROM mc_aud_s x JOIN mc_aud_s y
+                    ON y.doc_id = x.doc_id AND y.i = x.i + 1
+                  GROUP BY 1, 2) a
+            JOIN (SELECT x.doc_id, (x.i * 33) // {AFP_N - 1} AS b,
+                         SUM((y.s - x.s) * (y.s - x.s)) AS v
+                  FROM mc_aud_s x JOIN mc_aud_s y
+                    ON y.doc_id = x.doc_id AND y.i = x.i + 1
+                  GROUP BY 1, 2) c
+              ON c.doc_id = a.doc_id AND c.b = a.b + 1
+        ),
+        mc_aud_near AS (
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM mc_aud_bits x JOIN mc_aud_bits y
+              ON x.pos = y.pos AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+            HAVING SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+                   <= {AFP_MAX_HAMMING}
+        ),
+        mc_vid_cells AS (
+            SELECT doc_id, k, r, c,
+                   299 * (CASE WHEN variant = 1 AND xi = {VHASH_MARK_COL}
+                               AND t >= {VHASH_EDIT_FRAMES[0]}
+                               AND t < {VHASH_EDIT_FRAMES[1]}
+                          THEN 255 - ((xi + yi) * (3 + 7*seed) + t*19) % 256
+                          ELSE ((xi + yi) * (3 + 7*seed) + t*19) % 256 END)
+                 + 587 * (CASE WHEN variant = 1 AND xi = {VHASH_MARK_COL}
+                               AND t >= {VHASH_EDIT_FRAMES[0]}
+                               AND t < {VHASH_EDIT_FRAMES[1]}
+                          THEN 255 - (yi * (11 + 17*seed) + t*23) % 256
+                          ELSE (yi * (11 + 17*seed) + t*23) % 256 END)
+                 + 114 * (CASE WHEN variant = 1 AND xi = {VHASH_MARK_COL}
+                               AND t >= {VHASH_EDIT_FRAMES[0]}
+                               AND t < {VHASH_EDIT_FRAMES[1]}
+                          THEN 255 - (xi * (7 + 13*seed) + t*29) % 256
+                          ELSE (xi * (7 + 13*seed) + t*29) % 256 END) AS luma
+            FROM (
+                SELECT doc_id, seed, variant, gk.k AS k, gr.r AS r, gc.c AS c,
+                       (2*gk.k + 1) * {VHASH_N_FRAMES} // 16 AS t,
+                       least((2*gr.r + 1) * {VHASH_H} // 4, {VHASH_H - 1}) AS yi,
+                       least((2*gc.c + 1) * {VHASH_W} // 10, {VHASH_W - 1}) AS xi
+                FROM mc_docs, generate_series(0, 7) AS gk(k),
+                     generate_series(0, 1) AS gr(r), generate_series(0, 4) AS gc(c)
+                WHERE m = 2
+            )
+        ),
+        mc_vid_near AS (
+            SELECT x2.doc_id AS id_a, y2.doc_id AS id_b
+            FROM (
+                SELECT a.doc_id, a.k * 8 + a.r * 4 + a.c AS pos,
+                       CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+                FROM mc_vid_cells a JOIN mc_vid_cells b
+                  ON b.doc_id = a.doc_id AND b.k = a.k AND b.r = a.r
+                     AND b.c = a.c + 1
+                WHERE a.c < 4
+            ) x2 JOIN (
+                SELECT a.doc_id, a.k * 8 + a.r * 4 + a.c AS pos,
+                       CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+                FROM mc_vid_cells a JOIN mc_vid_cells b
+                  ON b.doc_id = a.doc_id AND b.k = a.k AND b.r = a.r
+                     AND b.c = a.c + 1
+                WHERE a.c < 4
+            ) y2 ON x2.pos = y2.pos AND x2.doc_id < y2.doc_id
+            GROUP BY 1, 2
+            HAVING SUM(CASE WHEN x2.bit <> y2.bit THEN 1 ELSE 0 END)
+                   <= {VHASH_MAX_HAMMING}
+        ),
+        mc_near AS (
+            SELECT id_a, id_b FROM mc_img_near
+            UNION ALL SELECT id_a, id_b FROM mc_aud_near
+            UNION ALL SELECT id_a, id_b FROM mc_vid_near
+        ),
+        mc_curation AS (
+            -- planted families are CLIQUES, so the component minimum is
+            -- the smallest incident pair id (id_a < id_b by construction)
+            SELECT d.doc_id,
+                   CASE d.m WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                            ELSE 'video' END AS modality,
+                   coalesce(min(p.id_a), d.doc_id) AS cluster_id,
+                   CASE WHEN min(p.id_a) IS NULL THEN 'keep'
+                        ELSE 'drop:near_dup' END AS decision,
+                   CASE WHEN d.m = 0 THEN {PHASH_W}
+                        WHEN d.m = 2 THEN {VHASH_W} END AS width,
+                   CASE WHEN d.m = 0 THEN {PHASH_H}
+                        WHEN d.m = 2 THEN {VHASH_H} END AS height
+            FROM mc_docs d LEFT JOIN mc_near p ON p.id_b = d.doc_id
+            GROUP BY d.doc_id, d.m
         )
         SELECT 'manifest' AS kind, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
                'application/octet-stream' AS mime,
@@ -2728,10 +2897,33 @@ VHASH_BANDS = 16
                CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
                CAST(hamming AS BIGINT) AS hamming
         FROM vh_ham WHERE hamming <= {VHASH_MAX_HAMMING}
+        UNION ALL
+        SELECT 'curation' AS kind, doc_id AS id_a, cluster_id AS id_b,
+               modality AS mime, CAST(NULL AS BIGINT) AS byte_len,
+               decision AS payload_sha256,
+               CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+               CAST(NULL AS BIGINT) AS hamming
+        FROM mc_curation
+        UNION ALL
+        SELECT 'curation', doc_id, CAST(NULL AS BIGINT), 'unknown',
+               CAST(NULL AS BIGINT), 'drop:undecodable',
+               CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
+        FROM documents
+        WHERE doc_id >= {MC_MEDIA_DOCS} AND doc_id < {MC_MEDIA_DOCS + 4}
+        UNION ALL
+        SELECT 'curation', doc_id, CAST(NULL AS BIGINT), 'image',
+               CAST(NULL AS BIGINT), 'drop:below_floor',
+               {MC_SMALL_W}, {MC_SMALL_H}, CAST(NULL AS BIGINT)
+        FROM documents WHERE doc_id = {MC_MEDIA_DOCS + 4}
+        UNION ALL
+        SELECT 'curation', doc_id, CAST(NULL AS BIGINT), 'video',
+               CAST(NULL AS BIGINT), 'drop:undecodable',
+               CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
+        FROM documents WHERE doc_id = {MC_MEDIA_DOCS + 5}
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plane, four kind legs in one relation.
+    """Multimodal plane, five kind legs in one relation.
 
     kind='manifest' — decode/feature-extract stage over the
     payload+metadata plane: Arrow-batched mapInPandas over binary
@@ -2776,7 +2968,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole join (`video_near_dup_pairs`). Identical videos pair at
     hamming 0, edited variants at 3-8 (only the 3 sampled frames inside
     the edit window flip bits), cross-family (>= 19) excluded. Frame
-    pixels never shuffle — one decode pass per video emits 64 bits."""
+    pixels never shuffle — one decode pass per video emits 64 bits.
+
+    kind='curation' — the MEDIA CURATION FUNNEL (`curate_media`, the
+    multimodal twin of the text curate() pipeline) over a planted MIXED
+    corpus: docs 0..47 round-robin image/audio/video by doc_id % 3, four
+    near-dup-clique families per modality (two exact copies each of an
+    original and an edited form), plus unknown-container text payloads,
+    a below-floor 8x6 image, and a 5-frame video the hash's decode gate
+    dead-letters. JVM-side magic-byte dispatch → one real decode per
+    payload → floor gates → per-modality banded near-dup →
+    pointer-jumping clusters → lowest-id-canonical keep. Every input doc
+    appears exactly once with an explicit decision (the audit
+    discipline); `mime` carries the modality, `payload_sha256` the
+    decision, `id_b` the cluster id. The oracle re-derives every
+    signature from the generators' closed forms and replays the
+    keep/drop rule (exact on cliques: component min = smallest incident
+    pair id)."""
     import pandas as pd
 
     from beeper_matric_etl_tool_spark.ext import multimodal as xmm
@@ -2877,7 +3085,77 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.col("hamming").cast("long"),
     )
-    return manifest.unionByName(pairs).unionByName(apairs).unionByName(vpairs)
+
+    # kind='curation': the media curation funnel over a planted MIXED
+    # corpus (modality round-robin by doc_id % 3 + 4 near-dup-clique
+    # families per modality + unknown/below-floor/undecodable extras).
+    # Driver columns carry modality in `mime` and decision in
+    # `payload_sha256` (the slot's fixed schema; documented here and in
+    # the oracle). The oracle re-derives every signature from the
+    # generators' closed forms and replays the keep/drop rule — exact
+    # because planted families are cliques, so the component minimum
+    # equals the smallest incident pair id.
+    def gen_mixed(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d >= MC_MEDIA_DOCS:
+                    if d < MC_MEDIA_DOCS + 4:
+                        payloads.append(f"text payload {d}".encode())
+                    elif d == MC_MEDIA_DOCS + 4:
+                        payloads.append(xmm.make_bmp(MC_SMALL_W, MC_SMALL_H, 0))
+                    else:
+                        payloads.append(
+                            xmm.make_gradient_avi(
+                                VHASH_W, VHASH_H, MC_SHORT_FRAMES, 0
+                            )
+                        )
+                    continue
+                m, j = d % 3, d // 3
+                seed, variant = j % MC_SEEDS, (j // MC_SEEDS) % 2
+                if m == 0:
+                    payloads.append(
+                        xmm.make_gradient_bmp(
+                            PHASH_W, PHASH_H, seed,
+                            PHASH_MARK_COL if variant else None,
+                        )
+                    )
+                elif m == 1:
+                    payloads.append(
+                        xmm.make_saw_wav(AFP_N, seed, AFP_EDIT if variant else None)
+                    )
+                else:
+                    payloads.append(
+                        xmm.make_gradient_avi(
+                            VHASH_W, VHASH_H, VHASH_N_FRAMES, seed,
+                            VHASH_MARK_COL if variant else None,
+                            VHASH_EDIT_FRAMES if variant else None,
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    planted_mc = docs.select("doc_id").filter(F.col("doc_id") < MC_DOCS)
+    mixed = planted_mc.mapInPandas(gen_mixed, "doc_id long, payload binary")
+    curation = xmm.curate_media(
+        mixed, min_width=MC_MIN_W, min_height=MC_MIN_H
+    ).select(
+        F.lit("curation").alias("kind"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.col("cluster_id").cast("long").alias("id_b"),
+        F.col("modality").alias("mime"),
+        F.lit(None).cast("long").alias("byte_len"),
+        F.col("decision").alias("payload_sha256"),
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
+        F.lit(None).cast("long").alias("hamming"),
+    )
+    return (
+        manifest.unionByName(pairs)
+        .unionByName(apairs)
+        .unionByName(vpairs)
+        .unionByName(curation)
+    )
 
 
 # --------------------------------------------------------------------------

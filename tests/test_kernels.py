@@ -1616,3 +1616,62 @@ def test_video_frame_sampling_composes_with_image_plane(spark):
     (dl,) = by_doc[3]
     assert dl.payload is None and dl.frame_idx is None
     assert "video_error" in dl.error
+
+
+def test_curate_media_funnel(spark):
+    """The media curation funnel: JVM magic dispatch, decode gate, floor
+    gates, per-modality near-dup keep-one-per-cluster — every input row
+    present exactly once with an explicit decision, cluster lineage on
+    every gate survivor, and the video-floor guard enforced."""
+    import pytest
+
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+
+    img = xmm.make_gradient_bmp(36, 32, seed=1)
+    img_near = xmm.make_gradient_bmp(36, 32, seed=1, invert_col=18)
+    wav = xmm.make_saw_wav(3300, seed=2)
+    avi = xmm.make_gradient_avi(40, 16, 24, seed=3)
+    rows = [
+        (1, bytearray(img)),
+        (2, bytearray(img_near)),            # near-dup of 1 -> dropped
+        (3, bytearray(img)),                 # exact copy of 1 -> dropped
+        (4, bytearray(xmm.make_gradient_bmp(8, 6, seed=0))),   # below floor
+        (5, bytearray(wav)),                 # singleton audio -> kept
+        (6, bytearray(xmm.make_saw_wav(20, seed=0))),          # too short
+        (7, bytearray(avi)),                 # singleton video -> kept
+        (8, bytearray(xmm.make_gradient_avi(40, 16, 5, seed=0))),  # short
+        (9, bytearray(b"not media at all")),
+        (10, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in xmm.curate_media(
+        df, min_width=16, min_height=8
+    ).collect()}
+
+    assert len(out) == len(rows)  # audit discipline: nothing vanishes
+    assert out[1].decision == "keep" and out[1].cluster_id == 1
+    assert out[2].decision == "drop:near_dup" and out[2].cluster_id == 1
+    assert out[3].decision == "drop:near_dup" and out[3].cluster_id == 1
+    assert out[4].decision == "drop:below_floor" and out[4].cluster_id is None
+    assert (out[4].width, out[4].height) == (8, 6)
+    assert out[5].decision == "keep" and out[5].n_frames == 3300
+    assert out[6].decision == "drop:undecodable"  # below the hash's floor
+    assert out[7].decision == "keep" and out[7].n_frames == 24
+    assert (out[7].width, out[7].height) == (40, 16)
+    assert out[8].decision == "drop:undecodable"
+    assert out[9].decision == "drop:undecodable"
+    assert out[9].modality == "unknown" and out[10].modality == "unknown"
+    assert {r.modality for r in out.values()} == {
+        "image", "audio", "video", "unknown"
+    }
+    assert all(r.decision in xmm.MEDIA_DECISIONS for r in out.values())
+
+    # audio floor above the hash floor -> below_floor, not undecodable
+    out2 = {r.doc_id: r for r in xmm.curate_media(
+        df, min_width=16, min_height=8, min_audio_frames=5000
+    ).collect()}
+    assert out2[5].decision == "drop:below_floor"
+
+    # the video floor cannot be set below the hash's temporal-sample floor
+    with pytest.raises(ValueError, match="min_video_frames"):
+        xmm.curate_media(df, min_video_frames=4)
