@@ -855,6 +855,85 @@ def probe_quota_two_phase(docs):
     )
 
 
+def probe_media_curation(docs):
+    """Media curation funnel growth (round 10): payload count scales with
+    the corpus. AUDIO-only corpus on purpose — the saw generator's
+    32768-wide slope space keeps every family distinct at any probed
+    scale, while the image/video gradient multipliers live in 8-bit
+    space and would alias past ~256 families, manufacturing spurious
+    exact-duplicate groups (quadratic pair blowup the real funnel would
+    never see on distinct media). family = doc_id // 4 is a 4-member
+    near-dup clique (two exact copies each of an original and a
+    re-leveled edit — a 200-sample window touching ~2 of the 33 bins, so
+    orig-edit hamming stays well inside the tightened threshold of 4
+    while measured cross-family distances concentrate ≥ 7). A small
+    fraction of genuinely-close slope families may still merge — that is
+    the operator's real semantics on real media, reported as observed.
+    Probes the funnel end to end through the production entry point:
+    JVM dispatch, one PCM decode per payload, banding, pointer-jumping
+    components, decision assembly. Expected: wall ~linear in docs;
+    keep ≈ clusters ≈ docs/4, near_dup ≈ 3/4."""
+    import pandas as pd
+
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+
+    def gen(it):
+        for pdf in it:
+            payloads = [
+                xmm.make_saw_wav(
+                    3300, int(d) // 4, (1022, 1222) if int(d) % 2 else None
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+    out = xmm.curate_media(media, audio_max_hamming=4)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("decision") == "keep").cast("long")).alias("n_keep"),
+        F.sum((F.col("decision") == "drop:near_dup").cast("long")).alias(
+            "n_near_dup"
+        ),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+
+
+def probe_video_hash(docs, n_frames: int):
+    """Video decode-cost linearity (round 10): the growth dimension is
+    MEDIA BYTES per doc, not doc count — the same 768 videos at
+    ``n_frames`` frames each (24 vs 240 → 10× the decoded bytes).
+    Expected: decode+hash wall grows far sub-10× (the signature stays 64
+    bits and banding work is constant per doc; only the frame walk
+    scales), pinning 'pixels never shuffle' with a measured curve."""
+    import pandas as pd
+
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+
+    def gen(it):
+        for pdf in it:
+            payloads = [
+                xmm.make_gradient_avi(
+                    40, 16, n_frames, (int(d) // 4) % 200,
+                    20 if int(d) % 2 else None,
+                    (n_frames * 3 // 8, n_frames * 6 // 8) if int(d) % 2 else None,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") < 768)
+        .mapInPandas(gen, "doc_id long, payload binary")
+    )
+    pairs = xmm.video_near_dup_pairs(media, max_hamming=12, bands=16)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("hamming").alias("ham_sum"),
+    )
+
+
 def timed(df) -> float:
     df.write.format("noop").mode("overwrite").save()  # warm
     t0 = time.perf_counter()
@@ -868,6 +947,16 @@ def timed_value(df):
     df.first()  # warm
     t0 = time.perf_counter()
     row = df.first()
+    return round(time.perf_counter() - t0, 4), row
+
+
+def timed_eager(fn, *args):
+    """(seconds, first row) for probes whose plan construction is EAGER
+    (localCheckpoint banding, the components loop) — the build must sit
+    INSIDE the timed region or the probe measures only the final agg."""
+    fn(*args).first()  # warm
+    t0 = time.perf_counter()
+    row = fn(*args).first()
     return round(time.perf_counter() - t0, 4), row
 
 
@@ -952,6 +1041,24 @@ def main() -> None:
             "growth_ratio": round(t10 / t1, 2) if t1 else None,
             "base_row": list(r1), "grown_row": list(r10),
         }
+
+    # media probes (eager plans — timed_eager puts construction inside the
+    # clock). media_curation grows DOC COUNT; video_hash grows MEDIA BYTES
+    # per doc (24 -> 240 frames over the same 768 docs).
+    t1, r1 = timed_eager(probe_media_curation, docs)
+    t10, r10 = timed_eager(probe_media_curation, big_docs)
+    out["probe"]["media_curation"] = {
+        "base_sec": t1, "grown_sec": t10,
+        "growth_ratio": round(t10 / t1, 2) if t1 else None,
+        "base_row": list(r1), "grown_row": list(r10),
+    }
+    t1, r1 = timed_eager(probe_video_hash, docs, 24)
+    t10, r10 = timed_eager(probe_video_hash, docs, 240)
+    out["probe"]["video_hash_bytes"] = {
+        "base_sec": t1, "grown_sec": t10,
+        "growth_ratio": round(t10 / t1, 2) if t1 else None,
+        "base_row": list(r1), "grown_row": list(r10),
+    }
 
     # eager probes (driver-side work inside): classifier training + DSIR.
     # The DSIR target is the BASE corpus's en-subset at both factors — a
