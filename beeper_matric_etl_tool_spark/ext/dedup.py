@@ -451,6 +451,86 @@ def simhash_candidate_pairs(
     )
 
 
+def simhash_cross_candidates(
+    new_sigs: DataFrame,
+    ref_sigs: DataFrame,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    bands: int = SIMHASH_BANDS,
+    n_bits: int = SIMHASH_BITS,
+    key_cols: tuple[str, ...] = (),
+    cache: bool = True,
+) -> DataFrame:
+    """(doc_id, ref_id, hamming ≤ max_hamming) CROSS-CORPUS near-dup
+    pairs: the incremental twin of :func:`simhash_candidate_pairs` — new
+    batch on one side, an existing (usually persisted) signature
+    relation on the other. Both sides band identically, candidates come
+    from the new×ref equi-join on (band_id, band_value, *key_cols) —
+    linear in batch + reference, never all-pairs — and the exact hamming
+    is verified on candidates only. The pigeonhole recall guarantee
+    (``max_hamming ≤ bands-1``, bands cover every bit) carries over
+    verbatim and is enforced the same way.
+
+    ``key_cols`` narrows banding collisions to same-key rows — the media
+    index passes ``("modality",)`` so an image signature can never band
+    against an audio one. Unlike the self-join form there is no id
+    ordering between the sides (the reference's id space is independent
+    of the batch's); both sides' signatures are expected deduplicated
+    per id. ``cache=True`` localCheckpoints the NEW side only — its
+    upstream is typically an expensive decode/tokenize stage consumed
+    once per band, while the reference side is a plain parquet scan the
+    caller already persisted."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding guarantees recall only for max_hamming <= bands-1 "
+            f"(got max_hamming={max_hamming}, bands={bands}); raise `bands`"
+        )
+    if n_bits % bands != 0:
+        raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
+    width = n_bits // bands
+    keys = list(key_cols)
+    new_sigs = new_sigs.select(F.col(id_col), "bits", *keys)
+    if cache:
+        new_sigs = new_sigs.localCheckpoint(eager=True)
+
+    def banded(df: DataFrame, id_alias: str, bits_alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col("bits").alias(bits_alias),
+            *keys,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.concat_ws(
+                        "", F.slice(F.col("bits"), b * width + 1, width)
+                    ),
+                )
+            ).alias("band_id", "band_value"),
+        )
+
+    a = banded(new_sigs, "__nid", "__nb")
+    b = banded(ref_sigs.select(F.col(id_col), "bits", *keys), "__rid", "__rb")
+    cands = (
+        a.join(b, on=["band_id", "band_value", *keys])
+        .select("__nid", "__rid", "__nb", "__rb")
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(F.col("__nb"), F.col("__rb"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("__nid").alias(id_col),
+            F.col("__rid").alias("ref_id"),
+            "hamming",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Duplicate clusters (connected components)
 # ---------------------------------------------------------------------------

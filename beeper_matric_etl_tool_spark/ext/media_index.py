@@ -1,0 +1,265 @@
+"""Persisted media-signature index — the build/probe/append lifecycle of
+media near-dup at steady state (SURVEY §2.12 multimodal tier; the media
+analog of ext/dedup_index.py's text lifecycle).
+
+A media lake's dominant cost is the DECODE: every signature pass walks
+pixel/PCM/frame bytes. `curate_media` and the *_near_dup_pairs operators
+re-decode the whole corpus every run — fine for a one-shot curation,
+wrong at steady state where yesterday's lake is already decoded. The
+index amortizes it:
+
+  build:   ONE decode pass over the kept corpus → `signatures/` parquet
+           (doc_id, modality, bits[64], width/height/n_frames) — a few
+           hundred bytes per media object regardless of media size —
+           plus `_META.json` pinning the signature config.
+  probe:   `media_dedup_against_index` decodes ONLY the new batch, bands
+           batch + index signatures together (modality inside the band
+           key, so an image can never band against an audio clip), and
+           verifies exact hamming on candidates. The reference media
+           bytes are NEVER touched — the plan's only Python stages are
+           the new batch's decodes (plan-pinned in tests).
+  append:  accepted survivors decode once and extend `signatures/`; the
+           next probe sees them without any rebuild.
+
+Config is part of the index, not the call: the image hash method
+(dhash/ahash) and the signature width are written to `_META.json` at
+build time and validated at probe/append — signatures computed under a
+different method band differently and would silently change decisions.
+``max_hamming``/``bands`` stay probe-time knobs: both sides band fresh
+at probe time, so there is no stored banding to mismatch (the pigeonhole
+guarantee is enforced per probe).
+
+Layout: `signatures/` is hive-partitioned by ``ingest_batch`` exactly
+like the text dedup index (build −1, unstaged appends −2, staged appends
+their batch id): a staged append is a dynamic partition OVERWRITE of its
+own batch — replays replace instead of duplicating — and a probe can
+EXCLUDE one batch (partition-pruned) so a replayed micro-batch sees
+exactly the state its first attempt saw.
+
+Filesystem contract: `_META.json` is written with plain `os`/`open` —
+the same POSIX-local assumption as the sinks family; scheme-prefixed
+paths fail with the contract error up front (`sinks._require_local_path`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beeper_matric_etl_tool_spark.ext.dedup import simhash_cross_candidates
+from beeper_matric_etl_tool_spark.ext.multimodal import (
+    VHASH_BITS,
+    audio_fingerprint_bits,
+    dispatch_modality,
+    image_perceptual_bits,
+    video_hash_bits,
+)
+
+_META_FILE = "_META.json"
+
+#: hive partition column (shared convention with ext/dedup_index.py)
+BATCH_COL = "ingest_batch"
+BOOTSTRAP_BATCH = -1
+UNSTAGED_BATCH = -2
+
+#: the stored signature relation's contract columns
+SIGNATURE_COLUMNS = ("doc_id", "modality", "bits", "width", "height", "n_frames")
+
+
+def media_signatures(
+    with_payload: DataFrame, id_col: str = "doc_id", image_method: str = "dhash"
+) -> DataFrame:
+    """(doc_id, modality, bits, width, height, n_frames) — ONE decode pass
+    over a mixed-media frame: JVM magic-byte dispatch, then each
+    modality's signature stage. The shared derivation for build, append
+    AND the probe's batch side, so the three can never drift. Dead-letter
+    rows (unknown container, corrupt body, too-short media) are EXCLUDED
+    — an index stores only comparable signatures; callers that need the
+    drop audit run `curate_media`, which reports them."""
+    d = dispatch_modality(with_payload).select(
+        F.col(id_col).alias("doc_id"), "payload", "modality"
+    )
+    img = image_perceptual_bits(
+        d.filter(F.col("modality") == "image"), method=image_method
+    ).select(
+        "doc_id",
+        F.lit("image").alias("modality"),
+        "bits",
+        "width",
+        "height",
+        F.lit(None).cast("int").alias("n_frames"),
+        "error",
+    )
+    aud = audio_fingerprint_bits(d.filter(F.col("modality") == "audio")).select(
+        "doc_id",
+        F.lit("audio").alias("modality"),
+        "bits",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.col("n_frames"),
+        "error",
+    )
+    vid = video_hash_bits(d.filter(F.col("modality") == "video")).select(
+        "doc_id",
+        F.lit("video").alias("modality"),
+        "bits",
+        "width",
+        "height",
+        F.col("n_video_frames").alias("n_frames"),
+        "error",
+    )
+    return (
+        img.unionByName(aud)
+        .unionByName(vid)
+        .filter(F.col("error").isNull())
+        .select(*SIGNATURE_COLUMNS)
+    )
+
+
+def _write(df: DataFrame, path: str, mode: str, batch_id: int) -> None:
+    """Write signatures under their ``ingest_batch`` partition (the
+    dedup_index staging discipline: static overwrite at build, dynamic
+    partition overwrite for staged appends)."""
+    writer = df.withColumn(
+        BATCH_COL, F.lit(int(batch_id)).cast("long")
+    ).write.mode(mode)
+    if mode == "overwrite" and batch_id != BOOTSTRAP_BATCH:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy(BATCH_COL).parquet(path)
+
+
+def build_media_index(
+    with_payload: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    image_method: str = "dhash",
+) -> None:
+    """Build and persist the index from the already-kept media corpus
+    (one decode pass). The signature config is frozen in `_META.json`
+    for the index's lifetime."""
+    from beeper_matric_etl_tool_spark.sinks import _require_local_path
+
+    _require_local_path(path, "build_media_index")
+    if image_method not in ("dhash", "ahash"):
+        raise ValueError(f"build_media_index: unknown image_method {image_method!r}")
+    sigs = media_signatures(with_payload, id_col=id_col, image_method=image_method)
+    _write(sigs, os.path.join(path, "signatures"), "overwrite", BOOTSTRAP_BATCH)
+    meta = {
+        "image_method": image_method,
+        "n_bits": VHASH_BITS,
+        "id_col": id_col,
+        "layout": "ingest-batch-partitioned",
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _META_FILE), "w") as fh:
+        json.dump(meta, fh)
+
+
+def read_meta(path: str) -> dict:
+    """Read the index's frozen signature config (filesystem contract
+    guarded first, like the text index)."""
+    from beeper_matric_etl_tool_spark.sinks import _require_local_path
+
+    _require_local_path(path, "read_meta(media_index)")
+    meta_path = os.path.join(path, _META_FILE)
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"media index at {path!r} has no {_META_FILE} — not an index "
+            f"built by build_media_index"
+        )
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    if meta.get("layout") != "ingest-batch-partitioned":
+        raise ValueError(
+            f"media index at {path!r} is not ingest-batch-partitioned — "
+            f"rebuild with build_media_index"
+        )
+    return meta
+
+
+def append_media_index(
+    accepted: DataFrame, path: str, batch_id: int | None = None
+) -> None:
+    """Append a batch of ACCEPTED media (e.g. `media_dedup_against_index`
+    survivors after ingestion): one decode pass under the index's stored
+    config. ``batch_id=None`` appends unstaged (partition −2; a replayed
+    append duplicates rows — harmless for decisions, witness selection is
+    min(ref_id), but wasteful). A staged ``batch_id >= 0`` is a dynamic
+    partition overwrite of its own batch — replay-safe."""
+    meta = read_meta(path)
+    sigs = media_signatures(
+        accepted, id_col=meta["id_col"], image_method=meta["image_method"]
+    )
+    if batch_id is None:
+        mode, part = "append", UNSTAGED_BATCH
+    else:
+        if batch_id < 0:
+            raise ValueError(
+                f"append_media_index: batch_id={batch_id} is reserved "
+                f"(-1 build, -2 unstaged) — staged batch ids must be >= 0"
+            )
+        mode, part = "overwrite", batch_id
+    _write(sigs, os.path.join(path, "signatures"), mode, part)
+
+
+def media_dedup_against_index(
+    new_media: DataFrame,
+    spark: SparkSession,
+    path: str,
+    max_hamming: int = 12,
+    bands: int = 16,
+    exclude_batch: int | None = None,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental media near-dup against the PERSISTED index:
+    ``(survivors, dropped)`` over the new batch, where dropped rows carry
+    (doc_id, modality, ref_id, hamming) — ref_id the smallest matching
+    index doc (the deterministic witness, the text index's audit
+    contract). ONLY the new batch is decoded; the index side is a
+    parquet scan of (id, modality, 64 small ints) — reference media
+    bytes never enter the plan (plan-pinned in tests).
+
+    Banding keys include the modality, so cross-modality collisions are
+    impossible by construction. ``max_hamming``/``bands`` are probe-time
+    knobs (both sides band fresh); the pigeonhole recall guarantee is
+    enforced per probe. ``exclude_batch`` hides one ingest_batch
+    partition (partition-pruned) — the streaming replay discipline
+    shared with the text index. Batch rows whose payload is undecodable
+    SURVIVE the probe (they have no signature to compare; the curation
+    funnel, not the index probe, is where undecodables are dropped)."""
+    meta = read_meta(path)
+    ref = spark.read.parquet(os.path.join(path, "signatures"))
+    if exclude_batch is not None:
+        ref = ref.filter(F.col(BATCH_COL) != F.lit(int(exclude_batch)))
+    ref_sigs = ref.select(F.col("doc_id"), "modality", "bits")
+
+    # ONE decode pass over the batch: the checkpoint is consumed by the
+    # banding join AND the witness join-back (cache=False below — this
+    # materialization already cut the decode lineage)
+    batch_sigs = media_signatures(
+        new_media, id_col=id_col, image_method=meta["image_method"]
+    ).localCheckpoint(eager=True)
+    pairs = simhash_cross_candidates(
+        batch_sigs.select("doc_id", "modality", "bits"),
+        ref_sigs,
+        max_hamming=max_hamming,
+        bands=bands,
+        n_bits=meta["n_bits"],
+        key_cols=("modality",),
+        cache=False,
+    )
+    witness = pairs.groupBy("doc_id").agg(
+        F.min("ref_id").alias("ref_id"),
+        F.min_by("hamming", "ref_id").alias("hamming"),
+    )
+    dropped = (
+        batch_sigs.join(witness, on="doc_id", how="inner")
+        .select("doc_id", "modality", "ref_id", "hamming")
+    )
+    survivors = new_media.join(
+        witness.select(F.col("doc_id").alias(id_col)), on=id_col, how="left_anti"
+    )
+    return survivors, dropped

@@ -1,0 +1,125 @@
+"""Persisted media-signature index (ext/media_index.py): the steady-state
+media near-dup lifecycle — decode the lake ONCE at build, decode only the
+new batch at probe (no reference decode in any probe plan), staged
+appends replay-safe — the media twin of test_dedup_index.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+from beeper_matric_etl_tool_spark.ext.media_index import (
+    append_media_index,
+    build_media_index,
+    media_dedup_against_index,
+    read_meta,
+)
+
+
+def _media_frame(spark, rows):
+    return spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in rows], "doc_id long, payload binary"
+    )
+
+
+REF_IMG = xmm.make_gradient_bmp(36, 32, seed=1)
+REF_WAV = xmm.make_saw_wav(3300, seed=2)
+REF_AVI = xmm.make_gradient_avi(40, 16, 24, seed=3)
+
+
+@pytest.fixture()
+def ref_on_disk(spark, tmp_path):
+    """Reference media WRITTEN TO PARQUET and read back, so a reference
+    payload scan would be identifiable in probe plans."""
+    path = str(tmp_path / "ref_media")
+    _media_frame(
+        spark, [(1, REF_IMG), (2, REF_WAV), (3, REF_AVI)]
+    ).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_probe_decodes_only_the_batch(spark, tmp_path, ref_on_disk):
+    idx = str(tmp_path / "midx")
+    build_media_index(ref_on_disk, idx)
+    assert read_meta(idx)["image_method"] == "dhash"
+
+    batch = _media_frame(
+        spark,
+        [
+            (101, REF_IMG),  # exact dup of indexed image 1
+            (102, xmm.make_saw_wav(3300, seed=2, edit=(1022, 1622))),  # near dup of 2
+            (103, xmm.make_gradient_avi(40, 16, 24, seed=7)),  # fresh video
+            (104, b"not media at all, just text bytes"),  # undecodable
+        ],
+    )
+    survivors, dropped = media_dedup_against_index(batch, spark, idx)
+
+    drops = {r.doc_id: r for r in dropped.collect()}
+    assert set(drops) == {101, 102}
+    assert drops[101].modality == "image" and drops[101].ref_id == 1
+    assert drops[101].hamming == 0
+    assert drops[102].modality == "audio" and drops[102].ref_id == 2
+    assert 0 < drops[102].hamming <= 12
+    # fresh video survives; the undecodable row survives the PROBE (it
+    # has no signature to compare — dropping it is curate_media's job)
+    assert {r.doc_id for r in survivors.collect()} == {103, 104}
+
+    # plan pin: NO decode stage and NO payload scan downstream of the
+    # probe — the batch decoded exactly once (at probe call, into the
+    # checkpoint) and the index side contributes a signature-only scan
+    for df in (survivors, dropped):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan
+        assert "payload:binary" not in plan  # no parquet payload read
+    dplan = dropped._jdf.queryExecution().executedPlan().toString()
+    assert "bits:array<int>" in dplan  # ...the signatures are read instead
+
+
+def test_append_staged_replay_and_exclusion(spark, tmp_path, ref_on_disk):
+    idx = str(tmp_path / "midx")
+    build_media_index(ref_on_disk, idx)
+
+    accepted = _media_frame(spark, [(50, xmm.make_gradient_bmp(36, 32, seed=4))])
+    append_media_index(accepted, idx, batch_id=7)
+
+    # a near-dup of the APPENDED image is caught only via batch 7...
+    batch2 = _media_frame(
+        spark, [(201, xmm.make_gradient_bmp(36, 32, seed=4, invert_col=18))]
+    )
+    _, dropped = media_dedup_against_index(batch2, spark, idx)
+    d = dropped.collect()
+    assert len(d) == 1 and d[0].ref_id == 50 and 0 < d[0].hamming <= 12
+    # ...and excluding batch 7 (the replay discipline) hides it
+    s_ex, d_ex = media_dedup_against_index(batch2, spark, idx, exclude_batch=7)
+    assert d_ex.count() == 0 and s_ex.count() == 1
+
+    # replaying the staged append REPLACES batch 7 instead of duplicating
+    append_media_index(accepted, idx, batch_id=7)
+    import os
+
+    sigs = spark.read.parquet(os.path.join(idx, "signatures"))
+    assert sigs.filter(F.col("ingest_batch") == 7).count() == 1
+    assert sigs.count() == 4  # 3 bootstrap + 1 staged
+
+    # modality is part of the banding key: an AUDIO clip can never match
+    # an indexed image even at max_hamming = bands-1
+    probe_far = _media_frame(spark, [(301, xmm.make_saw_wav(3300, seed=4))])
+    _, d_far = media_dedup_against_index(
+        probe_far, spark, idx, max_hamming=15, bands=16
+    )
+    assert d_far.filter(F.col("modality") != "audio").count() == 0
+
+
+def test_media_index_guards(spark, tmp_path, ref_on_disk):
+    idx = str(tmp_path / "midx")
+    with pytest.raises(ValueError, match="image_method"):
+        build_media_index(ref_on_disk, idx, image_method="phash9000")
+    with pytest.raises(FileNotFoundError, match="_META"):
+        read_meta(str(tmp_path / "nope"))
+    build_media_index(ref_on_disk, idx)
+    with pytest.raises(ValueError, match="reserved"):
+        append_media_index(ref_on_disk, idx, batch_id=-1)
+    batch = _media_frame(spark, [(101, REF_IMG)])
+    with pytest.raises(ValueError, match="bands"):
+        media_dedup_against_index(batch, spark, idx, max_hamming=16, bands=16)
