@@ -934,6 +934,66 @@ def probe_video_hash(docs, n_frames: int):
     )
 
 
+def probe_media_index(spark, docs):
+    """Media-index steady-state shape (round 10): a FIXED 240-doc probe
+    batch against an index built from the whole corpus — the growth
+    dimension is INDEX SIZE, the claim is that probe cost is dominated by
+    the batch's own decode + a signature-column scan of the index, so
+    wall grows far sub-linearly while the index grows 10×. Audio corpus
+    (distinct saw slopes — the media_curation probe's aliasing argument);
+    batch = re-leveled edits of the first 240 indexed clips, so every
+    probe row actually matches (the candidate path is exercised, not
+    short-circuited by empty band buckets)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+    from beeper_matric_etl_tool_spark.ext.media_index import (
+        build_media_index,
+        media_dedup_against_index,
+    )
+
+    def gen(edit):
+        def inner(it):
+            for pdf in it:
+                payloads = [
+                    xmm.make_saw_wav(3300, int(d), (1022, 1222) if edit else None)
+                    for d in pdf["doc_id"]
+                ]
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+        return inner
+
+    work = tempfile.mkdtemp(prefix="probe-midx-")
+    try:
+        idx = os.path.join(work, "idx")
+        corpus = docs.select("doc_id").mapInPandas(
+            gen(False), "doc_id long, payload binary"
+        )
+        t0 = time.perf_counter()
+        build_media_index(corpus, idx)
+        build_sec = round(time.perf_counter() - t0, 4)
+
+        batch = (
+            docs.select("doc_id").filter(F.col("doc_id") < 240)
+            .mapInPandas(gen(True), "doc_id long, payload binary")
+        )
+        media_dedup_against_index(batch, spark, idx, max_hamming=4)[1].count()  # warm
+        t0 = time.perf_counter()
+        _, dropped = media_dedup_against_index(batch, spark, idx, max_hamming=4)
+        n_dropped = dropped.count()
+        probe_sec = round(time.perf_counter() - t0, 4)
+        return {
+            "build_sec": build_sec,
+            "probe_sec": probe_sec,
+            "batch_dropped": n_dropped,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def timed(df) -> float:
     df.write.format("noop").mode("overwrite").save()  # warm
     t0 = time.perf_counter()
@@ -1058,6 +1118,10 @@ def main() -> None:
         "base_sec": t1, "grown_sec": t10,
         "growth_ratio": round(t10 / t1, 2) if t1 else None,
         "base_row": list(r1), "grown_row": list(r10),
+    }
+    out["probe"]["media_index"] = {
+        "base": probe_media_index(spark, docs),
+        "grown": probe_media_index(spark, big_docs),
     }
 
     # eager probes (driver-side work inside): classifier training + DSIR.
