@@ -1,0 +1,159 @@
+"""Continuous MEDIA curation — the streaming form of `curate_media`
+composed with the persisted media-signature index (SURVEY §2.12
+multimodal tier; the media twin of streaming/curation.py).
+
+The steady-state media-lake ingest shape: payloads arrive continuously;
+each micro-batch runs the SAME driver-oracled batch kernels —
+`curate_media` (magic dispatch → one decode per payload → floor gates →
+within-batch per-modality near-dup, every row decided) — then probes the
+batch's keeps against the persisted signature index of everything
+already kept (`ext/media_index.py`, no reference media decode), and the
+survivors are (a) appended to the curated media corpus and (b) appended
+to the index, so the NEXT batch deduplicates against them. Composition,
+not new semantics: both halves are the batch operators verbatim, which
+is what keeps streaming and batch decisions identical.
+
+Exactly-once: the three writes per micro-batch — corpus, index, audit —
+are STAGED by batch id (dynamic partition overwrite of their own
+``ingest_batch``/``batch_id`` hive partition), and the index probe runs
+with THIS batch's partition excluded, so a replayed batch sees exactly
+the state its first attempt saw, re-derives identical decisions (every
+kernel in the chain is deterministic), and overwrites its own partitions
+with identical rows. The (index, checkpoint) binding marker and the
+output-layout gates are shared with the text stream
+(`streaming/curation.py`) — batch ids are checkpoint-scoped there for
+the same reason they are here.
+
+Decode economics per micro-batch: the funnel decodes the batch once; the
+index probe and the index append each decode the batch's KEEPS once more
+(the same re-derivation the text stream pays for fingerprints — batch
+-sized, never corpus-sized; the corpus is only ever touched through its
+persisted signatures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from beeper_matric_etl_tool_spark.ext.media_index import (
+    append_media_index,
+    media_dedup_against_index,
+    read_meta,
+)
+from beeper_matric_etl_tool_spark.ext.multimodal import curate_media
+from beeper_matric_etl_tool_spark.streaming.curation import (
+    _guard_checkpoint_binding,
+    _guard_output_layout,
+)
+
+
+def media_curation_batch_writer(
+    index_path: str,
+    out_dir: str,
+    audit_dir: str | None = None,
+    max_hamming: int = 12,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    **curate_kwargs,
+):
+    """foreachBatch writer running the media funnel per micro-batch.
+    Extra ``curate_kwargs`` (min_width, min_audio_frames, …) pass through
+    to `curate_media`. Fails at CONSTRUCTION on a non-index path, an
+    id-column mismatch with the index's frozen meta, or a flat-layout
+    output directory (the text writer's discipline)."""
+    meta = read_meta(index_path)
+    _guard_output_layout(out_dir, "ingest_batch", "media_curation_batch_writer")
+    if audit_dir is not None:
+        _guard_output_layout(audit_dir, "batch_id", "media_curation_batch_writer")
+    if meta["id_col"] != id_col:
+        raise ValueError(
+            f"media_curation_batch_writer: id_col {id_col!r} does not match "
+            f"the media index's frozen config ({meta['id_col']!r}) at "
+            f"{index_path!r} — the index derives append signatures from its "
+            f"own meta; rebuild the index or match its column"
+        )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)  # file-stream lineage cut
+        decisions = curate_media(
+            batch_df,
+            id_col=id_col,
+            image_max_hamming=max_hamming,
+            audio_max_hamming=max_hamming,
+            video_max_hamming=max_hamming,
+            bands=bands,
+            **curate_kwargs,
+        )
+        keeps = decisions.filter(F.col("decision") == "keep").select(
+            F.col("doc_id").alias(id_col)
+        )
+        kept_payloads = batch_df.join(keeps, on=id_col)
+        survivors, ref_dropped = media_dedup_against_index(
+            kept_payloads,
+            spark,
+            index_path,
+            max_hamming=max_hamming,
+            bands=bands,
+            # replay safety: probe with THIS batch's partition hidden
+            exclude_batch=int(batch_id),
+            id_col=id_col,
+        )
+        survivors = survivors.localCheckpoint(eager=True)
+        n_in = batch_df.count()
+        n_kept = survivors.count()
+        n_drop_index = ref_dropped.count()
+
+        if n_kept:
+            (
+                survivors.withColumn("ingest_batch", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(out_dir)
+            )
+            append_media_index(survivors, index_path, batch_id=int(batch_id))
+        if audit_dir is not None:
+            (
+                spark.createDataFrame(
+                    [(int(batch_id), int(n_in), int(n_kept), int(n_drop_index))],
+                    "batch_id long, n_in long, n_kept long, n_drop_index long",
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(audit_dir)
+            )
+
+    return write
+
+
+def start_media_curation_stream(
+    media_stream: DataFrame,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    audit_dir: str | None = None,
+    trigger_interval: str | None = None,
+    **writer_kwargs,
+):
+    """Wire a streaming media frame (any source shape carrying
+    (doc_id, payload binary) — parquet file dir, Kafka value bytes)
+    through :func:`media_curation_batch_writer`. Returns the
+    StreamingQuery. Replay and binding semantics are the text stream's:
+    a re-delivered batch re-derives its first attempt's decisions with
+    its own index partition excluded and overwrites its own staged
+    partitions; a fresh checkpoint against an already-staged index fails
+    at the `_STREAM.json` binding gate."""
+    batch_writer = media_curation_batch_writer(
+        index_path, out_dir, audit_dir, **writer_kwargs
+    )
+    _guard_checkpoint_binding(index_path, checkpoint_dir)
+    writer = media_stream.writeStream.foreachBatch(batch_writer).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_interval is not None:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

@@ -123,3 +123,124 @@ def test_media_index_guards(spark, tmp_path, ref_on_disk):
     batch = _media_frame(spark, [(101, REF_IMG)])
     with pytest.raises(ValueError, match="bands"):
         media_dedup_against_index(batch, spark, idx, max_hamming=16, bands=16)
+
+
+def test_continuous_media_curation_stream(spark, tmp_path):
+    """The streaming media funnel end-to-end: per batch, curate_media
+    decides within-batch (undecodable + within-batch near-dup), the
+    index probe drops cross-batch duplicates, and survivors extend the
+    corpus AND the index so the NEXT batch sees them; replaying a batch
+    overwrites its own staged partitions with identical rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from beeper_matric_etl_tool_spark.ext.media_index import build_media_index
+    from beeper_matric_etl_tool_spark.streaming.media_curation import (
+        media_curation_batch_writer,
+        start_media_curation_stream,
+    )
+
+    seed_img = xmm.make_gradient_bmp(36, 32, seed=9)
+    idx = str(tmp_path / "midx")
+    build_media_index(_media_frame(spark, [(0, seed_img)]), idx)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    audit = str(tmp_path / "audit")
+
+    img_a = xmm.make_gradient_bmp(36, 32, seed=1)
+    batches = {}
+
+    def emit(q, name, rows):
+        batches[name] = rows
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "payload": pa.array([r[1] for r in rows], pa.binary()),
+            }
+        )
+        pq.write_table(t, str(src / name))
+        q.processAllAvailable()
+
+    stream = spark.readStream.schema("doc_id long, payload binary").parquet(
+        str(src)
+    )
+    q = start_media_curation_stream(
+        stream, idx, out, str(tmp_path / "ckpt"), audit_dir=audit
+    )
+    try:
+        # batch 0: A fresh; a copy of the SEED (index drop); garbage
+        # (funnel drop); a within-batch near-dup of A (funnel drop)
+        emit(q, "b0.parquet", [
+            (1, img_a),
+            (2, seed_img),
+            (3, b"not media, just bytes"),
+            (4, xmm.make_gradient_bmp(36, 32, seed=1, invert_col=18)),
+        ])
+        assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1}
+
+        # batch 1: a copy of batch 0's survivor A (cross-batch drop via
+        # the index append), plus a fresh audio clip
+        emit(q, "b1.parquet", [
+            (5, img_a),
+            (6, xmm.make_saw_wav(3300, seed=3)),
+        ])
+        assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 6}
+
+        audits = {
+            r.batch_id: (r.n_in, r.n_kept, r.n_drop_index)
+            for r in spark.read.parquet(audit).collect()
+        }
+        assert audits[0] == (4, 1, 1) and audits[1] == (2, 1, 1)
+    finally:
+        q.stop()
+
+    # REPLAY batch 1: same rows, same batch id — the probe excludes the
+    # batch's own partition, decisions re-derive identically, and every
+    # staged partition is replaced, not duplicated
+    writer = media_curation_batch_writer(idx, out, audit)
+    writer(_media_frame(spark, batches["b1.parquet"]), 1)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 6}
+    import os
+
+    sigs = spark.read.parquet(os.path.join(idx, "signatures"))
+    assert sigs.filter(F.col("ingest_batch") == 1).count() == 1
+    audits = {
+        r.batch_id: (r.n_in, r.n_kept, r.n_drop_index)
+        for r in spark.read.parquet(audit).collect()
+    }
+    assert audits[1] == (2, 1, 1)
+
+
+def test_media_curation_writer_guards(spark, tmp_path, ref_on_disk):
+    """Construction-time gates: non-index path, id-column mismatch with
+    the frozen meta, fresh-checkpoint-vs-staged-index binding."""
+    from beeper_matric_etl_tool_spark.ext.media_index import build_media_index
+    from beeper_matric_etl_tool_spark.streaming.media_curation import (
+        media_curation_batch_writer,
+        start_media_curation_stream,
+    )
+
+    with pytest.raises(FileNotFoundError, match="_META"):
+        media_curation_batch_writer(str(tmp_path / "noindex"), str(tmp_path / "o"))
+    idx = str(tmp_path / "midx")
+    build_media_index(ref_on_disk, idx)
+    with pytest.raises(ValueError, match="id_col"):
+        media_curation_batch_writer(idx, str(tmp_path / "o"), id_col="uid")
+    assert media_curation_batch_writer(idx, str(tmp_path / "o")) is not None
+
+    # checkpoint binding: a second stream with a DIFFERENT checkpoint
+    # against the same index fails before starting
+    (tmp_path / "srcdir").mkdir()
+    stream = spark.readStream.schema("doc_id long, payload binary").parquet(
+        str(tmp_path / "srcdir")
+    )
+    q = start_media_curation_stream(
+        stream, idx, str(tmp_path / "out"), str(tmp_path / "ckpt1")
+    )
+    q.stop()
+    with pytest.raises(ValueError, match="checkpoint"):
+        start_media_curation_stream(
+            stream, idx, str(tmp_path / "out"), str(tmp_path / "ckpt2")
+        )
