@@ -262,14 +262,32 @@ def compact_dedup_index(
     recoverable — the NEXT call (or any probe after the next call)
     heals it: stale `.old`/`.compact` leftovers are detected up front,
     a stranded original is restored, and staging debris is removed."""
-    import shutil
-
     from beeper_matric_etl_tool_spark.sinks import _require_local_path
 
     _require_local_path(path, "compact_dedup_index")
     read_meta(path)  # asserts this IS an index before touching anything
+    return compact_batched_tables(
+        spark, path, ("fingerprints", "signatures", "shingles"), preserve_last
+    )
+
+
+def compact_batched_tables(
+    spark: SparkSession,
+    path: str,
+    tables: tuple[str, ...],
+    preserve_last: bool = True,
+) -> dict[str, int]:
+    """The compaction core shared by every ingest-batch-partitioned index
+    family (text dedup index here; the media signature index in
+    ext/media_index.py): fold staged partitions into the bootstrap
+    partition per table, with the `preserve_last` replay shield and the
+    crash-healing two-rename swap documented on `compact_dedup_index`.
+    Callers validate their own meta FIRST — this helper only walks the
+    named table directories."""
+    import shutil
+
     counts: dict[str, int] = {}
-    for sub in ("fingerprints", "signatures", "shingles"):
+    for sub in tables:
         src = os.path.join(path, sub)
         tmp = src + ".compact"
         old = src + ".old"

@@ -205,6 +205,26 @@ def append_media_index(
     _write(sigs, os.path.join(path, "signatures"), mode, part)
 
 
+def compact_media_index(
+    spark: SparkSession, path: str, preserve_last: bool = True
+) -> dict[str, int]:
+    """Fold the accumulated per-batch signature partitions into the
+    bootstrap partition — the text index's small-file fix applied to the
+    media index (same core: `dedup_index.compact_batched_tables`, same
+    `preserve_last` replay shield for the one uncommitted micro-batch a
+    stopped stream can leave behind, same crash-healing two-rename
+    swap). Decisions are unaffected: the probe unions all partitions
+    either way and witness selection is content-based."""
+    from beeper_matric_etl_tool_spark.ext.dedup_index import (
+        compact_batched_tables,
+    )
+    from beeper_matric_etl_tool_spark.sinks import _require_local_path
+
+    _require_local_path(path, "compact_media_index")
+    read_meta(path)  # asserts this IS a media index before touching anything
+    return compact_batched_tables(spark, path, ("signatures",), preserve_last)
+
+
 def media_dedup_against_index(
     new_media: DataFrame,
     spark: SparkSession,

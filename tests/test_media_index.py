@@ -244,3 +244,63 @@ def test_media_curation_writer_guards(spark, tmp_path, ref_on_disk):
         start_media_curation_stream(
             stream, idx, str(tmp_path / "out"), str(tmp_path / "ckpt2")
         )
+
+
+def test_compact_media_index_preserves_decisions(spark, tmp_path, ref_on_disk):
+    """Compaction folds staged partitions into the bootstrap partition
+    (preserve_last shields the highest staged batch), and probe
+    decisions are identical before and after — the text index's
+    small-file fix, shared core."""
+    import os
+
+    from beeper_matric_etl_tool_spark.ext.media_index import (
+        build_media_index,
+        compact_media_index,
+    )
+
+    idx = str(tmp_path / "midx")
+    build_media_index(ref_on_disk, idx)
+    append_media_index(
+        _media_frame(spark, [(50, xmm.make_gradient_bmp(36, 32, seed=4))]),
+        idx, batch_id=3,
+    )
+    append_media_index(
+        _media_frame(spark, [(60, xmm.make_saw_wav(3300, seed=9))]),
+        idx, batch_id=7,
+    )
+
+    batch = _media_frame(
+        spark,
+        [
+            (201, xmm.make_gradient_bmp(36, 32, seed=4, invert_col=18)),
+            (202, xmm.make_saw_wav(3300, seed=9, edit=(1022, 1622))),
+            (203, xmm.make_gradient_avi(40, 16, 24, seed=8)),
+        ],
+    )
+    before = sorted(
+        tuple(r) for r in media_dedup_against_index(batch, spark, idx)[1].collect()
+    )
+    counts = compact_media_index(spark, idx)
+    assert counts == {"signatures": 5}
+    after = sorted(
+        tuple(r) for r in media_dedup_against_index(batch, spark, idx)[1].collect()
+    )
+    assert after == before and len(before) == 2
+
+    # preserve_last kept batch 7 un-folded; batch 3 folded into bootstrap
+    parts = {
+        d for d in os.listdir(os.path.join(idx, "signatures"))
+        if d.startswith("ingest_batch=")
+    }
+    assert parts == {"ingest_batch=-1", "ingest_batch=7"}
+    # ...so a REPLAY of batch 7 can still exclude its own rows
+    _, d_ex = media_dedup_against_index(batch, spark, idx, exclude_batch=7)
+    assert {r.doc_id for r in d_ex.collect()} == {201}
+
+    # preserve_last=False folds everything (clean-stop mode)
+    compact_media_index(spark, idx, preserve_last=False)
+    parts = {
+        d for d in os.listdir(os.path.join(idx, "signatures"))
+        if d.startswith("ingest_batch=")
+    }
+    assert parts == {"ingest_batch=-1"}
