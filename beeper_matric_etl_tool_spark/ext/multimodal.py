@@ -710,11 +710,21 @@ def _avi_frames(payload: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError(
             f"AVI frame count mismatch (avih={n_total}, movi={len(frames)})"
         )
+    # validate header-declared dimensions BEFORE any allocation sized by
+    # them: a corrupt 4-byte width/height can claim gigapixel frames, and
+    # np.empty would MemoryError the TASK instead of dead-lettering the
+    # ROW. The payload itself bounds the honest size — every declared
+    # frame must actually fit inside the bytes we were handed.
     row_size = ((width * 3 + 3) // 4) * 4
-    out = np.empty((len(frames), height, width, 3), dtype=np.uint8)
+    if width == 0 or height == 0 or row_size * height > len(payload):
+        raise NotImplementedError(
+            f"AVI header dims {width}x{height} exceed the payload"
+        )
     for i, fb in enumerate(frames):
         if len(fb) < row_size * height:
             raise NotImplementedError(f"truncated DIB frame {i}")
+    out = np.empty((len(frames), height, width, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames):
         rows = np.frombuffer(fb, dtype=np.uint8, count=row_size * height)
         # bottom-up storage (positive-height BMP convention), flip to top-down
         out[i] = rows.reshape(height, row_size)[::-1, : width * 3].reshape(
@@ -1071,13 +1081,20 @@ def curate_media(
         frames_col,
         floor_fail,
     ) -> DataFrame:
-        sigs = sig_fn(dispatched.filter(F.col("modality") == modality))
+        # ONE decode per payload: the signature relation is consumed by
+        # the banding self-join, the cluster join-back AND the decision
+        # assembly — without this checkpoint each consumer re-executes
+        # the decode stage (cache=False below: this cut already happened)
+        sigs = sig_fn(
+            dispatched.filter(F.col("modality") == modality)
+        ).localCheckpoint(eager=True)
         gated = sigs.filter(F.col("error").isNull()).filter(~floor_fail(sigs))
         pairs = simhash_candidate_pairs(
             gated.select("doc_id", "bits"),
             max_hamming=max_hamming,
             bands=bands,
             n_bits=VHASH_BITS,
+            cache=False,
         )
         clusters = dedup_clusters(gated.select("doc_id"), pairs)
         return (

@@ -1675,3 +1675,29 @@ def test_curate_media_funnel(spark):
     # the video floor cannot be set below the hash's temporal-sample floor
     with pytest.raises(ValueError, match="min_video_frames"):
         xmm.curate_media(df, min_video_frames=4)
+
+
+def test_media_hardening_corrupt_header_and_single_decode(spark):
+    """(a) An AVI whose header claims gigapixel frames dead-letters the
+    ROW instead of MemoryError-ing the task (dims validated against the
+    payload size BEFORE any allocation). (b) curate_media decodes each
+    payload exactly once: every consumer reads the per-leg signature
+    checkpoint, so the output plan contains NO decode stage."""
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+
+    avi = bytearray(xmm.make_gradient_avi(40, 16, 24, seed=1))
+    pos = bytes(avi).find(b"avih") + 8  # avih body
+    avi[pos + 32 : pos + 36] = (2_000_000_000).to_bytes(4, "little")  # width
+    df = spark.createDataFrame(
+        [(1, avi), (2, bytearray(xmm.make_gradient_avi(40, 16, 24, seed=2)))],
+        "doc_id long, payload binary",
+    )
+    sigs = {r.doc_id: r for r in xmm.video_hash_bits(df).collect()}
+    assert sigs[1].bits is None and "exceed the payload" in sigs[1].error
+    assert sigs[2].error is None  # the honest row still decodes
+
+    out = xmm.curate_media(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    decisions = {r.doc_id: r.decision for r in out.collect()}
+    assert decisions == {1: "drop:undecodable", 2: "keep"}
