@@ -1919,7 +1919,9 @@ def test_watermarked_upsert_store_needs_no_repair(spark, tmp_path):
     streamed = set(_rows(spark, tgt))
     # the store holds EXACT batch rows (the late beta folded in order)
     assert streamed and streamed < set(batch_all)
-    a_first = next(r for r in streamed if r[0] == "@a")
+    # select the alpha/beta/gamma session EXPLICITLY — both closed @a
+    # sessions are in the store, and set iteration order is arbitrary
+    a_first = next(r for r in streamed if r[0] == "@a" and "alpha" in r[6])
     assert "beta" in a_first[6] and a_first[6].index("beta") < a_first[6].index("gamma")
     # no drift: the watermarked assembler needed no repair
     assert _affected(repair_transcripts(spark, str(src), str(tgt),
