@@ -304,3 +304,43 @@ def test_compact_media_index_preserves_decisions(spark, tmp_path, ref_on_disk):
         if d.startswith("ingest_batch=")
     }
     assert parts == {"ingest_batch=-1"}
+
+
+def test_video_frames_probe_against_image_index(spark, tmp_path):
+    """Cross-plane composition: a video whose frames re-encode an INDEXED
+    image is caught by sampling its frames (`video_sample_frames` emits
+    real standalone BMPs) and probing them against the image signatures —
+    the 'is this clip built from known stills' check, pure composition of
+    existing operators. A video of fresh frames probes clean."""
+    import numpy as np
+
+    from beeper_matric_etl_tool_spark.ext.media_index import (
+        build_media_index,
+        media_dedup_against_index,
+    )
+
+    # the indexed still, and a 12-frame video whose every frame IS it
+    still = xmm.make_gradient_bmp(40, 16, seed=5)
+    idx = str(tmp_path / "midx")
+    build_media_index(_media_frame(spark, [(1, still)]), idx)
+
+    frame_px = xmm._bmp_pixels(still)[:, :, :3]
+    video_of_still = xmm._encode_avi(
+        np.stack([frame_px] * 12), fps=12
+    )
+    fresh_video = xmm.make_gradient_avi(40, 16, 12, seed=8)
+
+    vids = _media_frame(spark, [(10, video_of_still), (20, fresh_video)])
+    frames = xmm.video_sample_frames(vids, n_samples=4)
+    # frame rows become image payloads keyed by (video, frame) — a
+    # synthetic probe id keeps the witness attributable
+    probe = frames.filter(F.col("error").isNull()).select(
+        (F.col("doc_id") * 1000 + F.col("frame_idx")).alias("doc_id"),
+        "payload",
+    )
+    survivors, dropped = media_dedup_against_index(probe, spark, idx)
+    hits = {r.doc_id // 1000 for r in dropped.collect()}
+    assert hits == {10}  # every sampled frame of the re-encode matches...
+    assert dropped.count() == 4 and dropped.filter(F.col("hamming") > 0).count() == 0
+    # ...and the fresh video's frames all probe clean
+    assert {r.doc_id // 1000 for r in survivors.collect()} == {20}
