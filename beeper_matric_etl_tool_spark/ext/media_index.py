@@ -205,6 +205,62 @@ def append_media_index(
     _write(sigs, os.path.join(path, "signatures"), mode, part)
 
 
+def media_search(
+    probes: DataFrame,
+    spark: SparkSession,
+    path: str,
+    max_hamming: int = 12,
+    k: int = 10,
+    bands: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ranked variant retrieval over the persisted index: for each probe
+    payload, the up-to-``k`` closest indexed media of the SAME modality
+    within ``max_hamming`` — (probe_id, ref_id, modality, hamming, rank),
+    rank 1 = closest, ties broken by ref_id (deterministic). "Find every
+    variant of this image in the lake, closest first."
+
+    This is bounded-radius retrieval, not unbounded k-NN — candidates
+    come from the banding equi-join, so recall is total WITHIN
+    ``max_hamming ≤ bands-1`` (enforced) and zero beyond it; an
+    unbounded nearest search over 64-bit signatures would need an
+    all-pairs scan the banded plan exists to avoid. Probes decode once;
+    the index side is the signature scan (no reference media bytes, the
+    probe-plan discipline of `media_dedup_against_index`). The top-k cut
+    is a bounded per-probe window over candidate rows only."""
+    from pyspark.sql import Window
+
+    meta = read_meta(path)
+    ref = spark.read.parquet(os.path.join(path, "signatures")).select(
+        F.col("doc_id"), "modality", "bits"
+    )
+    probe_sigs = media_signatures(
+        probes, id_col=id_col, image_method=meta["image_method"]
+    ).localCheckpoint(eager=True)
+    pairs = simhash_cross_candidates(
+        probe_sigs.select("doc_id", "modality", "bits"),
+        ref,
+        max_hamming=max_hamming,
+        bands=bands,
+        n_bits=meta["n_bits"],
+        key_cols=("modality",),
+        cache=False,
+    )
+    w = Window.partitionBy("doc_id").orderBy("hamming", "ref_id")
+    return (
+        pairs.join(probe_sigs.select("doc_id", "modality"), on="doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            "ref_id",
+            "modality",
+            "hamming",
+            "rank",
+        )
+    )
+
+
 def compact_media_index(
     spark: SparkSession, path: str, preserve_last: bool = True
 ) -> dict[str, int]:

@@ -344,3 +344,44 @@ def test_video_frames_probe_against_image_index(spark, tmp_path):
     assert dropped.count() == 4 and dropped.filter(F.col("hamming") > 0).count() == 0
     # ...and the fresh video's frames all probe clean
     assert {r.doc_id // 1000 for r in survivors.collect()} == {20}
+
+
+def test_media_search_ranked_variants(spark, tmp_path):
+    """Bounded-radius ranked retrieval: the probe's variants come back
+    closest-first (copy at hamming 0 = rank 1), capped at k, same
+    modality only, deterministic tie-break; beyond-radius and
+    cross-modality media never appear."""
+    from beeper_matric_etl_tool_spark.ext.media_index import (
+        build_media_index,
+        media_search,
+    )
+
+    base = xmm.make_gradient_bmp(36, 32, seed=2)
+    idx = str(tmp_path / "midx")
+    build_media_index(
+        _media_frame(
+            spark,
+            [
+                (1, base),                                          # exact copy
+                (2, xmm.make_gradient_bmp(36, 32, 2, invert_col=18)),  # near
+                (3, xmm.make_gradient_bmp(36, 32, 2, invert_col=30)),  # near
+                (4, xmm.make_gradient_bmp(36, 32, 5)),              # far image
+                (5, xmm.make_saw_wav(3300, seed=2)),                # other plane
+            ],
+        ),
+        idx,
+    )
+    probe = _media_frame(spark, [(100, base)])
+
+    hits = media_search(probe, spark, idx, max_hamming=12, k=10).collect()
+    ranked = [(r.ref_id, r.hamming, r.rank) for r in
+              sorted(hits, key=lambda r: r.rank)]
+    assert ranked[0] == (1, 0, 1)  # the copy, closest
+    assert {r.ref_id for r in hits} <= {1, 2, 3}  # far + audio excluded
+    assert all(r.modality == "image" for r in hits)
+    hams = [r.hamming for r in sorted(hits, key=lambda r: r.rank)]
+    assert hams == sorted(hams)  # ranked by distance
+
+    # k caps the per-probe result
+    top1 = media_search(probe, spark, idx, max_hamming=12, k=1).collect()
+    assert len(top1) == 1 and top1[0].ref_id == 1
