@@ -9,9 +9,11 @@ wrong at steady state where yesterday's lake is already decoded. The
 index amortizes it:
 
   build:   ONE decode pass over the kept corpus → `signatures/` parquet
-           (doc_id, modality, bits[64], width/height/n_frames) — a few
-           hundred bytes per media object regardless of media size —
-           plus `_META.json` pinning the signature config.
+           (doc_id, modality, bits[sig_bits], width/height/n_frames) — a
+           few hundred bytes per media object regardless of media size —
+           plus `_META.json` pinning the signature config (method AND
+           width; width drives banding selectivity, see
+           multimodal.DEFAULT_SIG_BITS).
   probe:   `media_dedup_against_index` decodes ONLY the new batch, bands
            batch + index signatures together (modality inside the band
            key, so an image can never band against an audio clip), and
@@ -51,7 +53,7 @@ from pyspark.sql import functions as F
 
 from beeper_matric_etl_tool_spark.ext.dedup import simhash_cross_candidates
 from beeper_matric_etl_tool_spark.ext.multimodal import (
-    VHASH_BITS,
+    DEFAULT_SIG_BITS,
     audio_fingerprint_bits,
     dispatch_modality,
     image_perceptual_bits,
@@ -70,7 +72,10 @@ SIGNATURE_COLUMNS = ("doc_id", "modality", "bits", "width", "height", "n_frames"
 
 
 def media_signatures(
-    with_payload: DataFrame, id_col: str = "doc_id", image_method: str = "dhash"
+    with_payload: DataFrame,
+    id_col: str = "doc_id",
+    image_method: str = "dhash",
+    n_bits: int = DEFAULT_SIG_BITS,
 ) -> DataFrame:
     """(doc_id, modality, bits, width, height, n_frames) — ONE decode pass
     over a mixed-media frame: JVM magic-byte dispatch, then each
@@ -83,7 +88,7 @@ def media_signatures(
         F.col(id_col).alias("doc_id"), "payload", "modality"
     )
     img = image_perceptual_bits(
-        d.filter(F.col("modality") == "image"), method=image_method
+        d.filter(F.col("modality") == "image"), method=image_method, n_bits=n_bits
     ).select(
         "doc_id",
         F.lit("image").alias("modality"),
@@ -93,7 +98,9 @@ def media_signatures(
         F.lit(None).cast("int").alias("n_frames"),
         "error",
     )
-    aud = audio_fingerprint_bits(d.filter(F.col("modality") == "audio")).select(
+    aud = audio_fingerprint_bits(
+        d.filter(F.col("modality") == "audio"), n_bits=n_bits
+    ).select(
         "doc_id",
         F.lit("audio").alias("modality"),
         "bits",
@@ -102,7 +109,9 @@ def media_signatures(
         F.col("n_frames"),
         "error",
     )
-    vid = video_hash_bits(d.filter(F.col("modality") == "video")).select(
+    vid = video_hash_bits(
+        d.filter(F.col("modality") == "video"), n_bits=n_bits
+    ).select(
         "doc_id",
         F.lit("video").alias("modality"),
         "bits",
@@ -136,6 +145,7 @@ def build_media_index(
     path: str,
     id_col: str = "doc_id",
     image_method: str = "dhash",
+    sig_bits: int = DEFAULT_SIG_BITS,
 ) -> None:
     """Build and persist the index from the already-kept media corpus
     (one decode pass). The signature config is frozen in `_META.json`
@@ -145,11 +155,13 @@ def build_media_index(
     _require_local_path(path, "build_media_index")
     if image_method not in ("dhash", "ahash"):
         raise ValueError(f"build_media_index: unknown image_method {image_method!r}")
-    sigs = media_signatures(with_payload, id_col=id_col, image_method=image_method)
+    sigs = media_signatures(
+        with_payload, id_col=id_col, image_method=image_method, n_bits=sig_bits
+    )
     _write(sigs, os.path.join(path, "signatures"), "overwrite", BOOTSTRAP_BATCH)
     meta = {
         "image_method": image_method,
-        "n_bits": VHASH_BITS,
+        "n_bits": sig_bits,
         "id_col": id_col,
         "layout": "ingest-batch-partitioned",
     }
@@ -191,7 +203,8 @@ def append_media_index(
     partition overwrite of its own batch — replay-safe."""
     meta = read_meta(path)
     sigs = media_signatures(
-        accepted, id_col=meta["id_col"], image_method=meta["image_method"]
+        accepted, id_col=meta["id_col"], image_method=meta["image_method"],
+        n_bits=meta["n_bits"],
     )
     if batch_id is None:
         mode, part = "append", UNSTAGED_BATCH
@@ -235,7 +248,8 @@ def media_search(
         F.col("doc_id"), "modality", "bits"
     )
     probe_sigs = media_signatures(
-        probes, id_col=id_col, image_method=meta["image_method"]
+        probes, id_col=id_col, image_method=meta["image_method"],
+        n_bits=meta["n_bits"],
     ).localCheckpoint(eager=True)
     pairs = simhash_cross_candidates(
         probe_sigs.select("doc_id", "modality", "bits"),
@@ -316,7 +330,8 @@ def media_dedup_against_index(
     # banding join AND the witness join-back (cache=False below — this
     # materialization already cut the decode lineage)
     batch_sigs = media_signatures(
-        new_media, id_col=id_col, image_method=meta["image_method"]
+        new_media, id_col=id_col, image_method=meta["image_method"],
+        n_bits=meta["n_bits"],
     ).localCheckpoint(eager=True)
     pairs = simhash_cross_candidates(
         batch_sigs.select("doc_id", "modality", "bits"),

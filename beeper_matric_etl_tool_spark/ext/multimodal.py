@@ -379,6 +379,33 @@ DHASH_BITS = 64
 #: aHash grid: 8x8 samples, each compared to the grid mean → 64 bits
 AHASH_GRID = 8
 
+#: default signature width of every PUBLIC media op. 256 on purpose: the
+#: pigeonhole banding's selectivity is per-band VALUE cardinality —
+#: band_width = n_bits // bands bits → 2^width distinct values. 64-bit
+#: signatures under 16 bands give 4-BIT band values (16 buckets), so the
+#: "linear" candidate equi-join degrades to ~n²/16 per band at corpus
+#: scale (measured: a 50k-doc corpus detonated to billions of candidate
+#: rows). 256-bit signatures give 16-bit band values (65,536 buckets) —
+#: selective well past 10⁶ docs per executor-visible partition — while
+#: the recall guarantee (max_hamming ≤ bands-1 = 15) covers the measured
+#: near-dup distances (image edit ≈ 13, audio ≈ 1-6, video ≈ 14;
+#: cross-family ≥ 41). The 64-bit forms remain available via n_bits=64
+#: for compactness-over-scale callers and the closed-form oracle corpora.
+DEFAULT_SIG_BITS = 256
+
+
+def _side_of(n_bits: int) -> int:
+    """Square-signature side length: dHash uses a (side, side+1) grid →
+    side² bits; the video hash samples side frames × side spatial bits.
+    64 → 8, 256 → 16."""
+    side = int(n_bits**0.5)
+    if side * side != n_bits or side % 2:
+        raise ValueError(
+            f"media signatures need a perfect even-square bit width "
+            f"(64, 256, ...); got n_bits={n_bits}"
+        )
+    return side
+
 PHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -407,43 +434,50 @@ def _grid_luma(px: "np.ndarray", grid_h: int, grid_w: int) -> "np.ndarray":
     return luma[yi][:, xi]
 
 
-def _dhash_of(px: "np.ndarray") -> list[int]:
-    """Classic difference hash: 9x8 luma grid, bit(r,c) = 1 iff the
-    right neighbor is strictly brighter. Row-major, 64 bits."""
-    g = _grid_luma(px, DHASH_GRID_H, DHASH_GRID_W)
+def _dhash_of(px: "np.ndarray", side: int = DHASH_GRID_H) -> list[int]:
+    """Classic difference hash: (side+1)xside luma grid, bit(r,c) = 1 iff
+    the right neighbor is strictly brighter. Row-major, side² bits."""
+    g = _grid_luma(px, side, side + 1)
     return (g[:, 1:] > g[:, :-1]).astype(np.int32).ravel().tolist()
 
 
-def _ahash_of(px: "np.ndarray") -> list[int]:
-    """Average hash: 8x8 luma grid, bit = 1 iff the cell is strictly
-    brighter than the grid mean. The mean compare is kept integer-exact
-    (cell*64 > total) — no float division."""
-    g = _grid_luma(px, AHASH_GRID, AHASH_GRID)
+def _ahash_of(px: "np.ndarray", side: int = AHASH_GRID) -> list[int]:
+    """Average hash: side x side luma grid, bit = 1 iff the cell is
+    strictly brighter than the grid mean. The mean compare is kept
+    integer-exact (cell*cells > total) — no float division."""
+    g = _grid_luma(px, side, side)
     total = int(g.sum())
-    return (g.ravel() * (AHASH_GRID * AHASH_GRID) > total).astype(
-        np.int32
-    ).ravel().tolist()
+    return (g.ravel() * (side * side) > total).astype(np.int32).ravel().tolist()
 
 
 def image_perceptual_bits(
     with_payload: DataFrame,
     id_col: str = "doc_id",
     method: str = "dhash",
+    n_bits: int = DEFAULT_SIG_BITS,
 ) -> DataFrame:
-    """(doc_id, width, height, bits array<int>[64], error) — perceptual
-    hash signatures over BMP payloads, Arrow-batched ``mapInPandas``
-    like the other decode stages. Non-BMP / corrupt payloads yield a
-    NULL signature with ``error`` set (dead-letter — never silently
-    dropped, never a task crash).
+    """(doc_id, width, height, bits array<int>[n_bits], error) —
+    perceptual hash signatures over BMP payloads, Arrow-batched
+    ``mapInPandas`` like the other decode stages. Non-BMP / corrupt
+    payloads yield a NULL signature with ``error`` set (dead-letter —
+    never silently dropped, never a task crash).
 
     Scale shape: the only stage that touches pixels; everything
     downstream (banding, candidate join, hamming verify) carries
-    (id, 64 small ints) — a shuffle row of ~300 bytes per image
+    (id, n_bits small ints) — a small fixed shuffle row per image
     regardless of image size. ``method``: 'dhash' (gradient structure —
-    robust to uniform brightness shifts) or 'ahash' (global threshold)."""
+    robust to uniform brightness shifts) or 'ahash' (global threshold).
+    ``n_bits`` (default :data:`DEFAULT_SIG_BITS`) sets the signature
+    width — see that constant for why 256 is the corpus-scale default
+    and 64 exists for compactness/oracle callers."""
     if method not in ("dhash", "ahash"):
         raise ValueError(f"image_perceptual_bits: unknown method {method!r}")
-    hasher = _dhash_of if method == "dhash" else _ahash_of
+    side = _side_of(n_bits)
+    hasher = (
+        (lambda px: _dhash_of(px, side))
+        if method == "dhash"
+        else (lambda px: _ahash_of(px, side))
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -487,6 +521,7 @@ def image_near_dup_pairs(
     bands: int = 16,
     id_col: str = "doc_id",
     method: str = "dhash",
+    n_bits: int = DEFAULT_SIG_BITS,
 ) -> DataFrame:
     """(id_a < id_b, hamming) image near-duplicate pairs: perceptual
     signatures (:func:`image_perceptual_bits`) fed through the SAME
@@ -500,11 +535,13 @@ def image_near_dup_pairs(
     excluded from banding — they have no signature to compare."""
     from beeper_matric_etl_tool_spark.ext.dedup import simhash_candidate_pairs
 
-    sigs = image_perceptual_bits(with_payload, id_col=id_col, method=method)
+    sigs = image_perceptual_bits(
+        with_payload, id_col=id_col, method=method, n_bits=n_bits
+    )
     ok = sigs.filter(F.col("error").isNull()).select(F.col("doc_id"), "bits")
     return simhash_candidate_pairs(
         ok, max_hamming=max_hamming, id_col="doc_id",
-        bands=bands, n_bits=DHASH_BITS,
+        bands=bands, n_bits=n_bits,
     )
 
 
@@ -539,14 +576,14 @@ def _bin_starts(n: int, bins: int) -> np.ndarray:
     return (k * n + bins - 1) // bins
 
 
-def _afp_of(mono: "np.ndarray") -> list[int]:
-    """64 acoustic fingerprint bits over an int64 mono signal — a
+def _afp_of(mono: "np.ndarray", bins: int = AFP_BINS) -> list[int]:
+    """2·(bins−1) acoustic fingerprint bits over an int64 mono signal — a
     simplified Haitsma–Kalker energy-sign fingerprint, integer-exact:
 
-    - E[k] = Σ s² over time bin k (33 equal bins, bin(i) = i*33//n);
-      bits 0..31: E[k+1] > E[k] — the energy envelope's shape.
+    - E[k] = Σ s² over time bin k (`bins` equal bins, bin(i) = i*bins//n);
+      first half: E[k+1] > E[k] — the energy envelope's shape.
     - D[k] = Σ (Δs)² over the same binning of the first-difference
-      signal (n-1 samples); bits 32..63: D[k+1] > D[k] — a spectral-tilt
+      signal (n-1 samples); second half: D[k+1] > D[k] — a spectral-tilt
       / high-frequency proxy (difference energy rises with frequency),
       no FFT needed.
 
@@ -557,18 +594,20 @@ def _afp_of(mono: "np.ndarray") -> list[int]:
     touches."""
     n = len(mono)
     e2 = mono * mono
-    E = np.add.reduceat(e2, _bin_starts(n, AFP_BINS))
+    E = np.add.reduceat(e2, _bin_starts(n, bins))
     d = np.diff(mono)
-    D = np.add.reduceat(d * d, _bin_starts(n - 1, AFP_BINS))
+    D = np.add.reduceat(d * d, _bin_starts(n - 1, bins))
     return np.concatenate(
         [(E[1:] > E[:-1]).astype(np.int32), (D[1:] > D[:-1]).astype(np.int32)]
     ).tolist()
 
 
 def audio_fingerprint_bits(
-    with_payload: DataFrame, id_col: str = "doc_id"
+    with_payload: DataFrame,
+    id_col: str = "doc_id",
+    n_bits: int = DEFAULT_SIG_BITS,
 ) -> DataFrame:
-    """(doc_id, n_frames, sample_rate, bits array<int>[64], error) —
+    """(doc_id, n_frames, sample_rate, bits array<int>[n_bits], error) —
     acoustic fingerprint signatures over WAV payloads, Arrow-batched
     ``mapInPandas`` like the other decode stages. Non-WAV / corrupt /
     too-short payloads yield a NULL signature with ``error`` set
@@ -576,10 +615,15 @@ def audio_fingerprint_bits(
 
     Scale shape (the image-phash twin): the only stage that touches PCM
     bytes; everything downstream (banding, candidate join, hamming
-    verify) carries (id, 64 small ints) — ~300 shuffle bytes per clip
-    regardless of duration. Multi-channel audio folds to mono by
-    integer channel SUM (a mean would need division — the sum preserves
-    exactness and the sign structure is gain-invariant anyway)."""
+    verify) carries (id, n_bits small ints) — a small fixed shuffle row
+    per clip regardless of duration. Multi-channel audio folds to mono
+    by integer channel SUM (a mean would need division — the sum
+    preserves exactness and the sign structure is gain-invariant
+    anyway). ``n_bits`` must be even (half energy bits, half flux bits;
+    bins = n_bits/2 + 1); default per :data:`DEFAULT_SIG_BITS`."""
+    if n_bits % 2:
+        raise ValueError(f"audio_fingerprint_bits: n_bits={n_bits} must be even")
+    bins = n_bits // 2 + 1
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -593,11 +637,11 @@ def audio_fingerprint_bits(
                         raise NotImplementedError("not a WAV payload")
                     frames, rate, _ = _wav_samples(p)
                     n = frames.shape[0]
-                    # need every E bin (n ≥ 33) AND every D bin
-                    # (n-1 ≥ 33) non-empty
-                    if n < AFP_BINS + 1:
+                    # need every E bin (n ≥ bins) AND every D bin
+                    # (n-1 ≥ bins) non-empty
+                    if n < bins + 1:
                         raise NotImplementedError(
-                            f"audio too short for {AFP_BINS} bins ({n} frames)"
+                            f"audio too short for {bins} bins ({n} frames)"
                         )
                     if n > AFP_MAX_SAMPLES:
                         raise NotImplementedError(
@@ -606,7 +650,7 @@ def audio_fingerprint_bits(
                     mono = frames.astype(np.int64).sum(axis=1)
                     nfs.append(n)
                     rates.append(rate)
-                    bits.append(_afp_of(mono))
+                    bits.append(_afp_of(mono, bins))
                     errs.append(None)
                 except (NotImplementedError, ValueError, IndexError) as exc:
                     nfs.append(None)
@@ -632,6 +676,7 @@ def audio_near_dup_pairs(
     max_hamming: int = 12,
     bands: int = 16,
     id_col: str = "doc_id",
+    n_bits: int = DEFAULT_SIG_BITS,
 ) -> DataFrame:
     """(id_a < id_b, hamming) audio near-duplicate pairs: acoustic
     fingerprints (:func:`audio_fingerprint_bits`) through the SAME
@@ -642,11 +687,11 @@ def audio_near_dup_pairs(
     (enforced there). Dead-letter rows are excluded from banding."""
     from beeper_matric_etl_tool_spark.ext.dedup import simhash_candidate_pairs
 
-    sigs = audio_fingerprint_bits(with_payload, id_col=id_col)
+    sigs = audio_fingerprint_bits(with_payload, id_col=id_col, n_bits=n_bits)
     ok = sigs.filter(F.col("error").isNull()).select(F.col("doc_id"), "bits")
     return simhash_candidate_pairs(
         ok, max_hamming=max_hamming, id_col="doc_id",
-        bands=bands, n_bits=AFP_BITS,
+        bands=bands, n_bits=n_bits,
     )
 
 
@@ -884,36 +929,43 @@ VHASH_SCHEMA = T.StructType(
 )
 
 
-def _vhash_of(frames: "np.ndarray") -> list[int]:
-    """64 spatio-temporal signature bits over a (n, h, w, 3) BGR frame
-    array: sample VHASH_FRAMES frames at temporal centers, reduce each to
-    a 2x5 integer-luma grid (`_grid_luma` — the image dHash sampler), and
-    take the 8 horizontal strictly-brighter comparisons per frame.
-    Integer-exact end to end (the dHash/afp discipline); invariant to
-    uniform brightness scaling per frame in SIGN structure; a temporally
-    local edit flips only the touched frames' bit groups."""
+def _vhash_of(frames: "np.ndarray", side: int = VHASH_FRAMES) -> list[int]:
+    """side² spatio-temporal signature bits over a (n, h, w, 3) BGR frame
+    array: sample `side` frames at temporal centers, reduce each to a
+    2×(side/2+1) integer-luma grid (`_grid_luma` — the image dHash
+    sampler), and take the `side` horizontal strictly-brighter
+    comparisons per frame (2 rows × side/2). Integer-exact end to end
+    (the dHash/afp discipline); invariant to uniform brightness scaling
+    per frame in SIGN structure; a temporally local edit flips only the
+    touched frames' bit groups."""
     n = frames.shape[0]
-    fidx = (2 * np.arange(VHASH_FRAMES) + 1) * n // (2 * VHASH_FRAMES)
+    fidx = (2 * np.arange(side) + 1) * n // (2 * side)
     bits: list[int] = []
     for fi in fidx.tolist():
-        g = _grid_luma(frames[fi], VHASH_GRID_H, VHASH_GRID_W)
+        g = _grid_luma(frames[fi], 2, side // 2 + 1)
         bits.extend((g[:, 1:] > g[:, :-1]).astype(np.int32).ravel().tolist())
     return bits
 
 
-def video_hash_bits(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, n_video_frames, width, height, bits array<int>[64], error)
-    — spatio-temporal video hash signatures over AVI payloads,
+def video_hash_bits(
+    with_payload: DataFrame,
+    id_col: str = "doc_id",
+    n_bits: int = DEFAULT_SIG_BITS,
+) -> DataFrame:
+    """(doc_id, n_video_frames, width, height, bits array<int>[n_bits],
+    error) — spatio-temporal video hash signatures over AVI payloads,
     Arrow-batched ``mapInPandas`` like the other decode stages. Non-AVI /
     corrupt / too-short payloads yield a NULL signature with ``error``
     set (dead-letter).
 
     Scale shape (the phash/afp triplet completed): the only stage that
-    touches frame pixels; everything downstream carries (id, 64 small
-    ints) — ~300 shuffle bytes per video regardless of duration or
-    resolution. Videos need at least VHASH_FRAMES frames so every
-    temporal sample lands on a distinct frame (duplicate samples would
-    make short clips hash like freeze-frames of themselves)."""
+    touches frame pixels; everything downstream carries (id, n_bits
+    small ints) — a small fixed shuffle row per video regardless of
+    duration or resolution. Videos need at least sqrt(n_bits) frames so
+    every temporal sample lands on a distinct frame (duplicate samples
+    would make short clips hash like freeze-frames of themselves);
+    ``n_bits`` default per :data:`DEFAULT_SIG_BITS`."""
+    side = _side_of(n_bits)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -927,15 +979,15 @@ def video_hash_bits(with_payload: DataFrame, id_col: str = "doc_id") -> DataFram
                         raise NotImplementedError("not an AVI payload")
                     frames, _usec = _avi_frames(p)
                     n = frames.shape[0]
-                    if n < VHASH_FRAMES:
+                    if n < side:
                         raise NotImplementedError(
-                            f"video too short for {VHASH_FRAMES} temporal samples"
+                            f"video too short for {side} temporal samples"
                             f" ({n} frames)"
                         )
                     nfs.append(n)
                     ws.append(frames.shape[2])
                     hs.append(frames.shape[1])
-                    bits.append(_vhash_of(frames))
+                    bits.append(_vhash_of(frames, side))
                     errs.append(None)
                 except (NotImplementedError, ValueError, IndexError) as exc:
                     nfs.append(None)
@@ -963,6 +1015,7 @@ def video_near_dup_pairs(
     max_hamming: int = 12,
     bands: int = 16,
     id_col: str = "doc_id",
+    n_bits: int = DEFAULT_SIG_BITS,
 ) -> DataFrame:
     """(id_a < id_b, hamming) video near-duplicate pairs: spatio-temporal
     signatures (:func:`video_hash_bits`) through the SAME pigeonhole
@@ -973,11 +1026,11 @@ def video_near_dup_pairs(
     (enforced there). Dead-letter rows are excluded from banding."""
     from beeper_matric_etl_tool_spark.ext.dedup import simhash_candidate_pairs
 
-    sigs = video_hash_bits(with_payload, id_col=id_col)
+    sigs = video_hash_bits(with_payload, id_col=id_col, n_bits=n_bits)
     ok = sigs.filter(F.col("error").isNull()).select(F.col("doc_id"), "bits")
     return simhash_candidate_pairs(
         ok, max_hamming=max_hamming, id_col="doc_id",
-        bands=bands, n_bits=VHASH_BITS,
+        bands=bands, n_bits=n_bits,
     )
 
 
@@ -1019,12 +1072,13 @@ def curate_media(
     id_col: str = "doc_id",
     min_width: int = 1,
     min_height: int = 1,
-    min_audio_frames: int = AFP_BINS + 1,
-    min_video_frames: int = VHASH_FRAMES,
+    min_audio_frames: int | None = None,
+    min_video_frames: int | None = None,
     image_max_hamming: int = 12,
     audio_max_hamming: int = 12,
     video_max_hamming: int = 12,
     bands: int = 16,
+    sig_bits: int = DEFAULT_SIG_BITS,
 ) -> DataFrame:
     """The media lake's curation funnel — the multimodal twin of the text
     ``curate()`` pipeline: (doc_id, modality, width, height, n_frames,
@@ -1054,14 +1108,23 @@ def curate_media(
 
     Scale shape: dispatch is whole-stage column algebra over the corpus;
     each payload is decoded EXACTLY ONCE (by its modality's signature
-    stage); everything after the decode shuffles (id, 64 small ints) or
-    the pair graph — media bytes never shuffle. The final relation is
-    assembled by id-keyed joins of signature-sized frames back onto the
-    dispatch skeleton."""
-    if min_video_frames < VHASH_FRAMES:
+    stage); everything after the decode shuffles (id, sig_bits small
+    ints) or the pair graph — media bytes never shuffle. The final
+    relation is assembled by id-keyed joins of signature-sized frames
+    back onto the dispatch skeleton. ``sig_bits`` (default
+    :data:`DEFAULT_SIG_BITS`) sets every signature's width — see that
+    constant for why 256 is the corpus-scale default; the audio/video
+    duration floors default to the chosen width's hash floors."""
+    side = _side_of(sig_bits)
+    bins = sig_bits // 2 + 1
+    if min_audio_frames is None:
+        min_audio_frames = bins + 1
+    if min_video_frames is None:
+        min_video_frames = side
+    if min_video_frames < side:
         raise ValueError(
             f"curate_media: min_video_frames={min_video_frames} is below the "
-            f"video hash's floor of {VHASH_FRAMES} distinct temporal samples"
+            f"video hash's floor of {side} distinct temporal samples"
         )
     from beeper_matric_etl_tool_spark.ext.dedup import (
         dedup_clusters,
@@ -1093,7 +1156,7 @@ def curate_media(
             gated.select("doc_id", "bits"),
             max_hamming=max_hamming,
             bands=bands,
-            n_bits=VHASH_BITS,
+            n_bits=sig_bits,
             cache=False,
         )
         clusters = dedup_clusters(gated.select("doc_id"), pairs)
@@ -1116,7 +1179,7 @@ def curate_media(
 
     img = leg(
         "image",
-        image_perceptual_bits,
+        lambda df: image_perceptual_bits(df, n_bits=sig_bits),
         image_max_hamming,
         lambda s: F.col("width"),
         lambda s: F.col("height"),
@@ -1125,7 +1188,7 @@ def curate_media(
     )
     aud = leg(
         "audio",
-        audio_fingerprint_bits,
+        lambda df: audio_fingerprint_bits(df, n_bits=sig_bits),
         audio_max_hamming,
         lambda s: F.lit(None).cast("int"),
         lambda s: F.lit(None).cast("int"),
@@ -1134,7 +1197,7 @@ def curate_media(
     )
     vid = leg(
         "video",
-        video_hash_bits,
+        lambda df: video_hash_bits(df, n_bits=sig_bits),
         video_max_hamming,
         lambda s: F.col("width"),
         lambda s: F.col("height"),

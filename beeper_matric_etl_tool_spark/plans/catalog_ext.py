@@ -3013,7 +3013,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = docs.select("doc_id").filter(F.col("doc_id") < PHASH_DOCS)
     imgs = planted.mapInPandas(gen_images, "doc_id long, payload binary")
     pairs = xmm.image_near_dup_pairs(
-        imgs, max_hamming=PHASH_MAX_HAMMING, bands=PHASH_BANDS
+        imgs, max_hamming=PHASH_MAX_HAMMING, bands=PHASH_BANDS, n_bits=64
     ).select(
         F.lit("phash_pair").alias("kind"),
         F.col("id_a").cast("long"),
@@ -3042,7 +3042,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted_a = docs.select("doc_id").filter(F.col("doc_id") < AFP_DOCS)
     wavs = planted_a.mapInPandas(gen_wavs, "doc_id long, payload binary")
     apairs = xmm.audio_near_dup_pairs(
-        wavs, max_hamming=AFP_MAX_HAMMING, bands=AFP_BANDS
+        wavs, max_hamming=AFP_MAX_HAMMING, bands=AFP_BANDS, n_bits=64
     ).select(
         F.lit("afp_pair").alias("kind"),
         F.col("id_a").cast("long"),
@@ -3073,7 +3073,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted_v = docs.select("doc_id").filter(F.col("doc_id") < VHASH_DOCS)
     avis = planted_v.mapInPandas(gen_avis, "doc_id long, payload binary")
     vpairs = xmm.video_near_dup_pairs(
-        avis, max_hamming=VHASH_MAX_HAMMING, bands=VHASH_BANDS
+        avis, max_hamming=VHASH_MAX_HAMMING, bands=VHASH_BANDS, n_bits=64
     ).select(
         F.lit("vhash_pair").alias("kind"),
         F.col("id_a").cast("long"),
@@ -3137,8 +3137,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     planted_mc = docs.select("doc_id").filter(F.col("doc_id") < MC_DOCS)
     mixed = planted_mc.mapInPandas(gen_mixed, "doc_id long, payload binary")
+    # the oracle replays the 64-bit closed forms, so the funnel runs the
+    # compact width explicitly (production default is DEFAULT_SIG_BITS)
     curation = xmm.curate_media(
-        mixed, min_width=MC_MIN_W, min_height=MC_MIN_H
+        mixed, min_width=MC_MIN_W, min_height=MC_MIN_H, sig_bits=64
     ).select(
         F.lit("curation").alias("kind"),
         F.col("doc_id").cast("long").alias("id_a"),

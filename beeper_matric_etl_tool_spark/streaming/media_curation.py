@@ -85,6 +85,10 @@ def media_curation_batch_writer(
             audio_max_hamming=max_hamming,
             video_max_hamming=max_hamming,
             bands=bands,
+            # the index's frozen signature width drives the funnel too —
+            # a mismatch would band the within-batch pass differently
+            # than the cross-batch probe
+            sig_bits=meta["n_bits"],
             **curate_kwargs,
         )
         keeps = decisions.filter(F.col("decision") == "keep").select(

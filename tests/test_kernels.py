@@ -359,7 +359,9 @@ def test_image_dhash_near_dup_pairs(spark):
 
     pairs = {
         (r.id_a, r.id_b): r.hamming
-        for r in xmm.image_near_dup_pairs(df, max_hamming=12, bands=16).collect()
+        for r in xmm.image_near_dup_pairs(
+            df, max_hamming=12, bands=16, n_bits=64
+        ).collect()
     }
     assert pairs[(1, 4)] == 0  # identical copy
     assert pairs[(1, 2)] == h_near == pairs[(2, 4)]
@@ -369,7 +371,7 @@ def test_image_dhash_near_dup_pairs(spark):
 
     # signatures surface: identical images -> identical bits; the
     # dead-letter row carries error + NULL bits (never enters banding)
-    sigs = {r.doc_id: r for r in xmm.image_perceptual_bits(df).collect()}
+    sigs = {r.doc_id: r for r in xmm.image_perceptual_bits(df, n_bits=64).collect()}
     assert sigs[1].bits == sigs[4].bits and len(sigs[1].bits) == 64
     assert sigs[1].width == 36 and sigs[1].height == 32
     assert sigs[5].bits is None and "phash_error" in sigs[5].error
@@ -378,7 +380,7 @@ def test_image_dhash_near_dup_pairs(spark):
     # aHash method: same machinery, global-threshold signature
     asigs = {
         r.doc_id: r.bits
-        for r in xmm.image_perceptual_bits(df, method="ahash").collect()
+        for r in xmm.image_perceptual_bits(df, method="ahash", n_bits=64).collect()
     }
     assert asigs[1] == asigs[4] and asigs[1] != asigs[3]
 
@@ -412,7 +414,7 @@ def test_simhash_banding_single_signature_pass(spark):
         F.col("error").isNull()
     ).select("doc_id", "bits")
     uncached = xdedup.simhash_candidate_pairs(
-        sigs, max_hamming=12, bands=16, n_bits=64, cache=False
+        sigs, max_hamming=12, bands=16, n_bits=xmm.DEFAULT_SIG_BITS, cache=False
     )
     assert plan_of(uncached).count("MapInPandas") == 2
     # and the pair sets are identical either way
@@ -1465,7 +1467,9 @@ def test_audio_fingerprint_near_dup_pairs(spark):
 
     pairs = {
         (r.id_a, r.id_b): r.hamming
-        for r in xmm.audio_near_dup_pairs(df, max_hamming=12, bands=16).collect()
+        for r in xmm.audio_near_dup_pairs(
+            df, max_hamming=12, bands=16, n_bits=64
+        ).collect()
     }
     assert pairs[(1, 4)] == 0  # identical copy
     assert pairs[(1, 2)] == h_near == pairs[(2, 4)]
@@ -1475,7 +1479,7 @@ def test_audio_fingerprint_near_dup_pairs(spark):
 
     # signatures surface: identical clips -> identical bits; dead-letter
     # rows carry error + NULL bits (never enter banding)
-    sigs = {r.doc_id: r for r in xmm.audio_fingerprint_bits(df).collect()}
+    sigs = {r.doc_id: r for r in xmm.audio_fingerprint_bits(df, n_bits=64).collect()}
     assert sigs[1].bits == sigs[4].bits and len(sigs[1].bits) == 64
     assert sigs[1].n_frames == 3300 and sigs[1].sample_rate == 8000
     assert sigs[5].bits is None and "afp_error" in sigs[5].error
@@ -1489,7 +1493,8 @@ def test_audio_fingerprint_near_dup_pairs(spark):
     frames, _, ch = xmm._wav_samples(st)
     assert ch == 2
     got = xmm.audio_fingerprint_bits(
-        spark.createDataFrame([(9, bytearray(st))], "doc_id long, payload binary")
+        spark.createDataFrame([(9, bytearray(st))], "doc_id long, payload binary"),
+        n_bits=64,
     ).collect()[0]
     assert got.bits == list(
         np.array(xmm._afp_of(frames.astype(np.int64).sum(axis=1)))
@@ -1537,7 +1542,9 @@ def test_video_hash_near_dup_pairs(spark):
 
     pairs = {
         (r.id_a, r.id_b): r.hamming
-        for r in xmm.video_near_dup_pairs(df, max_hamming=12, bands=16).collect()
+        for r in xmm.video_near_dup_pairs(
+            df, max_hamming=12, bands=16, n_bits=64
+        ).collect()
     }
     assert pairs[(1, 4)] == 0  # identical copy
     assert pairs[(1, 2)] == h_near == pairs[(2, 4)]
@@ -1547,7 +1554,7 @@ def test_video_hash_near_dup_pairs(spark):
 
     # signatures surface: identical videos -> identical bits; dead-letter
     # rows carry error + NULL bits (never enter banding)
-    sigs = {r.doc_id: r for r in xmm.video_hash_bits(df).collect()}
+    sigs = {r.doc_id: r for r in xmm.video_hash_bits(df, n_bits=64).collect()}
     assert sigs[1].bits == sigs[4].bits and len(sigs[1].bits) == 64
     assert sigs[1].n_video_frames == 24
     assert sigs[1].width == 40 and sigs[1].height == 16
@@ -1607,7 +1614,7 @@ def test_video_frame_sampling_composes_with_image_plane(spark):
         [(int(r.frame_idx), bytearray(r.payload)) for r in got1],
         "doc_id long, payload binary",
     )
-    psigs = xmm.image_perceptual_bits(frames_df).collect()
+    psigs = xmm.image_perceptual_bits(frames_df, n_bits=64).collect()
     assert all(s.error is None and len(s.bits) == 64 for s in psigs)
 
     # doc 2: 3 frames < 8 samples -> every frame exactly once
@@ -1645,7 +1652,7 @@ def test_curate_media_funnel(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r.doc_id: r for r in xmm.curate_media(
-        df, min_width=16, min_height=8
+        df, min_width=16, min_height=8, sig_bits=64
     ).collect()}
 
     assert len(out) == len(rows)  # audit discipline: nothing vanishes
@@ -1668,7 +1675,7 @@ def test_curate_media_funnel(spark):
 
     # audio floor above the hash floor -> below_floor, not undecodable
     out2 = {r.doc_id: r for r in xmm.curate_media(
-        df, min_width=16, min_height=8, min_audio_frames=5000
+        df, min_width=16, min_height=8, min_audio_frames=5000, sig_bits=64
     ).collect()}
     assert out2[5].decision == "drop:below_floor"
 

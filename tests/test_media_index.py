@@ -78,7 +78,7 @@ def test_probe_decodes_only_the_batch(spark, tmp_path, ref_on_disk):
 
 def test_append_staged_replay_and_exclusion(spark, tmp_path, ref_on_disk):
     idx = str(tmp_path / "midx")
-    build_media_index(ref_on_disk, idx)
+    build_media_index(ref_on_disk, idx, sig_bits=64)
 
     accepted = _media_frame(spark, [(50, xmm.make_gradient_bmp(36, 32, seed=4))])
     append_media_index(accepted, idx, batch_id=7)
@@ -87,11 +87,13 @@ def test_append_staged_replay_and_exclusion(spark, tmp_path, ref_on_disk):
     batch2 = _media_frame(
         spark, [(201, xmm.make_gradient_bmp(36, 32, seed=4, invert_col=18))]
     )
-    _, dropped = media_dedup_against_index(batch2, spark, idx)
+    _, dropped = media_dedup_against_index(batch2, spark, idx, max_hamming=15)
     d = dropped.collect()
-    assert len(d) == 1 and d[0].ref_id == 50 and 0 < d[0].hamming <= 12
+    assert len(d) == 1 and d[0].ref_id == 50 and 0 < d[0].hamming <= 15
     # ...and excluding batch 7 (the replay discipline) hides it
-    s_ex, d_ex = media_dedup_against_index(batch2, spark, idx, exclude_batch=7)
+    s_ex, d_ex = media_dedup_against_index(
+        batch2, spark, idx, max_hamming=15, exclude_batch=7
+    )
     assert d_ex.count() == 0 and s_ex.count() == 1
 
     # replaying the staged append REPLACES batch 7 instead of duplicating
@@ -167,7 +169,8 @@ def test_continuous_media_curation_stream(spark, tmp_path):
         str(src)
     )
     q = start_media_curation_stream(
-        stream, idx, out, str(tmp_path / "ckpt"), audit_dir=audit
+        stream, idx, out, str(tmp_path / "ckpt"), audit_dir=audit,
+        max_hamming=15,
     )
     try:
         # batch 0: A fresh; a copy of the SEED (index drop); garbage
@@ -199,7 +202,7 @@ def test_continuous_media_curation_stream(spark, tmp_path):
     # REPLAY batch 1: same rows, same batch id — the probe excludes the
     # batch's own partition, decisions re-derive identically, and every
     # staged partition is replaced, not duplicated
-    writer = media_curation_batch_writer(idx, out, audit)
+    writer = media_curation_batch_writer(idx, out, audit, max_hamming=15)
     writer(_media_frame(spark, batches["b1.parquet"]), 1)
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 6}
     import os
@@ -259,7 +262,7 @@ def test_compact_media_index_preserves_decisions(spark, tmp_path, ref_on_disk):
     )
 
     idx = str(tmp_path / "midx")
-    build_media_index(ref_on_disk, idx)
+    build_media_index(ref_on_disk, idx, sig_bits=64)
     append_media_index(
         _media_frame(spark, [(50, xmm.make_gradient_bmp(36, 32, seed=4))]),
         idx, batch_id=3,
@@ -278,12 +281,14 @@ def test_compact_media_index_preserves_decisions(spark, tmp_path, ref_on_disk):
         ],
     )
     before = sorted(
-        tuple(r) for r in media_dedup_against_index(batch, spark, idx)[1].collect()
+        tuple(r)
+        for r in media_dedup_against_index(batch, spark, idx, max_hamming=15)[1].collect()
     )
     counts = compact_media_index(spark, idx)
     assert counts == {"signatures": 5}
     after = sorted(
-        tuple(r) for r in media_dedup_against_index(batch, spark, idx)[1].collect()
+        tuple(r)
+        for r in media_dedup_against_index(batch, spark, idx, max_hamming=15)[1].collect()
     )
     assert after == before and len(before) == 2
 
@@ -294,7 +299,9 @@ def test_compact_media_index_preserves_decisions(spark, tmp_path, ref_on_disk):
     }
     assert parts == {"ingest_batch=-1", "ingest_batch=7"}
     # ...so a REPLAY of batch 7 can still exclude its own rows
-    _, d_ex = media_dedup_against_index(batch, spark, idx, exclude_batch=7)
+    _, d_ex = media_dedup_against_index(
+        batch, spark, idx, max_hamming=15, exclude_batch=7
+    )
     assert {r.doc_id for r in d_ex.collect()} == {201}
 
     # preserve_last=False folds everything (clean-stop mode)
@@ -322,7 +329,7 @@ def test_video_frames_probe_against_image_index(spark, tmp_path):
     # the indexed still, and a 12-frame video whose every frame IS it
     still = xmm.make_gradient_bmp(40, 16, seed=5)
     idx = str(tmp_path / "midx")
-    build_media_index(_media_frame(spark, [(1, still)]), idx)
+    build_media_index(_media_frame(spark, [(1, still)]), idx)  # 256 default
 
     frame_px = xmm._bmp_pixels(still)[:, :, :3]
     video_of_still = xmm._encode_avi(
@@ -358,6 +365,9 @@ def test_media_search_ranked_variants(spark, tmp_path):
 
     base = xmm.make_gradient_bmp(36, 32, seed=2)
     idx = str(tmp_path / "midx")
+    # 64-bit width: the planted full-column edits sit at 6-12 there; at
+    # 256 bits the same edit flips 13-23 bits (proportionally larger
+    # footprint on the finer grid) and can exceed the 16-band radius
     build_media_index(
         _media_frame(
             spark,
@@ -370,10 +380,11 @@ def test_media_search_ranked_variants(spark, tmp_path):
             ],
         ),
         idx,
+        sig_bits=64,
     )
     probe = _media_frame(spark, [(100, base)])
 
-    hits = media_search(probe, spark, idx, max_hamming=12, k=10).collect()
+    hits = media_search(probe, spark, idx, max_hamming=15, k=10).collect()
     ranked = [(r.ref_id, r.hamming, r.rank) for r in
               sorted(hits, key=lambda r: r.rank)]
     assert ranked[0] == (1, 0, 1)  # the copy, closest
@@ -383,5 +394,5 @@ def test_media_search_ranked_variants(spark, tmp_path):
     assert hams == sorted(hams)  # ranked by distance
 
     # k caps the per-probe result
-    top1 = media_search(probe, spark, idx, max_hamming=12, k=1).collect()
+    top1 = media_search(probe, spark, idx, max_hamming=15, k=1).collect()
     assert len(top1) == 1 and top1[0].ref_id == 1

@@ -865,7 +865,7 @@ def probe_media_curation(docs):
     never see on distinct media). family = doc_id // 4 is a 4-member
     near-dup clique (two exact copies each of an original and a
     re-leveled edit — a 200-sample window touching ~2 of the 33 bins, so
-    orig-edit hamming stays well inside the tightened threshold of 4
+    orig-edit hamming stays well inside the tightened threshold
     while measured cross-family distances concentrate ≥ 7). A small
     fraction of genuinely-close slope families may still merge — that is
     the operator's real semantics on real media, reported as observed.
@@ -888,7 +888,7 @@ def probe_media_curation(docs):
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     media = docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
-    out = xmm.curate_media(media, audio_max_hamming=4)
+    out = xmm.curate_media(media, audio_max_hamming=8)
     return out.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum((F.col("decision") == "keep").cast("long")).alias("n_keep"),
@@ -927,7 +927,7 @@ def probe_video_hash(docs, n_frames: int):
         .filter(F.col("doc_id") < 768)
         .mapInPandas(gen, "doc_id long, payload binary")
     )
-    pairs = xmm.video_near_dup_pairs(media, max_hamming=12, bands=16)
+    pairs = xmm.video_near_dup_pairs(media, max_hamming=15, bands=16)
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("hamming").alias("ham_sum"),
@@ -980,9 +980,9 @@ def probe_media_index(spark, docs):
             docs.select("doc_id").filter(F.col("doc_id") < 240)
             .mapInPandas(gen(True), "doc_id long, payload binary")
         )
-        media_dedup_against_index(batch, spark, idx, max_hamming=4)[1].count()  # warm
+        media_dedup_against_index(batch, spark, idx, max_hamming=8)[1].count()  # warm
         t0 = time.perf_counter()
-        _, dropped = media_dedup_against_index(batch, spark, idx, max_hamming=4)
+        _, dropped = media_dedup_against_index(batch, spark, idx, max_hamming=8)
         n_dropped = dropped.count()
         probe_sec = round(time.perf_counter() - t0, 4)
         return {
