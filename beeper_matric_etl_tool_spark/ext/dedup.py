@@ -379,6 +379,76 @@ def simhash_bits(
     return summed.select(F.col(id_col), bits.alias("bits"))
 
 
+#: banding buckets above this row count take the sub-band path (see
+#: `_with_sub_bands`). Per bucket of size g the direct join emits ~g²/2
+#: candidates, so the cap bounds the worst direct bucket at ~32k pairs.
+SIMHASH_SKEW_CAP = 256
+
+
+def _hamming_expr(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _banded_rows(
+    sigs: DataFrame, id_col: str, bands: int, width: int, keys: list[str]
+) -> DataFrame:
+    """(id_col, bits, *keys, band_id, band_value) — one row per band."""
+    return sigs.select(
+        F.col(id_col),
+        F.col("bits"),
+        *keys,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws("", F.slice(F.col("bits"), b * width + 1, width)),
+            )
+        ).alias("band_id", "band_value"),
+    )
+
+
+def _with_sub_bands(
+    big: DataFrame, n_bits: int, width: int, sub_bands: int
+) -> DataFrame:
+    """Adds (sub_id, sub_value) by re-banding each row's REMAINING bits
+    (everything outside its own band's slice) into ``sub_bands`` slices —
+    the skew guard's second level. Pigeonhole again: a pair within
+    ``max_hamming`` that agrees exactly on band b has ≤ max_hamming
+    mismatches in the remaining bits, so over ``max_hamming + 1``
+    covering sub-slices ≥ 1 agrees exactly — requiring (band AND
+    sub-band) agreement for members of oversized buckets preserves total
+    recall while breaking the bucket's n² candidate join into 2^sub_width
+    sub-buckets keyed by HIGH-entropy bits (the bucket's members agree on
+    the low-entropy slice by definition — their distinguishing bits are
+    all in the remainder)."""
+    rest = F.concat(
+        F.slice(F.col("bits"), F.lit(1), F.col("band_id") * width),
+        F.slice(
+            F.col("bits"), F.col("band_id") * width + width + 1, F.lit(n_bits)
+        ),
+    )
+    rest_len = n_bits - width
+    sub_width = rest_len // sub_bands
+    lengths = [sub_width] * (sub_bands - 1) + [rest_len - sub_width * (sub_bands - 1)]
+    subs, pos = [], 1
+    for si, ln in enumerate(lengths):
+        subs.append(
+            F.struct(
+                F.lit(si).alias("sub_id"),
+                F.concat_ws("", F.slice(F.col("__rest"), pos, ln)).alias("sub_value"),
+            )
+        )
+        pos += ln
+    return (
+        big.withColumn("__rest", rest)
+        .withColumn("__s", F.explode(F.array(*subs)))
+        .select(*[c for c in big.columns], F.col("__s.sub_id"), F.col("__s.sub_value"))
+    )
+
+
 def simhash_candidate_pairs(
     sigs: DataFrame,
     max_hamming: int,
@@ -386,6 +456,7 @@ def simhash_candidate_pairs(
     bands: int = SIMHASH_BANDS,
     n_bits: int = SIMHASH_BITS,
     cache: bool = True,
+    skew_cap: int = SIMHASH_SKEW_CAP,
 ) -> DataFrame:
     """(id_a < id_b, hamming) pairs with hamming distance ≤ max_hamming.
 
@@ -399,6 +470,19 @@ def simhash_candidate_pairs(
     "no near-duplicates" exactly when it matters. The signature width is
     taken from ``n_bits`` (pass :data:`SIMHASH_BITS_PORTABLE` when the
     signatures came from the portable hash).
+
+    SKEW GUARD: equi-join linearity assumes band values spread. Real
+    signature families have low-entropy regions — measured: the
+    acoustic fingerprint's flux-plane bands grouped 35 % of a synthetic
+    corpus under ONE 16-bit value, which turns that band's join into
+    ~(0.35·n)² candidates. Buckets above ``skew_cap`` rows therefore
+    re-band each member's REMAINING bits into max_hamming+1 sub-slices
+    and join on (band, sub-band) — recall-preserving by the same
+    pigeonhole argument (`_with_sub_bands`), and the sub-key is built
+    from exactly the bits the bucket's members DON'T share. Cost when no
+    bucket is oversized: one map-side-combined count over the banded
+    rows. Sub-banding needs n_bits - width ≥ max_hamming + 1 remaining
+    bits; narrower signatures fall back to the direct join.
 
     ``cache=True`` (default) localCheckpoints the pruned (id, bits)
     relation ONCE before banding: the self-join consumes the signatures
@@ -418,37 +502,43 @@ def simhash_candidate_pairs(
     if n_bits % bands != 0:
         raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
     width = n_bits // bands
+    sub_bands = max_hamming + 1
     sigs = sigs.select(F.col(id_col), "bits")
     if cache:
         sigs = sigs.localCheckpoint(eager=True)
-    banded = sigs.select(
-        F.col(id_col),
-        F.col("bits"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.concat_ws("", F.slice(F.col("bits"), b * width + 1, width)),
-            )
-        ).alias("band_id", "band_value"),
+    banded = _banded_rows(sigs, id_col, bands, width, [])
+    hamming = _hamming_expr("__ba", "__bb")
+
+    def pair_up(rows: DataFrame, join_keys: list[str]) -> DataFrame:
+        a = rows.select(
+            F.col(id_col).alias("id_a"), F.col("bits").alias("__ba"), *join_keys
+        )
+        b = rows.select(
+            F.col(id_col).alias("id_b"), F.col("bits").alias("__bb"), *join_keys
+        )
+        return (
+            a.join(b, on=join_keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            # verify BEFORE the dedup so the distinct shuffles
+            # (id, id, int) instead of two full bit arrays per candidate
+            .select("id_a", "id_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+        )
+
+    if n_bits - width < sub_bands:
+        return pair_up(banded, ["band_id", "band_value"]).distinct()
+    sizes = banded.groupBy("band_id", "band_value").agg(
+        F.count(F.lit(1)).alias("__bn")
     )
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("bits").alias("__ba"), "band_id", "band_value")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("bits").alias("__bb"), "band_id", "band_value")
-    cands = (
-        a.join(b, on=["band_id", "band_value"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__ba", "__bb")
-        .distinct()
+    banded = banded.join(sizes, on=["band_id", "band_value"])
+    small = pair_up(
+        banded.filter(F.col("__bn") <= skew_cap), ["band_id", "band_value"]
     )
-    hamming = F.aggregate(
-        F.zip_with(F.col("__ba"), F.col("__bb"), lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    big = pair_up(
+        _with_sub_bands(banded.filter(F.col("__bn") > skew_cap), n_bits, width, sub_bands),
+        ["band_id", "band_value", "sub_id", "sub_value"],
     )
-    return (
-        cands.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return small.unionByName(big).distinct()
 
 
 def simhash_cross_candidates(
@@ -460,6 +550,7 @@ def simhash_cross_candidates(
     n_bits: int = SIMHASH_BITS,
     key_cols: tuple[str, ...] = (),
     cache: bool = True,
+    skew_cap: int = SIMHASH_SKEW_CAP,
 ) -> DataFrame:
     """(doc_id, ref_id, hamming ≤ max_hamming) CROSS-CORPUS near-dup
     pairs: the incremental twin of :func:`simhash_candidate_pairs` — new
@@ -469,7 +560,13 @@ def simhash_cross_candidates(
     linear in batch + reference, never all-pairs — and the exact hamming
     is verified on candidates only. The pigeonhole recall guarantee
     (``max_hamming ≤ bands-1``, bands cover every bit) carries over
-    verbatim and is enforced the same way.
+    verbatim and is enforced the same way, and so does the self-join
+    form's SKEW GUARD: bucket sizes are counted over BOTH sides together
+    (a pair's two rows share their bucket, so the classification is
+    consistent), and members of buckets above ``skew_cap`` join on
+    (band, sub-band of their remaining bits) instead — see
+    `simhash_candidate_pairs` for the measured low-entropy-band hazard
+    this guards against.
 
     ``key_cols`` narrows banding collisions to same-key rows — the media
     index passes ``("modality",)`` so an image signature can never band
@@ -488,46 +585,58 @@ def simhash_cross_candidates(
     if n_bits % bands != 0:
         raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
     width = n_bits // bands
+    sub_bands = max_hamming + 1
     keys = list(key_cols)
     new_sigs = new_sigs.select(F.col(id_col), "bits", *keys)
     if cache:
         new_sigs = new_sigs.localCheckpoint(eager=True)
 
-    def banded(df: DataFrame, id_alias: str, bits_alias: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(id_alias),
-            F.col("bits").alias(bits_alias),
-            *keys,
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.concat_ws(
-                        "", F.slice(F.col("bits"), b * width + 1, width)
-                    ),
-                )
-            ).alias("band_id", "band_value"),
+    a_rows = _banded_rows(new_sigs, id_col, bands, width, keys).withColumn(
+        "__side", F.lit("n")
+    )
+    b_rows = _banded_rows(
+        ref_sigs.select(F.col(id_col), "bits", *keys), id_col, bands, width, keys
+    ).withColumn("__side", F.lit("r"))
+    both = a_rows.unionByName(b_rows)
+    hamming = _hamming_expr("__nb", "__rb")
+
+    def pair_up(rows: DataFrame, join_keys: list[str]) -> DataFrame:
+        a = rows.filter(F.col("__side") == "n").select(
+            F.col(id_col).alias("__nid"), F.col("bits").alias("__nb"), *join_keys
+        )
+        b = rows.filter(F.col("__side") == "r").select(
+            F.col(id_col).alias("__rid"), F.col("bits").alias("__rb"), *join_keys
+        )
+        return (
+            a.join(b, on=join_keys)
+            # verify BEFORE the dedup: the distinct shuffles ids + an int
+            # instead of two full bit arrays per candidate
+            .select("__nid", "__rid", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
         )
 
-    a = banded(new_sigs, "__nid", "__nb")
-    b = banded(ref_sigs.select(F.col(id_col), "bits", *keys), "__rid", "__rb")
-    cands = (
-        a.join(b, on=["band_id", "band_value", *keys])
-        .select("__nid", "__rid", "__nb", "__rb")
-        .distinct()
-    )
-    hamming = F.aggregate(
-        F.zip_with(F.col("__nb"), F.col("__rb"), lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        cands.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select(
-            F.col("__nid").alias(id_col),
-            F.col("__rid").alias("ref_id"),
-            "hamming",
+    if n_bits - width < sub_bands:
+        out = pair_up(both, ["band_id", "band_value", *keys])
+    else:
+        sizes = both.groupBy("band_id", "band_value", *keys).agg(
+            F.count(F.lit(1)).alias("__bn")
         )
+        both = both.join(sizes, on=["band_id", "band_value", *keys])
+        small = pair_up(
+            both.filter(F.col("__bn") <= skew_cap),
+            ["band_id", "band_value", *keys],
+        )
+        big = pair_up(
+            _with_sub_bands(
+                both.filter(F.col("__bn") > skew_cap), n_bits, width, sub_bands
+            ),
+            ["band_id", "band_value", "sub_id", "sub_value", *keys],
+        )
+        out = small.unionByName(big)
+    return out.distinct().select(
+        F.col("__nid").alias(id_col),
+        F.col("__rid").alias("ref_id"),
+        "hamming",
     )
 
 

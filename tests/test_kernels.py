@@ -416,7 +416,10 @@ def test_simhash_banding_single_signature_pass(spark):
     uncached = xdedup.simhash_candidate_pairs(
         sigs, max_hamming=12, bands=16, n_bits=xmm.DEFAULT_SIG_BITS, cache=False
     )
-    assert plan_of(uncached).count("MapInPandas") == 2
+    # the skew guard makes the signature relation a MULTI-consumer (the
+    # bucket-size agg + the small and big legs' two sides each) — without
+    # the checkpoint the decode re-executes once per consumer
+    assert plan_of(uncached).count("MapInPandas") >= 2
     # and the pair sets are identical either way
     assert sorted(map(tuple, cached.collect())) == sorted(
         map(tuple, uncached.collect())
