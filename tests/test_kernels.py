@@ -1711,3 +1711,52 @@ def test_media_hardening_corrupt_header_and_single_decode(spark):
     assert "MapInPandas" not in plan
     decisions = {r.doc_id: r.decision for r in out.collect()}
     assert decisions == {1: "drop:undecodable", 2: "keep"}
+
+
+def test_simhash_banding_skew_guard_equivalence(spark):
+    """The skew guard's sub-banding path returns EXACTLY the direct
+    join's pair set (both forms): a planted corpus with one constant
+    16-bit band (every row lands in a single oversized bucket for band
+    0) plus planted 3-flip near pairs in the tail bits. Forcing the
+    guard on (tiny skew_cap) and off (huge skew_cap) must agree pair for
+    pair, hamming for hamming — the recall-preservation proof, executed."""
+    import numpy as np
+
+    from beeper_matric_etl_tool_spark.ext.dedup import (
+        simhash_candidate_pairs,
+        simhash_cross_candidates,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 300
+    base = rng.randint(0, 2, size=(n, 64))
+    base[:, :16] = 1  # band 0 constant corpus-wide -> one huge bucket
+    for i in range(0, 60, 2):
+        base[i + 1] = base[i].copy()
+        base[i + 1, [20, 40, 60]] ^= 1
+    df = spark.createDataFrame(
+        [(int(i), [int(b) for b in base[i]]) for i in range(n)],
+        "doc_id long, bits array<int>",
+    )
+
+    guarded = sorted(map(tuple, simhash_candidate_pairs(
+        df, max_hamming=5, bands=16, n_bits=64, skew_cap=32
+    ).collect()))
+    direct = sorted(map(tuple, simhash_candidate_pairs(
+        df, max_hamming=5, bands=16, n_bits=64, skew_cap=10**9
+    ).collect()))
+    assert guarded == direct
+    found = {(a, b) for a, b, _ in guarded}
+    assert {(i, i + 1) for i in range(0, 60, 2)} <= found
+
+    ref = spark.createDataFrame(
+        [(int(1000 + i), [int(b) for b in base[i]]) for i in range(0, 60, 2)],
+        "doc_id long, bits array<int>",
+    )
+    xg = sorted(map(tuple, simhash_cross_candidates(
+        df, ref, max_hamming=5, bands=16, n_bits=64, skew_cap=32
+    ).collect()))
+    xd = sorted(map(tuple, simhash_cross_candidates(
+        df, ref, max_hamming=5, bands=16, n_bits=64, skew_cap=10**9
+    ).collect()))
+    assert xg == xd and len(xg) >= 60  # each planted row + its twin match
