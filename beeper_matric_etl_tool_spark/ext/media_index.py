@@ -218,6 +218,45 @@ def append_media_index(
     _write(sigs, os.path.join(path, "signatures"), mode, part)
 
 
+def rank_media_variants(
+    probe_sigs: DataFrame,
+    ref_sigs: DataFrame,
+    max_hamming: int = 12,
+    k: int = 10,
+    bands: int = 16,
+    n_bits: int = DEFAULT_SIG_BITS,
+) -> DataFrame:
+    """The relational core of :func:`media_search`, over signature frames
+    (doc_id, modality, bits) — banded cross candidates, exact hamming,
+    bounded per-probe top-k window with the (hamming, ref_id)
+    deterministic order. Factored out so the ranked-retrieval semantics
+    are testable and oracle-checkable without a filesystem index."""
+    from pyspark.sql import Window
+
+    pairs = simhash_cross_candidates(
+        probe_sigs.select("doc_id", "modality", "bits"),
+        ref_sigs.select("doc_id", "modality", "bits"),
+        max_hamming=max_hamming,
+        bands=bands,
+        n_bits=n_bits,
+        key_cols=("modality",),
+        cache=False,
+    )
+    w = Window.partitionBy("doc_id").orderBy("hamming", "ref_id")
+    return (
+        pairs.join(probe_sigs.select("doc_id", "modality"), on="doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            "ref_id",
+            "modality",
+            "hamming",
+            "rank",
+        )
+    )
+
+
 def media_search(
     probes: DataFrame,
     spark: SparkSession,
@@ -241,8 +280,6 @@ def media_search(
     the index side is the signature scan (no reference media bytes, the
     probe-plan discipline of `media_dedup_against_index`). The top-k cut
     is a bounded per-probe window over candidate rows only."""
-    from pyspark.sql import Window
-
     meta = read_meta(path)
     ref = spark.read.parquet(os.path.join(path, "signatures")).select(
         F.col("doc_id"), "modality", "bits"
@@ -251,27 +288,9 @@ def media_search(
         probes, id_col=id_col, image_method=meta["image_method"],
         n_bits=meta["n_bits"],
     ).localCheckpoint(eager=True)
-    pairs = simhash_cross_candidates(
-        probe_sigs.select("doc_id", "modality", "bits"),
-        ref,
-        max_hamming=max_hamming,
-        bands=bands,
-        n_bits=meta["n_bits"],
-        key_cols=("modality",),
-        cache=False,
-    )
-    w = Window.partitionBy("doc_id").orderBy("hamming", "ref_id")
-    return (
-        pairs.join(probe_sigs.select("doc_id", "modality"), on="doc_id")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("doc_id").alias("probe_id"),
-            "ref_id",
-            "modality",
-            "hamming",
-            "rank",
-        )
+    return rank_media_variants(
+        probe_sigs, ref,
+        max_hamming=max_hamming, k=k, bands=bands, n_bits=meta["n_bits"],
     )
 
 

@@ -2920,10 +2920,28 @@ MC_SHORT_FRAMES = 5
                CAST(NULL AS BIGINT), 'drop:undecodable',
                CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
         FROM documents WHERE doc_id = {MC_MEDIA_DOCS + 5}
+        UNION ALL
+        SELECT 'search' AS kind, id_a, id_b, 'image' AS mime,
+               CAST(NULL AS BIGINT) AS byte_len,
+               CAST(NULL AS VARCHAR) AS payload_sha256,
+               CAST(rnk AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+               CAST(hamming AS BIGINT) AS hamming
+        FROM (
+            SELECT id_a, id_b, hamming,
+                   ROW_NUMBER() OVER (PARTITION BY id_a
+                                      ORDER BY hamming, id_b) AS rnk
+            FROM (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                       SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+                FROM bits x JOIN bits y ON x.pos = y.pos
+                WHERE x.doc_id < {PHASH_SEEDS} AND y.doc_id >= {PHASH_SEEDS}
+                GROUP BY 1, 2
+            ) WHERE hamming <= {PHASH_MAX_HAMMING}
+        ) WHERE rnk <= 3
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plane, five kind legs in one relation.
+    """Multimodal plane, six kind legs in one relation.
 
     kind='manifest' — decode/feature-extract stage over the
     payload+metadata plane: Arrow-batched mapInPandas over binary
@@ -3152,11 +3170,39 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").cast("int"),
         F.lit(None).cast("long").alias("hamming"),
     )
+    # kind='search': ranked variant retrieval semantics
+    # (ext/media_index.py:rank_media_variants — the relational core of
+    # media_search, oracle-checkable without a filesystem index). One
+    # probe per gradient family (docs 0..5, the originals) against the
+    # rest of the planted image corpus: top-3 by (hamming, ref_id) —
+    # deterministically the three exact copies at hamming 0. `width`
+    # carries the rank (the slot's fixed schema), `mime` the modality.
+    from beeper_matric_etl_tool_spark.ext.media_index import rank_media_variants
+
+    sigs_all = xmm.image_perceptual_bits(imgs, n_bits=64).filter(
+        F.col("error").isNull()
+    ).select("doc_id", F.lit("image").alias("modality"), "bits")
+    search = rank_media_variants(
+        sigs_all.filter(F.col("doc_id") < PHASH_SEEDS),
+        sigs_all.filter(F.col("doc_id") >= PHASH_SEEDS),
+        max_hamming=PHASH_MAX_HAMMING, k=3, bands=PHASH_BANDS, n_bits=64,
+    ).select(
+        F.lit("search").alias("kind"),
+        F.col("probe_id").cast("long").alias("id_a"),
+        F.col("ref_id").cast("long").alias("id_b"),
+        F.col("modality").alias("mime"),
+        F.lit(None).cast("long").alias("byte_len"),
+        F.lit(None).cast("string").alias("payload_sha256"),
+        F.col("rank").cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.col("hamming").cast("long"),
+    )
     return (
         manifest.unionByName(pairs)
         .unionByName(apairs)
         .unionByName(vpairs)
         .unionByName(curation)
+        .unionByName(search)
     )
 
 
