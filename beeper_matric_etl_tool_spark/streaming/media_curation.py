@@ -62,6 +62,13 @@ def media_curation_batch_writer(
     id-column mismatch with the index's frozen meta, or a flat-layout
     output directory (the text writer's discipline)."""
     meta = read_meta(index_path)
+    if "sig_bits" in curate_kwargs:
+        raise ValueError(
+            "media_curation_batch_writer: sig_bits is driven by the media "
+            "index's frozen _META.json (a funnel/probe width mismatch would "
+            "band the within-batch pass differently than the cross-batch "
+            "probe) — rebuild the index with the desired width instead"
+        )
     _guard_output_layout(out_dir, "ingest_batch", "media_curation_batch_writer")
     if audit_dir is not None:
         _guard_output_layout(audit_dir, "batch_id", "media_curation_batch_writer")

@@ -231,6 +231,8 @@ def test_media_curation_writer_guards(spark, tmp_path, ref_on_disk):
     build_media_index(ref_on_disk, idx)
     with pytest.raises(ValueError, match="id_col"):
         media_curation_batch_writer(idx, str(tmp_path / "o"), id_col="uid")
+    with pytest.raises(ValueError, match="sig_bits"):
+        media_curation_batch_writer(idx, str(tmp_path / "o"), sig_bits=64)
     assert media_curation_batch_writer(idx, str(tmp_path / "o")) is not None
 
     # checkpoint binding: a second stream with a DIFFERENT checkpoint
