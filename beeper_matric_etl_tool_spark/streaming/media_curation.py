@@ -51,6 +51,7 @@ def media_curation_batch_writer(
     index_path: str,
     out_dir: str,
     audit_dir: str | None = None,
+    decisions_dir: str | None = None,
     max_hamming: int = 12,
     bands: int = 16,
     id_col: str = "doc_id",
@@ -60,7 +61,16 @@ def media_curation_batch_writer(
     Extra ``curate_kwargs`` (min_width, min_audio_frames, …) pass through
     to `curate_media`. Fails at CONSTRUCTION on a non-index path, an
     id-column mismatch with the index's frozen meta, or a flat-layout
-    output directory (the text writer's discipline)."""
+    output directory (the text writer's discipline).
+
+    ``decisions_dir`` (optional) persists the PER-DOC audit trail —
+    every input doc's funnel decision, with index drops overriding their
+    keep to ``drop:near_dup_index`` and carrying the witness (ref_id,
+    hamming) — staged by ``ingest_batch`` like the corpus, so replays
+    replace their own rows. This is the curate_media audit discipline
+    carried through the stream: nothing ingested is ever silently
+    dropped, and the lineage (cluster ids, witnesses) survives for a
+    downstream mixer or a compliance query."""
     meta = read_meta(index_path)
     if "sig_bits" in curate_kwargs:
         raise ValueError(
@@ -72,6 +82,10 @@ def media_curation_batch_writer(
     _guard_output_layout(out_dir, "ingest_batch", "media_curation_batch_writer")
     if audit_dir is not None:
         _guard_output_layout(audit_dir, "batch_id", "media_curation_batch_writer")
+    if decisions_dir is not None:
+        _guard_output_layout(
+            decisions_dir, "ingest_batch", "media_curation_batch_writer"
+        )
     if meta["id_col"] != id_col:
         raise ValueError(
             f"media_curation_batch_writer: id_col {id_col!r} does not match "
@@ -117,6 +131,33 @@ def media_curation_batch_writer(
         n_kept = survivors.count()
         n_drop_index = ref_dropped.count()
 
+        if decisions_dir is not None:
+            # per-doc audit: funnel decisions, with index drops
+            # overriding their funnel 'keep' and carrying the witness
+            idx_d = ref_dropped.select(
+                F.col("doc_id"),
+                F.lit("drop:near_dup_index").alias("__idx_decision"),
+                F.col("ref_id"),
+                F.col("hamming"),
+            )
+            (
+                decisions.join(idx_d, on="doc_id", how="left")
+                .select(
+                    "doc_id",
+                    "modality",
+                    F.coalesce(F.col("__idx_decision"), F.col("decision")).alias(
+                        "decision"
+                    ),
+                    "cluster_id",
+                    "ref_id",
+                    "hamming",
+                )
+                .withColumn("ingest_batch", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(decisions_dir)
+            )
         if n_kept:
             (
                 survivors.withColumn("ingest_batch", F.lit(int(batch_id)))

@@ -168,9 +168,10 @@ def test_continuous_media_curation_stream(spark, tmp_path):
     stream = spark.readStream.schema("doc_id long, payload binary").parquet(
         str(src)
     )
+    dec = str(tmp_path / "decisions")
     q = start_media_curation_stream(
         stream, idx, out, str(tmp_path / "ckpt"), audit_dir=audit,
-        max_hamming=15,
+        decisions_dir=dec, max_hamming=15,
     )
     try:
         # batch 0: A fresh; a copy of the SEED (index drop); garbage
@@ -196,15 +197,31 @@ def test_continuous_media_curation_stream(spark, tmp_path):
             for r in spark.read.parquet(audit).collect()
         }
         assert audits[0] == (4, 1, 1) and audits[1] == (2, 1, 1)
+
+        # per-doc decisions: every ingested doc accounted for, index
+        # drops override their funnel keep and carry the witness
+        d = {r.doc_id: r for r in spark.read.parquet(dec).collect()}
+        assert set(d) == {1, 2, 3, 4, 5, 6}
+        assert d[1].decision == "keep"
+        assert d[2].decision == "drop:near_dup_index"
+        assert (d[2].ref_id, d[2].hamming) == (0, 0)
+        assert d[3].decision == "drop:undecodable"
+        assert d[4].decision == "drop:near_dup" and d[4].cluster_id == 1
+        assert d[5].decision == "drop:near_dup_index" and d[5].ref_id == 1
+        assert d[6].decision == "keep"
     finally:
         q.stop()
 
     # REPLAY batch 1: same rows, same batch id — the probe excludes the
     # batch's own partition, decisions re-derive identically, and every
     # staged partition is replaced, not duplicated
-    writer = media_curation_batch_writer(idx, out, audit, max_hamming=15)
+    writer = media_curation_batch_writer(
+        idx, out, audit, decisions_dir=dec, max_hamming=15
+    )
     writer(_media_frame(spark, batches["b1.parquet"]), 1)
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 6}
+    # decisions replayed in place too: still one row per ingested doc
+    assert spark.read.parquet(dec).count() == 6
     import os
 
     sigs = spark.read.parquet(os.path.join(idx, "signatures"))
