@@ -275,7 +275,7 @@ def media_search(
     This is bounded-radius retrieval, not unbounded k-NN — candidates
     come from the banding equi-join, so recall is total WITHIN
     ``max_hamming ≤ bands-1`` (enforced) and zero beyond it; an
-    unbounded nearest search over 64-bit signatures would need an
+    unbounded nearest search over hamming signatures would need an
     all-pairs scan the banded plan exists to avoid. Probes decode once;
     the index side is the signature scan (no reference media bytes, the
     probe-plan discipline of `media_dedup_against_index`). The top-k cut
