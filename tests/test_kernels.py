@@ -377,12 +377,20 @@ def test_image_dhash_near_dup_pairs(spark):
     assert sigs[5].bits is None and "phash_error" in sigs[5].error
     assert sigs[6].bits is None and "null payload" in sigs[6].error
 
-    # aHash method: same machinery, global-threshold signature
+    # aHash method: same machinery, global-threshold signature — and the
+    # 256-bit production width scales both hashers' grids (16x16 / 16x17)
     asigs = {
         r.doc_id: r.bits
         for r in xmm.image_perceptual_bits(df, method="ahash", n_bits=64).collect()
     }
     assert asigs[1] == asigs[4] and asigs[1] != asigs[3]
+    wide = {
+        r.doc_id: r
+        for r in xmm.image_perceptual_bits(df, method="ahash", n_bits=256).collect()
+    }
+    assert len(wide[1].bits) == 256 and wide[1].bits == wide[4].bits
+    assert wide[1].bits != wide[3].bits
+    assert wide[5].bits is None  # dead-letter contract width-independent
 
     # the pigeonhole recall guarantee is enforced, not assumed
     with pytest.raises(ValueError, match="bands"):
