@@ -385,6 +385,48 @@ def simhash_bits(
 SIMHASH_SKEW_CAP = 256
 
 
+def scaled_bands_for(
+    n_docs: int, n_bits: int, max_hamming: int, margin_bits: int = 4
+) -> int:
+    """Corpus-sized BANDS for the pigeonhole banding — the
+    `similarity.scaled_planes_for` sizing rule applied to hamming
+    signatures, so production callers derive banding from a corpus
+    estimate instead of hand-picking: a band's random-collision count is
+    ~n²/2^width per band, so holding width ≥ ⌈log₂(n)⌉ + ``margin_bits``
+    keeps expected random candidates at O(n · bands / 2^margin) — the
+    linear regime (`tools/banding_probe.py` measures it). Recall needs
+    ``bands ≥ max_hamming + 1`` (the pigeonhole guarantee) and banding
+    needs ``bands | n_bits``.
+
+    Returns the LARGEST divisor of ``n_bits`` whose band width clears the
+    entropy floor — maximum recall headroom within the selective regime
+    (candidate-row inflation is linear in bands; the n² hazard the floor
+    guards against is the one that kills a 100 TB run). Raises when the
+    two constraints cannot coexist at this width, naming the minimum
+    signature width that would satisfy both — "widen the signature" is
+    the only honest fix, and a silent clamp in either direction would
+    surface as a recall hole or a quadratic candidate join at exactly
+    the corpus size where neither is debuggable. Count (or estimate) the
+    corpus once per index build, like the LSH plane rule."""
+    import math
+
+    need_width = max(1, math.ceil(math.log2(max(n_docs, 2)))) + margin_bits
+    ok = [
+        b
+        for b in range(max_hamming + 1, n_bits + 1)
+        if n_bits % b == 0 and n_bits // b >= need_width
+    ]
+    if not ok:
+        raise ValueError(
+            f"scaled_bands_for: no banding of n_bits={n_bits} has both "
+            f"bands >= {max_hamming + 1} (recall for max_hamming="
+            f"{max_hamming}) and band width >= {need_width} (selectivity "
+            f"for ~{n_docs} docs with margin {margin_bits}) — widen the "
+            f"signature to at least {(max_hamming + 1) * need_width} bits"
+        )
+    return max(ok)
+
+
 def _hamming_expr(a: str, b: str) -> Column:
     return F.aggregate(
         F.zip_with(F.col(a), F.col(b), lambda x, y: F.abs(x - y)),

@@ -55,6 +55,7 @@ from beeper_matric_etl_tool_spark.ext.dedup import simhash_cross_candidates
 from beeper_matric_etl_tool_spark.ext.multimodal import (
     DEFAULT_SIG_BITS,
     audio_fingerprint_bits,
+    default_media_hamming,
     dispatch_modality,
     image_perceptual_bits,
     video_hash_bits,
@@ -199,7 +200,7 @@ def append_media_index(
     survivors after ingestion): one decode pass under the index's stored
     config. ``batch_id=None`` appends unstaged (partition −2; a replayed
     append duplicates rows — harmless for decisions, witness selection is
-    min(ref_id), but wasteful). A staged ``batch_id >= 0`` is a dynamic
+    a content-based minimum, but wasteful). A staged ``batch_id >= 0`` is a dynamic
     partition overwrite of its own batch — replay-safe."""
     meta = read_meta(path)
     sigs = media_signatures(
@@ -221,7 +222,7 @@ def append_media_index(
 def rank_media_variants(
     probe_sigs: DataFrame,
     ref_sigs: DataFrame,
-    max_hamming: int = 12,
+    max_hamming: int | None = None,
     k: int = 10,
     bands: int = 16,
     n_bits: int = DEFAULT_SIG_BITS,
@@ -230,9 +231,13 @@ def rank_media_variants(
     (doc_id, modality, bits) — banded cross candidates, exact hamming,
     bounded per-probe top-k window with the (hamming, ref_id)
     deterministic order. Factored out so the ranked-retrieval semantics
-    are testable and oracle-checkable without a filesystem index."""
+    are testable and oracle-checkable without a filesystem index.
+    ``max_hamming=None`` resolves via
+    `multimodal.default_media_hamming(n_bits, bands)` — width-scaled."""
     from pyspark.sql import Window
 
+    if max_hamming is None:
+        max_hamming = default_media_hamming(n_bits, bands)
     pairs = simhash_cross_candidates(
         probe_sigs.select("doc_id", "modality", "bits"),
         ref_sigs.select("doc_id", "modality", "bits"),
@@ -261,7 +266,7 @@ def media_search(
     probes: DataFrame,
     spark: SparkSession,
     path: str,
-    max_hamming: int = 12,
+    max_hamming: int | None = None,
     k: int = 10,
     bands: int = 16,
     id_col: str = "doc_id",
@@ -279,7 +284,9 @@ def media_search(
     all-pairs scan the banded plan exists to avoid. Probes decode once;
     the index side is the signature scan (no reference media bytes, the
     probe-plan discipline of `media_dedup_against_index`). The top-k cut
-    is a bounded per-probe window over candidate rows only."""
+    is a bounded per-probe window over candidate rows only.
+    ``max_hamming=None`` resolves via
+    `multimodal.default_media_hamming(meta n_bits, bands)`."""
     meta = read_meta(path)
     ref = spark.read.parquet(os.path.join(path, "signatures")).select(
         F.col("doc_id"), "modality", "bits"
@@ -318,18 +325,19 @@ def media_dedup_against_index(
     new_media: DataFrame,
     spark: SparkSession,
     path: str,
-    max_hamming: int = 12,
+    max_hamming: int | None = None,
     bands: int = 16,
     exclude_batch: int | None = None,
     id_col: str = "doc_id",
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental media near-dup against the PERSISTED index:
     ``(survivors, dropped)`` over the new batch, where dropped rows carry
-    (doc_id, modality, ref_id, hamming) — ref_id the smallest matching
-    index doc (the deterministic witness, the text index's audit
-    contract). ONLY the new batch is decoded; the index side is a
-    parquet scan of (id, modality, 64 small ints) — reference media
-    bytes never enter the plan (plan-pinned in tests).
+    (doc_id, modality, ref_id, hamming) — the witness is the CLOSEST
+    matching index doc (minimum hamming, ties broken by smallest
+    ref_id), so a dedup-threshold post-filter on witness hamming sees
+    the true nearest distance. ONLY the new batch is decoded; the index
+    side is a parquet scan of (id, modality, sig_bits small ints) —
+    reference media bytes never enter the plan (plan-pinned in tests).
 
     Banding keys include the modality, so cross-modality collisions are
     impossible by construction. ``max_hamming``/``bands`` are probe-time
@@ -338,7 +346,9 @@ def media_dedup_against_index(
     partition (partition-pruned) — the streaming replay discipline
     shared with the text index. Batch rows whose payload is undecodable
     SURVIVE the probe (they have no signature to compare; the curation
-    funnel, not the index probe, is where undecodables are dropped)."""
+    funnel, not the index probe, is where undecodables are dropped).
+    ``max_hamming=None`` resolves via
+    `multimodal.default_media_hamming(meta n_bits, bands)`."""
     meta = read_meta(path)
     ref = spark.read.parquet(os.path.join(path, "signatures"))
     if exclude_batch is not None:
@@ -352,6 +362,8 @@ def media_dedup_against_index(
         new_media, id_col=id_col, image_method=meta["image_method"],
         n_bits=meta["n_bits"],
     ).localCheckpoint(eager=True)
+    if max_hamming is None:
+        max_hamming = default_media_hamming(meta["n_bits"], bands)
     pairs = simhash_cross_candidates(
         batch_sigs.select("doc_id", "modality", "bits"),
         ref_sigs,
@@ -361,9 +373,15 @@ def media_dedup_against_index(
         key_cols=("modality",),
         cache=False,
     )
+    # closest-match witness: min over (hamming, ref_id) structs orders
+    # lexicographically — minimum distance first, smallest ref_id on ties
+    # (deterministic; a threshold post-filter on witness hamming sees the
+    # true nearest distance, not an arbitrary matching doc's)
     witness = pairs.groupBy("doc_id").agg(
-        F.min("ref_id").alias("ref_id"),
-        F.min_by("hamming", "ref_id").alias("hamming"),
+        F.min(F.struct("hamming", "ref_id")).alias("__w")
+    ).select(
+        "doc_id", F.col("__w.ref_id").alias("ref_id"),
+        F.col("__w.hamming").alias("hamming"),
     )
     dropped = (
         batch_sigs.join(witness, on="doc_id", how="inner")

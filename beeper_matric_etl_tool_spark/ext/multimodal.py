@@ -394,6 +394,71 @@ AHASH_GRID = 8
 DEFAULT_SIG_BITS = 256
 
 
+def default_media_hamming(n_bits: int, bands: int = 16) -> int:
+    """Default near-dup threshold for a media signature of ``n_bits`` —
+    the WIDTH→THRESHOLD COUPLING made explicit: an edit's hamming
+    footprint scales with the signature width (the same inverted-column
+    edit flips 6-12 bits of a 64-bit dHash but 13-23 bits of the 256-bit
+    form — proportionally more comparisons straddle the edited region on
+    the finer grid), so a threshold frozen at the 64-bit default silently
+    misses edited variants the moment the width grows. Rule:
+    ``min(bands-1, max(12, 15·n_bits // 256))`` — linear in width
+    (measured: image edit ≈ 13, video ≈ 14, audio ≈ 1-6 at 256 bits),
+    floored at the classic 64-bit default of 12, and capped at the
+    pigeonhole recall bound ``bands-1`` (the cap binds for very wide
+    signatures under few bands — raise ``bands`` with
+    :func:`beeper_matric_etl_tool_spark.ext.dedup.scaled_bands_for`
+    rather than widening the radius past the guarantee). Every public
+    media op defaults its ``max_hamming`` through this rule; pass an
+    explicit value to pin a threshold across widths."""
+    return min(bands - 1, max(12, (15 * n_bits) // 256))
+
+
+def scaled_media_banding_for(
+    n_docs: int, max_hamming: int = 15, margin_bits: int = 4
+) -> tuple[int, int]:
+    """Corpus-sized media banding config — ``(sig_bits, bands)`` for a
+    corpus of ~``n_docs`` media objects, the media twin of the embedding
+    tier's `similarity.scaled_planes_for`: pick the smallest even-square
+    signature width (the media hashes' shape constraint, `_side_of`)
+    whose bits can be split into ``bands ≥ max_hamming + 1`` slices of
+    width ≥ ⌈log₂(n)⌉ + ``margin_bits`` each, then size the bands with
+    `dedup.scaled_bands_for`. Estimate the corpus once per index build
+    and pass the result to `build_media_index(sig_bits=)` and the probe
+    ops' ``bands=`` — the 10⁹-object lake gets a 576-bit signature in
+    16×36-bit bands. The rule sizes the PRIMARY banding join to stay
+    selective with no help: the default (256, 16) clears the entropy
+    floor to ~4k docs and leans on the skew-guard sub-banding beyond
+    (measured linear to 50k, `tools/banding_probe.py`); this helper is
+    for the corpus where you'd rather the first join never skew at all
+    — the sub-band fallback costs an extra count + explode over the
+    oversized buckets every probe."""
+    import math
+
+    from beeper_matric_etl_tool_spark.ext.dedup import scaled_bands_for
+
+    need_width = max(1, math.ceil(math.log2(max(n_docs, 2)))) + margin_bits
+    n_bits = DEFAULT_SIG_BITS
+    side = int(n_bits**0.5)
+    while True:
+        try:
+            return n_bits, scaled_bands_for(
+                n_docs, n_bits, max_hamming, margin_bits=margin_bits
+            )
+        except ValueError:
+            pass
+        if n_bits >= (max_hamming + 1) * need_width * 4:
+            # even-square widths are dense enough (gaps ≤ 2·side+... )
+            # that this cannot happen; fail loudly rather than spin
+            raise ValueError(
+                f"scaled_media_banding_for: no even-square width up to "
+                f"{n_bits} bits supports max_hamming={max_hamming} at "
+                f"~{n_docs} docs"
+            )
+        side += 2
+        n_bits = side * side
+
+
 def _side_of(n_bits: int) -> int:
     """Square-signature side length: dHash uses a (side, side+1) grid →
     side² bits; the video hash samples side frames × side spatial bits.
@@ -517,7 +582,7 @@ def image_perceptual_bits(
 
 def image_near_dup_pairs(
     with_payload: DataFrame,
-    max_hamming: int = 12,
+    max_hamming: int | None = None,
     bands: int = 16,
     id_col: str = "doc_id",
     method: str = "dhash",
@@ -532,9 +597,15 @@ def image_near_dup_pairs(
     and the exact hamming distance is verified on candidates only. The
     recall guarantee carries over verbatim: ``max_hamming ≤ bands-1``
     is enforced there. Dead-letter rows (undecodable payloads) are
-    excluded from banding — they have no signature to compare."""
+    excluded from banding — they have no signature to compare.
+    ``max_hamming=None`` (default) resolves via
+    :func:`default_media_hamming` — the threshold scales with the
+    signature width so edited variants stay inside the radius at any
+    ``n_bits``."""
     from beeper_matric_etl_tool_spark.ext.dedup import simhash_candidate_pairs
 
+    if max_hamming is None:
+        max_hamming = default_media_hamming(n_bits, bands)
     sigs = image_perceptual_bits(
         with_payload, id_col=id_col, method=method, n_bits=n_bits
     )
@@ -673,7 +744,7 @@ def audio_fingerprint_bits(
 
 def audio_near_dup_pairs(
     with_payload: DataFrame,
-    max_hamming: int = 12,
+    max_hamming: int | None = None,
     bands: int = 16,
     id_col: str = "doc_id",
     n_bits: int = DEFAULT_SIG_BITS,
@@ -684,9 +755,12 @@ def audio_near_dup_pairs(
     (`ext/dedup.py:simhash_candidate_pairs`) — candidates from a LINEAR
     equi-join on (band_id, band_value), exact hamming verified on
     candidates only, recall guaranteed for ``max_hamming ≤ bands-1``
-    (enforced there). Dead-letter rows are excluded from banding."""
+    (enforced there). Dead-letter rows are excluded from banding.
+    ``max_hamming=None`` resolves via :func:`default_media_hamming`."""
     from beeper_matric_etl_tool_spark.ext.dedup import simhash_candidate_pairs
 
+    if max_hamming is None:
+        max_hamming = default_media_hamming(n_bits, bands)
     sigs = audio_fingerprint_bits(with_payload, id_col=id_col, n_bits=n_bits)
     ok = sigs.filter(F.col("error").isNull()).select(F.col("doc_id"), "bits")
     return simhash_candidate_pairs(
@@ -1012,7 +1086,7 @@ def video_hash_bits(
 
 def video_near_dup_pairs(
     with_payload: DataFrame,
-    max_hamming: int = 12,
+    max_hamming: int | None = None,
     bands: int = 16,
     id_col: str = "doc_id",
     n_bits: int = DEFAULT_SIG_BITS,
@@ -1023,9 +1097,12 @@ def video_near_dup_pairs(
     (`ext/dedup.py:simhash_candidate_pairs`) — candidates from a LINEAR
     equi-join on (band_id, band_value), exact hamming verified on
     candidates only, recall guaranteed for ``max_hamming ≤ bands-1``
-    (enforced there). Dead-letter rows are excluded from banding."""
+    (enforced there). Dead-letter rows are excluded from banding.
+    ``max_hamming=None`` resolves via :func:`default_media_hamming`."""
     from beeper_matric_etl_tool_spark.ext.dedup import simhash_candidate_pairs
 
+    if max_hamming is None:
+        max_hamming = default_media_hamming(n_bits, bands)
     sigs = video_hash_bits(with_payload, id_col=id_col, n_bits=n_bits)
     ok = sigs.filter(F.col("error").isNull()).select(F.col("doc_id"), "bits")
     return simhash_candidate_pairs(
@@ -1038,9 +1115,17 @@ def video_near_dup_pairs(
 # Media curation funnel — the multimodal twin of the text curate() pipeline
 # ---------------------------------------------------------------------------
 
-#: decision vocabulary of the curation funnel — every input row gets
-#: exactly one, never silently dropped (the curate() audit discipline)
+#: decision vocabulary of the BATCH curation funnel — every input row
+#: gets exactly one, never silently dropped (the curate() audit
+#: discipline)
 MEDIA_DECISIONS = ("keep", "drop:undecodable", "drop:below_floor", "drop:near_dup")
+
+#: the STREAMING funnel's superset: the continuous writer
+#: (streaming/media_curation.py) additionally demotes funnel keeps that
+#: match the persisted signature index to 'drop:near_dup_index' —
+#: consumers validating a decisions audit that spans streamed batches
+#: validate against THIS tuple
+MEDIA_STREAM_DECISIONS = MEDIA_DECISIONS + ("drop:near_dup_index",)
 
 MEDIA_CURATION_SCHEMA = (
     "doc_id long, modality string, width int, height int, "
@@ -1074,11 +1159,12 @@ def curate_media(
     min_height: int = 1,
     min_audio_frames: int | None = None,
     min_video_frames: int | None = None,
-    image_max_hamming: int = 12,
-    audio_max_hamming: int = 12,
-    video_max_hamming: int = 12,
+    image_max_hamming: int | None = None,
+    audio_max_hamming: int | None = None,
+    video_max_hamming: int | None = None,
     bands: int = 16,
     sig_bits: int = DEFAULT_SIG_BITS,
+    image_method: str = "dhash",
 ) -> DataFrame:
     """The media lake's curation funnel — the multimodal twin of the text
     ``curate()`` pipeline: (doc_id, modality, width, height, n_frames,
@@ -1114,9 +1200,24 @@ def curate_media(
     back onto the dispatch skeleton. ``sig_bits`` (default
     :data:`DEFAULT_SIG_BITS`) sets every signature's width — see that
     constant for why 256 is the corpus-scale default; the audio/video
-    duration floors default to the chosen width's hash floors."""
+    duration floors default to the chosen width's hash floors and the
+    three ``*_max_hamming`` thresholds to
+    :func:`default_media_hamming(sig_bits, bands)` — scaled with the
+    width so edited variants stay inside the radius whatever ``sig_bits``
+    is. ``image_method`` ('dhash'/'ahash') picks the image plane's hash —
+    callers composing with a persisted media index MUST pass the index's
+    frozen method (the streaming writer does) or within-batch and
+    cross-batch image decisions would be made on different signatures."""
+    if image_method not in ("dhash", "ahash"):
+        raise ValueError(f"curate_media: unknown image_method {image_method!r}")
     side = _side_of(sig_bits)
     bins = sig_bits // 2 + 1
+    if image_max_hamming is None:
+        image_max_hamming = default_media_hamming(sig_bits, bands)
+    if audio_max_hamming is None:
+        audio_max_hamming = default_media_hamming(sig_bits, bands)
+    if video_max_hamming is None:
+        video_max_hamming = default_media_hamming(sig_bits, bands)
     if min_audio_frames is None:
         min_audio_frames = bins + 1
     if min_video_frames is None:
@@ -1179,7 +1280,7 @@ def curate_media(
 
     img = leg(
         "image",
-        lambda df: image_perceptual_bits(df, n_bits=sig_bits),
+        lambda df: image_perceptual_bits(df, method=image_method, n_bits=sig_bits),
         image_max_hamming,
         lambda s: F.col("width"),
         lambda s: F.col("height"),

@@ -40,7 +40,10 @@ from beeper_matric_etl_tool_spark.ext.media_index import (
     media_dedup_against_index,
     read_meta,
 )
-from beeper_matric_etl_tool_spark.ext.multimodal import curate_media
+from beeper_matric_etl_tool_spark.ext.multimodal import (
+    curate_media,
+    default_media_hamming,
+)
 from beeper_matric_etl_tool_spark.streaming.curation import (
     _guard_checkpoint_binding,
     _guard_output_layout,
@@ -52,7 +55,7 @@ def media_curation_batch_writer(
     out_dir: str,
     audit_dir: str | None = None,
     decisions_dir: str | None = None,
-    max_hamming: int = 12,
+    max_hamming: int | None = None,
     bands: int = 16,
     id_col: str = "doc_id",
     **curate_kwargs,
@@ -61,24 +64,32 @@ def media_curation_batch_writer(
     Extra ``curate_kwargs`` (min_width, min_audio_frames, …) pass through
     to `curate_media`. Fails at CONSTRUCTION on a non-index path, an
     id-column mismatch with the index's frozen meta, or a flat-layout
-    output directory (the text writer's discipline).
+    output directory (the text writer's discipline). ``max_hamming=None``
+    resolves via `multimodal.default_media_hamming` at the INDEX's frozen
+    width — the threshold scales with the signature width.
 
     ``decisions_dir`` (optional) persists the PER-DOC audit trail —
     every input doc's funnel decision, with index drops overriding their
     keep to ``drop:near_dup_index`` and carrying the witness (ref_id,
-    hamming) — staged by ``ingest_batch`` like the corpus, so replays
-    replace their own rows. This is the curate_media audit discipline
-    carried through the stream: nothing ingested is ever silently
-    dropped, and the lineage (cluster ids, witnesses) survives for a
-    downstream mixer or a compliance query."""
+    hamming); the vocabulary across streamed batches is
+    `multimodal.MEDIA_STREAM_DECISIONS` (the batch funnel's tuple plus
+    the index-drop decision) — staged by ``ingest_batch`` like the
+    corpus, so replays replace their own rows. This is the curate_media
+    audit discipline carried through the stream: nothing ingested is
+    ever silently dropped, and the lineage (cluster ids, witnesses)
+    survives for a downstream mixer or a compliance query."""
     meta = read_meta(index_path)
-    if "sig_bits" in curate_kwargs:
-        raise ValueError(
-            "media_curation_batch_writer: sig_bits is driven by the media "
-            "index's frozen _META.json (a funnel/probe width mismatch would "
-            "band the within-batch pass differently than the cross-batch "
-            "probe) — rebuild the index with the desired width instead"
-        )
+    for frozen in ("sig_bits", "image_method"):
+        if frozen in curate_kwargs:
+            raise ValueError(
+                f"media_curation_batch_writer: {frozen} is driven by the media "
+                "index's frozen _META.json (a funnel/probe mismatch would make "
+                "the within-batch pass band or hash differently than the "
+                "cross-batch probe) — rebuild the index with the desired "
+                "config instead"
+            )
+    if max_hamming is None:
+        max_hamming = default_media_hamming(meta["n_bits"], bands)
     _guard_output_layout(out_dir, "ingest_batch", "media_curation_batch_writer")
     if audit_dir is not None:
         _guard_output_layout(audit_dir, "batch_id", "media_curation_batch_writer")
@@ -106,10 +117,13 @@ def media_curation_batch_writer(
             audio_max_hamming=max_hamming,
             video_max_hamming=max_hamming,
             bands=bands,
-            # the index's frozen signature width drives the funnel too —
-            # a mismatch would band the within-batch pass differently
-            # than the cross-batch probe
+            # the index's frozen signature config drives the funnel too —
+            # a width mismatch would band the within-batch pass
+            # differently than the cross-batch probe, and a hash-method
+            # mismatch would make within-batch image decisions on dhash
+            # signatures while the probe compares the index's method
             sig_bits=meta["n_bits"],
+            image_method=meta["image_method"],
             **curate_kwargs,
         )
         keeps = decisions.filter(F.col("decision") == "keep").select(

@@ -1694,6 +1694,49 @@ def test_curate_media_funnel(spark):
     with pytest.raises(ValueError, match="min_video_frames"):
         xmm.curate_media(df, min_video_frames=4)
 
+    # the image hash method is validated up front (the funnel must be
+    # composable with an index whose frozen method it matches)
+    with pytest.raises(ValueError, match="image_method"):
+        xmm.curate_media(df, image_method="phash9000")
+
+
+def test_media_default_hamming_and_scaled_banding():
+    """The width→threshold coupling and the corpus-sized banding rule:
+    default thresholds scale with the signature width (a 256-bit edit
+    flips ~4x the bits of its 64-bit form), capped at the pigeonhole
+    bound; bands derive from a corpus estimate with an entropy floor on
+    the band width, raising (never silently clamping) when the
+    signature is too narrow for both recall and selectivity."""
+    import pytest
+
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+    from beeper_matric_etl_tool_spark.ext.dedup import scaled_bands_for
+
+    # linear in width, floored at the classic 64-bit default of 12...
+    assert xmm.default_media_hamming(64) == 12
+    assert xmm.default_media_hamming(256) == 15
+    # ...and capped at bands-1 (recall guarantee), released by more bands
+    assert xmm.default_media_hamming(1024, bands=16) == 15
+    assert xmm.default_media_hamming(1024, bands=64) == 60
+
+    # bands: largest divisor whose width clears ceil(log2 n) + margin
+    assert scaled_bands_for(1000, 256, max_hamming=3) == 16  # width 16 >= 14
+    assert scaled_bands_for(1000, 64, max_hamming=3) == 4    # width 16 >= 14
+    # impossible combinations raise and name the honest fix
+    with pytest.raises(ValueError, match="widen the signature"):
+        scaled_bands_for(10**6, 256, max_hamming=15)  # needs 16x24 = 384 bits
+
+    # the media auto-rule walks even-square widths until both hold
+    assert xmm.scaled_media_banding_for(1000) == (256, 16)
+    assert xmm.scaled_media_banding_for(10**6) == (400, 16)
+    assert xmm.scaled_media_banding_for(10**9) == (576, 16)
+    # the derived config is accepted end-to-end by the banding guards:
+    # divisibility, the even-square media shape, and the recall cap
+    bits_, bands_ = xmm.scaled_media_banding_for(10**6)
+    assert bits_ % bands_ == 0
+    assert xmm._side_of(bits_) % 2 == 0  # raises on a non-square width
+    assert xmm.default_media_hamming(bits_, bands_) <= bands_ - 1
+
 
 def test_media_hardening_corrupt_header_and_single_decode(spark):
     """(a) An AVI whose header claims gigapixel frames dead-letters the

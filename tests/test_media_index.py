@@ -113,6 +113,34 @@ def test_append_staged_replay_and_exclusion(spark, tmp_path, ref_on_disk):
     assert d_far.filter(F.col("modality") != "audio").count() == 0
 
 
+def test_witness_is_closest_match(spark, tmp_path):
+    """The dropped-row witness is the CLOSEST indexed match (minimum
+    hamming, ties by smallest ref_id) — a doc dropped because of an
+    exact dup is never recorded with a farther match's distance just
+    because the farther match has a smaller id."""
+    base = xmm.make_gradient_bmp(36, 32, seed=3)
+    near = xmm.make_gradient_bmp(36, 32, seed=3, invert_col=18)
+    idx = str(tmp_path / "midx")
+    # ref 1 = the NEAR variant (hamming > 0 vs the probe, smallest id);
+    # ref 2 = the EXACT copy (hamming 0, larger id)
+    build_media_index(_media_frame(spark, [(1, near), (2, base)]), idx)
+
+    _, dropped = media_dedup_against_index(
+        _media_frame(spark, [(100, base)]), spark, idx
+    )
+    (d,) = dropped.collect()
+    assert (d.ref_id, d.hamming) == (2, 0)  # the copy, not the lower id
+
+    # ties on hamming break to the smallest ref_id (deterministic audit)
+    idx2 = str(tmp_path / "midx2")
+    build_media_index(_media_frame(spark, [(7, base), (4, base)]), idx2)
+    (_, dropped2) = media_dedup_against_index(
+        _media_frame(spark, [(100, base)]), spark, idx2
+    )
+    (d2,) = dropped2.collect()
+    assert (d2.ref_id, d2.hamming) == (4, 0)
+
+
 def test_media_index_guards(spark, tmp_path, ref_on_disk):
     idx = str(tmp_path / "midx")
     with pytest.raises(ValueError, match="image_method"):
@@ -202,6 +230,10 @@ def test_continuous_media_curation_stream(spark, tmp_path):
         # drops override their funnel keep and carry the witness
         d = {r.doc_id: r for r in spark.read.parquet(dec).collect()}
         assert set(d) == {1, 2, 3, 4, 5, 6}
+        # the streaming audit's vocabulary is the published superset
+        assert all(
+            r.decision in xmm.MEDIA_STREAM_DECISIONS for r in d.values()
+        )
         assert d[1].decision == "keep"
         assert d[2].decision == "drop:near_dup_index"
         assert (d[2].ref_id, d[2].hamming) == (0, 0)
