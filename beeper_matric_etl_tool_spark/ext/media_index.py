@@ -201,22 +201,62 @@ def append_media_index(
     config. ``batch_id=None`` appends unstaged (partition −2; a replayed
     append duplicates rows — harmless for decisions, witness selection is
     a content-based minimum, but wasteful). A staged ``batch_id >= 0`` is a dynamic
-    partition overwrite of its own batch — replay-safe."""
+    partition overwrite of its own batch — replay-safe. Callers that
+    already hold the batch's signature frames (the curation funnel
+    returns them) should use :func:`append_media_index_signatures`
+    instead — this entry exists for payload-only callers and pays one
+    decode pass for it."""
     meta = read_meta(path)
     sigs = media_signatures(
         accepted, id_col=meta["id_col"], image_method=meta["image_method"],
         n_bits=meta["n_bits"],
+    )
+    append_media_index_signatures(sigs, path, batch_id=batch_id)
+
+
+def append_media_index_signatures(
+    sigs: DataFrame, path: str, batch_id: int | None = None
+) -> None:
+    """The decode-free append: extend ``signatures/`` with
+    ALREADY-DERIVED signature frames (the `media_signatures` /
+    `curate_media_with_signatures` contract shape — doc_id, modality,
+    bits, width, height, n_frames). CONTRACT: the frames must have been
+    derived under the index's frozen config (width AND image method) —
+    the streaming writer guarantees it by construction (it forces the
+    funnel's ``sig_bits``/``image_method`` from this index's meta and
+    rejects caller overrides); hand-rolled callers that appended frames
+    of a different width would poison banding selectivity silently, so
+    the stored width is asserted against the frames' array length in the
+    write plan (a mismatched row fails the job, not the lake).
+    Staging semantics are :func:`append_media_index`'s."""
+    meta = read_meta(path)
+    n_bits = int(meta["n_bits"])
+    checked = sigs.select(*SIGNATURE_COLUMNS).withColumn(
+        "bits",
+        F.when(F.size("bits") == n_bits, F.col("bits")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"append_media_index_signatures: signature width "
+                        f"mismatch — index {path!r} is frozen at {n_bits} "
+                        f"bits, got "
+                    ),
+                    F.size("bits").cast("string"),
+                )
+            )
+        ),
     )
     if batch_id is None:
         mode, part = "append", UNSTAGED_BATCH
     else:
         if batch_id < 0:
             raise ValueError(
-                f"append_media_index: batch_id={batch_id} is reserved "
-                f"(-1 build, -2 unstaged) — staged batch ids must be >= 0"
+                f"append_media_index_signatures: batch_id={batch_id} is "
+                f"reserved (-1 build, -2 unstaged) — staged batch ids must "
+                f"be >= 0"
             )
         mode, part = "overwrite", batch_id
-    _write(sigs, os.path.join(path, "signatures"), mode, part)
+    _write(checked, os.path.join(path, "signatures"), mode, part)
 
 
 def rank_media_variants(
@@ -349,19 +389,55 @@ def media_dedup_against_index(
     funnel, not the index probe, is where undecodables are dropped).
     ``max_hamming=None`` resolves via
     `multimodal.default_media_hamming(meta n_bits, bands)`."""
+    # ONE decode pass over the batch: the checkpoint is consumed by the
+    # banding join AND the witness join-back (cache=False in the core —
+    # this materialization already cut the decode lineage)
+    meta = read_meta(path)
+    batch_sigs = media_signatures(
+        new_media, id_col=id_col, image_method=meta["image_method"],
+        n_bits=meta["n_bits"],
+    ).localCheckpoint(eager=True)
+    dropped = media_dedup_signatures_against_index(
+        batch_sigs, spark, path,
+        max_hamming=max_hamming, bands=bands, exclude_batch=exclude_batch,
+    )
+    survivors = new_media.join(
+        dropped.select(F.col("doc_id").alias(id_col)), on=id_col, how="left_anti"
+    )
+    return survivors, dropped
+
+
+def media_dedup_signatures_against_index(
+    batch_sigs: DataFrame,
+    spark: SparkSession,
+    path: str,
+    max_hamming: int | None = None,
+    bands: int = 16,
+    exclude_batch: int | None = None,
+) -> DataFrame:
+    """The decode-free probe core: near-dup the batch's ALREADY-DERIVED
+    signature frames (`media_signatures` / `curate_media_with_signatures`
+    shape — at least doc_id, modality, bits) against the persisted
+    index, returning the dropped relation (doc_id, modality, ref_id,
+    hamming) with the closest-match witness (min hamming, ties to the
+    smallest ref_id). Survivors are whatever the caller anti-joins this
+    against — payloads, signature frames, or ids.
+
+    This is the entry the streaming writer composes with the funnel:
+    `curate_media_with_signatures` already decoded the batch once, so
+    probing its frames here makes the whole micro-batch cost exactly one
+    decode per payload (spy-pinned in tests). CONTRACT: the frames must
+    be derived under the index's frozen config (width and image method);
+    the writer enforces it by construction. Banding, recall guarantee,
+    modality-keyed candidates, ``exclude_batch`` replay pruning and the
+    ``max_hamming=None`` width-scaled default are
+    `media_dedup_against_index`'s, verbatim — that function is now this
+    core plus one batch decode."""
     meta = read_meta(path)
     ref = spark.read.parquet(os.path.join(path, "signatures"))
     if exclude_batch is not None:
         ref = ref.filter(F.col(BATCH_COL) != F.lit(int(exclude_batch)))
     ref_sigs = ref.select(F.col("doc_id"), "modality", "bits")
-
-    # ONE decode pass over the batch: the checkpoint is consumed by the
-    # banding join AND the witness join-back (cache=False below — this
-    # materialization already cut the decode lineage)
-    batch_sigs = media_signatures(
-        new_media, id_col=id_col, image_method=meta["image_method"],
-        n_bits=meta["n_bits"],
-    ).localCheckpoint(eager=True)
     if max_hamming is None:
         max_hamming = default_media_hamming(meta["n_bits"], bands)
     pairs = simhash_cross_candidates(
@@ -383,11 +459,7 @@ def media_dedup_against_index(
         "doc_id", F.col("__w.ref_id").alias("ref_id"),
         F.col("__w.hamming").alias("hamming"),
     )
-    dropped = (
+    return (
         batch_sigs.join(witness, on="doc_id", how="inner")
         .select("doc_id", "modality", "ref_id", "hamming")
     )
-    survivors = new_media.join(
-        witness.select(F.col("doc_id").alias(id_col)), on=id_col, how="left_anti"
-    )
-    return survivors, dropped

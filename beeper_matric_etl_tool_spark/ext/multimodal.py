@@ -1152,7 +1152,7 @@ def dispatch_modality(with_payload: DataFrame) -> DataFrame:
     )
 
 
-def curate_media(
+def curate_media_with_signatures(
     with_payload: DataFrame,
     id_col: str = "doc_id",
     min_width: int = 1,
@@ -1165,12 +1165,26 @@ def curate_media(
     bands: int = 16,
     sig_bits: int = DEFAULT_SIG_BITS,
     image_method: str = "dhash",
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """The media lake's curation funnel — the multimodal twin of the text
-    ``curate()`` pipeline: (doc_id, modality, width, height, n_frames,
+    ``curate()`` pipeline — PLUS the signature frames the funnel already
+    paid to decode: ``(decisions, signatures)``.
+
+    ``decisions`` is (doc_id, modality, width, height, n_frames,
     cluster_id, decision) with EVERY input row present exactly once and
     ``decision`` one of :data:`MEDIA_DECISIONS` (audit discipline: drops
     are labeled, never silent).
+
+    ``signatures`` is (doc_id, modality, bits, width, height, n_frames)
+    for every DECODABLE row — the `ext/media_index.py:media_signatures`
+    contract shape, read from the same per-leg checkpoints the decision
+    assembly consumes, so composing the funnel with a persisted media
+    index (probe the keeps, append the survivors) costs ZERO additional
+    decodes: the streaming writer feeds these frames to the
+    signature-level probe/append entries instead of re-deriving
+    signatures from kept payloads. Below-floor and near-dup rows are
+    PRESENT here (they decoded fine) — filter by the decision relation
+    for the keeps.
 
     Stages, per the text funnel's shape:
 
@@ -1244,11 +1258,12 @@ def curate_media(
         height_col,
         frames_col,
         floor_fail,
-    ) -> DataFrame:
+    ) -> tuple[DataFrame, DataFrame]:
         # ONE decode per payload: the signature relation is consumed by
-        # the banding self-join, the cluster join-back AND the decision
-        # assembly — without this checkpoint each consumer re-executes
-        # the decode stage (cache=False below: this cut already happened)
+        # the banding self-join, the cluster join-back, the decision
+        # assembly AND the returned signature frame — without this
+        # checkpoint each consumer re-executes the decode stage
+        # (cache=False below: this cut already happened)
         sigs = sig_fn(
             dispatched.filter(F.col("modality") == modality)
         ).localCheckpoint(eager=True)
@@ -1261,7 +1276,7 @@ def curate_media(
             cache=False,
         )
         clusters = dedup_clusters(gated.select("doc_id"), pairs)
-        return (
+        decisions = (
             sigs.join(clusters, on="doc_id", how="left")
             .select(
                 "doc_id",
@@ -1277,8 +1292,19 @@ def curate_media(
                 .alias("decision"),
             )
         )
+        # the decodable rows' signature frame — the media_signatures
+        # contract shape, free off the same checkpoint
+        sig_frame = sigs.filter(F.col("error").isNull()).select(
+            "doc_id",
+            F.lit(modality).alias("modality"),
+            "bits",
+            width_col(sigs).alias("width"),
+            height_col(sigs).alias("height"),
+            frames_col(sigs).alias("n_frames"),
+        )
+        return decisions, sig_frame
 
-    img = leg(
+    img, img_sigs = leg(
         "image",
         lambda df: image_perceptual_bits(df, method=image_method, n_bits=sig_bits),
         image_max_hamming,
@@ -1287,7 +1313,7 @@ def curate_media(
         lambda s: F.lit(None).cast("int"),
         lambda s: (F.col("width") < min_width) | (F.col("height") < min_height),
     )
-    aud = leg(
+    aud, aud_sigs = leg(
         "audio",
         lambda df: audio_fingerprint_bits(df, n_bits=sig_bits),
         audio_max_hamming,
@@ -1296,7 +1322,7 @@ def curate_media(
         lambda s: F.col("n_frames"),
         lambda s: F.col("n_frames") < min_audio_frames,
     )
-    vid = leg(
+    vid, vid_sigs = leg(
         "video",
         lambda df: video_hash_bits(df, n_bits=sig_bits),
         video_max_hamming,
@@ -1314,7 +1340,28 @@ def curate_media(
         F.lit(None).cast("long").alias("cluster_id"),
         F.lit("drop:undecodable").alias("decision"),
     )
-    return img.unionByName(aud).unionByName(vid).unionByName(unk)
+    decisions = img.unionByName(aud).unionByName(vid).unionByName(unk)
+    signatures = img_sigs.unionByName(aud_sigs).unionByName(vid_sigs)
+    return decisions, signatures
+
+
+def curate_media(
+    with_payload: DataFrame,
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """The decisions relation of :func:`curate_media_with_signatures` —
+    the batch funnel's public face: (doc_id, modality, width, height,
+    n_frames, cluster_id, decision), every input row exactly once,
+    decisions from :data:`MEDIA_DECISIONS` (see the full docstring
+    there). Callers composing the funnel with a persisted media index
+    should use the signature-returning form instead — probing on the
+    funnel's own signature frames is what keeps the lake's decode cost
+    at exactly one pass per payload."""
+    decisions, _ = curate_media_with_signatures(
+        with_payload, id_col=id_col, **kwargs
+    )
+    return decisions
 
 
 # ---------------------------------------------------------------------------

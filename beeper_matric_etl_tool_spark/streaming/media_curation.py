@@ -24,11 +24,14 @@ output-layout gates are shared with the text stream
 (`streaming/curation.py`) — batch ids are checkpoint-scoped there for
 the same reason they are here.
 
-Decode economics per micro-batch: the funnel decodes the batch once; the
-index probe and the index append each decode the batch's KEEPS once more
-(the same re-derivation the text stream pays for fingerprints — batch
--sized, never corpus-sized; the corpus is only ever touched through its
-persisted signatures).
+Decode economics per micro-batch: EXACTLY ONE decode per payload. The
+funnel (`curate_media_with_signatures`) decodes each payload once into
+per-leg signature checkpoints and returns the frames; the index probe
+(`media_dedup_signatures_against_index`) and the index append
+(`append_media_index_signatures`) both run at the SIGNATURE level off
+those same frames — no payload is ever re-decoded, spy-pinned in tests
+(decode is the media lake's dominant cost by this repo's own design doc;
+the corpus is only ever touched through its persisted signatures).
 """
 
 from __future__ import annotations
@@ -36,12 +39,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from beeper_matric_etl_tool_spark.ext.media_index import (
-    append_media_index,
-    media_dedup_against_index,
+    append_media_index_signatures,
+    media_dedup_signatures_against_index,
     read_meta,
 )
 from beeper_matric_etl_tool_spark.ext.multimodal import (
-    curate_media,
+    curate_media_with_signatures,
     default_media_hamming,
 )
 from beeper_matric_etl_tool_spark.streaming.curation import (
@@ -62,7 +65,8 @@ def media_curation_batch_writer(
 ):
     """foreachBatch writer running the media funnel per micro-batch.
     Extra ``curate_kwargs`` (min_width, min_audio_frames, …) pass through
-    to `curate_media`. Fails at CONSTRUCTION on a non-index path, an
+    to `curate_media_with_signatures`. Fails at CONSTRUCTION on a
+    non-index path, an
     id-column mismatch with the index's frozen meta, or a flat-layout
     output directory (the text writer's discipline). ``max_hamming=None``
     resolves via `multimodal.default_media_hamming` at the INDEX's frozen
@@ -110,7 +114,12 @@ def media_curation_batch_writer(
             return
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)  # file-stream lineage cut
-        decisions = curate_media(
+        # ONE decode per payload for the WHOLE micro-batch: the funnel
+        # decodes each payload once into per-leg signature checkpoints
+        # and hands the frames back; the index probe and the index
+        # append both run at the signature level off those frames
+        # (spy-pinned in tests — no payload ever re-decodes here)
+        decisions, sigs = curate_media_with_signatures(
             batch_df,
             id_col=id_col,
             image_max_hamming=max_hamming,
@@ -126,23 +135,25 @@ def media_curation_batch_writer(
             image_method=meta["image_method"],
             **curate_kwargs,
         )
-        keeps = decisions.filter(F.col("decision") == "keep").select(
-            F.col("doc_id").alias(id_col)
-        )
-        kept_payloads = batch_df.join(keeps, on=id_col)
-        survivors, ref_dropped = media_dedup_against_index(
-            kept_payloads,
+        keeps = decisions.filter(F.col("decision") == "keep").select("doc_id")
+        kept_sigs = sigs.join(keeps, on="doc_id")
+        ref_dropped = media_dedup_signatures_against_index(
+            kept_sigs,
             spark,
             index_path,
             max_hamming=max_hamming,
             bands=bands,
             # replay safety: probe with THIS batch's partition hidden
             exclude_batch=int(batch_id),
-            id_col=id_col,
         )
-        survivors = survivors.localCheckpoint(eager=True)
+        survivor_sigs = kept_sigs.join(
+            ref_dropped.select("doc_id"), on="doc_id", how="left_anti"
+        ).localCheckpoint(eager=True)
+        survivors = batch_df.join(
+            survivor_sigs.select(F.col("doc_id").alias(id_col)), on=id_col
+        )
         n_in = batch_df.count()
-        n_kept = survivors.count()
+        n_kept = survivor_sigs.count()
         n_drop_index = ref_dropped.count()
 
         if decisions_dir is not None:
@@ -180,7 +191,11 @@ def media_curation_batch_writer(
                 .partitionBy("ingest_batch")
                 .parquet(out_dir)
             )
-            append_media_index(survivors, index_path, batch_id=int(batch_id))
+            # decode-free append: the funnel's frames, already at the
+            # index's frozen width/method by construction
+            append_media_index_signatures(
+                survivor_sigs, index_path, batch_id=int(batch_id)
+            )
         if audit_dir is not None:
             (
                 spark.createDataFrame(

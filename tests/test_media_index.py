@@ -265,6 +265,103 @@ def test_continuous_media_curation_stream(spark, tmp_path):
     assert audits[1] == (2, 1, 1)
 
 
+def test_streaming_funnel_single_decode(spark, tmp_path, monkeypatch):
+    """Each payload decodes EXACTLY ONCE per micro-batch: the writer runs
+    the funnel once (its per-leg checkpoints are the only decode), and
+    the index probe + append consume the funnel's SIGNATURE frames —
+    never a payload re-derivation. Spied by (a) counting funnel calls,
+    (b) poisoning every payload-decoding entry the writer must not touch
+    (`media_signatures`, the payload-level probe, the payload-level
+    append), and (c) asserting the e2e decisions are unchanged."""
+    from beeper_matric_etl_tool_spark.ext import media_index as midx
+    from beeper_matric_etl_tool_spark.streaming import media_curation as mc
+
+    idx = str(tmp_path / "midx")
+    seed_img = xmm.make_gradient_bmp(36, 32, seed=9)
+    build_media_index(_media_frame(spark, [(0, seed_img)]), idx)
+
+    calls = {"funnel": 0}
+    real_funnel = mc.curate_media_with_signatures
+
+    def counting_funnel(*a, **kw):
+        calls["funnel"] += 1
+        return real_funnel(*a, **kw)
+
+    def poisoned(*_a, **_kw):  # any payload re-decode fails the test
+        raise AssertionError(
+            "payload re-decoded outside the funnel — single-decode violated"
+        )
+
+    monkeypatch.setattr(mc, "curate_media_with_signatures", counting_funnel)
+    monkeypatch.setattr(midx, "media_signatures", poisoned)
+    monkeypatch.setattr(midx, "media_dedup_against_index", poisoned)
+    monkeypatch.setattr(midx, "append_media_index", poisoned)
+
+    writer = mc.media_curation_batch_writer(
+        idx, str(tmp_path / "out"), decisions_dir=str(tmp_path / "dec"),
+        max_hamming=15,
+    )
+    img_a = xmm.make_gradient_bmp(36, 32, seed=1)
+    writer(
+        _media_frame(
+            spark,
+            [
+                (1, img_a),                     # fresh keep
+                (2, seed_img),                  # index drop
+                (3, b"garbage bytes"),          # funnel drop
+                (4, xmm.make_saw_wav(3300, 5)), # fresh audio keep
+            ],
+        ),
+        0,
+    )
+    assert calls["funnel"] == 1  # one funnel pass = one decode per payload
+    out = {r.doc_id for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert out == {1, 4}
+    dec = {r.doc_id: r.decision
+           for r in spark.read.parquet(str(tmp_path / "dec")).collect()}
+    assert dec == {
+        1: "keep", 2: "drop:near_dup_index", 3: "drop:undecodable", 4: "keep",
+    }
+    # the appended signatures came from the funnel's frames and are
+    # probe-able: a batch-1 copy of doc 1 drops against them
+    writer2 = mc.media_curation_batch_writer(
+        idx, str(tmp_path / "out"), decisions_dir=str(tmp_path / "dec"),
+        max_hamming=15,
+    )
+    writer2(_media_frame(spark, [(10, img_a)]), 1)
+    dec = {r.doc_id: r for r in
+           spark.read.parquet(str(tmp_path / "dec")).collect()}
+    assert dec[10].decision == "drop:near_dup_index" and dec[10].ref_id == 1
+
+
+def test_append_signatures_width_guard(spark, tmp_path, ref_on_disk):
+    """The decode-free append asserts the index's frozen width against
+    each appended frame inside the write plan — a mismatched signature
+    fails the job instead of silently poisoning banding selectivity."""
+    from beeper_matric_etl_tool_spark.ext.media_index import (
+        append_media_index_signatures,
+        media_signatures,
+    )
+
+    idx = str(tmp_path / "midx")
+    build_media_index(ref_on_disk, idx)  # frozen at the 256-bit default
+    wrong = media_signatures(
+        _media_frame(spark, [(9, xmm.make_gradient_bmp(36, 32, seed=2))]),
+        n_bits=64,
+    )
+    with pytest.raises(Exception, match="width"):
+        append_media_index_signatures(wrong, idx, batch_id=1)
+    ok = media_signatures(
+        _media_frame(spark, [(9, xmm.make_gradient_bmp(36, 32, seed=2))]),
+        n_bits=256,
+    )
+    append_media_index_signatures(ok, idx, batch_id=1)
+    import os
+
+    sigs = spark.read.parquet(os.path.join(idx, "signatures"))
+    assert sigs.filter(F.col("ingest_batch") == 1).count() == 1
+
+
 def test_media_curation_writer_guards(spark, tmp_path, ref_on_disk):
     """Construction-time gates: non-index path, id-column mismatch with
     the frozen meta, fresh-checkpoint-vs-staged-index binding."""
@@ -282,6 +379,12 @@ def test_media_curation_writer_guards(spark, tmp_path, ref_on_disk):
         media_curation_batch_writer(idx, str(tmp_path / "o"), id_col="uid")
     with pytest.raises(ValueError, match="sig_bits"):
         media_curation_batch_writer(idx, str(tmp_path / "o"), sig_bits=64)
+    # the image hash method is frozen in the index too — within-batch
+    # dhash vs cross-batch ahash would decide on different signatures
+    with pytest.raises(ValueError, match="image_method"):
+        media_curation_batch_writer(
+            idx, str(tmp_path / "o"), image_method="ahash"
+        )
     assert media_curation_batch_writer(idx, str(tmp_path / "o")) is not None
 
     # checkpoint binding: a second stream with a DIFFERENT checkpoint
