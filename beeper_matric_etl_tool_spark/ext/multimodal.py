@@ -1002,6 +1002,14 @@ VHASH_SCHEMA = T.StructType(
     ]
 )
 
+#: the fused-stage schema: VHASH_SCHEMA plus one IMAGE-plane hash per
+#: sampled frame — the cross-modality gate's probe material, emitted by
+#: the same decode pass that computes the video signature
+VHASH_FRAME_SCHEMA = T.StructType(
+    VHASH_SCHEMA.fields
+    + [T.StructField("frame_bits", T.ArrayType(T.ArrayType(T.IntegerType())))]
+)
+
 
 def _vhash_of(frames: "np.ndarray", side: int = VHASH_FRAMES) -> list[int]:
     """side² spatio-temporal signature bits over a (n, h, w, 3) BGR frame
@@ -1025,6 +1033,7 @@ def video_hash_bits(
     with_payload: DataFrame,
     id_col: str = "doc_id",
     n_bits: int = DEFAULT_SIG_BITS,
+    frame_hash_method: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_video_frames, width, height, bits array<int>[n_bits],
     error) — spatio-temporal video hash signatures over AVI payloads,
@@ -1038,12 +1047,31 @@ def video_hash_bits(
     duration or resolution. Videos need at least sqrt(n_bits) frames so
     every temporal sample lands on a distinct frame (duplicate samples
     would make short clips hash like freeze-frames of themselves);
-    ``n_bits`` default per :data:`DEFAULT_SIG_BITS`."""
+    ``n_bits`` default per :data:`DEFAULT_SIG_BITS`.
+
+    ``frame_hash_method`` ('dhash'/'ahash') turns this into the FUSED
+    stage: the same decode pass also emits ``frame_bits`` — one
+    IMAGE-plane hash (at ``n_bits``, the given method) per sampled
+    frame, bit-identical to re-encoding that frame as a BMP and running
+    `image_perceptual_bits` on it (same pixel array, same grid sampler)
+    but without a second decode. This is the cross-modality gate's probe
+    material: 'is this clip built from a known still' compares frame
+    hashes against the image signature plane, and fusing keeps the
+    lake's decode cost at one pass per payload."""
     side = _side_of(n_bits)
+    if frame_hash_method not in (None, "dhash", "ahash"):
+        raise ValueError(
+            f"video_hash_bits: unknown frame_hash_method {frame_hash_method!r}"
+        )
+    frame_hasher = (
+        None
+        if frame_hash_method is None
+        else (_dhash_of if frame_hash_method == "dhash" else _ahash_of)
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, nfs, ws, hs, bits, errs = [], [], [], [], [], []
+            ids, nfs, ws, hs, bits, errs, fbits = [], [], [], [], [], [], []
             for doc_id, p in zip(pdf[id_col], pdf["payload"]):
                 try:
                     if p is None:
@@ -1062,26 +1090,36 @@ def video_hash_bits(
                     ws.append(frames.shape[2])
                     hs.append(frames.shape[1])
                     bits.append(_vhash_of(frames, side))
+                    if frame_hasher is not None:
+                        fidx = (2 * np.arange(side) + 1) * n // (2 * side)
+                        fbits.append(
+                            [frame_hasher(frames[fi], side) for fi in fidx.tolist()]
+                        )
+                    else:
+                        fbits.append(None)
                     errs.append(None)
                 except (NotImplementedError, ValueError, IndexError) as exc:
                     nfs.append(None)
                     ws.append(None)
                     hs.append(None)
                     bits.append(None)
+                    fbits.append(None)
                     errs.append(f"vhash_error: {exc}")
                 ids.append(doc_id)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "n_video_frames": pd.Series(nfs, dtype="Int32"),
-                    "width": pd.Series(ws, dtype="Int32"),
-                    "height": pd.Series(hs, dtype="Int32"),
-                    "bits": bits,
-                    "error": errs,
-                }
-            )
+            out = {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_video_frames": pd.Series(nfs, dtype="Int32"),
+                "width": pd.Series(ws, dtype="Int32"),
+                "height": pd.Series(hs, dtype="Int32"),
+                "bits": bits,
+                "error": errs,
+            }
+            if frame_hasher is not None:
+                out["frame_bits"] = fbits
+            yield pd.DataFrame(out)
 
-    return with_payload.mapInPandas(batches, schema=VHASH_SCHEMA)
+    schema = VHASH_SCHEMA if frame_hasher is None else VHASH_FRAME_SCHEMA
+    return with_payload.mapInPandas(batches, schema=schema)
 
 
 def video_near_dup_pairs(
@@ -1117,8 +1155,16 @@ def video_near_dup_pairs(
 
 #: decision vocabulary of the BATCH curation funnel — every input row
 #: gets exactly one, never silently dropped (the curate() audit
-#: discipline)
-MEDIA_DECISIONS = ("keep", "drop:undecodable", "drop:below_floor", "drop:near_dup")
+#: discipline). 'drop:near_dup_cross' is emitted only under
+#: ``cross_modal=True``: a video whose sampled frames match a
+#: floor-surviving image (a re-encoded still).
+MEDIA_DECISIONS = (
+    "keep",
+    "drop:undecodable",
+    "drop:below_floor",
+    "drop:near_dup",
+    "drop:near_dup_cross",
+)
 
 #: the STREAMING funnel's superset: the continuous writer
 #: (streaming/media_curation.py) additionally demotes funnel keeps that
@@ -1165,6 +1211,7 @@ def curate_media_with_signatures(
     bands: int = 16,
     sig_bits: int = DEFAULT_SIG_BITS,
     image_method: str = "dhash",
+    cross_modal: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The media lake's curation funnel — the multimodal twin of the text
     ``curate()`` pipeline — PLUS the signature frames the funnel already
@@ -1221,7 +1268,24 @@ def curate_media_with_signatures(
     is. ``image_method`` ('dhash'/'ahash') picks the image plane's hash —
     callers composing with a persisted media index MUST pass the index's
     frozen method (the streaming writer does) or within-batch and
-    cross-batch image decisions would be made on different signatures."""
+    cross-batch image decisions would be made on different signatures.
+
+    ``cross_modal=True`` adds the RE-ENCODED-STILL gate (stage 4b): the
+    video leg runs the FUSED stage (`video_hash_bits(frame_hash_method=
+    image_method)` — same decode pass, one image-plane hash per sampled
+    frame), and a video still 'keep' after its own modality's dedup
+    whose ANY sampled frame is within ``image_max_hamming`` of a
+    FLOOR-SURVIVING image's signature drops as ``drop:near_dup_cross`` —
+    the clip is derived from a still the image plane already holds (the
+    reference's one-payload-column data model makes the mixed lake the
+    normal case). One-directional on purpose: images never drop against
+    video frames (the still is the source artifact, the clip the
+    derivative). Within-modality decisions take precedence — a video
+    already dropped as drop:near_dup stays so. The gate rides the same
+    banded machinery (frames × images cross candidates — linear, never
+    all-pairs), and the returned ``signatures`` relation gains a
+    ``frame_bits`` column (video rows only) so a downstream index probe
+    can run the same gate cross-batch without re-decoding."""
     if image_method not in ("dhash", "ahash"):
         raise ValueError(f"curate_media: unknown image_method {image_method!r}")
     side = _side_of(sig_bits)
@@ -1302,9 +1366,9 @@ def curate_media_with_signatures(
             height_col(sigs).alias("height"),
             frames_col(sigs).alias("n_frames"),
         )
-        return decisions, sig_frame
+        return decisions, sig_frame, sigs
 
-    img, img_sigs = leg(
+    img, img_sigs, _ = leg(
         "image",
         lambda df: image_perceptual_bits(df, method=image_method, n_bits=sig_bits),
         image_max_hamming,
@@ -1313,7 +1377,7 @@ def curate_media_with_signatures(
         lambda s: F.lit(None).cast("int"),
         lambda s: (F.col("width") < min_width) | (F.col("height") < min_height),
     )
-    aud, aud_sigs = leg(
+    aud, aud_sigs, _ = leg(
         "audio",
         lambda df: audio_fingerprint_bits(df, n_bits=sig_bits),
         audio_max_hamming,
@@ -1322,9 +1386,13 @@ def curate_media_with_signatures(
         lambda s: F.col("n_frames"),
         lambda s: F.col("n_frames") < min_audio_frames,
     )
-    vid, vid_sigs = leg(
+    vid, vid_sigs, vid_raw = leg(
         "video",
-        lambda df: video_hash_bits(df, n_bits=sig_bits),
+        lambda df: video_hash_bits(
+            df,
+            n_bits=sig_bits,
+            frame_hash_method=image_method if cross_modal else None,
+        ),
         video_max_hamming,
         lambda s: F.col("width"),
         lambda s: F.col("height"),
@@ -1340,6 +1408,70 @@ def curate_media_with_signatures(
         F.lit(None).cast("long").alias("cluster_id"),
         F.lit("drop:undecodable").alias("decision"),
     )
+    if cross_modal:
+        from beeper_matric_etl_tool_spark.ext.dedup import (
+            simhash_cross_candidates,
+        )
+
+        # stage 4b — re-encoded-still gate: each decodable video's
+        # sampled-frame image hashes (from the fused stage's checkpoint,
+        # no extra decode) vs the FLOOR-SURVIVING images' signatures.
+        # Frame rows get a synthetic id (doc·side + frame_idx, unique:
+        # frame_idx < side) so the cross join's dedup-per-id contract
+        # holds; matches map back by integer division.
+        frame_rows = (
+            vid_raw.filter(F.col("error").isNull())
+            .select("doc_id", F.posexplode("frame_bits").alias("fidx", "bits"))
+            .select(
+                (F.col("doc_id") * side + F.col("fidx")).alias("doc_id"), "bits"
+            )
+        )
+        img_refs = img_sigs.join(
+            img.filter(F.col("decision").isin("keep", "drop:near_dup")).select(
+                "doc_id"
+            ),
+            on="doc_id",
+        ).select("doc_id", "bits")
+        cross_hits = simhash_cross_candidates(
+            frame_rows,
+            img_refs,
+            max_hamming=image_max_hamming,
+            bands=bands,
+            n_bits=sig_bits,
+            cache=False,
+        ).select(F.expr(f"doc_id DIV {side}").alias("doc_id")).distinct()
+        vid = vid.join(
+            cross_hits.withColumn("__x", F.lit(True)), on="doc_id", how="left"
+        ).select(
+            "doc_id",
+            "modality",
+            "width",
+            "height",
+            "n_frames",
+            "cluster_id",
+            # within-modality decisions take precedence: only keeps demote
+            F.when(
+                (F.col("decision") == "keep") & F.col("__x"),
+                "drop:near_dup_cross",
+            )
+            .otherwise(F.col("decision"))
+            .alias("decision"),
+        )
+        # expose the fused frame hashes on the signature relation so a
+        # cross-batch consumer (the streaming writer's index gate) can
+        # probe without re-decoding; image/audio rows carry NULL
+        fb_t = "array<array<int>>"
+        vid_sigs = vid_raw.filter(F.col("error").isNull()).select(
+            "doc_id",
+            F.lit("video").alias("modality"),
+            "bits",
+            F.col("width"),
+            F.col("height"),
+            F.col("n_video_frames").alias("n_frames"),
+            F.col("frame_bits"),
+        )
+        img_sigs = img_sigs.withColumn("frame_bits", F.lit(None).cast(fb_t))
+        aud_sigs = aud_sigs.withColumn("frame_bits", F.lit(None).cast(fb_t))
     decisions = img.unionByName(aud).unionByName(vid).unionByName(unk)
     signatures = img_sigs.unionByName(aud_sigs).unionByName(vid_sigs)
     return decisions, signatures

@@ -2548,9 +2548,14 @@ VHASH_BANDS = 16
 #: 4-member near-dup CLIQUE: two exact copies of each form, originals and
 #: edits within the modality's near threshold). Docs 48..51 are text
 #: payloads ('unknown' container), 52 a below-floor 8x6 image, 53 a
-#: 5-frame video the hash's decode gate dead-letters.
+#: 5-frame video the hash's decode gate dead-letters, 54 a RE-ENCODED
+#: STILL — a 24-frame AVI whose every frame is the seed-0 image family's
+#: pixel content (the cross_modal gate's target: its sampled-frame
+#: image hashes are bit-identical to image doc 0's dHash, so the funnel
+#: drops it as drop:near_dup_cross).
 MC_MEDIA_DOCS = 48
-MC_DOCS = 54
+MC_DOCS = 55
+MC_STILL_DOC = 54
 MC_SEEDS = 4
 MC_MIN_W, MC_MIN_H = 16, 8
 MC_SMALL_W, MC_SMALL_H = 8, 6
@@ -2740,21 +2745,17 @@ MC_SHORT_FRAMES = 5
                 WHERE m = 0
             )
         ),
+        mc_img_bits AS (
+            SELECT a.doc_id, a.r * 8 + a.c AS pos,
+                   CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+            FROM mc_img_cells a JOIN mc_img_cells b
+              ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+            WHERE a.c < 8
+        ),
         mc_img_near AS (
             SELECT x2.doc_id AS id_a, y2.doc_id AS id_b
-            FROM (
-                SELECT a.doc_id, a.r * 8 + a.c AS pos,
-                       CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
-                FROM mc_img_cells a JOIN mc_img_cells b
-                  ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
-                WHERE a.c < 8
-            ) x2 JOIN (
-                SELECT a.doc_id, a.r * 8 + a.c AS pos,
-                       CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
-                FROM mc_img_cells a JOIN mc_img_cells b
-                  ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
-                WHERE a.c < 8
-            ) y2 ON x2.pos = y2.pos AND x2.doc_id < y2.doc_id
+            FROM mc_img_bits x2 JOIN mc_img_bits y2
+              ON x2.pos = y2.pos AND x2.doc_id < y2.doc_id
             GROUP BY 1, 2
             HAVING SUM(CASE WHEN x2.bit <> y2.bit THEN 1 ELSE 0 END)
                    <= {PHASH_MAX_HAMMING}
@@ -2826,26 +2827,104 @@ MC_SHORT_FRAMES = 5
                 WHERE m = 2
             )
         ),
+        mc_vid_bits AS (
+            SELECT a.doc_id, a.k * 8 + a.r * 4 + a.c AS pos,
+                   CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+            FROM mc_vid_cells a JOIN mc_vid_cells b
+              ON b.doc_id = a.doc_id AND b.k = a.k AND b.r = a.r
+                 AND b.c = a.c + 1
+            WHERE a.c < 4
+        ),
+        -- the RE-ENCODED STILL (doc 54): 24 identical frames of the
+        -- seed-0 image family's gradient at image dims -> its video-plane
+        -- signature is the static gradient's 2x5 dHash repeated per
+        -- sampled frame (t contributes nothing)
+        mc54_vid_cells AS (
+            SELECT gk.k AS k, gr.r AS r, gc.c AS c,
+                   299 * (((least((2*gc.c + 1) * {PHASH_W} // 10, {PHASH_W - 1})
+                          + least((2*gr.r + 1) * {PHASH_H} // 4, {PHASH_H - 1}))
+                          * 3) % 256)
+                 + 587 * ((least((2*gr.r + 1) * {PHASH_H} // 4, {PHASH_H - 1})
+                          * 11) % 256)
+                 + 114 * ((least((2*gc.c + 1) * {PHASH_W} // 10, {PHASH_W - 1})
+                          * 7) % 256) AS luma
+            FROM generate_series(0, 7) AS gk(k),
+                 generate_series(0, 1) AS gr(r), generate_series(0, 4) AS gc(c)
+        ),
+        mc54_vid_bits AS (
+            SELECT CAST({MC_STILL_DOC} AS BIGINT) AS doc_id,
+                   a.k * 8 + a.r * 4 + a.c AS pos,
+                   CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+            FROM mc54_vid_cells a JOIN mc54_vid_cells b
+              ON b.k = a.k AND b.r = a.r AND b.c = a.c + 1
+            WHERE a.c < 4
+        ),
+        mc_vid_all AS (
+            SELECT doc_id, pos, bit FROM mc_vid_bits
+            UNION ALL SELECT doc_id, pos, bit FROM mc54_vid_bits
+        ),
         mc_vid_near AS (
             SELECT x2.doc_id AS id_a, y2.doc_id AS id_b
-            FROM (
-                SELECT a.doc_id, a.k * 8 + a.r * 4 + a.c AS pos,
-                       CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
-                FROM mc_vid_cells a JOIN mc_vid_cells b
-                  ON b.doc_id = a.doc_id AND b.k = a.k AND b.r = a.r
-                     AND b.c = a.c + 1
-                WHERE a.c < 4
-            ) x2 JOIN (
-                SELECT a.doc_id, a.k * 8 + a.r * 4 + a.c AS pos,
-                       CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
-                FROM mc_vid_cells a JOIN mc_vid_cells b
-                  ON b.doc_id = a.doc_id AND b.k = a.k AND b.r = a.r
-                     AND b.c = a.c + 1
-                WHERE a.c < 4
-            ) y2 ON x2.pos = y2.pos AND x2.doc_id < y2.doc_id
+            FROM mc_vid_all x2 JOIN mc_vid_all y2
+              ON x2.pos = y2.pos AND x2.doc_id < y2.doc_id
             GROUP BY 1, 2
             HAVING SUM(CASE WHEN x2.bit <> y2.bit THEN 1 ELSE 0 END)
                    <= {VHASH_MAX_HAMMING}
+        ),
+        -- cross-modality gate replay: every video's sampled frames, each
+        -- hashed on the IMAGE plane's 8x9 grid over the frame's own dims
+        -- (the fused stage's frame_bits), vs every floor-surviving image
+        mc_frame_lum AS (
+            SELECT doc_id, k, r, c,
+                   299 * (CASE WHEN edit = 1 THEN 255 - r0 ELSE r0 END)
+                 + 587 * (CASE WHEN edit = 1 THEN 255 - g0 ELSE g0 END)
+                 + 114 * (CASE WHEN edit = 1 THEN 255 - b0 ELSE b0 END) AS luma
+            FROM (
+                SELECT doc_id, k, r, c,
+                       (xi * (7 + 13*seed) + t*29) % 256 AS b0,
+                       (yi * (11 + 17*seed) + t*23) % 256 AS g0,
+                       ((xi + yi) * (3 + 7*seed) + t*19) % 256 AS r0,
+                       CASE WHEN variant = 1 AND xi = {VHASH_MARK_COL}
+                                 AND t >= {VHASH_EDIT_FRAMES[0]}
+                                 AND t < {VHASH_EDIT_FRAMES[1]}
+                            THEN 1 ELSE 0 END AS edit
+                FROM (
+                    SELECT doc_id, seed, variant, gk.k AS k,
+                           gr.r AS r, gc.c AS c,
+                           (2*gk.k + 1) * {VHASH_N_FRAMES} // 16 AS t,
+                           least((2*gr.r + 1) * {VHASH_H} // 16,
+                                 {VHASH_H - 1}) AS yi,
+                           least((2*gc.c + 1) * {VHASH_W} // 18,
+                                 {VHASH_W - 1}) AS xi
+                    FROM mc_docs, generate_series(0, 7) AS gk(k),
+                         generate_series(0, 7) AS gr(r),
+                         generate_series(0, 8) AS gc(c)
+                    WHERE m = 2
+                )
+            )
+        ),
+        mc_frame_bits AS (
+            SELECT a.doc_id, a.k, a.r * 8 + a.c AS pos,
+                   CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+            FROM mc_frame_lum a JOIN mc_frame_lum b
+              ON b.doc_id = a.doc_id AND b.k = a.k AND b.r = a.r
+                 AND b.c = a.c + 1
+            WHERE a.c < 8
+            UNION ALL
+            -- doc 54's frames are ALL the seed-0 original image: its
+            -- frame hash IS that image's dHash (one frame suffices for
+            -- the ANY-frame gate)
+            SELECT CAST({MC_STILL_DOC} AS BIGINT) AS doc_id, 0 AS k, pos, bit
+            FROM bits WHERE doc_id = 0
+        ),
+        mc_cross AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT x.doc_id
+                FROM mc_frame_bits x JOIN mc_img_bits y ON y.pos = x.pos
+                GROUP BY x.doc_id, x.k, y.doc_id
+                HAVING SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+                       <= {PHASH_MAX_HAMMING}
+            )
         ),
         mc_near AS (
             SELECT id_a, id_b FROM mc_img_near
@@ -2854,18 +2933,24 @@ MC_SHORT_FRAMES = 5
         ),
         mc_curation AS (
             -- planted families are CLIQUES, so the component minimum is
-            -- the smallest incident pair id (id_a < id_b by construction)
+            -- the smallest incident pair id (id_a < id_b by construction);
+            -- within-modality decisions take precedence over the cross
+            -- gate (only keeps demote to drop:near_dup_cross)
             SELECT d.doc_id,
                    CASE d.m WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                             ELSE 'video' END AS modality,
                    coalesce(min(p.id_a), d.doc_id) AS cluster_id,
-                   CASE WHEN min(p.id_a) IS NULL THEN 'keep'
-                        ELSE 'drop:near_dup' END AS decision,
+                   CASE WHEN min(p.id_a) IS NOT NULL THEN 'drop:near_dup'
+                        WHEN max(x.doc_id) IS NOT NULL
+                            THEN 'drop:near_dup_cross'
+                        ELSE 'keep' END AS decision,
                    CASE WHEN d.m = 0 THEN {PHASH_W}
                         WHEN d.m = 2 THEN {VHASH_W} END AS width,
                    CASE WHEN d.m = 0 THEN {PHASH_H}
                         WHEN d.m = 2 THEN {VHASH_H} END AS height
-            FROM mc_docs d LEFT JOIN mc_near p ON p.id_b = d.doc_id
+            FROM mc_docs d
+            LEFT JOIN mc_near p ON p.id_b = d.doc_id
+            LEFT JOIN mc_cross x ON x.doc_id = d.doc_id
             GROUP BY d.doc_id, d.m
         )
         SELECT 'manifest' AS kind, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
@@ -2920,6 +3005,23 @@ MC_SHORT_FRAMES = 5
                CAST(NULL AS BIGINT), 'drop:undecodable',
                CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
         FROM documents WHERE doc_id = {MC_MEDIA_DOCS + 5}
+        UNION ALL
+        -- the re-encoded still: full replay — within-video pairs take
+        -- precedence, else the cross gate (its frame hash equals image
+        -- doc 0's dHash, hamming 0)
+        SELECT 'curation', d.doc_id,
+               CAST(coalesce(p54.cid, {MC_STILL_DOC}) AS BIGINT), 'video',
+               CAST(NULL AS BIGINT),
+               CASE WHEN p54.cid IS NOT NULL THEN 'drop:near_dup'
+                    WHEN d.doc_id IN (SELECT doc_id FROM mc_cross)
+                        THEN 'drop:near_dup_cross'
+                    ELSE 'keep' END,
+               {PHASH_W}, {PHASH_H}, CAST(NULL AS BIGINT)
+        FROM documents d LEFT JOIN (
+            SELECT id_b, min(id_a) AS cid FROM mc_near
+            WHERE id_b = {MC_STILL_DOC} GROUP BY 1
+        ) p54 ON p54.id_b = d.doc_id
+        WHERE d.doc_id = {MC_STILL_DOC}
         UNION ALL
         SELECT 'search' AS kind, id_a, id_b, 'image' AS mime,
                CAST(NULL AS BIGINT) AS byte_len,
@@ -2993,16 +3095,25 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus: docs 0..47 round-robin image/audio/video by doc_id % 3, four
     near-dup-clique families per modality (two exact copies each of an
     original and an edited form), plus unknown-container text payloads,
-    a below-floor 8x6 image, and a 5-frame video the hash's decode gate
-    dead-letters. JVM-side magic-byte dispatch → one real decode per
-    payload → floor gates → per-modality banded near-dup →
-    pointer-jumping clusters → lowest-id-canonical keep. Every input doc
-    appears exactly once with an explicit decision (the audit
-    discipline); `mime` carries the modality, `payload_sha256` the
+    a below-floor 8x6 image, a 5-frame video the hash's decode gate
+    dead-letters, and a RE-ENCODED STILL (doc 54: a 24-frame AVI whose
+    every frame is the seed-0 image's pixels). JVM-side magic-byte
+    dispatch → one real decode per payload (the video leg runs the FUSED
+    stage: vhash + per-sampled-frame image hashes) → floor gates →
+    per-modality banded near-dup → pointer-jumping clusters →
+    lowest-id-canonical keep → CROSS-MODALITY gate (cross_modal=True): a
+    video still 'keep' whose any sampled frame is within the image
+    radius of a floor-surviving image drops as drop:near_dup_cross.
+    Every input doc appears exactly once with an explicit decision (the
+    audit discipline); `mime` carries the modality, `payload_sha256` the
     decision, `id_b` the cluster id. The oracle re-derives every
     signature from the generators' closed forms and replays the
     keep/drop rule (exact on cliques: component min = smallest incident
-    pair id)."""
+    pair id) INCLUDING the cross gate — frame-vs-image hamming for EVERY
+    video (the planted corpus genuinely exercises it beyond the still:
+    video doc 2's frames land within the radius of the image plane), and
+    doc 54's video-plane bits are derived too so within-modality
+    precedence is replayed, not assumed."""
     import pandas as pd
 
     from beeper_matric_etl_tool_spark.ext import multimodal as xmm
@@ -3123,11 +3234,20 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         payloads.append(f"text payload {d}".encode())
                     elif d == MC_MEDIA_DOCS + 4:
                         payloads.append(xmm.make_bmp(MC_SMALL_W, MC_SMALL_H, 0))
-                    else:
+                    elif d == MC_MEDIA_DOCS + 5:
                         payloads.append(
                             xmm.make_gradient_avi(
                                 VHASH_W, VHASH_H, MC_SHORT_FRAMES, 0
                             )
+                        )
+                    else:  # the re-encoded still (MC_STILL_DOC)
+                        import numpy as np
+
+                        px = xmm._bmp_pixels(
+                            xmm.make_gradient_bmp(PHASH_W, PHASH_H, 0)
+                        )[:, :, :3]
+                        payloads.append(
+                            xmm._encode_avi(np.stack([px] * 24), fps=12)
                         )
                     continue
                 m, j = d % 3, d // 3
@@ -3156,9 +3276,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted_mc = docs.select("doc_id").filter(F.col("doc_id") < MC_DOCS)
     mixed = planted_mc.mapInPandas(gen_mixed, "doc_id long, payload binary")
     # the oracle replays the 64-bit closed forms, so the funnel runs the
-    # compact width explicitly (production default is DEFAULT_SIG_BITS)
+    # compact width explicitly (production default is DEFAULT_SIG_BITS);
+    # cross_modal exercises the re-encoded-still gate over the planted
+    # still-AVI (the oracle replays the frame-vs-image hamming for EVERY
+    # video, not just the planted hit)
     curation = xmm.curate_media(
-        mixed, min_width=MC_MIN_W, min_height=MC_MIN_H, sig_bits=64
+        mixed, min_width=MC_MIN_W, min_height=MC_MIN_H, sig_bits=64,
+        cross_modal=True,
     ).select(
         F.lit("curation").alias("kind"),
         F.col("doc_id").cast("long").alias("id_a"),

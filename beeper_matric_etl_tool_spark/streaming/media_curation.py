@@ -61,6 +61,7 @@ def media_curation_batch_writer(
     max_hamming: int | None = None,
     bands: int = 16,
     id_col: str = "doc_id",
+    cross_modal: bool = False,
     **curate_kwargs,
 ):
     """foreachBatch writer running the media funnel per micro-batch.
@@ -72,10 +73,19 @@ def media_curation_batch_writer(
     resolves via `multimodal.default_media_hamming` at the INDEX's frozen
     width — the threshold scales with the signature width.
 
+    ``cross_modal=True`` runs the RE-ENCODED-STILL gate at both scopes:
+    within the batch (the funnel's stage 4b — videos whose sampled
+    frames match a floor-surviving batch image) AND against the lake
+    (surviving videos' fused frame hashes probed into the index's IMAGE
+    signature plane, still zero extra decodes — the frames ride the
+    funnel's signature relation). Both drop as ``drop:near_dup_cross``;
+    the index-scope drop carries the matched image as its witness.
+
     ``decisions_dir`` (optional) persists the PER-DOC audit trail —
     every input doc's funnel decision, with index drops overriding their
-    keep to ``drop:near_dup_index`` and carrying the witness (ref_id,
-    hamming); the vocabulary across streamed batches is
+    keep to ``drop:near_dup_index`` (same-modality) or
+    ``drop:near_dup_cross`` (frame-vs-image) and carrying the witness
+    (ref_id, hamming); the vocabulary across streamed batches is
     `multimodal.MEDIA_STREAM_DECISIONS` (the batch funnel's tuple plus
     the index-drop decision) — staged by ``ingest_batch`` like the
     corpus, so replays replace their own rows. This is the curate_media
@@ -133,6 +143,7 @@ def media_curation_batch_writer(
             # signatures while the probe compares the index's method
             sig_bits=meta["n_bits"],
             image_method=meta["image_method"],
+            cross_modal=cross_modal,
             **curate_kwargs,
         )
         keeps = decisions.filter(F.col("decision") == "keep").select("doc_id")
@@ -149,12 +160,59 @@ def media_curation_batch_writer(
         survivor_sigs = kept_sigs.join(
             ref_dropped.select("doc_id"), on="doc_id", how="left_anti"
         ).localCheckpoint(eager=True)
+        cross_dropped = None
+        if cross_modal:
+            # index-scope re-encoded-still gate: surviving videos' fused
+            # frame hashes (already on the signature relation — zero
+            # extra decodes) probed into the index's IMAGE plane; runs
+            # AFTER the same-modality probe so within-modality index
+            # drops keep precedence (a frame probe never sees them)
+            side = int(int(meta["n_bits"]) ** 0.5)
+            frame_probe = (
+                survivor_sigs.filter(
+                    (F.col("modality") == "video")
+                    & F.col("frame_bits").isNotNull()
+                )
+                .select(
+                    "doc_id", F.posexplode("frame_bits").alias("fidx", "bits")
+                )
+                .select(
+                    (F.col("doc_id") * side + F.col("fidx")).alias("doc_id"),
+                    F.lit("image").alias("modality"),
+                    "bits",
+                )
+            )
+            frame_hits = media_dedup_signatures_against_index(
+                frame_probe,
+                spark,
+                index_path,
+                max_hamming=max_hamming,
+                bands=bands,
+                exclude_batch=int(batch_id),
+            )
+            cross_dropped = (
+                frame_hits.groupBy(
+                    F.expr(f"doc_id DIV {side}").alias("doc_id")
+                )
+                .agg(F.min(F.struct("hamming", "ref_id")).alias("__w"))
+                .select(
+                    "doc_id",
+                    F.col("__w.ref_id").alias("ref_id"),
+                    F.col("__w.hamming").alias("hamming"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            survivor_sigs = survivor_sigs.join(
+                cross_dropped.select("doc_id"), on="doc_id", how="left_anti"
+            )
         survivors = batch_df.join(
             survivor_sigs.select(F.col("doc_id").alias(id_col)), on=id_col
         )
         n_in = batch_df.count()
         n_kept = survivor_sigs.count()
-        n_drop_index = ref_dropped.count()
+        n_drop_index = ref_dropped.count() + (
+            cross_dropped.count() if cross_dropped is not None else 0
+        )
 
         if decisions_dir is not None:
             # per-doc audit: funnel decisions, with index drops
@@ -165,6 +223,15 @@ def media_curation_batch_writer(
                 F.col("ref_id"),
                 F.col("hamming"),
             )
+            if cross_dropped is not None:
+                idx_d = idx_d.unionByName(
+                    cross_dropped.select(
+                        F.col("doc_id"),
+                        F.lit("drop:near_dup_cross").alias("__idx_decision"),
+                        F.col("ref_id"),
+                        F.col("hamming"),
+                    )
+                )
             (
                 decisions.join(idx_d, on="doc_id", how="left")
                 .select(

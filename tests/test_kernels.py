@@ -1700,6 +1700,65 @@ def test_curate_media_funnel(spark):
         xmm.curate_media(df, image_method="phash9000")
 
 
+def test_curate_media_cross_modal_gate(spark):
+    """The re-encoded-still gate: with cross_modal=True a video whose
+    sampled frames match a floor-surviving image drops as
+    drop:near_dup_cross (one decode — the fused video stage), a fresh
+    video keeps, images never drop against frames, within-modality
+    precedence holds, and the default funnel is unchanged."""
+    import numpy as np
+
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+
+    still = xmm.make_gradient_bmp(36, 32, seed=1)
+    small_still = xmm.make_bmp(8, 6, seed=0)
+    frame_px = xmm._bmp_pixels(still)[:, :, :3]
+    small_px = xmm._bmp_pixels(small_still)[:, :, :3]
+    video_of_still = xmm._encode_avi(np.stack([frame_px] * 24), fps=12)
+    video_of_small = xmm._encode_avi(np.stack([small_px] * 24), fps=12)
+    fresh_video = xmm.make_gradient_avi(40, 16, 24, seed=3)
+    rows = [
+        (1, bytearray(still)),
+        (2, bytearray(video_of_still)),      # re-encoded still of 1
+        (3, bytearray(fresh_video)),         # fresh -> keep
+        (4, bytearray(small_still)),         # below image floor
+        (5, bytearray(video_of_small)),      # still of a FLOOR-DROPPED image
+        (6, bytearray(video_of_still)),      # exact dup of 2 (within-video)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in xmm.curate_media(
+        df, min_width=16, min_height=8, sig_bits=64, cross_modal=True
+    ).collect()}
+    assert out[1].decision == "keep"           # images never drop vs frames
+    assert out[2].decision == "drop:near_dup_cross"
+    assert out[3].decision == "keep"
+    assert out[4].decision == "drop:below_floor"
+    # a still of a floor-dropped image is NOT redundant with the kept
+    # image plane — it survives the cross gate
+    assert out[5].decision == "keep"
+    # within-modality precedence: the exact dup stays drop:near_dup
+    assert out[6].decision == "drop:near_dup" and out[6].cluster_id == 2
+    assert all(r.decision in xmm.MEDIA_DECISIONS for r in out.values())
+
+    # the signature relation carries the fused frame hashes (video rows)
+    decs, sigs = xmm.curate_media_with_signatures(
+        df, min_width=16, min_height=8, sig_bits=64, cross_modal=True
+    )
+    s = {r.doc_id: r for r in sigs.collect()}
+    assert s[2].frame_bits is not None and len(s[2].frame_bits) == 8
+    assert all(len(fb) == 64 for fb in s[2].frame_bits)
+    assert s[1].frame_bits is None  # image rows carry NULL
+    # fused frame hashes are bit-identical to the image plane's hash of
+    # the same pixels (the still's own signature)
+    assert [list(b) for b in s[2].frame_bits] == [list(s[1].bits)] * 8
+
+    # default funnel (no cross gate): the re-encoded still is kept
+    out0 = {r.doc_id: r for r in xmm.curate_media(
+        df, min_width=16, min_height=8, sig_bits=64
+    ).collect()}
+    assert out0[2].decision == "keep"
+
+
 def test_media_default_hamming_and_scaled_banding():
     """The width→threshold coupling and the corpus-sized banding rule:
     default thresholds scale with the signature width (a 256-bit edit

@@ -334,6 +334,69 @@ def test_streaming_funnel_single_decode(spark, tmp_path, monkeypatch):
     assert dec[10].decision == "drop:near_dup_index" and dec[10].ref_id == 1
 
 
+def test_streaming_cross_modal_gate(spark, tmp_path):
+    """The index-scope re-encoded-still gate: a video whose frames match
+    an INDEXED image drops as drop:near_dup_cross with the image as
+    witness (zero extra decodes — the frames ride the funnel's signature
+    relation); a within-batch still is caught by the funnel's gate; and
+    replaying the batch is byte-stable."""
+    import numpy as np
+
+    from beeper_matric_etl_tool_spark.streaming.media_curation import (
+        media_curation_batch_writer,
+    )
+
+    still = xmm.make_gradient_bmp(36, 32, seed=5)
+    idx = str(tmp_path / "midx")
+    build_media_index(_media_frame(spark, [(1, still)]), idx)
+
+    frame_px = xmm._bmp_pixels(still)[:, :, :3]
+    video_of_indexed = xmm._encode_avi(np.stack([frame_px] * 24), fps=12)
+    batch_img = xmm.make_gradient_bmp(36, 32, seed=2)
+    video_of_batch = xmm._encode_avi(
+        np.stack([xmm._bmp_pixels(batch_img)[:, :, :3]] * 24), fps=12
+    )
+    fresh = xmm.make_gradient_avi(40, 16, 24, seed=3)
+
+    out, dec = str(tmp_path / "out"), str(tmp_path / "dec")
+    writer = media_curation_batch_writer(
+        idx, out, decisions_dir=dec, max_hamming=15, cross_modal=True
+    )
+    rows = [
+        (10, video_of_indexed),  # frames match the INDEXED image
+        (11, batch_img),         # fresh image -> keep
+        (12, video_of_batch),    # frames match the BATCH image (funnel gate)
+        (13, fresh),             # fresh video -> keep
+    ]
+    writer(_media_frame(spark, rows), 0)
+
+    d = {r.doc_id: r for r in spark.read.parquet(dec).collect()}
+    assert d[10].decision == "drop:near_dup_cross"
+    assert (d[10].ref_id, d[10].hamming) == (1, 0)  # the indexed still
+    assert d[11].decision == "keep"
+    assert d[12].decision == "drop:near_dup_cross"
+    assert d[12].ref_id is None  # funnel-scope drop: no index witness
+    assert d[13].decision == "keep"
+    assert all(r.decision in xmm.MEDIA_STREAM_DECISIONS for r in d.values())
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {11, 13}
+
+    # the appended index rows are the SIGNATURE_COLUMNS contract (no
+    # frame_bits leak into the lake's schema)
+    import os
+
+    sigs = spark.read.parquet(os.path.join(idx, "signatures"))
+    assert "frame_bits" not in sigs.columns
+    assert sigs.filter(F.col("ingest_batch") == 0).count() == 2
+
+    # replay: identical staged rows, no duplication
+    writer(_media_frame(spark, rows), 0)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {11, 13}
+    assert spark.read.parquet(dec).count() == 4
+    sigs = spark.read.parquet(os.path.join(idx, "signatures"))
+    assert sigs.filter(F.col("ingest_batch") == 0).count() == 2
+
+
 def test_append_signatures_width_guard(spark, tmp_path, ref_on_disk):
     """The decode-free append asserts the index's frozen width against
     each appended frame inside the write plan — a mismatched signature
