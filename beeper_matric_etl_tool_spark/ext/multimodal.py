@@ -1496,6 +1496,48 @@ def curate_media(
     return decisions
 
 
+def media_report(decisions: DataFrame) -> DataFrame:
+    """The MEDIA DATA CARD — the `corpus_report` shape for the media
+    funnel: one rollup relation over a `curate_media` /
+    `curate_media_with_signatures` decisions frame (or the streaming
+    writer's persisted ``decisions_dir``, whose extra index-drop
+    decisions roll up the same way), answering the release-notes /
+    compliance questions without hand-written SQL over the audit:
+
+    (modality, metric, bucket, n) with two metric families —
+
+    - ``metric='decision'``: bucket = the decision string, n = docs —
+      the per-modality keep/drop-reason histogram (drop:undecodable IS
+      the dead-letter count; 'unknown'-modality rows are the
+      unrecognized-container class).
+    - ``metric='cluster_size'``: bucket = str(cluster size), n = how
+      many near-dup clusters of that size the modality has (over all
+      gate survivors, keeps and near-dup drops alike — singletons
+      included, so Σ size·n = gate survivors and the duplication factor
+      is readable straight off the card).
+
+    Scale shape: two aggregations over the decisions relation (already
+    corpus-of-decisions-sized — no payloads, no signatures), both
+    map-side combined; the cluster histogram's intermediate is one row
+    per cluster. The result is #modalities × #decisions + #distinct
+    sizes rows — driver-bounded, exact integers, deterministic."""
+    dec = (
+        decisions.groupBy("modality", F.col("decision").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("metric", F.lit("decision"))
+    )
+    hist = (
+        decisions.filter(F.col("cluster_id").isNotNull())
+        .groupBy("modality", "cluster_id")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+        .groupBy("modality", F.col("__sz").cast("string").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("metric", F.lit("cluster_size"))
+    )
+    cols = ["modality", "metric", "bucket", "n"]
+    return dec.select(*cols).unionByName(hist.select(*cols))
+
+
 # ---------------------------------------------------------------------------
 # Synthetic media generators — used by tests and as wire-format documentation
 # ---------------------------------------------------------------------------

@@ -2952,6 +2952,44 @@ MC_SHORT_FRAMES = 5
             LEFT JOIN mc_near p ON p.id_b = d.doc_id
             LEFT JOIN mc_cross x ON x.doc_id = d.doc_id
             GROUP BY d.doc_id, d.m
+        ),
+        -- the FULL decisions relation (planted media + extras + the
+        -- re-encoded still), shared by the curation leg and the
+        -- media_report rollup so the two can never drift
+        mc_final AS (
+            SELECT doc_id, modality, cluster_id, decision, width, height
+            FROM mc_curation
+            UNION ALL
+            SELECT doc_id, 'unknown', CAST(NULL AS BIGINT),
+                   'drop:undecodable', CAST(NULL AS INTEGER),
+                   CAST(NULL AS INTEGER)
+            FROM documents
+            WHERE doc_id >= {MC_MEDIA_DOCS} AND doc_id < {MC_MEDIA_DOCS + 4}
+            UNION ALL
+            SELECT doc_id, 'image', CAST(NULL AS BIGINT),
+                   'drop:below_floor', {MC_SMALL_W}, {MC_SMALL_H}
+            FROM documents WHERE doc_id = {MC_MEDIA_DOCS + 4}
+            UNION ALL
+            SELECT doc_id, 'video', CAST(NULL AS BIGINT),
+                   'drop:undecodable', CAST(NULL AS INTEGER),
+                   CAST(NULL AS INTEGER)
+            FROM documents WHERE doc_id = {MC_MEDIA_DOCS + 5}
+            UNION ALL
+            -- the re-encoded still: full replay — within-video pairs
+            -- take precedence, else the cross gate (its frame hash
+            -- equals image doc 0's dHash, hamming 0)
+            SELECT d.doc_id, 'video',
+                   CAST(coalesce(p54.cid, {MC_STILL_DOC}) AS BIGINT),
+                   CASE WHEN p54.cid IS NOT NULL THEN 'drop:near_dup'
+                        WHEN d.doc_id IN (SELECT doc_id FROM mc_cross)
+                            THEN 'drop:near_dup_cross'
+                        ELSE 'keep' END,
+                   {PHASH_W}, {PHASH_H}
+            FROM documents d LEFT JOIN (
+                SELECT id_b, min(id_a) AS cid FROM mc_near
+                WHERE id_b = {MC_STILL_DOC} GROUP BY 1
+            ) p54 ON p54.id_b = d.doc_id
+            WHERE d.doc_id = {MC_STILL_DOC}
         )
         SELECT 'manifest' AS kind, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
                'application/octet-stream' AS mime,
@@ -2988,40 +3026,26 @@ MC_SHORT_FRAMES = 5
                decision AS payload_sha256,
                CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
                CAST(NULL AS BIGINT) AS hamming
-        FROM mc_curation
+        FROM mc_final
         UNION ALL
-        SELECT 'curation', doc_id, CAST(NULL AS BIGINT), 'unknown',
-               CAST(NULL AS BIGINT), 'drop:undecodable',
-               CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
-        FROM documents
-        WHERE doc_id >= {MC_MEDIA_DOCS} AND doc_id < {MC_MEDIA_DOCS + 4}
-        UNION ALL
-        SELECT 'curation', doc_id, CAST(NULL AS BIGINT), 'image',
-               CAST(NULL AS BIGINT), 'drop:below_floor',
-               {MC_SMALL_W}, {MC_SMALL_H}, CAST(NULL AS BIGINT)
-        FROM documents WHERE doc_id = {MC_MEDIA_DOCS + 4}
-        UNION ALL
-        SELECT 'curation', doc_id, CAST(NULL AS BIGINT), 'video',
-               CAST(NULL AS BIGINT), 'drop:undecodable',
-               CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
-        FROM documents WHERE doc_id = {MC_MEDIA_DOCS + 5}
-        UNION ALL
-        -- the re-encoded still: full replay — within-video pairs take
-        -- precedence, else the cross gate (its frame hash equals image
-        -- doc 0's dHash, hamming 0)
-        SELECT 'curation', d.doc_id,
-               CAST(coalesce(p54.cid, {MC_STILL_DOC}) AS BIGINT), 'video',
-               CAST(NULL AS BIGINT),
-               CASE WHEN p54.cid IS NOT NULL THEN 'drop:near_dup'
-                    WHEN d.doc_id IN (SELECT doc_id FROM mc_cross)
-                        THEN 'drop:near_dup_cross'
-                    ELSE 'keep' END,
-               {PHASH_W}, {PHASH_H}, CAST(NULL AS BIGINT)
-        FROM documents d LEFT JOIN (
-            SELECT id_b, min(id_a) AS cid FROM mc_near
-            WHERE id_b = {MC_STILL_DOC} GROUP BY 1
-        ) p54 ON p54.id_b = d.doc_id
-        WHERE d.doc_id = {MC_STILL_DOC}
+        -- kind='report': the media data card — media_report's rollup of
+        -- the same decisions relation (per-modality decision counts +
+        -- cluster-size histogram), replayed off mc_final
+        SELECT 'report', CAST(n AS BIGINT), CAST(NULL AS BIGINT), modality,
+               CAST(NULL AS BIGINT), metric || ':' || bucket,
+               CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+               CAST(NULL AS BIGINT)
+        FROM (
+            SELECT modality, 'decision' AS metric, decision AS bucket,
+                   COUNT(*) AS n
+            FROM mc_final GROUP BY 1, 3
+            UNION ALL
+            SELECT modality, 'cluster_size', CAST(sz AS VARCHAR), COUNT(*)
+            FROM (
+                SELECT modality, cluster_id, COUNT(*) AS sz
+                FROM mc_final WHERE cluster_id IS NOT NULL GROUP BY 1, 2
+            ) GROUP BY 1, 3
+        )
         UNION ALL
         SELECT 'search' AS kind, id_a, id_b, 'image' AS mime,
                CAST(NULL AS BIGINT) AS byte_len,
@@ -3043,7 +3067,14 @@ MC_SHORT_FRAMES = 5
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plane, six kind legs in one relation.
+    """Multimodal plane, seven kind legs in one relation.
+
+    kind='report' — the media DATA CARD (`media_report`): per-modality
+    decision counts and the cluster-size histogram over the curation
+    leg's decisions relation, the release-notes numbers (`mime` =
+    modality, `payload_sha256` = 'metric:bucket', `id_a` = n). The
+    oracle replays the rollup off the same mc_final CTE the curation
+    rows come from, so card and decisions cannot drift.
 
     kind='manifest' — decode/feature-extract stage over the
     payload+metadata plane: Arrow-batched mapInPandas over binary
@@ -3280,10 +3311,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross_modal exercises the re-encoded-still gate over the planted
     # still-AVI (the oracle replays the frame-vs-image hamming for EVERY
     # video, not just the planted hit)
-    curation = xmm.curate_media(
+    mc_decisions = xmm.curate_media(
         mixed, min_width=MC_MIN_W, min_height=MC_MIN_H, sig_bits=64,
         cross_modal=True,
-    ).select(
+    )
+    curation = mc_decisions.select(
         F.lit("curation").alias("kind"),
         F.col("doc_id").cast("long").alias("id_a"),
         F.col("cluster_id").cast("long").alias("id_b"),
@@ -3292,6 +3324,20 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("decision").alias("payload_sha256"),
         F.col("width").cast("int"),
         F.col("height").cast("int"),
+        F.lit(None).cast("long").alias("hamming"),
+    )
+    # kind='report': the media DATA CARD (`media_report`) over the same
+    # decisions relation — per-modality decision counts + cluster-size
+    # histogram; the oracle replays the rollup off its mc_final CTE
+    report = xmm.media_report(mc_decisions).select(
+        F.lit("report").alias("kind"),
+        F.col("n").cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("modality").alias("mime"),
+        F.lit(None).cast("long").alias("byte_len"),
+        F.concat_ws(":", "metric", "bucket").alias("payload_sha256"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("long").alias("hamming"),
     )
     # kind='search': ranked variant retrieval semantics
@@ -3326,6 +3372,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(apairs)
         .unionByName(vpairs)
         .unionByName(curation)
+        .unionByName(report)
         .unionByName(search)
     )
 

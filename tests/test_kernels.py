@@ -1759,6 +1759,48 @@ def test_curate_media_cross_modal_gate(spark):
     assert out0[2].decision == "keep"
 
 
+def test_media_report_data_card(spark):
+    """The media data card: per-modality decision counts + cluster-size
+    histogram, exact integers, one row per (modality, metric, bucket) —
+    and the identities a release-notes reader relies on hold (decision
+    counts sum to the corpus, sum(size*n) = gate survivors)."""
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+
+    img = xmm.make_gradient_bmp(36, 32, seed=1)
+    rows = [
+        (1, bytearray(img)),
+        (2, bytearray(img)),                                   # dup of 1
+        (3, bytearray(xmm.make_gradient_bmp(36, 32, seed=2))), # singleton
+        (4, bytearray(xmm.make_bmp(8, 6, seed=0))),            # below floor
+        (5, bytearray(xmm.make_saw_wav(3300, seed=2))),        # audio keep
+        (6, bytearray(b"junk")),                               # unknown
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    decisions = xmm.curate_media(df, min_width=16, min_height=8, sig_bits=64)
+    card = {
+        (r.modality, r.metric, r.bucket): r.n
+        for r in xmm.media_report(decisions).collect()
+    }
+    assert card[("image", "decision", "keep")] == 2
+    assert card[("image", "decision", "drop:near_dup")] == 1
+    assert card[("image", "decision", "drop:below_floor")] == 1
+    assert card[("audio", "decision", "keep")] == 1
+    assert card[("unknown", "decision", "drop:undecodable")] == 1
+    # clusters: one of size 2 (docs 1+2), one singleton (doc 3)
+    assert card[("image", "cluster_size", "2")] == 1
+    assert card[("image", "cluster_size", "1")] == 1
+    assert card[("audio", "cluster_size", "1")] == 1
+    # identities: decisions sum to the corpus; sum(size*n) = survivors
+    assert sum(
+        n for (m, metric, b), n in card.items() if metric == "decision"
+    ) == len(rows)
+    assert sum(
+        int(b) * n
+        for (m, metric, b), n in card.items()
+        if metric == "cluster_size"
+    ) == 4  # docs 1, 2, 3, 5 passed the gates
+
+
 def test_media_default_hamming_and_scaled_banding():
     """The width→threshold coupling and the corpus-sized banding rule:
     default thresholds scale with the signature width (a 256-bit edit
