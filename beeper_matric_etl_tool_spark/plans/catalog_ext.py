@@ -2990,6 +2990,18 @@ MC_SHORT_FRAMES = 5
                 WHERE id_b = {MC_STILL_DOC} GROUP BY 1
             ) p54 ON p54.id_b = d.doc_id
             WHERE d.doc_id = {MC_STILL_DOC}
+        ),
+        srch_ranked AS (
+            SELECT id_a, id_b, hamming,
+                   ROW_NUMBER() OVER (PARTITION BY id_a
+                                      ORDER BY hamming, id_b) AS rnk
+            FROM (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                       SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+                FROM bits x JOIN bits y ON x.pos = y.pos
+                WHERE x.doc_id < {PHASH_SEEDS} AND y.doc_id >= {PHASH_SEEDS}
+                GROUP BY 1, 2
+            ) WHERE hamming <= {PHASH_MAX_HAMMING}
         )
         SELECT 'manifest' AS kind, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
                'application/octet-stream' AS mime,
@@ -3052,22 +3064,34 @@ MC_SHORT_FRAMES = 5
                CAST(NULL AS VARCHAR) AS payload_sha256,
                CAST(rnk AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
                CAST(hamming AS BIGINT) AS hamming
+        FROM srch_ranked WHERE rnk <= 3
+        UNION ALL
+        -- kind='recall': evaluate_recall of the BANDED retrieval vs the
+        -- brute-force exact top-k — the pigeonhole guarantee graded, not
+        -- assumed: n_hit = n_exact and recall_ppm = 1e6 per probe, and
+        -- the oracle derives n_exact from the closed-form ground truth
+        SELECT 'recall', id_a, CAST(n AS BIGINT), 'image',
+               CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(n AS INTEGER), CAST(NULL AS INTEGER),
+               CAST(1000000 AS BIGINT)
         FROM (
-            SELECT id_a, id_b, hamming,
-                   ROW_NUMBER() OVER (PARTITION BY id_a
-                                      ORDER BY hamming, id_b) AS rnk
-            FROM (
-                SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-                       SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
-                FROM bits x JOIN bits y ON x.pos = y.pos
-                WHERE x.doc_id < {PHASH_SEEDS} AND y.doc_id >= {PHASH_SEEDS}
-                GROUP BY 1, 2
-            ) WHERE hamming <= {PHASH_MAX_HAMMING}
-        ) WHERE rnk <= 3
+            SELECT id_a, COUNT(*) AS n FROM srch_ranked
+            WHERE rnk <= 3 GROUP BY 1
+        )
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plane, seven kind legs in one relation.
+    """Multimodal plane, eight kind legs in one relation.
+
+    kind='recall' — the banded retrieval GRADED: `evaluate_recall` (the
+    embedding tier's recall@k audit) of `rank_media_variants` against a
+    brute-force exact top-k over the same signatures (explicit
+    probe-sized cross join — the eval-harness pattern). The pigeonhole
+    guarantee (total recall within max_hamming <= bands-1) is thereby
+    measured per probe: n_hit = n_exact, recall_ppm = 1,000,000, with
+    n_exact independently derived by the oracle from the closed-form
+    ground truth — a banding recall regression would hash-mismatch this
+    leg before any user sees a silently smaller candidate set.
 
     kind='report' — the media DATA CARD (`media_report`): per-modality
     decision counts and the cluster-size histogram over the curation
@@ -3352,11 +3376,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs_all = xmm.image_perceptual_bits(imgs, n_bits=64).filter(
         F.col("error").isNull()
     ).select("doc_id", F.lit("image").alias("modality"), "bits")
-    search = rank_media_variants(
+    ranked = rank_media_variants(
         sigs_all.filter(F.col("doc_id") < PHASH_SEEDS),
         sigs_all.filter(F.col("doc_id") >= PHASH_SEEDS),
         max_hamming=PHASH_MAX_HAMMING, k=3, bands=PHASH_BANDS, n_bits=64,
-    ).select(
+    )
+    search = ranked.select(
         F.lit("search").alias("kind"),
         F.col("probe_id").cast("long").alias("id_a"),
         F.col("ref_id").cast("long").alias("id_b"),
@@ -3367,6 +3392,51 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.col("hamming").cast("long"),
     )
+    # kind='recall': the BANDED retrieval graded against a brute-force
+    # EXACT top-k (`evaluate_recall`, the embedding tier's audit) — the
+    # pigeonhole guarantee measured, not assumed. The ground truth is an
+    # explicit probe-sized cross join (the eval-harness pattern, never
+    # the production path) with the same (hamming, ref_id) order.
+    from pyspark.sql import Window as _W
+
+    from beeper_matric_etl_tool_spark.ext.similarity import evaluate_recall
+
+    a = sigs_all.filter(F.col("doc_id") < PHASH_SEEDS).select(
+        F.col("doc_id").alias("probe_id"), F.col("bits").alias("__ba")
+    )
+    b = sigs_all.filter(F.col("doc_id") >= PHASH_SEEDS).select(
+        F.col("doc_id").alias("ref_id"), F.col("bits").alias("__bb")
+    )
+    ham = F.aggregate(
+        F.zip_with("__ba", "__bb", lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    exact_topk = (
+        a.crossJoin(b)
+        .select("probe_id", "ref_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                _W.partitionBy("probe_id").orderBy("hamming", "ref_id")
+            ),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+    recall = evaluate_recall(
+        ranked, exact_topk, query_col="probe_id", id_col="ref_id"
+    ).select(
+        F.lit("recall").alias("kind"),
+        F.col("probe_id").cast("long").alias("id_a"),
+        F.col("n_exact").cast("long").alias("id_b"),
+        F.lit("image").alias("mime"),
+        F.lit(None).cast("long").alias("byte_len"),
+        F.lit(None).cast("string").alias("payload_sha256"),
+        F.col("n_hit").cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.col("recall_ppm").cast("long").alias("hamming"),
+    )
     return (
         manifest.unionByName(pairs)
         .unionByName(apairs)
@@ -3374,6 +3444,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(curation)
         .unionByName(report)
         .unionByName(search)
+        .unionByName(recall)
     )
 
 
