@@ -13,7 +13,11 @@ NumPy-only so the counts are exact and the run takes seconds:
      comparison fingerprints concentrate entropy regionally, so the
      contiguous sub-slices of the remainder collide too
   3. 256-bit, interleaved bands + skew guard  — the shipped default
-  4. direct n²/2 for reference
+  4. AUTO-SCALED (`scaled_media_banding_for(n)`) — the corpus-sized
+     rule: (sig_bits, bands) derived from the corpus estimate alone, no
+     hand-picked parameters; the leg that demonstrates candidate counts
+     stay ~linear at the next decade (round 11)
+  5. direct n²/2 for reference
 
 Candidate counts are the cost driver (each candidate pays one exact
 hamming verify + a shuffle row); recall within max_hamming is total under
@@ -22,6 +26,24 @@ the configurations differ ONLY in cost.
 
 Usage: python tools/banding_probe.py [n_docs]     (default 20000)
 Prints one JSON line.
+
+Round-11 measured results (this tool, this corpus — exact counts):
+
+  n_docs   default (256b/16 bands, interleaved+guard)   auto_scaled
+   5,000      438,108                                      246,388 (324b/18)
+  20,000    5,941,714                                    2,936,250 (400b/20)
+  50,000   28,731,247                                   14,067,946 (400b/20)
+
+The auto rule (scaled_media_banding_for: width >= ceil(log2 n)+4,
+bands >= max_hamming+1) halves candidates vs the fixed default at every
+probed size with zero hand-picked parameters. Growth is ~n^1.7 on this
+corpus for BOTH configs — NOT the random-signature linear regime,
+honestly: every doc is a seed-sloped sawtooth, so fingerprints share
+band values structurally (related seeds produce correlated
+adjacent-bin comparisons), which no width can fully decorrelate; the
+skew guard is what bounds the worst of it (sub_band_path carries 23 %
+of candidates at 50k). On a real media corpus (independent content)
+the collision floor is the random term the width rule sizes against.
 """
 
 from __future__ import annotations
@@ -111,6 +133,16 @@ def main() -> None:
         ),
         "bits256_interleaved_guarded": count_candidates(
             s256, bands=16, cap=cap, interleave=True, sub_bands=r + 1
+        ),
+    }
+    # the corpus-sized auto rule: width/bands from the estimate alone
+    auto_bits, auto_bands = xmm.scaled_media_banding_for(n, max_hamming=r)
+    s_auto = s256 if auto_bits == 256 else corpus(n, auto_bits)
+    out["auto_scaled"] = {
+        "sig_bits": auto_bits,
+        "bands": auto_bands,
+        **count_candidates(
+            s_auto, bands=auto_bands, cap=cap, interleave=True, sub_bands=r + 1
         ),
     }
     print(json.dumps(out))
