@@ -146,16 +146,41 @@ def build_media_index(
     path: str,
     id_col: str = "doc_id",
     image_method: str = "dhash",
-    sig_bits: int = DEFAULT_SIG_BITS,
+    sig_bits: int | None = None,
+    corpus_estimate: int | None = None,
 ) -> None:
     """Build and persist the index from the already-kept media corpus
     (one decode pass). The signature config is frozen in `_META.json`
-    for the index's lifetime."""
+    for the index's lifetime.
+
+    SIZING: pass ``corpus_estimate`` (the expected steady-state object
+    count — count it or estimate it once, the LSH plane rule's
+    discipline) and the width AND a probe-time ``bands_hint`` are
+    derived by `multimodal.scaled_media_banding_for` — the 10⁹-object
+    lake gets 576-bit signatures in 16 bands without anyone hand-picking
+    either number, and every probe/search entry defaults its ``bands``
+    from the stored hint. ``sig_bits`` pins the width explicitly instead
+    (hint defaults to 16 bands); passing BOTH raises — two sources of
+    truth for a frozen parameter is how width drift starts."""
+    from beeper_matric_etl_tool_spark.ext.multimodal import (
+        scaled_media_banding_for,
+    )
     from beeper_matric_etl_tool_spark.sinks import _require_local_path
 
     _require_local_path(path, "build_media_index")
     if image_method not in ("dhash", "ahash"):
         raise ValueError(f"build_media_index: unknown image_method {image_method!r}")
+    if corpus_estimate is not None and sig_bits is not None:
+        raise ValueError(
+            "build_media_index: pass corpus_estimate OR sig_bits, not both — "
+            "the estimate derives the width (scaled_media_banding_for); an "
+            "explicit width that disagrees would silently misband every probe"
+        )
+    if corpus_estimate is not None:
+        sig_bits, bands_hint = scaled_media_banding_for(corpus_estimate)
+    else:
+        sig_bits = DEFAULT_SIG_BITS if sig_bits is None else sig_bits
+        bands_hint = 16
     sigs = media_signatures(
         with_payload, id_col=id_col, image_method=image_method, n_bits=sig_bits
     )
@@ -165,7 +190,10 @@ def build_media_index(
         "n_bits": sig_bits,
         "id_col": id_col,
         "layout": "ingest-batch-partitioned",
+        "bands_hint": bands_hint,
     }
+    if corpus_estimate is not None:
+        meta["corpus_estimate"] = int(corpus_estimate)
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _META_FILE), "w") as fh:
         json.dump(meta, fh)
@@ -308,7 +336,7 @@ def media_search(
     path: str,
     max_hamming: int | None = None,
     k: int = 10,
-    bands: int = 16,
+    bands: int | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Ranked variant retrieval over the persisted index: for each probe
@@ -326,8 +354,12 @@ def media_search(
     probe-plan discipline of `media_dedup_against_index`). The top-k cut
     is a bounded per-probe window over candidate rows only.
     ``max_hamming=None`` resolves via
-    `multimodal.default_media_hamming(meta n_bits, bands)`."""
+    `multimodal.default_media_hamming(meta n_bits, bands)`;
+    ``bands=None`` via the index's stored ``bands_hint`` (the
+    corpus-sized build rule — see `build_media_index`)."""
     meta = read_meta(path)
+    if bands is None:
+        bands = int(meta.get("bands_hint", 16))
     ref = spark.read.parquet(os.path.join(path, "signatures")).select(
         F.col("doc_id"), "modality", "bits"
     )
@@ -366,7 +398,7 @@ def media_dedup_against_index(
     spark: SparkSession,
     path: str,
     max_hamming: int | None = None,
-    bands: int = 16,
+    bands: int | None = None,
     exclude_batch: int | None = None,
     id_col: str = "doc_id",
 ) -> tuple[DataFrame, DataFrame]:
@@ -388,7 +420,8 @@ def media_dedup_against_index(
     SURVIVE the probe (they have no signature to compare; the curation
     funnel, not the index probe, is where undecodables are dropped).
     ``max_hamming=None`` resolves via
-    `multimodal.default_media_hamming(meta n_bits, bands)`."""
+    `multimodal.default_media_hamming(meta n_bits, bands)`; ``bands=None``
+    via the index's stored ``bands_hint``."""
     # ONE decode pass over the batch: the checkpoint is consumed by the
     # banding join AND the witness join-back (cache=False in the core —
     # this materialization already cut the decode lineage)
@@ -412,7 +445,7 @@ def media_dedup_signatures_against_index(
     spark: SparkSession,
     path: str,
     max_hamming: int | None = None,
-    bands: int = 16,
+    bands: int | None = None,
     exclude_batch: int | None = None,
 ) -> DataFrame:
     """The decode-free probe core: near-dup the batch's ALREADY-DERIVED
@@ -434,6 +467,8 @@ def media_dedup_signatures_against_index(
     `media_dedup_against_index`'s, verbatim — that function is now this
     core plus one batch decode."""
     meta = read_meta(path)
+    if bands is None:
+        bands = int(meta.get("bands_hint", 16))
     ref = spark.read.parquet(os.path.join(path, "signatures"))
     if exclude_batch is not None:
         ref = ref.filter(F.col(BATCH_COL) != F.lit(int(exclude_batch)))

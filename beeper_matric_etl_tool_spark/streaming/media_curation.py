@@ -59,7 +59,7 @@ def media_curation_batch_writer(
     audit_dir: str | None = None,
     decisions_dir: str | None = None,
     max_hamming: int | None = None,
-    bands: int = 16,
+    bands: int | None = None,
     id_col: str = "doc_id",
     cross_modal: bool = False,
     **curate_kwargs,
@@ -71,7 +71,10 @@ def media_curation_batch_writer(
     id-column mismatch with the index's frozen meta, or a flat-layout
     output directory (the text writer's discipline). ``max_hamming=None``
     resolves via `multimodal.default_media_hamming` at the INDEX's frozen
-    width — the threshold scales with the signature width.
+    width — the threshold scales with the signature width — and
+    ``bands=None`` via the index's stored ``bands_hint`` (the
+    corpus-sized build rule), so an estimate-sized index drives the
+    funnel's banding too.
 
     ``cross_modal=True`` runs the RE-ENCODED-STILL gate at both scopes:
     within the batch (the funnel's stage 4b — videos whose sampled
@@ -102,6 +105,8 @@ def media_curation_batch_writer(
                 "cross-batch probe) — rebuild the index with the desired "
                 "config instead"
             )
+    if bands is None:
+        bands = int(meta.get("bands_hint", 16))
     if max_hamming is None:
         max_hamming = default_media_hamming(meta["n_bits"], bands)
     _guard_output_layout(out_dir, "ingest_batch", "media_curation_batch_writer")

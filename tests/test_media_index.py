@@ -113,6 +113,37 @@ def test_append_staged_replay_and_exclusion(spark, tmp_path, ref_on_disk):
     assert d_far.filter(F.col("modality") != "audio").count() == 0
 
 
+def test_corpus_estimate_sized_index(spark, tmp_path, ref_on_disk):
+    """The corpus-sized build rule wired end-to-end: build with an
+    object-count estimate and the width AND probe-time bands derive from
+    `scaled_media_banding_for` — frozen in meta, defaulted by every
+    probe entry, nothing hand-picked. Passing both an estimate and an
+    explicit width raises (one source of truth for a frozen param)."""
+    idx = str(tmp_path / "midx")
+    with pytest.raises(ValueError, match="not both"):
+        build_media_index(ref_on_disk, idx, sig_bits=64, corpus_estimate=5000)
+    build_media_index(ref_on_disk, idx, corpus_estimate=5000)
+    meta = read_meta(idx)
+    # 5000 docs: width >= ceil(log2 5000)+4 = 17 -> (324, 18)
+    assert (meta["n_bits"], meta["bands_hint"]) == (324, 18)
+    assert meta["corpus_estimate"] == 5000
+
+    # probes default bands from the hint and thresholds from the width;
+    # exact + edited near-dups drop against the estimate-sized index
+    batch = _media_frame(
+        spark,
+        [
+            (101, REF_IMG),
+            (102, xmm.make_gradient_bmp(36, 32, seed=1, invert_col=18)),
+            (103, xmm.make_gradient_bmp(36, 32, seed=5)),  # fresh
+        ],
+    )
+    survivors, dropped = media_dedup_against_index(batch, spark, idx)
+    d = {r.doc_id: r for r in dropped.collect()}
+    assert set(d) == {101, 102} and d[101].hamming == 0
+    assert {r.doc_id for r in survivors.collect()} == {103}
+
+
 def test_witness_is_closest_match(spark, tmp_path):
     """The dropped-row witness is the CLOSEST indexed match (minimum
     hamming, ties by smallest ref_id) — a doc dropped because of an
@@ -395,6 +426,15 @@ def test_streaming_cross_modal_gate(spark, tmp_path):
     assert spark.read.parquet(dec).count() == 4
     sigs = spark.read.parquet(os.path.join(idx, "signatures"))
     assert sigs.filter(F.col("ingest_batch") == 0).count() == 2
+
+    # the media data card composes with the streaming audit unchanged
+    card = {
+        (r.modality, r.metric, r.bucket): r.n
+        for r in xmm.media_report(spark.read.parquet(dec)).collect()
+    }
+    assert card[("video", "decision", "drop:near_dup_cross")] == 2
+    assert card[("image", "decision", "keep")] == 1
+    assert card[("video", "decision", "keep")] == 1
 
 
 def test_append_signatures_width_guard(spark, tmp_path, ref_on_disk):
