@@ -28,7 +28,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1175,8 +1175,45 @@ MEDIA_STREAM_DECISIONS = MEDIA_DECISIONS + ("drop:near_dup_index",)
 
 MEDIA_CURATION_SCHEMA = (
     "doc_id long, modality string, width int, height int, "
-    "n_frames int, cluster_id long, decision string"
+    "n_frames int, cluster_id long, decision string, error_class string"
 )
+
+#: dead-letter taxonomy of the funnel's ``error_class`` column — NULL on
+#: every non-undecodable row; 'unknown_container' for payloads no codec
+#: claimed (the dispatch 'unknown' bucket)
+MEDIA_ERROR_CLASSES = (
+    "null_payload",
+    "too_short",
+    "too_long",
+    "wrong_container",
+    "unsupported_codec",
+    "corrupt",
+    "unknown_container",
+)
+
+
+def _error_class(err: Column) -> Column:
+    """Fold a decode-gate error string into the MEDIA_ERROR_CLASSES
+    taxonomy — pure JVM string predicates (codegen), so classifying a
+    corpus of dead letters costs a projection, not a decode. Order
+    matters: the specific phrases win before the 'corrupt' catch-all
+    (everything a codec raises that is not a recognized refusal is a
+    body that contradicts its own header)."""
+    return (
+        F.when(err.isNull(), F.lit(None).cast("string"))
+        .when(err.contains("null payload"), "null_payload")
+        .when(err.contains("too short"), "too_short")
+        .when(err.contains("too long"), "too_long")
+        .when(err.contains("not a") | err.contains("but not"), "wrong_container")
+        .when(
+            err.contains("compress")
+            | err.contains("bpp=")
+            | err.contains("bits=")
+            | err.contains("rec-grouped"),
+            "unsupported_codec",
+        )
+        .otherwise("corrupt")
+    )
 
 
 def dispatch_modality(with_payload: DataFrame) -> DataFrame:
@@ -1218,9 +1255,12 @@ def curate_media_with_signatures(
     paid to decode: ``(decisions, signatures)``.
 
     ``decisions`` is (doc_id, modality, width, height, n_frames,
-    cluster_id, decision) with EVERY input row present exactly once and
-    ``decision`` one of :data:`MEDIA_DECISIONS` (audit discipline: drops
-    are labeled, never silent).
+    cluster_id, decision, error_class) with EVERY input row present
+    exactly once, ``decision`` one of :data:`MEDIA_DECISIONS` (audit
+    discipline: drops are labeled, never silent) and ``error_class``
+    the :data:`MEDIA_ERROR_CLASSES` dead-letter taxonomy on
+    drop:undecodable rows (NULL elsewhere) — WHY a payload failed its
+    codec, classified JVM-side from the decode gate's error string.
 
     ``signatures`` is (doc_id, modality, bits, width, height, n_frames)
     for every DECODABLE row — the `ext/media_index.py:media_signatures`
@@ -1354,6 +1394,7 @@ def curate_media_with_signatures(
                 .when(~F.col("is_canonical"), "drop:near_dup")
                 .otherwise("keep")
                 .alias("decision"),
+                _error_class(F.col("error")).alias("error_class"),
             )
         )
         # the decodable rows' signature frame — the media_signatures
@@ -1407,6 +1448,7 @@ def curate_media_with_signatures(
         F.lit(None).cast("int").alias("n_frames"),
         F.lit(None).cast("long").alias("cluster_id"),
         F.lit("drop:undecodable").alias("decision"),
+        F.lit("unknown_container").alias("error_class"),
     )
     if cross_modal:
         from beeper_matric_etl_tool_spark.ext.dedup import (
@@ -1456,6 +1498,7 @@ def curate_media_with_signatures(
             )
             .otherwise(F.col("decision"))
             .alias("decision"),
+            "error_class",
         )
         # expose the fused frame hashes on the signature relation so a
         # cross-batch consumer (the streaming writer's index gate) can
@@ -1484,9 +1527,9 @@ def curate_media(
 ) -> DataFrame:
     """The decisions relation of :func:`curate_media_with_signatures` —
     the batch funnel's public face: (doc_id, modality, width, height,
-    n_frames, cluster_id, decision), every input row exactly once,
-    decisions from :data:`MEDIA_DECISIONS` (see the full docstring
-    there). Callers composing the funnel with a persisted media index
+    n_frames, cluster_id, decision, error_class), every input row
+    exactly once, decisions from :data:`MEDIA_DECISIONS` (see the full
+    docstring there). Callers composing the funnel with a persisted media index
     should use the signature-returning form instead — probing on the
     funnel's own signature frames is what keeps the lake's decode cost
     at exactly one pass per payload."""
@@ -1496,7 +1539,9 @@ def curate_media(
     return decisions
 
 
-def media_report(decisions: DataFrame) -> DataFrame:
+def media_report(
+    decisions: DataFrame, include_error_classes: bool = False
+) -> DataFrame:
     """The MEDIA DATA CARD — the `corpus_report` shape for the media
     funnel: one rollup relation over a `curate_media` /
     `curate_media_with_signatures` decisions frame (or the streaming
@@ -1515,6 +1560,13 @@ def media_report(decisions: DataFrame) -> DataFrame:
       gate survivors, keeps and near-dup drops alike — singletons
       included, so Σ size·n = gate survivors and the duplication factor
       is readable straight off the card).
+    - ``metric='error_class'`` (``include_error_classes=True``, needs a
+      decisions frame carrying the ``error_class`` column): bucket = the
+      :data:`MEDIA_ERROR_CLASSES` taxonomy value, n = dead-lettered docs
+      — WHY the undecodables were undecodable (corrupt body vs
+      unsupported codec vs unrecognized container), the triage split a
+      lake operator acts on differently (corruption = upstream transfer
+      bug; unsupported codec = roadmap; unknown container = routing).
 
     Scale shape: two aggregations over the decisions relation (already
     corpus-of-decisions-sized — no payloads, no signatures), both
@@ -1535,7 +1587,16 @@ def media_report(decisions: DataFrame) -> DataFrame:
         .withColumn("metric", F.lit("cluster_size"))
     )
     cols = ["modality", "metric", "bucket", "n"]
-    return dec.select(*cols).unionByName(hist.select(*cols))
+    out = dec.select(*cols).unionByName(hist.select(*cols))
+    if include_error_classes:
+        err = (
+            decisions.filter(F.col("error_class").isNotNull())
+            .groupBy("modality", F.col("error_class").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("metric", F.lit("error_class"))
+        )
+        out = out.unionByName(err.select(*cols))
+    return out
 
 
 # ---------------------------------------------------------------------------

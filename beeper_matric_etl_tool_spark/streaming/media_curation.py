@@ -246,6 +246,7 @@ def media_curation_batch_writer(
                         "decision"
                     ),
                     "cluster_id",
+                    "error_class",
                     "ref_id",
                     "hamming",
                 )

@@ -1683,6 +1683,19 @@ def test_curate_media_funnel(spark):
         "image", "audio", "video", "unknown"
     }
     assert all(r.decision in xmm.MEDIA_DECISIONS for r in out.values())
+    # dead-letter taxonomy: WHY each undecodable failed, NULL elsewhere
+    assert out[6].error_class == "too_short"   # 20-frame WAV
+    assert out[8].error_class == "too_short"   # 5-frame AVI
+    assert out[9].error_class == "unknown_container"
+    assert out[10].error_class == "unknown_container"  # NULL payload
+    assert all(
+        (r.error_class is None) == (r.decision != "drop:undecodable")
+        for r in out.values()
+    )
+    assert all(
+        r.error_class in xmm.MEDIA_ERROR_CLASSES
+        for r in out.values() if r.error_class is not None
+    )
 
     # audio floor above the hash floor -> below_floor, not undecodable
     out2 = {r.doc_id: r for r in xmm.curate_media(
@@ -1758,6 +1771,15 @@ def test_curate_media_cross_modal_gate(spark):
     ).collect()}
     assert out0[2].decision == "keep"
 
+    # decode-free downstream: the cross-modal decisions plan reads the
+    # per-leg checkpoints, never a second decode stage
+    plan = (
+        xmm.curate_media(df, min_width=16, min_height=8, sig_bits=64,
+                         cross_modal=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in plan
+
 
 def test_media_report_data_card(spark):
     """The media data card: per-modality decision counts + cluster-size
@@ -1799,6 +1821,17 @@ def test_media_report_data_card(spark):
         for (m, metric, b), n in card.items()
         if metric == "cluster_size"
     ) == 4  # docs 1, 2, 3, 5 passed the gates
+
+    # dead-letter classes are an opt-in metric family (default card
+    # unchanged — it is the driver-oracled shape)
+    assert not any(metric == "error_class" for (_, metric, _) in card)
+    card_e = {
+        (r.modality, r.metric, r.bucket): r.n
+        for r in xmm.media_report(
+            decisions, include_error_classes=True
+        ).collect()
+    }
+    assert card_e[("unknown", "error_class", "unknown_container")] == 1
 
 
 def test_media_default_hamming_and_scaled_banding():
@@ -1861,8 +1894,12 @@ def test_media_hardening_corrupt_header_and_single_decode(spark):
     out = xmm.curate_media(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan
-    decisions = {r.doc_id: r.decision for r in out.collect()}
-    assert decisions == {1: "drop:undecodable", 2: "keep"}
+    rows = {r.doc_id: r for r in out.collect()}
+    assert {d: r.decision for d, r in rows.items()} == {
+        1: "drop:undecodable", 2: "keep"
+    }
+    # a header contradicting its own payload classifies as corruption
+    assert rows[1].error_class == "corrupt"
 
 
 def test_simhash_banding_skew_guard_equivalence(spark):
