@@ -148,6 +148,7 @@ def build_media_index(
     image_method: str = "dhash",
     sig_bits: int | None = None,
     corpus_estimate: int | None = None,
+    max_hamming: int | None = None,
 ) -> None:
     """Build and persist the index from the already-kept media corpus
     (one decode pass). The signature config is frozen in `_META.json`
@@ -156,12 +157,21 @@ def build_media_index(
     SIZING: pass ``corpus_estimate`` (the expected steady-state object
     count — count it or estimate it once, the LSH plane rule's
     discipline) and the width AND a probe-time ``bands_hint`` are
-    derived by `multimodal.scaled_media_banding_for` — the 10⁹-object
-    lake gets 576-bit signatures in 16 bands without anyone hand-picking
-    either number, and every probe/search entry defaults its ``bands``
-    from the stored hint. ``sig_bits`` pins the width explicitly instead
-    (hint defaults to 16 bands); passing BOTH raises — two sources of
-    truth for a frozen parameter is how width drift starts."""
+    derived by `multimodal.scaled_media_banding_for`; every probe/search
+    entry then defaults its ``bands`` (and, for a pinned radius, its
+    ``max_hamming``) from the stored hints — nothing hand-picked at
+    probe time. ``max_hamming`` here PINS an absolute radius for the
+    sizing (the explicit precision choice that unlocks width-scaled
+    selectivity — the 10⁹-object lake pins e.g. 15 and gets 576 bits in
+    16×36-bit bands; see `scaled_media_banding_for` for why the coupled
+    default instead raises past ~10⁸) and is stored as
+    ``max_hamming_hint`` so probes resolve the SAME radius the index
+    was sized for. ``sig_bits`` pins the width explicitly instead (the
+    bands hint is then the smallest divisor of the width that keeps the
+    width-coupled radius un-capped — a fixed 16 would make e.g. a
+    324-bit index unusable, 324 % 16 != 0); passing BOTH sig_bits and
+    corpus_estimate raises — two sources of truth for a frozen
+    parameter is how width drift starts."""
     from beeper_matric_etl_tool_spark.ext.multimodal import (
         scaled_media_banding_for,
     )
@@ -177,10 +187,21 @@ def build_media_index(
             "explicit width that disagrees would silently misband every probe"
         )
     if corpus_estimate is not None:
-        sig_bits, bands_hint = scaled_media_banding_for(corpus_estimate)
+        sig_bits, bands_hint = scaled_media_banding_for(
+            corpus_estimate, max_hamming=max_hamming
+        )
     else:
         sig_bits = DEFAULT_SIG_BITS if sig_bits is None else sig_bits
-        bands_hint = 16
+        # smallest divisor whose recall cap (bands-1) clears the
+        # width-coupled radius — a fixed 16 would freeze an unusable
+        # (non-dividing) or silently-capped config at widths != 256
+        h = max_hamming if max_hamming is not None else max(
+            12, (15 * sig_bits) // 256
+        )
+        bands_hint = next(
+            (b for b in range(h + 1, sig_bits + 1) if sig_bits % b == 0),
+            sig_bits,  # degenerate tiny widths: every-bit bands, still valid
+        )
     sigs = media_signatures(
         with_payload, id_col=id_col, image_method=image_method, n_bits=sig_bits
     )
@@ -194,6 +215,8 @@ def build_media_index(
     }
     if corpus_estimate is not None:
         meta["corpus_estimate"] = int(corpus_estimate)
+    if max_hamming is not None:
+        meta["max_hamming_hint"] = int(max_hamming)
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _META_FILE), "w") as fh:
         json.dump(meta, fh)
@@ -360,6 +383,8 @@ def media_search(
     meta = read_meta(path)
     if bands is None:
         bands = int(meta.get("bands_hint", 16))
+    if max_hamming is None and meta.get("max_hamming_hint"):
+        max_hamming = int(meta["max_hamming_hint"])  # pinned-radius index
     ref = spark.read.parquet(os.path.join(path, "signatures")).select(
         F.col("doc_id"), "modality", "bits"
     )
@@ -474,7 +499,11 @@ def media_dedup_signatures_against_index(
         ref = ref.filter(F.col(BATCH_COL) != F.lit(int(exclude_batch)))
     ref_sigs = ref.select(F.col("doc_id"), "modality", "bits")
     if max_hamming is None:
-        max_hamming = default_media_hamming(meta["n_bits"], bands)
+        # a pinned-radius index resolves the SAME radius it was sized for
+        max_hamming = int(
+            meta.get("max_hamming_hint")
+            or default_media_hamming(meta["n_bits"], bands)
+        )
     pairs = simhash_cross_candidates(
         batch_sigs.select("doc_id", "modality", "bits"),
         ref_sigs,

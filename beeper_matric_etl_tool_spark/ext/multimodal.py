@@ -415,24 +415,41 @@ def default_media_hamming(n_bits: int, bands: int = 16) -> int:
 
 
 def scaled_media_banding_for(
-    n_docs: int, max_hamming: int = 15, margin_bits: int = 4
+    n_docs: int, max_hamming: int | None = None, margin_bits: int = 4
 ) -> tuple[int, int]:
     """Corpus-sized media banding config — ``(sig_bits, bands)`` for a
     corpus of ~``n_docs`` media objects, the media twin of the embedding
-    tier's `similarity.scaled_planes_for`: pick the smallest even-square
-    signature width (the media hashes' shape constraint, `_side_of`)
-    whose bits can be split into ``bands ≥ max_hamming + 1`` slices of
-    width ≥ ⌈log₂(n)⌉ + ``margin_bits`` each, then size the bands with
-    `dedup.scaled_bands_for`. Estimate the corpus once per index build
-    and pass the result to `build_media_index(sig_bits=)` and the probe
-    ops' ``bands=`` — the 10⁹-object lake gets a 576-bit signature in
-    16×36-bit bands. The rule sizes the PRIMARY banding join to stay
-    selective with no help: the default (256, 16) clears the entropy
-    floor to ~4k docs and leans on the skew-guard sub-banding beyond
-    (measured linear to 50k, `tools/banding_probe.py`); this helper is
-    for the corpus where you'd rather the first join never skew at all
-    — the sub-band fallback costs an extra count + explode over the
-    oversized buckets every probe."""
+    tier's `similarity.scaled_planes_for`. Two regimes, because media
+    edit footprints SCALE with the signature width (the
+    :func:`default_media_hamming` coupling):
+
+    **Coupled default (max_hamming=None)** — the radius at each
+    candidate width W is the coupling's own h(W) = max(12, 15·W//256),
+    and ``bands`` is the smallest divisor of W with bands ≥ h(W)+1, so
+    the probe-time threshold resolution is NEVER silently capped at
+    bands-1 (the recall hole a fixed bands=16 would open at W > 256:
+    a 400-bit edit flips ~23 bits but 16 bands only guarantee radius
+    15). Under this coupling the per-band width plateaus at ~16 bits
+    (bands grows with W), so selectivity is certified against the
+    COMPOSITE key the skew guard actually joins oversized buckets on —
+    primary width + sub-band width ≈ 31 bits at (256, 16) — which
+    covers ~10⁸ objects at the default margin. Past that this function
+    RAISES rather than hand back a config whose recall or selectivity
+    silently degrades: the honest escape is pinning an absolute radius.
+
+    **Pinned radius (max_hamming=N)** — the caller freezes an ABSOLUTE
+    radius (an explicit precision choice: at wider widths the same
+    radius catches proportionally smaller edits), and widening the
+    signature genuinely buys primary-band selectivity:
+    `dedup.scaled_bands_for` sizes bands so every band value carries
+    ⌈log₂(n)⌉ + margin bits — the 10⁹-object lake pins e.g.
+    max_hamming=15 and gets 576 bits in 16×36-bit bands, primary join
+    selective with no guard help. This is the regime the banding probe's
+    auto_scaled leg measures (`tools/banding_probe.py`).
+
+    Estimate the corpus once per index build
+    (`build_media_index(corpus_estimate=)` stores the result, and every
+    probe entry defaults from it)."""
     import math
 
     from beeper_matric_etl_tool_spark.ext.dedup import scaled_bands_for
@@ -441,20 +458,43 @@ def scaled_media_banding_for(
     n_bits = DEFAULT_SIG_BITS
     side = int(n_bits**0.5)
     while True:
-        try:
-            return n_bits, scaled_bands_for(
-                n_docs, n_bits, max_hamming, margin_bits=margin_bits
+        if max_hamming is None:
+            h = max(12, (15 * n_bits) // 256)
+            bands = next(
+                (b for b in range(h + 1, n_bits + 1) if n_bits % b == 0), None
             )
-        except ValueError:
-            pass
-        if n_bits >= (max_hamming + 1) * need_width * 4:
-            # even-square widths are dense enough (gaps ≤ 2·side+... )
-            # that this cannot happen; fail loudly rather than spin
-            raise ValueError(
-                f"scaled_media_banding_for: no even-square width up to "
-                f"{n_bits} bits supports max_hamming={max_hamming} at "
-                f"~{n_docs} docs"
-            )
+            if bands is not None:
+                width = n_bits // bands
+                sub_width = (n_bits - width) // (h + 1)
+                if width >= need_width or width + sub_width >= need_width:
+                    return n_bits, bands
+                # composite selectivity plateaus ~31-33 bits under the
+                # coupling (width ~16, sub ~16 whatever W is) — wider
+                # widths cannot fix it, so fail fast and say why
+                raise ValueError(
+                    f"scaled_media_banding_for: ~{n_docs} docs need "
+                    f"{need_width} selective bits but the width-coupled "
+                    f"radius caps the guard's composite key at "
+                    f"{width + sub_width} bits at any width — pin an "
+                    f"absolute max_hamming (an explicit precision choice) "
+                    f"to unlock width-scaled selectivity, or lower "
+                    f"margin_bits"
+                )
+        else:
+            try:
+                return n_bits, scaled_bands_for(
+                    n_docs, n_bits, max_hamming, margin_bits=margin_bits
+                )
+            except ValueError:
+                pass
+            if n_bits >= (max_hamming + 1) * need_width * 4:
+                # even-square widths are dense enough that this cannot
+                # happen; fail loudly rather than spin
+                raise ValueError(
+                    f"scaled_media_banding_for: no even-square width up to "
+                    f"{n_bits} bits supports max_hamming={max_hamming} at "
+                    f"~{n_docs} docs"
+                )
         side += 2
         n_bits = side * side
 
@@ -1455,14 +1495,22 @@ def curate_media_with_signatures(
             simhash_cross_candidates,
         )
 
-        # stage 4b — re-encoded-still gate: each decodable video's
+        # stage 4b — re-encoded-still gate: each KEEP video's
         # sampled-frame image hashes (from the fused stage's checkpoint,
         # no extra decode) vs the FLOOR-SURVIVING images' signatures.
-        # Frame rows get a synthetic id (doc·side + frame_idx, unique:
-        # frame_idx < side) so the cross join's dedup-per-id contract
-        # holds; matches map back by integer division.
+        # Only keeps can demote (within-modality precedence), so frames
+        # of already-dropped videos are pruned BEFORE the explode — a
+        # heavily-duplicated batch would otherwise pay banding for hits
+        # that cannot change any decision. Frame rows get a synthetic id
+        # (doc·side + frame_idx, unique: frame_idx < side) so the cross
+        # join's dedup-per-id contract holds; matches map back by floor
+        # division.
         frame_rows = (
             vid_raw.filter(F.col("error").isNull())
+            .join(
+                vid.filter(F.col("decision") == "keep").select("doc_id"),
+                on="doc_id",
+            )
             .select("doc_id", F.posexplode("frame_bits").alias("fidx", "bits"))
             .select(
                 (F.col("doc_id") * side + F.col("fidx")).alias("doc_id"), "bits"
@@ -1474,14 +1522,25 @@ def curate_media_with_signatures(
             ),
             on="doc_id",
         ).select("doc_id", "bits")
-        cross_hits = simhash_cross_candidates(
-            frame_rows,
-            img_refs,
-            max_hamming=image_max_hamming,
-            bands=bands,
-            n_bits=sig_bits,
-            cache=False,
-        ).select(F.expr(f"doc_id DIV {side}").alias("doc_id")).distinct()
+        cross_hits = (
+            simhash_cross_candidates(
+                frame_rows,
+                img_refs,
+                max_hamming=image_max_hamming,
+                bands=bands,
+                n_bits=sig_bits,
+                cache=False,
+            )
+            # FLOOR division (pmod-adjusted): SQL DIV truncates toward
+            # zero, which would decode a negative video id's frames to
+            # the wrong document (nothing forbids negative ids)
+            .select(
+                F.expr(
+                    f"(doc_id - pmod(doc_id, {side})) DIV {side}"
+                ).alias("doc_id")
+            )
+            .distinct()
+        )
         vid = vid.join(
             cross_hits.withColumn("__x", F.lit(True)), on="doc_id", how="left"
         ).select(

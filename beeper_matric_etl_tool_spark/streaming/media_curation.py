@@ -94,7 +94,12 @@ def media_curation_batch_writer(
     corpus, so replays replace their own rows. This is the curate_media
     audit discipline carried through the stream: nothing ingested is
     ever silently dropped, and the lineage (cluster ids, witnesses)
-    survives for a downstream mixer or a compliance query."""
+    survives for a downstream mixer or a compliance query.
+    MIGRATION NOTE: decisions partitions written before the error_class
+    column existed lack it — reading a directory that spans the upgrade
+    needs ``spark.read.option("mergeSchema", "true")`` (otherwise
+    parquet's sampled-file schema makes the column's presence depend on
+    which partition gets sampled)."""
     meta = read_meta(index_path)
     for frozen in ("sig_bits", "image_method"):
         if frozen in curate_kwargs:
@@ -108,7 +113,11 @@ def media_curation_batch_writer(
     if bands is None:
         bands = int(meta.get("bands_hint", 16))
     if max_hamming is None:
-        max_hamming = default_media_hamming(meta["n_bits"], bands)
+        # a pinned-radius index resolves the SAME radius it was sized for
+        max_hamming = int(
+            meta.get("max_hamming_hint")
+            or default_media_hamming(meta["n_bits"], bands)
+        )
     _guard_output_layout(out_dir, "ingest_batch", "media_curation_batch_writer")
     if audit_dir is not None:
         _guard_output_layout(audit_dir, "batch_id", "media_curation_batch_writer")
@@ -196,8 +205,13 @@ def media_curation_batch_writer(
                 exclude_batch=int(batch_id),
             )
             cross_dropped = (
+                # FLOOR division (pmod-adjusted): SQL DIV truncates
+                # toward zero — a negative video id's frames would
+                # otherwise attribute to the wrong document
                 frame_hits.groupBy(
-                    F.expr(f"doc_id DIV {side}").alias("doc_id")
+                    F.expr(
+                        f"(doc_id - pmod(doc_id, {side})) DIV {side}"
+                    ).alias("doc_id")
                 )
                 .agg(F.min(F.struct("hamming", "ref_id")).alias("__w"))
                 .select(

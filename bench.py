@@ -153,9 +153,15 @@ def _prepare_bench_layout(spark, sf_dir: str) -> str:
             plan[f] = int(n)
     override = os.environ.get("SPARK_GRAFT_BENCH_LINEITEM_FILES")
     if override is not None:
-        if int(override) == 0:
-            return sf_dir
-        plan["lineitem.parquet"] = int(override)
+        n = int(override)
+        if n == 0:
+            return sf_dir  # 0 keeps its historical meaning: no re-chunking
+        if n <= 1:
+            # 1 = leave lineitem alone (a single-file copy is layout-
+            # identical to the symlink); the size rule still governs others
+            plan.pop("lineitem.parquet", None)
+        elif os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+            plan["lineitem.parquet"] = n
     if not plan:
         return sf_dir
     try:

@@ -1731,6 +1731,11 @@ def test_curate_media_cross_modal_gate(spark):
     video_of_small = xmm._encode_avi(np.stack([small_px] * 24), fps=12)
     fresh_video = xmm.make_gradient_avi(40, 16, 24, seed=3)
     rows = [
+        # -1 exercises the floor-division frame-id decode (SQL DIV
+        # truncates toward zero — the r11 review caught frames of a
+        # negative-id video attributing to doc 0); it is an exact dup
+        # of 2 and 6, so the clique's canonical is -1
+        (-1, bytearray(video_of_still)),
         (1, bytearray(still)),
         (2, bytearray(video_of_still)),      # re-encoded still of 1
         (3, bytearray(fresh_video)),         # fresh -> keep
@@ -1743,14 +1748,17 @@ def test_curate_media_cross_modal_gate(spark):
         df, min_width=16, min_height=8, sig_bits=64, cross_modal=True
     ).collect()}
     assert out[1].decision == "keep"           # images never drop vs frames
-    assert out[2].decision == "drop:near_dup_cross"
+    # the clique canonical (-1) demotes via the cross gate — attributed
+    # to the RIGHT (negative) doc, not to a truncation neighbor
+    assert out[-1].decision == "drop:near_dup_cross"
     assert out[3].decision == "keep"
     assert out[4].decision == "drop:below_floor"
     # a still of a floor-dropped image is NOT redundant with the kept
     # image plane — it survives the cross gate
     assert out[5].decision == "keep"
-    # within-modality precedence: the exact dup stays drop:near_dup
-    assert out[6].decision == "drop:near_dup" and out[6].cluster_id == 2
+    # within-modality precedence: the exact dups stay drop:near_dup
+    assert out[2].decision == "drop:near_dup" and out[2].cluster_id == -1
+    assert out[6].decision == "drop:near_dup" and out[6].cluster_id == -1
     assert all(r.decision in xmm.MEDIA_DECISIONS for r in out.values())
 
     # the signature relation carries the fused frame hashes (video rows)
@@ -1765,11 +1773,11 @@ def test_curate_media_cross_modal_gate(spark):
     # the same pixels (the still's own signature)
     assert [list(b) for b in s[2].frame_bits] == [list(s[1].bits)] * 8
 
-    # default funnel (no cross gate): the re-encoded still is kept
+    # default funnel (no cross gate): the still clique's canonical keeps
     out0 = {r.doc_id: r for r in xmm.curate_media(
         df, min_width=16, min_height=8, sig_bits=64
     ).collect()}
-    assert out0[2].decision == "keep"
+    assert out0[-1].decision == "keep"
 
     # decode-free downstream: the cross-modal decisions plan reads the
     # per-leg checkpoints, never a second decode stage
@@ -1860,16 +1868,30 @@ def test_media_default_hamming_and_scaled_banding():
     with pytest.raises(ValueError, match="widen the signature"):
         scaled_bands_for(10**6, 256, max_hamming=15)  # needs 16x24 = 384 bits
 
-    # the media auto-rule walks even-square widths until both hold
+    # COUPLED default (max_hamming=None): bands track the width-coupled
+    # radius so the probe-time threshold is NEVER capped below it — and
+    # under that coupling the guard's composite key plateaus ~31 bits,
+    # so (256, 16) serves every corpus it can certify and past ~10^8
+    # the rule RAISES instead of silently losing recall or selectivity
     assert xmm.scaled_media_banding_for(1000) == (256, 16)
-    assert xmm.scaled_media_banding_for(10**6) == (400, 16)
-    assert xmm.scaled_media_banding_for(10**9) == (576, 16)
-    # the derived config is accepted end-to-end by the banding guards:
+    assert xmm.scaled_media_banding_for(10**6) == (256, 16)
+    with pytest.raises(ValueError, match="pin an absolute max_hamming"):
+        xmm.scaled_media_banding_for(10**9)
+    # PINNED radius: an explicit precision choice — widening the
+    # signature then genuinely buys primary-band selectivity
+    assert xmm.scaled_media_banding_for(10**6, max_hamming=15) == (400, 16)
+    assert xmm.scaled_media_banding_for(10**9, max_hamming=15) == (576, 16)
+    # the derived configs are accepted end-to-end by the banding guards:
     # divisibility, the even-square media shape, and the recall cap
-    bits_, bands_ = xmm.scaled_media_banding_for(10**6)
-    assert bits_ % bands_ == 0
-    assert xmm._side_of(bits_) % 2 == 0  # raises on a non-square width
-    assert xmm.default_media_hamming(bits_, bands_) <= bands_ - 1
+    for n, h in ((10**6, None), (10**9, 15)):
+        bits_, bands_ = xmm.scaled_media_banding_for(n, max_hamming=h)
+        assert bits_ % bands_ == 0
+        assert xmm._side_of(bits_) % 2 == 0  # raises on a non-square width
+        assert xmm.default_media_hamming(bits_, bands_) <= bands_ - 1
+        # the coupled radius itself fits under the recall cap — the
+        # silent-clamp recall hole the r11 review caught cannot recur
+        if h is None:
+            assert max(12, (15 * bits_) // 256) <= bands_ - 1
 
 
 def test_media_hardening_corrupt_header_and_single_decode(spark):

@@ -122,11 +122,34 @@ def test_corpus_estimate_sized_index(spark, tmp_path, ref_on_disk):
     idx = str(tmp_path / "midx")
     with pytest.raises(ValueError, match="not both"):
         build_media_index(ref_on_disk, idx, sig_bits=64, corpus_estimate=5000)
-    build_media_index(ref_on_disk, idx, corpus_estimate=5000)
+    # pinned radius: 5000 docs at max_hamming=15 -> width >= 17 -> (324, 18),
+    # and the pinned radius is stored so probes resolve the SAME value
+    build_media_index(ref_on_disk, idx, corpus_estimate=5000, max_hamming=15)
     meta = read_meta(idx)
-    # 5000 docs: width >= ceil(log2 5000)+4 = 17 -> (324, 18)
     assert (meta["n_bits"], meta["bands_hint"]) == (324, 18)
     assert meta["corpus_estimate"] == 5000
+    assert meta["max_hamming_hint"] == 15
+
+    # coupled default: (256, 16) certifies 5000 docs via the composite key
+    idx_c = str(tmp_path / "midx_coupled")
+    build_media_index(ref_on_disk, idx_c, corpus_estimate=5000)
+    meta_c = read_meta(idx_c)
+    assert (meta_c["n_bits"], meta_c["bands_hint"]) == (256, 16)
+    assert "max_hamming_hint" not in meta_c
+
+    # explicit non-256 width: the bands hint is a DIVISOR that keeps the
+    # width-coupled radius un-capped (a fixed 16 would make the index
+    # unusable — 324 % 16 != 0; the r11 review caught this)
+    idx_e = str(tmp_path / "midx_explicit")
+    build_media_index(ref_on_disk, idx_e, sig_bits=324)
+    meta_e = read_meta(idx_e)
+    assert meta_e["bands_hint"] == 27 and 324 % 27 == 0
+    assert max(12, 15 * 324 // 256) <= meta_e["bands_hint"] - 1
+    # an all-default probe against it runs (the frozen config is usable)
+    _, d_e = media_dedup_against_index(
+        _media_frame(spark, [(201, REF_IMG)]), spark, idx_e
+    )
+    assert d_e.count() == 1
 
     # probes default bands from the hint and thresholds from the width;
     # exact + edited near-dups drop against the estimate-sized index
