@@ -846,6 +846,13 @@ def dedup_against_reference(
     - dropped: (new id, ``ref_id`` witness, ``reason`` 'exact'|'near',
       ``jaccard_ppm`` — NULL for exact drops). One row per dropped doc,
       lowest-id witness, exact-reason wins — deterministic audit trail.
+      NOTE the witness is the LOWEST-ID match, not the most similar one:
+      ``jaccard_ppm`` is that witness's similarity, which may understate
+      the batch doc's true closest reference (a threshold post-filter on
+      it would under-count). The media index made the opposite choice
+      (closest-match witness, `ext/media_index.py`) — changing this one
+      would churn the long-pinned text audit contract for no decision
+      change, so the asymmetry is documented instead.
 
     Scale shape: the reference is touched by three linear passes
     (fingerprints for the exact anti-join, banded signatures for the LSH
