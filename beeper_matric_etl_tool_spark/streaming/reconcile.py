@@ -46,7 +46,9 @@ stays a DATAFRAME end to end (semi/anti joins, never a driver-side list
 materialization; AQE broadcasts the key set when it is small), and the
 rewrite I/O is touched-buckets-only (`partitioned_upsert`'s contract;
 the only collects are bucket ids, bounded by the bucket count).
-Detection uses a per-field null-flagged, 64-bit-summed crc32 checksum —
+Detection uses TWO per-field null-flagged, independently-salted summed
+crc32 checksums (r11: a drift must collide both ~2⁻⁶⁴-style; summed
+32-bit values on purpose — ANSI-mode long sums must not overflow) —
 collisions are astronomically unlikely but possible; pass ``keys=``
 explicitly when exactness of the DETECTION (not the repair itself) must
 be absolute.
@@ -345,11 +347,18 @@ def _final_session_identities(batch: DataFrame) -> DataFrame:
 
 
 def _key_checksums(df: DataFrame) -> DataFrame:
-    """(sender, __n, __ck): row count + order-free 64-bit checksum of the
-    full row content — the per-key compare unit. crc32 is summed as a
-    long, so partition layout cannot move the value. Fields join under
-    an explicit unit separator: with no delimiter, adjacent numeric
-    fields would make STRUCTURAL collisions ((1, 12) vs (11, 2)
+    """(sender, __n, __ck, __ck2): row count + TWO order-free checksums
+    of the full row content — the per-key compare unit. Each is a summed
+    crc32 (longs, so partition layout cannot move the value), the second
+    over a salted rendering of the same row, so a drift must collide
+    BOTH independent 32-bit sums to evade detection (~2⁻⁶⁴, vs ~2⁻³² for
+    the single sum this replaced — r11). Summed crc32 rather than a
+    summed 64-bit hash on purpose: values are ≤ 2³², so per-key sums
+    stay inside a long for any plausible key cardinality — Spark 4 runs
+    ANSI mode by default, where a long-sum overflow is a runtime ERROR,
+    and xxhash64 sums would cross it after a handful of rows. Fields
+    join under an explicit unit separator: with no delimiter, adjacent
+    numeric fields would make STRUCTURAL collisions ((1, 12) vs (11, 2)
     concatenate identically) — not crc32-random at all. Each field also
     carries an explicit null flag: concat_ws SKIPS null arguments (it
     does not render them), so without the flag a NULL and an empty
@@ -363,6 +372,7 @@ def _key_checksums(df: DataFrame) -> DataFrame:
     return df.groupBy("sender").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(F.crc32(row)).alias("__ck"),
+        F.sum(F.crc32(F.concat(F.lit("ck2\x1f"), row))).alias("__ck2"),
     )
 
 
@@ -493,6 +503,7 @@ def repair_transcripts(
                 F.col("sender"),
                 F.col("__n").alias("__tn"),
                 F.col("__ck").alias("__tck"),
+                F.col("__ck2").alias("__tck2"),
             ),
             on="sender",
             how="full_outer",
@@ -510,6 +521,7 @@ def repair_transcripts(
                 ~(
                     F.col("__n").eqNullSafe(F.col("__tn"))
                     & F.col("__ck").eqNullSafe(F.col("__tck"))
+                    & F.col("__ck2").eqNullSafe(F.col("__tck2"))
                 )
             )
             .select("sender")
