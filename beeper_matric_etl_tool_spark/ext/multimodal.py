@@ -574,7 +574,17 @@ def image_perceptual_bits(
     robust to uniform brightness shifts) or 'ahash' (global threshold).
     ``n_bits`` (default :data:`DEFAULT_SIG_BITS`) sets the signature
     width — see that constant for why 256 is the corpus-scale default
-    and 64 exists for compactness/oracle callers."""
+    and 64 exists for compactness/oracle callers.
+
+    Cross-RESOLUTION behavior (pinned two-sided in
+    test_image_hash_resize_stability_two_sided): for band-limited
+    content (the natural-photo regime) the center-sampled grid commutes
+    with nearest-neighbor resizing, so a thumbnail hashes within one
+    grid column of its source (exactly 0 on the 64-bit grid) — copies
+    across resolutions land inside the near-dup radius. NOT true for
+    content with energy above the grid's Nyquist (downsampling aliases;
+    the planted mod-256 gradients diverge freely) — the property is
+    spectral, not unconditional."""
     if method not in ("dhash", "ahash"):
         raise ValueError(f"image_perceptual_bits: unknown method {method!r}")
     side = _side_of(n_bits)

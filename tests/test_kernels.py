@@ -1789,6 +1789,77 @@ def test_curate_media_cross_modal_gate(spark):
     assert "MapInPandas" not in plan
 
 
+def test_image_hash_resize_stability_two_sided(spark):
+    """The image plane across RESOLUTIONS, stated honestly from both
+    sides: for BAND-LIMITED content (smooth ramps — the natural-photo
+    regime) the center-sampled integer-luma grid commutes with the
+    engine's own nearest-neighbor resize, so a thumbnail hashes
+    IDENTICALLY to its source (hamming 0 — `image_near_dup_pairs`
+    catches cross-resolution copies with zero threshold budget); for
+    content with energy above the grid's Nyquist (the planted mod-256
+    gradients) downsampling ALIASES and the hashes diverge — the
+    property is spectral, not magic, and the negative side pins that we
+    don't overclaim it."""
+    import numpy as np
+
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+
+    def smooth_bmp(w, h, seed):
+        # band-limited with a seed-positioned KINK: dHash reads only
+        # horizontal structure, so x-monotonic ramps would all hash
+        # identically — the |x - kink| fold gives each seed a distinct
+        # comparison-sign pattern (measured cross-seed hamming >= 16)
+        # while staying smooth enough to survive downsampling exactly
+        x, y = np.arange(w), np.arange(h)
+        kink = (seed + 1) * w // 5
+        R = np.abs(x - kink) * 255 // max(w - 1, 1)
+        B = x * 255 // max(w - 1, 1)
+        G = (y * 255 // max(h - 1, 1))[:, None] * np.ones((1, w), dtype=np.int64)
+        px = np.stack(
+            [np.broadcast_to(B, (h, w)), G, np.broadcast_to(R, (h, w))], axis=2
+        )
+        return xmm._encode_bmp(px.astype(np.uint8))
+
+    rows = [(i, bytearray(smooth_bmp(288, 256, i))) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    thumbs = xmm.resize_images(df, 36, 32).select(
+        (F.col("doc_id") + 100).alias("doc_id"), "payload"
+    )
+    both = df.unionByName(thumbs)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in xmm.image_near_dup_pairs(both, max_hamming=16, bands=32).collect()
+    }
+    # each 8x-downsampled thumbnail pairs with its source within ONE
+    # grid column (<= side = 16 bits at the 256-bit default: composed
+    # sampling rounding can shift the kink across one sampled column,
+    # flipping that column's comparisons — measured {0, 0, 16}), and
+    # with nothing else: cross-seed distances sit at 48+ at this width
+    assert set(pairs) == {(0, 100), (1, 101), (2, 102)}
+    assert all(h <= 16 for h in pairs.values())
+    pairs64 = {
+        (r.id_a, r.id_b): r.hamming
+        for r in xmm.image_near_dup_pairs(both, max_hamming=0, n_bits=64).collect()
+    }
+    assert pairs64 == {(0, 100): 0, (1, 101): 0, (2, 102): 0}
+
+    # negative side: above-Nyquist content aliases under the same resize
+    alias_rows = [(i, bytearray(xmm.make_gradient_bmp(360, 320, i)))
+                  for i in range(4)]
+    adf = spark.createDataFrame(alias_rows, "doc_id long, payload binary")
+    athumbs = xmm.resize_images(adf, 36, 32).select(
+        (F.col("doc_id") + 100).alias("doc_id"), "payload"
+    )
+    asigs = {
+        r.doc_id: r.bits
+        for r in xmm.image_perceptual_bits(adf.unionByName(athumbs)).collect()
+    }
+    hams = [
+        sum(x != y for x, y in zip(asigs[i], asigs[i + 100])) for i in range(4)
+    ]
+    assert any(h > 15 for h in hams)  # aliasing genuinely breaks identity
+
+
 def test_media_report_data_card(spark):
     """The media data card: per-modality decision counts + cluster-size
     histogram, exact integers, one row per (modality, metric, bucket) —
