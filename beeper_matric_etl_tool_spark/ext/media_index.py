@@ -19,17 +19,29 @@ index amortizes it:
            key, so an image can never band against an audio clip), and
            verifies exact hamming on candidates. The reference media
            bytes are NEVER touched — the plan's only Python stages are
-           the new batch's decodes (plan-pinned in tests).
-  append:  accepted survivors decode once and extend `signatures/`; the
-           next probe sees them without any rebuild.
+           the new batch's decodes (plan-pinned in tests). Callers that
+           ALREADY derived signatures (the curation funnel returns its
+           frames) use `media_dedup_signatures_against_index` — the
+           decode-free core the streaming writer composes (r11: exactly
+           one decode per payload per micro-batch, spy-pinned).
+  append:  accepted survivors extend `signatures/` — one decode pass via
+           `append_media_index`, or ZERO via
+           `append_media_index_signatures` over already-derived frames
+           (in-plan width assertion); the next probe sees them without
+           any rebuild.
 
 Config is part of the index, not the call: the image hash method
 (dhash/ahash) and the signature width are written to `_META.json` at
 build time and validated at probe/append — signatures computed under a
 different method band differently and would silently change decisions.
-``max_hamming``/``bands`` stay probe-time knobs: both sides band fresh
-at probe time, so there is no stored banding to mismatch (the pigeonhole
-guarantee is enforced per probe).
+``max_hamming``/``bands`` stay probe-time OVERRIDES: both sides band
+fresh at probe time, so there is no stored banding to mismatch (the
+pigeonhole guarantee is enforced per probe) — but their DEFAULTS come
+from the meta (r11): ``bands_hint`` (derived at build —
+corpus-estimate-sized or the smallest divisor clearing the
+width-coupled radius) and ``max_hamming_hint`` (a pinned build radius),
+so an estimate-sized index drives its own probes with nothing
+hand-picked.
 
 Layout: `signatures/` is hive-partitioned by ``ingest_batch`` exactly
 like the text dedup index (build −1, unstaged appends −2, staged appends
