@@ -2556,6 +2556,22 @@ VHASH_BANDS = 16
 MC_MEDIA_DOCS = 48
 MC_DOCS = 55
 MC_STILL_DOC = 54
+
+#: planted subsequence-containment corpus (kind='contain'): tracks =
+#: the vhash corpus's six ORIGINALS (docs 0..5 → seeds 0..5, variant 0,
+#: 24 frames each); the clip (synthetic id 900) is frames [9, 17) of
+#: track 0, re-encoded as its own AVI — frame-aligned, so every clip
+#: frame matches its source frame at hamming 0 and the true offset (9)
+#: collects all 8 votes. The oracle re-derives EVERY track frame's
+#: image-grid dHash and the clip's (t = fidx + 9) from the gradient
+#: closed form and replays pairs → offset vote, so coincidental
+#: low-vote offsets (if any clear min_matches at this width) are
+#: replayed too, not assumed away.
+CT_TRACKS = 6
+CT_CLIP_ID = 900
+CT_CLIP_START, CT_CLIP_END = 9, 17
+CT_MAX_HAMMING = 3
+CT_MIN_MATCHES = 3
 MC_SEEDS = 4
 MC_MIN_W, MC_MIN_H = 16, 8
 MC_SMALL_W, MC_SMALL_H = 8, 6
@@ -2991,6 +3007,56 @@ MC_SHORT_FRAMES = 5
             ) p54 ON p54.id_b = d.doc_id
             WHERE d.doc_id = {MC_STILL_DOC}
         ),
+        -- subsequence containment (kind='contain'): EVERY frame of the
+        -- six planted tracks hashed on the image grid from the gradient
+        -- closed form; the clip's frames are track 0's [9, 17), so its
+        -- bits come from the same CTE — pairs within the radius, then
+        -- the temporal-consistency offset vote, replayed exactly
+        ct_lum AS (
+            SELECT doc_id, t, r, c,
+                   299 * (((xi + yi) * (3 + 7*seed) + t*19) % 256)
+                 + 587 * ((yi * (11 + 17*seed) + t*23) % 256)
+                 + 114 * ((xi * (7 + 13*seed) + t*29) % 256) AS luma
+            FROM (
+                SELECT d.doc_id, d.doc_id AS seed, gt.t AS t,
+                       gr.r AS r, gc.c AS c,
+                       least((2*gr.r + 1) * {VHASH_H} // 16,
+                             {VHASH_H - 1}) AS yi,
+                       least((2*gc.c + 1) * {VHASH_W} // 18,
+                             {VHASH_W - 1}) AS xi
+                FROM documents d,
+                     generate_series(0, {VHASH_N_FRAMES - 1}) AS gt(t),
+                     generate_series(0, 7) AS gr(r),
+                     generate_series(0, 8) AS gc(c)
+                WHERE d.doc_id < {CT_TRACKS}
+            )
+        ),
+        ct_bits AS (
+            SELECT a.doc_id, a.t, a.r * 8 + a.c AS pos,
+                   CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS bit
+            FROM ct_lum a JOIN ct_lum b
+              ON b.doc_id = a.doc_id AND b.t = a.t AND b.r = a.r
+                 AND b.c = a.c + 1
+            WHERE a.c < 8
+        ),
+        ct_pairs AS (
+            SELECT y.doc_id AS track_id,
+                   x.t - {CT_CLIP_START} AS clip_idx, y.t AS track_idx,
+                   SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+            FROM ct_bits x JOIN ct_bits y ON x.pos = y.pos
+            WHERE x.doc_id = 0 AND x.t >= {CT_CLIP_START}
+              AND x.t < {CT_CLIP_END}
+            GROUP BY 1, 2, 3
+            HAVING SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+                   <= {CT_MAX_HAMMING}
+        ),
+        ct_vote AS (
+            SELECT track_id, track_idx - clip_idx AS t_off,
+                   COUNT(*) AS n_matched, MAX(hamming) AS max_unit_hamming
+            FROM ct_pairs
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {CT_MIN_MATCHES}
+        ),
         srch_ranked AS (
             SELECT id_a, id_b, hamming,
                    ROW_NUMBER() OVER (PARTITION BY id_a
@@ -3078,10 +3144,29 @@ MC_SHORT_FRAMES = 5
             SELECT id_a, COUNT(*) AS n FROM srch_ranked
             WHERE rnk <= 3 GROUP BY 1
         )
+        UNION ALL
+        SELECT 'contain', CAST({CT_CLIP_ID} AS BIGINT),
+               CAST(track_id AS BIGINT), 'video',
+               CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(t_off AS INTEGER), CAST(n_matched AS INTEGER),
+               CAST(max_unit_hamming AS BIGINT)
+        FROM ct_vote
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plane, eight kind legs in one relation.
+    """Multimodal plane, nine kind legs in one relation.
+
+    kind='contain' — media SUBSEQUENCE containment
+    (`ext/media_subseq.py:video_containment_pairs`): a clip re-encoded
+    from frames [9, 17) of planted track 0 is located inside the six
+    planted tracks by per-frame image hashes and the temporal-
+    consistency offset vote (every clip frame matches its source frame
+    at hamming 0 → offset 9 with all 8 votes; `width` = offset,
+    `height` = votes). The oracle re-derives EVERY track frame's
+    image-grid dHash from the gradient closed form (the clip's bits ARE
+    track 0's frames [9, 17) in that CTE) and replays pairs → vote, so
+    any coincidence offsets clearing the vote threshold would be
+    replayed too, not assumed away.
 
     kind='recall' — the banded retrieval GRADED: `evaluate_recall` (the
     embedding tier's recall@k audit) of `rank_media_variants` against a
@@ -3424,6 +3509,69 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 3)
     )
+    # kind='contain': media SUBSEQUENCE containment
+    # (`ext/media_subseq.py:video_containment_pairs`) — the clip
+    # (frames [9, 17) of track 0, re-encoded) located inside the six
+    # planted tracks by per-frame image hashes + the temporal-
+    # consistency offset vote. 64-bit frame hashes (the closed-form
+    # oracle width); the slot carries offset in `width`, vote count in
+    # `height`, the worst unit distance in `hamming`.
+    from beeper_matric_etl_tool_spark.ext.media_subseq import (
+        video_containment_pairs,
+    )
+
+    def gen_tracks(it):
+        for pdf in it:
+            payloads = [
+                xmm.make_gradient_avi(
+                    VHASH_W, VHASH_H, VHASH_N_FRAMES, int(d) % VHASH_SEEDS
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def gen_clip(it):
+        for pdf in it:
+            payloads = []
+            for _d in pdf["doc_id"]:
+                frames, _ = xmm._avi_frames(
+                    xmm.make_gradient_avi(VHASH_W, VHASH_H, VHASH_N_FRAMES, 0)
+                )
+                payloads.append(
+                    xmm._encode_avi(frames[CT_CLIP_START:CT_CLIP_END])
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(
+                        [CT_CLIP_ID] * len(pdf), dtype="int64"
+                    ),
+                    "payload": payloads,
+                }
+            )
+
+    ct_tracks = (
+        docs.select("doc_id").filter(F.col("doc_id") < CT_TRACKS)
+        .mapInPandas(gen_tracks, "doc_id long, payload binary")
+    )
+    ct_clip = (
+        docs.select("doc_id").filter(F.col("doc_id") == 0)
+        .mapInPandas(gen_clip, "doc_id long, payload binary")
+    )
+    contain = video_containment_pairs(
+        ct_clip, ct_tracks,
+        max_hamming=CT_MAX_HAMMING, min_matches=CT_MIN_MATCHES, n_bits=64,
+    ).select(
+        F.lit("contain").alias("kind"),
+        F.col("clip_id").cast("long").alias("id_a"),
+        F.col("track_id").cast("long").alias("id_b"),
+        F.lit("video").alias("mime"),
+        F.lit(None).cast("long").alias("byte_len"),
+        F.lit(None).cast("string").alias("payload_sha256"),
+        F.col("offset").cast("int").alias("width"),
+        F.col("n_matched").cast("int").alias("height"),
+        F.col("max_unit_hamming").cast("long").alias("hamming"),
+    )
+
     recall = evaluate_recall(
         ranked, exact_topk, query_col="probe_id", id_col="ref_id"
     ).select(
@@ -3445,6 +3593,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(report)
         .unionByName(search)
         .unionByName(recall)
+        .unionByName(contain)
     )
 
 
