@@ -146,6 +146,42 @@ def test_audio_containment_alignment_contract(spark):
         audio_window_fingerprints(clips, window_frames=64)
 
 
+def test_containment_degrades_by_votes_not_runs(spark):
+    """The constant-offset vote's robustness claim, executed: editing
+    units INSIDE the clip removes exactly those units' votes — detection
+    persists at the same offset with fewer votes instead of collapsing
+    at the first touched unit (what a consecutive-run detector would
+    do). Video: one frame inverted → 11/12 votes; audio: one window
+    re-leveled → 2/3 votes."""
+    track = xmm.make_gradient_avi(40, 16, 60, seed=3)
+    frames = xmm._avi_frames(track)[0][20:32].copy()
+    frames[5] = 255 - frames[5]  # edit ONE frame mid-clip
+    clip = xmm._encode_avi(frames)
+    rows = video_containment_pairs(
+        _frame(spark, [(1, clip)]), _frame(spark, [(100, track)]),
+        max_hamming=0, min_matches=5,
+    ).collect()
+    assert [(r.track_id, r.offset, r.n_matched) for r in rows] == [(100, 20, 11)]
+
+    track_b = xmm.make_saw_wav(40_000, seed=2)
+    mono = xmm._wav_samples(track_b)[0][:, 0]
+    cut = mono[8192 : 8192 + 6144].copy().astype(np.int64)
+    # DROPOUT inside the middle window: a whole-window uniform gain
+    # would flip nothing (the fingerprint is gain-invariant in sign
+    # structure — its documented property), and even a partial re-level
+    # measured hamming 0 here (the halved bins scale together; only the
+    # two boundary comparisons can flip and happened not to) — a
+    # silenced run reshapes bin energies relative to each other and
+    # flips the window's bits (measured 69)
+    cut[2048 + 500 : 2048 + 1500] = 0
+    rows_a = audio_containment_pairs(
+        _frame(spark, [(1, _wav_of(cut))]),
+        _frame(spark, [(100, track_b)]),
+        window_frames=2048, max_hamming=0, min_matches=2,
+    ).collect()
+    assert [(r.track_id, r.offset, r.n_matched) for r in rows_a] == [(100, 4, 2)]
+
+
 def test_containment_core_guards_and_struct_ids(spark):
     # the core refuses a meaningless vote threshold...
     sigs = spark.createDataFrame(
