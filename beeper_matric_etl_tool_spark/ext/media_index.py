@@ -395,8 +395,13 @@ def media_search(
     meta = read_meta(path)
     if bands is None:
         bands = int(meta.get("bands_hint", 16))
-    if max_hamming is None and meta.get("max_hamming_hint"):
-        max_hamming = int(meta["max_hamming_hint"])  # pinned-radius index
+    if max_hamming is None:
+        # explicit None check, not truthiness: max_hamming=0 is a
+        # legitimate pinned radius (exact-dup-only index) and must not
+        # fall through to the width-coupled default
+        h = meta.get("max_hamming_hint")
+        if h is not None:
+            max_hamming = int(h)  # pinned-radius index
     ref = spark.read.parquet(os.path.join(path, "signatures")).select(
         F.col("doc_id"), "modality", "bits"
     )
@@ -511,10 +516,14 @@ def media_dedup_signatures_against_index(
         ref = ref.filter(F.col(BATCH_COL) != F.lit(int(exclude_batch)))
     ref_sigs = ref.select(F.col("doc_id"), "modality", "bits")
     if max_hamming is None:
-        # a pinned-radius index resolves the SAME radius it was sized for
-        max_hamming = int(
-            meta.get("max_hamming_hint")
-            or default_media_hamming(meta["n_bits"], bands)
+        # a pinned-radius index resolves the SAME radius it was sized
+        # for — explicit None check: a pinned radius of 0 (exact-dup-
+        # only) is falsy but present, and must not silently widen to
+        # the width-coupled default
+        h = meta.get("max_hamming_hint")
+        max_hamming = (
+            int(h) if h is not None
+            else default_media_hamming(meta["n_bits"], bands)
         )
     pairs = simhash_cross_candidates(
         batch_sigs.select("doc_id", "modality", "bits"),

@@ -115,6 +115,11 @@ def video_frame_signatures(
         for pdf in it:
             ids, idxs, starts, bits, errs = [], [], [], [], []
             for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                # per-doc rows accumulate LOCALLY and extend the batch
+                # lists only after the full pass succeeds — a doc is
+                # all-units or one dead-letter row, never both (an
+                # exception mid-loop must not leave partial unit rows
+                # that a downstream error-isNull filter would keep)
                 try:
                     if p is None:
                         raise NotImplementedError("null payload")
@@ -122,18 +127,23 @@ def video_frame_signatures(
                     if not (p[:4] == b"RIFF" and len(p) >= 24):
                         raise NotImplementedError("not an AVI payload")
                     frames, _usec = _avi_frames(p)
+                    d_idx, d_start, d_bits = [], [], []
                     for k, fi in enumerate(range(0, frames.shape[0], stride)):
-                        ids.append(doc_id)
-                        idxs.append(k)
-                        starts.append(fi)
-                        bits.append(hasher(frames[fi], side))
-                        errs.append(None)
+                        d_idx.append(k)
+                        d_start.append(fi)
+                        d_bits.append(hasher(frames[fi], side))
                 except (NotImplementedError, ValueError, IndexError) as exc:
                     ids.append(doc_id)
                     idxs.append(None)
                     starts.append(None)
                     bits.append(None)
                     errs.append(f"frame_sig_error: {exc}")
+                else:
+                    ids.extend([doc_id] * len(d_idx))
+                    idxs.extend(d_idx)
+                    starts.extend(d_start)
+                    bits.extend(d_bits)
+                    errs.extend([None] * len(d_idx))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -181,6 +191,9 @@ def audio_window_fingerprints(
         for pdf in it:
             ids, idxs, starts, bits, errs = [], [], [], [], []
             for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                # all-units-or-dead-letter, like video_frame_signatures:
+                # per-doc rows land in local lists and only a fully
+                # succeeded pass extends the batch lists
                 try:
                     if p is None:
                         raise NotImplementedError("null payload")
@@ -194,18 +207,23 @@ def audio_window_fingerprints(
                         raise NotImplementedError(
                             f"audio shorter than one window ({n} frames)"
                         )
+                    d_idx, d_start, d_bits = [], [], []
                     for k, s in enumerate(range(0, n - window_frames + 1, hop)):
-                        ids.append(doc_id)
-                        idxs.append(k)
-                        starts.append(s)
-                        bits.append(_afp_of(mono[s : s + window_frames], bins))
-                        errs.append(None)
+                        d_idx.append(k)
+                        d_start.append(s)
+                        d_bits.append(_afp_of(mono[s : s + window_frames], bins))
                 except (NotImplementedError, ValueError, IndexError) as exc:
                     ids.append(doc_id)
                     idxs.append(None)
                     starts.append(None)
                     bits.append(None)
                     errs.append(f"window_fp_error: {exc}")
+                else:
+                    ids.extend([doc_id] * len(d_idx))
+                    idxs.extend(d_idx)
+                    starts.extend(d_start)
+                    bits.extend(d_bits)
+                    errs.extend([None] * len(d_idx))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),

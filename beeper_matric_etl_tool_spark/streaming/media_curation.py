@@ -113,10 +113,14 @@ def media_curation_batch_writer(
     if bands is None:
         bands = int(meta.get("bands_hint", 16))
     if max_hamming is None:
-        # a pinned-radius index resolves the SAME radius it was sized for
-        max_hamming = int(
-            meta.get("max_hamming_hint")
-            or default_media_hamming(meta["n_bits"], bands)
+        # a pinned-radius index resolves the SAME radius it was sized
+        # for — explicit None check, not truthiness: a pinned radius of
+        # 0 (exact-dup-only index) must drive the funnel at 0, not at
+        # the width-coupled default
+        h = meta.get("max_hamming_hint")
+        max_hamming = (
+            int(h) if h is not None
+            else default_media_hamming(meta["n_bits"], bands)
         )
     _guard_output_layout(out_dir, "ingest_batch", "media_curation_batch_writer")
     if audit_dir is not None:

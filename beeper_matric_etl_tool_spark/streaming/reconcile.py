@@ -46,9 +46,12 @@ stays a DATAFRAME end to end (semi/anti joins, never a driver-side list
 materialization; AQE broadcasts the key set when it is small), and the
 rewrite I/O is touched-buckets-only (`partitioned_upsert`'s contract;
 the only collects are bucket ids, bounded by the bucket count).
-Detection uses TWO per-field null-flagged, independently-salted summed
-crc32 checksums (r11: a drift must collide both ~2⁻⁶⁴-style; summed
-32-bit values on purpose — ANSI-mode long sums must not overflow) —
+Detection uses TWO per-field null-flagged summed checksums from
+STRUCTURALLY DIFFERENT hash families — crc32 and 32-bit-masked xxhash64
+(r12: a same-length row substitution that collides crc32 would have
+collided any salted crc32 too, CRC being affine in its init state; the
+second family is genuinely independent) — summed 32-bit values on
+purpose, ANSI-mode long sums must not overflow —
 collisions are astronomically unlikely but possible; pass ``keys=``
 explicitly when exactness of the DETECTION (not the repair itself) must
 be absolute.
@@ -348,15 +351,19 @@ def _final_session_identities(batch: DataFrame) -> DataFrame:
 
 def _key_checksums(df: DataFrame) -> DataFrame:
     """(sender, __n, __ck, __ck2): row count + TWO order-free checksums
-    of the full row content — the per-key compare unit. Each is a summed
-    crc32 (longs, so partition layout cannot move the value), the second
-    over a salted rendering of the same row, so a drift must collide
-    BOTH independent 32-bit sums to evade detection (~2⁻⁶⁴, vs ~2⁻³² for
-    the single sum this replaced — r11). Summed crc32 rather than a
-    summed 64-bit hash on purpose: values are ≤ 2³², so per-key sums
-    stay inside a long for any plausible key cardinality — Spark 4 runs
-    ANSI mode by default, where a long-sum overflow is a runtime ERROR,
-    and xxhash64 sums would cross it after a handful of rows. Fields
+    of the full row content — the per-key compare unit. The first is a
+    summed crc32, the second a summed 32-bit-masked xxhash64 of the SAME
+    row rendering — two structurally different hash families, so a drift
+    must collide both (~2⁻⁶⁴ for random corruption). A salted second
+    crc32 (what r11 shipped) is NOT independent for the common
+    single-row same-length substitution: CRC32 is affine in its initial
+    state at fixed message length, so any same-length row swap that
+    collides crc32(row) deterministically collides crc32(salt||row) too
+    — xxhash64 shares no such structure (r12, ADVICE). Both sums are of
+    32-bit values on purpose: per-key sums stay inside a long for any
+    plausible key cardinality — Spark 4 runs ANSI mode by default, where
+    a long-sum overflow is a runtime ERROR, and unmasked xxhash64 sums
+    would cross it after a handful of rows. Fields
     join under an explicit unit separator: with no delimiter, adjacent
     numeric fields would make STRUCTURAL collisions ((1, 12) vs (11, 2)
     concatenate identically) — not crc32-random at all. Each field also
@@ -372,7 +379,12 @@ def _key_checksums(df: DataFrame) -> DataFrame:
     return df.groupBy("sender").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(F.crc32(row)).alias("__ck"),
-        F.sum(F.crc32(F.concat(F.lit("ck2\x1f"), row))).alias("__ck2"),
+        # mask BEFORE summing: xxhash64 & 0xFFFFFFFF keeps each term in
+        # [0, 2³²) so the ANSI-safe bounded-sum property of the crc32
+        # sum carries over to the independent family
+        F.sum(
+            F.xxhash64(row).bitwiseAND(F.lit(0xFFFFFFFF))
+        ).alias("__ck2"),
     )
 
 

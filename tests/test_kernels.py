@@ -2042,3 +2042,113 @@ def test_simhash_banding_skew_guard_equivalence(spark):
         df, ref, max_hamming=5, bands=16, n_bits=64, skew_cap=10**9
     ).collect()))
     assert xg == xd and len(xg) >= 60  # each planted row + its twin match
+
+
+def test_error_class_taxonomy_pinned(spark):
+    """ADVICE r12: every decode-gate raise message is pinned to its
+    MEDIA_ERROR_CLASSES value THROUGH THE REAL OPS — a reworded raise
+    site elsewhere now fails this test loudly instead of silently
+    reclassifying dead letters into 'corrupt' and skewing the
+    error_class audit. One case per raise site that can fire in
+    production; the single un-triggerable message (the 2^38-sample
+    too-long guard) is pinned by source-literal + classifier check."""
+    import inspect
+
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+
+    def classes(op, payloads):
+        df = spark.createDataFrame(
+            [
+                (i, bytearray(p) if p is not None else None)
+                for i, p in enumerate(payloads)
+            ],
+            "doc_id long, payload binary",
+        )
+        rows = (
+            op(df)
+            .select(
+                "doc_id",
+                "error",
+                xmm._error_class(F.col("error")).alias("cls"),
+            )
+            .collect()
+        )
+        return {r.doc_id: (r.error, r.cls) for r in rows}
+
+    # -- image plane ------------------------------------------------------
+    bmp8 = bytearray(60)
+    bmp8[0:2] = b"BM"
+    bmp8[28:30] = (8).to_bytes(2, "little")  # bpp=8 -> unsupported
+    img = classes(
+        lambda df: xmm.image_perceptual_bits(df, n_bits=64),
+        [None, b"x" * 60, bytes(bmp8)],
+    )
+    assert img[0][1] == "null_payload" and "null payload" in img[0][0]
+    assert img[1][1] == "wrong_container" and "not a BMP" in img[1][0]
+    assert img[2][1] == "unsupported_codec" and "bpp=8" in img[2][0]
+
+    # -- audio plane ------------------------------------------------------
+    def wav_with_bits(bits, n=4000):
+        sig = bytes(n)
+        fmt = (
+            b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+            + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+            + (8000).to_bytes(4, "little") + (1).to_bytes(2, "little")
+            + bits.to_bytes(2, "little")
+        )
+        data = b"data" + len(sig).to_bytes(4, "little") + sig
+        body = b"WAVE" + fmt + data
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    riff_avi_pad = b"RIFF" + (100).to_bytes(4, "little") + b"AVI " + b"\x00" * 92
+    aud = classes(
+        lambda df: xmm.audio_fingerprint_bits(df, n_bits=64),
+        [riff_avi_pad, wav_with_bits(8), xmm.make_saw_wav(20, seed=0)],
+    )
+    assert aud[0][1] == "wrong_container" and "but not WAVE" in aud[0][0]
+    assert aud[1][1] == "unsupported_codec" and "bits=8" in aud[1][0]
+    assert aud[2][1] == "too_short" and "too short" in aud[2][0]
+
+    # -- video plane ------------------------------------------------------
+    avi = xmm.make_gradient_avi(16, 8, 12, seed=1)
+    avi_dc = avi.replace(b"00db", b"00dc")          # compressed stream
+    avi_rec = avi.replace(b"movi", b"rec ")         # rec-grouped movi
+    ah = avi.index(b"avih") + 8
+    avi_mismatch = bytearray(avi)
+    avi_mismatch[ah + 16 : ah + 20] = (99).to_bytes(4, "little")
+    avi_bigdims = bytearray(avi)
+    avi_bigdims[ah + 32 : ah + 36] = (1 << 20).to_bytes(4, "little")
+    j = avi.rindex(b"00db")
+    fsz = int.from_bytes(avi[j + 4 : j + 8], "little")
+    avi_trunc = bytearray(avi)
+    avi_trunc[j + 4 : j + 8] = (fsz - 4).to_bytes(4, "little")
+    vid = classes(
+        lambda df: xmm.video_hash_bits(df, n_bits=64),
+        [
+            avi_dc,
+            avi_rec,
+            bytes(avi_mismatch),
+            bytes(avi_bigdims),
+            bytes(avi_trunc),
+            xmm.make_gradient_avi(16, 8, 5, seed=0),
+        ],
+    )
+    assert vid[0][1] == "unsupported_codec" and "compressed" in vid[0][0]
+    assert vid[1][1] == "unsupported_codec" and "rec-grouped" in vid[1][0]
+    assert vid[2][1] == "corrupt" and "mismatch" in vid[2][0]
+    assert vid[3][1] == "corrupt" and "exceed" in vid[3][0]
+    assert vid[4][1] == "corrupt" and "truncated" in vid[4][0]
+    assert vid[5][1] == "too_short" and "too short" in vid[5][0]
+
+    # -- the one closure guard no craftable payload reaches (2^38 samples):
+    # pin the raise-site literal in source AND its classification
+    src = inspect.getsource(xmm)
+    assert "audio too long for exact int64 bin energies" in src
+    lit = spark.createDataFrame(
+        [("afp_error: audio too long for exact int64 bin energies",)],
+        "error string",
+    )
+    assert (
+        lit.select(xmm._error_class(F.col("error")).alias("c")).first().c
+        == "too_long"
+    )

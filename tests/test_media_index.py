@@ -676,3 +676,44 @@ def test_media_search_ranked_variants(spark, tmp_path):
     # k caps the per-probe result
     top1 = media_search(probe, spark, idx, max_hamming=15, k=1).collect()
     assert len(top1) == 1 and top1[0].ref_id == 1
+
+
+def test_pinned_radius_zero_is_respected(spark, tmp_path, ref_on_disk):
+    """ADVICE r12: ``max_hamming=0`` is a legitimate pinned radius (an
+    exact-dup-only index) — the falsy hint must NOT fall through to the
+    width-coupled default and silently drop non-duplicate docs. Probes,
+    the search entry and the streaming writer all resolve radius 0 via
+    an explicit None check."""
+    from beeper_matric_etl_tool_spark.ext.media_index import media_search
+    from beeper_matric_etl_tool_spark.streaming.media_curation import (
+        media_curation_batch_writer,
+    )
+
+    idx = str(tmp_path / "midx0")
+    build_media_index(ref_on_disk, idx, max_hamming=0)
+    assert read_meta(idx)["max_hamming_hint"] == 0
+
+    batch = _media_frame(
+        spark,
+        [
+            (101, REF_IMG),  # exact dup -> hamming 0, still drops
+            (102, xmm.make_gradient_bmp(36, 32, seed=1, invert_col=18)),
+        ],
+    )
+    survivors, dropped = media_dedup_against_index(batch, spark, idx)
+    # under the width-coupled default (radius >= 12) doc 102 would drop;
+    # at the pinned radius 0 only the exact duplicate does
+    assert {r.doc_id for r in dropped.collect()} == {101}
+    assert {r.doc_id for r in survivors.collect()} == {102}
+
+    # the ranked-search entry resolves the same pinned radius
+    hits = media_search(batch, spark, idx, k=5).collect()
+    assert {(r.probe_id, r.hamming) for r in hits} == {(101, 0)}
+
+    # the streaming writer resolves it too (construction-time): its
+    # funnel thresholds come from the same hint
+    out = tmp_path / "curated"
+    write = media_curation_batch_writer(idx, str(out))
+    write(batch, 3)
+    kept = spark.read.parquet(str(out))
+    assert {r.doc_id for r in kept.collect()} == {102}
