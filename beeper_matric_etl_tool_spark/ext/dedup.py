@@ -845,14 +845,15 @@ def dedup_against_reference(
       near-duplicates of any reference row (all input columns kept);
     - dropped: (new id, ``ref_id`` witness, ``reason`` 'exact'|'near',
       ``jaccard_ppm`` — NULL for exact drops). One row per dropped doc,
-      lowest-id witness, exact-reason wins — deterministic audit trail.
-      NOTE the witness is the LOWEST-ID match, not the most similar one:
-      ``jaccard_ppm`` is that witness's similarity, which may understate
-      the batch doc's true closest reference (a threshold post-filter on
-      it would under-count). The media index made the opposite choice
-      (closest-match witness, `ext/media_index.py`) — changing this one
-      would churn the long-pinned text audit contract for no decision
-      change, so the asymmetry is documented instead.
+      exact-reason wins — deterministic audit trail. The near-tier
+      witness is the CLOSEST match (maximum verified Jaccard, ties to
+      the smallest ref_id), so a threshold post-filter on
+      ``jaccard_ppm`` sees the batch doc's true nearest reference —
+      the same contract as the media index's min-(hamming, ref_id)
+      witness (`ext/media_index.py`; unified r12 — the lowest-id
+      witness this replaces could understate the true similarity).
+      Exact-tier witnesses keep the smallest matching ref_id: every
+      exact match is equally "closest", so the id is pure tiebreak.
 
     Scale shape: the reference is touched by three linear passes
     (fingerprints for the exact anti-join, banded signatures for the LSH
@@ -976,16 +977,20 @@ def dedup_against_frames(
         .withColumn("__jppm", _jaccard_ppm())
         .groupBy("new_id")
         .agg(
-            # lowest-id witness and ITS similarity (ties impossible:
-            # candidates are distinct per (new_id, ref_id))
-            F.min("ref_id").alias("ref_id"),
-            F.expr("min_by(__jppm, ref_id)").alias("jaccard_ppm"),
+            # CLOSEST-match witness: min over (-jaccard, ref_id) structs
+            # orders lexicographically — maximum similarity first,
+            # smallest ref_id on ties (the media index's witness
+            # contract, unified r12; candidates are distinct per
+            # (new_id, ref_id) so the struct order is total)
+            F.min(
+                F.struct((-F.col("__jppm")).alias("nj"), F.col("ref_id"))
+            ).alias("__w"),
         )
         .select(
             F.col("new_id").alias(id_col),
-            "ref_id",
+            F.col("__w.ref_id").alias("ref_id"),
             F.lit("near").alias("reason"),
-            "jaccard_ppm",
+            (-F.col("__w.nj")).alias("jaccard_ppm"),
         )
     )
     survivors = after_exact.drop("__fp").join(

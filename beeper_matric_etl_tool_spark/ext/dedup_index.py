@@ -203,8 +203,8 @@ def append_dedup_index(
 
     ``batch_id=None`` is the unstaged mode (partition −2, plain parquet
     append): re-running a failed append duplicates derived rows —
-    harmless for decisions (witness selection is min(ref_id); candidate
-    sets are distinct-ed) but wasteful. Passing ``batch_id`` stages the
+    harmless for decisions (witness selection is content-based — the
+    closest match — and candidate sets are distinct-ed) but wasteful. Passing ``batch_id`` stages the
     append as a dynamic partition OVERWRITE of that batch's partition:
     a replayed batch replaces its own rows instead of duplicating them —
     the exactly-once mode the streaming curation writer uses (module

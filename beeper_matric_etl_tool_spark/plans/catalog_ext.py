@@ -1767,20 +1767,26 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
             FROM inbnd n JOIN irbnd r USING (band_id, band_hash)
         ),
+        inearp AS (
+            SELECT c.new_id, c.ref_id,
+                   (1000000 * len(list_intersect(a.s, b.s)))
+                     // len(list_distinct(list_concat(a.s, b.s))) AS jppm
+            FROM ixcand c
+            JOIN insh a ON a.doc_id = c.new_id
+            JOIN irsh b ON b.doc_id = c.ref_id
+            WHERE len(list_intersect(a.s, b.s))
+                  / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+                  >= 0.7
+        ),
+        -- closest-match witness (max jaccard, ties to smallest ref_id) —
+        -- the r12 unified witness contract, shared with the media index
         inear AS (
-            SELECT new_id AS doc_id, min(ref_id) AS ref_id,
-                   min_by(jppm, ref_id) AS jppm
-            FROM (
-                SELECT c.new_id, c.ref_id,
-                       (1000000 * len(list_intersect(a.s, b.s)))
-                         // len(list_distinct(list_concat(a.s, b.s))) AS jppm
-                FROM ixcand c
-                JOIN insh a ON a.doc_id = c.new_id
-                JOIN irsh b ON b.doc_id = c.ref_id
-                WHERE len(list_intersect(a.s, b.s))
-                      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
-                      >= 0.7
-            ) GROUP BY new_id
+            SELECT new_id AS doc_id, ref_id, jppm FROM (
+                SELECT new_id, ref_id, jppm,
+                       row_number() OVER (PARTITION BY new_id
+                                          ORDER BY jppm DESC, ref_id) AS rn
+                FROM inearp
+            ) WHERE rn = 1
         )
         SELECT 'pair' AS kind, id_a AS a, id_b AS b, CAST(jac AS BIGINT) AS score
         FROM pairs
@@ -1828,8 +1834,10 @@ def dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % 4 != 0) and a new batch (doc_id % 4 = 0, plus every
     (% 4 != 0, % 10 = 1) reference doc REDELIVERED under a shifted id so
     the exact tier demonstrably fires). a = batch doc id; drops carry the
-    lowest-id reference WITNESS in b and the verified jaccard ppm in
-    score (NULL for exact drops) — the deterministic audit trail. Runs
+    CLOSEST reference witness in b (max verified jaccard, ties to the
+    smallest ref_id — the r12 witness contract shared with the media
+    index; exact drops carry the smallest matching ref_id) and the
+    verified jaccard ppm in score (NULL for exact drops). Runs
     portable=True (md5 minhash family) so the LSH candidate set — and
     therefore every drop/keep decision — is replayed bit-identically by
     the DuckDB oracle.

@@ -132,3 +132,41 @@ def test_union_shaped_batch_survives_planner_union_pushdown(spark, sf_dir):
         for r in ref.filter(F.col("doc_id") % 10 == 1).collect()
     }
     assert redelivered_ids <= exact_drops
+
+
+def test_near_witness_is_closest_match(spark):
+    """r12 witness unification: the near-tier witness is the CLOSEST
+    reference (maximum verified jaccard, ties to the smallest ref_id) —
+    the media index's contract — NOT the lowest-id candidate. Planted
+    two-ref corpus: the farther match carries the SMALLER id, so the
+    old lowest-id policy would have picked it."""
+    from beeper_matric_etl_tool_spark.ext.dedup import (
+        lsh_cross_candidates,
+        minhash_signatures,
+    )
+
+    base = [f"w{i}" for i in range(40)]
+    far = list(base)
+    far[0:4] = [f"x{i}" for i in range(4)]   # 3-gram jaccard 34/42
+    near = list(base)
+    near[0] = "y0"                            # 3-gram jaccard 37/39
+    reference = spark.createDataFrame(
+        [(10, " ".join(far)), (20, " ".join(near))], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1000, " ".join(base))], "doc_id long, text string"
+    )
+
+    # honesty precondition: BOTH references are LSH candidates, so the
+    # witness choice below is a real choice, not a single-candidate walk
+    cands = lsh_cross_candidates(
+        minhash_signatures(batch, 32, 3, "text", "doc_id"),
+        minhash_signatures(reference, 32, 3, "text", "doc_id"),
+    )
+    assert {r.ref_id for r in cands.collect()} == {10, 20}
+
+    _, dropped = dedup_against_reference(batch, reference, threshold=0.7)
+    (d,) = dropped.collect()
+    assert d.reason == "near"
+    assert d.ref_id == 20                       # closest, not lowest-id
+    assert d.jaccard_ppm == 1_000_000 * 37 // 39  # ...and ITS similarity
