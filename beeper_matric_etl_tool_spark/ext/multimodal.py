@@ -1225,7 +1225,8 @@ MEDIA_STREAM_DECISIONS = MEDIA_DECISIONS + ("drop:near_dup_index",)
 
 MEDIA_CURATION_SCHEMA = (
     "doc_id long, modality string, width int, height int, "
-    "n_frames int, cluster_id long, decision string, error_class string"
+    "n_frames int, cluster_id long, decision string, error_class string, "
+    "n_bytes long"
 )
 
 #: dead-letter taxonomy of the funnel's ``error_class`` column — NULL on
@@ -1305,8 +1306,8 @@ def curate_media_with_signatures(
     paid to decode: ``(decisions, signatures)``.
 
     ``decisions`` is (doc_id, modality, width, height, n_frames,
-    cluster_id, decision, error_class) with EVERY input row present
-    exactly once, ``decision`` one of :data:`MEDIA_DECISIONS` (audit
+    cluster_id, decision, error_class, n_bytes) with EVERY input row
+    present exactly once, ``decision`` one of :data:`MEDIA_DECISIONS` (audit
     discipline: drops are labeled, never silent) and ``error_class``
     the :data:`MEDIA_ERROR_CLASSES` dead-letter taxonomy on
     drop:undecodable rows (NULL elsewhere) — WHY a payload failed its
@@ -1585,6 +1586,15 @@ def curate_media_with_signatures(
         img_sigs = img_sigs.withColumn("frame_bits", F.lit(None).cast(fb_t))
         aud_sigs = aud_sigs.withColumn("frame_bits", F.lit(None).cast(fb_t))
     decisions = img.unionByName(aud).unionByName(vid).unionByName(unk)
+    # payload MASS on every decision row (r12): the byte length is free
+    # JVM column algebra on the dispatch skeleton — one id-keyed join of
+    # an (id, long) frame, no payload shuffle — and it is what compliance
+    # and mixture questions are asked in (media_report's mass axis).
+    # NULL payloads carry NULL n_bytes (excluded from mass sums).
+    sizes = dispatched.select(
+        "doc_id", F.length("payload").cast("long").alias("n_bytes")
+    )
+    decisions = decisions.join(sizes, on="doc_id", how="left")
     signatures = img_sigs.unionByName(aud_sigs).unionByName(vid_sigs)
     return decisions, signatures
 
@@ -1596,9 +1606,9 @@ def curate_media(
 ) -> DataFrame:
     """The decisions relation of :func:`curate_media_with_signatures` —
     the batch funnel's public face: (doc_id, modality, width, height,
-    n_frames, cluster_id, decision, error_class), every input row
-    exactly once, decisions from :data:`MEDIA_DECISIONS` (see the full
-    docstring there). Callers composing the funnel with a persisted media index
+    n_frames, cluster_id, decision, error_class, n_bytes), every input
+    row exactly once, decisions from :data:`MEDIA_DECISIONS` (see the
+    full docstring there). Callers composing the funnel with a persisted media index
     should use the signature-returning form instead — probing on the
     funnel's own signature frames is what keeps the lake's decode cost
     at exactly one pass per payload."""
@@ -1609,7 +1619,9 @@ def curate_media(
 
 
 def media_report(
-    decisions: DataFrame, include_error_classes: bool = False
+    decisions: DataFrame,
+    include_error_classes: bool = False,
+    include_mass: bool = False,
 ) -> DataFrame:
     """The MEDIA DATA CARD — the `corpus_report` shape for the media
     funnel: one rollup relation over a `curate_media` /
@@ -1636,6 +1648,18 @@ def media_report(
       unsupported codec vs unrecognized container), the triage split a
       lake operator acts on differently (corruption = upstream transfer
       bug; unsupported codec = roadmap; unknown container = routing).
+    - ``metric='mass_bytes'/'mass_pixels'/'mass_frames'``
+      (``include_mass=True``, r12): bucket = the decision string, n =
+      the TOTAL payload bytes / pixels (width·height·frames, images
+      count one frame) / media frames carried by that (modality,
+      decision) cell — the MASS axis: compliance and mixture questions
+      are asked in bytes, pixels and hours, not document counts ("how
+      many bytes of video did we drop as near-dup"). Rows whose axis is
+      undefined (no dims → no pixels, NULL payload → no bytes,
+      image/undecodable → no frames) are excluded from that axis's sum;
+      ``mass_bytes`` needs a decisions frame carrying ``n_bytes``
+      (`curate_media` emits it; older persisted decisions lack it and
+      get pixels/frames only).
 
     Scale shape: two aggregations over the decisions relation (already
     corpus-of-decisions-sized — no payloads, no signatures), both
@@ -1665,6 +1689,39 @@ def media_report(
             .withColumn("metric", F.lit("error_class"))
         )
         out = out.unionByName(err.select(*cols))
+    if include_mass:
+        # one more map-side-combined aggregation over columns the
+        # decisions relation already carries; unpivoted to the card
+        # shape with NULL sums (axis undefined for the whole cell)
+        # dropped rather than reported as zero mass
+        pixels = (
+            F.when(
+                F.col("width").isNotNull(),
+                F.col("width").cast("long")
+                * F.col("height").cast("long")
+                * F.coalesce(F.col("n_frames").cast("long"), F.lit(1)),
+            )
+        )
+        aggs = [
+            F.sum(pixels).alias("mass_pixels"),
+            F.sum(F.col("n_frames").cast("long")).alias("mass_frames"),
+        ]
+        axes = ["mass_pixels", "mass_frames"]
+        if "n_bytes" in decisions.columns:
+            aggs.append(F.sum(F.col("n_bytes")).alias("mass_bytes"))
+            axes.append("mass_bytes")
+        stacked = ", ".join(f"'{a}', {a}" for a in axes)
+        mass = (
+            decisions.groupBy("modality", F.col("decision").alias("bucket"))
+            .agg(*aggs)
+            .selectExpr(
+                "modality",
+                "bucket",
+                f"stack({len(axes)}, {stacked}) AS (metric, n)",
+            )
+            .filter(F.col("n").isNotNull())
+        )
+        out = out.unionByName(mass.select(*cols))
     return out
 
 

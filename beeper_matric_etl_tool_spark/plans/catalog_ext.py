@@ -2586,6 +2586,28 @@ MC_SMALL_W, MC_SMALL_H = 8, 6
 MC_SHORT_FRAMES = 5
 
 
+def _bmp_nbytes(w: int, h: int) -> int:
+    """Container arithmetic for the planted corpus's byte MASS (r12):
+    an uncompressed 24-bpp BMP is a 54-byte header plus h rows padded to
+    4-byte boundaries — the multimodal generators' exact layout, so the
+    oracle's mass rows derive byte lengths structurally instead of
+    calling the engine's own generators."""
+    return 54 + ((w * 3 + 3) // 4 * 4) * h
+
+
+def _wav_nbytes(n: int) -> int:
+    """44-byte canonical RIFF/WAVE header + 2 bytes per 16-bit mono
+    sample frame (make_saw_wav's layout)."""
+    return 44 + 2 * n
+
+
+def _avi_nbytes(w: int, h: int, n: int) -> int:
+    """_encode_avi's chunk arithmetic: 224 fixed bytes (RIFF + hdrl with
+    avih/strl) + one 8-byte-headed uncompressed DIB chunk per frame
+    (rows padded like BMP; row bytes are 4-aligned so no odd padding)."""
+    return 224 + n * (8 + ((w * 3 + 3) // 4 * 4) * h)
+
+
 @register(
     "multimodal_features",
     tags=("ext-multimodal",),
@@ -2981,22 +3003,37 @@ MC_SHORT_FRAMES = 5
         -- re-encoded still), shared by the curation leg and the
         -- media_report rollup so the two can never drift
         mc_final AS (
-            SELECT doc_id, modality, cluster_id, decision, width, height
+            -- n_frames / n_bytes are the MASS columns (r12): frames from
+            -- the planted durations, bytes from container arithmetic
+            -- (_bmp_nbytes/_wav_nbytes/_avi_nbytes — the generators'
+            -- exact header + padded-row layout)
+            SELECT doc_id, modality, cluster_id, decision, width, height,
+                   CASE modality WHEN 'audio' THEN {AFP_N}
+                        WHEN 'video' THEN {VHASH_N_FRAMES} END AS n_frames,
+                   CASE modality
+                        WHEN 'image' THEN {_bmp_nbytes(PHASH_W, PHASH_H)}
+                        WHEN 'audio' THEN {_wav_nbytes(AFP_N)}
+                        ELSE {_avi_nbytes(VHASH_W, VHASH_H, VHASH_N_FRAMES)}
+                   END AS n_bytes
             FROM mc_curation
             UNION ALL
             SELECT doc_id, 'unknown', CAST(NULL AS BIGINT),
                    'drop:undecodable', CAST(NULL AS INTEGER),
-                   CAST(NULL AS INTEGER)
+                   CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+                   octet_length(encode('text payload ' || CAST(doc_id AS VARCHAR)))
             FROM documents
             WHERE doc_id >= {MC_MEDIA_DOCS} AND doc_id < {MC_MEDIA_DOCS + 4}
             UNION ALL
             SELECT doc_id, 'image', CAST(NULL AS BIGINT),
-                   'drop:below_floor', {MC_SMALL_W}, {MC_SMALL_H}
+                   'drop:below_floor', {MC_SMALL_W}, {MC_SMALL_H},
+                   CAST(NULL AS INTEGER),
+                   {_bmp_nbytes(MC_SMALL_W, MC_SMALL_H)}
             FROM documents WHERE doc_id = {MC_MEDIA_DOCS + 4}
             UNION ALL
             SELECT doc_id, 'video', CAST(NULL AS BIGINT),
                    'drop:undecodable', CAST(NULL AS INTEGER),
-                   CAST(NULL AS INTEGER)
+                   CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+                   {_avi_nbytes(VHASH_W, VHASH_H, MC_SHORT_FRAMES)}
             FROM documents WHERE doc_id = {MC_MEDIA_DOCS + 5}
             UNION ALL
             -- the re-encoded still: full replay — within-video pairs
@@ -3008,7 +3045,8 @@ MC_SHORT_FRAMES = 5
                         WHEN d.doc_id IN (SELECT doc_id FROM mc_cross)
                             THEN 'drop:near_dup_cross'
                         ELSE 'keep' END,
-                   {PHASH_W}, {PHASH_H}
+                   {PHASH_W}, {PHASH_H}, {VHASH_N_FRAMES},
+                   {_avi_nbytes(PHASH_W, PHASH_H, VHASH_N_FRAMES)}
             FROM documents d LEFT JOIN (
                 SELECT id_b, min(id_a) AS cid FROM mc_near
                 WHERE id_b = {MC_STILL_DOC} GROUP BY 1
@@ -3108,7 +3146,7 @@ MC_SHORT_FRAMES = 5
         FROM vh_ham WHERE hamming <= {VHASH_MAX_HAMMING}
         UNION ALL
         SELECT 'curation' AS kind, doc_id AS id_a, cluster_id AS id_b,
-               modality AS mime, CAST(NULL AS BIGINT) AS byte_len,
+               modality AS mime, CAST(n_bytes AS BIGINT) AS byte_len,
                decision AS payload_sha256,
                CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
                CAST(NULL AS BIGINT) AS hamming
@@ -3116,7 +3154,8 @@ MC_SHORT_FRAMES = 5
         UNION ALL
         -- kind='report': the media data card — media_report's rollup of
         -- the same decisions relation (per-modality decision counts +
-        -- cluster-size histogram), replayed off mc_final
+        -- cluster-size histogram + the r12 MASS axis in bytes / pixels
+        -- / frames), replayed off mc_final
         SELECT 'report', CAST(n AS BIGINT), CAST(NULL AS BIGINT), modality,
                CAST(NULL AS BIGINT), metric || ':' || bucket,
                CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
@@ -3131,6 +3170,16 @@ MC_SHORT_FRAMES = 5
                 SELECT modality, cluster_id, COUNT(*) AS sz
                 FROM mc_final WHERE cluster_id IS NOT NULL GROUP BY 1, 2
             ) GROUP BY 1, 3
+            UNION ALL
+            SELECT modality, 'mass_bytes', decision, SUM(n_bytes)
+            FROM mc_final WHERE n_bytes IS NOT NULL GROUP BY 1, 3
+            UNION ALL
+            SELECT modality, 'mass_frames', decision, SUM(n_frames)
+            FROM mc_final WHERE n_frames IS NOT NULL GROUP BY 1, 3
+            UNION ALL
+            SELECT modality, 'mass_pixels', decision,
+                   SUM(CAST(width AS BIGINT) * height * coalesce(n_frames, 1))
+            FROM mc_final WHERE width IS NOT NULL GROUP BY 1, 3
         )
         UNION ALL
         SELECT 'search' AS kind, id_a, id_b, 'image' AS mime,
@@ -3187,11 +3236,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg before any user sees a silently smaller candidate set.
 
     kind='report' — the media DATA CARD (`media_report`): per-modality
-    decision counts and the cluster-size histogram over the curation
-    leg's decisions relation, the release-notes numbers (`mime` =
-    modality, `payload_sha256` = 'metric:bucket', `id_a` = n). The
-    oracle replays the rollup off the same mc_final CTE the curation
-    rows come from, so card and decisions cannot drift.
+    decision counts, the cluster-size histogram AND the MASS axis
+    (r12: total bytes / pixels / frames per (modality, decision) cell —
+    compliance and mixture questions are asked in bytes and hours, not
+    doc counts) over the curation leg's decisions relation, the
+    release-notes numbers (`mime` = modality, `payload_sha256` =
+    'metric:bucket', `id_a` = n). The oracle replays the rollup off the
+    same mc_final CTE the curation rows come from — byte masses from
+    container arithmetic (header + padded-row layout), so card and
+    decisions cannot drift.
 
     kind='manifest' — decode/feature-extract stage over the
     payload+metadata plane: Arrow-batched mapInPandas over binary
@@ -3437,7 +3490,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("id_a"),
         F.col("cluster_id").cast("long").alias("id_b"),
         F.col("modality").alias("mime"),
-        F.lit(None).cast("long").alias("byte_len"),
+        # r12: the per-doc payload mass rides the slot's byte_len — the
+        # oracle re-derives it from container arithmetic (_bmp_nbytes &
+        # co), so the funnel's n_bytes join is hash-checked per doc
+        F.col("n_bytes").cast("long").alias("byte_len"),
         F.col("decision").alias("payload_sha256"),
         F.col("width").cast("int"),
         F.col("height").cast("int"),
@@ -3445,8 +3501,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # kind='report': the media DATA CARD (`media_report`) over the same
     # decisions relation — per-modality decision counts + cluster-size
-    # histogram; the oracle replays the rollup off its mc_final CTE
-    report = xmm.media_report(mc_decisions).select(
+    # histogram + the r12 mass axis (bytes / pixels / frames per
+    # decision cell); the oracle replays the rollup off its mc_final CTE
+    report = xmm.media_report(mc_decisions, include_mass=True).select(
         F.lit("report").alias("kind"),
         F.col("n").cast("long").alias("id_a"),
         F.lit(None).cast("long").alias("id_b"),

@@ -96,10 +96,11 @@ def media_curation_batch_writer(
     ever silently dropped, and the lineage (cluster ids, witnesses)
     survives for a downstream mixer or a compliance query.
     MIGRATION NOTE: decisions partitions written before the error_class
-    column existed lack it — reading a directory that spans the upgrade
-    needs ``spark.read.option("mergeSchema", "true")`` (otherwise
-    parquet's sampled-file schema makes the column's presence depend on
-    which partition gets sampled)."""
+    (r10) or n_bytes (r12) columns existed lack them — reading a
+    directory that spans an upgrade needs
+    ``spark.read.option("mergeSchema", "true")`` (otherwise parquet's
+    sampled-file schema makes the column's presence depend on which
+    partition gets sampled)."""
     meta = read_meta(index_path)
     for frozen in ("sig_bits", "image_method"):
         if frozen in curate_kwargs:
@@ -267,6 +268,7 @@ def media_curation_batch_writer(
                     "error_class",
                     "ref_id",
                     "hamming",
+                    "n_bytes",
                 )
                 .withColumn("ingest_batch", F.lit(int(batch_id)))
                 .write.mode("overwrite")

@@ -2152,3 +2152,55 @@ def test_error_class_taxonomy_pinned(spark):
         lit.select(xmm._error_class(F.col("error")).alias("c")).first().c
         == "too_long"
     )
+
+
+def test_media_report_mass_axis(spark):
+    """r12 mass axis: per-(modality, decision) byte/pixel/frame totals
+    off columns the decisions relation already carries — compliance
+    numbers in bytes and frames, not doc counts. Axes undefined for a
+    cell (no dims, no frames, NULL payload) are absent, not zero; a
+    decisions frame without n_bytes (pre-r12 persisted audit) still
+    cards pixels and frames."""
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+
+    img = xmm.make_gradient_bmp(36, 32, seed=1)
+    wav = xmm.make_saw_wav(3300, seed=2)
+    avi = xmm.make_gradient_avi(40, 16, 24, seed=3)
+    rows = [
+        (1, bytearray(img)),
+        (2, bytearray(img)),  # exact copy -> drop:near_dup
+        (5, bytearray(wav)),
+        (7, bytearray(avi)),
+        (9, bytearray(b"not media")),
+        (10, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    dec = xmm.curate_media(df, sig_bits=64)
+    card = {
+        (r.modality, r.metric, r.bucket): r.n
+        for r in xmm.media_report(dec, include_mass=True).collect()
+    }
+    assert card[("image", "mass_bytes", "keep")] == len(img)
+    assert card[("image", "mass_bytes", "drop:near_dup")] == len(img)
+    assert card[("image", "mass_pixels", "keep")] == 36 * 32
+    assert ("image", "mass_frames", "keep") not in card  # images: no frames
+    assert card[("audio", "mass_bytes", "keep")] == len(wav)
+    assert card[("audio", "mass_frames", "keep")] == 3300
+    assert ("audio", "mass_pixels", "keep") not in card  # audio: no dims
+    assert card[("video", "mass_bytes", "keep")] == len(avi)
+    assert card[("video", "mass_pixels", "keep")] == 40 * 16 * 24
+    assert card[("video", "mass_frames", "keep")] == 24
+    assert card[("unknown", "mass_bytes", "drop:undecodable")] == len(
+        b"not media"
+    )
+    # the NULL payload contributes no byte mass but IS counted as a doc
+    assert card[("unknown", "decision", "drop:undecodable")] == 2
+
+    metrics = {
+        r.metric
+        for r in xmm.media_report(
+            dec.drop("n_bytes"), include_mass=True
+        ).collect()
+    }
+    assert "mass_pixels" in metrics and "mass_frames" in metrics
+    assert "mass_bytes" not in metrics
