@@ -88,12 +88,32 @@ UNIT_SIG_SCHEMA = T.StructType(
 )
 
 
+def scaled_stride_for(fps: float) -> int:
+    """The COMPUTED video containment stride — one signature per second
+    of content (``max(1, round(fps))``), the lake-wide default a 100 TB
+    deployment wants derived, not remembered (r12; the r11 scale note).
+
+    Volume math, worked: a 2 h 24 fps video is 172,800 frames. At
+    ``stride=1`` that is 172,800 unit rows of ~1 KB each (256 small
+    ints) ≈ 170 MB of signatures PER VIDEO — linear and honest, but a
+    foot-gun as a lake default. At ``scaled_stride_for(24) = 24`` it is
+    7,200 rows ≈ 7 MB, and a clip cut at a second boundary still lands
+    every unit match (stride must divide the true frame offset — the
+    module docstring's stride contract; sub-second cut offsets trade
+    away with the volume). Callers wanting every-offset coverage pass
+    ``stride=1`` explicitly — the expensive choice is now the explicit
+    one."""
+    if fps <= 0:
+        raise ValueError(f"scaled_stride_for: fps must be positive ({fps})")
+    return max(1, int(round(fps)))
+
+
 def video_frame_signatures(
     with_payload: DataFrame,
     id_col: str = "doc_id",
     n_bits: int = DEFAULT_SIG_BITS,
     method: str = "dhash",
-    stride: int = 1,
+    stride: int | str = 1,
 ) -> DataFrame:
     """(doc_id, idx, start, bits, error) — one IMAGE-plane hash per
     ``stride``-th frame of each AVI payload, Arrow-batched
@@ -103,10 +123,24 @@ def video_frame_signatures(
     with ``error`` set. This is the containment tier's unit generator —
     unlike `video_hash_bits(frame_hash_method=...)` it hashes EVERY
     stride-th frame, not the whole-object hash's sparse temporal
-    centers, so a clip can be located at any frame offset."""
+    centers, so a clip can be located at any frame offset.
+
+    ``stride='auto'`` (r12) computes the stride PER PAYLOAD from the
+    container's own frame duration via :func:`scaled_stride_for` — one
+    signature per second of content, the computed lake default. A clip
+    cut from a track shares the track's fps, so both sides derive the
+    SAME stride and the stride contract (stride divides the true
+    offset) means second-aligned cuts are covered; ``start`` stays the
+    true source frame number, so offsets in source frames remain
+    exact. A payload with no usable frame duration falls back to
+    stride 1 (full coverage, honest cost)."""
     if method not in ("dhash", "ahash"):
         raise ValueError(f"video_frame_signatures: unknown method {method!r}")
-    if stride < 1:
+    if stride == "auto":
+        stride = None  # per-payload, resolved inside the batch fn
+    elif isinstance(stride, str):
+        raise ValueError(f"video_frame_signatures: unknown stride {stride!r}")
+    elif stride < 1:
         raise ValueError(f"video_frame_signatures: stride must be >= 1 ({stride})")
     side = _side_of(n_bits)
     hasher = _dhash_of if method == "dhash" else _ahash_of
@@ -126,9 +160,17 @@ def video_frame_signatures(
                     p = bytes(p)
                     if not (p[:4] == b"RIFF" and len(p) >= 24):
                         raise NotImplementedError("not an AVI payload")
-                    frames, _usec = _avi_frames(p)
+                    frames, usec = _avi_frames(p)
+                    if stride is None:  # 'auto': one signature per second
+                        st = (
+                            scaled_stride_for(1_000_000 / usec)
+                            if usec and usec > 0
+                            else 1
+                        )
+                    else:
+                        st = stride
                     d_idx, d_start, d_bits = [], [], []
-                    for k, fi in enumerate(range(0, frames.shape[0], stride)):
+                    for k, fi in enumerate(range(0, frames.shape[0], st)):
                         d_idx.append(k)
                         d_start.append(fi)
                         d_bits.append(hasher(frames[fi], side))
@@ -237,6 +279,140 @@ def audio_window_fingerprints(
     return with_payload.mapInPandas(batches, schema=UNIT_SIG_SCHEMA)
 
 
+def _landmark_positions(
+    mono: "np.ndarray", min_spacing: int, window_frames: int
+) -> list[int]:
+    """Sample positions q where |mono[q+1] − mono[q]| is the FIRST
+    maximum of its ±``min_spacing`` neighborhood (ties resolve to the
+    earliest index — deterministic) and a full window [q, q+W) fits.
+    The detector is LOCAL: a landmark's presence depends only on its
+    ±min_spacing neighborhood, so every landmark at least min_spacing
+    inside a cut survives the cut at the same CONTENT position — the
+    anchor property that makes landmark windows alignment-free.
+    Edge landmarks (neighborhood truncated by the cut) may appear or
+    vanish; they just don't vote. O(n·min_spacing) vectorized compare
+    (numpy sliding windows); at audio scale that is one in-decode pass
+    over samples already in memory."""
+    d = np.abs(np.diff(mono)).astype(np.int64)
+    n = len(d)
+    L = min_spacing
+    if n == 0:
+        return []
+    # pad with -1 (strictly below any |diff| >= 0) so edge windows are
+    # well-formed; the center of window q sits at index L
+    padded = np.concatenate(
+        [np.full(L, -1, dtype=np.int64), d, np.full(L, -1, dtype=np.int64)]
+    )
+    win = np.lib.stride_tricks.sliding_window_view(padded, 2 * L + 1)
+    is_lm = win.argmax(axis=1) == L  # first-max-at-center: strict + ties-left
+    return [
+        int(q)
+        for q in np.nonzero(is_lm)[0]
+        if q + window_frames <= len(mono)
+    ]
+
+
+def audio_landmark_fingerprints(
+    with_payload: DataFrame,
+    window_frames: int,
+    min_spacing: int,
+    id_col: str = "doc_id",
+    n_bits: int = DEFAULT_SIG_BITS,
+) -> DataFrame:
+    """(doc_id, idx, start, bits, error) — one acoustic fingerprint per
+    ENERGY-LANDMARK-anchored window: windows start where the signal's
+    sample-to-sample change peaks locally (:func:`_landmark_positions`),
+    not at fixed hop multiples. This is the sub-hop alignment answer
+    (r12, the r11 verdict's item 2): hop-strided windows only match a
+    cut that is hop-aligned, because the integer-exact fingerprint has
+    NO sub-hop shift invariance — measured, a 16-sample shift already
+    scores at the noise floor. Landmarks move WITH the content: a cut at
+    ANY sample offset preserves every interior landmark, both sides
+    fingerprint the bit-identical window [q, q+W) at the same content
+    position, and matches land at hamming 0 with the vote key
+    ``track.start − clip.start`` equal to the exact cut offset in
+    sample frames (probe with ``frame_signature_containment(...,
+    unit_col='start')``).
+
+    ``min_spacing`` bounds the unit volume (≥ one landmark per
+    2·min_spacing+1 samples only at saturation; real signals are much
+    sparser) and sets the edge blindness: landmarks closer than
+    min_spacing to a cut boundary may differ between clip and track.
+    Clips need interior landmarks to vote — a clip shorter than
+    ~(2·min_spacing + window_frames) may yield none (honest miss, not
+    an error). Window floor and dead-letter semantics are
+    :func:`audio_window_fingerprints`'s.
+
+    HONESTY on periodic content: the first-max tie rule means
+    EXACTLY-repeating peak magnitudes suppress each other (each window
+    sees an equal earlier peak) — a pure tone or a closed-form sawtooth
+    yields few or no landmarks, the same way audio landmarking
+    classically fails on tones. Content without distinctive transients
+    has no anchors to find; fall back to hop mode (and hop-aligned
+    ingest) for such corpora."""
+    if n_bits % 2:
+        raise ValueError(f"audio_landmark_fingerprints: n_bits={n_bits} must be even")
+    bins = n_bits // 2 + 1
+    if window_frames < bins + 1:
+        raise ValueError(
+            f"audio_landmark_fingerprints: window_frames={window_frames} is "
+            f"below the fingerprint's floor of {bins + 1} samples "
+            f"({bins} bins need every bin non-empty)"
+        )
+    if min_spacing < 1:
+        raise ValueError(
+            f"audio_landmark_fingerprints: min_spacing must be >= 1 "
+            f"({min_spacing})"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, starts, bits, errs = [], [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    if p is None:
+                        raise NotImplementedError("null payload")
+                    p = bytes(p)
+                    if not (p[:4] == b"RIFF" and len(p) >= 44):
+                        raise NotImplementedError("not a WAV payload")
+                    frames, _rate, _ch = _wav_samples(p)
+                    mono = frames.astype(np.int64).sum(axis=1)
+                    if len(mono) < window_frames:
+                        raise NotImplementedError(
+                            f"audio shorter than one window ({len(mono)} frames)"
+                        )
+                    d_idx, d_start, d_bits = [], [], []
+                    for k, q in enumerate(
+                        _landmark_positions(mono, min_spacing, window_frames)
+                    ):
+                        d_idx.append(k)
+                        d_start.append(q)
+                        d_bits.append(_afp_of(mono[q : q + window_frames], bins))
+                except (NotImplementedError, ValueError, IndexError) as exc:
+                    ids.append(doc_id)
+                    idxs.append(None)
+                    starts.append(None)
+                    bits.append(None)
+                    errs.append(f"landmark_fp_error: {exc}")
+                else:
+                    ids.extend([doc_id] * len(d_idx))
+                    idxs.extend(d_idx)
+                    starts.extend(d_start)
+                    bits.extend(d_bits)
+                    errs.extend([None] * len(d_idx))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "idx": pd.Series(idxs, dtype="Int32"),
+                    "start": pd.Series(starts, dtype="Int64"),
+                    "bits": bits,
+                    "error": errs,
+                }
+            )
+
+    return with_payload.mapInPandas(batches, schema=UNIT_SIG_SCHEMA)
+
+
 def frame_signature_containment(
     clip_sigs: DataFrame,
     track_sigs: DataFrame,
@@ -244,6 +420,7 @@ def frame_signature_containment(
     min_matches: int = 3,
     bands: int = 16,
     n_bits: int = DEFAULT_SIG_BITS,
+    unit_col: str = "idx",
 ) -> DataFrame:
     """The containment core over two UNIT-signature relations (doc_id,
     idx, bits — `video_frame_signatures` / `audio_window_fingerprints`
@@ -255,9 +432,18 @@ def frame_signature_containment(
     (`simhash_cross_candidates` — ids are (doc, idx) structs, so clips
     and tracks of any length compose without synthetic-id arithmetic);
     the consistency vote is one group-by over verified candidate pairs
-    (offset = track idx − clip idx, constant across a true containment,
-    robust to per-unit edits — see the module docstring for the
-    alignment contract). ``max_hamming=None`` resolves width-scaled via
+    (offset = track unit − clip unit, constant across a true
+    containment, robust to per-unit edits — see the module docstring
+    for the alignment contract). ``unit_col`` picks the vote's unit
+    axis: ``'idx'`` (default) votes in sampled-unit steps — right for
+    the stride/hop generators whose units are equally spaced;
+    ``'start'`` votes on SOURCE positions (frame / sample numbers) —
+    required for `audio_landmark_fingerprints`, whose units are
+    content-anchored and irregularly spaced (the offset is then the
+    exact cut position in source units). The candidate dedup contract
+    holds either way: `simhash_cross_candidates` dedups pairs per
+    (doc, unit) struct id, so one vote per matched unit pair per
+    offset. ``max_hamming=None`` resolves width-scaled via
     `default_media_hamming`. Self-pairs (a clip probed against a track
     relation containing the clip itself under the same id) are the
     caller's concern — disjoint id spaces are the expected shape."""
@@ -270,15 +456,20 @@ def frame_signature_containment(
             f"frame_signature_containment: min_matches must be >= 1 "
             f"({min_matches})"
         )
+    if unit_col not in ("idx", "start"):
+        raise ValueError(
+            f"frame_signature_containment: unit_col must be 'idx' or "
+            f"'start' ({unit_col!r})"
+        )
     c = clip_sigs.select(
         F.struct(
-            F.col("doc_id").alias("doc"), F.col("idx").alias("i")
+            F.col("doc_id").alias("doc"), F.col(unit_col).alias("i")
         ).alias("doc_id"),
         "bits",
     )
     t = track_sigs.select(
         F.struct(
-            F.col("doc_id").alias("doc"), F.col("idx").alias("i")
+            F.col("doc_id").alias("doc"), F.col(unit_col).alias("i")
         ).alias("doc_id"),
         "bits",
     )
@@ -355,27 +546,38 @@ def audio_containment_pairs(
     bands: int = 16,
     id_col: str = "doc_id",
     n_bits: int = DEFAULT_SIG_BITS,
+    landmark_spacing: int | None = None,
 ) -> DataFrame:
     """"Which of these tracks was this clip sampled from" — the audio
-    twin of :func:`video_containment_pairs`, offsets in HOP units
+    twin of :func:`video_containment_pairs`.
+
+    Default (hop) mode: fixed hop-strided windows, offsets in HOP units
     (multiply by ``hop_frames`` for sample frames). Exact when the cut
-    is hop-aligned (bit-identical windows, hamming 0); see the module
-    docstring for the mis-alignment honesty."""
-    c = (
-        audio_window_fingerprints(
-            clips, window_frames, hop_frames, id_col=id_col, n_bits=n_bits
+    is hop-aligned (bit-identical windows, hamming 0); a MIS-aligned
+    cut is missed — the integer-exact fingerprint has no sub-hop shift
+    invariance (module docstring; measured: a 16-sample shift scores at
+    the noise floor).
+
+    ``landmark_spacing`` set (r12) switches both sides to
+    ENERGY-LANDMARK-anchored windows (`audio_landmark_fingerprints`):
+    windows start at content-determined positions that survive a cut at
+    ANY sample offset, so mis-aligned cuts are detected exactly —
+    matches at hamming 0, and ``offset`` is the cut position in SAMPLE
+    FRAMES (the vote runs on ``start``, not ``idx``). ``hop_frames``
+    is ignored in landmark mode."""
+    if landmark_spacing is not None:
+        gen = lambda df: audio_landmark_fingerprints(  # noqa: E731
+            df, window_frames, landmark_spacing, id_col=id_col, n_bits=n_bits
         )
-        .filter(F.col("error").isNull())
-        .localCheckpoint(eager=True)
-    )
-    t = (
-        audio_window_fingerprints(
-            tracks, window_frames, hop_frames, id_col=id_col, n_bits=n_bits
+        unit_col = "start"
+    else:
+        gen = lambda df: audio_window_fingerprints(  # noqa: E731
+            df, window_frames, hop_frames, id_col=id_col, n_bits=n_bits
         )
-        .filter(F.col("error").isNull())
-        .localCheckpoint(eager=True)
-    )
+        unit_col = "idx"
+    c = gen(clips).filter(F.col("error").isNull()).localCheckpoint(eager=True)
+    t = gen(tracks).filter(F.col("error").isNull()).localCheckpoint(eager=True)
     return frame_signature_containment(
         c, t, max_hamming=max_hamming, min_matches=min_matches,
-        bands=bands, n_bits=n_bits,
+        bands=bands, n_bits=n_bits, unit_col=unit_col,
     )

@@ -194,3 +194,47 @@ def test_containment_core_guards_and_struct_ids(spark):
         frame_signature_containment(
             sigs, sigs, max_hamming=16, bands=16, n_bits=64
         )
+
+
+def test_audio_landmark_mode_catches_misaligned_cut(spark):
+    """r12: the alignment gap closed at the batch level — the SAME cut
+    the hop-mode contract pins as missed (arbitrary sample offset) is
+    caught exactly by landmark mode, with offset = the cut position in
+    sample frames. Pinned alongside: the landmark detector is locally
+    deterministic (interior landmarks shift-invariant) and the periodic
+    sawtooth yields no landmarks (the documented tone caveat)."""
+    from beeper_matric_etl_tool_spark.ext.media_subseq import (
+        _landmark_positions,
+    )
+
+    rs = np.random.RandomState(7)
+    track = np.int64(rs.randint(-32768, 32768, 40_000))
+    other = np.int64(np.random.RandomState(11).randint(-32768, 32768, 40_000))
+    cut = 8001  # NOT hop-aligned for any power-of-two hop
+
+    # detector: interior landmarks are exactly the track's, shifted
+    lms_t = _landmark_positions(track, 300, 2048)
+    lms_c = [q + cut for q in _landmark_positions(track[cut : cut + 6144], 300, 2048)]
+    assert len(set(lms_c) & set(lms_t)) >= 2
+    # the periodic saw's equal wrap peaks suppress each other
+    saw_mono = xmm._wav_samples(xmm.make_saw_wav(40_000, seed=2))[0][:, 0]
+    assert len(_landmark_positions(saw_mono.astype(np.int64), 300, 2048)) <= 1
+
+    clips = _frame(spark, [(1, _wav_of(track[cut : cut + 6144]))])
+    tracks = _frame(spark, [(100, _wav_of(track)), (101, _wav_of(other))])
+
+    # hop mode misses (the r11-pinned contract)...
+    assert (
+        audio_containment_pairs(
+            clips, tracks, window_frames=2048, max_hamming=0, min_matches=2
+        ).count()
+        == 0
+    )
+    # ...landmark mode catches, offset in exact sample frames
+    rows = audio_containment_pairs(
+        clips, tracks, window_frames=2048, max_hamming=0, min_matches=2,
+        landmark_spacing=300,
+    ).collect()
+    assert len(rows) == 1
+    assert (rows[0].clip_id, rows[0].track_id, rows[0].offset) == (1, 100, cut)
+    assert rows[0].max_unit_hamming == 0 and rows[0].n_matched >= 2
