@@ -67,10 +67,9 @@ from beeper_matric_etl_tool_spark.ext.multimodal import (
     DEFAULT_SIG_BITS,
     _afp_of,
     _ahash_of,
-    _avi_frames,
+    _decoder_fn,
     _dhash_of,
     _side_of,
-    _wav_samples,
     default_media_hamming,
 )
 
@@ -144,6 +143,7 @@ def video_frame_signatures(
         raise ValueError(f"video_frame_signatures: stride must be >= 1 ({stride})")
     side = _side_of(n_bits)
     hasher = _dhash_of if method == "dhash" else _ahash_of
+    dec = _decoder_fn("video")  # registry snapshot, shipped in-closure
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -158,9 +158,7 @@ def video_frame_signatures(
                     if p is None:
                         raise NotImplementedError("null payload")
                     p = bytes(p)
-                    if not (p[:4] == b"RIFF" and len(p) >= 24):
-                        raise NotImplementedError("not an AVI payload")
-                    frames, usec = _avi_frames(p)
+                    frames, usec = dec(p)
                     if stride is None:  # 'auto': one signature per second
                         st = (
                             scaled_stride_for(1_000_000 / usec)
@@ -228,6 +226,7 @@ def audio_window_fingerprints(
     hop = window_frames if hop_frames is None else hop_frames
     if hop < 1:
         raise ValueError(f"audio_window_fingerprints: hop_frames must be >= 1 ({hop})")
+    dec = _decoder_fn("audio")  # registry snapshot, shipped in-closure
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -240,9 +239,7 @@ def audio_window_fingerprints(
                     if p is None:
                         raise NotImplementedError("null payload")
                     p = bytes(p)
-                    if not (p[:4] == b"RIFF" and len(p) >= 44):
-                        raise NotImplementedError("not a WAV payload")
-                    frames, _rate, _ch = _wav_samples(p)
+                    frames, _rate, _ch = dec(p)
                     mono = frames.astype(np.int64).sum(axis=1)
                     n = len(mono)
                     if n < window_frames:
@@ -364,6 +361,7 @@ def audio_landmark_fingerprints(
             f"audio_landmark_fingerprints: min_spacing must be >= 1 "
             f"({min_spacing})"
         )
+    dec = _decoder_fn("audio")  # registry snapshot, shipped in-closure
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -373,9 +371,7 @@ def audio_landmark_fingerprints(
                     if p is None:
                         raise NotImplementedError("null payload")
                     p = bytes(p)
-                    if not (p[:4] == b"RIFF" and len(p) >= 44):
-                        raise NotImplementedError("not a WAV payload")
-                    frames, _rate, _ch = _wav_samples(p)
+                    frames, _rate, _ch = dec(p)
                     mono = frames.astype(np.int64).sum(axis=1)
                     if len(mono) < window_frames:
                         raise NotImplementedError(

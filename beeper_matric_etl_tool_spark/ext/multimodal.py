@@ -593,6 +593,7 @@ def image_perceptual_bits(
         if method == "dhash"
         else (lambda px: _ahash_of(px, side))
     )
+    dec = _decoder_fn("image")  # registry snapshot, shipped in-closure
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -604,9 +605,7 @@ def image_perceptual_bits(
                     if p is None:
                         raise NotImplementedError("null payload")
                     p = bytes(p)
-                    if not (p[:2] == b"BM" and len(p) >= 54):
-                        raise NotImplementedError("not a BMP payload")
-                    px = _bmp_pixels(p)[:, :, :3]
+                    px = np.asarray(dec(p))[:, :, :3]
                     ws.append(px.shape[1])
                     hs.append(px.shape[0])
                     bits.append(hasher(px))
@@ -745,6 +744,7 @@ def audio_fingerprint_bits(
     if n_bits % 2:
         raise ValueError(f"audio_fingerprint_bits: n_bits={n_bits} must be even")
     bins = n_bits // 2 + 1
+    dec = _decoder_fn("audio")  # registry snapshot, shipped in-closure
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -754,9 +754,7 @@ def audio_fingerprint_bits(
                     if p is None:
                         raise NotImplementedError("null payload")
                     p = bytes(p)
-                    if not (p[:4] == b"RIFF" and len(p) >= 44):
-                        raise NotImplementedError("not a WAV payload")
-                    frames, rate, _ = _wav_samples(p)
+                    frames, rate, _ = dec(p)
                     n = frames.shape[0]
                     # need every E bin (n ≥ bins) AND every D bin
                     # (n-1 ≥ bins) non-empty
@@ -1118,6 +1116,7 @@ def video_hash_bits(
         if frame_hash_method is None
         else (_dhash_of if frame_hash_method == "dhash" else _ahash_of)
     )
+    dec = _decoder_fn("video")  # registry snapshot, shipped in-closure
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1127,9 +1126,7 @@ def video_hash_bits(
                     if p is None:
                         raise NotImplementedError("null payload")
                     p = bytes(p)
-                    if not (p[:4] == b"RIFF" and len(p) >= 24):
-                        raise NotImplementedError("not an AVI payload")
-                    frames, _usec = _avi_frames(p)
+                    frames, _usec = dec(p)
                     n = frames.shape[0]
                     if n < side:
                         raise NotImplementedError(
@@ -1267,23 +1264,126 @@ def _error_class(err: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Decoder seam (r12): a registry keyed by the magic-byte dispatch, so a
+# deployment can plug production codecs (JPEG/PNG/MP3/MP4 via its own
+# libraries) without forking the funnel. The built-in BMP/WAV/AVI trio
+# are the default registrants; unknown containers still dead-letter.
+# ---------------------------------------------------------------------------
+
+#: decode contracts per modality (what a registered callable must return
+#: or raise — raises become dead-letter rows, the shared contract):
+#:   image: payload -> (h, w, ch>=3) uint8 pixel array (BGR order)
+#:   audio: payload -> (frames int (n, channels) RAW integers, rate, channels)
+#:   video: payload -> (frames uint8 (n, h, w, 3) BGR top-down, usec_per_frame)
+_MEDIA_DECODERS: dict[str, dict] = {}
+
+
+def register_media_decoder(
+    name: str,
+    modality: str,
+    magic: list[tuple[int, bytes]],
+    min_len: int,
+    decode,
+) -> None:
+    """Register a payload decoder. ``magic`` is a list of (byte offset,
+    expected bytes) pairs — ALL must match, and ``len(payload) >=
+    min_len``, for the container to claim a payload; first registered
+    match wins (builtins first). The same sniff drives BOTH the JVM-side
+    `dispatch_modality` (binary substring compares — the corpus-wide
+    dispatch stays in whole-stage codegen whatever is registered) and
+    the Python-side decode resolution, so dispatch and decode can never
+    disagree about who claims a payload. ``decode`` must satisfy the
+    modality's contract above and RAISE (NotImplementedError /
+    ValueError) on bodies it cannot decode — the raise becomes the
+    row's dead letter, never a task crash.
+
+    Worker-visibility contract: signature ops SNAPSHOT the registry at
+    plan-construction time and ship the callables inside the Arrow-batch
+    closure (cloudpickle), so a decoder registered in the driver works
+    on executors without any module-level coordination — but it must be
+    picklable (top-level function or closure, not a bound method of an
+    open resource)."""
+    if modality not in ("image", "audio", "video"):
+        raise ValueError(
+            f"register_media_decoder: modality must be image/audio/video "
+            f"({modality!r})"
+        )
+    if not magic:
+        raise ValueError("register_media_decoder: magic must be non-empty")
+    _MEDIA_DECODERS[name] = {
+        "modality": modality,
+        "magic": [(int(o), bytes(m)) for o, m in magic],
+        "min_len": int(min_len),
+        "decode": decode,
+    }
+
+
+def unregister_media_decoder(name: str) -> None:
+    """Remove a registered decoder (no-op if absent). Built-ins can be
+    unregistered too — a deployment replacing the BMP codec wholesale
+    re-registers under the same magic."""
+    _MEDIA_DECODERS.pop(name, None)
+
+
+def _decoder_fn(modality: str):
+    """Snapshot the registry for one modality into a plain callable
+    ``payload -> decoded`` suitable for shipping inside an Arrow-batch
+    closure. Raises NotImplementedError('not a registered … container')
+    when no entry claims the payload — the wrong_container dead-letter
+    class."""
+    entries = [
+        (e["magic"], e["min_len"], e["decode"])
+        for e in _MEDIA_DECODERS.values()
+        if e["modality"] == modality
+    ]
+
+    def decode(p: bytes):
+        for magic, min_len, fn in entries:
+            if len(p) >= min_len and all(
+                p[o : o + len(m)] == m for o, m in magic
+            ):
+                return fn(p)
+        raise NotImplementedError(f"not a registered {modality} container")
+
+    return decode
+
+
+# the built-in trio — hand-rolled codecs for the formats this build can
+# decode without external libraries; compressed real-world formats are a
+# deployment's registration away (same dead-letter contract)
+register_media_decoder(
+    "bmp", "image", [(0, b"BM")], 54, lambda p: _bmp_pixels(p)[:, :, :3]
+)
+register_media_decoder(
+    "wav", "audio", [(0, b"RIFF"), (8, b"WAVE")], 44, _wav_samples
+)
+register_media_decoder(
+    "avi", "video", [(0, b"RIFF"), (8, b"AVI ")], 24, _avi_frames
+)
+
+
 def dispatch_modality(with_payload: DataFrame) -> DataFrame:
     """Adds a ``modality`` column ('image'/'audio'/'video'/'unknown') from
     the payload's magic bytes — pure JVM column algebra (binary substring
     compares), so the corpus-wide dispatch never leaves whole-stage
-    codegen and NULL payloads fall through to 'unknown' for free."""
+    codegen and NULL payloads fall through to 'unknown' for free. The
+    dispatch chain is BUILT FROM the decoder registry (r12): a
+    registered production codec's magic joins the chain automatically,
+    in registration order, so dispatch and decode always agree."""
     p = F.col("payload")
-    is_bmp = (F.substring(p, 1, 2) == F.lit(bytearray(b"BM"))) & (F.length(p) >= 54)
-    riff = F.substring(p, 1, 4) == F.lit(bytearray(b"RIFF"))
-    is_wav = riff & (F.substring(p, 9, 4) == F.lit(bytearray(b"WAVE"))) & (F.length(p) >= 44)
-    is_avi = riff & (F.substring(p, 9, 4) == F.lit(bytearray(b"AVI "))) & (F.length(p) >= 24)
-    return with_payload.withColumn(
-        "modality",
-        F.when(is_bmp, "image")
-        .when(is_wav, "audio")
-        .when(is_avi, "video")
-        .otherwise("unknown"),
-    )
+    col = None
+    for e in _MEDIA_DECODERS.values():
+        cond = F.length(p) >= e["min_len"]
+        for off, m in e["magic"]:
+            cond = cond & (
+                F.substring(p, off + 1, len(m)) == F.lit(bytearray(m))
+            )
+        col = F.when(cond, e["modality"]) if col is None else col.when(
+            cond, e["modality"]
+        )
+    col = F.lit("unknown") if col is None else col.otherwise("unknown")
+    return with_payload.withColumn("modality", col)
 
 
 def curate_media_with_signatures(

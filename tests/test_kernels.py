@@ -2084,7 +2084,7 @@ def test_error_class_taxonomy_pinned(spark):
         [None, b"x" * 60, bytes(bmp8)],
     )
     assert img[0][1] == "null_payload" and "null payload" in img[0][0]
-    assert img[1][1] == "wrong_container" and "not a BMP" in img[1][0]
+    assert img[1][1] == "wrong_container" and "not a registered image" in img[1][0]
     assert img[2][1] == "unsupported_codec" and "bpp=8" in img[2][0]
 
     # -- audio plane ------------------------------------------------------
@@ -2105,7 +2105,9 @@ def test_error_class_taxonomy_pinned(spark):
         lambda df: xmm.audio_fingerprint_bits(df, n_bits=64),
         [riff_avi_pad, wav_with_bits(8), xmm.make_saw_wav(20, seed=0)],
     )
-    assert aud[0][1] == "wrong_container" and "but not WAVE" in aud[0][0]
+    # the registry sniff now rejects the container before _wav_samples
+    # can see it — wrong_container either way
+    assert aud[0][1] == "wrong_container" and "not a registered audio" in aud[0][0]
     assert aud[1][1] == "unsupported_codec" and "bits=8" in aud[1][0]
     assert aud[2][1] == "too_short" and "too short" in aud[2][0]
 
@@ -2139,6 +2141,13 @@ def test_error_class_taxonomy_pinned(spark):
     assert vid[3][1] == "corrupt" and "exceed" in vid[3][0]
     assert vid[4][1] == "corrupt" and "truncated" in vid[4][0]
     assert vid[5][1] == "too_short" and "too short" in vid[5][0]
+
+    # direct-codec raise sites the registry sniff now pre-empts at the
+    # op level stay pinned through the raw codec + classifier
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="but not WAVE"):
+        xmm._wav_samples(riff_avi_pad)
 
     # -- the one closure guard no craftable payload reaches (2^38 samples):
     # pin the raise-site literal in source AND its classification
@@ -2204,3 +2213,111 @@ def test_media_report_mass_axis(spark):
     }
     assert "mass_pixels" in metrics and "mass_frames" in metrics
     assert "mass_bytes" not in metrics
+
+
+def test_decoder_seam_external_codecs(spark, tmp_path):
+    """r12 decoder seam: a deployment-registered stub 'PNG' image codec
+    and a stub raw-video codec flow through dispatch -> curation funnel
+    -> persisted media index -> containment, with the built-in trio
+    untouched, unknown containers still dead-lettering, and
+    unregistration restoring the builtin-only world. The stub callables
+    ship inside the Arrow closures (registry snapshot), so no
+    module-level coordination with executors is needed."""
+    import numpy as np
+
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+    from beeper_matric_etl_tool_spark.ext.media_index import (
+        build_media_index,
+        media_dedup_against_index,
+    )
+    from beeper_matric_etl_tool_spark.ext.media_subseq import (
+        video_containment_pairs,
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in rows], "doc_id long, payload binary"
+        )
+
+    # stub "PNG": \x89PNG magic, then 1-byte w, 1-byte h, then w*h*3 pixels
+    def decode_png_stub(p):
+        w, h = p[4], p[5]
+        return np.frombuffer(p, np.uint8, count=w * h * 3, offset=6).reshape(
+            h, w, 3
+        )
+
+    def png_stub(w, h, seed):
+        px = np.random.RandomState(seed).randint(0, 256, w * h * 3)
+        return b"\x89PNG" + bytes([w, h]) + px.astype(np.uint8).tobytes()
+
+    # stub raw video: NVID magic, 1-byte n/w/h, then n*h*w*3 pixels
+    def decode_nvid_stub(p):
+        n, w, h = p[4], p[5], p[6]
+        frames = np.frombuffer(
+            p, np.uint8, count=n * h * w * 3, offset=7
+        ).reshape(n, h, w, 3)
+        return frames, 83333  # ~12 fps
+
+    def nvid_stub(frames):
+        n, h, w, _ = frames.shape
+        return b"NVID" + bytes([n, w, h]) + frames.astype(np.uint8).tobytes()
+
+    xmm.register_media_decoder(
+        "png-stub", "image", [(0, b"\x89PNG")], 6, decode_png_stub
+    )
+    xmm.register_media_decoder(
+        "nvid-stub", "video", [(0, b"NVID")], 7, decode_nvid_stub
+    )
+    try:
+        png_a = png_stub(36, 32, seed=1)
+        bmp = xmm.make_gradient_bmp(36, 32, seed=2)
+        dec = xmm.curate_media(
+            frame(
+                [
+                    (1, png_a),
+                    (2, png_a),  # exact dup of the stub-decoded image
+                    (3, bmp),    # builtin codec still dispatches
+                    (4, b"\x89QQQ unknown container bytes"),
+                ]
+            ),
+            sig_bits=64,
+        )
+        rows = {r.doc_id: r for r in dec.collect()}
+        assert rows[1].modality == "image" and rows[1].decision == "keep"
+        assert (rows[1].width, rows[1].height) == (36, 32)
+        assert rows[2].decision == "drop:near_dup" and rows[2].cluster_id == 1
+        assert rows[3].modality == "image" and rows[3].decision == "keep"
+        assert rows[4].modality == "unknown"
+        assert rows[4].decision == "drop:undecodable"
+        assert rows[4].error_class == "unknown_container"
+
+        # persisted media index over the stub-decoded corpus
+        idx = str(tmp_path / "midx")
+        build_media_index(frame([(1, png_a), (3, bmp)]), idx)
+        _, dropped = media_dedup_against_index(
+            frame([(10, png_a)]), spark, idx
+        )
+        d = dropped.collect()
+        assert [(r.doc_id, r.ref_id, r.hamming) for r in d] == [(10, 1, 0)]
+
+        # containment through the stub video codec
+        vid = np.random.RandomState(7).randint(0, 256, (60, 16, 20, 3)).astype(
+            np.uint8
+        )
+        hits = video_containment_pairs(
+            frame([(1, nvid_stub(vid[20:32]))]),
+            frame([(100, nvid_stub(vid))]),
+            min_matches=5,
+            max_hamming=0,
+        ).collect()
+        assert [
+            (r.clip_id, r.track_id, r.offset, r.n_matched) for r in hits
+        ] == [(1, 100, 20, 12)]
+    finally:
+        xmm.unregister_media_decoder("png-stub")
+        xmm.unregister_media_decoder("nvid-stub")
+
+    # the builtin-only world is restored: the stub containers now
+    # dead-letter as unknown
+    dec2 = xmm.curate_media(frame([(1, png_a)]), sig_bits=64)
+    assert dec2.first().modality == "unknown"
