@@ -1615,7 +1615,10 @@ def curate_media_with_signatures(
         # that cannot change any decision. Frame rows get a synthetic id
         # (doc·side + frame_idx, unique: frame_idx < side) so the cross
         # join's dedup-per-id contract holds; matches map back by floor
-        # division.
+        # division. CONTRACT: |doc_id| must stay below 2^63/side (~5.7e17
+        # at side 16) — beyond it the multiply overflows, which ANSI mode
+        # turns into a job error (the acceptable failure mode: loud, not
+        # a silent wrong attribution).
         frame_rows = (
             vid_raw.filter(F.col("error").isNull())
             .join(

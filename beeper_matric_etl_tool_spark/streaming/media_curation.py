@@ -185,7 +185,10 @@ def media_curation_batch_writer(
             # frame hashes (already on the signature relation — zero
             # extra decodes) probed into the index's IMAGE plane; runs
             # AFTER the same-modality probe so within-modality index
-            # drops keep precedence (a frame probe never sees them)
+            # drops keep precedence (a frame probe never sees them).
+            # Synthetic frame id contract: |doc_id| < 2^63/side — an
+            # overflow is an ANSI job error, never a mis-attribution
+            # (same contract as the funnel's stage 4b)
             side = int(int(meta["n_bits"]) ** 0.5)
             frame_probe = (
                 survivor_sigs.filter(
