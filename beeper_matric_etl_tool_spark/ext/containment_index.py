@@ -108,6 +108,18 @@ def _unit_signatures(with_payload: DataFrame, meta: dict) -> DataFrame:
             method=meta["method"],
             stride=meta["stride"],
         )
+    elif kind == "video_landmark":
+        from beeper_matric_etl_tool_spark.ext.media_subseq import (
+            video_landmark_signatures,
+        )
+
+        sigs = video_landmark_signatures(
+            with_payload,
+            meta["landmark_spacing"],
+            id_col=meta["id_col"],
+            n_bits=meta["n_bits"],
+            method=meta["method"],
+        )
     elif kind == "audio":
         sigs = audio_window_fingerprints(
             with_payload,
@@ -150,7 +162,13 @@ def build_containment_index(
       frame; ``stride='auto'`` (default) = `scaled_stride_for` — one
       signature per second, computed per payload from the container's
       frame duration. Offsets at probe time are in sampled units
-      (source frames at stride 1).
+      (source frames at stride 1); detection needs stride | offset.
+    - ``'video_landmark'``: one image-plane hash per SCENE-CHANGE
+      anchor (``landmark_spacing`` required) — detects cuts at ANY
+      frame offset with exact source-frame offsets, at roughly
+      one-unit-per-scene volume (the stride contract's divisibility
+      requirement disappears; static/tied-energy content yields no
+      anchors — the documented landmark caveat).
     - ``'audio'``: hop-strided window fingerprints (``window_frames``
       required; ``hop_frames`` defaults to the window). Detects
       hop-aligned cuts only — the documented alignment contract.
@@ -169,10 +187,10 @@ def build_containment_index(
     from beeper_matric_etl_tool_spark.sinks import _require_local_path
 
     _require_local_path(path, "build_containment_index")
-    if kind not in ("video", "audio", "audio_landmark"):
+    if kind not in ("video", "video_landmark", "audio", "audio_landmark"):
         raise ValueError(
-            f"build_containment_index: kind must be 'video', 'audio' or "
-            f"'audio_landmark' ({kind!r})"
+            f"build_containment_index: kind must be 'video', "
+            f"'video_landmark', 'audio' or 'audio_landmark' ({kind!r})"
         )
     meta: dict = {
         "kind": kind,
@@ -181,13 +199,21 @@ def build_containment_index(
         "layout": "ingest-batch-partitioned",
         "bands_hint": _bands_hint_for(n_bits, max_hamming),
     }
-    if kind == "video":
+    if kind in ("video", "video_landmark"):
         if method not in ("dhash", "ahash"):
             raise ValueError(
                 f"build_containment_index: unknown method {method!r}"
             )
         meta["method"] = method
-        meta["stride"] = stride if stride == "auto" else int(stride)
+        if kind == "video":
+            meta["stride"] = stride if stride == "auto" else int(stride)
+        else:
+            if landmark_spacing is None:
+                raise ValueError(
+                    "build_containment_index: kind='video_landmark' needs "
+                    "landmark_spacing"
+                )
+            meta["landmark_spacing"] = int(landmark_spacing)
     else:
         if window_frames is None:
             raise ValueError(
@@ -351,7 +377,13 @@ def containment_signatures_against_index(
     ref = spark.read.parquet(os.path.join(path, "unit_signatures"))
     if exclude_batch is not None:
         ref = ref.filter(F.col(BATCH_COL) != F.lit(int(exclude_batch)))
-    unit_col = "start" if meta["kind"] == "audio_landmark" else "idx"
+    # landmark kinds vote on SOURCE positions (exact cut offsets);
+    # strided/hopped kinds on the equally-spaced unit axis
+    unit_col = (
+        "start"
+        if meta["kind"] in ("audio_landmark", "video_landmark")
+        else "idx"
+    )
     return frame_signature_containment(
         clip_sigs.select(*UNIT_COLUMNS),
         ref.select(*UNIT_COLUMNS),

@@ -197,6 +197,96 @@ def video_frame_signatures(
     return with_payload.mapInPandas(batches, schema=UNIT_SIG_SCHEMA)
 
 
+def video_landmark_signatures(
+    with_payload: DataFrame,
+    min_spacing: int,
+    id_col: str = "doc_id",
+    n_bits: int = DEFAULT_SIG_BITS,
+    method: str = "dhash",
+) -> DataFrame:
+    """(doc_id, idx, start, bits, error) — one IMAGE-plane hash per
+    SCENE-CHANGE-anchored frame: anchors where the inter-frame change
+    energy Σ|frame[t+1] − frame[t]| is the first max of its
+    ±``min_spacing``-frame neighborhood (`_first_max_positions` — the
+    audio landmark detector along the time axis), hashing the first
+    frame AFTER each peak (the new scene's first frame).
+
+    This closes the stride contract's divisibility requirement (r12):
+    strided units only cover cut offsets the stride divides — the
+    computed `scaled_stride_for` default trades sub-second offsets
+    away. Scene anchors move WITH the content, so a clip cut at ANY
+    frame offset preserves every interior anchor; both sides hash the
+    bit-identical source frame and the vote key ``track.start −
+    clip.start`` (probe with ``unit_col='start'``) is the exact cut
+    offset in source frames. Volume ≈ one unit per scene (≤ one per
+    2·min_spacing+1 frames at saturation) — typically far below even
+    the auto stride, with none of its offset blindness.
+
+    The landmark honesty carries over: anchors within min_spacing of a
+    cut boundary may differ (they just don't vote); clips shorter than
+    ~2·min_spacing may yield no anchors (honest miss); content with
+    EXACTLY-tied change energies (static scenes, the synthetic
+    gradient's constant per-frame offsets) yields few or no anchors —
+    fall back to strided units for such corpora."""
+    if method not in ("dhash", "ahash"):
+        raise ValueError(f"video_landmark_signatures: unknown method {method!r}")
+    if min_spacing < 1:
+        raise ValueError(
+            f"video_landmark_signatures: min_spacing must be >= 1 "
+            f"({min_spacing})"
+        )
+    side = _side_of(n_bits)
+    hasher = _dhash_of if method == "dhash" else _ahash_of
+    dec = _decoder_fn("video")  # registry snapshot, shipped in-closure
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, starts, bits, errs = [], [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    if p is None:
+                        raise NotImplementedError("null payload")
+                    p = bytes(p)
+                    frames, _usec = dec(p)
+                    d = (
+                        np.abs(
+                            frames[1:].astype(np.int64)
+                            - frames[:-1].astype(np.int64)
+                        ).sum(axis=(1, 2, 3))
+                        if frames.shape[0] >= 2
+                        else np.empty(0, dtype=np.int64)
+                    )
+                    d_idx, d_start, d_bits = [], [], []
+                    for k, q in enumerate(_first_max_positions(d, min_spacing)):
+                        anchor = int(q) + 1  # first frame of the new scene
+                        d_idx.append(k)
+                        d_start.append(anchor)
+                        d_bits.append(hasher(frames[anchor], side))
+                except (NotImplementedError, ValueError, IndexError) as exc:
+                    ids.append(doc_id)
+                    idxs.append(None)
+                    starts.append(None)
+                    bits.append(None)
+                    errs.append(f"frame_sig_error: {exc}")
+                else:
+                    ids.extend([doc_id] * len(d_idx))
+                    idxs.extend(d_idx)
+                    starts.extend(d_start)
+                    bits.extend(d_bits)
+                    errs.extend([None] * len(d_idx))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "idx": pd.Series(idxs, dtype="Int32"),
+                    "start": pd.Series(starts, dtype="Int64"),
+                    "bits": bits,
+                    "error": errs,
+                }
+            )
+
+    return with_payload.mapInPandas(batches, schema=UNIT_SIG_SCHEMA)
+
+
 def audio_window_fingerprints(
     with_payload: DataFrame,
     window_frames: int,
@@ -276,35 +366,40 @@ def audio_window_fingerprints(
     return with_payload.mapInPandas(batches, schema=UNIT_SIG_SCHEMA)
 
 
-def _landmark_positions(
-    mono: "np.ndarray", min_spacing: int, window_frames: int
-) -> list[int]:
-    """Sample positions q where |mono[q+1] − mono[q]| is the FIRST
-    maximum of its ±``min_spacing`` neighborhood (ties resolve to the
-    earliest index — deterministic) and a full window [q, q+W) fits.
-    The detector is LOCAL: a landmark's presence depends only on its
-    ±min_spacing neighborhood, so every landmark at least min_spacing
-    inside a cut survives the cut at the same CONTENT position — the
-    anchor property that makes landmark windows alignment-free.
-    Edge landmarks (neighborhood truncated by the cut) may appear or
-    vanish; they just don't vote. O(n·min_spacing) vectorized compare
-    (numpy sliding windows); at audio scale that is one in-decode pass
-    over samples already in memory."""
-    d = np.abs(np.diff(mono)).astype(np.int64)
+def _first_max_positions(d: "np.ndarray", min_spacing: int) -> "np.ndarray":
+    """Positions q where ``d[q]`` is the FIRST maximum of its
+    ±``min_spacing`` neighborhood (ties resolve to the earliest index —
+    deterministic). The detector is LOCAL: a position's landmark-ness
+    depends only on its ±min_spacing neighborhood, so every landmark at
+    least min_spacing inside a cut survives the cut at the same CONTENT
+    position — the anchor property that makes landmark units
+    alignment-free. O(n·min_spacing) vectorized compare (numpy sliding
+    windows) over a series already in memory. Shared by the audio
+    (|sample diff|) and video (inter-frame change energy) anchors."""
     n = len(d)
     L = min_spacing
     if n == 0:
-        return []
-    # pad with -1 (strictly below any |diff| >= 0) so edge windows are
+        return np.empty(0, dtype=np.int64)
+    # pad with -1 (strictly below any energy >= 0) so edge windows are
     # well-formed; the center of window q sits at index L
     padded = np.concatenate(
         [np.full(L, -1, dtype=np.int64), d, np.full(L, -1, dtype=np.int64)]
     )
     win = np.lib.stride_tricks.sliding_window_view(padded, 2 * L + 1)
-    is_lm = win.argmax(axis=1) == L  # first-max-at-center: strict + ties-left
+    return np.nonzero(win.argmax(axis=1) == L)[0]
+
+
+def _landmark_positions(
+    mono: "np.ndarray", min_spacing: int, window_frames: int
+) -> list[int]:
+    """Audio landmark anchors: positions q where |mono[q+1] − mono[q]|
+    is the first max of its ±min_spacing neighborhood and a full window
+    [q, q+W) fits. Edge landmarks (neighborhood truncated by a cut) may
+    appear or vanish; they just don't vote."""
+    d = np.abs(np.diff(mono)).astype(np.int64)
     return [
         int(q)
-        for q in np.nonzero(is_lm)[0]
+        for q in _first_max_positions(d, min_spacing)
         if q + window_frames <= len(mono)
     ]
 
@@ -502,33 +597,40 @@ def video_containment_pairs(
     id_col: str = "doc_id",
     n_bits: int = DEFAULT_SIG_BITS,
     method: str = "dhash",
-    stride: int = 1,
+    stride: int | str = 1,
+    landmark_spacing: int | None = None,
 ) -> DataFrame:
     """"Which of these videos contain this clip" — (clip_id, track_id,
-    offset, n_matched, max_unit_hamming), offset in SAMPLED-UNIT steps
-    (source frames when ``stride=1``; multiply by ``stride`` for source
-    frames otherwise, valid when stride divides the true offset — module
-    docstring). Both sides decode exactly once (eager checkpoint of the
-    unit signatures — each feeds the banding and nothing else re-decodes);
-    a frame-aligned cut matches at hamming 0 across every untouched
-    frame."""
-    c = (
-        video_frame_signatures(
-            clips, id_col=id_col, n_bits=n_bits, method=method, stride=stride
+    offset, n_matched, max_unit_hamming).
+
+    Default (strided) mode: offset in SAMPLED-UNIT steps (source frames
+    when ``stride=1``; multiply by ``stride`` for source frames
+    otherwise, valid when stride divides the true offset — module
+    docstring; ``stride='auto'`` = `scaled_stride_for`, one signature
+    per second). A frame-aligned, stride-divisible cut matches at
+    hamming 0 across every untouched frame.
+
+    ``landmark_spacing`` set (r12) switches both sides to SCENE-CHANGE
+    anchors (`video_landmark_signatures`): cuts at ANY frame offset are
+    detected and ``offset`` is the exact cut position in SOURCE frames
+    (the vote runs on ``start``); ``stride`` is ignored. Both sides
+    decode exactly once either way (eager checkpoint of the unit
+    signatures)."""
+    if landmark_spacing is not None:
+        gen = lambda df: video_landmark_signatures(  # noqa: E731
+            df, landmark_spacing, id_col=id_col, n_bits=n_bits, method=method
         )
-        .filter(F.col("error").isNull())
-        .localCheckpoint(eager=True)
-    )
-    t = (
-        video_frame_signatures(
-            tracks, id_col=id_col, n_bits=n_bits, method=method, stride=stride
+        unit_col = "start"
+    else:
+        gen = lambda df: video_frame_signatures(  # noqa: E731
+            df, id_col=id_col, n_bits=n_bits, method=method, stride=stride
         )
-        .filter(F.col("error").isNull())
-        .localCheckpoint(eager=True)
-    )
+        unit_col = "idx"
+    c = gen(clips).filter(F.col("error").isNull()).localCheckpoint(eager=True)
+    t = gen(tracks).filter(F.col("error").isNull()).localCheckpoint(eager=True)
     return frame_signature_containment(
         c, t, max_hamming=max_hamming, min_matches=min_matches,
-        bands=bands, n_bits=n_bits,
+        bands=bands, n_bits=n_bits, unit_col=unit_col,
     )
 
 

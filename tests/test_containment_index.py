@@ -340,3 +340,56 @@ def test_build_guards(spark, tmp_path, tracks_on_disk):
         )
     with pytest.raises(FileNotFoundError, match="no _META.json"):
         read_meta(str(tmp_path / "nowhere"))
+
+
+def test_video_landmark_mode_catches_any_offset(spark, tmp_path):
+    """r12: scene-change anchors close the stride contract's
+    divisibility gap — a cut at a frame offset the auto stride (12)
+    does NOT divide is missed by the strided index and caught exactly
+    by the landmark index, with the offset in source frames."""
+    track = _noise_avi(60, 40, 16, seed=21)
+    other = _noise_avi(60, 40, 16, seed=22)
+    frames, _ = xmm._avi_frames(track)
+    cut = 23  # not divisible by the 12-fps auto stride
+    clip = xmm._encode_avi(frames[cut : cut + 30], fps=12)
+    tracks = _frame(spark, [(100, track), (101, other)])
+    clips = _frame(spark, [(1, clip)])
+
+    strided = str(tmp_path / "strided")
+    build_containment_index(tracks, strided, kind="video", max_hamming=0)
+    assert (
+        containment_against_index(clips, spark, strided, min_matches=1).count()
+        == 0
+    )  # stride 12 samples disjoint source frames at offset 23
+
+    lm = str(tmp_path / "lm")
+    build_containment_index(
+        tracks, lm, kind="video_landmark", landmark_spacing=3, max_hamming=0
+    )
+    rows = containment_against_index(clips, spark, lm, min_matches=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.clip_id, r.track_id, r.offset, r.max_unit_hamming) == (
+        1,
+        100,
+        cut,
+        0,
+    )
+    assert r.n_matched >= 2
+
+    # the batch entry's landmark mode agrees
+    batch = {
+        (r.clip_id, r.track_id, r.offset)
+        for r in video_containment_pairs_lm(clips, tracks).collect()
+    }
+    assert (1, 100, cut) in batch
+
+
+def video_containment_pairs_lm(clips, tracks):
+    from beeper_matric_etl_tool_spark.ext.media_subseq import (
+        video_containment_pairs,
+    )
+
+    return video_containment_pairs(
+        clips, tracks, max_hamming=0, min_matches=2, landmark_spacing=3
+    )
