@@ -994,6 +994,92 @@ def probe_media_index(spark, docs):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def probe_containment_index(spark, docs):
+    """Containment-index steady state (round 12): a FIXED 240-clip probe
+    batch against a unit-signature index built from the whole corpus —
+    the growth dimension is INDEX UNITS (10x the tracks -> 10x the
+    stored units), the claim is that probe cost is dominated by the
+    clips' own decode + a unit-column scan of the index (no track
+    payload in the plan), so wall grows far sub-linearly. Audio hop
+    units (window 2048 over 12k-sample saw tracks -> 5 units/track);
+    clips are hop-ALIGNED cuts of the first 240 tracks (samples
+    [4096, 4096+3*2048) re-derived from the same per-doc RandomState),
+    so every probe row votes at its true offset 2 and the
+    candidate/vote path is exercised, not short-circuited. Noise
+    tracks, not saws: the coarse window fingerprint collides across saw
+    slopes (the banding-probe corpus's documented entropy
+    concentration), which would make hit volume — and therefore the
+    probe curve — measure collisions instead of index scan cost."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from beeper_matric_etl_tool_spark.ext.containment_index import (
+        build_containment_index,
+        containment_against_index,
+    )
+
+    def wav_of(samples):
+        sig = samples.astype("<i2").tobytes()
+        fmt = (
+            b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+            + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+            + (16000).to_bytes(4, "little") + (2).to_bytes(2, "little")
+            + (16).to_bytes(2, "little")
+        )
+        data = b"data" + len(sig).to_bytes(4, "little") + sig
+        body = b"WAVE" + fmt + data
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    def track_samples(d):
+        rs = np.random.RandomState(int(d) % (2**31))
+        return rs.randint(-32768, 32768, 12_000)
+
+    def gen_tracks(it):
+        for pdf in it:
+            payloads = [wav_of(track_samples(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def gen_clips(it):
+        for pdf in it:
+            payloads = [
+                wav_of(track_samples(d)[4096 : 4096 + 3 * 2048])
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    work = tempfile.mkdtemp(prefix="probe-cidx-")
+    try:
+        idx = os.path.join(work, "idx")
+        corpus = docs.select("doc_id").mapInPandas(
+            gen_tracks, "doc_id long, payload binary"
+        )
+        t0 = time.perf_counter()
+        build_containment_index(
+            corpus, idx, kind="audio", window_frames=2048, max_hamming=0
+        )
+        build_sec = round(time.perf_counter() - t0, 4)
+
+        clips = (
+            docs.select("doc_id").filter(F.col("doc_id") < 240)
+            .mapInPandas(gen_clips, "doc_id long, payload binary")
+        )
+        containment_against_index(clips, spark, idx, min_matches=3).count()  # warm
+        t0 = time.perf_counter()
+        hits = containment_against_index(clips, spark, idx, min_matches=3)
+        n_hits = hits.count()
+        probe_sec = round(time.perf_counter() - t0, 4)
+        return {
+            "build_sec": build_sec,
+            "probe_sec": probe_sec,
+            "probe_hits": n_hits,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def timed(df) -> float:
     df.write.format("noop").mode("overwrite").save()  # warm
     t0 = time.perf_counter()
@@ -1122,6 +1208,10 @@ def main() -> None:
     out["probe"]["media_index"] = {
         "base": probe_media_index(spark, docs),
         "grown": probe_media_index(spark, big_docs),
+    }
+    out["probe"]["containment_index"] = {
+        "base": probe_containment_index(spark, docs),
+        "grown": probe_containment_index(spark, big_docs),
     }
 
     # eager probes (driver-side work inside): classifier training + DSIR.
