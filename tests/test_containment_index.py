@@ -393,3 +393,80 @@ def video_containment_pairs_lm(clips, tracks):
     return video_containment_pairs(
         clips, tracks, max_hamming=0, min_matches=2, landmark_spacing=3
     )
+
+
+def test_streaming_containment_screen_e2e(spark, tmp_path):
+    """Real readStream -> foreachBatch run of the containment screen:
+    batch 0's novel track appends decode-free; batch 1's clips are
+    attributed to BOTH the bootstrap track and the streamed-in track at
+    their exact offsets; the checkpoint-binding gate rejects a fresh
+    checkpoint against the now-staged index."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from beeper_matric_etl_tool_spark.streaming.containment import (
+        start_containment_probe_stream,
+    )
+
+    seed_track = _noise_avi(60, 40, 16, seed=31)
+    idx = str(tmp_path / "cidx")
+    build_containment_index(
+        _frame(spark, [(100, seed_track)]), idx, kind="video", stride=1,
+        max_hamming=0,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    hits_dir = str(tmp_path / "hits")
+
+    def emit(q, name, rows):
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "payload": pa.array([r[1] for r in rows], pa.binary()),
+            }
+        )
+        pq.write_table(t, str(src / name))
+        q.processAllAvailable()
+
+    stream = spark.readStream.schema("doc_id long, payload binary").parquet(
+        str(src)
+    )
+    q = start_containment_probe_stream(
+        stream, idx, hits_dir, str(tmp_path / "ckpt"),
+        min_matches=5, append_novel=True,
+    )
+    try:
+        novel = _noise_avi(60, 40, 16, seed=32)
+        emit(q, "b0.parquet", [(500, novel)])  # novel -> appended, no hits
+
+        seed_frames, _ = xmm._avi_frames(seed_track)
+        novel_frames, _ = xmm._avi_frames(novel)
+        emit(
+            q,
+            "b1.parquet",
+            [
+                (600, xmm._encode_avi(seed_frames[7:19])),    # bootstrap hit
+                (601, xmm._encode_avi(novel_frames[30:42])),  # streamed hit
+            ],
+        )
+        h = {
+            r.clip_id: (r.track_id, r.offset, r.n_matched)
+            for r in spark.read.parquet(hits_dir).collect()
+        }
+        assert h == {600: (100, 7, 12), 601: (500, 30, 12)}
+        # hit docs were NOT appended; the novel track was (batch 0)
+        import os
+
+        units = spark.read.parquet(os.path.join(idx, "unit_signatures"))
+        assert set(
+            r.doc_id for r in units.select("doc_id").distinct().collect()
+        ) == {100, 500}
+    finally:
+        q.stop()
+
+    # binding gate: a FRESH checkpoint against the staged index fails
+    with pytest.raises(Exception, match="checkpoint"):
+        start_containment_probe_stream(
+            stream, idx, hits_dir, str(tmp_path / "ckpt2")
+        )
