@@ -255,13 +255,15 @@ def resize_images(
     pinned by test). Non-image / unsupported payloads yield a null payload
     with ``error`` set (the dead-letter pattern — never silently dropped,
     never mis-decoded). Deterministic: same bytes in, same bytes out,
-    whatever the partitioning or retry history."""
+    whatever the partitioning or retry history. r12: the decode side
+    rides the decoder registry — any registered image codec's payloads
+    resize; the OUTPUT stays a real BMP (the module's one guaranteed
+    re-encodable interchange format)."""
+    dec = _decoder_fn("image")  # registry snapshot, shipped in-closure
 
     def _resize_one(p: bytes) -> tuple[bytes | None, str | None]:
         try:
-            if not (p[:2] == b"BM" and len(p) >= 54):
-                raise NotImplementedError("not a BMP payload")
-            src = _bmp_pixels(p)[:, :, :3]
+            src = np.asarray(dec(p))[:, :, :3]
             sh, sw = src.shape[0], src.shape[1]
             # nearest-neighbor: sample at output-pixel centers
             yi = np.minimum((np.arange(height) + 0.5) * sh / height, sh - 1).astype(np.int64)
@@ -317,22 +319,24 @@ def sample_audio_frames(
     surrounding plan sees an ordinary 1→N mapInPandas stage it can
     repartition like any other. Non-audio payloads produce no frames —
     callers filter the manifest by magic/mime first; a mixed corpus is not
-    an error condition."""
+    an error condition. r12: decode rides the decoder registry (raw
+    integer frames normalized to [-1, 1) here), so registered audio
+    codecs' payloads frame too."""
+    dec = _decoder_fn("audio")  # registry snapshot, shipped in-closure
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, starts, rmss, peaks, zcrs = [], [], [], [], [], []
             for doc_id, p in zip(pdf[id_col], pdf["payload"]):
                 p = bytes(p)
-                if p[:4] != b"RIFF" or len(p) < 44:
-                    continue
                 try:
-                    frames, rate, _ = _wav_pcm(p)
+                    iframes, rate, _ch = dec(p)
                 except (NotImplementedError, ValueError, IndexError):
-                    # unsupported format OR RIFF magic with a corrupt body
-                    # (odd-length data chunk → frombuffer raises) — a data
-                    # problem skips the payload, never kills the task
+                    # unclaimed container, unsupported format, or claimed
+                    # magic with a corrupt body — a data problem skips the
+                    # payload, never kills the task
                     continue
+                frames = iframes.astype(np.float64) / 32768.0
                 if frames.shape[0] == 0 or rate == 0:
                     continue
                 mono = frames.mean(axis=1)
@@ -991,6 +995,7 @@ def video_sample_frames(
     and NULL frame fields — never silently dropped, never a task crash."""
     if n_samples < 1:
         raise ValueError(f"video_sample_frames: n_samples must be >= 1 ({n_samples})")
+    dec = _decoder_fn("video")  # registry snapshot, shipped in-closure
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1000,9 +1005,7 @@ def video_sample_frames(
                     if p is None:
                         raise NotImplementedError("null payload")
                     p = bytes(p)
-                    if not (p[:4] == b"RIFF" and len(p) >= 24):
-                        raise NotImplementedError("not an AVI payload")
-                    frames, usec_pf = _avi_frames(p)
+                    frames, usec_pf = dec(p)
                     n = frames.shape[0]
                     take = min(n_samples, n)
                     fidx = np.unique(
