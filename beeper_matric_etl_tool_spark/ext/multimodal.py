@@ -1799,35 +1799,51 @@ def media_report(
         # one more map-side-combined aggregation over columns the
         # decisions relation already carries; unpivoted to the card
         # shape with NULL sums (axis undefined for the whole cell)
-        # dropped rather than reported as zero mass
-        pixels = (
-            F.when(
-                F.col("width").isNotNull(),
-                F.col("width").cast("long")
-                * F.col("height").cast("long")
-                * F.coalesce(F.col("n_frames").cast("long"), F.lit(1)),
+        # dropped rather than reported as zero mass. Each axis is
+        # emitted only when its columns exist — a persisted audit
+        # written before an axis's columns existed still cards the rest
+        have = set(decisions.columns)
+        aggs, axes = [], []
+        if {"width", "height"} <= have:
+            nf = (
+                F.coalesce(F.col("n_frames").cast("long"), F.lit(1))
+                if "n_frames" in have
+                else F.lit(1)
             )
-        )
-        aggs = [
-            F.sum(pixels).alias("mass_pixels"),
-            F.sum(F.col("n_frames").cast("long")).alias("mass_frames"),
-        ]
-        axes = ["mass_pixels", "mass_frames"]
-        if "n_bytes" in decisions.columns:
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col("width").isNotNull(),
+                        F.col("width").cast("long")
+                        * F.col("height").cast("long")
+                        * nf,
+                    )
+                ).alias("mass_pixels")
+            )
+            axes.append("mass_pixels")
+        if "n_frames" in have:
+            aggs.append(
+                F.sum(F.col("n_frames").cast("long")).alias("mass_frames")
+            )
+            axes.append("mass_frames")
+        if "n_bytes" in have:
             aggs.append(F.sum(F.col("n_bytes")).alias("mass_bytes"))
             axes.append("mass_bytes")
-        stacked = ", ".join(f"'{a}', {a}" for a in axes)
-        mass = (
-            decisions.groupBy("modality", F.col("decision").alias("bucket"))
-            .agg(*aggs)
-            .selectExpr(
-                "modality",
-                "bucket",
-                f"stack({len(axes)}, {stacked}) AS (metric, n)",
+        if axes:
+            stacked = ", ".join(f"'{a}', {a}" for a in axes)
+            mass = (
+                decisions.groupBy(
+                    "modality", F.col("decision").alias("bucket")
+                )
+                .agg(*aggs)
+                .selectExpr(
+                    "modality",
+                    "bucket",
+                    f"stack({len(axes)}, {stacked}) AS (metric, n)",
+                )
+                .filter(F.col("n").isNotNull())
             )
-            .filter(F.col("n").isNotNull())
-        )
-        out = out.unionByName(mass.select(*cols))
+            out = out.unionByName(mass.select(*cols))
     return out
 
 

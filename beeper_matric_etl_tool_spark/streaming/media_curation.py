@@ -271,7 +271,12 @@ def media_curation_batch_writer(
                     "error_class",
                     "ref_id",
                     "hamming",
+                    # r12 mass columns: the data card's byte/pixel/frame
+                    # axes compose with the persisted audit directly
                     "n_bytes",
+                    "width",
+                    "height",
+                    "n_frames",
                 )
                 .withColumn("ingest_batch", F.lit(int(batch_id)))
                 .write.mode("overwrite")

@@ -295,6 +295,18 @@ def test_continuous_media_curation_stream(spark, tmp_path):
         assert d[4].decision == "drop:near_dup" and d[4].cluster_id == 1
         assert d[5].decision == "drop:near_dup_index" and d[5].ref_id == 1
         assert d[6].decision == "keep"
+        # r12: the persisted audit carries n_bytes, so the data card's
+        # MASS axis composes with the streamed decisions directly
+        card = {
+            (r.modality, r.metric, r.bucket): r.n
+            for r in xmm.media_report(
+                spark.read.parquet(dec), include_mass=True
+            ).collect()
+        }
+        assert card[("image", "mass_bytes", "keep")] == len(img_a)
+        assert card[
+            ("image", "mass_bytes", "drop:near_dup_index")
+        ] == len(seed_img) + len(img_a)  # docs 2 and 5
     finally:
         q.stop()
 
