@@ -10,11 +10,22 @@ This module works at SUBSEQUENCE granularity:
   video: one IMAGE-plane hash per (strided) frame
          (:func:`video_frame_signatures` — the fused stage's frame hash,
          but over EVERY stride-th frame instead of the hash's sparse
-         temporal centers), so a clip's frames can be located inside a
-         longer video frame-by-frame.
+         temporal centers; ``stride='auto'`` = :func:`scaled_stride_for`,
+         the computed one-per-second lake default), so a clip's frames
+         can be located inside a longer video frame-by-frame — or one
+         hash per SCENE-CHANGE anchor (:func:`video_landmark_signatures`,
+         r12), which detects cuts at ANY frame offset.
   audio: one acoustic fingerprint per hop-strided window
          (:func:`audio_window_fingerprints` — `_afp_of` over each
-         window's raw int64 samples), the same idea along PCM time.
+         window's raw int64 samples), the same idea along PCM time — or
+         per ENERGY-LANDMARK-anchored window
+         (:func:`audio_landmark_fingerprints`, r12), which detects cuts
+         at any sample offset.
+
+The persisted form of all four unit rules — build the track corpus's
+units once, probe clips decode-free against the lake — lives in
+`ext/containment_index.py`; the streaming screen in
+`streaming/containment.py`.
 
 Containment itself is one shared relational core
 (:func:`frame_signature_containment`): banded cross candidates between
