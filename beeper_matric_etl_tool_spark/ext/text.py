@@ -595,3 +595,97 @@ def ngram_duplication_scores(
             ).cast("long"),
         ),
     )
+
+
+def passage_attribution(
+    probes,
+    corpus,
+    k: int = 8,
+    min_matches: int = 2,
+    corpus_hop: int = 1,
+    probe_id_col: str = "doc_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Passage ATTRIBUTION — "which corpus document was this passage cut
+    from, and at which token offset" (r12): the media containment vote
+    (`ext/media_subseq.py:frame_signature_containment`'s discipline)
+    applied to the text plane's exact k-token window fingerprints.
+    Where `decontaminate` flags that an eval n-gram leaked and
+    `remove_duplicate_spans` cuts corpus-hot windows, this names the
+    SOURCE — (probe_id, doc_id, offset, n_matched), one row per
+    (probe, corpus doc, offset) supported by ≥ ``min_matches`` window
+    matches, ``offset`` the 0-based token position of the probe's first
+    token inside the corpus document.
+
+    Semantics: probe windows slide at hop 1 (every window — the probe
+    is small); corpus windows slide at ``corpus_hop`` (the scale knob:
+    hop h stores 1/h of the corpus's windows and a verbatim cut still
+    votes at its exact offset with ~probe_windows/h votes, because for
+    every sampled corpus window the hop-1 probe side holds the aligned
+    window — the media tier's stride argument with the divisibility
+    requirement on the PROBE side removed). A verbatim cut votes at
+    every untouched sampled window; a token edit removes exactly the
+    ≤ k windows covering it, so attribution degrades linearly with edit
+    density and never collapses at the first touched token
+    (constant-offset counting, not run detection). Repeated windows
+    (boilerplate inside probe AND corpus) cross-vote at spurious
+    offsets — exactly the noise ``min_matches`` gates, and why k should
+    exceed the corpus's boilerplate shingle length. Probing a corpus
+    that CONTAINS the probe document under the same id self-attributes
+    at offset 0 — disjoint id spaces are the expected shape (the
+    containment tier's contract).
+
+    Scale shape — the span-removal machinery's: windows shuffle as
+    (md5 16 bytes, id, int position), never text; candidates are one
+    fingerprint equi-join (AQE broadcasts a small probe side); the vote
+    is one group-by over matched pairs. Corpus-side volume is
+    n_tokens/corpus_hop rows per doc — the honest cost of positioned
+    attribution; a steady-state deployment hops the corpus side and
+    keeps probes at hop 1."""
+    if k < 2:
+        raise ValueError(f"passage_attribution: k={k} must be >= 2")
+    if min_matches < 1:
+        raise ValueError(
+            f"passage_attribution: min_matches={min_matches} must be >= 1"
+        )
+    if corpus_hop < 1:
+        raise ValueError(
+            f"passage_attribution: corpus_hop={corpus_hop} must be >= 1"
+        )
+
+    def windows(df, the_id, out_id, hop):
+        toks = tokens(text_col)
+        base = df.select(
+            F.col(the_id).alias(out_id),
+            toks.alias("__toks"),
+            F.size(toks).alias("__n"),
+        )
+        starts = F.when(
+            F.col("__n") >= k,
+            F.sequence(F.lit(1), F.col("__n") - (k - 1), F.lit(hop)),
+        ).otherwise(F.array().cast("array<int>"))
+        return base.select(
+            out_id,
+            F.explode(starts).alias(out_id + "_p"),
+            F.col("__toks"),
+        ).select(
+            out_id,
+            out_id + "_p",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("__toks"), F.col(out_id + "_p"), k))
+            ).alias("__fp"),
+        )
+
+    pw = windows(probes, probe_id_col, "probe_id", 1)
+    cw = windows(corpus, id_col, "ref_id", corpus_hop)
+    return (
+        pw.join(cw, on="__fp")
+        .groupBy(
+            "probe_id",
+            F.col("ref_id").alias(id_col),
+            (F.col("ref_id_p") - F.col("probe_id_p")).alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .filter(F.col("n_matched") >= min_matches)
+    )

@@ -2321,3 +2321,60 @@ def test_decoder_seam_external_codecs(spark, tmp_path):
     # dead-letter as unknown
     dec2 = xmm.curate_media(frame([(1, png_a)]), sig_bits=64)
     assert dec2.first().modality == "unknown"
+
+
+def test_passage_attribution(spark):
+    """r12 text containment: a passage cut from a corpus doc is
+    attributed to THAT doc at the exact 0-based token offset; a
+    mid-passage token edit removes exactly the k windows covering it
+    (linear degradation, offset persists); corpus_hop thins votes but
+    not the offset; min_matches gates; unrelated docs are silent."""
+    from beeper_matric_etl_tool_spark.ext.text import passage_attribution
+
+    src_tokens = [f"w{i}" for i in range(60)]
+    corpus = spark.createDataFrame(
+        [
+            (7, " ".join(src_tokens)),
+            (8, " ".join(f"x{i}" for i in range(60))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    cut = src_tokens[10:30]  # 20 tokens from 0-based offset 10
+    probes = spark.createDataFrame(
+        [(900, " ".join(cut))], "doc_id long, text string"
+    )
+
+    rows = passage_attribution(probes, corpus, k=8, min_matches=2).collect()
+    # verbatim: all 13 windows (20-8+1) vote at offset 10, nothing else
+    assert [
+        (r.probe_id, r.doc_id, r.offset, r.n_matched) for r in rows
+    ] == [(900, 7, 10, 13)]
+
+    # one token edited mid-passage: the 8 windows covering it drop,
+    # the other 5 still vote at the same offset
+    edited = list(cut)
+    edited[10] = "EDITED"
+    probes_e = spark.createDataFrame(
+        [(901, " ".join(edited))], "doc_id long, text string"
+    )
+    rows_e = passage_attribution(probes_e, corpus, k=8, min_matches=2).collect()
+    assert [
+        (r.doc_id, r.offset, r.n_matched) for r in rows_e
+    ] == [(7, 10, 5)]
+
+    # corpus_hop=2 stores half the corpus windows; the hop-1 probe side
+    # still aligns with every sampled window -> ~half the votes, exact
+    # offset
+    rows_h = passage_attribution(
+        probes, corpus, k=8, min_matches=2, corpus_hop=2
+    ).collect()
+    assert [(r.doc_id, r.offset, r.n_matched) for r in rows_h] == [(7, 10, 7)]
+
+    # min_matches above the window count -> silent (the vote gate)
+    assert (
+        passage_attribution(probes, corpus, k=8, min_matches=14).count() == 0
+    )
+
+    # a probe shorter than one window is silent, not an error
+    short = spark.createDataFrame([(902, "a b c")], "doc_id long, text string")
+    assert passage_attribution(short, corpus, k=8).count() == 0
