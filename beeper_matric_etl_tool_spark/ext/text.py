@@ -597,6 +597,42 @@ def ngram_duplication_scores(
     )
 
 
+def token_window_fingerprints(
+    df,
+    k: int,
+    hop: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_id: str = "doc_id",
+):
+    """(out_id, out_id_p 1-based token start, __fp md5-of-k-token-window)
+    — the positioned window-fingerprint relation shared by the batch
+    attribution vote and the persisted passage index (r12): one row per
+    ``hop``-strided window, 16-byte fingerprints + integer positions,
+    never window text. Docs shorter than one window emit no rows."""
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias(out_id),
+        toks.alias("__toks"),
+        F.size(toks).alias("__n"),
+    )
+    starts = F.when(
+        F.col("__n") >= k,
+        F.sequence(F.lit(1), F.col("__n") - (k - 1), F.lit(hop)),
+    ).otherwise(F.array().cast("array<int>"))
+    return base.select(
+        out_id,
+        F.explode(starts).alias(out_id + "_p"),
+        F.col("__toks"),
+    ).select(
+        out_id,
+        out_id + "_p",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("__toks"), F.col(out_id + "_p"), k))
+        ).alias("__fp"),
+    )
+
+
 def passage_attribution(
     probes,
     corpus,
@@ -653,32 +689,8 @@ def passage_attribution(
         raise ValueError(
             f"passage_attribution: corpus_hop={corpus_hop} must be >= 1"
         )
-
-    def windows(df, the_id, out_id, hop):
-        toks = tokens(text_col)
-        base = df.select(
-            F.col(the_id).alias(out_id),
-            toks.alias("__toks"),
-            F.size(toks).alias("__n"),
-        )
-        starts = F.when(
-            F.col("__n") >= k,
-            F.sequence(F.lit(1), F.col("__n") - (k - 1), F.lit(hop)),
-        ).otherwise(F.array().cast("array<int>"))
-        return base.select(
-            out_id,
-            F.explode(starts).alias(out_id + "_p"),
-            F.col("__toks"),
-        ).select(
-            out_id,
-            out_id + "_p",
-            F.md5(
-                F.concat_ws(" ", F.slice(F.col("__toks"), F.col(out_id + "_p"), k))
-            ).alias("__fp"),
-        )
-
-    pw = windows(probes, probe_id_col, "probe_id", 1)
-    cw = windows(corpus, id_col, "ref_id", corpus_hop)
+    pw = token_window_fingerprints(probes, k, 1, probe_id_col, text_col, "probe_id")
+    cw = token_window_fingerprints(corpus, k, corpus_hop, id_col, text_col, "ref_id")
     return (
         pw.join(cw, on="__fp")
         .groupBy(
