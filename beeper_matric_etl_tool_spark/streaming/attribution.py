@@ -1,0 +1,112 @@
+"""Continuous PASSAGE screening — the streaming form of the persisted
+passage-attribution index (r12; the text twin of
+`streaming/containment.py`).
+
+Per micro-batch of (doc_id, text) documents: fingerprint each passage
+once (hop 1, the index's frozen k), vote against the stored corpus
+windows (`ext/passage_index.py` — no corpus text in any plan), write
+the attributions as a staged audit, and — ``append_novel=True`` — add
+the batch's UNATTRIBUTED docs' windows to the index (staged), so later
+passages cut from them are attributed. The decontamination-pipeline
+shape: screen incoming training documents against an eval-set index
+(hits = contamination, with the source named), or grow a lake index
+batch by batch.
+
+Exactly-once: hits and index appends stage by batch id (dynamic
+partition overwrite) and the probe excludes THIS batch's partition —
+a replayed batch re-derives identical votes (everything is
+deterministic column algebra) and overwrites its own rows. Binding and
+layout gates are the curation streams'.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from beeper_matric_etl_tool_spark.ext.passage_index import (
+    append_passage_index,
+    attribute_against_index,
+    read_meta,
+)
+from beeper_matric_etl_tool_spark.streaming.curation import (
+    _guard_checkpoint_binding,
+    _guard_output_layout,
+)
+
+
+def attribution_batch_writer(
+    index_path: str,
+    hits_dir: str,
+    min_matches: int = 2,
+    append_novel: bool = False,
+):
+    """foreachBatch writer screening each micro-batch against the
+    passage index. Hits land in ``hits_dir`` as (probe_id, <id_col>,
+    offset, n_matched) staged by ``ingest_batch``. Fails at
+    CONSTRUCTION on a non-index path or a flat-layout hits directory.
+    ``append_novel=True`` appends docs with NO attribution to the index
+    (staged — replay-safe vote counts); attributed docs are not
+    appended (the audit carries their lineage)."""
+    meta = read_meta(index_path)
+    _guard_output_layout(hits_dir, "ingest_batch", "attribution_batch_writer")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)  # stream lineage cut
+        hits = attribute_against_index(
+            batch_df,
+            spark,
+            index_path,
+            min_matches=min_matches,
+            probe_id_col=meta["id_col"],
+            # replay safety: probe with THIS batch's partition hidden
+            exclude_batch=int(batch_id),
+        ).localCheckpoint(eager=True)
+        # all-novel batches write no hit partition (an empty dynamic
+        # overwrite would leave an unreadable footerless directory)
+        if hits.count():
+            (
+                hits.withColumn("ingest_batch", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(hits_dir)
+            )
+        if append_novel:
+            novel = batch_df.join(
+                hits.select(
+                    F.col("probe_id").alias(meta["id_col"])
+                ).distinct(),
+                on=meta["id_col"],
+                how="left_anti",
+            )
+            append_passage_index(novel, index_path, batch_id=int(batch_id))
+
+    return write
+
+
+def start_attribution_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    hits_dir: str,
+    checkpoint_dir: str,
+    trigger_interval: str | None = None,
+    **writer_kwargs,
+):
+    """Wire a streaming document frame ((id, text) from any source)
+    through :func:`attribution_batch_writer`. Returns the
+    StreamingQuery. Replay and binding semantics are the curation
+    streams': a fresh checkpoint against an already-staged index fails
+    at the `_STREAM.json` binding gate."""
+    batch_writer = attribution_batch_writer(
+        index_path, hits_dir, **writer_kwargs
+    )
+    _guard_checkpoint_binding(index_path, checkpoint_dir)
+    writer = docs_stream.writeStream.foreachBatch(batch_writer).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_interval is not None:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

