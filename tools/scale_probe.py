@@ -1080,6 +1080,54 @@ def probe_containment_index(spark, docs):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def probe_passage_index(spark, docs):
+    """Passage-attribution index steady state (round 12): a FIXED
+    240-probe batch of passages against a window index built from the
+    whole corpus — growth dimension is STORED WINDOWS (10x docs -> 10x
+    window rows), claim: probe cost is the probes' own fingerprint pass
+    + one fp equi-join against the stored relation (no corpus text in
+    the plan), so wall grows far sub-linearly. Probes are 20-token cuts
+    from offset 10 of the first 240 docs, so every probe attributes at
+    its true offset and the join/vote path is exercised."""
+    import shutil
+    import tempfile
+
+    from beeper_matric_etl_tool_spark.ext.passage_index import (
+        attribute_against_index,
+        build_passage_index,
+    )
+
+    work = tempfile.mkdtemp(prefix="probe-pidx-")
+    try:
+        idx = os.path.join(work, "idx")
+        corpus = docs.select("doc_id", "text")
+        t0 = time.perf_counter()
+        build_passage_index(corpus, idx, k=8)
+        build_sec = round(time.perf_counter() - t0, 4)
+
+        probes = (
+            corpus.filter(F.col("doc_id") < 240)
+            .select(
+                "doc_id",
+                F.array_join(
+                    F.slice(F.split(F.col("text"), " "), 11, 20), " "
+                ).alias("text"),
+            )
+        )
+        attribute_against_index(probes, spark, idx).count()  # warm
+        t0 = time.perf_counter()
+        hits = attribute_against_index(probes, spark, idx)
+        n_hits = hits.count()
+        probe_sec = round(time.perf_counter() - t0, 4)
+        return {
+            "build_sec": build_sec,
+            "probe_sec": probe_sec,
+            "probe_hits": n_hits,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def timed(df) -> float:
     df.write.format("noop").mode("overwrite").save()  # warm
     t0 = time.perf_counter()
@@ -1212,6 +1260,10 @@ def main() -> None:
     out["probe"]["containment_index"] = {
         "base": probe_containment_index(spark, docs),
         "grown": probe_containment_index(spark, big_docs),
+    }
+    out["probe"]["passage_index"] = {
+        "base": probe_passage_index(spark, docs),
+        "grown": probe_passage_index(spark, big_docs),
     }
 
     # eager probes (driver-side work inside): classifier training + DSIR.
