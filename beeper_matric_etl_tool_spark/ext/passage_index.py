@@ -71,6 +71,7 @@ def _corpus_windows(docs: DataFrame, meta: dict) -> DataFrame:
         meta["id_col"],
         meta["text_col"],
         "doc_id",
+        normalize=meta.get("normalize", True),
     ).select(
         "doc_id", F.col("doc_id_p").alias("pos"), F.col("__fp").alias("fp")
     )
@@ -83,6 +84,7 @@ def build_passage_index(
     corpus_hop: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    normalize: bool = True,
 ) -> None:
     """Build and persist the index from the corpus (one tokenize pass).
     ``k`` is the window length (must exceed the corpus's boilerplate
@@ -104,6 +106,9 @@ def build_passage_index(
         "corpus_hop": int(corpus_hop),
         "id_col": id_col,
         "text_col": text_col,
+        # the curate() stage-0 discipline, frozen: windows fingerprinted
+        # under a different canonicalization cannot vote with stored ones
+        "normalize": bool(normalize),
         "layout": "ingest-batch-partitioned",
     }
     _write(
@@ -207,6 +212,7 @@ def attribute_against_index(
         probe_id_col,
         text_col if text_col is not None else meta["text_col"],
         "probe_id",
+        normalize=meta.get("normalize", True),
     )
     ref = spark.read.parquet(os.path.join(path, "windows"))
     if exclude_batch is not None:

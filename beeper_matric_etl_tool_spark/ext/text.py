@@ -604,13 +604,20 @@ def token_window_fingerprints(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_id: str = "doc_id",
+    normalize: bool = True,
 ):
     """(out_id, out_id_p 1-based token start, __fp md5-of-k-token-window)
     — the positioned window-fingerprint relation shared by the batch
     attribution vote and the persisted passage index (r12): one row per
     ``hop``-strided window, 16-byte fingerprints + integer positions,
-    never window text. Docs shorter than one window emit no rows."""
-    toks = tokens(text_col)
+    never window text. Docs shorter than one window emit no rows.
+    ``normalize=True`` (default) canonicalizes through `normalize_text`
+    BEFORE tokenizing — the curate() stage-0 discipline applied here
+    too, so byte-level junk (NBSP, curly quotes, control chars) in
+    either the passage or the corpus cannot make a verbatim cut miss
+    its attribution. Both sides of a vote must use the same setting
+    (the index freezes it in meta)."""
+    toks = tokens(normalize_text(text_col) if normalize else text_col)
     base = df.select(
         F.col(id_col).alias(out_id),
         toks.alias("__toks"),
@@ -642,6 +649,7 @@ def passage_attribution(
     probe_id_col: str = "doc_id",
     id_col: str = "doc_id",
     text_col: str = "text",
+    normalize: bool = True,
 ):
     """Passage ATTRIBUTION — "which corpus document was this passage cut
     from, and at which token offset" (r12): the media containment vote
@@ -678,7 +686,10 @@ def passage_attribution(
     is one group-by over matched pairs. Corpus-side volume is
     n_tokens/corpus_hop rows per doc — the honest cost of positioned
     attribution; a steady-state deployment hops the corpus side and
-    keeps probes at hop 1."""
+    keeps probes at hop 1. ``normalize=True`` (default) canonicalizes
+    both sides through `normalize_text` first — the curate() stage-0
+    discipline, so an NBSP-variant copy of a cut passage still
+    attributes (pinned)."""
     if k < 2:
         raise ValueError(f"passage_attribution: k={k} must be >= 2")
     if min_matches < 1:
@@ -689,8 +700,12 @@ def passage_attribution(
         raise ValueError(
             f"passage_attribution: corpus_hop={corpus_hop} must be >= 1"
         )
-    pw = token_window_fingerprints(probes, k, 1, probe_id_col, text_col, "probe_id")
-    cw = token_window_fingerprints(corpus, k, corpus_hop, id_col, text_col, "ref_id")
+    pw = token_window_fingerprints(
+        probes, k, 1, probe_id_col, text_col, "probe_id", normalize=normalize
+    )
+    cw = token_window_fingerprints(
+        corpus, k, corpus_hop, id_col, text_col, "ref_id", normalize=normalize
+    )
     return (
         pw.join(cw, on="__fp")
         .groupBy(

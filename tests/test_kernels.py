@@ -2378,3 +2378,27 @@ def test_passage_attribution(spark):
     # a probe shorter than one window is silent, not an error
     short = spark.createDataFrame([(902, "a b c")], "doc_id long, text string")
     assert passage_attribution(short, corpus, k=8).count() == 0
+
+
+def test_passage_attribution_normalized(spark):
+    """r12: attribution rides the curate() stage-0 canonicalization — an
+    NBSP/curly-quote byte-variant copy of a cut passage still attributes
+    at the exact offset (normalize=False pins the raw-bytes miss)."""
+    from beeper_matric_etl_tool_spark.ext.text import passage_attribution
+
+    corpus = spark.createDataFrame(
+        [(7, " ".join(f"w{i}" for i in range(40)))], "doc_id long, text string"
+    )
+    cut = " ".join(f"w{i}" for i in range(5, 25))
+    variant = cut.replace(" ", " ", 3)  # 3 NBSP separators
+    probes = spark.createDataFrame(
+        [(900, variant)], "doc_id long, text string"
+    )
+    rows = passage_attribution(probes, corpus, k=8, min_matches=2).collect()
+    assert [(r.doc_id, r.offset, r.n_matched) for r in rows] == [(7, 5, 13)]
+    assert (
+        passage_attribution(
+            probes, corpus, k=8, min_matches=2, normalize=False
+        ).count()
+        < 13  # the raw-bytes windows spanning an NBSP miss
+    )
