@@ -79,12 +79,42 @@ UNIT_COLUMNS = ("doc_id", "idx", "start", "bits")
 def _bands_hint_for(n_bits: int, max_hamming: int | None) -> int:
     """Smallest divisor of the width whose recall cap (bands−1) clears
     the radius — the media index's build rule, shared so a non-256
-    width never freezes an unusable banding."""
+    width never freezes an unusable banding. Raises (the family's
+    raise-not-clamp policy, `dedup.scaled_bands_for`) when the radius
+    would force 1-bit bands (bands = n_bits): every probe would then
+    candidate-join against essentially the whole index — a quadratic
+    blow-up that must be an explicit choice ("widen the signature"),
+    never a silent build default (r13 ADVICE fix)."""
     h = max_hamming if max_hamming is not None else max(12, (15 * n_bits) // 256)
-    return next(
-        (b for b in range(h + 1, n_bits + 1) if n_bits % b == 0),
-        n_bits,
+    b = next(
+        (b for b in range(h + 1, n_bits) if n_bits % b == 0),
+        None,
     )
+    if b is None:
+        largest_ok = max(
+            (d - 1 for d in range(2, n_bits) if n_bits % d == 0), default=0
+        )
+        raise ValueError(
+            f"containment index: max_hamming={h} at n_bits={n_bits} would "
+            f"force {n_bits} 1-bit bands — every band value collides and "
+            f"probes degrade to a quadratic candidate join. Largest radius "
+            f"this width can band is {largest_ok}; widen the signature "
+            f"(n_bits) to keep this radius"
+        )
+    return b
+
+
+def _resolved_strides(units: DataFrame) -> list[int]:
+    """Distinct per-payload strides observable in a unit relation —
+    ``start`` of unit ``idx == 1`` (units are start = idx·stride).
+    Small by construction (one value per distinct fps in the corpus)."""
+    rows = (
+        units.filter(F.col("idx") == 1)
+        .select(F.col("start").cast("long").alias("s"))
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r["s"]) for r in rows)
 
 
 def _unit_signatures(with_payload: DataFrame, meta: dict) -> DataFrame:
@@ -237,6 +267,19 @@ def build_containment_index(
     _write(
         sigs, os.path.join(path, "unit_signatures"), "overwrite", BOOTSTRAP_BATCH
     )
+    if meta.get("stride") == "auto":
+        # freeze the RESOLVED stride distribution alongside the 'auto'
+        # rule (r13 ADVICE fix): 'auto' resolves per payload from the
+        # container's frame duration, so a probe clip re-encoded at a
+        # different fps silently derives a different stride and never
+        # votes — recording what the BUILD resolved lets the decode
+        # probe detect exactly that drift and warn (one-unit tracks are
+        # unobservable on this axis; stride = start of unit idx 1)
+        meta["resolved_strides"] = _resolved_strides(
+            tracks.sparkSession.read.parquet(
+                os.path.join(path, "unit_signatures")
+            )
+        )
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _META_FILE), "w") as fh:
         json.dump(meta, fh)
@@ -279,6 +322,26 @@ def append_containment_index(
     append_containment_index_signatures(
         _unit_signatures(tracks, meta), path, batch_id=batch_id
     )
+    if meta.get("stride") == "auto" and "resolved_strides" in meta:
+        # keep the frozen stride distribution current (r13 ADVICE fix):
+        # appended tracks may carry a frame duration the build never
+        # saw — future probes at that fps are then legitimate. Reads
+        # ONLY the partition this append touched (for unstaged appends
+        # that partition accumulates prior unstaged strides — merging a
+        # superset of what this call added is still correct: every
+        # stride in it exists in the index).
+        part = UNSTAGED_BATCH if batch_id is None else int(batch_id)
+        part_dir = os.path.join(
+            path, "unit_signatures", f"{BATCH_COL}={part}"
+        )
+        merged = sorted(
+            set(meta["resolved_strides"])
+            | set(_resolved_strides(tracks.sparkSession.read.parquet(part_dir)))
+        )
+        if merged != meta["resolved_strides"]:
+            meta["resolved_strides"] = merged
+            with open(os.path.join(path, _META_FILE), "w") as fh:
+                json.dump(meta, fh)
 
 
 def append_containment_index_signatures(
@@ -355,8 +418,9 @@ def containment_signatures_against_index(
     driver-oracled one). The track side is a parquet scan of unit
     signatures; NO track payload exists in the plan. ``offset`` is in
     the index's unit axis: sampled units for 'video'/'audio', exact
-    source sample frames for 'audio_landmark' (the vote runs on
-    ``start``). ``exclude_batch`` hides one ingest_batch partition
+    SOURCE positions for the landmark kinds — sample frames for
+    'audio_landmark', source frame NUMBERS for 'video_landmark' (both
+    vote on ``start``; no stride multiplier applies to either). ``exclude_batch`` hides one ingest_batch partition
     (partition-pruned) — the streaming replay discipline.
     ``max_hamming=None`` resolves the pinned build radius if present
     (explicit None check — radius 0 is a legitimate exact-only pin),
@@ -416,6 +480,29 @@ def containment_against_index(
         _unit_signatures(clips, meta)
         .localCheckpoint(eager=True)
     )
+    if meta.get("stride") == "auto" and "resolved_strides" in meta:
+        # auto-stride drift detection (r13 ADVICE fix): 'auto' resolves
+        # per payload, so a clip re-encoded at a frame duration the
+        # indexed tracks never used derives a stride the index has no
+        # units for — its misses would otherwise be undetectable. Cheap
+        # here: clip_sigs is already checkpointed, the distinct is over
+        # a handful of values.
+        built = set(meta["resolved_strides"])
+        probe = set(_resolved_strides(clip_sigs))
+        if probe - built:
+            import warnings
+
+            warnings.warn(
+                f"containment_against_index: probe clips resolved "
+                f"stride(s) {sorted(probe - built)} that the index at "
+                f"{path!r} was never built with (build strides: "
+                f"{sorted(built)}) — 'auto' derives the stride from the "
+                f"container's frame duration, so these clips (e.g. a "
+                f"re-encode at a different fps) cannot vote against the "
+                f"stored units; rebuild with an explicit stride or "
+                f"re-encode the probes to an indexed frame duration",
+                stacklevel=2,
+            )
     return containment_signatures_against_index(
         clip_sigs,
         spark,

@@ -340,7 +340,7 @@ def audio_window_fingerprints(
                     if p is None:
                         raise NotImplementedError("null payload")
                     p = bytes(p)
-                    frames, _rate, _ch = dec(p)
+                    frames, _rate, _ch, _fs = dec(p)
                     mono = frames.astype(np.int64).sum(axis=1)
                     n = len(mono)
                     if n < window_frames:
@@ -477,7 +477,7 @@ def audio_landmark_fingerprints(
                     if p is None:
                         raise NotImplementedError("null payload")
                     p = bytes(p)
-                    frames, _rate, _ch = dec(p)
+                    frames, _rate, _ch, _fs = dec(p)
                     mono = frames.astype(np.int64).sum(axis=1)
                     if len(mono) < window_frames:
                         raise NotImplementedError(

@@ -330,13 +330,16 @@ def sample_audio_frames(
             for doc_id, p in zip(pdf[id_col], pdf["payload"]):
                 p = bytes(p)
                 try:
-                    iframes, rate, _ch = dec(p)
+                    iframes, rate, _ch, full_scale = dec(p)
                 except (NotImplementedError, ValueError, IndexError):
                     # unclaimed container, unsupported format, or claimed
                     # magic with a corrupt body — a data problem skips the
                     # payload, never kills the task
                     continue
-                frames = iframes.astype(np.float64) / 32768.0
+                # normalize by the DECODER'S registered full scale (int16
+                # builtins: 32768) — a 24/32-bit PCM codec's frames land
+                # on the same [-1, 1) axis (r13 ADVICE fix)
+                frames = iframes.astype(np.float64) / float(full_scale)
                 if frames.shape[0] == 0 or rate == 0:
                     continue
                 mono = frames.mean(axis=1)
@@ -758,7 +761,7 @@ def audio_fingerprint_bits(
                     if p is None:
                         raise NotImplementedError("null payload")
                     p = bytes(p)
-                    frames, rate, _ = dec(p)
+                    frames, rate, _ch, _fs = dec(p)
                     n = frames.shape[0]
                     # need every E bin (n ≥ bins) AND every D bin
                     # (n-1 ≥ bins) non-empty
@@ -1278,6 +1281,11 @@ def _error_class(err: Column) -> Column:
 #: or raise — raises become dead-letter rows, the shared contract):
 #:   image: payload -> (h, w, ch>=3) uint8 pixel array (BGR order)
 #:   audio: payload -> (frames int (n, channels) RAW integers, rate, channels)
+#:          — the registration's ``audio_full_scale`` names the integers'
+#:          full-scale value (int16 default 32768); the snapshot wrapper
+#:          appends it, so consumers unpack (frames, rate, channels,
+#:          full_scale) and normalize by the DECODER'S scale, never a
+#:          hard-coded bit depth (r13 ADVICE fix)
 #:   video: payload -> (frames uint8 (n, h, w, 3) BGR top-down, usec_per_frame)
 _MEDIA_DECODERS: dict[str, dict] = {}
 
@@ -1288,6 +1296,7 @@ def register_media_decoder(
     magic: list[tuple[int, bytes]],
     min_len: int,
     decode,
+    audio_full_scale: int = 32768,
 ) -> None:
     """Register a payload decoder. ``magic`` is a list of (byte offset,
     expected bytes) pairs — ALL must match, and ``len(payload) >=
@@ -1299,7 +1308,15 @@ def register_media_decoder(
     disagree about who claims a payload. ``decode`` must satisfy the
     modality's contract above and RAISE (NotImplementedError /
     ValueError) on bodies it cannot decode — the raise becomes the
-    row's dead letter, never a task crash.
+    row's dead letter, never a task crash; the snapshot wrapper
+    re-raises any OTHER exception class a third-party decoder leaks
+    (struct.error, TypeError, OSError, …) as ValueError with the
+    original message, so the dead-letter guarantee holds independent
+    of decoder discipline (r13 ADVICE fix). ``audio_full_scale`` names
+    the full-scale value of an audio decoder's raw integers (int16
+    default 32768) — feature stages normalize by it, so a 24/32-bit
+    PCM codec's rms/peak land on the same [-1, 1) axis as the
+    builtins'; ignored for image/video.
 
     Worker-visibility contract: signature ops SNAPSHOT the registry at
     plan-construction time and ship the callables inside the Arrow-batch
@@ -1314,11 +1331,17 @@ def register_media_decoder(
         )
     if not magic:
         raise ValueError("register_media_decoder: magic must be non-empty")
+    if audio_full_scale <= 0:
+        raise ValueError(
+            f"register_media_decoder: audio_full_scale must be positive "
+            f"({audio_full_scale})"
+        )
     _MEDIA_DECODERS[name] = {
         "modality": modality,
         "magic": [(int(o), bytes(m)) for o, m in magic],
         "min_len": int(min_len),
         "decode": decode,
+        "full_scale": int(audio_full_scale),
     }
 
 
@@ -1334,19 +1357,40 @@ def _decoder_fn(modality: str):
     ``payload -> decoded`` suitable for shipping inside an Arrow-batch
     closure. Raises NotImplementedError('not a registered … container')
     when no entry claims the payload — the wrong_container dead-letter
-    class."""
+    class. Exception classes outside the dead-letter contract
+    (NotImplementedError / ValueError / IndexError) that a registered
+    decoder leaks are re-raised as ValueError carrying the decoder name
+    and original message — call sites catch the contract trio, so a
+    sloppy third-party codec dead-letters its row instead of killing
+    the task (r13 ADVICE fix). For ``modality='audio'`` the callable
+    returns FOUR values — (frames, rate, channels, full_scale) — the
+    registration's ``audio_full_scale`` appended, so feature stages
+    normalize by the decoder's own bit depth."""
+    is_audio = modality == "audio"
     entries = [
-        (e["magic"], e["min_len"], e["decode"])
-        for e in _MEDIA_DECODERS.values()
+        (name, e["magic"], e["min_len"], e["decode"], e["full_scale"])
+        for name, e in _MEDIA_DECODERS.items()
         if e["modality"] == modality
     ]
 
     def decode(p: bytes):
-        for magic, min_len, fn in entries:
+        for name, magic, min_len, fn, full_scale in entries:
             if len(p) >= min_len and all(
                 p[o : o + len(m)] == m for o, m in magic
             ):
-                return fn(p)
+                try:
+                    out = fn(p)
+                except (NotImplementedError, ValueError, IndexError):
+                    raise  # the dead-letter contract trio — pass through
+                except Exception as exc:
+                    raise ValueError(
+                        f"decoder {name!r} raised "
+                        f"{type(exc).__name__}: {exc}"
+                    ) from exc
+                if is_audio:
+                    frames, rate, channels = out
+                    return frames, rate, channels, full_scale
+                return out
         raise NotImplementedError(f"not a registered {modality} container")
 
     return decode

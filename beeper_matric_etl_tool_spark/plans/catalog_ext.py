@@ -3208,6 +3208,18 @@ def _avi_nbytes(w: int, h: int, n: int) -> int:
                CAST(t_off AS INTEGER), CAST(n_matched AS INTEGER),
                CAST(max_unit_hamming AS BIGINT)
         FROM ct_vote
+        UNION ALL
+        -- kind='contain_idx' (r13): the persisted-index probe must land
+        -- the EXACT verdicts of the batch core — same closed-form
+        -- replay, different kind literal, so a drift between the index
+        -- lifecycle (build/persist/probe) and the one driver-oracled
+        -- engine hash-mismatches here
+        SELECT 'contain_idx', CAST({CT_CLIP_ID} AS BIGINT),
+               CAST(track_id AS BIGINT), 'video',
+               CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(t_off AS INTEGER), CAST(n_matched AS INTEGER),
+               CAST(max_unit_hamming AS BIGINT)
+        FROM ct_vote
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3622,6 +3634,41 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id").filter(F.col("doc_id") == 0)
         .mapInPandas(gen_clip, "doc_id long, payload binary")
     )
+    # kind='contain_idx' (r13): the SAME planted corpus probed through
+    # the PERSISTED containment-index lifecycle (`ext/containment_index`)
+    # — build decodes the six tracks ONCE into unit signatures on disk
+    # (stride 1, radius pinned at build), the probe decodes ONLY the
+    # clip and votes against the stored units. The driver-checked claim:
+    # the index path's verdicts are IDENTICAL to the batch core's (the
+    # oracle replays the same closed-form pairs → offset vote), so
+    # build→persist→probe cannot drift from the one driver-oracled
+    # engine.
+    import tempfile
+
+    from beeper_matric_etl_tool_spark.ext.containment_index import (
+        build_containment_index,
+        containment_against_index,
+    )
+
+    cidx_dir = tempfile.mkdtemp(prefix="mmf_contain_idx_")
+    build_containment_index(
+        ct_tracks, cidx_dir, kind="video", n_bits=64, stride=1,
+        max_hamming=CT_MAX_HAMMING,
+    )
+    contain_idx = containment_against_index(
+        ct_clip, spark, cidx_dir, min_matches=CT_MIN_MATCHES
+    ).select(
+        F.lit("contain_idx").alias("kind"),
+        F.col("clip_id").cast("long").alias("id_a"),
+        F.col("track_id").cast("long").alias("id_b"),
+        F.lit("video").alias("mime"),
+        F.lit(None).cast("long").alias("byte_len"),
+        F.lit(None).cast("string").alias("payload_sha256"),
+        F.col("offset").cast("int").alias("width"),
+        F.col("n_matched").cast("int").alias("height"),
+        F.col("max_unit_hamming").cast("long").alias("hamming"),
+    )
+
     contain = video_containment_pairs(
         ct_clip, ct_tracks,
         max_hamming=CT_MAX_HAMMING, min_matches=CT_MIN_MATCHES, n_bits=64,
@@ -3659,6 +3706,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(search)
         .unionByName(recall)
         .unionByName(contain)
+        .unionByName(contain_idx)
     )
 
 

@@ -470,3 +470,74 @@ def test_streaming_containment_screen_e2e(spark, tmp_path):
         start_containment_probe_stream(
             stream, idx, hits_dir, str(tmp_path / "ckpt2")
         )
+
+
+def test_bands_hint_raises_on_unbandable_radius():
+    """r13 ADVICE fix: a pinned radius that would force 1-bit bands
+    (bands = n_bits — every band value collides, probes degrade to a
+    quadratic candidate join) raises at BUILD, the family's
+    raise-not-clamp policy, instead of silently freezing the blow-up."""
+    from beeper_matric_etl_tool_spark.ext.containment_index import (
+        _bands_hint_for,
+    )
+
+    assert _bands_hint_for(256, None) == 16   # default radius 15 -> 16 bands
+    assert _bands_hint_for(256, 15) == 16
+    assert _bands_hint_for(256, 127) == 128   # largest bandable radius
+    with pytest.raises(ValueError, match="1-bit bands"):
+        _bands_hint_for(256, 200)
+    with pytest.raises(ValueError, match="1-bit bands"):
+        _bands_hint_for(64, 63)
+
+
+def test_auto_stride_distribution_recorded_and_drift_warns(
+    spark, tmp_path, tracks_on_disk
+):
+    """r13 ADVICE fix: stride='auto' resolves per payload from the
+    container's frame duration, so a probe re-encoded at a different
+    fps derives a stride the index has no units for and silently never
+    votes. The build now freezes the RESOLVED stride distribution in
+    meta; the decode probe warns on drift; a decode-path append of a
+    new-fps track merges its stride so future probes at that fps are
+    legitimate."""
+    import warnings
+
+    idx = str(tmp_path / "cidx_strides")
+    build_containment_index(
+        tracks_on_disk, idx, kind="video", n_bits=64, max_hamming=0
+    )
+    # the 12 fps test tracks resolve stride 12, recorded at build
+    assert read_meta(idx)["resolved_strides"] == [12]
+
+    src_frames, _ = xmm._avi_frames(xmm.make_gradient_avi(40, 16, 60, seed=3))
+    # probe at the indexed frame duration: silent, and it votes
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        rows = containment_against_index(
+            _frame(spark, [(1, xmm._encode_avi(src_frames[24:60], fps=12))]),
+            spark,
+            idx,
+            min_matches=3,
+        ).collect()
+    assert [(r.track_id, r.offset) for r in rows] == [(100, 2)]
+
+    # the SAME cut re-encoded at 6 fps derives stride 6 -> the documented
+    # undetectable miss is now a warning naming both stride sets
+    clip6 = _frame(spark, [(2, xmm._encode_avi(src_frames[24:60], fps=6))])
+    with pytest.warns(UserWarning, match=r"stride\(s\) \[6\].*\[12\]"):
+        rows6 = containment_against_index(
+            clip6, spark, idx, min_matches=3
+        ).collect()
+    assert rows6 == []
+
+    # a staged decode-path append of a 6 fps track merges its resolved
+    # stride into meta — the same probe is now legitimate (and silent)
+    rs = np.random.RandomState(11)
+    track6 = xmm._encode_avi(
+        rs.randint(0, 256, (36, 16, 40, 3)).astype(np.uint8), fps=6
+    )
+    append_containment_index(_frame(spark, [(200, track6)]), idx, batch_id=0)
+    assert read_meta(idx)["resolved_strides"] == [6, 12]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        containment_against_index(clip6, spark, idx, min_matches=3).collect()

@@ -2402,3 +2402,90 @@ def test_passage_attribution_normalized(spark):
         ).count()
         < 13  # the raw-bytes windows spanning an NBSP miss
     )
+
+
+def test_decoder_seam_full_scale_and_exception_wrap(spark):
+    """r13 ADVICE fixes on the decoder seam: (1) an audio codec
+    registered with a non-int16 full scale (here 32-bit PCM,
+    audio_full_scale=2^31) lands its frames on the same [-1, 1) axis —
+    rms/peak/zcr match the int16 twin of the same signal EXACTLY
+    (power-of-two rescale, no rounding); (2) a registered decoder
+    leaking a non-contract exception class (struct.error) dead-letters
+    its row via the snapshot wrapper's ValueError re-raise instead of
+    killing the Spark task."""
+    import numpy as np
+
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in rows], "doc_id long, payload binary"
+        )
+
+    def wav_of(samples, rate=8000):
+        sig = samples.astype("<i2").tobytes()
+        fmt = (
+            b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+            + (1).to_bytes(2, "little") + rate.to_bytes(4, "little")
+            + (rate * 2).to_bytes(4, "little") + (2).to_bytes(2, "little")
+            + (16).to_bytes(2, "little")
+        )
+        data = b"data" + len(sig).to_bytes(4, "little") + sig
+        body = b"WAVE" + fmt + data
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    # stub 32-bit PCM: 'P32 ' magic, 4-byte rate, then <i4 mono samples
+    # at full scale 2^31
+    def decode_p32(p):
+        rate = int.from_bytes(p[4:8], "little")
+        return (
+            np.frombuffer(p, "<i4", offset=8).reshape(-1, 1),
+            rate,
+            1,
+        )
+
+    # a decoder that leaks a class outside the dead-letter contract trio
+    def decode_boom(p):
+        import struct
+
+        raise struct.error("unpack requires a buffer")
+
+    sig16 = np.random.RandomState(5).randint(-32768, 32768, 4000)
+    p32 = (
+        b"P32 " + (8000).to_bytes(4, "little")
+        + (sig16.astype(np.int64) * 65536).astype("<i4").tobytes()
+    )
+
+    xmm.register_media_decoder(
+        "p32-stub", "audio", [(0, b"P32 ")], 8, decode_p32,
+        audio_full_scale=2**31,
+    )
+    xmm.register_media_decoder(
+        "boom-stub", "audio", [(0, b"BOOM")], 4, decode_boom
+    )
+    try:
+        feats = xmm.sample_audio_frames(
+            frame([(1, wav_of(sig16)), (2, p32), (3, b"BOOM" + b"\x00" * 64)])
+        ).collect()
+        by_doc = {}
+        for r in feats:
+            by_doc.setdefault(r.doc_id, []).append(
+                (r.frame_idx if hasattr(r, "frame_idx") else r.idx,
+                 r.rms, r.peak, r.zcr)
+            )
+        # the BOOM payload produced no frames (dead-lettered, no crash)
+        assert 3 not in by_doc
+        # the 32-bit codec's features are EXACTLY the int16 twin's
+        assert sorted(by_doc[1]) == sorted(by_doc[2])
+        assert len(by_doc[1]) > 0
+
+        # the wrapper's re-raise carries the decoder name + original class
+        dec = xmm._decoder_fn("audio")
+        try:
+            dec(b"BOOM" + b"\x00" * 64)
+            raise AssertionError("expected ValueError")
+        except ValueError as exc:
+            assert "boom-stub" in str(exc) and "error" in str(exc)
+    finally:
+        xmm.unregister_media_decoder("p32-stub")
+        xmm.unregister_media_decoder("boom-stub")
