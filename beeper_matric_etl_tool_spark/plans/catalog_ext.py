@@ -260,6 +260,26 @@ SOFTDEDUP_TEMPLATE = (
     "within five business days please keep this message for your records"
 )
 
+#: doc_profile's attribution leg (kind='attrib', r13): a passage CUT
+#: from a corpus document, attributed back through the PERSISTED
+#: passage index (`ext/passage_index.py`) — probe 9001 is tokens
+#: [ATTRIB_START, ATTRIB_START+ATTRIB_LEN) of doc ATTRIB_SRC_DOC
+#: verbatim, probe 9002 the same cut with ONE mid-passage token edited
+#: (drops exactly the ≤ k windows covering it — linear degradation,
+#: offset persists). The corpus side is hop-thinned (ATTRIB_HOP), so
+#: the oracle replays the hop arithmetic too. Constants sized for the
+#: smallest testdata documents (doc 7 has ≥ 44 tokens at every SF).
+ATTRIB_SRC_DOC = 7
+ATTRIB_START = 3      # 1-based token start of the cut in the source
+ATTRIB_LEN = 32
+ATTRIB_K = 8
+ATTRIB_HOP = 3
+ATTRIB_EDIT_POS = 16  # 1-based position of the edit INSIDE the probe
+ATTRIB_EDIT_TOKEN = "xqzedit"
+ATTRIB_PROBE_VERBATIM = 9001
+ATTRIB_PROBE_EDITED = 9002
+ATTRIB_MIN_MATCHES = 2
+
 MINHASH_NUM_HASHES = xdedup.MINHASH_NUM_HASHES
 MINHASH_BAND_WIDTH = xdedup.MINHASH_NUM_HASHES // xdedup.MINHASH_BANDS
 
@@ -1364,6 +1384,62 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ELSE text END AS t
                 FROM documents
             )
+        ),
+        -- passage attribution (kind='attrib', r13): probes 9001 (a
+        -- verbatim {ATTRIB_LEN}-token cut of doc {ATTRIB_SRC_DOC}) and
+        -- 9002 (same cut, one mid-passage token edited) attributed via
+        -- exact k-token window md5 fingerprints: probe windows at hop
+        -- 1, corpus windows at hop {ATTRIB_HOP}, constant-offset vote
+        -- — the FULL replay (every corpus doc's windows participate,
+        -- so cross-document window collisions, if any, are replayed
+        -- too, not assumed away)
+        atoks AS (
+            SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        ),
+        aptoks AS (
+            SELECT probe_id, list(tok ORDER BY i) AS toks FROM (
+                SELECT p.probe_id, gi.i AS i,
+                       CASE WHEN s.toks[{ATTRIB_START} - 1 + gi.i] IS NULL
+                            THEN NULL
+                            WHEN p.probe_id = {ATTRIB_PROBE_EDITED}
+                                 AND gi.i = {ATTRIB_EDIT_POS}
+                            THEN '{ATTRIB_EDIT_TOKEN}'
+                            ELSE s.toks[{ATTRIB_START} - 1 + gi.i] END AS tok
+                FROM (VALUES ({ATTRIB_PROBE_VERBATIM}),
+                             ({ATTRIB_PROBE_EDITED})) p(probe_id),
+                     (SELECT toks FROM atoks
+                      WHERE doc_id = {ATTRIB_SRC_DOC}) s,
+                     generate_series(1, {ATTRIB_LEN}) gi(i)
+            ) WHERE tok IS NOT NULL GROUP BY probe_id
+        ),
+        apfp AS (
+            SELECT probe_id, p,
+                   md5(array_to_string(
+                       list_slice(toks, p, p + {ATTRIB_K} - 1), ' ')) AS fp
+            FROM (
+                SELECT probe_id, toks,
+                       unnest(generate_series(
+                           1, len(toks) - {ATTRIB_K} + 1)) AS p
+                FROM aptoks WHERE len(toks) >= {ATTRIB_K}
+            )
+        ),
+        acfp AS (
+            SELECT doc_id, p,
+                   md5(array_to_string(
+                       list_slice(toks, p, p + {ATTRIB_K} - 1), ' ')) AS fp
+            FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(
+                           1, len(toks) - {ATTRIB_K} + 1,
+                           {ATTRIB_HOP})) AS p
+                FROM atoks WHERE len(toks) >= {ATTRIB_K}
+            )
+        ),
+        avote AS (
+            SELECT x.probe_id, y.doc_id, y.p - x.p AS off, COUNT(*) AS n
+            FROM apfp x JOIN acfp y ON x.fp = y.fp
+            GROUP BY 1, 2, 3
+            HAVING COUNT(*) >= {ATTRIB_MIN_MATCHES}
         )
         SELECT 'profile' AS kind, doc_id, en_hits, es_hits, fr_hits, de_hits,
                predicted_lang, fp, min_shingle_fp,
@@ -1401,6 +1477,12 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(NULL AS VARCHAR), CAST(dup_count AS INTEGER),
                CAST(1000000 // dup_count AS INTEGER)
         FROM softleg
+        UNION ALL
+        SELECT 'attrib', CAST(probe_id AS BIGINT), NULL, NULL, NULL, NULL,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(doc_id AS VARCHAR), CAST(off AS INTEGER),
+               CAST(n AS INTEGER)
+        FROM avote
     """,
 )
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1614,6 +1696,63 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_count").cast("int").alias("n_units"),
         F.col("weight_ppm").cast("int").alias("n_removed"),
     )
+    # kind='attrib' (r13): passage attribution through the PERSISTED
+    # passage index — the corpus is tokenized ONCE into windows/ on
+    # disk (hop-thinned), the probes are fingerprinted and voted
+    # against the stored windows (no corpus text in the probe plan —
+    # the FileScan pin lives in tests/test_passage_index.py). Probe
+    # 9001 = a verbatim cut of doc ATTRIB_SRC_DOC, probe 9002 = the
+    # same cut with one mid-passage token edited. The slot carries the
+    # attributed source doc in cleaned_fp (as a string), the 0-based
+    # token offset in n_units and the vote count in n_removed; the
+    # oracle replays window fingerprints + the constant-offset vote —
+    # including the hop arithmetic and any cross-document window
+    # collisions — in SQL.
+    import tempfile
+
+    from beeper_matric_etl_tool_spark.ext.passage_index import (
+        attribute_against_index,
+        build_passage_index,
+    )
+
+    src_toks = F.slice(
+        F.split(F.col("text"), " "), ATTRIB_START, ATTRIB_LEN
+    )
+    edited_toks = F.transform(
+        src_toks,
+        lambda x, i: F.when(
+            i == ATTRIB_EDIT_POS - 1, F.lit(ATTRIB_EDIT_TOKEN)
+        ).otherwise(x),
+    )
+    probes = docs.filter(F.col("doc_id") == ATTRIB_SRC_DOC).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(ATTRIB_PROBE_VERBATIM).alias("doc_id"),
+                    F.concat_ws(" ", src_toks).alias("text"),
+                ),
+                F.struct(
+                    F.lit(ATTRIB_PROBE_EDITED).alias("doc_id"),
+                    F.concat_ws(" ", edited_toks).alias("text"),
+                ),
+            )
+        ).alias("p")
+    ).select(F.col("p.doc_id").cast("long").alias("doc_id"), "p.text")
+    pidx_dir = tempfile.mkdtemp(prefix="dp_attrib_idx_")
+    build_passage_index(
+        docs, pidx_dir, k=ATTRIB_K, corpus_hop=ATTRIB_HOP, normalize=False
+    )
+    attrib_leg = attribute_against_index(
+        probes, spark, pidx_dir, min_matches=ATTRIB_MIN_MATCHES
+    ).select(
+        F.lit("attrib").alias("kind"),
+        F.col("probe_id").cast("long").alias("doc_id"),
+        *null_dims,
+        *null_fps,
+        F.col("doc_id").cast("string").alias("cleaned_fp"),
+        F.col("offset").cast("int").alias("n_units"),
+        F.col("n_matched").cast("int").alias("n_removed"),
+    )
     return (
         profile_leg.unionByName(boiler_leg)
         .unionByName(spans_leg)
@@ -1621,6 +1760,7 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dsir_leg)
         .unionByName(novelty_leg)
         .unionByName(soft_leg)
+        .unionByName(attrib_leg)
     )
 
 
