@@ -2049,6 +2049,62 @@ def make_saw_wav(
     return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
 
 
+def make_texture_wav(
+    n_frames: int,
+    seed: int,
+    clip: tuple[int, int] | None = None,
+    rate: int = 8000,
+) -> bytes:
+    """A real 16-bit PCM mono WAV whose samples are a CLOSED-FORM
+    quadratic-residue TEXTURE of (index, seed) — the landmark tier's
+    oracle generator (r13):
+
+        s[i] = (31·i² + (17·seed + 7)·i) mod 2003
+
+    Why this shape (two rejected designs, recorded so the degeneracy
+    isn't retried): a step-staircase over a small periodic base anchors
+    landmarks at the steps, but the sign-structure fingerprint
+    (`_afp_of`) is invariant to the constant level between steps, so
+    EVERY step window across every seed fingerprints identically — a
+    full-strength false vote at every inter-step offset. The same
+    texture mod 256 is periodic, so windows repeat every 256 samples —
+    full-strength false votes at offset ± 256·k. The prime modulus
+    2003 > any tested n_frames makes the texture aperiodic in range;
+    its |sample diff| series is rich (diff of a quadratic is a linear
+    ramp mod P — varied magnitudes everywhere), so the first-max
+    detector (`media_subseq._first_max_positions`) lands ~one
+    content-determined anchor per 2·spacing window, seed-distinct.
+    A verbatim cut's INTERIOR anchors survive at the same content
+    positions and fingerprint bit-identically — the true offset
+    collects every interior-anchor vote at hamming 0, while the linear
+    diff structure leaves only scattered low-vote coincidences (which
+    a SQL oracle replays exactly from the closed form rather than
+    assumes away). ``clip=(a, b)`` returns samples [a, b) — a cut at
+    an ARBITRARY (non-hop-aligned) offset. Amplitude < 2003
+    (int16-safe; window energy sums < 2^28 — exact in BIGINT/int64 on
+    both planes)."""
+    i = np.arange(n_frames, dtype=np.int64)
+    s = (31 * i * i + (17 * seed + 7) * i) % 2003
+    if clip is not None:
+        a, b = clip
+        s = s[a:b]
+    signal = s.astype("<i2").tobytes()
+    byte_rate = rate * 2
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    data = b"data" + len(signal).to_bytes(4, "little") + signal
+    riff_body = b"WAVE" + fmt + data
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
 def make_wav(n_frames: int, channels: int = 1, rate: int = 8000, seed: int = 0) -> bytes:
     """A real 16-bit PCM WAV with a deterministic sine-ish signal."""
     t = np.arange(n_frames * channels, dtype=np.float64)

@@ -2720,6 +2720,28 @@ CT_CLIP_ID = 900
 CT_CLIP_START, CT_CLIP_END = 9, 17
 CT_MAX_HAMMING = 3
 CT_MIN_MATCHES = 3
+
+#: planted landmark-containment corpus (kind='landmark', r13): tracks =
+#: three quadratic-residue texture WAVs (`make_texture_wav`, seeds
+#: 0..2, 2000 samples); the clip (synthetic id 901) is samples
+#: [701, 2000) of track 0 — a cut at an offset NO hop divides, the
+#: exact case hop-strided fingerprints provably miss (the r12 alignment
+#: probe). Energy-landmark anchors move with the content, so every
+#: interior clip anchor matches its source window at hamming 0 and the
+#: vote on SOURCE positions lands the exact cut offset (701) with every
+#: interior-anchor vote; the oracle re-derives the landmark detector
+#: (first-max of |sample diff| over a ±spacing window), the 64-bit
+#: energy/flux sign fingerprint and the offset vote from the closed
+#: form, so the scattered low-vote coincidences the texture's linear
+#: diff structure admits are replayed too, not assumed away.
+LM_TRACKS = 3
+LM_N = 2000
+LM_CLIP_ID = 901
+LM_CLIP_START, LM_CLIP_END = 701, 2000
+LM_W = 66  # window_frames (33 bins of exactly 2 samples)
+LM_SPACING = 8  # landmark min_spacing
+LM_MAX_HAMMING = 2
+LM_MIN_MATCHES = 5
 MC_SEEDS = 4
 MC_MIN_W, MC_MIN_H = 16, 8
 MC_SMALL_W, MC_SMALL_H = 8, 6
@@ -3243,6 +3265,132 @@ def _avi_nbytes(w: int, h: int, n: int) -> int:
             GROUP BY 1, 2
             HAVING COUNT(*) >= {CT_MIN_MATCHES}
         ),
+        -- landmark containment (kind='landmark', r13): the texture
+        -- corpus's samples, |sample diff| series, first-max anchors
+        -- (± spacing window, earliest-max tie rule), per-window 64-bit
+        -- energy/flux sign fingerprints and the SOURCE-position offset
+        -- vote, all re-derived from the closed form
+        -- s[i] = (31·i² + (17·seed + 7)·i) mod 2003
+        lm_s AS (
+            SELECT d.doc_id AS track_id, gi.i AS i,
+                   (31 * gi.i * gi.i + (17 * d.doc_id + 7) * gi.i)
+                   % 2003 AS s
+            FROM documents d, generate_series(0, {LM_N - 1}) AS gi(i)
+            WHERE d.doc_id < {LM_TRACKS}
+        ),
+        lm_d AS (
+            SELECT a.track_id, a.i AS q, abs(b.s - a.s) AS dv
+            FROM lm_s a JOIN lm_s b
+              ON b.track_id = a.track_id AND b.i = a.i + 1
+        ),
+        lm_anchor AS (
+            SELECT track_id, q FROM (
+                SELECT track_id, q, dv,
+                       MAX(dv) OVER (PARTITION BY track_id ORDER BY q
+                           ROWS BETWEEN {LM_SPACING} PRECEDING
+                           AND 1 PRECEDING) AS pmax,
+                       MAX(dv) OVER (PARTITION BY track_id ORDER BY q
+                           ROWS BETWEEN 1 FOLLOWING
+                           AND {LM_SPACING} FOLLOWING) AS nmax
+                FROM lm_d
+            ) WHERE (pmax IS NULL OR pmax < dv)
+              AND (nmax IS NULL OR nmax <= dv)
+              AND q + {LM_W} <= {LM_N}
+        ),
+        -- the clip is track 0's samples [{LM_CLIP_START}, {LM_CLIP_END}):
+        -- the SAME diff rows re-indexed to clip positions, re-anchored
+        -- with clip-LOCAL windows (boundary anchors may differ — the
+        -- landmark honesty contract; they are replayed, not patched)
+        lmc_d AS (
+            SELECT q - {LM_CLIP_START} AS q, dv FROM lm_d
+            WHERE track_id = 0 AND q >= {LM_CLIP_START}
+              AND q < {LM_CLIP_END - 1}
+        ),
+        lmc_anchor AS (
+            SELECT q FROM (
+                SELECT q, dv,
+                       MAX(dv) OVER (ORDER BY q
+                           ROWS BETWEEN {LM_SPACING} PRECEDING
+                           AND 1 PRECEDING) AS pmax,
+                       MAX(dv) OVER (ORDER BY q
+                           ROWS BETWEEN 1 FOLLOWING
+                           AND {LM_SPACING} FOLLOWING) AS nmax
+                FROM lmc_d
+            ) WHERE (pmax IS NULL OR pmax < dv)
+              AND (nmax IS NULL OR nmax <= dv)
+              AND q + {LM_W} <= {LM_CLIP_END - LM_CLIP_START}
+        ),
+        lm_win AS (
+            SELECT a.track_id, a.q, gj.j, s.s AS v
+            FROM lm_anchor a
+            CROSS JOIN generate_series(0, {LM_W - 1}) AS gj(j)
+            JOIN lm_s s ON s.track_id = a.track_id AND s.i = a.q + gj.j
+        ),
+        lmc_win AS (
+            SELECT a.q, gj.j, s.s AS v
+            FROM lmc_anchor a
+            CROSS JOIN generate_series(0, {LM_W - 1}) AS gj(j)
+            JOIN lm_s s ON s.track_id = 0
+                 AND s.i = {LM_CLIP_START} + a.q + gj.j
+        ),
+        -- 33 energy bins (bin(j) = j·33 // W — the engine's exact
+        -- integer rule) over s², 33 flux bins over (Δs)²; bits are the
+        -- 32 + 32 adjacent-bin sign comparisons
+        lm_e AS (
+            SELECT track_id, q, j * 33 // {LM_W} AS k, SUM(v * v) AS e
+            FROM lm_win GROUP BY 1, 2, 3
+        ),
+        lm_f AS (
+            SELECT x.track_id, x.q, x.j * 33 // {LM_W - 1} AS k,
+                   SUM((y.v - x.v) * (y.v - x.v)) AS e
+            FROM lm_win x JOIN lm_win y
+              ON y.track_id = x.track_id AND y.q = x.q AND y.j = x.j + 1
+            GROUP BY 1, 2, 3
+        ),
+        lmc_e AS (
+            SELECT q, j * 33 // {LM_W} AS k, SUM(v * v) AS e
+            FROM lmc_win GROUP BY 1, 2
+        ),
+        lmc_f AS (
+            SELECT x.q, x.j * 33 // {LM_W - 1} AS k,
+                   SUM((y.v - x.v) * (y.v - x.v)) AS e
+            FROM lmc_win x JOIN lmc_win y ON y.q = x.q AND y.j = x.j + 1
+            GROUP BY 1, 2
+        ),
+        lm_bits AS (
+            SELECT a.track_id, a.q, a.k AS pos,
+                   CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+            FROM lm_e a JOIN lm_e b
+              ON b.track_id = a.track_id AND b.q = a.q AND b.k = a.k + 1
+            UNION ALL
+            SELECT a.track_id, a.q, 32 + a.k,
+                   CASE WHEN b.e > a.e THEN 1 ELSE 0 END
+            FROM lm_f a JOIN lm_f b
+              ON b.track_id = a.track_id AND b.q = a.q AND b.k = a.k + 1
+        ),
+        lmc_bits AS (
+            SELECT a.q, a.k AS pos,
+                   CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+            FROM lmc_e a JOIN lmc_e b ON b.q = a.q AND b.k = a.k + 1
+            UNION ALL
+            SELECT a.q, 32 + a.k, CASE WHEN b.e > a.e THEN 1 ELSE 0 END
+            FROM lmc_f a JOIN lmc_f b ON b.q = a.q AND b.k = a.k + 1
+        ),
+        lm_pairs AS (
+            SELECT y.track_id, x.q AS cq, y.q AS tq,
+                   SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+                   AS hamming
+            FROM lmc_bits x JOIN lm_bits y ON x.pos = y.pos
+            GROUP BY 1, 2, 3
+            HAVING SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+                   <= {LM_MAX_HAMMING}
+        ),
+        lm_vote AS (
+            SELECT track_id, tq - cq AS t_off, COUNT(*) AS n_matched,
+                   MAX(hamming) AS max_unit_hamming
+            FROM lm_pairs GROUP BY 1, 2
+            HAVING COUNT(*) >= {LM_MIN_MATCHES}
+        ),
         srch_ranked AS (
             SELECT id_a, id_b, hamming,
                    ROW_NUMBER() OVER (PARTITION BY id_a
@@ -3360,6 +3508,17 @@ def _avi_nbytes(w: int, h: int, n: int) -> int:
                CAST(t_off AS INTEGER), CAST(n_matched AS INTEGER),
                CAST(max_unit_hamming AS BIGINT)
         FROM ct_vote
+        UNION ALL
+        -- kind='landmark' (r13): content-anchored audio containment at
+        -- a cut offset NO hop divides — the alignment-free claim of the
+        -- landmark tier, driver-checked via the closed-form replay of
+        -- detector, fingerprint and source-position vote
+        SELECT 'landmark', CAST({LM_CLIP_ID} AS BIGINT),
+               CAST(track_id AS BIGINT), 'audio',
+               CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(t_off AS INTEGER), CAST(n_matched AS INTEGER),
+               CAST(max_unit_hamming AS BIGINT)
+        FROM lm_vote
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3823,6 +3982,66 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_matched").cast("int").alias("height"),
         F.col("max_unit_hamming").cast("long").alias("hamming"),
     )
+    # kind='landmark' (r13): the alignment-free containment claim —
+    # a clip cut at sample 701 (an offset NO hop divides; the r12
+    # alignment probe measured the fingerprint's zero sub-hop shift
+    # tolerance, `tools/alignment_probe.py`) is located inside three
+    # texture tracks by ENERGY-LANDMARK anchors; the vote runs on
+    # source positions, so `offset`/width is the exact cut sample.
+    from beeper_matric_etl_tool_spark.ext.media_subseq import (
+        audio_containment_pairs,
+    )
+
+    def gen_lm_tracks(it):
+        for pdf in it:
+            payloads = [
+                xmm.make_texture_wav(LM_N, int(d)) for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def gen_lm_clip(it):
+        for pdf in it:
+            payloads = [
+                xmm.make_texture_wav(
+                    LM_N, 0, clip=(LM_CLIP_START, LM_CLIP_END)
+                )
+                for _ in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(
+                        [LM_CLIP_ID] * len(pdf), dtype="int64"
+                    ),
+                    "payload": payloads,
+                }
+            )
+
+    lm_tracks = (
+        docs.select("doc_id").filter(F.col("doc_id") < LM_TRACKS)
+        .mapInPandas(gen_lm_tracks, "doc_id long, payload binary")
+    )
+    lm_clip = (
+        docs.select("doc_id").filter(F.col("doc_id") == 0)
+        .mapInPandas(gen_lm_clip, "doc_id long, payload binary")
+    )
+    landmark = audio_containment_pairs(
+        lm_clip, lm_tracks,
+        window_frames=LM_W,
+        max_hamming=LM_MAX_HAMMING,
+        min_matches=LM_MIN_MATCHES,
+        n_bits=64,
+        landmark_spacing=LM_SPACING,
+    ).select(
+        F.lit("landmark").alias("kind"),
+        F.col("clip_id").cast("long").alias("id_a"),
+        F.col("track_id").cast("long").alias("id_b"),
+        F.lit("audio").alias("mime"),
+        F.lit(None).cast("long").alias("byte_len"),
+        F.lit(None).cast("string").alias("payload_sha256"),
+        F.col("offset").cast("int").alias("width"),
+        F.col("n_matched").cast("int").alias("height"),
+        F.col("max_unit_hamming").cast("long").alias("hamming"),
+    )
 
     recall = evaluate_recall(
         ranked, exact_topk, query_col="probe_id", id_col="ref_id"
@@ -3847,6 +4066,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(recall)
         .unionByName(contain)
         .unionByName(contain_idx)
+        .unionByName(landmark)
     )
 
 
