@@ -401,6 +401,26 @@ def compact_containment_index(
     return compact_batched_tables(spark, path, ("unit_signatures",), preserve_last)
 
 
+def delete_from_containment_index(
+    spark: SparkSession, path: str, ids
+) -> dict[str, int]:
+    """Remove tracks' unit signatures from the persisted containment
+    index — the takedown cascade (DMCA/GDPR), touched partitions only,
+    shared core `dedup_index.delete_from_batched_tables`. After
+    deletion a clip cut from the removed track no longer attributes to
+    it (and still attributes to every remaining track it matches)."""
+    from beeper_matric_etl_tool_spark.ext.dedup_index import (
+        delete_from_batched_tables,
+    )
+    from beeper_matric_etl_tool_spark.sinks import _require_local_path
+
+    _require_local_path(path, "delete_from_containment_index")
+    read_meta(path)  # asserts this IS a containment index first
+    return delete_from_batched_tables(
+        spark, path, ("unit_signatures",), "doc_id", ids
+    )
+
+
 def containment_signatures_against_index(
     clip_sigs: DataFrame,
     spark: SparkSession,

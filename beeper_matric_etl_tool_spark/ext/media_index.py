@@ -435,6 +435,26 @@ def compact_media_index(
     return compact_batched_tables(spark, path, ("signatures",), preserve_last)
 
 
+def delete_from_media_index(
+    spark: SparkSession, path: str, ids
+) -> dict[str, int]:
+    """Remove documents' signatures from the persisted media index —
+    the takedown cascade (DMCA/GDPR), touched partitions only, shared
+    core `dedup_index.delete_from_batched_tables` (same crash-healing
+    rename discipline as compaction). After deletion a re-upload of the
+    removed media no longer drops as its near-dup."""
+    from beeper_matric_etl_tool_spark.ext.dedup_index import (
+        delete_from_batched_tables,
+    )
+    from beeper_matric_etl_tool_spark.sinks import _require_local_path
+
+    _require_local_path(path, "delete_from_media_index")
+    read_meta(path)  # asserts this IS a media index first
+    return delete_from_batched_tables(
+        spark, path, ("signatures",), "doc_id", ids
+    )
+
+
 def media_dedup_against_index(
     new_media: DataFrame,
     spark: SparkSession,

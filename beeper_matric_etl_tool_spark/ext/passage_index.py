@@ -183,6 +183,25 @@ def compact_passage_index(
     return compact_batched_tables(spark, path, ("windows",), preserve_last)
 
 
+def delete_from_passage_index(
+    spark: SparkSession, path: str, ids
+) -> dict[str, int]:
+    """Remove documents' windows from the persisted passage index —
+    the takedown cascade (DMCA/GDPR), touched partitions only, shared
+    core `dedup_index.delete_from_batched_tables`. After deletion a
+    passage cut from the removed doc no longer attributes to it."""
+    from beeper_matric_etl_tool_spark.ext.dedup_index import (
+        delete_from_batched_tables,
+    )
+    from beeper_matric_etl_tool_spark.sinks import _require_local_path
+
+    _require_local_path(path, "delete_from_passage_index")
+    read_meta(path)  # asserts this IS a passage index first
+    return delete_from_batched_tables(
+        spark, path, ("windows",), "doc_id", ids
+    )
+
+
 def attribute_against_index(
     probes: DataFrame,
     spark: SparkSession,

@@ -1,0 +1,238 @@
+"""Deletion/retention on the four persisted index families (r13 — the
+r12 verdict's missing lifecycle step): when a source document is taken
+down (DMCA/GDPR), `delete_from_*_index` removes its derived rows with a
+touched-partition-only rewrite (shared core
+`dedup_index.delete_from_batched_tables`), and the decision change is
+pinned BEFORE and AFTER — a twin of the removed doc matched before and
+survives after, while every remaining doc's decisions are unchanged.
+The reference models the cascade with ON DELETE CASCADE
+(/root/reference/src/server/db/schema.ts:51,68)."""
+
+from __future__ import annotations
+
+import os
+
+from beeper_matric_etl_tool_spark.ext.dedup_index import (
+    BATCH_COL,
+    append_dedup_index,
+    build_dedup_index,
+    dedup_against_index,
+    delete_from_dedup_index,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+TEXT_A = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+TEXT_B = "kilo lima mike november oscar papa quebec romeo sierra tango"
+TEXT_C = "uniform victor whiskey xray yankee zulu one two three four"
+TEXT_D = "red orange yellow green blue indigo violet umber ochre teal"
+
+
+def test_delete_from_dedup_index_before_after_pin(spark, tmp_path):
+    idx = str(tmp_path / "didx")
+    build_dedup_index(
+        _docs(spark, [(1, TEXT_A), (2, TEXT_B), (3, TEXT_C)]), idx
+    )
+
+    def decisions(pid_texts):
+        surv, drop = dedup_against_index(_docs(spark, pid_texts), spark, idx)
+        return (
+            {r.doc_id for r in surv.collect()},
+            {(r.doc_id, r.ref_id) for r in drop.select("doc_id", "ref_id").collect()},
+        )
+
+    # BEFORE: exact twins of docs 1 and 2 both drop against their source
+    s, d = decisions([(901, TEXT_A), (902, TEXT_B)])
+    assert s == set() and d == {(901, 1), (902, 2)}
+
+    counts = delete_from_dedup_index(spark, idx, [2])
+    assert counts == {"fingerprints": 1, "signatures": 1, "shingles": 1}
+
+    # AFTER: the removed doc's twin survives; doc 1's twin still drops
+    s, d = decisions([(901, TEXT_A), (902, TEXT_B)])
+    assert s == {902} and d == {(901, 1)}
+
+    # idempotent: nothing left to delete
+    assert delete_from_dedup_index(spark, idx, [2]) == {
+        "fingerprints": 0,
+        "signatures": 0,
+        "shingles": 0,
+    }
+
+
+def test_delete_across_staged_partitions_and_empty_partition(spark, tmp_path):
+    idx = str(tmp_path / "didx2")
+    build_dedup_index(_docs(spark, [(1, TEXT_A), (2, TEXT_B)]), idx)
+    append_dedup_index(_docs(spark, [(4, TEXT_D)]), idx, batch_id=5)
+
+    fp_dir = os.path.join(idx, "fingerprints")
+    assert os.path.isdir(os.path.join(fp_dir, f"{BATCH_COL}=5"))
+
+    # one call touches the bootstrap partition AND batch 5; batch 5 is
+    # fully emptied and its partition dir disappears
+    counts = delete_from_dedup_index(spark, idx, [2, 4])
+    assert counts == {"fingerprints": 2, "signatures": 2, "shingles": 2}
+    assert not os.path.exists(os.path.join(fp_dir, f"{BATCH_COL}=5"))
+    assert os.path.isdir(os.path.join(fp_dir, f"{BATCH_COL}=-1"))
+
+    s, d = dedup_against_index(
+        _docs(spark, [(901, TEXT_A), (902, TEXT_B), (904, TEXT_D)]),
+        spark,
+        idx,
+    )
+    assert {r.doc_id for r in s.collect()} == {902, 904}
+    assert {(r.doc_id, r.ref_id) for r in d.select("doc_id", "ref_id").collect()} == {
+        (901, 1)
+    }
+
+    # delete EVERYTHING: the table reseeds an empty bootstrap partition
+    # and probes keep working (everything survives)
+    delete_from_dedup_index(spark, idx, [1])
+    s, d = dedup_against_index(_docs(spark, [(901, TEXT_A)]), spark, idx)
+    assert {r.doc_id for r in s.collect()} == {901}
+    assert d.count() == 0
+
+
+def test_delete_healing_restores_stranded_partition(spark, tmp_path):
+    """A crash between the partition moves leaves an original under
+    <table>.old — the next call (here: a no-op delete) restores it
+    before touching anything, so no rows are lost."""
+    import shutil
+
+    idx = str(tmp_path / "didx3")
+    build_dedup_index(_docs(spark, [(1, TEXT_A), (2, TEXT_B)]), idx)
+    fp_dir = os.path.join(idx, "fingerprints")
+    old = fp_dir + ".old"
+    os.makedirs(old)
+    shutil.move(
+        os.path.join(fp_dir, f"{BATCH_COL}=-1"),
+        os.path.join(old, f"{BATCH_COL}=-1"),
+    )
+    # the live table is now missing its partition — the doomed state
+    counts = delete_from_dedup_index(spark, idx, [999])  # no-op id
+    assert counts == {"fingerprints": 0, "signatures": 0, "shingles": 0}
+    assert os.path.isdir(os.path.join(fp_dir, f"{BATCH_COL}=-1"))
+    assert not os.path.exists(old)
+    s, d = dedup_against_index(_docs(spark, [(901, TEXT_A)]), spark, idx)
+    assert {(r.doc_id, r.ref_id) for r in d.select("doc_id", "ref_id").collect()} == {
+        (901, 1)
+    }
+
+
+def test_delete_from_media_index(spark, tmp_path):
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+    from beeper_matric_etl_tool_spark.ext.media_index import (
+        build_media_index,
+        delete_from_media_index,
+        media_dedup_against_index,
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in rows], "doc_id long, payload binary"
+        )
+
+    a = xmm.make_gradient_bmp(36, 32, seed=1)
+    b = xmm.make_gradient_bmp(36, 32, seed=2)
+    idx = str(tmp_path / "midx")
+    build_media_index(frame([(1, a), (2, b)]), idx)
+
+    _, dropped = media_dedup_against_index(frame([(10, a), (20, b)]), spark, idx)
+    assert {(r.doc_id, r.ref_id) for r in dropped.select("doc_id", "ref_id").collect()} == {
+        (10, 1),
+        (20, 2),
+    }
+
+    assert delete_from_media_index(spark, idx, [1]) == {"signatures": 1}
+
+    surv, dropped = media_dedup_against_index(
+        frame([(10, a), (20, b)]), spark, idx
+    )
+    assert {r.doc_id for r in surv.collect()} == {10}
+    assert {(r.doc_id, r.ref_id) for r in dropped.select("doc_id", "ref_id").collect()} == {
+        (20, 2)
+    }
+
+
+def test_delete_from_containment_index(spark, tmp_path):
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+    from beeper_matric_etl_tool_spark.ext.containment_index import (
+        build_containment_index,
+        containment_against_index,
+        delete_from_containment_index,
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in rows], "doc_id long, payload binary"
+        )
+
+    tracks = frame(
+        [(t, xmm.make_gradient_avi(40, 16, 24, t)) for t in (0, 1)]
+    )
+    idx = str(tmp_path / "cidx")
+    build_containment_index(
+        tracks, idx, kind="video", n_bits=64, stride=1, max_hamming=3
+    )
+
+    def clip_of(track_seed, cid):
+        frames, _ = xmm._avi_frames(xmm.make_gradient_avi(40, 16, 24, track_seed))
+        return frame([(cid, xmm._encode_avi(frames[9:17]))])
+
+    hits = containment_against_index(clip_of(0, 900), spark, idx, min_matches=3)
+    assert {(r.clip_id, r.track_id, r.offset) for r in hits.collect()} == {
+        (900, 0, 9)
+    }
+
+    deleted = delete_from_containment_index(spark, idx, [0])
+    assert deleted == {"unit_signatures": 24}
+
+    # the clip of the removed track no longer attributes anywhere;
+    # a clip of the remaining track still lands exactly
+    assert containment_against_index(
+        clip_of(0, 900), spark, idx, min_matches=3
+    ).count() == 0
+    hits = containment_against_index(clip_of(1, 901), spark, idx, min_matches=3)
+    assert {(r.clip_id, r.track_id, r.offset) for r in hits.collect()} == {
+        (901, 1, 9)
+    }
+
+
+def test_delete_from_passage_index(spark, tmp_path):
+    from beeper_matric_etl_tool_spark.ext.passage_index import (
+        attribute_against_index,
+        build_passage_index,
+        delete_from_passage_index,
+    )
+
+    corpus = _docs(
+        spark,
+        [
+            (7, " ".join(f"w{i}" for i in range(60))),
+            (8, " ".join(f"x{i}" for i in range(60))),
+        ],
+    )
+    idx = str(tmp_path / "pidx")
+    build_passage_index(corpus, idx, k=8)
+
+    cut7 = " ".join(f"w{i}" for i in range(10, 30))
+    cut8 = " ".join(f"x{i}" for i in range(10, 30))
+
+    hits = attribute_against_index(_docs(spark, [(900, cut7)]), spark, idx)
+    assert [(r.probe_id, r.doc_id, r.offset) for r in hits.collect()] == [
+        (900, 7, 10)
+    ]
+
+    deleted = delete_from_passage_index(spark, idx, [7])
+    assert deleted == {"windows": 53}  # 60 tokens, k=8, hop 1 -> 53 windows
+
+    assert attribute_against_index(
+        _docs(spark, [(900, cut7)]), spark, idx
+    ).count() == 0
+    hits = attribute_against_index(_docs(spark, [(901, cut8)]), spark, idx)
+    assert [(r.probe_id, r.doc_id, r.offset) for r in hits.collect()] == [
+        (901, 8, 10)
+    ]
