@@ -39,6 +39,7 @@ def attribution_batch_writer(
     hits_dir: str,
     min_matches: int = 2,
     append_novel: bool = False,
+    read_only: bool = False,
 ):
     """foreachBatch writer screening each micro-batch against the
     passage index. Hits land in ``hits_dir`` as (probe_id, <id_col>,
@@ -46,9 +47,23 @@ def attribution_batch_writer(
     CONSTRUCTION on a non-index path or a flat-layout hits directory.
     ``append_novel=True`` appends docs with NO attribution to the index
     (staged — replay-safe vote counts); attributed docs are not
-    appended (the audit carries their lineage)."""
+    appended (the audit carries their lineage).
+
+    ``read_only=True`` (r13) is the pure-probe mode — the
+    decontamination deployment (screen N ingest feeds against ONE
+    frozen eval-set index): ``append_novel`` is rejected at
+    construction, and the probe does NOT exclude this stream's batch id
+    (batch ids are checkpoint-scoped — excluding batch N here would
+    hide an unrelated writer stream's partition N from the screen).
+    Hits stay exactly-once to this stream's own ``hits_dir``; with a
+    frozen index replays are fully deterministic."""
     meta = read_meta(index_path)
     _guard_output_layout(hits_dir, "ingest_batch", "attribution_batch_writer")
+    if read_only and append_novel:
+        raise ValueError(
+            "attribution_batch_writer: read_only=True cannot "
+            "append_novel — a read-only screen never writes the index"
+        )
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -61,8 +76,10 @@ def attribution_batch_writer(
             index_path,
             min_matches=min_matches,
             probe_id_col=meta["id_col"],
-            # replay safety: probe with THIS batch's partition hidden
-            exclude_batch=int(batch_id),
+            # replay safety: probe with THIS batch's partition hidden —
+            # unless read-only, where this stream owns no partition and
+            # batch N may belong to a different (writer) stream
+            exclude_batch=None if read_only else int(batch_id),
         ).localCheckpoint(eager=True)
         # all-novel batches write no hit partition (an empty dynamic
         # overwrite would leave an unreadable footerless directory)
@@ -99,11 +116,21 @@ def start_attribution_stream(
     through :func:`attribution_batch_writer`. Returns the
     StreamingQuery. Replay and binding semantics are the curation
     streams': a fresh checkpoint against an already-staged index fails
-    at the `_STREAM.json` binding gate."""
+    at the `_STREAM.json` binding gate.
+
+    ``read_only=True`` binds the CHECKPOINT to this stream's
+    ``hits_dir`` instead of to the index — the index takes no
+    `_STREAM.json`, so ANY number of read-only screens (and one writer
+    stream) can share it concurrently; what still needs protection from
+    checkpoint-scoped batch-id collisions is each screen's own staged
+    hits directory."""
     batch_writer = attribution_batch_writer(
         index_path, hits_dir, **writer_kwargs
     )
-    _guard_checkpoint_binding(index_path, checkpoint_dir)
+    if writer_kwargs.get("read_only"):
+        _guard_checkpoint_binding(hits_dir, checkpoint_dir)
+    else:
+        _guard_checkpoint_binding(index_path, checkpoint_dir)
     writer = docs_stream.writeStream.foreachBatch(batch_writer).option(
         "checkpointLocation", checkpoint_dir
     )

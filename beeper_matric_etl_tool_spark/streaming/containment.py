@@ -43,6 +43,7 @@ def containment_probe_batch_writer(
     max_hamming: int | None = None,
     bands: int | None = None,
     append_novel: bool = False,
+    read_only: bool = False,
 ):
     """foreachBatch writer screening each micro-batch against the
     containment index. Hits land in ``hits_dir`` as (clip_id, track_id,
@@ -55,9 +56,25 @@ def containment_probe_batch_writer(
     decode-free — the same frames the probe just used), so re-cut
     content arriving later is attributed to them. Docs that DID hit are
     not appended (the lake keeps one copy of the source material's
-    units; the hit audit carries the lineage)."""
+    units; the hit audit carries the lineage).
+
+    ``read_only=True`` (r13) is the pure-probe mode — the natural
+    decontamination deployment: the stream NEVER writes the index, so
+    (1) ``append_novel`` is rejected at construction, and (2) the probe
+    does NOT exclude this stream's batch id — batch ids are
+    checkpoint-scoped, so excluding batch N here would hide an
+    UNRELATED writer stream's partition N from the screen. Hits stay
+    exactly-once to this stream's own ``hits_dir`` (staged overwrite);
+    with a frozen index replays are fully deterministic, and against an
+    index under concurrent growth a replayed batch screens against the
+    index as of the replay — strictly more hits, same offsets."""
     meta = read_meta(index_path)
     _guard_output_layout(hits_dir, "ingest_batch", "containment_probe_batch_writer")
+    if read_only and append_novel:
+        raise ValueError(
+            "containment_probe_batch_writer: read_only=True cannot "
+            "append_novel — a read-only screen never writes the index"
+        )
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -74,8 +91,10 @@ def containment_probe_batch_writer(
             min_matches=min_matches,
             max_hamming=max_hamming,
             bands=bands,
-            # replay safety: probe with THIS batch's partition hidden
-            exclude_batch=int(batch_id),
+            # replay safety: probe with THIS batch's partition hidden —
+            # unless read-only, where this stream owns no partition and
+            # batch N may belong to a different (writer) stream
+            exclude_batch=None if read_only else int(batch_id),
         ).localCheckpoint(eager=True)
         # an all-novel batch writes no hit partition (an empty dynamic
         # overwrite would leave an unreadable footerless directory);
@@ -114,11 +133,21 @@ def start_containment_probe_stream(
     source) through :func:`containment_probe_batch_writer`. Returns the
     StreamingQuery. Replay and binding semantics are the curation
     streams': a fresh checkpoint against an already-staged index fails
-    at the `_STREAM.json` binding gate."""
+    at the `_STREAM.json` binding gate.
+
+    ``read_only=True`` binds the CHECKPOINT to this stream's
+    ``hits_dir`` instead of to the index — the index takes no
+    `_STREAM.json`, so ANY number of read-only screens (and one writer
+    stream) can share it concurrently; what still needs protection from
+    checkpoint-scoped batch-id collisions is each screen's own staged
+    hits directory."""
     batch_writer = containment_probe_batch_writer(
         index_path, hits_dir, **writer_kwargs
     )
-    _guard_checkpoint_binding(index_path, checkpoint_dir)
+    if writer_kwargs.get("read_only"):
+        _guard_checkpoint_binding(hits_dir, checkpoint_dir)
+    else:
+        _guard_checkpoint_binding(index_path, checkpoint_dir)
     writer = media_stream.writeStream.foreachBatch(batch_writer).option(
         "checkpointLocation", checkpoint_dir
     )

@@ -194,6 +194,9 @@ def _guard_checkpoint_binding(index_path: str, checkpoint_dir: str) -> None:
                 f"really mean to start over"
             )
     else:
+        # the bound dir may not exist yet (a read-only screen binds its
+        # hits_dir before the first batch creates it)
+        os.makedirs(index_path, exist_ok=True)
         with open(marker, "w") as fh:
             _json.dump({"checkpoint_dir": ckpt}, fh)
 

@@ -541,3 +541,88 @@ def test_auto_stride_distribution_recorded_and_drift_warns(
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         containment_against_index(clip6, spark, idx, min_matches=3).collect()
+
+
+def test_read_only_containment_screen_coexists_with_writer(spark, tmp_path):
+    """r13 read-only screen mode on the media plane: an index ALREADY
+    BOUND to a writer stream's checkpoint (with staged batches) accepts
+    a read-only screen — no binding conflict, because the screen binds
+    its own hits_dir instead. The read-only probe sees the WHOLE index
+    (bootstrap AND the writer's staged batch — its own batch id 0 is
+    NOT excluded even though the writer also owns a batch 0), and the
+    index gains no partitions from the screen."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from beeper_matric_etl_tool_spark.streaming.containment import (
+        containment_probe_batch_writer,
+        start_containment_probe_stream,
+    )
+
+    seed_track = _noise_avi(60, 40, 16, seed=51)
+    staged_track = _noise_avi(60, 40, 16, seed=52)
+    idx = str(tmp_path / "cidx_ro")
+    build_containment_index(
+        _frame(spark, [(100, seed_track)]), idx, kind="video", stride=1,
+        max_hamming=0,
+    )
+    # a writer stream owns the index: binding marker + a staged batch 0
+    import json
+
+    with open(os.path.join(idx, "_STREAM.json"), "w") as fh:
+        json.dump({"checkpoint_dir": str(tmp_path / "writer_ckpt")}, fh)
+    append_containment_index(
+        _frame(spark, [(200, staged_track)]), idx, batch_id=0
+    )
+
+    with pytest.raises(ValueError, match="read_only"):
+        containment_probe_batch_writer(
+            idx, str(tmp_path / "h"), append_novel=True, read_only=True
+        )
+
+    src = tmp_path / "ro_src"
+    src.mkdir()
+    hits_dir = str(tmp_path / "ro_hits")
+    stream = spark.readStream.schema("doc_id long, payload binary").parquet(
+        str(src)
+    )
+    q = start_containment_probe_stream(
+        stream, idx, hits_dir, str(tmp_path / "ro_ckpt"),
+        min_matches=5, read_only=True,
+    )
+    try:
+        seed_frames, _ = xmm._avi_frames(seed_track)
+        staged_frames, _ = xmm._avi_frames(staged_track)
+        t = pa.table(
+            {
+                "doc_id": pa.array([600, 601], pa.int64()),
+                "payload": pa.array(
+                    [
+                        xmm._encode_avi(seed_frames[7:19]),
+                        xmm._encode_avi(staged_frames[30:42]),
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+        pq.write_table(t, str(src / "b0.parquet"))
+        q.processAllAvailable()
+        h = {
+            r.clip_id: (r.track_id, r.offset, r.n_matched)
+            for r in spark.read.parquet(hits_dir).collect()
+        }
+        # this is the screen's OWN batch 0 — and the writer's staged
+        # batch 0 track is still visible to it (no exclusion)
+        assert h == {600: (100, 7, 12), 601: (200, 30, 12)}
+    finally:
+        q.stop()
+
+    units = spark.read.parquet(os.path.join(idx, "unit_signatures"))
+    assert {
+        r.doc_id for r in units.select("doc_id").distinct().collect()
+    } == {100, 200}
+    # the writer's binding is untouched
+    with open(os.path.join(idx, "_STREAM.json")) as fh:
+        assert json.load(fh)["checkpoint_dir"] == str(tmp_path / "writer_ckpt")

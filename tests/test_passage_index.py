@@ -198,3 +198,95 @@ def test_streaming_attribution_screen(spark, tmp_path, corpus_on_disk):
         start_attribution_stream(
             stream, idx, hits_dir, str(tmp_path / "ckpt2")
         )
+
+
+def test_read_only_screens_share_one_index(spark, tmp_path, corpus_on_disk):
+    """r13 read-only screen mode: TWO concurrent read-only attribution
+    screens share ONE frozen index (the decontamination shape — N
+    ingest feeds vs one eval-set index). Neither takes the index
+    binding; each binds its own hits_dir; the index gains no partitions
+    and no _STREAM.json; verdicts equal the batch op's. A read-only
+    writer with append_novel is rejected at construction, and a second
+    checkpoint against the SAME hits_dir still fails the (relocated)
+    binding gate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from beeper_matric_etl_tool_spark.streaming.attribution import (
+        attribution_batch_writer,
+        start_attribution_stream,
+    )
+
+    idx = str(tmp_path / "pidx_ro")
+    build_passage_index(corpus_on_disk, idx, k=8)
+
+    with pytest.raises(ValueError, match="read_only"):
+        attribution_batch_writer(
+            idx, str(tmp_path / "h0"), append_novel=True, read_only=True
+        )
+
+    def emit(src, q, name, rows):
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(t, str(src / name))
+        q.processAllAvailable()
+
+    cut7 = " ".join(f"w{i}" for i in range(10, 30))
+    cut8 = " ".join(f"x{i}" for i in range(20, 40))
+    queries, srcs, hits = [], [], []
+    try:
+        for n in (1, 2):
+            src = tmp_path / f"src{n}"
+            src.mkdir()
+            srcs.append(src)
+            hits.append(str(tmp_path / f"hits{n}"))
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).parquet(str(src))
+            queries.append(
+                start_attribution_stream(
+                    stream,
+                    idx,
+                    hits[-1],
+                    str(tmp_path / f"ckpt{n}"),
+                    read_only=True,
+                )
+            )
+        emit(srcs[0], queries[0], "a.parquet", [(600, cut7)])
+        emit(srcs[1], queries[1], "b.parquet", [(700, cut8)])
+        h1 = {
+            r.probe_id: (r.doc_id, r.offset, r.n_matched)
+            for r in spark.read.parquet(hits[0]).collect()
+        }
+        h2 = {
+            r.probe_id: (r.doc_id, r.offset, r.n_matched)
+            for r in spark.read.parquet(hits[1]).collect()
+        }
+        assert h1 == {600: (7, 10, 13)}
+        assert h2 == {700: (8, 20, 13)}
+    finally:
+        for q in queries:
+            q.stop()
+
+    # the shared index is untouched: bootstrap partition only, unbound
+    win_parts = {
+        d
+        for d in os.listdir(os.path.join(idx, "windows"))
+        if d.startswith("ingest_batch=")
+    }
+    assert win_parts == {"ingest_batch=-1"}
+    assert not os.path.exists(os.path.join(idx, "_STREAM.json"))
+
+    # the relocated gate: a FRESH checkpoint against screen 1's
+    # hits_dir is still rejected (batch-id collision protection)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(srcs[0])
+    )
+    with pytest.raises(Exception, match="checkpoint"):
+        start_attribution_stream(
+            stream, idx, hits[0], str(tmp_path / "ckpt_fresh"), read_only=True
+        )
