@@ -167,6 +167,41 @@ def append_passage_index(
     )
 
 
+def append_passage_index_windows(
+    windows: DataFrame, path: str, batch_id: int | None = None
+) -> None:
+    """Append ALREADY-DERIVED hop-1 windows (doc_id, pos, fp — the
+    probe side's frame, renamed) — the tokenize-free twin of
+    :func:`append_passage_index`, mirroring the containment index's
+    signature-level append (r13; the r12 verdict's consistency nit: the
+    streaming screen re-tokenized novel docs the probe had just
+    windowed). The frame MUST be hop-1 under the index's frozen
+    (k, normalize) — this function thins it to the index's
+    ``corpus_hop`` itself (window starts are 1, 1+hop, …, so the
+    hop-h subset of a hop-1 frame IS the hop-h derivation), which is
+    what makes the reuse correct at any hop, not just hop 1."""
+    meta = read_meta(path)
+    if batch_id is None:
+        mode, part = "append", UNSTAGED_BATCH
+    else:
+        if batch_id < 0:
+            raise ValueError(
+                f"append_passage_index_windows: batch_id={batch_id} is "
+                f"reserved (-1 build, -2 unstaged) — staged batch ids "
+                f"must be >= 0"
+            )
+        mode, part = "overwrite", batch_id
+    hop = int(meta["corpus_hop"])
+    if hop > 1:
+        windows = windows.filter((F.col("pos") - 1) % hop == 0)
+    _write(
+        windows.select("doc_id", "pos", "fp"),
+        os.path.join(path, "windows"),
+        mode,
+        part,
+    )
+
+
 def compact_passage_index(
     spark: SparkSession, path: str, preserve_last: bool = True
 ) -> dict[str, int]:
@@ -220,10 +255,6 @@ def attribute_against_index(
     (partition-pruned) — the replay discipline. ``text_col=None`` uses
     the index's frozen text column for the probe side too."""
     meta = read_meta(path)
-    if min_matches < 1:
-        raise ValueError(
-            f"attribute_against_index: min_matches={min_matches} must be >= 1"
-        )
     pw = token_window_fingerprints(
         probes,
         meta["k"],
@@ -233,6 +264,31 @@ def attribute_against_index(
         "probe_id",
         normalize=meta.get("normalize", True),
     )
+    return attribute_windows_against_index(
+        pw, spark, path, min_matches=min_matches, exclude_batch=exclude_batch
+    )
+
+
+def attribute_windows_against_index(
+    probe_windows: DataFrame,
+    spark: SparkSession,
+    path: str,
+    min_matches: int = 2,
+    exclude_batch: int | None = None,
+) -> DataFrame:
+    """The vote core over an ALREADY-DERIVED hop-1 probe window frame
+    (probe_id, probe_id_p, __fp) — split out (r13) so the streaming
+    screen can window each micro-batch ONCE and feed both the probe
+    and the append-novel path (`append_passage_index_windows`) off the
+    same frame, the containment screen's one-decode discipline applied
+    to the text plane."""
+    meta = read_meta(path)
+    if min_matches < 1:
+        raise ValueError(
+            f"attribute_windows_against_index: min_matches={min_matches} "
+            f"must be >= 1"
+        )
+    pw = probe_windows
     ref = spark.read.parquet(os.path.join(path, "windows"))
     if exclude_batch is not None:
         ref = ref.filter(F.col(BATCH_COL) != F.lit(int(exclude_batch)))

@@ -24,10 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from beeper_matric_etl_tool_spark.ext.passage_index import (
-    append_passage_index,
-    attribute_against_index,
+    append_passage_index_windows,
+    attribute_windows_against_index,
     read_meta,
 )
+from beeper_matric_etl_tool_spark.ext.text import token_window_fingerprints
 from beeper_matric_etl_tool_spark.streaming.curation import (
     _guard_checkpoint_binding,
     _guard_output_layout,
@@ -70,12 +71,24 @@ def attribution_batch_writer(
             return
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)  # stream lineage cut
-        hits = attribute_against_index(
+        # ONE tokenize per doc for the whole micro-batch (r13 — the
+        # containment screen's one-decode discipline on the text plane):
+        # this hop-1 window frame feeds the probe AND, for novel docs,
+        # the index append (thinned to the index's corpus_hop there)
+        pw = token_window_fingerprints(
             batch_df,
+            meta["k"],
+            1,
+            meta["id_col"],
+            meta["text_col"],
+            "probe_id",
+            normalize=meta.get("normalize", True),
+        ).localCheckpoint(eager=True)
+        hits = attribute_windows_against_index(
+            pw,
             spark,
             index_path,
             min_matches=min_matches,
-            probe_id_col=meta["id_col"],
             # replay safety: probe with THIS batch's partition hidden —
             # unless read-only, where this stream owns no partition and
             # batch N may belong to a different (writer) stream
@@ -92,14 +105,20 @@ def attribution_batch_writer(
                 .parquet(hits_dir)
             )
         if append_novel:
-            novel = batch_df.join(
-                hits.select(
-                    F.col("probe_id").alias(meta["id_col"])
-                ).distinct(),
-                on=meta["id_col"],
+            novel = pw.join(
+                hits.select("probe_id").distinct(),
+                on="probe_id",
                 how="left_anti",
             )
-            append_passage_index(novel, index_path, batch_id=int(batch_id))
+            append_passage_index_windows(
+                novel.select(
+                    F.col("probe_id").alias("doc_id"),
+                    F.col("probe_id_p").alias("pos"),
+                    F.col("__fp").alias("fp"),
+                ),
+                index_path,
+                batch_id=int(batch_id),
+            )
 
     return write
 

@@ -290,3 +290,51 @@ def test_read_only_screens_share_one_index(spark, tmp_path, corpus_on_disk):
         start_attribution_stream(
             stream, idx, hits[0], str(tmp_path / "ckpt_fresh"), read_only=True
         )
+
+
+def test_append_windows_equals_text_append_at_any_hop(spark, tmp_path):
+    """r13 window-reuse: appending the probe side's ALREADY-DERIVED
+    hop-1 window frame stores rows BIT-IDENTICAL to re-tokenizing the
+    text under the index's corpus_hop — pinned at hop 3, where the
+    function must thin the frame itself (window starts 1, 1+h, ...)."""
+    from beeper_matric_etl_tool_spark.ext.passage_index import (
+        append_passage_index_windows,
+    )
+    from beeper_matric_etl_tool_spark.ext.text import (
+        token_window_fingerprints,
+    )
+
+    corpus = spark.createDataFrame(
+        [(7, " ".join(f"w{i}" for i in range(40)))], "doc_id long, text string"
+    )
+    doc = spark.createDataFrame(
+        [(9, " ".join(f"z{i}" for i in range(30)))], "doc_id long, text string"
+    )
+
+    idx_a = str(tmp_path / "pidx_text")
+    idx_b = str(tmp_path / "pidx_wins")
+    for idx in (idx_a, idx_b):
+        build_passage_index(corpus, idx, k=8, corpus_hop=3)
+    append_passage_index(doc, idx_a, batch_id=0)
+
+    pw = token_window_fingerprints(doc, 8, 1, "doc_id", "text", "probe_id")
+    append_passage_index_windows(
+        pw.select(
+            F.col("probe_id").alias("doc_id"),
+            F.col("probe_id_p").alias("pos"),
+            F.col("__fp").alias("fp"),
+        ),
+        idx_b,
+        batch_id=0,
+    )
+
+    def rows(idx):
+        return sorted(
+            (r.doc_id, r.pos, r.fp, r.ingest_batch)
+            for r in spark.read.parquet(os.path.join(idx, "windows")).collect()
+        )
+
+    assert rows(idx_a) == rows(idx_b)
+    # the thinning actually happened: hop 3 stores positions 1, 4, 7, …
+    stored = {r[1] for r in rows(idx_b) if r[0] == 9}
+    assert stored == {1, 4, 7, 10, 13, 16, 19, 22}  # 30 tokens, k=8
