@@ -3509,6 +3509,55 @@ def _avi_nbytes(w: int, h: int, n: int) -> int:
                CAST(max_unit_hamming AS BIGINT)
         FROM ct_vote
         UNION ALL
+        -- kind='contain_del' (r13): the takedown cascade — after track
+        -- 0's units are DELETED from the persisted index, clip 900
+        -- (cut from track 0) finds nothing and clip 902 (cut from
+        -- track 1) still lands exactly: the same closed-form pairs →
+        -- offset vote replayed over the post-deletion track set
+        SELECT 'contain_del',
+               CAST({CT_CLIP_ID} + clip_src * 2 AS BIGINT),
+               CAST(track_id AS BIGINT), 'video',
+               CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(t_off AS INTEGER), CAST(n_matched AS INTEGER),
+               CAST(max_unit_hamming AS BIGINT)
+        FROM (
+            SELECT clip_src, track_id, track_idx - clip_idx AS t_off,
+                   COUNT(*) AS n_matched, MAX(hamming) AS max_unit_hamming
+            FROM (
+                SELECT x.doc_id AS clip_src, y.doc_id AS track_id,
+                       x.t - {CT_CLIP_START} AS clip_idx, y.t AS track_idx,
+                       SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+                       AS hamming
+                FROM ct_bits x JOIN ct_bits y ON x.pos = y.pos
+                WHERE x.doc_id IN (0, 1) AND y.doc_id <> 0
+                  AND x.t >= {CT_CLIP_START} AND x.t < {CT_CLIP_END}
+                GROUP BY 1, 2, 3, 4
+                HAVING SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+                       <= {CT_MAX_HAMMING}
+            )
+            GROUP BY 1, 2, 3
+            HAVING COUNT(*) >= {CT_MIN_MATCHES}
+        )
+        UNION ALL
+        -- kind='png_pair' (r13): the in-tree PNG codec's pixels are
+        -- bit-identical to the BMP twins', so its dHash distances
+        -- replay from the same bits CTE — twin pairs at 0 (content
+        -- identity across containers), the cross pair at the planted
+        -- edit distance
+        SELECT 'png_pair', CAST(id_a AS BIGINT), CAST(id_b AS BIGINT),
+               'image/png', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+               CAST(hamming AS BIGINT)
+        FROM (
+            SELECT 0 AS id_a, 910 AS id_b, 0 AS hamming
+            UNION ALL SELECT 4, 914, 0
+            UNION ALL
+            SELECT 4, 910,
+                   SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+            FROM bits x JOIN bits y ON x.pos = y.pos
+            WHERE x.doc_id = 0 AND y.doc_id = 4
+        )
+        UNION ALL
         -- kind='landmark' (r13): content-anchored audio containment at
         -- a cut offset NO hop divides — the alignment-free claim of the
         -- landmark tier, driver-checked via the closed-form replay of
@@ -3837,6 +3886,65 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs_all = xmm.image_perceptual_bits(imgs, n_bits=64).filter(
         F.col("error").isNull()
     ).select("doc_id", F.lit("image").alias("modality"), "bits")
+
+    # kind='png_pair' (r13): the in-tree PNG codec driver-oracled. Two
+    # planted docs' PIXELS (doc 0 verbatim, doc 4 = seed 0's
+    # inverted-column variant) re-encode as Paeth-filtered PNGs (the
+    # hardest unfilter path) and hash through the SAME image plane —
+    # their distances to the BMP twins replay from the oracle's bits
+    # CTE: twin pairs at hamming 0 (content identity across
+    # containers), the cross pair (doc 4's BMP vs doc 0's PNG) at the
+    # planted edit distance. A broken decode (filter reconstruction,
+    # channel order, CRC walk) shifts the bits and hash-mismatches.
+    def gen_pngs(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                for src in (0, 4):
+                    bmp = xmm.make_gradient_bmp(
+                        PHASH_W, PHASH_H, src % PHASH_SEEDS,
+                        PHASH_MARK_COL if (src // PHASH_SEEDS) % 2 else None,
+                    )
+                    px = xmm._bmp_pixels(bmp)[:, :, :3]
+                    ids.append(910 + src)
+                    payloads.append(xmm._encode_png(px, filter_type=4))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "payload": payloads}
+            )
+
+    png_bits = xmm.image_perceptual_bits(
+        docs.select("doc_id").filter(F.col("doc_id") == 0)
+        .mapInPandas(gen_pngs, "doc_id long, payload binary"),
+        n_bits=64,
+    ).filter(F.col("error").isNull()).select(
+        F.col("doc_id").alias("png_id"), F.col("bits").alias("__pb")
+    )
+    bmp_bits = sigs_all.filter(F.col("doc_id").isin(0, 4)).select(
+        F.col("doc_id").alias("bmp_id"), F.col("bits").alias("__bb")
+    )
+    png_ham = F.aggregate(
+        F.zip_with("__pb", "__bb", lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    png_pair = (
+        png_bits.crossJoin(bmp_bits)
+        .filter(
+            (F.col("png_id") - 910 == F.col("bmp_id"))
+            | ((F.col("png_id") == 910) & (F.col("bmp_id") == 4))
+        )
+        .select(
+            F.lit("png_pair").alias("kind"),
+            F.col("bmp_id").cast("long").alias("id_a"),
+            F.col("png_id").cast("long").alias("id_b"),
+            F.lit("image/png").alias("mime"),
+            F.lit(None).cast("long").alias("byte_len"),
+            F.lit(None).cast("string").alias("payload_sha256"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            png_ham.cast("long").alias("hamming"),
+        )
+    )
     ranked = rank_media_variants(
         sigs_all.filter(F.col("doc_id") < PHASH_SEEDS),
         sigs_all.filter(F.col("doc_id") >= PHASH_SEEDS),
@@ -3968,6 +4076,59 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_unit_hamming").cast("long").alias("hamming"),
     )
 
+    # kind='contain_del' (r13): the takedown cascade driver-oracled.
+    # Pin the pre-delete probe (localCheckpoint — the contain_idx leg's
+    # verdicts are materialized BEFORE the index mutates), then DELETE
+    # track 0's units from the persisted index and re-probe with TWO
+    # clips: track 0's (every verdict gone — the removed source can no
+    # longer be named) and track 1's (still lands at its exact offset —
+    # deletion disturbed nothing else). The oracle replays the same
+    # closed-form vote over the post-deletion track set.
+    from beeper_matric_etl_tool_spark.ext.containment_index import (
+        delete_from_containment_index,
+    )
+
+    def gen_del_clips(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for _d in pdf["doc_id"]:
+                for src in (0, 1):
+                    frames, _ = xmm._avi_frames(
+                        xmm.make_gradient_avi(
+                            VHASH_W, VHASH_H, VHASH_N_FRAMES, src
+                        )
+                    )
+                    ids.append(CT_CLIP_ID + src * 2)
+                    payloads.append(
+                        xmm._encode_avi(frames[CT_CLIP_START:CT_CLIP_END])
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                }
+            )
+
+    ct_del_clips = (
+        docs.select("doc_id").filter(F.col("doc_id") == 0)
+        .mapInPandas(gen_del_clips, "doc_id long, payload binary")
+    )
+    contain_idx = contain_idx.localCheckpoint(eager=True)
+    delete_from_containment_index(spark, cidx_dir, [0])
+    contain_del = containment_against_index(
+        ct_del_clips, spark, cidx_dir, min_matches=CT_MIN_MATCHES
+    ).select(
+        F.lit("contain_del").alias("kind"),
+        F.col("clip_id").cast("long").alias("id_a"),
+        F.col("track_id").cast("long").alias("id_b"),
+        F.lit("video").alias("mime"),
+        F.lit(None).cast("long").alias("byte_len"),
+        F.lit(None).cast("string").alias("payload_sha256"),
+        F.col("offset").cast("int").alias("width"),
+        F.col("n_matched").cast("int").alias("height"),
+        F.col("max_unit_hamming").cast("long").alias("hamming"),
+    )
+
     contain = video_containment_pairs(
         ct_clip, ct_tracks,
         max_hamming=CT_MAX_HAMMING, min_matches=CT_MIN_MATCHES, n_bits=64,
@@ -4066,7 +4227,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(recall)
         .unionByName(contain)
         .unionByName(contain_idx)
+        .unionByName(contain_del)
         .unionByName(landmark)
+        .unionByName(png_pair)
     )
 
 
