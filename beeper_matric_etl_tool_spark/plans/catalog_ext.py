@@ -1483,6 +1483,17 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(doc_id AS VARCHAR), CAST(off AS INTEGER),
                CAST(n AS INTEGER)
         FROM avote
+        UNION ALL
+        -- kind='attrib_del' (r13): after the source doc's windows are
+        -- deleted from the persisted index, the same probes can no
+        -- longer name it — the replay is avote MINUS the deleted doc
+        -- (silence on this corpus; a cross-collision doc would appear
+        -- here, replayed, not assumed away)
+        SELECT 'attrib_del', CAST(probe_id AS BIGINT), NULL, NULL, NULL,
+               NULL, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(doc_id AS VARCHAR),
+               CAST(off AS INTEGER), CAST(n AS INTEGER)
+        FROM avote WHERE doc_id <> {ATTRIB_SRC_DOC}
     """,
 )
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1752,6 +1763,28 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("cleaned_fp"),
         F.col("offset").cast("int").alias("n_units"),
         F.col("n_matched").cast("int").alias("n_removed"),
+    ).localCheckpoint(eager=True)  # pin the pre-delete verdicts
+    # kind='attrib_del' (r13): the takedown cascade on the text plane —
+    # the source doc's windows DELETED from the persisted index, the
+    # same probes re-attributed. The removed source can no longer be
+    # named; any surviving votes would go to cross-collision docs,
+    # which the oracle REPLAYS (avote minus the deleted doc) rather
+    # than assumes away — on this corpus the correct verdict is silence.
+    from beeper_matric_etl_tool_spark.ext.passage_index import (
+        delete_from_passage_index,
+    )
+
+    delete_from_passage_index(spark, pidx_dir, [ATTRIB_SRC_DOC])
+    attrib_del_leg = attribute_against_index(
+        probes, spark, pidx_dir, min_matches=ATTRIB_MIN_MATCHES
+    ).select(
+        F.lit("attrib_del").alias("kind"),
+        F.col("probe_id").cast("long").alias("doc_id"),
+        *null_dims,
+        *null_fps,
+        F.col("doc_id").cast("string").alias("cleaned_fp"),
+        F.col("offset").cast("int").alias("n_units"),
+        F.col("n_matched").cast("int").alias("n_removed"),
     )
     return (
         profile_leg.unionByName(boiler_leg)
@@ -1761,6 +1794,7 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(novelty_leg)
         .unionByName(soft_leg)
         .unionByName(attrib_leg)
+        .unionByName(attrib_del_leg)
     )
 
 
