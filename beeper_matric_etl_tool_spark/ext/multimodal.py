@@ -2311,6 +2311,42 @@ def make_texture_wav(
     return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
 
 
+def make_texture_avi(
+    width: int,
+    height: int,
+    n_frames: int,
+    seed: int,
+    clip: tuple[int, int] | None = None,
+    fps: int = 12,
+) -> bytes:
+    """A real uncompressed AVI whose GRAY frame pixels are a closed-form
+    quadratic texture of (pixel index, frame, seed):
+
+        V(g, t) = ((g + t) · (7 + 13·seed + 5·t)) mod 251,  g = x + y·width
+
+    — the video landmark tier's oracle generator (r13). The per-frame
+    multiplier varies QUADRATICALLY with t, so the inter-frame change
+    energy Σ|ΔV| is content-varied with isolated local maxima (the
+    scene-change anchors `video_landmark_signatures` detects), where
+    `make_gradient_avi`'s constant per-frame offsets make a much flatter
+    energy series — the documented landmark degeneracy class. All three
+    channels carry V (gray), so the grid dHash's luma comparisons
+    reduce to V comparisons a SQL oracle replays directly. ``clip=(a,
+    b)`` re-encodes frames [a, b) — a cut at an ARBITRARY frame offset
+    whose interior anchors survive at the same content positions."""
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)
+    g = x[None, :] + y[:, None] * width
+    frames = np.empty((n_frames, height, width, 3), dtype=np.uint8)
+    for t in range(n_frames):
+        v = ((g + t) * (7 + 13 * seed + 5 * t)) % 251
+        frames[t] = v[:, :, None]
+    if clip is not None:
+        a, b = clip
+        frames = frames[a:b]
+    return _encode_avi(frames, fps=fps)
+
+
 def make_wav(n_frames: int, channels: int = 1, rate: int = 8000, seed: int = 0) -> bytes:
     """A real 16-bit PCM WAV with a deterministic sine-ish signal."""
     t = np.arange(n_frames * channels, dtype=np.float64)

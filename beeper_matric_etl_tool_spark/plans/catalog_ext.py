@@ -2776,6 +2776,24 @@ LM_W = 66  # window_frames (33 bins of exactly 2 samples)
 LM_SPACING = 8  # landmark min_spacing
 LM_MAX_HAMMING = 2
 LM_MIN_MATCHES = 5
+
+#: planted VIDEO landmark corpus (kind='vlandmark', r13): two gray
+#: texture AVIs (`make_texture_avi`, seeds 0..1, 24 frames); the clip
+#: (synthetic id 903) is frames [7, 24) of track 0. Scene-change
+#: anchors (first-max of the inter-frame change energy) move with the
+#: content, so the cut is caught at its exact source frame offset (7)
+#: by every interior anchor at hamming 0; the oracle re-derives the
+#: energy series over the FULL pixel grid, the anchor detector, the
+#: anchor frames' grid dHash and the source-position vote from the
+#: closed form.
+VL_TRACKS = 2
+VL_W, VL_H = 40, 16
+VL_N = 24
+VL_CLIP_ID = 903
+VL_CLIP_START = 7
+VL_SPACING = 2
+VL_MAX_HAMMING = 3
+VL_MIN_MATCHES = 3
 MC_SEEDS = 4
 MC_MIN_W, MC_MIN_H = 16, 8
 MC_SMALL_W, MC_SMALL_H = 8, 6
@@ -3425,6 +3443,115 @@ def _avi_nbytes(w: int, h: int, n: int) -> int:
             FROM lm_pairs GROUP BY 1, 2
             HAVING COUNT(*) >= {LM_MIN_MATCHES}
         ),
+        -- VIDEO landmark containment (kind='vlandmark', r13): gray
+        -- texture V(g,t) = ((g + t)·(7 + 13·seed + 5·t)) mod 251 over
+        -- the full pixel grid g = x + y·W; inter-frame change energy
+        -- 3·Σ|ΔV| (three equal channels), first-max anchors at ±spacing
+        -- (anchor = the first frame AFTER the peak), anchor-frame grid
+        -- dHash (gray ⇒ luma comparisons reduce to V comparisons) and
+        -- the source-frame offset vote — all replayed
+        vl_v AS (
+            SELECT d.doc_id AS track_id, gt.t AS t, gg.g AS g,
+                   ((gg.g + gt.t) * (7 + 13 * d.doc_id + 5 * gt.t))
+                   % 251 AS v
+            FROM documents d,
+                 generate_series(0, {VL_N - 1}) AS gt(t),
+                 generate_series(0, {VL_W * VL_H - 1}) AS gg(g)
+            WHERE d.doc_id < {VL_TRACKS}
+        ),
+        vl_d AS (
+            SELECT a.track_id, a.t AS q, 3 * SUM(abs(b.v - a.v)) AS dv
+            FROM vl_v a JOIN vl_v b
+              ON b.track_id = a.track_id AND b.g = a.g AND b.t = a.t + 1
+            GROUP BY 1, 2
+        ),
+        vl_anchor AS (
+            SELECT track_id, q + 1 AS anchor FROM (
+                SELECT track_id, q, dv,
+                       MAX(dv) OVER (PARTITION BY track_id ORDER BY q
+                           ROWS BETWEEN {VL_SPACING} PRECEDING
+                           AND 1 PRECEDING) AS pmax,
+                       MAX(dv) OVER (PARTITION BY track_id ORDER BY q
+                           ROWS BETWEEN 1 FOLLOWING
+                           AND {VL_SPACING} FOLLOWING) AS nmax
+                FROM vl_d
+            ) WHERE (pmax IS NULL OR pmax < dv)
+              AND (nmax IS NULL OR nmax <= dv)
+        ),
+        vlc_d AS (
+            SELECT q - {VL_CLIP_START} AS q, dv FROM vl_d
+            WHERE track_id = 0 AND q >= {VL_CLIP_START}
+        ),
+        vlc_anchor AS (
+            SELECT q + 1 AS anchor FROM (
+                SELECT q, dv,
+                       MAX(dv) OVER (ORDER BY q
+                           ROWS BETWEEN {VL_SPACING} PRECEDING
+                           AND 1 PRECEDING) AS pmax,
+                       MAX(dv) OVER (ORDER BY q
+                           ROWS BETWEEN 1 FOLLOWING
+                           AND {VL_SPACING} FOLLOWING) AS nmax
+                FROM vlc_d
+            ) WHERE (pmax IS NULL OR pmax < dv)
+              AND (nmax IS NULL OR nmax <= dv)
+        ),
+        vl_cell AS (
+            SELECT a.track_id, a.anchor, gr.r AS r, gc.c AS c,
+                   least((2*gr.r + 1) * {VL_H} // 16, {VL_H - 1})
+                   * {VL_W}
+                   + least((2*gc.c + 1) * {VL_W} // 18, {VL_W - 1}) AS g
+            FROM vl_anchor a
+            CROSS JOIN generate_series(0, 7) AS gr(r)
+            CROSS JOIN generate_series(0, 8) AS gc(c)
+        ),
+        vl_bits AS (
+            SELECT x.track_id, x.anchor, x.r * 8 + x.c AS pos,
+                   CASE WHEN bv.v > av.v THEN 1 ELSE 0 END AS bit
+            FROM vl_cell x
+            JOIN vl_cell y ON y.track_id = x.track_id
+                 AND y.anchor = x.anchor AND y.r = x.r AND y.c = x.c + 1
+            JOIN vl_v av ON av.track_id = x.track_id
+                 AND av.t = x.anchor AND av.g = x.g
+            JOIN vl_v bv ON bv.track_id = x.track_id
+                 AND bv.t = x.anchor AND bv.g = y.g
+            WHERE x.c < 8
+        ),
+        vlc_cell AS (
+            SELECT a.anchor, gr.r AS r, gc.c AS c,
+                   least((2*gr.r + 1) * {VL_H} // 16, {VL_H - 1})
+                   * {VL_W}
+                   + least((2*gc.c + 1) * {VL_W} // 18, {VL_W - 1}) AS g
+            FROM vlc_anchor a
+            CROSS JOIN generate_series(0, 7) AS gr(r)
+            CROSS JOIN generate_series(0, 8) AS gc(c)
+        ),
+        vlc_bits AS (
+            SELECT x.anchor, x.r * 8 + x.c AS pos,
+                   CASE WHEN bv.v > av.v THEN 1 ELSE 0 END AS bit
+            FROM vlc_cell x
+            JOIN vlc_cell y ON y.anchor = x.anchor AND y.r = x.r
+                 AND y.c = x.c + 1
+            JOIN vl_v av ON av.track_id = 0
+                 AND av.t = {VL_CLIP_START} + x.anchor AND av.g = x.g
+            JOIN vl_v bv ON bv.track_id = 0
+                 AND bv.t = {VL_CLIP_START} + x.anchor AND bv.g = y.g
+            WHERE x.c < 8
+        ),
+        vl_pairs AS (
+            SELECT y.track_id, x.anchor AS ca, y.anchor AS ta,
+                   SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+                   AS hamming
+            FROM vlc_bits x JOIN vl_bits y ON x.pos = y.pos
+            GROUP BY 1, 2, 3
+            HAVING SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+                   <= {VL_MAX_HAMMING}
+        ),
+        vl_vote AS (
+            SELECT track_id, ta - ca AS t_off, COUNT(*) AS n_matched,
+                   MAX(hamming) AS max_unit_hamming
+            FROM vl_pairs GROUP BY 1, 2
+            HAVING COUNT(*) >= {VL_MIN_MATCHES}
+        ),
         srch_ranked AS (
             SELECT id_a, id_b, hamming,
                    ROW_NUMBER() OVER (PARTITION BY id_a
@@ -3602,6 +3729,17 @@ def _avi_nbytes(w: int, h: int, n: int) -> int:
                CAST(t_off AS INTEGER), CAST(n_matched AS INTEGER),
                CAST(max_unit_hamming AS BIGINT)
         FROM lm_vote
+        UNION ALL
+        -- kind='vlandmark' (r13): the VIDEO landmark tier — a cut at
+        -- an arbitrary frame offset caught at its exact source frame
+        -- by scene-change anchors, closed-form replay of energy,
+        -- detector, anchor dHash and vote
+        SELECT 'vlandmark', CAST({VL_CLIP_ID} AS BIGINT),
+               CAST(track_id AS BIGINT), 'video',
+               CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(t_off AS INTEGER), CAST(n_matched AS INTEGER),
+               CAST(max_unit_hamming AS BIGINT)
+        FROM vl_vote
     """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4237,6 +4375,59 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_matched").cast("int").alias("height"),
         F.col("max_unit_hamming").cast("long").alias("hamming"),
     )
+    # kind='vlandmark' (r13): the VIDEO landmark twin — scene-change
+    # anchors catch a cut at frame 7 (an arbitrary offset) at its exact
+    # source position; the vote runs on source frame numbers.
+    def gen_vl_tracks(it):
+        for pdf in it:
+            payloads = [
+                xmm.make_texture_avi(VL_W, VL_H, VL_N, int(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def gen_vl_clip(it):
+        for pdf in it:
+            payloads = [
+                xmm.make_texture_avi(
+                    VL_W, VL_H, VL_N, 0, clip=(VL_CLIP_START, VL_N)
+                )
+                for _ in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(
+                        [VL_CLIP_ID] * len(pdf), dtype="int64"
+                    ),
+                    "payload": payloads,
+                }
+            )
+
+    vl_tracks = (
+        docs.select("doc_id").filter(F.col("doc_id") < VL_TRACKS)
+        .mapInPandas(gen_vl_tracks, "doc_id long, payload binary")
+    )
+    vl_clip = (
+        docs.select("doc_id").filter(F.col("doc_id") == 0)
+        .mapInPandas(gen_vl_clip, "doc_id long, payload binary")
+    )
+    vlandmark = video_containment_pairs(
+        vl_clip, vl_tracks,
+        max_hamming=VL_MAX_HAMMING,
+        min_matches=VL_MIN_MATCHES,
+        n_bits=64,
+        landmark_spacing=VL_SPACING,
+    ).select(
+        F.lit("vlandmark").alias("kind"),
+        F.col("clip_id").cast("long").alias("id_a"),
+        F.col("track_id").cast("long").alias("id_b"),
+        F.lit("video").alias("mime"),
+        F.lit(None).cast("long").alias("byte_len"),
+        F.lit(None).cast("string").alias("payload_sha256"),
+        F.col("offset").cast("int").alias("width"),
+        F.col("n_matched").cast("int").alias("height"),
+        F.col("max_unit_hamming").cast("long").alias("hamming"),
+    )
 
     recall = evaluate_recall(
         ranked, exact_topk, query_col="probe_id", id_col="ref_id"
@@ -4263,6 +4454,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(contain_idx)
         .unionByName(contain_del)
         .unionByName(landmark)
+        .unionByName(vlandmark)
         .unionByName(png_pair)
     )
 
