@@ -421,6 +421,27 @@ def delete_from_containment_index(
     )
 
 
+def drop_containment_index_batches(
+    spark: SparkSession, path: str, batch_ids
+) -> dict[str, int]:
+    """Roll back whole ingest batches (a poisoned micro-batch) from the
+    unit table — `dedup_index.drop_index_batches` semantics."""
+    from beeper_matric_etl_tool_spark.ext.dedup_index import (
+        drop_index_batches,
+    )
+
+    read_meta(path)
+    return drop_index_batches(spark, path, ("unit_signatures",), batch_ids)
+
+
+def containment_index_report(spark: SparkSession, path: str) -> dict:
+    """Ops data card over the unit table (`dedup_index.index_report`)."""
+    from beeper_matric_etl_tool_spark.ext.dedup_index import index_report
+
+    read_meta(path)
+    return index_report(spark, path, ("unit_signatures",))
+
+
 def containment_signatures_against_index(
     clip_sigs: DataFrame,
     spark: SparkSession,

@@ -437,6 +437,111 @@ def delete_from_batched_tables(
     return counts
 
 
+def drop_index_batches(
+    spark: SparkSession,
+    path: str,
+    tables: tuple[str, ...],
+    batch_ids,
+) -> dict[str, int]:
+    """Roll back whole ingest batches from an index family — the
+    surgical undo for a POISONED ingest (bad upstream data discovered
+    after its micro-batch committed): every staged partition in
+    ``batch_ids`` is removed from each table, in one directory unlink
+    per partition (no rewrite — the partition IS the batch). Returns
+    rows dropped per table.
+
+    Scope: batch ids are only meaningful while the batch is still a
+    partition — compaction folds staged batches into the bootstrap
+    partition and deliberately destroys that lineage, so rollback is a
+    pre-compaction operation; after compaction, use the id-keyed
+    `delete_from_batched_tables` (the compliance path, which survives
+    any layout). Dropping the bootstrap partition (−1) is refused —
+    that is the built corpus, not an ingest batch. A table emptied of
+    every partition is reseeded like deletion. Idempotent: dropping an
+    absent batch is a no-op."""
+    import shutil
+
+    ids = sorted({int(b) for b in batch_ids})
+    if any(b == BOOTSTRAP_BATCH for b in ids):
+        raise ValueError(
+            f"drop_index_batches: batch {BOOTSTRAP_BATCH} is the "
+            f"bootstrap corpus, not an ingest batch — rebuild or use "
+            f"id-keyed deletion instead"
+        )
+    counts: dict[str, int] = {}
+    for sub in tables:
+        src = os.path.join(path, sub)
+        n = 0
+        present = [
+            b
+            for b in ids
+            if os.path.isdir(os.path.join(src, f"{BATCH_COL}={b}"))
+        ]
+        if present:
+            n = (
+                spark.read.parquet(src)
+                .filter(F.col(BATCH_COL).isin(present))
+                .count()
+            )
+            for b in present:
+                shutil.rmtree(os.path.join(src, f"{BATCH_COL}={b}"))
+        counts[sub] = int(n)
+        # with bootstrap drops refused, the table keeps at least its
+        # batch −1 partition (build, compaction and the deletion core's
+        # reseed all guarantee one) — but guard the invariant loudly
+        if not any(
+            d.startswith(f"{BATCH_COL}=") for d in os.listdir(src)
+        ):
+            raise ValueError(
+                f"drop_index_batches: dropping {present} emptied "
+                f"{src!r} entirely — an index with no bootstrap "
+                f"partition cannot exist; rebuild instead"
+            )
+    return counts
+
+
+def index_report(spark: SparkSession, path: str, tables: tuple[str, ...], id_col: str = "doc_id") -> dict:
+    """The ops data card for a persisted index family: per table, the
+    staged batch ids, row count, distinct indexed docs, file count and
+    bytes on disk — the numbers a lake operator checks before deciding
+    to compact (small-file pressure), roll back (a batch's blast
+    radius) or delete (a doc's row footprint). One partition-pruned
+    aggregation per table plus a directory walk; output is
+    driver-bounded (a dict), not a relation."""
+    report: dict = {"path": path, "tables": {}}
+    for sub in tables:
+        src = os.path.join(path, sub)
+        batches = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(src)
+            if d.startswith(f"{BATCH_COL}=")
+        )
+        n_files = 0
+        n_bytes = 0
+        for root, _dirs, files in os.walk(src):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                n_files += 1
+                n_bytes += os.path.getsize(os.path.join(root, f))
+        agg = (
+            spark.read.parquet(src)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.countDistinct(F.col(id_col)).alias("docs"),
+            )
+            .first()
+        )
+        report["tables"][sub] = {
+            "batches": batches,
+            "rows": int(agg["rows"]),
+            "docs": int(agg["docs"]),
+            "files": n_files,
+            "bytes": n_bytes,
+        }
+    return report
+
+
 def delete_from_dedup_index(
     spark: SparkSession, path: str, ids
 ) -> dict[str, int]:
@@ -452,6 +557,28 @@ def delete_from_dedup_index(
         ("fingerprints", "signatures", "shingles"),
         meta["id_col"],
         ids,
+    )
+
+
+def drop_dedup_index_batches(
+    spark: SparkSession, path: str, batch_ids
+) -> dict[str, int]:
+    """Roll back whole ingest batches (a poisoned micro-batch) from all
+    three derived tables — `drop_index_batches` semantics."""
+    read_meta(path)
+    return drop_index_batches(
+        spark, path, ("fingerprints", "signatures", "shingles"), batch_ids
+    )
+
+
+def dedup_index_report(spark: SparkSession, path: str) -> dict:
+    """Ops data card over the three derived tables (`index_report`)."""
+    meta = read_meta(path)
+    return index_report(
+        spark,
+        path,
+        ("fingerprints", "signatures", "shingles"),
+        id_col=meta["id_col"],
     )
 
 

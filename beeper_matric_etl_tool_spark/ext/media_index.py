@@ -455,6 +455,27 @@ def delete_from_media_index(
     )
 
 
+def drop_media_index_batches(
+    spark: SparkSession, path: str, batch_ids
+) -> dict[str, int]:
+    """Roll back whole ingest batches (a poisoned micro-batch) from the
+    signature table — `dedup_index.drop_index_batches` semantics."""
+    from beeper_matric_etl_tool_spark.ext.dedup_index import (
+        drop_index_batches,
+    )
+
+    read_meta(path)
+    return drop_index_batches(spark, path, ("signatures",), batch_ids)
+
+
+def media_index_report(spark: SparkSession, path: str) -> dict:
+    """Ops data card over the signature table (`dedup_index.index_report`)."""
+    from beeper_matric_etl_tool_spark.ext.dedup_index import index_report
+
+    read_meta(path)
+    return index_report(spark, path, ("signatures",))
+
+
 def media_dedup_against_index(
     new_media: DataFrame,
     spark: SparkSession,

@@ -237,6 +237,27 @@ def delete_from_passage_index(
     )
 
 
+def drop_passage_index_batches(
+    spark: SparkSession, path: str, batch_ids
+) -> dict[str, int]:
+    """Roll back whole ingest batches (a poisoned micro-batch) from the
+    window table — `dedup_index.drop_index_batches` semantics."""
+    from beeper_matric_etl_tool_spark.ext.dedup_index import (
+        drop_index_batches,
+    )
+
+    read_meta(path)
+    return drop_index_batches(spark, path, ("windows",), batch_ids)
+
+
+def passage_index_report(spark: SparkSession, path: str) -> dict:
+    """Ops data card over the window table (`dedup_index.index_report`)."""
+    from beeper_matric_etl_tool_spark.ext.dedup_index import index_report
+
+    read_meta(path)
+    return index_report(spark, path, ("windows",))
+
+
 def attribute_against_index(
     probes: DataFrame,
     spark: SparkSession,

@@ -236,3 +236,78 @@ def test_delete_from_passage_index(spark, tmp_path):
     assert [(r.probe_id, r.doc_id, r.offset) for r in hits.collect()] == [
         (901, 8, 10)
     ]
+
+
+def test_batch_rollback_and_report(spark, tmp_path):
+    """r13 ops lifecycle: a poisoned micro-batch rolls back as one
+    partition unlink per table (no rewrite), decisions revert to the
+    pre-batch state, the bootstrap is refused, absent batches are
+    no-ops, and the index report counts batches/rows/docs/files/bytes
+    the way an operator triages compact-vs-rollback-vs-delete."""
+    import pytest
+
+    from beeper_matric_etl_tool_spark.ext.dedup_index import (
+        dedup_index_report,
+        drop_dedup_index_batches,
+    )
+
+    idx = str(tmp_path / "didx_rb")
+    build_dedup_index(_docs(spark, [(1, TEXT_A), (2, TEXT_B)]), idx)
+    append_dedup_index(_docs(spark, [(4, TEXT_D)]), idx, batch_id=3)
+    append_dedup_index(_docs(spark, [(5, TEXT_C)]), idx, batch_id=7)
+
+    rep = dedup_index_report(spark, idx)
+    assert set(rep["tables"]) == {"fingerprints", "signatures", "shingles"}
+    fp = rep["tables"]["fingerprints"]
+    assert fp["batches"] == [-1, 3, 7]
+    assert fp["rows"] == 4 and fp["docs"] == 4
+    assert fp["files"] >= 3 and fp["bytes"] > 0
+
+    # batch 3 was poisoned: roll it back (batch 7 and bootstrap stay)
+    counts = drop_dedup_index_batches(spark, idx, [3, 99])  # 99 absent: no-op
+    assert counts == {"fingerprints": 1, "signatures": 1, "shingles": 1}
+    s, d = dedup_against_index(
+        _docs(spark, [(904, TEXT_D), (905, TEXT_C)]), spark, idx
+    )
+    assert {r.doc_id for r in s.collect()} == {904}  # poisoned doc forgotten
+    assert {(r.doc_id, r.ref_id) for r in d.select("doc_id", "ref_id").collect()} == {
+        (905, 5)
+    }
+    assert dedup_index_report(spark, idx)["tables"]["fingerprints"][
+        "batches"
+    ] == [-1, 7]
+
+    with pytest.raises(ValueError, match="bootstrap"):
+        drop_dedup_index_batches(spark, idx, [-1])
+
+    # the containment wrapper shares the core
+    from beeper_matric_etl_tool_spark.ext import multimodal as xmm
+    from beeper_matric_etl_tool_spark.ext.containment_index import (
+        append_containment_index,
+        build_containment_index,
+        containment_index_report,
+        drop_containment_index_batches,
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in rows], "doc_id long, payload binary"
+        )
+
+    cidx = str(tmp_path / "cidx_rb")
+    build_containment_index(
+        frame([(0, xmm.make_texture_avi(40, 16, 24, 0))]), cidx,
+        kind="video", stride=1, max_hamming=3,
+    )
+    append_containment_index(
+        frame([(1, xmm.make_texture_avi(40, 16, 24, 1))]), cidx, batch_id=2
+    )
+    rep = containment_index_report(spark, cidx)
+    assert rep["tables"]["unit_signatures"]["batches"] == [-1, 2]
+    assert rep["tables"]["unit_signatures"]["docs"] == 2
+    assert drop_containment_index_batches(spark, cidx, [2]) == {
+        "unit_signatures": 24
+    }
+    assert containment_index_report(spark, cidx)["tables"][
+        "unit_signatures"
+    ]["docs"] == 1
