@@ -311,3 +311,37 @@ def test_batch_rollback_and_report(spark, tmp_path):
     assert containment_index_report(spark, cidx)["tables"][
         "unit_signatures"
     ]["docs"] == 1
+
+
+def test_delete_rewrites_only_touched_partitions(spark, tmp_path):
+    """The 100 TB shape pin: deleting a doc that lives in ONE staged
+    batch leaves every other partition's parquet files PHYSICALLY
+    untouched (same paths, sizes, mtimes) — the rewrite is proportional
+    to the deletion's blast radius, not the index size."""
+    idx = str(tmp_path / "didx_touch")
+    build_dedup_index(_docs(spark, [(1, TEXT_A), (2, TEXT_B)]), idx)
+    append_dedup_index(_docs(spark, [(4, TEXT_D)]), idx, batch_id=3)
+    append_dedup_index(_docs(spark, [(5, TEXT_C)]), idx, batch_id=7)
+
+    def snapshot(batches):
+        out = {}
+        for sub in ("fingerprints", "signatures", "shingles"):
+            for b in batches:
+                part = os.path.join(idx, sub, f"{BATCH_COL}={b}")
+                for f in sorted(os.listdir(part)):
+                    if f.startswith(("_", ".")):
+                        continue
+                    st = os.stat(os.path.join(part, f))
+                    out[(sub, b, f)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot([-1, 3, 7])
+    # doc 4 lives only in batch 3
+    assert delete_from_dedup_index(spark, idx, [4]) == {
+        "fingerprints": 1,
+        "signatures": 1,
+        "shingles": 1,
+    }
+    after = snapshot([-1, 7])
+    untouched_before = {k: v for k, v in before.items() if k[1] in (-1, 7)}
+    assert after == untouched_before
