@@ -333,6 +333,7 @@ def delete_from_batched_tables(
     tables: tuple[str, ...],
     id_col: str,
     ids,
+    partition_col: str = BATCH_COL,
 ) -> dict[str, int]:
     """The DELETION core shared by every ingest-batch-partitioned index
     family — the lifecycle step the r12 verdict ranked top-2 missing:
@@ -345,7 +346,9 @@ def delete_from_batched_tables(
 
     Shape: ``ids`` (a small Python list, or a one-column DataFrame for
     driver-unbounded lists) anti-joins each table — but only the
-    TOUCHED ``ingest_batch`` partitions are rewritten: one broadcast
+    TOUCHED ``partition_col`` partitions (``ingest_batch`` for the
+    batched families; ``cluster_id`` for the IVF vector index, r13) are
+    rewritten: one broadcast
     probe finds which partitions hold any doomed row, the kept rows of
     those partitions are staged into ``<table>.delete``, and partitions
     swap via the compaction family's rename discipline (originals moved
@@ -387,7 +390,7 @@ def delete_from_batched_tables(
         # partition whose live dir is missing, then clear staging
         if os.path.isdir(old):
             for d in os.listdir(old):
-                if d.startswith(f"{BATCH_COL}=") and not os.path.exists(
+                if d.startswith(f"{partition_col}=") and not os.path.exists(
                     os.path.join(src, d)
                 ):
                     os.rename(os.path.join(old, d), os.path.join(src, d))
@@ -400,22 +403,22 @@ def delete_from_batched_tables(
             F.col(id_col) == F.col("__del_id"),
             "inner",
         )
-        per_batch = hit.groupBy(BATCH_COL).agg(
+        per_part = hit.groupBy(partition_col).agg(
             F.count(F.lit(1)).alias("n")
         ).collect()
-        touched = [int(r[0]) for r in per_batch]
-        counts[sub] = int(sum(r["n"] for r in per_batch))
+        touched = [int(r[0]) for r in per_part]
+        counts[sub] = int(sum(r["n"] for r in per_part))
         if not touched:
             continue
-        kept = df.filter(F.col(BATCH_COL).isin(touched)).join(
+        kept = df.filter(F.col(partition_col).isin(touched)).join(
             del_ids.hint("broadcast"),
             F.col(id_col) == F.col("__del_id"),
             "left_anti",
         )
-        kept.write.mode("overwrite").partitionBy(BATCH_COL).parquet(stage)
+        kept.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
         os.makedirs(old, exist_ok=True)
         for b in touched:
-            part = f"{BATCH_COL}={b}"
+            part = f"{partition_col}={b}"
             os.rename(os.path.join(src, part), os.path.join(old, part))
             staged_part = os.path.join(stage, part)
             if os.path.exists(staged_part):
@@ -428,11 +431,11 @@ def delete_from_batched_tables(
         # (written unpartitioned INTO the partition dir: a partitionBy
         # write of an empty frame emits no files at all)
         if not any(
-            d.startswith(f"{BATCH_COL}=") for d in os.listdir(src)
+            d.startswith(f"{partition_col}=") for d in os.listdir(src)
         ):
-            empty = spark.createDataFrame([], df.drop(BATCH_COL).schema)
+            empty = spark.createDataFrame([], df.drop(partition_col).schema)
             empty.repartition(1).write.mode("overwrite").parquet(
-                os.path.join(src, f"{BATCH_COL}={BOOTSTRAP_BATCH}")
+                os.path.join(src, f"{partition_col}={BOOTSTRAP_BATCH}")
             )
     return counts
 
@@ -500,22 +503,25 @@ def drop_index_batches(
     return counts
 
 
-def index_report(spark: SparkSession, path: str, tables: tuple[str, ...], id_col: str = "doc_id") -> dict:
+def index_report(
+    spark: SparkSession,
+    path: str,
+    tables: tuple[str, ...],
+    id_col: str = "doc_id",
+    partition_col: str = BATCH_COL,
+) -> dict:
     """The ops data card for a persisted index family: per table, the
-    staged batch ids, row count, distinct indexed docs, file count and
-    bytes on disk — the numbers a lake operator checks before deciding
-    to compact (small-file pressure), roll back (a batch's blast
-    radius) or delete (a doc's row footprint). One partition-pruned
-    aggregation per table plus a directory walk; output is
-    driver-bounded (a dict), not a relation."""
+    partition values with per-partition row counts, total rows,
+    distinct indexed docs, file count and bytes on disk — the numbers
+    a lake operator checks before deciding to compact (small-file
+    pressure), roll back (a batch's blast radius), delete (a doc's row
+    footprint) or rebuild (IVF cluster imbalance — ``partition_col=
+    'cluster_id'``). One aggregation per table plus a directory walk;
+    output is driver-bounded (a dict; partitions number in the batches
+    or clusters, never the rows), not a relation."""
     report: dict = {"path": path, "tables": {}}
     for sub in tables:
         src = os.path.join(path, sub)
-        batches = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(src)
-            if d.startswith(f"{BATCH_COL}=")
-        )
         n_files = 0
         n_bytes = 0
         for root, _dirs, files in os.walk(src):
@@ -524,18 +530,24 @@ def index_report(spark: SparkSession, path: str, tables: tuple[str, ...], id_col
                     continue
                 n_files += 1
                 n_bytes += os.path.getsize(os.path.join(root, f))
-        agg = (
-            spark.read.parquet(src)
-            .agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.countDistinct(F.col(id_col)).alias("docs"),
-            )
-            .first()
+        df = spark.read.parquet(src)
+        per_part = {
+            int(r[0]): int(r["n"])
+            for r in df.groupBy(partition_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # partitions emptied-but-present (reseed) still list, at 0 rows
+        for d in os.listdir(src):
+            if d.startswith(f"{partition_col}="):
+                per_part.setdefault(int(d.split("=", 1)[1]), 0)
+        docs = int(
+            df.agg(F.countDistinct(F.col(id_col)).alias("d")).first()["d"]
         )
         report["tables"][sub] = {
-            "batches": batches,
-            "rows": int(agg["rows"]),
-            "docs": int(agg["docs"]),
+            "partitions": dict(sorted(per_part.items())),
+            "rows": int(sum(per_part.values())),
+            "docs": docs,
             "files": n_files,
             "bytes": n_bytes,
         }

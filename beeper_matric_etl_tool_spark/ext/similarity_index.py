@@ -47,6 +47,83 @@ def build_ivf_index(
     )
 
 
+def append_ivf_index(
+    emb: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Steady-state GROWTH under a FROZEN quantizer (r13 — the IVF
+    lifecycle step every production ANN store has): assign each new
+    vector to its nearest EXISTING centroid (broadcast of k rows, the
+    probe's own assignment rule, ties to the lower cluster_id) and
+    append into that cluster's partition — no k-means re-run, no
+    rewrite of existing vectors, and the next `search_ivf` sees the
+    rows with zero coordination. The honesty trade every IVF deployment
+    makes: heavy drift skews clusters (recall decays toward more
+    nprobe), which is what `ivf_index_report`'s per-cluster sizes are
+    for — rebuild when the imbalance says so."""
+    spark = emb.sparkSession
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "__d", _sq_dist(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__d").asc(), F.col("cluster_id").asc()
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), "cluster_id")
+    )
+    (
+        assigned.write.mode("append")
+        .partitionBy("cluster_id")
+        .parquet(os.path.join(path, "vectors"))
+    )
+
+
+def delete_from_ivf_index(
+    spark: SparkSession, path: str, ids, id_col: str = "vec_id"
+) -> dict[str, int]:
+    """Remove vectors from the persisted IVF index — the takedown
+    cascade on the embedding plane (r13), sharing the batched families'
+    deletion core with ``cluster_id`` as the partition axis: only the
+    clusters holding doomed vectors are rewritten (staged swap, crash
+    healing, idempotent re-runs), so the cost tracks the deletion's
+    blast radius, not the corpus."""
+    from beeper_matric_etl_tool_spark.ext.dedup_index import (
+        delete_from_batched_tables,
+    )
+
+    if not os.path.isdir(os.path.join(path, "centroids")):
+        raise FileNotFoundError(
+            f"ivf index at {path!r} has no centroids/ — not an index "
+            f"built by build_ivf_index"
+        )
+    return delete_from_batched_tables(
+        spark, path, ("vectors",), id_col, ids, partition_col="cluster_id"
+    )
+
+
+def ivf_index_report(
+    spark: SparkSession, path: str, id_col: str = "vec_id"
+) -> dict:
+    """Ops data card over the vector table with PER-CLUSTER sizes —
+    the rebuild dial: a frozen quantizer under drifting appends shows
+    up here as cluster imbalance long before recall visibly decays."""
+    from beeper_matric_etl_tool_spark.ext.dedup_index import index_report
+
+    if not os.path.isdir(os.path.join(path, "centroids")):
+        raise FileNotFoundError(
+            f"ivf index at {path!r} has no centroids/ — not an index "
+            f"built by build_ivf_index"
+        )
+    return index_report(
+        spark, path, ("vectors",), id_col=id_col, partition_col="cluster_id"
+    )
+
+
 def search_ivf(
     spark: SparkSession,
     path: str,

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from beeper_matric_etl_tool_spark.ext.dedup_index import (
     BATCH_COL,
     append_dedup_index,
@@ -259,7 +261,7 @@ def test_batch_rollback_and_report(spark, tmp_path):
     rep = dedup_index_report(spark, idx)
     assert set(rep["tables"]) == {"fingerprints", "signatures", "shingles"}
     fp = rep["tables"]["fingerprints"]
-    assert fp["batches"] == [-1, 3, 7]
+    assert fp["partitions"] == {-1: 2, 3: 1, 7: 1}
     assert fp["rows"] == 4 and fp["docs"] == 4
     assert fp["files"] >= 3 and fp["bytes"] > 0
 
@@ -274,8 +276,8 @@ def test_batch_rollback_and_report(spark, tmp_path):
         (905, 5)
     }
     assert dedup_index_report(spark, idx)["tables"]["fingerprints"][
-        "batches"
-    ] == [-1, 7]
+        "partitions"
+    ] == {-1: 2, 7: 1}
 
     with pytest.raises(ValueError, match="bootstrap"):
         drop_dedup_index_batches(spark, idx, [-1])
@@ -303,7 +305,7 @@ def test_batch_rollback_and_report(spark, tmp_path):
         frame([(1, xmm.make_texture_avi(40, 16, 24, 1))]), cidx, batch_id=2
     )
     rep = containment_index_report(spark, cidx)
-    assert rep["tables"]["unit_signatures"]["batches"] == [-1, 2]
+    assert rep["tables"]["unit_signatures"]["partitions"] == {-1: 24, 2: 24}
     assert rep["tables"]["unit_signatures"]["docs"] == 2
     assert drop_containment_index_batches(spark, cidx, [2]) == {
         "unit_signatures": 24
@@ -345,3 +347,58 @@ def test_delete_rewrites_only_touched_partitions(spark, tmp_path):
     after = snapshot([-1, 7])
     untouched_before = {k: v for k, v in before.items() if k[1] in (-1, 7)}
     assert after == untouched_before
+
+
+def test_ivf_lifecycle_append_delete_report(spark, tmp_path):
+    """r13: the IVF vector index completes the persisted-index
+    lifecycle — frozen-quantizer append (new vectors assign to the
+    nearest EXISTING centroid and land in its cluster partition, no
+    k-means re-run), touched-cluster-only deletion (the shared core
+    with cluster_id as the partition axis), and the per-cluster report
+    (the rebuild dial). Decisions pinned before/after on search_ivf."""
+    from beeper_matric_etl_tool_spark.ext import similarity_index as ivf
+
+    rows = [(i, [float(i + d) for d in range(4)]) for i in range(1, 9)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ivf_lc")
+    ivf.build_ivf_index(emb, idx, k=2, iterations=2)
+
+    q = spark.createDataFrame(
+        [(100, [3.0, 4.0, 5.0, 6.0])], "vec_id long, embedding array<float>"
+    )
+    before = {
+        r.neighbor_id: r.rank
+        for r in ivf.search_ivf(spark, idx, q, k=3, nprobe=2).collect()
+    }
+    assert 3 in before and before[3] == 1  # identical direction -> rank 1
+
+    # append an exact copy of vector 3 under a new id: identical point
+    # -> the frozen quantizer assigns it the SAME cluster partition
+    # (assignment is by L2 to the centroid, the probe's own rule)
+    twin = spark.createDataFrame(
+        [(50, [3.0, 4.0, 5.0, 6.0])], "vec_id long, embedding array<float>"
+    )
+    ivf.append_ivf_index(twin, idx)
+    rep = ivf.ivf_index_report(spark, idx)
+    parts = rep["tables"]["vectors"]["partitions"]
+    assert sum(parts.values()) == 9 and rep["tables"]["vectors"]["docs"] == 9
+    vecs = spark.read.parquet(os.path.join(idx, "vectors"))
+    c3 = vecs.filter(F.col("vec_id") == 3).select("cluster_id").first()[0]
+    c50 = vecs.filter(F.col("vec_id") == 50).select("cluster_id").first()[0]
+    assert c3 == c50
+
+    after_append = {
+        r.neighbor_id: r.cosine_ppm
+        for r in ivf.search_ivf(spark, idx, q, k=3, nprobe=2).collect()
+    }
+    assert 50 in after_append
+    assert after_append[50] == after_append[3]  # same direction, same score
+
+    # takedown: vector 3 leaves; its twin and everything else remain
+    assert ivf.delete_from_ivf_index(spark, idx, [3]) == {"vectors": 1}
+    after_delete = {
+        r.neighbor_id: r.rank
+        for r in ivf.search_ivf(spark, idx, q, k=3, nprobe=2).collect()
+    }
+    assert 3 not in after_delete and after_delete[50] == 1
+    assert ivf.ivf_index_report(spark, idx)["tables"]["vectors"]["docs"] == 8
