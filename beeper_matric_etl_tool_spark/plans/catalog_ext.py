@@ -2368,10 +2368,58 @@ def knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xsim.knn_suite(probes, emb, k_brute=10, k_ivf=5, partition_col="label")
 
 
+#: kind='lifecycle' (r13): the PERSISTED IVF index's full lifecycle —
+#: build, frozen-quantizer append (a copy of vec 2 under id 9000),
+#: takedown of vec 2 — probed EXHAUSTIVELY (nprobe = k clusters), so
+#: the verdict is exact cosine over the post-lifecycle corpus and
+#: replayable in SQL independent of the float k-means partitioning
+#: (which only routes IO when every cluster is probed).
+_IVF_LIFECYCLE_ORACLE = """
+    SELECT 'lifecycle' AS kind, query_id, neighbor_id, cosine_ppm,
+           rnk AS rank,
+           CAST(NULL AS BIGINT) AS n_exact, CAST(NULL AS BIGINT) AS n_hit,
+           CAST(NULL AS BIGINT) AS recall_ppm
+    FROM (
+        WITH z2 AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> floor(x * 65536.0)) AS v
+            FROM embeddings WHERE vec_id <> 2
+            UNION ALL
+            SELECT 9000,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> floor(x * 65536.0))
+            FROM embeddings WHERE vec_id = 2
+        ),
+        q2 AS (
+            SELECT vec_id AS query_id, v AS qv,
+                   list_dot_product(v, v) AS qn2
+            FROM z2 WHERE vec_id < 4
+        ),
+        scored2 AS (
+            SELECT q2.query_id, c.vec_id AS neighbor_id,
+                   CAST(floor(1000000 * list_dot_product(q2.qv, c.v)
+                         / (sqrt(q2.qn2)
+                            * sqrt(list_dot_product(c.v, c.v))))
+                        AS BIGINT) AS cosine_ppm
+            FROM q2 JOIN z2 c ON c.vec_id <> q2.query_id
+        )
+        SELECT query_id, neighbor_id, cosine_ppm, rnk FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine_ppm DESC, neighbor_id) AS rnk
+            FROM scored2
+        ) WHERE rnk <= 5
+    )
+"""
+
+
 @register(
     "knn_multiprobe",
     tags=("ext-sim",),
-    oracle=_MULTIPROBE_ORACLE.format(nprobe=2, k=5),
+    oracle=_MULTIPROBE_ORACLE.format(nprobe=2, k=5)
+    + " UNION ALL "
+    + _IVF_LIFECYCLE_ORACLE,
 )
 def knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiprobe IVF — the recall-vs-cost knob every production IVF
@@ -2415,26 +2463,74 @@ def knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = xsim.evaluate_recall(
         top, brute5, query_col="query_id", id_col="neighbor_id"
     )
+    # kind='lifecycle' (r13): build the PERSISTED IVF index, append a
+    # frozen-quantizer copy of vec 2 under id 9000, DELETE vec 2, and
+    # search exhaustively (nprobe = k clusters) — the oracle replays
+    # exact cosine over the post-lifecycle corpus, so the driver hash
+    # pins that append visibility and takedown both reached the index.
+    import tempfile
+
+    from beeper_matric_etl_tool_spark.ext.similarity_index import (
+        append_ivf_index,
+        build_ivf_index,
+        delete_from_ivf_index,
+        search_ivf,
+    )
+
+    ividx = tempfile.mkdtemp(prefix="knn_ivf_lc_")
+    build_ivf_index(emb, ividx, k=4, iterations=2)
+    append_ivf_index(
+        emb.filter(F.col("vec_id") == 2).select(
+            F.lit(9000).cast("long").alias("vec_id"), "embedding"
+        ),
+        ividx,
+    )
+    delete_from_ivf_index(spark, ividx, [2])
+    # queries come from the post-lifecycle corpus: the deleted vector
+    # is not a probe either (its takedown covers both roles)
+    lifecycle = search_ivf(
+        spark,
+        ividx,
+        emb.filter((F.col("vec_id") < 4) & (F.col("vec_id") != 2)),
+        k=5,
+        nprobe=4,
+    )
+
     nl = F.lit(None).cast("long")
-    return top.select(
-        F.lit("topk").alias("kind"),
-        "query_id",
-        "neighbor_id",
-        "cosine_ppm",
-        "rank",
-        nl.alias("n_exact"),
-        nl.alias("n_hit"),
-        nl.alias("recall_ppm"),
-    ).unionByName(
-        rec.select(
-            F.lit("recall").alias("kind"),
+    return (
+        top.select(
+            F.lit("topk").alias("kind"),
             "query_id",
-            nl.alias("neighbor_id"),
-            nl.alias("cosine_ppm"),
-            F.lit(None).cast("int").alias("rank"),
-            "n_exact",
-            "n_hit",
-            "recall_ppm",
+            "neighbor_id",
+            "cosine_ppm",
+            "rank",
+            nl.alias("n_exact"),
+            nl.alias("n_hit"),
+            nl.alias("recall_ppm"),
+        )
+        .unionByName(
+            rec.select(
+                F.lit("recall").alias("kind"),
+                "query_id",
+                nl.alias("neighbor_id"),
+                nl.alias("cosine_ppm"),
+                F.lit(None).cast("int").alias("rank"),
+                "n_exact",
+                "n_hit",
+                "recall_ppm",
+            )
+        )
+        .unionByName(
+            lifecycle.select(
+                F.lit("lifecycle").alias("kind"),
+                "query_id",
+                "neighbor_id",
+                "cosine_ppm",
+                "rank",
+                nl.alias("n_exact"),
+                nl.alias("n_hit"),
+                nl.alias("recall_ppm"),
+            )
         )
     )
 
