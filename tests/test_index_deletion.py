@@ -402,3 +402,99 @@ def test_ivf_lifecycle_append_delete_report(spark, tmp_path):
     }
     assert 3 not in after_delete and after_delete[50] == 1
     assert ivf.ivf_index_report(spark, idx)["tables"]["vectors"]["docs"] == 8
+
+
+def test_delete_then_compact_then_probe(spark, tmp_path):
+    """Lifecycle composition: deletion's rewritten partitions fold
+    through compaction like any others — decisions identical before
+    and after the compact."""
+    from beeper_matric_etl_tool_spark.ext.dedup_index import (
+        compact_dedup_index,
+    )
+
+    idx = str(tmp_path / "didx_dc")
+    build_dedup_index(_docs(spark, [(1, TEXT_A), (2, TEXT_B)]), idx)
+    append_dedup_index(_docs(spark, [(4, TEXT_D)]), idx, batch_id=0)
+    append_dedup_index(_docs(spark, [(5, TEXT_C)]), idx, batch_id=1)
+    delete_from_dedup_index(spark, idx, [2, 4])
+
+    def decisions():
+        s, d = dedup_against_index(
+            _docs(
+                spark,
+                [(901, TEXT_A), (902, TEXT_B), (904, TEXT_D), (905, TEXT_C)],
+            ),
+            spark,
+            idx,
+        )
+        return (
+            {r.doc_id for r in s.collect()},
+            {(r.doc_id, r.ref_id) for r in d.select("doc_id", "ref_id").collect()},
+        )
+
+    before = decisions()
+    assert before == ({902, 904}, {(901, 1), (905, 5)})
+    counts = compact_dedup_index(spark, idx, preserve_last=False)
+    assert counts["fingerprints"] == 2  # docs 1 and 5 remain
+    assert decisions() == before
+
+
+def test_takedown_between_stream_batches(spark, tmp_path):
+    """The live decontamination scenario: a read-only attribution
+    screen is RUNNING when a takedown lands on the shared index — the
+    next micro-batch no longer attributes to the removed doc, with no
+    stream restart and no binding dance."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from beeper_matric_etl_tool_spark.ext.passage_index import (
+        build_passage_index,
+        delete_from_passage_index,
+    )
+    from beeper_matric_etl_tool_spark.streaming.attribution import (
+        start_attribution_stream,
+    )
+
+    corpus = _docs(
+        spark,
+        [
+            (7, " ".join(f"w{i}" for i in range(60))),
+            (8, " ".join(f"x{i}" for i in range(60))),
+        ],
+    )
+    idx = str(tmp_path / "pidx_td")
+    build_passage_index(corpus, idx, k=8)
+    src = tmp_path / "td_src"
+    src.mkdir()
+    hits_dir = str(tmp_path / "td_hits")
+
+    def emit(q, name, rows):
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(t, str(src / name))
+        q.processAllAvailable()
+
+    cut7 = " ".join(f"w{i}" for i in range(10, 30))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    q = start_attribution_stream(
+        stream, idx, hits_dir, str(tmp_path / "td_ckpt"), read_only=True
+    )
+    try:
+        emit(q, "b0.parquet", [(600, cut7)])
+        # takedown lands while the stream is live
+        delete_from_passage_index(spark, idx, [7])
+        emit(q, "b1.parquet", [(601, cut7)])
+        hits = {
+            r.probe_id: (r.doc_id, r.offset)
+            for r in spark.read.parquet(hits_dir).collect()
+        }
+        # batch 0 attributed; batch 1 (same passage, post-takedown) silent
+        assert hits == {600: (7, 10)}
+    finally:
+        q.stop()
