@@ -374,6 +374,9 @@ def delete_from_batched_tables(
 
     counts: dict[str, int] = {}
     if isinstance(ids, DataFrame):
+        # driver-unbounded list: no broadcast hint — a massive takedown
+        # frame must be allowed to shuffle-join; AQE picks broadcast
+        # when it is in fact small
         del_ids = ids.toDF("__del_id").distinct()
     else:
         ids = list(ids)
@@ -381,7 +384,7 @@ def delete_from_batched_tables(
             return {sub: 0 for sub in tables}
         del_ids = spark.createDataFrame(
             [(i,) for i in ids], f"__del_id {'string' if isinstance(ids[0], str) else 'long'}"
-        ).distinct()
+        ).distinct().hint("broadcast")  # bounded compliance list
     for sub in tables:
         src = os.path.join(path, sub)
         stage = src + ".delete"
@@ -399,9 +402,7 @@ def delete_from_batched_tables(
 
         df = spark.read.parquet(src)
         hit = df.join(
-            del_ids.hint("broadcast"),
-            F.col(id_col) == F.col("__del_id"),
-            "inner",
+            del_ids, F.col(id_col) == F.col("__del_id"), "inner"
         )
         per_part = hit.groupBy(partition_col).agg(
             F.count(F.lit(1)).alias("n")
@@ -411,9 +412,7 @@ def delete_from_batched_tables(
         if not touched:
             continue
         kept = df.filter(F.col(partition_col).isin(touched)).join(
-            del_ids.hint("broadcast"),
-            F.col(id_col) == F.col("__del_id"),
-            "left_anti",
+            del_ids, F.col(id_col) == F.col("__del_id"), "left_anti"
         )
         kept.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
         os.makedirs(old, exist_ok=True)
