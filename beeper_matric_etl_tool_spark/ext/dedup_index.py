@@ -295,6 +295,16 @@ def compact_batched_tables(
         # stranded original means we died between the two renames
         if not os.path.exists(src) and os.path.exists(old):
             os.rename(old, src)
+        # heal a previous crashed DELETE, which parks PARTITION dirs
+        # under the same `.old`: restore any whose live dir is missing
+        # BEFORE clearing debris — an unaware rmtree here would destroy
+        # the only copy of those partitions (r13 interplay fix)
+        if os.path.isdir(old) and os.path.isdir(src):
+            for d in os.listdir(old):
+                if d.startswith(f"{BATCH_COL}=") and not os.path.exists(
+                    os.path.join(src, d)
+                ):
+                    os.rename(os.path.join(old, d), os.path.join(src, d))
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
 
@@ -389,6 +399,11 @@ def delete_from_batched_tables(
         src = os.path.join(path, sub)
         stage = src + ".delete"
         old = src + ".old"
+        # heal a previous crashed COMPACT first (same `.old` suffix): a
+        # missing live table with a stranded original means the swap
+        # died between its two renames (r13 interplay fix)
+        if not os.path.exists(src) and os.path.exists(old):
+            os.rename(old, src)
         # heal a previous crashed delete: restore any stranded original
         # partition whose live dir is missing, then clear staging
         if os.path.isdir(old):

@@ -498,3 +498,48 @@ def test_takedown_between_stream_batches(spark, tmp_path):
         assert hits == {600: (7, 10)}
     finally:
         q.stop()
+
+
+def test_crash_healing_interplay_delete_then_compact(spark, tmp_path):
+    """r13 interplay pin: a DELETE that crashed between its partition
+    renames (original parked under <table>.old, live dir missing) must
+    be healed — not destroyed — by a subsequent COMPACT call, and a
+    crashed COMPACT (whole table under .old) must be healed by a
+    subsequent DELETE. Both directions pinned."""
+    import shutil
+
+    from beeper_matric_etl_tool_spark.ext.dedup_index import (
+        compact_dedup_index,
+    )
+
+    # direction 1: crashed-delete state, then compact
+    idx = str(tmp_path / "didx_hx1")
+    build_dedup_index(_docs(spark, [(1, TEXT_A)]), idx)
+    append_dedup_index(_docs(spark, [(4, TEXT_D)]), idx, batch_id=2)
+    fp = os.path.join(idx, "fingerprints")
+    os.makedirs(fp + ".old")
+    shutil.move(
+        os.path.join(fp, f"{BATCH_COL}=2"),
+        os.path.join(fp + ".old", f"{BATCH_COL}=2"),
+    )
+    counts = compact_dedup_index(spark, idx, preserve_last=False)
+    assert counts["fingerprints"] == 2  # batch 2's doc survived the heal
+    s, d = dedup_against_index(_docs(spark, [(904, TEXT_D)]), spark, idx)
+    assert {(r.doc_id, r.ref_id) for r in d.select("doc_id", "ref_id").collect()} == {
+        (904, 4)
+    }
+
+    # direction 2: crashed-compact state (whole table parked), then delete
+    idx2 = str(tmp_path / "didx_hx2")
+    build_dedup_index(_docs(spark, [(1, TEXT_A), (2, TEXT_B)]), idx2)
+    fp2 = os.path.join(idx2, "fingerprints")
+    os.rename(fp2, fp2 + ".old")
+    assert delete_from_dedup_index(spark, idx2, [2]) == {
+        "fingerprints": 1,
+        "signatures": 1,
+        "shingles": 1,
+    }
+    s, d = dedup_against_index(
+        _docs(spark, [(901, TEXT_A), (902, TEXT_B)]), spark, idx2
+    )
+    assert {r.doc_id for r in s.collect()} == {902}
