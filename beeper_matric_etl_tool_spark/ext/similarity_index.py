@@ -62,7 +62,10 @@ def append_ivf_index(
     rows with zero coordination. The honesty trade every IVF deployment
     makes: heavy drift skews clusters (recall decays toward more
     nprobe), which is what `ivf_index_report`'s per-cluster sizes are
-    for — rebuild when the imbalance says so."""
+    for — rebuild when the imbalance says so. Only (id, vector,
+    cluster_id) are appended — extra columns the build happened to
+    store (e.g. a label) null-fill on merged reads; `search_ivf` never
+    reads them."""
     spark = emb.sparkSession
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
