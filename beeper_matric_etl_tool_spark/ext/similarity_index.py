@@ -86,6 +86,44 @@ def append_ivf_index(
     )
 
 
+def compact_ivf_index(spark: SparkSession, path: str) -> int:
+    """Fold each cluster partition's accumulated append files into one
+    well-sized file per cluster (r13) — `append_ivf_index` adds a file
+    per append batch per touched cluster, and after ~10⁴ appends every
+    search pays the listing and tiny-file open cost (the batched
+    families' small-file problem, on the cluster axis). Same crash
+    posture as `compact_batched_tables`: rewrite into `vectors.compact`
+    (one file per cluster via a cluster-keyed repartition), swap with
+    two renames, heal a stranded original on the next call. Rows and
+    search verdicts are unchanged. Returns the row count."""
+    import shutil
+
+    if not os.path.isdir(os.path.join(path, "centroids")):
+        raise FileNotFoundError(
+            f"ivf index at {path!r} has no centroids/ — not an index "
+            f"built by build_ivf_index"
+        )
+    src = os.path.join(path, "vectors")
+    tmp = src + ".compact"
+    old = src + ".old"
+    if not os.path.exists(src) and os.path.exists(old):
+        os.rename(old, src)  # heal a crashed prior swap
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    df = spark.read.parquet(src)
+    (
+        df.repartition(F.col("cluster_id"))
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(tmp)
+    )
+    n = spark.read.parquet(tmp).count()
+    os.rename(src, old)
+    os.rename(tmp, src)
+    shutil.rmtree(old)
+    return int(n)
+
+
 def delete_from_ivf_index(
     spark: SparkSession, path: str, ids, id_col: str = "vec_id"
 ) -> dict[str, int]:

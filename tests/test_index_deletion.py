@@ -543,3 +543,41 @@ def test_crash_healing_interplay_delete_then_compact(spark, tmp_path):
         _docs(spark, [(901, TEXT_A), (902, TEXT_B)]), spark, idx2
     )
     assert {r.doc_id for r in s.collect()} == {902}
+
+
+def test_ivf_compaction_folds_append_files(spark, tmp_path):
+    """r13: repeated frozen-quantizer appends accumulate a file per
+    batch per touched cluster; compaction folds each cluster to one
+    file with search verdicts bit-stable."""
+    from beeper_matric_etl_tool_spark.ext import similarity_index as ivf
+
+    rows = [(i, [float(i + d) for d in range(4)]) for i in range(1, 9)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ivf_cp")
+    ivf.build_ivf_index(emb, idx, k=2, iterations=2)
+    for j in range(3):  # three append batches
+        extra = spark.createDataFrame(
+            [(100 + j, [float(100 + j + d) for d in range(4)])],
+            "vec_id long, embedding array<float>",
+        )
+        ivf.append_ivf_index(extra, idx)
+
+    q = spark.createDataFrame(
+        [(900, [5.0, 6.0, 7.0, 8.0])], "vec_id long, embedding array<float>"
+    )
+    before = sorted(
+        (r.neighbor_id, r.cosine_ppm, r.rank)
+        for r in ivf.search_ivf(spark, idx, q, k=5, nprobe=2).collect()
+    )
+    files_before = ivf.ivf_index_report(spark, idx)["tables"]["vectors"]["files"]
+    assert files_before > 2  # append batches piled files up
+
+    assert ivf.compact_ivf_index(spark, idx) == 11
+    rep = ivf.ivf_index_report(spark, idx)
+    assert rep["tables"]["vectors"]["files"] <= 2  # one per cluster
+    assert rep["tables"]["vectors"]["rows"] == 11
+    after = sorted(
+        (r.neighbor_id, r.cosine_ppm, r.rank)
+        for r in ivf.search_ivf(spark, idx, q, k=5, nprobe=2).collect()
+    )
+    assert after == before
