@@ -2207,3 +2207,37 @@ def corpus_report(
             },
         }
     return out
+
+
+def corpus_delta(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, status) — the dataset VERSIONING audit between two corpus
+    snapshots (r13): 'added' (id only in the new snapshot), 'removed'
+    (only in the old), 'changed' (same id, different content), else
+    'unchanged'. The delta a dataset card, a retrain decision, or an
+    incremental re-index consumes — e.g. `delete_from_*_index` the
+    removed ids, `append_*` the added ones, both for the changed.
+
+    Shape at 100 TB: one full-outer equi-join on the id whose shuffle
+    carries (id, 16-byte md5 fingerprint), never text — content
+    equality is decided fingerprint-to-fingerprint, so two snapshots
+    of a 100 TB lake compare at the cost of their id+hash projection."""
+    from beeper_matric_etl_tool_spark.ext.text import exact_fingerprint
+
+    o = old.select(F.col(id_col), exact_fingerprint(text_col).alias("__ofp"))
+    n = new.select(F.col(id_col), exact_fingerprint(text_col).alias("__nfp"))
+    return (
+        o.join(n, on=id_col, how="full_outer")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__ofp").isNull(), F.lit("added"))
+            .when(F.col("__nfp").isNull(), F.lit("removed"))
+            .when(F.col("__ofp") != F.col("__nfp"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )

@@ -1494,6 +1494,31 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(NULL AS VARCHAR), CAST(doc_id AS VARCHAR),
                CAST(off AS INTEGER), CAST(n AS INTEGER)
         FROM avote WHERE doc_id <> {ATTRIB_SRC_DOC}
+        UNION ALL
+        -- kind='delta' (r13): dataset versioning — the deterministic
+        -- second snapshot diffed against the corpus; per-doc status in
+        -- cleaned_fp, content equality decided hash-to-hash
+        SELECT 'delta', doc_id, NULL, NULL, NULL, NULL,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), status,
+               CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)
+        FROM (
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM documents o
+            FULL OUTER JOIN (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 97 = 5 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 97 <> 3
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents
+                WHERE doc_id % 97 = 7
+            ) n ON o.doc_id = n.doc_id
+        )
     """,
 )
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1786,6 +1811,39 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("offset").cast("int").alias("n_units"),
         F.col("n_matched").cast("int").alias("n_removed"),
     )
+    # kind='delta' (r13): dataset versioning — a deterministic second
+    # snapshot (every 97th doc at residue 3 removed, residue 5 edited,
+    # residue 7 re-added under id+1e6) diffed by `corpus_delta`:
+    # per-doc status added/removed/changed/unchanged rides cleaned_fp.
+    # The shuffle carries (id, 16-byte fingerprint), never text.
+    from beeper_matric_etl_tool_spark.ext.pipeline import corpus_delta
+
+    new_snap = (
+        docs.filter(F.col("doc_id") % 97 != 3)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 97 == 5,
+                F.concat(F.col("text"), F.lit(" v2")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 97 == 7).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    delta_leg = corpus_delta(docs, new_snap).select(
+        F.lit("delta").alias("kind"),
+        F.col("doc_id"),
+        *null_dims,
+        *null_fps,
+        F.col("status").alias("cleaned_fp"),
+        F.lit(None).cast("int").alias("n_units"),
+        F.lit(None).cast("int").alias("n_removed"),
+    )
     return (
         profile_leg.unionByName(boiler_leg)
         .unionByName(spans_leg)
@@ -1795,6 +1853,7 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(soft_leg)
         .unionByName(attrib_leg)
         .unionByName(attrib_del_leg)
+        .unionByName(delta_leg)
     )
 
 
