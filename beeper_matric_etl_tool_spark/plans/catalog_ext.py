@@ -2547,13 +2547,17 @@ def knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete_from_ivf_index(spark, ividx, [2])
     # queries come from the post-lifecycle corpus: the deleted vector
     # is not a probe either (its takedown covers both roles)
+    # materialized at construction like the build/append/delete it
+    # follows — the registered query's plan keeps the one-funnel pin
+    # (tests/test_plans.py: no parquet scan, no MapInPandas); the index
+    # probe's own plan shape is pinned in the index suites
     lifecycle = search_ivf(
         spark,
         ividx,
         emb.filter((F.col("vec_id") < 4) & (F.col("vec_id") != 2)),
         k=5,
         nprobe=4,
-    )
+    ).localCheckpoint(eager=True)
 
     nl = F.lit(None).cast("long")
     return (
