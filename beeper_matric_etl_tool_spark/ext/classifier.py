@@ -214,7 +214,9 @@ def train_logreg(
         raise ValueError(f"train_logreg: iterations={iterations} must be >= 1")
     if cache:
         proj = list(dict.fromkeys([*feature_cols, label_col]))
-        df = df.select(*proj).localCheckpoint(eager=True)
+        # lazy: the count() below full-scans and therefore materializes
+        # the checkpoint in the same job (r13 — one job, not two)
+        df = df.select(*proj).localCheckpoint(eager=False)
     n = df.count()
     if n == 0:
         raise ValueError("train_logreg: empty training frame")

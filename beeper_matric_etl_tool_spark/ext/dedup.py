@@ -748,14 +748,17 @@ def connected_components(
     hitting the raise indicates a wiring bug, not a long chain.
     """
     half = pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    # lazy checkpoints (r13): round 1's count job reads both frames, so
+    # it materializes them and truncates lineage in that same action —
+    # two fewer up-front jobs per components call with identical blocks
     edges = (
         half.unionByName(half.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
         "label", F.col("node")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     for _ in range(max_iterations):
         nbr_min = (
@@ -783,7 +786,12 @@ def connected_components(
                     F.coalesce(F.col("__jl"), F.col("label")),
                 ).alias("__new"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint + count in ONE job (r13): the count below
+            # scans every partition, which materializes the checkpointed
+            # blocks and truncates lineage in the same action — the old
+            # eager checkpoint ran a separate materialization job first,
+            # doubling the loop's job count for no work
+            .localCheckpoint(eager=False)
         )
         changed = stepped.filter(F.col("__new") < F.col("label")).count()
         labels = stepped.select("node", F.col("__new").alias("label"))

@@ -4032,7 +4032,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     planted = docs.select("doc_id").filter(F.col("doc_id") < PHASH_DOCS)
-    imgs = planted.mapInPandas(gen_images, "doc_id long, payload binary")
+    # r13: every payload-generator and shared decode frame below gets a
+    # LAZY localCheckpoint — this 14-leg union otherwise re-embeds the
+    # generator+decode subtrees per consumer (measured: 68 MapInPandas
+    # nodes / 291 scans / 13.6k plan lines, with the same Catalyst
+    # planning wall the quality_filter suite paid). Each checkpointed
+    # frame is planted-corpus-sized (dozens of rows), executes once, and
+    # every leg reads the materialized partitions.
+    imgs = planted.mapInPandas(
+        gen_images, "doc_id long, payload binary"
+    ).localCheckpoint(eager=False)
     pairs = xmm.image_near_dup_pairs(
         imgs, max_hamming=PHASH_MAX_HAMMING, bands=PHASH_BANDS, n_bits=64
     ).select(
@@ -4061,7 +4070,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     planted_a = docs.select("doc_id").filter(F.col("doc_id") < AFP_DOCS)
-    wavs = planted_a.mapInPandas(gen_wavs, "doc_id long, payload binary")
+    wavs = planted_a.mapInPandas(
+        gen_wavs, "doc_id long, payload binary"
+    ).localCheckpoint(eager=False)
     apairs = xmm.audio_near_dup_pairs(
         wavs, max_hamming=AFP_MAX_HAMMING, bands=AFP_BANDS, n_bits=64
     ).select(
@@ -4092,7 +4103,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     planted_v = docs.select("doc_id").filter(F.col("doc_id") < VHASH_DOCS)
-    avis = planted_v.mapInPandas(gen_avis, "doc_id long, payload binary")
+    avis = planted_v.mapInPandas(
+        gen_avis, "doc_id long, payload binary"
+    ).localCheckpoint(eager=False)
     vpairs = xmm.video_near_dup_pairs(
         avis, max_hamming=VHASH_MAX_HAMMING, bands=VHASH_BANDS, n_bits=64
     ).select(
@@ -4166,7 +4179,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     planted_mc = docs.select("doc_id").filter(F.col("doc_id") < MC_DOCS)
-    mixed = planted_mc.mapInPandas(gen_mixed, "doc_id long, payload binary")
+    mixed = planted_mc.mapInPandas(
+        gen_mixed, "doc_id long, payload binary"
+    ).localCheckpoint(eager=False)
     # the oracle replays the 64-bit closed forms, so the funnel runs the
     # compact width explicitly (production default is DEFAULT_SIG_BITS);
     # cross_modal exercises the re-encoded-still gate over the planted
@@ -4175,7 +4190,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mc_decisions = xmm.curate_media(
         mixed, min_width=MC_MIN_W, min_height=MC_MIN_H, sig_bits=64,
         cross_modal=True,
-    )
+    ).localCheckpoint(eager=False)  # r13: curation + report legs share it
     curation = mc_decisions.select(
         F.lit("curation").alias("kind"),
         F.col("doc_id").cast("long").alias("id_a"),
@@ -4216,7 +4231,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs_all = xmm.image_perceptual_bits(imgs, n_bits=64).filter(
         F.col("error").isNull()
-    ).select("doc_id", F.lit("image").alias("modality"), "bits")
+    ).select(
+        "doc_id", F.lit("image").alias("modality"), "bits"
+    ).localCheckpoint(eager=False)  # r13: 6 consumers (search/recall/png legs)
 
     # kind='png_pair' (r13): the in-tree PNG codec driver-oracled. Two
     # planted docs' PIXELS (doc 0 verbatim, doc 4 = seed 0's
@@ -4280,7 +4297,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs_all.filter(F.col("doc_id") < PHASH_SEEDS),
         sigs_all.filter(F.col("doc_id") >= PHASH_SEEDS),
         max_hamming=PHASH_MAX_HAMMING, k=3, bands=PHASH_BANDS, n_bits=64,
-    )
+    ).localCheckpoint(eager=False)  # r13: search leg + recall grading share it
     search = ranked.select(
         F.lit("search").alias("kind"),
         F.col("probe_id").cast("long").alias("id_a"),
@@ -4367,10 +4384,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct_tracks = (
         docs.select("doc_id").filter(F.col("doc_id") < CT_TRACKS)
         .mapInPandas(gen_tracks, "doc_id long, payload binary")
+        .localCheckpoint(eager=False)
     )
     ct_clip = (
         docs.select("doc_id").filter(F.col("doc_id") == 0)
         .mapInPandas(gen_clip, "doc_id long, payload binary")
+        .localCheckpoint(eager=False)
     )
     # kind='contain_idx' (r13): the SAME planted corpus probed through
     # the PERSISTED containment-index lifecycle (`ext/containment_index`)
@@ -4443,6 +4462,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct_del_clips = (
         docs.select("doc_id").filter(F.col("doc_id") == 0)
         .mapInPandas(gen_del_clips, "doc_id long, payload binary")
+        .localCheckpoint(eager=False)
     )
     contain_idx = contain_idx.localCheckpoint(eager=True)
     delete_from_containment_index(spark, cidx_dir, [0])
@@ -4511,10 +4531,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm_tracks = (
         docs.select("doc_id").filter(F.col("doc_id") < LM_TRACKS)
         .mapInPandas(gen_lm_tracks, "doc_id long, payload binary")
+        .localCheckpoint(eager=False)
     )
     lm_clip = (
         docs.select("doc_id").filter(F.col("doc_id") == 0)
         .mapInPandas(gen_lm_clip, "doc_id long, payload binary")
+        .localCheckpoint(eager=False)
     )
     landmark = audio_containment_pairs(
         lm_clip, lm_tracks,
@@ -4565,10 +4587,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     vl_tracks = (
         docs.select("doc_id").filter(F.col("doc_id") < VL_TRACKS)
         .mapInPandas(gen_vl_tracks, "doc_id long, payload binary")
+        .localCheckpoint(eager=False)
     )
     vl_clip = (
         docs.select("doc_id").filter(F.col("doc_id") == 0)
         .mapInPandas(gen_vl_clip, "doc_id long, payload binary")
+        .localCheckpoint(eager=False)
     )
     vlandmark = video_containment_pairs(
         vl_clip, vl_tracks,
@@ -6453,11 +6477,16 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist_intermediates=False: a registered query is materialized once
     # per call, and the returned frame outlives this function, so the
     # CurationStages.release() hook could never fire — the default persist
-    # would pin a session-lifetime cache entry per invocation. The
-    # recompute cost is the per-leg quality+PII column algebra, bounded by
-    # the signal battery this suite already scans.
+    # would pin a session-lifetime cache entry per invocation.
+    # checkpoint_stages=True (r13): without it the 8-leg union re-embeds
+    # the full funnel per leg — a 12.5k-line physical plan whose CATALYST
+    # PLANNING alone cost ~2 min of driver time at any SF (measured at
+    # sf0.001: construct 124 s with near-zero executor work); the two
+    # lazy lineage cuts (scrubbed, near) collapse the plan and the shared
+    # subtrees execute once.
     stages = curate(
-        corpus, mix_rates=MIX_RATES, portable=True, persist_intermediates=False
+        corpus, mix_rates=MIX_RATES, portable=True, persist_intermediates=False,
+        checkpoint_stages=True,
     )
 
     def funnel_leg(idx: int, name: str) -> DataFrame:

@@ -53,6 +53,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true" if aqe else "false")
         .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # let AQE coalesce INSIDE cached-plan materializations too (default
+        # false): every iterative trainer (kmeans/PQ/BPE/logreg/components)
+        # persists small intermediates, and without this each .cache()
+        # materializes at the full spark.sql.shuffle.partitions fan-out —
+        # measured r13: kmeans(k=8,it=3) at sf0.01 on a 200-partition
+        # session drops 4,885 → 109 tasks with this flag, result-identical.
+        # Scale-independent: coalesced hash partitioning still satisfies
+        # downstream clustered-distribution requirements, so no extra
+        # exchanges appear at any size.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -96,6 +96,7 @@ def partitioned_upsert(
     bucket_expr: Column | None = None,
     n_buckets: int = DEFAULT_UPSERT_BUCKETS,
     persist: bool = True,
+    touched_vals: Sequence | None = None,
 ) -> None:
     """MERGE INTO for a parquet directory with TOUCHED-PARTITION-ONLY I/O —
     the scale-correct replacement for read-whole-table/rewrite-whole-table
@@ -116,9 +117,32 @@ def partitioned_upsert(
     Per-batch cost scales with |batch| + |touched partitions|, not
     |target| — the difference between O(n) and O(n²/batch) over a stream's
     lifetime.
+
+    ``touched_vals`` is the r13 one-stats-job fast path: a caller that
+    already knows the batch's distinct bucket values (because it computed
+    them in the same aggregation job as its other per-batch stats — see
+    streaming/ingest.merge_batch_writer) passes them here, the batch then
+    MUST already carry ``BUCKET_COL``, and this function runs no
+    touched-bucket job of its own. An empty ``touched_vals`` (or an empty
+    batch discovered by the collect) returns immediately: a zero-row
+    dynamic overwrite writes no partition, so the merge/checkpoint/write
+    jobs it would otherwise run are pure scheduler cost.
     """
-    bucket = bucket_expr if bucket_expr is not None else key_bucket(list(keys), n_buckets)
-    batch = batch.withColumn(BUCKET_COL, bucket)
+    if touched_vals is not None:
+        if BUCKET_COL not in batch.columns:
+            raise ValueError(
+                "partitioned_upsert: touched_vals given but batch lacks "
+                f"{BUCKET_COL!r} — stamp the bucket column in the same "
+                "pass that computed touched_vals"
+            )
+        touched_vals = list(touched_vals)
+        if not touched_vals:
+            return
+    else:
+        bucket = (
+            bucket_expr if bucket_expr is not None else key_bucket(list(keys), n_buckets)
+        )
+        batch = batch.withColumn(BUCKET_COL, bucket)
     if persist:
         # the batch is consumed twice (touched-bucket collect + merge);
         # callers that already cache upstream pass persist=False — the
@@ -126,7 +150,10 @@ def partitioned_upsert(
         # second materialization here
         batch = batch.persist()
     try:
-        touched_vals = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
+        if touched_vals is None:
+            touched_vals = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
+            if not touched_vals:
+                return
         existing = None
         if has_parquet(target_dir):
             existing = spark.read.parquet(target_dir).filter(

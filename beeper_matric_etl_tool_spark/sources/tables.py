@@ -59,6 +59,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # in the catalog would silently shift against the timezone-naive
     # DuckDB oracle. Runtime-settable, so safe on any caller's session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # AQE partition coalescing inside cached-plan materializations (r13,
+    # see session.py): runtime-settable, so the grading driver's PLAIN
+    # session gets it too — without it every iterative trainer's .cache()
+    # materializes at the session's full shuffle fan-out (measured:
+    # kmeans at sf0.01 on a default 200-partition session = 4,885 tasks
+    # vs 109 with the flag, identical results).
+    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -190,26 +190,51 @@ def merge_batch_writer(
       monotonically per batch — never derived from a full table scan — and
       advances exactly like the built-in one: on each batch's input max.
     - Empty batches (availableNow's final commit) are a no-op.
+    - **One stats job per batch (r13)**: emptiness, the watermark max and
+      the touched-bucket set all come from ONE ``groupBy(bucket).agg(max)``
+      over the persisted batch (≤ |touched days| rows to the driver) —
+      previously three separate actions (isEmpty, agg(max),
+      distinct-collect), each a scheduled job whose ~40 ms floor dominates
+      small steady-state batches. The late filter runs BEFORE the stats
+      job; that leaves the watermark advance unchanged: any row with
+      ``ts > stored`` trivially survives the ``ts >= stored − delay``
+      cutoff, so max(filtered) = max(unfiltered) whenever the max would
+      advance the watermark, and when ALL rows are late the unfiltered max
+      is below the stored mark anyway.
     """
 
     def write(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        # one materialization for the whole batch: isEmpty, the watermark
-        # max, the touched-bucket collect and the merge all reuse it —
-        # without this every action re-runs source read + parse
-        batch = batch.withColumn("__batch_id", F.lit(batch_id).cast("long")).persist()
+        # day-of-event-time bucket; dead-letter rows (null event time)
+        # land in their own -1 partition
+        day_bucket = F.coalesce(
+            F.floor(F.col(event_time_col) / F.lit(86_400_000)), F.lit(-1)
+        ).cast("int")
+        batch = batch.withColumn("__batch_id", F.lit(batch_id).cast("long")).withColumn(
+            sinks.BUCKET_COL, day_bucket
+        )
+        stored = None
+        if watermark_delay_ms is not None:
+            stored = _read_watermark(spark, target_dir)
+            if stored is not None:
+                cutoff = stored - watermark_delay_ms
+                batch = batch.filter(
+                    F.col(event_time_col).isNull() | (F.col(event_time_col) >= cutoff)
+                )
+        # one materialization for the whole batch: the stats job below
+        # fills the cache; the merge re-reads it — without this every
+        # action re-runs source read + parse
+        batch = batch.persist()
         try:
-            if batch.isEmpty():
+            stats = (
+                batch.groupBy(sinks.BUCKET_COL)
+                .agg(F.max(event_time_col).alias("__high"))
+                .collect()
+            )
+            if not stats:
                 return
-            batch_high = None
-            if watermark_delay_ms is not None:
-                batch_high = batch.agg(F.max(event_time_col)).first()[0]
-                stored = _read_watermark(spark, target_dir)
-                if stored is not None:
-                    cutoff = stored - watermark_delay_ms
-                    batch = batch.filter(
-                        F.col(event_time_col).isNull() | (F.col(event_time_col) >= cutoff)
-                    )
+            highs = [r["__high"] for r in stats if r["__high"] is not None]
+            batch_high = max(highs) if highs and watermark_delay_ms is not None else None
 
             def merge(existing: DataFrame | None, b: DataFrame) -> DataFrame:
                 # max_by aggregate, not a window: partial-combines map-side,
@@ -245,13 +270,9 @@ def merge_batch_writer(
                     src, keys=keys, max_order_cols=["__ord", "__batch_id"]
                 ).drop("__ord")
 
-            # day-of-event-time bucket; dead-letter rows (null event time)
-            # land in their own -1 partition
-            day_bucket = F.coalesce(
-                F.floor(F.col(event_time_col) / F.lit(86_400_000)), F.lit(-1)
-            ).cast("int")
             sinks.partitioned_upsert(
-                spark, target_dir, batch, merge, bucket_expr=day_bucket, persist=False
+                spark, target_dir, batch, merge, persist=False,
+                touched_vals=[r[0] for r in stats],
             )
             if batch_high is not None:
                 stored = _read_watermark(spark, target_dir)
@@ -349,8 +370,9 @@ def dim_merge_writer(target_dir: str, keys: list[str], order_col: str = "last_up
     from beeper_matric_etl_tool_spark.operators.dedup import latest_by_key_agg
 
     def write(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
+        # no isEmpty() pre-check: partitioned_upsert's touched-bucket
+        # collect discovers emptiness in the job it runs anyway and
+        # returns before scheduling the merge/write jobs (r13)
         spark = batch.sparkSession
         payload = [c for c in batch.columns if c not in keys and c != order_col]
         order_cols = [order_col, *payload]
@@ -405,8 +427,7 @@ def rollup_merge_writer(target_dir: str):
     chunk rewrite, not a table rewrite)."""
 
     def write(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
+        # emptiness discovered by partitioned_upsert's own collect (r13)
         spark = batch.sparkSession
 
         def merge(existing: DataFrame | None, b: DataFrame) -> DataFrame:
@@ -466,8 +487,7 @@ def session_merge_writer(target_dir: str, user_col: str = "sender"):
     one bucket, so the overlap merge reads/rewrites only touched buckets."""
 
     def write(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
+        # emptiness discovered by partitioned_upsert's own collect (r13)
         spark = batch.sparkSession
 
         def merge(existing: DataFrame | None, b: DataFrame) -> DataFrame:

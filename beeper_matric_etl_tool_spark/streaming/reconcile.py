@@ -221,8 +221,9 @@ def start_transcript_upsert_stream(
         )
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
+        # no isEmpty() pre-check: it would re-run the stateful plan once
+        # before partitioned_upsert persists it; emptiness is discovered
+        # by the upsert's own touched-bucket collect (r13)
         _session_upsert(batch, target_dir)
 
     writer = (

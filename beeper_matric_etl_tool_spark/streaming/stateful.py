@@ -89,9 +89,10 @@ def start_user_profiles(
     def upsert(batch: DataFrame, batch_id: int) -> None:
         from beeper_matric_etl_tool_spark import sinks
 
-        if batch.isEmpty():
-            return
-
+        # no isEmpty() pre-check: it would re-run the stateful plan once
+        # before partitioned_upsert persists it; the upsert's own
+        # touched-bucket collect discovers emptiness and returns before
+        # scheduling the merge/write jobs (r13)
         def merge(existing: DataFrame | None, b: DataFrame) -> DataFrame:
             if existing is None:
                 return b

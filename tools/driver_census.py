@@ -1,0 +1,61 @@
+"""Job/stage/task census of registered queries under a DRIVER-LIKE plain
+session (local[8], default 200 shuffle partitions, sf0.01) — the regime the
+grading driver's correctness pass runs in. Wall-clock includes plan
+construction (eager index builds) and the collect, like drive_entry.
+
+Usage: python tools/driver_census.py [name ...]   (default: a heavy set)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+HEAVY = [
+    "kmeans_invariants", "multimodal_features", "corpus_composition",
+    "quality_filter", "events_scalar_battery", "tfidf_top_terms",
+    "near_dup_pairs", "knn_multiprobe", "dedup_graph", "doc_profile",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from beeper_matric_etl_tool_spark import plans
+
+    names = sys.argv[1:] or HEAVY
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = SparkSession.builder.master("local[8]").appName("driver-census").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    specs = plans.specs()
+
+    print(f"{'query':28s} {'jobs':>5} {'stages':>7} {'tasks':>7} {'sec':>7}")
+    for name in names:
+        sc.setJobGroup(name, name)
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf)
+        n = len(df.collect())
+        wall = time.perf_counter() - t0
+        sc.setJobGroup("", "")
+        jobs = tracker.getJobIdsForGroup(name) or []
+        stages = tasks = 0
+        for j in jobs:
+            info = tracker.getJobInfo(j)
+            if info is None:
+                continue
+            for s in info.stageIds:
+                si = tracker.getStageInfo(s)
+                if si is not None:
+                    stages += 1
+                    tasks += si.numTasks
+        print(f"{name:28s} {len(jobs):>5} {stages:>7} {tasks:>7} {wall:>7.1f}  rows={n}")
+
+
+if __name__ == "__main__":
+    main()
