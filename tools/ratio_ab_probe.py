@@ -40,7 +40,12 @@ os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
 
 from beeper_matric_etl_tool_spark import get_spark, plans  # noqa: E402
 
-QUERIES = ("pricing_summary", "latest_event_per_user", "text_stats")
+QUERIES = (
+    "pricing_summary",
+    "latest_event_per_user",
+    "merge_changed_dim",  # r13: the r12 verdict's one unclassified ratio
+    "text_stats",
+)
 REPS = int(os.environ.get("AB_REPS", "7"))
 
 
