@@ -100,10 +100,18 @@ def train_bpe_merges(
     iteration is vocabulary-sized (module docstring)."""
     if n_merges < 1:
         raise ValueError(f"train_bpe_merges: n_merges={n_merges} must be >= 1")
+    # LAZY checkpoints (r13): the best-pair aggregation below full-scans
+    # `state`, so each iteration's ONE action materializes the checkpoint
+    # it reads — an eager checkpoint here would double the actions per
+    # merge (materialize job + best-pair job). The parent's blocks must
+    # therefore outlive the child until the child HAS materialized: we
+    # unpersist the grandparent after the best-pair action, never the
+    # direct parent of a still-lazy frame.
     state = _initial_symbols(word_counts(docs, text_col)).localCheckpoint(
-        eager=True
+        eager=False
     )
     merges: list[tuple[str, str, int]] = []
+    grandparent: DataFrame | None = None
     for _ in range(n_merges):
         pairs = state.select(
             "ct",
@@ -123,15 +131,21 @@ def train_bpe_merges(
             )
             .first()
         )
+        # `state` is materialized now — its parent's blocks are no longer
+        # needed for recomputation and can go.
+        if grandparent is not None:
+            grandparent.unpersist()
+            grandparent = None
         if best is None or best["n"] < min_pair_count:
             break
         a, b = best["p"]["a"], best["p"]["b"]
         merges.append((a, b, best["n"]))
-        prev = state
+        grandparent = state
         state = state.select(
             "word", "ct", _merge_fold(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint(eager=True)
-        prev.unpersist()
+        ).localCheckpoint(eager=False)
+    if grandparent is not None:
+        grandparent.unpersist()
     state.unpersist()
     return merges
 

@@ -1813,37 +1813,57 @@ def curate_media_with_signatures(
         )
         return decisions, sig_frame, sigs
 
-    img, img_sigs, _ = leg(
-        "image",
-        lambda df: image_perceptual_bits(df, method=image_method, n_bits=sig_bits),
-        image_max_hamming,
-        lambda s: F.col("width"),
-        lambda s: F.col("height"),
-        lambda s: F.lit(None).cast("int"),
-        lambda s: (F.col("width") < min_width) | (F.col("height") < min_height),
-    )
-    aud, aud_sigs, _ = leg(
-        "audio",
-        lambda df: audio_fingerprint_bits(df, n_bits=sig_bits),
-        audio_max_hamming,
-        lambda s: F.lit(None).cast("int"),
-        lambda s: F.lit(None).cast("int"),
-        lambda s: F.col("n_frames"),
-        lambda s: F.col("n_frames") < min_audio_frames,
-    )
-    vid, vid_sigs, vid_raw = leg(
-        "video",
-        lambda df: video_hash_bits(
-            df,
-            n_bits=sig_bits,
-            frame_hash_method=image_method if cross_modal else None,
-        ),
-        video_max_hamming,
-        lambda s: F.col("width"),
-        lambda s: F.col("height"),
-        lambda s: F.col("n_video_frames"),
-        lambda s: F.col("n_video_frames") < min_video_frames,
-    )
+    # r13 (guide §2.6): the three modality legs are independent — each
+    # decodes its own modality slice and runs its own eager checkpoint +
+    # cluster loop — so they overlap from a driver thread pool instead of
+    # serializing ~3× the per-job scheduling floors. Concurrent
+    # materialization of a shared lazy-checkpointed upstream is safe:
+    # Spark's RDDCheckpointData state machine is synchronized (one thread
+    # persists, the others compute the pure partitions directly), and
+    # every leg's decisions depend only on its own modality's rows.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        _f_img = _pool.submit(
+            leg,
+            "image",
+            lambda df: image_perceptual_bits(
+                df, method=image_method, n_bits=sig_bits
+            ),
+            image_max_hamming,
+            lambda s: F.col("width"),
+            lambda s: F.col("height"),
+            lambda s: F.lit(None).cast("int"),
+            lambda s: (F.col("width") < min_width)
+            | (F.col("height") < min_height),
+        )
+        _f_aud = _pool.submit(
+            leg,
+            "audio",
+            lambda df: audio_fingerprint_bits(df, n_bits=sig_bits),
+            audio_max_hamming,
+            lambda s: F.lit(None).cast("int"),
+            lambda s: F.lit(None).cast("int"),
+            lambda s: F.col("n_frames"),
+            lambda s: F.col("n_frames") < min_audio_frames,
+        )
+        _f_vid = _pool.submit(
+            leg,
+            "video",
+            lambda df: video_hash_bits(
+                df,
+                n_bits=sig_bits,
+                frame_hash_method=image_method if cross_modal else None,
+            ),
+            video_max_hamming,
+            lambda s: F.col("width"),
+            lambda s: F.col("height"),
+            lambda s: F.col("n_video_frames"),
+            lambda s: F.col("n_video_frames") < min_video_frames,
+        )
+        img, img_sigs, _ = _f_img.result()
+        aud, aud_sigs, _ = _f_aud.result()
+        vid, vid_sigs, vid_raw = _f_vid.result()
     unk = dispatched.filter(F.col("modality") == "unknown").select(
         "doc_id",
         "modality",

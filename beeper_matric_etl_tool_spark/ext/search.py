@@ -40,12 +40,18 @@ def bm25_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     corpus_stats: tuple[int, float] | None = None,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """(id_col, score_ppm, n_matched) per document matching ≥1 query term,
     scored with Okapi BM25 (k1 = k1_x100/100, b = b_x100/100 — integer
     parameters keep the call site engine-portable). ``corpus_stats`` is an
     optional precomputed (n_docs, avgdl) — pass it to skip the stats scan
     when serving many queries over one corpus (see module docstring).
+    ``toks_col`` names an ALREADY-TOKENIZED array column on ``docs``
+    (``tokens(text_col)``'s output, typically a checkpointed share across
+    several scorers — r13): when given, the tokenize pass is skipped and
+    ``text_col`` is never read. Scores are identical either way (tokens()
+    is deterministic).
 
     idf uses the standard +1-smoothed log form (always positive):
     ln(1 + (N - df + 0.5)/(df + 0.5)), floored to integer ppm PER TERM
@@ -62,7 +68,8 @@ def bm25_scores(
     k1 = F.lit(k1_x100 / 100.0)
     b = F.lit(b_x100 / 100.0)
 
-    base = docs.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
+    toks_expr = F.col(toks_col) if toks_col else tokens(text_col)
+    base = docs.select(F.col(id_col), toks_expr.alias("__toks")).select(
         id_col, "__toks", F.size("__toks").alias("__dl")
     )
     if corpus_stats is not None:
@@ -123,6 +130,7 @@ def unigram_nll_scores(
     corpus_stats: tuple[int, int] | None = None,
     lazy_stats: bool = False,
     reference: DataFrame | None = None,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """(id_col, score_ppm): mean per-token negative log-likelihood under a
     +1-smoothed unigram language model — the CCNet/Gopher-family
@@ -165,9 +173,15 @@ def unigram_nll_scores(
     broadcast one-row cross join instead of an eager driver job — same
     values (long addition exact, double cast matches the literal path
     below 2⁵³), zero jobs at composition (the form curate() needs), at
-    the cost of deriving the counts relation twice at execution."""
+    the cost of deriving the counts relation twice at execution.
+    ``toks_col`` (r13): see `bm25_scores` — a pre-tokenized array column
+    on ``docs`` that skips the tokenize pass (scoring side only; a
+    ``reference`` frame is always tokenized from its ``text_col``)."""
     toks = docs.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("__term")
+        F.col(id_col),
+        F.explode(F.col(toks_col) if toks_col else tokens(text_col)).alias(
+            "__term"
+        ),
     )
     tf = toks.groupBy(id_col, "__term").agg(F.count(F.lit(1)).alias("__tf"))
 
@@ -258,6 +272,7 @@ def bigram_nll_scores(
     reference: DataFrame | None = None,
     lazy_stats: bool = False,
     corpus_stats: tuple[int, int] | None = None,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """(id_col, score_ppm) for every document with ≥2 tokens: mean
     per-transition negative log-likelihood under a Jelinek-Mercer
@@ -305,11 +320,16 @@ def bigram_nll_scores(
     exact; the double cast matches the literal path below 2⁵³), at the
     cost of deriving the unigram relation twice at execution.
     ``corpus_stats=(n_total, v_size)`` supplies frozen precomputed stats
-    (reference-mode reuse) and overrides both."""
+    (reference-mode reuse) and overrides both.
+    ``toks_col`` (r13): see `bm25_scores` — a pre-tokenized array column
+    on ``docs`` that skips the tokenize pass (scoring side only)."""
     from pyspark.sql import Window
 
     lam = F.lit(lambda_ppm / 1_000_000.0)
-    toks = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    toks = docs.select(
+        F.col(id_col),
+        (F.col(toks_col) if toks_col else tokens(text_col)).alias("__toks"),
+    )
     pairs = (
         toks.filter(F.size("__toks") >= 2)
         .select(
@@ -691,6 +711,7 @@ def pmi_collocations(
     min_count: int = 5,
     k: int = 20,
     materialize_unigrams: bool = True,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Top-``k`` two-word collocations by pointwise mutual information
     (Church & Hanks 1990) — (w1, w2, c12, pmi_ppm, rank). The corpus-
@@ -726,7 +747,10 @@ def pmi_collocations(
     tokenize+count pass per consumer."""
     from pyspark.sql import Window
 
-    toks = docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    toks = docs.select(
+        F.col(id_col),
+        (F.col(toks_col) if toks_col else tokens(text_col)).alias("__toks"),
+    )
     pairs = (
         toks.filter(F.size("__toks") >= 2)
         .select(
@@ -742,7 +766,7 @@ def pmi_collocations(
     )
     c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni = (
-        docs.select(F.explode(tokens(text_col)).alias("term"))
+        toks.select(F.explode("__toks").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("ct"))
     )

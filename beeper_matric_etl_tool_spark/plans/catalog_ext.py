@@ -873,7 +873,9 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         xtext.token_count("text").alias("__n_toks"),
         holdout_split().alias("split"),
         mix_keep("doc_id", "lang", MIX_RATES).alias("__keep"),
-    ).localCheckpoint(eager=True)
+        # lazy (r13): the first consuming action materializes the blocks
+        # in the same job — no separate construction-time job needed
+    ).localCheckpoint(eager=False)
     base = core
     null_long = F.lit(None).cast("long")
 
@@ -1077,7 +1079,8 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", *(c.alias(n) for n, c in sig.items())
     ).select(
         "lang", "ttr_ppm", quality_verdict_columns()["keep"].alias("__keep")
-    ).localCheckpoint(eager=True)
+        # lazy (r13): same one-action materialization as `core` above
+    ).localCheckpoint(eager=False)
     aucleg = evaluate_auc(
         labeled, "ttr_ppm", "__keep", strata_col="lang", spread=True
     ).select(
@@ -2089,9 +2092,14 @@ def dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it so BOTH consumers (the pair slice and the cluster iteration, which
     # itself localCheckpoints its edge iterations) read one materialization
     # instead of re-running the join per slice per action
+    # lazy (r13): the cluster iteration's first convergence count reads
+    # the pair graph, so it materializes this checkpoint in that same
+    # action — an eager checkpoint here would run the quadratic join as
+    # its own extra job first; every later consumer (the pair slice, the
+    # split leg, the final collect) reads the persisted blocks either way
     pairs = xdedup.jaccard_pairs(
         docs, threshold=0.15, block_col="lang", shingle_k=3
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     clusters = xdedup.dedup_clusters(docs.select("doc_id"), pairs)
     pair_rows = pairs.select(
         F.lit("pair").alias("kind"),
@@ -4182,15 +4190,130 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed = planted_mc.mapInPandas(
         gen_mixed, "doc_id long, payload binary"
     ).localCheckpoint(eager=False)
+    # --- containment corpus frames (defined here so the index lifecycle
+    # below can overlap the curation chain — see the thread pool) ---
+    def gen_tracks(it):
+        for pdf in it:
+            payloads = [
+                xmm.make_gradient_avi(
+                    VHASH_W, VHASH_H, VHASH_N_FRAMES, int(d) % VHASH_SEEDS
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def gen_clip(it):
+        for pdf in it:
+            payloads = []
+            for _d in pdf["doc_id"]:
+                frames, _ = xmm._avi_frames(
+                    xmm.make_gradient_avi(VHASH_W, VHASH_H, VHASH_N_FRAMES, 0)
+                )
+                payloads.append(
+                    xmm._encode_avi(frames[CT_CLIP_START:CT_CLIP_END])
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(
+                        [CT_CLIP_ID] * len(pdf), dtype="int64"
+                    ),
+                    "payload": payloads,
+                }
+            )
+
+    def gen_del_clips(it):
+        for pdf in it:
+            ids, payloads = [], []
+            for _d in pdf["doc_id"]:
+                for src in (0, 1):
+                    frames, _ = xmm._avi_frames(
+                        xmm.make_gradient_avi(
+                            VHASH_W, VHASH_H, VHASH_N_FRAMES, src
+                        )
+                    )
+                    ids.append(CT_CLIP_ID + src * 2)
+                    payloads.append(
+                        xmm._encode_avi(frames[CT_CLIP_START:CT_CLIP_END])
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                }
+            )
+
+    ct_tracks = (
+        docs.select("doc_id").filter(F.col("doc_id") < CT_TRACKS)
+        .mapInPandas(gen_tracks, "doc_id long, payload binary")
+        .localCheckpoint(eager=False)
+    )
+    ct_clip = (
+        docs.select("doc_id").filter(F.col("doc_id") == 0)
+        .mapInPandas(gen_clip, "doc_id long, payload binary")
+        .localCheckpoint(eager=False)
+    )
+    ct_del_clips = (
+        docs.select("doc_id").filter(F.col("doc_id") == 0)
+        .mapInPandas(gen_del_clips, "doc_id long, payload binary")
+        .localCheckpoint(eager=False)
+    )
+
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from beeper_matric_etl_tool_spark.ext.containment_index import (
+        build_containment_index,
+        containment_against_index,
+        delete_from_containment_index,
+    )
+
     # the oracle replays the 64-bit closed forms, so the funnel runs the
     # compact width explicitly (production default is DEFAULT_SIG_BITS);
     # cross_modal exercises the re-encoded-still gate over the planted
     # still-AVI (the oracle replays the frame-vs-image hamming for EVERY
     # video, not just the planted hit)
-    mc_decisions = xmm.curate_media(
-        mixed, min_width=MC_MIN_W, min_height=MC_MIN_H, sig_bits=64,
-        cross_modal=True,
-    ).localCheckpoint(eager=False)  # r13: curation + report legs share it
+    def _curation_chain():
+        return xmm.curate_media(
+            mixed, min_width=MC_MIN_W, min_height=MC_MIN_H, sig_bits=64,
+            cross_modal=True,
+        ).localCheckpoint(eager=False)  # r13: curation + report legs share it
+
+    def _lifecycle_chain():
+        # build → probe (materialized BEFORE the index mutates) → delete;
+        # everything in this chain touches only its own temp index dir
+        # and the ct_* frames, so it cannot interact with the curation
+        # chain's jobs beyond sharing executor slots.
+        cidx_dir = tempfile.mkdtemp(prefix="mmf_contain_idx_")
+        build_containment_index(
+            ct_tracks, cidx_dir, kind="video", n_bits=64, stride=1,
+            max_hamming=CT_MAX_HAMMING,
+        )
+        ci = containment_against_index(
+            ct_clip, spark, cidx_dir, min_matches=CT_MIN_MATCHES
+        ).select(
+            F.lit("contain_idx").alias("kind"),
+            F.col("clip_id").cast("long").alias("id_a"),
+            F.col("track_id").cast("long").alias("id_b"),
+            F.lit("video").alias("mime"),
+            F.lit(None).cast("long").alias("byte_len"),
+            F.lit(None).cast("string").alias("payload_sha256"),
+            F.col("offset").cast("int").alias("width"),
+            F.col("n_matched").cast("int").alias("height"),
+            F.col("max_unit_hamming").cast("long").alias("hamming"),
+        ).localCheckpoint(eager=True)
+        delete_from_containment_index(spark, cidx_dir, [0])
+        return cidx_dir, ci
+
+    # r13 (guide §2.6): the two EAGER construction chains — the curation
+    # funnel's pointer-jumping cluster loops and the containment-index
+    # build/probe/delete lifecycle — are independent; overlapping them
+    # from a driver thread pool back-fills the per-job scheduling floors
+    # each chain pays. Results are unchanged: each chain's output depends
+    # only on its own deterministic inputs.
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_life = _pool.submit(_lifecycle_chain)
+        mc_decisions = _curation_chain()
+        cidx_dir, contain_idx = _f_life.result()
     curation = mc_decisions.select(
         F.lit("curation").alias("kind"),
         F.col("doc_id").cast("long").alias("id_a"),
@@ -4348,124 +4471,23 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consistency offset vote. 64-bit frame hashes (the closed-form
     # oracle width); the slot carries offset in `width`, vote count in
     # `height`, the worst unit distance in `hamming`.
-    from beeper_matric_etl_tool_spark.ext.media_subseq import (
-        video_containment_pairs,
-    )
-
-    def gen_tracks(it):
-        for pdf in it:
-            payloads = [
-                xmm.make_gradient_avi(
-                    VHASH_W, VHASH_H, VHASH_N_FRAMES, int(d) % VHASH_SEEDS
-                )
-                for d in pdf["doc_id"]
-            ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    def gen_clip(it):
-        for pdf in it:
-            payloads = []
-            for _d in pdf["doc_id"]:
-                frames, _ = xmm._avi_frames(
-                    xmm.make_gradient_avi(VHASH_W, VHASH_H, VHASH_N_FRAMES, 0)
-                )
-                payloads.append(
-                    xmm._encode_avi(frames[CT_CLIP_START:CT_CLIP_END])
-                )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(
-                        [CT_CLIP_ID] * len(pdf), dtype="int64"
-                    ),
-                    "payload": payloads,
-                }
-            )
-
-    ct_tracks = (
-        docs.select("doc_id").filter(F.col("doc_id") < CT_TRACKS)
-        .mapInPandas(gen_tracks, "doc_id long, payload binary")
-        .localCheckpoint(eager=False)
-    )
-    ct_clip = (
-        docs.select("doc_id").filter(F.col("doc_id") == 0)
-        .mapInPandas(gen_clip, "doc_id long, payload binary")
-        .localCheckpoint(eager=False)
-    )
     # kind='contain_idx' (r13): the SAME planted corpus probed through
     # the PERSISTED containment-index lifecycle (`ext/containment_index`)
     # — build decodes the six tracks ONCE into unit signatures on disk
     # (stride 1, radius pinned at build), the probe decodes ONLY the
-    # clip and votes against the stored units. The driver-checked claim:
-    # the index path's verdicts are IDENTICAL to the batch core's (the
-    # oracle replays the same closed-form pairs → offset vote), so
-    # build→persist→probe cannot drift from the one driver-oracled
-    # engine.
-    import tempfile
-
-    from beeper_matric_etl_tool_spark.ext.containment_index import (
-        build_containment_index,
-        containment_against_index,
-    )
-
-    cidx_dir = tempfile.mkdtemp(prefix="mmf_contain_idx_")
-    build_containment_index(
-        ct_tracks, cidx_dir, kind="video", n_bits=64, stride=1,
-        max_hamming=CT_MAX_HAMMING,
-    )
-    contain_idx = containment_against_index(
-        ct_clip, spark, cidx_dir, min_matches=CT_MIN_MATCHES
-    ).select(
-        F.lit("contain_idx").alias("kind"),
-        F.col("clip_id").cast("long").alias("id_a"),
-        F.col("track_id").cast("long").alias("id_b"),
-        F.lit("video").alias("mime"),
-        F.lit(None).cast("long").alias("byte_len"),
-        F.lit(None).cast("string").alias("payload_sha256"),
-        F.col("offset").cast("int").alias("width"),
-        F.col("n_matched").cast("int").alias("height"),
-        F.col("max_unit_hamming").cast("long").alias("hamming"),
-    )
-
+    # clip and votes against the stored units; the index path's verdicts
+    # are IDENTICAL to the batch core's. Built in _lifecycle_chain above.
     # kind='contain_del' (r13): the takedown cascade driver-oracled.
-    # Pin the pre-delete probe (localCheckpoint — the contain_idx leg's
-    # verdicts are materialized BEFORE the index mutates), then DELETE
-    # track 0's units from the persisted index and re-probe with TWO
-    # clips: track 0's (every verdict gone — the removed source can no
-    # longer be named) and track 1's (still lands at its exact offset —
-    # deletion disturbed nothing else). The oracle replays the same
+    # The pre-delete probe was pinned (localCheckpoint) BEFORE the index
+    # mutated in _lifecycle_chain; here the post-deletion index answers
+    # TWO clips: track 0's (every verdict gone — the removed source can
+    # no longer be named) and track 1's (still lands at its exact offset
+    # — deletion disturbed nothing else). The oracle replays the same
     # closed-form vote over the post-deletion track set.
-    from beeper_matric_etl_tool_spark.ext.containment_index import (
-        delete_from_containment_index,
+    from beeper_matric_etl_tool_spark.ext.media_subseq import (
+        video_containment_pairs,
     )
 
-    def gen_del_clips(it):
-        for pdf in it:
-            ids, payloads = [], []
-            for _d in pdf["doc_id"]:
-                for src in (0, 1):
-                    frames, _ = xmm._avi_frames(
-                        xmm.make_gradient_avi(
-                            VHASH_W, VHASH_H, VHASH_N_FRAMES, src
-                        )
-                    )
-                    ids.append(CT_CLIP_ID + src * 2)
-                    payloads.append(
-                        xmm._encode_avi(frames[CT_CLIP_START:CT_CLIP_END])
-                    )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "payload": payloads,
-                }
-            )
-
-    ct_del_clips = (
-        docs.select("doc_id").filter(F.col("doc_id") == 0)
-        .mapInPandas(gen_del_clips, "doc_id long, payload binary")
-        .localCheckpoint(eager=False)
-    )
-    contain_idx = contain_idx.localCheckpoint(eager=True)
-    delete_from_containment_index(spark, cidx_dir, [0])
     contain_del = containment_against_index(
         ct_del_clips, spark, cidx_dir, min_matches=CT_MIN_MATCHES
     ).select(
@@ -5027,13 +5049,57 @@ def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
       leg exercises on an exact-integer score is here wired to the
       float-iterative model through the invariant contract).
       n_clf_scored is the oracle-derived corpus count."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from beeper_matric_etl_tool_spark.ext.bpe import train_bpe_merges
+    from beeper_matric_etl_tool_spark.ext.classifier import train_logreg
     from beeper_matric_etl_tool_spark.ext.clustering import kmeans
     from beeper_matric_etl_tool_spark.ext.dedup import connected_components
+    from beeper_matric_etl_tool_spark.ext.quantization import (
+        encode_pq,
+        pq_topk,
+        train_pq,
+    )
     from beeper_matric_etl_tool_spark.ext.semdedup import semantic_edges
 
     emb = table(spark, sf_dir, "embeddings")
-    assignments, centroids = kmeans(emb, k=8, iterations=3)
-    clustered = emb.join(assignments, on="vec_id")
+    docs_bpe = table(spark, sf_dir, "documents")
+
+    # The construction phase runs FIVE mutually independent driver-looped
+    # trainers (Lloyd kmeans → semdedup components; PQ codebooks; the two
+    # determinism-twin BPE trainings; the two twin logreg trainings), each
+    # a chain of tiny one-or-few-task jobs whose wall is pure scheduling
+    # floor. Sequential submission leaves the session idle; overlapping
+    # the independent chains from a small driver thread pool (guide §2.6)
+    # back-fills those floors. Every trainer's output is deterministic in
+    # its input alone (integer-sum gradient/update contracts), so
+    # concurrent submission cannot change any emitted value.
+    def _cluster_chain():
+        assignments, centroids = kmeans(emb, k=8, iterations=3)
+        clustered = emb.join(assignments, on="vec_id")
+        edges = semantic_edges(
+            clustered.select("vec_id", "embedding", "cluster_id"),
+            threshold_ppm=400_000,
+        ).localCheckpoint(eager=False)
+        components = connected_components(edges, src_col="id_a", dst_col="id_b")
+        return assignments, centroids, clustered, edges, components
+
+    def _pq_chain():
+        books = train_pq(emb, m=8, k=16, iterations=3)
+        enc = encode_pq(emb, books).localCheckpoint(eager=True)
+        return books, enc
+
+    with ThreadPoolExecutor(max_workers=4) as _pool:
+        _f_cluster = _pool.submit(_cluster_chain)
+        _f_pq = _pool.submit(_pq_chain)
+        _f_bpe1 = _pool.submit(train_bpe_merges, docs_bpe, 12, 2)
+        _f_bpe2 = _pool.submit(
+            train_bpe_merges, docs_bpe.repartition(5), 12, 2
+        )
+        assignments, centroids, clustered, edges, components = _f_cluster.result()
+        books, enc = _f_pq.result()
+        merges = _f_bpe1.result()
+        merges_repart = _f_bpe2.result()
 
     n_vectors = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
     n_assigned = assignments.agg(F.count(F.lit(1)).alias("n_assigned"))
@@ -5081,10 +5147,7 @@ def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup over the same trained clustering (no second kmeans build):
     # threshold graph → components → lowest-id-wins decisions, then the
     # four defining invariants folded to booleans the oracle pins TRUE.
-    edges = semantic_edges(
-        clustered.select("vec_id", "embedding", "cluster_id"), threshold_ppm=400_000
-    ).localCheckpoint(eager=False)
-    components = connected_components(edges, src_col="id_a", dst_col="id_b")
+    # (edges/components were trained in _cluster_chain above.)
     decisions = (
         clustered.select("vec_id")
         .join(
@@ -5141,16 +5204,10 @@ def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- PQ invariants over the same embeddings (docstring pq_* legs) ---
     from pyspark.sql import Window as _W
 
-    from beeper_matric_etl_tool_spark.ext.quantization import (
-        encode_pq,
-        pq_topk,
-        reconstruct_pq,
-        train_pq,
-    )
+    from beeper_matric_etl_tool_spark.ext.quantization import reconstruct_pq
     from beeper_matric_etl_tool_spark.ext.similarity import dot, quantize
 
-    books = train_pq(emb, m=8, k=16, iterations=3)
-    enc = encode_pq(emb, books).localCheckpoint(eager=True)
+    # (books/enc were trained in _pq_chain above.)
     pq_probes = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -5192,14 +5249,9 @@ def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         EOW,
         bpe_segment,
         bpe_segment_udf,
-        train_bpe_merges,
     )
 
-    docs_bpe = table(spark, sf_dir, "documents")
-    merges = train_bpe_merges(docs_bpe, n_merges=12, min_pair_count=2)
-    merges_repart = train_bpe_merges(
-        docs_bpe.repartition(5), n_merges=12, min_pair_count=2
-    )
+    # (merges/merges_repart were trained concurrently above.)
     vocab = (
         docs_bpe.select(F.explode(xtext.tokens("text")).alias("word"))
         .distinct()
@@ -5240,7 +5292,6 @@ def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         feature_stats,
         quality_features,
         standardize,
-        train_logreg,
     )
     from beeper_matric_etl_tool_spark.ext.quality import (
         quality_signal_columns,
@@ -5265,10 +5316,15 @@ def kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clf_stats = feature_stats(labeled, clf_cols)
     z = standardize(labeled, clf_stats).localCheckpoint(eager=True)
-    w_clf = train_logreg(z, clf_cols, "__y", iterations=12, lr=1.0)
-    w_clf2 = train_logreg(
-        z.repartition(5), clf_cols, "__y", iterations=12, lr=1.0
-    )
+    # the determinism-twin trainings are independent given z — overlap
+    # them (guide §2.6); bit-identical weights either way is exactly what
+    # clf_bit_stable_ok asserts.
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f_w2 = _pool.submit(
+            train_logreg, z.repartition(5), clf_cols, "__y", 12, 1.0
+        )
+        w_clf = train_logreg(z, clf_cols, "__y", iterations=12, lr=1.0)
+        w_clf2 = _f_w2.result()
     clf_agg = classify(z, w_clf, clf_cols).agg(
         F.count(F.lit(1)).alias("n_clf_scored"),
         F.count_if(
@@ -5660,9 +5716,24 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from beeper_matric_etl_tool_spark.ext.search import bm25_topk, unigram_nll_scores
 
-    toks = docs.select("doc_id", F.explode(xtext.tokens("text")).alias("term"))
+    # Tokenize ONCE (r13, guide §2.4/§7.3): five of the eight legs (tfidf,
+    # bm25, lm, lm2, pmi) consume the same token stream; before this the
+    # union re-embedded the scan+tokenize subtree per leg (40 scans, 74
+    # exchanges in the plan). A LAZY localCheckpoint materializes the
+    # (doc_id, tokens) frame in the first action and every leg reads the
+    # persisted partitions. The dense legs hash raw text (a different
+    # kernel) and keep their own scans. Token values are unchanged, so
+    # every leg's scores are bit-identical.
+    dtoks = docs.select(
+        "doc_id", xtext.tokens("text").alias("__toks")
+    ).localCheckpoint(eager=False)
+    toks = dtoks.select("doc_id", F.explode("__toks").alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df per term = number of distinct docs containing it = the (doc,term)
+    # row count of tf — derived from the vocabulary-sized tf relation
+    # instead of a second pass over the token stream (same value by
+    # construction: tf has exactly one row per (doc, term)).
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()  # scalar (one tiny job) — becomes a literal in the plan
     idf = dfreq.select(
         "term",
@@ -5689,14 +5760,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # bm25_topk emits rank itself (windowed over the already-limited k
     # rows — the global window runs on a bounded frame, never the corpus)
-    bm25_leg = bm25_topk(docs, list(_BM25_QUERY), k=10).select(
+    bm25_leg = bm25_topk(dtoks, list(_BM25_QUERY), k=10, toks_col="__toks").select(
         F.lit("bm25").alias("method"),
         "doc_id",
         F.lit(None).cast("string").alias("term"),
         "score_ppm",
         "rank",
     )
-    lm_leg = unigram_nll_scores(docs).select(
+    lm_leg = unigram_nll_scores(dtoks, toks_col="__toks").select(
         F.lit("lm").alias("method"),
         "doc_id",
         F.lit(None).cast("string").alias("term"),
@@ -5714,7 +5785,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         rrf_fuse,
     )
 
-    lm2_leg = bigram_nll_scores(docs).select(
+    lm2_leg = bigram_nll_scores(dtoks, toks_col="__toks").select(
         F.lit("lm2").alias("method"),
         "doc_id",
         F.lit(None).cast("string").alias("term"),
@@ -5781,7 +5852,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beeper_matric_etl_tool_spark.ext.search import pmi_collocations
 
     pmi_leg = pmi_collocations(
-        docs, min_count=PMI_MIN_COUNT, k=PMI_TOP_K
+        dtoks, min_count=PMI_MIN_COUNT, k=PMI_TOP_K, toks_col="__toks"
     ).select(
         F.lit("pmi").alias("method"),
         F.lit(None).cast("long").alias("doc_id"),
