@@ -38,7 +38,7 @@ from beeper_matric_etl_tool_spark.ext.pipeline import (
 from beeper_matric_etl_tool_spark.ext.quality import EMAIL_RE
 from beeper_matric_etl_tool_spark.operators import windows as xwin
 from beeper_matric_etl_tool_spark.plans.registry import register
-from beeper_matric_etl_tool_spark.sources.tables import table
+from beeper_matric_etl_tool_spark.sources.tables import table, widen_narrow_scan
 
 # --------------------------------------------------------------------------
 # Text analysis
@@ -1597,7 +1597,9 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     every row survives, a duplicate group's total weight sums to ~1e6,
     and the oracle replays the fingerprint-count window and the integer
     division exactly."""
-    docs = table(spark, sf_dir, "documents")
+    # r13: spread the scan before the per-leg shingle/md5 fingerprint map
+    # stages — no-op at scale, see widen_narrow_scan
+    docs = widen_narrow_scan(table(spark, sf_dir, "documents"))
     toks = xtext.tokens("text")
     # the reusable language-ID pair (ext/text.py): per-inventory scores +
     # fixed-preference argmax — the oracle CASE chain replays the same
@@ -2087,7 +2089,9 @@ def dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash on the cluster id makes that impossible by construction, and
     the hash pins both the exact assignment and the same-cluster-same-
     split invariant."""
-    docs = table(spark, sf_dir, "documents")
+    # r13: spread the scan before the hash-heavy map stages (shingle md5,
+    # portable minhash) — no-op at scale, see widen_narrow_scan
+    docs = widen_narrow_scan(table(spark, sf_dir, "documents"))
     # the quadratic-in-block Jaccard join is the expensive stage; checkpoint
     # it so BOTH consumers (the pair slice and the cluster iteration, which
     # itself localCheckpoints its edge iterations) read one materialization
@@ -2255,7 +2259,9 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-key equi-join, never an all-pairs cross. Portable hash family
     (ext/dedup.py:portable_hash60) — every intermediate is reproducible by
     the DuckDB oracle, upgrading this from rows-only to hash-checked."""
-    docs = table(spark, sf_dir, "documents")
+    # r13: spread the scan before the md5 minhash/simhash map stages —
+    # no-op at scale, see widen_narrow_scan
+    docs = widen_narrow_scan(table(spark, sf_dir, "documents"))
     mh = xdedup.near_dedup_minhash(docs, threshold=0.5, portable=True).select(
         F.lit("minhash").alias("method"), "id_a", "id_b",
         F.col("jaccard_ppm").alias("score"),

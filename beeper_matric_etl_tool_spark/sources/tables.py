@@ -86,6 +86,34 @@ def _tz_normalize(df: DataFrame) -> DataFrame:
     return df
 
 
+def widen_narrow_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin-spread ``df`` when its physical partitioning is narrower
+    than the session's core count — otherwise return it untouched (r13,
+    guide §2.5 "input skew").
+
+    The hash-heavy text kernels (portable md5 minhash, shingle
+    fingerprints, simhash bit votes) are pure map work: their wall-clock
+    is bounded by the parallelism of the SCAN feeding them. At production
+    scale a corpus scan yields thousands of splits and this is a no-op
+    (``getNumPartitions() >= cores`` → zero added exchanges). At bench/CI
+    scale one small parquet file arrives as ONE split, serializing
+    minutes of per-row hashing onto a single core while the rest idle —
+    measured r13: near_dup_pairs' portable minhash signatures alone were
+    8.0 s on the 1-split sf0.01 scan under the driver's local[8] session.
+
+    Round-robin (keyless) repartition keeps content deterministic under
+    retries via Spark's sort-before-repartition (SPARK-23207, on by
+    default); every downstream near-dup decision is keyed aggregation,
+    so row placement cannot affect any result. The exchange moves the
+    raw text once — acceptable exactly because it only fires when the
+    input is a handful of splits (single-digit MB), never at scale."""
+    sc = df.sparkSession.sparkContext
+    target = int(min_parts) if min_parts is not None else sc.defaultParallelism
+    if target <= 1 or df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Load all tables as a dict — the engine's 'catalog' for one scale factor."""
     return {name: table(spark, sf_dir, name) for name in TABLES}

@@ -355,3 +355,25 @@ def test_pq_probe_reads_codes_not_vectors(spark, tmp_path):
     )
     assert "codes:array" in plan
     assert "embedding:array<float>" not in plan
+
+
+def test_widen_narrow_scan_spreads_only_narrow_inputs(spark):
+    """widen_narrow_scan (r13): a 1-split scan is spread to the session's
+    core count before hash-heavy map stages — and an input already at
+    least as wide as the cluster is returned UNTOUCHED (the production
+    no-op path: no added exchange at scale). Content is identical either
+    way; only partition placement changes."""
+    from beeper_matric_etl_tool_spark.sources.tables import table, widen_narrow_scan
+
+    docs = table(spark, SF, "documents")
+    target = spark.sparkContext.defaultParallelism
+    assert docs.rdd.getNumPartitions() < target  # the sf0.001 single split
+
+    widened = widen_narrow_scan(docs)
+    assert widened.rdd.getNumPartitions() == target
+    assert sorted(r.doc_id for r in widened.select("doc_id").collect()) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+
+    wide = docs.repartition(target + 2)
+    assert widen_narrow_scan(wide) is wide  # no-op: same object, no exchange
