@@ -1598,8 +1598,14 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the oracle replays the fingerprint-count window and the integer
     division exactly."""
     # r13: spread the scan before the per-leg shingle/md5 fingerprint map
-    # stages — no-op at scale, see widen_narrow_scan
-    docs = widen_narrow_scan(table(spark, sf_dir, "documents"))
+    # stages — no-op at scale, see widen_narrow_scan.
+    # r14 (ADVICE): ~10 legs consume the widened frame — one lazy
+    # localCheckpoint shares a single materialized spread instead of
+    # re-running scan + round-robin exchange per leg (21 RoundRobin nodes
+    # in the r13 after-plan); columns pruned to the three the legs read.
+    docs = widen_narrow_scan(
+        table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    ).localCheckpoint(eager=False)
     toks = xtext.tokens("text")
     # the reusable language-ID pair (ext/text.py): per-inventory scores +
     # fixed-preference argmax — the oracle CASE chain replays the same
@@ -2090,8 +2096,16 @@ def dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash pins both the exact assignment and the same-cluster-same-
     split invariant."""
     # r13: spread the scan before the hash-heavy map stages (shingle md5,
-    # portable minhash) — no-op at scale, see widen_narrow_scan
-    docs = widen_narrow_scan(table(spark, sf_dir, "documents"))
+    # portable minhash) — no-op at scale, see widen_narrow_scan.
+    # r14 (ADVICE): the widened frame feeds SIX independent legs (pair
+    # graph, cluster join-back, incremental ref/batch slices, split) —
+    # without the lazy checkpoint every leg re-ran the scan plus its own
+    # round-robin exchange of the raw text (95 RoundRobin nodes in the
+    # r13 after-plan). One materialized spread, shared; columns pruned
+    # to the three the legs read before the exchange moves any bytes.
+    docs = widen_narrow_scan(
+        table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    ).localCheckpoint(eager=False)
     # the quadratic-in-block Jaccard join is the expensive stage; checkpoint
     # it so BOTH consumers (the pair slice and the cluster iteration, which
     # itself localCheckpoints its edge iterations) read one materialization
@@ -2260,8 +2274,13 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ext/dedup.py:portable_hash60) — every intermediate is reproducible by
     the DuckDB oracle, upgrading this from rows-only to hash-checked."""
     # r13: spread the scan before the md5 minhash/simhash map stages —
-    # no-op at scale, see widen_narrow_scan
-    docs = widen_narrow_scan(table(spark, sf_dir, "documents"))
+    # no-op at scale, see widen_narrow_scan.
+    # r14 (ADVICE): the two funnels shared the scan but not the spread —
+    # one lazy localCheckpoint materializes the (doc_id, text) spread once
+    # for both instead of scan + round-robin exchange per funnel.
+    docs = widen_narrow_scan(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).localCheckpoint(eager=False)
     mh = xdedup.near_dedup_minhash(docs, threshold=0.5, portable=True).select(
         F.lit("minhash").alias("method"), "id_a", "id_b",
         F.col("jaccard_ppm").alias("score"),

@@ -106,7 +106,15 @@ def widen_narrow_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     default); every downstream near-dup decision is keyed aggregation,
     so row placement cannot affect any result. The exchange moves the
     raw text once — acceptable exactly because it only fires when the
-    input is a handful of splits (single-digit MB), never at scale."""
+    input is a handful of splits (single-digit MB), never at scale.
+
+    CONTRACT (r14, ADVICE): pass a BARE SCAN (or another shuffle-free
+    frame), never a post-shuffle/post-join DataFrame. The width probe
+    below calls ``df.rdd.getNumPartitions()``, which forces physical
+    planning of ``df`` — cheap for a scan, but on a frame containing
+    exchanges AQE may eagerly EXECUTE the upstream stages just to answer
+    the probe, turning query construction into jobs. All in-tree call
+    sites pass the ``table()`` scan directly; keep it that way."""
     sc = df.sparkSession.sparkContext
     target = int(min_parts) if min_parts is not None else sc.defaultParallelism
     if target <= 1 or df.rdd.getNumPartitions() >= target:
