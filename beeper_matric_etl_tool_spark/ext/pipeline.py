@@ -1341,22 +1341,27 @@ def curate(
     ``persist_intermediates=True`` pinned — call it when the batch is
     exported, or curate many batches inside ``with curate(...) as stages:``.
 
-    ``checkpoint_stages=True`` (r13) truncates lineage at the two stage
-    frames every downstream leg re-derives — ``scrubbed`` (tokenize +
-    signal battery + PII regex pass) and ``near`` (the whole minhash/LSH/
-    verify/components subtree) — with a LAZY ``localCheckpoint``: no job
-    runs at composition (the laziness contract holds), but a consumer
-    that unions many stage frames gets a plan of two small trees instead
-    of eight copies of the full funnel. Measured r13 on the
-    `quality_filter` suite (8 legs): Catalyst planning alone was ~2 min
-    of DRIVER time at ANY data size (12.5k-line physical plan, 90
-    re-derived scans); with checkpointing the plan collapses and the
-    scrubbed/near work executes once. Price: checkpointed partitions
-    live on executors and their lineage is gone, so a lost executor
-    fails the query instead of recomputing (acceptable for a query-
-    sized funnel; leave False for fault-critical long pipelines). When
-    set, ``persist_intermediates`` is ignored for the checkpointed
-    frames (the checkpoint already pins its RDD).
+    ``checkpoint_stages=True`` (r13) truncates lineage at the stage
+    frames downstream consumers re-derive — ``scrubbed`` (tokenize +
+    signal battery + PII regex pass), ``near`` (the whole minhash/LSH/
+    verify/components subtree) and, since r14, EVERY optional-stage
+    output (deboilerplated/despanned/novel/fluent) — with a LAZY
+    ``localCheckpoint``: no job runs at composition (the laziness
+    contract holds), but a consumer that unions many stage frames gets
+    a plan of small trees instead of eight copies of the full funnel.
+    Measured r13 on the `quality_filter` suite (8 legs): Catalyst
+    planning alone was ~2 min of DRIVER time at ANY data size
+    (12.5k-line physical plan, 90 re-derived scans); with checkpointing
+    the plan collapses and each stage's work executes once. The r14
+    extension attacks the same cost at COMPOSITION time: Catalyst
+    analysis runs eagerly per DataFrame op, so with despan/fluency
+    stages enabled merely BUILDING the funnel burned ~36 s of driver
+    time on re-embedded subtrees; with per-stage cuts it is ~1 s.
+    Price: checkpointed partitions live on executors and their lineage
+    is gone, so a lost executor fails the query instead of recomputing
+    (acceptable for a query-sized funnel; leave False for fault-critical
+    long pipelines). When set, ``persist_intermediates`` is ignored for
+    the checkpointed frames (the checkpoint already pins its RDD).
     """
     reserved = [c for c in docs.columns if c in CURATE_RESERVED_COLUMNS]
     if reserved:
@@ -1480,6 +1485,20 @@ def curate(
         scrubbed = scrubbed.persist()
         persisted.append(scrubbed)
 
+    def _stage_cut(frame: DataFrame) -> DataFrame:
+        # r14: under checkpoint_stages, cut lineage at EVERY optional-stage
+        # output, not just scrubbed/near. Composing the funnel analyzes each
+        # new frame EAGERLY (Catalyst analysis runs per DataFrame op), and
+        # with despan/novel/fluent subtrees re-embedding their inputs the
+        # analysis cost of the post-fluent stages grew super-linearly —
+        # measured: 36 s of pure DRIVER time constructing a 6-row funnel
+        # (span_k + bigram fluency), zero jobs. A lazy localCheckpoint
+        # converts the frame to an RDD-scan leaf immediately, so every
+        # downstream analysis starts shallow; the stage's subtree still
+        # executes exactly once, at the first action. Same fault-tolerance
+        # trade as the scrubbed/near cuts (docstring above).
+        return frame.localCheckpoint(eager=False) if checkpoint_stages else frame
+
     opt_stages: dict[str, DataFrame] = {}
     dedup_input = scrubbed
     if clf_weights is not None:
@@ -1545,7 +1564,8 @@ def curate(
         # paragraph-fingerprint shuffles feed every downstream stage and
         # the plan carries no window (the documented persist hazard does
         # not apply)
-        if persist_intermediates:
+        deboilerplated = _stage_cut(deboilerplated)
+        if not checkpoint_stages and persist_intermediates:
             deboilerplated = deboilerplated.persist()
             persisted.append(deboilerplated)
         opt_stages["deboilerplated"] = deboilerplated
@@ -1577,7 +1597,8 @@ def curate(
         # rebuild) feeds every downstream stage; its plan carries no
         # window, so the documented quality+PII+window persist hazard
         # does not apply here
-        if persist_intermediates:
+        despanned = _stage_cut(despanned)
+        if not checkpoint_stages and persist_intermediates:
             despanned = despanned.persist()
             persisted.append(despanned)
         opt_stages["despanned"] = despanned
@@ -1608,7 +1629,8 @@ def curate(
             ).select(F.col(id_col), F.col("dup_ppm").alias("dup_window_ppm")),
             on=id_col,
         ).select(*dedup_input.columns, "dup_window_ppm")
-        if persist_intermediates:
+        novel = _stage_cut(novel)
+        if not checkpoint_stages and persist_intermediates:
             novel = novel.persist()
             persisted.append(novel)
         opt_stages["novel"] = novel
@@ -1683,6 +1705,7 @@ def curate(
             id_col=id_col,
             spread=nll_spread,
         ).unionByName(no_evidence)
+        fluent = _stage_cut(fluent)
         opt_stages["fluent"] = fluent
         dedup_input = fluent
     if max_nll_ppm is not None:
@@ -1701,6 +1724,7 @@ def curate(
         ).filter(
             F.col("nll_ppm").isNull() | (F.col("nll_ppm") <= max_nll_ppm)
         )
+        fluent = _stage_cut(fluent)
         opt_stages["fluent"] = fluent
         dedup_input = fluent
 

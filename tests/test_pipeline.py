@@ -770,7 +770,11 @@ def test_curate_optional_span_and_fluency_stages(spark):
     # pick the NLL ceiling from the post-span corpus itself: midway
     # between the fluent docs' worst score and the gibberish score (the
     # mechanism under test is the cut, not a universal constant)
-    probe = curate(docs, persist_intermediates=False, span_k=5)
+    # checkpoint_stages: value assertions only — cuts the re-embedded
+    # funnel composition cost (r14 suite-wall fix, semantics unchanged)
+    probe = curate(
+        docs, persist_intermediates=False, span_k=5, checkpoint_stages=True
+    )
     scores = {
         r["doc_id"]: r["score_ppm"]
         for r in unigram_nll_scores(probe["despanned"]).collect()
@@ -784,6 +788,7 @@ def test_curate_optional_span_and_fluency_stages(spark):
         persist_intermediates=False,
         span_k=5,
         max_nll_ppm=int(ceiling),
+        checkpoint_stages=True,
     )
     keys = list(stages.keys())
     assert keys.index("scrubbed") < keys.index("despanned") < keys.index(
@@ -1932,14 +1937,17 @@ def test_curate_bigram_fluency_gate_catches_word_order(spark):
         [reversed_doc] + naturals, "doc_id long, lang string, text string"
     )
     # keep 9 of 10 per source — exactly one doc must drop
-    uni = curate(docs, nll_keep_ppm=900_000, persist_intermediates=False)
+    # checkpoint_stages on all three funnels: value assertions only —
+    # cuts the re-embedded composition cost (r14 suite-wall fix)
+    uni = curate(docs, nll_keep_ppm=900_000, persist_intermediates=False,
+                 checkpoint_stages=True)
     assert {r["doc_id"] for r in uni["scrubbed"].select("doc_id").collect()} \
         == {1} | {10 + i for i in range(9)}  # all pass the heuristic gate
     uni_ids = {r["doc_id"] for r in uni["fluent"].select("doc_id").collect()}
     assert 1 in uni_ids  # unigram model cannot see the scrambling
     bi = curate(
         docs, nll_keep_ppm=900_000, nll_lm_order=2,
-        persist_intermediates=False,
+        persist_intermediates=False, checkpoint_stages=True,
     )
     bi_ids = {r["doc_id"] for r in bi["fluent"].select("doc_id").collect()}
     assert 1 not in bi_ids  # word order enters the bigram score
@@ -1947,7 +1955,7 @@ def test_curate_bigram_fluency_gate_catches_word_order(spark):
     # the fixed-cutoff form accepts the order switch too
     bi_cut = curate(
         docs, max_nll_ppm=10_000_000, nll_lm_order=2,
-        persist_intermediates=False,
+        persist_intermediates=False, checkpoint_stages=True,
     )
     assert {r["doc_id"] for r in bi_cut["fluent"].select("doc_id").collect()}
     with pytest.raises(ValueError, match="nll_lm_order"):
@@ -1986,10 +1994,14 @@ def test_curate_fluency_gate_passes_no_evidence_docs(spark):
         "doc_id long, lang string, text string",
     )
     # fixed-cutoff form: the ceiling is generous — every SCORED doc
-    # passes; doc 2 passes via the NULL rule with a NULL audit column
+    # passes; doc 2 passes via the NULL rule with a NULL audit column.
+    # checkpoint_stages cuts the re-embedded funnel plans (r13 technique);
+    # the gate semantics under test are unchanged — measured r14: this
+    # test was 393 s standalone without it, nearly all driver-side
+    # Catalyst planning of the twice-built funnel
     cut = curate(
         docs, persist_intermediates=False, span_k=5,
-        max_nll_ppm=100_000_000, nll_lm_order=2,
+        max_nll_ppm=100_000_000, nll_lm_order=2, checkpoint_stages=True,
     )
     despanned = {
         r["doc_id"]: r["text"] for r in cut["despanned"].collect()
@@ -2003,7 +2015,7 @@ def test_curate_fluency_gate_passes_no_evidence_docs(spark):
     # docs keep floor(5·0.6)=3, plus doc 2 through the NULL rule
     pct = curate(
         docs, persist_intermediates=False, span_k=5,
-        nll_keep_ppm=600_000, nll_lm_order=2,
+        nll_keep_ppm=600_000, nll_lm_order=2, checkpoint_stages=True,
     )
     rows = {r["doc_id"]: r["nll_ppm"] for r in pct["fluent"].collect()}
     assert 2 in rows and rows[2] is None
