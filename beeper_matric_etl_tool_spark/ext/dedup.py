@@ -366,16 +366,23 @@ def simhash_bits(
     toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
     token_hash = portable_hash60(F.col("__tok")) if portable else F.xxhash64("__tok")
     hashed = toked.withColumn("__h", token_hash)
+    # r14: the vote/sign expressions are built as PARSED strings — the
+    # Column-DSL form was ~n_bits × 8 py4j round trips per call (pure
+    # driver-side composition chatter); the parsed trees are identical
+    # (same shiftright/&/CASE algebra), so plans, results and the DuckDB
+    # oracle replay are unchanged.
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(case when (shiftright(__h, {j}) & 1) = 1 then 1 else -1 end)"
         ).alias(f"__v{j}")
         for j in range(n_bits)
     ]
     summed = hashed.groupBy(id_col).agg(*votes)
-    bits = F.array(*[
-        F.when(F.col(f"__v{j}") > 0, F.lit(1)).otherwise(F.lit(0)) for j in range(n_bits)
-    ])
+    bits = F.expr(
+        "array(" + ",".join(
+            f"case when __v{j} > 0 then 1 else 0 end" for j in range(n_bits)
+        ) + ")"
+    )
     return summed.select(F.col(id_col), bits.alias("bits"))
 
 
@@ -453,7 +460,13 @@ def _banded_rows(
     for ANY fixed partition of the bits, so the verified pair set is
     identical — only the candidate count changes."""
     perm = [b + j * bands for b in range(bands) for j in range(width)]
-    permuted = F.array(*[F.col("bits").getItem(p) for p in perm])
+    # ONE parsed expression instead of n_bits getItem() Column ops: each
+    # Column op is a py4j round trip, and this builder runs per banded
+    # funnel leg — measured r14 on multimodal_features' construction,
+    # the getItem listcomp alone was ~6.5 s of driver-side chatter.
+    # `bits[p]` parses to the same GetArrayItem node, so plans (and
+    # results) are identical.
+    permuted = F.expr("array(" + ",".join(f"bits[{p}]" for p in perm) + ")")
     return sigs.select(
         F.col(id_col),
         permuted.alias("bits"),
