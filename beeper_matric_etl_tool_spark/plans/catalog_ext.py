@@ -1756,10 +1756,12 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # including the hop arithmetic and any cross-document window
     # collisions — in SQL.
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from beeper_matric_etl_tool_spark.ext.passage_index import (
         attribute_against_index,
         build_passage_index,
+        delete_from_passage_index,
     )
 
     src_toks = F.slice(
@@ -1786,47 +1788,48 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select(F.col("p.doc_id").cast("long").alias("doc_id"), "p.text")
     pidx_dir = tempfile.mkdtemp(prefix="dp_attrib_idx_")
-    build_passage_index(
-        docs, pidx_dir, k=ATTRIB_K, corpus_hop=ATTRIB_HOP, normalize=False
-    )
-    attrib_leg = attribute_against_index(
-        probes, spark, pidx_dir, min_matches=ATTRIB_MIN_MATCHES
-    ).select(
-        F.lit("attrib").alias("kind"),
-        F.col("probe_id").cast("long").alias("doc_id"),
-        *null_dims,
-        *null_fps,
-        F.col("doc_id").cast("string").alias("cleaned_fp"),
-        F.col("offset").cast("int").alias("n_units"),
-        F.col("n_matched").cast("int").alias("n_removed"),
-    ).localCheckpoint(eager=True)  # pin the pre-delete verdicts
-    # kind='attrib_del' (r13): the takedown cascade on the text plane —
-    # the source doc's windows DELETED from the persisted index, the
-    # same probes re-attributed. The removed source can no longer be
-    # named; any surviving votes would go to cross-collision docs,
-    # which the oracle REPLAYS (avote minus the deleted doc) rather
-    # than assumes away — on this corpus the correct verdict is silence.
-    from beeper_matric_etl_tool_spark.ext.passage_index import (
-        delete_from_passage_index,
-    )
 
-    delete_from_passage_index(spark, pidx_dir, [ATTRIB_SRC_DOC])
-    attrib_del_leg = attribute_against_index(
-        probes, spark, pidx_dir, min_matches=ATTRIB_MIN_MATCHES
-    ).select(
-        F.lit("attrib_del").alias("kind"),
-        F.col("probe_id").cast("long").alias("doc_id"),
-        *null_dims,
-        *null_fps,
-        F.col("doc_id").cast("string").alias("cleaned_fp"),
-        F.col("offset").cast("int").alias("n_units"),
-        F.col("n_matched").cast("int").alias("n_removed"),
-    )
+    def _attrib_lifecycle():
+        # build → probe (pinned BEFORE the index mutates) → delete; the
+        # chain's internal order is semantic, but the whole chain is
+        # independent of the delta leg composed below — running it from
+        # a driver thread overlaps its eager jobs with that composition's
+        # driver-side analysis (r14, guide §2.6; the r13 multimodal
+        # lifecycle-overlap pattern applied to the text plane)
+        build_passage_index(
+            docs, pidx_dir, k=ATTRIB_K, corpus_hop=ATTRIB_HOP, normalize=False
+        )
+        leg = attribute_against_index(
+            probes, spark, pidx_dir, min_matches=ATTRIB_MIN_MATCHES
+        ).select(
+            F.lit("attrib").alias("kind"),
+            F.col("probe_id").cast("long").alias("doc_id"),
+            *null_dims,
+            *null_fps,
+            F.col("doc_id").cast("string").alias("cleaned_fp"),
+            F.col("offset").cast("int").alias("n_units"),
+            F.col("n_matched").cast("int").alias("n_removed"),
+        ).localCheckpoint(eager=True)  # pin the pre-delete verdicts
+        # kind='attrib_del' (r13): the takedown cascade on the text
+        # plane — the source doc's windows DELETED from the persisted
+        # index, the same probes re-attributed. The removed source can
+        # no longer be named; any surviving votes would go to
+        # cross-collision docs, which the oracle REPLAYS (a vote minus
+        # the deleted doc) rather than assumes away — on this corpus the
+        # correct verdict is silence.
+        delete_from_passage_index(spark, pidx_dir, [ATTRIB_SRC_DOC])
+        return leg
+
+    _pool = ThreadPoolExecutor(max_workers=1)
+    _f_attrib = _pool.submit(_attrib_lifecycle)
     # kind='delta' (r13): dataset versioning — a deterministic second
     # snapshot (every 97th doc at residue 3 removed, residue 5 edited,
     # residue 7 re-added under id+1e6) diffed by `corpus_delta`:
     # per-doc status added/removed/changed/unchanged rides cleaned_fp.
     # The shuffle carries (id, 16-byte fingerprint), never text.
+    # Composed while the lifecycle thread's jobs run (its analysis is
+    # pure driver work); attrib_del_leg waits below — it reads the
+    # post-delete index state.
     from beeper_matric_etl_tool_spark.ext.pipeline import corpus_delta
 
     new_snap = (
@@ -1854,6 +1857,21 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("status").alias("cleaned_fp"),
         F.lit(None).cast("int").alias("n_units"),
         F.lit(None).cast("int").alias("n_removed"),
+    )
+    try:
+        attrib_leg = _f_attrib.result()
+    finally:
+        _pool.shutdown(wait=False)
+    attrib_del_leg = attribute_against_index(
+        probes, spark, pidx_dir, min_matches=ATTRIB_MIN_MATCHES
+    ).select(
+        F.lit("attrib_del").alias("kind"),
+        F.col("probe_id").cast("long").alias("doc_id"),
+        *null_dims,
+        *null_fps,
+        F.col("doc_id").cast("string").alias("cleaned_fp"),
+        F.col("offset").cast("int").alias("n_units"),
+        F.col("n_matched").cast("int").alias("n_removed"),
     )
     return (
         profile_leg.unionByName(boiler_leg)
@@ -4335,39 +4353,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from a driver thread pool back-fills the per-job scheduling floors
     # each chain pays. Results are unchanged: each chain's output depends
     # only on its own deterministic inputs.
-    with ThreadPoolExecutor(max_workers=2) as _pool:
-        _f_life = _pool.submit(_lifecycle_chain)
-        mc_decisions = _curation_chain()
-        cidx_dir, contain_idx = _f_life.result()
-    curation = mc_decisions.select(
-        F.lit("curation").alias("kind"),
-        F.col("doc_id").cast("long").alias("id_a"),
-        F.col("cluster_id").cast("long").alias("id_b"),
-        F.col("modality").alias("mime"),
-        # r12: the per-doc payload mass rides the slot's byte_len — the
-        # oracle re-derives it from container arithmetic (_bmp_nbytes &
-        # co), so the funnel's n_bytes join is hash-checked per doc
-        F.col("n_bytes").cast("long").alias("byte_len"),
-        F.col("decision").alias("payload_sha256"),
-        F.col("width").cast("int"),
-        F.col("height").cast("int"),
-        F.lit(None).cast("long").alias("hamming"),
-    )
-    # kind='report': the media DATA CARD (`media_report`) over the same
-    # decisions relation — per-modality decision counts + cluster-size
-    # histogram + the r12 mass axis (bytes / pixels / frames per
-    # decision cell); the oracle replays the rollup off its mc_final CTE
-    report = xmm.media_report(mc_decisions, include_mass=True).select(
-        F.lit("report").alias("kind"),
-        F.col("n").cast("long").alias("id_a"),
-        F.lit(None).cast("long").alias("id_b"),
-        F.col("modality").alias("mime"),
-        F.lit(None).cast("long").alias("byte_len"),
-        F.concat_ws(":", "metric", "bucket").alias("payload_sha256"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("long").alias("hamming"),
-    )
+    # r14: the futures are JOINED just before the final union, not here —
+    # every leg between this point and the join (search/recall/png/
+    # contain/landmark) is independent of both chains, so its driver-side
+    # composition (Catalyst analysis) now overlaps the chains' executor
+    # jobs instead of waiting for them.
+    _pool = ThreadPoolExecutor(max_workers=2)
+    _f_life = _pool.submit(_lifecycle_chain)
+    _f_cur = _pool.submit(_curation_chain)
     # kind='search': ranked variant retrieval semantics
     # (ext/media_index.py:rank_media_variants — the relational core of
     # media_search, oracle-checkable without a filesystem index). One
@@ -4513,20 +4506,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_containment_pairs,
     )
 
-    contain_del = containment_against_index(
-        ct_del_clips, spark, cidx_dir, min_matches=CT_MIN_MATCHES
-    ).select(
-        F.lit("contain_del").alias("kind"),
-        F.col("clip_id").cast("long").alias("id_a"),
-        F.col("track_id").cast("long").alias("id_b"),
-        F.lit("video").alias("mime"),
-        F.lit(None).cast("long").alias("byte_len"),
-        F.lit(None).cast("string").alias("payload_sha256"),
-        F.col("offset").cast("int").alias("width"),
-        F.col("n_matched").cast("int").alias("height"),
-        F.col("max_unit_hamming").cast("long").alias("hamming"),
-    )
-
+    # (contain_del is composed after the lifecycle future joins — it
+    # reads the post-deletion index state; see below)
     contain = video_containment_pairs(
         ct_clip, ct_tracks,
         max_hamming=CT_MAX_HAMMING, min_matches=CT_MIN_MATCHES, n_bits=64,
@@ -4671,6 +4652,55 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hit").cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
         F.col("recall_ppm").cast("long").alias("hamming"),
+    )
+    # join the eager chains (their jobs ran while the legs above were
+    # composed), then build the three legs that depend on their outputs
+    try:
+        mc_decisions = _f_cur.result()
+        cidx_dir, contain_idx = _f_life.result()
+    finally:
+        _pool.shutdown(wait=False)
+    curation = mc_decisions.select(
+        F.lit("curation").alias("kind"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.col("cluster_id").cast("long").alias("id_b"),
+        F.col("modality").alias("mime"),
+        # r12: the per-doc payload mass rides the slot's byte_len — the
+        # oracle re-derives it from container arithmetic (_bmp_nbytes &
+        # co), so the funnel's n_bytes join is hash-checked per doc
+        F.col("n_bytes").cast("long").alias("byte_len"),
+        F.col("decision").alias("payload_sha256"),
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
+        F.lit(None).cast("long").alias("hamming"),
+    )
+    # kind='report': the media DATA CARD (`media_report`) over the same
+    # decisions relation — per-modality decision counts + cluster-size
+    # histogram + the r12 mass axis (bytes / pixels / frames per
+    # decision cell); the oracle replays the rollup off its mc_final CTE
+    report = xmm.media_report(mc_decisions, include_mass=True).select(
+        F.lit("report").alias("kind"),
+        F.col("n").cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("modality").alias("mime"),
+        F.lit(None).cast("long").alias("byte_len"),
+        F.concat_ws(":", "metric", "bucket").alias("payload_sha256"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("hamming"),
+    )
+    contain_del = containment_against_index(
+        ct_del_clips, spark, cidx_dir, min_matches=CT_MIN_MATCHES
+    ).select(
+        F.lit("contain_del").alias("kind"),
+        F.col("clip_id").cast("long").alias("id_a"),
+        F.col("track_id").cast("long").alias("id_b"),
+        F.lit("video").alias("mime"),
+        F.lit(None).cast("long").alias("byte_len"),
+        F.lit(None).cast("string").alias("payload_sha256"),
+        F.col("offset").cast("int").alias("width"),
+        F.col("n_matched").cast("int").alias("height"),
+        F.col("max_unit_hamming").cast("long").alias("hamming"),
     )
     return (
         manifest.unionByName(pairs)
