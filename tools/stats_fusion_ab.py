@@ -40,8 +40,8 @@ os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
 from pyspark.sql import functions as F  # noqa: E402
 
 from beeper_matric_etl_tool_spark import get_spark  # noqa: E402
+from beeper_matric_etl_tool_spark.functions import scalar as fx  # noqa: E402
 from beeper_matric_etl_tool_spark.operators import stats  # noqa: E402
-from beeper_matric_etl_tool_spark.operators import functions as fx  # noqa: E402
 from beeper_matric_etl_tool_spark.sources.tables import table  # noqa: E402
 
 REPS = int(os.environ.get("AB_REPS", "7"))
