@@ -118,6 +118,15 @@ def curation_batch_writer(
         stages = curate(
             batch_df,
             persist_intermediates=False,
+            # r14: per-stage lineage cuts — the funnel's COMPOSITION
+            # (eager Catalyst analysis of re-embedded stage subtrees) is
+            # a fixed driver cost paid per MICRO-BATCH here; the cuts
+            # remove it. The fault-tolerance trade is mild in a stream:
+            # a lost executor fails the batch and the engine retries the
+            # whole micro-batch from the checkpoint (foreachBatch's
+            # normal failure unit), unlike a long batch pipeline where
+            # the default's recompute-from-lineage matters.
+            checkpoint_stages=True,
             reference_index=index_path,
             # replay safety: probe the index with THIS batch's partition
             # hidden, so a re-run after a partial commit re-derives the

@@ -165,6 +165,15 @@ def media_curation_batch_writer(
             cross_modal=cross_modal,
             **curate_kwargs,
         )
+        # r14: the decisions assembly (sig-checkpoint joins + cluster
+        # frames) and the index probe each had THREE consumers (filter/
+        # anti-join, audit count, decisions-write join) — without a
+        # lineage cut every consumer re-executed them; the probe alone
+        # re-ran twice per batch. Lazy checkpoints: both materialize
+        # inside the survivor checkpoint's job below, BEFORE this batch's
+        # partition is appended to the index (the replay-exclusion read
+        # must see pre-append state — every consumer runs pre-append).
+        decisions = decisions.localCheckpoint(eager=False)
         keeps = decisions.filter(F.col("decision") == "keep").select("doc_id")
         kept_sigs = sigs.join(keeps, on="doc_id")
         ref_dropped = media_dedup_signatures_against_index(
@@ -175,7 +184,7 @@ def media_curation_batch_writer(
             bands=bands,
             # replay safety: probe with THIS batch's partition hidden
             exclude_batch=int(batch_id),
-        )
+        ).localCheckpoint(eager=False)
         survivor_sigs = kept_sigs.join(
             ref_dropped.select("doc_id"), on="doc_id", how="left_anti"
         ).localCheckpoint(eager=True)

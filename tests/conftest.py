@@ -14,7 +14,13 @@ def spark():
 
     spark = get_spark(
         app_name="beeper-matric-etl-tests",
-        master="local[4]",
+        # local[8] (r14): the operators overlap independent jobs from
+        # driver thread pools (trainer chains, index lifecycles, modality
+        # legs) — 4 cores re-serialized them in every test; 8 measured
+        # ~10 % off representative files on the 32-core CI box with no
+        # test depending on the core count (the one defaultParallelism
+        # assert is dynamic)
+        master="local[8]",
         shuffle_partitions=4,
         extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-")},
     )

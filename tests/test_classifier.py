@@ -118,9 +118,13 @@ def test_quality_feature_classifier_separates_planted_docs(spark):
         "doc_id", "y", *[c.alias(k) for k, c in feats.items()]
     )
     cols = list(feats)
-    # train on the first 3 of each class, hold out the last of each
+    # train on the first 3 of each class, hold out the last of each.
+    # 40 iterations (r14, was 80): each iteration is one sequential
+    # driver-synchronized gradient job, so the count IS the test's wall
+    # clock; 40 at lr=4.0 separates both classes with margin — the
+    # assertion (held-out generalization) is unchanged
     train = featured.filter((F.col("doc_id") % 100) < 3)
-    w = train_logreg(train, cols, "y", iterations=80, lr=4.0)
+    w = train_logreg(train, cols, "y", iterations=40, lr=4.0)
     scored = {
         r["doc_id"]: r["quality_prob"]
         for r in classify(featured, w, cols).collect()

@@ -514,7 +514,13 @@ def test_bootstrap_preserves_distinct_dead_letter_rows(spark, tmp_path):
     ).withColumn("ts", F.timestamp_millis(F.col("timestamp")))
     hist.write.parquet(str(snap))
     _write_file(src, "p1.json", [_event("e2", 1)])
-    q = ingest.bootstrap_then_ingest(spark, str(snap), str(src), str(tgt), str(ckpt))
+    # available_now: drain-and-stop so awaitTermination returns at
+    # termination — the continuous default made this 3-row test sleep
+    # the FULL 120 s timeout (r14; the bootstrap/key derivation under
+    # test is identical in both trigger modes)
+    q = ingest.bootstrap_then_ingest(
+        spark, str(snap), str(src), str(tgt), str(ckpt), available_now=True
+    )
     q.awaitTermination(120)
     rows = spark.read.parquet(str(tgt)).collect()
     dead = sorted(r.error for r in rows if r.error is not None)
